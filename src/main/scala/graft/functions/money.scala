@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Money rounding that is bit-identical across engines.
+  *
+  * `round(x, 2)` on doubles disagrees between Spark (exact-BigDecimal
+  * HALF_UP) and DuckDB at half-cent boundaries; `floor(x*100 + 0.5)/100` is
+  * the same IEEE op sequence everywhere, so Spark and the DuckDB oracle
+  * produce identical bits. Positive amounts only (half-up toward +inf).
+  */
+object money {
+  /** Round a positive monetary double to cents, engine-portably. */
+  def r2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+
+  /** The DuckDB-SQL spelling of [[r2]] for oracle queries. */
+  def r2Sql(expr: String): String = s"floor(($expr) * 100.0 + 0.5) / 100.0"
+}

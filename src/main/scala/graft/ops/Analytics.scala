@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.money.r2
+
+/** Analytic operators the reference's empty warehouse/reporting notebooks
+  * implied (SURVEY §2.5/§2.6/§2.7): window functions, set operations, and a
+  * scalar-function projection. All built-in, codegen'd expressions — no UDFs.
+  */
+object Analytics {
+
+  /** Per-customer order sequence: row_number / previous order price / running
+    * revenue. One shuffle on the partition key; ordering key
+    * (o_orderdate, o_orderkey) is unique so results are deterministic. */
+  def customerOrderSequence(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      row_number().over(w).as("rn"),
+      lag("o_totalprice", 1).over(w).as("prev_total"),
+      r2(sum("o_totalprice").over(run)).as("running_total"))
+  }
+
+  /** Customers with no orders — EXCEPT (distinct set semantics), the engine
+    * form of the validator's set differences read in reverse. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey").except(orders.select(col("o_custkey").as("c_custkey")))
+
+  /** Scalar-function surface demo over orders (SURVEY §2.8: casts, round/abs,
+    * date extract/arith, concat) — all whole-stage-codegen expressions. */
+  def orderScalarProjection(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      datediff(to_date(lit("2026-01-01")), to_date(col("o_orderdate"))).as("days_before_2026"),
+      concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_priority"),
+      floor(col("o_totalprice") / 1000.0).cast("long").as("price_bucket"),
+      round(abs(col("o_totalprice") - lit(1000.0)), 2).as("abs_diff_1000"))
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document-model projection: relational <-> nested, replacing the reference's
+  * MongoDB layer (`/root/reference/notebooks/02_document_db_mongodb.ipynb:222-246`
+  * builds order documents with `collect_list(struct(...))`, then collects the
+  * whole result to the driver for PyMongo `insert_many` — a scalability bug we
+  * fix by writing JSON from the executors instead).
+  *
+  * Determinism: `collect_list` order is nondeterministic across shuffles, so
+  * the nest operator sorts each array (`array_sort` on structs orders by the
+  * leading field, here the unique line number) — required for oracle
+  * hash-compare and for stable downstream hashing at scale.
+  */
+object Documents {
+
+  private val orderCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  private val itemFields = Seq(
+    "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+
+  /** Orders with an `items: array<struct<...>>` column (one shuffle on the
+    * group key; `collect_list` runs on the ObjectHashAggregate path). */
+  def nest(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(orderCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(itemFields.map(col): _*))).as("items"))
+
+  /** Inverse of [[nest]]: explode the items array back to line grain. */
+  def unnest(nested: DataFrame): DataFrame = {
+    val exploded = nested.select(
+      orderCols.map(col) :+ explode(col("items")).as("item"): _*)
+    exploded.select(orderCols.map(col) ++ itemFields.map(f => col(s"item.$f")): _*)
+  }
+
+  /** Executor-side JSON document export (replaces the reference's driver-side
+    * `toPandas()` + PyMongo sink, `notebooks/02:269-322`). */
+  def writeJsonDocs(nested: DataFrame, outDir: String): Unit =
+    nested.write.mode("overwrite").json(outDir)
+
+  /** Document source: read the exported JSON back as a DataFrame
+    * (capability S7 — the MongoDB `find()` equivalent). */
+  def readJsonDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.json(dir)
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.money.r2
+
+/** Star-schema warehouse layer — the reference's planned-but-empty warehouse
+  * notebook made real (`fact_sales` path declared at
+  * `/root/reference/notebooks/config/settings.ipynb:48`, revenue aggregation
+  * intent in `notebooks/01_dataLake_ingestion.ipynb` cell 15).
+  *
+  * Scale notes (100 TB): lineitem and orders are the two big tables; their
+  * equi-join shuffles on the order key (or is shuffle-free when both are
+  * bucketed by it at write time — see [[graft.tables.LakeTable]]). All other
+  * dimensions are small and explicitly `broadcast`, so the star join costs
+  * exactly one shuffle regardless of fact size. Aggregations below run as
+  * partial (map-side) + final hash aggregates; no driver-side collection
+  * anywhere.
+  */
+object Warehouse {
+
+  /** Per-line net revenue, rounded to cents like the reference does for
+    * monetary values (`/root/reference/src/generate_data.py:301-309`). */
+  def revenue: Column = r2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  /** fact_sales at lineitem grain: one wide, pre-joined fact table. */
+  def factSales(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("o_orderkey"), col("l_linenumber"), col("o_orderdate"),
+        col("o_orderstatus"), col("c_custkey"), col("c_mktsegment"),
+        col("n_name").as("nation"), col("r_name").as("region"),
+        col("p_type"), col("l_quantity"), revenue.as("revenue"))
+
+  /** Revenue aggregates by market segment and order month (reference A9:
+    * "revenue aggregation in the Data Warehouse layer"). */
+  def revenueBySegmentMonth(fact: DataFrame): DataFrame =
+    fact
+      .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        r2(sum("revenue")).as("total_revenue"),
+        countDistinct("o_orderkey").as("n_orders"),
+        r2(sum("l_quantity")).as("sum_qty"))
+
+  /** Top-k customers by revenue — Spark plans TakeOrderedAndProject, so only
+    * k rows per partition ever move to the driver-side limit. Ties broken by
+    * key for determinism. */
+  def topCustomersByRevenue(fact: DataFrame, k: Int): DataFrame =
+    fact.groupBy("c_custkey")
+      .agg(r2(sum("revenue")).as("total_revenue"))
+      .orderBy(desc("total_revenue"), asc("c_custkey"))
+      .limit(k)
+
+  /** Subtotal grid over (segment, status) via ROLLUP — the reporting-layer
+    * shape the reference's empty NB 05 declared. */
+  def revenueRollup(fact: DataFrame): DataFrame = {
+    // SQL GROUP BY ROLLUP rather than Dataset.rollup: in Spark 4.1.2 the
+    // Dataset grouping-analytics path trips the ambiguous-self-join detector
+    // on any post-join column (even after projection); the SQL analyzer
+    // resolves the identical plan cleanly.
+    val view = "graft_fact_for_rollup"
+    fact.select("c_mktsegment", "o_orderstatus", "revenue").createOrReplaceTempView(view)
+    fact.sparkSession.sql(
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  floor(sum(revenue) * 100.0 + 0.5) / 100.0 AS total_revenue,
+         |  count(*) AS n_rows
+         |FROM $view GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin)
+  }
+}

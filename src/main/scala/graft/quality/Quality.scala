@@ -1,0 +1,70 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Declarative data-quality suite — the productized form of the reference's
+  * dataset validator (`/root/reference/scripts/validate_dataset.py`, SURVEY
+  * §2.11). Every check returns a lazy violations DataFrame ("pass" == empty),
+  * so checks compose into one Spark job graph and scale to 100 TB: only
+  * violation counts/samples ever reach the driver, never full tables (the
+  * reference's validator was single-process pandas).
+  */
+object Quality {
+
+  /** Missing/extra columns vs an expected schema
+    * (ref `scripts/validate_dataset.py:89-97`). Name-level check like the
+    * reference; type mismatches are reported separately. */
+  def checkSchema(df: DataFrame, expected: StructType): SchemaReport = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    val exp = expected.map(f => f.name -> f.dataType).toMap
+    SchemaReport(
+      missing = (exp.keySet -- actual.keySet).toSeq.sorted,
+      extra = (actual.keySet -- exp.keySet).toSeq.sorted,
+      typeMismatch = exp.keySet.intersect(actual.keySet).toSeq.sorted
+        .filter(c => exp(c) != actual(c)))
+  }
+
+  final case class SchemaReport(missing: Seq[String], extra: Seq[String],
+                                typeMismatch: Seq[String]) {
+    def ok: Boolean = missing.isEmpty && extra.isEmpty && typeMismatch.isEmpty
+  }
+
+  /** Referential integrity: child rows whose key has no parent — the engine
+    * form of the validator's set differences (`validate_dataset.py:112-135`)
+    * as a left-anti join (one shuffle; broadcast when parent is small). */
+  def checkForeignKey(child: DataFrame, parent: DataFrame,
+                      childKey: String, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)),
+      child(childKey) === col(parentKey), "left_anti")
+
+  /** Key-uniqueness violations: keys appearing more than once
+    * (ref `validate_dataset.py:178-189`). */
+  def checkUnique(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n_dups")).filter(col("n_dups") > 1)
+
+  /** Rows violating an invariant predicate (e.g. price >= cost,
+    * ref `validate_dataset.py:138-144`). Null predicate results count as
+    * violations — an unknown invariant is not a pass. */
+  def checkPredicate(df: DataFrame, invariant: Column): DataFrame =
+    df.filter(!coalesce(invariant, lit(false)))
+
+  /** Numeric-consistency tolerance check, the engine form of
+    * |quantity*unit_price - line_total| > eps (`validate_dataset.py:169-176`). */
+  def checkTolerance(df: DataFrame, actual: Column, expected: Column,
+                     eps: Double = 0.01): DataFrame =
+    df.filter(abs(actual - expected) > eps)
+
+  /** Per-column null counts in a single-row aggregate
+    * (ref `notebooks/01_dataLake_ingestion.ipynb:316-320`) — one shuffle-free
+    * partial agg + final reduce regardless of table width. */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      sum(col(c).isNull.cast("long")).as(s"${c}_nulls")).toSeq: _*)
+
+  /** Run a batch of named checks and return (name -> violation count);
+    * the only driver-side materialization is one Long per check. */
+  def report(checks: Seq[(String, DataFrame)]): Seq[(String, Long)] =
+    checks.map { case (name, df) => name -> df.count() }
+}
