@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.money
 import graft.ops.{Analytics, Documents, Warehouse}
 import graft.quality.Quality
+import graft.sim.Similarity
+import graft.stream.Events
 import graft.tables.Tables
+import graft.text.{Dedup, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` (column names and
@@ -87,7 +90,46 @@ object SparkEntry {
     "q16_customers_without_orders" -> ((s, d) =>
       Analytics.customersWithoutOrders(t(s, d, "customer"), t(s, d, "orders"))),
     "q17_scalar_functions" -> ((s, d) =>
-      Analytics.orderScalarProjection(t(s, d, "orders"))))
+      Analytics.orderScalarProjection(t(s, d, "orders"))),
+    // --- events / JSON props (SURVEY §2.8 F10) ---
+    "q18_events_by_type" -> ((s, d) => Events.byType(Tables.events(s, d))),
+    // --- text analysis [ext] ---
+    "q19_exact_dedup_stats" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val groups = Dedup.exactDupGroups(docs)
+      groups.agg(
+        sum("n_copies").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L)).as("n_redundant"))
+    },
+    "q20_token_stats" -> ((s, d) => TextStats.tokenStats(t(s, d, "documents"))),
+    "q21_quality_score" -> ((s, d) => TextStats.qualityScore(t(s, d, "documents"))),
+    "q22_lang_source_dist" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))),
+    "q23_word_jaccard_pairs" -> ((s, d) =>
+      Dedup.blockedJaccardPairs(t(s, d, "documents"), Seq("lang", "n_chars"), 0.3)),
+    "q24_minhash_neardups" -> ((s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents"), threshold = 0.3)),
+    "q25_simhash" -> ((s, d) => Dedup.simhash(t(s, d, "documents"))),
+    "q26_doc_fingerprint" -> ((s, d) => TextStats.fingerprints(t(s, d, "documents"))),
+    "q27_language_id" -> ((s, d) => TextStats.languageId(t(s, d, "documents"))),
+    // --- similarity search [ext] ---
+    "q28_cosine_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 3)
+    },
+    "q29_ann_lsh_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 3)
+    },
+    // --- streaming-surface batch twins (SURVEY §2.10) ---
+    "q30_event_windows" -> ((s, d) => Events.tumblingCounts(Tables.events(s, d))),
+    "q31_sessionization" -> ((s, d) => Events.sessionize(Tables.events(s, d))))
+
+  // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
+  // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val toksSql = s"string_split($normSql, ' ')"
 
   def oracleSql: Map[String, String] = Map(
     "q01_orders_per_customer" ->
@@ -172,5 +214,77 @@ object SparkEntry {
         "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER) AS days_before_2026, " +
         "o_orderstatus || '-' || o_orderpriority AS status_priority, " +
         "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_bucket, " +
-        "round(abs(o_totalprice - 1000.0), 2) AS abs_diff_1000 FROM orders"))
+        "round(abs(o_totalprice - 1000.0), 2) AS abs_diff_1000 FROM orders"),
+    "q18_events_by_type" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        s"${money.r2Sql("sum(value)")} AS sum_value, " +
+        """CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k """ +
+        "FROM events GROUP BY event_type"),
+    "q19_exact_dedup_stats" ->
+      (s"WITH g AS (SELECT min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY $normSql) " +
+        "SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs, count(*) AS n_distinct, " +
+        "CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_redundant FROM g"),
+    "q20_token_stats" ->
+      ("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens, """ +
+        """CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nospace, """ +
+        """CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_len """ +
+        "FROM documents"),
+    "q21_quality_score" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio, " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio, " +
+        "least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS length_score, " +
+        "CAST(CASE WHEN len(toks) >= 20 AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS passes_filter FROM t"),
+    "q22_lang_source_dist" ->
+      "SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source",
+    "q23_word_jaccard_pairs" ->
+      (s"WITH w AS (SELECT doc_id, lang, n_chars, list_distinct($toksSql) AS w FROM documents), " +
+        "p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) AS i, " +
+        "CAST(len(x.w) + len(y.w) AS DOUBLE) - CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) AS u " +
+        "FROM w x JOIN w y ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id) " +
+        "SELECT doc_a, doc_b, CASE WHEN u = 0 THEN 1.0 ELSE i / u END AS jaccard FROM p " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.3"),
+    "q26_doc_fingerprint" ->
+      (s"SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($normSql, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        "(acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents"),
+    "q27_language_id" -> {
+      val langs = graft.text.TextStats.defaultProfiles.toSeq.sortBy(_._1)
+      def score(l: String) = s"s_$l"
+      val scores = langs.map { case (l, ws) =>
+        s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS ${score(l)}"
+      }.mkString(", ")
+      val names = langs.map(_._1)
+      val cases = names.zipWithIndex.map { case (l, i) =>
+        val rest = names.drop(i + 1)
+        if (rest.isEmpty) s"ELSE '$l'"
+        else s"WHEN ${rest.map(r => s"${score(l)} >= ${score(r)}").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
+      s"WITH t AS (SELECT doc_id, lang, list_distinct($toksSql) AS toks FROM documents), " +
+        s"s AS (SELECT doc_id, lang AS labeled_lang, $scores FROM t) " +
+        s"SELECT doc_id, labeled_lang, CASE WHEN greatest(${names.map(score).mkString(",")}) = 0 " +
+        s"THEN 'und' $cases END AS predicted_lang FROM s"
+    },
+    "q28_cosine_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+        "list_inner_product(p.v, c.v) / (sqrt(list_inner_product(p.v, p.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos_sim " +
+        "FROM e p JOIN e c ON p.vec_id < 20 AND p.vec_id != c.vec_id), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn FROM s) " +
+        "SELECT probe_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 3"),
+    "q30_event_windows" ->
+      ("SELECT time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start, " +
+        "time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 10 MINUTE AS window_end, " +
+        s"count(*) AS n_events, ${money.r2Sql("sum(value)")} AS sum_value " +
+        "FROM events GROUP BY 1"),
+    "q31_sessionization" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events), " +
+        "g AS (SELECT *, CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 THEN 1 ELSE 0 END AS new_session FROM e), " +
+        "i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, " +
+        "max(sec) - min(sec) AS duration_sec, " +
+        s"${money.r2Sql("sum(value)")} AS sum_value FROM i GROUP BY user_id, session_seq"))
 }

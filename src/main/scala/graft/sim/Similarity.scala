@@ -1,0 +1,117 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale plan:
+  *  - [[bruteForceTopK]]: exact cosine top-k for a bounded probe set —
+  *    broadcast the probes, one pass over the corpus, per-probe top-k via
+  *    window rank (at production scale: `TakeOrderedAndProject` per probe).
+  *  - [[lshTopK]]: random-hyperplane LSH — a pure map assigns each vector a
+  *    bucket signature; candidates come from an equi-join on bucket, so the
+  *    corpus never self-joins. Recall/cost tuned by (numPlanes, probes).
+  *
+  * Vector math uses higher-order functions (`zip_with` + `aggregate`) in
+  * double precision — codegen'd, left-to-right deterministic, and
+  * bit-reproducible against the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b) = dot/(|a|*|b|), built exactly like the oracle SQL spelling
+    * so both engines run the same IEEE op sequence. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each probe vector (probes broadcast). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cvec"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      asDouble(col("embedding")).as("pvec"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("cos_sim"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("probe_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** Deterministic random hyperplanes (xorshift64* seeded PRNG — public
+    * algorithm), materialized as plan literals so signing is a pure map. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      val x = s * 0x2545F4914F6CDD1DL
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(numPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** Sign-bit bucket signature of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    (0 until planes.length).map { i =>
+      when(dot(vec, lit(planes(i))) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Multi-table bucket signatures: array of (table, bucket) structs. L
+    * independent tables of `planesPerTable` hyperplanes each — the standard
+    * recall amplifier (P[collide in >=1 table] = 1-(1-p^b)^L). Pure map. */
+  def lshBuckets(vec: Column, tables: Int, planesPerTable: Int, dim: Int,
+                 seed: Long): Column = {
+    val sigs = (0 until tables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed + 1000L * t)
+      struct(lit(t).as("tbl"), lshBucket(vec, planes).as("bucket"))
+    }
+    array(sigs: _*)
+  }
+
+  /** Approximate top-k: candidates share the probe's bucket in ANY of the L
+    * tables (explode + equi-join on (table, bucket) — the only shuffle key);
+    * exact cosine re-ranks the deduplicated candidates. Expected candidates
+    * per probe ~ L * corpus / 2^planesPerTable. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              tables: Int = 8, planesPerTable: Int = 5,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("cvec"))
+      .withColumn("b", explode(lshBuckets(col("cvec"), tables, planesPerTable, dim, seed)))
+    val p = probes.select(col("vec_id").as("probe_id"),
+        asDouble(col("embedding")).as("pvec"))
+      .withColumn("b", explode(lshBuckets(col("pvec"), tables, planesPerTable, dim, seed)))
+    val cand = c.join(broadcast(p), Seq("b"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id", "pvec", "cvec")
+      .dropDuplicates("probe_id", "neighbor_id")
+    val scored = cand.select(col("probe_id"), col("neighbor_id"),
+      cosine(col("pvec"), col("cvec")).as("cos_sim"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("probe_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
+    * embedding-space analogue of MinHash near-dup): equi-join on bucket,
+    * exact cosine verify at `threshold`. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+                     numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), planes))
+    c.as("x").join(c.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.vec"), col("y.vec")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.functions.money.r2
+
+/** Event-stream operators over the `events` table (ts, user_id, event_type,
+  * value, props) — the mandated Structured-Streaming extension surface
+  * (SURVEY §2.10; the reference is batch-only).
+  *
+  * Each aggregation exists in one declarative form usable both in batch
+  * (correctness/oracle) and as a streaming query (`readStream` + watermark) —
+  * same expressions, Catalyst plans the incremental version. Streaming specs
+  * drive the file source with Trigger.AvailableNow.
+  */
+object Events {
+
+  /** Parse the JSON `props` column to map<string,string> (F10). */
+  def parseProps(events: DataFrame): DataFrame =
+    events.withColumn("props_map",
+      from_json(col("props"), MapType(StringType, StringType)))
+
+  /** The integer `k` property, extracted without a JSON parse on the hot
+    * path (regexp is codegen'd; schema'd `from_json` via [[parseProps]]). */
+  def propK(props: Column): Column =
+    regexp_extract(props, "\"k\":\\s*(\\d+)", 1).cast("long")
+
+  /** Per-type aggregate: count, total value (cents-rounded), sum of k. */
+  def byType(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      r2(sum("value")).as("sum_value"),
+      sum(propK(col("props"))).as("sum_k"))
+
+  /** Tumbling event-time windows (batch form; streaming adds watermark). */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming file source over events parquet. The files carry nanosecond
+    * timestamps Spark can't scan natively — read ns as long and truncate to
+    * a microsecond timestamp (see [[graft.tables.Tables.events]]). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.tables.Tables.schemas("events").map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming variant: file source over the events parquet, watermarked
+    * tumbling counts. Caller attaches the sink/trigger. */
+  def streamingTumblingCounts(spark: SparkSession, dir: String,
+                              width: String = "10 minutes",
+                              watermark: String = "30 minutes"): DataFrame = {
+    readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Streaming dedup within the watermark (the streaming form of exact
+    * dedup: drop retransmitted event_ids). */
+  def streamingDedup(spark: SparkSession, dir: String,
+                     watermark: String = "30 minutes"): DataFrame =
+    readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  /** Batch sessionization (gap-based): a session breaks after `gapMinutes`
+    * of inactivity. One shuffle on user_id; the running session-id is the
+    * classic gaps-and-islands prefix sum, all window functions. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60L
+    val newSession = when(
+      col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byUser) > gapSec, 1L)
+      .otherwise(0L)
+    val withId = events
+      .withColumn("new_session", coalesce(newSession, lit(0L)))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withId.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts").cast("double")) - min(col("ts").cast("double"))).as("duration_sec"),
+        r2(sum("value")).as("sum_value"))
+      .drop("session_seq")
+  }
+
+  /** Streaming sessionization via the built-in session window (event-time,
+    * watermarked) — the Structured-Streaming twin of [[sessionize]]. */
+  def streamingSessionize(spark: SparkSession, dir: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json extension surface; runs over the `documents` table).
+  *
+  * Everything here is built from codegen'd built-in / higher-order functions —
+  * no UDFs — so the operators stay inside whole-stage codegen and scale
+  * linearly with a pure map (no shuffle) over 100 TB of documents.
+  */
+object TextStats {
+
+  /** Whitespace tokenization of trimmed text (empty string -> empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Lowercased, whitespace-collapsed canonical form used as the exact-dedup
+    * key and the shingling input. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Per-document token statistics: token count, character count without
+    * spaces, mean token length (exact double division — engine-portable). */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars_nospace"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        size(toks).cast("double")).as("avg_token_len"))
+  }
+
+  /** Quality-scoring heuristics (length / stopword-ratio / distinct-token
+    * ratio), the classic pre-training filter features. */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    val toks = tokens(normalize(col("text")))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (nStop / nTok).as("stopword_ratio"),
+      (nDistinct / nTok).as("distinct_ratio"),
+      least(lit(1.0), nTok / lit(100.0)).as("length_score"),
+      when(nTok >= 20 && nDistinct / nTok >= 0.2, lit(1L)).otherwise(lit(0L)).as("passes_filter"))
+  }
+
+  /** N-gram (word) shingles of the normalized text — the MinHash input. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalize(text))
+    // sliding window over token indexes, each joined back into one shingle
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Language identification by function-word profiles: argmax over languages
+    * of distinct-token overlap with each profile (deterministic, tie -> "und").
+    * A pure-map n-gram heuristic; profiles are broadcast as literals into the
+    * codegen'd plan.
+    */
+  def languageId(docs: DataFrame,
+                 profiles: Map[String, Seq[String]] = defaultProfiles): DataFrame = {
+    val toks = array_distinct(tokens(normalize(col("text"))))
+    // array_max on struct(score, negOrd) picks highest score; ties resolve to
+    // the profile with the lowest ordinal for determinism.
+    val scored = profiles.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(
+          size(array_intersect(toks, lit(words.toArray))).as("score"),
+          lit(-i).as("negOrd"),
+          lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("predicted_lang"))
+  }
+
+  /** Tiny built-in function-word profiles (public linguistic knowledge). */
+  val defaultProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "que", "los", "una", "es", "por", "con"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Polynomial rolling-hash fingerprint over the characters of the
+    * normalized text (Karp–Rabin style): acc = (acc*31 + code) mod p,
+    * expressed with higher-order `aggregate` so it stays a codegen'd map. */
+  def fingerprint(text: Column, p: Long = 1000000007L): Column = {
+    val codes = transform(split(normalize(text), ""), c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % p)
+  }
+
+  /** Per-document fingerprints. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+}
