@@ -35,9 +35,12 @@ object Quality {
     * form of the validator's set differences (`validate_dataset.py:112-135`)
     * as a left-anti join (one shuffle; broadcast when parent is small). */
   def checkForeignKey(child: DataFrame, parent: DataFrame,
-                      childKey: String, parentKey: String): DataFrame =
-    child.join(parent.select(col(parentKey)),
-      child(childKey) === col(parentKey), "left_anti")
+                      childKey: String, parentKey: String): DataFrame = {
+    // alias the parent key so child/parent tables sharing the key name
+    // (the common FK convention) resolve unambiguously
+    val pk = parent.select(col(parentKey).as("__graft_parent_key"))
+    child.join(pk, child(childKey) === pk("__graft_parent_key"), "left_anti")
+  }
 
   /** Key-uniqueness violations: keys appearing more than once
     * (ref `validate_dataset.py:178-189`). */

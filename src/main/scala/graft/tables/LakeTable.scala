@@ -1,0 +1,137 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Parquet-backed managed tables with a versioned JSON transaction log —
+  * the engine's stand-in for the reference's curated Delta tables
+  * (`/root/reference/notebooks/01_dataLake_ingestion.ipynb:571-574` writes
+  * `format("delta").mode("overwrite")`; cell 22 at `:628-656` validates the
+  * table dir, `_delta_log`, and readback). No Delta jar exists in this
+  * environment (SURVEY §0), so the log is our own:
+  *
+  *   <warehouse>/<table>/_graft_log/vNNNNNNNN.json   — one commit per version
+  *   <warehouse>/<table>/data/vNNNNNNNN/             — parquet written by executors
+  *
+  * Commit protocol: executors write the new data dir first, then the driver
+  * writes the log entry to a temp file and atomically renames it into place —
+  * readers resolve the latest *committed* log entry, so a crashed write never
+  * corrupts the table (write-temp-then-rename; single-writer assumption is
+  * documented, there is no multi-driver coordination — the non-ACID boundary
+  * called out in SURVEY §7).
+  *
+  * Scale: data layout is plain partitioned parquet, so reads get partition
+  * pruning + predicate pushdown; `partitionBy` columns are recorded in the
+  * log and re-applied on append.
+  */
+final class LakeTable(spark: SparkSession, warehouseDir: String) {
+
+  private def tableDir(name: String): Path = Paths.get(warehouseDir, name)
+  private def logDir(name: String): Path = tableDir(name).resolve("_graft_log")
+  private def dataDir(name: String, v: Long): Path =
+    tableDir(name).resolve("data").resolve(f"v$v%08d")
+
+  private def committedVersions(name: String): Seq[Long] = {
+    val ld = logDir(name)
+    if (!Files.isDirectory(ld)) Seq.empty
+    else Files.list(ld).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("v") && f.endsWith(".json"))
+      .map(f => f.stripPrefix("v").stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
+
+  def exists(name: String): Boolean = committedVersions(name).nonEmpty
+
+  def latestVersion(name: String): Option[Long] = committedVersions(name).lastOption
+
+  /** One committed log entry. `dirs` lists every live data dir (append keeps
+    * prior dirs; overwrite starts fresh). */
+  final case class Commit(version: Long, mode: String, dirs: Seq[String],
+                          schemaJson: String, partitionBy: Seq[String],
+                          rowCount: Long) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  private def readCommit(name: String, v: Long): Commit = {
+    val json = new String(Files.readAllBytes(logDir(name).resolve(f"v$v%08d.json")), "UTF-8")
+    // parse with Spark's bundled json4s — no extra dependency
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val jv = JsonMethods.parse(json)
+    Commit(
+      (jv \ "version").extract[Long], (jv \ "mode").extract[String],
+      (jv \ "dirs").extract[Seq[String]], (jv \ "schemaJson").extract[String],
+      (jv \ "partitionBy").extract[Seq[String]], (jv \ "rowCount").extract[Long])
+  }
+
+  private def writeCommit(name: String, c: Commit): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("version" -> c.version) ~ ("mode" -> c.mode) ~ ("dirs" -> c.dirs) ~
+        ("schemaJson" -> c.schemaJson) ~ ("partitionBy" -> c.partitionBy) ~
+        ("rowCount" -> c.rowCount)))
+    Files.createDirectories(logDir(name))
+    val tmp = logDir(name).resolve(f".v${c.version}%08d.json.tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, logDir(name).resolve(f"v${c.version}%08d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Persist `df` as table `name`. Append mode enforces schema compatibility
+    * (same column names and types, any order) against the live table. */
+  def write(df: DataFrame, name: String, mode: String = "overwrite",
+            partitionBy: Seq[String] = Seq.empty): Commit = {
+    require(mode == "overwrite" || mode == "append", s"unsupported mode $mode")
+    val prev = latestVersion(name).map(readCommit(name, _))
+    val v = prev.map(_.version + 1).getOrElse(0L)
+    val parts = if (mode == "append" && prev.nonEmpty) prev.get.partitionBy else partitionBy
+    prev.filter(_ => mode == "append").foreach { p =>
+      val expected = p.schema.map(f => f.name -> f.dataType).toMap
+      val actual = df.schema.map(f => f.name -> f.dataType).toMap
+      require(expected == actual,
+        s"append schema mismatch for $name: table=$expected incoming=$actual")
+    }
+    val dest = dataDir(name, v)
+    val writer = df.write.mode("overwrite")
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(dest.toString)
+    val dirs = (if (mode == "append") prev.map(_.dirs).getOrElse(Seq.empty)
+                else Seq.empty) :+ dest.toString
+    val commit = Commit(v, mode, dirs, df.schema.json, parts, df.count())
+    writeCommit(name, commit)
+    commit
+  }
+
+  /** Read the latest committed version (or `asOfVersion` for time travel). */
+  def read(name: String, asOfVersion: Option[Long] = None): DataFrame = {
+    val v = asOfVersion.orElse(latestVersion(name))
+      .getOrElse(throw new IllegalArgumentException(s"no such table: $name"))
+    val c = readCommit(name, v)
+    // one read per committed dir, unioned by name: the version dirs are not
+    // partition directories, so a single multi-path read would trip Spark's
+    // partition-structure inference when partitionBy is in play
+    c.dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Commit history, oldest first. */
+  def history(name: String): Seq[Commit] =
+    committedVersions(name).map(readCommit(name, _))
+
+  /** The reference's persistence round-trip validation (NB 01 cell 22):
+    * table dir present, log present, readback count matches the committed
+    * count. Returns (ok, detail). */
+  def validate(name: String): (Boolean, String) = {
+    if (!Files.isDirectory(tableDir(name))) return (false, s"missing dir: ${tableDir(name)}")
+    if (!exists(name)) return (false, s"missing/empty log: ${logDir(name)}")
+    val c = readCommit(name, latestVersion(name).get)
+    val n = read(name).count()
+    if (n == c.rowCount) (true, s"ok: v${c.version}, $n rows")
+    else (false, s"readback count $n != committed ${c.rowCount}")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.stream.Events
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+              value: Double, props: String)
+
+class EventsSpec extends SparkSpec {
+
+  private def t(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private val events = Seq(
+    Ev(1, t(0), 1, "view", 1.0, """{"k": 1}"""),
+    Ev(2, t(5), 1, "click", 2.0, """{"k": 2}"""),
+    Ev(3, t(50), 1, "view", 3.0, """{"k": 3}"""),   // >30min gap -> new session
+    Ev(4, t(12), 2, "purchase", 4.0, """{"k": 4}"""))
+
+  test("parseProps yields a typed map; propK extracts the int") {
+    val parsed = Events.parseProps(df(events))
+    assert(parsed.select(element_at(col("props_map"), "k")).collect()
+      .map(_.getString(0)).sorted === Array("1", "2", "3", "4"))
+    assert(df(events).select(Events.propK(col("props"))).collect()
+      .map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+  }
+
+  test("byType aggregates count/value/k per event type") {
+    val r = Events.byType(df(events)).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getLong(3))).toMap
+    assert(r("view") === ((2L, 4.0, 4L)))
+    assert(r("purchase") === ((1L, 4.0, 4L)))
+  }
+
+  test("tumblingCounts buckets into 10-minute windows") {
+    val w = Events.tumblingCounts(df(events)).orderBy("window_start").collect()
+    assert(w.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L, 1L))
+    assert(w(0).getAs[Timestamp]("window_start") === t(0))
+    assert(w(0).getAs[Timestamp]("window_end") === t(10))
+  }
+
+  test("sessionize splits on the inactivity gap and measures duration") {
+    val s = Events.sessionize(df(events), gapMinutes = 30)
+      .orderBy("user_id", "session_start").collect()
+    assert(s.length === 3)
+    val u1 = s.filter(_.getAs[Long]("user_id") == 1)
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L))
+    assert(u1(0).getAs[Double]("duration_sec") === 300.0)
+    assert(u1(1).getAs[Double]("duration_sec") === 0.0)
+  }
+
+  test("streaming tumbling counts (AvailableNow) match the batch twin") {
+    val streamed = Events.streamingTumblingCounts(spark, "/root/testdata/sf0.001",
+      watermark = "10 years") // keep every window in complete-ish mode
+    val qname = "ev_windows_test"
+    val q = streamed.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table(qname)
+    val want = Events.tumblingCounts(graft.tables.Tables.events(spark, "/root/testdata/sf0.001"))
+    // append mode emits only watermark-closed windows; with the huge
+    // watermark nothing closes, so validate against processed state instead
+    // via update-mode re-run below. Here just assert the stream ran clean.
+    assert(q.exception.isEmpty)
+    val q2 = Events.streamingTumblingCounts(spark, "/root/testdata/sf0.001",
+        watermark = "1 minute").writeStream
+      .format("memory").queryName(qname + "2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    val closed = spark.table(qname + "2")
+    // all but the final in-flight window(s) must match batch exactly
+    val batch = want.collect().map(r => r.getAs[Timestamp]("window_start") ->
+      (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val stream = closed.collect().map(r => r.getAs[Timestamp]("window_start") ->
+      (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    assert(stream.nonEmpty)
+    stream.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+  }
+
+  test("streaming dedup drops retransmitted events within the watermark") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-ev").toString
+    val dup = events ++ events.take(2) // retransmit two events
+    df(dup).withColumn("ts_ns", expr("CAST(unix_micros(ts) AS BIGINT) * 1000"))
+      .drop("ts").withColumnRenamed("ts_ns", "ts")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    // readEventStream expects ns-long ts, which we just wrote
+    val q = Events.streamingDedup(spark, dir).writeStream
+      .format("memory").queryName("ev_dedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    assert(spark.table("ev_dedup_test").count() === events.size)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tables.LakeTable
+
+case class Sale(id: Long, region: String, amount: Double)
+
+class LakeTableSpec extends SparkSpec {
+
+  private def freshLake(): LakeTable =
+    new LakeTable(spark, Files.createTempDirectory("graft-lake").toString)
+
+  private val rows = Seq(Sale(1, "north", 10.0), Sale(2, "south", 20.0), Sale(3, "north", 30.0))
+
+  test("write/read roundtrip preserves rows and schema") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    val back = lake.read("sales")
+    // parquet roundtrip relaxes nullability; names+types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df(rows).schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("overwrite replaces content and bumps the version") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    lake.write(df(Seq(Sale(9, "west", 1.0))), "sales")
+    assert(lake.read("sales").count() === 1)
+    assert(lake.latestVersion("sales") === Some(1L))
+    // time travel back to v0
+    assert(lake.read("sales", asOfVersion = Some(0L)).count() === 3)
+    assert(lake.history("sales").map(_.mode) === Seq("overwrite", "overwrite"))
+  }
+
+  test("append unions new data and keeps the partition spec") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales", partitionBy = Seq("region"))
+    lake.write(df(Seq(Sale(4, "south", 40.0))), "sales", mode = "append")
+    val back = lake.read("sales")
+    assert(back.count() === 4)
+    // partition pruning: region filter reads only that partition's dirs
+    assert(back.filter(back("region") === "south").count() === 2)
+  }
+
+  test("append with mismatched schema is rejected") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    val bad = df(rows).withColumnRenamed("amount", "amt")
+    intercept[IllegalArgumentException] {
+      lake.write(bad, "sales", mode = "append")
+    }
+  }
+
+  test("validate reproduces the reference's round-trip check") {
+    val lake = freshLake()
+    assert(!lake.validate("nope")._1)
+    lake.write(df(rows), "sales")
+    val (ok, detail) = lake.validate("sales")
+    assert(ok, detail)
+  }
+
+  test("reader ignores uncommitted (crashed) writes") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    // simulate a crash: data dir exists but no log entry was committed
+    val wh = lake.read("sales").inputFiles.head.replaceAll("/data/v.*", "")
+    val orphan = java.nio.file.Paths.get(wh.stripPrefix("file:"), "data", "v00000099")
+    Files.createDirectories(orphan)
+    assert(lake.read("sales").count() === 3)
+    assert(lake.latestVersion("sales") === Some(0L))
+  }
+}

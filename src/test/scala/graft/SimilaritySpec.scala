@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+case class Vec(vec_id: Long, embedding: Array[Float], label: Int)
+
+class SimilaritySpec extends SparkSpec {
+
+  private def unit(dim: Int, axis: Int): Array[Float] =
+    Array.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+
+  test("cosine matches hand computation") {
+    val d = df(Seq(Vec(0, Array(1f, 0f), 0), Vec(1, Array(1f, 1f), 0)))
+    val c = d.as("a").join(d.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(Similarity.cosine(
+        col("a.embedding").cast("array<double>"),
+        col("b.embedding").cast("array<double>")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force top-k returns nearest neighbors in order") {
+    // cluster A near axis 0, cluster B near axis 1
+    val vecs = Seq(
+      Vec(0, Array(1f, 0f, 0f, 0f), 0),
+      Vec(1, Array(0.9f, 0.1f, 0f, 0f), 0),
+      Vec(2, Array(0.8f, 0.2f, 0f, 0f), 0),
+      Vec(3, Array(0f, 1f, 0f, 0f), 1),
+      Vec(4, Array(0.1f, 0.9f, 0f, 0f), 1))
+    val d = df(vecs)
+    val top = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 0), 2)
+      .orderBy("rn").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(top === Array(1L, 2L))
+  }
+
+  test("multi-table LSH finds planted clusters with high recall") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val bases = (0 until 4).map(a => unit(dim, a))
+    val vecs = (0 until 80).map { i =>
+      Vec(i.toLong, jitter(bases(i % 4)), i % 4)
+    }
+    val d = df(vecs)
+    val probes = d.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(d, probes, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(d, probes, 5, tables = 8, planesPerTable = 4,
+        dim = dim).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("cosineNearDups flags only genuinely close pairs") {
+    val vecs = Seq(
+      Vec(0, Array(1f, 0f, 0f, 0f), 0),
+      Vec(1, Array(0.99f, 0.01f, 0f, 0f), 0), // near-dup of 0
+      Vec(2, Array(0f, 0f, 1f, 0f), 1))
+    val pairs = Similarity.cosineNearDups(df(vecs), threshold = 0.95,
+        numPlanes = 4, dim = 4).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session; specs run
+  * in a single forked JVM per build.sbt). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+  import scala.reflect.runtime.universe.TypeTag
+  def df[T <: Product: TypeTag](rows: Seq[T]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[T]).toDF()
+  }
+}
