@@ -124,7 +124,10 @@ object SparkEntry {
     },
     // --- streaming-surface batch twins (SURVEY §2.10) ---
     "q30_event_windows" -> ((s, d) => Events.tumblingCounts(Tables.events(s, d))),
-    "q31_sessionization" -> ((s, d) => Events.sessionize(Tables.events(s, d))))
+    "q31_sessionization" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
+    // --- multimodal plumbing [ext] (stub codec; see graft.multimodal) ---
+    "q32_media_stats" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaStats(s, t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -286,5 +289,10 @@ object SparkEntry {
         "i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM g) " +
         "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, " +
         "max(sec) - min(sec) AS duration_sec, " +
-        s"${money.r2Sql("sum(value)")} AS sum_value FROM i GROUP BY user_id, session_seq"))
+        s"${money.r2Sql("sum(value)")} AS sum_value FROM i GROUP BY user_id, session_seq"),
+    "q32_media_stats" ->
+      ("SELECT doc_id, CAST(16 + (n_chars % 64) * 4 AS INTEGER) AS width, " +
+        "CAST(16 + ((n_chars * 7) % 48) * 4 AS INTEGER) AS height, " +
+        "CAST(1 + (doc_id % 5) AS BIGINT) AS n_frames, " +
+        "CAST(strlen(text) AS BIGINT) AS payload_bytes FROM documents"))
 }
