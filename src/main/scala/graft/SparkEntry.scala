@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.money
-import graft.ops.{Analytics, Documents, Warehouse}
+import graft.ops.{Analytics, Documents, Graph, Warehouse}
 import graft.quality.Quality
 import graft.sim.Similarity
 import graft.stream.Events
@@ -127,7 +127,18 @@ object SparkEntry {
     "q31_sessionization" -> ((s, d) => Events.sessionize(Tables.events(s, d))),
     // --- multimodal plumbing [ext] (stub codec; see graft.multimodal) ---
     "q32_media_stats" -> ((s, d) =>
-      graft.multimodal.Multimodal.mediaStats(s, t(s, d, "documents"))))
+      graft.multimodal.Multimodal.mediaStats(s, t(s, d, "documents"))),
+    // --- graph layer (reference NB 04 made real) ---
+    "q33_copurchase_pairs" -> ((s, d) =>
+      Graph.coPurchasePairs(t(s, d, "lineitem"), minCount = 3)),
+    "q34_customer_degree" -> ((s, d) =>
+      Graph.customerDegree(Graph.purchaseEdges(t(s, d, "lineitem"), t(s, d, "orders")))),
+    // --- CLV + cube (reference's declared analytics goals) ---
+    "q35_customer_ltv" -> ((s, d) => Warehouse.customerLifetimeValue(fact(s, d))),
+    "q36_revenue_cube" -> ((s, d) => Warehouse.revenueCube(fact(s, d))),
+    // --- approx sketches [ext] (rows-only: sketch algorithms differ across
+    // engines by design; accuracy is spec-tested against exact counts) ---
+    "q37_order_sketches" -> ((s, d) => Warehouse.orderSketches(t(s, d, "orders"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -294,5 +305,29 @@ object SparkEntry {
       ("SELECT doc_id, CAST(16 + (n_chars % 64) * 4 AS INTEGER) AS width, " +
         "CAST(16 + ((n_chars * 7) % 48) * 4 AS INTEGER) AS height, " +
         "CAST(1 + (doc_id % 5) AS BIGINT) AS n_frames, " +
-        "CAST(strlen(text) AS BIGINT) AS payload_bytes FROM documents"))
+        "CAST(strlen(text) AS BIGINT) AS payload_bytes FROM documents"),
+    "q33_copurchase_pairs" ->
+      ("SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_together " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY part_a, part_b HAVING count(*) >= 3"),
+    "q34_customer_degree" ->
+      ("SELECT src_custkey, count(*) AS degree, CAST(sum(n_purchases) AS BIGINT) AS n_purchases FROM (" +
+        "SELECT o_custkey AS src_custkey, l_partkey, count(*) AS n_purchases " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey, l_partkey" +
+        ") GROUP BY src_custkey"),
+    "q35_customer_ltv" ->
+      (s"SELECT c_custkey, count(DISTINCT o_orderkey) AS n_orders, " +
+        s"${money.r2Sql("sum(revenue)")} AS total_revenue, " +
+        "min(CAST(o_orderdate AS DATE)) AS first_order, max(CAST(o_orderdate AS DATE)) AS last_order, " +
+        s"${money.r2Sql(s"(${money.r2Sql("sum(revenue)")}) / count(DISTINCT o_orderkey)")} AS avg_order_value FROM (" +
+        "SELECT c_custkey, o_orderkey, o_orderdate, " +
+        s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
+        ") GROUP BY c_custkey"),
+    "q36_revenue_cube" ->
+      (s"SELECT c_mktsegment, o_orderstatus, ${money.r2Sql("sum(revenue)")} AS total_revenue, count(*) AS n_rows FROM (" +
+        "SELECT c_mktsegment, o_orderstatus, " +
+        s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
+        ") GROUP BY CUBE (c_mktsegment, o_orderstatus)"))
 }

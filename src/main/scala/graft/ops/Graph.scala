@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.money.r2
+
+/** Graph layer — the reference's declared-but-empty graph notebook
+  * (`04_qraph_db.ipynb`; "Graph-based modeling" named as a downstream goal in
+  * NB 01 cell 14) expressed as DataFrame vertex/edge tables. Property-graph
+  * algorithms that matter at 100 TB (degree, co-occurrence, neighborhood
+  * aggregates) are plain shuffled aggregates/self-joins; GraphX interop is a
+  * one-liner from the edge DataFrame when iterative algorithms are needed.
+  */
+object Graph {
+
+  /** Customer -> part purchase edges with quantity/revenue weights (one
+    * shuffle: lineitem ⋈ orders on the order key, then agg). */
+  def purchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("src_custkey"), col("l_partkey").as("dst_partkey"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_spend"))
+
+  /** Out-degree per customer: how many distinct parts they bought. */
+  def customerDegree(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src_custkey"))
+      .agg(count(lit(1)).as("degree"), sum("n_purchases").as("n_purchases"))
+
+  /** Co-purchase pairs: parts appearing in the same order (the classic
+    * "bought together" edge set). Self-equi-join on the order key only —
+    * the pair blow-up is bounded by lines-per-order, not corpus size. */
+  def coPurchasePairs(lineitem: DataFrame, minCount: Long = 2): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minCount)
+  }
+
+  /** GraphX interop: the purchase graph as Graph[VD, ED] for iterative
+    * algorithms (connected components, PageRank). Part ids are offset into a
+    * disjoint vertex-id space. */
+  def toGraphX(edges: DataFrame, partIdOffset: Long = 1L << 40):
+      org.apache.spark.graphx.Graph[Null, Long] = {
+    val e = edges.select("src_custkey", "dst_partkey", "n_purchases")
+      .rdd.map(r => org.apache.spark.graphx.Edge(
+        r.getLong(0), r.getLong(1) + partIdOffset, r.getLong(2)))
+    org.apache.spark.graphx.Graph.fromEdges(e, null.asInstanceOf[Null])
+  }
+}

@@ -62,6 +62,42 @@ object Warehouse {
 
   /** Subtotal grid over (segment, status) via ROLLUP — the reporting-layer
     * shape the reference's empty NB 05 declared. */
+  /** Customer-lifetime-value profile (the reference's named downstream goal,
+    * NB 01 cell 14 "Customer Lifetime Value analysis"): revenue, order
+    * count/recency bounds, and average order value per customer. */
+  def customerLifetimeValue(fact: DataFrame): DataFrame =
+    fact.groupBy("c_custkey")
+      .agg(
+        countDistinct("o_orderkey").as("n_orders"),
+        r2(sum("revenue")).as("total_revenue"),
+        min(to_date(col("o_orderdate"))).as("first_order"),
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        // divide the cents-rounded total (bit-identical across engines), not
+        // the raw sum: raw-sum drift flips the rounding at half-cent points
+        r2(r2(sum("revenue")) / countDistinct("o_orderkey")).as("avg_order_value"))
+
+  /** Full subtotal lattice over (segment, status) via CUBE (SQL path for the
+    * same Spark 4.1.2 analyzer reason as [[revenueRollup]]). */
+  def revenueCube(fact: DataFrame): DataFrame = {
+    val view = "graft_fact_for_cube"
+    fact.select("c_mktsegment", "o_orderstatus", "revenue").createOrReplaceTempView(view)
+    fact.sparkSession.sql(
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  floor(sum(revenue) * 100.0 + 0.5) / 100.0 AS total_revenue,
+         |  count(*) AS n_rows
+         |FROM $view GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin)
+  }
+
+  /** Approximate sketches for 100 TB profiling (SURVEY A10): HLL++ distinct
+    * counts and approximate percentiles — fixed-size sketch state per
+    * partition, merged on the driver-free final agg. */
+  def orderSketches(orders: DataFrame): DataFrame =
+    orders.agg(
+      approx_count_distinct("o_custkey").as("approx_customers"),
+      approx_count_distinct("o_orderkey").as("approx_orders"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_price"),
+      percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"))
+
   def revenueRollup(fact: DataFrame): DataFrame = {
     // SQL GROUP BY ROLLUP rather than Dataset.rollup: in Spark 4.1.2 the
     // Dataset grouping-analytics path trips the ambiguous-self-join detector

@@ -85,6 +85,25 @@ class EventsSpec extends SparkSpec {
     stream.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
   }
 
+  test("streaming session windows close and match batch session starts") {
+    val q = Events.streamingSessionize(spark, "/root/testdata/sf0.001",
+        gap = "30 minutes", watermark = "1 minute").writeStream
+      .format("memory").queryName("ev_sessions_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    val streamed = spark.table("ev_sessions_test")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = Events.sessionize(
+        graft.tables.Tables.events(spark, "/root/testdata/sf0.001"), 30)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    // every watermark-closed streaming session must exist identically in batch
+    streamed.foreach(s => assert(batch.contains(s), s"session $s"))
+  }
+
   test("streaming dedup drops retransmitted events within the watermark") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-ev").toString
