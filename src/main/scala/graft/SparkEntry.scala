@@ -138,7 +138,14 @@ object SparkEntry {
     "q36_revenue_cube" -> ((s, d) => Warehouse.revenueCube(fact(s, d))),
     // --- approx sketches [ext] (rows-only: sketch algorithms differ across
     // engines by design; accuracy is spec-tested against exact counts) ---
-    "q37_order_sketches" -> ((s, d) => Warehouse.orderSketches(t(s, d, "orders"))))
+    "q37_order_sketches" -> ((s, d) => Warehouse.orderSketches(t(s, d, "orders"))),
+    // --- map-literal lookup predicate (SURVEY P5/F9) + set algebra (§2.7) ---
+    "q38_map_lookup_check" -> ((s, d) =>
+      Analytics.mapLookupMismatch(t(s, d, "part"), "p_type", "p_type",
+        Map("STANDARD" -> "STANDARD", "ECONOMY" -> "ECONOMY", "PROMO" -> "BUDGET"))
+        .select("p_partkey", "p_type", "expected_value")),
+    "q39_customer_set_algebra" -> ((s, d) =>
+      Analytics.customerSetAlgebra(t(s, d, "customer"), t(s, d, "orders"), "BUILDING")))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -226,6 +233,7 @@ object SparkEntry {
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
         "CAST(month(o_orderdate) AS INTEGER) AS o_month, " +
         "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER) AS days_before_2026, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_date, " +
         "o_orderstatus || '-' || o_orderpriority AS status_priority, " +
         "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_bucket, " +
         "round(abs(o_totalprice - 1000.0), 2) AS abs_diff_1000 FROM orders"),
@@ -329,5 +337,16 @@ object SparkEntry {
         "SELECT c_mktsegment, o_orderstatus, " +
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
-        ") GROUP BY CUBE (c_mktsegment, o_orderstatus)"))
+        ") GROUP BY CUBE (c_mktsegment, o_orderstatus)"),
+    "q38_map_lookup_check" ->
+      ("SELECT p_partkey, p_type, CASE p_type WHEN 'STANDARD' THEN 'STANDARD' " +
+        "WHEN 'ECONOMY' THEN 'ECONOMY' WHEN 'PROMO' THEN 'BUDGET' ELSE NULL END AS expected_value " +
+        "FROM part WHERE NOT (p_type IS NOT DISTINCT FROM " +
+        "CASE p_type WHEN 'STANDARD' THEN 'STANDARD' WHEN 'ECONOMY' THEN 'ECONOMY' " +
+        "WHEN 'PROMO' THEN 'BUDGET' ELSE NULL END)"),
+    "q39_customer_set_algebra" ->
+      ("SELECT DISTINCT c_custkey FROM (" +
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
+        "INTERSECT SELECT o_custkey AS c_custkey FROM orders " +
+        "UNION SELECT c_custkey FROM customer WHERE c_acctbal < 0)"))
 }

@@ -38,7 +38,31 @@ object Analytics {
       year(col("o_orderdate")).as("o_year"),
       month(col("o_orderdate")).as("o_month"),
       datediff(to_date(lit("2026-01-01")), to_date(col("o_orderdate"))).as("days_before_2026"),
+      date_add(to_date(col("o_orderdate")), 30).as("due_date"),
       concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_priority"),
       floor(col("o_totalprice") / 1000.0).cast("long").as("price_bucket"),
       round(abs(col("o_totalprice") - lit(1000.0)), 2).as("abs_diff_1000"))
+
+  /** Broadcast map-literal lookup + mismatch predicate — the engine form of
+    * the reference's dictionary-consistency check
+    * (`scripts/validate_dataset.py:147-151`, pandas rowwise `apply` there;
+    * a constant-folded `typedLit(Map)` lookup here). Rows whose looked-up
+    * value disagrees with `actualCol` are the violations. */
+  def mapLookupMismatch(df: DataFrame, keyCol: String, actualCol: String,
+                        mapping: Map[String, String]): DataFrame = {
+    val m = typedLit(mapping)
+    df.withColumn("expected_value", element_at(m, col(keyCol)))
+      .filter(!(col("expected_value") <=> col(actualCol)))
+  }
+
+  /** Set algebra over customer keys: (customers in `segment` with orders)
+    * plus customers with negative balance — INTERSECT then UNION, both
+    * distinct set semantics (SURVEY §2.7). */
+  def customerSetAlgebra(customer: DataFrame, orders: DataFrame,
+                         segment: String): DataFrame = {
+    val inSegment = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val withOrders = orders.select(col("o_custkey").as("c_custkey"))
+    val negative = customer.filter(col("c_acctbal") < 0).select("c_custkey")
+    inSegment.intersect(withOrders).union(negative).distinct()
+  }
 }

@@ -88,19 +88,38 @@ object Dedup {
       .distinct()
     val words = docs.select(col("doc_id"),
       array_distinct(TextStats.tokens(TextStats.normalize(col("text")))).as("w"))
-    pairs
+    val joined = pairs
       .join(words.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w", "wa"), "doc_a")
       .join(words.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w", "wb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("wa"), col("wb")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    scoreJaccardPairs(joined, col("wa"), col("wb"), threshold)
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  /** Exact Jaccard similarity of two (distinct-element) arrays.
+    *
+    * NOTE for hot paths: this Column references `array_intersect` twice
+    * (numerator and union), and Catalyst re-evaluates it per reference.
+    * Corpus-scale pair scoring should use the two-step projection in
+    * [[scoreJaccardPairs]] which computes the intersection once per pair. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0, lit(1.0)).otherwise(inter / union)
   }
+
+  /** Score candidate pairs with exact word-set Jaccard, materializing the
+    * intersection size once per pair before deriving the ratio (a second
+    * projection over cheap int columns — no expensive expression is
+    * duplicated or pushed into the filter). */
+  private def scoreJaccardPairs(pairs: DataFrame, a: Column, b: Column,
+                                threshold: Double): DataFrame =
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(a, b)).cast("double").as("i"),
+        (size(a) + size(b)).cast("double").as("ab"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("ab") - col("i") === 0, lit(1.0))
+          .otherwise(col("i") / (col("ab") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** Word-set Jaccard over blocked candidate pairs (equi-join on blocking
     * keys only — at scale the blocking key choice bounds the pair count). */
@@ -111,10 +130,10 @@ object Dedup {
         array_distinct(TextStats.tokens(TextStats.normalize(col("text")))).as("w"): _*)
     val joinCond = blockingKeys.map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
-    words.as("x").join(words.as("y"), joinCond)
+    val joined = words.as("x").join(words.as("y"), joinCond)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        jaccard(col("x.w"), col("y.w")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        col("x.w").as("wa"), col("y.w").as("wb"))
+    scoreJaccardPairs(joined, col("wa"), col("wb"), threshold)
   }
 
   /** 64-bit SimHash fingerprint per document: explode tokens once, then 64
