@@ -223,7 +223,9 @@ object SparkEntry {
     "q15_order_window_seq" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
         "CAST(row_number() OVER w AS INTEGER) AS rn, " +
+        "CAST(dense_rank() OVER w AS INTEGER) AS drank, " +
         "lag(o_totalprice) OVER w AS prev_total, " +
+        "lead(o_totalprice) OVER w AS next_total, " +
         s"${money.r2Sql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),

@@ -62,6 +62,22 @@ object Ingest {
       orders.join(customers.select("customer_id", "signup_date"), Seq("customer_id")),
       col("order_date") >= col("signup_date")))
 
+  /** Metadata manifest sidecar (the reference's `data/raw/metadata.json`,
+    * written by `src/generate_data.py:321-331`): row counts per table plus a
+    * provenance timestamp, written next to the lake and readable back with
+    * `spark.read.json`. */
+  def writeManifest(spark: SparkSession, path: String,
+                    counts: Map[String, Long], generatedAt: String): Unit = {
+    val json = counts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""n_$k": $v""" }
+      .mkString("{", ", ", s""", "generated_at": "$generatedAt"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes("UTF-8"))
+  }
+
+  def readManifest(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.json(path)
+
   /** End-to-end: read raw CSVs, run the gate, persist passing tables to the
     * lake (the reference's NB 01 flow). Returns violation counts. */
   def run(spark: SparkSession, rawDir: String, lake: LakeTable): Seq[(String, Long)] = {

@@ -21,7 +21,9 @@ object Analytics {
     orders.select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
       row_number().over(w).as("rn"),
+      dense_rank().over(w).as("drank"),
       lag("o_totalprice", 1).over(w).as("prev_total"),
+      lead("o_totalprice", 1).over(w).as("next_total"),
       r2(sum("o_totalprice").over(run)).as("running_total"))
   }
 
