@@ -16,6 +16,14 @@ import graft.functions.money.r2
   * same expressions, Catalyst plans the incremental version. Streaming specs
   * drive the file source with Trigger.AvailableNow.
   */
+/** One emitted session from the custom-state sessionizer. */
+final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                            n_events: Long, sum_value: Double)
+
+/** Accumulating per-user session state (top-level so the typed encoder can
+  * construct it in generated code). */
+final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
 object Events {
 
   /** Parse the JSON `props` column to map<string,string> (F10). */
@@ -97,6 +105,65 @@ object Events {
         (max(col("ts").cast("double")) - min(col("ts").cast("double"))).as("duration_sec"),
         r2(sum("value")).as("sum_value"))
       .drop("session_seq")
+  }
+
+  /** Custom-state streaming sessionization with
+    * `flatMapGroupsWithState` (event-time timeout): emits a session when the
+    * inactivity gap elapses — the bespoke-state escape hatch for session
+    * semantics `session_window` can't express (e.g. value-dependent gaps).
+    * State per key is O(1); timeouts are watermark-driven. */
+  def streamingSessionizeCustom(spark: SparkSession, dir: String,
+                                gapMinutes: Int = 30,
+                                watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val src = readEventStream(spark, dir).withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    // keep MICROsecond precision end to end: Timestamp.getTime is ms-only,
+    // which would shift session_start off the batch twin's values
+    def tsMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def microsTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    def flush(uid: Long, st: SessionState): SessionOut =
+      SessionOut(uid, microsTs(st.start), st.n,
+        math.floor(st.total * 100.0 + 0.5) / 100.0)
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (tsMicros(r._2), r._3))
+            var st = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { case (_, ts, v) =>
+              val t = tsMicros(ts)
+              st match {
+                case Some(s) if t - s.lastTs <= gapUs =>
+                  st = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  closed += flush(uid, s)
+                  st = Some(SessionState(t, t, 1, v))
+                case None =>
+                  st = Some(SessionState(t, t, 1, v))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.floorDiv(s.lastTs + gapUs, 1000L))
+            }
+            closed.result().iterator
+          }
+      }.toDF()
   }
 
   /** Streaming sessionization via the built-in session window (event-time,

@@ -12,6 +12,16 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
 
 class EventsSpec extends SparkSpec {
 
+  /** Streaming file sources glob whole DIRECTORIES; stage the events table
+    * alone so the other testdata tables don't pollute the stream. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
   private def t(min: Int, sec: Int = 0) =
     Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
 
@@ -54,7 +64,7 @@ class EventsSpec extends SparkSpec {
   }
 
   test("streaming tumbling counts (AvailableNow) match the batch twin") {
-    val streamed = Events.streamingTumblingCounts(spark, "/root/testdata/sf0.001",
+    val streamed = Events.streamingTumblingCounts(spark, eventsDir,
       watermark = "10 years") // keep every window in complete-ish mode
     val qname = "ev_windows_test"
     val q = streamed.writeStream
@@ -69,7 +79,7 @@ class EventsSpec extends SparkSpec {
     // watermark nothing closes, so validate against processed state instead
     // via update-mode re-run below. Here just assert the stream ran clean.
     assert(q.exception.isEmpty)
-    val q2 = Events.streamingTumblingCounts(spark, "/root/testdata/sf0.001",
+    val q2 = Events.streamingTumblingCounts(spark, eventsDir,
         watermark = "1 minute").writeStream
       .format("memory").queryName(qname + "2")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -86,7 +96,7 @@ class EventsSpec extends SparkSpec {
   }
 
   test("streaming session windows close and match batch session starts") {
-    val q = Events.streamingSessionize(spark, "/root/testdata/sf0.001",
+    val q = Events.streamingSessionize(spark, eventsDir,
         gap = "30 minutes", watermark = "1 minute").writeStream
       .format("memory").queryName("ev_sessions_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -101,6 +111,24 @@ class EventsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty)
     // every watermark-closed streaming session must exist identically in batch
+    streamed.foreach(s => assert(batch.contains(s), s"session $s"))
+  }
+
+  test("custom-state sessionizer (flatMapGroupsWithState) matches batch sessions") {
+    val q = Events.streamingSessionizeCustom(spark, eventsDir,
+        gapMinutes = 30, watermark = "1 minute").writeStream
+      .format("memory").queryName("ev_custom_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, q.exception.toString)
+    val streamed = spark.table("ev_custom_sessions")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = Events.sessionize(
+        graft.tables.Tables.events(spark, "/root/testdata/sf0.001"), 30)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
     streamed.foreach(s => assert(batch.contains(s), s"session $s"))
   }
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Documents
+import graft.quality.Quality
+import graft.text.Dedup
+import org.apache.spark.sql.functions._
+
+/** Property tests (SURVEY §5.2) — scalacheck generators sampled
+  * deterministically, properties asserted on one batched DataFrame per case
+  * so each property is a handful of Spark jobs, not one per sample. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val keyListGen = Gen.listOfN(30, Gen.chooseNum(1L, 12L))
+
+  test("property: checkForeignKey count == multiset count of dangling child keys") {
+    samples(Gen.zip(keyListGen, keyListGen), 8).foreach { case (childKeys, parentKeys) =>
+      val child = df(childKeys.map(k => Ord(scala.util.Random.nextLong().abs, k)))
+      val parent = df(parentKeys.distinct.map(k => Cust(k, s"u$k@x.se", 30)))
+      val expected = childKeys.count(k => !parentKeys.contains(k))
+      val got = Quality.checkForeignKey(child, parent, "customer_id", "customer_id").count()
+      assert(got === expected, s"child=$childKeys parent=${parentKeys.distinct}")
+    }
+  }
+
+  test("property: checkUnique flags exactly keys with multiplicity > 1") {
+    samples(keyListGen, 8).foreach { keys =>
+      val t = df(keys.zipWithIndex.map { case (k, i) => Ord(i.toLong, k) })
+      val expected = keys.groupBy(identity).count(_._2.size > 1)
+      assert(Quality.checkUnique(t, "customer_id").count() === expected)
+    }
+  }
+
+  test("property: nest then unnest preserves the line-item multiset") {
+    val itemsGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1, 5), Gen.chooseNum(1L, 99L)))
+    samples(itemsGen, 5).foreach { raw =>
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val orderKeys = raw.map(_._1).distinct
+      val orders = df(orderKeys.map(k => OrdRow(k, 100 + k, "O", 1.0, ts, "1-URGENT")))
+      val lines = df(raw.zipWithIndex.map { case ((ok, ln, pk), i) =>
+        LineRow(ok, ln, pk, 1.0 + i, 10.0 * i, 0.0)
+      })
+      val back = Documents.unnest(Documents.nest(orders, lines))
+        .select("o_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+      val want = raw.zipWithIndex
+        .map { case ((ok, ln, pk), i) => (ok, ln, pk, 1.0 + i) }.sorted
+      assert(back === want)
+    }
+  }
+
+  test("property: jaccard is symmetric, bounded, and 1 on self") {
+    val wordsGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    val pairs = samples(Gen.zip(wordsGen, wordsGen), 20)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, a.distinct.toArray, b.distinct.toArray)
+    }
+    import spark.implicits._
+    val t = rows.toDF("id", "a", "b")
+    val bad = t.select(
+        Dedup.jaccard(col("a"), col("b")).as("ab"),
+        Dedup.jaccard(col("b"), col("a")).as("ba"),
+        Dedup.jaccard(col("a"), col("a")).as("aa"))
+      .filter(col("ab") =!= col("ba") || col("aa") =!= 1.0 ||
+        col("ab") < 0.0 || col("ab") > 1.0)
+    assert(bad.count() === 0)
+  }
+
+  test("property: exact-dedup keeps exactly one doc per normalized text") {
+    val textGen = Gen.listOfN(25, Gen.oneOf(
+      "the cat", "The  Cat", "a dog", "a  DOG", "fish", "bird song"))
+    samples(textGen, 5).foreach { texts =>
+      val docs = df(texts.zipWithIndex.map { case (t, i) =>
+        Doc(i.toLong, t, "en", "s", t.length.toLong)
+      })
+      val kept = Dedup.dropExactDups(docs).count()
+      val expected = texts.map(_.toLowerCase.trim.replaceAll("\\s+", " ")).distinct.size
+      assert(kept === expected)
+    }
+  }
+}
