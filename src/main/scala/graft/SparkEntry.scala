@@ -227,7 +227,10 @@ object SparkEntry {
         "lag(o_totalprice) OVER w AS prev_total, " +
         "lead(o_totalprice) OVER w AS next_total, " +
         s"${money.r2Sql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total, " +
+        s"${money.r2Sql("sum(o_totalprice) OVER (PARTITION BY o_custkey " +
+          "ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) " +
+          "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)")} AS trailing_30d_total " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
     "q16_customers_without_orders" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders",

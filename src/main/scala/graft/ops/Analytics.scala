@@ -18,13 +18,18 @@ object Analytics {
   def customerOrderSequence(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // RANGE frame needs a numeric ordering key: days since epoch
+    val day = datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+    val trailing30 = Window.partitionBy("o_custkey").orderBy(day)
+      .rangeBetween(-30, Window.currentRow)
     orders.select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
       row_number().over(w).as("rn"),
       dense_rank().over(w).as("drank"),
       lag("o_totalprice", 1).over(w).as("prev_total"),
       lead("o_totalprice", 1).over(w).as("next_total"),
-      r2(sum("o_totalprice").over(run)).as("running_total"))
+      r2(sum("o_totalprice").over(run)).as("running_total"),
+      r2(sum("o_totalprice").over(trailing30)).as("trailing_30d_total"))
   }
 
   /** Customers with no orders — EXCEPT (distinct set semantics), the engine
