@@ -145,7 +145,15 @@ object SparkEntry {
         Map("STANDARD" -> "STANDARD", "ECONOMY" -> "ECONOMY", "PROMO" -> "BUDGET"))
         .select("p_partkey", "p_type", "expected_value")),
     "q39_customer_set_algebra" -> ((s, d) =>
-      Analytics.customerSetAlgebra(t(s, d, "customer"), t(s, d, "orders"), "BUILDING")))
+      Analytics.customerSetAlgebra(t(s, d, "customer"), t(s, d, "orders"), "BUILDING")),
+    // --- IVF ANN + embedding near-dup [ext] (rows-only: k-means/LSH cell
+    // assignment is not SQL-expressible; recall is spec-asserted) ---
+    "q40_ivf_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(Similarity.ivfBuild(emb), emb.filter(col("vec_id") < 20), 3)
+    },
+    "q41_embedding_neardups" -> ((s, d) =>
+      Similarity.cosineNearDups(t(s, d, "embeddings"), threshold = 0.9)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).

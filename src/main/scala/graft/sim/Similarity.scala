@@ -107,6 +107,52 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos_sim", "rn")
   }
 
+  /** IVF (inverted-file) index: a k-means coarse quantizer partitions the
+    * corpus into `nLists` cells; queries probe only the `nProbe` nearest
+    * cells. The classic ANN scale path: the corpus is clustered ONCE (sampled
+    * k-means fit), stored partitioned by cell id, and each query touches
+    * corpus*nProbe/nLists vectors. */
+  final case class IVFIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  /** Fit the coarse quantizer and assign every corpus vector to its cell.
+    * Deterministic under `seed`. */
+  def ivfBuild(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L): IVFIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col("vec_id"),
+      asDouble(col("embedding")).as("vec"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
+    IVFIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Probe the `nProbe` nearest cells per query, exact-cosine rerank within
+    * them. The candidate join is an equi-join on the cell id. */
+  def ivfTopK(index: IVFIndex, probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = index.centroids.zipWithIndex
+    // squared L2 distance probe -> each centroid, as plan literals
+    val cellRank = array(cents.map { case (c, i) =>
+      val d = aggregate(zip_with(col("pvec"), lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d.as("dist"), lit(i).as("cell"))
+    }: _*)
+    val p = probes.select(col("vec_id").as("probe_id"),
+        asDouble(col("embedding")).as("pvec"))
+      .withColumn("cellr", array_sort(cellRank))
+      .withColumn("cell", explode(slice(col("cellr"), 1, nProbe)("cell")))
+      .select("probe_id", "pvec", "cell")
+    val scored = index.assigned.join(broadcast(p), Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pvec"), col("vec")).as("cos_sim"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("probe_id", "neighbor_id", "cos_sim", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding-space analogue of MinHash near-dup): equi-join on bucket,
     * exact cosine verify at `threshold`. */

@@ -56,6 +56,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF index recovers planted clusters with high recall") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val bases = (0 until 4).map(a => unit(dim, a))
+    val vecs = (0 until 80).map(i => Vec(i.toLong, jitter(bases(i % 4)), i % 4))
+    val d = df(vecs)
+    val probes = d.filter(col("vec_id") < 4)
+    val index = Similarity.ivfBuild(d, nLists = 8, seed = 7)
+    val exact = Similarity.bruteForceTopK(d, probes, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfTopK(index, probes, 5, nProbe = 2).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("cosineNearDups flags only genuinely close pairs") {
     val vecs = Seq(
       Vec(0, Array(1f, 0f, 0f, 0f), 0),
