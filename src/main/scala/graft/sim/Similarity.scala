@@ -122,7 +122,9 @@ object Similarity {
     val feat = corpus.select(col("vec_id"),
       asDouble(col("embedding")).as("vec"),
       array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+    // few iterations suffice for a coarse quantizer: cells only bound the
+    // candidate sets, they don't need converged centroids
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
