@@ -153,7 +153,9 @@ object SparkEntry {
       Similarity.ivfTopK(Similarity.ivfBuild(emb), emb.filter(col("vec_id") < 20), 3)
     },
     "q41_embedding_neardups" -> ((s, d) =>
-      Similarity.cosineNearDups(t(s, d, "embeddings"), threshold = 0.9)))
+      Similarity.cosineNearDups(t(s, d, "embeddings"), threshold = 0.9)),
+    "q42_event_sliding_windows" -> ((s, d) =>
+      Events.slidingCounts(Tables.events(s, d))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -322,6 +324,13 @@ object SparkEntry {
         "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, " +
         "max(sec) - min(sec) AS duration_sec, " +
         s"${money.r2Sql("sum(value)")} AS sum_value FROM i GROUP BY user_id, session_seq"),
+    "q42_event_sliding_windows" ->
+      ("WITH w AS (SELECT to_timestamp(CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - off) / 600) * 600 + off AS BIGINT)) AS ws, value " +
+        "FROM events CROSS JOIN (VALUES (0), (300)) AS o(off)) " +
+        "SELECT CAST(ws AS TIMESTAMP) AS window_start, " +
+        "CAST(ws AS TIMESTAMP) + INTERVAL 10 MINUTE AS window_end, " +
+        s"count(*) AS n_events, ${money.r2Sql("sum(value)")} AS sum_value " +
+        "FROM w GROUP BY ws"),
     "q32_media_stats" ->
       ("SELECT doc_id, CAST(16 + (n_chars % 64) * 4 AS INTEGER) AS width, " +
         "CAST(16 + ((n_chars * 7) % 48) * 4 AS INTEGER) AS height, " +

@@ -51,6 +51,16 @@ object Events {
         col("window.end").as("window_end"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding event-time windows (width/slide), batch form: each event lands
+    * in width/slide overlapping windows. */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming file source over events parquet. The files carry nanosecond
     * timestamps Spark can't scan natively — read ns as long and truncate to
     * a microsecond timestamp (see [[graft.tables.Tables.events]]). */
