@@ -155,7 +155,14 @@ object SparkEntry {
     "q41_embedding_neardups" -> ((s, d) =>
       Similarity.cosineNearDups(t(s, d, "embeddings"), threshold = 0.9)),
     "q42_event_sliding_windows" -> ((s, d) =>
-      Events.slidingCounts(Tables.events(s, d))))
+      Events.slidingCounts(Tables.events(s, d))),
+    // --- end-to-end corpus dedup [ext] (rows-only: LSH-dependent) ---
+    "q43_dedup_corpus" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val kept = Dedup.dedupCorpus(docs, threshold = 0.8)
+      docs.agg(count(lit(1)).as("n_input")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept")))
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).

@@ -136,6 +136,33 @@ object Dedup {
     scoreJaccardPairs(joined, col("wa"), col("wb"), threshold)
   }
 
+  /** Collapse near-dup PAIRS into clusters via connected components (GraphX;
+    * pairs are typically sparse so the iteration converges fast). Returns
+    * (doc_id, cluster_id) for every doc that appears in some pair, with
+    * cluster_id = the smallest doc_id in the component (the canonical doc). */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1))
+    val g = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+    g.connectedComponents().vertices
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** End-to-end corpus dedup: exact dedup, MinHash near-dup candidate pairs,
+    * connected-component clustering, keep ONE canonical doc (min doc_id) per
+    * cluster. The standard pre-training dedup pipeline, all distributed. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
+                  numPerms: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+    val exact = dropExactDups(docs)
+    val pairs = minhashNearDups(exact, numPerms, bands, shingleSize, threshold)
+    val clusters = clusterPairs(pairs)
+    exact.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
   /** 64-bit SimHash fingerprint per document: explode tokens once, then 64
     * conditional sums (+1/-1 per bit) in ONE hash aggregate, reassembled into
     * a long. Scales as a single shuffle on doc_id with map-side combine. */

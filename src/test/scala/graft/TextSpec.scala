@@ -66,6 +66,21 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupCorpus collapses exact and near-dup clusters to one canonical doc") {
+    val base = "spark is a unified analytics engine for large scale data processing " +
+      "with high level apis in scala java python and r plus an optimized engine"
+    val corpus = Seq(
+      doc(1, base),
+      doc(2, base),                                  // exact dup of 1
+      doc(3, base + " extra"),                       // near-dup of 1
+      doc(4, base.replace("python", "sql")),         // near-dup of 1 (chains with 3)
+      doc(5, "totally unrelated text about cooking recipes and kitchen equipment"),
+      doc(6, "another disjoint document mentioning gardening and tomato greenhouses"))
+    val kept = Dedup.dedupCorpus(df(corpus), threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 5L, 6L))
+  }
+
   test("jaccard: exact word-set similarity") {
     val j = df(Seq(doc(1, "x")))
       .select(Dedup.jaccard(lit(Array("a", "b", "c")), lit(Array("b", "c", "d"))).as("j"))
