@@ -162,6 +162,11 @@ object SparkEntry {
       val kept = Dedup.dedupCorpus(docs, threshold = 0.8)
       docs.agg(count(lit(1)).as("n_input")).crossJoin(
         kept.agg(count(lit(1)).as("n_kept")))
+    },
+    // --- tf-idf doc similarity [ext] (rows-only: hashing-trick specific) ---
+    "q44_tfidf_doc_similarity" -> { (s, d) =>
+      val emb = graft.text.TextFeatures.tfidfEmbeddings(t(s, d, "documents"))
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3)
     })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
