@@ -165,7 +165,10 @@ object SparkEntry {
     },
     // --- tf-idf doc similarity [ext] (rows-only: hashing-trick specific) ---
     "q44_tfidf_doc_similarity" -> { (s, d) =>
-      val emb = graft.text.TextFeatures.tfidfEmbeddings(t(s, d, "documents"))
+      // narrow hash space: dense brute-force cosine over wide sparse vectors
+      // is the wrong plan, and this corpus' vocabulary is tiny
+      val emb = graft.text.TextFeatures.tfidfEmbeddings(t(s, d, "documents"),
+        numFeatures = 256)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3)
     })
 
