@@ -123,6 +123,66 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
   def history(name: String): Seq[Commit] =
     committedVersions(name).map(readCommit(name, _))
 
+  /** Small-file compaction: rewrite the current table contents into
+    * `targetFiles` parquet files as a new overwrite commit. At cluster scale
+    * the small-files problem (one file per task per append) dominates scan
+    * setup cost; compaction is the standard maintenance op. Data is
+    * unchanged — only layout. */
+  def compact(name: String, targetFiles: Int = 1): Commit = {
+    val current = read(name)
+    val prev = readCommit(name, latestVersion(name).get)
+    val v = prev.version + 1
+    val dest = dataDir(name, v)
+    val writer = current.coalesce(targetFiles).write.mode("overwrite")
+    (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer)
+      .parquet(dest.toString)
+    val commit = Commit(v, "compact", Seq(dest.toString), prev.schemaJson,
+      prev.partitionBy, prev.rowCount)
+    writeCommit(name, commit)
+    commit
+  }
+
+  /** Delete data directories no committed version <= the latest references
+    * anymore beyond the newest `keepVersions` commits, and drop the pruned
+    * log entries. Time travel further back stops working — the documented
+    * trade, same as Delta VACUUM. */
+  def vacuum(name: String, keepVersions: Int = 1): Unit = {
+    val versions = committedVersions(name)
+    val keep = versions.takeRight(keepVersions)
+    val live = keep.flatMap(v => readCommit(name, v).dirs).toSet
+    val dataRoot = tableDir(name).resolve("data")
+    if (Files.isDirectory(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq
+        .filterNot(d => live.contains(d.toString))
+        .foreach(deleteRecursively)
+    }
+    versions.dropRight(keepVersions).foreach { v =>
+      Files.deleteIfExists(logDir(name).resolve(f"v$v%08d.json"))
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  /** Incremental read (change feed for append-only tables): rows added by
+    * commits AFTER `sinceVersion`. An overwrite/compact in the range makes
+    * "new rows" ill-defined — the caller gets an error, as with Delta CDF
+    * without delete tracking. */
+  def readChanges(name: String, sinceVersion: Long): DataFrame = {
+    val versions = committedVersions(name).filter(_ > sinceVersion)
+    require(versions.nonEmpty, s"no commits after v$sinceVersion")
+    val commits = versions.map(readCommit(name, _))
+    require(commits.forall(_.mode == "append"),
+      s"non-append commit in range (${commits.map(_.mode).mkString(",")}): " +
+        "incremental semantics undefined")
+    val baseline = readCommit(name, sinceVersion).dirs.toSet
+    val newDirs = commits.last.dirs.filterNot(baseline)
+    newDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
   /** The reference's persistence round-trip validation (NB 01 cell 22):
     * table dir present, log present, readback count matches the committed
     * count. Returns (ok, detail). */

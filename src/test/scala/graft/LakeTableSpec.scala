@@ -61,6 +61,54 @@ class LakeTableSpec extends SparkSpec {
     assert(ok, detail)
   }
 
+  test("compact collapses files without changing data") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    lake.write(df(Seq(Sale(4, "west", 40.0))), "sales", mode = "append")
+    lake.write(df(Seq(Sale(5, "east", 50.0))), "sales", mode = "append")
+    val before = lake.read("sales")
+    val filesBefore = before.inputFiles.length
+    val sumBefore = before.agg(org.apache.spark.sql.functions.sum("amount"))
+      .collect()(0).getDouble(0)
+    lake.compact("sales", targetFiles = 1)
+    val after = lake.read("sales")
+    assert(after.inputFiles.length === 1)
+    assert(after.inputFiles.length < filesBefore)
+    assert(after.count() === 5)
+    assert(after.agg(org.apache.spark.sql.functions.sum("amount"))
+      .collect()(0).getDouble(0) === sumBefore)
+  }
+
+  test("vacuum removes unreferenced versions but keeps the live table") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    lake.write(df(Seq(Sale(9, "west", 1.0))), "sales") // overwrite -> v0 dead
+    lake.vacuum("sales", keepVersions = 1)
+    assert(lake.read("sales").count() === 1)
+    assert(lake.history("sales").map(_.version) === Seq(1L))
+    // v0's data dir is gone
+    val dataRoot = java.nio.file.Paths.get(
+      lake.read("sales").inputFiles.head.stripPrefix("file:")).getParent.getParent
+    val dirs = java.nio.file.Files.list(dataRoot).iterator()
+    var n = 0
+    while (dirs.hasNext) { dirs.next(); n += 1 }
+    assert(n === 1)
+  }
+
+  test("readChanges returns only rows appended after a version") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    lake.write(df(Seq(Sale(4, "west", 40.0))), "sales", mode = "append")
+    lake.write(df(Seq(Sale(5, "east", 50.0))), "sales", mode = "append")
+    val delta = lake.readChanges("sales", sinceVersion = 0L)
+    assert(delta.select("id").collect().map(_.getLong(0)).sorted === Array(4L, 5L))
+    // overwrite breaks incremental semantics -> error
+    lake.write(df(rows), "sales")
+    intercept[IllegalArgumentException] {
+      lake.readChanges("sales", sinceVersion = 0L)
+    }
+  }
+
   test("reader ignores uncommitted (crashed) writes") {
     val lake = freshLake()
     lake.write(df(rows), "sales")
