@@ -69,4 +69,24 @@ class ScaleSpec extends SparkSpec {
     // parent side scans only its key column
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"), plan.take(1200))
   }
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    import graft.ops.Skew
+    // 90% of lineitem rows share one hot order key
+    val li = Tables.lineitem(spark, d)
+    val hot = li.limit(1).select("l_orderkey").collect()(0).getLong(0)
+    val skewed = li.withColumn("l_orderkey",
+      when(rand(7) < 0.9, lit(hot)).otherwise(col("l_orderkey")))
+    val o = Tables.orders(spark, d)
+    val plain = skewed.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    val salted = Skew.saltedJoin(
+        skewed, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey",
+        saltFactor = 8, hotKeys = Seq(hot))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    val a = plain.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = salted.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-6, k) }
+  }
 }
