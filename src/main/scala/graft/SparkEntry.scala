@@ -163,6 +163,8 @@ object SparkEntry {
       docs.agg(count(lit(1)).as("n_input")).crossJoin(
         kept.agg(count(lit(1)).as("n_kept")))
     },
+    "q45_simhash_neardups" -> ((s, d) =>
+      Dedup.simhashNearDups(t(s, d, "documents"), maxHamming = 10, bands = 16)),
     // --- tf-idf doc similarity [ext] (rows-only: hashing-trick specific) ---
     "q44_tfidf_doc_similarity" -> { (s, d) =>
       // narrow hash space: dense brute-force cosine over wide sparse vectors

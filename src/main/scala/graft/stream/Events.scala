@@ -95,6 +95,23 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  /** Stream events into a [[graft.tables.LakeTable]] via foreachBatch —
+    * the streaming ingestion path of the lakehouse: each micro-batch lands
+    * as an append commit, so downstream readers see committed versions only
+    * and `readChanges` gives the change feed. Returns the started query. */
+  def streamToLake(spark: SparkSession, dir: String,
+                   lake: graft.tables.LakeTable, table: String,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readEventStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val mode = if (lake.exists(table)) "append" else "overwrite"
+        lake.write(batch.toDF(), table, mode): Unit
+      }
+      .trigger(trigger)
+      .start()
+
   /** Batch sessionization (gap-based): a session breaks after `gapMinutes`
     * of inactivity. One shuffle on user_id; the running session-id is the
     * classic gaps-and-islands prefix sum, all window functions. */

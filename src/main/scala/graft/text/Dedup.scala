@@ -182,4 +182,30 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips, found by
+    * bit-band blocking: split the 64-bit fingerprint into `bands` chunks —
+    * two fingerprints within maxHamming < bands bits MUST agree on at least
+    * one full band (pigeonhole), so candidates come from an equi-join on
+    * (band, chunk), never a corpus self-join. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val bits = 64 / bands
+    val fp = simhash(docs)
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bits)
+            .bitwiseAND((1L << bits) - 1L).as("chunk"))
+      }: _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band"), col("bc.chunk"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -132,6 +132,19 @@ class EventsSpec extends SparkSpec {
     streamed.foreach(s => assert(batch.contains(s), s"session $s"))
   }
 
+  test("streamToLake lands micro-batches as lake commits with a change feed") {
+    val lake = new graft.tables.LakeTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-lake").toString)
+    val q = Events.streamToLake(spark, eventsDir, lake, "events_bronze")
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    assert(lake.exists("events_bronze"))
+    assert(lake.read("events_bronze").count() ===
+      graft.tables.Tables.events(spark, "/root/testdata/sf0.001").count())
+    val (ok, detail) = lake.validate("events_bronze")
+    assert(ok, detail)
+  }
+
   test("streaming dedup drops retransmitted events within the watermark") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-ev").toString

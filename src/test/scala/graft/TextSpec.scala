@@ -101,6 +101,19 @@ class TextSpec extends SparkSpec {
     assert(ham(fp(1), fp(2)) < ham(fp(1), fp(3)))
   }
 
+  test("simhashNearDups finds close fingerprints via bit-band blocking") {
+    val base = "spark is a unified analytics engine for large scale data processing " +
+      "with high level apis in scala java python and r plus an optimized engine core"
+    val corpus = Seq(
+      doc(1, base),
+      doc(2, base + " addendum"),                    // 1-2 token delta -> close fp
+      doc(3, "entirely different prose about baking sourdough bread at home daily"))
+    val pairs = Dedup.simhashNearDups(df(corpus), maxHamming = 12, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("language id picks the profile with most function-word overlap") {
     val corpus = Seq(
       doc(1, "the cat and the dog sat of it", "en"),
