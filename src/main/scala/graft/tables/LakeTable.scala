@@ -103,7 +103,12 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
       .parquet(dest.toString)
     val dirs = (if (mode == "append") prev.map(_.dirs).getOrElse(Seq.empty)
                 else Seq.empty) :+ dest.toString
-    val commit = Commit(v, mode, dirs, df.schema.json, parts, df.count())
+    // count the WRITTEN files (parquet footer metadata, no data scan) rather
+    // than df.count(), which would recompute the input plan a second time
+    val written = spark.read.parquet(dest.toString).count()
+    val total = written +
+      (if (mode == "append") prev.map(_.rowCount).getOrElse(0L) else 0L)
+    val commit = Commit(v, mode, dirs, df.schema.json, parts, total)
     writeCommit(name, commit)
     commit
   }
