@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 64-bit exact-dup key over the normalized text. */
-  def exactKey(text: Column): Column = xxhash64(TextStats.normalize(text))
+  /** Exact-dup key over the normalized text: two independently-seeded 64-bit
+    * hashes (~128-bit effective). A single 64-bit key has ~50% birthday
+    * collision odds around 5e9 documents — a silent false-dedup at corpus
+    * scale; two keys push that past any realistic corpus. */
+  def exactKey(text: Column): Column = {
+    val n = TextStats.normalize(text)
+    struct(xxhash64(n).as("k1"), xxhash64(lit(1), n).as("k2"))
+  }
 
   /** Exact duplicate groups: key, keeper (min doc_id), group size. */
   def exactDupGroups(docs: DataFrame): DataFrame =
