@@ -20,15 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential dot product of two double arrays (higher-order spelling). */
+  /** Sequential dot product — native codegen'd expression
+    * ([[graft.functions.DotProduct]]); bit-equal to the higher-order
+    * spelling (same left-to-right accumulation). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotProduct(a, b)
+
+  /** Higher-order dot product, kept as the reference spelling. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Higher-order-function cosine: dot/(|a|*|b|) built from zip_with +
     * aggregate. Kept as the dependency-free reference spelling. */
-  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Cosine similarity — the native codegen'd Catalyst expression
     * ([[graft.functions.CosineSimilarity]]): one fused loop per row, no
