@@ -163,8 +163,10 @@ object SparkEntry {
       docs.agg(count(lit(1)).as("n_input")).crossJoin(
         kept.agg(count(lit(1)).as("n_kept")))
     },
+    // 16-bit chunks (bands=4): narrow chunks stop blocking on a
+    // shared-vocabulary corpus where fingerprint bits correlate
     "q45_simhash_neardups" -> ((s, d) =>
-      Dedup.simhashNearDups(t(s, d, "documents"), maxHamming = 10, bands = 16)),
+      Dedup.simhashNearDups(t(s, d, "documents"), maxHamming = 3, bands = 4)),
     // --- tf-idf doc similarity [ext] (rows-only: hashing-trick specific) ---
     "q44_tfidf_doc_similarity" -> { (s, d) =>
       // narrow hash space: dense brute-force cosine over wide sparse vectors

@@ -210,8 +210,9 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming(col("x.simhash"), col("y.simhash")).as("hamming"))
-      .distinct()
+        col("x.simhash").as("fa"), col("y.simhash").as("fb"))
+      .distinct() // a pair can collide in several bands; dedupe BEFORE scoring
+      .select(col("doc_a"), col("doc_b"), hamming(col("fa"), col("fb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
