@@ -174,7 +174,14 @@ object SparkEntry {
       val emb = graft.text.TextFeatures.tfidfEmbeddings(t(s, d, "documents"),
         numFeatures = 256)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3)
-    })
+    },
+    // --- typed Aggregator top-k (SURVEY §2.9 tier 2) ---
+    "q46_topk_orders_per_status" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(graft.functions.TopKAgg.topK(5)(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderstatus"), explode(col("top")).as("t"))
+        .select(col("o_orderstatus"), col("t._1").as("o_totalprice"),
+          col("t._2").as("o_orderkey"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -389,5 +396,10 @@ object SparkEntry {
       ("SELECT DISTINCT c_custkey FROM (" +
         "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' " +
         "INTERSECT SELECT o_custkey AS c_custkey FROM orders " +
-        "UNION SELECT c_custkey FROM customer WHERE c_acctbal < 0)"))
+        "UNION SELECT c_custkey FROM customer WHERE c_acctbal < 0)"),
+    "q46_topk_orders_per_status" ->
+      ("SELECT o_orderstatus, o_totalprice, o_orderkey FROM (" +
+        "SELECT o_orderstatus, o_totalprice, o_orderkey, " +
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 5"))
 }

@@ -84,9 +84,13 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
   }
 
   /** Persist `df` as table `name`. Append mode enforces schema compatibility
-    * (same column names and types, any order) against the live table. */
+    * (same column names and types, any order) against the live table unless
+    * `allowEvolution` — then NEW columns are admitted (existing columns must
+    * keep their types) and the committed schema widens; readers see nulls
+    * for the new columns on old files. */
   def write(df: DataFrame, name: String, mode: String = "overwrite",
-            partitionBy: Seq[String] = Seq.empty): Commit = {
+            partitionBy: Seq[String] = Seq.empty,
+            allowEvolution: Boolean = false): Commit = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode $mode")
     val prev = latestVersion(name).map(readCommit(name, _))
     val v = prev.map(_.version + 1).getOrElse(0L)
@@ -94,8 +98,14 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     prev.filter(_ => mode == "append").foreach { p =>
       val expected = p.schema.map(f => f.name -> f.dataType).toMap
       val actual = df.schema.map(f => f.name -> f.dataType).toMap
-      require(expected == actual,
-        s"append schema mismatch for $name: table=$expected incoming=$actual")
+      if (allowEvolution) {
+        val changed = expected.keySet.intersect(actual.keySet)
+          .filter(c => expected(c) != actual(c))
+        require(changed.isEmpty, s"append type change for $name on: $changed")
+      } else {
+        require(expected == actual,
+          s"append schema mismatch for $name: table=$expected incoming=$actual")
+      }
     }
     val dest = dataDir(name, v)
     val writer = df.write.mode("overwrite")
@@ -108,7 +118,14 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     val written = spark.read.parquet(dest.toString).count()
     val total = written +
       (if (mode == "append") prev.map(_.rowCount).getOrElse(0L) else 0L)
-    val commit = Commit(v, mode, dirs, df.schema.json, parts, total)
+    // evolved append: commit the WIDENED schema (old columns + new ones)
+    val schemaJson =
+      if (mode == "append" && prev.nonEmpty) {
+        val known = prev.get.schema.fieldNames.toSet
+        StructType(prev.get.schema.fields ++
+          df.schema.fields.filterNot(f => known.contains(f.name))).json
+      } else df.schema.json
+    val commit = Commit(v, mode, dirs, schemaJson, parts, total)
     writeCommit(name, commit)
     commit
   }
@@ -120,8 +137,11 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     val c = readCommit(name, v)
     // one read per committed dir, unioned by name: the version dirs are not
     // partition directories, so a single multi-path read would trip Spark's
-    // partition-structure inference when partitionBy is in play
-    c.dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // partition-structure inference when partitionBy is in play.
+    // allowMissingColumns: evolved appends widen the schema — old dirs fill
+    // the new columns with null.
+    c.dirs.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Commit history, oldest first. */

@@ -44,6 +44,26 @@ class LakeTableSpec extends SparkSpec {
     assert(back.filter(back("region") === "south").count() === 2)
   }
 
+  test("schema evolution: append with a new column widens the table") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    val withChannel = df(Seq(Sale(4, "west", 40.0)))
+      .withColumn("channel", org.apache.spark.sql.functions.lit("web"))
+    // rejected without opt-in
+    intercept[IllegalArgumentException] {
+      lake.write(withChannel, "sales", mode = "append")
+    }
+    lake.write(withChannel, "sales", mode = "append", allowEvolution = true)
+    val back = lake.read("sales")
+    assert(back.count() === 4)
+    assert(back.columns.contains("channel"))
+    // old rows read null for the evolved column
+    assert(back.filter(back("channel").isNull).count() === 3)
+    // committed schema records the widened shape
+    val latest = lake.history("sales").last
+    assert(latest.schema.fieldNames.contains("channel"))
+  }
+
   test("append with mismatched schema is rejected") {
     val lake = freshLake()
     lake.write(df(rows), "sales")
