@@ -181,7 +181,12 @@ object SparkEntry {
         .agg(graft.functions.TopKAgg.topK(5)(col("o_totalprice"), col("o_orderkey")).as("top"))
         .select(col("o_orderstatus"), explode(col("top")).as("t"))
         .select(col("o_orderstatus"), col("t._1").as("o_totalprice"),
-          col("t._2").as("o_orderkey"))))
+          col("t._2").as("o_orderkey"))),
+    // --- distribution windows + grouping sets (SURVEY §2.5/§2.4) ---
+    "q47_order_distribution" -> ((s, d) =>
+      Analytics.orderDistributionStats(t(s, d, "orders"))),
+    "q48_revenue_grouping_sets" -> ((s, d) =>
+      Analytics.revenueGroupingSets(fact(s, d))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -401,5 +406,20 @@ object SparkEntry {
       ("SELECT o_orderstatus, o_totalprice, o_orderkey FROM (" +
         "SELECT o_orderstatus, o_totalprice, o_orderkey, " +
         "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
-        "FROM orders) WHERE rn <= 5"))
+        "FROM orders) WHERE rn <= 5"),
+    "q47_order_distribution" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+        "CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+        "percent_rank() OVER w AS pct_rank, " +
+        "cume_dist() OVER w AS cume, " +
+        "first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_in_status, " +
+        "last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_in_status " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)"),
+    "q48_revenue_grouping_sets" ->
+      (s"SELECT c_mktsegment, o_orderstatus, ${money.r2Sql("sum(revenue)")} AS total_revenue, " +
+        "count(*) AS n_rows, CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid FROM (" +
+        "SELECT c_mktsegment, o_orderstatus, " +
+        s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
+        ") GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())"))
 }

@@ -50,6 +50,37 @@ object Analytics {
       floor(col("o_totalprice") / 1000.0).cast("long").as("price_bucket"),
       round(abs(col("o_totalprice") - lit(1000.0)), 2).as("abs_diff_1000"))
 
+  /** Distribution window functions over orders (ntile quartiles,
+    * percent_rank, cume_dist, first/last value per status) — §2.5 beyond
+    * ranking. Ordering key is unique, so all outputs are deterministic. */
+  def orderDistributionStats(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      first("o_totalprice").over(frame).as("min_in_status"),
+      last("o_totalprice").over(frame).as("max_in_status"))
+  }
+
+  /** Explicit GROUPING SETS with grouping_id — the subtotal shapes
+    * rollup/cube can't express (disjoint per-dimension totals only). SQL
+    * path for the same Spark 4.1.2 analyzer reason as rollup/cube. */
+  def revenueGroupingSets(fact: DataFrame): DataFrame = {
+    val view = "graft_fact_for_gsets"
+    fact.select("c_mktsegment", "o_orderstatus", "revenue").createOrReplaceTempView(view)
+    fact.sparkSession.sql(
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  floor(sum(revenue) * 100.0 + 0.5) / 100.0 AS total_revenue,
+         |  count(*) AS n_rows,
+         |  grouping_id(c_mktsegment, o_orderstatus) AS gid
+         |FROM $view
+         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())""".stripMargin)
+  }
+
   /** Broadcast map-literal lookup + mismatch predicate — the engine form of
     * the reference's dictionary-consistency check
     * (`scripts/validate_dataset.py:147-151`, pandas rowwise `apply` there;
