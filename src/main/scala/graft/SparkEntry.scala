@@ -186,7 +186,18 @@ object SparkEntry {
     "q47_order_distribution" -> ((s, d) =>
       Analytics.orderDistributionStats(t(s, d, "orders"))),
     "q48_revenue_grouping_sets" -> ((s, d) =>
-      Analytics.revenueGroupingSets(fact(s, d))))
+      Analytics.revenueGroupingSets(fact(s, d))),
+    // --- as-of join: each purchase paired with the user's latest prior view ---
+    "q49_asof_purchase_view" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+      graft.ops.AsOf.asofJoin(purchases, views, "user_id", "ts",
+        Seq("view_event_id"))
+        .select(col("user_id"), col("event_id"), col("asof_view_event_id"))
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -421,5 +432,10 @@ object SparkEntry {
         "SELECT c_mktsegment, o_orderstatus, " +
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
-        ") GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())"))
+        ") GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())"),
+    "q49_asof_purchase_view" ->
+      ("SELECT p.user_id, p.event_id, v.event_id AS asof_view_event_id " +
+        "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND v.ts <= p.ts"))
 }
