@@ -18,10 +18,16 @@ object Bench {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // min-of-N steady-state timing: a single pass conflates one-off JIT /
+    // page-cache / machine-contention noise with the plan's real cost
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -73,8 +73,19 @@ object SparkEntry {
             .otherwise(0L)).as("n_mismatch"))
     },
     // --- document ops (SURVEY §2.4 A3 + §2.9 explode) ---
-    "q09_doc_nest" -> ((s, d) =>
-      Documents.nest(t(s, d, "orders"), t(s, d, "lineitem"))),
+    // nest to array<struct>, then consume the document with array HOFs —
+    // scalar output so the driver's compare never sorts on a raw array column
+    "q09_doc_nest" -> { (s, d) =>
+      val nested = Documents.nest(t(s, d, "orders"), t(s, d, "lineitem"))
+      nested.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"),
+        size(col("items")).as("n_items"),
+        aggregate(col("items"), lit(0.0),
+          (acc, x) => acc + x.getField("l_quantity")).as("total_qty"),
+        array_max(transform(col("items"),
+          x => x.getField("l_extendedprice"))).as("max_item_price"))
+    },
     "q10_doc_roundtrip" -> ((s, d) =>
       Documents.unnest(Documents.nest(t(s, d, "orders"), t(s, d, "lineitem")))),
     // --- warehouse layer (SURVEY §2.3 J4, §2.4 A9, §2.6 O3) ---
@@ -152,8 +163,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(Similarity.ivfBuild(emb), emb.filter(col("vec_id") < 20), 3)
     },
+    // exact within label blocks (oracle-checkable); the LSH-bucketed variant
+    // (Similarity.cosineNearDups) is the same verify stage with probabilistic
+    // candidate generation and is spec-tested for recall instead
     "q41_embedding_neardups" -> ((s, d) =>
-      Similarity.cosineNearDups(t(s, d, "embeddings"), threshold = 0.9)),
+      Similarity.cosineNearDupsBlocked(t(s, d, "embeddings"), "label", threshold = 0.4)),
     "q42_event_sliding_windows" -> ((s, d) =>
       Events.slidingCounts(Tables.events(s, d))),
     // --- end-to-end corpus dedup [ext] (rows-only: LSH-dependent) ---
@@ -197,7 +211,30 @@ object SparkEntry {
       graft.ops.AsOf.asofJoin(purchases, views, "user_id", "ts",
         Seq("view_event_id"))
         .select(col("user_id"), col("event_id"), col("asof_view_event_id"))
-    })
+    },
+    // --- interval join (stream-stream join batch twin, §2.10) ---
+    "q50_views_before_purchase" -> ((s, d) =>
+      Events.viewsBeforePurchase(Tables.events(s, d), windowMinutes = 60)),
+    // --- PIVOT with explicit value list (§2.4) ---
+    "q51_revenue_pivot" -> ((s, d) => Warehouse.revenuePivotByStatus(fact(s, d))),
+    // --- window dedup / changelog snapshot (§2.5) ---
+    "q52_latest_event_per_user" -> ((s, d) =>
+      Events.latestEventPerUser(Tables.events(s, d))),
+    // --- argmax/argmin aggregates (§2.4) ---
+    "q53_segment_order_extremes" -> ((s, d) =>
+      Analytics.segmentOrderExtremes(t(s, d, "orders"), t(s, d, "customer"))),
+    // --- JSON extraction, typed + path-based (§2.8 F10) ---
+    "q54_json_props" -> ((s, d) => Events.propsProjection(Tables.events(s, d))),
+    // --- UNPIVOT/melt + per-metric profile (§2.9) ---
+    "q55_lineitem_unpivot" -> ((s, d) =>
+      Analytics.lineitemMetricsProfile(t(s, d, "lineitem"))),
+    // --- calendar scalar surface (§2.8) ---
+    "q56_date_features" -> ((s, d) => Analytics.orderDateFeatures(t(s, d, "orders"))),
+    // --- string scalar surface (§2.8) ---
+    "q57_string_features" -> ((s, d) => Analytics.partStringFeatures(t(s, d, "part"))),
+    // --- predicate-scoped left-anti join (§2.3) ---
+    "q58_parts_not_shipped" -> ((s, d) =>
+      Analytics.partsNotShippedIn(t(s, d, "part"), t(s, d, "lineitem"), 1998, 1)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -236,12 +273,11 @@ object SparkEntry {
         "FROM orders JOIN (SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS gross " +
         "FROM lineitem GROUP BY l_orderkey) li ON o_orderkey = l_orderkey"),
     "q09_doc_nest" ->
-      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, " +
-        "list(struct_pack(l_linenumber := l_linenumber, l_partkey := l_partkey, l_quantity := l_quantity, " +
-        "l_extendedprice := l_extendedprice, l_discount := l_discount) " +
-        "ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice, l_discount) AS items " +
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+        "CAST(count(*) AS INTEGER) AS n_items, sum(l_quantity) AS total_qty, " +
+        "max(l_extendedprice) AS max_item_price " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
-        "GROUP BY o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"),
+        "GROUP BY o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate"),
     "q10_doc_roundtrip" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, " +
         "l_linenumber, l_partkey, l_quantity, l_extendedprice, l_discount " +
@@ -256,18 +292,18 @@ object SparkEntry {
         "JOIN region ON n_regionkey = r_regionkey"),
     "q12_revenue_by_segment_month" ->
       ("SELECT c_mktsegment, date_trunc('month', o_orderdate) AS order_month, " +
-        s"${money.r2Sql("sum(revenue)")} AS total_revenue, count(DISTINCT o_orderkey) AS n_orders, " +
+        s"${money.sumMoneySql("revenue")} AS total_revenue, count(DISTINCT o_orderkey) AS n_orders, " +
         s"${money.r2Sql("sum(l_quantity)")} AS sum_qty FROM (" +
         "SELECT c_mktsegment, o_orderdate, o_orderkey, l_quantity, " +
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
         ") GROUP BY c_mktsegment, order_month"),
     "q13_top_customers" ->
-      (s"SELECT c_custkey, ${money.r2Sql(s"sum(${money.r2Sql("l_extendedprice * (1.0 - l_discount)")})")} AS total_revenue " +
+      (s"SELECT c_custkey, ${money.sumMoneySql(money.r2Sql("l_extendedprice * (1.0 - l_discount)"))} AS total_revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_custkey ORDER BY total_revenue DESC, c_custkey LIMIT 10"),
     "q14_revenue_rollup" ->
-      (s"SELECT c_mktsegment, o_orderstatus, ${money.r2Sql("sum(revenue)")} AS total_revenue, count(*) AS n_rows FROM (" +
+      (s"SELECT c_mktsegment, o_orderstatus, ${money.sumMoneySql("revenue")} AS total_revenue, count(*) AS n_rows FROM (" +
         "SELECT c_mktsegment, o_orderstatus, " +
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
@@ -389,15 +425,15 @@ object SparkEntry {
         ") GROUP BY src_custkey"),
     "q35_customer_ltv" ->
       (s"SELECT c_custkey, count(DISTINCT o_orderkey) AS n_orders, " +
-        s"${money.r2Sql("sum(revenue)")} AS total_revenue, " +
+        s"${money.sumMoneySql("revenue")} AS total_revenue, " +
         "min(CAST(o_orderdate AS DATE)) AS first_order, max(CAST(o_orderdate AS DATE)) AS last_order, " +
-        s"${money.r2Sql(s"(${money.r2Sql("sum(revenue)")}) / count(DISTINCT o_orderkey)")} AS avg_order_value FROM (" +
+        s"${money.r2Sql(s"(${money.sumMoneySql("revenue")}) / count(DISTINCT o_orderkey)")} AS avg_order_value FROM (" +
         "SELECT c_custkey, o_orderkey, o_orderdate, " +
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
         ") GROUP BY c_custkey"),
     "q36_revenue_cube" ->
-      (s"SELECT c_mktsegment, o_orderstatus, ${money.r2Sql("sum(revenue)")} AS total_revenue, count(*) AS n_rows FROM (" +
+      (s"SELECT c_mktsegment, o_orderstatus, ${money.sumMoneySql("revenue")} AS total_revenue, count(*) AS n_rows FROM (" +
         "SELECT c_mktsegment, o_orderstatus, " +
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
@@ -427,7 +463,7 @@ object SparkEntry {
         "last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_in_status " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)"),
     "q48_revenue_grouping_sets" ->
-      (s"SELECT c_mktsegment, o_orderstatus, ${money.r2Sql("sum(revenue)")} AS total_revenue, " +
+      (s"SELECT c_mktsegment, o_orderstatus, ${money.sumMoneySql("revenue")} AS total_revenue, " +
         "count(*) AS n_rows, CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid FROM (" +
         "SELECT c_mktsegment, o_orderstatus, " +
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
@@ -437,5 +473,60 @@ object SparkEntry {
       ("SELECT p.user_id, p.event_id, v.event_id AS asof_view_event_id " +
         "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id AND v.ts <= p.ts"))
+        "ON p.user_id = v.user_id AND v.ts <= p.ts"),
+    "q41_embedding_neardups" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+        "SELECT vec_a, vec_b, cos_sim FROM (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, " +
+        "list_inner_product(x.v, y.v) / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS cos_sim " +
+        "FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id) " +
+        "WHERE cos_sim >= 0.4"),
+    "q50_views_before_purchase" ->
+      ("SELECT p.user_id, p.event_id, count(v.vts) AS n_views, max(v.vts) AS last_view_ts " +
+        "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT user_id AS v_user_id, CAST(ts AS TIMESTAMP) AS vts FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.v_user_id AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL 60 MINUTE " +
+        "GROUP BY p.user_id, p.event_id"),
+    "q51_revenue_pivot" -> {
+      def cell(status: String, as: String) =
+        s"CAST(sum(CASE WHEN o_orderstatus = '$status' THEN cents END) AS DOUBLE) / 100.0 AS $as"
+      s"SELECT c_mktsegment, ${cell("F", "rev_f")}, ${cell("O", "rev_o")}, ${cell("P", "rev_p")} FROM (" +
+        "SELECT c_mktsegment, o_orderstatus, " +
+        s"CAST(floor((${money.r2Sql("l_extendedprice * (1.0 - l_discount)")}) * 100.0 + 0.5) AS BIGINT) AS cents " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
+        ") GROUP BY c_mktsegment"
+    },
+    "q52_latest_event_per_user" ->
+      ("SELECT user_id, event_id, event_type, ts, value FROM (" +
+        "SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1"),
+    "q53_segment_order_extremes" ->
+      ("WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin FROM j) " +
+        "SELECT c_mktsegment, max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order_key, " +
+        "max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order_key, " +
+        "max(o_totalprice) AS max_total, min(o_totalprice) AS min_total " +
+        "FROM r GROUP BY c_mktsegment"),
+    "q54_json_props" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed, " +
+        "json_extract_string(props, '$.k') AS k_str FROM events"),
+    "q55_lineitem_unpivot" -> Seq(
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax").map(m =>
+        s"SELECT '$m' AS metric, count(*) AS n_values, min($m) AS min_value, max($m) AS max_value FROM lineitem")
+      .mkString(" UNION ALL "),
+    "q56_date_features" ->
+      ("SELECT o_orderkey, CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter, " +
+        "CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+        "CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month FROM orders"),
+    "q57_string_features" ->
+      ("SELECT p_partkey, upper(p_name) AS name_upper, translate(p_brand, 'Brand', '') AS brand_num, " +
+        "CAST(levenshtein(p_type, 'STANDARD') AS INTEGER) AS lev_standard, " +
+        "lpad(p_type, 10, '_') AS type_pad, CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos, " +
+        "substring(p_name, 1, 3) AS name_prefix, reverse(p_name) AS name_rev FROM part"),
+    "q58_parts_not_shipped" ->
+      ("SELECT p_partkey, p_type FROM part WHERE p_partkey NOT IN " +
+        "(SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998 AND month(l_shipdate) = 1)"))
 }

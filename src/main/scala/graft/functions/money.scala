@@ -16,4 +16,18 @@ object money {
 
   /** The DuckDB-SQL spelling of [[r2]] for oracle queries. */
   def r2Sql(expr: String): String = s"floor(($expr) * 100.0 + 0.5) / 100.0"
+
+  /** Exact, order-independent money sum: convert each (already cents-rounded)
+    * amount to integer cents, sum as BIGINT (associative — immune to the FP
+    * add-order differences between Spark's partial/final aggregation and any
+    * other engine), divide once at the end. Large subtotal rows (rollup grand
+    * totals over millions of rows) stay bit-identical across engines; a
+    * double-sum flips the last cent at half-cent boundaries. Long cents
+    * overflow at ~9e16 dollars — beyond any 100 TB fact table's total. */
+  def sumMoney(c: Column): Column =
+    (sum(floor(c * lit(100.0) + lit(0.5)).cast("long")).cast("double") / lit(100.0))
+
+  /** The DuckDB-SQL spelling of [[sumMoney]] for oracle queries. */
+  def sumMoneySql(expr: String): String =
+    s"CAST(sum(CAST(floor(($expr) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
 }

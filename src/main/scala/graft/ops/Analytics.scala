@@ -74,12 +74,77 @@ object Analytics {
     fact.select("c_mktsegment", "o_orderstatus", "revenue").createOrReplaceTempView(view)
     fact.sparkSession.sql(
       s"""SELECT c_mktsegment, o_orderstatus,
-         |  floor(sum(revenue) * 100.0 + 0.5) / 100.0 AS total_revenue,
+         |  CAST(sum(CAST(floor(revenue * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
          |  count(*) AS n_rows,
          |  grouping_id(c_mktsegment, o_orderstatus) AS gid
          |FROM $view
          |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())""".stripMargin)
   }
+
+  /** Per-segment order extremes via max_by/min_by with a struct tiebreak —
+    * the argmin/argmax aggregate surface. The struct (price, key) makes the
+    * selection total-ordered, so results are deterministic under any
+    * partitioning. */
+  def segmentOrderExtremes(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("max_order_key"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("min_order_key"),
+        max(col("o_totalprice")).as("max_total"),
+        min(col("o_totalprice")).as("min_total"))
+
+  /** Calendar feature projection (quarter / day-of-week / last-day /
+    * week-truncation / month arithmetic) — the §2.8 date surface beyond
+    * q17's year/month/datediff. All codegen'd built-ins. */
+  def orderDateFeatures(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey"),
+      quarter(col("o_orderdate")).as("o_quarter"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      last_day(to_date(col("o_orderdate"))).as("month_end"),
+      to_date(date_trunc("week", col("o_orderdate"))).as("week_start"),
+      add_months(to_date(col("o_orderdate")), 1).as("next_month"))
+
+  /** String-function projection over part (upper / translate / levenshtein /
+    * lpad / instr / substring / reverse) — §2.8 string surface. */
+  def partStringFeatures(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      translate(col("p_brand"), "Brand", "").as("brand_num"),
+      levenshtein(col("p_type"), lit("STANDARD")).as("lev_standard"),
+      lpad(col("p_type"), 10, "_").as("type_pad"),
+      instr(col("p_name"), "a").as("a_pos"),
+      substring(col("p_name"), 1, 3).as("name_prefix"),
+      reverse(col("p_name")).as("name_rev"))
+
+  /** Wide-to-long unpivot of lineitem measures, profiled per metric —
+    * §2.9's UNPIVOT/melt relational operator (count/min/max are exact, so
+    * the profile is engine-portable). */
+  def lineitemMetricsProfile(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n_values"), min("value").as("min_value"),
+        max("value").as("max_value"))
+
+  /** Left-anti join scoped by a predicate: parts with NO shipment in the
+    * given year-month. The anti-join's build side is pre-filtered, so at
+    * scale the join reads a month of lineitem, not all of it. */
+  def partsNotShippedIn(part: DataFrame, lineitem: DataFrame,
+                        yr: Int, mo: Int): DataFrame =
+    part.join(
+      lineitem.filter(year(col("l_shipdate")) === yr && month(col("l_shipdate")) === mo),
+      col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_type")
 
   /** Broadcast map-literal lookup + mismatch predicate — the engine form of
     * the reference's dictionary-consistency check

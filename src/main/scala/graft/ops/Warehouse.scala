@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.money.r2
+import graft.functions.money.{r2, sumMoney}
 
 /** Star-schema warehouse layer — the reference's planned-but-empty warehouse
   * notebook made real (`fact_sales` path declared at
@@ -47,7 +47,7 @@ object Warehouse {
     fact
       .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate")).as("order_month"))
       .agg(
-        r2(sum("revenue")).as("total_revenue"),
+        sumMoney(col("revenue")).as("total_revenue"),
         countDistinct("o_orderkey").as("n_orders"),
         r2(sum("l_quantity")).as("sum_qty"))
 
@@ -56,7 +56,7 @@ object Warehouse {
     * key for determinism. */
   def topCustomersByRevenue(fact: DataFrame, k: Int): DataFrame =
     fact.groupBy("c_custkey")
-      .agg(r2(sum("revenue")).as("total_revenue"))
+      .agg(sumMoney(col("revenue")).as("total_revenue"))
       .orderBy(desc("total_revenue"), asc("c_custkey"))
       .limit(k)
 
@@ -69,12 +69,12 @@ object Warehouse {
     fact.groupBy("c_custkey")
       .agg(
         countDistinct("o_orderkey").as("n_orders"),
-        r2(sum("revenue")).as("total_revenue"),
+        sumMoney(col("revenue")).as("total_revenue"),
         min(to_date(col("o_orderdate"))).as("first_order"),
         max(to_date(col("o_orderdate"))).as("last_order"),
-        // divide the cents-rounded total (bit-identical across engines), not
+        // divide the exact cents total (bit-identical across engines), not
         // the raw sum: raw-sum drift flips the rounding at half-cent points
-        r2(r2(sum("revenue")) / countDistinct("o_orderkey")).as("avg_order_value"))
+        r2(sumMoney(col("revenue")) / countDistinct("o_orderkey")).as("avg_order_value"))
 
   /** Full subtotal lattice over (segment, status) via CUBE (SQL path for the
     * same Spark 4.1.2 analyzer reason as [[revenueRollup]]). */
@@ -83,10 +83,21 @@ object Warehouse {
     fact.select("c_mktsegment", "o_orderstatus", "revenue").createOrReplaceTempView(view)
     fact.sparkSession.sql(
       s"""SELECT c_mktsegment, o_orderstatus,
-         |  floor(sum(revenue) * 100.0 + 0.5) / 100.0 AS total_revenue,
+         |  CAST(sum(CAST(floor(revenue * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
          |  count(*) AS n_rows
          |FROM $view GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin)
   }
+
+  /** Revenue pivoted to one column per order status — the PIVOT relational
+    * operator with an explicit value list (no extra pass to discover values;
+    * at scale always pass the list). Cents-exact sums per cell. */
+  def revenuePivotByStatus(fact: DataFrame): DataFrame =
+    fact.groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sumMoney(col("revenue")))
+      .withColumnRenamed("F", "rev_f")
+      .withColumnRenamed("O", "rev_o")
+      .withColumnRenamed("P", "rev_p")
 
   /** Approximate sketches for 100 TB profiling (SURVEY A10): HLL++ distinct
     * counts and approximate percentiles — fixed-size sketch state per
@@ -105,9 +116,11 @@ object Warehouse {
     // resolves the identical plan cleanly.
     val view = "graft_fact_for_rollup"
     fact.select("c_mktsegment", "o_orderstatus", "revenue").createOrReplaceTempView(view)
+    // Cents-sum (BIGINT) so the subtotal/grand-total rows — which aggregate
+    // the whole fact — are order-independent and bit-identical across engines.
     fact.sparkSession.sql(
       s"""SELECT c_mktsegment, o_orderstatus,
-         |  floor(sum(revenue) * 100.0 + 0.5) / 100.0 AS total_revenue,
+         |  CAST(sum(CAST(floor(revenue * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
          |  count(*) AS n_rows
          |FROM $view GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin)
   }

@@ -162,6 +162,22 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos_sim", "rn")
   }
 
+  /** Exact embedding near-duplicate pairs within equality blocks (e.g. a
+    * label/shard/partition column): equi-join on the block key bounds the
+    * pair count, exact cosine filters at `threshold`. The deterministic
+    * oracle-checkable sibling of [[cosineNearDups]] — at 100 TB the block
+    * key IS the partitioning, so the self-join is shuffle-local. */
+  def cosineNearDupsBlocked(corpus: DataFrame, blockCol: String,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), col(blockCol).as("block"),
+      asDouble(col("embedding")).as("vec"))
+    c.as("x").join(c.as("y"),
+        col("x.block") === col("y.block") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.vec"), col("y.vec")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding-space analogue of MinHash near-dup): equi-join on bucket,
     * exact cosine verify at `threshold`. */

@@ -112,6 +112,67 @@ object Events {
       .trigger(trigger)
       .start()
 
+  /** Interval join (the stream-stream join's batch twin): each purchase
+    * paired with the same user's views in the preceding `windowMinutes`,
+    * aggregated per purchase. Equi-key on user_id carries the shuffle; the
+    * time predicate evaluates post-join, so cost is bounded by per-user
+    * event counts, not the cross product. */
+  def viewsBeforePurchase(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("vts"))
+    p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("vts") <= col("pts") &&
+          col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(col("vts")).as("n_views"), max(col("vts")).as("last_view_ts"))
+  }
+
+  /** Streaming stream-stream interval join: purchases joined to views of the
+    * same user within the preceding `windowMinutes`, both sides watermarked
+    * so the view-side buffer is bounded (Spark drops view state older than
+    * watermark + interval). The streaming form of [[viewsBeforePurchase]]'s
+    * join stage. */
+  def streamingPurchaseAttribution(spark: SparkSession, dir: String,
+                                   windowMinutes: Int = 60,
+                                   watermark: String = "1 hour"): DataFrame = {
+    val src = readEventStream(spark, dir)
+    val p = src.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("pts"), col("event_id"))
+    val v = src.filter(col("event_type") === "view")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user_id"), col("ts").as("vts"),
+        col("event_id").as("view_event_id"))
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
+  /** Latest event per user — window dedup (row_number = 1 over ts desc), the
+    * snapshot/compaction shape of a changelog stream. */
+  def latestEventPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "ts", "value")
+  }
+
+  /** JSON property extraction both ways: schema'd `from_json` (typed struct
+    * field) and path-based `get_json_object` — F10's full surface. */
+  def propsProjection(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_typed"),
+      get_json_object(col("props"), "$.k").as("k_str"))
+
   /** Batch sessionization (gap-based): a session breaks after `gapMinutes`
     * of inactivity. One shuffle on user_id; the running session-id is the
     * classic gaps-and-islands prefix sum, all window functions. */
