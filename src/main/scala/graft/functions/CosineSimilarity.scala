@@ -145,12 +145,42 @@ object CosineSimilarity {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 }
 
+/** Optimizer rule: fuse the three-pass cosine spelling
+  * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` into the single-pass
+  * [[CosineSimilarity]] kernel. Bit-identical by construction — the fused
+  * loop accumulates dot/nx/ny each left-to-right, exactly like the three
+  * separate passes — so the rewrite is always safe; it just reads each
+  * array once instead of three times (and five in the self-join case). */
+object FuseCosine
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a2, b2)), Sqrt(DotProduct(a3, b3)), _), _)
+        if a2.semanticEquals(a) && b2.semanticEquals(a) &&
+          a3.semanticEquals(b) && b3.semanticEquals(b) =>
+        CosineSimilarity(a, b)
+    }
+}
+
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wires the custom
-  * functions into any session at build time (SparkSessionExtensions path). */
+  * functions AND the cosine fusion rule into any session at build time
+  * (the SparkSessionExtensions path — no Spark fork, no reflection). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => FuseCosine)
+  }
 }

@@ -167,6 +167,23 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     commit
   }
 
+  /** Z-order maintenance: rewrite the table along the Morton curve over
+    * `zCols` (see [[ZOrder]]) as a new commit. Like [[compact]] this changes
+    * layout only; unlike compact, every output file covers a tight range in
+    * ALL `zCols`, so multi-dimensional predicates prune most files via
+    * parquet min/max footers. */
+  def zorder(name: String, zCols: Seq[String], targetFiles: Int = 8): Commit = {
+    val prev = readCommit(name, latestVersion(name).get)
+    val v = prev.version + 1
+    val dest = dataDir(name, v)
+    ZOrder.layout(read(name), zCols, targetFiles)
+      .write.mode("overwrite").parquet(dest.toString)
+    val commit = Commit(v, "zorder", Seq(dest.toString), prev.schemaJson,
+      prev.partitionBy, prev.rowCount)
+    writeCommit(name, commit)
+    commit
+  }
+
   /** Delete data directories no committed version <= the latest references
     * anymore beyond the newest `keepVersions` commits, and drop the pruned
     * log entries. Time travel further back stops working — the documented

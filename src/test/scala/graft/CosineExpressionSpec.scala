@@ -31,6 +31,30 @@ class CosineExpressionSpec extends SparkSpec {
     r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("FuseCosine rewrites the 3-pass dot/norm spelling to the fused kernel") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.functions.FuseCosine
+    try {
+      val a = col("a.embedding"); val b = col("b.embedding")
+      import graft.functions.DotProduct.dotProduct
+      val threePass = dotProduct(a, b) /
+        (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+      val q = emb.limit(10).as("a").crossJoin(emb.limit(10).as("b"))
+        .select(threePass.as("c3"), Similarity.cosine(a, b).as("c1"))
+      // the optimizer must have collapsed the Divide(dot, Multiply(..)) tree
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("dot_product"), optimized.take(500))
+      assert(optimized.contains("cosine_sim"), optimized.take(500))
+      // and the fused kernel is bit-equal to the spelling it replaced
+      assert(q.filter(col("c3") =!= col("c1")).count() === 0)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("GraftExtensions wires functions and the fusion rule") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must register cleanly
+  }
+
   test("expression participates in whole-stage codegen") {
     val q = emb.limit(20).as("a").crossJoin(emb.limit(20).as("b"))
       .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
