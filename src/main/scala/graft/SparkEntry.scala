@@ -184,9 +184,11 @@ object SparkEntry {
     // --- tf-idf doc similarity [ext] (rows-only: hashing-trick specific) ---
     "q44_tfidf_doc_similarity" -> { (s, d) =>
       // narrow hash space: dense brute-force cosine over wide sparse vectors
-      // is the wrong plan, and this corpus' vocabulary is tiny
+      // is the wrong plan, and this corpus' vocabulary is tiny.
+      // persist: corpus and probes share the TF-IDF lineage — materialize the
+      // embeddings once instead of running the pipeline per branch
       val emb = graft.text.TextFeatures.tfidfEmbeddings(t(s, d, "documents"),
-        numFeatures = 256)
+        numFeatures = 256).persist()
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3)
     },
     // --- typed Aggregator top-k (SURVEY §2.9 tier 2) ---
@@ -234,7 +236,25 @@ object SparkEntry {
     "q57_string_features" -> ((s, d) => Analytics.partStringFeatures(t(s, d, "part"))),
     // --- predicate-scoped left-anti join (§2.3) ---
     "q58_parts_not_shipped" -> ((s, d) =>
-      Analytics.partsNotShippedIn(t(s, d, "part"), t(s, d, "lineitem"), 1998, 1)))
+      Analytics.partsNotShippedIn(t(s, d, "part"), t(s, d, "lineitem"), 1998, 1)),
+    // --- multimodal frame sampling (decode -> every-2nd-frame keep) ---
+    "q59_frame_sample" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val media = Multimodal.syntheticMediaFromDocs(t(s, d, "documents"))
+      Multimodal.sampleFrames(Multimodal.decode(media), everyN = 2)
+        .groupBy(col("media_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_sampled_frames"),
+          max(col("frame_idx")).as("max_frame_idx"))
+    },
+    // --- bucketed range join (|value diff| <= width via equi-join) ---
+    "q60_value_range_pairs" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val anchors = ev.filter(col("event_id") < 50)
+        .select(col("event_id").as("a_id"), col("value").as("a_value"))
+      graft.ops.AsOf.rangeJoin(anchors, ev, col("a_value"), col("value"), 0.25)
+        .filter(col("a_id") =!= col("event_id"))
+        .groupBy("a_id").agg(count(lit(1)).as("n_close"))
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -528,5 +548,14 @@ object SparkEntry {
         "substring(p_name, 1, 3) AS name_prefix, reverse(p_name) AS name_rev FROM part"),
     "q58_parts_not_shipped" ->
       ("SELECT p_partkey, p_type FROM part WHERE p_partkey NOT IN " +
-        "(SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998 AND month(l_shipdate) = 1)"))
+        "(SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998 AND month(l_shipdate) = 1)"),
+    // frames per doc = 1 + doc_id % 5 (Multimodal.syntheticMediaFromDocs);
+    // keeping frame_idx % 2 == 0 over 0..frames-1 leaves ceil(frames/2)
+    "q59_frame_sample" ->
+      ("SELECT doc_id, CAST(floor((1 + doc_id % 5 + 1) / 2) AS BIGINT) AS n_sampled_frames, " +
+        "CAST(floor((doc_id % 5) / 2) * 2 AS INTEGER) AS max_frame_idx FROM documents"),
+    "q60_value_range_pairs" ->
+      ("SELECT a.event_id AS a_id, count(*) AS n_close FROM events a JOIN events b " +
+        "ON a.event_id < 50 AND a.event_id != b.event_id AND abs(a.value - b.value) <= 0.25 " +
+        "GROUP BY a.event_id"))
 }
