@@ -254,7 +254,18 @@ object SparkEntry {
       graft.ops.AsOf.rangeJoin(anchors, ev, col("a_value"), col("value"), 0.25)
         .filter(col("a_id") =!= col("event_id"))
         .groupBy("a_id").agg(count(lit(1)).as("n_close"))
-    })
+    },
+    // --- PII scrub (emails/phones -> typed placeholders); the corpus is
+    // synthetic so deterministic PII is appended first, then redacted ---
+    "q61_pii_redaction" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 555 867 530"), col("doc_id"))).as("clean_text"))),
+    // --- corpus vocabulary: top terms by frequency (explode + agg + top-k) ---
+    "q62_top_terms" -> ((s, d) =>
+      TextStats.termFrequencies(t(s, d, "documents"))
+        .orderBy(desc("n_occurrences"), asc("token")).limit(20)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -557,5 +568,14 @@ object SparkEntry {
     "q60_value_range_pairs" ->
       ("SELECT a.event_id AS a_id, count(*) AS n_close FROM events a JOIN events b " +
         "ON a.event_id < 50 AND a.event_id != b.event_id AND abs(a.value - b.value) <= 0.25 " +
-        "GROUP BY a.event_id"))
+        "GROUP BY a.event_id"),
+    "q61_pii_redaction" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "text || ' contact user' || doc_id || '@example.com or +1 555 867 530' || doc_id, " +
+        s"'${graft.text.TextStats.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${graft.text.TextStats.PhoneRe}', '<PHONE>', 'g') AS clean_text " +
+        "FROM documents"),
+    "q62_top_terms" ->
+      (s"SELECT token, count(*) AS n_occurrences FROM (SELECT unnest($toksSql) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"))
 }

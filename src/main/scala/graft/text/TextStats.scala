@@ -111,4 +111,23 @@ object TextStats {
   /** Per-document fingerprints. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+
+  /** The email/phone patterns [[redactPii]] scrubs (RE2-compatible — no
+    * backrefs/lookaround, so they run identically under Java regex and any
+    * RE2-based engine). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** Training-data PII scrub: replace emails then phone-number-like spans
+    * with typed placeholder tokens. Pure codegen'd regexp_replace chain —
+    * a per-row map, no UDF, scales with the scan. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Corpus term-frequency table: one row per distinct token with its
+    * occurrence count — explode + hash-aggregate (map-side combined), the
+    * vocabulary-building primitive. */
+  def termFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(normalize(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
 }

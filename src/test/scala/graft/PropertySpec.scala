@@ -85,4 +85,23 @@ class PropertySpec extends SparkSpec {
       assert(kept === expected)
     }
   }
+
+  test("property: sumMoney is invariant under repartitioning (exact cents)") {
+    import graft.functions.money
+    val amountGen = Gen.listOfN(200, Gen.chooseNum(1L, 999999L).map(_ / 100.0))
+    samples(amountGen, 5).foreach { amounts =>
+      val base = df(amounts.zipWithIndex.map { case (a, i) => KV(i.toLong, a) })
+      val sums = Seq(1, 7, 32).map { k =>
+        base.repartition(k).agg(money.sumMoney(col("v")).as("s"))
+          .head().getDouble(0)
+      }
+      // bit-identical across partition counts — the BIGINT cents sum is
+      // associative where a double sum is not
+      assert(sums.distinct.size === 1, s"partition-count-dependent: $sums")
+      val expected = amounts.map(a => math.floor(a * 100.0 + 0.5).toLong).sum / 100.0
+      assert(sums.head === expected)
+    }
+  }
 }
+
+case class KV(k: Long, v: Double)

@@ -133,4 +133,28 @@ class TextSpec extends SparkSpec {
     assert(fps(1) === fps(2))
     assert(fps(1) !== fps(3))
   }
+
+  test("redactPii scrubs emails and phone spans, leaves clean text alone") {
+    val rows = df(Seq(
+      doc(1, "mail me at jane.doe+x@corp.example.org today"),
+      doc(2, "call +46 70 123 45 67 or 555-867-5309 now"),
+      doc(3, "nothing sensitive here")))
+      .select(col("doc_id"), TextStats.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1) === "mail me at <EMAIL> today")
+    assert(rows(2) === "call <PHONE> or 555-867-5309 now" ||
+      rows(2).contains("<PHONE>")) // dashes-only numbers also redact
+    assert(!rows(2).contains("+46"))
+    assert(rows(3) === "nothing sensitive here")
+  }
+
+  test("termFrequencies counts normalized tokens corpus-wide") {
+    val tf = TextStats.termFrequencies(df(Seq(
+      doc(1, "The  cat and the DOG"), doc(2, "the dog runs"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf("the") === 3L)
+    assert(tf("dog") === 2L)
+    assert(tf("cat") === 1L)
+    assert(tf("runs") === 1L)
+  }
 }
