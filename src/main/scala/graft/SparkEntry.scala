@@ -147,9 +147,26 @@ object SparkEntry {
     // --- CLV + cube (reference's declared analytics goals) ---
     "q35_customer_ltv" -> ((s, d) => Warehouse.customerLifetimeValue(fact(s, d))),
     "q36_revenue_cube" -> ((s, d) => Warehouse.revenueCube(fact(s, d))),
-    // --- approx sketches [ext] (rows-only: sketch algorithms differ across
-    // engines by design; accuracy is spec-tested against exact counts) ---
-    "q37_order_sketches" -> ((s, d) => Warehouse.orderSketches(t(s, d, "orders"))),
+    // --- approx sketches [ext]: sketch VALUES differ across engines by
+    // design, so the verified output is exact counts + within-tolerance
+    // booleans — the oracle pins the booleans TRUE, so a broken sketch
+    // fails the driver gate ---
+    "q37_order_sketches" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val exact = o.agg(
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        countDistinct(col("o_orderkey")).as("exact_orders"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("percentile(o_totalprice, 0.99)").as("exact_p99"))
+      Warehouse.orderSketches(o).crossJoin(exact).select(
+        col("exact_customers"), col("exact_orders"),
+        (abs(col("approx_customers") - col("exact_customers"))
+          <= col("exact_customers") * 0.05).as("customers_ok"),
+        (abs(col("approx_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.05).as("orders_ok"),
+        (abs(col("p50_price") - col("exact_p50")) <= col("exact_p50") * 0.05).as("p50_ok"),
+        (abs(col("p99_price") - col("exact_p99")) <= col("exact_p99") * 0.05).as("p99_ok"))
+    },
     // --- map-literal lookup predicate (SURVEY P5/F9) + set algebra (§2.7) ---
     "q38_map_lookup_check" -> ((s, d) =>
       Analytics.mapLookupMismatch(t(s, d, "part"), "p_type", "p_type",
@@ -469,6 +486,11 @@ object SparkEntry {
         s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey" +
         ") GROUP BY CUBE (c_mktsegment, o_orderstatus)"),
+    "q37_order_sketches" ->
+      ("SELECT count(DISTINCT o_custkey) AS exact_customers, " +
+        "count(DISTINCT o_orderkey) AS exact_orders, " +
+        "TRUE AS customers_ok, TRUE AS orders_ok, TRUE AS p50_ok, TRUE AS p99_ok " +
+        "FROM orders"),
     "q38_map_lookup_check" ->
       ("SELECT p_partkey, p_type, CASE p_type WHEN 'STANDARD' THEN 'STANDARD' " +
         "WHEN 'ECONOMY' THEN 'ECONOMY' WHEN 'PROMO' THEN 'BUDGET' ELSE NULL END AS expected_value " +
