@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-shape audit: the properties that decide 100 TB viability, asserted
+  * on the actual executed plans at sf0.001 — column pruning reaches the
+  * scan, filters push into DataFilters, small/filtered join sides broadcast,
+  * and per-key operators shuffle exactly once. A regression that silently
+  * widens a scan or adds a shuffle fails here, not in production.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, d)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("fact star join prunes the lineitem scan to the projected columns") {
+    val plan = executedPlan("q11_fact_sales")
+    // lineitem has 11 columns; the fact projection needs 6
+    val scan = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).get
+    val readCols = "\\[([a-z_#0-9L,]+)\\]".r.findFirstMatchIn(scan).get.group(1)
+    // the fact projection + join keys need 7 of lineitem's 11 columns
+    assert(readCols.split(",").length <= 7, s"lineitem scan too wide: $readCols")
+    assert(!readCols.contains("l_returnflag") && !readCols.contains("l_shipdate"))
+  }
+
+  test("scoped anti-join pushes the month filter and broadcasts the build side") {
+    val plan = executedPlan("q58_parts_not_shipped")
+    assert(plan.contains("LeftAnti"), plan.take(400))
+    assert(plan.contains("BroadcastExchange"), plan.take(400))
+    assert(plan.contains("month("), "month predicate did not reach the scan side")
+  }
+
+  test("interval join filters event types at the scan, joins on the user key") {
+    val plan = executedPlan("q50_views_before_purchase")
+    assert(plan.contains("= purchase)") && plan.contains("= view)"),
+      "event_type filters not pushed into DataFilters")
+    assert(plan.contains("user_id"), plan.take(400))
+  }
+
+  /** Count shuffles in the pre-AQE plan (the final-plan print elides
+    * already-materialized query stages, so count on the initial section). */
+  private def shuffles(plan: String): Int = {
+    val section = plan.split("== Initial Plan ==").last
+    section.linesIterator.count(_.contains("Exchange hashpartitioning"))
+  }
+
+  test("window dedup shuffles once on the partition key") {
+    val plan = executedPlan("q52_latest_event_per_user")
+    assert(shuffles(plan) === 1, s"expected exactly 1 shuffle:\n${plan.take(600)}")
+    // rank-limit pushdown: only the per-key top row survives to the shuffle
+    assert(plan.contains("WindowGroupLimit"), "missing WindowGroupLimit pushdown")
+  }
+
+  test("per-customer aggregate shuffles once with map-side partials") {
+    val plan = executedPlan("q01_orders_per_customer")
+    assert(shuffles(plan) === 1, s"expected exactly 1 shuffle:\n${plan.take(600)}")
+    assert(plan.contains("partial_count"), "map-side partial aggregation missing")
+  }
+}
