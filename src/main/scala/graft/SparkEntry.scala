@@ -282,7 +282,12 @@ object SparkEntry {
     // --- corpus vocabulary: top terms by frequency (explode + agg + top-k) ---
     "q62_top_terms" -> ((s, d) =>
       TextStats.termFrequencies(t(s, d, "documents"))
-        .orderBy(desc("n_occurrences"), asc("token")).limit(20)))
+        .orderBy(desc("n_occurrences"), asc("token")).limit(20)),
+    // --- BPE-ish token counting (LLM-cost estimation companion to q20) ---
+    "q63_bpe_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -599,5 +604,8 @@ object SparkEntry {
         "FROM documents"),
     "q62_top_terms" ->
       (s"SELECT token, count(*) AS n_occurrences FROM (SELECT unnest($toksSql) AS token FROM documents) " +
-        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"))
+        "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"),
+    "q63_bpe_token_count" ->
+      (s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${graft.text.TextStats.BpeTokenRe.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens, " +
+        """CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens FROM documents"""))
 }

@@ -130,4 +130,16 @@ object TextStats {
   def termFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(tokens(normalize(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+
+  /** BPE-style pre-tokenizer pattern (GPT-2-like, simplified to stay
+    * RE2-compatible — alternation of contraction suffixes, letter runs,
+    * short digit runs, and single punctuation; no lookaround, so Java regex
+    * and RE2 engines split identically). */
+  val BpeTokenRe = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
+  /** Token count under the BPE-ish pre-tokenizer — the LLM-cost estimate
+    * companion to whitespace counting ([[tokenStats]]). Codegen'd
+    * regexp_extract_all, no UDF. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenRe), lit(0)))
 }

@@ -148,6 +148,13 @@ class TextSpec extends SparkSpec {
     assert(rows(3) === "nothing sensitive here")
   }
 
+  test("bpeTokenCount splits contractions, digit runs, and punctuation") {
+    val n = df(Seq(doc(1, "don't stop! 12345 x-y")))
+      .select(TextStats.bpeTokenCount(col("text")).as("n")).head().getInt(0)
+    // don | 't | stop | ! | 123 | 45 | x | - | y
+    assert(n === 9)
+  }
+
   test("termFrequencies counts normalized tokens corpus-wide") {
     val tf = TextStats.termFrequencies(df(Seq(
       doc(1, "The  cat and the DOG"), doc(2, "the dog runs"))))
