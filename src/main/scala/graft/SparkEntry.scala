@@ -287,7 +287,15 @@ object SparkEntry {
     "q63_bpe_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))))
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))),
+    // --- DISTINCT-aggregate forms + conditional counts (§2.4) ---
+    "q64_distinct_aggs" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        sum_distinct(col("l_quantity")).as("sum_distinct_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_discount"),
+        max(col("l_tax")).as("max_tax"),
+        min(col("l_tax")).as("min_tax"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -607,5 +615,10 @@ object SparkEntry {
         "GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20"),
     "q63_bpe_token_count" ->
       (s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${graft.text.TextStats.BpeTokenRe.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens, " +
-        """CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens FROM documents"""))
+        """CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens FROM documents"""),
+    "q64_distinct_aggs" ->
+      ("SELECT l_returnflag, sum(DISTINCT l_quantity) AS sum_distinct_qty, " +
+        "count(DISTINCT l_partkey) AS n_parts, " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount, " +
+        "max(l_tax) AS max_tax, min(l_tax) AS min_tax FROM lineitem GROUP BY l_returnflag"))
 }
