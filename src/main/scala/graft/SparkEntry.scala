@@ -295,7 +295,29 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_parts"),
         sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_discount"),
         max(col("l_tax")).as("max_tax"),
-        min(col("l_tax")).as("min_tax"))))
+        min(col("l_tax")).as("min_tax"))),
+    // --- salted skew join: identical semantics to the plain equi-join, so
+    // the oracle IS the plain join — salting verified through the gate ---
+    "q65_salted_join" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, o, "k", saltFactor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"), money.r2(sum(col("l_quantity"))).as("sum_qty"))
+    },
+    // --- multiset set operations: EXCEPT ALL / INTERSECT ALL (§2.7) ---
+    "q66_multiset_ops" -> { (s, d) =>
+      val a = t(s, d, "orders").select(col("o_custkey"))
+      val b = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val ex = a.exceptAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "o_custkey", "n")
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -620,5 +642,15 @@ object SparkEntry {
       ("SELECT l_returnflag, sum(DISTINCT l_quantity) AS sum_distinct_qty, " +
         "count(DISTINCT l_partkey) AS n_parts, " +
         "CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount, " +
-        "max(l_tax) AS max_tax, min(l_tax) AS min_tax FROM lineitem GROUP BY l_returnflag"))
+        "max(l_tax) AS max_tax, min(l_tax) AS min_tax FROM lineitem GROUP BY l_returnflag"),
+    "q65_salted_join" ->
+      (s"SELECT o_orderstatus, count(*) AS n_lines, ${money.r2Sql("sum(l_quantity)")} AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
+    "q66_multiset_ops" ->
+      ("SELECT 'except_all' AS op, o_custkey, count(*) AS n FROM (" +
+        "SELECT o_custkey FROM orders EXCEPT ALL " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY o_custkey " +
+        "UNION ALL SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM (" +
+        "SELECT o_custkey FROM orders INTERSECT ALL " +
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY o_custkey"))
 }
