@@ -317,7 +317,25 @@ object SparkEntry {
       val in = a.intersectAll(b).groupBy("o_custkey")
         .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
       ex.unionByName(in).select("op", "o_custkey", "n")
-    })
+    },
+    // --- nth_value / offset-with-default windows + null scalars (§2.5/§2.8) ---
+    "q67_window_nth_null" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_total"),
+        lag(col("o_totalprice"), 2, 0.0).over(w).as("lag2_total"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"))
+    },
+    // --- ordered string aggregation (collect_set -> sort -> join) ---
+    "q68_string_agg" -> ((s, d) =>
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"), countDistinct(col("o_orderpriority")).as("n_priorities"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -652,5 +670,16 @@ object SparkEntry {
         "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY o_custkey " +
         "UNION ALL SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM (" +
         "SELECT o_custkey FROM orders INTERSECT ALL " +
-        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY o_custkey"))
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') GROUP BY o_custkey"),
+    "q67_window_nth_null" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_total, " +
+        "lag(o_totalprice, 2, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lag2_total, " +
+        "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open FROM orders"),
+    "q68_string_agg" ->
+      ("SELECT c_mktsegment, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities, " +
+        "CAST(count(*) AS BIGINT) AS n_priorities FROM (" +
+        "SELECT DISTINCT c_mktsegment, o_orderpriority " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey) GROUP BY c_mktsegment"))
 }
