@@ -335,7 +335,13 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
-          .as("priorities"), countDistinct(col("o_orderpriority")).as("n_priorities"))))
+          .as("priorities"), countDistinct(col("o_orderpriority")).as("n_priorities"))),
+    // --- posexplode: generator with ordinal (§2.9 UDTF surface) ---
+    "q69_posexplode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(TextStats.tokens(TextStats.normalize(col("text"))), 1, 3)))
+        .withColumnRenamed("col", "token")))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -681,5 +687,10 @@ object SparkEntry {
       ("SELECT c_mktsegment, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities, " +
         "CAST(count(*) AS BIGINT) AS n_priorities FROM (" +
         "SELECT DISTINCT c_mktsegment, o_orderpriority " +
-        "FROM orders JOIN customer ON o_custkey = c_custkey) GROUP BY c_mktsegment"))
+        "FROM orders JOIN customer ON o_custkey = c_custkey) GROUP BY c_mktsegment"),
+    "q69_posexplode_tokens" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "e AS (SELECT doc_id, unnest(list_transform(generate_series(1, least(3, len(toks))), " +
+        "i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM t) " +
+        "SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.tok AS token FROM e"))
 }
