@@ -20,19 +20,28 @@ object Bench {
     } catch { case _: Throwable => () }
     // min-of-N steady-state timing: a single pass conflates one-off JIT /
     // page-cache / machine-contention noise with the plan's real cost
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // clamp: a non-numeric env value falls back to the default, and 0/negative
+    // would make times.min throw on an empty collection
+    val iters = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt).getOrElse(2))
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that persist() intermediates must not carry cached blocks
+        // (or cache-hit timings) into the next iteration; untimed
+        spark.sharedState.cacheManager.clearCache()
+        dt
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the JSON line short enough for log tail buffers
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.money
-import graft.ops.{Analytics, Documents, Graph, Warehouse}
+import graft.ops.{Analytics, Documents, Graph, Merge, Warehouse}
 import graft.quality.Quality
 import graft.sim.Similarity
 import graft.stream.Events
@@ -341,7 +341,35 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"),
           posexplode(slice(TextStats.tokens(TextStats.normalize(col("text"))), 1, 3)))
-        .withColumnRenamed("col", "token")))
+        .withColumnRenamed("col", "token")),
+    // --- MERGE INTO / upsert (lakehouse write path; plan-level twin of
+    // LakeTable.merge): updates + inserts + conditional deletes in one pass ---
+    "q70_merge_upsert" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", money.r2(col("o_totalprice") * 1.1))
+      val ins = o.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      Merge.upsertPlan(o, upd.unionByName(ins), Seq("o_orderkey"),
+        deleteWhen = Some(col("o_orderkey") % 49 === 0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    // --- SCD Type-2 dimension build (collapse runs -> validity intervals) ---
+    "q71_scd2_events" -> ((s, d) =>
+      Merge.scd2(Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id")),
+    // --- moment/regression aggregates (§2.4): corr/covar/stddev/var/regr ---
+    "q72_lineitem_stats" -> ((s, d) => Analytics.lineitemStats(t(s, d, "lineitem"))),
+    // --- gap-filled time-series scaffold (sequence+explode+left join) ---
+    "q73_month_scaffold" -> ((s, d) => Analytics.monthlyOrderScaffold(t(s, d, "orders"))),
+    // --- deterministic cross-engine hash sampling (stable held-out splits) ---
+    "q74_hash_sample" -> ((s, d) =>
+      Analytics.hashSample(t(s, d, "documents"), "doc_id", 2)
+        .select("doc_id", "lang", "source", "n_chars")),
+    // --- exact interpolated percentiles per group (§2.4) ---
+    "q75_price_percentiles" -> ((s, d) =>
+      Analytics.orderPricePercentiles(t(s, d, "orders"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -692,5 +720,50 @@ object SparkEntry {
       (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         "e AS (SELECT doc_id, unnest(list_transform(generate_series(1, least(3, len(toks))), " +
         "i -> {'pos': i - 1, 'tok': toks[i]})) AS u FROM t) " +
-        "SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.tok AS token FROM e"))
+        "SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.tok AS token FROM e"),
+    "q70_merge_upsert" ->
+      ("WITH upd AS (" +
+        s"SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, ${money.r2Sql("o_totalprice * 1.1")} AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice " +
+        "FROM orders WHERE o_orderkey % 1000 = 0) " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd) " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM upd " +
+        "WHERE NOT (o_orderkey % 49 = 0)"),
+    "q71_scd2_events" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +
+        "f AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM c " +
+        "WHERE prev IS NULL OR prev <> event_type), " +
+        "s AS (SELECT user_id, event_type, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to FROM f) " +
+        "SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current FROM s"),
+    "q72_lineitem_stats" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
+        "round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_pop_qty_price, " +
+        "round(stddev_samp(l_discount), 6) AS stddev_discount, " +
+        "round(var_pop(l_tax), 6) AS var_pop_tax, " +
+        "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty, " +
+        "round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept_price_on_qty " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    "q73_month_scaffold" ->
+      ("WITH b AS (SELECT date_trunc('month', min(CAST(o_orderdate AS DATE))) AS lo, " +
+        "date_trunc('month', max(CAST(o_orderdate AS DATE))) AS hi FROM orders), " +
+        "m AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start FROM b), " +
+        "a AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, count(*) AS n_orders, " +
+        s"${money.sumMoneySql("o_totalprice")} AS total_amount FROM orders GROUP BY 1) " +
+        "SELECT m.month_start, coalesce(a.n_orders, 0) AS n_orders, " +
+        "coalesce(a.total_amount, 0.0) AS total_amount FROM m LEFT JOIN a USING (month_start)"),
+    "q74_hash_sample" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"),
+    "q75_price_percentiles" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "round(quantile_cont(o_totalprice, 0.25), 4) AS p25, " +
+        "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.75), 4) AS p75, " +
+        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 " +
+        "FROM orders GROUP BY o_orderstatus"))
 }

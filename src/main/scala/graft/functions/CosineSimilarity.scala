@@ -160,10 +160,14 @@ object FuseCosine
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     plan.transformAllExpressions {
+      // accept both operand orders of the norm product — sqrt(aa)*sqrt(bb)
+      // and the commuted sqrt(bb)*sqrt(aa) spell the same denominator
       case Divide(DotProduct(a, b),
           Multiply(Sqrt(DotProduct(a2, b2)), Sqrt(DotProduct(a3, b3)), _), _)
-        if a2.semanticEquals(a) && b2.semanticEquals(a) &&
-          a3.semanticEquals(b) && b3.semanticEquals(b) =>
+        if (a2.semanticEquals(a) && b2.semanticEquals(a) &&
+            a3.semanticEquals(b) && b3.semanticEquals(b)) ||
+           (a2.semanticEquals(b) && b2.semanticEquals(b) &&
+            a3.semanticEquals(a) && b3.semanticEquals(a)) =>
         CosineSimilarity(a, b)
     }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,4 +168,71 @@ object Analytics {
     val negative = customer.filter(col("c_acctbal") < 0).select("c_custkey")
     inSegment.intersect(withOrders).union(negative).distinct()
   }
+
+  /** Statistical moment/regression aggregates per group (§2.4 extension):
+    * correlation, covariance, stddev/variance, and least-squares slope/
+    * intercept of extendedprice on quantity. All are one-pass partial+final
+    * hash aggregates (constant state per group — 100 TB safe). Results are
+    * rounded to 6 dp because moment merges accumulate floats in
+    * partition-dependent order; 1e-6 is far above the ~1e-12 merge drift and
+    * far below any real signal. */
+  def lineitemStats(lineitem: DataFrame): DataFrame = {
+    def r6(c: Column): Column = round(c, 6)
+    lineitem.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+      r6(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("covar_pop_qty_price"),
+      r6(stddev_samp(col("l_discount"))).as("stddev_discount"),
+      r6(var_pop(col("l_tax"))).as("var_pop_tax"),
+      r6(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope_price_on_qty"),
+      r6(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept_price_on_qty"))
+  }
+
+  /** Gap-filled month scaffold (time-series densification): one row per
+    * calendar month between the first and last order date — including months
+    * with NO orders, zero-filled — with order count and money-exact revenue.
+    * The scaffold is generated from a 1-row bounds aggregate (`sequence` +
+    * `explode`, no driver loop) and is tiny at any data scale, so the join
+    * back to the per-month aggregate broadcasts. */
+  def monthlyOrderScaffold(orders: DataFrame): DataFrame = {
+    import graft.functions.money.sumMoney
+    val monthly = orders
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("total_amount"))
+    val scaffold = orders
+      .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(trunc(col("lo"), "month"), trunc(col("hi"), "month"),
+        expr("interval 1 month"))).as("month_start"))
+    scaffold.join(monthly, Seq("month_start"), "left")
+      .select(col("month_start"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_amount"), lit(0.0)).as("total_amount"))
+  }
+
+  /** Deterministic hash sample: keep rows whose md5(key) falls in the first
+    * `keepSixteenths` of hex space. Unlike `TABLESAMPLE`/`df.sample` this is
+    * reproducible across engines, partitionings, and reruns — the property a
+    * training-data pipeline needs for stable held-out splits. Pure map, no
+    * shuffle; the hash is a codegen'd built-in. */
+  def hashSample(df: DataFrame, keyCol: String, keepSixteenths: Int): DataFrame = {
+    require(keepSixteenths >= 1 && keepSixteenths <= 16)
+    val nibbles = "0123456789abcdef".take(keepSixteenths).map(_.toString)
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 1)
+      .isin(nibbles: _*))
+  }
+
+  /** Exact interpolated percentiles of `o_totalprice` per order status
+    * (§2.4): the exact companion to the sketched `percentile_approx` in
+    * [[Warehouse.orderSketches]] — use this form when the group count is
+    * bounded and exactness matters, the sketch when it is not. Rounded to
+    * 4 dp: inputs have 2 dp and interpolation fractions at these quantiles
+    * have ≤2 dp, so the true value is exact at 4 dp and rounding only
+    * removes float-lowbit drift. */
+  def orderPricePercentiles(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus").agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+      round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+      round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
 }

@@ -167,6 +167,28 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     commit
   }
 
+  /** MERGE INTO this table: upsert `updates` keyed by `keys` — matched rows
+    * replaced, unmatched inserted, matches satisfying `deleteWhen` dropped
+    * (semantics in [[graft.ops.Merge.upsertPlan]]) — committed as a new
+    * version, so time travel still sees the pre-merge table. The incremental
+    * lakehouse write path Delta MERGE provides; rewrite granularity is the
+    * whole table here (our log tracks dirs, not files — documented trade). */
+  def merge(name: String, updates: DataFrame, keys: Seq[String],
+            deleteWhen: Option[org.apache.spark.sql.Column] = None): Commit = {
+    val prev = readCommit(name, latestVersion(name).get)
+    val v = prev.version + 1
+    val dest = dataDir(name, v)
+    val merged = graft.ops.Merge.upsertPlan(read(name), updates, keys, deleteWhen)
+    val writer = merged.write.mode("overwrite")
+    (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer)
+      .parquet(dest.toString)
+    val written = spark.read.parquet(dest.toString).count()
+    val commit = Commit(v, "merge", Seq(dest.toString), prev.schemaJson,
+      prev.partitionBy, written)
+    writeCommit(name, commit)
+    commit
+  }
+
   /** Z-order maintenance: rewrite the table along the Morton curve over
     * `zCols` (see [[ZOrder]]) as a new commit. Like [[compact]] this changes
     * layout only; unlike compact, every output file covers a tight range in

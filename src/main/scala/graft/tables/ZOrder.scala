@@ -26,7 +26,14 @@ object ZOrder {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"min_$c"), max(col(c).cast("double")).as(s"max_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => Bounds(r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      // an empty table or an all-null / non-castable column has no min/max —
+      // fail with the column name, not an NPE from getDouble
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"z-order bounds undefined for column '${cols(i)}' " +
+          "(empty input or no castable non-null values)")
+      Bounds(r.getDouble(2 * i), r.getDouble(2 * i + 1))
+    }
   }
 
   /** `bitsPerCol`-bit bucket index of a numeric column within its bounds. */

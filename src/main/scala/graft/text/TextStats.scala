@@ -116,7 +116,9 @@ object TextStats {
     * backrefs/lookaround, so they run identically under Java regex and any
     * RE2-based engine). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+  // 7-15 digits total, at most one space/hyphen between digits: an unbounded
+  // [\d -]* body over-redacts non-PII spans (date ranges, ID lists)
+  val PhoneRe = "\\+?\\d(?:[ -]?\\d){6,14}"
 
   /** Training-data PII scrub: replace emails then phone-number-like spans
     * with typed placeholder tokens. Pure codegen'd regexp_replace chain —

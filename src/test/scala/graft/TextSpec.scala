@@ -138,7 +138,8 @@ class TextSpec extends SparkSpec {
     val rows = df(Seq(
       doc(1, "mail me at jane.doe+x@corp.example.org today"),
       doc(2, "call +46 70 123 45 67 or 555-867-5309 now"),
-      doc(3, "nothing sensitive here")))
+      doc(3, "nothing sensitive here"),
+      doc(4, "range 2023 - 2024 and 12 - 31 - 99")))
       .select(col("doc_id"), TextStats.redactPii(col("text")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows(1) === "mail me at <EMAIL> today")
@@ -146,6 +147,9 @@ class TextSpec extends SparkSpec {
       rows(2).contains("<PHONE>")) // dashes-only numbers also redact
     assert(!rows(2).contains("+46"))
     assert(rows(3) === "nothing sensitive here")
+    // bounded separators: " - " gaps (two chars between digits) no longer
+    // chain short number runs into one fake "phone" span
+    assert(rows(4) === "range 2023 - 2024 and 12 - 31 - 99")
   }
 
   test("bpeTokenCount splits contractions, digit runs, and punctuation") {
