@@ -25,6 +25,12 @@ object SparkEntry {
       t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
       t(s, d, "part"), t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "region"))
 
+  // revenue reports touch only lineitem/orders/customer — skip the other
+  // four star joins entirely (join elimination Catalyst can't do for us)
+  private def factSlim(s: SparkSession, d: String): DataFrame =
+    Warehouse.factSalesSlim(
+      t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Warehouse.revenueBySegmentMonth(fact(spark, "/root/testdata/sf0.001"))
@@ -91,10 +97,10 @@ object SparkEntry {
     // --- warehouse layer (SURVEY §2.3 J4, §2.4 A9, §2.6 O3) ---
     "q11_fact_sales" -> ((s, d) => fact(s, d)),
     "q12_revenue_by_segment_month" -> ((s, d) =>
-      Warehouse.revenueBySegmentMonth(fact(s, d))),
+      Warehouse.revenueBySegmentMonth(factSlim(s, d))),
     "q13_top_customers" -> ((s, d) =>
-      Warehouse.topCustomersByRevenue(fact(s, d), 10)),
-    "q14_revenue_rollup" -> ((s, d) => Warehouse.revenueRollup(fact(s, d))),
+      Warehouse.topCustomersByRevenue(factSlim(s, d), 10)),
+    "q14_revenue_rollup" -> ((s, d) => Warehouse.revenueRollup(factSlim(s, d))),
     // --- windows / set ops / scalars (SURVEY §2.5, §2.7, §2.8) ---
     "q15_order_window_seq" -> ((s, d) =>
       Analytics.customerOrderSequence(t(s, d, "orders"))),
@@ -145,8 +151,8 @@ object SparkEntry {
     "q34_customer_degree" -> ((s, d) =>
       Graph.customerDegree(Graph.purchaseEdges(t(s, d, "lineitem"), t(s, d, "orders")))),
     // --- CLV + cube (reference's declared analytics goals) ---
-    "q35_customer_ltv" -> ((s, d) => Warehouse.customerLifetimeValue(fact(s, d))),
-    "q36_revenue_cube" -> ((s, d) => Warehouse.revenueCube(fact(s, d))),
+    "q35_customer_ltv" -> ((s, d) => Warehouse.customerLifetimeValue(factSlim(s, d))),
+    "q36_revenue_cube" -> ((s, d) => Warehouse.revenueCube(factSlim(s, d))),
     // --- approx sketches [ext]: sketch VALUES differ across engines by
     // design, so the verified output is exact counts + within-tolerance
     // booleans — the oracle pins the booleans TRUE, so a broken sketch
@@ -219,7 +225,7 @@ object SparkEntry {
     "q47_order_distribution" -> ((s, d) =>
       Analytics.orderDistributionStats(t(s, d, "orders"))),
     "q48_revenue_grouping_sets" -> ((s, d) =>
-      Analytics.revenueGroupingSets(fact(s, d))),
+      Analytics.revenueGroupingSets(factSlim(s, d))),
     // --- as-of join: each purchase paired with the user's latest prior view ---
     "q49_asof_purchase_view" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -235,7 +241,7 @@ object SparkEntry {
     "q50_views_before_purchase" -> ((s, d) =>
       Events.viewsBeforePurchase(Tables.events(s, d), windowMinutes = 60)),
     // --- PIVOT with explicit value list (§2.4) ---
-    "q51_revenue_pivot" -> ((s, d) => Warehouse.revenuePivotByStatus(fact(s, d))),
+    "q51_revenue_pivot" -> ((s, d) => Warehouse.revenuePivotByStatus(factSlim(s, d))),
     // --- window dedup / changelog snapshot (§2.5) ---
     "q52_latest_event_per_user" -> ((s, d) =>
       Events.latestEventPerUser(Tables.events(s, d))),
@@ -369,7 +375,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     // --- exact interpolated percentiles per group (§2.4) ---
     "q75_price_percentiles" -> ((s, d) =>
-      Analytics.orderPricePercentiles(t(s, d, "orders"))))
+      Analytics.orderPricePercentiles(t(s, d, "orders"))),
+    // --- iterative graph algorithm: connected components of the co-purchase
+    // graph (GraphX Pregel; oracle = recursive-CTE min-label propagation) ---
+    "q76_copurchase_components" -> ((s, d) =>
+      Graph.connectedComponents(
+        Graph.coPurchasePairs(t(s, d, "lineitem"), minCount = 3),
+        "part_a", "part_b")),
+    // --- per-label embedding centroids (IVF/cluster-summary primitive) ---
+    "q77_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(t(s, d, "embeddings"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -765,5 +780,23 @@ object SparkEntry {
         "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.75), 4) AS p75, " +
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 " +
-        "FROM orders GROUP BY o_orderstatus"))
+        "FROM orders GROUP BY o_orderstatus"),
+    // min-label propagation to a fixpoint: r holds (node, candidate-comp)
+    // pairs, UNION dedups, so the recursion is finite; min() = GraphX's
+    // canonical component id (lowest vertex id in the component)
+    "q76_copurchase_components" ->
+      ("WITH RECURSIVE p AS (" +
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "e AS (SELECT part_a AS src, part_b AS dst FROM p " +
+        "UNION ALL SELECT part_b, part_a FROM p), " +
+        "r AS (SELECT src AS node, src AS comp FROM e " +
+        "UNION SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node) " +
+        "SELECT node AS part, min(comp) AS component FROM r GROUP BY node"),
+    "q77_label_centroids" ->
+      ("SELECT label, pos, round(avg(val), 6) AS mean_val, count(*) AS n_vecs FROM (" +
+        "SELECT label, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INTEGER) AS pos, " +
+        "unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings) " +
+        "GROUP BY label, pos"))
 }

@@ -52,6 +52,25 @@ object Graph {
       .filter(col("n_together") >= minCount)
   }
 
+  /** Connected components of a pair/edge table via GraphX (iterative Pregel
+    * label propagation — the built-in converges every vertex to the MINIMUM
+    * vertex id in its component, which is a deterministic canonical label).
+    * Input: two long columns naming the edge endpoints. Output: one row per
+    * vertex with its component id.
+    *
+    * Scale: GraphX partitions edges and iterates supersteps of local min +
+    * shuffle; rounds = graph diameter. This is the operator behind cluster-
+    * level dedup ([[graft.text.Dedup.dedupCorpus]] uses the same idea on the
+    * near-dup pair graph). */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1))
+    val cc = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+      .connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("part", "component")
+  }
+
   /** GraphX interop: the purchase graph as Graph[VD, ED] for iterative
     * algorithms (connected components, PageRank). Part ids are offset into a
     * disjoint vertex-id space. */

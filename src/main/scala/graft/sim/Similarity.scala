@@ -192,4 +192,16 @@ object Similarity {
         cosine(col("x.vec"), col("y.vec")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Per-label dimension-wise centroid: posexplode each vector and average
+    * by (label, dimension) — the building block of IVF training / cluster
+    * summaries, as one partial+final hash aggregate (state is one
+    * (sum, count) per label×dim, independent of corpus size). 6 dp rounding
+    * absorbs partition-order float drift, same policy as
+    * [[graft.ops.Analytics.lineitemStats]]. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("col").cast("double")), 6).as("mean_val"),
+        count(lit(1)).as("n_vecs"))
 }

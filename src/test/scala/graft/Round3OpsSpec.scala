@@ -118,6 +118,27 @@ class Round3OpsSpec extends SparkSpec {
     assert(out === Map((10L, 20L) -> 3L, (20L, 30L) -> 1L))
   }
 
+  test("connectedComponents labels every vertex with its component's min id") {
+    // two components: {1,2,3,9} (chain) and {5,7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
+    val out = graft.ops.Graph.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("labelCentroids averages each dimension within a label") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.sim.Similarity.labelCentroids(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out === Map(
+      (0, 0) -> (2.0, 2L), (0, 1) -> (4.0, 2L),
+      (1, 0) -> (10.0, 1L), (1, 1) -> (20.0, 1L)))
+  }
+
   test("orderPricePercentiles: exact interpolation on a known tiny group") {
     val orders = Seq((1L, "F", 10.0), (2L, "F", 20.0), (3L, "F", 30.0),
       (4L, "F", 40.0), (5L, "F", 50.0))
