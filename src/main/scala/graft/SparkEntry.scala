@@ -384,7 +384,10 @@ object SparkEntry {
         "part_a", "part_b")),
     // --- per-label embedding centroids (IVF/cluster-summary primitive) ---
     "q77_label_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(t(s, d, "embeddings"))))
+      Similarity.labelCentroids(t(s, d, "embeddings"))),
+    // --- bigram repetition filter (Gopher-style pretraining quality gate) ---
+    "q78_repetition_ratio" -> ((s, d) =>
+      TextStats.repetitionRatio(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -798,5 +801,13 @@ object SparkEntry {
       ("SELECT label, pos, round(avg(val), 6) AS mean_val, count(*) AS n_vecs FROM (" +
         "SELECT label, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INTEGER) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings) " +
-        "GROUP BY label, pos"))
+        "GROUP BY label, pos"),
+    "q78_repetition_ratio" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) END AS grams FROM t) " +
+        "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams, " +
+        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_bigrams, " +
+        "CASE WHEN len(grams) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END AS repetition_ratio " +
+        "FROM g"))
 }

@@ -126,6 +126,26 @@ object TextStats {
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  /** Per-document bigram repetition (the Gopher-style repetition filter
+    * signal): fraction of word bigrams that are repeats of an earlier bigram
+    * in the same document. Token array is materialized in its own projection
+    * BEFORE the lambda uses it (multi-referenced non-cheap aliases are not
+    * collapsed, so the tokenizer runs once per row, not per bigram). */
+  def repetitionRatio(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), tokens(normalize(col("text"))).as("toks"))
+    val grams = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+    val withGrams = withToks.select(col("doc_id"), grams.as("grams"))
+    withGrams.select(col("doc_id"),
+      size(col("grams")).cast("long").as("n_bigrams"),
+      size(array_distinct(col("grams"))).cast("long").as("n_distinct_bigrams"),
+      when(size(col("grams")) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+          size(col("grams")).cast("double"))
+        .as("repetition_ratio"))
+  }
+
   /** Corpus term-frequency table: one row per distinct token with its
     * occurrence count — explode + hash-aggregate (map-side combined), the
     * vocabulary-building primitive. */

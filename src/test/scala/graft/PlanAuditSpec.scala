@@ -60,4 +60,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(plan) === 1, s"expected exactly 1 shuffle:\n${plan.take(600)}")
     assert(plan.contains("partial_count"), "map-side partial aggregation missing")
   }
+
+  test("slim revenue fact joins three tables only, customer broadcast") {
+    val plan = executedPlan("q14_revenue_rollup")
+    // the report touches lineitem/orders/customer; the other four star
+    // dimensions must not be scanned at all
+    for (tbl <- Seq("part.parquet", "supplier.parquet", "nation.parquet", "region.parquet"))
+      assert(!plan.contains(tbl), s"unused dimension scanned: $tbl")
+    assert(plan.contains("BroadcastExchange"), "customer should broadcast")
+  }
+
+  test("co-purchase pairs build without any join operator") {
+    val plan = executedPlan("q33_copurchase_pairs")
+    assert(!plan.contains("Join"), "pair generation should be join-free (HOF explode)")
+    // one shuffle to group lines per order, one for the pair counts
+    assert(shuffles(plan) <= 2, s"expected <=2 shuffles:\n${plan.take(600)}")
+  }
+
+  test("hash sample is a pure map: no shuffle, filter reaches the scan") {
+    val plan = executedPlan("q74_hash_sample")
+    assert(shuffles(plan) === 0, s"expected no shuffle:\n${plan.take(600)}")
+    assert(plan.contains("md5"), "hash filter missing from the plan")
+  }
 }

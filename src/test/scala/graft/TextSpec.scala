@@ -152,6 +152,17 @@ class TextSpec extends SparkSpec {
     assert(rows(4) === "range 2023 - 2024 and 12 - 31 - 99")
   }
 
+  test("repetitionRatio: repeated bigrams raise the ratio, short docs are 0") {
+    val out = TextStats.repetitionRatio(df(Seq(
+      doc(1, "a b a b a"),     // bigrams: ab ba ab ba -> 2 distinct of 4
+      doc(2, "all words differ here"),
+      doc(3, "single"))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) === ((4L, 2L, 0.5)))
+    assert(out(2) === ((3L, 3L, 0.0)))
+    assert(out(3) === ((0L, 0L, 0.0)))
+  }
+
   test("bpeTokenCount splits contractions, digit runs, and punctuation") {
     val n = df(Seq(doc(1, "don't stop! 12345 x-y")))
       .select(TextStats.bpeTokenCount(col("text")).as("n")).head().getInt(0)
