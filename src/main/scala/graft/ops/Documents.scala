@@ -23,13 +23,22 @@ object Documents {
   private val itemFields = Seq(
     "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
 
-  /** Orders with an `items: array<struct<...>>` column (one shuffle on the
-    * group key; `collect_list` runs on the ObjectHashAggregate path). */
-  def nest(orders: DataFrame, lineitem: DataFrame): DataFrame =
-    orders
-      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(orderCols.map(col): _*)
+  /** Orders with an `items: array<struct<...>>` column.
+    *
+    * Aggregate-then-join, not join-then-group: collecting the item arrays
+    * BEFORE the join shuffles only the narrow item fields keyed by order key,
+    * and the subsequent equi-join needs no re-shuffle of that side (it is
+    * already hash-partitioned on the key). Grouping after the join would
+    * shuffle every joined row at full order+item width and re-group on six
+    * wide columns. Inner-join semantics are identical: orders without items
+    * drop either way. */
+  def nest(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(struct(itemFields.map(col): _*))).as("items"))
+    orders.join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(orderCols.map(col) :+ col("items"): _*)
+  }
 
   /** Inverse of [[nest]]: explode the items array back to line grain. */
   def unnest(nested: DataFrame): DataFrame = {
