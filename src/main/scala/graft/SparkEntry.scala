@@ -387,7 +387,16 @@ object SparkEntry {
       Similarity.labelCentroids(t(s, d, "embeddings"))),
     // --- bigram repetition filter (Gopher-style pretraining quality gate) ---
     "q78_repetition_ratio" -> ((s, d) =>
-      TextStats.repetitionRatio(t(s, d, "documents"))))
+      TextStats.repetitionRatio(t(s, d, "documents"))),
+    // --- defensive arithmetic (§2.8): try_divide nulls on zero divisors
+    // instead of erroring (ANSI) or poisoning with Inf (IEEE) ---
+    "q79_safe_division" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_quantity") % 3).as("per_mod3"),
+        try_divide(lit(1.0), col("l_discount")).as("inv_discount"),
+        coalesce(try_divide(col("l_extendedprice"), col("l_quantity") % 3), lit(-1.0))
+          .as("per_mod3_filled"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -809,5 +818,13 @@ object SparkEntry {
         "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams, " +
         "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_bigrams, " +
         "CASE WHEN len(grams) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END AS repetition_ratio " +
-        "FROM g"))
+        "FROM g"),
+    // DuckDB double division already yields NULL on a zero divisor — the
+    // same contract Spark's try_divide provides
+    "q79_safe_division" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "l_extendedprice / (l_quantity % 3) AS per_mod3, " +
+        "1.0 / l_discount AS inv_discount, " +
+        "coalesce(l_extendedprice / (l_quantity % 3), -1.0) AS per_mod3_filled " +
+        "FROM lineitem"))
 }
