@@ -284,7 +284,8 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextStats.redactPii(concat(col("text"),
           lit(" contact user"), col("doc_id"),
-          lit("@example.com or +1 555 867 530"), col("doc_id"))).as("clean_text"))),
+          lit("@example.com or +1 555 867 530"), col("doc_id"),
+          lit(" via https://tracker.example.com/u/"), col("doc_id"))).as("clean_text"))),
     // --- corpus vocabulary: top terms by frequency (explode + agg + top-k) ---
     "q62_top_terms" -> ((s, d) =>
       TextStats.termFrequencies(t(s, d, "documents"))
@@ -706,8 +707,10 @@ object SparkEntry {
         "ON a.event_id < 50 AND a.event_id != b.event_id AND abs(a.value - b.value) <= 0.25 " +
         "GROUP BY a.event_id"),
     "q61_pii_redaction" ->
-      ("SELECT doc_id, regexp_replace(regexp_replace(" +
-        "text || ' contact user' || doc_id || '@example.com or +1 555 867 530' || doc_id, " +
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user' || doc_id || '@example.com or +1 555 867 530' || doc_id " +
+        "|| ' via https://tracker.example.com/u/' || doc_id, " +
+        s"'${graft.text.TextStats.UrlRe}', '<URL>', 'g'), " +
         s"'${graft.text.TextStats.EmailRe}', '<EMAIL>', 'g'), " +
         s"'${graft.text.TextStats.PhoneRe}', '<PHONE>', 'g') AS clean_text " +
         "FROM documents"),

@@ -112,6 +112,36 @@ object Events {
       .trigger(trigger)
       .start()
 
+  /** Streaming CDC apply: MERGE each micro-batch of a changelog stream into
+    * a lake table keyed by `keys` — foreachBatch + [[graft.tables.LakeTable.merge]],
+    * with per-batch semantics exactly [[graft.ops.Merge.upsertPlan]]
+    * (update / insert / conditional delete). The first batch bootstraps the
+    * table (delete-marked rows skipped); with a checkpoint dir, a restarted
+    * AvailableNow run picks up only unprocessed source files — the
+    * production shape of an incremental changelog apply. Within one batch
+    * the caller must provide at most one row per key (collapse upstream with
+    * a latest-per-key window if the source can repeat keys). */
+  def streamMergeToLake(changes: DataFrame, lake: graft.tables.LakeTable,
+                        table: String, keys: Seq[String],
+                        deleteWhen: Option[Column] = None,
+                        checkpointDir: Option[String] = None,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        if (lake.exists(table)) lake.merge(table, b, keys, deleteWhen): Unit
+        else {
+          val bootstrap = deleteWhen
+            .map(c => b.filter(!coalesce(c, lit(false)))).getOrElse(b)
+          lake.write(bootstrap, table): Unit
+        }
+      }
+      .trigger(trigger)
+    checkpointDir.fold(base)(cp => base.option("checkpointLocation", cp)).start()
+  }
+
   /** Interval join (the stream-stream join's batch twin): each purchase
     * paired with the same user's views in the preceding `windowMinutes`,
     * aggregated per purchase. Equi-key on user_id carries the shuffle; the

@@ -119,12 +119,15 @@ object TextStats {
   // 7-15 digits total, at most one space/hyphen between digits: an unbounded
   // [\d -]* body over-redacts non-PII spans (date ranges, ID lists)
   val PhoneRe = "\\+?\\d(?:[ -]?\\d){6,14}"
+  val UrlRe = "https?://[^\\s]+"
 
-  /** Training-data PII scrub: replace emails then phone-number-like spans
-    * with typed placeholder tokens. Pure codegen'd regexp_replace chain —
-    * a per-row map, no UDF, scales with the scan. */
+  /** Training-data PII/noise scrub: replace URLs, then emails, then
+    * phone-number-like spans with typed placeholder tokens (URLs first so an
+    * embedded user@host never half-matches as an email). Pure codegen'd
+    * regexp_replace chain — a per-row map, no UDF, scales with the scan. */
   def redactPii(c: Column): Column =
-    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    regexp_replace(regexp_replace(regexp_replace(c, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
   /** Per-document bigram repetition (the Gopher-style repetition filter
     * signal): fraction of word bigrams that are repeats of an earlier bigram

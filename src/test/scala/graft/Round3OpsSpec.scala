@@ -80,6 +80,33 @@ class Round3OpsSpec extends SparkSpec {
     assert(lake.validate("t")._1)
   }
 
+  test("streamMergeToLake applies changelog batches incrementally across restarts") {
+    import graft.stream.Events
+    val base = Files.createTempDirectory("graft-cdc")
+    val src = base.resolve("src"); Files.createDirectories(src)
+    val cp = base.resolve("cp").toString
+    val lake = new LakeTable(spark, base.resolve("wh").toString)
+    def stream = spark.readStream.schema("k LONG, s STRING").json(src.toString)
+    def state = lake.read("t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    Files.writeString(src.resolve("b1.json"),
+      "{\"k\":1,\"s\":\"a\"}\n{\"k\":2,\"s\":\"b\"}")
+    Events.streamMergeToLake(stream, lake, "t", Seq("k"),
+      deleteWhen = Some(col("s") === "DEL"), checkpointDir = Some(cp))
+      .awaitTermination()
+    assert(state === Set((1L, "a"), (2L, "b")))
+
+    // restart: the checkpoint makes the second run see only the new file
+    Files.writeString(src.resolve("b2.json"),
+      "{\"k\":2,\"s\":\"B\"}\n{\"k\":3,\"s\":\"c\"}\n{\"k\":1,\"s\":\"DEL\"}")
+    Events.streamMergeToLake(stream, lake, "t", Seq("k"),
+      deleteWhen = Some(col("s") === "DEL"), checkpointDir = Some(cp))
+      .awaitTermination()
+    assert(state === Set((2L, "B"), (3L, "c")))
+    assert(lake.history("t").map(_.mode) === Seq("overwrite", "merge"))
+  }
+
   test("hashSample is deterministic, order-independent, and ~keep/16 sized") {
     val df = (1L to 4000L).toDF("id")
     val a = Analytics.hashSample(df, "id", 4).collect().map(_.getLong(0)).toSet

@@ -150,6 +150,9 @@ class TextSpec extends SparkSpec {
     // bounded separators: " - " gaps (two chars between digits) no longer
     // chain short number runs into one fake "phone" span
     assert(rows(4) === "range 2023 - 2024 and 12 - 31 - 99")
+    val url = TextStats.redactPii(lit("read https://ex.com/a?b=1 and http://ex.org x"))
+    val u = df(Seq(doc(1, "-"))).select(url.as("t")).head().getString(0)
+    assert(u === "read <URL> and <URL> x")
   }
 
   test("repetitionRatio: repeated bigrams raise the ratio, short docs are 0") {
