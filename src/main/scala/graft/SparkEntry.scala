@@ -397,7 +397,21 @@ object SparkEntry {
         try_divide(col("l_extendedprice"), col("l_quantity") % 3).as("per_mod3"),
         try_divide(lit(1.0), col("l_discount")).as("inv_discount"),
         coalesce(try_divide(col("l_extendedprice"), col("l_quantity") % 3), lit(-1.0))
-          .as("per_mod3_filled"))))
+          .as("per_mod3_filled"))),
+    // --- FULL OUTER reconciliation (restatement/migration parity check) ---
+    "q80_reconcile" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val restated = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+      Quality.reconcile(o.filter(col("o_orderkey") % 3 =!= 0), restated,
+        "o_orderkey", "o_totalprice")
+    },
+    // --- array set algebra per group (basket drift across years) ---
+    "q81_basket_drift" -> ((s, d) =>
+      Analytics.customerBasketDrift(t(s, d, "lineitem"), t(s, d, "orders"),
+        1997, 1998)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -829,5 +843,27 @@ object SparkEntry {
         "l_extendedprice / (l_quantity % 3) AS per_mod3, " +
         "1.0 / l_discount AS inv_discount, " +
         "coalesce(l_extendedprice / (l_quantity % 3), -1.0) AS per_mod3_filled " +
-        "FROM lineitem"))
+        "FROM lineitem"),
+    "q80_reconcile" ->
+      ("WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0), " +
+        "b AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 5 <> 0) " +
+        "SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN a.o_orderkey IS NULL THEN 'only_b' WHEN b.o_orderkey IS NULL THEN 'only_a' " +
+        "ELSE 'both' END AS status, " +
+        "CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL " +
+        "THEN round(b.o_totalprice - a.o_totalprice, 2) END AS value_diff " +
+        "FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey"),
+    "q81_basket_drift" ->
+      ("WITH y AS (SELECT o_custkey, l_partkey, year(CAST(o_orderdate AS DATE)) AS yr " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE year(CAST(o_orderdate AS DATE)) IN (1997, 1998)), " +
+        "s AS (SELECT o_custkey, " +
+        "list_distinct(coalesce(list(l_partkey) FILTER (WHERE yr = 1997), CAST([] AS BIGINT[]))) AS p1, " +
+        "list_distinct(coalesce(list(l_partkey) FILTER (WHERE yr = 1998), CAST([] AS BIGINT[]))) AS p2 " +
+        "FROM y GROUP BY o_custkey) " +
+        "SELECT o_custkey, CAST(len(list_intersect(p1, p2)) AS INTEGER) AS n_common, " +
+        "CAST(len(p1) - len(list_intersect(p1, p2)) AS INTEGER) AS n_only_1997, " +
+        "CAST(len(p2) - len(list_intersect(p1, p2)) AS INTEGER) AS n_only_1998 " +
+        "FROM s"))
 }

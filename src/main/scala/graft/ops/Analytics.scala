@@ -221,6 +221,29 @@ object Analytics {
       .isin(nibbles: _*))
   }
 
+  /** Per-customer basket drift between two years: sizes of the
+    * intersection/differences of the distinct part sets bought in each year.
+    * One aggregate builds both sets via null-skipping conditional
+    * `collect_set`s (no self-join, no second pass); output is set SIZES so
+    * results stay scalar and engine-comparable. State per customer is
+    * bounded by catalog size, not order count. */
+  def customerBasketDrift(lineitem: DataFrame, orders: DataFrame,
+                          y1: Int, y2: Int): DataFrame = {
+    val joined = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"),
+        year(col("o_orderdate")).as("yr"))
+      .filter(col("yr").isin(y1, y2))
+    joined.groupBy("o_custkey")
+      .agg(
+        collect_set(when(col("yr") === y1, col("l_partkey"))).as("p1"),
+        collect_set(when(col("yr") === y2, col("l_partkey"))).as("p2"))
+      .select(col("o_custkey"),
+        size(array_intersect(col("p1"), col("p2"))).as("n_common"),
+        (size(col("p1")) - size(array_intersect(col("p1"), col("p2")))).as(s"n_only_$y1"),
+        (size(col("p2")) - size(array_intersect(col("p1"), col("p2")))).as(s"n_only_$y2"))
+  }
+
   /** Exact interpolated percentiles of `o_totalprice` per order status
     * (§2.4): the exact companion to the sketched `percentile_approx` in
     * [[Warehouse.orderSketches]] — use this form when the group count is

@@ -70,4 +70,23 @@ object Quality {
     * the only driver-side materialization is one Long per check. */
   def report(checks: Seq[(String, DataFrame)]): Seq[(String, Long)] =
     checks.map { case (name, df) => name -> df.count() }
+
+  /** Two-dataset reconciliation: FULL OUTER join `a` and `b` on `key` and
+    * classify every key as present in both / only_a / only_b, with the
+    * value delta for matched rows (cents-rounded). The standard
+    * restatement / migration-parity check; one shuffle on the key (or none
+    * when both sides are bucketed on it). */
+  def reconcile(a: DataFrame, b: DataFrame, key: String,
+                valueCol: String): DataFrame = {
+    val l = a.select(col(key).as("a_key"), col(valueCol).as("a_value"))
+    val r = b.select(col(key).as("b_key"), col(valueCol).as("b_value"))
+    l.join(r, col("a_key") === col("b_key"), "full_outer")
+      .select(
+        coalesce(col("a_key"), col("b_key")).as(key),
+        when(col("a_key").isNull, "only_b")
+          .when(col("b_key").isNull, "only_a")
+          .otherwise("both").as("status"),
+        when(col("a_key").isNotNull && col("b_key").isNotNull,
+          round(col("b_value") - col("a_value"), 2)).as("value_diff"))
+  }
 }
