@@ -411,7 +411,9 @@ object SparkEntry {
     // --- array set algebra per group (basket drift across years) ---
     "q81_basket_drift" -> ((s, d) =>
       Analytics.customerBasketDrift(t(s, d, "lineitem"), t(s, d, "orders"),
-        1997, 1998)))
+        1997, 1998)),
+    // --- time-bounded conversion funnel (sequence analytics, one window) ---
+    "q82_event_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -865,5 +867,17 @@ object SparkEntry {
         "SELECT o_custkey, CAST(len(list_intersect(p1, p2)) AS INTEGER) AS n_common, " +
         "CAST(len(p1) - len(list_intersect(p1, p2)) AS INTEGER) AS n_only_1997, " +
         "CAST(len(p2) - len(list_intersect(p1, p2)) AS INTEGER) AS n_only_1998 " +
-        "FROM s"))
+        "FROM s"),
+    "q82_event_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events), " +
+        "f AS (SELECT user_id, event_type, " +
+        "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS viewed_w, " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS clicked_w " +
+        "FROM e) " +
+        "SELECT count(DISTINCT user_id) AS n_users, " +
+        "count(DISTINCT CASE WHEN event_type = 'click' AND viewed_w = 1 THEN user_id END) AS n_view_then_click, " +
+        "count(DISTINCT CASE WHEN event_type = 'purchase' AND clicked_w = 1 THEN user_id END) AS n_click_then_purchase " +
+        "FROM f"))
 }

@@ -112,6 +112,30 @@ object Events {
       .trigger(trigger)
       .start()
 
+  /** Time-bounded conversion funnel: for each step pair, how many users
+    * performed the later event within `windowSeconds` AFTER an earlier one
+    * (view→click, click→purchase). One window pass per user ordered by
+    * fractional epoch seconds (`ts.cast(double)` — keeps sub-second parts,
+    * matching an `epoch()`-based oracle) with a RANGE frame that looks back
+    * `windowSeconds` and excludes the current second; then one distinct-user
+    * aggregate. Cost: one shuffle on user_id + one global agg — no
+    * self-joins, no per-step passes. */
+  def funnel(events: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      col("ts").cast("double").as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-windowSeconds, -1)
+    val flagged = e.select(col("user_id"), col("event_type"),
+      max(when(col("event_type") === "view", 1).otherwise(0)).over(w).as("viewed_w"),
+      max(when(col("event_type") === "click", 1).otherwise(0)).over(w).as("clicked_w"))
+    flagged.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(when(col("event_type") === "click" && col("viewed_w") === 1,
+        col("user_id"))).as("n_view_then_click"),
+      countDistinct(when(col("event_type") === "purchase" && col("clicked_w") === 1,
+        col("user_id"))).as("n_click_then_purchase"))
+  }
+
   /** Streaming CDC apply: MERGE each micro-batch of a changelog stream into
     * a lake table keyed by `keys` — foreachBatch + [[graft.tables.LakeTable.merge]],
     * with per-batch semantics exactly [[graft.ops.Merge.upsertPlan]]

@@ -82,4 +82,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(plan) === 0, s"expected no shuffle:\n${plan.take(600)}")
     assert(plan.contains("md5"), "hash filter missing from the plan")
   }
+
+  test("partitioned table join gets dynamic partition pruning") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // fact partitioned on the join key's column; dim carries a selective filter
+    spark.read.parquet(s"$d/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // dim must be a real source: a LocalRelation folds the filter away
+    // before planning, and DPP needs to SEE a selective predicate
+    Seq(("F", "final"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = fact.join(dim, col("o_orderstatus") === col("status"))
+      .filter(col("label") === lit("final"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n${plan.take(800)}")
+  }
 }
