@@ -413,7 +413,28 @@ object SparkEntry {
       Analytics.customerBasketDrift(t(s, d, "lineitem"), t(s, d, "orders"),
         1997, 1998)),
     // --- time-bounded conversion funnel (sequence analytics, one window) ---
-    "q82_event_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))))
+    "q82_event_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
+    // --- contingency table (DataFrameStatFunctions surface) ---
+    "q83_status_priority_crosstab" -> ((s, d) =>
+      t(s, d, "orders").stat.crosstab("o_orderstatus", "o_orderpriority")),
+    // --- re-aggregatable HLL sketches (DataSketches): per-group sketches
+    // union to the global distinct — the two-level rollup pattern a 100 TB
+    // pipeline uses so the second level never rescans raw data ---
+    "q84_hll_union" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val approx = o.groupBy("o_orderstatus")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_all"))
+      val exact = o.agg(countDistinct(col("o_custkey")).as("exact_all"))
+      approx.crossJoin(exact).select(col("exact_all"),
+        (abs(col("approx_all") - col("exact_all")) <= col("exact_all") * 0.05)
+          .as("union_ok"))
+    },
+    // --- VariantType JSON (Spark 4): parse once, typed path extraction ---
+    "q85_variant_props" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k_typed"),
+        variant_get(parse_json(col("props")), "$.k", "string").as("k_str"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -879,5 +900,19 @@ object SparkEntry {
         "SELECT count(DISTINCT user_id) AS n_users, " +
         "count(DISTINCT CASE WHEN event_type = 'click' AND viewed_w = 1 THEN user_id END) AS n_view_then_click, " +
         "count(DISTINCT CASE WHEN event_type = 'purchase' AND clicked_w = 1 THEN user_id END) AS n_click_then_purchase " +
-        "FROM f"))
+        "FROM f"),
+    "q83_status_priority_crosstab" -> {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val cells = prios.map(p =>
+        s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+      s"""SELECT o_orderstatus AS "o_orderstatus_o_orderpriority", ${cells.mkString(", ")} """ +
+        "FROM orders GROUP BY o_orderstatus"
+    },
+    // sketch estimates differ per engine by design: the gate pins the exact
+    // count plus a within-5% boolean, like q37
+    "q84_hll_union" ->
+      "SELECT count(DISTINCT o_custkey) AS exact_all, TRUE AS union_ok FROM orders",
+    "q85_variant_props" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed, " +
+        "json_extract_string(props, '$.k') AS k_str FROM events"))
 }
