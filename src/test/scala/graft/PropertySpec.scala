@@ -86,6 +86,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: upsertPlan matches reference map semantics") {
+    import graft.ops.Merge
+    import spark.implicits._
+    // keys from a small space force plenty of matched/unmatched overlap;
+    // delete marker is value < 0
+    val rowsGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(-5, 99)))
+    samples(Gen.zip(rowsGen, rowsGen), 8).foreach { case (t0, u0) =>
+      val target = t0.groupBy(_._1).map(_._2.head).toSeq // unique keys
+      val updates = u0.groupBy(_._1).map(_._2.head).toSeq
+      val got = Merge.upsertPlan(
+        target.toDF("k", "v"), updates.toDF("k", "v"), Seq("k"),
+        deleteWhen = Some(col("v") < 0))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+      val merged = (target.toMap ++ updates.toMap).filter {
+        case (k, v) => !(updates.toMap.contains(k) && v < 0)
+      }.toSeq.sorted
+      assert(got === merged, s"target=$target updates=$updates")
+    }
+  }
+
+  test("property: scd2 intervals chain and cover every value change") {
+    import graft.ops.Merge
+    import spark.implicits._
+    val evGen = Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("a", "b")))
+    samples(evGen, 8).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((k, v), i) =>
+        (k, v, java.sql.Timestamp.valueOf(f"2026-01-01 00:${i}%02d:00"), i.toLong)
+      }
+      val out = Merge.scd2(rows.toDF("k", "v", "ts", "id"), "k", "v", "ts", "id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      // reference: collapse consecutive runs per key in arrival order
+      val expect = rows.groupBy(_._1).view.mapValues { rs =>
+        val ordered = rs.sortBy(_._4)
+        ordered.foldLeft(Vector.empty[(String, java.sql.Timestamp)]) {
+          case (acc, (_, v, ts, _)) =>
+            if (acc.lastOption.exists(_._1 == v)) acc else acc :+ (v -> ts)
+        }
+      }.toMap
+      for ((k, runs) <- expect) {
+        val got = out.filter(_._1 == k).sortBy(_._3)
+        assert(got.map(g => (g._2, g._3)).toVector === runs, s"k=$k evs=$evs")
+        // valid_to chains to the next valid_from; only the last is current
+        got.sliding(2).foreach {
+          case Array(a, b) => assert(a._4.contains(b._3) && !a._5)
+          case _ => ()
+        }
+        assert(got.last._4.isEmpty && got.last._5)
+      }
+    }
+  }
+
   test("property: sumMoney is invariant under repartitioning (exact cents)") {
     import graft.functions.money
     val amountGen = Gen.listOfN(200, Gen.chooseNum(1L, 999999L).map(_ / 100.0))
