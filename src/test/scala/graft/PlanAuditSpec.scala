@@ -83,6 +83,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("md5"), "hash filter missing from the plan")
   }
 
+  test("merge upsert anti-joins against broadcast update keys, no extra shuffle") {
+    val plan = executedPlan("q70_merge_upsert")
+    assert(plan.contains("LeftAnti"), "untouched-rows side must be a left-anti join")
+    // the CDC batch's bare key projection is small -> broadcast, so the
+    // target table never shuffles for the merge
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"update keys should broadcast:\n${plan.take(600)}")
+    assert(plan.contains("Union"), "merged output should be a plan-level union")
+  }
+
   test("partitioned table join gets dynamic partition pruning") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
