@@ -434,7 +434,34 @@ object SparkEntry {
     "q85_variant_props" -> ((s, d) =>
       Tables.events(s, d).select(col("event_id"),
         variant_get(parse_json(col("props")), "$.k", "int").as("k_typed"),
-        variant_get(parse_json(col("props")), "$.k", "string").as("k_str"))))
+        variant_get(parse_json(col("props")), "$.k", "string").as("k_str"))),
+    // --- deterministic per-group mode (built-in mode() is arbitrary on
+    // ties; this count-then-rank form is reproducible) ---
+    "q86_priority_mode" -> ((s, d) =>
+      Analytics.groupMode(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")),
+    // --- equi-width histogram via engine-portable floor-division buckets ---
+    "q87_price_histogram" -> ((s, d) =>
+      Analytics.equiWidthHistogram(t(s, d, "orders"), "o_totalprice", 25000.0)),
+    // --- embedding scalar quantization (uint8 codes — vector-index storage
+    // compression; spec asserts full code arrays, output stays scalar) ---
+    "q88_embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeStats(t(s, d, "embeddings"))),
+    // --- share-of-total: whole-table window over pre-aggregated rows only ---
+    "q89_revenue_share" -> ((s, d) =>
+      Analytics.revenueShareBySegment(factSlim(s, d))),
+    // --- schema-drift union: unionByName null-fills columns the other side
+    // lacks (the batch form of a schema-evolution-tolerant ingest) ---
+    "q90_union_by_name" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val legacy = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val current = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      legacy.unionByName(current, allowMissingColumns = true)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_with_price"),
+          count(col("o_orderpriority")).as("n_with_priority"))
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -914,5 +941,41 @@ object SparkEntry {
       "SELECT count(DISTINCT o_custkey) AS exact_all, TRUE AS union_ok FROM orders",
     "q85_variant_props" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_typed, " +
-        "json_extract_string(props, '$.k') AS k_str FROM events"))
+        "json_extract_string(props, '$.k') AS k_str FROM events"),
+    "q86_priority_mode" ->
+      ("SELECT o_orderstatus, o_orderpriority AS mode_o_orderpriority, n FROM (" +
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY count(*) DESC, o_orderpriority) AS rn " +
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority) t WHERE rn = 1"),
+    "q87_price_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bucket, " +
+        "count(*) AS n_rows, min(o_totalprice) AS min_val, max(o_totalprice) AS max_val " +
+        "FROM orders GROUP BY 1"),
+    "q88_embedding_quantize" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "CAST(list_min(embedding) AS DOUBLE) AS mn, CAST(list_max(embedding) AS DOUBLE) AS mx " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(CASE WHEN mx = mn THEN 0 ELSE least(255, floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0)) END AS INTEGER)) AS codes " +
+        "FROM b) " +
+        "SELECT vec_id, CAST(len(codes) AS INTEGER) AS n_dims, " +
+        "CAST(list_sum(codes) AS BIGINT) AS code_sum, " +
+        "list_min(codes) AS code_min, list_max(codes) AS code_max FROM q"),
+    "q89_revenue_share" ->
+      ("WITH f AS (SELECT c_mktsegment, " +
+        s"${money.r2Sql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "seg AS (SELECT c_mktsegment, " +
+        "CAST(sum(CAST(floor(revenue * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM f GROUP BY c_mktsegment) " +
+        "SELECT c_mktsegment, CAST(cents AS DOUBLE) / 100.0 AS segment_revenue, " +
+        "round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE), 6) AS revenue_share " +
+        "FROM seg"),
+    "q90_union_by_name" ->
+      ("SELECT count(*) AS n_rows, count(o_totalprice) AS n_with_price, " +
+        "count(o_orderpriority) AS n_with_priority FROM (" +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION ALL BY NAME " +
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O') u"))
 }

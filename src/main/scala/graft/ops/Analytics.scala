@@ -258,4 +258,46 @@ object Analytics {
       round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
       round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+
+  /** Deterministic per-group mode: the most frequent `valCol` in each
+    * `grpCol`, ties broken by smallest value. Spark's built-in `mode()` (and
+    * DuckDB's) picks an ARBITRARY element on ties, which is useless for an
+    * engine-parity gate and irreproducible across partitionings — this form
+    * (count-then-rank) is fully deterministic. Two shuffles of the SMALL
+    * aggregated domain (|groups|x|values| rows), never of the fact table;
+    * the first aggregate is map-side-combined. */
+  def groupMode(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(grpCol, valCol).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(grpCol).orderBy(desc("n"), asc(valCol))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(grpCol), col(valCol).as(s"mode_$valCol"), col("n"))
+  }
+
+  /** Equi-width histogram of a positive numeric column: bucket index =
+    * floor(x / width). Spelled with plain floor-division (identical IEEE op
+    * in every engine) rather than `width_bucket`, whose internal scaling
+    * arithmetic differs between implementations and can flip a boundary
+    * value's bucket by one ulp. Single map-side-combined aggregate — one
+    * shuffle of |buckets| rows regardless of table size. */
+  def equiWidthHistogram(df: DataFrame, valCol: String, width: Double): DataFrame =
+    df.groupBy(floor(col(valCol) / lit(width)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valCol)).as("min_val"),
+        max(col(valCol)).as("max_val"))
+
+  /** Revenue share-of-total per segment: a whole-table window over the
+    * PRE-AGGREGATED rows (|segments| of them), not the fact table — the
+    * share division touches 5 rows at any data scale. Sums are exact integer
+    * cents ([[graft.functions.money.sumMoney]]) so the shares are
+    * engine-portable at 6 dp. */
+  def revenueShareBySegment(factSlim: DataFrame): DataFrame = {
+    val seg = factSlim.groupBy("c_mktsegment")
+      .agg(sum(floor(col("revenue") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("cents"))
+    seg.select(col("c_mktsegment"),
+      (col("cents").cast("double") / lit(100.0)).as("segment_revenue"),
+      round(col("cents").cast("double") /
+        sum(col("cents")).over().cast("double"), 6).as("revenue_share"))
+  }
 }
