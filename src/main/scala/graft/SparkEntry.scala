@@ -9,7 +9,7 @@ import graft.quality.Quality
 import graft.sim.Similarity
 import graft.stream.Events
 import graft.tables.Tables
-import graft.text.{Dedup, TextStats}
+import graft.text.{Dedup, TextFeatures, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` (column names and
@@ -461,7 +461,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           count(col("o_totalprice")).as("n_with_price"),
           count(col("o_orderpriority")).as("n_with_priority"))
-    })
+    },
+    // --- distribution shape: Spark's population skew / excess kurtosis,
+    // oracled as explicit central moments ---
+    "q91_price_shape" -> ((s, d) =>
+      Analytics.lineitemShape(t(s, d, "lineitem"))),
+    // --- freqItems accuracy gate: the sketch guarantees no false negatives
+    // above the support threshold, so it must contain the exact mode ---
+    "q92_freq_items_gate" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val freq = o.stat.freqItems(Array("o_orderstatus"), 0.3)
+        .select(col("o_orderstatus_freqItems").as("candidates"))
+      val exact = Analytics.groupMode(o.withColumn("g", lit(1)), "g", "o_orderstatus")
+        .select(col("mode_o_orderstatus").as("top_status"))
+      freq.crossJoin(exact).select(col("top_status"),
+        array_contains(col("candidates"), col("top_status")).as("found"))
+    },
+    // --- train/eval decontamination by 8-gram overlap (hash-keyed join) ---
+    "q93_decontamination" -> ((s, d) =>
+      Dedup.crossSplitContamination(t(s, d, "documents"))),
+    // --- fixed-window token chunking with stride (context-window prep) ---
+    "q94_token_chunks" -> ((s, d) =>
+      TextFeatures.chunkPlan(t(s, d, "documents"))),
+    // --- greedy sequence packing per corpus source (running-sum window) ---
+    "q95_sequence_packing" -> ((s, d) =>
+      TextFeatures.packingPlan(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -977,5 +1001,48 @@ object SparkEntry {
         "count(o_orderpriority) AS n_with_priority FROM (" +
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' " +
         "UNION ALL BY NAME " +
-        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O') u"))
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O') u"),
+    // DuckDB's skewness/kurtosis apply sample-size corrections; spell
+    // Spark's population definitions as explicit central moments instead
+    "q91_price_shape" ->
+      ("WITH m AS (SELECT l_returnflag, l_extendedprice AS x, " +
+        "avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mu FROM lineitem), " +
+        "c AS (SELECT l_returnflag, count(*) AS n, " +
+        "avg((x-mu)*(x-mu)) AS m2, avg((x-mu)*(x-mu)*(x-mu)) AS m3, " +
+        "avg((x-mu)*(x-mu)*(x-mu)*(x-mu)) AS m4 FROM m GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, round(m3 / pow(m2, 1.5), 6) AS skew, " +
+        "round(m4 / (m2 * m2) - 3.0, 6) AS kurt FROM c"),
+    // the sketch has no false negatives above the support threshold, so
+    // containment of the exact mode is a hard guarantee, not luck
+    "q92_freq_items_gate" ->
+      ("SELECT (SELECT o_orderstatus FROM orders GROUP BY o_orderstatus " +
+        "ORDER BY count(*) DESC, o_orderstatus LIMIT 1) AS top_status, TRUE AS found"),
+    "q93_decontamination" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks, " +
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib FROM documents), " +
+        "s AS (SELECT doc_id, nib IN ('0','1') AS is_eval, " +
+        "array_to_string(toks[i:i+7], ' ') AS sh " +
+        "FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)), " +
+        "e AS (SELECT DISTINCT doc_id, sh FROM s WHERE is_eval), " +
+        "tr AS (SELECT DISTINCT sh FROM s WHERE NOT is_eval) " +
+        "SELECT e.doc_id, count(*) AS n_shingles, count(tr.sh) AS n_shared, " +
+        "(count(tr.sh) > 0) AS contaminated " +
+        "FROM e LEFT JOIN tr ON e.sh = tr.sh GROUP BY e.doc_id"),
+    "q94_token_chunks" ->
+      (s"WITH t AS (SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(i AS INTEGER) AS chunk_idx " +
+        "FROM t, unnest(generate_series(0, (n_tokens - 1) // 96)) AS u(i) " +
+        "WHERE n_tokens >= 1) " +
+        "SELECT doc_id, n_tokens, chunk_idx, " +
+        "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
+        "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    "q95_sequence_packing" ->
+      (s"WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (" +
+        "PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, " +
+        "CAST((cum - n_tokens) // 4096 AS BIGINT) AS start_bin, " +
+        "CAST((cum - 1) // 4096 AS BIGINT) AS end_bin FROM c"))
 }

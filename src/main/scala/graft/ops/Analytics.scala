@@ -259,6 +259,19 @@ object Analytics {
       round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
 
+  /** Distribution-shape moments per group: population skewness
+    * (m3 / m2^1.5) and excess kurtosis (m4 / m2^2 - 3) — Spark's built-in
+    * definitions, which an oracle engine must spell as explicit central
+    * moments (DuckDB's `skewness`/`kurtosis` apply sample-size corrections
+    * and would NOT match). One map-side-combined aggregate; 6 dp rounding
+    * absorbs the online-vs-two-pass moment drift (~1e-11 relative), same
+    * policy as [[lineitemStats]]. */
+  def lineitemShape(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      round(skewness(col("l_extendedprice")), 6).as("skew"),
+      round(kurtosis(col("l_extendedprice")), 6).as("kurt"))
+
   /** Deterministic per-group mode: the most frequent `valCol` in each
     * `grpCol`, ties broken by smallest value. Spark's built-in `mode()` (and
     * DuckDB's) picks an ARBITRARY element on ties, which is useless for an

@@ -215,4 +215,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), hamming(col("fa"), col("fb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Train/eval decontamination: per held-out document, how many of its
+    * distinct word `n`-grams also appear anywhere in the training split.
+    * The split is the deterministic md5-nibble hash sample
+    * ([[graft.ops.Analytics.hashSample]] policy) so it is reproducible
+    * across engines and reruns. Shingles are hashed to 64-bit keys before
+    * the distinct+join, so the shuffle moves 8-byte longs instead of
+    * ~50-byte strings — at 100 TB the train side is billions of distinct
+    * shingles and this join is the cost center (sort-merge on the hash;
+    * collisions are ~2^-64 per pair and only ever ADD a false positive).
+    * Documents shorter than `n` tokens contribute no shingles and drop out,
+    * on both engines. */
+  def crossSplitContamination(docs: DataFrame, n: Int = 8,
+                              evalNibbles: Seq[String] = Seq("0", "1")): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextStats.tokens(TextStats.normalize(col("text"))).as("toks"),
+      substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin(evalNibbles: _*).as("is_eval"))
+    val sh = base.select(col("doc_id"), col("is_eval"),
+        explode(when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))
+          .otherwise(typedLit(Seq.empty[String]))).as("sh"))
+      .select(col("doc_id"), col("is_eval"), xxhash64(col("sh")).as("h"))
+    val evalSh = sh.filter(col("is_eval")).select("doc_id", "h").distinct()
+    val trainSh = sh.filter(!col("is_eval")).select("h").distinct()
+      .withColumn("hit", lit(1))
+    evalSh.join(trainSh, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
 }

@@ -36,4 +36,48 @@ object TextFeatures {
   def trainValTest(df: DataFrame, weights: Array[Double] = Array(0.8, 0.1, 0.1),
                    seed: Long = 42L): Array[DataFrame] =
     df.randomSplit(weights, seed)
+
+  /** Fixed-size context-window chunking with stride: one output row per
+    * (document, chunk) where chunk `i` covers tokens
+    * `[i*stride, i*stride + chunk)`. Chunk starts come from a `sequence` +
+    * `explode` over the token COUNT — the token array itself is never
+    * duplicated per chunk, so the generator output stays narrow. Pure map +
+    * generate, zero shuffles; `chunk >= stride` gives overlapping windows.
+    * Division is double-then-truncate, exact for non-negative counts. */
+  def chunkPlan(docs: DataFrame, chunk: Int = 128, stride: Int = 96): DataFrame = {
+    require(chunk >= 1 && stride >= 1, "chunk and stride must be positive")
+    val toks = docs.select(col("doc_id"),
+      size(TextStats.tokens(TextStats.normalize(col("text")))).as("n_tokens"))
+    toks.filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0),
+          ((col("n_tokens") - 1) / lit(stride)).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(chunk), col("n_tokens") - col("chunk_idx") * stride)
+          .as("chunk_len"))
+  }
+
+  /** Greedy token-stream packing: within each corpus `source`, documents in
+    * doc_id order are laid head-to-tail into fixed-`capacity` training
+    * sequences; a document whose span crosses a boundary reports
+    * `start_bin != end_bin` (the packer's split-or-pad decision point).
+    * One running-sum window PARTITIONED BY source — packing parallelizes
+    * across sources, the way a 100 TB pipeline shards packing by corpus
+    * rather than one global order. `capacity` a power of two keeps the
+    * double division exact (counts < 2^53). */
+  def packingPlan(docs: DataFrame, capacity: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(TextStats.tokens(TextStats.normalize(col("text")))).cast("long")
+        .as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.select(col("doc_id"), col("source"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        ((col("cum_tokens") - col("n_tokens")) / lit(capacity)).cast("long")
+          .as("start_bin"),
+        ((col("cum_tokens") - 1) / lit(capacity)).cast("long").as("end_bin"))
+  }
 }

@@ -74,6 +74,74 @@ class Round3bOpsSpec extends SparkSpec {
     assert(out("C")._2 === math.rint(39.99 / 100.0 * 1e6) / 1e6)
   }
 
+  test("crossSplitContamination finds planted n-gram overlap only") {
+    // doc 7 hashes to an eval nibble? Build explicitly: pick ids whose
+    // md5 first nibble is in/out of the eval set.
+    def nib(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).substring(0, 1)
+    }
+    val evalId = (1L to 200L).find(i => "01".contains(nib(i))).get
+    val cleanId = (1L to 200L).find(i => "01".contains(nib(i)) && i != evalId).get
+    val trainId = (1L to 200L).find(i => !"01".contains(nib(i))).get
+    val shared = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (evalId, s"$shared trailing words here beyond the shared prefix okay"),
+      (cleanId, "entirely different words with no overlap at all present here"),
+      (trainId, s"leading context then $shared and more after that"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Dedup.crossSplitContamination(df, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(evalId)._2, "planted 8-gram must be flagged")
+    assert(out(evalId)._1 >= 1L)
+    assert(!out(cleanId)._2, "clean doc must not be flagged")
+    assert(!out.contains(trainId), "train docs are not scored")
+  }
+
+  test("chunkPlan covers every token exactly once at stride == chunk") {
+    val df = Seq((1L, (1 to 250).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = graft.text.TextFeatures.chunkPlan(df, chunk = 100, stride = 100)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows === Array((0, 0, 100), (1, 100, 100), (2, 200, 50)))
+  }
+
+  test("chunkPlan with overlap: last chunk short, starts stride apart") {
+    val df = Seq((1L, (1 to 130).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = graft.text.TextFeatures.chunkPlan(df, chunk = 128, stride = 96)
+      .orderBy("chunk_idx").collect().map(r => (r.getInt(3), r.getInt(4)))
+    assert(rows === Array((0, 128), (96, 34)))
+  }
+
+  test("packingPlan bins are contiguous within a source and respect capacity") {
+    val docs = Seq(
+      (1L, "s1", 3000), (2L, "s1", 2000), (3L, "s1", 4096), (4L, "s2", 100))
+      .map { case (id, src, n) => (id, src, (1 to n).map(_ => "t").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.TextFeatures.packingPlan(docs, capacity = 4096)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) === ((3000L, 3000L, 0L, 0L)))     // fits bin 0
+    assert(out(2L) === ((2000L, 5000L, 0L, 1L)))     // straddles 0 -> 1
+    assert(out(3L) === ((4096L, 9096L, 1L, 2L)))     // straddles 1 -> 2
+    assert(out(4L) === ((100L, 100L, 0L, 0L)))       // s2 packs independently
+  }
+
+  test("lineitemShape matches two-pass central moments on the driver") {
+    val xs = Seq.tabulate(500)(i => ("A", (i % 37).toDouble * 1.5 + (i % 11)))
+    val df = xs.toDF("l_returnflag", "l_extendedprice")
+    val r = Analytics.lineitemShape(df).collect().head
+    val v = xs.map(_._2)
+    val mu = v.sum / v.size
+    val m2 = v.map(x => math.pow(x - mu, 2)).sum / v.size
+    val m3 = v.map(x => math.pow(x - mu, 3)).sum / v.size
+    val m4 = v.map(x => math.pow(x - mu, 4)).sum / v.size
+    assert(r.getLong(1) === 500L)
+    assert(math.abs(r.getDouble(2) - m3 / math.pow(m2, 1.5)) < 1e-5)
+    assert(math.abs(r.getDouble(3) - (m4 / (m2 * m2) - 3.0)) < 1e-5)
+  }
+
   test("unionByName aligns drifted schemas by name with null fill") {
     val legacy = Seq((1L, 10.0)).toDF("k", "price")
     val current = Seq((2L, "HIGH")).toDF("k", "prio")
