@@ -146,15 +146,9 @@ object Dedup {
     * pairs are typically sparse so the iteration converges fast). Returns
     * (doc_id, cluster_id) for every doc that appears in some pair, with
     * cluster_id = the smallest doc_id in the component (the canonical doc). */
-  def clusterPairs(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1))
-    val g = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
-    g.connectedComponents().vertices
+  def clusterPairs(pairs: DataFrame): DataFrame =
+    graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
       .toDF("doc_id", "cluster_id")
-  }
 
   /** End-to-end corpus dedup: exact dedup, MinHash near-dup candidate pairs,
     * connected-component clustering, keep ONE canonical doc (min doc_id) per
