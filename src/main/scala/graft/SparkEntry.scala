@@ -485,7 +485,20 @@ object SparkEntry {
       TextFeatures.chunkPlan(t(s, d, "documents"))),
     // --- greedy sequence packing per corpus source (running-sum window) ---
     "q95_sequence_packing" -> ((s, d) =>
-      TextFeatures.packingPlan(t(s, d, "documents"))))
+      TextFeatures.packingPlan(t(s, d, "documents"))),
+    // --- windowed approx-distinct (the streaming-ready sketch agg; exact
+    // count pinned by the oracle, estimate accuracy-gated like q37/q84) ---
+    "q96_window_distinct_users" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val approx = Events.distinctUsersPerWindow(ev)
+      val exact = ev.groupBy(window(col("ts"), "15 minutes"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("window.start").as("window_start"), col("exact_users"))
+      approx.join(exact, Seq("window_start"))
+        .select(col("window_start"), col("exact_users"), col("n_events"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(2.0))).as("approx_ok"))
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1044,5 +1057,11 @@ object SparkEntry {
         "PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, " +
         "CAST((cum - n_tokens) // 4096 AS BIGINT) AS start_bin, " +
-        "CAST((cum - 1) // 4096 AS BIGINT) AS end_bin FROM c"))
+        "CAST((cum - 1) // 4096 AS BIGINT) AS end_bin FROM c"),
+    // explicit 1970 origin keeps time_bucket on Spark's epoch-aligned grid
+    "q96_window_distinct_users" ->
+      ("SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP), " +
+        "TIMESTAMP '1970-01-01') AS window_start, " +
+        "count(DISTINCT user_id) AS exact_users, count(*) AS n_events, " +
+        "TRUE AS approx_ok FROM events GROUP BY 1"))
 }

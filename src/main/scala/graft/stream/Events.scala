@@ -87,6 +87,33 @@ object Events {
         col("n_events"), col("sum_value"))
   }
 
+  /** Approximate distinct users per tumbling window (batch form). At 100 TB
+    * an exact per-window distinct is a full shuffle of user ids; HLL++ state
+    * is a few KB per window and map-side combined. The estimate is
+    * DETERMINISTIC (register max-merge is commutative/associative), so the
+    * streaming twin below produces bit-identical numbers — and an exact
+    * engine can only be compared via an accuracy gate (q96). */
+  def distinctUsersPerWindow(events: DataFrame,
+                             width: String = "15 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("approx_users"), col("n_events"))
+
+  /** Streaming twin of [[distinctUsersPerWindow]]: same expressions under a
+    * watermark; HLL++ sketches live in the state store per open window. */
+  def streamingDistinctUsers(spark: SparkSession, dir: String,
+                             width: String = "15 minutes",
+                             watermark: String = "30 minutes"): DataFrame =
+    readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("approx_users"), col("n_events"))
+
   /** Streaming dedup within the watermark (the streaming form of exact
     * dedup: drop retransmitted event_ids). */
   def streamingDedup(spark: SparkSession, dir: String,

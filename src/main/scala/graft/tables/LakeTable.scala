@@ -90,7 +90,8 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     * for the new columns on old files. */
   def write(df: DataFrame, name: String, mode: String = "overwrite",
             partitionBy: Seq[String] = Seq.empty,
-            allowEvolution: Boolean = false): Commit = {
+            allowEvolution: Boolean = false,
+            compression: String = "snappy"): Commit = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode $mode")
     val prev = latestVersion(name).map(readCommit(name, _))
     val v = prev.map(_.version + 1).getOrElse(0L)
@@ -108,7 +109,10 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
       }
     }
     val dest = dataDir(name, v)
-    val writer = df.write.mode("overwrite")
+    // snappy for hot tables (cheap CPU), zstd for cold/archive versions
+    // (~30-40% smaller — at 100 TB that is tens of TB of scan I/O saved);
+    // parquet is self-describing so readers never need to know the codec
+    val writer = df.write.mode("overwrite").option("compression", compression)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dest.toString)
     val dirs = (if (mode == "append") prev.map(_.dirs).getOrElse(Seq.empty)

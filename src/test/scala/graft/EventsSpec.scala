@@ -95,6 +95,26 @@ class EventsSpec extends SparkSpec {
     stream.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
   }
 
+  test("streaming approx-distinct users matches the batch twin bit-for-bit") {
+    val q = Events.streamingDistinctUsers(spark, eventsDir,
+        watermark = "1 minute").writeStream
+      .format("memory").queryName("ev_hll_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    val stream = spark.table("ev_hll_test").collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Long]("n_events"))).toMap
+    val batch = Events.distinctUsersPerWindow(
+        graft.tables.Tables.events(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Long]("n_events"))).toMap
+    assert(stream.nonEmpty)
+    // HLL++ merge is commutative: closed windows agree EXACTLY, not within
+    // tolerance — the property that makes the sketch safe to re-aggregate
+    stream.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
+  }
+
   test("streaming session windows close and match batch session starts") {
     val q = Events.streamingSessionize(spark, eventsDir,
         gap = "30 minutes", watermark = "1 minute").writeStream

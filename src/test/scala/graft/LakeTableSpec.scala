@@ -23,6 +23,20 @@ class LakeTableSpec extends SparkSpec {
     assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("zstd-compressed write roundtrips; codec is per-version, self-described") {
+    val dir = Files.createTempDirectory("graft-lake").toString
+    val lake = new LakeTable(spark, dir)
+    lake.write(df(rows), "sales", compression = "zstd")
+    assert(lake.read("sales").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+    // mixed codecs across versions read fine (parquet footers carry the codec)
+    lake.write(df(Seq(Sale(4, "west", 5.0))), "sales", mode = "append")
+    assert(lake.read("sales").count() === 4)
+    val v0Files = new java.io.File(s"$dir/sales/data/v00000000")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(v0Files.nonEmpty && v0Files.forall(_.contains("zstd")))
+  }
+
   test("overwrite replaces content and bumps the version") {
     val lake = freshLake()
     lake.write(df(rows), "sales")

@@ -142,6 +142,20 @@ class Round3bOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - (m4 / (m2 * m2) - 3.0)) < 1e-5)
   }
 
+  test("approxQuantile honors its relative-error contract vs exact ranks") {
+    val n = 10000
+    val df = Seq.tabulate(n)(i => ((i * 7919) % n).toDouble).toDF("x")
+    val eps = 0.01
+    val qs = Array(0.25, 0.5, 0.9)
+    val approx = df.stat.approxQuantile("x", qs, eps)
+    // contract: returned value's RANK is within eps*n of the target rank
+    val sorted = (0 until n).map(i => ((i * 7919) % n).toDouble).sorted
+    qs.zip(approx).foreach { case (q, v) =>
+      val rank = sorted.count(_ <= v)
+      assert(math.abs(rank - q * n) <= eps * n + 1, s"quantile $q -> $v rank $rank")
+    }
+  }
+
   test("unionByName aligns drifted schemas by name with null fill") {
     val legacy = Seq((1L, 10.0)).toDF("k", "price")
     val current = Seq((2L, "HIGH")).toDF("k", "prio")
