@@ -93,6 +93,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Union"), "merged output should be a plan-level union")
   }
 
+  test("token chunking is generate-only: no exchange anywhere in the plan") {
+    val plan = executedPlan("q94_token_chunks")
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n${plan.take(600)}")
+    assert(plan.contains("Generate"), "chunk starts should come from a generator")
+  }
+
+  test("sequence packing shuffles once, on the source partition key") {
+    val plan = executedPlan("q95_sequence_packing")
+    assert(shuffles(plan) === 1, s"expected exactly 1 shuffle:\n${plan.take(600)}")
+    assert(plan.contains("Window"), plan.take(400))
+  }
+
+  test("decontamination dedups shingles BEFORE the cross-split join") {
+    val plan = executedPlan("q93_decontamination")
+    val section = plan.split("== Initial Plan ==").last
+    // both sides must aggregate (distinct) before the join; the join key is
+    // the 64-bit shingle hash, not the shingle string
+    val joinLine = section.linesIterator.find(l =>
+      l.contains("Join") && l.contains("h#")).getOrElse("")
+    assert(joinLine.nonEmpty, s"expected the join keyed on the hash:\n${section.take(800)}")
+    val beforeJoin = section.substring(0, section.indexOf(joinLine))
+    assert(!beforeJoin.contains("FileScan"),
+      "join should sit above distinct aggregates, not directly on scans")
+  }
+
   test("partitioned table join gets dynamic partition pruning") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._

@@ -154,6 +154,57 @@ class PropertySpec extends SparkSpec {
       assert(sums.head === expected)
     }
   }
+
+  test("property: quantizeCodes is bounded, order-preserving, hits 0 and 255") {
+    import graft.sim.Similarity
+    val vecGen = Gen.listOfN(24, Gen.chooseNum(-1000, 1000).map(_ / 7.0f))
+    val vecs = samples(vecGen, 30).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val out = df(vecs.map { case (id, v) => Vec(id, v.toArray, 0) })
+      .select(col("vec_id"), col("embedding"),
+        Similarity.quantizeCodes(col("embedding")).as("codes"))
+      .collect()
+      .map(r => (r.getSeq[Float](1), r.getSeq[Int](2)))
+    out.foreach { case (v, codes) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      if (v.max > v.min) {
+        assert(codes(v.indexOf(v.min)) === 0)
+        assert(codes(v.indexOf(v.max)) === 255)
+        // monotone: larger input never quantizes below a smaller one
+        v.zip(codes).sortBy(_._1).map(_._2).sliding(2).foreach {
+          case Seq(a, b) => assert(a <= b)
+          case _ => ()
+        }
+      } else assert(codes.forall(_ === 0))
+    }
+  }
+
+  test("property: packing bins are dense and every bin holds <= capacity") {
+    import graft.text.TextFeatures
+    val lenGen = Gen.listOfN(40, Gen.chooseNum(1, 900))
+    samples(lenGen, 5).foreach { lens =>
+      val docs = df(lens.zipWithIndex.map { case (n, i) =>
+        Doc2(i.toLong, "s", List.fill(n)("t").mkString(" ")) })
+      val rows = TextFeatures.packingPlan(docs, capacity = 512)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      // running totals reconstruct: cum_i = cum_{i-1} + n_i
+      rows.sliding(2).foreach {
+        case Array((_, c1, _, _), (n2, c2, _, _)) => assert(c2 === c1 + n2)
+        case _ => ()
+      }
+      rows.foreach { case (n, cum, start, end) =>
+        assert(start === (cum - n) / 512)
+        assert(end === (cum - 1) / 512)
+        assert(start <= end)
+      }
+      // bins are dense 0..maxBin: a doc's span never skips a bin boundary
+      val maxBin = rows.map(_._4).max
+      val covered = rows.flatMap { case (_, _, s, e) => s to e }.toSet
+      assert(covered === (0L to maxBin).toSet)
+    }
+  }
 }
+
+case class Doc2(doc_id: Long, source: String, text: String)
 
 case class KV(k: Long, v: Double)
