@@ -498,7 +498,13 @@ object SparkEntry {
         .select(col("window_start"), col("exact_users"), col("n_events"),
           (abs(col("approx_users") - col("exact_users")) <=
             greatest(col("exact_users") * 0.05, lit(2.0))).as("approx_ok"))
-    })
+    },
+    // --- correlated scalar subquery (Catalyst decorrelation) ---
+    "q97_above_own_avg" -> ((s, d) =>
+      Analytics.ordersAboveCustomerAvg(t(s, d, "orders"))),
+    // --- regex pattern mining over the corpus (RE2-portable) ---
+    "q98_regex_matches" -> ((s, d) =>
+      TextStats.regexMatches(t(s, d, "documents"), "\\b[aeiou][a-z]{3,}\\b")))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1063,5 +1069,14 @@ object SparkEntry {
       ("SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP), " +
         "TIMESTAMP '1970-01-01') AS window_start, " +
         "count(DISTINCT user_id) AS exact_users, count(*) AS n_events, " +
-        "TRUE AS approx_ok FROM events GROUP BY 1"))
+        "TRUE AS approx_ok FROM events GROUP BY 1"),
+    "q97_above_own_avg" ->
+      ("SELECT o_custkey, count(*) AS n_above FROM orders o " +
+        "WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2 " +
+        "WHERE o2.o_custkey = o.o_custkey) GROUP BY o_custkey"),
+    "q98_regex_matches" ->
+      (s"SELECT doc_id, CAST(len(regexp_extract_all($normSql, " +
+        """'\b[aeiou][a-z]{3,}\b')) AS INTEGER) AS n_matches, """ +
+        s"regexp_extract_all($normSql, " +
+        """'\b[aeiou][a-z]{3,}\b')[1] AS first_match FROM documents"""))
 }

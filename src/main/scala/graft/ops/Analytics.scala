@@ -272,6 +272,22 @@ object Analytics {
       round(skewness(col("l_extendedprice")), 6).as("skew"),
       round(kurtosis(col("l_extendedprice")), 6).as("kurt"))
 
+  /** Orders priced above their customer's own average — spelled as a
+    * CORRELATED scalar subquery so Catalyst's decorrelation rewrites it into
+    * one aggregate + one equi-join (verified by plan audit: no nested-loop
+    * or cartesian fallback). The SQL-surface twin of the window-function
+    * forms elsewhere; at scale both plans shuffle once on the key. */
+  def ordersAboveCustomerAvg(orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("graft_q97_orders")
+    orders.sparkSession.sql(
+      """SELECT o_custkey, count(*) AS n_above
+        |FROM graft_q97_orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                      FROM graft_q97_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey""".stripMargin)
+  }
+
   /** Deterministic per-group mode: the most frequent `valCol` in each
     * `grpCol`, ties broken by smallest value. Spark's built-in `mode()` (and
     * DuckDB's) picks an ARBITRARY element on ties, which is useless for an

@@ -167,4 +167,16 @@ object TextStats {
     * regexp_extract_all, no UDF. */
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpeTokenRe), lit(0)))
+
+  /** All matches of an RE2-portable pattern per document: match count and
+    * first hit (null when none — `get` is the non-ANSI-throwing accessor).
+    * Pure codegen'd map; the pattern-mining primitive behind PII scans,
+    * boilerplate detection, and format-specific extraction. Keep patterns
+    * free of lookaround/backreferences so any RE2-based engine (and the
+    * DuckDB oracle) matches identically. */
+  def regexMatches(docs: DataFrame, pattern: String): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_extract_all(normalize(col("text")), lit(pattern), lit(0)).as("m"))
+      .select(col("doc_id"), size(col("m")).as("n_matches"),
+        get(col("m"), lit(0)).as("first_match"))
 }

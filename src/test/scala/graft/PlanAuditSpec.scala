@@ -119,6 +119,14 @@ class PlanAuditSpec extends SparkSpec {
       "join should sit above distinct aggregates, not directly on scans")
   }
 
+  test("correlated scalar subquery decorrelates to aggregate + equi-join") {
+    val plan = executedPlan("q97_above_own_avg")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation fell back to a nested loop:\n${plan.take(600)}")
+    assert(plan.contains("Join"), "expected the rewritten equi-join")
+  }
+
   test("partitioned table join gets dynamic partition pruning") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
