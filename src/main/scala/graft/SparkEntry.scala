@@ -504,7 +504,24 @@ object SparkEntry {
       Analytics.ordersAboveCustomerAvg(t(s, d, "orders"))),
     // --- regex pattern mining over the corpus (RE2-portable) ---
     "q98_regex_matches" -> ((s, d) =>
-      TextStats.regexMatches(t(s, d, "documents"), "\\b[aeiou][a-z]{3,}\\b")))
+      TextStats.regexMatches(t(s, d, "documents"), "\\b[aeiou][a-z]{3,}\\b")),
+    // --- map-typed aggregation: per-bucket status->count maps built with
+    // map_from_entries, consumed with null-safe key lookups ---
+    "q99_status_count_map" -> { (s, d) =>
+      val counts = t(s, d, "orders")
+        .groupBy((col("o_custkey") % 10).as("bucket"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy("bucket")
+        .agg(map_from_entries(collect_list(struct(col("o_orderstatus"), col("n"))))
+          .as("m"))
+        .select(col("bucket"),
+          try_element_at(col("m"), lit("O")).as("n_open"),
+          try_element_at(col("m"), lit("F")).as("n_final"),
+          try_element_at(col("m"), lit("P")).as("n_pending"))
+    },
+    // --- per-source cap (data-mixing / source balancing, deterministic) ---
+    "q100_per_source_cap" -> ((s, d) =>
+      TextFeatures.perSourceCap(t(s, d, "documents"), 40)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1078,5 +1095,22 @@ object SparkEntry {
       (s"SELECT doc_id, CAST(len(regexp_extract_all($normSql, " +
         """'\b[aeiou][a-z]{3,}\b')) AS INTEGER) AS n_matches, """ +
         s"regexp_extract_all($normSql, " +
-        """'\b[aeiou][a-z]{3,}\b')[1] AS first_match FROM documents"""))
+        """'\b[aeiou][a-z]{3,}\b')[1] AS first_match FROM documents"""),
+    // missing map keys read as NULL on the Spark side; spell the same
+    // absent-vs-zero distinction with NULLIF over conditional counts
+    "q99_status_count_map" ->
+      ("SELECT bucket, " +
+        "CASE WHEN cnt_o = 0 THEN NULL ELSE cnt_o END AS n_open, " +
+        "CASE WHEN cnt_f = 0 THEN NULL ELSE cnt_f END AS n_final, " +
+        "CASE WHEN cnt_p = 0 THEN NULL ELSE cnt_p END AS n_pending FROM (" +
+        "SELECT o_custkey % 10 AS bucket, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p " +
+        "FROM orders GROUP BY 1) t"),
+    "q100_per_source_cap" ->
+      ("SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank FROM (" +
+        "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t " +
+        "WHERE rn <= 40"))
 }

@@ -58,6 +58,23 @@ object TextFeatures {
           .as("chunk_len"))
   }
 
+  /** Per-source document cap — the source-balancing step of a data-mixing
+    * recipe: keep at most `k` documents per corpus source, chosen by
+    * DETERMINISTIC hash order (md5 of the id, id tiebreak) so the sample is
+    * reproducible across engines, partitionings, and reruns — none of which
+    * hold for `TABLESAMPLE`/`df.sample`. One shuffle on source; Spark plans
+    * the rank-filter as WindowGroupLimit, so only k rows per source survive
+    * the sort on each side of the exchange. */
+  def perSourceCap(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
+  }
+
   /** Greedy token-stream packing: within each corpus `source`, documents in
     * doc_id order are laid head-to-tail into fixed-`capacity` training
     * sequences; a document whose span crosses a boundary reports

@@ -119,6 +119,16 @@ class PlanAuditSpec extends SparkSpec {
       "join should sit above distinct aggregates, not directly on scans")
   }
 
+  test("per-source cap pushes the rank limit below the exchange") {
+    val plan = executedPlan("q100_per_source_cap")
+    assert(shuffles(plan) === 1, s"expected exactly 1 shuffle:\n${plan.take(600)}")
+    // WindowGroupLimit appears on BOTH sides of the exchange: partial limit
+    // before the shuffle means at most k rows per source ever move
+    val section = plan.split("== Initial Plan ==").last
+    assert(section.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"missing partial rank-limit pushdown:\n${section.take(800)}")
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + equi-join") {
     val plan = executedPlan("q97_above_own_avg")
     assert(!plan.contains("CartesianProduct") &&
