@@ -521,7 +521,11 @@ object SparkEntry {
     },
     // --- per-source cap (data-mixing / source balancing, deterministic) ---
     "q100_per_source_cap" -> ((s, d) =>
-      TextFeatures.perSourceCap(t(s, d, "documents"), 40)))
+      TextFeatures.perSourceCap(t(s, d, "documents"), 40)),
+    // --- source upsampling (the mixture-weighting half of data mixing) ---
+    "q101_source_upsample" -> ((s, d) =>
+      TextFeatures.sourceUpsample(t(s, d, "documents"),
+        Map("src0" -> 3, "src1" -> 2))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1112,5 +1116,9 @@ object SparkEntry {
       ("SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank FROM (" +
         "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t " +
-        "WHERE rn <= 40"))
+        "WHERE rn <= 40"),
+    "q101_source_upsample" ->
+      ("SELECT doc_id, source, CAST(i AS INTEGER) AS copy_idx FROM documents, " +
+        "unnest(generate_series(1, CASE WHEN source = 'src0' THEN 3 " +
+        "WHEN source = 'src1' THEN 2 ELSE 1 END)) AS u(i)"))
 }

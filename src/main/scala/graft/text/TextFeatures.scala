@@ -75,6 +75,21 @@ object TextFeatures {
       .select(col("doc_id"), col("source"), col("rn").as("sample_rank"))
   }
 
+  /** Source upsampling — the other half of a data-mixing recipe: repeat each
+    * document `weights(source)` times (default 1), tagging copies with
+    * `copy_idx`, so downstream packing/shuffling sees the target mixture.
+    * `explode(sequence(...))` generates copies lazily — no shuffle and no
+    * materialized duplication until a downstream sink asks for rows; weights
+    * are a broadcast plan literal. */
+  def sourceUpsample(docs: DataFrame, weights: Map[String, Int]): DataFrame = {
+    require(weights.values.forall(_ >= 1), "weights must be >= 1")
+    val w = weights.foldLeft(lit(1)) { case (acc, (src, n)) =>
+      when(col("source") === src, lit(n)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), w)).as("copy_idx"))
+  }
+
   /** Greedy token-stream packing: within each corpus `source`, documents in
     * doc_id order are laid head-to-tail into fixed-`capacity` training
     * sequences; a document whose span crosses a boundary reports
