@@ -223,6 +223,9 @@ object Dedup {
     * on both engines. */
   def crossSplitContamination(docs: DataFrame, n: Int = 8,
                               evalNibbles: Seq[String] = Seq("0", "1")): DataFrame = {
+    require(n >= 2, "overlap n-grams need n >= 2")
+    require(evalNibbles.nonEmpty && evalNibbles.forall(_.length == 1),
+      "evalNibbles must be single hex characters")
     val base = docs.select(col("doc_id"),
       TextStats.tokens(TextStats.normalize(col("text"))).as("toks"),
       substring(md5(col("doc_id").cast("string")), 1, 1)

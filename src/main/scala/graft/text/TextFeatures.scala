@@ -66,6 +66,7 @@ object TextFeatures {
     * the rank-filter as WindowGroupLimit, so only k rows per source survive
     * the sort on each side of the exchange. */
   def perSourceCap(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "cap must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))

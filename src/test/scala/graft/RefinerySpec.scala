@@ -1,0 +1,40 @@
+package graft
+
+import graft.text.Refinery
+
+/** The composed corpus refinery: gate -> dedup -> cap -> chunk. */
+class RefinerySpec extends SparkSpec {
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("refine gates, dedups, caps per source, and chunks the survivors") {
+    val docs = df(Seq(
+      DocRow(1, words("alpha", 250), "en", "web", 0),
+      DocRow(2, words("alpha", 250), "en", "web", 0),     // exact dup of 1
+      DocRow(3, "too short", "en", "web", 0),             // gated out
+      DocRow(4, words("beta", 100), "en", "web", 0),
+      DocRow(5, words("gamma", 100), "en", "books", 0),
+      DocRow(6, words("delta", 100), "en", "books", 0)))
+    val cfg = Refinery.Config(maxDocsPerSource = 1, chunk = 100, stride = 100)
+    val out = Refinery.refine(docs, cfg).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(4)))
+    val byDoc = out.groupBy(_._1)
+    // one doc per source survives the cap; doc 3 was gated, dup collapsed
+    assert(byDoc.keySet.size === 2)
+    assert(byDoc.keySet.subsetOf(Set(1L, 2L, 4L, 5L, 6L)))
+    // surviving 250-token doc (if kept) yields chunks 100/100/50
+    byDoc.values.foreach { chunks =>
+      val lens = chunks.sortBy(_._2).map(_._3).toSeq
+      assert(lens === Seq(100, 100, 50) || lens === Seq(100))
+    }
+  }
+
+  test("default config passes realistic docs through unchanged") {
+    val docs = df(Seq(
+      DocRow(10, words("x", 40), "en", "web", 0),
+      DocRow(11, words("y", 40), "en", "web", 0)))
+    val out = Refinery.refine(docs).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(10L, 11L))
+  }
+}
