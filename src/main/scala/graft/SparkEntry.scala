@@ -525,7 +525,19 @@ object SparkEntry {
     // --- source upsampling (the mixture-weighting half of data mixing) ---
     "q101_source_upsample" -> ((s, d) =>
       TextFeatures.sourceUpsample(t(s, d, "documents"),
-        Map("src0" -> 3, "src1" -> 2))))
+        Map("src0" -> 3, "src1" -> 2))),
+    // --- time-weighted average (gap-weighted sensor/telemetry mean) ---
+    "q102_time_weighted_value" -> ((s, d) =>
+      Events.timeWeightedValue(Tables.events(s, d))),
+    // --- retention cohort grid (the warehouse layer NB 03 declared) ---
+    "q103_retention_cohorts" -> ((s, d) =>
+      Warehouse.retentionCohorts(t(s, d, "orders"))),
+    // --- RFM quartile scoring over the customer dimension ---
+    "q104_rfm_scores" -> ((s, d) =>
+      Warehouse.rfmScores(t(s, d, "orders"))),
+    // --- ABC / Pareto part classification by cumulative revenue share ---
+    "q105_abc_parts" -> ((s, d) =>
+      Warehouse.abcClassification(t(s, d, "lineitem"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1120,5 +1132,43 @@ object SparkEntry {
     "q101_source_upsample" ->
       ("SELECT doc_id, source, CAST(i AS INTEGER) AS copy_idx FROM documents, " +
         "unnest(generate_series(1, CASE WHEN source = 'src0' THEN 3 " +
-        "WHEN source = 'src1' THEN 2 ELSE 1 END)) AS u(i)"))
+        "WHEN source = 'src1' THEN 2 ELSE 1 END)) AS u(i)"),
+    "q102_time_weighted_value" ->
+      ("WITH e AS (SELECT user_id, value, epoch(CAST(ts AS TIMESTAMP)) AS sec, " +
+        "lead(epoch(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch(CAST(ts AS TIMESTAMP)), event_id) AS next_sec FROM events) " +
+        "SELECT user_id, " +
+        "round(sum(value * (next_sec - sec)) / sum(next_sec - sec), 6) AS tw_avg, " +
+        "count(*) AS n_intervals FROM e WHERE next_sec IS NOT NULL GROUP BY user_id"),
+    "q103_retention_cohorts" ->
+      ("WITH o AS (SELECT o_custkey, CAST(year(CAST(o_orderdate AS DATE)) * 12 + " +
+        "month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m FROM orders), " +
+        "f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY o_custkey) " +
+        "SELECT cohort_m, o.m - cohort_m AS months_since, " +
+        "count(DISTINCT o.o_custkey) AS n_active " +
+        "FROM o JOIN f USING (o_custkey) GROUP BY 1, 2"),
+    "q104_rfm_scores" ->
+      ("WITH per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order, " +
+        "count(*) AS frequency, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT o_custkey, frequency, monetary_cents, " +
+        "CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r_score, " +
+        "CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score, " +
+        "CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INTEGER) AS m_score, " +
+        "CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) * 100 + " +
+        "ntile(4) OVER (ORDER BY frequency DESC, o_custkey) * 10 + " +
+        "ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INTEGER) AS rfm " +
+        "FROM per"),
+    "q105_abc_parts" ->
+      ("WITH per AS (SELECT l_partkey, " +
+        s"CAST(sum(CAST(floor((${money.r2Sql("l_extendedprice * (1.0 - l_discount)")}) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM lineitem GROUP BY l_partkey), " +
+        "c AS (SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS part_revenue, " +
+        "CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey " +
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / " +
+        "CAST(sum(cents) OVER () AS DOUBLE) AS cum_share FROM per) " +
+        "SELECT l_partkey, part_revenue, " +
+        "CASE WHEN cum_share <= 0.80 THEN 'A' WHEN cum_share <= 0.95 THEN 'B' " +
+        "ELSE 'C' END AS abc_class, round(cum_share, 6) AS cum_share FROM c"))
 }

@@ -127,6 +127,63 @@ object Warehouse {
       percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_price"),
       percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_price"))
 
+  /** Retention cohort grid: customers grouped by first-order month, counted
+    * in each subsequent month they ordered again. Month index = year*12+month
+    * (portable integer arithmetic — no interval types cross engines). Two
+    * shuffles on the customer key, both over dimension-sized data. */
+  def retentionCohorts(orders: DataFrame): DataFrame = {
+    val m = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m")
+    val o = orders.select(col("o_custkey"), m)
+    val first = o.groupBy("o_custkey").agg(min("m").as("cohort_m"))
+    o.join(first, "o_custkey")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+  }
+
+  /** RFM scoring: quartile ranks for recency / frequency / monetary per
+    * customer. Ties broken by customer key so `ntile` is deterministic and
+    * engine-portable; monetary is exact integer cents. The three global
+    * ntile sorts run over ONE ROW PER CUSTOMER (dimension-sized), not the
+    * fact table — the standard shape for a scoring table refresh. */
+  def rfmScores(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.groupBy("o_custkey").agg(
+      max(to_date(col("o_orderdate"))).as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("monetary_cents"))
+    per.select(col("o_custkey"), col("frequency"), col("monetary_cents"),
+        ntile(4).over(Window.orderBy(desc("last_order"), asc("o_custkey")))
+          .as("r_score"),
+        ntile(4).over(Window.orderBy(desc("frequency"), asc("o_custkey")))
+          .as("f_score"),
+        ntile(4).over(Window.orderBy(desc("monetary_cents"), asc("o_custkey")))
+          .as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
+  /** ABC (Pareto) classification of parts by revenue: rank parts by exact
+    * cents revenue, cumulative share against the grand total, class A/B/C at
+    * 80%/95%. Shares divide two longs — one IEEE op, identical everywhere —
+    * so class boundaries can't flip between engines. One aggregate shuffle
+    * plus one window over the part dimension. */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = lineitem.groupBy("l_partkey")
+      .agg(sum(floor(revenue * lit(100.0) + lit(0.5)).cast("long")).as("cents"))
+    val w = Window.orderBy(desc("cents"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select(col("l_partkey"),
+        (col("cents").cast("double") / lit(100.0)).as("part_revenue"),
+        (sum(col("cents")).over(w).cast("double") /
+          sum(col("cents")).over().cast("double")).as("cum_share"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .withColumn("cum_share", round(col("cum_share"), 6))
+  }
+
   def revenueRollup(fact: DataFrame): DataFrame = {
     // SQL GROUP BY ROLLUP rather than Dataset.rollup: in Spark 4.1.2 the
     // Dataset grouping-analytics path trips the ambiguous-self-join detector

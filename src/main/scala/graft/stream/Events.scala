@@ -139,6 +139,26 @@ object Events {
       .trigger(trigger)
       .start()
 
+  /** Per-user time-weighted average of `value`: each reading is weighted by
+    * how long it was current (gap to the next event). One window on
+    * (user_id, ts, event_id) — the tiebreak makes `lead` deterministic under
+    * equal timestamps — then one aggregate; the zero-total-weight edge
+    * (all events simultaneous) yields NULL, matching plain-division
+    * engines. 6 dp rounding absorbs per-group sum-order drift. */
+  def timeWeightedValue(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val e = events
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").cast("double").as("sec"))
+      .withColumn("wgt", lead(col("sec"), 1).over(w) - col("sec"))
+      .filter(col("wgt").isNotNull)
+    e.groupBy("user_id").agg(
+      round(when(sum(col("wgt")) =!= 0.0,
+        sum(col("value") * col("wgt")) / sum(col("wgt"))), 6).as("tw_avg"),
+      count(lit(1)).as("n_intervals"))
+  }
+
   /** Time-bounded conversion funnel: for each step pair, how many users
     * performed the later event within `windowSeconds` AFTER an earlier one
     * (view→click, click→purchase). One window pass per user ordered by

@@ -156,6 +156,62 @@ class Round3bOpsSpec extends SparkSpec {
     }
   }
 
+  test("retentionCohorts counts distinct customers per cohort offset") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, ts("2024-01-05")), (1L, ts("2024-02-10")), (1L, ts("2024-02-20")),
+      (2L, ts("2024-01-15")), (3L, ts("2024-02-01")))
+      .toDF("o_custkey", "o_orderdate")
+    val out = graft.ops.Warehouse.retentionCohorts(orders).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val jan = 2024 * 12 + 1; val feb = jan + 1
+    assert(out === Map((jan, 0) -> 2L, (jan, 1) -> 1L, (feb, 0) -> 1L))
+  }
+
+  test("abcClassification orders by revenue and cuts at 80/95 shares") {
+    // revenues 50, 30, 15, 5 -> cum shares .5, .8, .95, 1.0 -> A A B C
+    val li = Seq((1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 5.0))
+      .map { case (k, v) => (k, v, 0.0) }
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = graft.ops.Warehouse.abcClassification(li).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(3)))).toMap
+    assert(out(1L) === ((50.0, "A")))
+    assert(out(2L) === ((30.0, "A")))   // cum .8 <= .80 inclusive
+    assert(out(3L) === ((15.0, "B")))
+    assert(out(4L) === ((5.0, "C")))
+  }
+
+  test("rfmScores quartiles are deterministic and span 1..4") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val orders = (1 to 16).map(i =>
+      (i.toLong, ts(i % 28 + 1), 100.0 * i)).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val a = graft.ops.Warehouse.rfmScores(orders).collect()
+      .map(r => r.getLong(0) -> r.getInt(6)).toMap
+    val b = graft.ops.Warehouse.rfmScores(orders.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(a === b, "scores must not depend on partitioning")
+    // 16 customers, one order each -> 4 per quartile on monetary
+    val mScores = graft.ops.Warehouse.rfmScores(orders).collect()
+      .map(r => r.getInt(5))
+    assert(mScores.groupBy(identity).view.mapValues(_.size).toMap ===
+      Map(1 -> 4, 2 -> 4, 3 -> 4, 4 -> 4))
+  }
+
+  test("timeWeightedValue weights readings by their holding time") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, t(0), 10.0),   // held 10s
+      (2L, 1L, t(10), 20.0),  // held 30s
+      (3L, 1L, t(40), 99.0))  // last reading: no interval
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.stream.Events.timeWeightedValue(ev).collect()
+    assert(out.length === 1)
+    // (10*10 + 20*30) / 40 = 17.5
+    assert(out.head.getDouble(1) === 17.5)
+    assert(out.head.getLong(2) === 2L)
+  }
+
   test("unionByName aligns drifted schemas by name with null fill") {
     val legacy = Seq((1L, 10.0)).toDF("k", "price")
     val current = Seq((2L, "HIGH")).toDF("k", "prio")
