@@ -537,7 +537,10 @@ object SparkEntry {
       Warehouse.rfmScores(t(s, d, "orders"))),
     // --- ABC / Pareto part classification by cumulative revenue share ---
     "q105_abc_parts" -> ((s, d) =>
-      Warehouse.abcClassification(t(s, d, "lineitem"))))
+      Warehouse.abcClassification(t(s, d, "lineitem"))),
+    // --- forward-fill sparse telemetry (last non-null carried forward) ---
+    "q106_forward_fill" -> ((s, d) =>
+      Events.forwardFillClickK(Tables.events(s, d))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1170,5 +1173,13 @@ object SparkEntry {
         "CAST(sum(cents) OVER () AS DOUBLE) AS cum_share FROM per) " +
         "SELECT l_partkey, part_revenue, " +
         "CASE WHEN cum_share <= 0.80 THEN 'A' WHEN cum_share <= 0.95 THEN 'B' " +
-        "ELSE 'C' END AS abc_class, round(cum_share, 6) AS cum_share FROM c"))
+        "ELSE 'C' END AS abc_class, round(cum_share, 6) AS cum_share FROM c"),
+    "q106_forward_fill" ->
+      ("WITH e AS (SELECT event_id, user_id, ts, " +
+        "CASE WHEN event_type = 'click' " +
+        "THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k_raw FROM events) " +
+        "SELECT event_id, user_id, k_raw, " +
+        "last_value(k_raw IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch(CAST(ts AS TIMESTAMP)), event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS k_filled FROM e"))
 }

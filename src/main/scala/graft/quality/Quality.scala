@@ -89,4 +89,18 @@ object Quality {
         when(col("a_key").isNotNull && col("b_key").isNotNull,
           round(col("b_value") - col("a_value"), 2)).as("value_diff"))
   }
+
+  /** Attach single-pass observability metrics to a plan: row count plus a
+    * null count per profiled column, collected DURING whatever action the
+    * caller runs next (a lake write, an export) — at 100 TB the difference
+    * between free metrics and a second full scan. Read the metrics from the
+    * returned [[org.apache.spark.sql.Observation]] after the action:
+    * `obs.get("n_rows")`. */
+  def observed(df: DataFrame, profileCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("n_rows") +:
+      profileCols.map(c => sum(col(c).isNull.cast("long")).as(s"${c}_nulls"))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
 }

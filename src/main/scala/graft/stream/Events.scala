@@ -159,6 +159,23 @@ object Events {
       count(lit(1)).as("n_intervals"))
   }
 
+  /** Forward-fill: carry each user's last non-null reading forward in event
+    * order (gap-filling telemetry — `last(ignoreNulls)` over a running
+    * frame; the tiebreak on event_id keeps the fill deterministic under
+    * equal timestamps). One shuffle on the fill key. Here the sparse signal
+    * is `props.k` observed only on clicks. */
+  def forwardFillClickK(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("int")).as("k_raw"))
+      .withColumn("k_filled", last(col("k_raw"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "k_raw", "k_filled")
+  }
+
   /** Time-bounded conversion funnel: for each step pair, how many users
     * performed the later event within `windowSeconds` AFTER an earlier one
     * (view→click, click→purchase). One window pass per user ordered by

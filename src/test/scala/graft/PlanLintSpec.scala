@@ -1,0 +1,35 @@
+package graft
+
+/** Whole-surface plan lint: every SparkEntry query is PLANNED (not run) at
+  * sf0.001 and checked for the two join shapes that do not survive scale —
+  * an unbounded CartesianProduct, or a BroadcastNestedLoopJoin that is not
+  * one of the intentional 1-row scalar cross-joins. A new query that
+  * accidentally plans a cartesian fails here before it ever runs.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Queries that intentionally cross-join 1-row aggregates (scalar gates
+    * and multi-metric single-row reports), plus the BRUTE-FORCE similarity
+    * scorers whose corpus x broadcast(probes) loop is the operator's
+    * definition — their scale path is the LSH/IVF variants (q29/q40). */
+  private val scalarCrossJoins = Set(
+    "q05_fk_orphans", "q06_key_uniqueness", "q19_exact_dedup_stats",
+    "q37_order_sketches", "q43_dedup_corpus", "q84_hll_union",
+    "q92_freq_items_gate", "q90_union_by_name",
+    "q28_cosine_topk", "q44_tfidf_doc_similarity")
+
+  test("no query plans a cartesian product; nested loops only on 1-row sides") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, d).queryExecution.sparkPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !scalarCrossJoins(name)
+      if (cartesian && !scalarCrossJoins(name)) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}

@@ -90,4 +90,16 @@ class QualitySpec extends SparkSpec {
       assert(products.count() === 2000)
     }
   }
+
+  test("observed metrics arrive from the SAME action, no second scan") {
+    val data = df(Seq(
+      Cust(1, "a@x.se", 30), Cust(2, null, 40), Cust(3, null, 50)))
+    val (instrumented, obs) = Quality.observed(data, Seq("email", "age"))
+    // one action drives both the consumer AND the metrics
+    assert(instrumented.count() === 3)
+    val m = obs.get
+    assert(m("n_rows") === 3L)
+    assert(m("email_nulls") === 2L)
+    assert(m("age_nulls") === 0L)
+  }
 }
