@@ -540,7 +540,19 @@ object SparkEntry {
       Warehouse.abcClassification(t(s, d, "lineitem"))),
     // --- forward-fill sparse telemetry (last non-null carried forward) ---
     "q106_forward_fill" -> ((s, d) =>
-      Events.forwardFillClickK(Tables.events(s, d))))
+      Events.forwardFillClickK(Tables.events(s, d))),
+    // --- robust spread: median absolute deviation per status ---
+    "q107_price_mad" -> ((s, d) =>
+      Analytics.orderPriceMad(t(s, d, "orders"))),
+    // --- revenue concentration: exact-cents Gini coefficient ---
+    "q108_revenue_gini" -> ((s, d) =>
+      Warehouse.customerRevenueGini(t(s, d, "orders"))),
+    // --- corpus mixture diversity: source-distribution entropy ---
+    "q109_source_entropy" -> ((s, d) =>
+      TextStats.sourceEntropy(t(s, d, "documents"))),
+    // --- reporting: year-over-year monthly growth (gap-robust self-join) ---
+    "q110_monthly_yoy" -> ((s, d) =>
+      Warehouse.monthlyYoY(t(s, d, "orders"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1181,5 +1193,32 @@ object SparkEntry {
         "SELECT event_id, user_id, k_raw, " +
         "last_value(k_raw IGNORE NULLS) OVER (PARTITION BY user_id " +
         "ORDER BY epoch(CAST(ts AS TIMESTAMP)), event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS k_filled FROM e"))
+        "ROWS UNBOUNDED PRECEDING) AS k_filled FROM e"),
+    "q107_price_mad" ->
+      ("WITH med AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT o.o_orderstatus, count(*) AS n, " +
+        "round(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad " +
+        "FROM orders o JOIN med USING (o_orderstatus) GROUP BY o.o_orderstatus"),
+    "q108_revenue_gini" ->
+      ("WITH per AS (SELECT o_custkey, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY o_custkey), " +
+        "r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM per), " +
+        "s AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s0, " +
+        "CAST(sum(i * cents) AS BIGINT) AS s1 FROM r) " +
+        "SELECT n, round(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / " +
+        "CAST(n * s0 AS DOUBLE), 6) AS gini FROM s"),
+    "q109_source_entropy" ->
+      ("WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source), " +
+        "p AS (SELECT cnt, CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) AS p FROM c) " +
+        "SELECT count(*) AS n_sources, round(-sum(p * ln(p)), 6) AS entropy_nats FROM p"),
+    "q110_monthly_yoy" ->
+      ("WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT a.month_start, CAST(a.cents AS DOUBLE) / 100.0 AS revenue, " +
+        "round((CAST(a.cents AS DOUBLE) - CAST(b.cents AS DOUBLE)) / " +
+        "CAST(b.cents AS DOUBLE), 6) AS yoy_growth " +
+        "FROM m a LEFT JOIN m b ON a.month_start = b.month_start + INTERVAL 12 MONTH"))
 }

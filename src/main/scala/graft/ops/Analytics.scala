@@ -259,6 +259,21 @@ object Analytics {
       round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
 
+  /** Median absolute deviation per group — the robust spread measure
+    * (insensitive to the price outliers that wreck stddev). Two exact
+    * percentile aggregates with a broadcast join between them: group medians
+    * are |groups| rows, so the second pass streams the fact table once.
+    * 4 dp rounding per the q75 exactness argument (2 dp inputs, dyadic
+    * interpolation fractions). */
+  def orderPriceMad(orders: DataFrame): DataFrame = {
+    val med = orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    orders.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(abs(o_totalprice - med), 0.5)"), 4).as("mad"))
+  }
+
   /** Distribution-shape moments per group: population skewness
     * (m3 / m2^1.5) and excess kurtosis (m4 / m2^2 - 3) — Spark's built-in
     * definitions, which an oracle engine must spell as explicit central

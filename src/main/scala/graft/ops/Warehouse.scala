@@ -184,6 +184,45 @@ object Warehouse {
       .withColumn("cum_share", round(col("cum_share"), 6))
   }
 
+  /** Gini coefficient of customer revenue concentration, by the rank
+    * formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    * x. EVERYTHING stays in exact integer cents until one final double
+    * division, so the coefficient is bit-identical across engines and
+    * partitionings (rank ties on equal amounts cannot change the sum). The
+    * rank window runs over one row per customer. */
+  def customerRevenueGini(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("cents"))
+    val ranked = per.select(col("cents"),
+      row_number().over(Window.orderBy(asc("cents"), asc("o_custkey"))).as("i"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+        sum(col("i").cast("long") * col("cents")).as("s1"))
+      .select(col("n"),
+        round((lit(2L) * col("s1") - (col("n") + lit(1L)) * col("s0"))
+          .cast("double") / (col("n") * col("s0")).cast("double"), 6).as("gini"))
+  }
+
+  /** Year-over-year monthly revenue growth via a self-join on the shifted
+    * month key (robust to calendar gaps, unlike a `lag(12)` row offset).
+    * Exact-cents monthly totals; growth is one long-to-double division. */
+  def monthlyYoY(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month_start"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("cents"))
+    val prev = monthly.select(
+      add_months(col("month_start"), 12).as("month_start"),
+      col("cents").as("prev_cents"))
+    monthly.join(prev, Seq("month_start"), "left")
+      .select(col("month_start"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        round((col("cents").cast("double") - col("prev_cents").cast("double")) /
+          col("prev_cents").cast("double"), 6).as("yoy_growth"))
+  }
+
   def revenueRollup(fact: DataFrame): DataFrame = {
     // SQL GROUP BY ROLLUP rather than Dataset.rollup: in Spark 4.1.2 the
     // Dataset grouping-analytics path trips the ambiguous-self-join detector

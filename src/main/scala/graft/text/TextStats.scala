@@ -168,6 +168,21 @@ object TextStats {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpeTokenRe), lit(0)))
 
+  /** Shannon entropy of the corpus source mixture (nats) — the diversity
+    * summary a data-mixing recipe tracks: low entropy = one source
+    * dominates. Probabilities divide exact longs; 6 dp rounding absorbs the
+    * few-term float sum order and any libm `ln` last-ulp difference between
+    * engines. One tiny aggregate over |sources| rows. */
+  def sourceEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val p = col("cnt").cast("double") /
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()).cast("double")
+    counts.select(col("cnt"), p.as("p"))
+      .agg(count(lit(1)).as("n_sources"),
+        round(-sum(col("p") * log(col("p"))), 6).as("entropy_nats"))
+  }
+
   /** All matches of an RE2-portable pattern per document: match count and
     * first hit (null when none — `get` is the non-ANSI-throwing accessor).
     * Pure codegen'd map; the pattern-mining primitive behind PII scans,

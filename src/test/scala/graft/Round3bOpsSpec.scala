@@ -212,6 +212,53 @@ class Round3bOpsSpec extends SparkSpec {
     assert(out.head.getLong(2) === 2L)
   }
 
+  test("customerRevenueGini is 0 on equal revenues and ~(n-1)/n on one-holder") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val equal = (1 to 8).map(i => (i.toLong, ts, 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val g0 = graft.ops.Warehouse.customerRevenueGini(equal).head.getDouble(1)
+    assert(g0 === 0.0)
+    val skewed = ((1 to 7).map(i => (i.toLong, ts, 0.01)) :+ (8L, ts, 10000.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val g1 = graft.ops.Warehouse.customerRevenueGini(skewed).head.getDouble(1)
+    assert(g1 > 0.87 && g1 < 0.875, s"expected ~7/8 got $g1")
+  }
+
+  test("orderPriceMad is outlier-resistant where stddev is not") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = ((1 to 99).map(i => ("O", ts, 100.0 + (i % 3))) :+
+      ("O", ts, 1e6)).zipWithIndex
+      .map { case ((s, t, p), i) => (i.toLong, s, t, p) }
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    val mad = graft.ops.Analytics.orderPriceMad(rows).head.getDouble(2)
+    assert(mad <= 2.0, s"MAD blew up on one outlier: $mad")
+  }
+
+  test("sourceEntropy: uniform mixture = ln(k), single source = 0") {
+    val uniform = (1 to 100).map(i => (i.toLong, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val e = graft.text.TextStats.sourceEntropy(uniform).head
+    assert(e.getLong(0) === 4L)
+    assert(math.abs(e.getDouble(1) - math.log(4.0)) < 1e-6)
+    val single = (1 to 10).map(i => (i.toLong, "only")).toDF("doc_id", "source")
+    assert(graft.text.TextStats.sourceEntropy(single).head.getDouble(1) === 0.0)
+  }
+
+  test("monthlyYoY joins the shifted month and survives calendar gaps") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 2023-01 and 2024-01 present; 2023-06 has no 2024 partner
+    val orders = Seq(
+      (1L, ts("2023-01-10"), 100.0), (2L, ts("2023-06-01"), 50.0),
+      (3L, ts("2024-01-20"), 150.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_custkey", col("o_orderkey"))
+    val out = graft.ops.Warehouse.monthlyYoY(orders).collect()
+      .map(r => r.getDate(0).toString -> Option(r.get(2))).toMap
+    assert(out("2023-01-01") === None)          // no prior year
+    assert(out("2024-01-01") === Some(0.5))     // 100 -> 150
+    assert(out("2023-06-01") === None)
+  }
+
   test("unionByName aligns drifted schemas by name with null fill") {
     val legacy = Seq((1L, 10.0)).toDF("k", "price")
     val current = Seq((2L, "HIGH")).toDF("k", "prio")
