@@ -552,7 +552,15 @@ object SparkEntry {
       TextStats.sourceEntropy(t(s, d, "documents"))),
     // --- reporting: year-over-year monthly growth (gap-robust self-join) ---
     "q110_monthly_yoy" -> ((s, d) =>
-      Warehouse.monthlyYoY(t(s, d, "orders"))))
+      Warehouse.monthlyYoY(t(s, d, "orders"))),
+    // --- dedup observability: histogram of exact-duplicate cluster sizes ---
+    "q111_dup_cluster_sizes" -> ((s, d) =>
+      Dedup.exactDupGroups(t(s, d, "documents"))
+        .groupBy("n_copies").agg(count(lit(1)).as("n_groups"))),
+    // --- chi-square independence over the status x priority contingency ---
+    "q112_status_priority_chi2" -> ((s, d) =>
+      Analytics.chi2Independence(t(s, d, "orders"),
+        "o_orderstatus", "o_orderpriority")))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1220,5 +1228,24 @@ object SparkEntry {
         "SELECT a.month_start, CAST(a.cents AS DOUBLE) / 100.0 AS revenue, " +
         "round((CAST(a.cents AS DOUBLE) - CAST(b.cents AS DOUBLE)) / " +
         "CAST(b.cents AS DOUBLE), 6) AS yoy_growth " +
-        "FROM m a LEFT JOIN m b ON a.month_start = b.month_start + INTERVAL 12 MONTH"))
+        "FROM m a LEFT JOIN m b ON a.month_start = b.month_start + INTERVAL 12 MONTH"),
+    // exact-dup groups keyed on the normalized TEXT here; the engine keys on
+    // its 128-bit hash — identical grouping barring a ~2^-128 collision
+    "q111_dup_cluster_sizes" ->
+      (s"WITH g AS (SELECT $normSql AS norm, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1) " +
+        "SELECT n_copies, count(*) AS n_groups FROM g GROUP BY n_copies"),
+    "q112_status_priority_chi2" ->
+      ("WITH o AS (SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(count(*) AS DOUBLE) AS obs FROM orders GROUP BY 1, 2), " +
+        "grid AS (SELECT a.o_orderstatus, b.o_orderpriority FROM " +
+        "(SELECT DISTINCT o_orderstatus FROM orders) a CROSS JOIN " +
+        "(SELECT DISTINCT o_orderpriority FROM orders) b), " +
+        "f AS (SELECT coalesce(obs, 0.0) AS obs, g.o_orderstatus, g.o_orderpriority " +
+        "FROM grid g LEFT JOIN o USING (o_orderstatus, o_orderpriority)), " +
+        "t AS (SELECT obs, sum(obs) OVER (PARTITION BY o_orderstatus) AS rt, " +
+        "sum(obs) OVER (PARTITION BY o_orderpriority) AS ct, " +
+        "sum(obs) OVER () AS g FROM f) " +
+        "SELECT count(*) AS n_cells, " +
+        "round(sum((obs - rt*ct/g) * (obs - rt*ct/g) / (rt*ct/g)), 6) AS chi2 FROM t"))
 }

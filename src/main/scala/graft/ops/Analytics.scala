@@ -259,6 +259,30 @@ object Analytics {
       round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
 
+  /** Pearson chi-square statistic for independence of two categorical
+    * columns, from the contingency counts (the inferential companion to
+    * `stat.crosstab`/q83). Expected counts are products of integer-exact
+    * marginal sums (window aggregates over the |cells| rows), so the only
+    * engine drift is the final few-term float sum — absorbed at 6 dp. */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.groupBy(aCol, bCol).agg(count(lit(1)).cast("double").as("obs"))
+    // densify: UNOBSERVED category pairs still contribute (0 - exp)^2/exp —
+    // without the grid a perfectly dependent table reports half its chi2.
+    // The cross join is |a| x |b| category values, never data rows.
+    val grid = df.select(col(aCol)).distinct()
+      .crossJoin(df.select(col(bCol)).distinct())
+    val full = grid.join(obs, Seq(aCol, bCol), "left")
+      .select(col(aCol), col(bCol), coalesce(col("obs"), lit(0.0)).as("obs"))
+    val cells = full.select(col("obs"),
+      sum(col("obs")).over(Window.partitionBy(aCol)).as("rt"),
+      sum(col("obs")).over(Window.partitionBy(bCol)).as("ct"),
+      sum(col("obs")).over(Window.partitionBy()).as("g"))
+    val exp = col("rt") * col("ct") / col("g")
+    cells.agg(count(lit(1)).as("n_cells"),
+      round(sum((col("obs") - exp) * (col("obs") - exp) / exp), 6).as("chi2"))
+  }
+
   /** Median absolute deviation per group — the robust spread measure
     * (insensitive to the price outliers that wreck stddev). Two exact
     * percentile aggregates with a broadcast join between them: group medians

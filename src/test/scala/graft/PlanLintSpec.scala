@@ -18,7 +18,9 @@ class PlanLintSpec extends SparkSpec {
     "q05_fk_orphans", "q06_key_uniqueness", "q19_exact_dedup_stats",
     "q37_order_sketches", "q43_dedup_corpus", "q84_hll_union",
     "q92_freq_items_gate", "q90_union_by_name",
-    "q28_cosine_topk", "q44_tfidf_doc_similarity")
+    "q28_cosine_topk", "q44_tfidf_doc_similarity",
+    // chi2 densifies with a |categories_a| x |categories_b| grid cross join
+    "q112_status_priority_chi2")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -259,6 +259,20 @@ class Round3bOpsSpec extends SparkSpec {
     assert(out("2023-06-01") === None)
   }
 
+  test("chi2Independence: zero under exact independence, large under dependence") {
+    // perfectly independent 2x2: every cell = 25
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25 }
+      yield (a, b)).toDF("a", "b")
+    val c0 = Analytics.chi2Independence(indep, "a", "b").head
+    assert(c0.getLong(0) === 4L)
+    assert(c0.getDouble(1) === 0.0)
+    // perfect dependence: a determines b
+    val dep = (for { a <- Seq("x", "y"); _ <- 1 to 50 }
+      yield (a, if (a == "x") "u" else "v")).toDF("a", "b")
+    val c1 = Analytics.chi2Independence(dep, "a", "b").head.getDouble(1)
+    assert(c1 === 100.0, s"chi2 of perfect dependence should equal n: $c1")
+  }
+
   test("unionByName aligns drifted schemas by name with null fill") {
     val legacy = Seq((1L, 10.0)).toDF("k", "price")
     val current = Seq((2L, "HIGH")).toDF("k", "prio")
