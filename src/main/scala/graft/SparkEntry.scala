@@ -560,7 +560,13 @@ object SparkEntry {
     // --- chi-square independence over the status x priority contingency ---
     "q112_status_priority_chi2" -> ((s, d) =>
       Analytics.chi2Independence(t(s, d, "orders"),
-        "o_orderstatus", "o_orderpriority")))
+        "o_orderstatus", "o_orderpriority")),
+    // --- char-level entropy (random/base64 garbage detector) ---
+    "q113_char_entropy" -> ((s, d) =>
+      TextStats.charEntropy(t(s, d, "documents"))),
+    // --- per-source quality dashboard (mixture QA rollup) ---
+    "q114_source_quality" -> ((s, d) =>
+      TextStats.sourceQualityProfile(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1247,5 +1253,24 @@ object SparkEntry {
         "sum(obs) OVER (PARTITION BY o_orderpriority) AS ct, " +
         "sum(obs) OVER () AS g FROM f) " +
         "SELECT count(*) AS n_cells, " +
-        "round(sum((obs - rt*ct/g) * (obs - rt*ct/g) / (rt*ct/g)), 6) AS chi2 FROM t"))
+        "round(sum((obs - rt*ct/g) * (obs - rt*ct/g) / (rt*ct/g)), 6) AS chi2 FROM t"),
+    "q113_char_entropy" ->
+      (s"WITH ch AS (SELECT doc_id, c AS ch FROM (SELECT doc_id, " +
+        s"string_split($normSql, '') AS cs FROM documents) t, unnest(cs) AS u(c) " +
+        "WHERE c <> ''), " +
+        "cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2), " +
+        "wt AS (SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS tot FROM cnt) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars, " +
+        "round(-sum((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * " +
+        "ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS char_entropy " +
+        "FROM wt GROUP BY doc_id"),
+    "q114_source_quality" ->
+      (s"WITH q AS (SELECT source, CAST(len(toks) AS DOUBLE) AS n_tokens, " +
+        "CASE WHEN len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2 " +
+        "THEN 1 ELSE 0 END AS passes " +
+        s"FROM (SELECT source, $toksSql AS toks FROM documents) t) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "round(CAST(sum(passes) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pass_rate, " +
+        "round(avg(n_tokens), 6) AS avg_tokens FROM q GROUP BY source"))
 }

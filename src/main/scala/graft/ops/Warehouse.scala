@@ -201,8 +201,12 @@ object Warehouse {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
         sum(col("i").cast("long") * col("cents")).as("s1"))
       .select(col("n"),
-        round((lit(2L) * col("s1") - (col("n") + lit(1L)) * col("s0"))
-          .cast("double") / (col("n") * col("s0")).cast("double"), 6).as("gini"))
+        // all-zero revenue (s0 = 0) has no defined concentration -> null,
+        // rather than the engine-dependent 0/0 double
+        round(when(col("s0") > 0L,
+          (lit(2L) * col("s1") - (col("n") + lit(1L)) * col("s0"))
+            .cast("double") / (col("n") * col("s0")).cast("double")), 6)
+          .as("gini"))
   }
 
   /** Year-over-year monthly revenue growth via a self-join on the shifted

@@ -183,6 +183,47 @@ object TextStats {
         round(-sum(col("p") * log(col("p"))), 6).as("entropy_nats"))
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the garbage
+    * detector: random/base64/binary-pasted text scores near ln(alphabet)
+    * while natural language sits much lower. Char counts shuffle as
+    * (doc_id, char) pairs with map-side combine — alphabet-bounded state,
+    * not text-length-bounded. Empty documents produce no characters and
+    * drop out (identically in engines that split-to-chars without a
+    * trailing empty element). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), explode(split(normalize(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "") // Spark's limit=-1 split keeps a trailing ""
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val withTotal = counts.select(col("doc_id"), col("cnt"),
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")).as("tot"))
+    withTotal.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_chars"),
+      round(-sum((col("cnt").cast("double") / col("tot").cast("double")) *
+        log(col("cnt").cast("double") / col("tot").cast("double"))), 6)
+        .as("char_entropy"))
+  }
+
+  /** Per-source quality dashboard: document counts, filter pass rate, and
+    * mean token count for every corpus source — the mixture-QA rollup read
+    * before adjusting source weights. One aggregate over the per-doc
+    * quality expressions (map-side combined). */
+  def sourceQualityProfile(docs: DataFrame,
+                           stopwords: Seq[String] = Seq("the", "a", "of", "and"))
+      : DataFrame = {
+    val toks = tokens(normalize(col("text")))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val passes = (size(toks) >= 20 && nDistinct / nTok >= 0.2).cast("long")
+    docs.select(col("source"), nTok.as("n_tokens"), passes.as("passes"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("passes")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("pass_rate"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"))
+  }
+
   /** All matches of an RE2-portable pattern per document: match count and
     * first hit (null when none — `get` is the non-ANSI-throwing accessor).
     * Pure codegen'd map; the pattern-mining primitive behind PII scans,

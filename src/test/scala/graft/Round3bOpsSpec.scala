@@ -273,6 +273,31 @@ class Round3bOpsSpec extends SparkSpec {
     assert(c1 === 100.0, s"chi2 of perfect dependence should equal n: $c1")
   }
 
+  test("charEntropy: uniform alphabet = ln(k); repeated char = 0; ranks garbage") {
+    val docs = Seq(
+      (1L, "abcd"),              // 4 distinct chars, uniform -> ln 4
+      (2L, "aaaa"),              // zero entropy
+      (3L, "qx8k zj2v m9wp ln4t rb7g yc3h df6s"),   // base64-ish garbage
+      (4L, "the cat sat on the mat and the cat sat"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextStats.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out(1L) - math.log(4.0)) < 1e-6)
+    assert(out(2L) === 0.0)
+    assert(out(3L) > out(4L), "garbage must out-score natural text")
+  }
+
+  test("sourceQualityProfile aggregates pass rate and mean tokens per source") {
+    val good = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", good), (2L, "web", "too short"),
+      (3L, "books", good)).toDF("doc_id", "source", "text")
+    val out = graft.text.TextStats.sourceQualityProfile(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("web") === ((2L, 0.5)))
+    assert(out("books") === ((1L, 1.0)))
+  }
+
   test("unionByName aligns drifted schemas by name with null fill") {
     val legacy = Seq((1L, 10.0)).toDF("k", "price")
     val current = Seq((2L, "HIGH")).toDF("k", "prio")
