@@ -79,8 +79,20 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     Files.createDirectories(logDir(name))
     val tmp = logDir(name).resolve(f".v${c.version}%08d.json.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
-    Files.move(tmp, logDir(name).resolve(f"v${c.version}%08d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val dest = logDir(name).resolve(f"v${c.version}%08d.json")
+    // optimistic concurrency: rename(2) REPLACES an existing destination, so
+    // a Files.move here would let two racing writers both "win" version v
+    // and silently lose one commit. A hard link is the POSIX atomic
+    // create-if-absent — the second writer gets FileAlreadyExistsException
+    // and must re-read the log and retry at the next version.
+    try Files.createLink(dest, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: $name version ${c.version} was committed by another writer")
+    }
+    Files.deleteIfExists(tmp): Unit
   }
 
   /** Persist `df` as table `name`. Append mode enforces schema compatibility
@@ -249,6 +261,66 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     val baseline = readCommit(name, sinceVersion).dirs.toSet
     val newDirs = commits.last.dirs.filterNot(baseline)
     newDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** Per-column table statistics, computed in ONE pass and persisted as a
+    * sidecar next to the commit log (`stats/v%08d.json`) — the file-skipping
+    * and join-planning input a lakehouse keeps per snapshot. min/max are
+    * stringified (schema-agnostic); ndv is HLL-approximate (exact ndv would
+    * be a full shuffle per column). Re-running overwrites the sidecar for
+    * that version. */
+  def analyze(name: String): Map[String, (Long, Long, String, String)] = {
+    val v = latestVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val df = read(name)
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, max, min, sum}
+    val cols = df.schema.fields.filter(_.dataType match {
+      case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }).map(_.name).toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = cols.map { c =>
+      c -> ((Option(row.getAs[Any](s"${c}__nulls")).fold(0L)(_.asInstanceOf[Long]),
+        row.getAs[Long](s"${c}__ndv"),
+        String.valueOf(row.getAs[Any](s"${c}__min")),
+        String.valueOf(row.getAs[Any](s"${c}__max"))))
+    }.toMap
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("version" -> v) ~ ("rows" -> row.getAs[Long]("__rows")) ~
+        ("columns" -> stats.map { case (c, (nulls, ndv, mn, mx)) =>
+          c -> (("nulls" -> nulls) ~ ("ndv" -> ndv) ~
+            ("min" -> mn) ~ ("max" -> mx))
+        })))
+    val sd = tableDir(name).resolve("stats")
+    Files.createDirectories(sd)
+    Files.write(sd.resolve(f"v$v%08d.json"), json.getBytes("UTF-8"))
+    stats
+  }
+
+  /** Read back the stats sidecar written by [[analyze]] for a version
+    * (latest by default). Empty if never analyzed. */
+  def readStats(name: String, asOfVersion: Option[Long] = None)
+      : Map[String, (Long, Long, String, String)] = {
+    val v = asOfVersion.orElse(latestVersion(name)).getOrElse(return Map.empty)
+    val p = tableDir(name).resolve("stats").resolve(f"v$v%08d.json")
+    if (!Files.exists(p)) return Map.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val jv = JsonMethods.parse(new String(Files.readAllBytes(p), "UTF-8"))
+    (jv \ "columns").asInstanceOf[JObject].obj.map { case (c, s) =>
+      c -> (((s \ "nulls").extract[Long], (s \ "ndv").extract[Long],
+        (s \ "min").extract[String], (s \ "max").extract[String]))
+    }.toMap
   }
 
   /** The reference's persistence round-trip validation (NB 01 cell 22):

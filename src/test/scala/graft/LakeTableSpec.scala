@@ -37,6 +37,34 @@ class LakeTableSpec extends SparkSpec {
     assert(v0Files.nonEmpty && v0Files.forall(_.contains("zstd")))
   }
 
+  test("racing writers at the same version: exactly one commit wins") {
+    val dir = Files.createTempDirectory("graft-occ").toString
+    val lake = new LakeTable(spark, dir)
+    lake.write(df(rows), "sales")
+    // simulate a concurrent writer that already committed v1
+    val logDir = java.nio.file.Paths.get(dir, "sales", "_graft_log")
+    Files.write(logDir.resolve("v00000001.json"),
+      Files.readAllBytes(logDir.resolve("v00000000.json")))
+    intercept[java.util.ConcurrentModificationException] {
+      lake.write(df(Seq(Sale(9, "west", 1.0))), "sales")
+    }
+    // the pre-existing commit is intact, not clobbered
+    assert(lake.latestVersion("sales") === Some(1L))
+  }
+
+  test("analyze persists one-pass column stats; readStats round-trips") {
+    val lake = freshLake()
+    lake.write(df(Seq(
+      Sale(1, "north", 10.0), Sale(2, null, 20.0), Sale(3, "south", 5.0))), "sales")
+    val stats = lake.analyze("sales")
+    assert(stats("region")._1 === 1L)             // one null region
+    assert(stats("id") === ((0L, 3L, "1", "3")))  // exact ndv at tiny scale
+    assert(stats("amount")._3 === "5.0")
+    assert(stats("amount")._4 === "20.0")
+    assert(lake.readStats("sales") === stats)
+    assert(lake.readStats("sales", asOfVersion = Some(99L)) === Map.empty)
+  }
+
   test("overwrite replaces content and bumps the version") {
     val lake = freshLake()
     lake.write(df(rows), "sales")
