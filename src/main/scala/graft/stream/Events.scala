@@ -24,6 +24,13 @@ final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   * construct it in generated code). */
 final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
+/** [[Events.streamingFunnel]] per-user state: recent signal times (pruned to
+  * the lookback window) + sticky conversion flags. */
+final case class FunnelState(views: List[Double], clicks: List[Double],
+                             viewClick: Boolean, clickPurchase: Boolean)
+final case class FunnelOut(user_id: Long, view_then_click: Boolean,
+                           click_then_purchase: Boolean)
+
 object Events {
 
   /** Parse the JSON `props` column to map<string,string> (F10). */
@@ -369,6 +376,47 @@ object Events {
             }
             closed.result().iterator
           }
+      }.toDF()
+  }
+
+  /** Streaming funnel — the [[funnel]] semantics as a per-user state
+    * machine (`flatMapGroupsWithState`), since RANGE-frame windows are not
+    * available in streaming. State per user is the recent view/click
+    * timestamps pruned to the lookback window (bounded by event rate x
+    * window, NOT history length) plus two sticky conversion flags; each
+    * micro-batch emits the user's current flags (Update mode — take the
+    * last row per user). Ties sort by event_id, same as the batch oracle. */
+  def streamingFunnel(spark: SparkSession, dir: String,
+                      windowSeconds: Long = 600,
+                      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val src = readEventStream(spark, dir).withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("double").as("sec"))
+      .as[(Long, Long, String, Double)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Double)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Nil, Nil, false, false))
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, _, typ, sec) =>
+            // batch frame is RANGE [sec-window, sec-1]: any prior signal in it
+            def inWindow(ts: List[Double]): Boolean =
+              ts.exists(t => t >= sec - windowSeconds && t <= sec - 1)
+            typ match {
+              case "view" =>
+                st = st.copy(views = (sec :: st.views).filter(_ >= sec - windowSeconds))
+              case "click" =>
+                if (inWindow(st.views)) st = st.copy(viewClick = true)
+                st = st.copy(clicks = (sec :: st.clicks).filter(_ >= sec - windowSeconds))
+              case "purchase" =>
+                if (inWindow(st.clicks)) st = st.copy(clickPurchase = true)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          Iterator(FunnelOut(uid, st.viewClick, st.clickPurchase))
       }.toDF()
   }
 

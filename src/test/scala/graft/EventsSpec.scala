@@ -115,6 +115,23 @@ class EventsSpec extends SparkSpec {
     stream.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
   }
 
+  test("streaming funnel state machine matches the batch RANGE-frame funnel") {
+    val q = Events.streamingFunnel(spark, eventsDir).writeStream
+      .format("memory").queryName("ev_funnel_test")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    // Update mode: the last emitted row per user is the final state
+    val last = spark.table("ev_funnel_test").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+      .groupBy(_._1).map { case (_, v) => v.last }.toSeq
+    val streamed = (last.count(_._2).toLong, last.count(_._3).toLong)
+    val batch = Events.funnel(
+      graft.tables.Tables.events(spark, "/root/testdata/sf0.001")).head()
+    assert(streamed === ((batch.getLong(1), batch.getLong(2))),
+      s"stream=$streamed batch=(${batch.getLong(1)}, ${batch.getLong(2)})")
+  }
+
   test("streaming session windows close and match batch session starts") {
     val q = Events.streamingSessionize(spark, eventsDir,
         gap = "30 minutes", watermark = "1 minute").writeStream
