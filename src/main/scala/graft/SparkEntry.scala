@@ -566,7 +566,13 @@ object SparkEntry {
       TextStats.charEntropy(t(s, d, "documents"))),
     // --- per-source quality dashboard (mixture QA rollup) ---
     "q114_source_quality" -> ((s, d) =>
-      TextStats.sourceQualityProfile(t(s, d, "documents"))))
+      TextStats.sourceQualityProfile(t(s, d, "documents"))),
+    // --- lifecycle Markov summary: status transition counts ---
+    "q115_status_transitions" -> ((s, d) =>
+      Analytics.statusTransitions(t(s, d, "orders"))),
+    // --- association lift over co-purchase baskets ("bought together") ---
+    "q116_copurchase_lift" -> ((s, d) =>
+      Graph.coPurchaseLift(t(s, d, "lineitem"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1272,5 +1278,23 @@ object SparkEntry {
         s"FROM (SELECT source, $toksSql AS toks FROM documents) t) " +
         "SELECT source, count(*) AS n_docs, " +
         "round(CAST(sum(passes) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pass_rate, " +
-        "round(avg(n_tokens), 6) AS avg_tokens FROM q GROUP BY source"))
+        "round(avg(n_tokens), 6) AS avg_tokens FROM q GROUP BY source"),
+    "q115_status_transitions" ->
+      ("SELECT prev_status, o_orderstatus, count(*) AS n_transitions FROM (" +
+        "SELECT o_orderstatus, lag(o_orderstatus) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) AS prev_status FROM orders) t " +
+        "WHERE prev_status IS NOT NULL GROUP BY 1, 2"),
+    "q116_copurchase_lift" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total FROM op), " +
+        "ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders FROM op GROUP BY 1), " +
+        "pc AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
+        "CAST(count(*) AS BIGINT) AS n_together " +
+        "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3) " +
+        "SELECT part_a, part_b, n_together, " +
+        "round(CAST(n_together AS DOUBLE) * CAST(n_orders_total AS DOUBLE) / " +
+        "(CAST(ia.n_orders AS DOUBLE) * CAST(ib.n_orders AS DOUBLE)), 6) AS lift " +
+        "FROM pc CROSS JOIN n " +
+        "JOIN ic ia ON ia.l_partkey = part_a JOIN ic ib ON ib.l_partkey = part_b"))
 }

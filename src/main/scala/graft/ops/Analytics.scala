@@ -259,6 +259,20 @@ object Analytics {
       round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
 
+  /** Order-status transition counts over each customer's order sequence
+    * (the Markov-chain summary of lifecycle behavior): one lag window per
+    * customer, then a tiny count aggregate over (prev, next) pairs.
+    * Date+key ordering keeps the sequence deterministic under ties. */
+  def statusTransitions(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderstatus"),
+        lag(col("o_orderstatus"), 1).over(w).as("prev_status"))
+      .filter(col("prev_status").isNotNull)
+      .groupBy("prev_status", "o_orderstatus")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Pearson chi-square statistic for independence of two categorical
     * columns, from the contingency counts (the inferential companion to
     * `stat.crosstab`/q83). Expected counts are products of integer-exact

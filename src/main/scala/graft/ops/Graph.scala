@@ -52,6 +52,41 @@ object Graph {
       .filter(col("n_together") >= minCount)
   }
 
+  /** Association lift of co-purchased part pairs: lift(a,b) =
+    * P(a,b) / (P(a) P(b)) over order baskets — the recommendation-quality
+    * signal behind "bought together" (>1 = positive association). All
+    * containment counts are order-level DISTINCT, pair generation reuses
+    * the join-free sorted-basket expansion, and item counts broadcast into
+    * the pair join. One final all-integer-inputs division, rounded at 6 dp.
+    */
+  def coPurchaseLift(lineitem: DataFrame, minTogether: Long = 3): DataFrame = {
+    // distinct containment WITHOUT a shared `distinct()` stage: collect_set
+    // and countDistinct dedup inside their own (map-side-combined)
+    // aggregates, so each consumer is scan -> one agg, not scan -> distinct
+    // shuffle -> agg recomputed per branch
+    val total = lineitem.agg(countDistinct(col("l_orderkey")).as("n_orders_total"))
+    val itemCounts = lineitem.groupBy("l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val baskets = lineitem.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+    val pairs = baskets.select(explode(flatten(transform(col("pks"),
+      (x, i) => transform(
+        slice(col("pks"), i + 2, greatest(size(col("pks")) - i - 1, lit(0))),
+        y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minTogether)
+    pairs.crossJoin(total)
+      .join(broadcast(itemCounts.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("n_orders", "n_a")), Seq("part_a"))
+      .join(broadcast(itemCounts.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("n_orders", "n_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_together"),
+        round(col("n_together").cast("double") *
+          col("n_orders_total").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+  }
+
   /** Connected components of a pair/edge table via GraphX (iterative Pregel
     * label propagation — the built-in converges every vertex to the MINIMUM
     * vertex id in its component, which is a deterministic canonical label).

@@ -20,7 +20,9 @@ class PlanLintSpec extends SparkSpec {
     "q92_freq_items_gate", "q90_union_by_name",
     "q28_cosine_topk", "q44_tfidf_doc_similarity",
     // chi2 densifies with a |categories_a| x |categories_b| grid cross join
-    "q112_status_priority_chi2")
+    "q112_status_priority_chi2",
+    // lift joins the 1-row total-orders scalar into every pair
+    "q116_copurchase_lift")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
