@@ -572,7 +572,13 @@ object SparkEntry {
       Analytics.statusTransitions(t(s, d, "orders"))),
     // --- association lift over co-purchase baskets ("bought together") ---
     "q116_copurchase_lift" -> ((s, d) =>
-      Graph.coPurchaseLift(t(s, d, "lineitem"))))
+      Graph.coPurchaseLift(t(s, d, "lineitem"))),
+    // --- equi-depth deciles (skew-adaptive histogram) ---
+    "q117_price_deciles" -> ((s, d) =>
+      Analytics.priceDeciles(t(s, d, "orders"))),
+    // --- ANSI null-semantics probe (three-valued vs null-safe equality) ---
+    "q118_null_semantics" -> ((s, d) =>
+      Analytics.nullSemantics(t(s, d, "orders"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1296,5 +1302,18 @@ object SparkEntry {
         "round(CAST(n_together AS DOUBLE) * CAST(n_orders_total AS DOUBLE) / " +
         "(CAST(ia.n_orders AS DOUBLE) * CAST(ib.n_orders AS DOUBLE)), 6) AS lift " +
         "FROM pc CROSS JOIN n " +
-        "JOIN ic ia ON ia.l_partkey = part_a JOIN ic ib ON ib.l_partkey = part_b"))
+        "JOIN ic ia ON ia.l_partkey = part_a JOIN ic ib ON ib.l_partkey = part_b"),
+    "q117_price_deciles" ->
+      ("SELECT decile, count(*) AS n_orders, min(o_totalprice) AS min_price, " +
+        "max(o_totalprice) AS max_price FROM (" +
+        "SELECT o_totalprice, CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) " +
+        "AS INTEGER) AS decile FROM orders) t GROUP BY decile"),
+    "q118_null_semantics" ->
+      ("WITH t AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 5 END AS x, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS y FROM orders) " +
+        "SELECT count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS n_eq, " +
+        "CAST(sum(CASE WHEN x IS NOT DISTINCT FROM y THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq, " +
+        "CAST(sum(CASE WHEN x IS NULL AND y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both_null, " +
+        "count(x) AS n_x_present, count(y) AS n_y_present FROM t"))
 }

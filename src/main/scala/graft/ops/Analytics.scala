@@ -259,6 +259,34 @@ object Analytics {
       round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
       round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
 
+  /** Equi-DEPTH histogram: decile buckets each holding ~n/10 rows (the
+    * companion to [[equiWidthHistogram]]'s fixed-width buckets — this shape
+    * adapts to skew). One global ntile sort with a key tiebreak, so bucket
+    * assignment is deterministic and engine-portable. */
+  def priceDeciles(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** Null-semantics probe: three-valued comparison (`=` skips nulls) vs
+    * null-safe equality (Spark `<=>` == SQL IS NOT DISTINCT FROM), plus the
+    * null census — one scalar row asserting the engine's NULL contract
+    * matches ANSI expectations bit-for-bit against any compliant oracle. */
+  def nullSemantics(orders: DataFrame): DataFrame = {
+    val x = when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_orderkey") % 5)
+    val y = when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_orderkey") % 5)
+    orders.select(x.as("x"), y.as("y")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("x") === col("y"), 1L).otherwise(0L)).as("n_eq"),
+      sum(when(col("x") <=> col("y"), 1L).otherwise(0L)).as("n_null_safe_eq"),
+      sum(when(col("x").isNull && col("y").isNull, 1L).otherwise(0L)).as("n_both_null"),
+      count(col("x")).as("n_x_present"),
+      count(col("y")).as("n_y_present"))
+  }
+
   /** Order-status transition counts over each customer's order sequence
     * (the Markov-chain summary of lifecycle behavior): one lag window per
     * customer, then a tiny count aggregate over (prev, next) pairs.
