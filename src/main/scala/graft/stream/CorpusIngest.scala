@@ -26,15 +26,11 @@ object CorpusIngest {
   def readDocStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Tables.schemas("documents")).parquet(dir)
 
-  /** Quality gate — the same predicate as [[TextStats.qualityScore]]'s
-    * `passes_filter`, applied as a pure map (no self-join, streaming-safe,
-    * stays inside whole-stage codegen). */
-  def qualityGate(docs: DataFrame): DataFrame = {
-    val toks = TextStats.tokens(TextStats.normalize(col("text")))
-    val nTok = size(toks).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
-    docs.filter(size(toks) >= 20 && nDistinct / nTok >= 0.2)
-  }
+  /** Quality gate — the shared [[TextStats.passesQualityGate]] predicate as
+    * a pure map (no self-join, streaming-safe, stays inside whole-stage
+    * codegen). */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs.filter(TextStats.passesQualityGate())
 
   /** Start the ingest: quality-gate, dedup (in-batch + against the lake),
     * append to `table`. Returns the started query. */

@@ -77,7 +77,11 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
         ("schemaJson" -> c.schemaJson) ~ ("partitionBy" -> c.partitionBy) ~
         ("rowCount" -> c.rowCount)))
     Files.createDirectories(logDir(name))
-    val tmp = logDir(name).resolve(f".v${c.version}%08d.json.tmp")
+    // tmp name must be unique PER WRITER: a shared tmp path would let a
+    // racing writer truncate this one's staged bytes pre-link (and the
+    // loser's cleanup would delete the winner's in-flight file)
+    val tmp = logDir(name).resolve(
+      f".v${c.version}%08d.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, json.getBytes("UTF-8"))
     val dest = logDir(name).resolve(f"v${c.version}%08d.json")
     // optimistic concurrency: rename(2) REPLACES an existing destination, so

@@ -29,14 +29,10 @@ object Refinery {
       chunk: Int = 128,
       stride: Int = 96)
 
-  /** Quality gate as a standalone predicate-pushable filter. */
-  def gate(docs: DataFrame, cfg: Config): DataFrame = {
-    val toks = TextStats.tokens(TextStats.normalize(col("text")))
-    val nTok = size(toks).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
-    docs.filter(size(toks) >= cfg.minTokens &&
-      nDistinct / nTok >= cfg.minDistinctRatio)
-  }
+  /** Quality gate as a standalone predicate-pushable filter (the shared
+    * [[TextStats.passesQualityGate]] predicate, parameterized). */
+  def gate(docs: DataFrame, cfg: Config): DataFrame =
+    docs.filter(TextStats.passesQualityGate(cfg.minTokens, cfg.minDistinctRatio))
 
   /** Full refinery: returns the chunk plan (doc_id, n_tokens, chunk_idx,
     * start_tok, chunk_len) over the gated, deduped, capped corpus. */

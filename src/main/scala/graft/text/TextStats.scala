@@ -205,17 +205,24 @@ object TextStats {
         .as("char_entropy"))
   }
 
+  /** The boolean form of [[qualityScore]]'s `passes_filter` (enough tokens,
+    * enough distinct tokens) — shared by the gate callers so the batch
+    * refinery, the streaming ingest, and this rollup can never drift. */
+  def passesQualityGate(minTokens: Int = 20,
+                        minDistinctRatio: Double = 0.2): Column = {
+    val toks = tokens(normalize(col("text")))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    size(toks) >= minTokens && nDistinct / nTok >= minDistinctRatio
+  }
+
   /** Per-source quality dashboard: document counts, filter pass rate, and
     * mean token count for every corpus source — the mixture-QA rollup read
     * before adjusting source weights. One aggregate over the per-doc
     * quality expressions (map-side combined). */
-  def sourceQualityProfile(docs: DataFrame,
-                           stopwords: Seq[String] = Seq("the", "a", "of", "and"))
-      : DataFrame = {
-    val toks = tokens(normalize(col("text")))
-    val nTok = size(toks).cast("double")
-    val nDistinct = size(array_distinct(toks)).cast("double")
-    val passes = (size(toks) >= 20 && nDistinct / nTok >= 0.2).cast("long")
+  def sourceQualityProfile(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(normalize(col("text")))).cast("double")
+    val passes = passesQualityGate().cast("long")
     docs.select(col("source"), nTok.as("n_tokens"), passes.as("passes"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
