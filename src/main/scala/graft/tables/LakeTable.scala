@@ -327,6 +327,35 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     }.toMap
   }
 
+  /** Range-filtered read that consults the [[analyze]] sidecar FIRST: when
+    * the requested `[lo, hi]` range is disjoint from the column's committed
+    * min/max, return an empty frame without ever touching the data files —
+    * snapshot-level skipping, one tier above parquet's row-group pruning
+    * (which still costs a footer read per file; at 100 TB that is millions
+    * of footer fetches). Falls through to a normal pushed-down filter scan
+    * when stats are missing or the ranges overlap. */
+  def readRange(name: String, column: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val field = read(name).schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column in $name"))
+    require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"range read needs a numeric column, $column is ${field.dataType}")
+    val pred = col(column) >= lo && col(column) <= hi
+    readStats(name).get(column) match {
+      case Some((_, _, mn, mx)) =>
+        // an all-null column stringifies min/max as "null" — no bounds to
+        // prove disjointness with, fall through to the filter scan
+        val disjoint = mn != "null" && mx != "null" &&
+          (hi < mn.toDouble || lo > mx.toDouble)
+        if (disjoint)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            read(name).schema)
+        else read(name).filter(pred)
+      case None => read(name).filter(pred)
+    }
+  }
+
   /** The reference's persistence round-trip validation (NB 01 cell 22):
     * table dir present, log present, readback count matches the committed
     * count. Returns (ok, detail). */

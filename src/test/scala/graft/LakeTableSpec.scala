@@ -65,6 +65,27 @@ class LakeTableSpec extends SparkSpec {
     assert(lake.readStats("sales", asOfVersion = Some(99L)) === Map.empty)
   }
 
+  test("readRange skips the scan entirely when stats prove disjointness") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")   // amounts 10..30
+    lake.analyze("sales")
+    val hit = lake.readRange("sales", "amount", 15.0, 25.0)
+    assert(hit.collect().map(_.getDouble(2)).toSeq === Seq(20.0))
+    val miss = lake.readRange("sales", "amount", 1000.0, 2000.0)
+    assert(miss.isEmpty)
+    // proof of skipping: the disjoint plan has no file scan at all
+    assert(!miss.queryExecution.executedPlan.toString.contains("FileScan"))
+    // without stats: same answers via the pushed-down filter path
+    val lake2 = freshLake()
+    lake2.write(df(rows), "sales")
+    assert(lake2.readRange("sales", "amount", 1000.0, 2000.0).isEmpty)
+    assert(lake2.readRange("sales", "amount", 15.0, 25.0).count() === 1)
+    // non-numeric columns are rejected up front, not at execution time
+    intercept[IllegalArgumentException] {
+      lake.readRange("sales", "region", 0.0, 1.0)
+    }
+  }
+
   test("overwrite replaces content and bumps the version") {
     val lake = freshLake()
     lake.write(df(rows), "sales")
