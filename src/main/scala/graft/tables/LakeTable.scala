@@ -29,6 +29,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 final class LakeTable(spark: SparkSession, warehouseDir: String) {
 
+  /** Warehouse root (sidecar writers — materialized views, indexes — anchor
+    * their metadata next to the tables they derive from). */
+  def warehouse: String = warehouseDir
+
   private def tableDir(name: String): Path = Paths.get(warehouseDir, name)
   private def logDir(name: String): Path = tableDir(name).resolve("_graft_log")
   private def dataDir(name: String, v: Long): Path =
@@ -325,6 +329,47 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
       c -> (((s \ "nulls").extract[Long], (s \ "ndv").extract[Long],
         (s \ "min").extract[String], (s \ "max").extract[String]))
     }.toMap
+  }
+
+  /** Build a bloom-filter point-lookup index over `column` for the current
+    * version (sidecar `bloom/v%08d.<col>.bf`). Spark's distributed
+    * `stat.bloomFilter` merges per-partition filters — one pass, no
+    * shuffle of values. Size `expectedItems` to the column's cardinality;
+    * the filter is a few MB even at 1e8 items and 1% fpp. */
+  def buildBloomIndex(name: String, column: String,
+                      expectedItems: Long = 1000000L,
+                      fpp: Double = 0.01): Unit = {
+    val v = latestVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val bf = read(name).stat.bloomFilter(column, expectedItems, fpp)
+    val bd = tableDir(name).resolve("bloom")
+    Files.createDirectories(bd)
+    val out = Files.newOutputStream(bd.resolve(f"v$v%08d.$column.bf"))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** Point read through the bloom index: a definite miss returns an empty
+    * frame with ZERO file scans (the index answers from its sidecar); a
+    * maybe-hit falls through to the pushed-down filter scan. False
+    * positives only cost the scan, never correctness. */
+  def readPoint(name: String, column: String, value: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = latestVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val p = tableDir(name).resolve("bloom").resolve(f"v$v%08d.$column.bf")
+    val mightContain =
+      if (!Files.exists(p)) true
+      else {
+        val in = Files.newInputStream(p)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          .mightContain(value)
+        finally in.close()
+      }
+    if (!mightContain)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(name).schema)
+    else read(name).filter(col(column) === lit(value))
   }
 
   /** Range-filtered read that consults the [[analyze]] sidecar FIRST: when

@@ -86,6 +86,47 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom index: definite miss answers from the sidecar, zero scans") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    lake.buildBloomIndex("sales", "id", expectedItems = 100)
+    assert(lake.readPoint("sales", "id", 2L).count() === 1)
+    val miss = lake.readPoint("sales", "id", 424242L)
+    assert(miss.isEmpty)
+    assert(!miss.queryExecution.executedPlan.toString.contains("FileScan"))
+    // without an index the point read still answers via the filter scan
+    val lake2 = freshLake()
+    lake2.write(df(rows), "sales")
+    assert(lake2.readPoint("sales", "id", 424242L).isEmpty)
+  }
+
+  test("materialized aggregate: incremental refresh equals full recompute") {
+    import graft.tables.Materialize
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
+    def viewMap() = Materialize.readView(lake, "sales_by_region", Seq("region"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viewMap() === Map("north" -> ((2L, 40.0)), "south" -> ((1L, 20.0))))
+
+    // two append commits, then one refresh: only the delta is aggregated
+    lake.write(df(Seq(Sale(4, "south", 5.0))), "sales", mode = "append")
+    lake.write(df(Seq(Sale(5, "west", 7.0))), "sales", mode = "append")
+    Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
+    assert(viewMap() === Map(
+      "north" -> ((2L, 40.0)), "south" -> ((2L, 25.0)), "west" -> ((1L, 7.0))))
+
+    // idempotent: same base version does not write a new view version
+    val vBefore = lake.latestVersion("sales_by_region")
+    Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
+    assert(lake.latestVersion("sales_by_region") === vBefore)
+
+    // an overwrite invalidates the change feed -> full rebuild, still right
+    lake.write(df(Seq(Sale(9, "east", 1.0))), "sales")
+    Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
+    assert(viewMap() === Map("east" -> ((1L, 1.0))))
+  }
+
   test("overwrite replaces content and bumps the version") {
     val lake = freshLake()
     lake.write(df(rows), "sales")
