@@ -578,7 +578,10 @@ object SparkEntry {
       Analytics.priceDeciles(t(s, d, "orders"))),
     // --- ANSI null-semantics probe (three-valued vs null-safe equality) ---
     "q118_null_semantics" -> ((s, d) =>
-      Analytics.nullSemantics(t(s, d, "orders"))))
+      Analytics.nullSemantics(t(s, d, "orders"))),
+    // --- sweep-line peak concurrent sessions (capacity planning) ---
+    "q119_peak_concurrency" -> ((s, d) =>
+      Events.peakConcurrency(Tables.events(s, d))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1315,5 +1318,20 @@ object SparkEntry {
         "CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS n_eq, " +
         "CAST(sum(CASE WHEN x IS NOT DISTINCT FROM y THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq, " +
         "CAST(sum(CASE WHEN x IS NULL AND y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both_null, " +
-        "count(x) AS n_x_present, count(y) AS n_y_present FROM t"))
+        "count(x) AS n_x_present, count(y) AS n_y_present FROM t"),
+    "q119_peak_concurrency" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events), " +
+        "g AS (SELECT *, CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) > 1800 THEN 1 ELSE 0 END AS new_session FROM e), " +
+        "i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM g), " +
+        "s AS (SELECT min(sec) AS start_sec, max(sec) - min(sec) AS duration_sec " +
+        "FROM i GROUP BY user_id, session_seq), " +
+        "m AS (SELECT start_sec AS sec, 1 AS delta FROM s " +
+        "UNION ALL SELECT start_sec + duration_sec, -1 FROM s), " +
+        "r AS (SELECT sum(delta) OVER (ORDER BY sec, delta DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS concurrent FROM m) " +
+        "SELECT CAST(max(concurrent) AS BIGINT) AS peak_concurrency, " +
+        "CAST(count(*) / 2 AS BIGINT) AS n_sessions FROM r"))
 }

@@ -379,6 +379,27 @@ object Events {
       }.toDF()
   }
 
+  /** Peak concurrent sessions via a sweep line: every session contributes
+    * +1 at its start and -1 at its end; the running sum's maximum is the
+    * peak load (capacity-planning's load-profile primitive — no per-instant
+    * grid, cost is 2 markers per session). Starts sort before ends at equal
+    * instants, so back-to-back sessions count as overlapping — and the max
+    * is deterministic under marker ties. */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sessionize(events, gapMinutes)
+      .select(col("session_start").cast("double").as("start_sec"),
+        col("duration_sec"))
+    val markers = s.select(col("start_sec").as("sec"), lit(1L).as("delta"))
+      .unionAll(s.select((col("start_sec") + col("duration_sec")).as("sec"),
+        lit(-1L).as("delta")))
+    val w = Window.orderBy(col("sec"), desc("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.select(sum(col("delta")).over(w).as("concurrent"))
+      .agg(max(col("concurrent")).as("peak_concurrency"),
+        (count(lit(1)) / lit(2)).cast("long").as("n_sessions"))
+  }
+
   /** Streaming funnel — the [[funnel]] semantics as a per-user state
     * machine (`flatMapGroupsWithState`), since RANGE-frame windows are not
     * available in streaming. State per user is the recent view/click

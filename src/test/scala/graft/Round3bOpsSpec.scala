@@ -298,6 +298,20 @@ class Round3bOpsSpec extends SparkSpec {
     assert(out("books") === ((1L, 1.0)))
   }
 
+  test("peakConcurrency counts overlapping sessions by sweep line") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // three users: u1 [0,10], u2 [5,15], u3 [20,25] -> peak 2
+    val ev = Seq(
+      (1L, 1L, t(0), 1.0), (2L, 1L, t(10), 1.0),
+      (3L, 2L, t(5), 1.0), (4L, 2L, t(15), 1.0),
+      (5L, 3L, t(20), 1.0), (6L, 3L, t(25), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = graft.stream.Events.peakConcurrency(ev).head
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 3L)
+  }
+
   test("unionByName aligns drifted schemas by name with null fill") {
     val legacy = Seq((1L, 10.0)).toDF("k", "price")
     val current = Seq((2L, "HIGH")).toDF("k", "prio")
