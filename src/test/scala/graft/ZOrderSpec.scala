@@ -27,24 +27,38 @@ class ZOrderSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft-zorder").toString
     val zDir = s"$base/z"
     val linDir = s"$base/lin"
-    ZOrder.layout(events, Seq("user_id", "value"), numFiles = 16)
+    // 64 files => 3 z-bits per dimension; at 16 the curve is too coarse for
+    // file spans to separate cleanly and the comparison turns on sampling
+    // luck in the range partitioner
+    ZOrder.layout(events, Seq("user_id", "value"), numFiles = 64)
       .write.mode("overwrite").parquet(zDir)
-    events.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
+    events.repartitionByRange(64, col("user_id")).sortWithinPartitions("user_id")
       .write.mode("overwrite").parquet(linDir)
 
-    // a selective 2-D box: ~10% of each dimension
-    val uLo = 100L; val uHi = 200L; val vLo = 10.0; val vHi = 20.0
-    def hits(dir: String): Int = boxes(dir).count { case ((ulo, uhi), (vlo, vhi)) =>
-      ulo <= uHi && uhi >= uLo && vlo <= vHi && vhi >= vLo
-    }
-    val zHits = hits(zDir)
-    val linHits = hits(linDir)
+    // boxes WIDE in the linear sort key (a third of users) and NARROW in
+    // value — the shape where a one-dimensional sort cannot help but the
+    // z-curve's second dimension can. Range partitioning SAMPLES its
+    // bounds, so a single box can wobble by a file run-to-run; the
+    // aggregate over boxes must still be strictly better.
+    val boxesToProbe = Seq(
+      (0L, 50L, 80.0, 150.0), (50L, 100L, 150.0, 250.0),
+      (100L, 149L, 70.0, 130.0), (20L, 120L, 250.0, 490.0),
+      (0L, 149L, 130.0, 200.0), (30L, 90L, 40.0, 60.0))
+    def hits(dir: String, uLo: Long, uHi: Long, vLo: Double, vHi: Double): Int =
+      boxes(dir).count { case ((ulo, uhi), (vlo, vhi)) =>
+        ulo <= uHi && uhi >= uLo && vlo <= vHi && vhi >= vLo
+      }
+    val zHits = boxesToProbe.map { case (a, b, c, d) => hits(zDir, a, b, c, d) }.sum
+    val linHits = boxesToProbe.map { case (a, b, c, d) => hits(linDir, a, b, c, d) }.sum
     // linear sort clusters user_id only -> value spans the full range in
     // every file, so all user-matching files intersect the box; z-order
     // confines both dimensions
-    assert(zHits < linHits, s"z=$zHits lin=$linHits")
+    assert(zHits < linHits,
+      s"z=$zHits lin=$linHits zFiles=${boxes(zDir).mkString(";")} " +
+        s"linFiles=${boxes(linDir).mkString(";")}")
 
     // layout change must not change query results
+    val (uLo, uHi, vLo, vHi) = boxesToProbe.head
     val q = (d: String) => spark.read.parquet(d)
       .filter(col("user_id").between(uLo, uHi) && col("value").between(vLo, vHi))
       .agg(count(lit(1)), sum("event_id")).head()
