@@ -581,7 +581,27 @@ object SparkEntry {
       Analytics.nullSemantics(t(s, d, "orders"))),
     // --- sweep-line peak concurrent sessions (capacity planning) ---
     "q119_peak_concurrency" -> ((s, d) =>
-      Events.peakConcurrency(Tables.events(s, d))))
+      Events.peakConcurrency(Tables.events(s, d))),
+    // --- weighted mean (quantity-weighted discount per return flag) ---
+    "q120_weighted_discount" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(sum(col("l_discount") * col("l_quantity")) / sum(col("l_quantity")), 6)
+          .as("qty_weighted_discount"),
+        round(avg(col("l_discount")), 6).as("unweighted_discount"),
+        count(lit(1)).as("n"))),
+    // --- SQL FILTER-clause aggregates (per-aggregate predicates, one scan) ---
+    "q121_filtered_aggs" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q121_orders")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  count(*) AS n_all,
+          |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+          |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+          |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0
+          |    AS urgent_revenue
+          |FROM graft_q121_orders GROUP BY o_orderstatus""".stripMargin)
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1333,5 +1353,17 @@ object SparkEntry {
         "r AS (SELECT sum(delta) OVER (ORDER BY sec, delta DESC " +
         "ROWS UNBOUNDED PRECEDING) AS concurrent FROM m) " +
         "SELECT CAST(max(concurrent) AS BIGINT) AS peak_concurrency, " +
-        "CAST(count(*) / 2 AS BIGINT) AS n_sessions FROM r"))
+        "CAST(count(*) / 2 AS BIGINT) AS n_sessions FROM r"),
+    "q120_weighted_discount" ->
+      ("SELECT l_returnflag, " +
+        "round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS qty_weighted_discount, " +
+        "round(avg(l_discount), 6) AS unweighted_discount, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    "q121_filtered_aggs" ->
+      ("SELECT o_orderstatus, count(*) AS n_all, " +
+        "count(*) FILTER (WHERE o_totalprice > 200000) AS n_large, " +
+        "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) " +
+        "FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0 AS urgent_revenue " +
+        "FROM orders GROUP BY o_orderstatus"))
 }
