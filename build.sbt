@@ -15,6 +15,10 @@ run / fork := true
 // with an "[info] " prefix: Bench's contract is ONE machine-parseable JSON
 // line on stdout, and the logger prefix breaks the driver's parse.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own trailing "[success] Total time: ..." line so the
+// bench JSON stays the LAST line of stdout (the driver parses a bounded tail).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

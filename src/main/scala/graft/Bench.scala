@@ -43,11 +43,29 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    // ms precision keeps the JSON line short enough for log tail buffers
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map: one line for humans/logs (may be cut by tail
+    // buffers — that's fine) plus a file for post-hoc analysis.
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+    println(fullLine)
+    try {
+      val outDir = java.nio.file.Paths.get("out")
+      java.nio.file.Files.createDirectories(outDir)
+      java.nio.file.Files.write(outDir.resolve("bench_full.json"),
+        fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // FINAL line = the machine-parsed one. The driver keeps only a ~2000-char
+    // tail of stdout, so this line must stay well under that on its own:
+    // short keys (the qNN prefix), 2-dp values, and only the slowest 20
+    // queries — the headline metric is the total.
+    def r2(v: Double): Double = math.round(v * 100.0) / 100.0
+    val topSlow = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$topSlow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
