@@ -963,8 +963,11 @@ object SparkEntry {
         "FROM orders WHERE o_orderkey % 1000 = 0) " +
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders " +
         "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd) " +
+        // Delta parity: the delete marker fires only WHEN MATCHED — a marked
+        // row whose key is absent from the target is inserted, not dropped
         "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM upd " +
-        "WHERE NOT (o_orderkey % 49 = 0)"),
+        "WHERE NOT (o_orderkey % 49 = 0 " +
+        "AND o_orderkey IN (SELECT o_orderkey FROM orders))"),
     "q71_scd2_events" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
         "c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +

@@ -308,12 +308,20 @@ object Analytics {
     * engine drift is the final few-term float sum — absorbed at 6 dp. */
   def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val obs = df.groupBy(aCol, bCol).agg(count(lit(1)).cast("double").as("obs"))
+    // NULL categories: equality joins treat null keys asymmetrically — the
+    // grid left-join below never matches them, so observed null-category rows
+    // would vanish from the marginals while their grid cells still contribute
+    // as obs=0, silently skewing the statistic. Fold null into an explicit
+    // sentinel category first so it participates like any other value.
+    val in = df.select(
+      coalesce(col(aCol).cast("string"), lit("<null>")).as(aCol),
+      coalesce(col(bCol).cast("string"), lit("<null>")).as(bCol))
+    val obs = in.groupBy(aCol, bCol).agg(count(lit(1)).cast("double").as("obs"))
     // densify: UNOBSERVED category pairs still contribute (0 - exp)^2/exp —
     // without the grid a perfectly dependent table reports half its chi2.
     // The cross join is |a| x |b| category values, never data rows.
-    val grid = df.select(col(aCol)).distinct()
-      .crossJoin(df.select(col(bCol)).distinct())
+    val grid = in.select(col(aCol)).distinct()
+      .crossJoin(in.select(col(bCol)).distinct())
     val full = grid.join(obs, Seq(aCol, bCol), "left")
       .select(col(aCol), col(bCol), coalesce(col("obs"), lit(0.0)).as("obs"))
     val cells = full.select(col("obs"),

@@ -25,7 +25,14 @@ object Merge {
     * `keys`: matched rows are replaced by their update row (WHEN MATCHED
     * UPDATE SET *), unmatched update rows are inserted (WHEN NOT MATCHED
     * INSERT *), and update rows satisfying `deleteWhen` drop the matched
-    * target row instead (WHEN MATCHED AND cond DELETE).
+    * target row instead (WHEN MATCHED AND cond DELETE). A delete-marked row
+    * whose key does NOT exist in the target is still inserted — Delta's
+    * WHEN-NOT-MATCHED clause sees it before any delete clause can, so a
+    * tombstone for an absent key behaves like an insert, not a no-op.
+    *
+    * The matched-test for delete-marked rows never shuffles the target: the
+    * target's key projection is semi-joined against the (tiny, broadcast)
+    * marked-key set, and only that dimension-sized result is deduplicated.
     *
     * `updates` must have at most one row per key (the MERGE precondition
     * Delta enforces at runtime; enforce with [[requireUniqueKeys]]). */
@@ -34,8 +41,19 @@ object Merge {
     val untouched = target.join(
       updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val applied = deleteWhen match {
-      case Some(cond) => updates.filter(!coalesce(cond, lit(false)))
-      case None       => updates
+      case Some(cond) =>
+        val del = coalesce(cond, lit(false))
+        // keys of delete-marked update rows that exist in target: scan the
+        // target's keys filtered by the broadcastable marked-key set (no
+        // target shuffle), then dedup the small survivor set
+        val markedKeys = updates.filter(del).select(keys.map(col): _*).distinct()
+        val matchedMarked = target.select(keys.map(col): _*)
+          .join(markedKeys, keys, "left_semi").distinct()
+        // drop only matched marked rows; unmatched marked rows fall through
+        // to the insert path (update keys are unique, so no unmarked row can
+        // share a key with a marked one)
+        updates.join(matchedMarked, keys, "left_anti")
+      case None => updates
     }
     untouched.unionByName(applied.select(target.columns.map(col): _*))
   }

@@ -384,7 +384,16 @@ object Events {
     * peak load (capacity-planning's load-profile primitive — no per-instant
     * grid, cost is 2 markers per session). Starts sort before ends at equal
     * instants, so back-to-back sessions count as overlapping — and the max
-    * is deterministic under marker ties. */
+    * is deterministic under marker ties.
+    *
+    * Scale: the classic formulation is ONE global ordered window over every
+    * marker — a single-partition sort that OOMs at 100 TB. This is the
+    * two-level prefix-sum form instead: markers hash-shuffle into hour
+    * buckets where each task computes its running sum and partials
+    * (max-of-run, total), and only the bucket-level frame — bounded by the
+    * number of hours in the data's time span, not by row count — goes
+    * through a global window to chain the cross-bucket offsets. Marker ties
+    * (equal sec) always share a bucket, so the tie order is preserved. */
   def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = sessionize(events, gapMinutes)
@@ -393,11 +402,22 @@ object Events {
     val markers = s.select(col("start_sec").as("sec"), lit(1L).as("delta"))
       .unionAll(s.select((col("start_sec") + col("duration_sec")).as("sec"),
         lit(-1L).as("delta")))
-    val w = Window.orderBy(col("sec"), desc("delta"))
+      .withColumn("bucket", floor(col("sec") / lit(3600.0)))
+    val wIn = Window.partitionBy("bucket").orderBy(col("sec"), desc("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    markers.select(sum(col("delta")).over(w).as("concurrent"))
-      .agg(max(col("concurrent")).as("peak_concurrency"),
-        (count(lit(1)) / lit(2)).cast("long").as("n_sessions"))
+    val perBucket = markers
+      .withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy("bucket")
+      .agg(max(col("run")).as("mx"), sum(col("delta")).as("tot"),
+        count(lit(1)).as("n"))
+    // bucket-level chain: offset entering each bucket = sum of all earlier
+    // buckets' totals (dimension-sized global window: one row per hour)
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("off", coalesce(sum(col("tot")).over(wB), lit(0L)))
+      .agg(max(col("off") + col("mx")).as("peak_concurrency"),
+        (sum(col("n")) / 2).cast("long").as("n_sessions"))
   }
 
   /** Streaming funnel — the [[funnel]] semantics as a per-user state

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * environment (SURVEY §0), so the log is our own:
   *
   *   <warehouse>/<table>/_graft_log/vNNNNNNNN.json   — one commit per version
-  *   <warehouse>/<table>/data/vNNNNNNNN/             — parquet written by executors
+  *   <warehouse>/<table>/data/vNNNNNNNN.<uuid>/      — parquet written by executors
+  *                                                     (uuid = per-writer staging,
+  *                                                     see [[commitStaged]])
   *
   * Commit protocol: executors write the new data dir first, then the driver
   * writes the log entry to a temp file and atomically renames it into place —
@@ -35,8 +37,14 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
 
   private def tableDir(name: String): Path = Paths.get(warehouseDir, name)
   private def logDir(name: String): Path = tableDir(name).resolve("_graft_log")
-  private def dataDir(name: String, v: Long): Path =
-    tableDir(name).resolve("data").resolve(f"v$v%08d")
+  // Per-writer UNIQUE staging dir: data is written BEFORE the log-link commit
+  // race is decided, so a deterministic data/vNNNNNNNN path would let a losing
+  // writer overwrite the winning writer's already-committed v data files. The
+  // uuid suffix makes staging collision-free; the committed log entry records
+  // the exact path, so readers and vacuum never care about the suffix.
+  private def stageDataDir(name: String, v: Long): Path =
+    tableDir(name).resolve("data")
+      .resolve(f"v$v%08d." + java.util.UUID.randomUUID().toString.take(8))
 
   private def committedVersions(name: String): Seq[Long] = {
     val ld = logDir(name)
@@ -103,6 +111,18 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     Files.deleteIfExists(tmp): Unit
   }
 
+  /** Commit `c` whose data was staged into the unique `staged` dir; on a
+    * commit conflict the staged files are orphans — delete them so a losing
+    * writer leaves no trace (the winner's dir has a different uuid suffix). */
+  private def commitStaged(name: String, c: Commit, staged: Path): Commit = {
+    try { writeCommit(name, c); c }
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteRecursively(staged)
+        throw e
+    }
+  }
+
   /** Persist `df` as table `name`. Append mode enforces schema compatibility
     * (same column names and types, any order) against the live table unless
     * `allowEvolution` — then NEW columns are admitted (existing columns must
@@ -128,7 +148,7 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
           s"append schema mismatch for $name: table=$expected incoming=$actual")
       }
     }
-    val dest = dataDir(name, v)
+    val dest = stageDataDir(name, v)
     // snappy for hot tables (cheap CPU), zstd for cold/archive versions
     // (~30-40% smaller — at 100 TB that is tens of TB of scan I/O saved);
     // parquet is self-describing so readers never need to know the codec
@@ -150,8 +170,7 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
           df.schema.fields.filterNot(f => known.contains(f.name))).json
       } else df.schema.json
     val commit = Commit(v, mode, dirs, schemaJson, parts, total)
-    writeCommit(name, commit)
-    commit
+    commitStaged(name, commit, dest)
   }
 
   /** Read the latest committed version (or `asOfVersion` for time travel). */
@@ -181,18 +200,18 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     val current = read(name)
     val prev = readCommit(name, latestVersion(name).get)
     val v = prev.version + 1
-    val dest = dataDir(name, v)
+    val dest = stageDataDir(name, v)
     val writer = current.coalesce(targetFiles).write.mode("overwrite")
     (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer)
       .parquet(dest.toString)
     val commit = Commit(v, "compact", Seq(dest.toString), prev.schemaJson,
       prev.partitionBy, prev.rowCount)
-    writeCommit(name, commit)
-    commit
+    commitStaged(name, commit, dest)
   }
 
   /** MERGE INTO this table: upsert `updates` keyed by `keys` — matched rows
-    * replaced, unmatched inserted, matches satisfying `deleteWhen` dropped
+    * replaced, unmatched inserted (delete-marked or not — Delta parity),
+    * matches satisfying `deleteWhen` dropped
     * (semantics in [[graft.ops.Merge.upsertPlan]]) — committed as a new
     * version, so time travel still sees the pre-merge table. The incremental
     * lakehouse write path Delta MERGE provides; rewrite granularity is the
@@ -201,7 +220,7 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
             deleteWhen: Option[org.apache.spark.sql.Column] = None): Commit = {
     val prev = readCommit(name, latestVersion(name).get)
     val v = prev.version + 1
-    val dest = dataDir(name, v)
+    val dest = stageDataDir(name, v)
     val merged = graft.ops.Merge.upsertPlan(read(name), updates, keys, deleteWhen)
     val writer = merged.write.mode("overwrite")
     (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer)
@@ -209,8 +228,7 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     val written = spark.read.parquet(dest.toString).count()
     val commit = Commit(v, "merge", Seq(dest.toString), prev.schemaJson,
       prev.partitionBy, written)
-    writeCommit(name, commit)
-    commit
+    commitStaged(name, commit, dest)
   }
 
   /** Z-order maintenance: rewrite the table along the Morton curve over
@@ -221,13 +239,12 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
   def zorder(name: String, zCols: Seq[String], targetFiles: Int = 8): Commit = {
     val prev = readCommit(name, latestVersion(name).get)
     val v = prev.version + 1
-    val dest = dataDir(name, v)
+    val dest = stageDataDir(name, v)
     ZOrder.layout(read(name), zCols, targetFiles)
       .write.mode("overwrite").parquet(dest.toString)
     val commit = Commit(v, "zorder", Seq(dest.toString), prev.schemaJson,
       prev.partitionBy, prev.rowCount)
-    writeCommit(name, commit)
-    commit
+    commitStaged(name, commit, dest)
   }
 
   /** Delete data directories no committed version <= the latest references

@@ -15,21 +15,46 @@ import org.apache.spark.sql.functions._
   * full rebuild — correctness never depends on the fast path applying.
   *
   * The applied base version is tracked in a sidecar next to the view table;
-  * refresh is idempotent (same version -> no-op).
+  * refresh is idempotent (same version -> no-op). The sidecar also records
+  * the VIEW table version the fold produced: the view write and the sidecar
+  * write are two non-atomic steps, so a crash between them would leave a
+  * stale sidecar pointing at an already-folded change range — re-folding it
+  * would silently double-count. Before taking the incremental path, refresh
+  * checks that the sidecar's view version matches the live view table; any
+  * disagreement (crash window, or a foreign write to the view) forces a full
+  * rebuild, which is always correct.
   */
 object Materialize {
 
   private def metaPath(lake: LakeTable, view: String) =
     Paths.get(lake.warehouse, s"$view.mat.json")
 
-  private def appliedVersion(lake: LakeTable, view: String): Option[Long] =
+  /** (applied base version, view table version that write produced). */
+  private def appliedState(lake: LakeTable, view: String): Option[(Long, Long)] =
     if (!Files.exists(metaPath(lake, view))) None
-    else Some(new String(Files.readAllBytes(metaPath(lake, view)), "UTF-8")
-      .trim.stripPrefix("{\"appliedVersion\":").stripSuffix("}").trim.toLong)
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      val jv = JsonMethods.parse(
+        new String(Files.readAllBytes(metaPath(lake, view)), "UTF-8"))
+      Some(((jv \ "appliedVersion").extract[Long],
+        (jv \ "viewVersion").extract[Long]))
+    }
 
-  private def writeApplied(lake: LakeTable, view: String, v: Long): Unit =
-    Files.write(metaPath(lake, view),
-      s"""{"appliedVersion":$v}""".getBytes("UTF-8"))
+  private def writeApplied(lake: LakeTable, view: String, v: Long,
+                           viewVersion: Long): Unit = {
+    // write-temp-then-atomic-rename: a torn sidecar would parse-fail forever;
+    // REPLACE is safe here (single refresher per view is the documented model,
+    // and even a racing replace only ever triggers a spurious full rebuild)
+    val tmp = metaPath(lake, view).resolveSibling(
+      s"$view.mat.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp,
+      s"""{"appliedVersion":$v,"viewVersion":$viewVersion}""".getBytes("UTF-8"))
+    Files.move(tmp, metaPath(lake, view),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 
   private def aggregate(rows: DataFrame, keys: Seq[String],
                         valueCol: String): DataFrame =
@@ -44,19 +69,24 @@ object Materialize {
     val latest = lake.latestVersion(base).getOrElse(
       throw new IllegalArgumentException(s"no such table: $base"))
     def fullRebuild(): Unit = {
-      lake.write(aggregate(lake.read(base), keys, valueCol), view, "overwrite")
-      writeApplied(lake, view, latest)
+      val c = lake.write(aggregate(lake.read(base), keys, valueCol), view, "overwrite")
+      writeApplied(lake, view, latest, c.version)
     }
-    appliedVersion(lake, view) match {
-      case Some(v) if v == latest => () // idempotent no-op
-      case Some(v) =>
+    appliedState(lake, view) match {
+      case Some((_, w)) if !lake.latestVersion(view).contains(w) =>
+        // sidecar does not describe the live view (crash between view write
+        // and sidecar write, or a foreign view write): incremental folding
+        // could double-count the last delta — rebuild from the base
+        fullRebuild()
+      case Some((v, _)) if v == latest => () // idempotent no-op
+      case Some((v, _)) =>
         try {
           val delta = aggregate(lake.readChanges(base, v), keys, valueCol)
           val folded = lake.read(view).unionByName(delta)
             .groupBy(keys.map(col): _*)
             .agg(sum(col("n_rows")).as("n_rows"), sum(col("cents")).as("cents"))
-          lake.write(folded, view, "overwrite")
-          writeApplied(lake, view, latest)
+          val c = lake.write(folded, view, "overwrite")
+          writeApplied(lake, view, latest, c.version)
         } catch {
           // non-append commits in range: incremental semantics undefined
           case _: IllegalArgumentException => fullRebuild()

@@ -32,8 +32,10 @@ class LakeTableSpec extends SparkSpec {
     // mixed codecs across versions read fine (parquet footers carry the codec)
     lake.write(df(Seq(Sale(4, "west", 5.0))), "sales", mode = "append")
     assert(lake.read("sales").count() === 4)
-    val v0Files = new java.io.File(s"$dir/sales/data/v00000000")
-      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    // v0's dir carries a per-writer uuid suffix (OCC staging) — glob for it
+    val v0Dir = new java.io.File(s"$dir/sales/data")
+      .listFiles().filter(_.getName.startsWith("v00000000")).head
+    val v0Files = v0Dir.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
     assert(v0Files.nonEmpty && v0Files.forall(_.contains("zstd")))
   }
 
@@ -50,6 +52,14 @@ class LakeTableSpec extends SparkSpec {
     }
     // the pre-existing commit is intact, not clobbered
     assert(lake.latestVersion("sales") === Some(1L))
+    // ...including its DATA: the fake v1 commit references v0's data dir, and
+    // the loser staged into its own uuid-suffixed dir and cleaned it up — so
+    // the committed read still sees the original rows, and no orphan dirs
+    // remain beyond the one live data dir
+    assert(lake.read("sales").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+    val dataDirs = new java.io.File(s"$dir/sales/data").listFiles().map(_.getName)
+    assert(dataDirs.length === 1 && dataDirs.head.startsWith("v00000000"))
   }
 
   test("analyze persists one-pass column stats; readStats round-trips") {
@@ -125,6 +135,26 @@ class LakeTableSpec extends SparkSpec {
     lake.write(df(Seq(Sale(9, "east", 1.0))), "sales")
     Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
     assert(viewMap() === Map("east" -> ((1L, 1.0))))
+  }
+
+  test("materialized view: stale sidecar (crash window) rebuilds, never double-folds") {
+    import graft.tables.Materialize
+    val lake = freshLake()
+    lake.write(df(rows), "sales")
+    Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
+    val meta = java.nio.file.Paths.get(lake.warehouse, "sales_by_region.mat.json")
+    val staleSidecar = Files.readAllBytes(meta)
+    lake.write(df(Seq(Sale(4, "south", 5.0))), "sales", mode = "append")
+    Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
+    // simulate a crash AFTER the folded view write but BEFORE the sidecar
+    // update: the view already contains the delta, the sidecar says it doesn't
+    Files.write(meta, staleSidecar)
+    Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
+    // a naive incremental path would fold the south delta a second time
+    // (south -> 3 rows / 30.0); the version check forces a full rebuild
+    val m = Materialize.readView(lake, "sales_by_region", Seq("region"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m === Map("north" -> ((2L, 40.0)), "south" -> ((2L, 25.0))))
   }
 
   test("overwrite replaces content and bumps the version") {

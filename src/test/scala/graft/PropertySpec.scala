@@ -99,8 +99,11 @@ class PropertySpec extends SparkSpec {
         target.toDF("k", "v"), updates.toDF("k", "v"), Seq("k"),
         deleteWhen = Some(col("v") < 0))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
-      val merged = (target.toMap ++ updates.toMap).filter {
-        case (k, v) => !(updates.toMap.contains(k) && v < 0)
+      // Delta parity: a delete marker fires only WHEN MATCHED; an unmatched
+      // marked row hits the not-matched clause first and is inserted
+      val tm = target.toMap
+      val merged = (tm ++ updates.toMap).filter {
+        case (k, v) => !(updates.toMap.contains(k) && v < 0 && tm.contains(k))
       }.toSeq.sorted
       assert(got === merged, s"target=$target updates=$updates")
     }

@@ -19,12 +19,14 @@ class Round3OpsSpec extends SparkSpec {
     val updates = Seq(
       (2L, "B", 22.0),   // matched -> update
       (4L, "d", 40.0),   // unmatched -> insert
-      (3L, "c", 30.0))   // matched + deleteWhen -> delete
+      (3L, "c", 30.0),   // matched + deleteWhen -> delete
+      (6L, "f", 60.0))   // UNmatched + deleteWhen -> insert (Delta parity)
       .toDF("k", "s", "v")
     val out = Merge.upsertPlan(target, updates, Seq("k"),
-      deleteWhen = Some(col("k") === 3L))
+      deleteWhen = Some(col("k") === 3L || col("k") === 6L))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-    assert(out === Set((1L, "a", 10.0), (2L, "B", 22.0), (4L, "d", 40.0)))
+    assert(out === Set((1L, "a", 10.0), (2L, "B", 22.0), (4L, "d", 40.0),
+      (6L, "f", 60.0)))
   }
 
   test("upsertPlan without deleteWhen is plain upsert; column order preserved") {

@@ -273,6 +273,19 @@ class Round3bOpsSpec extends SparkSpec {
     assert(c1 === 100.0, s"chi2 of perfect dependence should equal n: $c1")
   }
 
+  test("chi2Independence treats NULL as a real category, not dropped rows") {
+    // perfect dependence where one of the determined values is NULL: a=x->u,
+    // a=y->NULL. With nulls folded into a sentinel category this is the same
+    // 2x2 perfect-dependence table as above (chi2 = n = 100, 4 cells);
+    // equality-join null semantics would drop the null rows from the
+    // marginals and report a wrong statistic
+    val dep = (for { a <- Seq("x", "y"); _ <- 1 to 50 }
+      yield (a, if (a == "x") "u" else null)).toDF("a", "b")
+    val c = Analytics.chi2Independence(dep, "a", "b").head
+    assert(c.getLong(0) === 4L)
+    assert(c.getDouble(1) === 100.0)
+  }
+
   test("charEntropy: uniform alphabet = ln(k); repeated char = 0; ranks garbage") {
     val docs = Seq(
       (1L, "abcd"),              // 4 distinct chars, uniform -> ln 4
