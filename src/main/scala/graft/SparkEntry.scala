@@ -601,7 +601,30 @@ object SparkEntry {
           |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0
           |    AS urgent_revenue
           |FROM graft_q121_orders GROUP BY o_orderstatus""".stripMargin)
-    })
+    },
+    // --- correlated LATERAL subquery join (decorrelated to a ranked
+    // window join — never per-row re-execution) ---
+    "q122_lateral_topk" -> ((s, d) =>
+      Analytics.topOrdersPerSegmentLateral(s, t(s, d, "customer"), t(s, d, "orders"))),
+    // --- RANGE-frame moving average over daily revenue (calendar-aware) ---
+    "q123_moving_avg" -> ((s, d) =>
+      Analytics.movingDailyRevenue(t(s, d, "orders"))),
+    // --- map-typed HOF analytics: map_from_entries -> map_filter ->
+    // transform_values -> explode ---
+    "q124_map_share" -> ((s, d) =>
+      Analytics.priorityStatusMapShare(t(s, d, "orders"))),
+    // --- count-min sketch point-frequency gate (accuracy-gated like q84) ---
+    "q125_cms_gate" -> ((s, d) =>
+      Analytics.cmsGate(s, t(s, d, "orders"))),
+    // --- Benford first-digit screen (DQ suite; exact-cents digit extract) ---
+    "q126_benford" -> ((s, d) =>
+      Quality.benfordProfile(t(s, d, "orders"), "o_totalprice")),
+    // --- sentence segmentation stats (text shape signal) ---
+    "q127_sentence_stats" -> ((s, d) =>
+      TextStats.sentenceStats(t(s, d, "documents"))),
+    // --- pseudonymizing projection (hash + last-4 masking) ---
+    "q128_masked_pii" -> ((s, d) =>
+      Quality.maskCustomerPii(t(s, d, "customer"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1368,5 +1391,57 @@ object SparkEntry {
         "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent, " +
         "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) " +
         "FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) / 100.0 AS urgent_revenue " +
-        "FROM orders GROUP BY o_orderstatus"))
+        "FROM orders GROUP BY o_orderstatus"),
+    "q122_lateral_topk" ->
+      ("SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice " +
+        "FROM (SELECT DISTINCT c_mktsegment FROM customer) s, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = s.c_mktsegment " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t"),
+    "q123_moving_avg" ->
+      ("WITH d AS (SELECT o_orderdate AS day, " +
+        "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents " +
+        "FROM orders GROUP BY 1), " +
+        // o_orderdate is TIMESTAMP in the parquet: cast to DATE so the
+        // subtraction yields integer days (TIMESTAMP - DATE is an INTERVAL)
+        "n AS (SELECT day, cents, CAST(day AS DATE) - DATE '1970-01-01' AS daynum FROM d) " +
+        "SELECT day, CAST(cents AS DOUBLE) / 100.0 AS day_revenue, " +
+        "count(*) OVER w AS n_days_in_window, " +
+        "CAST(sum(cents) OVER w AS DOUBLE) / " +
+        "CAST(count(*) OVER w * 100 AS DOUBLE) AS ma7 " +
+        "FROM n WINDOW w AS (ORDER BY daynum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"),
+    "q124_map_share" ->
+      ("WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n " +
+        "FROM orders GROUP BY 1, 2), " +
+        "t AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1) " +
+        "SELECT c.o_orderpriority, c.o_orderstatus, n, total, " +
+        "round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share " +
+        "FROM c JOIN t USING (o_orderpriority) WHERE n * 20 >= total"),
+    // sketch estimates are engine-specific by design: the verified output is
+    // the probe size plus the CMS hard guarantees (never underestimates,
+    // within eps*N at the configured confidence), like q37/q84/q92
+    "q125_cms_gate" ->
+      ("SELECT CAST(10 AS BIGINT) AS n_probes, CAST(0 AS BIGINT) AS n_underest, " +
+        "TRUE AS within_bound"),
+    "q126_benford" ->
+      ("WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) " +
+        "AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit " +
+        "FROM orders WHERE o_totalprice > 0), " +
+        "g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1) " +
+        "SELECT digit, n, " +
+        "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share, " +
+        "round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_expected FROM g"),
+    "q127_sentence_stats" ->
+      ("WITH s AS (SELECT doc_id, list_filter(list_transform(" +
+        "regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS sents " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sentences, " +
+        "CASE WHEN len(sents) > 0 THEN " +
+        "round(CAST(list_sum(list_transform(sents, x -> len(x))) AS DOUBLE) / " +
+        "CAST(len(sents) AS DOUBLE), 4) END AS avg_sentence_chars FROM s"),
+    "q128_masked_pii" ->
+      ("SELECT c_custkey, sha256(c_name) AS name_hash, " +
+        "left(c_name, 1) || '***' AS name_masked, " +
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_bucket FROM customer"))
 }

@@ -418,4 +418,98 @@ object Analytics {
       round(col("cents").cast("double") /
         sum(col("cents")).over().cast("double"), 6).as("revenue_share"))
   }
+
+  /** 7-day moving average of daily revenue via a RANGE frame over an
+    * integer day number (epoch days) — the time-series smoothing primitive.
+    * RANGE (not ROWS) so calendar gaps shrink the window instead of
+    * stretching it across missing days. The window runs over the
+    * PRE-AGGREGATED daily rows (|days| = time span, not row count), and the
+    * frame sums exact integer cents with ONE double division at the end, so
+    * every engine lands on the identical IEEE result. */
+  def movingDailyRevenue(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("cents"))
+      .withColumn("daynum",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.orderBy("daynum").rangeBetween(-6, 0)
+    daily.select(col("day"),
+      (col("cents").cast("double") / lit(100.0)).as("day_revenue"),
+      count(lit(1)).over(w).as("n_days_in_window"),
+      (sum(col("cents")).over(w).cast("double") /
+        (count(lit(1)).over(w) * lit(100L)).cast("double")).as("ma7"))
+  }
+
+  /** Map-typed aggregation analytics: per priority build a status->count
+    * map (`map_from_entries` over sorted entries, deterministic), keep only
+    * statuses holding >= 5% of the priority's rows via `map_filter` (the
+    * threshold compare is integer math — no division drift), derive shares
+    * with `transform_values`, and explode back to rows. Exercises the map
+    * HOF surface end-to-end while staying oracle-comparable (scalar rows
+    * out, single double division per row). */
+  def priorityStatusMapShare(orders: DataFrame): DataFrame = {
+    val cells = orders.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy("o_orderpriority")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("o_orderstatus"), col("n"))))).as("status_counts"))
+      .withColumn("total",
+        aggregate(map_values(col("status_counts")), lit(0L), (a, x) => a + x))
+      .withColumn("kept",
+        map_filter(col("status_counts"), (_, v) => v * lit(20L) >= col("total")))
+      .withColumn("shares", transform_values(col("kept"),
+        (_, v) => v.cast("double") / col("total").cast("double")))
+      .select(col("o_orderpriority"), col("total"), col("status_counts"),
+        explode(col("shares")).as(Seq("o_orderstatus", "share")))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        element_at(col("status_counts"), col("o_orderstatus")).as("n"),
+        col("total"), round(col("share"), 6).as("share"))
+  }
+
+  /** Count-min sketch accuracy gate (the point-frequency companion to the
+    * HLL distinct gate, q84): build a distributed CMS over the key column,
+    * then check its driver-side estimates against exact counts for a probe
+    * set. The sketch guarantees estimate >= exact always, and
+    * estimate <= exact + eps*N with the configured confidence — both are
+    * asserted into the verified output, since sketch internals are
+    * engine-specific by design. Probe exact counts are one tiny filtered
+    * aggregate, never a full-table collect. */
+  def cmsGate(spark: org.apache.spark.sql.SparkSession, orders: DataFrame,
+              nProbes: Int = 10, eps: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val probes = (1L to nProbes.toLong).toSeq
+    val exact = orders.filter(col("o_custkey").isin(probes: _*))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = orders.count()
+    val sk = orders.stat.countMinSketch("o_custkey", eps, 0.999, 42)
+    val ests = probes.map(k => (exact.getOrElse(k, 0L), sk.estimateCount(k)))
+    val underest = ests.count { case (e, est) => est < e }
+    val bound = math.ceil(eps * total).toLong
+    val within = ests.forall { case (e, est) => est <= e + bound }
+    Seq((probes.size.toLong, underest.toLong, within))
+      .toDF("n_probes", "n_underest", "within_bound")
+  }
+
+  /** Top-k orders per market segment via a correlated LATERAL subquery —
+    * the "for each outer row, run this parameterized subquery" join shape.
+    * Catalyst decorrelates the ORDER BY + LIMIT into a ranked window join
+    * (no per-row re-execution), which is exactly what you want at scale:
+    * one shuffle, WindowGroupLimit pushdown. Deterministic tiebreak on the
+    * order key. */
+  def topOrdersPerSegmentLateral(spark: org.apache.spark.sql.SparkSession,
+                                 customer: DataFrame, orders: DataFrame,
+                                 k: Int = 3): DataFrame = {
+    customer.createOrReplaceTempView("graft_lat_customer")
+    orders.createOrReplaceTempView("graft_lat_orders")
+    spark.sql(
+      s"""SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+         |FROM (SELECT DISTINCT c_mktsegment FROM graft_lat_customer) s,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice
+         |  FROM graft_lat_orders JOIN graft_lat_customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment = s.c_mktsegment
+         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT $k) t""".stripMargin)
+  }
 }

@@ -103,4 +103,39 @@ object Quality {
       profileCols.map(c => sum(col(c).isNull.cast("long")).as(s"${c}_nulls"))
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
+
+  /** Benford first-digit profile of a positive money column — the classic
+    * fabricated-data screen (natural multiplicative processes follow
+    * P(d) = log10(1 + 1/d); uniform or hand-entered values don't). The
+    * leading digit is extracted from the EXACT integer cents rendered as a
+    * string — no float log10 near power-of-ten boundaries, where one ulp
+    * flips the digit. One |digits|-row aggregate; share + expected each
+    * cost a single rounded division. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").cast("string"),
+      1, 1).cast("int")
+    val w = Window.partitionBy()
+    df.filter(col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(w).cast("double"), 6).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford_expected"))
+  }
+
+  /** Pseudonymizing projection for sharing datasets: stable one-way hash of
+    * identifying strings (sha2-256 — joinable across exports, not
+    * reversible), initial+mask display form, and numeric generalization
+    * (bucketed balance — the k-anonymity move). Pure codegen'd map, no
+    * shuffle; the column-masking primitive a governed lakehouse applies at
+    * read time. */
+  def maskCustomerPii(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+      sha2(col("c_name"), 256).as("name_hash"),
+      concat(expr("left(c_name, 1)"), lit("***")).as("name_masked"),
+      floor(col("c_acctbal") / lit(1000.0)).cast("long").as("acctbal_bucket"))
 }

@@ -127,19 +127,37 @@ object Dedup {
           .otherwise(col("i") / (col("ab") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-  /** Word-set Jaccard over blocked candidate pairs (equi-join on blocking
-    * keys only — at scale the blocking key choice bounds the pair count). */
+  /** Word-set Jaccard over blocked candidate pairs (candidates share ALL
+    * blocking-key values — at scale the blocking key choice bounds the pair
+    * count).
+    *
+    * Join-free form: a self-join would tokenize every document twice and
+    * shuffle two full copies of the token arrays; instead each block's
+    * (doc_id, words) structs are collected once (one tokenization pass, one
+    * shuffle of one copy) and the i<j pairs are generated and scored inside
+    * a higher-order function, emitting only cheap int triples. Same bounded-
+    * block-size assumption as the join variant (a huge block is quadratic
+    * under either plan); the struct array sorts on its leading unique doc_id,
+    * so pair order (doc_a < doc_b) and the result set are deterministic. */
   def blockedJaccardPairs(docs: DataFrame, blockingKeys: Seq[String],
                           threshold: Double): DataFrame = {
     val words = docs.select(
       (col("doc_id") +: blockingKeys.map(col)) :+
         array_distinct(TextStats.tokens(TextStats.normalize(col("text")))).as("w"): _*)
-    val joinCond = blockingKeys.map(k => col(s"x.$k") === col(s"y.$k"))
-      .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
-    val joined = words.as("x").join(words.as("y"), joinCond)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.w").as("wa"), col("y.w").as("wb"))
-    scoreJaccardPairs(joined, col("wa"), col("wb"), threshold)
+    words.groupBy(blockingKeys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("w")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           cast(size(array_intersect(x.w, y.w)) AS double) AS inter,
+          |           cast(size(x.w) + size(y.w) AS double) AS ab))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        when(col("p.ab") - col("p.inter") === 0, lit(1.0))
+          .otherwise(col("p.inter") / (col("p.ab") - col("p.inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Collapse near-dup PAIRS into clusters via connected components (GraphX;

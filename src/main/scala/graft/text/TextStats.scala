@@ -242,4 +242,23 @@ object TextStats {
         regexp_extract_all(normalize(col("text")), lit(pattern), lit(0)).as("m"))
       .select(col("doc_id"), size(col("m")).as("n_matches"),
         get(col("m"), lit(0)).as("first_match"))
+
+  /** Sentence segmentation stats: split on terminal-punctuation runs, trim,
+    * drop empties, report count + average sentence length in characters
+    * (integer sum, ONE rounded division — engine-portable). The
+    * sentence-shape signal quality classifiers lean on (walls of unbroken
+    * text and staccato fragment spam both stand out). Pure HOF map, no
+    * shuffle, no UDF. */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    docs.select(col("doc_id"), sents.as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).as("n_sentences"),
+        when(size(col("sents")) > 0,
+          round(aggregate(col("sents"), lit(0L), (a, x) => a + length(x))
+            .cast("double") / size(col("sents")).cast("double"), 4))
+          .as("avg_sentence_chars"))
+  }
 }
