@@ -624,7 +624,46 @@ object SparkEntry {
       TextStats.sentenceStats(t(s, d, "documents"))),
     // --- pseudonymizing projection (hash + last-4 masking) ---
     "q128_masked_pii" -> ((s, d) =>
-      Quality.maskCustomerPii(t(s, d, "customer"))))
+      Quality.maskCustomerPii(t(s, d, "customer"))),
+    // --- grouping()/grouping_id() introspection: distinguish "subtotal
+    // row" from "genuinely-null key" in ROLLUP output ---
+    "q129_grouping_id" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q129_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  CAST(grouping_id() AS INT) AS gid,
+          |  count(*) AS n
+          |FROM graft_q129_orders
+          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)
+    },
+    // --- built-in session_window (the declarative twin of q31's custom
+    // sessionize; end = last event + gap by definition) ---
+    "q130_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))),
+    // --- boolean aggregates (universal/existential per group) ---
+    "q131_bool_aggs" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus").agg(
+        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        count(lit(1)).as("n"))),
+    // --- discrete percentiles (actual data values, no interpolation —
+    // exact cross-engine equality without rounding) ---
+    "q132_percentile_disc" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("graft_q132_orders")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+          |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+          |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+          |  count(*) AS n
+          |FROM graft_q132_orders GROUP BY o_orderstatus""".stripMargin)
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1443,5 +1482,34 @@ object SparkEntry {
     "q128_masked_pii" ->
       ("SELECT c_custkey, sha256(c_name) AS name_hash, " +
         "left(c_name, 1) || '***' AS name_masked, " +
-        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_bucket FROM customer"))
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_bucket FROM customer"),
+    "q129_grouping_id" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(grouping(o_orderstatus) AS INTEGER) AS g_status, " +
+        "CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio, " +
+        "CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid, " +
+        "count(*) AS n FROM orders " +
+        "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+    // gap semantics: a new session starts at >= gap (session_window merges
+    // only when the next event lands strictly inside [last, last+gap))
+    "q130_session_window" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events), " +
+        "g AS (SELECT *, CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id) >= 1800 THEN 1 ELSE 0 END AS new_session FROM e), " +
+        "i AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        "count(*) AS n_events FROM i GROUP BY user_id, session_seq"),
+    "q131_bool_aggs" ->
+      ("SELECT o_orderstatus, bool_and(o_totalprice > 1000.0) AS all_over_1k, " +
+        "bool_or(o_orderpriority = '1-URGENT') AS any_urgent, count(*) AS n " +
+        "FROM orders GROUP BY o_orderstatus"),
+    "q132_percentile_disc" ->
+      ("SELECT o_orderstatus, " +
+        "quantile_disc(o_totalprice, 0.25) AS p25, " +
+        "quantile_disc(o_totalprice, 0.5) AS p50, " +
+        "quantile_disc(o_totalprice, 0.75) AS p75, " +
+        "count(*) AS n FROM orders GROUP BY o_orderstatus"))
 }

@@ -247,6 +247,27 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     commitStaged(name, commit, dest)
   }
 
+  /** Partition-layout evolution: rewrite the current contents under a NEW
+    * `partitionBy` column set as one commit (mode "repartition"). The
+    * Iceberg-style answer to "we picked the wrong partition column at
+    * design time": readers keep resolving through the log (old versions
+    * stay time-travelable in their old layout), and subsequent appends
+    * adopt the new layout automatically since append re-reads the latest
+    * commit's partitionBy. Data is unchanged — only directory layout, and
+    * with it which predicates prune at the scan. */
+  def repartitionTable(name: String, newPartitionBy: Seq[String]): Commit = {
+    val current = read(name)
+    val prev = readCommit(name, latestVersion(name).get)
+    val v = prev.version + 1
+    val dest = stageDataDir(name, v)
+    val writer = current.write.mode("overwrite")
+    (if (newPartitionBy.nonEmpty) writer.partitionBy(newPartitionBy: _*) else writer)
+      .parquet(dest.toString)
+    val commit = Commit(v, "repartition", Seq(dest.toString), prev.schemaJson,
+      newPartitionBy, prev.rowCount)
+    commitStaged(name, commit, dest)
+  }
+
   /** Delete data directories no committed version <= the latest references
     * anymore beyond the newest `keepVersions` commits, and drop the pruned
     * log entries. Time travel further back stops working — the documented

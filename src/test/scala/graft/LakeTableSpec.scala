@@ -157,6 +157,26 @@ class LakeTableSpec extends SparkSpec {
     assert(m === Map("north" -> ((2L, 40.0)), "south" -> ((2L, 25.0))))
   }
 
+  test("repartitionTable evolves the partition layout; appends adopt it") {
+    val dir = Files.createTempDirectory("graft-repart").toString
+    val lake = new LakeTable(spark, dir)
+    lake.write(df(rows), "sales")                    // unpartitioned v0
+    val c = lake.repartitionTable("sales", Seq("region"))
+    assert(c.mode === "repartition" && c.partitionBy === Seq("region"))
+    // data unchanged, only layout: the new data dir has region= subdirs
+    assert(lake.read("sales").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+    val parts = new java.io.File(c.dirs.head).listFiles()
+      .map(_.getName).filter(_.startsWith("region=")).sorted
+    assert(parts.toSeq === Seq("region=north", "region=south"))
+    // a later append re-reads the latest commit's partitionBy -> new layout
+    val a = lake.write(df(Seq(Sale(4, "west", 5.0))), "sales", mode = "append")
+    assert(new java.io.File(a.dirs.last).listFiles()
+      .map(_.getName).contains("region=west"))
+    // old version still reads in its old layout (time travel intact)
+    assert(lake.read("sales", asOfVersion = Some(0L)).count() === 3)
+  }
+
   test("overwrite replaces content and bumps the version") {
     val lake = freshLake()
     lake.write(df(rows), "sales")

@@ -158,4 +158,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"expected a dynamic partition pruning filter on the fact scan:\n${plan.take(800)}")
   }
+
+  test("nested-struct projection prunes the parquet scan to the touched subfield") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    graft.ops.Documents.nest(
+      spark.read.parquet(s"$d/orders.parquet"),
+      spark.read.parquet(s"$d/lineitem.parquet"))
+      .write.mode("overwrite").parquet(dir)
+    // touch ONE subfield of the items array-of-struct; the scan's ReadSchema
+    // must narrow to that leaf, not materialize the full struct (at 100 TB
+    // nested payloads dominate scan bytes — leaf pruning is the whole game).
+    // NOTE: the pruner recognizes direct field extraction (items.l_quantity
+    // = GetArrayStructFields) but NOT access through HOF lambdas — reaching
+    // into the struct inside transform() keeps the full struct in the scan,
+    // so hot paths should extract leaves BEFORE applying lambdas.
+    val q = spark.read.parquet(dir)
+      .select(col("o_orderkey"),
+        org.apache.spark.sql.functions.aggregate(
+          col("items.l_quantity"),
+          org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x).as("qty"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan parquet")).get
+    assert(scan.contains("l_quantity"), s"pruned subfield missing from scan: $scan")
+    assert(!scan.contains("l_extendedprice") && !scan.contains("l_partkey"),
+      s"untouched subfields survived nested pruning: $scan")
+  }
 }
