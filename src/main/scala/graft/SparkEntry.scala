@@ -663,7 +663,16 @@ object SparkEntry {
           |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
           |  count(*) AS n
           |FROM graft_q132_orders GROUP BY o_orderstatus""".stripMargin)
-    })
+    },
+    // --- Zipf-law vocabulary fit (templated-text detector) ---
+    "q133_zipf_slope" -> ((s, d) =>
+      TextStats.zipfSlope(t(s, d, "documents"))),
+    // --- temperature-based source mixture plan (n^alpha rebalancing) ---
+    "q134_temperature_mixture" -> ((s, d) =>
+      TextFeatures.temperatureMixture(t(s, d, "documents"))),
+    // --- deterministic round-robin source interleave (no global sort) ---
+    "q135_interleave_plan" -> ((s, d) =>
+      TextFeatures.interleavePlan(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1511,5 +1520,30 @@ object SparkEntry {
         "quantile_disc(o_totalprice, 0.25) AS p25, " +
         "quantile_disc(o_totalprice, 0.5) AS p50, " +
         "quantile_disc(o_totalprice, 0.75) AS p75, " +
-        "count(*) AS n FROM orders GROUP BY o_orderstatus"))
+        "count(*) AS n FROM orders GROUP BY o_orderstatus"),
+    "q133_zipf_slope" ->
+      (s"WITH tf AS (SELECT token, count(*) AS n_occurrences FROM " +
+        s"(SELECT unnest($toksSql) AS token FROM documents) GROUP BY token), " +
+        "r AS (SELECT token, n_occurrences, row_number() OVER " +
+        "(ORDER BY n_occurrences DESC, token) AS rank FROM tf) " +
+        "SELECT count(*) AS n_terms, " +
+        "round(regr_slope(ln(n_occurrences), ln(rank)), 6) AS zipf_slope, " +
+        "round(regr_r2(ln(n_occurrences), ln(rank)), 6) AS fit_r2 " +
+        "FROM r WHERE rank <= 200"),
+    "q134_temperature_mixture" ->
+      ("WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_docs, " +
+        "round(pow(CAST(n_docs AS DOUBLE), 0.7) / " +
+        "sum(pow(CAST(n_docs AS DOUBLE), 0.7)) OVER (), 6) AS weight, " +
+        "CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM c) " +
+        "SELECT source, n_docs, weight, " +
+        "CAST(floor(weight * CAST(total AS DOUBLE) + 0.5) AS BIGINT) AS target_docs FROM w"),
+    "q135_interleave_plan" ->
+      ("WITH s AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) " +
+        "AS source_idx FROM (SELECT DISTINCT source FROM documents)), " +
+        "n AS (SELECT count(*) AS ns FROM s), " +
+        "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn FROM documents) " +
+        "SELECT doc_id, r.source, rn, (rn - 1) * ns + source_idx - 1 AS epoch_pos " +
+        "FROM r JOIN s ON r.source = s.source CROSS JOIN n"))
 }

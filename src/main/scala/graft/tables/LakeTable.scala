@@ -247,6 +247,24 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     commitStaged(name, commit, dest)
   }
 
+  /** Roll the table back to `version`'s contents as a NEW commit (Delta
+    * RESTORE): the restored commit re-references the old version's data
+    * dirs — zero data copied, instant at any scale — and history keeps the
+    * bad versions visible for forensics. Restored dirs must still exist
+    * (not vacuumed). */
+  def restore(name: String, version: Long): Commit = {
+    require(committedVersions(name).contains(version),
+      s"no committed version v$version for $name (vacuumed or never existed)")
+    val target = readCommit(name, version)
+    val prev = readCommit(name, latestVersion(name).get)
+    require(target.dirs.forall(d => Files.isDirectory(Paths.get(d))),
+      s"cannot restore $name to v$version: data dirs were vacuumed")
+    val commit = Commit(prev.version + 1, "restore", target.dirs,
+      target.schemaJson, target.partitionBy, target.rowCount)
+    writeCommit(name, commit)
+    commit
+  }
+
   /** Partition-layout evolution: rewrite the current contents under a NEW
     * `partitionBy` column set as one commit (mode "repartition"). The
     * Iceberg-style answer to "we picked the wrong partition column at

@@ -91,6 +91,47 @@ object TextFeatures {
         explode(sequence(lit(1), w)).as("copy_idx"))
   }
 
+  /** Temperature-based mixture plan: sampling weights w_i proportional to
+    * n_i^alpha (alpha < 1 flattens the source distribution toward uniform —
+    * the standard multilingual/multi-corpus rebalancing move; alpha = 1 is
+    * proportional, alpha = 0 uniform). Pure arithmetic over the
+    * |sources|-row count table; weights round at 6 dp BEFORE the target
+    * count derivation so every engine lands on identical integers. */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(pow(col("n_docs").cast("double"), lit(alpha)) /
+          sum(pow(col("n_docs").cast("double"), lit(alpha))).over(w), 6)
+          .as("weight"),
+        sum(col("n_docs")).over(w).as("total_docs"))
+      .select(col("source"), col("n_docs"), col("weight"),
+        floor(col("weight") * col("total_docs").cast("double") + lit(0.5))
+          .cast("long").as("target_docs"))
+  }
+
+  /** Deterministic round-robin interleave of sources for training order:
+    * within each source, docs take a hash-shuffled rank; the global epoch
+    * position is then (rank-1)*|sources| + source_index — a pure FORMULA,
+    * no global sort, so the plan stays one per-source window plus a
+    * broadcast of the |sources|-row index map. Uneven sources leave gaps in
+    * the position space, which still yields a valid total order while
+    * guaranteeing consecutive positions cycle through sources. */
+  def interleavePlan(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcIdx = docs.select(col("source")).distinct()
+      .select(col("source"), row_number().over(
+        Window.orderBy("source")).as("source_idx"))
+    val n = srcIdx.count()
+    val ranked = docs.select(col("doc_id"), col("source"),
+      row_number().over(Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).as("rn"))
+    ranked.join(broadcast(srcIdx), "source")
+      .select(col("doc_id"), col("source"), col("rn"),
+        ((col("rn") - 1) * lit(n) + col("source_idx") - 1).as("epoch_pos"))
+  }
+
   /** Greedy token-stream packing: within each corpus `source`, documents in
     * doc_id order are laid head-to-tail into fixed-`capacity` training
     * sequences; a document whose span crosses a boundary reports

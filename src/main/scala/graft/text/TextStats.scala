@@ -243,6 +243,24 @@ object TextStats {
       .select(col("doc_id"), size(col("m")).as("n_matches"),
         get(col("m"), lit(0)).as("first_match"))
 
+  /** Zipf-law fit of the corpus vocabulary: regression slope of
+    * ln(frequency) on ln(rank) over the top-`topN` terms (natural text runs
+    * close to -1; templated or synthetic text drifts off). Composition of
+    * three primitives that each scale: term counting (map-side combined),
+    * a |vocabulary|-bounded rank window, and a moment aggregate. Frequency
+    * ties rank alphabetically so the fit is deterministic. */
+  def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = termFrequencies(docs)
+      .select(col("token"), col("n_occurrences"),
+        row_number().over(
+          Window.orderBy(desc("n_occurrences"), asc("token"))).as("rank"))
+      .filter(col("rank") <= topN)
+    ranked.agg(count(lit(1)).as("n_terms"),
+      round(expr("regr_slope(ln(n_occurrences), ln(rank))"), 6).as("zipf_slope"),
+      round(expr("regr_r2(ln(n_occurrences), ln(rank))"), 6).as("fit_r2"))
+  }
+
   /** Sentence segmentation stats: split on terminal-punctuation runs, trim,
     * drop empties, report count + average sentence length in characters
     * (integer sum, ONE rounded division — engine-portable). The

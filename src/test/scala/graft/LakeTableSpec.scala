@@ -157,6 +157,23 @@ class LakeTableSpec extends SparkSpec {
     assert(m === Map("north" -> ((2L, 40.0)), "south" -> ((2L, 25.0))))
   }
 
+  test("restore rolls back to an old version as a new commit, zero copy") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales")                          // v0: 3 rows
+    lake.write(df(Seq(Sale(9, "west", 1.0))), "sales")     // v1: bad overwrite
+    val c = lake.restore("sales", 0L)
+    assert(c.version === 2L && c.mode === "restore")
+    assert(lake.read("sales").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L, 3L))
+    // the restored commit re-references v0's dirs — no data was copied
+    assert(c.dirs === lake.history("sales").head.dirs)
+    // the bad version stays visible for forensics
+    assert(lake.read("sales", asOfVersion = Some(1L)).count() === 1)
+    // restoring a vacuumed version is refused, not silently empty
+    lake.vacuum("sales", keepVersions = 1)
+    intercept[IllegalArgumentException] { lake.restore("sales", 1L) }
+  }
+
   test("repartitionTable evolves the partition layout; appends adopt it") {
     val dir = Files.createTempDirectory("graft-repart").toString
     val lake = new LakeTable(spark, dir)

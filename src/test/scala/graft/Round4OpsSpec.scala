@@ -94,6 +94,55 @@ class Round4OpsSpec extends SparkSpec {
     assert(r.getBoolean(2))
   }
 
+  test("temperatureMixture: alpha=1 proportional, alpha=0 uniform, weights sum to 1") {
+    import graft.text.TextFeatures
+    val docs = (Seq.fill(80)("big") ++ Seq.fill(20)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val prop = TextFeatures.temperatureMixture(docs, alpha = 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(prop("big") === 0.8 && prop("small") === 0.2)
+    val unif = TextFeatures.temperatureMixture(docs, alpha = 0.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(unif("big") === ((0.5, 50L)) && unif("small") === ((0.5, 50L)))
+    // flattening: 0 < alpha < 1 moves weight from the big source to the small
+    val t = TextFeatures.temperatureMixture(docs, alpha = 0.7).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(t("big") < 0.8 && t("small") > 0.2)
+    assert(math.abs(t.values.sum - 1.0) < 1e-5)
+  }
+
+  test("interleavePlan: unique positions, consecutive positions cycle sources") {
+    import graft.text.TextFeatures
+    val docs = (1L to 12L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val out = TextFeatures.interleavePlan(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(out.map(_._4).distinct.length === 12)       // positions unique
+    // equal-sized sources -> positions are exactly 0..11, and each
+    // consecutive triple covers all 3 sources (round-robin)
+    val bySrc = out.sortBy(_._4).map(_._2)
+    assert(out.map(_._4).sorted.toSeq === (0L to 11L))
+    bySrc.grouped(3).foreach(g => assert(g.toSet.size === 3))
+    // deterministic: same input -> same order
+    val again = TextFeatures.interleavePlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.toMap === out.map(r => (r._1, r._4)).toMap)
+  }
+
+  test("zipfSlope: heavy-tailed text fits a negative slope, flat text near zero") {
+    import graft.text.TextStats
+    // zipf-ish corpus: term k appears ~60/k times
+    val zipfText = (1 to 30).flatMap(k => Seq.fill(60 / k)(s"w$k")).mkString(" ")
+    val flatText = (1 to 30).flatMap(k => Seq.fill(10)(s"w$k")).mkString(" ")
+    val z = TextStats.zipfSlope(Seq((1L, zipfText)).toDF("doc_id", "text"), 30)
+      .head
+    assert(z.getLong(0) === 30L)
+    assert(z.getDouble(1) < -0.8, s"zipf slope: ${z.getDouble(1)}")
+    assert(z.getDouble(2) > 0.9, s"fit r2: ${z.getDouble(2)}")
+    val f = TextStats.zipfSlope(Seq((1L, flatText)).toDF("doc_id", "text"), 30)
+      .head
+    assert(math.abs(f.getDouble(1)) < 1e-6, s"flat slope: ${f.getDouble(1)}")
+  }
+
   test("lateral top-k equals the window-rank formulation") {
     val customer = Seq((1L, "A"), (2L, "A"), (3L, "B"))
       .toDF("c_custkey", "c_mktsegment")
