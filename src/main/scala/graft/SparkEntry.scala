@@ -672,7 +672,30 @@ object SparkEntry {
       TextFeatures.temperatureMixture(t(s, d, "documents"))),
     // --- deterministic round-robin source interleave (no global sort) ---
     "q135_interleave_plan" -> ((s, d) =>
-      TextFeatures.interleavePlan(t(s, d, "documents"))))
+      TextFeatures.interleavePlan(t(s, d, "documents"))),
+    // --- full regr_* family (completes q72: counts + means + fit quality;
+    // raw sums-of-squares excluded — magnitude makes rounding non-portable) ---
+    "q136_regr_family" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("regr_count(l_extendedprice, l_quantity)").as("n_pairs"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avg_qty"),
+        round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avg_price"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))),
+    // --- exists/forall/filter HOF predicates over token arrays ---
+    "q137_hof_predicates" -> { (s, d) =>
+      val toks = TextStats.tokens(TextStats.normalize(col("text")))
+      t(s, d, "documents").select(col("doc_id"),
+        exists(toks, tk => tk === "the").as("has_the"),
+        forall(toks, tk => length(tk) <= 15).as("all_short"),
+        size(filter(toks, tk => length(tk) >= 8)).as("n_long"))
+    },
+    // --- integer bit manipulation (hash/bitmap building blocks) ---
+    "q138_bit_ops" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+        bit_count(col("o_orderkey")).as("bits_set"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_cust"),
+        shiftleft(col("o_orderkey"), 2).as("shifted"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1545,5 +1568,23 @@ object SparkEntry {
         "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn FROM documents) " +
         "SELECT doc_id, r.source, rn, (rn - 1) * ns + source_idx - 1 AS epoch_pos " +
-        "FROM r JOIN s ON r.source = s.source CROSS JOIN n"))
+        "FROM r JOIN s ON r.source = s.source CROSS JOIN n"),
+    "q136_regr_family" ->
+      ("SELECT l_returnflag, " +
+        "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs, " +
+        "round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty, " +
+        "round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_price, " +
+        "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2 " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    "q137_hof_predicates" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents) " +
+        "SELECT doc_id, " +
+        "len(list_filter(toks, x -> x = 'the')) > 0 AS has_the, " +
+        "len(list_filter(toks, x -> len(x) > 15)) = 0 AS all_short, " +
+        "CAST(len(list_filter(toks, x -> len(x) >= 8)) AS INTEGER) AS n_long FROM t"),
+    "q138_bit_ops" ->
+      ("SELECT o_orderkey, CAST(bit_count(o_orderkey) AS INTEGER) AS bits_set, " +
+        "o_orderkey & 255 AS low_byte, " +
+        "xor(o_orderkey, o_custkey) AS xor_cust, " +
+        "o_orderkey << 2 AS shifted FROM orders"))
 }

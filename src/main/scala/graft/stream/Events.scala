@@ -420,6 +420,23 @@ object Events {
         (sum(col("n")) / 2).cast("long").as("n_sessions"))
   }
 
+  /** Built-in session windows in STREAMING mode — the declarative
+    * counterpart to [[streamingSessionizeCustom]]'s state machine, and the
+    * streaming twin of the batch `session_window` groupBy (q130). Spark
+    * maintains and merges open session state per (user, window) under the
+    * watermark; no custom state code. Emits one row per closed session in
+    * append mode. */
+  def streamingSessionWindow(spark: SparkSession, dir: String,
+                             gap: String = "30 minutes",
+                             watermark: String = "1 hour"): DataFrame =
+    readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Streaming funnel — the [[funnel]] semantics as a per-user state
     * machine (`flatMapGroupsWithState`), since RANGE-frame windows are not
     * available in streaming. State per user is the recent view/click

@@ -95,6 +95,26 @@ class EventsSpec extends SparkSpec {
     stream.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
   }
 
+  test("streaming session_window matches the batch session_window groupBy") {
+    val q = Events.streamingSessionWindow(spark, eventsDir,
+        watermark = "1 minute").writeStream
+      .format("memory").queryName("sess_win_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    val stream = spark.table("sess_win_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start")) ->
+        ((r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))).toMap
+    val batch = SparkEntry.queries("q130_session_window")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start")) ->
+        ((r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))).toMap
+    // append mode emits only watermark-closed sessions; every emitted one
+    // must agree with the batch computation exactly
+    assert(stream.nonEmpty)
+    stream.foreach { case (k, v) => assert(batch(k) === v, s"session $k") }
+  }
+
   test("streaming approx-distinct users matches the batch twin bit-for-bit") {
     val q = Events.streamingDistinctUsers(spark, eventsDir,
         watermark = "1 minute").writeStream
