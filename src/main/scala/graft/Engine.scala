@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProduct}
 import graft.tables.Tables
@@ -28,15 +26,8 @@ object Engine {
         else Tables.load(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
-    val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (c: Seq[Expression]) => CosineSimilarity(c(0), c(1)))
-    reg.registerFunction(
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (c: Seq[Expression]) => DotProduct(c(0), c(1)))
+    CosineSimilarity.register(spark)
+    DotProduct.register(spark)
     spark
   }
 

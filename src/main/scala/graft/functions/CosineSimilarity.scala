@@ -128,6 +128,21 @@ object DotProduct {
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** The single source of truth for the SQL binding — shared by
+    * [[register]] (live-session path) and [[GraftExtensions]]
+    * (session-build path) so the copies can't drift. */
+  private[functions] def sqlFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Idempotent SQL registration: `SELECT dot_product(a, b)`. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = sqlFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }
 
 object CosineSimilarity {
@@ -137,12 +152,19 @@ object CosineSimilarity {
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
 
-  /** Idempotent SQL registration: `SELECT cosine_sim(a, b)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
+  /** The single source of truth for the SQL binding — see
+    * [[DotProduct.sqlFunction]]. */
+  private[functions] def sqlFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+
+  /** Idempotent SQL registration: `SELECT cosine_sim(a, b)`. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = sqlFunction
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }
 
 /** Optimizer rule: fuse the three-pass cosine spelling
@@ -177,14 +199,8 @@ object FuseCosine
   * (the SparkSessionExtensions path — no Spark fork, no reflection). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction(CosineSimilarity.sqlFunction)
+    ext.injectFunction(DotProduct.sqlFunction)
     ext.injectOptimizerRule(_ => FuseCosine)
   }
 }

@@ -311,11 +311,13 @@ object Analytics {
     // NULL categories: equality joins treat null keys asymmetrically — the
     // grid left-join below never matches them, so observed null-category rows
     // would vanish from the marginals while their grid cells still contribute
-    // as obs=0, silently skewing the statistic. Fold null into an explicit
-    // sentinel category first so it participates like any other value.
-    val in = df.select(
-      coalesce(col(aCol).cast("string"), lit("<null>")).as(aCol),
-      coalesce(col(bCol).cast("string"), lit("<null>")).as(bCol))
+    // as obs=0, silently skewing the statistic. Fold null into a sentinel
+    // category that CANNOT collide with real data: every real value gets a
+    // "v" prefix, null gets a distinct "n" prefix (only n_cells/chi2 leave
+    // this function, so the internal labels are free to change).
+    def tag(c: String) = when(col(c).isNull, lit("n"))
+      .otherwise(concat(lit("v"), col(c).cast("string"))).as(c)
+    val in = df.select(tag(aCol), tag(bCol))
     val obs = in.groupBy(aCol, bCol).agg(count(lit(1)).cast("double").as("obs"))
     // densify: UNOBSERVED category pairs still contribute (0 - exp)^2/exp —
     // without the grid a perfectly dependent table reports half its chi2.
@@ -482,8 +484,9 @@ object Analytics {
     val exact = orders.filter(col("o_custkey").isin(probes: _*))
       .groupBy("o_custkey").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val total = orders.count()
     val sk = orders.stat.countMinSketch("o_custkey", eps, 0.999, 42)
+    // the sketch carries the stream length — no separate count() scan
+    val total = sk.totalCount()
     val ests = probes.map(k => (exact.getOrElse(k, 0L), sk.estimateCount(k)))
     val underest = ests.count { case (e, est) => est < e }
     val bound = math.ceil(eps * total).toLong

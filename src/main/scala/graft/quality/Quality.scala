@@ -113,11 +113,13 @@ object Quality {
     * cost a single rounded division. */
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val digit = substring(
-      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long").cast("string"),
-      1, 1).cast("int")
+    val cents = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
     val w = Window.partitionBy()
-    df.filter(col(valueCol) > 0)
+    // gate on the CENTS being positive, not the raw value: 0 < v < 0.005
+    // rounds to zero cents and would emit a bogus digit-0 row whose
+    // benford_expected is log10(inf)
+    df.filter(cents > 0)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .select(col("digit"), col("n"),

@@ -289,15 +289,34 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
   /** Delete data directories no committed version <= the latest references
     * anymore beyond the newest `keepVersions` commits, and drop the pruned
     * log entries. Time travel further back stops working — the documented
-    * trade, same as Delta VACUUM. */
-  def vacuum(name: String, keepVersions: Int = 1): Unit = {
+    * trade, same as Delta VACUUM.
+    *
+    * Concurrent-writer safety (the Delta retention-window rule): an
+    * unreferenced dir may be a RACING writer's in-flight staging, not
+    * garbage. Two guards: a dir whose version prefix is beyond the latest
+    * commit is always kept (a writer stages at latest+1 before its commit
+    * is decided), and anything else unreferenced must be older than
+    * `retentionMs`. `retentionMs = 0` reclaims immediately and is only safe
+    * under the single-writer assumption. */
+  def vacuum(name: String, keepVersions: Int = 1,
+             retentionMs: Long = 3600000L): Unit = {
     val versions = committedVersions(name)
+    if (versions.isEmpty) return
+    val latest = versions.last
     val keep = versions.takeRight(keepVersions)
     val live = keep.flatMap(v => readCommit(name, v).dirs).toSet
     val dataRoot = tableDir(name).resolve("data")
     if (Files.isDirectory(dataRoot)) {
+      val now = System.currentTimeMillis()
       Files.list(dataRoot).iterator().asScala.toSeq
         .filterNot(d => live.contains(d.toString))
+        .filter { d =>
+          // "vNNNNNNNN" or "vNNNNNNNN.<uuid>"; unparseable names are kept
+          val ver = scala.util.Try(
+            d.getFileName.toString.split('.').head.stripPrefix("v").toLong)
+          val ageMs = now - Files.getLastModifiedTime(d).toMillis
+          ver.toOption.exists(_ <= latest) && ageMs >= retentionMs
+        }
         .foreach(deleteRecursively)
     }
     versions.dropRight(keepVersions).foreach { v =>

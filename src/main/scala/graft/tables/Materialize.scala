@@ -29,18 +29,22 @@ object Materialize {
   private def metaPath(lake: LakeTable, view: String) =
     Paths.get(lake.warehouse, s"$view.mat.json")
 
-  /** (applied base version, view table version that write produced). */
+  /** (applied base version, view table version that write produced).
+    * ANY unreadable/old-format sidecar degrades to None — sidecar distrust
+    * must land on the full-rebuild path, never on a crash (a pre-upgrade
+    * sidecar without `viewVersion` would otherwise throw on extract and
+    * wedge every refresh of the view). */
   private def appliedState(lake: LakeTable, view: String): Option[(Long, Long)] =
     if (!Files.exists(metaPath(lake, view))) None
-    else {
+    else scala.util.Try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       implicit val fmt: Formats = DefaultFormats
       val jv = JsonMethods.parse(
         new String(Files.readAllBytes(metaPath(lake, view)), "UTF-8"))
-      Some(((jv \ "appliedVersion").extract[Long],
-        (jv \ "viewVersion").extract[Long]))
-    }
+      ((jv \ "appliedVersion").extract[Long],
+        (jv \ "viewVersion").extract[Long])
+    }.toOption
 
   private def writeApplied(lake: LakeTable, view: String, v: Long,
                            viewVersion: Long): Unit = {

@@ -144,6 +144,11 @@ object Dedup {
     val words = docs.select(
       (col("doc_id") +: blockingKeys.map(col)) :+
         array_distinct(TextStats.tokens(TextStats.normalize(col("text")))).as("w"): _*)
+      // equi-join semantics for NULL blocking keys: a null key matches
+      // nothing, so such docs pair with nobody. groupBy would instead pool
+      // all-null keys into one block — drop them up front to keep the
+      // join-free form a drop-in replacement.
+      .na.drop(blockingKeys)
     words.groupBy(blockingKeys.map(col): _*)
       .agg(array_sort(collect_list(struct(col("doc_id"), col("w")))).as("ds"))
       .filter(size(col("ds")) > 1)

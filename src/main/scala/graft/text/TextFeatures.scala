@@ -123,13 +123,15 @@ object TextFeatures {
     val srcIdx = docs.select(col("source")).distinct()
       .select(col("source"), row_number().over(
         Window.orderBy("source")).as("source_idx"))
-    val n = srcIdx.count()
+    // |sources| rides along as a broadcast scalar cross join — the whole
+    // plan stays lazy, one job, no driver round-trip
+    val nSrc = srcIdx.agg(count(lit(1)).as("ns"))
     val ranked = docs.select(col("doc_id"), col("source"),
       row_number().over(Window.partitionBy("source")
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).as("rn"))
-    ranked.join(broadcast(srcIdx), "source")
+    ranked.join(broadcast(srcIdx), "source").crossJoin(broadcast(nSrc))
       .select(col("doc_id"), col("source"), col("rn"),
-        ((col("rn") - 1) * lit(n) + col("source_idx") - 1).as("epoch_pos"))
+        ((col("rn") - 1) * col("ns") + col("source_idx") - 1).as("epoch_pos"))
   }
 
   /** Greedy token-stream packing: within each corpus `source`, documents in

@@ -170,7 +170,7 @@ class LakeTableSpec extends SparkSpec {
     // the bad version stays visible for forensics
     assert(lake.read("sales", asOfVersion = Some(1L)).count() === 1)
     // restoring a vacuumed version is refused, not silently empty
-    lake.vacuum("sales", keepVersions = 1)
+    lake.vacuum("sales", keepVersions = 1, retentionMs = 0L)
     intercept[IllegalArgumentException] { lake.restore("sales", 1L) }
   }
 
@@ -274,7 +274,7 @@ class LakeTableSpec extends SparkSpec {
     val lake = freshLake()
     lake.write(df(rows), "sales")
     lake.write(df(Seq(Sale(9, "west", 1.0))), "sales") // overwrite -> v0 dead
-    lake.vacuum("sales", keepVersions = 1)
+    lake.vacuum("sales", keepVersions = 1, retentionMs = 0L)
     assert(lake.read("sales").count() === 1)
     assert(lake.history("sales").map(_.version) === Seq(1L))
     // v0's data dir is gone
