@@ -22,7 +22,9 @@ class PlanLintSpec extends SparkSpec {
     // chi2 densifies with a |categories_a| x |categories_b| grid cross join
     "q112_status_priority_chi2",
     // lift joins the 1-row total-orders scalar into every pair
-    "q116_copurchase_lift")
+    "q116_copurchase_lift",
+    // interleave broadcasts the 1-row |sources| count into every rank row
+    "q135_interleave_plan")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
