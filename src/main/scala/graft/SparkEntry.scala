@@ -304,13 +304,18 @@ object SparkEntry {
         max(col("l_tax")).as("max_tax"),
         min(col("l_tax")).as("min_tax"))),
     // --- salted skew join: identical semantics to the plain equi-join, so
-    // the oracle IS the plain join — salting verified through the gate ---
+    // the oracle IS the plain join — salting verified through the gate.
+    // hotKeys scopes the salt to a declared hot set (how it is used in
+    // production): only those keys split/replicate, the long tail joins
+    // unsalted — vs salting everything, which replicates the whole build
+    // side saltFactor×. ---
     "q65_salted_join" -> { (s, d) =>
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_quantity"))
       val o = t(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_orderstatus"))
-      graft.ops.Skew.saltedJoin(li, o, "k", saltFactor = 8)
+      graft.ops.Skew.saltedJoin(li, o, "k", saltFactor = 8,
+        hotKeys = (1L to 512L).map(_ * 32L - 7L))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_lines"), money.r2(sum(col("l_quantity"))).as("sum_qty"))
     },
@@ -695,7 +700,20 @@ object SparkEntry {
         bit_count(col("o_orderkey")).as("bits_set"),
         col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
         col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_cust"),
-        shiftleft(col("o_orderkey"), 2).as("shifted"))))
+        shiftleft(col("o_orderkey"), 2).as("shifted"))),
+    // --- exact re-aggregatable distinct via bitmaps (A10 exact sibling) ---
+    "q139_bitmap_distinct" -> ((s, d) =>
+      Analytics.bitmapDistinct(t(s, d, "orders"),
+        "o_orderstatus", "o_custkey", "n_customers")),
+    // --- XML document interchange (serialize + parse back, §2.1 S6/S7) ---
+    "q140_xml_roundtrip" -> ((s, d) =>
+      Documents.xmlRoundtrip(t(s, d, "orders"))),
+    // --- native WITHIN-GROUP listagg (§2.4, Spark 4 built-in) ---
+    "q141_listagg_nations" -> ((s, d) =>
+      Analytics.nationListPerRegion(t(s, d, "nation"))),
+    // --- collocation mining: adjacent-bigram PMI [ext] ---
+    "q142_bigram_pmi" -> ((s, d) =>
+      TextStats.bigramPmi(t(s, d, "documents"), minCount = 5, topN = 30)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1586,5 +1604,28 @@ object SparkEntry {
       ("SELECT o_orderkey, CAST(bit_count(o_orderkey) AS INTEGER) AS bits_set, " +
         "o_orderkey & 255 AS low_byte, " +
         "xor(o_orderkey, o_custkey) AS xor_cust, " +
-        "o_orderkey << 2 AS shifted FROM orders"))
+        "o_orderkey << 2 AS shifted FROM orders"),
+    "q139_bitmap_distinct" ->
+      ("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers " +
+        "FROM orders GROUP BY o_orderstatus"),
+    "q140_xml_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "q141_listagg_nations" ->
+      ("SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations, " +
+        "count(*) AS n_nations FROM nation GROUP BY n_regionkey"),
+    "q142_bigram_pmi" ->
+      (s"WITH t AS (SELECT $toksSql AS ts FROM documents), " +
+        "bg AS (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p FROM t), " +
+        "bc AS (SELECT p[1] AS tok_a, p[2] AS tok_b, count(*) AS n_ab " +
+        "FROM bg GROUP BY 1, 2), " +
+        "uc AS (SELECT unnest(ts) AS tok FROM t), " +
+        "ug AS (SELECT tok, count(*) AS n_tok FROM uc GROUP BY tok), " +
+        "tot AS (SELECT (SELECT sum(n_ab) FROM bc) AS nb, (SELECT sum(n_tok) FROM ug) AS nt) " +
+        "SELECT tok_a, tok_b, n_ab, " +
+        "round(ln((CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE)) / " +
+        "((CAST(a.n_tok AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "(CAST(b.n_tok AS DOUBLE) / CAST(nt AS DOUBLE)))), 6) AS pmi " +
+        "FROM bc JOIN ug a ON bc.tok_a = a.tok JOIN ug b ON bc.tok_b = b.tok " +
+        "CROSS JOIN tot WHERE n_ab >= 5 " +
+        "ORDER BY pmi DESC, tok_a, tok_b LIMIT 30"))
 }

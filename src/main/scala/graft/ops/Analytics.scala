@@ -35,7 +35,12 @@ object Analytics {
   /** Customers with no orders — EXCEPT (distinct set semantics), the engine
     * form of the validator's set differences read in reverse. */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
-    customer.select("c_custkey").except(orders.select(col("o_custkey").as("c_custkey")))
+    // EXCEPT-semantics via LEFT ANTI: c_custkey is the customer PK (unique),
+    // so the anti-join IS the set difference — without EXCEPT's two distinct
+    // aggregates. At scale the orders side stays a per-partition hash probe
+    // (AQE broadcasts the build after the scan prunes to one column).
+    customer.select("c_custkey")
+      .join(orders.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
 
   /** Scalar-function surface demo over orders (SURVEY §2.8: casts, round/abs,
     * date extract/arith, concat) — all whole-stage-codegen expressions. */
@@ -494,6 +499,39 @@ object Analytics {
     Seq((probes.size.toLong, underest.toLong, within))
       .toDF("n_probes", "n_underest", "within_bound")
   }
+
+  /** Exact distinct counting via re-aggregatable BITMAPS (§2.4 A10's exact
+    * sibling): keys bucket into disjoint 32k-bit ranges
+    * (`bitmap_bucket_number`), each (group, bucket) OR-combines bit
+    * positions into one binary bitmap with map-side combine, and per-group
+    * distinct = Σ `bitmap_count` over its buckets — buckets partition the
+    * key space, so the counts add exactly. Unlike `count(DISTINCT)`, whose
+    * dedup state is row-sized, the shuffled state here is bounded by the key
+    * RANGE (4 KiB per 32k-key bucket) and the partial bitmaps are storable:
+    * persist the (group, bucket, bitmap) layer as a sidecar table and any
+    * rollup (day→month, segment→total) is `bitmap_or_agg` over it — exact
+    * distinct counts without rescanning raw data (the exact analogue of the
+    * q84 HLL-union pattern). */
+  def bitmapDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                     alias: String): DataFrame = {
+    val buckets = df
+      .select(col(groupCol),
+        expr(s"bitmap_bucket_number($keyCol)").as("bkt"),
+        expr(s"bitmap_bit_position($keyCol)").as("pos"))
+      .groupBy(groupCol, "bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    buckets.groupBy(groupCol)
+      .agg(sum(expr("bitmap_count(bm)")).as(alias))
+  }
+
+  /** Ordered string aggregation via the native `listagg` (Spark 4's
+    * built-in WITHIN-GROUP form of q68's collect_list + array_join
+    * spelling): deterministic because the ORDER BY key set is total. */
+  def nationListPerRegion(nation: DataFrame): DataFrame =
+    nation.groupBy("n_regionkey")
+      .agg(expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)")
+        .as("nations"),
+        count(lit(1)).as("n_nations"))
 
   /** Top-k orders per market segment via a correlated LATERAL subquery —
     * the "for each outer row, run this parameterized subquery" join shape.

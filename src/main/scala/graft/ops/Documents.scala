@@ -56,4 +56,23 @@ object Documents {
     * (capability S7 — the MongoDB `find()` equivalent). */
   def readJsonDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.json(dir)
+
+  /** XML document interchange (the second serialization surface beside
+    * JSON): serialize each order to an XML fragment with `to_xml`, parse it
+    * back with `from_xml` against an explicit schema, and re-flatten. Both
+    * directions are per-row codegen'd expressions — no shuffle; at scale
+    * this is the shape of an XML export/ingest pipe (write the `xml` column
+    * with `df.write.text`, read it back the same way). Restricted to
+    * long/string/double fields: those round-trip bit-exactly through XML
+    * text; dates/timestamps would depend on session-zone formatting. */
+  def xmlRoundtrip(orders: DataFrame): DataFrame = {
+    val schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    orders
+      .select(to_xml(struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))).as("xml"))
+      .select(from_xml(col("xml"), lit(schema)).as("doc"))
+      .select(col("doc.o_orderkey").as("o_orderkey"),
+        col("doc.o_orderstatus").as("o_orderstatus"),
+        col("doc.o_totalprice").as("o_totalprice"))
+  }
 }

@@ -156,6 +156,46 @@ object TextStats {
     docs.select(explode(tokens(normalize(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
 
+  /** Collocation mining: pointwise mutual information of ADJACENT token
+    * pairs, pmi(a,b) = ln( P(ab) / (P(a)·P(b)) ) with bigram probabilities
+    * over all adjacent positions and unigram probabilities over all tokens.
+    * High-PMI pairs are multiword units ("new york"); a corpus whose top
+    * PMI list is dominated by boilerplate pairs is template-generated.
+    *
+    * Bigrams come from a per-row `zip_with` of the token array against its
+    * own tail — no self-join, no positional window; one explode + one
+    * map-side-combined count per granularity. `minCount` prunes the noise
+    * floor (PMI of singletons is pure variance), the final top-N sorts the
+    * pruned pair table only. Ordering is total (rounded pmi desc, then the
+    * pair), so the LIMIT is deterministic. */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5, topN: Int = 30,
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(tokens(normalize(col(textCol))).as("ts"))
+    val bigrams = toks.select(explode(zip_with(
+        slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+        slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+        (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("bg"))
+      .groupBy(col("bg.tok_a").as("tok_a"), col("bg.tok_b").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val unigrams = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val totals = bigrams.agg(sum(col("n_ab")).as("n_bigrams_total")).crossJoin(
+      unigrams.agg(sum(col("n_tok")).as("n_tokens_total")))
+    // unigram lookups stay unhinted: the vocabulary can be arbitrarily large
+    // at corpus scale, and AQE broadcasts it only when it actually fits
+    bigrams.filter(col("n_ab") >= minCount)
+      .join(unigrams.select(col("tok").as("tok_a"), col("n_tok").as("n_a")), "tok_a")
+      .join(unigrams.select(col("tok").as("tok_b"), col("n_tok").as("n_b")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("n_bigrams_total").cast("double")) /
+          ((col("n_a").cast("double") / col("n_tokens_total").cast("double")) *
+            (col("n_b").cast("double") / col("n_tokens_total").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(desc("pmi"), col("tok_a"), col("tok_b"))
+      .limit(topN)
+  }
+
   /** BPE-style pre-tokenizer pattern (GPT-2-like, simplified to stay
     * RE2-compatible — alternation of contraction suffixes, letter runs,
     * short digit runs, and single punctuation; no lookaround, so Java regex
@@ -185,24 +225,36 @@ object TextStats {
 
   /** Per-document character-level Shannon entropy (nats) — the garbage
     * detector: random/base64/binary-pasted text scores near ln(alphabet)
-    * while natural language sits much lower. Char counts shuffle as
-    * (doc_id, char) pairs with map-side combine — alphabet-bounded state,
-    * not text-length-bounded. Empty documents produce no characters and
+    * while natural language sits much lower. Entropy is a PER-ROW quantity,
+    * so it is computed entirely inside the row with higher-order functions
+    * (sort chars -> run-length boundaries -> -Σ p·ln p): ZERO shuffles,
+    * where the explode + groupBy(doc_id, char) spelling pays two exchanges
+    * of text-length-many rows. Run lengths accumulate in ascending char
+    * order, a deterministic float-sum order (the previous shuffle form
+    * summed in partition order). Empty documents produce no characters and
     * drop out (identically in engines that split-to-chars without a
     * trailing empty element). */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val chars = docs
-      .select(col("doc_id"), explode(split(normalize(col("text")), "")).as("ch"))
-      .filter(col("ch") =!= "") // Spark's limit=-1 split keeps a trailing ""
-    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-    val withTotal = counts.select(col("doc_id"), col("cnt"),
-      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")).as("tot"))
-    withTotal.groupBy("doc_id").agg(
-      sum(col("cnt")).as("n_chars"),
-      round(-sum((col("cnt").cast("double") / col("tot").cast("double")) *
-        log(col("cnt").cast("double") / col("tot").cast("double"))), 6)
-        .as("char_entropy"))
+    val chars = array_sort(filter(
+      split(normalize(col("text")), ""), ch => ch =!= lit("")))
+    docs
+      .select(col("doc_id"), chars.as("cs"))
+      .filter(size(col("cs")) > 0)
+      // starts = indices where a new run of an identical char begins
+      .withColumn("starts", filter(
+        sequence(lit(0), size(col("cs")) - 1),
+        i => i === 0 || element_at(col("cs"), i + 1) =!= element_at(col("cs"), i)))
+      // run length k = next start − this start; p = k / n
+      .withColumn("runs", zip_with(
+        col("starts"),
+        concat(slice(col("starts"), lit(2), size(col("starts"))), array(size(col("cs")))),
+        (a, b) => b - a))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_chars"),
+        round(-aggregate(col("runs"), lit(0.0),
+          (acc, k) => acc + (k.cast("double") / size(col("cs")).cast("double")) *
+            log(k.cast("double") / size(col("cs")).cast("double"))), 6)
+          .as("char_entropy"))
   }
 
   /** The boolean form of [[qualityScore]]'s `passes_filter` (enough tokens,

@@ -24,7 +24,10 @@ class PlanLintSpec extends SparkSpec {
     // lift joins the 1-row total-orders scalar into every pair
     "q116_copurchase_lift",
     // interleave broadcasts the 1-row |sources| count into every rank row
-    "q135_interleave_plan")
+    "q135_interleave_plan",
+    // PMI joins the 1-row (total bigrams, total tokens) scalar into the
+    // pruned pair table
+    "q142_bigram_pmi")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
