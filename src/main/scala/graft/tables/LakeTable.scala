@@ -61,10 +61,18 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
   def latestVersion(name: String): Option[Long] = committedVersions(name).lastOption
 
   /** One committed log entry. `dirs` lists every live data dir (append keeps
-    * prior dirs; overwrite starts fresh). */
+    * prior dirs; overwrite starts fresh). `deletes` is the merge-on-read
+    * delete stack: each entry is (predicate SQL, dirs it applies to) — a
+    * DELETE WHERE costs zero data rewrites, readers subtract matching rows
+    * from exactly the dirs that existed at delete time (so a later append
+    * of a matching row is NOT retro-deleted, matching Delta's write-time
+    * semantics). `constraints` are named CHECK predicates (SQL text)
+    * enforced on every subsequent write into the table. */
   final case class Commit(version: Long, mode: String, dirs: Seq[String],
                           schemaJson: String, partitionBy: Seq[String],
-                          rowCount: Long) {
+                          rowCount: Long,
+                          deletes: Seq[(String, Seq[String])] = Seq.empty,
+                          constraints: Seq[(String, String)] = Seq.empty) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -75,10 +83,22 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
     val jv = JsonMethods.parse(json)
+    // deletes/constraints are absent in pre-feature logs — default empty
+    val deletes = (jv \ "deletes") match {
+      case JArray(items) => items.map(i =>
+        ((i \ "pred").extract[String], (i \ "dirs").extract[Seq[String]]))
+      case _ => Seq.empty
+    }
+    val constraints = (jv \ "constraints") match {
+      case JArray(items) => items.map(i =>
+        ((i \ "name").extract[String], (i \ "sql").extract[String]))
+      case _ => Seq.empty
+    }
     Commit(
       (jv \ "version").extract[Long], (jv \ "mode").extract[String],
       (jv \ "dirs").extract[Seq[String]], (jv \ "schemaJson").extract[String],
-      (jv \ "partitionBy").extract[Seq[String]], (jv \ "rowCount").extract[Long])
+      (jv \ "partitionBy").extract[Seq[String]], (jv \ "rowCount").extract[Long],
+      deletes, constraints)
   }
 
   private def writeCommit(name: String, c: Commit): Unit = {
@@ -87,7 +107,11 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     val json = JsonMethods.compact(JsonMethods.render(
       ("version" -> c.version) ~ ("mode" -> c.mode) ~ ("dirs" -> c.dirs) ~
         ("schemaJson" -> c.schemaJson) ~ ("partitionBy" -> c.partitionBy) ~
-        ("rowCount" -> c.rowCount)))
+        ("rowCount" -> c.rowCount) ~
+        ("deletes" -> c.deletes.map { case (p, ds) =>
+          ("pred" -> p) ~ ("dirs" -> ds) }) ~
+        ("constraints" -> c.constraints.map { case (n, s) =>
+          ("name" -> n) ~ ("sql" -> s) })))
     Files.createDirectories(logDir(name))
     // tmp name must be unique PER WRITER: a shared tmp path would let a
     // racing writer truncate this one's staged bytes pre-link (and the
@@ -123,15 +147,56 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     }
   }
 
+  /** Wrap `df` with single-pass CHECK-constraint observation: violation
+    * counts ride the caller's write action (`df.observe`), costing zero
+    * extra scans. SQL tri-state: a constraint evaluating NULL passes (the
+    * SQL-standard CHECK rule); only FALSE rows violate. */
+  private def observedWithChecks(df: DataFrame, cs: Seq[(String, String)])
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) =
+    if (cs.isEmpty) (df, None)
+    else {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = cs.map { case (n, sql) =>
+        sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(n)
+      }
+      (df.observe(obs, aggs.head, aggs.tail: _*), Some(obs))
+    }
+
+  /** Abort-before-commit: if any observed constraint counted violations,
+    * delete the staged dir and throw — the table never sees the bad data
+    * (the commit is what makes data visible, so this is transactional). */
+  private def requireChecksPass(name: String, staged: Path,
+                                obs: Option[org.apache.spark.sql.Observation]): Unit =
+    obs.foreach { o =>
+      val bad = o.get.toSeq.collect {
+        case (k, v: Long) if v > 0 => s"$k ($v rows)"
+      }.sorted
+      if (bad.nonEmpty) {
+        deleteRecursively(staged)
+        throw new IllegalArgumentException(
+          s"CHECK constraint violation on $name: ${bad.mkString(", ")} — write aborted")
+      }
+    }
+
   /** Persist `df` as table `name`. Append mode enforces schema compatibility
     * (same column names and types, any order) against the live table unless
     * `allowEvolution` — then NEW columns are admitted (existing columns must
     * keep their types) and the committed schema widens; readers see nulls
-    * for the new columns on old files. */
+    * for the new columns on old files.
+    *
+    * `constraints` are named CHECK predicates (Delta-style table
+    * constraints): they persist in the commit and every later write into
+    * the table re-enforces them — a violating batch aborts before commit.
+    * On overwrite a non-empty `constraints` redefines the set; empty keeps
+    * the table's existing ones. Appends enforce the table set plus any new
+    * ones passed here (which then persist). Enforcement is a single-pass
+    * `observe` riding the write — no second scan. */
   def write(df: DataFrame, name: String, mode: String = "overwrite",
             partitionBy: Seq[String] = Seq.empty,
             allowEvolution: Boolean = false,
-            compression: String = "snappy"): Commit = {
+            compression: String = "snappy",
+            constraints: Seq[(String, String)] = Seq.empty): Commit = {
     require(mode == "overwrite" || mode == "append", s"unsupported mode $mode")
     val prev = latestVersion(name).map(readCommit(name, _))
     val v = prev.map(_.version + 1).getOrElse(0L)
@@ -148,13 +213,22 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
           s"append schema mismatch for $name: table=$expected incoming=$actual")
       }
     }
+    val tableConstraints = prev.map(_.constraints).getOrElse(Seq.empty)
+    val effectiveConstraints =
+      if (mode == "append")
+        tableConstraints ++ constraints.filterNot(c =>
+          tableConstraints.exists(_._1 == c._1))
+      else if (constraints.nonEmpty) constraints
+      else tableConstraints
+    val (checked, obs) = observedWithChecks(df, effectiveConstraints)
     val dest = stageDataDir(name, v)
     // snappy for hot tables (cheap CPU), zstd for cold/archive versions
     // (~30-40% smaller — at 100 TB that is tens of TB of scan I/O saved);
     // parquet is self-describing so readers never need to know the codec
-    val writer = df.write.mode("overwrite").option("compression", compression)
+    val writer = checked.write.mode("overwrite").option("compression", compression)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dest.toString)
+    requireChecksPass(name, dest, obs)
     val dirs = (if (mode == "append") prev.map(_.dirs).getOrElse(Seq.empty)
                 else Seq.empty) :+ dest.toString
     // count the WRITTEN files (parquet footer metadata, no data scan) rather
@@ -169,22 +243,72 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
         StructType(prev.get.schema.fields ++
           df.schema.fields.filterNot(f => known.contains(f.name))).json
       } else df.schema.json
-    val commit = Commit(v, mode, dirs, schemaJson, parts, total)
+    // append keeps the delete stack (old dirs keep their filters);
+    // overwrite starts from fresh data with nothing deleted
+    val deletes = if (mode == "append") prev.map(_.deletes).getOrElse(Seq.empty)
+                  else Seq.empty
+    val commit = Commit(v, mode, dirs, schemaJson, parts, total,
+      deletes, effectiveConstraints)
     commitStaged(name, commit, dest)
   }
 
-  /** Read the latest committed version (or `asOfVersion` for time travel). */
+  /** Read the latest committed version (or `asOfVersion` for time travel).
+    * Merge-on-read: each dir subtracts the delete predicates that apply to
+    * it (SQL-standard tri-state — a NULL predicate keeps the row, as in
+    * Delta DELETE WHERE). The keep-filters are ordinary pushed-down
+    * predicates, so deletes cost a per-row filter, never an extra scan. */
   def read(name: String, asOfVersion: Option[Long] = None): DataFrame = {
     val v = asOfVersion.orElse(latestVersion(name))
       .getOrElse(throw new IllegalArgumentException(s"no such table: $name"))
     val c = readCommit(name, v)
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     // one read per committed dir, unioned by name: the version dirs are not
     // partition directories, so a single multi-path read would trip Spark's
     // partition-structure inference when partitionBy is in play.
     // allowMissingColumns: evolved appends widen the schema — old dirs fill
     // the new columns with null.
-    c.dirs.map(spark.read.parquet(_))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    c.dirs.map { d =>
+      val base = spark.read.parquet(d)
+      c.deletes.filter(_._2.contains(d)).map(_._1)
+        .foldLeft(base)((df, p) =>
+          df.filter(not(coalesce(expr(p), lit(false)))))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** DELETE WHERE with ZERO data rewrites (merge-on-read, the deletion-
+    * vector idea at dir granularity): the new commit re-references the same
+    * data dirs and pushes `cond` onto the delete stack, scoped to the dirs
+    * that exist NOW — later appends are not retro-deleted. Readers pay a
+    * pushed-down filter; [[compact]] (or any rewriting op) folds the stack
+    * back to zero. The one scan here only counts the removed rows to keep
+    * the committed rowCount exact. */
+  def deleteWhere(name: String, predSql: String): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val prev = readCommit(name, latestVersion(name).get)
+    // count currently-live rows the predicate removes (tri-state: NULL keeps)
+    val removed = read(name)
+      .filter(coalesce(expr(predSql), lit(false))).count()
+    val commit = prev.copy(version = prev.version + 1, mode = "delete",
+      deletes = prev.deletes :+ ((predSql, prev.dirs)),
+      rowCount = prev.rowCount - removed)
+    writeCommit(name, commit)
+    commit
+  }
+
+  /** Zero-copy shallow clone (Delta SHALLOW CLONE): `dst`'s v0 commit
+    * re-references `src`'s current data dirs — instant at any scale, no
+    * bytes moved. The clone is fully independent going forward (its own
+    * log; overwrites/appends/deletes diverge freely). Documented hazard,
+    * same as Delta: a later `vacuum(src)` can reclaim dirs the clone still
+    * references — clone for experiments/branching, compact the clone to
+    * materialize it before vacuuming the source. */
+  def cloneTable(src: String, dst: String): Commit = {
+    require(!exists(dst), s"clone target $dst already exists")
+    val c = readCommit(src, latestVersion(src).get)
+    val commit = Commit(0L, "clone", c.dirs, c.schemaJson, c.partitionBy,
+      c.rowCount, c.deletes, c.constraints)
+    writeCommit(dst, commit)
+    commit
   }
 
   /** Commit history, oldest first. */
@@ -204,8 +328,9 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     val writer = current.coalesce(targetFiles).write.mode("overwrite")
     (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*) else writer)
       .parquet(dest.toString)
+    // rewriting from read() folds the delete stack into the data itself
     val commit = Commit(v, "compact", Seq(dest.toString), prev.schemaJson,
-      prev.partitionBy, prev.rowCount)
+      prev.partitionBy, prev.rowCount, Seq.empty, prev.constraints)
     commitStaged(name, commit, dest)
   }
 
@@ -227,7 +352,7 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
       .parquet(dest.toString)
     val written = spark.read.parquet(dest.toString).count()
     val commit = Commit(v, "merge", Seq(dest.toString), prev.schemaJson,
-      prev.partitionBy, written)
+      prev.partitionBy, written, Seq.empty, prev.constraints)
     commitStaged(name, commit, dest)
   }
 
@@ -243,7 +368,7 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     ZOrder.layout(read(name), zCols, targetFiles)
       .write.mode("overwrite").parquet(dest.toString)
     val commit = Commit(v, "zorder", Seq(dest.toString), prev.schemaJson,
-      prev.partitionBy, prev.rowCount)
+      prev.partitionBy, prev.rowCount, Seq.empty, prev.constraints)
     commitStaged(name, commit, dest)
   }
 
@@ -260,7 +385,8 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     require(target.dirs.forall(d => Files.isDirectory(Paths.get(d))),
       s"cannot restore $name to v$version: data dirs were vacuumed")
     val commit = Commit(prev.version + 1, "restore", target.dirs,
-      target.schemaJson, target.partitionBy, target.rowCount)
+      target.schemaJson, target.partitionBy, target.rowCount,
+      target.deletes, target.constraints)
     writeCommit(name, commit)
     commit
   }
@@ -282,7 +408,7 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     (if (newPartitionBy.nonEmpty) writer.partitionBy(newPartitionBy: _*) else writer)
       .parquet(dest.toString)
     val commit = Commit(v, "repartition", Seq(dest.toString), prev.schemaJson,
-      newPartitionBy, prev.rowCount)
+      newPartitionBy, prev.rowCount, Seq.empty, prev.constraints)
     commitStaged(name, commit, dest)
   }
 

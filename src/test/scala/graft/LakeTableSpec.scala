@@ -310,4 +310,65 @@ class LakeTableSpec extends SparkSpec {
     assert(lake.read("sales").count() === 3)
     assert(lake.latestVersion("sales") === Some(0L))
   }
+
+  test("deleteWhere is merge-on-read: zero rewrites, appends not retro-deleted") {
+    val lake = freshLake()
+    val v0 = lake.write(df(rows), "sales")
+    val v1 = lake.deleteWhere("sales", "region = 'north'")
+    // zero data rewrites: the delete commit references the SAME dirs
+    assert(v1.dirs === v0.dirs)
+    assert(lake.read("sales").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(v1.rowCount === 1L)
+    // time travel still sees the pre-delete table
+    assert(lake.read("sales", asOfVersion = Some(0L)).count() === 3)
+    // a LATER append of a matching row survives (delete is write-time scoped)
+    lake.write(df(Seq(Sale(9, "north", 99.0))), "sales", mode = "append")
+    assert(lake.read("sales").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 9L))
+    // deletes stack; validate()'s committed-count invariant holds throughout
+    lake.deleteWhere("sales", "amount > 50.0")
+    assert(lake.read("sales").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(lake.validate("sales")._1, lake.validate("sales")._2)
+    // compact folds the stack into the data: no predicates left, same rows
+    val c = lake.compact("sales")
+    assert(c.deletes.isEmpty)
+    assert(lake.read("sales").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("CHECK constraints persist in the log and abort violating writes pre-commit") {
+    val lake = freshLake()
+    lake.write(df(rows), "sales",
+      constraints = Seq(("positive_amount", "amount > 0")))
+    // violating append aborts BEFORE commit: version and contents unchanged
+    val e = intercept[IllegalArgumentException] {
+      lake.write(df(Seq(Sale(7, "west", -5.0))), "sales", mode = "append")
+    }
+    assert(e.getMessage.contains("positive_amount"))
+    assert(lake.latestVersion("sales") === Some(0L))
+    assert(lake.read("sales").count() === 3)
+    // the aborted write's staged dir was cleaned up (no orphan data)
+    val dataRoot = new java.io.File(
+      lake.warehouse + java.io.File.separator + "sales", "data")
+    assert(dataRoot.listFiles().length === 1)
+    // a passing append commits; NULL-valued constraint passes (SQL tri-state)
+    lake.write(df(Seq(Sale(8, "west", 5.0))), "sales", mode = "append")
+    assert(lake.read("sales").count() === 4)
+  }
+
+  test("cloneTable is zero-copy and diverges independently") {
+    val lake = freshLake()
+    val src = lake.write(df(rows), "sales")
+    val clone = lake.cloneTable("sales", "sales_branch")
+    // zero-copy: same dirs referenced, instant
+    assert(clone.dirs === src.dirs)
+    assert(lake.read("sales_branch").count() === 3)
+    // divergence: mutations to the clone never touch the source
+    lake.deleteWhere("sales_branch", "region = 'north'")
+    lake.write(df(Seq(Sale(4, "east", 1.0))), "sales_branch", mode = "append")
+    assert(lake.read("sales_branch").count() === 2)
+    assert(lake.read("sales").count() === 3)
+    // and vice versa
+    lake.write(df(Seq(Sale(5, "east", 2.0))), "sales", mode = "append")
+    assert(lake.read("sales_branch").count() === 2)
+    intercept[IllegalArgumentException] { lake.cloneTable("sales", "sales_branch") }
+  }
 }
