@@ -490,4 +490,85 @@ object Events {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
   }
+
+  /** Per-user daily admission quota on the event stream via Spark 4's
+    * `transformWithState` (the arbitrary-state API succeeding
+    * flatMapGroupsWithState): admit at most `maxPerDay` events per user per
+    * UTC day, tagging each with its admission rank; everything past the
+    * quota is dropped. State is a typed `MapState[epochDay -> admitted]` —
+    * per-key-per-day O(1), RocksDB-backed (the provider the new API
+    * requires; set on the session here). The ingestion rate-guard shape:
+    * per-tenant quotas, crawl politeness budgets, bot throttling.
+    *
+    * Deterministic: events sort by (ts, event_type) inside each batch, so
+    * the admitted set is reproducible and equals the batch twin
+    * [[perUserQuotaBatch]] exactly (integer counters, no floats). */
+  def streamingPerUserQuota(spark: SparkSession, dir: String,
+                            maxPerDay: Int = 5): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = readEventStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    src.groupByKey(_._1)
+      .transformWithState(new QuotaProcessor(maxPerDay), TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  /** Batch twin of [[streamingPerUserQuota]]: rank within (user, UTC day)
+    * by (ts, event_type) and keep ranks <= maxPerDay. */
+  def perUserQuotaBatch(events: DataFrame, maxPerDay: Int = 5): DataFrame = {
+    val day = floor(col("ts").cast("double") / 86400.0).cast("long")
+    val w = Window.partitionBy(col("user_id"), day)
+      .orderBy(col("ts"), col("event_type"))
+    events
+      .select(col("user_id"), day.as("epoch_day"), col("ts"), col("event_type"))
+      .withColumn("admitted_rank", row_number().over(w).cast("long"))
+      .filter(col("admitted_rank") <= maxPerDay)
+  }
+}
+
+/** [[Events.streamingPerUserQuota]] output row. */
+final case class QuotaOut(user_id: Long, epoch_day: Long,
+                          ts: java.sql.Timestamp, event_type: String,
+                          admitted_rank: Long)
+
+/** Typed stateful processor for the per-user daily quota (Spark 4
+  * `StatefulProcessor`): one `MapState` entry per active day per user. */
+final class QuotaProcessor(maxPerDay: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, String), QuotaOut] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var counts: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[Long, Long]("day_counts",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long,
+                               rows: Iterator[(Long, java.sql.Timestamp, String)],
+                               timerValues: TimerValues): Iterator[QuotaOut] = {
+    // deterministic admission order inside the batch — MICROsecond precision
+    // (getTime is ms-only; a ms-level sort could diverge from the batch
+    // twin's full-precision ORDER BY ts)
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val sorted = rows.toSeq.sortBy { case (_, ts, typ) => (micros(ts), typ) }
+    val out = Seq.newBuilder[QuotaOut]
+    sorted.foreach { case (_, ts, typ) =>
+      val day = Math.floorDiv(ts.getTime, 86400000L)
+      val admitted = if (counts.containsKey(day)) counts.getValue(day) else 0L
+      if (admitted < maxPerDay) {
+        counts.updateValue(day, admitted + 1L)
+        out += QuotaOut(uid, day, ts, typ, admitted + 1L)
+      }
+    }
+    out.result().iterator
+  }
 }

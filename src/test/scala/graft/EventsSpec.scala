@@ -218,4 +218,28 @@ class EventsSpec extends SparkSpec {
     assert(q.exception.isEmpty)
     assert(spark.table("ev_dedup_test").count() === events.size)
   }
+
+  test("transformWithState per-user quota matches the batch twin exactly") {
+    val q = Events.streamingPerUserQuota(spark, eventsDir, maxPerDay = 3)
+      .writeStream
+      .format("memory").queryName("ev_quota")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, q.exception.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getLong(4))
+    val streamed = spark.table("ev_quota")
+      .select("user_id", "epoch_day", "ts", "event_type", "admitted_rank")
+      .collect().map(key).toSet
+    val batch = Events.perUserQuotaBatch(
+        graft.tables.Tables.events(spark, "/root/testdata/sf0.001"), maxPerDay = 3)
+      .select("user_id", "epoch_day", "ts", "event_type", "admitted_rank")
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty)
+    // quota is a hard cap and the admitted sets agree row-for-row
+    assert(streamed === batch)
+    val perDay = spark.table("ev_quota")
+      .groupBy("user_id", "epoch_day").count().collect().map(_.getLong(2))
+    assert(perDay.forall(_ <= 3))
+  }
 }
