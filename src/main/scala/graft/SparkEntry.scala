@@ -713,7 +713,14 @@ object SparkEntry {
       Analytics.nationListPerRegion(t(s, d, "nation"))),
     // --- collocation mining: adjacent-bigram PMI [ext] ---
     "q142_bigram_pmi" -> ((s, d) =>
-      TextStats.bigramPmi(t(s, d, "documents"), minCount = 5, topN = 30)))
+      TextStats.bigramPmi(t(s, d, "documents"), minCount = 5, topN = 30)),
+    // --- product-quantization ANN: ADC over m-byte codes [ext] ---
+    // rows-only (codebooks are k-means-derived); recall + exactness
+    // properties are spec-asserted (SimilaritySpec)
+    "q143_pq_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(Similarity.pqBuild(emb), emb.filter(col("vec_id") < 20), 3)
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).

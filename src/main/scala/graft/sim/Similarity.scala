@@ -235,4 +235,84 @@ object Similarity {
         aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
         array_min(col("codes")).as("code_min"),
         array_max(col("codes")).as("code_max"))
+
+  /** Product-quantization index: per-vector code array (one code per
+    * subspace) + the [m][k][subDim] codebooks. At 100 TB the codes table is
+    * the point — a 64-dim float vector (256 B) compresses to m bytes
+    * (8 B at m=8), so a billion-vector index fits where raw vectors don't,
+    * and candidate scoring reads only the codes column. */
+  final case class PQIndex(codes: DataFrame,
+                           codebooks: Array[Array[Array[Double]]],
+                           m: Int, subDim: Int)
+
+  /** Squared L2 between a sliced subvector and a centroid literal. */
+  private def subSqDist(vec: Column, offset: Int, subDim: Int,
+                        centroid: Array[Double]): Column =
+    aggregate(zip_with(slice(vec, offset + 1, subDim), lit(centroid),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Train product-quantization codebooks (one KMeans per subspace of
+    * `dim/m` contiguous dimensions, `codesPerSub` centroids each) and
+    * encode every corpus vector to its code array via plan-literal argmin —
+    * after the m driver-side fits, encoding is ONE distributed projection,
+    * no model broadcast or UDF. Deterministic under `seed`. */
+  def pqBuild(corpus: DataFrame, m: Int = 8, codesPerSub: Int = 16,
+              seed: Long = 42L): PQIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    // m small fits over the subvector projections; coarse codebooks only
+    // need a few iterations (they bound reconstruction error, not cluster
+    // semantics). Cache the projected base once across the m fits.
+    base.persist()
+    val codebooks =
+      try (0 until m).map { j =>
+        val sub = base.select(
+          array_to_vector(slice(col("vec"), j * subDim + 1, subDim)).as("features"))
+        new KMeans().setK(codesPerSub).setSeed(seed + j).setMaxIter(8)
+          .setFeaturesCol("features").fit(sub)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+      finally base.unpersist()
+    // encode: argmin centroid per subspace — array_min over (dist, code)
+    // structs, exactly the ivfTopK cell-ranking trick, once per subspace
+    val codeCols = (0 until m).map { j =>
+      array_min(array(codebooks(j).zipWithIndex.map { case (c, kk) =>
+        struct(subSqDist(col("vec"), j * subDim, subDim, c).as("dist"),
+          lit(kk).as("code"))
+      }: _*)).getField("code")
+    }
+    val codes = base.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    PQIndex(codes, codebooks, m, subDim)
+  }
+
+  /** Approximate top-k neighbors by asymmetric distance computation (ADC):
+    * each probe precomputes its m×k distance table ONCE (probe subvector →
+    * every codebook centroid, plan literals), then every corpus vector
+    * scores with m table lookups — no original vectors are read, only the
+    * m-byte codes. The classic memory-bound ANN scale path (IVF bounds the
+    * candidates, PQ bounds the bytes; [[ivfTopK]] + this compose). */
+  def pqTopK(index: PQIndex, probes: DataFrame, k: Int): DataFrame = {
+    val dtab = array((0 until index.m).map { j =>
+      array(index.codebooks(j).map(c =>
+        subSqDist(col("pvec"), j * index.subDim, index.subDim, c)): _*)
+    }: _*)
+    val p = probes
+      .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pvec"))
+      .withColumn("dtab", dtab)
+      .select("probe_id", "dtab")
+    val scored = index.codes.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(1), lit(index.m)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("dtab"), j),
+            element_at(col("codes"), j) + 1)).as("approx_dist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(asc("approx_dist"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("probe_id", "neighbor_id", "approx_dist", "rn")
+  }
 }

@@ -27,7 +27,10 @@ class PlanLintSpec extends SparkSpec {
     "q135_interleave_plan",
     // PMI joins the 1-row (total bigrams, total tokens) scalar into the
     // pruned pair table
-    "q142_bigram_pmi")
+    "q142_bigram_pmi",
+    // PQ/ADC scores codes x broadcast(probe tables) — the brute-force loop
+    // IS the operator (compose with IVF cells to bound candidates at scale)
+    "q143_pq_topk")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

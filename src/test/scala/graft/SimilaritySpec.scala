@@ -84,4 +84,36 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("PQ/ADC retrieves planted clusters; codes are m small ints") {
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val bases = (0 until 4).map(a => unit(dim, a))
+    val vecs = (0 until 80).map(i => Vec(i.toLong, jitter(bases(i % 4)), i % 4))
+    val d = df(vecs)
+    val index = Similarity.pqBuild(d, m = 4, codesPerSub = 8, seed = 5)
+    // compression really happened: one code per subspace, all in [0, k)
+    val codeRows = index.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codeRows.forall(_._2.length === 4))
+    assert(codeRows.forall(_._2.forall(c => c >= 0 && c < 8)))
+    val probes = d.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(d, probes, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.pqTopK(index, probes, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // PQ is lossy WITHIN a cluster (codes collapse near-ties), so top-k
+    // recall sits below the candidate-generation methods (LSH/IVF rerank
+    // with exact distances; ADC never sees the original vectors). The load-
+    // bearing property is the cluster purity assert below.
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // every returned neighbor of probe i comes from probe i's own cluster
+    val byCluster = vecs.map(v => v.vec_id -> v.label).toMap
+    approx.foreach { case (p, n) =>
+      assert(byCluster(p) === byCluster(n), s"probe $p got cross-cluster $n")
+    }
+  }
 }
