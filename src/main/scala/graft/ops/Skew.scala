@@ -37,4 +37,32 @@ object Skew {
     val saltedOther = other.withColumn(saltCol, salts)
     saltedBig.join(saltedOther, Seq(key, saltCol)).drop(saltCol)
   }
+
+  /** Find the join keys hot enough to need salting: keys whose row count
+    * exceeds `factor` × the mean per-key count. ONE map-side-combined
+    * aggregate over the key column (the combine state is per-distinct-key,
+    * not per-row) + a scalar mean — at 100 TB this is the cheap diagnostic
+    * you run before choosing [[saltedJoin]]'s hotKeys list, instead of
+    * guessing. Returns (key, n_rows, skew_ratio) ordered hottest first. */
+  def detectHotKeys(df: DataFrame, key: String, factor: Double = 10.0): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val mean = counts.agg(avg(col("n_rows")).as("mean_rows"))
+    counts.crossJoin(broadcast(mean))
+      .filter(col("n_rows") >= col("mean_rows") * factor)
+      .select(col(key), col("n_rows"),
+        round(col("n_rows") / col("mean_rows"), 2).as("skew_ratio"))
+      .orderBy(desc("n_rows"), col(key))
+  }
+
+  /** [[detectHotKeys]] + [[saltedJoin]] composed: measure, then salt only
+    * what needs it. The `hotKeys` list collects to the driver — it is
+    * dimension-sized by construction (keys ≥ factor × mean are few, or the
+    * join has bigger problems). */
+  def autoSaltedJoin(big: DataFrame, other: DataFrame, key: String,
+                     saltFactor: Int, factor: Double = 10.0): DataFrame = {
+    val hot = detectHotKeys(big, key, factor).select(col(key))
+      .collect().map(_.get(0)).toSeq
+    if (hot.isEmpty) big.join(other, Seq(key))
+    else saltedJoin(big, other, key, saltFactor, hot)
+  }
 }

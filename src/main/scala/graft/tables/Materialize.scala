@@ -66,14 +66,17 @@ object Materialize {
       count(lit(1)).as("n_rows"),
       sum(floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")).as("cents"))
 
-  /** Create or incrementally refresh `view` = sum/count of `base` grouped
-    * by `keys`. Returns the base version the view now reflects. */
-  def refresh(lake: LakeTable, base: String, view: String,
-              keys: Seq[String], valueCol: String): Long = {
+  /** The generic incremental-maintenance skeleton shared by every view
+    * flavor: `agg` turns base rows into the view's partial representation,
+    * `fold` merges the existing view with a delta's partials. All the
+    * crash-safety/idempotence/rebuild-on-rewrite logic lives here once. */
+  private def refreshWith(lake: LakeTable, base: String, view: String)
+                         (agg: DataFrame => DataFrame)
+                         (fold: (DataFrame, DataFrame) => DataFrame): Long = {
     val latest = lake.latestVersion(base).getOrElse(
       throw new IllegalArgumentException(s"no such table: $base"))
     def fullRebuild(): Unit = {
-      val c = lake.write(aggregate(lake.read(base), keys, valueCol), view, "overwrite")
+      val c = lake.write(agg(lake.read(base)), view, "overwrite")
       writeApplied(lake, view, latest, c.version)
     }
     appliedState(lake, view) match {
@@ -85,11 +88,8 @@ object Materialize {
       case Some((v, _)) if v == latest => () // idempotent no-op
       case Some((v, _)) =>
         try {
-          val delta = aggregate(lake.readChanges(base, v), keys, valueCol)
-          val folded = lake.read(view).unionByName(delta)
-            .groupBy(keys.map(col): _*)
-            .agg(sum(col("n_rows")).as("n_rows"), sum(col("cents")).as("cents"))
-          val c = lake.write(folded, view, "overwrite")
+          val delta = agg(lake.readChanges(base, v))
+          val c = lake.write(fold(lake.read(view), delta), view, "overwrite")
           writeApplied(lake, view, latest, c.version)
         } catch {
           // non-append commits in range: incremental semantics undefined
@@ -99,6 +99,50 @@ object Materialize {
     }
     latest
   }
+
+  /** Create or incrementally refresh `view` = sum/count of `base` grouped
+    * by `keys`. Returns the base version the view now reflects. */
+  def refresh(lake: LakeTable, base: String, view: String,
+              keys: Seq[String], valueCol: String): Long =
+    refreshWith(lake, base, view)(rows => aggregate(rows, keys, valueCol)) {
+      (viewRows, delta) =>
+        viewRows.unionByName(delta)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("cents")).as("cents"))
+    }
+
+  /** Create or incrementally refresh an EXACT distinct-count view: the view
+    * stores (keys..., bucket, bitmap) partials over `distinctCol` (the
+    * layer behind [[graft.ops.Analytics.bitmapDistinct]]); a delta folds in
+    * with `bitmap_or_agg` — set union, so the count stays exact no matter
+    * how appends interleave. COUNT(DISTINCT) is the textbook
+    * "not incrementally maintainable" aggregate; switching the partial
+    * representation to bitmaps makes it additive. Refresh cost is
+    * O(delta + touched buckets), never O(history). */
+  def refreshDistinct(lake: LakeTable, base: String, view: String,
+                      keys: Seq[String], distinctCol: String): Long = {
+    val grp = (keys :+ "bkt").map(col)
+    refreshWith(lake, base, view) { rows =>
+      rows.select(keys.map(col) :+
+          expr(s"bitmap_bucket_number($distinctCol)").as("bkt") :+
+          expr(s"bitmap_bit_position($distinctCol)").as("pos"): _*)
+        .groupBy(grp: _*)
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    } { (viewRows, delta) =>
+      viewRows.unionByName(delta)
+        .groupBy(grp: _*)
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+    }
+  }
+
+  /** Read the distinct-count view: per-key exact distinct = Σ bucket
+    * popcounts (buckets partition the key space, so the counts add). */
+  def readDistinctView(lake: LakeTable, view: String,
+                       keys: Seq[String]): DataFrame =
+    lake.read(view)
+      .select(keys.map(col) :+ expr("bitmap_count(bm)").as("c"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("c")).as("n_distinct"))
 
   /** The view with a readable money column (exact cents -> dollars). */
   def readView(lake: LakeTable, view: String, keys: Seq[String]): DataFrame =

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import graft.tables.LakeTable
 
 case class Sale(id: Long, region: String, amount: Double)
+case class RegionOrder(region: String, cust: Long)
 
 class LakeTableSpec extends SparkSpec {
 
@@ -135,6 +136,35 @@ class LakeTableSpec extends SparkSpec {
     lake.write(df(Seq(Sale(9, "east", 1.0))), "sales")
     Materialize.refresh(lake, "sales", "sales_by_region", Seq("region"), "amount")
     assert(viewMap() === Map("east" -> ((1L, 1.0))))
+  }
+
+  test("incremental EXACT distinct view: bitmap partials fold across appends") {
+    import graft.tables.Materialize
+    val lake = freshLake()
+    // duplicated customers within and across batches; bucket-boundary keys
+    val b0 = Seq(RegionOrder("n", 1), RegionOrder("n", 1),
+      RegionOrder("n", 40000), RegionOrder("s", 2))
+    lake.write(df(b0), "orders")
+    Materialize.refreshDistinct(lake, "orders", "cust_by_region", Seq("region"), "cust")
+    def viewMap() = Materialize.readDistinctView(lake, "cust_by_region", Seq("region"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viewMap() === Map("n" -> 2L, "s" -> 1L))
+    // appends re-add an already-counted customer (1) and add new ones —
+    // bitmap OR makes the fold exact, where sum-of-partial-counts would
+    // double-count customer 1
+    lake.write(df(Seq(RegionOrder("n", 1), RegionOrder("n", 3))), "orders", mode = "append")
+    lake.write(df(Seq(RegionOrder("s", 2), RegionOrder("s", 99999))), "orders", mode = "append")
+    Materialize.refreshDistinct(lake, "orders", "cust_by_region", Seq("region"), "cust")
+    assert(viewMap() === Map("n" -> 3L, "s" -> 2L))
+    // matches a from-scratch recompute exactly
+    val exact = lake.read("orders").groupBy("region")
+      .agg(org.apache.spark.sql.functions.countDistinct("cust").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viewMap() === exact)
+    // idempotent on an unchanged base
+    val vBefore = lake.latestVersion("cust_by_region")
+    Materialize.refreshDistinct(lake, "orders", "cust_by_region", Seq("region"), "cust")
+    assert(lake.latestVersion("cust_by_region") === vBefore)
   }
 
   test("materialized view: stale sidecar (crash window) rebuilds, never double-folds") {

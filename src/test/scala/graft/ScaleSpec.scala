@@ -89,4 +89,24 @@ class ScaleSpec extends SparkSpec {
     assert(a.keySet === b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-6, k) }
   }
+
+  test("detectHotKeys finds exactly the planted hot key; autoSalt matches plain") {
+    import graft.ops.Skew
+    import spark.implicits._
+    // key 7 owns ~50% of rows; everything else is uniform
+    val rows = (1L to 2000L).map(i => (if (i % 2 == 0) 7L else i % 100, i))
+    val big = rows.toDF("k", "payload")
+    val hot = Skew.detectHotKeys(big, "k", factor = 10.0).collect()
+    assert(hot.map(_.getLong(0)).toSeq === Seq(7L))
+    // 1000 even-i rows + the 20 odd rows with i % 100 == 7
+    assert(hot.head.getLong(1) === 1020L)
+    val other = (0L to 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val auto = Skew.autoSaltedJoin(big, other, "k", saltFactor = 4)
+      .groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = big.join(other, Seq("k"))
+      .groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(auto === plain)
+  }
 }
