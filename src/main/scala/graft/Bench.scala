@@ -44,13 +44,14 @@ object Bench {
       name -> times.min
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full per-query map: one line for humans/logs (may be cut by tail
-    // buffers — that's fine) plus a file for post-hoc analysis.
+    // Full per-query map goes ONLY to a file: the driver keeps a bounded
+    // stdout tail, and a long line printed before the final one can leave a
+    // truncated JSON fragment in the tail that defeats its parser (r03 lost
+    // its bench number exactly this way).
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
-    println(fullLine)
     try {
       val outDir = java.nio.file.Paths.get("out")
       java.nio.file.Files.createDirectories(outDir)

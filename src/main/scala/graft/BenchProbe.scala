@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for dev loops (not part of the driver contract). */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.count()
+    // warm
+    graft.sim.Similarity.pqBuild(emb, iters = 1).codes.count()
+    val idx = time("pqBuild(iters=8)") { graft.sim.Similarity.pqBuild(emb) }
+    time("codes.count") { idx.codes.count() }
+    val idx2 = time("pqBuild(iters=2)") { graft.sim.Similarity.pqBuild(emb, iters = 2) }
+    time("codes2.count") { idx2.codes.count() }
+    time("pqTopK") {
+      graft.sim.Similarity.pqTopK(idx, emb.filter(col("vec_id") < 20), 3).count()
+    }
+    time("pqTopK-again") {
+      graft.sim.Similarity.pqTopK(idx, emb.filter(col("vec_id") < 20), 3).count()
+    }
+    val cached = idx.copy(codes = idx.codes.cache())
+    cached.codes.count()
+    time("pqTopK-cachedCodes") {
+      graft.sim.Similarity.pqTopK(cached, emb.filter(col("vec_id") < 20), 3).count()
+    }
+    spark.stop()
+  }
+}
