@@ -17,6 +17,22 @@ object BenchProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.count()
+    for (_ <- 1 to 2) {
+      time("coPurchasePairs-HOF") {
+        graft.ops.Graph.coPurchasePairs(li, 2).count()
+      }
+      time("coPurchasePairs-selfjoin") {
+        val p = li.select(col("l_orderkey").as("ok"), col("l_partkey"))
+        p.as("a").join(p.as("b"),
+            col("a.ok") === col("b.ok") && col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("n_together"))
+          .filter(col("n_together") >= 2)
+          .count()
+      }
+    }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.count()
     // warm

@@ -720,7 +720,32 @@ object SparkEntry {
     "q143_pq_topk" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.pqTopK(Similarity.pqBuild(emb), emb.filter(col("vec_id") < 20), 3)
-    })
+    },
+    // --- triangle census of the co-purchase graph (§ graph layer) ---
+    "q144_triangle_count" -> ((s, d) =>
+      Graph.triangleCount(Graph.coPurchasePairs(t(s, d, "lineitem")).drop("n_together"))),
+    // --- sequential smoothing: per-user EWMA (§2.5) ---
+    "q145_user_value_ewma" -> ((s, d) =>
+      Events.userValueEwma(Tables.events(s, d))),
+    // --- two-sample Kolmogorov–Smirnov drift test (§2.4/§2.11) ---
+    "q146_ks_price_by_status" -> ((s, d) =>
+      Analytics.ksStatistic(t(s, d, "orders"), "o_totalprice",
+        col("o_orderstatus") === "F")),
+    // --- mixture drift: per-source JS divergence from the corpus [ext] ---
+    "q147_source_js_divergence" -> ((s, d) =>
+      TextStats.sourceJsDivergence(t(s, d, "documents"))),
+    // --- gaps-and-islands: longest daily-activity streak (§2.5) ---
+    "q148_activity_streaks" -> ((s, d) =>
+      Events.activityStreaks(Tables.events(s, d))),
+    // --- lexical diversity: TTR + hapax legomena [ext] ---
+    "q149_lexical_diversity" -> ((s, d) =>
+      TextStats.lexicalDiversity(t(s, d, "documents"))),
+    // --- boilerplate-prefix census [ext] ---
+    "q150_prefix_dups" -> ((s, d) =>
+      Dedup.prefixDupStats(t(s, d, "documents"))),
+    // --- syllable complexity (readability word half) [ext] ---
+    "q151_syllable_complexity" -> ((s, d) =>
+      TextStats.syllableComplexity(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1634,5 +1659,78 @@ object SparkEntry {
         "(CAST(b.n_tok AS DOUBLE) / CAST(nt AS DOUBLE)))), 6) AS pmi " +
         "FROM bc JOIN ug a ON bc.tok_a = a.tok JOIN ug b ON bc.tok_b = b.tok " +
         "CROSS JOIN tot WHERE n_ab >= 5 " +
-        "ORDER BY pmi DESC, tok_a, tok_b LIMIT 30"))
+        "ORDER BY pmi DESC, tok_a, tok_b LIMIT 30"),
+    "q144_triangle_count" ->
+      ("WITH e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "tri AS (SELECT 1 AS one FROM e e1 JOIN e e2 ON e1.pb = e2.pa " +
+        "JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb), " +
+        "v AS (SELECT count(DISTINCT x) AS nv FROM " +
+        "(SELECT pa AS x FROM e UNION ALL SELECT pb FROM e)) " +
+        "SELECT CAST(nv AS BIGINT) AS n_vertices, " +
+        "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, " +
+        "CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles FROM v"),
+    "q145_user_value_ewma" ->
+      ("WITH s AS (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events, " +
+        "list_reduce(xs, (acc, x) -> CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc) " +
+        "AS ewma_value FROM s"),
+    "q146_ks_price_by_status" ->
+      ("WITH c AS (SELECT o_totalprice AS v, " +
+        "CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS ia FROM orders), " +
+        "g AS (SELECT v, sum(ia) AS ca, sum(1 - ia) AS cb FROM c GROUP BY v), " +
+        "cd AS (SELECT v, sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_a, sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cum_b FROM g), " +
+        "t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM g) " +
+        "SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b, " +
+        "max(abs(CAST(cum_a AS DOUBLE) / CAST(ta AS DOUBLE) - " +
+        "CAST(cum_b AS DOUBLE) / CAST(tb AS DOUBLE))) AS ks_d FROM cd CROSS JOIN t"),
+    "q147_source_js_divergence" ->
+      ("WITH cell AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2), " +
+        "s AS (SELECT source, sum(cnt) AS n_source FROM cell GROUP BY source), " +
+        "l AS (SELECT lang, sum(cnt) AS n_lang FROM cell GROUP BY lang), " +
+        "tt AS (SELECT sum(cnt) AS n_total FROM cell), " +
+        "grid AS (SELECT s.source, l.lang, s.n_source, l.n_lang, " +
+        "coalesce(cell.cnt, 0) AS cnt FROM s CROSS JOIN l " +
+        "LEFT JOIN cell ON cell.source = s.source AND cell.lang = l.lang), " +
+        "terms AS (SELECT source, n_source, " +
+        "CAST(cnt AS DOUBLE) / CAST(n_source AS DOUBLE) AS p, " +
+        "CAST(n_lang AS DOUBLE) / CAST(n_total AS DOUBLE) AS q FROM grid CROSS JOIN tt) " +
+        "SELECT source, CAST(max(n_source) AS BIGINT) AS n_docs, " +
+        "round(sum((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) * 0.5 + " +
+        "(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END) * 0.5), 6) " +
+        "AS js_divergence FROM terms GROUP BY source"),
+    "q148_activity_streaks" ->
+      ("WITH days AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events), " +
+        "isl AS (SELECT user_id, d - row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY d) AS island FROM days), " +
+        "runs AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, " +
+        "CAST(max(len) AS BIGINT) AS longest_streak FROM runs GROUP BY user_id"),
+    "q149_lexical_diversity" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents), " +
+        "c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+        "round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) " +
+        "AS type_token_ratio FROM c GROUP BY doc_id"),
+    "q150_prefix_dups" ->
+      (s"WITH k AS (SELECT array_to_string(($toksSql)[1:16], ' ') AS pk FROM documents), " +
+        "g AS (SELECT pk, count(*) AS n FROM k GROUP BY pk) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_dup_groups, " +
+        "CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs_in_groups, " +
+        "CAST(coalesce(max(n), 0) AS BIGINT) AS max_group FROM g WHERE n > 1"),
+    "q151_syllable_complexity" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents), " +
+        "s AS (SELECT doc_id, len(regexp_extract_all(tok, '[aeiouy]+')) AS syl FROM tok) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(syl) AS BIGINT) AS n_syllables, " +
+        "round(CAST(sum(syl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_syllables, " +
+        "round(CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS polysyllabic_ratio FROM s GROUP BY doc_id"))
 }

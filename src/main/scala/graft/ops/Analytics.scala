@@ -553,4 +553,33 @@ object Analytics {
          |  WHERE c_mktsegment = s.c_mktsegment
          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT $k) t""".stripMargin)
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: D = max |F_a(x) − F_b(x)|
+    * between rows where `pred` holds (sample a) and the rest (sample b),
+    * over `valueCol`. Distribution-drift detection with no binning choice —
+    * the nonparametric companion of [[chi2Independence]].
+    *
+    * One aggregate collapses the data to per-distinct-value counts, then a
+    * global ordered window builds both empirical CDFs; the window runs over
+    * DISTINCT values (bounded by value cardinality, not row count — for
+    * unbounded-cardinality columns at scale, quantize first or use
+    * range-partitioned prefix sums as in
+    * [[graft.stream.Events.peakConcurrency]]). Counts are exact integers;
+    * the only float ops are two divisions and an abs, identical per row in
+    * any engine, and max is order-independent — so no rounding is needed. */
+  def ksStatistic(df: DataFrame, valueCol: String, pred: Column): DataFrame = {
+    val counts = df
+      .select(col(valueCol).as("v"), pred.cast("int").as("in_a"))
+      .groupBy("v")
+      .agg(sum(col("in_a")).as("ca"), sum(lit(1) - col("in_a")).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = counts.select(col("v"),
+      sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"))
+    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cdf.crossJoin(broadcast(totals)) // 1-row scalar gate
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        max(abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double"))).as("ks_d"))
+  }
 }

@@ -106,6 +106,37 @@ object Graph {
     spark.createDataFrame(cc).toDF("part", "component")
   }
 
+  /** Triangle census of an undirected edge list (edges stored once as
+    * a < b): the compact-forward join — wedges (a,b)x(b,c) with a < b < c
+    * close against a third edge (a,c). Every triangle is counted exactly
+    * once because its vertices admit exactly one increasing ordering.
+    *
+    * Scale: two equi-joins on vertex ids; the wedge count is bounded by
+    * Σ deg(v)², so hub vertices dominate cost — the production refinement
+    * is degree-ordering (orient edges toward the HIGHER-degree endpoint so
+    * wedges pivot only on low-degree vertices, bounding work at
+    * O(m^1.5)); id-ordering here keeps the plan oracle-checkable while the
+    * join structure is identical. Returns one row:
+    * (n_vertices, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, aCol: String = "part_a",
+                    bCol: String = "part_b"): DataFrame = {
+    // three consumers (wedge join, edge count, vertex count) — persist so an
+    // expensive upstream edge derivation (e.g. basket pair generation)
+    // materializes once, not three times; the caller's action populates it
+    // lazily and `unpersist` is the caller's choice (the driver contract
+    // clears the cache between queries)
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).persist()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tris = wedges.join(e.as("e3"),
+      col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
+    val verts = e.select(explode(array(col("a"), col("b"))).as("v"))
+    tris.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(verts.agg(countDistinct(col("v")).as("n_vertices")))
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+  }
+
   /** GraphX interop: the purchase graph as Graph[VD, ED] for iterative
     * algorithms (connected components, PageRank). Part ids are offset into a
     * disjoint vertex-id space. */

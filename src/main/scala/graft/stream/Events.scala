@@ -529,6 +529,46 @@ object Events {
       .withColumn("admitted_rank", row_number().over(w).cast("long"))
       .filter(col("admitted_rank") <= maxPerDay)
   }
+
+  /** Exponentially-weighted moving average of `value` per user, returning
+    * the final smoothed level: ewma_0 = x_0, ewma_i = α·x_i + (1−α)·ewma_i−1
+    * over events ordered by (ts, event_id). EWMA is inherently sequential,
+    * so it folds per key: one shuffle collects each user's ordered series,
+    * then a left-to-right `aggregate` fold — per-user state is O(1) and the
+    * fold order is total (event_id tiebreak), so the result is
+    * bit-deterministic and engine-portable (the oracle spells the identical
+    * fold). At scale the collected series bounds memory per key: cap with a
+    * time window upstream for unbounded keys. */
+  def userValueEwma(events: DataFrame, alpha: Double = 0.25): DataFrame = {
+    val series = events.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("s"))
+      .select(col("user_id"), transform(col("s"), e =>
+        e.getField("value").cast("double")).as("xs"))
+    series.select(col("user_id"),
+      size(col("xs")).cast("long").as("n_events"),
+      aggregate(slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        element_at(col("xs"), 1),
+        (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc).as("ewma_value"))
+  }
+
+  /** Longest consecutive-day activity streak per user: distinct active days,
+    * then the gaps-and-islands trick — epoch_day − row_number() is constant
+    * within a run of consecutive days, so one groupBy per (user, island)
+    * yields streak lengths. Two dimension-sized shuffles, all-integer math.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"),
+        floor(col("ts").cast("double") / 86400.0).cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days.withColumn("island", col("d") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"), max("len").as("longest_streak"))
+  }
 }
 
 /** [[Events.streamingPerUserQuota]] output row. */

@@ -267,4 +267,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
   }
+
+  /** Boilerplate-prefix census: documents sharing their first `prefixTokens`
+    * normalized tokens (mirror pages, templated headers, scraper artifacts
+    * — text whose BODY diverges but whose opening is stamped from one
+    * mold, which exact dedup misses and MinHash underweights). Groups by
+    * the prefix itself; at scale swap the string key for its xxhash64 (same
+    * trick as [[crossSplitContamination]]) — kept as the string here so the
+    * oracle can spell it. Returns one summary row: duplicate-prefix group
+    * count, documents covered by them, and the largest group. */
+  def prefixDupStats(docs: DataFrame, prefixTokens: Int = 16): DataFrame = {
+    val key = concat_ws(" ",
+      slice(TextStats.tokens(TextStats.normalize(col("text"))), 1, prefixTokens))
+    docs.select(key.as("prefix_key"))
+      .groupBy("prefix_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_dup_groups"),
+        coalesce(sum("n"), lit(0L)).as("n_docs_in_groups"),
+        coalesce(max("n"), lit(0L)).as("max_group"))
+  }
 }

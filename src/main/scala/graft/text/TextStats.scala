@@ -331,4 +331,70 @@ object TextStats {
             .cast("double") / size(col("sents")).cast("double"), 4))
           .as("avg_sentence_chars"))
   }
+
+  /** Jensen–Shannon divergence of each source's language mix from the
+    * corpus-wide language mix (nats, 0 = identical, ln 2 = disjoint) — the
+    * drift metric for "is this source's language profile unlike the rest?".
+    * All probabilities divide exact integer counts off ONE (source, lang)
+    * aggregate; the grid left-join zero-fills langs a source never emits
+    * (those contribute only the global-side term, the standard JS
+    * convention p·ln(p/m) → 0 as p → 0). Everything after the count
+    * aggregate is dimension-sized. 6 dp rounding absorbs float sum order. */
+  def sourceJsDivergence(docs: DataFrame): DataFrame = {
+    val cell = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val bySource = cell.groupBy("source").agg(sum("cnt").as("n_source"))
+    val byLang = cell.groupBy("lang").agg(sum("cnt").as("n_lang"))
+    val total = cell.agg(sum("cnt").as("n_total"))
+    val grid = bySource.crossJoin(byLang)
+      .join(cell, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("n_source"), col("n_lang"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .crossJoin(broadcast(total))
+    val p = col("cnt").cast("double") / col("n_source").cast("double")
+    val q = col("n_lang").cast("double") / col("n_total").cast("double")
+    val m = (p + q) / 2.0
+    val term =
+      when(p > 0, p * log(p / m)).otherwise(0.0) * 0.5 +
+        when(q > 0, q * log(q / m)).otherwise(0.0) * 0.5
+    grid.groupBy("source")
+      .agg(max("n_source").as("n_docs"),
+        round(sum(term), 6).as("js_divergence"))
+  }
+
+  /** Per-document lexical diversity: token count, distinct types,
+    * type–token ratio, and hapax legomena (words occurring once) — the
+    * vocabulary-richness signals (low TTR/hapax = templated or repetitive
+    * text). One explode + two hash aggregates, all map-side combined; the
+    * shuffle key is (doc_id, token) so state is bounded by per-doc
+    * vocabulary. Token-free documents drop out (no rows to count),
+    * identical to an unnest-based oracle. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(tokens(normalize(col("text")))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(count(lit(1)).cast("double") / sum("cnt").cast("double"), 6)
+          .as("type_token_ratio"))
+
+  /** Per-document syllable-complexity profile: total syllables (vowel-group
+    * runs per word — the portable approximation), mean syllables per word,
+    * and the share of 3+-syllable words. The word-difficulty half of a
+    * readability score (the sentence half is [[sentenceStats]]). Explode +
+    * one aggregate so the regexp runs once per token; the pattern is
+    * RE2-portable. Token-free docs drop out. */
+  def syllableComplexity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(tokens(normalize(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("tok"), lit("[aeiouy]+"), lit(0))).as("syl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("syl").as("n_syllables"),
+        round(sum("syl").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_syllables"),
+        round(sum(when(col("syl") >= 3, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("polysyllabic_ratio"))
 }

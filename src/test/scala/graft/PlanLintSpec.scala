@@ -30,7 +30,15 @@ class PlanLintSpec extends SparkSpec {
     "q142_bigram_pmi",
     // PQ/ADC scores codes x broadcast(probe tables) — the brute-force loop
     // IS the operator (compose with IVF cells to bound candidates at scale)
-    "q143_pq_topk")
+    "q143_pq_topk",
+    // triangle census assembles its single summary row from three 1-row
+    // aggregates (vertex / edge / triangle counts)
+    "q144_triangle_count",
+    // KS joins the 1-row (n_a, n_b) totals scalar into the CDF rows
+    "q146_ks_price_by_status",
+    // JS densifies with a |sources| x |langs| grid cross join (chi2's trick)
+    // plus the 1-row corpus total
+    "q147_source_js_divergence")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
