@@ -94,6 +94,35 @@ object Events {
         col("n_events"), col("sum_value"))
   }
 
+  /** Stream–static dimension enrichment: join the event stream to a STATIC
+    * dimension (e.g. a curated user→segment table) and aggregate per
+    * (segment, tumbling window). The static side re-plans per micro-batch
+    * (so a lake-table dim picks up new versions between batches) and
+    * broadcasts — no stream-side shuffle for the join, no watermark needed
+    * for a stream–static inner join; the watermark here only bounds the
+    * window aggregation state. The canonical "enrich fact stream with a dim"
+    * shape at any scale. */
+  def streamingSegmentCounts(spark: SparkSession, dir: String,
+                             userDim: DataFrame,
+                             width: String = "10 minutes",
+                             watermark: String = "30 minutes"): DataFrame =
+    readEventStream(spark, dir)
+      .withWatermark("ts", watermark)
+      .join(broadcast(userDim), Seq("user_id"))
+      .groupBy(col("segment"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .select(col("segment"), col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch twin of [[streamingSegmentCounts]] (same expressions). */
+  def segmentCounts(events: DataFrame, userDim: DataFrame,
+                    width: String = "10 minutes"): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"))
+      .groupBy(col("segment"), window(col("ts"), width))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .select(col("segment"), col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+
   /** Approximate distinct users per tumbling window (batch form). At 100 TB
     * an exact per-window distinct is a full shuffle of user ids; HLL++ state
     * is a few KB per window and map-side combined. The estimate is

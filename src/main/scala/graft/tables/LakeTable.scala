@@ -295,6 +295,44 @@ final class LakeTable(spark: SparkSession, warehouseDir: String) {
     commit
   }
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`): atomically replace
+    * exactly the rows matching `predSql` with `df`, as ONE commit and ZERO
+    * rewrites of the untouched data — the old dirs stay referenced and take
+    * `predSql` onto the merge-on-read delete stack (scoped to them only),
+    * while the incoming batch lands as a new dir in the same commit. The
+    * idiomatic backfill/restatement op: "overwrite March" never touches the
+    * other 99.9% of a 100 TB table.
+    *
+    * Containment is enforced Delta-style: every incoming row must satisfy
+    * `predSql` (NULL counts as outside the scope), observed in the same
+    * single pass as the table's CHECK constraints — a violating batch
+    * aborts before commit and cleans its staging. Schema must match the
+    * table exactly (as strict append). */
+  def replaceWhere(name: String, df: DataFrame, predSql: String): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val prev = readCommit(name, latestVersion(name).get)
+    val expected = prev.schema.map(f => f.name -> f.dataType).toMap
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    require(expected == actual,
+      s"replaceWhere schema mismatch for $name: table=$expected incoming=$actual")
+    val v = prev.version + 1
+    val (checked, obs) = observedWithChecks(df,
+      prev.constraints :+ (("__replace_where_scope", s"coalesce(($predSql), false)")))
+    // rows the predicate removes from the live table, for the exact rowCount
+    val removed = read(name).filter(coalesce(expr(predSql), lit(false))).count()
+    val dest = stageDataDir(name, v)
+    val writer = checked.write.mode("overwrite")
+    (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*)
+     else writer).parquet(dest.toString)
+    requireChecksPass(name, dest, obs)
+    val written = spark.read.parquet(dest.toString).count()
+    val commit = prev.copy(version = v, mode = "replaceWhere",
+      dirs = prev.dirs :+ dest.toString,
+      rowCount = prev.rowCount - removed + written,
+      deletes = prev.deletes :+ ((predSql, prev.dirs)))
+    commitStaged(name, commit, dest)
+  }
+
   /** Zero-copy shallow clone (Delta SHALLOW CLONE): `dst`'s v0 commit
     * re-references `src`'s current data dirs — instant at any scale, no
     * bytes moved. The clone is fully independent going forward (its own

@@ -95,6 +95,28 @@ class EventsSpec extends SparkSpec {
     stream.foreach { case (k, v) => assert(batch(k) === v, s"window $k") }
   }
 
+  test("stream-static broadcast enrichment matches the batch twin") {
+    val dim = spark.range(0, 1000).select(col("id").as("user_id"),
+      concat(lit("seg"), pmod(col("id"), lit(3))).as("segment"))
+    val q = Events.streamingSegmentCounts(spark, eventsDir, dim,
+        watermark = "1 minute").writeStream
+      .format("memory").queryName("seg_counts_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    val batch = Events.segmentCounts(
+        graft.tables.Tables.events(spark, "/root/testdata/sf0.001"), dim)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp](1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val stream = spark.table("seg_counts_stream").collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp](1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // append mode emits only watermark-closed windows; each must equal batch
+    assert(stream.nonEmpty)
+    stream.foreach { case (k, v) => assert(batch(k) === v, s"key $k") }
+  }
+
   test("streaming session_window matches the batch session_window groupBy") {
     val q = Events.streamingSessionWindow(spark, eventsDir,
         watermark = "1 minute").writeStream

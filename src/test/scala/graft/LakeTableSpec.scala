@@ -364,6 +364,33 @@ class LakeTableSpec extends SparkSpec {
     assert(lake.read("sales").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("replaceWhere swaps exactly the predicate scope in one zero-rewrite commit") {
+    val lake = freshLake()
+    val v0 = lake.write(df(rows), "sales")
+    // replace the north region (ids 1,3) with a single restated row
+    val v1 = lake.replaceWhere("sales", df(Seq(Sale(10, "north", 77.0))),
+      "region = 'north'")
+    // old dirs stay referenced (zero rewrite), plus exactly one new dir
+    assert(v1.dirs.take(v0.dirs.length) === v0.dirs)
+    assert(v1.dirs.length === v0.dirs.length + 1)
+    val live = lake.read("sales").collect().map(_.getLong(0)).sorted.toSeq
+    assert(live === Seq(2L, 10L))
+    assert(v1.rowCount === 2L)
+    assert(lake.validate("sales")._1, lake.validate("sales")._2)
+    // time travel sees the pre-replacement table
+    assert(lake.read("sales", asOfVersion = Some(0L)).count() === 3)
+    // containment: a batch with rows OUTSIDE the scope aborts pre-commit
+    val e = intercept[IllegalArgumentException] {
+      lake.replaceWhere("sales", df(Seq(Sale(11, "east", 1.0))), "region = 'north'")
+    }
+    assert(e.getMessage.contains("__replace_where_scope"))
+    assert(lake.latestVersion("sales") === Some(1L))
+    // a later append into the replaced scope is NOT retro-deleted
+    lake.write(df(Seq(Sale(12, "north", 5.0))), "sales", mode = "append")
+    assert(lake.read("sales").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(2L, 10L, 12L))
+  }
+
   test("CHECK constraints persist in the log and abort violating writes pre-commit") {
     val lake = freshLake()
     lake.write(df(rows), "sales",
