@@ -17,6 +17,24 @@ object BenchProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
+    try {
+      val r = spark.sql(
+        """WITH RECURSIVE t(n) AS (
+          |  SELECT 1
+          |  UNION ALL
+          |  SELECT n + 1 FROM t WHERE n < 5
+          |) SELECT sum(n) FROM t""".stripMargin).head.getLong(0)
+      println(s"PROBE recursive-cte sum=$r")
+    } catch { case e: Throwable => println(s"PROBE recursive-cte FAILED: ${e.getMessage.take(200)}") }
+    try {
+      val r = spark.sql(
+        """WITH RECURSIVE t(n) AS (
+          |  SELECT 1
+          |  UNION
+          |  SELECT CASE WHEN n >= 3 THEN 3 ELSE n + 1 END FROM t
+          |) SELECT sum(n) FROM t""".stripMargin).head.getLong(0)
+      println(s"PROBE recursive-cte-distinct sum=$r") // 1+2+3=6 iff UNION dedups
+    } catch { case e: Throwable => println(s"PROBE recursive-cte-distinct FAILED: ${e.getMessage.take(200)}") }
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     li.count()
     for (_ <- 1 to 2) {

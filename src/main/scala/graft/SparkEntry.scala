@@ -745,7 +745,23 @@ object SparkEntry {
       Dedup.prefixDupStats(t(s, d, "documents"))),
     // --- syllable complexity (readability word half) [ext] ---
     "q151_syllable_complexity" -> ((s, d) =>
-      TextStats.syllableComplexity(t(s, d, "documents"))))
+      TextStats.syllableComplexity(t(s, d, "documents"))),
+    // --- RECURSIVE CTE: bounded multi-hop reachability (§2.3) ---
+    "q152_copurchase_reachability" -> ((s, d) =>
+      Analytics.reachableParts(s, Graph.coPurchasePairs(t(s, d, "lineitem")), maxHops = 2)),
+    // --- IVFxPQ composed ANN (the billion-vector layout) [ext] ---
+    // rows-only; recall vs brute force is spec-asserted (SimilaritySpec)
+    "q153_ivfpq_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(Similarity.ivfBuild(emb), Similarity.pqBuild(emb),
+        emb.filter(col("vec_id") < 20), 3)
+    },
+    // --- seasonality: lag-7 autocorrelation of daily revenue (§2.4) ---
+    "q154_revenue_autocorr" -> ((s, d) =>
+      Analytics.dailyRevenueAutocorr(t(s, d, "orders"))),
+    // --- corpus cleanup: control chars / accents / whitespace [ext] ---
+    "q155_text_cleanup" -> ((s, d) =>
+      TextStats.cleanupProfile(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1732,5 +1748,30 @@ object SparkEntry {
         "CAST(sum(syl) AS BIGINT) AS n_syllables, " +
         "round(CAST(sum(syl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_syllables, " +
         "round(CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / " +
-        "CAST(count(*) AS DOUBLE), 6) AS polysyllabic_ratio FROM s GROUP BY doc_id"))
+        "CAST(count(*) AS DOUBLE), 6) AS polysyllabic_ratio FROM s GROUP BY doc_id"),
+    "q152_copurchase_reachability" ->
+      ("WITH RECURSIVE pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT pa AS src, pb AS dst FROM pairs " +
+        "UNION ALL SELECT pb AS src, pa AS dst FROM pairs), " +
+        "r(part, dist) AS (SELECT (SELECT min(pa) FROM pairs), 0 " +
+        "UNION ALL SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.part " +
+        "WHERE r.dist < 2) " +
+        "SELECT part, min(dist) AS hops FROM r GROUP BY part"),
+    "q154_revenue_autocorr" ->
+      (s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        s"${money.sumMoneySql("o_totalprice")} AS rev FROM orders GROUP BY 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(corr(a.rev, b.rev), 6) AS autocorr " +
+        "FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 7 DAY"),
+    "q155_text_cleanup" -> {
+      val accents      = "áàâäãåéèêëíìîïóòôöõúùûüýÿñçÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÑÇ"
+      val replacements = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+      "SELECT doc_id, CAST(len(clean) AS INTEGER) AS clean_len, " +
+        "CAST(len(text) - len(clean) AS INTEGER) AS n_removed FROM " +
+        "(SELECT doc_id, text, trim(regexp_replace(translate(" +
+        "regexp_replace(text, '[\\x00-\\x1f\\x7f]+', ' ', 'g'), " +
+        s"'$accents', '$replacements'), '\\s+', ' ', 'g')) AS clean FROM documents)"
+    })
 }

@@ -554,6 +554,54 @@ object Analytics {
          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT $k) t""".stripMargin)
   }
 
+  /** Bounded multi-hop reachability over the co-purchase graph via a
+    * RECURSIVE CTE (Spark 4's WITH RECURSIVE — iterative UnionLoop
+    * execution, the declarative sibling of the GraphX Pregel in
+    * [[graft.ops.Graph.connectedComponents]]): starting from the smallest
+    * part id in the edge set, expand undirected edges up to `maxHops`,
+    * reporting each reached part's minimum hop distance. The hop bound
+    * caps the path explosion (the recursion enumerates PATHS — Spark 4 has
+    * no distinct-UNION recursion yet — and the final GROUP BY collapses
+    * them), so keep it small on hub-heavy graphs: paths grow with the
+    * product of degrees along the walk. At scale prefer the Pregel form for
+    * unbounded traversals, this form for small fixed-depth expansions
+    * (recommendation neighborhoods, blast-radius queries). */
+  def reachableParts(spark: org.apache.spark.sql.SparkSession,
+                     pairs: DataFrame, maxHops: Int = 3): DataFrame = {
+    // the UnionLoop re-reads the edge table EVERY iteration (plus the seed
+    // subquery) — persist so an expensive pair derivation runs once, not
+    // maxHops+2 times; cleanup is the caller's cache-clear, as elsewhere
+    pairs.persist().createOrReplaceTempView("graft_reach_pairs")
+    spark.sql(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT part_a AS src, part_b AS dst FROM graft_reach_pairs
+         |  UNION ALL
+         |  SELECT part_b AS src, part_a AS dst FROM graft_reach_pairs
+         |), r(part, dist) AS (
+         |  SELECT (SELECT min(part_a) FROM graft_reach_pairs), 0
+         |  UNION ALL
+         |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.part
+         |  WHERE r.dist < $maxHops
+         |)
+         |SELECT part, min(dist) AS hops FROM r GROUP BY part""".stripMargin)
+  }
+
+  /** Lag-`lagDays` autocorrelation of the daily revenue series — the
+    * weekly-seasonality detector (lag 7 near 1 = strong weekly cycle).
+    * Day grain first (one map-combined aggregate, EXACT integer cents so
+    * the series is bit-identical across engines), then a self-join on the
+    * shifted day and one `corr` — dimension-sized after the first shuffle.
+    * 6 dp rounding absorbs float sum order in the moment aggregate. */
+  def dailyRevenueAutocorr(orders: DataFrame, lagDays: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(graft.functions.money.sumMoney(col("o_totalprice")).as("rev"))
+    daily.as("a")
+      .join(daily.as("b"), expr(s"b.d = date_add(a.d, $lagDays)"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("a.rev"), col("b.rev")), 6).as("autocorr"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: D = max |F_a(x) − F_b(x)|
     * between rows where `pred` holds (sample a) and the rest (sample b),
     * over `valueCol`. Distribution-drift detection with no binning choice —

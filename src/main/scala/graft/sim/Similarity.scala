@@ -121,21 +121,80 @@ object Similarity {
     * corpus*nProbe/nLists vectors. */
   final case class IVFIndex(assigned: DataFrame, centroids: Array[Array[Double]])
 
-  /** Fit the coarse quantizer and assign every corpus vector to its cell.
-    * Deterministic under `seed`. */
-  def ivfBuild(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L): IVFIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = corpus.select(col("vec_id"),
-      asDouble(col("embedding")).as("vec"),
-      array_to_vector(col("embedding")).as("features"))
-    // few iterations suffice for a coarse quantizer: cells only bound the
-    // candidate sets, they don't need converged centroids
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("features").fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
-    IVFIndex(assigned, model.clusterCenters.map(_.toArray))
+  /** Deterministic hash-sample of `src`'s vectors for codebook/quantizer
+    * training: keep every stride-th vector by seeded hash (a pure filter, no
+    * sort), collect, and order by the hash so initialization is stable. The
+    * cap makes driver-side training size-independent of the corpus. */
+  private def trainSample(src: DataFrame, maxVectors: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val n = src.count()
+    val stride = math.max(1L, n / math.max(1L, maxVectors.toLong))
+    val sampled =
+      if (stride <= 1L) src
+      else src.filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(stride)) === 0)
+    sampled
+      .select(col("vec_id").cast("long"),
+        xxhash64(lit(seed + 1), col("vec_id")).as("h"), col("vec"))
+      .collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0)))
+      .map(_.getSeq[Double](2).toArray)
+  }
+
+  /** Lloyd's k-means over an in-memory sample (the FAISS-style trainer —
+    * quantizer centroids bound error, they never need the full corpus, so
+    * the tight loop runs on the driver: deterministic, no per-iteration job
+    * latency). Init = the first k sample points (callers pass a
+    * hash-shuffled sample); empty clusters keep their previous centroid. */
+  private def lloydFit(pts: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    require(pts.nonEmpty, "k-means needs a non-empty sample")
+    val dim = pts(0).length
+    var cents = Array.tabulate(k)(i => pts(math.min(i, pts.length - 1)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val cnts = Array.fill(k)(0L)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var kk = 0
+        while (kk < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - cents(kk)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = kk }
+          kk += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1L
+      }
+      cents = Array.tabulate(k) { kk =>
+        if (cnts(kk) == 0L) cents(kk)
+        else Array.tabulate(dim)(i => sums(kk)(i) / cnts(kk))
+      }
+    }
+    cents
+  }
+
+  /** Nearest-centroid id under squared L2, with the centroids as PLAN
+    * LITERALS and the native codegen'd dot product
+    * (‖x‖²−2x·c+‖c‖² — ties break to the lower id via the struct min). */
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+    val n2 = dot(vec, vec)
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct((n2 - lit(2.0) * dot(vec, lit(c)) + lit(c.map(x => x * x).sum)).as("dist"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+  }
+
+  /** Fit the coarse quantizer (driver-side Lloyd's over a capped
+    * hash-sample — see [[lloydFit]]) and assign every corpus vector to its
+    * cell in ONE distributed codegen'd projection. Deterministic under
+    * `seed`. */
+  def ivfBuild(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L,
+               iters: Int = 8, maxTrainVectors: Int = 1 << 16): IVFIndex = {
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = lloydFit(trainSample(base, maxTrainVectors, seed), nLists, iters)
+    val assigned = base.withColumn("cell", nearestCell(col("vec"), cents))
+    IVFIndex(assigned, cents)
   }
 
   /** Probe the `nProbe` nearest cells per query, exact-cosine rerank within
@@ -278,48 +337,12 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    // deterministic training sample: keep every stride-th vector by seeded
-    // hash — a pure filter, no sort/shuffle, same subset every run
-    val n = base.count()
-    val stride = math.max(1L, n / math.max(1L, maxTrainVectors.toLong))
-    val trainBase =
-      if (stride <= 1L) base
-      else base.filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(stride)) === 0)
-    val sample: Array[(Long, Array[Double])] = trainBase
-      .select(col("vec_id").cast("long"), xxhash64(lit(seed + 1), col("vec_id")).as("h"),
-        col("vec"))
-      .collect()
-      .sortBy(r => (r.getLong(1), r.getLong(0)))
-      .map(r => (r.getLong(0), r.getSeq[Double](2).toArray))
-    require(sample.nonEmpty, "pqBuild: empty corpus")
-    // per-subspace Lloyd's in memory; init = the codesPerSub sample
-    // subvectors with the smallest seeded hash (the sort above)
+    val sample = trainSample(base, maxTrainVectors, seed)
+    // per-subspace Lloyd's over the sample's subvector projections
     val codebooks = Array.tabulate(m) { j =>
       val off = j * subDim
-      val pts = sample.map { case (_, v) => java.util.Arrays.copyOfRange(v, off, off + subDim) }
-      var cents = Array.tabulate(codesPerSub)(kk => pts(math.min(kk, pts.length - 1)).clone())
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(codesPerSub, subDim)(0.0)
-        val cnts = Array.fill(codesPerSub)(0L)
-        pts.foreach { p =>
-          var best = 0; var bestD = Double.MaxValue
-          var kk = 0
-          while (kk < codesPerSub) {
-            var d = 0.0; var i = 0
-            while (i < subDim) { val t = p(i) - cents(kk)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = kk }
-            kk += 1
-          }
-          var i = 0
-          while (i < subDim) { sums(best)(i) += p(i); i += 1 }
-          cnts(best) += 1L
-        }
-        cents = Array.tabulate(codesPerSub) { kk =>
-          if (cnts(kk) == 0L) cents(kk) // empty cluster keeps its centroid
-          else Array.tabulate(subDim)(i => sums(kk)(i) / cnts(kk))
-        }
-      }
-      cents
+      lloydFit(sample.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim)),
+        codesPerSub, iters)
     }
     // distributed encode
     val spark = corpus.sparkSession
@@ -366,6 +389,46 @@ object Similarity {
       .reduce(_ + _)
     val scored = index.codes.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        adc.as("approx_dist"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(asc("approx_dist"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("probe_id", "neighbor_id", "approx_dist", "rn")
+  }
+
+  /** IVF×PQ composed ANN (the FAISS IVFPQ shape — the production layout for
+    * billion-vector search): the IVF coarse quantizer bounds WHICH vectors
+    * are scored (each probe touches only its `nProbe` nearest cells,
+    * ~corpus·nProbe/nLists candidates), and PQ codes bound the BYTES per
+    * candidate (m small ints, not the raw vector). The candidate set comes
+    * from an equi-join on the cell id; ADC scoring then reads only the
+    * codes column — the raw embedding column is never touched after
+    * indexing. */
+  def ivfPqTopK(ivf: IVFIndex, pq: PQIndex, probes: DataFrame, k: Int,
+                nProbe: Int = 4): DataFrame = {
+    val cents = ivf.centroids.zipWithIndex
+    val cellRank = array(cents.map { case (c, i) =>
+      struct((dot(col("pvec"), col("pvec")) - lit(2.0) * dot(col("pvec"), lit(c)) +
+        lit(c.map(x => x * x).sum)).as("dist"), lit(i).as("cell"))
+    }: _*)
+    val dtab = array((0 until pq.m).map { j =>
+      array(pq.codebooks(j).map(c =>
+        subSqDist(col("pvec"), j * pq.subDim, pq.subDim, c)): _*)
+    }: _*)
+    val p = probes
+      .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pvec"))
+      .withColumn("cellr", array_sort(cellRank))
+      .withColumn("dtab", dtab)
+      .withColumn("cell", explode(slice(col("cellr"), 1, nProbe)("cell")))
+      .select("probe_id", "dtab", "cell")
+    val cand = ivf.assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(p), Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+    val adc = (1 to pq.m).map(j =>
+      element_at(element_at(col("dtab"), j), element_at(col("codes"), j) + 1))
+      .reduce(_ + _)
+    val scored = cand.join(pq.codes, Seq("vec_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         adc.as("approx_dist"))
     val w = Window.partitionBy("probe_id")

@@ -379,6 +379,27 @@ object TextStats {
         round(count(lit(1)).cast("double") / sum("cnt").cast("double"), 6)
           .as("type_token_ratio"))
 
+  /** Corpus cleanup pass: strip control characters, fold common Latin-1
+    * accents to ASCII (explicit `translate` table — portable, unlike
+    * locale-dependent NFKD normalizers), collapse whitespace runs, trim.
+    * Returns the cleaned text plus how many characters the cleanup removed
+    * or rewrote — the ingest-side scrub every web corpus runs before
+    * tokenization. Pure codegen'd map, zero shuffles. */
+  def cleanText(c: Column): Column = {
+    val accents    = "áàâäãåéèêëíìîïóòôöõúùûüýÿñçÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÑÇ"
+    val replacements = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+    val noCtl = regexp_replace(c, "[\\x00-\\x1f\\x7f]+", " ")
+    trim(regexp_replace(translate(noCtl, accents, replacements), "\\s+", " "))
+  }
+
+  /** [[cleanText]] as a profiling query: per-doc cleaned length and how many
+    * characters cleanup changed (0 = already clean). */
+  def cleanupProfile(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("raw_len"),
+        cleanText(col("text")).as("clean"))
+      .select(col("doc_id"), length(col("clean")).as("clean_len"),
+        (col("raw_len") - length(col("clean"))).as("n_removed"))
+
   /** Per-document syllable-complexity profile: total syllables (vowel-group
     * runs per word — the portable approximation), mean syllables per word,
     * and the share of 3+-syllable words. The word-difficulty half of a

@@ -130,6 +130,40 @@ class Round4cOpsSpec extends SparkSpec {
     assert(Dedup.prefixDupStats(short).head.getLong(1) === 2L)
   }
 
+  test("reachableParts expands min-hop distances from the smallest part") {
+    // path 1-2-3-4-5 plus a disconnected 10-11; seed = min(part_a) = 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("part_a", "part_b")
+    val got = Analytics.reachableParts(spark, pairs, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("dailyRevenueAutocorr is 1 for a perfect weekly cycle") {
+    val t0 = java.time.LocalDate.parse("2024-01-01")
+    val orders = (0 until 28).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(t0.plusDays(d).atStartOfDay),
+        10.0 + (d % 7) * 3.0) // same value every 7 days
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = Analytics.dailyRevenueAutocorr(orders, lagDays = 7).head
+    assert(r.getLong(0) === 21L)
+    assert(r.getDouble(1) === 1.0)
+  }
+
+  test("cleanText strips controls, folds accents, collapses whitespace") {
+    val dirty = Seq((1L, "  héllo\u0001world   café  "),
+      (2L, "already clean")).toDF("doc_id", "text")
+    val cleaned = dirty.select(col("doc_id"),
+      TextStats.cleanText(col("text")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === "hello world cafe")
+    assert(cleaned(2L) === "already clean")
+    val prof = TextStats.cleanupProfile(dirty).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(prof(1L)._1 === "hello world cafe".length)
+    assert(prof(2L) === (("already clean".length, 0)))
+  }
+
   test("syllableComplexity approximates vowel-group syllables") {
     val docs = Seq((1L, "beautiful sky")).toDF("doc_id", "text")
     val r = TextStats.syllableComplexity(docs).head

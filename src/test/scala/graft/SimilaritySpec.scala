@@ -116,4 +116,29 @@ class SimilaritySpec extends SparkSpec {
       assert(byCluster(p) === byCluster(n), s"probe $p got cross-cluster $n")
     }
   }
+
+  test("IVFxPQ composed search stays within the probe's planted cluster") {
+    val dim = 16
+    val rnd = new scala.util.Random(29)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val bases = (0 until 4).map(a => unit(dim, a))
+    val vecs = (0 until 80).map(i => Vec(i.toLong, jitter(bases(i % 4)), i % 4))
+    val d = df(vecs)
+    val ivf = Similarity.ivfBuild(d, nLists = 4, seed = 7)
+    val pq = Similarity.pqBuild(d, m = 4, codesPerSub = 8, seed = 5)
+    val probes = d.filter(col("vec_id") < 4)
+    val got = Similarity.ivfPqTopK(ivf, pq, probes, 5, nProbe = 2).collect()
+    // every probe answered with k neighbors, all from its own cluster
+    val byProbe = got.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet === Set(0L, 1L, 2L, 3L))
+    val byCluster = vecs.map(v => v.vec_id -> v.label).toMap
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.length === 5)
+      rows.foreach { r =>
+        val n = r.getAs[Long]("neighbor_id")
+        assert(byCluster(p) === byCluster(n), s"probe $p got cross-cluster $n")
+      }
+    }
+  }
 }
