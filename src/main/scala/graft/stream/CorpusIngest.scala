@@ -56,4 +56,84 @@ object CorpusIngest {
     // one, replays are idempotent because the lake's keys absorb them
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** NEAR-duplicate-aware streaming ingest: each micro-batch is quality
+    * gated, exact-deduped, near-dedup'd WITHIN the batch (MinHash pairs →
+    * connected components, keep the min doc_id), then checked against the
+    * COMMITTED corpus before appending — so the landed table stays
+    * near-dup-free across batches, restarts, and replays.
+    *
+    * The lake is the near-dup index: every committed row carries its
+    * `dup_key` (128-bit exact key) and `lsh_bands` (the MinHash band
+    * hashes). The against-the-lake check is
+    *   (1) an anti-join on dup_key (exact),
+    *   (2) an equi-join of the batch's exploded band keys against the
+    *       lake's exploded `lsh_bands` — column-pruned to (doc_id, bands):
+    *       no committed text moves to form candidates,
+    *   (3) exact word-set Jaccard verification that reads committed TEXT
+    *       for the candidate doc ids only (a semi-join-sized point read).
+    * Candidate volume is bounded by band-collision rate, not corpus size —
+    * the same bound as a full-corpus MinHash dedup, paid incrementally.
+    * Documents too short to shingle produce no bands and are exact-dedup'd
+    * only (identical to the batch pipeline's behavior). */
+  def startNearDup(spark: SparkSession, dir: String, lake: LakeTable,
+                   table: String, threshold: Double = 0.8, numPerms: Int = 32,
+                   bands: Int = 8, shingleSize: Int = 3,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   checkpoint: Option[String] = None): StreamingQuery = {
+    val rowsPerBand = numPerms / bands
+    def withIndexCols(docs: DataFrame): DataFrame = {
+      val sig = Dedup.minhashSignatures(docs, numPerms, shingleSize)
+        .select(col("doc_id"),
+          Dedup.lshBands(col("sig"), bands, rowsPerBand).as("lsh_bands"))
+      docs.withColumn("dup_key", Dedup.exactKey(col("text")))
+        .join(sig, Seq("doc_id"), "left")
+        .withColumn("lsh_bands", coalesce(col("lsh_bands"),
+          expr("CAST(array() AS array<struct<band:int,band_hash:bigint>>)")))
+    }
+    val w = readDocStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val gated = qualityGate(batch.toDF())
+        // in-batch: exact dedup, then near-dup clusters keep min doc_id
+        val exact = Dedup.dropExactDups(gated)
+        val inPairs = Dedup.minhashNearDups(exact, numPerms, bands,
+          shingleSize, threshold)
+        val batchKept =
+          if (inPairs.isEmpty) exact
+          else exact.join(Dedup.clusterPairs(inPairs), Seq("doc_id"), "left")
+            .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+            .drop("cluster_id")
+        val indexed = withIndexCols(batchKept)
+        val novel =
+          if (!lake.exists(table)) indexed
+          else {
+            val committed = lake.read(table)
+            // (1) exact: anti-join on the 128-bit key
+            val notExact = indexed.join(
+              committed.select(col("dup_key")), Seq("dup_key"), "left_anti")
+            // (2) candidates: band-key equi-join, bands column only
+            val batchBands = notExact.select(col("doc_id"),
+              explode(col("lsh_bands")).as("b"))
+            val lakeBands = committed.select(col("doc_id").as("lake_doc_id"),
+              explode(col("lsh_bands")).as("b"))
+            val cand = batchBands.join(lakeBands, Seq("b"))
+              .select("doc_id", "lake_doc_id").distinct()
+            // (3) verify with exact Jaccard — committed text for candidates only
+            val words = (d: DataFrame, idc: String, wc: String) => d.select(
+              col(idc), array_distinct(
+                TextStats.tokens(TextStats.normalize(col("text")))).as(wc))
+            val dupIds = cand
+              .join(words(notExact, "doc_id", "wa"), Seq("doc_id"))
+              .join(words(committed.select(col("doc_id").as("lake_doc_id"), col("text")),
+                "lake_doc_id", "wb"), Seq("lake_doc_id"))
+              .filter(Dedup.jaccard(col("wa"), col("wb")) >= threshold)
+              .select("doc_id").distinct()
+            notExact.join(dupIds, Seq("doc_id"), "left_anti")
+          }
+        val mode = if (lake.exists(table)) "append" else "overwrite"
+        lake.write(novel, table, mode): Unit
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

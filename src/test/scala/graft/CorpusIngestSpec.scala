@@ -73,4 +73,46 @@ class CorpusIngestSpec extends SparkSpec {
     val keys = lake.read("corpus").select("dup_key").collect()
     assert(keys.map(_.toString).distinct.length === keys.length)
   }
+
+  test("near-dup ingest drops MinHash matches against committed batches") {
+    val in = Files.createTempDirectory("graft-neardup-in").toString
+    val lakeDir = Files.createTempDirectory("graft-neardup-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+
+    val alpha = longText("alpha")
+    // ~2 words changed out of 30: word-set Jaccard ≈ 28/32 = 0.875 > 0.6
+    val alphaNear = alpha.replace("alpha1 ", "changed ").replace("alpha2 ", "words ")
+    writeBatchFile(in, "b1", Seq(doc(1, alpha), doc(4, longText("beta"))))
+    val q1 = CorpusIngest.startNearDup(spark, in, lake, "corpus2",
+      threshold = 0.6)
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    assert(lake.read("corpus2").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 4L))
+
+    writeBatchFile(in, "b2", Seq(
+      doc(6, alphaNear),                   // NEAR dup of committed 1 — only
+                                           // the lake's band index can catch it
+      doc(7, longText("gamma")),           // novel
+      doc(8, longText("gamma")),           // in-batch exact dup of 7
+      doc(9, longText("delta") + " " + longText("delta2")))) // novel
+    val q2 = CorpusIngest.startNearDup(spark, in, lake, "corpus2",
+      threshold = 0.6)
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    val after2 = lake.read("corpus2").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(after2 === Set(1L, 4L, 7L, 9L))
+
+    // replay with no checkpoint: idempotent (the lake is the near-dup index)
+    val q3 = CorpusIngest.startNearDup(spark, in, lake, "corpus2",
+      threshold = 0.6)
+    q3.awaitTermination(120000)
+    assert(q3.exception.isEmpty)
+    assert(lake.read("corpus2").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 4L, 7L, 9L))
+    // every committed row carries its band index for future batches
+    assert(lake.read("corpus2").select("lsh_bands").collect()
+      .forall(!_.isNullAt(0)))
+  }
 }
