@@ -761,7 +761,17 @@ object SparkEntry {
       Analytics.dailyRevenueAutocorr(t(s, d, "orders"))),
     // --- corpus cleanup: control chars / accents / whitespace [ext] ---
     "q155_text_cleanup" -> ((s, d) =>
-      TextStats.cleanupProfile(t(s, d, "documents"))))
+      TextStats.cleanupProfile(t(s, d, "documents"))),
+    // --- robust MAD outlier census (§2.4/§2.11) ---
+    "q156_price_outliers" -> ((s, d) =>
+      Analytics.robustOutliers(t(s, d, "orders"))),
+    // --- weighted priority sampling (Duffield-Lund-Thorup) [ext] ---
+    "q157_weighted_sample" -> ((s, d) =>
+      TextFeatures.prioritySample(t(s, d, "documents"), 20)),
+    // --- Mann-Whitney U rank-sum test (§2.4/§2.11) ---
+    "q158_mannwhitney_u" -> ((s, d) =>
+      Analytics.mannWhitneyU(t(s, d, "orders"), "o_totalprice",
+        col("o_orderstatus") === "F")))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1773,5 +1783,35 @@ object SparkEntry {
         "(SELECT doc_id, text, trim(regexp_replace(translate(" +
         "regexp_replace(text, '[\\x00-\\x1f\\x7f]+', ' ', 'g'), " +
         s"'$accents', '$replacements'), '\\s+', ' ', 'g')) AS clean FROM documents)"
-    })
+    },
+    "q156_price_outliers" ->
+      ("WITH med AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med " +
+        "FROM orders GROUP BY 1), " +
+        "mad AS (SELECT o.o_orderstatus, max(med) AS med, " +
+        "quantile_cont(abs(o_totalprice - med), 0.5) AS mad " +
+        "FROM orders o JOIN med USING (o_orderstatus) GROUP BY o.o_orderstatus) " +
+        "SELECT o.o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CASE WHEN abs(o_totalprice - med) > 3.0 * mad THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_outliers, " +
+        "round(CAST(sum(CASE WHEN abs(o_totalprice - med) > 3.0 * mad THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS outlier_rate " +
+        "FROM orders o JOIN mad USING (o_orderstatus) GROUP BY o.o_orderstatus"),
+    "q157_weighted_sample" ->
+      ("SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, " +
+        "CAST(n_chars AS DOUBLE) / " +
+        "((('0x' || substring(md5('pr1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1) " +
+        "/ 4294967297.0) AS priority " +
+        "FROM documents WHERE n_chars > 0 ORDER BY priority DESC, doc_id LIMIT 20"),
+    "q158_mannwhitney_u" ->
+      ("WITH c AS (SELECT o_totalprice AS v, " +
+        "CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS ia FROM orders), " +
+        "g AS (SELECT v, sum(ia) AS ca, sum(1 - ia) AS cb FROM c GROUP BY v), " +
+        "r AS (SELECT ca, cb, sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) - (ca + cb) AS bef FROM g), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g), " +
+        "agg AS (SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, " +
+        "sum(CAST(ca AS DOUBLE) * (CAST(bef AS DOUBLE) + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) " +
+        "- CAST(max(na * (na + 1)) AS DOUBLE) / 2.0 AS u_a FROM r CROSS JOIN t) " +
+        "SELECT n_a, n_b, u_a, " +
+        "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b FROM agg"))
 }

@@ -602,6 +602,55 @@ object Analytics {
         round(corr(col("a.rev"), col("b.rev")), 6).as("autocorr"))
   }
 
+  /** Robust outlier census per group: |x − median| > k·MAD (the
+    * median-absolute-deviation rule — unlike a stddev z-score, one extreme
+    * value cannot inflate its own threshold). Two exact percentile passes
+    * (same shape as [[orderPriceMad]]), broadcast thresholds, one counting
+    * pass. Boundary semantics are exact-float comparisons on both engines
+    * (medians/MADs interpolate identical values from identical inputs). */
+  def robustOutliers(orders: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val mad = orders.join(broadcast(med), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(max("med").as("med"),
+        expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"))
+    orders.join(broadcast(mad), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("o_totalprice") - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(sum(when(abs(col("o_totalprice") - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("outlier_rate"))
+  }
+
+  /** Mann–Whitney U (rank-sum) statistic between rows where `pred` holds
+    * (sample a) and the rest, with midrank tie handling — the rank-based
+    * companion of [[ksStatistic]] (sensitive to location shift, not shape).
+    * Same scaffold: per-distinct-value counts, one ordered window, then
+    * R_a = Σ ca·midrank and U = R − n(n+1)/2. Counts are integers;
+    * midranks are exact .5 fractions — binary-exact on any engine. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, pred: Column): DataFrame = {
+    val counts = df
+      .select(col(valueCol).as("v"), pred.cast("int").as("in_a"))
+      .groupBy("v")
+      .agg(sum(col("in_a")).as("ca"), sum(lit(1) - col("in_a")).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts.select(col("ca"), col("cb"),
+      (sum(col("ca") + col("cb")).over(w) - (col("ca") + col("cb"))).as("before"))
+    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    ranked.crossJoin(broadcast(totals)) // 1-row scalar gate
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        (sum(col("ca").cast("double") *
+          (col("before").cast("double") + (col("ca") + col("cb") + 1).cast("double") / 2.0)) -
+          max(col("n_a") * (col("n_a") + 1)).cast("double") / 2.0).as("u_a"))
+      .select(col("n_a"), col("n_b"),
+        col("u_a"), (col("n_a").cast("double") * col("n_b").cast("double") - col("u_a"))
+          .as("u_b"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: D = max |F_a(x) − F_b(x)|
     * between rows where `pred` holds (sample a) and the rest (sample b),
     * over `valueCol`. Distribution-drift detection with no binning choice —

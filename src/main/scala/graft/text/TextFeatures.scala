@@ -142,6 +142,29 @@ object TextFeatures {
     * across sources, the way a 100 TB pipeline shards packing by corpus
     * rather than one global order. `capacity` a power of two keeps the
     * double division exact (counts < 2^53). */
+  /** Weighted sample of `n` documents WITHOUT replacement via
+    * Duffield–Lund–Thorup priority sampling: each row gets priority = w/u
+    * with u uniform in (0,1], and the top-n priorities are the sample
+    * (selection probability rises with weight; the scheme gives unbiased
+    * Horvitz–Thompson subset-sum estimates). u derives from an md5 prefix of
+    * the seeded key, so the sample is REPRODUCIBLE across engines, runs, and
+    * partitionings — and priority needs one divide, no `ln`/`pow`, so the
+    * ranking is bit-identical everywhere (a libm call could flip near-ties
+    * between engines). Top-n plans as TakeOrderedAndProject: no global sort
+    * materializes at scale. Non-positive weights are excluded. */
+  def prioritySample(docs: DataFrame, n: Int, weightCol: String = "n_chars",
+                     seed: String = "pr1"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / lit(4294967297.0) // (2^32+1): u in (0,1]
+    docs.filter(col(weightCol) > 0)
+      .withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
+        col("priority"))
+  }
+
   def packingPlan(docs: DataFrame, capacity: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("source"),

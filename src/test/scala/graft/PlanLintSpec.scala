@@ -38,7 +38,9 @@ class PlanLintSpec extends SparkSpec {
     "q146_ks_price_by_status",
     // JS densifies with a |sources| x |langs| grid cross join (chi2's trick)
     // plus the 1-row corpus total
-    "q147_source_js_divergence")
+    "q147_source_js_divergence",
+    // Mann-Whitney joins the 1-row (n_a, n_b) totals scalar into the ranks
+    "q158_mannwhitney_u")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

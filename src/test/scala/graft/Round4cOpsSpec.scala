@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Analytics, Graph}
 import graft.stream.Events
-import graft.text.{Dedup, TextStats}
+import graft.text.{Dedup, TextFeatures, TextStats}
 
 /** Round-4c operators: triangle census, per-key EWMA, KS drift test,
   * JS mixture divergence, activity streaks, lexical diversity, boilerplate
@@ -162,6 +162,46 @@ class Round4cOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(prof(1L)._1 === "hello world cafe".length)
     assert(prof(2L) === (("already clean".length, 0)))
+  }
+
+  test("robustOutliers flags only the planted extreme via the MAD rule") {
+    val vals = (1 to 9).map(v => ("O", v.toDouble)) :+ (("O", 100.0))
+    val orders = vals.toDF("o_orderstatus", "o_totalprice")
+    val r = Analytics.robustOutliers(orders, k = 3.0).head
+    // median 5.5, MAD 2.5 -> threshold 7.5: only 100.0 exceeds it
+    assert(r.getLong(1) === 10L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getDouble(3) === 0.1)
+  }
+
+  test("mannWhitneyU computes U with midrank tie handling") {
+    val df1 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r1 = Analytics.mannWhitneyU(df1, "v", col("g") === "a").head
+    assert((r1.getLong(0), r1.getLong(1)) === ((2L, 1L)))
+    assert(r1.getDouble(2) === 0.0) // a entirely below b
+    assert(r1.getDouble(3) === 2.0)
+    val tied = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r2 = Analytics.mannWhitneyU(tied, "v", col("g") === "a").head
+    assert(r2.getDouble(2) === 0.5) // midrank 1.5 -> U splits the tie
+    assert(r2.getDouble(3) === 0.5)
+  }
+
+  test("prioritySample is deterministic, size-n, and weight-biased") {
+    val docs = ((1 to 200).map(i => (i.toLong, 1000L)) ++
+      (201 to 400).map(i => (i.toLong, 1L))).toDF("doc_id", "n_chars")
+    val s1 = TextFeatures.prioritySample(docs, 20).collect()
+    val s2 = TextFeatures.prioritySample(docs, 20).collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq)
+    assert(s1.length === 20)
+    // heavy (1000x) rows dominate the fixed-hash draw
+    assert(s1.count(_.getLong(1) === 1000L) >= 15)
+    // priority really is w/u with u in (0,1]: never below the weight
+    assert(s1.forall(r => r.getDouble(2) >= r.getLong(1).toDouble))
+    // zero/negative weights are excluded entirely
+    val withZero = docs.withColumn("n_chars",
+      when(col("doc_id") <= 200, lit(0L)).otherwise(col("n_chars")))
+    assert(TextFeatures.prioritySample(withZero, 300).collect()
+      .forall(_.getLong(1) > 0L))
   }
 
   test("syllableComplexity approximates vowel-group syllables") {
