@@ -771,7 +771,14 @@ object SparkEntry {
     // --- Mann-Whitney U rank-sum test (§2.4/§2.11) ---
     "q158_mannwhitney_u" -> ((s, d) =>
       Analytics.mannWhitneyU(t(s, d, "orders"), "o_totalprice",
-        col("o_orderstatus") === "F")))
+        col("o_orderstatus") === "F")),
+    // --- frequent 3-itemsets (co-purchase family) ---
+    "q159_copurchase_triples" -> ((s, d) =>
+      Graph.coPurchaseTriples(t(s, d, "lineitem"))),
+    // --- share-of-parent down the region->nation hierarchy (A9) ---
+    "q160_share_of_parent" -> ((s, d) =>
+      Warehouse.revenueShareOfParent(t(s, d, "orders"), t(s, d, "customer"),
+        t(s, d, "nation"), t(s, d, "region"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1813,5 +1820,23 @@ object SparkEntry {
         "sum(CAST(ca AS DOUBLE) * (CAST(bef AS DOUBLE) + CAST(ca + cb + 1 AS DOUBLE) / 2.0)) " +
         "- CAST(max(na * (na + 1)) AS DOUBLE) / 2.0 AS u_a FROM r CROSS JOIN t) " +
         "SELECT n_a, n_b, u_a, " +
-        "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b FROM agg"))
+        "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b FROM agg"),
+    "q159_copurchase_triples" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) " +
+        "SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, z.l_partkey AS part_c, " +
+        "count(*) AS n_together " +
+        "FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey " +
+        "JOIN b z ON y.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey " +
+        "GROUP BY 1, 2, 3 HAVING count(*) >= 2"),
+    "q160_share_of_parent" ->
+      ("WITH leaf AS (SELECT r_name, n_name, " +
+        "sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2) " +
+        "SELECT r_name, n_name, CAST(cents AS DOUBLE) / 100.0 AS revenue, " +
+        "round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER " +
+        "(PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region, " +
+        "round(CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE) / " +
+        "CAST(sum(cents) OVER () AS DOUBLE), 6) AS region_share_of_total FROM leaf"))
 }

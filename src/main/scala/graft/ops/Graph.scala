@@ -106,6 +106,31 @@ object Graph {
     spark.createDataFrame(cc).toDF("part", "component")
   }
 
+  /** Frequent co-purchase TRIPLES (3-itemsets): baskets expand to their
+    * C(k,3) increasing part triples inside one higher-order expression
+    * (join-free, same pattern as [[coPurchasePairs]]), then one hash
+    * aggregate counts support. The cubic per-basket blow-up is bounded by
+    * basket size (TPC-H baskets are ≤7 lines; for long-tail baskets cap or
+    * pre-filter to frequent pairs first — the classic Apriori prune).
+    * Distinct-items semantics (collect_set): a duplicate part in one order
+    * doesn't double-count the triple. */
+  def coPurchaseTriples(lineitem: DataFrame, minCount: Long = 2): DataFrame = {
+    val baskets = lineitem.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+      .filter(size(col("pks")) >= 3)
+    val triples = baskets.select(explode(flatten(transform(col("pks"),
+      (x, i) => flatten(transform(
+        slice(col("pks"), i + 2, greatest(size(col("pks")) - i - 1, lit(0))),
+        (y, j) => transform(
+          slice(col("pks"), i + j + lit(3),
+            greatest(size(col("pks")) - i - j - 2, lit(0))),
+          z => struct(x.as("part_a"), y.as("part_b"), z.as("part_c")))))))).as("t"))
+    triples.groupBy(col("t.part_a").as("part_a"), col("t.part_b").as("part_b"),
+        col("t.part_c").as("part_c"))
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minCount)
+  }
+
   /** Triangle census of an undirected edge list (edges stored once as
     * a < b): the compact-forward join — wedges (a,b)x(b,c) with a < b < c
     * close against a third edge (a,c). Every triangle is counted exactly

@@ -242,4 +242,35 @@ object Warehouse {
          |  count(*) AS n_rows
          |FROM $view GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""".stripMargin)
   }
+
+  /** Share-of-parent down the region → nation hierarchy: each nation's
+    * revenue as a fraction of its region, each region's as a fraction of
+    * the total — the percent-of-parent column every drill-down report
+    * carries. Leaf aggregation keeps EXACT integer cents; the parent and
+    * grand totals are window sums over those longs (associative — no float
+    * re-aggregation drift), with the two divisions rounded at the end.
+    * Dimension tables broadcast; the only big shuffle is the leaf groupBy.
+    */
+  def revenueShareOfParent(orders: DataFrame, customer: DataFrame,
+                           nation: DataFrame, region: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leaf = orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("cents"))
+    val byRegion = Window.partitionBy("r_name")
+    val all = Window.partitionBy()
+    leaf.select(col("r_name"), col("n_name"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        round(col("cents").cast("double") /
+          sum("cents").over(byRegion).cast("double"), 6).as("share_of_region"),
+        round(sum("cents").over(byRegion).cast("double") /
+          sum("cents").over(all).cast("double"), 6).as("region_share_of_total"))
+  }
 }

@@ -204,6 +204,38 @@ class Round4cOpsSpec extends SparkSpec {
       .forall(_.getLong(1) > 0L))
   }
 
+  test("coPurchaseTriples counts distinct-item triples with support") {
+    // basket 10: {1,2,3,4}; basket 20: {1,2,3}; basket 30: {1,1,2,3} (dup)
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 1L), (30L, 2L), (30L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val all = graft.ops.Graph.coPurchaseTriples(li, minCount = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(all(((1L, 2L, 3L))) === 3L) // duplicate part must not double-count
+    assert(all(((1L, 2L, 4L))) === 1L)
+    assert(all.size === 4)
+    val sup2 = graft.ops.Graph.coPurchaseTriples(li, minCount = 2).collect()
+    assert(sup2.length === 1 && sup2.head.getLong(3) === 3L)
+  }
+
+  test("revenueShareOfParent: nation shares sum to 1 within each region") {
+    val orders = Seq((1L, 1L, 100.0), (2L, 2L, 300.0), (3L, 3L, 600.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((1L, 11), (2L, 12), (3L, 13)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((11, "n1", 1), (12, "n2", 1), (13, "n3", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((1, "r1"), (2, "r2")).toDF("r_regionkey", "r_name")
+    val got = graft.ops.Warehouse
+      .revenueShareOfParent(orders, customer, nation, region)
+      .collect().map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("n1") === ((100.0, 0.25, 0.4)))  // 100/400, region 400/1000
+    assert(got("n2") === ((300.0, 0.75, 0.4)))
+    assert(got("n3") === ((600.0, 1.0, 0.6)))
+  }
+
   test("syllableComplexity approximates vowel-group syllables") {
     val docs = Seq((1L, "beautiful sky")).toDF("doc_id", "text")
     val r = TextStats.syllableComplexity(docs).head
