@@ -12,6 +12,71 @@ import graft.functions.money.r2
   */
 object Analytics {
 
+  /** Two-level global prefix sums — [[graft.stream.Events.peakConcurrency]]'s
+    * bucket-and-chain pattern, generalized. The classic spelling of a global
+    * running sum / row number is ONE unpartitioned ordered window: a
+    * single-partition sort over the whole input that OOMs at 100 TB. Here
+    * rows hash-shuffle into `bucket` groups (caller supplies an expression
+    * MONOTONE non-decreasing in the `order` keys, e.g. `floor(v / width)`),
+    * each task computes its within-bucket running sums, and only the
+    * per-bucket totals — bounded by bucket count, not row count — chain
+    * through a global window to produce cross-bucket offsets.
+    *
+    * For each `(name, expr)` in `sums`, appends `cum_<name>` (the inclusive
+    * running sum over the global (bucket, order) order) and `total_<name>`
+    * (the grand total, attached to every row via the same broadcast-sized
+    * bucket table — no separate 1-row scalar cross-join needed). A global
+    * row number is `sums = Seq("one" -> lit(1L))`. Sum exprs must be
+    * integer-typed (counts/cents) so running sums stay exact; column names
+    * `__bkt`/`cum_*`/`total_*` are reserved. */
+  private[graft] def globalPrefixSums(df: DataFrame, bucket: Column,
+      order: Seq[Column], sums: Seq[(String, Column)]): DataFrame = {
+    val pre = sums.foldLeft(df.withColumn("__bkt", bucket)) {
+      case (d, (n, c)) => d.withColumn(s"__v_$n", c)
+    }
+    val wIn = Window.partitionBy("__bkt").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = sums.foldLeft(pre) { case (d, (n, _)) =>
+      d.withColumn(s"__c_$n", sum(col(s"__v_$n")).over(wIn))
+    }
+    val totAggs = sums.map { case (n, _) => sum(col(s"__v_$n")).as(s"__t_$n") }
+    val per = pre.groupBy("__bkt").agg(totAggs.head, totAggs.tail: _*)
+    val wB = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = sums.foldLeft(per) { case (d, (n, _)) =>
+      d.withColumn(s"__o_$n", coalesce(sum(col(s"__t_$n")).over(wB), lit(0L)))
+        .withColumn(s"total_$n", sum(col(s"__t_$n")).over(wAll))
+    }.select(col("__bkt") +:
+      sums.flatMap { case (n, _) => Seq(col(s"__o_$n"), col(s"total_$n")) }: _*)
+    val joined = withIn.join(broadcast(offs), "__bkt")
+    val withCums = sums.foldLeft(joined) { case (d, (n, _)) =>
+      d.withColumn(s"cum_$n", col(s"__c_$n") + col(s"__o_$n"))
+    }
+    withCums.drop("__bkt")
+      .drop(sums.flatMap { case (n, _) => Seq(s"__v_$n", s"__c_$n", s"__o_$n") }: _*)
+  }
+
+  /** Exact-long integer division for Column arithmetic (Spark's `/` on longs
+    * returns double; the subtraction makes the quotient exactly
+    * representable). */
+  private[graft] def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** SQL `ntile(k)` bucket number from a precomputed global rank `i` (1-based)
+    * and row count `n` — the arithmetic twin of the window function, for
+    * plans that derive ranks via [[globalPrefixSums]] instead of a global
+    * sort: the first `n % k` buckets get `n div k + 1` rows, the rest
+    * `n div k`. */
+  private[graft] def ntileFromRank(i: Column, n: Column, k: Int): Column = {
+    val q = idiv(n, lit(k.toLong))
+    val r = pmod(n, lit(k.toLong))
+    val cut = (q + lit(1L)) * r
+    when(i <= cut, idiv(i - 1, q + lit(1L)) + lit(1L))
+      .otherwise(r + idiv(i - lit(1L) - cut, q) + lit(1L))
+      .cast("int")
+  }
+
   /** Per-customer order sequence: row_number / previous order price / running
     * revenue. One shuffle on the partition key; ordering key
     * (o_orderdate, o_orderkey) is unique so results are deterministic. */
@@ -266,11 +331,21 @@ object Analytics {
 
   /** Equi-DEPTH histogram: decile buckets each holding ~n/10 rows (the
     * companion to [[equiWidthHistogram]]'s fixed-width buckets — this shape
-    * adapts to skew). One global ntile sort with a key tiebreak, so bucket
-    * assignment is deterministic and engine-portable. */
-  def priceDeciles(orders: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders.select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+    * adapts to skew). Decile assignment is exact SQL `ntile(10)` semantics
+    * over (price, key) — but derived from a two-level global rank
+    * ([[globalPrefixSums]] over `floor(price / bucketWidth)` range buckets)
+    * instead of one unpartitioned fact-sized ntile sort, so the only global
+    * window runs over the bucket table. `bucketWidth` tunes balance, never
+    * results. Deterministic and engine-portable: identical bucket membership
+    * to the oracle's `ntile(10) OVER (ORDER BY price, key)`. */
+  def priceDeciles(orders: DataFrame, bucketWidth: Double = 1000.0): DataFrame = {
+    val ranked = globalPrefixSums(
+      orders.select(col("o_totalprice"), col("o_orderkey")),
+      floor(col("o_totalprice") / lit(bucketWidth)),
+      Seq(col("o_totalprice"), col("o_orderkey")),
+      Seq("one" -> lit(1L)))
+    ranked
+      .withColumn("decile", ntileFromRank(col("cum_one"), col("total_one"), 10))
       .groupBy("decile").agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
@@ -628,20 +703,26 @@ object Analytics {
   /** Mann–Whitney U (rank-sum) statistic between rows where `pred` holds
     * (sample a) and the rest, with midrank tie handling — the rank-based
     * companion of [[ksStatistic]] (sensitive to location shift, not shape).
-    * Same scaffold: per-distinct-value counts, one ordered window, then
-    * R_a = Σ ca·midrank and U = R − n(n+1)/2. Counts are integers;
-    * midranks are exact .5 fractions — binary-exact on any engine. */
-  def mannWhitneyU(df: DataFrame, valueCol: String, pred: Column): DataFrame = {
+    * Same scaffold: per-distinct-value counts, two-level running counts
+    * ([[globalPrefixSums]] over `floor(v / bucketWidth)` range buckets — no
+    * unpartitioned value-cardinality window), then R_a = Σ ca·midrank and
+    * U = R − n(n+1)/2. Counts are integers; midranks are exact .5
+    * fractions — binary-exact on any engine. NULL values are excluded up
+    * front (Spark sorts NULL first on ASC, other engines default NULLS
+    * LAST — a nullable column would otherwise diverge; U is undefined for
+    * NULL anyway). */
+  def mannWhitneyU(df: DataFrame, valueCol: String, pred: Column,
+                   bucketWidth: Double = 1024.0): DataFrame = {
     val counts = df
+      .filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("v"), pred.cast("int").as("in_a"))
       .groupBy("v")
       .agg(sum(col("in_a")).as("ca"), sum(lit(1) - col("in_a")).as("cb"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = counts.select(col("ca"), col("cb"),
-      (sum(col("ca") + col("cb")).over(w) - (col("ca") + col("cb"))).as("before"))
-    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-    ranked.crossJoin(broadcast(totals)) // 1-row scalar gate
+    val cum = globalPrefixSums(counts, floor(col("v") / lit(bucketWidth)),
+      Seq(col("v")), Seq("n" -> (col("ca") + col("cb")), "ca" -> col("ca")))
+    cum.select(col("ca"), col("cb"),
+        (col("cum_n") - (col("ca") + col("cb"))).as("before"),
+        col("total_ca").as("n_a"), (col("total_n") - col("total_ca")).as("n_b"))
       .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
         (sum(col("ca").cast("double") *
           (col("before").cast("double") + (col("ca") + col("cb") + 1).cast("double") / 2.0)) -
@@ -656,27 +737,28 @@ object Analytics {
     * over `valueCol`. Distribution-drift detection with no binning choice —
     * the nonparametric companion of [[chi2Independence]].
     *
-    * One aggregate collapses the data to per-distinct-value counts, then a
-    * global ordered window builds both empirical CDFs; the window runs over
-    * DISTINCT values (bounded by value cardinality, not row count — for
-    * unbounded-cardinality columns at scale, quantize first or use
-    * range-partitioned prefix sums as in
-    * [[graft.stream.Events.peakConcurrency]]). Counts are exact integers;
-    * the only float ops are two divisions and an abs, identical per row in
-    * any engine, and max is order-independent — so no rounding is needed. */
-  def ksStatistic(df: DataFrame, valueCol: String, pred: Column): DataFrame = {
+    * One aggregate collapses the data to per-distinct-value counts, then
+    * BOTH empirical CDFs come from two-level running counts
+    * ([[globalPrefixSums]] over `floor(v / bucketWidth)` range buckets) —
+    * for a continuous column, distinct values ≈ row count, so the classic
+    * one-global-window CDF is a fact-sized single-partition sort; here the
+    * only global window runs over the bucket table. Counts are exact
+    * integers; the only float ops are two divisions and an abs, identical
+    * per row in any engine, and max is order-independent — so no rounding
+    * is needed. NULL values are excluded up front (Spark sorts NULL first
+    * on ASC, other engines default NULLS LAST; a CDF over NULL is
+    * meaningless). */
+  def ksStatistic(df: DataFrame, valueCol: String, pred: Column,
+                  bucketWidth: Double = 1024.0): DataFrame = {
     val counts = df
+      .filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("v"), pred.cast("int").as("in_a"))
       .groupBy("v")
       .agg(sum(col("in_a")).as("ca"), sum(lit(1) - col("in_a")).as("cb"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cdf = counts.select(col("v"),
-      sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"))
-    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
-    cdf.crossJoin(broadcast(totals)) // 1-row scalar gate
-      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
-        max(abs(col("cum_a").cast("double") / col("n_a").cast("double") -
-          col("cum_b").cast("double") / col("n_b").cast("double"))).as("ks_d"))
+    val cum = globalPrefixSums(counts, floor(col("v") / lit(bucketWidth)),
+      Seq(col("v")), Seq("ca" -> col("ca"), "cb" -> col("cb")))
+    cum.agg(max("total_ca").as("n_a"), max("total_cb").as("n_b"),
+      max(abs(col("cum_ca").cast("double") / col("total_ca").cast("double") -
+        col("cum_cb").cast("double") / col("total_cb").cast("double"))).as("ks_d"))
   }
 }

@@ -142,23 +142,35 @@ object Warehouse {
 
   /** RFM scoring: quartile ranks for recency / frequency / monetary per
     * customer. Ties broken by customer key so `ntile` is deterministic and
-    * engine-portable; monetary is exact integer cents. The three global
-    * ntile sorts run over ONE ROW PER CUSTOMER (dimension-sized), not the
-    * fact table — the standard shape for a scoring table refresh. */
+    * engine-portable; monetary is exact integer cents. The scored input is
+    * ONE ROW PER CUSTOMER — but the customer dimension is itself billions of
+    * rows at 100 TB, so each quartile comes from a two-level global rank
+    * ([[Analytics.globalPrefixSums]] bucketed on the metric's own range)
+    * plus `ntile` arithmetic ([[Analytics.ntileFromRank]]) — identical
+    * bucket membership to three global ntile sorts, with every global
+    * window bounded by bucket count. */
   def rfmScores(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = orders.groupBy("o_custkey").agg(
       max(to_date(col("o_orderdate"))).as("last_order"),
       count(lit(1)).as("frequency"),
       sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
         .as("monetary_cents"))
-    per.select(col("o_custkey"), col("frequency"), col("monetary_cents"),
-        ntile(4).over(Window.orderBy(desc("last_order"), asc("o_custkey")))
-          .as("r_score"),
-        ntile(4).over(Window.orderBy(desc("frequency"), asc("o_custkey")))
-          .as("f_score"),
-        ntile(4).over(Window.orderBy(desc("monetary_cents"), asc("o_custkey")))
-          .as("m_score"))
+    // bucket exprs are monotone ASC along each DESC sort order (negated
+    // key / negated range bucket), so the two-level rank preserves it
+    def scoreOn(d: DataFrame, bucket: Column, order: Seq[Column],
+                name: String): DataFrame =
+      Analytics.globalPrefixSums(d, bucket, order, Seq("one" -> lit(1L)))
+        .withColumn(name,
+          Analytics.ntileFromRank(col("cum_one"), col("total_one"), 4))
+        .drop("cum_one", "total_one")
+    val r = scoreOn(per, -datediff(col("last_order"), lit("1970-01-01")),
+      Seq(col("last_order").desc, col("o_custkey").asc), "r_score")
+    val f = scoreOn(r, -col("frequency"),
+      Seq(col("frequency").desc, col("o_custkey").asc), "f_score")
+    val m = scoreOn(f, -floor(col("monetary_cents") / lit(1000000L)),
+      Seq(col("monetary_cents").desc, col("o_custkey").asc), "m_score")
+    m.select(col("o_custkey"), col("frequency"), col("monetary_cents"),
+        col("r_score"), col("f_score"), col("m_score"))
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
@@ -166,18 +178,21 @@ object Warehouse {
   /** ABC (Pareto) classification of parts by revenue: rank parts by exact
     * cents revenue, cumulative share against the grand total, class A/B/C at
     * 80%/95%. Shares divide two longs — one IEEE op, identical everywhere —
-    * so class boundaries can't flip between engines. One aggregate shuffle
-    * plus one window over the part dimension. */
+    * so class boundaries can't flip between engines. One aggregate shuffle,
+    * then the cumulative revenue is a two-level running sum
+    * ([[Analytics.globalPrefixSums]] bucketed on the cents range) — the part
+    * dimension is data-sized at 100 TB, so no unpartitioned part-sized
+    * sort; the grand total rides the same bucket table. */
   def abcClassification(lineitem: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = lineitem.groupBy("l_partkey")
       .agg(sum(floor(revenue * lit(100.0) + lit(0.5)).cast("long")).as("cents"))
-    val w = Window.orderBy(desc("cents"), asc("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.select(col("l_partkey"),
+    Analytics.globalPrefixSums(per, -floor(col("cents") / lit(1000000L)),
+        Seq(col("cents").desc, col("l_partkey").asc),
+        Seq("c" -> col("cents")))
+      .select(col("l_partkey"),
         (col("cents").cast("double") / lit(100.0)).as("part_revenue"),
-        (sum(col("cents")).over(w).cast("double") /
-          sum(col("cents")).over().cast("double")).as("cum_share"))
+        (col("cum_c").cast("double") /
+          col("total_c").cast("double")).as("cum_share"))
       .withColumn("abc_class",
         when(col("cum_share") <= 0.80, "A")
           .when(col("cum_share") <= 0.95, "B").otherwise("C"))
@@ -189,14 +204,19 @@ object Warehouse {
     * x. EVERYTHING stays in exact integer cents until one final double
     * division, so the coefficient is bit-identical across engines and
     * partitionings (rank ties on equal amounts cannot change the sum). The
-    * rank window runs over one row per customer. */
+    * rank is a two-level global row number ([[Analytics.globalPrefixSums]]
+    * bucketed on the cents range) — one row per customer, but the customer
+    * dimension at 100 TB is billions of rows, so no unpartitioned
+    * customer-sized sort. */
   def customerRevenueGini(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = orders.groupBy("o_custkey")
       .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
         .as("cents"))
-    val ranked = per.select(col("cents"),
-      row_number().over(Window.orderBy(asc("cents"), asc("o_custkey"))).as("i"))
+    val ranked = Analytics.globalPrefixSums(per,
+        floor(col("cents") / lit(1000000L)),
+        Seq(col("cents").asc, col("o_custkey").asc),
+        Seq("one" -> lit(1L)))
+      .select(col("cents"), col("cum_one").as("i"))
     ranked
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
         sum(col("i").cast("long") * col("cents")).as("s1"))

@@ -299,15 +299,20 @@ object TextStats {
     * ln(frequency) on ln(rank) over the top-`topN` terms (natural text runs
     * close to -1; templated or synthetic text drifts off). Composition of
     * three primitives that each scale: term counting (map-side combined),
-    * a |vocabulary|-bounded rank window, and a moment aggregate. Frequency
-    * ties rank alphabetically so the fit is deterministic. */
+    * a top-`topN` selection, and a moment aggregate. The selection is
+    * `orderBy(...).limit(topN)` — planned as TakeOrderedAndProject, a
+    * per-partition top-N merge — so the only sort the vocabulary (data-sized:
+    * billions of tokens at corpus scale) ever sees is partition-local; the
+    * rank window then runs over the ≤topN survivors only. Frequency ties
+    * rank alphabetically so the fit is deterministic. */
   def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = termFrequencies(docs)
-      .select(col("token"), col("n_occurrences"),
-        row_number().over(
-          Window.orderBy(desc("n_occurrences"), asc("token"))).as("rank"))
-      .filter(col("rank") <= topN)
+    val top = termFrequencies(docs)
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(topN)
+    val ranked = top.select(col("token"), col("n_occurrences"),
+      row_number().over(
+        Window.orderBy(desc("n_occurrences"), asc("token"))).as("rank"))
     ranked.agg(count(lit(1)).as("n_terms"),
       round(expr("regr_slope(ln(n_occurrences), ln(rank))"), 6).as("zipf_slope"),
       round(expr("regr_r2(ln(n_occurrences), ln(rank))"), 6).as("fit_r2"))

@@ -54,4 +54,45 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  /** Queries whose remaining UNPARTITIONED windows run over inputs bounded
+    * by construction — a bucket table (globalPrefixSums chains offsets
+    * through one row per range bucket), a LIMIT/top-N survivor set, or a
+    * genuinely low-cardinality grain (days, months, sources, categories) —
+    * never over data-sized rows. Every entry needs a justification. */
+  private val boundedGlobalWindows = Set(
+    // globalPrefixSums bucket-offset chain: one row per range bucket
+    "q104_rfm_scores", "q105_abc_parts", "q108_revenue_gini",
+    "q117_price_deciles", "q146_ks_price_by_status", "q158_mannwhitney_u",
+    // peakConcurrency bucket chain: one row per hour bucket
+    "q119_peak_concurrency",
+    // rank over the <= topN survivors of a TakeOrderedAndProject
+    "q133_zipf_slope",
+    // day-grain series: one row per calendar day in the data's span
+    "q123_moving_avg", "q154_revenue_autocorr",
+    // month scaffold: one row per calendar month
+    "q73_month_scaffold", "q110_monthly_yoy",
+    // category/source-grain shares and distributions (|categories| rows)
+    "q87_price_histogram", "q89_revenue_share", "q109_source_entropy",
+    "q126_benford", "q134_temperature_mixture", "q135_interleave_plan",
+    "q147_source_js_divergence", "q160_share_of_parent",
+    // chi2 windows over the |a|x|b| category-cell grid
+    "q112_status_priority_chi2",
+    // groupMode under a constant group ranks the |status categories| counts
+    "q92_freq_items_gate")
+
+  test("no query plans an unpartitioned window over data-sized input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val global = fn(spark, d).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty && !boundedGlobalWindows(name))
+        Some(s"$name: ${global.size} unpartitioned WindowExec")
+      else None
+    }
+    assert(offenders.isEmpty,
+      "data-sized global sort (add to boundedGlobalWindows ONLY with a " +
+        "bounded-input justification): " + offenders.mkString("; "))
+  }
 }
