@@ -128,7 +128,10 @@ object Similarity {
   private def trainSample(src: DataFrame, maxVectors: Int,
                           seed: Long): Array[Array[Double]] = {
     val n = src.count()
-    val stride = math.max(1L, n / math.max(1L, maxVectors.toLong))
+    // ceil, not floor: a floor stride stays 1 for n just under 2*maxVectors
+    // and would collect up to ~2x the documented driver-memory cap
+    val mv = math.max(1L, maxVectors.toLong)
+    val stride = math.max(1L, (n + mv - 1L) / mv)
     val sampled =
       if (stride <= 1L) src
       else src.filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(stride)) === 0)
@@ -395,6 +398,47 @@ object Similarity {
       .orderBy(asc("approx_dist"), asc("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("probe_id", "neighbor_id", "approx_dist", "rn")
+  }
+
+  /** Scalar recall gate for an approximate top-k result against the exact
+    * brute-force truth (both computed in-query — at verification scale the
+    * exact pass is affordable; at 100 TB you gate on a probe sample the same
+    * way). Emits oracle-checkable anchors (probe count, exact pair count —
+    * both derivable from the raw table by any engine) plus a pinned
+    * `recall_ok` boolean: recall = |approx ∩ exact| / |exact| over
+    * (probe, neighbor) pairs, compared against `minRecall`. The q37/q125
+    * self-verifying-gate pattern applied to ANN. */
+  def recallGate(exact: DataFrame, approx: DataFrame,
+                 minRecall: Double): DataFrame = {
+    val e = exact.select("probe_id", "neighbor_id")
+    val a = approx.select("probe_id", "neighbor_id")
+    val hit = e.join(a, Seq("probe_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = e.agg(countDistinct(col("probe_id")).as("n_probes"),
+      count(lit(1)).as("n_exact_pairs"))
+    tot.crossJoin(broadcast(hit)) // 1-row scalar gate
+      .select(col("n_probes"), col("n_exact_pairs"),
+        (col("n_hit").cast("double") / col("n_exact_pairs").cast("double")
+          >= minRecall).as("recall_ok"))
+  }
+
+  /** Rank-quality gate for ADC scoring: where do the TRUE top-k neighbors
+    * land in the approximate FULL ranking? `fullRanks` is the approximate
+    * scorer run with k = corpus size (every candidate ranked). Emits the
+    * pinned boolean `rank_ok`: average approx rank of the exact top-k pairs
+    * must sit in the best `maxAvgRankFrac` fraction of the corpus — a much
+    * tighter signal than top-k overlap when quantization error blurs the
+    * head of the ranking but preserves coarse order. */
+  def adcRankGate(exact: DataFrame, fullRanks: DataFrame,
+                  corpus: DataFrame, maxAvgRankFrac: Double): DataFrame = {
+    val e = exact.select("probe_id", "neighbor_id")
+    val ranks = e.join(fullRanks.select("probe_id", "neighbor_id", "rn"),
+      Seq("probe_id", "neighbor_id"))
+    val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    ranks.agg(avg(col("rn").cast("double")).as("avg_rank"))
+      .crossJoin(broadcast(n)) // 1-row scalar gate
+      .select((col("avg_rank") <= col("n_corpus").cast("double") * maxAvgRankFrac)
+        .as("rank_ok"))
   }
 
   /** IVF×PQ composed ANN (the FAISS IVFPQ shape — the production layout for

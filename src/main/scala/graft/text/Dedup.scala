@@ -75,28 +75,62 @@ object Dedup {
         xxhash64(concat_ws("_", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))),
           b).as("band_hash")))
 
+  /** MinHash+LSH candidate pairs: banded signatures, equi-join on
+    * (band, bandHash), i<j dedup. Shared by the word- and shingle-verified
+    * near-dup operators — the only shuffle keys are small int pairs. */
+  private def lshCandidatePairs(docs: DataFrame, numPerms: Int, bands: Int,
+                                shingleSize: Int): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val sig = minhashSignatures(docs, numPerms, shingleSize)
+    val buckets = sig.select(col("doc_id"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.band_hash"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Near-duplicate candidate pairs via MinHash + LSH, verified with exact
     * word-set Jaccard and filtered at `threshold`. Returns
     * (doc_a, doc_b, jaccard). The verify join re-reads only candidate pairs —
     * candidate count, not corpus size squared, bounds the cost. */
   def minhashNearDups(docs: DataFrame, numPerms: Int = 32, bands: Int = 8,
                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numPerms / bands
-    val sig = minhashSignatures(docs, numPerms, shingleSize)
-    val buckets = sig.select(col("doc_id"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.band_hash"))
-    val pairs = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(docs, numPerms, bands, shingleSize)
     val words = docs.select(col("doc_id"),
       array_distinct(TextStats.tokens(TextStats.normalize(col("text")))).as("w"))
     val joined = pairs
       .join(words.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w", "wa"), "doc_a")
       .join(words.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w", "wb"), "doc_b")
+    scoreJaccardPairs(joined, col("wa"), col("wb"), threshold)
+  }
+
+  /** Distinct word-`shingleSize`-gram sets per document — the exact metric
+    * MinHash signatures approximate. */
+  def shingleSets(docs: DataFrame, shingleSize: Int = 3): DataFrame =
+    docs.select(col("doc_id"), array_distinct(TextStats.shinglesOf(
+      TextStats.tokens(TextStats.normalize(col("text"))), shingleSize)).as("s"))
+
+  /** Near-duplicate pairs via MinHash + LSH, verified with exact SHINGLE-set
+    * Jaccard — candidate generation and verification on the SAME metric
+    * (the GPT-3/CCNet-style dedup contract), unlike [[minhashNearDups]]'s
+    * looser word-set verify. Because the verify stage is exact and banding
+    * at these parameters misses a true pair with probability
+    * (1 − t^(perms/bands))^bands ≈ 1e-9 at t = 0.9, the result set equals
+    * the brute-force all-pairs answer — which is exactly how the q24 oracle
+    * spells it (exploded shingle equi-join, no LSH). Defaults use 3 rows
+    * per band so recall holds down to t ≈ 0.7. */
+  def minhashNearDupsShingle(docs: DataFrame, numPerms: Int = 48,
+                             bands: Int = 16, shingleSize: Int = 3,
+                             threshold: Double = 0.8): DataFrame = {
+    val pairs = lshCandidatePairs(docs, numPerms, bands, shingleSize)
+    val sh = shingleSets(docs, shingleSize)
+    val joined = pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "wa"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "wb"), "doc_b")
     scoreJaccardPairs(joined, col("wa"), col("wb"), threshold)
   }
 
@@ -186,18 +220,53 @@ object Dedup {
       .drop("cluster_id")
   }
 
-  /** 64-bit SimHash fingerprint per document: explode tokens once, then 64
+  /** [[dedupCorpus]] with the SHINGLE-verified near-dup stage
+    * ([[minhashNearDupsShingle]]) — end-to-end deterministic AND
+    * oracle-checkable: exact dedup is a norm-text group, the pair set
+    * equals brute-force shingle Jaccard (see minhashNearDupsShingle), and
+    * canonical-per-component is min doc_id, so a SQL oracle can replay the
+    * whole pipeline (recursive-CTE closure over the brute-force pairs —
+    * the q43 oracle does exactly that). */
+  def dedupCorpusShingle(docs: DataFrame, threshold: Double = 0.8,
+                         numPerms: Int = 48, bands: Int = 16,
+                         shingleSize: Int = 3): DataFrame = {
+    val exact = dropExactDups(docs)
+    val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)
+    val clusters = clusterPairs(pairs)
+    exact.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
+  /** SimHash fingerprint bit width — 60 bits from a 15-hex-char md5 prefix
+    * ([[portableTokenHash]]), so the fingerprint itself is an
+    * engine-portable, oracle-checkable value (any SQL engine with md5 can
+    * recompute it bit-for-bit). */
+  val SimhashBits = 60
+
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16 (always < 2^60, so it fits signed 64-bit on every
+    * engine with no sign/overflow edge). md5 costs more per token than
+    * xxhash64 — the price of cross-engine reproducibility; for a
+    * fingerprint-only pipeline at corpus scale, swapping this single
+    * expression for `xxhash64(tok)` is the documented fast path. */
+  def portableTokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash fingerprint per document: explode tokens once, then 60
     * conditional sums (+1/-1 per bit) in ONE hash aggregate, reassembled into
-    * a long. Scales as a single shuffle on doc_id with map-side combine. */
+    * a long. Scales as a single shuffle on doc_id with map-side combine.
+    * Uses [[portableTokenHash]], so fingerprints are bit-identical on any
+    * engine — the q25 oracle recomputes them in SQL. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol),
         explode(array_distinct(TextStats.tokens(TextStats.normalize(col(textCol))))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", portableTokenHash(col("tok")))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$j")
     }
     val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
+    val fp = (0 until SimhashBits).map { j =>
       when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), fp.as("simhash"))
@@ -207,14 +276,18 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips, found by
-    * bit-band blocking: split the 64-bit fingerprint into `bands` chunks —
-    * two fingerprints within maxHamming < bands bits MUST agree on at least
-    * one full band (pigeonhole), so candidates come from an equi-join on
-    * (band, chunk), never a corpus self-join. */
+    * bit-band blocking: split the fingerprint into `bands` chunks — two
+    * fingerprints within maxHamming < bands bits MUST agree on at least one
+    * full band (pigeonhole — this holds even when `bands` doesn't divide
+    * [[SimhashBits]] evenly and the tail bits go unblocked; coverage only
+    * affects candidate count, never recall), so candidates come from an
+    * equi-join on (band, chunk), never a corpus self-join. The final
+    * hamming filter is exact, so the result set EQUALS the brute-force
+    * all-pairs answer — which is how the q45 oracle spells it. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
-    val bits = 64 / bands
+    val bits = SimhashBits / bands
     val fp = simhash(docs)
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map { b =>

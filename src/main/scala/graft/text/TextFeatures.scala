@@ -27,6 +27,37 @@ object TextFeatures {
       vector_to_array(col("norm"), "float32").as("embedding"))
   }
 
+  /** Engine-portable TF-IDF embeddings: the same hashing-trick pipeline as
+    * [[tfidfEmbeddings]], but every engine-specific ingredient replaced by a
+    * portable one — feature index is [[Dedup.portableTokenHash]] mod
+    * `numFeatures` (not spark.ml's murmur3), IDF = ln((m+1)/(df+1)) rounded
+    * by the floor trick at 6 dp (so a 1-ulp libm `ln` difference between
+    * engines cannot change a weight), and vectors stay unnormalized doubles
+    * (cosine normalizes anyway). Any SQL engine can rebuild these vectors
+    * bit-for-bit — the q44 oracle does. Plan shape: one token explode, two
+    * map-combined aggregates (tf, df), a broadcast of the |features|-sized
+    * df table, dense assembly per doc. Zero UDFs. */
+  def tfidfEmbeddingsPortable(docs: DataFrame, numFeatures: Int = 256): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(TextStats.tokens(TextStats.normalize(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        pmod(Dedup.portableTokenHash(col("tok")), lit(numFeatures.toLong))
+          .cast("int").as("feat"))
+    val tf = tok.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
+    val dft = tok.distinct().groupBy("feat").agg(count(lit(1)).as("df"))
+    val m = docs.agg(count(lit(1)).as("m"))
+    val idf = floor(log((col("m") + 1).cast("double") /
+      (col("df") + 1).cast("double")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val w = tf.join(broadcast(dft), "feat").crossJoin(broadcast(m))
+      .select(col("doc_id"), col("feat"),
+        (col("tf").cast("double") * idf).as("w"))
+    w.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("feat"), col("w")))).as("mp"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(numFeatures - 1)),
+          i => coalesce(element_at(col("mp"), i), lit(0.0))).as("embedding"))
+  }
+
   /** Deterministic stratified sample: per-stratum fractions, seeded. */
   def stratifiedSample(df: DataFrame, stratumCol: String,
                        fractions: Map[String, Double], seed: Long = 42L): DataFrame =

@@ -13,12 +13,14 @@ class PlanLintSpec extends SparkSpec {
   /** Queries that intentionally cross-join 1-row aggregates (scalar gates
     * and multi-metric single-row reports), plus the BRUTE-FORCE similarity
     * scorers whose corpus x broadcast(probes) loop is the operator's
-    * definition — their scale path is the LSH/IVF variants (q29/q40). */
+    * definition — and the ANN recall GATES that compute that exact brute
+    * force in-query as their truth baseline (q29/q40/q143/q153). */
   private val scalarCrossJoins = Set(
     "q05_fk_orphans", "q06_key_uniqueness", "q19_exact_dedup_stats",
     "q37_order_sketches", "q43_dedup_corpus", "q84_hll_union",
     "q92_freq_items_gate", "q90_union_by_name",
     "q28_cosine_topk", "q44_tfidf_doc_similarity",
+    "q29_ann_lsh_topk", "q40_ivf_topk", "q153_ivfpq_topk",
     // chi2 densifies with a |categories_a| x |categories_b| grid cross join
     "q112_status_priority_chi2",
     // lift joins the 1-row total-orders scalar into every pair

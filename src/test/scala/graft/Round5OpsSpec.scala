@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Analytics
+import graft.sim.Similarity
+import graft.text.{Dedup, TextFeatures}
+
+case class R5Row(k: Long, v: Long)
+case class R5Pair(probe_id: Long, neighbor_id: Long)
+case class R5Ranked(probe_id: Long, neighbor_id: Long, rn: Int)
+
+/** Round-5 operators: two-level prefix sums / ntile arithmetic, the
+  * shingle-verified MinHash family, portable SimHash, portable TF-IDF, and
+  * the ANN recall/rank gates. */
+class Round5OpsSpec extends SparkSpec {
+
+  test("globalPrefixSums matches a single global window") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 500L).map(i => R5Row(i * 7919L % 501L, i % 13L))
+    val d = df(rows)
+    val got = Analytics.globalPrefixSums(d, floor(col("k") / lit(50L)),
+        Seq(col("k").asc, col("v").asc), Seq("v" -> col("v"), "one" -> lit(1L)))
+      .select(col("k"), col("v"), col("cum_v"), col("cum_one"),
+        col("total_v"), col("total_one"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val w = Window.orderBy(col("k").asc, col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.select(col("k"), col("v"),
+        sum(col("v")).over(w).as("cv"), count(lit(1)).over(w).as("co"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val totV = rows.map(_.v).sum
+    want.foreach { case (key, (cv, co)) =>
+      val (gcv, gco, gtv, gto) = got(key)
+      assert(gcv === cv && gco === co, s"key $key")
+      assert(gtv === totV && gto === rows.size.toLong)
+    }
+  }
+
+  test("ntileFromRank reproduces SQL ntile for ragged bucket splits") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 10, 23, 40)) {
+      val d = df((1L to n.toLong).map(i => R5Row(i, i)))
+      val want = d.select(col("k"),
+          ntile(4).over(Window.orderBy("k")).as("nt"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = d.select(col("k"),
+          Analytics.ntileFromRank(col("k"), lit(n.toLong), 4).as("nt"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  private def doc(id: Long, text: String) =
+    Doc(id, text, "en", "src0", text.length.toLong)
+
+  private val corpus = Seq(
+    doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    doc(2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+    doc(3, "one two three four five six seven eight nine ten"),
+    doc(4, "totally unrelated content about distributed query engines"),
+    doc(5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))   // exact dup of 1
+
+  test("minhashNearDupsShingle finds planted near-dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDupsShingle(df(corpus), threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashNearDupsShingle equals brute-force shingle jaccard") {
+    val got = Dedup.minhashNearDupsShingle(df(corpus), threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.shingleSets(df(corpus))
+    val brute = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.s"), col("y.s"))).cast("double").as("i"),
+        (size(col("x.s")) + size(col("y.s"))).cast("double").as("ab"))
+      .select(col("a"), col("b"),
+        when(col("ab") - col("i") === 0, lit(1.0))
+          .otherwise(col("i") / (col("ab") - col("i"))).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+  }
+
+  test("dedupCorpusShingle keeps one canonical doc per near-dup cluster") {
+    val kept = Dedup.dedupCorpusShingle(df(corpus), threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 5 is an exact dup of 1 (dropped); 1-2 cluster keeps min id 1
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("simhash emits portable 60-bit fingerprints; dups share them") {
+    val fps = Dedup.simhash(df(corpus)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fps.values.foreach(fp => assert(fp >= 0L && fp < (1L << 60)))
+    assert(fps(1L) === fps(5L)) // identical text, identical fingerprint
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(4L)))
+  }
+
+  test("tfidfEmbeddingsPortable: dense width, identical docs get cosine 1") {
+    val emb = TextFeatures.tfidfEmbeddingsPortable(df(corpus), numFeatures = 64)
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.size === 5 && rows.values.forall(_.length === 64))
+    assert(rows(1L) === rows(5L))
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 1), 1)
+      .collect()(0)
+    assert(top.getAs[Long]("neighbor_id") === 5L)
+    assert(math.abs(top.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+
+  
+
+  test("recallGate pins anchors and the recall boolean") {
+    val exact = df(Seq(R5Pair(1, 10), R5Pair(1, 11), R5Pair(2, 10), R5Pair(2, 12)))
+    val good = Similarity.recallGate(exact, exact, minRecall = 0.99).collect()(0)
+    assert(good.getAs[Long]("n_probes") === 2L)
+    assert(good.getAs[Long]("n_exact_pairs") === 4L)
+    assert(good.getAs[Boolean]("recall_ok"))
+    val half = df(Seq(R5Pair(1, 10), R5Pair(1, 99), R5Pair(2, 10), R5Pair(2, 99)))
+    assert(!Similarity.recallGate(exact, half, minRecall = 0.75)
+      .collect()(0).getAs[Boolean]("recall_ok"))
+    assert(Similarity.recallGate(exact, half, minRecall = 0.5)
+      .collect()(0).getAs[Boolean]("recall_ok"))
+  }
+
+  test("adcRankGate bounds the mean full-ranking position of truth pairs") {
+    val exact = df(Seq(R5Pair(1, 10), R5Pair(1, 11)))
+    val full = df(Seq(R5Ranked(1, 10, 1), R5Ranked(1, 11, 7), R5Ranked(1, 12, 2)))
+    val corpus = df((1L to 20L).map(i => R5Row(i, i)))
+    // avg rank 4 over corpus 20: frac 0.2 passes at 0.25, fails at 0.15
+    assert(Similarity.adcRankGate(exact, full, corpus, 0.25)
+      .collect()(0).getAs[Boolean]("rank_ok"))
+    assert(!Similarity.adcRankGate(exact, full, corpus, 0.15)
+      .collect()(0).getAs[Boolean]("rank_ok"))
+  }
+}
