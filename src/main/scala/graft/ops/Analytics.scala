@@ -640,25 +640,37 @@ object Analytics {
     * them), so keep it small on hub-heavy graphs: paths grow with the
     * product of degrees along the walk. At scale prefer the Pregel form for
     * unbounded traversals, this form for small fixed-depth expansions
-    * (recommendation neighborhoods, blast-radius queries). */
+    * (recommendation neighborhoods, blast-radius queries).
+    *
+    * CACHE LIFETIME: the UnionLoop re-reads the edge table every iteration
+    * (plus the seed subquery), so `pairs` is persisted here and the cached
+    * blocks live until the caller runs an action and then clears them
+    * (`df.unpersist()` is not reachable from the returned plan — use
+    * `spark.sharedState.cacheManager` / `spark.catalog.clearCache()` or let
+    * session teardown reclaim them). The temp view is per-call unique and
+    * dropped before returning — concurrent invocations cannot collide. */
   def reachableParts(spark: org.apache.spark.sql.SparkSession,
                      pairs: DataFrame, maxHops: Int = 3): DataFrame = {
-    // the UnionLoop re-reads the edge table EVERY iteration (plus the seed
-    // subquery) — persist so an expensive pair derivation runs once, not
-    // maxHops+2 times; cleanup is the caller's cache-clear, as elsewhere
-    pairs.persist().createOrReplaceTempView("graft_reach_pairs")
-    spark.sql(
-      s"""WITH RECURSIVE e AS (
-         |  SELECT part_a AS src, part_b AS dst FROM graft_reach_pairs
-         |  UNION ALL
-         |  SELECT part_b AS src, part_a AS dst FROM graft_reach_pairs
-         |), r(part, dist) AS (
-         |  SELECT (SELECT min(part_a) FROM graft_reach_pairs), 0
-         |  UNION ALL
-         |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.part
-         |  WHERE r.dist < $maxHops
-         |)
-         |SELECT part, min(dist) AS hops FROM r GROUP BY part""".stripMargin)
+    val view = s"graft_reach_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    pairs.persist().createOrReplaceTempView(view)
+    try {
+      // sql() analyzes the plan eagerly, so the view can be dropped before
+      // the caller ever runs the returned DataFrame
+      spark.sql(
+        s"""WITH RECURSIVE e AS (
+           |  SELECT part_a AS src, part_b AS dst FROM $view
+           |  UNION ALL
+           |  SELECT part_b AS src, part_a AS dst FROM $view
+           |), r(part, dist) AS (
+           |  SELECT (SELECT min(part_a) FROM $view), 0
+           |  UNION ALL
+           |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.part
+           |  WHERE r.dist < $maxHops
+           |)
+           |SELECT part, min(dist) AS hops FROM r GROUP BY part""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(view): Unit
+    }
   }
 
   /** Lag-`lagDays` autocorrelation of the daily revenue series — the

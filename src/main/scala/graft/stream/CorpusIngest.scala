@@ -118,14 +118,22 @@ object CorpusIngest {
               explode(col("lsh_bands")).as("b"))
             val cand = batchBands.join(lakeBands, Seq("b"))
               .select("doc_id", "lake_doc_id").distinct()
-            // (3) verify with exact Jaccard — committed text for candidates only
+            // (3) verify with exact Jaccard — committed text for candidates
+            // only: the broadcast left-semi PRUNES the committed side to the
+            // (small, per-batch) candidate id set BEFORE tokenization, so
+            // per-batch verify cost tracks candidate count, not corpus size
+            // (a plain join after tokenizing would tokenize the whole lake
+            // every micro-batch)
             val words = (d: DataFrame, idc: String, wc: String) => d.select(
               col(idc), array_distinct(
                 TextStats.tokens(TextStats.normalize(col("text")))).as(wc))
+            val candLake = committed
+              .select(col("doc_id").as("lake_doc_id"), col("text"))
+              .join(broadcast(cand.select("lake_doc_id").distinct()),
+                Seq("lake_doc_id"), "left_semi")
             val dupIds = cand
               .join(words(notExact, "doc_id", "wa"), Seq("doc_id"))
-              .join(words(committed.select(col("doc_id").as("lake_doc_id"), col("text")),
-                "lake_doc_id", "wb"), Seq("lake_doc_id"))
+              .join(words(candLake, "lake_doc_id", "wb"), Seq("lake_doc_id"))
               .filter(Dedup.jaccard(col("wa"), col("wb")) >= threshold)
               .select("doc_id").distinct()
             notExact.join(dupIds, Seq("doc_id"), "left_anti")
