@@ -814,7 +814,48 @@ object SparkEntry {
     // --- share-of-parent down the region->nation hierarchy (A9) ---
     "q160_share_of_parent" -> ((s, d) =>
       Warehouse.revenueShareOfParent(t(s, d, "orders"), t(s, d, "customer"),
-        t(s, d, "nation"), t(s, d, "region"))))
+        t(s, d, "nation"), t(s, d, "region"))),
+    // --- composed reporting layer (reference NB 05): fact -> roll-up ->
+    // top-customer -> share-of-parent, PUBLISHED through the ACID lake
+    // write under CHECK constraints and read back — the returned rows have
+    // survived the governed-artifact path, not just the query ---
+    "q161_reporting_summary" -> { (s, d) =>
+      val summary = Warehouse.reportingSummary(factSlim(s, d))
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_report_lake")
+      val lake = new graft.tables.LakeTable(s, dir.toString)
+      lake.write(summary, "reporting_summary", "overwrite",
+        constraints = Seq(
+          ("revenue_nonneg", "revenue >= 0"),
+          ("share_bounded", "share_of_total >= 0 AND share_of_total <= 1"),
+          ("rank_positive", "revenue_rank >= 1"))): Unit
+      lake.read("reporting_summary")
+    },
+    // --- seeded data generator gate (reference src/generate_data.py): the
+    // oracle pins the published scale and the integrity contracts the
+    // reference's validator checks (FK closure, total reconciliation) ---
+    "q162_datagen_gate" -> { (s, d) =>
+      val cfg = graft.ingest.DataGen.Config()
+      val custs = graft.ingest.DataGen.customers(s, cfg)
+      val prods = graft.ingest.DataGen.products(s, cfg)
+      val (orders, items) = graft.ingest.DataGen.ordersAndItems(s, cfg)
+      val nc = custs.agg(count(lit(1)).as("n_customers"))
+      val np = prods.agg(count(lit(1)).as("n_products"))
+      val no = orders.agg(count(lit(1)).as("n_orders"))
+      val fkC = orders.join(custs.select("customer_id"),
+          Seq("customer_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("fk_customers_ok"))
+      val fkP = items.join(prods.select("product_id"),
+          Seq("product_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("fk_products_ok"))
+      val recon = orders.join(
+          items.groupBy("order_id").agg(round(sum("line_total"), 2).as("s")),
+          Seq("order_id"))
+        .agg((sum(when(abs(col("total_amount") - col("s")) > 0.001, 1L)
+          .otherwise(0L)) === 0).as("totals_ok"))
+      nc.crossJoin(np).crossJoin(no).crossJoin(fkC).crossJoin(fkP)
+        .crossJoin(recon)
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1983,5 +2024,27 @@ object SparkEntry {
         "round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER " +
         "(PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region, " +
         "round(CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE) / " +
-        "CAST(sum(cents) OVER () AS DOUBLE), 6) AS region_share_of_total FROM leaf"))
+        "CAST(sum(cents) OVER () AS DOUBLE), 6) AS region_share_of_total FROM leaf"),
+    "q161_reporting_summary" ->
+      (s"WITH pc AS (SELECT c_mktsegment, c_custkey, " +
+        s"CAST(sum(CAST(floor((${money.r2Sql("l_extendedprice * (1.0 - l_discount)")}) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cust_cents, " +
+        "count(DISTINCT o_orderkey) AS cust_orders " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "leaf AS (SELECT c_mktsegment, CAST(sum(cust_cents) AS BIGINT) AS seg_cents, " +
+        "CAST(sum(cust_orders) AS BIGINT) AS n_orders, count(*) AS n_customers FROM pc GROUP BY 1), " +
+        "tc AS (SELECT c_mktsegment, c_custkey, cust_cents, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY cust_cents DESC, c_custkey) AS rn FROM pc) " +
+        "SELECT leaf.c_mktsegment, CAST(seg_cents AS DOUBLE) / 100.0 AS revenue, " +
+        "n_orders, n_customers, " +
+        "round(CAST(seg_cents AS DOUBLE) / CAST(sum(seg_cents) OVER () AS DOUBLE), 6) AS share_of_total, " +
+        "CAST(rank() OVER (ORDER BY seg_cents DESC, leaf.c_mktsegment) AS INTEGER) AS revenue_rank, " +
+        "t.c_custkey AS top_custkey, CAST(t.cust_cents AS DOUBLE) / 100.0 AS top_cust_revenue " +
+        "FROM leaf JOIN tc t ON leaf.c_mktsegment = t.c_mktsegment AND t.rn = 1"),
+    // generator scale + integrity pinned to the reference's published
+    // contract (seeded, so the counts are constants)
+    "q162_datagen_gate" ->
+      ("SELECT CAST(10000 AS BIGINT) AS n_customers, CAST(2000 AS BIGINT) AS n_products, " +
+        "CAST(100000 AS BIGINT) AS n_orders, TRUE AS fk_customers_ok, " +
+        "TRUE AS fk_products_ok, TRUE AS totals_ok"))
 }

@@ -229,6 +229,39 @@ object Warehouse {
           .as("gini"))
   }
 
+  /** The reference's declared REPORTING layer (notebook 05, an empty stub
+    * there) composed end to end: fact build → per-segment revenue roll-up →
+    * top-customer pick → share-of-parent — one summary row per market
+    * segment: exact-cents revenue, distinct orders/customers, revenue share
+    * of total, rank, and the segment's top customer (max revenue, ties to
+    * the lower key via the negated-key struct max). Everything reduces to
+    * segment grain after ONE fact aggregate, so the final rank/share
+    * windows run over |segments| rows. Pair with
+    * [[graft.tables.LakeTable.write]] + CHECK constraints to publish it as
+    * a governed lake artifact (q161 does exactly that). */
+  def reportingSummary(fact: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("revenue") * lit(100.0) + lit(0.5)).cast("long")
+    val perCust = fact.groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(cents).as("cust_cents"),
+        countDistinct(col("o_orderkey")).as("cust_orders"))
+    val leaf = perCust.groupBy("c_mktsegment").agg(
+      sum("cust_cents").as("seg_cents"),
+      sum("cust_orders").as("n_orders"),
+      count(lit(1)).as("n_customers"),
+      max(struct(col("cust_cents"), (-col("c_custkey")).as("neg_key")))
+        .as("top"))
+    val w = Window.orderBy(desc("seg_cents"), asc("c_mktsegment"))
+    leaf.select(col("c_mktsegment"),
+        (col("seg_cents").cast("double") / lit(100.0)).as("revenue"),
+        col("n_orders"), col("n_customers"),
+        round(col("seg_cents").cast("double") /
+          sum(col("seg_cents")).over().cast("double"), 6).as("share_of_total"),
+        rank().over(w).as("revenue_rank"),
+        (-col("top.neg_key")).as("top_custkey"),
+        (col("top.cust_cents").cast("double") / lit(100.0)).as("top_cust_revenue"))
+  }
+
   /** Year-over-year monthly revenue growth via a self-join on the shifted
     * month key (robust to calendar gaps, unlike a `lag(12)` row offset).
     * Exact-cents monthly totals; growth is one long-to-double division. */

@@ -6,6 +6,8 @@ import graft.tables.LakeTable
 
 case class Sale(id: Long, region: String, amount: Double)
 case class RegionOrder(region: String, cust: Long)
+case class Fact(o_orderkey: Long, c_custkey: Long, c_mktsegment: String,
+                revenue: Double)
 
 class LakeTableSpec extends SparkSpec {
 
@@ -427,5 +429,27 @@ class LakeTableSpec extends SparkSpec {
     lake.write(df(Seq(Sale(5, "east", 2.0))), "sales", mode = "append")
     assert(lake.read("sales_branch").count() === 2)
     intercept[IllegalArgumentException] { lake.cloneTable("sales", "sales_branch") }
+  }
+
+  test("composed reporting summary publishes through CHECK-governed write") {
+    import org.apache.spark.sql.functions._
+    val lake = freshLake()
+    val fact = df(Seq(
+      Fact(1L, 101L, "BUILDING", 100.0), Fact(1L, 101L, "BUILDING", 50.0),
+      Fact(2L, 102L, "BUILDING", 30.0), Fact(3L, 201L, "MACHINERY", 400.0)))
+    val summary = graft.ops.Warehouse.reportingSummary(fact)
+    lake.write(summary, "reporting_summary",
+      constraints = Seq(("share_bounded", "share_of_total <= 1.0"))): Unit
+    val back = lake.read("reporting_summary").orderBy("revenue_rank").collect()
+    assert(back.length === 2)
+    val top = back(0)
+    assert(top.getAs[String]("c_mktsegment") === "MACHINERY")
+    assert(top.getAs[Double]("revenue") === 400.0)
+    assert(top.getAs[Long]("top_custkey") === 201L)
+    val bld = back(1)
+    assert(bld.getAs[Long]("n_orders") === 2L)
+    assert(bld.getAs[Long]("n_customers") === 2L)
+    assert(bld.getAs[Long]("top_custkey") === 101L)
+    assert(math.abs(bld.getAs[Double]("share_of_total") - 180.0 / 580.0) < 1e-4)
   }
 }

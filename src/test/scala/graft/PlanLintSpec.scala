@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpec {
     // plus the 1-row corpus total
     "q147_source_js_divergence",
     // Mann-Whitney joins the 1-row (n_a, n_b) totals scalar into the ranks
-    "q158_mannwhitney_u")
+    "q158_mannwhitney_u",
+    // datagen gate assembles six 1-row aggregates into one verdict row
+    "q162_datagen_gate")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -81,7 +83,9 @@ class PlanLintSpec extends SparkSpec {
     // chi2 windows over the |a|x|b| category-cell grid
     "q112_status_priority_chi2",
     // groupMode under a constant group ranks the |status categories| counts
-    "q92_freq_items_gate")
+    "q92_freq_items_gate",
+    // reporting summary ranks |market segments| rows (5-ish, bounded)
+    "q161_reporting_summary")
 
   test("no query plans an unpartitioned window over data-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
