@@ -747,10 +747,11 @@ object SparkEntry {
       val probes = emb.filter(col("vec_id") < 20)
       val pq = Similarity.pqBuild(emb, codesPerSub = 64)
       val exact = Similarity.bruteForceTopK(emb, probes, 3)
+      // ONE full ADC ranking serves both gates (top-3 is its rn<=3 prefix)
+      val full = Similarity.pqTopK(pq, probes, Int.MaxValue).persist()
       Similarity.recallGate(exact,
-          Similarity.pqTopK(pq, probes, 3), minRecall = 0.08)
-        .crossJoin(Similarity.adcRankGate(exact,
-          Similarity.pqTopK(pq, probes, Int.MaxValue), emb, 0.125))
+          full.filter(col("rn") <= 3), minRecall = 0.08)
+        .crossJoin(Similarity.adcRankGate(exact, full, emb, 0.125))
     },
     // --- triangle census of the co-purchase graph (§ graph layer) ---
     "q144_triangle_count" -> ((s, d) =>

@@ -647,30 +647,28 @@ object Analytics {
     * blocks live until the caller runs an action and then clears them
     * (`df.unpersist()` is not reachable from the returned plan — use
     * `spark.sharedState.cacheManager` / `spark.catalog.clearCache()` or let
-    * session teardown reclaim them). The temp view is per-call unique and
-    * dropped before returning — concurrent invocations cannot collide. */
+    * session teardown reclaim them). The temp view is per-call unique so
+    * concurrent invocations cannot collide; it is deliberately NOT dropped
+    * here — `dropTempView` uncaches every query referencing the view, which
+    * would evict the persist and make the UnionLoop recompute the pair
+    * derivation each iteration (measured 4.5x slower). The catalog entry is
+    * a name only; it dies with the session. */
   def reachableParts(spark: org.apache.spark.sql.SparkSession,
                      pairs: DataFrame, maxHops: Int = 3): DataFrame = {
     val view = s"graft_reach_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     pairs.persist().createOrReplaceTempView(view)
-    try {
-      // sql() analyzes the plan eagerly, so the view can be dropped before
-      // the caller ever runs the returned DataFrame
-      spark.sql(
-        s"""WITH RECURSIVE e AS (
-           |  SELECT part_a AS src, part_b AS dst FROM $view
-           |  UNION ALL
-           |  SELECT part_b AS src, part_a AS dst FROM $view
-           |), r(part, dist) AS (
-           |  SELECT (SELECT min(part_a) FROM $view), 0
-           |  UNION ALL
-           |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.part
-           |  WHERE r.dist < $maxHops
-           |)
-           |SELECT part, min(dist) AS hops FROM r GROUP BY part""".stripMargin)
-    } finally {
-      spark.catalog.dropTempView(view): Unit
-    }
+    spark.sql(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT part_a AS src, part_b AS dst FROM $view
+         |  UNION ALL
+         |  SELECT part_b AS src, part_a AS dst FROM $view
+         |), r(part, dist) AS (
+         |  SELECT (SELECT min(part_a) FROM $view), 0
+         |  UNION ALL
+         |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.part
+         |  WHERE r.dist < $maxHops
+         |)
+         |SELECT part, min(dist) AS hops FROM r GROUP BY part""".stripMargin)
   }
 
   /** Lag-`lagDays` autocorrelation of the daily revenue series — the

