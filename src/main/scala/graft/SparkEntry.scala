@@ -856,7 +856,19 @@ object SparkEntry {
           .otherwise(0L)) === 0).as("totals_ok"))
       nc.crossJoin(np).crossJoin(no).crossJoin(fkC).crossJoin(fkP)
         .crossJoin(recon)
-    })
+    },
+    // --- char-bigram self-perplexity (KenLM-filter stand-in) [ext]:
+    // model + scoring fully in-engine, log costs as exact micronat longs ---
+    "q163_char_perplexity" -> ((s, d) =>
+      TextStats.charBigramLogScore(t(s, d, "documents"))),
+    // --- per-source token-length band census (distribution-aware length
+    // screen of a mixing recipe) [ext] ---
+    "q164_length_bands" -> ((s, d) =>
+      TextStats.sourceLengthBands(t(s, d, "documents"))),
+    // --- train/eval token-distribution drift (JS divergence over the full
+    // vocabulary, exact integer accumulation) [ext] ---
+    "q165_split_drift" -> ((s, d) =>
+      TextStats.splitTokenDrift(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2047,5 +2059,43 @@ object SparkEntry {
     "q162_datagen_gate" ->
       ("SELECT CAST(10000 AS BIGINT) AS n_customers, CAST(2000 AS BIGINT) AS n_products, " +
         "CAST(100000 AS BIGINT) AS n_orders, TRUE AS fk_customers_ok, " +
-        "TRUE AS fk_products_ok, TRUE AS totals_ok"))
+        "TRUE AS fk_products_ok, TRUE AS totals_ok"),
+    "q163_char_perplexity" ->
+      (s"WITH cs AS (SELECT doc_id, string_split($normSql, '') AS cs FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(cs) >= 2 " +
+        "THEN list_transform(range(len(cs) - 1), i -> cs[i+1] || cs[i+2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS bg FROM cs), " +
+        "model AS (SELECT bg, count(*) AS nbg FROM bg GROUP BY bg), " +
+        "tot AS (SELECT CAST(sum(nbg) AS BIGINT) AS nt FROM model), " +
+        "cost AS (SELECT bg, CAST(floor(-ln(CAST(nbg AS DOUBLE) / CAST(nt AS DOUBLE)) " +
+        "* 1000000.0 + 0.5) AS BIGINT) AS mn FROM model CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(CAST(sum(mn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_neg_logp " +
+        "FROM bg JOIN cost USING (bg) GROUP BY doc_id"),
+    "q164_length_bands" ->
+      (s"WITH l AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n FROM documents), " +
+        "b AS (SELECT source, quantile_cont(n, 0.05) AS lo, quantile_cont(n, 0.95) AS hi " +
+        "FROM l GROUP BY source) " +
+        "SELECT l.source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN n < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short, " +
+        "CAST(sum(CASE WHEN n > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long, " +
+        "CAST(sum(CASE WHEN n >= lo AND n <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM l JOIN b USING (source) GROUP BY l.source"),
+    "q165_split_drift" ->
+      (s"WITH tk AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_eval, " +
+        s"unnest($toksSql) AS tok FROM documents), " +
+        "g AS (SELECT tok, CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS ne, " +
+        "CAST(sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT) AS nt FROM tk GROUP BY tok), " +
+        "t AS (SELECT CAST(sum(ne) AS BIGINT) AS tne, CAST(sum(nt) AS BIGINT) AS tnt FROM g), " +
+        "terms AS (SELECT ne, nt, tne, tnt, " +
+        "CASE WHEN ne > 0 THEN ne * CAST(floor(ln(2.0 * CAST(ne * tnt AS DOUBLE) / " +
+        "CAST(ne * tnt + nt * tne AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS se, " +
+        "CASE WHEN nt > 0 THEN nt * CAST(floor(ln(2.0 * CAST(nt * tne AS DOUBLE) / " +
+        "CAST(ne * tnt + nt * tne AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS st " +
+        "FROM g CROSS JOIN t) " +
+        "SELECT CAST(max(tne) AS BIGINT) AS n_eval_tokens, CAST(max(tnt) AS BIGINT) AS n_train_tokens, " +
+        "count(*) AS n_vocab, " +
+        "round((CAST(sum(se) AS DOUBLE) / CAST(max(tne) AS DOUBLE) + " +
+        "CAST(sum(st) AS DOUBLE) / CAST(max(tnt) AS DOUBLE)) / 2000000.0, 6) AS js_nats " +
+        "FROM terms"))
 }

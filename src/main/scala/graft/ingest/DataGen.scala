@@ -177,8 +177,12 @@ object DataGen {
     * customer), payment/status categorical draws, item count with the
     * reference's [0.50,.25,.15,.07,.02,.01] mix, Zipf-popular DISTINCT
     * products per order, quantity/discount mixes, line totals rounded at
-    * 2 dp and total_amount their sum. Returns (orders, order_items). */
-  def ordersAndItems(spark: SparkSession, cfg: Config = Config()): (DataFrame, DataFrame) = {
+    * 2 dp and total_amount their sum. Returns (orders, order_items).
+    * `persistShared` caches the scored item rows BOTH outputs derive from,
+    * so consuming orders and items together (e.g. [[writeCsvDataset]]) pays
+    * the generation cost once — the caller owns the cache lifetime. */
+  def ordersAndItems(spark: SparkSession, cfg: Config = Config(),
+                     persistShared: Boolean = false): (DataFrame, DataFrame) = {
     val custs = customers(spark, cfg).select(
       col("customer_id"), col("signup_date"))
     val prods = products(spark, cfg).select(col("product_id"), col("price"))
@@ -220,19 +224,51 @@ object DataGen {
       .select(col("order_id"), col("pos"), col("product_id"), col("quantity"),
         round(col("price") * (lit(1.0) - col("discount")), 2).as("unit_price"))
       .withColumn("line_total", round(col("quantity") * col("unit_price"), 2))
+    val shared = if (persistShared) items.persist() else items
     // stable global item id: (order_id, pos) is unique; the dense
     // sequential id of the reference is an artifact of its row loop — a
     // deterministic composite key is the distributed equivalent
-    val orderItems = items.select(
+    val orderItems = shared.select(
       (col("order_id") * cfg.maxItems + col("pos")).as("order_item_id"),
       col("order_id"), col("product_id"), col("quantity"),
       col("unit_price"), col("line_total"))
-    val totals = items.groupBy("order_id")
+    val totals = shared.groupBy("order_id")
       .agg(round(sum(col("line_total")), 2).as("total_amount"))
     val orders = base.join(totals, Seq("order_id"))
       .select(col("order_id"), col("customer_id"), col("order_date"),
         col("total_amount"), col("payment_type"), col("status"))
     (orders, orderItems)
+  }
+
+  /** Write the full raw dataset as headered CSV directories + the metadata
+    * manifest — the reference generator's output contract
+    * (generate_data.py:250-338: orders and order_items stream to their two
+    * CSVs in ONE generation pass), re-expressed Spark-first: the shared
+    * order lineage is persisted once and both dependent tables write from
+    * it, so generation cost is paid once, not per sink. Column names and
+    * types line up with [[Ingest.schemas]], so [[Ingest.run]] consumes this
+    * directory directly — generator → CSV → quality gate → lake is a
+    * closed, fully in-engine loop. */
+  def writeCsvDataset(spark: SparkSession, dir: String,
+                      cfg: Config = Config()): Unit = {
+    def csv(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("header", "true")
+        .csv(s"$dir/$name.csv")
+    csv(customers(spark, cfg), "customers")
+    csv(products(spark, cfg), "products")
+    val (orders, items) = ordersAndItems(spark, cfg, persistShared = true)
+    try {
+      csv(items, "order_items")
+      csv(orders, "orders")
+    } finally {
+      // the persistShared cache is internal to ordersAndItems; a dataset
+      // dump is a terminal utility, so a full cache clear is acceptable
+      spark.sharedState.cacheManager.clearCache()
+    }
+    Ingest.writeManifest(spark, s"$dir/metadata.json",
+      Map("customers" -> cfg.nCustomers, "products" -> cfg.nProducts,
+        "orders" -> cfg.nOrders),
+      generatedAt = s"seed-${cfg.seed}")
   }
 
   /** One-row generation manifest mirroring the reference's metadata.json

@@ -337,6 +337,110 @@ object TextStats {
           .as("avg_sentence_chars"))
   }
 
+  /** Character-bigram self-perplexity proxy — the KenLM-quality-filter
+    * stand-in: fit the corpus' char-bigram unigram model in one aggregate,
+    * then score every document by its mean negative log-probability (nats;
+    * high = the document's character sequence is unlike the corpus —
+    * mojibake, code dumps, foreign scripts, encrypted blobs). No external
+    * LM, fully in-engine:
+    *  - model: p(bg) = n(bg) / N from ONE map-combined count aggregate
+    *    (state is |charset|² entries, corpus-size-independent) broadcast to
+    *    the scorer;
+    *  - scoring: each bigram contributes its model cost in integer
+    *    MICRONATS (floor(-ln p · 1e6 + 0.5)) so per-doc sums are exact
+    *    longs — no float accumulation order anywhere, the exact-cents
+    *    idiom applied to log space;
+    *  - two-stage projections keep the char array materialized (HOF lambdas
+    *    defeat subexpression elimination).
+    * Documents shorter than 2 characters have no bigrams and drop out. */
+  def charBigramLogScore(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), split(normalize(col("text")), "").as("cs"))
+      .select(col("doc_id"),
+        // sequence(0, n) REVERSES when n < 0 — guard short docs explicitly
+        when(size(col("cs")) >= 2,
+          transform(sequence(lit(0), size(col("cs")) - 2),
+            i => concat(element_at(col("cs"), i + 1),
+              element_at(col("cs"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val model = bigrams.groupBy("bg").agg(count(lit(1)).as("n_bg"))
+    val total = model.agg(sum("n_bg").as("n_total"))
+    val costed = model.crossJoin(broadcast(total)) // 1-row scalar gate
+      .select(col("bg"),
+        floor(-log(col("n_bg").cast("double") / col("n_total").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("micronats"))
+    bigrams.join(broadcast(costed), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("micronats").as("sum_micronats"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_micronats").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0)), 6)
+          .as("avg_neg_logp"))
+  }
+
+  /** Per-source token-length band filter census — the distribution-aware
+    * length screen of a mixing recipe (a fixed global cutoff misclassifies
+    * sources whose natural lengths differ): exact per-source percentile
+    * band [pLo, pHi] on token counts, broadcast back, and a census of
+    * keep/too-short/too-long per source. Two tiny aggregates plus one
+    * broadcast join; all outputs are exact integers. */
+  def sourceLengthBands(docs: DataFrame, pLo: Double = 0.05,
+                        pHi: Double = 0.95): DataFrame = {
+    val lens = docs.select(col("source"),
+      size(tokens(normalize(col("text")))).cast("long").as("n_tokens"))
+    val bands = lens.groupBy("source").agg(
+      expr(s"percentile(n_tokens, $pLo)").as("lo"),
+      expr(s"percentile(n_tokens, $pHi)").as("hi"))
+    lens.join(broadcast(bands), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") < col("lo"), 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("n_tokens") > col("hi"), 1L).otherwise(0L)).as("n_too_long"),
+        sum(when(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  /** Token-distribution drift between the train/eval halves of the
+    * deterministic md5-nibble split ([[graft.text.Dedup.crossSplitContamination]]'s
+    * split policy): Jensen–Shannon divergence over the FULL shared
+    * vocabulary, with every log term quantized to integer micronats and
+    * weighted by exact integer counts, so both Σ-terms are exact long sums
+    * (order-independent; the only floats are the final two divisions).
+    * High drift = the eval split no longer looks like training data —
+    * the distribution-shift alarm of a data pipeline. */
+  def splitTokenDrift(docs: DataFrame,
+                      evalNibbles: Seq[String] = Seq("0", "1")): DataFrame = {
+    val tok = docs.select(
+        substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin(evalNibbles: _*).as("is_eval"),
+        explode(tokens(normalize(col("text")))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("is_eval"), 1L).otherwise(0L)).as("ne"),
+        sum(when(!col("is_eval"), 1L).otherwise(0L)).as("nt"))
+    val totals = tok.agg(sum("ne").as("tne"), sum("nt").as("tnt"))
+    val terms = tok.crossJoin(broadcast(totals)) // 1-row scalar gate
+      .select(col("ne"), col("nt"), col("tne"), col("tnt"),
+        // ln(p/m) and ln(q/m) as micronat integers; p/m and q/m are exact
+        // integer ratios: p/m = 2*ne*tnt / (ne*tnt + nt*tne)
+        when(col("ne") > 0, col("ne") *
+          floor(log(lit(2.0) * (col("ne") * col("tnt")).cast("double") /
+            (col("ne") * col("tnt") + col("nt") * col("tne")).cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(0L).as("se"),
+        when(col("nt") > 0, col("nt") *
+          floor(log(lit(2.0) * (col("nt") * col("tne")).cast("double") /
+            (col("ne") * col("tnt") + col("nt") * col("tne")).cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(0L).as("st"))
+    terms.groupBy("tne", "tnt")
+      .agg(sum("se").as("sume"), sum("st").as("sumt"),
+        count(lit(1)).as("n_vocab"))
+      .select(col("tne").as("n_eval_tokens"), col("tnt").as("n_train_tokens"),
+        col("n_vocab"),
+        round((col("sume").cast("double") / col("tne").cast("double") +
+          col("sumt").cast("double") / col("tnt").cast("double")) /
+          lit(2000000.0), 6).as("js_nats"))
+  }
+
   /** Jensen–Shannon divergence of each source's language mix from the
     * corpus-wide language mix (nats, 0 = identical, ln 2 = disjoint) — the
     * drift metric for "is this source's language profile unlike the rest?".

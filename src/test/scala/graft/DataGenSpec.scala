@@ -102,6 +102,21 @@ class DataGenSpec extends SparkSpec {
     assert(recon === 0L)
   }
 
+  test("generator -> CSV -> ingest quality gate -> lake closes clean") {
+    val small = DataGen.Config(nCustomers = 200L, nProducts = 50L, nOrders = 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-datagen").toString
+    DataGen.writeCsvDataset(spark, dir, small)
+    val lake = new graft.tables.LakeTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-datagen-lake").toString)
+    val violations = graft.ingest.Ingest.run(spark, dir, lake)
+    assert(violations.forall(_._2 === 0L), violations.mkString(", "))
+    assert(lake.read("customers").count() === 200L)
+    assert(lake.read("products").count() === 50L)
+    assert(lake.read("orders").count() === 1000L)
+    val manifest = graft.ingest.Ingest.readManifest(spark, s"$dir/metadata.json")
+    assert(manifest.select("n_orders").head().getLong(0) === 1000L)
+  }
+
   test("items per order follow the reference mix; product ids distinct") {
     val per = items.groupBy("order_id").agg(
       count(lit(1)).as("n"), countDistinct("product_id").as("nd"))

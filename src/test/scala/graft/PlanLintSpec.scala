@@ -44,7 +44,11 @@ class PlanLintSpec extends SparkSpec {
     // Mann-Whitney joins the 1-row (n_a, n_b) totals scalar into the ranks
     "q158_mannwhitney_u",
     // datagen gate assembles six 1-row aggregates into one verdict row
-    "q162_datagen_gate")
+    "q162_datagen_gate",
+    // bigram model costs ride a 1-row total scalar into the |charset|² table
+    "q163_char_perplexity",
+    // drift terms ride the 1-row (tne, tnt) totals scalar into the vocab
+    "q165_split_drift")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -130,6 +130,50 @@ class Round5OpsSpec extends SparkSpec {
       .collect()(0).getAs[Boolean]("recall_ok"))
   }
 
+  test("charBigramLogScore: rare character sequences score higher") {
+    import graft.text.TextStats
+    val docs = Seq(
+      doc(1, "the cat sat on the mat"),
+      doc(2, "the cat sat on the hat"),
+      doc(3, "the bat sat on the mat"),
+      doc(4, "zzqx jjvv wwkk qqzz"))  // alien char distribution
+    val scores = TextStats.charBigramLogScore(df(docs)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_neg_logp")).toMap
+    assert(scores(4L) > scores(1L) && scores(4L) > scores(2L) && scores(4L) > scores(3L))
+    // micronat accumulation: score is finite and positive
+    scores.values.foreach(s => assert(s > 0.0 && s < 20.0))
+  }
+
+  test("sourceLengthBands: outliers land outside the band, census adds up") {
+    import graft.text.TextStats
+    val docs = (1L to 40L).map(i => Doc(i, ("w " * 50).trim, "en", "s0", 100L)) ++
+      Seq(Doc(98L, "w", "en", "s0", 1L),
+        Doc(99L, ("w " * 500).trim, "en", "s0", 999L))
+    val r = TextStats.sourceLengthBands(df(docs)).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 42L)
+    assert(r.getAs[Long]("n_too_short") === 1L)
+    assert(r.getAs[Long]("n_too_long") === 1L)
+    assert(r.getAs[Long]("n_kept") === 40L)
+  }
+
+  test("splitTokenDrift: identical halves drift ~0, disjoint halves ~ln 2") {
+    import graft.text.TextStats
+    // doc_ids chosen so md5 first nibble splits them: find ids per nibble
+    val evalIds = (1L to 400L).filter(i =>
+      "01".contains(org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).charAt(0)))
+    val trainIds = (1L to 400L).filterNot(evalIds.contains)
+    // same text both sides -> near-zero drift
+    val same = (evalIds.take(10) ++ trainIds.take(10)).map(i =>
+      Doc(i, "alpha beta gamma delta", "en", "s0", 10L))
+    val dSame = TextStats.splitTokenDrift(df(same)).collect()(0)
+    assert(dSame.getAs[Double]("js_nats") < 0.01)
+    // disjoint vocabularies -> maximal drift ln 2
+    val disj = evalIds.take(10).map(i => Doc(i, "aaa bbb ccc", "en", "s0", 10L)) ++
+      trainIds.take(10).map(i => Doc(i, "xxx yyy zzz", "en", "s0", 10L))
+    val dDisj = TextStats.splitTokenDrift(df(disj)).collect()(0)
+    assert(math.abs(dDisj.getAs[Double]("js_nats") - math.log(2.0)) < 0.01)
+  }
+
   test("adcRankGate bounds the mean full-ranking position of truth pairs") {
     val exact = df(Seq(R5Pair(1, 10), R5Pair(1, 11)))
     val full = df(Seq(R5Ranked(1, 10, 1), R5Ranked(1, 11, 7), R5Ranked(1, 12, 2)))
