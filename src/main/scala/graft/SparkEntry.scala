@@ -868,7 +868,12 @@ object SparkEntry {
     // --- train/eval token-distribution drift (JS divergence over the full
     // vocabulary, exact integer accumulation) [ext] ---
     "q165_split_drift" -> ((s, d) =>
-      TextStats.splitTokenDrift(t(s, d, "documents"))))
+      TextStats.splitTokenDrift(t(s, d, "documents"))),
+    // --- ZCA embedding whitening gate [ext]: bounded driver-side fit
+    // (covariance + Jacobi eigen on a d x d matrix), pure-map transform;
+    // the gate pins that the whitened covariance is the identity ---
+    "q166_whitening_gate" -> ((s, d) =>
+      Similarity.whitenGate(t(s, d, "embeddings"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2061,10 +2066,9 @@ object SparkEntry {
         "CAST(100000 AS BIGINT) AS n_orders, TRUE AS fk_customers_ok, " +
         "TRUE AS fk_products_ok, TRUE AS totals_ok"),
     "q163_char_perplexity" ->
-      (s"WITH cs AS (SELECT doc_id, string_split($normSql, '') AS cs FROM documents), " +
-        "bg AS (SELECT doc_id, unnest(CASE WHEN len(cs) >= 2 " +
-        "THEN list_transform(range(len(cs) - 1), i -> cs[i+1] || cs[i+2]) " +
-        "ELSE CAST([] AS VARCHAR[]) END) AS bg FROM cs), " +
+      (s"WITH tt AS (SELECT doc_id, $normSql AS t FROM documents WHERE length($normSql) >= 2), " +
+        "bg AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bg " +
+        "FROM tt, unnest(range(1, length(t))) AS u(i)), " +
         "model AS (SELECT bg, count(*) AS nbg FROM bg GROUP BY bg), " +
         "tot AS (SELECT CAST(sum(nbg) AS BIGINT) AS nt FROM model), " +
         "cost AS (SELECT bg, CAST(floor(-ln(CAST(nbg AS DOUBLE) / CAST(nt AS DOUBLE)) " +
@@ -2097,5 +2101,10 @@ object SparkEntry {
         "count(*) AS n_vocab, " +
         "round((CAST(sum(se) AS DOUBLE) / CAST(max(tne) AS DOUBLE) + " +
         "CAST(sum(st) AS DOUBLE) / CAST(max(tnt) AS DOUBLE)) / 2000000.0, 6) AS js_nats " +
-        "FROM terms"))
+        "FROM terms"),
+    // whitening internals (eigenvectors) are engine-specific by design; the
+    // gate's identity-covariance property is the verified contract
+    "q166_whitening_gate" ->
+      ("SELECT count(*) AS n_vectors, CAST(max(len(embedding)) AS INTEGER) AS dim, " +
+        "TRUE AS diag_ok, TRUE AS offdiag_ok FROM embeddings"))
 }

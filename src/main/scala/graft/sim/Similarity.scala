@@ -400,6 +400,154 @@ object Similarity {
       .select("probe_id", "neighbor_id", "approx_dist", "rn")
   }
 
+  /** ZCA whitening transform: mean vector + whitening matrix
+    * W = E·diag(1/√(λ+eps))·Eᵀ fit from the corpus covariance. */
+  final case class Whitener(mean: Array[Double], w: Array[Array[Double]])
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (the textbook
+    * rotation method — deterministic, no external linear algebra): returns
+    * (eigenvalues, eigenvector columns). Dimensions here are embedding
+    * widths (≤ a few hundred), so the O(d³) sweeps are driver-trivial. */
+  private def jacobiEigen(a0: Array[Array[Double]],
+                          sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Fit a ZCA whitener on the capped hash-sample ([[trainSample]] — same
+    * bounded driver-side training contract as the IVF/PQ quantizers):
+    * population covariance, Jacobi eigendecomposition, W = E·Λ^(-1/2)·Eᵀ.
+    * Whitening decorrelates embedding dimensions and equalizes their
+    * variance — the standard preconditioner that makes L2/cosine ANN
+    * partitions (IVF cells, LSH planes) carve the space evenly instead of
+    * along a few dominant directions. `eps` floors the eigenvalues: a
+    * (near-)singular direction carries no signal, and 1/√λ there would
+    * amplify pure float noise — raise eps (or drop the dimension) for
+    * degenerate embeddings. */
+  def whitenFit(corpus: DataFrame, maxTrainVectors: Int = 1 << 16,
+                seed: Long = 42L, eps: Double = 1e-9): Whitener = {
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val sample = trainSample(base, maxTrainVectors, seed)
+    val n = sample.length
+    require(n > 1, "whitening needs at least 2 vectors")
+    val d = sample(0).length
+    val mean = Array.fill(d)(0.0)
+    sample.foreach { x => var i = 0; while (i < d) { mean(i) += x(i); i += 1 } }
+    var i = 0
+    while (i < d) { mean(i) /= n; i += 1 }
+    val cov = Array.fill(d, d)(0.0)
+    sample.foreach { x =>
+      var a = 0
+      while (a < d) {
+        val xa = x(a) - mean(a)
+        var b = a
+        while (b < d) { cov(a)(b) += xa * (x(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { cov(i)(j) /= n; cov(j)(i) = cov(i)(j); j += 1 }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val inv = evals.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    val w = Array.tabulate(d, d) { (r, c) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += evecs(r)(k) * inv(k) * evecs(c)(k); k += 1 }
+      s
+    }
+    Whitener(mean, w)
+  }
+
+  /** Apply a fitted whitener: y = W·(x − mean), as a pure codegen'd map —
+    * the centered vector materializes ONCE (HOF lambdas defeat
+    * subexpression elimination), then each output dimension is one native
+    * dot product against a literal W row. Zero shuffles. */
+  def whitenTransform(corpus: DataFrame, wh: Whitener): DataFrame =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"),
+        zip_with(col("vec"), lit(wh.mean), (x, m) => x - m).as("xc"))
+      .select(col("vec_id"),
+        array(wh.w.indices.map(i => dot(col("xc"), lit(wh.w(i)))): _*)
+          .as("w_embedding"))
+
+  /** Self-verifying whitening gate (q37/q125 pattern): whiten the corpus,
+    * recompute the whitened covariance DISTRIBUTED (dimension-pair explode →
+    * one aggregate over d² cells), and pin that it is the identity within
+    * `tol` — diagonal ≈ 1, off-diagonal ≈ 0. Anchors (vector count, width)
+    * are oracle-countable from the raw table. */
+  def whitenGate(corpus: DataFrame, tol: Double = 0.05): DataFrame = {
+    val y = whitenTransform(corpus, whitenFit(corpus))
+    val cells = y
+      .select(col("w_embedding").as("v"),
+        posexplode(col("w_embedding")).as(Seq("i", "yi")))
+      .select(col("i"), col("yi"), posexplode(col("v")).as(Seq("j", "yj")))
+      .groupBy("i", "j")
+      .agg(avg(col("yi") * col("yj")).as("eyy"),
+        avg(col("yi")).as("eyi"), avg(col("yj")).as("eyj"))
+      .select(col("i"), col("j"),
+        (col("eyy") - col("eyi") * col("eyj")).as("cov"))
+    val errs = cells.agg(
+      max(when(col("i") === col("j"), abs(col("cov") - 1.0)).otherwise(0.0))
+        .as("diag_err"),
+      max(when(col("i") =!= col("j"), abs(col("cov"))).otherwise(0.0))
+        .as("offdiag_err"))
+    val anchors = corpus.agg(count(lit(1)).as("n_vectors"),
+      max(size(col("embedding"))).as("dim"))
+    anchors.crossJoin(broadcast(errs)) // 1-row scalar gate
+      .select(col("n_vectors"), col("dim"),
+        (col("diag_err") <= tol).as("diag_ok"),
+        (col("offdiag_err") <= tol).as("offdiag_ok"))
+  }
+
   /** Scalar recall gate for an approximate top-k result against the exact
     * brute-force truth (both computed in-query — at verification scale the
     * exact pass is affordable; at 100 TB you gate on a probe sample the same

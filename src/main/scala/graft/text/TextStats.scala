@@ -350,20 +350,18 @@ object TextStats {
     *    MICRONATS (floor(-ln p · 1e6 + 0.5)) so per-doc sums are exact
     *    longs — no float accumulation order anywhere, the exact-cents
     *    idiom applied to log space;
-    *  - two-stage projections keep the char array materialized (HOF lambdas
-    *    defeat subexpression elimination).
+    *  - bigram extraction explodes POSITIONS and takes one codegen'd
+    *    `substring` per row — a per-char `transform` lambda building the
+    *    same strings runs interpreted and measured ~100x slower on long
+    *    documents.
     * Documents shorter than 2 characters have no bigrams and drop out. */
   def charBigramLogScore(docs: DataFrame): DataFrame = {
     val bigrams = docs
-      .select(col("doc_id"), split(normalize(col("text")), "").as("cs"))
-      .select(col("doc_id"),
-        // sequence(0, n) REVERSES when n < 0 — guard short docs explicitly
-        when(size(col("cs")) >= 2,
-          transform(sequence(lit(0), size(col("cs")) - 2),
-            i => concat(element_at(col("cs"), i + 1),
-              element_at(col("cs"), i + 2))))
-          .otherwise(array().cast("array<string>")).as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .select(col("doc_id"), normalize(col("text")).as("t"))
+      .filter(length(col("t")) >= 2) // sequence(1, n) REVERSES when n < 1
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 1)).as("i"))
+      .select(col("doc_id"), expr("substring(t, i, 2)").as("bg"))
     val model = bigrams.groupBy("bg").agg(count(lit(1)).as("n_bg"))
     val total = model.agg(sum("n_bg").as("n_total"))
     val costed = model.crossJoin(broadcast(total)) // 1-row scalar gate

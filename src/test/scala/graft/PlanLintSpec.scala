@@ -48,7 +48,9 @@ class PlanLintSpec extends SparkSpec {
     // bigram model costs ride a 1-row total scalar into the |charset|² table
     "q163_char_perplexity",
     // drift terms ride the 1-row (tne, tnt) totals scalar into the vocab
-    "q165_split_drift")
+    "q165_split_drift",
+    // whitening gate joins the 1-row error maxima into the 1-row anchors
+    "q166_whitening_gate")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -9,6 +9,7 @@ import graft.text.{Dedup, TextFeatures}
 case class R5Row(k: Long, v: Long)
 case class R5Pair(probe_id: Long, neighbor_id: Long)
 case class R5Ranked(probe_id: Long, neighbor_id: Long, rn: Int)
+case class R5Vec(vec_id: Long, embedding: Array[Float], label: Int)
 
 /** Round-5 operators: two-level prefix sums / ntile arithmetic, the
   * shingle-verified MinHash family, portable SimHash, portable TF-IDF, and
@@ -172,6 +173,31 @@ class Round5OpsSpec extends SparkSpec {
       trainIds.take(10).map(i => Doc(i, "xxx yyy zzz", "en", "s0", 10L))
     val dDisj = TextStats.splitTokenDrift(df(disj)).collect()(0)
     assert(math.abs(dDisj.getAs[Double]("js_nats") - math.log(2.0)) < 0.01)
+  }
+
+  test("whitening turns correlated embeddings into identity covariance") {
+    // strongly correlated 4-dim vectors: dim1 = 2*dim0 + noise, etc.
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 300L).map { i =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      val c = rnd.nextGaussian(); val e = rnd.nextGaussian()
+      // correlated but FULL-RANK (4 independent noise sources for 4 dims):
+      // an exactly-singular direction would whiten pure float noise (the
+      // documented eps caveat)
+      R5Vec(i,
+        Array(a, 2 * a + 0.3 * b + 0.2 * e, b, a + b + 0.3 * c).map(_.toFloat), 0)
+    }
+    val d = df(vecs)
+    val gate = Similarity.whitenGate(d, tol = 0.05).collect()(0)
+    assert(gate.getAs[Long]("n_vectors") === 300L)
+    assert(gate.getAs[Int]("dim") === 4)
+    assert(gate.getAs[Boolean]("diag_ok") && gate.getAs[Boolean]("offdiag_ok"))
+    // the ORIGINAL covariance is far from identity (dim0/dim1 corr ~ 1)
+    import org.apache.spark.sql.functions.{corr, element_at}
+    val c01 = d.select(corr(
+      element_at(col("embedding"), 1).cast("double"),
+      element_at(col("embedding"), 2).cast("double"))).head().getDouble(0)
+    assert(c01 > 0.9)
   }
 
   test("adcRankGate bounds the mean full-ranking position of truth pairs") {
