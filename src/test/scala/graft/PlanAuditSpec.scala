@@ -185,4 +185,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scan.contains("l_extendedprice") && !scan.contains("l_partkey"),
       s"untouched subfields survived nested pruning: $scan")
   }
+
+  test("zipf top-N selects via TakeOrderedAndProject, never a global sort") {
+    val plan = executedPlan("q133_zipf_slope")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary must reduce through a per-partition top-N:\n${plan.take(600)}")
+  }
+
+  test("decile ranking runs its data-sized window partitioned by range bucket") {
+    val plan = executedPlan("q117_price_deciles")
+    // the two-level rank shuffles rows into __bkt groups; the only
+    // unpartitioned window left runs over the bucket table
+    assert(plan.contains("__bkt"),
+      s"expected the range-bucket partitioning column:\n${plan.take(600)}")
+  }
+
+  test("char-bigram extraction is generate + substring, no interpreted lambda") {
+    val plan = executedPlan("q163_char_perplexity")
+    assert(plan.contains("Generate explode(sequence"),
+      s"bigram positions should come from an exploded sequence:\n${plan.take(600)}")
+    assert(!plan.contains("lambdafunction"),
+      "no interpreted higher-order function may sit on the bigram hot path")
+  }
+
+  test("whitening transform is a pure map: zero exchanges") {
+    val emb = graft.tables.Tables.load(spark, d, "embeddings")
+    val wh = graft.sim.Similarity.whitenFit(emb)
+    val plan = graft.sim.Similarity.whitenTransform(emb, wh)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"whitening must not shuffle:\n${plan.take(600)}")
+  }
 }
