@@ -206,7 +206,35 @@ class PropertySpec extends SparkSpec {
       assert(covered === (0L to maxBin).toSet)
     }
   }
+
+  test("property: globalPrefixSums == single-window running sums, any bucket width") {
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(-100L, 100L), Gen.chooseNum(0L, 9L)))
+    val widthGen = Gen.oneOf(1L, 7L, 50L, 1000L)
+    samples(Gen.zip(rowsGen, widthGen), 6).foreach { case (kvs, width) =>
+      // unique sort key (k, id) so the reference order is total
+      val rows = kvs.zipWithIndex.map { case ((k, v), i) => PS(i.toLong, k, v) }
+      val d = df(rows)
+      val got = graft.ops.Analytics.globalPrefixSums(d,
+          floor(col("k") / lit(width.toDouble)),
+          Seq(col("k").asc, col("id").asc), Seq("v" -> col("v")))
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("cum_v"), r.getAs[Long]("total_v"))).toMap
+      val w = Window.orderBy(col("k").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = d.select(col("id"), sum(col("v")).over(w).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tot = rows.map(_.v).sum
+      rows.foreach { r =>
+        assert(got(r.id)._1 === want(r.id), s"id=${r.id} width=$width")
+        assert(got(r.id)._2 === tot)
+      }
+    }
+  }
 }
+
+case class PS(id: Long, k: Long, v: Long)
 
 case class Doc2(doc_id: Long, source: String, text: String)
 
