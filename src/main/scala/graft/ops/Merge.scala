@@ -55,7 +55,7 @@ object Merge {
         updates.join(matchedMarked, keys, "left_anti")
       case None => updates
     }
-    untouched.unionByName(applied.select(target.columns.map(col): _*))
+    untouched.unionByName(applied.select(target.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Violations of the one-update-row-per-key MERGE precondition (empty =

@@ -182,7 +182,7 @@ object Similarity {
     * (‖x‖²−2x·c+‖c‖² — ties break to the lower id via the struct min). */
   private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
     val n2 = dot(vec, vec)
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+    array_min(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct((n2 - lit(2.0) * dot(vec, lit(c)) + lit(c.map(x => x * x).sum)).as("dist"),
         lit(i).as("cell"))
     }: _*)).getField("cell")
@@ -205,7 +205,7 @@ object Similarity {
   def ivfTopK(index: IVFIndex, probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val cents = index.centroids.zipWithIndex
     // squared L2 distance probe -> each centroid, as plan literals
-    val cellRank = array(cents.map { case (c, i) =>
+    val cellRank = array(cents.toIndexedSeq.map { case (c, i) =>
       val d = aggregate(zip_with(col("pvec"), lit(c), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
       struct(d.as("dist"), lit(i).as("cell"))
@@ -377,7 +377,7 @@ object Similarity {
     * candidates, PQ bounds the bytes; [[ivfTopK]] + this compose). */
   def pqTopK(index: PQIndex, probes: DataFrame, k: Int): DataFrame = {
     val dtab = array((0 until index.m).map { j =>
-      array(index.codebooks(j).map(c =>
+      array(index.codebooks(j).toIndexedSeq.map(c =>
         subSqDist(col("pvec"), j * index.subDim, index.subDim, c)): _*)
     }: _*)
     val p = probes
@@ -600,12 +600,12 @@ object Similarity {
   def ivfPqTopK(ivf: IVFIndex, pq: PQIndex, probes: DataFrame, k: Int,
                 nProbe: Int = 4): DataFrame = {
     val cents = ivf.centroids.zipWithIndex
-    val cellRank = array(cents.map { case (c, i) =>
+    val cellRank = array(cents.toIndexedSeq.map { case (c, i) =>
       struct((dot(col("pvec"), col("pvec")) - lit(2.0) * dot(col("pvec"), lit(c)) +
         lit(c.map(x => x * x).sum)).as("dist"), lit(i).as("cell"))
     }: _*)
     val dtab = array((0 until pq.m).map { j =>
-      array(pq.codebooks(j).map(c =>
+      array(pq.codebooks(j).toIndexedSeq.map(c =>
         subSqDist(col("pvec"), j * pq.subDim, pq.subDim, c)): _*)
     }: _*)
     val p = probes
