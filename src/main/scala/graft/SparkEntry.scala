@@ -873,7 +873,26 @@ object SparkEntry {
     // (covariance + Jacobi eigen on a d x d matrix), pure-map transform;
     // the gate pins that the whitened covariance is the identity ---
     "q166_whitening_gate" -> ((s, d) =>
-      Similarity.whitenGate(t(s, d, "embeddings"))))
+      Similarity.whitenGate(t(s, d, "embeddings"))),
+    // --- BPE vocabulary induction gate [ext]: merges train driver-side on
+    // the capped word-frequency table (quantizer contract); the gate pins
+    // the segmentation invariants and that training compresses ---
+    "q167_bpe_gate" -> ((s, d) =>
+      graft.text.Bpe.bpeGate(t(s, d, "documents"))),
+    // --- per-source corpus report card (text-side reporting layer),
+    // published through the CHECK-governed lake write like q161 ---
+    "q168_corpus_report" -> { (s, d) =>
+      val card = graft.text.Refinery.corpusReportCard(t(s, d, "documents"))
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_corpus_report_lake")
+      val lake = new graft.tables.LakeTable(s, dir.toString)
+      lake.write(card, "corpus_report", "overwrite",
+        constraints = Seq(
+          ("pass_rate_bounded", "pass_rate >= 0 AND pass_rate <= 1"),
+          ("dups_nonneg", "n_exact_dups >= 0"),
+          ("langs_positive", "n_langs >= 1"))): Unit
+      lake.read("corpus_report")
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2106,5 +2125,31 @@ object SparkEntry {
     // gate's identity-covariance property is the verified contract
     "q166_whitening_gate" ->
       ("SELECT count(*) AS n_vectors, CAST(max(len(embedding)) AS INTEGER) AS dim, " +
-        "TRUE AS diag_ok, TRUE AS offdiag_ok FROM embeddings"))
+        "TRUE AS diag_ok, TRUE AS offdiag_ok FROM embeddings"),
+    // BPE merges are algorithm-internal; the oracle counts the anchors and
+    // pins the segmentation invariants
+    "q167_bpe_gate" ->
+      (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
+        "SELECT (SELECT count(*) FROM documents) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(length(tok)) AS BIGINT) AS total_token_chars, " +
+        "TRUE AS bpe_ge_tokens, TRUE AS bpe_compresses FROM tok"),
+    "q168_corpus_report" ->
+      (s"WITH b AS (SELECT source, lang, $normSql AS norm, " +
+        s"CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) AS dr " +
+        "FROM documents), " +
+        "main AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(count(*) - count(DISTINCT norm) AS BIGINT) AS n_exact_dups, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "quantile_cont(n_tokens, 0.5) AS p50_tokens, " +
+        "round(CAST(sum(CASE WHEN n_tokens >= 20 AND dr >= 0.2 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS pass_rate FROM b GROUP BY source), " +
+        "lc AS (SELECT source, lang, count(*) AS nl FROM documents GROUP BY 1, 2), " +
+        "lgr AS (SELECT source, lang, " +
+        "row_number() OVER (PARTITION BY source ORDER BY nl DESC, lang) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n_langs FROM lc) " +
+        "SELECT main.source, n_docs, n_exact_dups, total_tokens, p50_tokens, pass_rate, " +
+        "n_langs, lgr.lang AS top_lang FROM main JOIN lgr ON main.source = lgr.source " +
+        "WHERE lgr.rn = 1"))
 }

@@ -44,4 +44,37 @@ object Refinery {
       Seq("doc_id"), "left_semi")
     TextFeatures.chunkPlan(capped, cfg.chunk, cfg.stride)
   }
+
+  /** Per-source corpus report card — the text-pipeline sibling of the
+    * warehouse reporting summary (q161): one governance row per source with
+    * volume (docs, tokens, exact-median length), hygiene (exact-duplicate
+    * count, quality-gate pass rate) and language mix (distinct langs, the
+    * dominant one — argmax with a deterministic tie to the smaller code).
+    * One doc-grain projection, two source-grain aggregates, one broadcast
+    * join; publish via `LakeTable.write` + CHECK constraints for the
+    * governed artifact (q168 does). */
+  def corpusReportCard(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("source"), col("lang"), TextStats.normalize(col("text")).as("norm"))
+      .select(col("source"), col("lang"), col("norm"),
+        TextStats.tokens(col("norm")).as("toks"))
+      .select(col("source"), col("lang"), col("norm"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("distinct_ratio"))
+    val main = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("norm"))).as("n_exact_dups"),
+      sum("n_tokens").as("total_tokens"),
+      expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+      round(sum(when(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.2, 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+        .as("pass_rate"))
+    val langs = docs.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("nl")).as("neg"), col("lang")))
+          .getField("lang").as("top_lang"))
+    main.join(broadcast(langs), "source")
+  }
 }

@@ -200,6 +200,53 @@ class Round5OpsSpec extends SparkSpec {
     assert(c01 > 0.9)
   }
 
+  test("BPE trainer merges the most frequent pair first, deterministically") {
+    import graft.text.Bpe
+    val freq = Seq("abab" -> 10L, "abc" -> 5L, "zz" -> 1L)
+    val merges = Bpe.trainMerges(freq, 2)
+    // 'ab' dominates (10*3 + 5*1 adjacencies start from chars: pair (a,b)
+    // has freq 10*2 + 5 = 25, the max)
+    assert(merges.head === ("a", "b"))
+    val counts = Bpe.segmentCounts(Seq("abab", "abc", "zz"), merges)
+    assert(counts("abab") <= 2) // 'ab' merged; second merge may fuse further
+    assert(counts("zz") <= 2)
+    counts.foreach { case (w, c) => assert(c >= 1 && c <= w.length) }
+  }
+
+  test("bpeCompressionStats: bounds hold and repeated text compresses") {
+    import graft.text.Bpe
+    val docs = Seq(
+      doc(1, "the the the the cat cat cat"),
+      doc(2, "the cat the cat the cat"),
+      doc(3, "xyzzy qwerty"))
+    val stats = Bpe.bpeCompressionStats(df(docs), vocabCap = 10, numMerges = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    stats.foreach { case (_, (nt, nb)) => assert(nb >= nt) }
+    // 'the' and 'cat' fully merge to one BPE token each
+    assert(stats(1L)._2 === stats(1L)._1)
+    val gate = Bpe.bpeGate(df(docs), vocabCap = 10, numMerges = 8).collect()(0)
+    assert(gate.getAs[Boolean]("bpe_ge_tokens"))
+    assert(gate.getAs[Boolean]("bpe_compresses"))
+  }
+
+  test("corpusReportCard aggregates hygiene, volume, and language mix") {
+    val docs = Seq(
+      Doc(1, "alpha beta gamma", "en", "s0", 10L),
+      Doc(2, "alpha beta gamma", "en", "s0", 10L), // exact dup of 1
+      Doc(3, "uno dos tres cuatro", "es", "s0", 10L),
+      Doc(4, "one two three", "en", "s1", 10L))
+    val card = graft.text.Refinery.corpusReportCard(df(docs))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s0 = card("s0")
+    assert(s0.getAs[Long]("n_docs") === 3L)
+    assert(s0.getAs[Long]("n_exact_dups") === 1L)
+    assert(s0.getAs[Long]("n_langs") === 2L)
+    assert(s0.getAs[String]("top_lang") === "en")
+    assert(s0.getAs[Long]("total_tokens") === 10L)
+    assert(card("s1").getAs[Long]("n_exact_dups") === 0L)
+  }
+
   test("adcRankGate bounds the mean full-ranking position of truth pairs") {
     val exact = df(Seq(R5Pair(1, 10), R5Pair(1, 11)))
     val full = df(Seq(R5Ranked(1, 10, 1), R5Ranked(1, 11, 7), R5Ranked(1, 12, 2)))
