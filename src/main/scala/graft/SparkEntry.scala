@@ -892,7 +892,16 @@ object SparkEntry {
           ("dups_nonneg", "n_exact_dups >= 0"),
           ("langs_positive", "n_langs >= 1"))): Unit
       lake.read("corpus_report")
-    })
+    },
+    // --- the FULL refinery, end to end and oracle-verified: quality gate ->
+    // exact dedup -> shingle near-dup closure -> per-source cap -> chunk
+    // plan. Spark runs the banded/GraphX scale pipeline; the oracle replays
+    // every stage declaratively (the q21/q19/q24/q43/q94 spellings
+    // composed) — the strongest single statement that the training-data
+    // pipeline computes exactly what it claims ---
+    "q169_refinery_e2e" -> ((s, d) =>
+      graft.text.Refinery.refine(t(s, d, "documents"),
+        graft.text.Refinery.Config(shingleVerify = true))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2151,5 +2160,36 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY source) AS n_langs FROM lc) " +
         "SELECT main.source, n_docs, n_exact_dups, total_tokens, p50_tokens, pass_rate, " +
         "n_langs, lgr.lang AS top_lang FROM main JOIN lgr ON main.source = lgr.source " +
-        "WHERE lgr.rn = 1"))
+        "WHERE lgr.rn = 1"),
+    // the whole refinery replayed declaratively: gate (q21's predicate),
+    // exact-dedup keepers (q19), brute-force shingle pairs + recursive
+    // closure (q24/q43), md5-rank source cap, chunk expansion (q94)
+    "q169_refinery_e2e" ->
+      (s"WITH RECURSIVE gt AS (SELECT doc_id, source, text FROM " +
+        s"(SELECT doc_id, source, text, $toksSql AS toks FROM documents) " +
+        "WHERE len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
+        s"nrm AS (SELECT doc_id, $normSql AS norm FROM gt), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
+        "kd AS (SELECT gt.doc_id, gt.source, gt.text FROM gt JOIN k USING (doc_id)), " +
+        shingleCtes("kd") + s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "removed AS (SELECT n FROM (SELECT n, min(m) AS mn FROM r GROUP BY n) WHERE mn < n), " +
+        "kept AS (SELECT kd.doc_id, kd.source, kd.text FROM kd " +
+        "LEFT JOIN removed ON kd.doc_id = removed.n WHERE removed.n IS NULL), " +
+        "capped AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM kept) WHERE rn <= 1000000), " +
+        s"tt2 AS (SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM capped), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(i AS INTEGER) AS chunk_idx " +
+        "FROM tt2, unnest(generate_series(0, (n_tokens - 1) // 96)) AS u(i) " +
+        "WHERE n_tokens >= 1) " +
+        "SELECT doc_id, n_tokens, chunk_idx, " +
+        "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
+        "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"))
 }

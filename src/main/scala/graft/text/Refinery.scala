@@ -27,7 +27,11 @@ object Refinery {
       nearDupThreshold: Double = 0.8,
       maxDocsPerSource: Int = 1000000,
       chunk: Int = 128,
-      stride: Int = 96)
+      stride: Int = 96,
+      // shingle-verified near-dup stage (Dedup.dedupCorpusShingle): the
+      // whole refinery becomes deterministic AND oracle-replayable — q169
+      // verifies the end-to-end pipeline against a declarative SQL respell
+      shingleVerify: Boolean = false)
 
   /** Quality gate as a standalone predicate-pushable filter (the shared
     * [[TextStats.passesQualityGate]] predicate, parameterized). */
@@ -38,7 +42,9 @@ object Refinery {
     * start_tok, chunk_len) over the gated, deduped, capped corpus. */
   def refine(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val gated = gate(docs, cfg)
-    val deduped = Dedup.dedupCorpus(gated, threshold = cfg.nearDupThreshold)
+    val deduped =
+      if (cfg.shingleVerify) Dedup.dedupCorpusShingle(gated, cfg.nearDupThreshold)
+      else Dedup.dedupCorpus(gated, threshold = cfg.nearDupThreshold)
     val capped = deduped.join(
       TextFeatures.perSourceCap(deduped, cfg.maxDocsPerSource).select("doc_id"),
       Seq("doc_id"), "left_semi")
