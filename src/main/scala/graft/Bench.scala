@@ -37,8 +37,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries that persist() intermediates must not carry cached blocks
-        // (or cache-hit timings) into the next iteration; untimed
-        spark.sharedState.cacheManager.clearCache()
+        // (or cache-hit timings) into the next iteration; untimed. Reclaims
+        // BOTH the SQL cache and any RDD-level blocks.
+        graft.ops.Caching.releaseAll(spark)
         dt
       }
       name -> times.min

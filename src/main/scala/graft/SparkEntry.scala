@@ -406,7 +406,8 @@ object SparkEntry {
     "q75_price_percentiles" -> ((s, d) =>
       Analytics.orderPricePercentiles(t(s, d, "orders"))),
     // --- iterative graph algorithm: connected components of the co-purchase
-    // graph (GraphX Pregel; oracle = recursive-CTE min-label propagation) ---
+    // graph (DataFrame min-label propagation + pointer jumping; oracle =
+    // recursive-CTE min-label propagation) ---
     "q76_copurchase_components" -> ((s, d) =>
       Graph.connectedComponents(
         Graph.coPurchasePairs(t(s, d, "lineitem"), minCount = 3),
@@ -741,17 +742,16 @@ object SparkEntry {
     // truth (quantization blurs the head of the ranking — measured 0.27 at
     // sf0.01 with 64 codes/subspace, bound 0.08) PLUS the tighter ADC
     // rank-quality gate: true top-3 neighbors average inside the best 1/8
-    // of the full ADC ranking (measured n/34) ---
+    // of the full ADC ranking (measured n/34). Both booleans come from ONE
+    // un-ranked ADC pass (rank = 1 + count of better codes; recall@3 =
+    // rank <= 3) — no materialized ranking, no window, no persist ---
     "q143_pq_topk" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 20)
       val pq = Similarity.pqBuild(emb, codesPerSub = 64)
       val exact = Similarity.bruteForceTopK(emb, probes, 3)
-      // ONE full ADC ranking serves both gates (top-3 is its rn<=3 prefix)
-      val full = Similarity.pqTopK(pq, probes, Int.MaxValue).persist()
-      Similarity.recallGate(exact,
-          full.filter(col("rn") <= 3), minRecall = 0.08)
-        .crossJoin(Similarity.adcRankGate(exact, full, emb, 0.125))
+      Similarity.pqGate(pq, probes, exact, emb,
+        k = 3, minRecall = 0.08, maxAvgRankFrac = 0.125)
     },
     // --- triangle census of the co-purchase graph (§ graph layer) ---
     "q144_triangle_count" -> ((s, d) =>
@@ -895,7 +895,7 @@ object SparkEntry {
     },
     // --- the FULL refinery, end to end and oracle-verified: quality gate ->
     // exact dedup -> shingle near-dup closure -> per-source cap -> chunk
-    // plan. Spark runs the banded/GraphX scale pipeline; the oracle replays
+    // plan. Spark runs the banded/label-propagation scale pipeline; the oracle replays
     // every stage declaratively (the q21/q19/q24/q43/q94 spellings
     // composed) — the strongest single statement that the training-data
     // pipeline computes exactly what it claims ---
@@ -906,7 +906,11 @@ object SparkEntry {
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
   private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
-  private val toksSql = s"string_split($normSql, ' ')"
+  // string_split('') yields [''] in DuckDB where Spark's tokens() yields []
+  // — guard the empty/whitespace case so both engines agree on zero-token
+  // documents (the current corpus has none; this pins the contract anyway)
+  private val toksSql =
+    s"CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($normSql, ' ') END"
 
   /** DuckDB CTE fragment spelling [[graft.text.Dedup.shingleSets]] over a
     * (doc_id, text) source, exploded to (doc_id, shingle) rows plus per-doc
@@ -1067,10 +1071,12 @@ object SparkEntry {
         "FROM w x JOIN w y ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id) " +
         "SELECT doc_a, doc_b, CASE WHEN u = 0 THEN 1.0 ELSE i / u END AS jaccard FROM p " +
         "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.3"),
-    // Spark runs banded MinHash LSH + exact shingle verify; since the verify
-    // is exact and banding misses a true pair with probability ~1e-9 at
-    // these parameters, the result SET equals brute force — which is what
-    // this oracle spells (no LSH anywhere in it)
+    // Spark runs banded MinHash LSH + exact shingle verify; the verify is
+    // exact and banding misses a true pair with probability ~5e-8 at the
+    // 0.8 threshold (128 perms / 32 bands — see minhashNearDupsShingle), so
+    // the result SET equals brute force on this corpus (corpus-verified,
+    // not guaranteed: equality is probabilistic by construction) — which is
+    // what this oracle spells (no LSH anywhere in it)
     "q24_minhash_neardups" ->
       (s"WITH ${shingleCtes("documents")}, $shinglePairCtes " +
         "SELECT doc_a, doc_b, CASE WHEN u = 0 THEN 1.0 ELSE i / u END AS jaccard FROM sc " +
@@ -1405,7 +1411,7 @@ object SparkEntry {
         "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 " +
         "FROM orders GROUP BY o_orderstatus"),
     // min-label propagation to a fixpoint: r holds (node, candidate-comp)
-    // pairs, UNION dedups, so the recursion is finite; min() = GraphX's
+    // pairs, UNION dedups, so the recursion is finite; min() = the CC operator's
     // canonical component id (lowest vertex id in the component)
     "q76_copurchase_components" ->
       ("WITH RECURSIVE p AS (" +
@@ -2120,10 +2126,10 @@ object SparkEntry {
         "CAST(sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT) AS nt FROM tk GROUP BY tok), " +
         "t AS (SELECT CAST(sum(ne) AS BIGINT) AS tne, CAST(sum(nt) AS BIGINT) AS tnt FROM g), " +
         "terms AS (SELECT ne, nt, tne, tnt, " +
-        "CASE WHEN ne > 0 THEN ne * CAST(floor(ln(2.0 * CAST(ne * tnt AS DOUBLE) / " +
-        "CAST(ne * tnt + nt * tne AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS se, " +
-        "CASE WHEN nt > 0 THEN nt * CAST(floor(ln(2.0 * CAST(nt * tne AS DOUBLE) / " +
-        "CAST(ne * tnt + nt * tne AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS st " +
+        "CASE WHEN ne > 0 THEN ne * CAST(floor(ln(2.0 * (CAST(ne AS DOUBLE) * CAST(tnt AS DOUBLE)) / " +
+        "(CAST(ne AS DOUBLE) * CAST(tnt AS DOUBLE) + CAST(nt AS DOUBLE) * CAST(tne AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS se, " +
+        "CASE WHEN nt > 0 THEN nt * CAST(floor(ln(2.0 * (CAST(nt AS DOUBLE) * CAST(tne AS DOUBLE)) / " +
+        "(CAST(ne AS DOUBLE) * CAST(tnt AS DOUBLE) + CAST(nt AS DOUBLE) * CAST(tne AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS st " +
         "FROM g CROSS JOIN t) " +
         "SELECT CAST(max(tne) AS BIGINT) AS n_eval_tokens, CAST(max(tnt) AS BIGINT) AS n_train_tokens, " +
         "count(*) AS n_vocab, " +

@@ -28,8 +28,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist() intermediates (q44) must not leave cached
-      // blocks accumulating in executor storage across the 69-query sweep
-      spark.sharedState.cacheManager.clearCache()
+      // blocks accumulating in executor storage across the sweep — SQL
+      // cache and RDD-level blocks both
+      graft.ops.Caching.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -183,6 +183,20 @@ object DataGen {
     * the generation cost once — the caller owns the cache lifetime. */
   def ordersAndItems(spark: SparkSession, cfg: Config = Config(),
                      persistShared: Boolean = false): (DataFrame, DataFrame) = {
+    val (orders, items, _) = ordersItemsShared(spark, cfg, persistShared)
+    (orders, items)
+  }
+
+  /** [[ordersAndItems]] plus the shared scored-item frame BOTH outputs
+    * derive from, so a caller consuming both (e.g. [[writeCsvDataset]]) can
+    * persist-once and release exactly that frame afterwards instead of
+    * clearing the whole session cache. */
+  def ordersItemsShared(spark: SparkSession, cfg: Config = Config(),
+                        persistShared: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    // the item-count mix covers 6 basket sizes (generate_data.py:262); a
+    // wider configured range would silently zip away the extra sizes
+    require(cfg.maxItems - cfg.minItems + 1 <= 6,
+      s"item-count range [${cfg.minItems}, ${cfg.maxItems}] exceeds the 6-entry probability mix")
     val custs = customers(spark, cfg).select(
       col("customer_id"), col("signup_date"))
     val prods = products(spark, cfg).select(col("product_id"), col("price"))
@@ -215,9 +229,14 @@ object DataGen {
       .select(col("order_id"), posexplode(col("pids")).as(Seq("pos", "product_id")))
       .join(prods, Seq("product_id"))
       .select(col("order_id"), col("pos"), col("product_id"),
-        pick(cfg.seed, "qty", col("order_id") * 8 + col("pos"),
+        // per-line RNG key: stride by at least maxItems+1 so keys never
+        // collide across orders (8 preserved as the floor so default-config
+        // outputs are bit-stable with earlier releases)
+        pick(cfg.seed, "qty",
+          col("order_id") * math.max(8, cfg.maxItems + 1) + col("pos"),
           Seq("1", "2", "3"), Seq(0.80, 0.15, 0.05)).cast("int").as("quantity"),
-        pick(cfg.seed, "disc", col("order_id") * 8 + col("pos"),
+        pick(cfg.seed, "disc",
+          col("order_id") * math.max(8, cfg.maxItems + 1) + col("pos"),
           Seq("0.0", "0.05", "0.1"), Seq(0.90, 0.08, 0.02)).cast("double")
           .as("discount"),
         col("price"))
@@ -237,7 +256,7 @@ object DataGen {
     val orders = base.join(totals, Seq("order_id"))
       .select(col("order_id"), col("customer_id"), col("order_date"),
         col("total_amount"), col("payment_type"), col("status"))
-    (orders, orderItems)
+    (orders, orderItems, shared)
   }
 
   /** Write the full raw dataset as headered CSV directories + the metadata
@@ -256,14 +275,14 @@ object DataGen {
         .csv(s"$dir/$name.csv")
     csv(customers(spark, cfg), "customers")
     csv(products(spark, cfg), "products")
-    val (orders, items) = ordersAndItems(spark, cfg, persistShared = true)
+    val (orders, items, shared) = ordersItemsShared(spark, cfg, persistShared = true)
     try {
       csv(items, "order_items")
       csv(orders, "orders")
     } finally {
-      // the persistShared cache is internal to ordersAndItems; a dataset
-      // dump is a terminal utility, so a full cache clear is acceptable
-      spark.sharedState.cacheManager.clearCache()
+      // release exactly the cache this call created — unrelated caches the
+      // caller holds stay untouched
+      shared.unpersist(blocking = false)
     }
     Ingest.writeManifest(spark, s"$dir/metadata.json",
       Map("customers" -> cfg.nCustomers, "products" -> cfg.nProducts,

@@ -631,33 +631,36 @@ object Analytics {
 
   /** Bounded multi-hop reachability over the co-purchase graph via a
     * RECURSIVE CTE (Spark 4's WITH RECURSIVE — iterative UnionLoop
-    * execution, the declarative sibling of the GraphX Pregel in
+    * execution, the declarative sibling of the iterative min-label loop in
     * [[graft.ops.Graph.connectedComponents]]): starting from the smallest
     * part id in the edge set, expand undirected edges up to `maxHops`,
     * reporting each reached part's minimum hop distance. The hop bound
     * caps the path explosion (the recursion enumerates PATHS — Spark 4 has
     * no distinct-UNION recursion yet — and the final GROUP BY collapses
     * them), so keep it small on hub-heavy graphs: paths grow with the
-    * product of degrees along the walk. At scale prefer the Pregel form for
+    * product of degrees along the walk. At scale prefer the label-propagation form for
     * unbounded traversals, this form for small fixed-depth expansions
     * (recommendation neighborhoods, blast-radius queries).
     *
-    * CACHE LIFETIME: the UnionLoop re-reads the edge table every iteration
-    * (plus the seed subquery), so `pairs` is persisted here and the cached
-    * blocks live until the caller runs an action and then clears them
-    * (`df.unpersist()` is not reachable from the returned plan — use
-    * `spark.sharedState.cacheManager` / `spark.catalog.clearCache()` or let
-    * session teardown reclaim them). The temp view is per-call unique so
-    * concurrent invocations cannot collide; it is deliberately NOT dropped
-    * here — `dropTempView` uncaches every query referencing the view, which
-    * would evict the persist and make the UnionLoop recompute the pair
-    * derivation each iteration (measured 4.5x slower). The catalog entry is
-    * a name only; it dies with the session. */
+    * CACHE LIFETIME ([[graft.ops.Caching]] contract): the UnionLoop
+    * re-reads the edge table every iteration (plus the seed subquery), so
+    * `pairs` is persisted here, the view is registered over a flattened
+    * lineage leaf (so dropping it cannot cascade-evict the persist), and
+    * the RESULT is materialized eagerly — after which the view is dropped
+    * and the pairs persist released inside this call. The only surviving
+    * cache entry is the returned frame itself; release it with
+    * [[graft.ops.Caching.release]] when done. */
   def reachableParts(spark: org.apache.spark.sql.SparkSession,
                      pairs: DataFrame, maxHops: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val view = s"graft_reach_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    pairs.persist().createOrReplaceTempView(view)
-    spark.sql(
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // the view's plan is a LogicalRDD leaf reading p's cache — its catalog
+    // identity is disjoint from p's cache entry, so dropTempView's
+    // cascading uncache can't reach (and evict) the persist we still need
+    org.apache.spark.sql.GraftSqlBridge.flattenLineage(p)
+      .createOrReplaceTempView(view)
+    val res = spark.sql(
       s"""WITH RECURSIVE e AS (
          |  SELECT part_a AS src, part_b AS dst FROM $view
          |  UNION ALL
@@ -669,6 +672,11 @@ object Analytics {
          |  WHERE r.dist < $maxHops
          |)
          |SELECT part, min(dist) AS hops FROM r GROUP BY part""".stripMargin)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    res.count() // materialize while the pairs cache is alive
+    spark.catalog.dropTempView(view)
+    p.unpersist(blocking = false)
+    res
   }
 
   /** Lag-`lagDays` autocorrelation of the daily revenue series — the

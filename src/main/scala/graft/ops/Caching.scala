@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Explicit cache lifecycle for graft operators.
+  *
+  * A few operators are iterative or multi-consumer and must materialize
+  * intermediate state ([[Graph.connectedComponents]], [[Graph.triangleCount]],
+  * [[Analytics.reachableParts]]). Their contract is uniform:
+  *
+  *   - every persist they create lives in the SQL cache manager
+  *     (`Dataset.persist`) — never in raw RDD storage — so session-level
+  *     tooling (`spark.catalog.clearCache()`) can always reclaim it;
+  *   - all INTERMEDIATE persists are released inside the operator as soon as
+  *     their successor materializes;
+  *   - when the RESULT itself must stay cached (iterative lineage would
+  *     otherwise recompute the whole loop per action), the returned Dataset
+  *     is bound directly to that cache entry, and the caller releases it
+  *     with [[release]] when done — no hidden state, no footnotes.
+  */
+object Caching {
+
+  /** Release the cache entry backing an operator result. The operators
+    * documented above return Datasets that ARE their cache entry, so this
+    * reclaims everything the call created. Safe on never-persisted frames
+    * (no-op). */
+  def release(df: Dataset[_]): Unit = df.unpersist(blocking = false)
+
+  /** Session-wide reclaim: every SQL-cache entry AND every RDD-level
+    * persistent block (e.g. from caller-managed GraphX interop via
+    * [[Graph.toGraphX]]). Harness/bench hygiene between independent
+    * queries — not for use inside operators. */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+}

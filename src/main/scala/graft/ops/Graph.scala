@@ -87,23 +87,104 @@ object Graph {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
 
-  /** Connected components of a pair/edge table via GraphX (iterative Pregel
-    * label propagation — the built-in converges every vertex to the MINIMUM
-    * vertex id in its component, which is a deterministic canonical label).
-    * Input: two long columns naming the edge endpoints. Output: one row per
-    * vertex with its component id.
+  /** Connected components of a pair/edge table — DataFrame-native iterative
+    * min-label propagation with pointer jumping. Every vertex converges to
+    * the MINIMUM vertex id in its component (a deterministic canonical
+    * label, same contract as GraphX's built-in). Input: two long columns
+    * naming the edge endpoints. Output: one row per vertex with its
+    * component id.
     *
-    * Scale: GraphX partitions edges and iterates supersteps of local min +
-    * shuffle; rounds = graph diameter. This is the operator behind cluster-
-    * level dedup ([[graft.text.Dedup.dedupCorpus]] uses the same idea on the
-    * near-dup pair graph). */
+    * Each round does two hash-joins per vertex set: (1) neighbor-min —
+    * `label(v) := min(label(v), min over neighbors' labels)` — and
+    * (2) pointer jumping — `label(v) := label(label(v))` — which halves the
+    * label-forwarding chains so convergence is O(log diameter) rounds, not
+    * O(diameter) (the small-star contraction idea of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). All state is
+    * Dataset-level persists in the SQL cache manager: every intermediate
+    * round is unpersisted here as soon as its successor materializes, and
+    * the ONLY surviving cache entry is the returned frame itself, so
+    * `result.unpersist()` (or [[graft.ops.Caching.release]]) reclaims
+    * everything. No RDD-level blocks are created (the prior GraphX
+    * implementation leaked Pregel's internally-persisted vertex/edge/message
+    * RDDs, which `cacheManager.clearCache()` cannot reach).
+    *
+    * Scale: edges shuffle-partition on the join key each round; rounds are
+    * log-bounded, and `MEMORY_AND_DISK` persists make eviction-triggered
+    * lineage recomputation (the usual iterative-DAG hazard) a disk read
+    * instead of a cascade. This is the operator behind cluster-level dedup
+    * ([[graft.text.Dedup.dedupCorpus]] uses it on the near-dup pair graph). */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1))
-    val cc = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
-      .connectedComponents().vertices
-    spark.createDataFrame(cc).toDF("part", "component")
+    import org.apache.spark.storage.StorageLevel
+    val e0 = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // undirected closure: each edge in both orientations, self-loops and
+    // null endpoints dropped, deduped so multigraph inputs don't multiply
+    // the per-round join. Partitioned on `src` BEFORE caching so the cached
+    // partitioning satisfies every round's join requirement — the (large)
+    // edge side never re-shuffles; only the (small) label side moves.
+    // both orientations from ONE pass over the (possibly expensive) pair
+    // plan — a union of e0 with its swap would execute that plan twice
+    val edges = e0
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .na.drop().filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0 fused into init: label(v) = min(v, min neighbor). Near-dup
+    // components are mostly cliques (all pairs above threshold), which this
+    // single pass already converges — the loop then just confirms.
+    var assign = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("v"), least(col("src"), col("mn")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached: DataFrame = assign // the persisted frame backing `assign`
+    edges.count() // materialize once; every round re-reads it
+    // one propagation round over a (v, prev_c, component) frame: (1)
+    // neighbor-min message pass, then (2) pointer jumping — follow my
+    // label's own label (labels are always vertex ids within the same
+    // component, so the lookup is closed). `prev_c` rides through untouched
+    // so a multi-round chain can count changes against the chain's start.
+    def step(a: DataFrame): DataFrame = {
+      val lbl = a.select(col("v"), col("component"))
+      val nbrMin = edges
+        .join(lbl.select(col("v").as("src"), col("component").as("c")), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(min(col("c")).as("nbr"))
+      val stepped = a.select(col("v"), col("prev_c"), col("component"))
+        .join(nbrMin, Seq("v"), "left")
+        .select(col("v"), col("prev_c"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("mid"))
+      stepped.as("s")
+        .join(lbl.select(col("v").as("lv"), col("component").as("lc")).as("l"),
+          col("s.mid") === col("lv"), "left")
+        .select(col("s.v").as("v"), col("s.prev_c").as("prev_c"),
+          least(col("s.mid"), coalesce(col("lc"), col("s.mid"))).as("component"))
+    }
+    var changed = 1L
+    while (changed > 0) {
+      // exactly ONE round per materialization: chaining un-materialized
+      // rounds re-executes the earlier round's joins once per reference
+      // (Spark reuses only identical Exchanges, not arbitrary subplans —
+      // measured ~1.5x slower with two chained rounds per check)
+      val doubled = step(
+          assign.select(col("v"), col("component").as("prev_c"), col("component")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = doubled.filter(col("component") < col("prev_c")).count()
+      cached.unpersist(blocking = false) // successor is materialized
+      cached = doubled
+      // lineage reset: each round's logical plan references the previous
+      // round's plan three times, so WITHOUT this Catalyst re-analyzes an
+      // exponentially growing tree every round (measured: dominates the
+      // loop's wall clock). Execution still reads the round's cache.
+      assign = org.apache.spark.sql.GraftSqlBridge.flattenLineage(
+        doubled.select(col("v"), col("component")))
+    }
+    // rebind to a self-contained cache entry: the returned Dataset IS the
+    // persisted plan, so releasing it reclaims all storage this call created
+    val out = assign.toDF("part", "component").persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cached.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Frequent co-purchase TRIPLES (3-itemsets): baskets expand to their
@@ -145,21 +226,27 @@ object Graph {
     * (n_vertices, n_edges, n_triangles). */
   def triangleCount(edges: DataFrame, aCol: String = "part_a",
                     bCol: String = "part_b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     // three consumers (wedge join, edge count, vertex count) — persist so an
     // expensive upstream edge derivation (e.g. basket pair generation)
-    // materializes once, not three times; the caller's action populates it
-    // lazily and `unpersist` is the caller's choice (the driver contract
-    // clears the cache between queries)
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).persist()
+    // materializes once, not three times. [[Caching]] contract: the persist
+    // is released HERE after the 1-row census materializes; the returned
+    // frame is its own (single-row) cache entry.
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
     val tris = wedges.join(e.as("e3"),
       col("wa") === col("e3.a") && col("wc") === col("e3.b"), "left_semi")
     val verts = e.select(explode(array(col("a"), col("b"))).as("v"))
-    tris.agg(count(lit(1)).as("n_triangles"))
+    val out = tris.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(verts.agg(countDistinct(col("v")).as("n_vertices")))
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the edge cache is alive
+    e.unpersist(blocking = false)
+    out
   }
 
   /** GraphX interop: the purchase graph as Graph[VD, ED] for iterative

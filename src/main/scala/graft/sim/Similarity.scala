@@ -375,29 +375,88 @@ object Similarity {
     * scores with m table lookups — no original vectors are read, only the
     * m-byte codes. The classic memory-bound ANN scale path (IVF bounds the
     * candidates, PQ bounds the bytes; [[ivfTopK]] + this compose). */
-  def pqTopK(index: PQIndex, probes: DataFrame, k: Int): DataFrame = {
+  /** Probe-side ADC distance tables: (probe_id, dtab) where dtab[j][c] is
+    * the squared distance from the probe's j-th subvector to centroid c of
+    * codebook j — the per-probe precomputation every ADC consumer shares. */
+  private def adcProbes(index: PQIndex, probes: DataFrame): DataFrame = {
     val dtab = array((0 until index.m).map { j =>
       array(index.codebooks(j).toIndexedSeq.map(c =>
         subSqDist(col("pvec"), j * index.subDim, index.subDim, c)): _*)
     }: _*)
-    val p = probes
+    probes
       .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pvec"))
       .withColumn("dtab", dtab)
       .select("probe_id", "dtab")
-    // ADC sum unrolled over the statically-known m: a plain element_at chain
-    // stays inside whole-stage codegen, where an aggregate(sequence(...))
-    // HOF would run interpreted per (probe, vector) pair — the hot loop here
-    val adc = (1 to index.m).map(j =>
+  }
+
+  /** ADC lookup-sum over a row holding `dtab` and `codes`. Unrolled over
+    * the statically-known m: a plain element_at chain stays inside
+    * whole-stage codegen, where an aggregate(sequence(...)) HOF would run
+    * interpreted per (probe, vector) pair — the hot loop here. */
+  private def adcSum(m: Int): org.apache.spark.sql.Column =
+    (1 to m).map(j =>
       element_at(element_at(col("dtab"), j), element_at(col("codes"), j) + 1))
       .reduce(_ + _)
-    val scored = index.codes.crossJoin(broadcast(p))
+
+  /** Every (probe, corpus vector) ADC score — the shared scan under
+    * [[pqTopK]] and [[pqGate]]: codes ⨯ broadcast(probe tables), probe
+    * itself excluded. */
+  private def adcScored(index: PQIndex, probes: DataFrame): DataFrame =
+    index.codes.crossJoin(broadcast(adcProbes(index, probes)))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        adc.as("approx_dist"))
+        adcSum(index.m).as("approx_dist"))
+
+  def pqTopK(index: PQIndex, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(asc("approx_dist"), asc("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    adcScored(index, probes)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("probe_id", "neighbor_id", "approx_dist", "rn")
+  }
+
+  /** Combined recall@k + rank-quality gate from ONE ADC pass and NO
+    * ranking: each true neighbor's full-ranking position is
+    * `1 + count(codes scoring strictly better)` under the same
+    * deterministic (dist, id) order [[pqTopK]] sorts by, so a conditional
+    * aggregate over the scored stream replaces the per-probe
+    * corpus-sized sort/window a materialized ranking would need — and
+    * recall@k is just `rank <= k`. Returns the 1-row gate
+    * (n_probes, n_exact_pairs, recall_ok, rank_ok). */
+  def pqGate(index: PQIndex, probes: DataFrame, exact: DataFrame,
+             corpus: DataFrame, k: Int, minRecall: Double,
+             maxAvgRankFrac: Double): DataFrame = {
+    // ADC distance of each TRUE pair directly: semi-sized join of the code
+    // table against the (tiny) truth set — no corpus×probe scan needed here
+    val truthDist = index.codes
+      .join(broadcast(exact.select(col("probe_id"), col("neighbor_id"))),
+        col("vec_id") === col("neighbor_id"))
+      .join(broadcast(adcProbes(index, probes)), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id").as("true_id"),
+        adcSum(index.m).as("true_dist"))
+    // one pass over the scored stream: per truth pair, count strictly
+    // better (dist, id) entries; the truth row itself never counts
+    val better = adcScored(index, probes)
+      .join(broadcast(truthDist), Seq("probe_id"))
+      .filter(struct(col("approx_dist"), col("neighbor_id"))
+        < struct(col("true_dist"), col("true_id")))
+      .groupBy(col("probe_id"), col("true_id"))
+      .agg(count(lit(1)).as("n_better"))
+    val ranks = truthDist.join(better, Seq("probe_id", "true_id"), "left")
+      .select(col("probe_id"), col("true_id"),
+        (coalesce(col("n_better"), lit(0L)) + lit(1L)).as("rank"))
+    val n = corpus.agg(count(lit(1)).as("n_corpus"))
+    ranks.agg(
+        countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("n_exact_pairs"),
+        avg(col("rank").cast("double")).as("avg_rank"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as("n_hit"))
+      .crossJoin(broadcast(n)) // 1-row scalar gate
+      .select(col("n_probes"), col("n_exact_pairs"),
+        (col("n_hit").cast("double") / col("n_exact_pairs").cast("double")
+          >= minRecall).as("recall_ok"),
+        (col("avg_rank") <= col("n_corpus").cast("double") * maxAvgRankFrac)
+          .as("rank_ok"))
   }
 
   /** ZCA whitening transform: mean vector + whitening matrix

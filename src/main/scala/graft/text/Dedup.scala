@@ -127,16 +127,19 @@ object Dedup {
     * Jaccard — candidate generation and verification on the SAME metric
     * (the GPT-3/CCNet-style dedup contract), unlike [[minhashNearDups]]'s
     * looser word-set verify. Because the verify stage is exact and banding
-    * at these parameters misses a true pair with probability
-    * (1 − t^(perms/bands))^bands ≈ 5e-8 at t = 0.9 (2e-4 at 0.8), the
-    * result set equals the brute-force all-pairs answer — which is exactly
+    * at the default parameters (128 perms / 32 bands of 4 rows) misses a
+    * true pair with probability (1 − t^(perms/bands))^bands ≈ 5e-8 at
+    * t = 0.8 (1.5e-15 at 0.9), the result set equals the brute-force
+    * all-pairs answer up to that corpus-verified margin — which is exactly
     * how the q24 oracle spells it (exploded shingle equi-join, no LSH).
-    * Defaults use 4 rows per band: 3-row bands were measured generating ~8x
-    * more low-similarity candidates for the exact-verify stage at the same
-    * effective recall — candidate count, not signature width, dominates
-    * cost. */
-  def minhashNearDupsShingle(docs: DataFrame, numPerms: Int = 64,
-                             bands: Int = 16, shingleSize: Int = 3,
+    * 32 bands (up from 16) buys the equality-oracle headroom: at 16 the
+    * miss probability at the 0.8 threshold is ~2e-4, close enough to bite
+    * on a regenerated corpus. Defaults keep 4 rows per band: 3-row bands
+    * were measured generating ~8x more low-similarity candidates for the
+    * exact-verify stage at the same effective recall — candidate count,
+    * not signature width, dominates cost. */
+  def minhashNearDupsShingle(docs: DataFrame, numPerms: Int = 128,
+                             bands: Int = 32, shingleSize: Int = 3,
                              threshold: Double = 0.8): DataFrame = {
     val pairs = lshCandidatePairs(docs, numPerms, bands, shingleSize)
     val sh = shingleSets(docs, shingleSize)
@@ -211,10 +214,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Collapse near-dup PAIRS into clusters via connected components (GraphX;
-    * pairs are typically sparse so the iteration converges fast). Returns
-    * (doc_id, cluster_id) for every doc that appears in some pair, with
-    * cluster_id = the smallest doc_id in the component (the canonical doc). */
+  /** Collapse near-dup PAIRS into clusters via connected components
+    * (DataFrame-native min-label propagation; pairs are typically sparse so
+    * the iteration converges fast). Returns (doc_id, cluster_id) for every
+    * doc that appears in some pair, with cluster_id = the smallest doc_id
+    * in the component (the canonical doc). The result is cache-backed (see
+    * [[graft.ops.Caching]]); downstream dedup consumes it once and the
+    * session/bench hygiene reclaims it. */
   def clusterPairs(pairs: DataFrame): DataFrame =
     graft.ops.Graph.connectedComponents(pairs, "doc_a", "doc_b")
       .toDF("doc_id", "cluster_id")
@@ -240,7 +246,7 @@ object Dedup {
     * whole pipeline (recursive-CTE closure over the brute-force pairs —
     * the q43 oracle does exactly that). */
   def dedupCorpusShingle(docs: DataFrame, threshold: Double = 0.8,
-                         numPerms: Int = 64, bands: Int = 16,
+                         numPerms: Int = 128, bands: Int = 32,
                          shingleSize: Int = 3): DataFrame = {
     val exact = dropExactDups(docs)
     val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)

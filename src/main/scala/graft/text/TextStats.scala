@@ -353,24 +353,31 @@ object TextStats {
     *  - bigram extraction explodes POSITIONS and takes one codegen'd
     *    `substring` per row — a per-char `transform` lambda building the
     *    same strings runs interpreted and measured ~100x slower on long
-    *    documents.
+    *    documents;
+    *  - the exploded stream collapses to per-(doc, bigram) COUNTS first,
+    *    and both the model branch and the scoring branch read that SAME
+    *    aggregate: the two subtrees are structurally identical up to their
+    *    shuffle, so ReuseExchange materializes the explode+substring scan
+    *    exactly once — no second corpus pass, no persist, fully lazy.
     * Documents shorter than 2 characters have no bigrams and drop out. */
   def charBigramLogScore(docs: DataFrame): DataFrame = {
-    val bigrams = docs
+    val counts = docs
       .select(col("doc_id"), normalize(col("text")).as("t"))
       .filter(length(col("t")) >= 2) // sequence(1, n) REVERSES when n < 1
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - 1)).as("i"))
       .select(col("doc_id"), expr("substring(t, i, 2)").as("bg"))
-    val model = bigrams.groupBy("bg").agg(count(lit(1)).as("n_bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+    val model = counts.groupBy("bg").agg(sum("n").as("n_bg"))
     val total = model.agg(sum("n_bg").as("n_total"))
     val costed = model.crossJoin(broadcast(total)) // 1-row scalar gate
       .select(col("bg"),
         floor(-log(col("n_bg").cast("double") / col("n_total").cast("double"))
           * lit(1000000.0) + lit(0.5)).cast("long").as("micronats"))
-    bigrams.join(broadcast(costed), Seq("bg"))
+    counts.join(broadcast(costed), Seq("bg"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("micronats").as("sum_micronats"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("micronats")).as("sum_micronats"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_micronats").cast("double") /
           (col("n_bigrams").cast("double") * lit(1000000.0)), 6)
@@ -419,15 +426,22 @@ object TextStats {
     val totals = tok.agg(sum("ne").as("tne"), sum("nt").as("tnt"))
     val terms = tok.crossJoin(broadcast(totals)) // 1-row scalar gate
       .select(col("ne"), col("nt"), col("tne"), col("tnt"),
-        // ln(p/m) and ln(q/m) as micronat integers; p/m and q/m are exact
-        // integer ratios: p/m = 2*ne*tnt / (ne*tnt + nt*tne)
+        // ln(p/m) and ln(q/m) as micronat integers; p/m = 2·ne·tnt /
+        // (ne·tnt + nt·tne), with every product formed in DOUBLES — int64
+        // products of count×total silently wrap at trillion-token scale
+        // (and hard-error in ANSI engines). The oracle SQL casts before
+        // multiplying identically, so both engines run the same IEEE ops.
         when(col("ne") > 0, col("ne") *
-          floor(log(lit(2.0) * (col("ne") * col("tnt")).cast("double") /
-            (col("ne") * col("tnt") + col("nt") * col("tne")).cast("double"))
+          floor(log(lit(2.0) *
+              (col("ne").cast("double") * col("tnt").cast("double")) /
+            (col("ne").cast("double") * col("tnt").cast("double")
+              + col("nt").cast("double") * col("tne").cast("double")))
             * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(0L).as("se"),
         when(col("nt") > 0, col("nt") *
-          floor(log(lit(2.0) * (col("nt") * col("tne")).cast("double") /
-            (col("ne") * col("tnt") + col("nt") * col("tne")).cast("double"))
+          floor(log(lit(2.0) *
+              (col("nt").cast("double") * col("tne").cast("double")) /
+            (col("ne").cast("double") * col("tnt").cast("double")
+              + col("nt").cast("double") * col("tne").cast("double")))
             * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(0L).as("st"))
     terms.groupBy("tne", "tnt")
       .agg(sum("se").as("sume"), sum("st").as("sumt"),
