@@ -901,7 +901,23 @@ object SparkEntry {
     // pipeline computes exactly what it claims ---
     "q169_refinery_e2e" -> ((s, d) =>
       graft.text.Refinery.refine(t(s, d, "documents"),
-        graft.text.Refinery.Config(shingleVerify = true))))
+        graft.text.Refinery.Config(shingleVerify = true))),
+    // --- per-user daily admission quota (§2.10): the batch twin of
+    // streamingPerUserQuota (Spark 4 transformWithState + MapState) —
+    // EventsSpec pins streaming == batch; this oracle-checks the batch
+    // semantics, closing the loop on the arbitrary-state path ---
+    "q171_quota_admission" -> ((s, d) =>
+      Events.perUserQuotaBatch(Tables.events(s, d), maxPerDay = 5)),
+    // --- whitening composed with the quantizer it preconditions [ext]:
+    // whitenFit -> whitenTransform (corpus AND probes, same fit) ->
+    // ivfBuild/ivfTopK, recall@3 vs raw-space brute-force truth gated
+    // against the unwhitened index's recall (near-isotropic corpus => ties;
+    // the anisotropic win is pinned in SimilaritySpec) ---
+    "q170_whitened_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.whitenedRecallGate(emb, emb.filter(col("vec_id") < 20),
+        k = 3, nLists = 16, nProbe = 4, tol = 0.1)
+    }))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1183,10 +1199,17 @@ object SparkEntry {
         "CAST(ws AS TIMESTAMP) + INTERVAL 10 MINUTE AS window_end, " +
         s"count(*) AS n_events, ${money.r2Sql("sum(value)")} AS sum_value " +
         "FROM w GROUP BY ws"),
+    // the Spark side PARSES these values back out of real PNG/WAV/AVI
+    // container bytes (fixed-offset header fields, pure binary
+    // expressions); the oracle recomputes what the fixture planted
     "q32_media_stats" ->
-      ("SELECT doc_id, CAST(16 + (n_chars % 64) * 4 AS INTEGER) AS width, " +
-        "CAST(16 + ((n_chars * 7) % 48) * 4 AS INTEGER) AS height, " +
-        "CAST(1 + (doc_id % 5) AS BIGINT) AS n_frames, " +
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END AS format, " +
+        "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE CAST(16 + (n_chars % 64) * 4 AS INTEGER) END AS img_width, " +
+        "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE CAST(16 + ((n_chars * 7) % 48) * 4 AS INTEGER) END AS img_height, " +
+        "CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 5 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_frames, " +
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) END AS sample_rate, " +
+        "CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels, " +
         "CAST(strlen(text) AS BIGINT) AS payload_bytes FROM documents"),
     "q33_copurchase_pairs" ->
       ("SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_together " +
@@ -1308,11 +1331,14 @@ object SparkEntry {
     "q58_parts_not_shipped" ->
       ("SELECT p_partkey, p_type FROM part WHERE p_partkey NOT IN " +
         "(SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998 AND month(l_shipdate) = 1)"),
-    // frames per doc = 1 + doc_id % 5 (Multimodal.syntheticMediaFromDocs);
-    // keeping frame_idx % 2 == 0 over 0..frames-1 leaves ceil(frames/2)
+    // keeping frame_idx % 2 == 0 over 0..frames-1 leaves ceil(frames/2);
+    // only AVI containers carry dwTotalFrames (= 1 + doc_id % 5) > 1;
+    // png/wav decode to one frame (frame_idx 0)
     "q59_frame_sample" ->
-      ("SELECT doc_id, CAST(floor((1 + doc_id % 5 + 1) / 2) AS BIGINT) AS n_sampled_frames, " +
-        "CAST(floor((doc_id % 5) / 2) * 2 AS INTEGER) AS max_frame_idx FROM documents"),
+      ("SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 2 THEN CAST(floor((doc_id % 5) / 2) + 1 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_sampled_frames, " +
+        "CASE WHEN doc_id % 3 = 2 THEN CAST(floor((doc_id % 5) / 2) * 2 AS INTEGER) ELSE CAST(0 AS INTEGER) END AS max_frame_idx " +
+        "FROM documents"),
     "q60_value_range_pairs" ->
       ("SELECT a.event_id AS a_id, count(*) AS n_close FROM events a JOIN events b " +
         "ON a.event_id < 50 AND a.event_id != b.event_id AND abs(a.value - b.value) <= 0.25 " +
@@ -2141,6 +2167,21 @@ object SparkEntry {
     "q166_whitening_gate" ->
       ("SELECT count(*) AS n_vectors, CAST(max(len(embedding)) AS INTEGER) AS dim, " +
         "TRUE AS diag_ok, TRUE AS offdiag_ok FROM embeddings"),
+    // quota admission is a plain (user, day) rank — any engine replays it;
+    // ties are only between fully-identical rows, so the kept multiset is
+    // deterministic even where row_number's tiebreak is not
+    "q171_quota_admission" ->
+      ("WITH r AS (SELECT user_id, " +
+        "CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS epoch_day, ts, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) " +
+        "ORDER BY ts, event_type) AS admitted_rank FROM events) " +
+        "SELECT user_id, epoch_day, ts, event_type, CAST(admitted_rank AS BIGINT) AS admitted_rank " +
+        "FROM r WHERE admitted_rank <= 5"),
+    // whitened-vs-raw IVF recall: anchors any engine can count; the
+    // comparison bound is pinned TRUE (quantizer internals engine-specific)
+    "q170_whitened_ivf" ->
+      ("SELECT count(*) AS n_probes, CAST(3 * count(*) AS BIGINT) AS n_exact_pairs, " +
+        "TRUE AS whiten_ok FROM embeddings WHERE vec_id < 20"),
     // BPE merges are algorithm-internal; the oracle counts the anchors and
     // pins the segmentation invariants
     "q167_bpe_gate" ->

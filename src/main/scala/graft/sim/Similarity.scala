@@ -607,6 +607,54 @@ object Similarity {
         (col("offdiag_err") <= tol).as("offdiag_ok"))
   }
 
+  /** 1-row (n_probes, n_pairs, n_hit): how many exact truth pairs the
+    * approx result recovered. One pass over each input. */
+  private def recallCounts(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(approx.select(col("probe_id"), col("neighbor_id"),
+        lit(1L).as("h")), Seq("probe_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("h"), lit(0L))).as("n_hit"))
+
+  /** END-TO-END whitening⇄ANN composition gate — the proof that the
+    * [[whitenFit]]/[[whitenTransform]] preconditioner composes with the
+    * quantizer it exists for. Adopting whitening means adopting the
+    * whitened (Mahalanobis) metric as the retrieval metric, so each
+    * pipeline is judged SELF-CONSISTENTLY: the whitened index against
+    * brute-force truth in the whitened space (probes transformed with the
+    * SAME fit — index-time and query-time preprocessing must match), the
+    * raw index against raw-space truth. Passes iff the whitened pipeline's
+    * recall@k ≥ the raw pipeline's recall@k − `tol`: the preconditioner
+    * must not degrade how well the quantizer retrieves the metric's own
+    * true neighbors (comparing the whitened index against RAW-metric truth
+    * would instead measure the metric change itself — whitening on
+    * anisotropic data reorders neighbors by design). Near-isotropic
+    * corpora tie; the anisotropic case is pinned in SimilaritySpec. Cost
+    * is definitional — two index builds plus two probe-bounded exact truth
+    * passes. */
+  def whitenedRecallGate(corpus: DataFrame, probes: DataFrame, k: Int = 3,
+                         nLists: Int = 16, nProbe: Int = 4,
+                         tol: Double = 0.1): DataFrame = {
+    val wh = whitenFit(corpus)
+    val wCorpus = whitenTransform(corpus, wh)
+      .withColumnRenamed("w_embedding", "embedding")
+    val wProbes = wCorpus
+      .join(broadcast(probes.select("vec_id")), Seq("vec_id"), "left_semi")
+    val wCounts = recallCounts(
+      bruteForceTopK(wCorpus, wProbes, k),
+      ivfTopK(ivfBuild(wCorpus, nLists), wProbes, k, nProbe))
+    val rCounts = recallCounts(
+      bruteForceTopK(corpus, probes, k),
+      ivfTopK(ivfBuild(corpus, nLists), probes, k, nProbe))
+    rCounts // 1-row scalar gate
+      .crossJoin(broadcast(wCounts.select(col("n_hit").as("n_hit_w"))))
+      .select(col("n_probes"), col("n_pairs").as("n_exact_pairs"),
+        ((col("n_hit_w").cast("double") + lit(tol) *
+          col("n_pairs").cast("double")) >=
+          col("n_hit").cast("double")).as("whiten_ok"))
+  }
+
   /** Scalar recall gate for an approximate top-k result against the exact
     * brute-force truth (both computed in-query — at verification scale the
     * exact pass is affordable; at 100 TB you gate on a probe sample the same

@@ -52,8 +52,54 @@ class MultimodalSpec extends SparkSpec {
   test("mediaStats is derivable from doc columns alone (oracle contract)") {
     val stats = Multimodal.mediaStats(spark, docs)
     val joined = stats.join(docs, Seq("doc_id"))
-      .filter(col("width") =!= lit(16) + (col("n_chars") % 64) * 4 ||
-        col("n_frames") =!= lit(1) + (col("doc_id") % 5))
+      .filter(
+        (col("doc_id") % 3 =!= 1 &&
+          (col("img_width") =!= lit(16) + (col("n_chars") % 64) * 4 ||
+            col("img_height") =!= lit(16) + ((col("n_chars") * 7) % 48) * 4)) ||
+        (col("doc_id") % 3 === 2 && col("n_frames") =!= lit(1) + (col("doc_id") % 5)) ||
+        (col("doc_id") % 3 =!= 2 && col("n_frames") =!= 1) ||
+        (col("doc_id") % 3 === 1 &&
+          (col("sample_rate") =!= lit(8000) + (col("doc_id") % 5) * 8000 ||
+            col("channels") =!= lit(1) + (col("doc_id") % 2))))
     assert(joined.count() === 0)
+    val fmts = stats.groupBy("format").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fmts.keySet === Set("png", "wav", "avi"))
+  }
+
+  test("binaryMediaMeta parses a GENUINE png plus gif/jpeg magic layouts") {
+    import spark.implicits._
+    // a real, complete 1x1 transparent PNG (the canonical minimal file)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 2, 0, 0, 0, 0) // 3x2 logical screen, LE u16
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes("US-ASCII")
+    val out = Multimodal.binaryMediaMeta(
+        Seq((1L, png), (2L, gif), (3L, jpeg)).toDF("media_id", "payload"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[String]("format") === "png")
+    assert(out(1L).getAs[Int]("img_width") === 1)
+    assert(out(1L).getAs[Int]("img_height") === 1)
+    assert(out(2L).getAs[String]("format") === "gif")
+    assert(out(2L).getAs[Int]("img_width") === 3)
+    assert(out(2L).getAs[Int]("img_height") === 2)
+    assert(out(3L).getAs[String]("format") === "jpeg")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("img_width")))
+  }
+
+  test("binaryMediaMeta round-trips the synthetic wav/avi containers") {
+    val parsed = Multimodal.binaryMediaMeta(
+      media.toDF().withColumnRenamed("n_frames", "declared_frames"))
+    val bad = parsed.filter(
+      (col("kind") === "image" && (col("format") =!= "png" ||
+        col("img_width") =!= col("width"))) ||
+      (col("kind") === "audio" && col("format") =!= "wav") ||
+      (col("kind") === "video" && (col("format") =!= "avi" ||
+        col("img_width") =!= col("width") || col("img_height") =!= col("height") ||
+        col("n_frames") =!= col("declared_frames"))))
+    assert(bad.count() === 0)
+    assert(parsed.filter(col("format") === "unknown").count() === 0)
   }
 }

@@ -50,7 +50,10 @@ class PlanLintSpec extends SparkSpec {
     // drift terms ride the 1-row (tne, tnt) totals scalar into the vocab
     "q165_split_drift",
     // whitening gate joins the 1-row error maxima into the 1-row anchors
-    "q166_whitening_gate")
+    "q166_whitening_gate",
+    // whitened-vs-raw recall gate: TWO brute-force truth passes (the
+    // operator's definition, like q29/q40/q153) + a 1-row counts cross join
+    "q170_whitened_ivf")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -141,4 +141,24 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("whitenedRecallGate: whitened IVF keeps recall on anisotropic data") {
+    // one dominant direction 40x the rest: raw IVF cells split along it and
+    // starve the informative dimensions; whitening rescales them level
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val vecs = (1L to 400L).map { i =>
+      val base = Array.tabulate(dim)(_ => rnd.nextGaussian().toFloat)
+      base(0) = (rnd.nextGaussian() * 40.0).toFloat
+      Vec(i, base, (i % 4L).toInt)
+    }
+    val d = df(vecs)
+    val probes = d.filter(col("vec_id") <= 10)
+    val out = Similarity.whitenedRecallGate(d, probes,
+      k = 3, nLists = 8, nProbe = 2, tol = 0.1).collect()(0)
+    assert(out.getAs[Long]("n_probes") === 10L)
+    assert(out.getAs[Long]("n_exact_pairs") === 30L)
+    assert(out.getAs[Boolean]("whiten_ok"),
+      "whitened recall fell more than tol below unwhitened recall")
+  }
 }
