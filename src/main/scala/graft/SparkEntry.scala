@@ -917,7 +917,23 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.whitenedRecallGate(emb, emb.filter(col("vec_id") < 20),
         k = 3, nLists = 16, nProbe = 4, tol = 0.1)
-    }))
+    }),
+    // --- benchmark decontamination [ext]: docs hash-split into a small
+    // "benchmark" slice and the training rest; bench 4-gram hashes
+    // broadcast, the train side is checked map-only (GPT-3 appendix-C
+    // contract: one shared n-gram flags the document) ---
+    "q172_decontamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Decontam.contaminationReport(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0), n = 4)
+    }),
+    // --- corpus-frequent boilerplate score [ext]: n-gram doc-frequency
+    // map-side-combined on 64-bit hashes, frequent set broadcast back,
+    // per-doc boilerplate ratio (C4/CCNet most-common-paragraphs adapted) ---
+    "q173_boilerplate" -> ((s, d) =>
+      graft.text.Decontam.boilerplateRatio(t(s, d, "documents"),
+        n = 3, minDocs = 5)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2182,6 +2198,29 @@ object SparkEntry {
     "q170_whitened_ivf" ->
       ("SELECT count(*) AS n_probes, CAST(3 * count(*) AS BIGINT) AS n_exact_pairs, " +
         "TRUE AS whiten_ok FROM embeddings WHERE vec_id < 20"),
+    // full declarative replay of the broadcast n-gram decontamination:
+    // distinct 5-grams per doc, bench slice's gram set, left-join count
+    "q172_decontamination" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "g4 AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(len(toks) - 3), i -> array_to_string(toks[i+1:i+4], ' ')) END AS gs FROM t), " +
+        "e AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM g4), " +
+        "b AS (SELECT DISTINCT g FROM e WHERE doc_id % 37 = 0) " +
+        "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(count(b.g) AS BIGINT) AS n_contaminated, " +
+        "CAST(count(b.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination_ratio, " +
+        "count(b.g) > 0 AS is_contaminated " +
+        "FROM e LEFT JOIN b ON e.g = b.g WHERE e.doc_id % 37 <> 0 GROUP BY e.doc_id"),
+    // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
+    // distinct (doc, gram) rows, frequent set left-joined back per doc
+    "q173_boilerplate" ->
+      (s"WITH ${shingleCtes("documents")}, " +
+        "dfq AS (SELECT g, count(*) AS nd FROM e GROUP BY 1), " +
+        "bl AS (SELECT g FROM dfq WHERE nd >= 5) " +
+        "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams, " +
+        "CAST(count(bl.g) AS BIGINT) AS n_boiler, " +
+        "CAST(count(bl.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio " +
+        "FROM e LEFT JOIN bl ON e.g = bl.g GROUP BY e.doc_id"),
     // BPE merges are algorithm-internal; the oracle counts the anchors and
     // pins the segmentation invariants
     "q167_bpe_gate" ->

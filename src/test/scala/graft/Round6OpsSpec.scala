@@ -62,6 +62,92 @@ class Round6OpsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  private def doc(id: Long, text: String) =
+    Doc(id, text, "en", "src0", text.length.toLong)
+
+  test("contaminationReport flags exactly the docs sharing an n-gram") {
+    val bench = df(Seq(doc(100, "alpha beta gamma delta epsilon zeta")))
+    val train = df(Seq(
+      doc(1, "prefix words then alpha beta gamma delta inline tail"), // shares the 4-gram
+      doc(2, "completely different tokens with no shared span at all"),
+      doc(3, "alpha beta gamma delta epsilon zeta")))                 // exact copy
+    val rep = graft.text.Decontam.contaminationReport(train, bench, n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rep(1L).getAs[Boolean]("is_contaminated"))
+    assert(rep(1L).getAs[Long]("n_contaminated") === 1L) // only the one 4-gram
+    assert(!rep(2L).getAs[Boolean]("is_contaminated"))
+    assert(rep(2L).getAs[Double]("contamination_ratio") === 0.0)
+    assert(rep(3L).getAs[Boolean]("is_contaminated"))
+    assert(rep(3L).getAs[Long]("n_contaminated") ===
+      rep(3L).getAs[Long]("n_ngrams")) // every gram of the copy is in bench
+    val kept = graft.text.Decontam.decontaminate(train, bench, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L))
+  }
+
+  test("boilerplateRatio scores planted boilerplate, clean docs at zero") {
+    val chrome = "subscribe to our newsletter"
+    val docs = df((1L to 8L).map(i =>
+      doc(i, s"unique body $i with its own words $i $i then $chrome")) :+
+      doc(9, "a clean document with entirely original phrasing throughout"))
+    val rep = graft.text.Decontam.boilerplateRatio(docs, n = 3, minDocs = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1L to 8L).foreach { i =>
+      assert(rep(i).getAs[Long]("n_boiler") >= 2L, s"doc $i") // the chrome 3-grams
+      assert(rep(i).getAs[Double]("boiler_ratio") > 0.0)
+    }
+    assert(rep(9L).getAs[Long]("n_boiler") === 0L)
+    assert(rep(9L).getAs[Double]("boiler_ratio") === 0.0)
+    val frequent = graft.text.Decontam.boilerplateNgrams(docs, n = 3, minDocs = 5)
+      .collect().map(_.getString(0)).toSet
+    // both chrome 3-grams survive the frequency cut; nothing unique does
+    assert(frequent.contains("subscribe to our") &&
+      frequent.contains("to our newsletter"))
+    assert(!frequent.exists(_.contains("unique")))
+  }
+
+  test("banded minhash equals brute force on reseeded near-threshold corpora") {
+    // the q24/q43/q169 oracles assert LSH == brute force; this pins that
+    // equality on REGENERATED corpora with many pairs near the 0.8
+    // threshold (the driver can reseed testdata between rounds). At the
+    // default 128 perms / 32 bands the per-pair miss probability at
+    // j = 0.8 is ~5e-8 — hundreds of planted pairs over several seeds
+    // stay comfortably below any flake risk.
+    val vocab = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "window", "order",
+      "data", "column", "join", "small", "line", "customer", "query", "big",
+      "the", "sort", "group", "stream", "filter", "vector", "a")
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 60).flatMap { fam =>
+        val len = 20 + rnd.nextInt(40)
+        val base = Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        val variants = (0 until 1 + rnd.nextInt(2)).map { v =>
+          val nMut = 1 + rnd.nextInt(4)
+          val mutated = (0 until nMut).foldLeft(base) { (b, _) =>
+            b.updated(rnd.nextInt(len), vocab(rnd.nextInt(vocab.size)))
+          }
+          doc(fam * 10L + v + 1L, mutated.mkString(" "))
+        }
+        doc(fam * 10L, base.mkString(" ")) +: variants
+      }
+      val d = df(docs)
+      val got = graft.text.Dedup.minhashNearDupsShingle(d, threshold = 0.8)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = graft.text.Dedup.shingleSets(d)
+      val brute = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          size(array_intersect(col("x.s"), col("y.s"))).cast("double").as("i"),
+          (size(col("x.s")) + size(col("y.s"))).cast("double").as("ab"))
+        .filter(when(col("ab") - col("i") === 0, lit(1.0))
+          .otherwise(col("i") / (col("ab") - col("i"))) >= 0.8)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(brute.nonEmpty, s"seed $seed planted no near-dup pairs")
+      assert(got === brute, s"seed $seed: banded != brute force")
+    }
+  }
+
   test("triangleCount releases its edge cache after materializing") {
     graft.ops.Caching.releaseAll(spark)
     val edges = df(Seq(R5Pair(1, 2), R5Pair(2, 3), R5Pair(1, 3), R5Pair(3, 4)))
