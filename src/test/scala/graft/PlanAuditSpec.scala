@@ -216,4 +216,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"whitening must not shuffle:\n${plan.take(600)}")
   }
+
+  test("decontamination broadcasts the bench grams; corpus side map-only") {
+    val plan = executedPlan("q172_decontamination")
+    // the contamination check must be a broadcast join (bench = MBs,
+    // corpus = TBs), never a shuffled join of the corpus grams
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set should broadcast:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus grams must not sort-merge against the bench set")
+    // the only hash-exchange is the final per-doc (doc_id, longs) aggregate
+    assert(shuffles(plan) <= 2, s"expected <=2 shuffles:\n${plan.take(600)}")
+  }
+
+  test("boilerplate score joins hashes, broadcasts the frequent set") {
+    val plan = executedPlan("q173_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frequent set should broadcast back:\n${plan.take(600)}")
+    assert(plan.contains("partial_count"),
+      "doc-frequency count must combine map-side")
+    assert(plan.contains("xxhash64"),
+      "grams must reduce to 64-bit hashes before any shuffle")
+  }
 }
