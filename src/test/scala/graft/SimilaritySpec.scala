@@ -142,6 +142,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("whitening composes with PQ: whitened-space recall holds") {
+    // same anisotropic shape as the IVF test: PQ subspaces containing the
+    // dominant raw direction would spend their codebook on it; whitening
+    // levels the variance before the split. Each pipeline is judged
+    // self-consistently (index and truth in the same metric space).
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val vecs = (1L to 400L).map { i =>
+      val base = Array.tabulate(dim)(_ => rnd.nextGaussian().toFloat)
+      base(0) = (rnd.nextGaussian() * 40.0).toFloat
+      Vec(i, base, (i % 4L).toInt)
+    }
+    val d = df(vecs)
+    val probeIds = d.filter(col("vec_id") <= 10).select("vec_id")
+    def recallAt3(corpus: org.apache.spark.sql.DataFrame): Long = {
+      val probes = corpus.join(broadcast(probeIds), Seq("vec_id"), "left_semi")
+      val exact = Similarity.bruteForceTopK(corpus, probes, 3)
+      val approx = Similarity.pqTopK(
+        Similarity.pqBuild(corpus, m = 4, codesPerSub = 16), probes, 3)
+      exact.select("probe_id", "neighbor_id")
+        .join(approx.select("probe_id", "neighbor_id"),
+          Seq("probe_id", "neighbor_id"), "left_semi").count()
+    }
+    val wh = Similarity.whitenFit(d)
+    val whitened = Similarity.whitenTransform(d, wh)
+      .withColumnRenamed("w_embedding", "embedding")
+    val rawHits = recallAt3(d)
+    val whitenedHits = recallAt3(whitened)
+    assert(whitenedHits >= rawHits - 3, // tol = 0.1 of the 30 exact pairs
+      s"whitened PQ recall $whitenedHits fell below raw $rawHits - tol")
+  }
+
   test("whitenedRecallGate: whitened IVF keeps recall on anisotropic data") {
     // one dominant direction 40x the rest: raw IVF cells split along it and
     // starve the informative dimensions; whitening rescales them level
