@@ -933,7 +933,15 @@ object SparkEntry {
     // per-doc boilerplate ratio (C4/CCNet most-common-paragraphs adapted) ---
     "q173_boilerplate" -> ((s, d) =>
       graft.text.Decontam.boilerplateRatio(t(s, d, "documents"),
-        n = 3, minDocs = 5)))
+        n = 3, minDocs = 5)),
+    // --- exactly-replayable PageRank [ext]: fixed-point long arithmetic
+    // makes the power iteration order-independent (long sums commute
+    // exactly), so the oracle unrolls the same 4 rounds declaratively and
+    // the result hash-matches — a determinism contract float PageRank
+    // cannot offer ---
+    "q174_pagerank" -> ((s, d) =>
+      Graph.pageRankInt(Graph.coPurchasePairs(t(s, d, "lineitem"), minCount = 3),
+        "part_a", "part_b", iters = 4)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2221,6 +2229,26 @@ object SparkEntry {
         "CAST(count(bl.g) AS BIGINT) AS n_boiler, " +
         "CAST(count(bl.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio " +
         "FROM e LEFT JOIN bl ON e.g = bl.g GROUP BY e.doc_id"),
+    // integer-PageRank replay: the q76 co-purchase edge spelling, then the
+    // four damped power-iteration rounds unrolled with the SAME fixed-point
+    // long ops (// is DuckDB integer division; sums widen to HUGEINT and
+    // cast back losslessly)
+    "q174_pagerank" -> {
+      val rounds = (1 to 4).map { i =>
+        s"r$i AS (SELECT b.v, b.outdeg, " +
+          "CAST(150000 + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank " +
+          "FROM base b LEFT JOIN (SELECT e.dst AS v, sum(r.rank // r.outdeg) AS in_sum " +
+          s"FROM e JOIN r${i - 1} r ON e.src = r.v GROUP BY 1) s ON b.v = s.v)"
+      }.mkString(", ")
+      "WITH p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "e AS (SELECT part_a AS src, part_b AS dst FROM p UNION ALL SELECT part_b, part_a FROM p), " +
+        "base AS (SELECT src AS v, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT v, outdeg, CAST(1000000 AS BIGINT) AS rank FROM base), " +
+        rounds +
+        " SELECT v AS part, rank AS rank_micro FROM r4"
+    },
     // BPE merges are algorithm-internal; the oracle counts the anchors and
     // pins the segmentation invariants
     "q167_bpe_gate" ->

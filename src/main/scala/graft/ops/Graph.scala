@@ -187,6 +187,66 @@ object Graph {
     out
   }
 
+  /** Integer PageRank over an undirected pair/edge table — power iteration
+    * in EXACT long arithmetic so the result is deterministic and
+    * cross-engine replayable: ranks live in fixed-point units of
+    * 1/`scale`, each round a vertex sends `rank div outdeg` to every
+    * neighbor, and `rank' = (15·scale) div 100 + (85·Σ incoming) div 100`
+    * (the Brin–Page damped form; the undirected closure gives every vertex
+    * outdeg ≥ 1, so there is no dangling mass to redistribute). Long sums
+    * are associative and commutative EXACTLY — unlike floating-point
+    * PageRank, partition order cannot perturb low bits, which is what lets
+    * a SQL oracle replay the whole iteration hash-identically (the q174
+    * gate unrolls it declaratively). Truncation loses < outdeg/scale of a
+    * vertex's relative mass per round — at the default micro-unit scale,
+    * noise ~1e-6, far below any ranking use.
+    *
+    * Scale shape: the edge set is materialized once, partitioned on `src`,
+    * and every round re-reads that cache; one round = one vertex-sized
+    * shuffle of (dst, share) with map-side combine + one vertex-sized
+    * left join. The `iters` rounds chain LAZILY into a single action —
+    * each round references its predecessor exactly once, so the plan is
+    * linear in `iters` and nothing intermediate is persisted. Overflow
+    * headroom: total mass ≈ scale·|V|, so 85·Σ stays under Long.Max up to
+    * ~10^11 vertices at the default scale. Cache contract as
+    * [[connectedComponents]]: the returned frame is the only surviving
+    * entry; releasing it reclaims everything. */
+  def pageRankInt(pairs: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int = 4, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e0 = pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val edges = e0
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .na.drop().filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val base = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count() // iters+1 lazy references; fill the cache once, not racily
+    var r = base.select(col("v"), col("outdeg"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val inSum = edges
+        .join(r.select(col("v").as("src"),
+          expr("rank div outdeg").as("share")), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(sum(col("share")).as("in_sum"))
+      r = base.join(inSum, Seq("v"), "left")
+        .select(col("v"), col("outdeg"),
+          (lit(15L * scale / 100L) +
+            expr(s"(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+    }
+    val out = r.select(col("v").as("part"), col("rank").as("rank_micro"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Frequent co-purchase TRIPLES (3-itemsets): baskets expand to their
     * C(k,3) increasing part triples inside one higher-order expression
     * (join-free, same pattern as [[coPurchasePairs]]), then one hash

@@ -148,6 +148,30 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("pageRankInt matches the hand-computed star graph, releases caches") {
+    graft.ops.Caching.releaseAll(spark)
+    // star: 1-2, 1-3, 1-4. r0 = 1e6 everywhere. Round 1:
+    //   share(1) = 1e6 div 3 = 333333; share(leaf) = 1e6
+    //   rank(1)    = 150000 + (85 * 3e6)    div 100 = 2700000
+    //   rank(leaf) = 150000 + (85 * 333333) div 100 = 433333
+    val pairs = df(Seq(R5Pair(1, 2), R5Pair(1, 3), R5Pair(1, 4)))
+    val r1 = graft.ops.Graph.pageRankInt(pairs, "probe_id", "neighbor_id",
+      iters = 1)
+    val m1 = r1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 === Map(1L -> 2700000L, 2L -> 433333L, 3L -> 433333L, 4L -> 433333L))
+    graft.ops.Caching.release(r1)
+    val r4 = graft.ops.Graph.pageRankInt(pairs, "probe_id", "neighbor_id",
+      iters = 4)
+    val m4 = r4.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // center keeps dominating; total mass stays near scale * |V| (truncation
+    // only sheds sub-ppm mass per round)
+    assert(m4(1L) > m4(2L) && m4(2L) === m4(3L) && m4(3L) === m4(4L))
+    assert(math.abs(m4.values.sum - 4000000L) < 20000L)
+    graft.ops.Caching.release(r4)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releasing the result must reclaim every cache entry the call created")
+  }
+
   test("triangleCount releases its edge cache after materializing") {
     graft.ops.Caching.releaseAll(spark)
     val edges = df(Seq(R5Pair(1, 2), R5Pair(2, 3), R5Pair(1, 3), R5Pair(3, 4)))
