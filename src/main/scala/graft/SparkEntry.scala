@@ -941,7 +941,13 @@ object SparkEntry {
     // cannot offer ---
     "q174_pagerank" -> ((s, d) =>
       Graph.pageRankInt(Graph.coPurchasePairs(t(s, d, "lineitem"), minCount = 3),
-        "part_a", "part_b", iters = 4)))
+        "part_a", "part_b", iters = 4)),
+    // --- SemDeDup [ext]: semantic (embedding-space) dedup — q41's exact
+    // within-block cosine pairs, component closure, keep min vec_id per
+    // cluster; the oracle replays pairs + recursive-CTE closure like q43 ---
+    "q175_semdedup" -> ((s, d) =>
+      Similarity.semDedup(t(s, d, "embeddings"), "label", threshold = 0.4)
+        .select("vec_id", "label")))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2249,6 +2255,20 @@ object SparkEntry {
         rounds +
         " SELECT v AS part, rank AS rank_micro FROM r4"
     },
+    // SemDeDup replay: q41's exact cosine pair set (already proven
+    // hash-identical cross-engine), undirected closure, keep min-id per
+    // component plus every unpaired vector
+    "q175_semdedup" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "pr AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b " +
+        "FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id " +
+        "WHERE list_inner_product(x.v, y.v) / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.4), " +
+        "und AS (SELECT vec_a AS src, vec_b AS dst FROM pr UNION ALL SELECT vec_b, vec_a FROM pr), " +
+        "r AS (SELECT src AS node, src AS comp FROM und " +
+        "UNION SELECT u.dst, r.comp FROM r JOIN und u ON u.src = r.node), " +
+        "cmp AS (SELECT node, min(comp) AS c FROM r GROUP BY node) " +
+        "SELECT em.vec_id, em.label FROM embeddings em LEFT JOIN cmp ON em.vec_id = cmp.node " +
+        "WHERE cmp.node IS NULL OR em.vec_id = cmp.c"),
     // BPE merges are algorithm-internal; the oracle counts the anchors and
     // pins the segmentation invariants
     "q167_bpe_gate" ->

@@ -240,6 +240,29 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — drop all but one representative of each cluster of
+    * embedding-space near-duplicates, the technique's LLM-data-curation
+    * contract (near-identical meaning, not near-identical text, which the
+    * MinHash family already covers). Composition of library pieces:
+    * within-block exact-cosine pairs ([[cosineNearDupsBlocked]] — the
+    * block column plays the paper's k-means-cluster role in bounding the
+    * quadratic pair stage), connected components over the pair graph
+    * (min-id canonical labels), keep each component's minimum `vec_id`
+    * plus every unpaired vector. Fully deterministic, so a SQL oracle
+    * replays it end to end: exact pairs + recursive-CTE closure (the q175
+    * gate — same pattern as the q43 text-dedup replay). Returns the
+    * surviving rows with all input columns. */
+  def semDedup(corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val clusters = graft.ops.Graph
+      .connectedComponents(cosineNearDupsBlocked(corpus, blockCol, threshold),
+        "vec_a", "vec_b")
+      .toDF("vec_id", "cluster_id")
+    corpus.join(clusters, Seq("vec_id"), "left")
+      .filter(col("cluster_id").isNull || col("vec_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding-space analogue of MinHash near-dup): equi-join on bucket,
     * exact cosine verify at `threshold`. */

@@ -142,6 +142,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup keeps one representative per semantic cluster") {
+    val d = df(Seq(
+      Vec(1, Array(1f, 0f, 0f, 0f), 0),
+      Vec(2, Array(0.99f, 0.01f, 0f, 0f), 0),  // near-dup of 1
+      Vec(3, Array(0.98f, 0.02f, 0f, 0f), 0),  // near-dup of 1 and 2
+      Vec(4, Array(0f, 1f, 0f, 0f), 0),        // same block, far away
+      Vec(5, Array(1f, 0f, 0f, 0f), 1),        // identical to 1, OTHER block
+      Vec(6, Array(0f, 0f, 1f, 0f), 1)))
+    val kept = Similarity.semDedup(d, "label", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3} keeps 1; 4/6 unpaired; 5 survives (blocks bound pairs)
+    assert(kept === Set(1L, 4L, 5L, 6L))
+    graft.ops.Caching.releaseAll(spark) // semDedup's CC result is cache-backed
+  }
+
   test("whitening composes with PQ: whitened-space recall holds") {
     // same anisotropic shape as the IVF test: PQ subspaces containing the
     // dominant raw direction would spend their codebook on it; whitening
