@@ -93,6 +93,32 @@ object Multimodal {
       bb.put(body).array()
     }
 
+    /** JPEG frame dimensions via a real SOF-marker walk (dimensions sit in
+      * a variable-position Start-Of-Frame segment, not a fixed offset —
+      * this is the codec-side scan [[Multimodal.binaryMediaMeta]]'s pure
+      * expressions deliberately leave null). Walks the segment chain from
+      * offset 2: every non-standalone marker carries a big-endian u16
+      * length; SOFn (C0–CF minus DHT C4 / JPG C8 / DAC CC) holds height at
+      * +5 and width at +7. Returns (0, 0) if no SOF precedes SOS/EOI. */
+    def jpegDims(p: Array[Byte]): (Int, Int) = {
+      def u16(off: Int): Int = ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
+      var i = 2
+      while (i + 3 < p.length && (p(i) & 0xFF) == 0xFF) {
+        val m = p(i + 1) & 0xFF
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (i + 8 < p.length) return (u16(i + 7), u16(i + 5))
+          return (0, 0)
+        } else if (m == 0xD9 || m == 0xDA) {
+          return (0, 0) // EOI / SOS before any SOF
+        } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          i += 2 + u16(i + 2)
+        }
+      }
+      (0, 0)
+    }
+
     /** Magic-dispatch header parse: (format, width, height, frames, headerLen).
       * Frame count: AVI's dwTotalFrames; single-frame for the rest. */
     def decodeHeader(p: Array[Byte]): (String, Int, Int, Int, Int) = {
@@ -107,7 +133,11 @@ object Multimodal {
         ("wav", 0, 0, 1, WavHeaderLen)
       else if (p.length >= 72 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
         ("avi", le(64, 4).toInt, le(68, 4).toInt, le(48, 4).toInt, AviHeaderLen)
-      else ("unknown", 0, 0, 1, 0)
+      else if (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
+        (p(2) & 0xFF) == 0xFF) {
+        val (w, h) = jpegDims(p) // real SOF scan; entropy data stays "body"
+        ("jpeg", w, h, 1, 0)
+      } else ("unknown", 0, 0, 1, 0)
     }
 
     /** STUB: body decode / model inference would live here. */

@@ -89,6 +89,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("img_width")))
   }
 
+  test("decode walks real JPEG markers to the SOF dimensions") {
+    import spark.implicits._
+    // JFIF layout: SOI, APP0 (16 bytes to skip), DQT (dummy, 5 bytes),
+    // then SOF0 with height 7, width 1031 — the scan must hop the earlier
+    // variable-length segments to find it
+    val jpeg = (Array(0xFF, 0xD8) ++
+      Array(0xFF, 0xE0, 0x00, 0x10) ++ "JFIF".getBytes("US-ASCII").map(_.toInt) ++
+      Array.fill(10)(0) ++
+      Array(0xFF, 0xDB, 0x00, 0x05, 1, 2, 3) ++
+      Array(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x07, 0x04, 0x07, 0x03) ++
+      Array.fill(10)(0) ++ Array(0xFF, 0xD9)).map(_.toByte)
+    val frames = Multimodal.decode(
+      Seq(Multimodal.MediaRow(7L, "image", jpeg, 0, 0, 1)).toDS())
+      .collect()
+    assert(frames.length === 1)
+    assert(frames(0).width === 1031 && frames(0).height === 7)
+    // expression path: format detected, dims null (SOF is a scan, not an
+    // offset — documented division of labor)
+    val meta = Multimodal.binaryMediaMeta(
+        Seq((7L, jpeg)).toDF("media_id", "payload")).collect()(0)
+    assert(meta.getAs[String]("format") === "jpeg")
+    assert(meta.isNullAt(meta.fieldIndex("img_width")))
+  }
+
   test("binaryMediaMeta round-trips the synthetic wav/avi containers") {
     val parsed = Multimodal.binaryMediaMeta(
       media.toDF().withColumnRenamed("n_frames", "declared_frames"))
