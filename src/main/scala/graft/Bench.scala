@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver parses a ~2000-char stdout TAIL: the unpartitioned-window
+    // WARN flood (dozens of lines from globalPrefixSums' bucket-count-bounded
+    // offset windows — by design, not data-sized) can push the final JSON
+    // line out of it. Silence that one logger; everything else stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // JIT/codegen warmup so the first timed query doesn't absorb one-time
     // class-loading cost; runs a representative scan+agg+join, untimed.
     try {

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same stdout-tail hygiene as Bench: the bucket-bounded offset windows
+    // of globalPrefixSums WARN per run; keep the harness tail parseable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (same contract as Bench): SPARK_GRAFT_VERIFY_ONLY=q16,q139
     // dumps just those queries (prefix match) and restricts oracle_sql.json to

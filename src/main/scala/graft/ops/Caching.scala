@@ -16,7 +16,18 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *   - when the RESULT itself must stay cached (iterative lineage would
   *     otherwise recompute the whole loop per action), the returned Dataset
   *     is bound directly to that cache entry, and the caller releases it
-  *     with [[release]] when done — no hidden state, no footnotes.
+  *     with [[release]] when done — no hidden state, no footnotes;
+  *   - SHARED-SUBTREE persists: a lazily-returned result whose plan reads
+  *     one aggregate from several branches persists that aggregate inside
+  *     the operator (ReuseExchange does NOT merge the re-planned subtrees —
+  *     measured on charBigramLogScore: 3 corpus scans without the persist).
+  *     The entry fills on the result's first action and is reclaimed by the
+  *     caller afterwards ([[releaseAll]] in the harnesses, or
+  *     `spark.catalog.clearCache()`). Operators in this mode:
+  *     [[graft.text.TextStats.charBigramLogScore]] (doc×bigram counts),
+  *     [[graft.text.TextStats.splitTokenDrift]] (vocabulary counts),
+  *     [[graft.text.TextStats.sourceJsDivergence]] (source×lang cells).
+  *     PlanAuditSpec pins each one's corpus-scan count.
   */
 object Caching {
 

@@ -356,9 +356,15 @@ object TextStats {
     *    documents;
     *  - the exploded stream collapses to per-(doc, bigram) COUNTS first,
     *    and both the model branch and the scoring branch read that SAME
-    *    aggregate: the two subtrees are structurally identical up to their
-    *    shuffle, so ReuseExchange materializes the explode+substring scan
-    *    exactly once — no second corpus pass, no persist, fully lazy.
+    *    aggregate: the counts frame is PERSISTED (the shared-subtree mode
+    *    of the [[graft.ops.Caching]] contract), so the explode+substring
+    *    corpus pass runs exactly once — the broadcast model fill populates
+    *    the cache, the scoring probe reads it back. ReuseExchange does NOT
+    *    deliver this (the three consumers re-plan the subtree separately;
+    *    measured: 3 parquet scans without the persist, 1 with —
+    *    PlanAuditSpec pins the count). Cache entry is doc×distinct-bigram
+    *    sized; the caller reclaims it after the result materializes
+    *    ([[graft.ops.Caching.releaseAll]] / `spark.catalog.clearCache()`).
     * Documents shorter than 2 characters have no bigrams and drop out. */
   def charBigramLogScore(docs: DataFrame): DataFrame = {
     val counts = docs
@@ -368,6 +374,7 @@ object TextStats {
         explode(sequence(lit(1), length(col("t")) - 1)).as("i"))
       .select(col("doc_id"), expr("substring(t, i, 2)").as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .persist()
     val model = counts.groupBy("bg").agg(sum("n").as("n_bg"))
     val total = model.agg(sum("n_bg").as("n_total"))
     val costed = model.crossJoin(broadcast(total)) // 1-row scalar gate
@@ -413,7 +420,12 @@ object TextStats {
     * weighted by exact integer counts, so both Σ-terms are exact long sums
     * (order-independent; the only floats are the final two divisions).
     * High drift = the eval split no longer looks like training data —
-    * the distribution-shift alarm of a data pipeline. */
+    * the distribution-shift alarm of a data pipeline.
+    * The vocabulary-sized (token, ne, nt) aggregate is PERSISTED (shared-
+    * subtree mode of the [[graft.ops.Caching]] contract): the totals branch
+    * and the per-term branch both read it, so without the persist the
+    * tokenize+explode corpus pass runs twice. PlanAuditSpec pins one scan;
+    * the caller reclaims the (small) entry after the result materializes. */
   def splitTokenDrift(docs: DataFrame,
                       evalNibbles: Seq[String] = Seq("0", "1")): DataFrame = {
     val tok = docs.select(
@@ -423,6 +435,7 @@ object TextStats {
       .groupBy("tok")
       .agg(sum(when(col("is_eval"), 1L).otherwise(0L)).as("ne"),
         sum(when(!col("is_eval"), 1L).otherwise(0L)).as("nt"))
+      .persist()
     val totals = tok.agg(sum("ne").as("tne"), sum("nt").as("tnt"))
     val terms = tok.crossJoin(broadcast(totals)) // 1-row scalar gate
       .select(col("ne"), col("nt"), col("tne"), col("tnt"),
@@ -460,9 +473,16 @@ object TextStats {
     * aggregate; the grid left-join zero-fills langs a source never emits
     * (those contribute only the global-side term, the standard JS
     * convention p·ln(p/m) → 0 as p → 0). Everything after the count
-    * aggregate is dimension-sized. 6 dp rounding absorbs float sum order. */
+    * aggregate is dimension-sized. 6 dp rounding absorbs float sum order.
+    * The (source, lang, cnt) cell aggregate is PERSISTED (shared-subtree
+    * mode of the [[graft.ops.Caching]] contract): four branches read it
+    * (per-source totals, per-lang totals, grand total, the grid join), so
+    * without the persist the corpus scan runs four times. The entry is
+    * dimension-sized (sources × langs); PlanAuditSpec pins one scan and
+    * the caller reclaims it after the result materializes. */
   def sourceJsDivergence(docs: DataFrame): DataFrame = {
     val cell = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .persist()
     val bySource = cell.groupBy("source").agg(sum("cnt").as("n_source"))
     val byLang = cell.groupBy("lang").agg(sum("cnt").as("n_lang"))
     val total = cell.agg(sum("cnt").as("n_total"))

@@ -229,6 +229,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(plan) <= 2, s"expected <=2 shuffles:\n${plan.take(600)}")
   }
 
+  /** Count the FileSourceScanExec nodes over `table` in a query's physical
+    * plan — the number of separate passes the execution will make over that
+    * parquet source. Recurses into AQE wrappers and into each DISTINCT
+    * cached relation exactly once (a persisted subtree's scan runs once at
+    * cache fill no matter how many InMemoryTableScans read it), and into
+    * subquery plans. This is the audit the Caching contract's shared-subtree
+    * mode points at: an operator whose scaladoc claims "one corpus pass"
+    * gets its claim pinned here, so the claim can't silently drift (q163's
+    * ReuseExchange claim survived two rounds false before this existed). */
+  private def corpusScans(q: String, table: String): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // start from a clean cache: a stale (already-materialized) entry from an
+    // earlier test would alias the operator's persist with a plan of opaque
+    // query stages and hide the scan from the walk
+    graft.ops.Caching.releaseAll(spark)
+    val df = SparkEntry.queries(q)(spark, d)
+    val seenCaches = scala.collection.mutable.Set[AnyRef]()
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case f: FileSourceScanExec =>
+          if (f.relation.location.rootPaths.exists(_.toString.contains(table))) 1
+          else 0
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case st: QueryStageExec => walk(st.plan)
+        case im: InMemoryTableScanExec =>
+          if (seenCaches.add(im.relation.cachedPlan)) walk(im.relation.cachedPlan)
+          else 0
+        case _ => 0
+      }
+      self + p.children.map(walk).sum + p.subqueries.map(walk).sum
+    }
+    try walk(df.queryExecution.executedPlan)
+    finally graft.ops.Caching.releaseAll(spark) // reclaim operator persists
+  }
+
+  test("char-bigram perplexity reads the corpus exactly once (persisted counts)") {
+    assert(corpusScans("q163_char_perplexity", "documents") === 1,
+      "model + scoring branches must share ONE persisted counts pass")
+  }
+
+  test("split-drift reads the corpus exactly once (persisted vocabulary)") {
+    assert(corpusScans("q165_split_drift", "documents") === 1,
+      "totals + per-term branches must share ONE persisted token aggregate")
+  }
+
+  test("source JS divergence reads the corpus exactly once (persisted cells)") {
+    assert(corpusScans("q147_source_js_divergence", "documents") === 1,
+      "all four branches must share ONE persisted (source, lang) aggregate")
+  }
+
+  test("boilerplate ratio reads the corpus exactly twice, as documented") {
+    // count-then-broadcast-back is honestly two passes (persisting the
+    // data-sized gram stream would cost more than the second scan saves)
+    assert(corpusScans("q173_boilerplate", "documents") === 2)
+  }
+
   test("boilerplate score joins hashes, broadcasts the frequent set") {
     val plan = executedPlan("q173_boilerplate")
     assert(plan.contains("BroadcastHashJoin"),
