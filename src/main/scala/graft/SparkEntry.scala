@@ -947,7 +947,30 @@ object SparkEntry {
     // cluster; the oracle replays pairs + recursive-CTE closure like q43 ---
     "q175_semdedup" -> ((s, d) =>
       Similarity.semDedup(t(s, d, "embeddings"), "label", threshold = 0.4)
-        .select("vec_id", "label")))
+        .select("vec_id", "label")),
+    // --- SemDeDup x IVF [ext]: the paper's full unlabeled pipeline —
+    // cluster first (ivfBuild's cell assignment, portable 0-iteration
+    // init so every distance is an exact expression over corpus values),
+    // then within-cell pairs + closure; the oracle replays seed selection,
+    // argmin assignment, cosine pairs and the recursive closure ---
+    "q176_semdedup_ivf" -> ((s, d) =>
+      Similarity.semDedupIvf(t(s, d, "embeddings"), threshold = 0.4,
+        nLists = 8, iters = 0, portableInit = true)
+        .select("vec_id", "cell")),
+    // --- decontaminate itself [ext]: the anti-join drop users actually run
+    // (q172 verifies the report; this verifies the surviving train set) ---
+    "q177_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Decontam.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0), n = 4)
+        .select("doc_id", "source", "lang")
+    }),
+    // --- per-user funnel flags (§2.10): the batch twin of streamingFunnel's
+    // final state (EventsSpec pins stream == twin row-for-row; this
+    // oracle-checks the twin — the q171 pattern for the funnel machine) ---
+    "q178_funnel_per_user" -> ((s, d) =>
+      Events.funnelPerUser(Tables.events(s, d))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -1234,7 +1257,8 @@ object SparkEntry {
     // expressions); the oracle recomputes what the fixture planted
     "q32_media_stats" ->
       ("SELECT doc_id, " +
-        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END AS format, " +
+        "CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1 THEN 'jpeg' " +
+        "WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'avi' END AS format, " +
         "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE CAST(16 + (n_chars % 64) * 4 AS INTEGER) END AS img_width, " +
         "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE CAST(16 + ((n_chars * 7) % 48) * 4 AS INTEGER) END AS img_height, " +
         "CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 5 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_frames, " +
@@ -2213,7 +2237,7 @@ object SparkEntry {
       ("SELECT count(*) AS n_probes, CAST(3 * count(*) AS BIGINT) AS n_exact_pairs, " +
         "TRUE AS whiten_ok FROM embeddings WHERE vec_id < 20"),
     // full declarative replay of the broadcast n-gram decontamination:
-    // distinct 5-grams per doc, bench slice's gram set, left-join count
+    // distinct 4-grams per doc, bench slice's gram set, left-join count
     "q172_decontamination" ->
       (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         "g4 AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')] " +
@@ -2225,6 +2249,31 @@ object SparkEntry {
         "CAST(count(b.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination_ratio, " +
         "count(b.g) > 0 AS is_contaminated " +
         "FROM e LEFT JOIN b ON e.g = b.g WHERE e.doc_id % 37 <> 0 GROUP BY e.doc_id"),
+    // decontaminate replay: q172's contaminated-id set, anti-joined away
+    // from the training slice (the surviving corpus is the contract)
+    "q177_decontaminate" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "g4 AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(len(toks) - 3), i -> array_to_string(toks[i+1:i+4], ' ')) END AS gs FROM t), " +
+        "e AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM g4), " +
+        "b AS (SELECT DISTINCT g FROM e WHERE doc_id % 37 = 0), " +
+        "bad AS (SELECT DISTINCT e.doc_id FROM e JOIN b ON e.g = b.g WHERE e.doc_id % 37 <> 0) " +
+        "SELECT d.doc_id, d.source, d.lang FROM documents d " +
+        "WHERE d.doc_id % 37 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)"),
+    // per-user funnel replay: q82's RANGE-frame pass, folded to the two
+    // sticky per-user booleans instead of the global distinct counts
+    "q178_funnel_per_user" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events), " +
+        "f AS (SELECT user_id, event_type, " +
+        "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS viewed_w, " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING) AS clicked_w " +
+        "FROM e) " +
+        "SELECT user_id, " +
+        "bool_or(event_type = 'click' AND viewed_w = 1) AS view_click, " +
+        "bool_or(event_type = 'purchase' AND clicked_w = 1) AS click_purchase " +
+        "FROM f GROUP BY user_id"),
     // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
     // distinct (doc, gram) rows, frequent set left-joined back per doc
     "q173_boilerplate" ->
@@ -2269,6 +2318,30 @@ object SparkEntry {
         "cmp AS (SELECT node, min(comp) AS c FROM r GROUP BY node) " +
         "SELECT em.vec_id, em.label FROM embeddings em LEFT JOIN cmp ON em.vec_id = cmp.node " +
         "WHERE cmp.node IS NULL OR em.vec_id = cmp.c"),
+    // SemDeDup x IVF replay: seeds = first nLists vectors in (md5, id)
+    // order (the 0-iteration portable trainer — no float averaging, so the
+    // argmin distances are exact expressions both engines evaluate
+    // identically: a - 2.0*b + c over sequential list_inner_products), then
+    // q175's pair + closure pattern within each assigned cell
+    "q176_semdedup_ivf" ->
+      ("WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1), " +
+        "ec AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN asn a USING (vec_id)), " +
+        "pr AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b " +
+        "FROM ec x JOIN ec y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+        "WHERE list_inner_product(x.v, y.v) / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.4), " +
+        "und AS (SELECT vec_a AS src, vec_b AS dst2 FROM pr UNION ALL SELECT vec_b, vec_a FROM pr), " +
+        "r AS (SELECT src AS node, src AS comp FROM und " +
+        "UNION SELECT u.dst2, r.comp FROM r JOIN und u ON u.src = r.node), " +
+        "cmp AS (SELECT node, min(comp) AS c FROM r GROUP BY node) " +
+        "SELECT ec.vec_id, ec.cell FROM ec LEFT JOIN cmp ON ec.vec_id = cmp.node " +
+        "WHERE cmp.node IS NULL OR ec.vec_id = cmp.c"),
     // BPE merges are algorithm-internal; the oracle counts the anchors and
     // pins the segmentation invariants
     "q167_bpe_gate" ->

@@ -43,10 +43,12 @@ object Multimodal {
     * Builders emit the exact byte offsets the specs publish; the parser
     * dispatches on magic bytes. CRC fields are zeroed (nothing here
     * validates checksums — header geometry is the contract). */
-  private[multimodal] object Containers {
+  private[graft] object Containers {
     val PngHeaderLen = 33 // 8 signature + 25 IHDR chunk (len|type|13 data|crc)
     val WavHeaderLen = 44 // canonical RIFF/WAVE PCM preamble
     val AviHeaderLen = 88 // RIFF/AVI LIST hdrl + avih chunk (56-byte data)
+    val JpegHeaderLen = 44 // SOI + APP0(JFIF) + fill byte + SOF0(1 comp) + SOS
+    val JpegOverhead = JpegHeaderLen + 2 // + trailing EOI
 
     /** PNG: signature, then IHDR — width BE at offset 16, height BE at 20. */
     def png(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
@@ -94,18 +96,23 @@ object Multimodal {
     }
 
     /** JPEG frame dimensions via a real SOF-marker walk (dimensions sit in
-      * a variable-position Start-Of-Frame segment, not a fixed offset —
-      * this is the codec-side scan [[Multimodal.binaryMediaMeta]]'s pure
-      * expressions deliberately leave null). Walks the segment chain from
-      * offset 2: every non-standalone marker carries a big-endian u16
-      * length; SOFn (C0–CF minus DHT C4 / JPG C8 / DAC CC) holds height at
-      * +5 and width at +7. Returns (0, 0) if no SOF precedes SOS/EOI. */
+      * a variable-position Start-Of-Frame segment, not a fixed offset).
+      * Walks the segment chain from offset 2: every non-standalone marker
+      * carries a big-endian u16 length; SOFn (C0–CF minus DHT C4 / JPG C8 /
+      * DAC CC) holds height at +5 and width at +7. The spec permits any
+      * number of 0xFF FILL bytes before a marker id — a second 0xFF is
+      * consumed one byte at a time, never misread as a marker with a length
+      * field. Returns (0, 0) if no SOF precedes SOS/EOI.
+      * [[Multimodal.binaryMediaMeta]] runs the same walk as a bounded
+      * unrolled pure expression. */
     def jpegDims(p: Array[Byte]): (Int, Int) = {
       def u16(off: Int): Int = ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
       var i = 2
       while (i + 3 < p.length && (p(i) & 0xFF) == 0xFF) {
         val m = p(i + 1) & 0xFF
-        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        if (m == 0xFF) {
+          i += 1 // fill byte: the next byte may still be the marker id
+        } else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
           if (i + 8 < p.length) return (u16(i + 7), u16(i + 5))
           return (0, 0)
         } else if (m == 0xD9 || m == 0xDA) {
@@ -119,19 +126,56 @@ object Multimodal {
       (0, 0)
     }
 
+    /** Minimal spec-correct baseline JPEG: SOI, JFIF APP0, one FILL byte
+      * (legal padding — exercises the fill-byte path both parsers must
+      * survive), SOF0 declaring the planted dimensions (8-bit, 1
+      * component), SOS, entropy body, EOI. */
+    def jpeg(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(JpegOverhead + body.length)
+      bb.put(Array(0xFF, 0xD8).map(_.toByte)) // SOI
+      bb.put(Array(0xFF, 0xE0).map(_.toByte)).putShort(16.toShort) // APP0
+      bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      bb.put(1.toByte).put(1.toByte).put(0.toByte) // version 1.1, units 0
+      bb.putShort(1.toShort).putShort(1.toShort) // aspect 1:1
+      bb.put(0.toByte).put(0.toByte) // no thumbnail
+      bb.put(0xFF.toByte) // fill byte before the next marker (spec-legal)
+      bb.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(11.toShort) // SOF0
+      bb.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      bb.put(1.toByte) // 1 component
+      bb.put(1.toByte).put(0x11.toByte).put(0.toByte)
+      bb.put(Array(0xFF, 0xDA).map(_.toByte)).putShort(8.toShort) // SOS
+      bb.put(1.toByte).put(1.toByte).put(0.toByte)
+      bb.put(0.toByte).put(0x3F.toByte).put(0.toByte)
+      bb.put(body)
+      bb.put(Array(0xFF, 0xD9).map(_.toByte)).array() // EOI
+    }
+
     /** Magic-dispatch header parse: (format, width, height, frames, headerLen).
-      * Frame count: AVI's dwTotalFrames; single-frame for the rest. */
+      * Frame count: AVI's dwTotalFrames; single-frame for the rest. Magic
+      * checks require the FULL fixed header (a container truncated inside
+      * its header is "unknown", never a negative body); WAV walks the RIFF
+      * chunk chain to the `data` chunk, so non-canonical orders (LIST INFO
+      * before fmt, extension chunks) yield the true body offset instead of
+      * the canonical-44 guess. */
     def decodeHeader(p: Array[Byte]): (String, Int, Int, Int, Int) = {
       def be(off: Int, len: Int): Long =
         (0 until len).foldLeft(0L)((a, i) => (a << 8) | (p(off + i) & 0xFFL))
       def le(off: Int, len: Int): Long =
         (0 until len).foldLeft(0L)((a, i) => a | ((p(off + i) & 0xFFL) << (8 * i)))
       def ascii(off: Int, len: Int) = new String(p, off, len, "US-ASCII")
-      if (p.length >= 24 && be(0, 8) == 0x89504E470D0A1A0AL)
+      if (p.length >= PngHeaderLen && be(0, 8) == 0x89504E470D0A1A0AL)
         ("png", be(16, 4).toInt, be(20, 4).toInt, 1, PngHeaderLen)
-      else if (p.length >= 28 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE")
-        ("wav", 0, 0, 1, WavHeaderLen)
-      else if (p.length >= 72 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
+      else if (p.length >= WavHeaderLen && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+        // RIFF chunk walk to the data chunk (chunks are word-aligned)
+        var off = 12
+        var dataStart = -1
+        while (dataStart < 0 && off + 8 <= p.length) {
+          val sz = le(off + 4, 4).toInt
+          if (ascii(off, 4) == "data") dataStart = off + 8
+          else off += 8 + sz + (sz & 1)
+        }
+        ("wav", 0, 0, 1, if (dataStart >= 0) dataStart else WavHeaderLen)
+      } else if (p.length >= AviHeaderLen && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
         ("avi", le(64, 4).toInt, le(68, 4).toInt, le(48, 4).toInt, AviHeaderLen)
       else if (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
         (p(2) & 0xFF) == 0xFF) {
@@ -151,9 +195,11 @@ object Multimodal {
   }
 
   /** Deterministic media fixtures derived from the documents table — REAL
-    * container bytes (PNG image / WAV audio / AVI video by doc_id mod 3;
-    * text becomes the body; dimensions derive from n_chars so oracles can
-    * recompute every parsed value). */
+    * container bytes (image / WAV audio / AVI video by doc_id mod 3; the
+    * image class splits PNG / baseline JPEG by doc_id parity, the JPEG with
+    * a spec-legal fill byte before its SOF so both marker walks earn their
+    * keep; text becomes the body; dimensions derive from n_chars so
+    * oracles can recompute every parsed value). */
   def syntheticMediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -164,6 +210,9 @@ object Multimodal {
         val frames = (1 + (id % 5)).toInt
         val body = text.getBytes("UTF-8")
         (id % 3) match {
+          case 0 if id % 2 == 1 =>
+            MediaRow(id, "image", Containers.jpeg(width, height, body),
+              width, height, 1)
           case 0 => MediaRow(id, "image", Containers.png(width, height, body),
             width, height, 1)
           case 1 => MediaRow(id, "audio",
@@ -183,17 +232,66 @@ object Multimodal {
     conv(concat((0 until len).reverse.map(i =>
       hex(substring(bin, pos + i, 1))): _*), 16, 10).cast("long")
 
+  /** The JPEG SOF walk of [[Containers.jpegDims]] as a BOUNDED pure
+    * expression: a `(pos, w, h, done)` accumulator folded over
+    * `sequence(1, maxSegments)` — ONE small lambda tree evaluated up to
+    * `maxSegments` times per row (a syntactic unroll would nest the
+    * position expression into every byte read of the next level:
+    * exponential tree growth, measured as an analyzer OOM at depth 12).
+    * Each step consumes a fill byte (+1), a standalone marker (+2) or a
+    * length-carrying segment (+2+len); an SOFn marker latches (w, h) and
+    * sets done; SOS/EOI/malformed latches nulls. Byte reads use dynamic
+    * 1-based `Column.substr` offsets; reads past the payload end hex to ""
+    * and fail the FF guard, so truncation degrades to null, never an
+    * error. Real JFIF headers reach SOF within ~5 segments; 12 is
+    * headroom. This is the one deliberate HOF lambda on a query path: it
+    * runs only on jpeg-magic rows and replaces an exponential codegen
+    * tree, the documented exception to the codegen-first rule. */
+  private def jpegSof(p: Column, maxSegments: Int = 12): Column = {
+    val nullLong = lit(null).cast("long")
+    val init = struct(lit(3L).as("pos"), nullLong.as("w"), nullLong.as("h"),
+      lit(false).as("done")) // 1-based: first marker follows the 2-byte SOI
+    val folded = aggregate(
+      sequence(lit(1), lit(maxSegments)), init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val ff = hex(p.substr(pos, lit(1))) === "FF"
+        val mk = hex(p.substr(pos + 1, lit(1)))
+        val segLen = conv(hex(p.substr(pos + 2, lit(2))), 16, 10).cast("long")
+        val h = conv(hex(p.substr(pos + 5, lit(2))), 16, 10).cast("long")
+        val w = conv(hex(p.substr(pos + 7, lit(2))), 16, 10).cast("long")
+        val next = when(mk === "FF", pos + 1) // fill byte before the marker
+          .when(mk.isin("01", "D0", "D1", "D2", "D3", "D4", "D5", "D6", "D7"),
+            pos + 2) // standalone, no length field
+          .otherwise(pos + 2 + segLen)
+        when(acc.getField("done"), acc)
+          .when(!ff || mk.isin("D9", "DA"), // malformed / EOI / SOS first
+            struct(pos.as("pos"), nullLong.as("w"), nullLong.as("h"),
+              lit(true).as("done")))
+          .when(mk.isin("C0", "C1", "C2", "C3", "C5", "C6", "C7", "C9", "CA",
+            "CB", "CD", "CE", "CF"),
+            struct(pos.as("pos"), w.as("w"), h.as("h"), lit(true).as("done")))
+          .otherwise(struct(next.as("pos"), nullLong.as("w"), nullLong.as("h"),
+            lit(false).as("done")))
+      })
+    struct(folded.getField("w").as("w"), folded.getField("h").as("h"))
+  }
+
   /** Container metadata from raw bytes with PURE Spark expressions — the
     * scale path (codegen projection; no typed iteration, no UDF). Detects
     * PNG / GIF / JPEG / WAV / AVI by magic bytes and reads the published
     * fixed-offset header fields:
     *  - png: IHDR width/height (big-endian u32 at offsets 16/20)
     *  - gif: logical-screen width/height (little-endian u16 at 6/8)
-    *  - wav: channels (LE u16 at 22), sample rate (LE u32 at 24)
+    *  - wav: channels (LE u16 at 22), sample rate (LE u32 at 24) — GUARDED
+    *    on the canonical "fmt " tag at offset 12: RIFF permits other chunk
+    *    orders (a LIST INFO before fmt), and fixed offsets into such a file
+    *    would read garbage, so non-canonical WAVs yield nulls here (the
+    *    typed path, [[Containers.decodeHeader]], walks the chunk chain)
     *  - avi: dwTotalFrames (LE u32 at 48), dwWidth/dwHeight (LE u32 at 64/68)
-    *  - jpeg: detected by FF D8 FF; dimensions live in a variable-position
-    *    SOF marker, which is a scan, not a fixed offset — that is codec
-    *    work ([[decode]]), not header geometry; dims stay null here.
+    *  - jpeg: detected by FF D8 FF; dimensions via [[jpegSof]] — the SOF
+    *    marker walk as a bounded unrolled expression (null if no SOF inside
+    *    the first 12 segments; real JFIF headers reach it in ~5).
     * Unknown magic → format "unknown", all fields null. Appends columns
     * (format, img_width, img_height, n_frames, sample_rate, channels). */
   def binaryMediaMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
@@ -204,21 +302,28 @@ object Multimodal {
     val isRiff = hex(substring(p, 1, 4)) === "52494646"
     val isWav = isRiff && hex(substring(p, 9, 4)) === "57415645"
     val isAvi = isRiff && hex(substring(p, 9, 4)) === "41564920"
+    val wavFmtOk = hex(substring(p, 13, 4)) === "666D7420" // "fmt "
     media
+      .withColumn("__sof", when(isJpeg, jpegSof(p)))
       .withColumn("format",
         when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
           .when(isWav, "wav").when(isAvi, "avi").otherwise("unknown"))
       .withColumn("img_width",
         when(isPng, beUint(p, 17, 4)).when(isGif, leUint(p, 7, 2))
+          .when(isJpeg, col("__sof").getField("w"))
           .when(isAvi, leUint(p, 65, 4)).cast("int"))
       .withColumn("img_height",
         when(isPng, beUint(p, 21, 4)).when(isGif, leUint(p, 9, 2))
+          .when(isJpeg, col("__sof").getField("h"))
           .when(isAvi, leUint(p, 69, 4)).cast("int"))
       .withColumn("n_frames",
         when(isAvi, leUint(p, 49, 4))
           .when(isPng || isGif || isWav || isJpeg, lit(1L)).cast("long"))
-      .withColumn("sample_rate", when(isWav, leUint(p, 25, 4)).cast("int"))
-      .withColumn("channels", when(isWav, leUint(p, 23, 2)).cast("int"))
+      .withColumn("sample_rate",
+        when(isWav && wavFmtOk, leUint(p, 25, 4)).cast("int"))
+      .withColumn("channels",
+        when(isWav && wavFmtOk, leUint(p, 23, 2)).cast("int"))
+      .drop("__sof")
   }
 
   /** Decode pass: batch-iterate each partition, parse REAL container
@@ -230,7 +335,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { m =>
         val (_, w, h, frames, headerLen) = Containers.decodeHeader(m.payload)
-        val body = m.payload.length - headerLen
+        // clamp: a payload that ends exactly at (or inside) its header has
+        // an empty body, never a negative one
+        val body = math.max(0, m.payload.length - headerLen)
         (0 until frames).iterator.map { f =>
           DecodedFrame(m.media_id, f, w, h, body.toLong)
         }
@@ -276,6 +383,7 @@ object Multimodal {
         col("sample_rate"), col("channels"),
         (length(col("payload")) -
           when(col("format") === "png", Containers.PngHeaderLen)
+            .when(col("format") === "jpeg", Containers.JpegOverhead)
             .when(col("format") === "wav", Containers.WavHeaderLen)
             .when(col("format") === "avi", Containers.AviHeaderLen)
             .otherwise(0)).cast("long").as("payload_bytes"))

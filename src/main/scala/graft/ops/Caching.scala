@@ -26,8 +26,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     `spark.catalog.clearCache()`). Operators in this mode:
   *     [[graft.text.TextStats.charBigramLogScore]] (doc×bigram counts),
   *     [[graft.text.TextStats.splitTokenDrift]] (vocabulary counts),
-  *     [[graft.text.TextStats.sourceJsDivergence]] (source×lang cells).
-  *     PlanAuditSpec pins each one's corpus-scan count.
+  *     [[graft.text.TextStats.sourceJsDivergence]] (source×lang cells),
+  *     [[graft.sim.Similarity.pqBuild]] (the PQ code table — FAISS's
+  *     memory-resident layout; every ADC consumer re-reads it).
+  *     PlanAuditSpec pins the text operators' corpus-scan counts.
   */
 object Caching {
 

@@ -247,16 +247,31 @@ object Graph {
     out
   }
 
-  /** Frequent co-purchase TRIPLES (3-itemsets): baskets expand to their
-    * C(k,3) increasing part triples inside one higher-order expression
-    * (join-free, same pattern as [[coPurchasePairs]]), then one hash
-    * aggregate counts support. The cubic per-basket blow-up is bounded by
-    * basket size (TPC-H baskets are ≤7 lines; for long-tail baskets cap or
-    * pre-filter to frequent pairs first — the classic Apriori prune).
+  /** Frequent co-purchase TRIPLES (3-itemsets): the classic APRIORI prune,
+    * then baskets expand to their C(k,3) increasing part triples inside one
+    * higher-order expression (join-free, same pattern as
+    * [[coPurchasePairs]]), then one hash aggregate counts support.
+    *
+    * The prune is what makes the cubic stage long-tail-safe: an item in a
+    * frequent triple must occur in at least TWO frequent pairs (two of the
+    * triple's own pairs contain it — the downward-closure property), so
+    * baskets are restricted to those items BEFORE the C(k,3) expansion.
+    * Surviving triples keep their exact counts (removing an item from a
+    * basket only kills triples containing that item, all provably
+    * infrequent), so the pruned result is identical to the naive expansion
+    * — GraphSpec pins the equality. A 200-item pathological basket with no
+    * frequent pairs now expands to nothing instead of 1.3M triples; the
+    * prune pass itself is pair-sized (C(k,2) ≪ C(k,3)) plus one semi-join
+    * whose build side is the frequent-pair item head (AQE broadcasts it).
     * Distinct-items semantics (collect_set): a duplicate part in one order
     * doesn't double-count the triple. */
   def coPurchaseTriples(lineitem: DataFrame, minCount: Long = 2): DataFrame = {
-    val baskets = lineitem.groupBy(col("l_orderkey"))
+    val keepItems = coPurchasePairs(lineitem, minCount)
+      .select(explode(array(col("part_a"), col("part_b"))).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("np"))
+      .filter(col("np") >= 2).select("l_partkey")
+    val baskets = lineitem.join(keepItems, Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
       .filter(size(col("pks")) >= 3)
     val triples = baskets.select(explode(flatten(transform(col("pks"),
@@ -273,19 +288,62 @@ object Graph {
   }
 
   /** Triangle census of an undirected edge list (edges stored once as
-    * a < b): the compact-forward join — wedges (a,b)x(b,c) with a < b < c
-    * close against a third edge (a,c). Every triangle is counted exactly
-    * once because its vertices admit exactly one increasing ordering.
-    *
-    * Scale: two equi-joins on vertex ids; the wedge count is bounded by
-    * Σ deg(v)², so hub vertices dominate cost — the production refinement
-    * is degree-ordering (orient edges toward the HIGHER-degree endpoint so
-    * wedges pivot only on low-degree vertices, bounding work at
-    * O(m^1.5)); id-ordering here keeps the plan oracle-checkable while the
-    * join structure is identical. Returns one row:
-    * (n_vertices, n_edges, n_triangles). */
+    * a < b) via DEGREE ORIENTATION — the production algorithm: orient every
+    * edge toward its higher-(degree, id) endpoint, pivot wedges only on
+    * out-neighborhoods, close against an oriented edge. Out-degrees under
+    * this total order are O(√m), so wedge work is O(m^1.5) regardless of
+    * hubs — the id-ordered form's Σ deg(v)² blow-up on a star graph never
+    * happens (a degree-10⁶ hub pivots ~0 wedges here because all its edges
+    * point INTO it). Every triangle is counted exactly once: its vertices
+    * admit exactly one increasing (deg, id) ordering, and only the
+    * lowest-ranked vertex pivots. Identical output to
+    * [[triangleCountIdOrdered]] (GraphSpec pins it, including on a hub
+    * graph). Returns one row: (n_vertices, n_edges, n_triangles). */
   def triangleCount(edges: DataFrame, aCol: String = "part_a",
                     bCol: String = "part_b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // degree agg + orient + counts
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient toward the higher (deg, id) endpoint; carry the dst rank so the
+    // wedge join can order a pivot's out-neighbors without re-joining degrees
+    val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, struct(col("db").as("d"), col("b").as("v")))
+          .otherwise(struct(col("da").as("d"), col("a").as("v"))).as("dr"))
+      .select(col("src"), col("dr").getField("v").as("dst"), col("dr"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // wedge sides + closing side
+    // wedges = ordered pairs of out-neighbors of one pivot; the higher-
+    // ranked pair is a triangle iff it is itself an oriented edge
+    val tris = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dr") < col("e2.dr"))
+      .select(col("e1.dst").as("wa"), col("e2.dst").as("wc"))
+      .join(oriented.as("e3"),
+        col("wa") === col("e3.src") && col("wc") === col("e3.dst"), "left_semi")
+    val verts = und.select(explode(array(col("a"), col("b"))).as("v"))
+    val out = tris.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(verts.agg(countDistinct(col("v")).as("n_vertices")))
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the interim caches are alive
+    oriented.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    out
+  }
+
+  /** The id-ordered compact-forward census, kept as the readable reference
+    * form [[triangleCount]] is verified against: wedges (a,b)x(b,c) with
+    * a < b < c close against (a,c). Same contract and output; wedge cost is
+    * Σ deg(v)² (hub-sensitive), which is why the degree-oriented form is
+    * the production default. */
+  def triangleCountIdOrdered(edges: DataFrame, aCol: String = "part_a",
+                             bCol: String = "part_b"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // three consumers (wedge join, edge count, vertex count) — persist so an
     // expensive upstream edge derivation (e.g. basket pair generation)

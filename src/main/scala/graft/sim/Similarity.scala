@@ -124,9 +124,15 @@ object Similarity {
   /** Deterministic hash-sample of `src`'s vectors for codebook/quantizer
     * training: keep every stride-th vector by seeded hash (a pure filter, no
     * sort), collect, and order by the hash so initialization is stable. The
-    * cap makes driver-side training size-independent of the corpus. */
-  private def trainSample(src: DataFrame, maxVectors: Int,
-                          seed: Long): Array[Array[Double]] = {
+    * cap makes driver-side training size-independent of the corpus.
+    *
+    * `portableOrder` swaps the xxhash64 ordering for `(md5(vec_id), vec_id)`
+    * — an ordering ANY engine can reproduce (DuckDB has md5, not xxhash64),
+    * so a 0-iteration trainer's seed selection becomes oracle-replayable
+    * ([[semDedupIvf]]'s gate). Default stays xxhash64 (cheaper, and the
+    * established init for the PQ/IVF recall gates). */
+  private def trainSample(src: DataFrame, maxVectors: Int, seed: Long,
+                          portableOrder: Boolean = false): Array[Array[Double]] = {
     val n = src.count()
     // ceil, not floor: a floor stride stays 1 for n just under 2*maxVectors
     // and would collect up to ~2x the documented driver-memory cap
@@ -135,12 +141,20 @@ object Similarity {
     val sampled =
       if (stride <= 1L) src
       else src.filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(stride)) === 0)
-    sampled
-      .select(col("vec_id").cast("long"),
-        xxhash64(lit(seed + 1), col("vec_id")).as("h"), col("vec"))
-      .collect()
-      .sortBy(r => (r.getLong(1), r.getLong(0)))
-      .map(_.getSeq[Double](2).toArray)
+    if (portableOrder)
+      sampled
+        .select(col("vec_id").cast("long"),
+          md5(col("vec_id").cast("string")).as("h"), col("vec"))
+        .collect()
+        .sortBy(r => (r.getString(1), r.getLong(0)))
+        .map(_.getSeq[Double](2).toArray)
+    else
+      sampled
+        .select(col("vec_id").cast("long"),
+          xxhash64(lit(seed + 1), col("vec_id")).as("h"), col("vec"))
+        .collect()
+        .sortBy(r => (r.getLong(1), r.getLong(0)))
+        .map(_.getSeq[Double](2).toArray)
   }
 
   /** Lloyd's k-means over an in-memory sample (the FAISS-style trainer —
@@ -193,9 +207,11 @@ object Similarity {
     * cell in ONE distributed codegen'd projection. Deterministic under
     * `seed`. */
   def ivfBuild(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L,
-               iters: Int = 8, maxTrainVectors: Int = 1 << 16): IVFIndex = {
+               iters: Int = 8, maxTrainVectors: Int = 1 << 16,
+               portableInit: Boolean = false): IVFIndex = {
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cents = lloydFit(trainSample(base, maxTrainVectors, seed), nLists, iters)
+    val cents = lloydFit(
+      trainSample(base, maxTrainVectors, seed, portableInit), nLists, iters)
     val assigned = base.withColumn("cell", nearestCell(col("vec"), cents))
     IVFIndex(assigned, cents)
   }
@@ -261,6 +277,39 @@ object Similarity {
     corpus.join(clusters, Seq("vec_id"), "left")
       .filter(col("cluster_id").isNull || col("vec_id") === col("cluster_id"))
       .drop("cluster_id")
+  }
+
+  /** SemDeDup end-to-end for UNLABELED corpora — the full pipeline of the
+    * paper (Abbas et al. 2023, arXiv:2303.09540 §3): k-means-cluster the
+    * embeddings first, then run the quadratic near-duplicate stage WITHIN
+    * each cluster only. `[[ivfBuild]]`'s cell assignment IS that clustering
+    * (same coarse quantizer the ANN path uses), so this is a two-line
+    * composition: block = IVF cell, then [[semDedup]]. Cluster count bounds
+    * the pair stage at Σ|cell|² instead of |corpus|² — the property that
+    * makes semantic dedup feasible at 100 TB; choose `nLists` so the
+    * average cell (corpus/nLists) keeps the within-cell self-join
+    * shuffle-local, exactly as the paper sizes k.
+    *
+    * Determinism: the trainer is seeded and driver-side, so results are
+    * exactly reproducible. With `iters = 0` and `portableInit = true` the
+    * "centroids" are the first `nLists` corpus vectors in `(md5(vec_id),
+    * vec_id)` order and NO float averaging ever happens — every distance is
+    * an exact expression over corpus values, so a SQL oracle replays the
+    * whole pipeline (seed selection, argmin assignment, within-cell cosine
+    * pairs, component closure) hash-exactly: the q176 gate. Production runs
+    * keep the Lloyd refinement (`iters` > 0, engine-specific float lowbits,
+    * same asymptotic shape).
+    *
+    * Returns the surviving rows with all input columns plus the `cell` id
+    * (useful downstream: stratified sampling, per-cluster caps). */
+  def semDedupIvf(corpus: DataFrame, threshold: Double, nLists: Int = 16,
+                  seed: Long = 42L, iters: Int = 8,
+                  maxTrainVectors: Int = 1 << 16,
+                  portableInit: Boolean = false): DataFrame = {
+    val idx = ivfBuild(corpus, nLists, seed, iters, maxTrainVectors, portableInit)
+    val blocked = corpus.join(
+      idx.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    semDedup(blocked, "cell", threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
@@ -355,7 +404,17 @@ object Similarity {
     * the native codegen'd dot product (HOF zip_with distances are
     * interpreted CodegenFallback, measured ~5x slower), and a deterministic
     * (dist, code) argmin + subspace-ordered reassembly yields the m-byte
-    * code arrays. */
+    * code arrays.
+    *
+    * The returned code table is PERSISTED (shared-subtree mode of the
+    * [[graft.ops.Caching]] contract): it is exactly the structure ADC keeps
+    * memory-resident in FAISS — (vec_id, m codes), bytes-per-vector tiny —
+    * and every consumer reads it repeatedly ([[pqGate]] alone derives the
+    * truth distances, the scored stream, and the rank join from it; without
+    * the persist each branch re-runs the full distributed encode — measured
+    * 3 encodes per q143 gate). Fills on the first action; the caller
+    * reclaims it afterwards via [[graft.ops.Caching.releaseAll]] /
+    * `spark.catalog.clearCache()` (the harnesses already do). */
   def pqBuild(corpus: DataFrame, m: Int = 8, codesPerSub: Int = 16,
               seed: Long = 42L, iters: Int = 8,
               maxTrainVectors: Int = 1 << 16): PQIndex = {
@@ -389,6 +448,7 @@ object Similarity {
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
         s => s.getField("code")).as("codes"))
+      .persist()
     PQIndex(codes, codebooks, m, subDim)
   }
 

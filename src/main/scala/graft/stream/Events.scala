@@ -236,6 +236,31 @@ object Events {
         col("user_id"))).as("n_click_then_purchase"))
   }
 
+  /** Per-user funnel flags — the batch twin of [[streamingFunnel]]'s final
+    * state, exactly as the quota pair ([[perUserQuotaBatch]] /
+    * [[streamingPerUserQuota]]) pins the arbitrary-state path: one row per
+    * user with the two sticky conversion booleans the state machine
+    * converges to (view→click within the window; click→purchase within the
+    * window). Same RANGE-frame pass as [[funnel]], grouped per user instead
+    * of globally — so the driver oracle verifies the EXACT rows the
+    * streaming operator's last update per user emits (EventsSpec pins
+    * stream == this twin row-for-row, this query pins twin == oracle). */
+  def funnelPerUser(events: DataFrame, windowSeconds: Long = 600): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      col("ts").cast("double").as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-windowSeconds, -1)
+    e.select(col("user_id"), col("event_type"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(w).as("viewed_w"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).over(w).as("clicked_w"))
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("event_type") === "click" && col("viewed_w") === 1, 1L)
+          .otherwise(0L)) > 0).as("view_click"),
+        (sum(when(col("event_type") === "purchase" && col("clicked_w") === 1, 1L)
+          .otherwise(0L)) > 0).as("click_purchase"))
+  }
+
   /** Streaming CDC apply: MERGE each micro-batch of a changelog stream into
     * a lake table keyed by `keys` — foreachBatch + [[graft.tables.LakeTable.merge]],
     * with per-batch semantics exactly [[graft.ops.Merge.upsertPlan]]

@@ -172,6 +172,13 @@ class EventsSpec extends SparkSpec {
       graft.tables.Tables.events(spark, "/root/testdata/sf0.001")).head()
     assert(streamed === ((batch.getLong(1), batch.getLong(2))),
       s"stream=$streamed batch=(${batch.getLong(1)}, ${batch.getLong(2)})")
+    // per-user parity against the oracle-checked batch twin (q178): the
+    // state machine's final flags equal the RANGE-frame flags ROW-FOR-ROW,
+    // not just in aggregate — stream == twin here, twin == oracle there
+    val twin = Events.funnelPerUser(
+        graft.tables.Tables.events(spark, "/root/testdata/sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(last.toSet === twin, "streaming final state diverged from funnelPerUser")
   }
 
   test("streaming session windows close and match batch session starts") {

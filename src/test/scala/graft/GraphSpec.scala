@@ -34,6 +34,40 @@ class GraphSpec extends SparkSpec {
     assert(got <= rawExpected && got >= expected / 2, s"got $got raw=$rawExpected distinct=$expected")
   }
 
+  test("degree-oriented triangle census equals the id-ordered reference") {
+    import spark.implicits._
+    // real co-purchase edges (the q144 input)
+    val co = Graph.coPurchasePairs(Tables.lineitem(spark, d)).drop("n_together")
+    assert(Graph.triangleCount(co).head === Graph.triangleCountIdOrdered(co).head)
+    // hub graph — the shape the orientation exists for: a degree-20 center
+    // must contribute its triangles without pivoting its full neighborhood
+    val hub = ((1L to 20L).map(i => (i, 100L)) ++ Seq((1L, 2L), (2L, 3L)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("part_a", "part_b")
+    val r = Graph.triangleCount(hub).head
+    assert(Graph.triangleCountIdOrdered(hub).head === r)
+    assert(r.getLong(2) === 2L) // (1,2,100) and (2,3,100)
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("Apriori-pruned triples equal the naive all-baskets expansion") {
+    val li = Tables.lineitem(spark, d)
+    val b = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val naive = b.as("x")
+      .join(b.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .join(b.as("z"), col("y.l_orderkey") === col("z.l_orderkey") &&
+        col("y.l_partkey") < col("z.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"),
+        col("z.l_partkey").as("part_c"))
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pruned = Graph.coPurchaseTriples(li, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pruned === naive, "prune must not change surviving triples or counts")
+  }
+
   test("GraphX interop: graph materializes with disjoint vertex spaces") {
     val g = Graph.toGraphX(edges)
     assert(g.numEdges === edges.count())

@@ -64,7 +64,7 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.count() === 0)
     val fmts = stats.groupBy("format").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(fmts.keySet === Set("png", "wav", "avi"))
+    assert(fmts.keySet === Set("png", "jpeg", "wav", "avi"))
   }
 
   test("binaryMediaMeta parses a GENUINE png plus gif/jpeg magic layouts") {
@@ -105,20 +105,69 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(frames.length === 1)
     assert(frames(0).width === 1031 && frames(0).height === 7)
-    // expression path: format detected, dims null (SOF is a scan, not an
-    // offset — documented division of labor)
+    // expression path: the bounded unrolled SOF walk reads the SAME dims
+    // out of the variable-position segment chain
     val meta = Multimodal.binaryMediaMeta(
         Seq((7L, jpeg)).toDF("media_id", "payload")).collect()(0)
     assert(meta.getAs[String]("format") === "jpeg")
-    assert(meta.isNullAt(meta.fieldIndex("img_width")))
+    assert(meta.getAs[Int]("img_width") === 1031)
+    assert(meta.getAs[Int]("img_height") === 7)
+  }
+
+  test("both JPEG walks survive fill bytes; truncated headers clamp to empty body") {
+    import spark.implicits._
+    // builder fixture: APP0, a 0xFF fill byte, then SOF0 — the spec-legal
+    // padding that a length-field misread would send off a cliff
+    val planted = Multimodal.Containers.jpeg(640, 480, Array[Byte](1, 2, 3))
+    val (w, h) = (Multimodal.Containers.jpegDims(planted)._1,
+      Multimodal.Containers.jpegDims(planted)._2)
+    assert((w, h) === ((640, 480)))
+    val meta = Multimodal.binaryMediaMeta(
+        Seq((1L, planted)).toDF("media_id", "payload")).collect()(0)
+    assert(meta.getAs[Int]("img_width") === 640)
+    assert(meta.getAs[Int]("img_height") === 480)
+    // a PNG truncated inside its fixed header must not yield a negative body
+    val truncated = Multimodal.Containers.png(8, 8, Array.fill(16)(0.toByte)).take(25)
+    val dec = Multimodal.decode(
+      Seq(Multimodal.MediaRow(2L, "image", truncated, 8, 8, 1)).toDS()).collect()
+    assert(dec.forall(_.n_pixel_bytes >= 0L))
+  }
+
+  test("non-canonical WAV (LIST before fmt): expression path nulls, typed path walks") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // RIFF/WAVE with a LIST INFO chunk ahead of fmt — legal per RIFF
+    val body = Array.fill(10)(7.toByte)
+    val bb = ByteBuffer.allocate(12 + 12 + 24 + 8 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(48 + body.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(2.toShort).putInt(44100)
+    bb.putInt(44100 * 4).putShort(4.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(body.length)
+    val wav = bb.put(body).array()
+    // expression path: fixed offsets would read the LIST chunk as fmt ->
+    // guarded to null, never garbage
+    val meta = Multimodal.binaryMediaMeta(
+        Seq((1L, wav)).toDF("media_id", "payload")).collect()(0)
+    assert(meta.getAs[String]("format") === "wav")
+    assert(meta.isNullAt(meta.fieldIndex("sample_rate")))
+    assert(meta.isNullAt(meta.fieldIndex("channels")))
+    // typed path: the chunk walk finds the true data offset
+    val dec = Multimodal.decode(
+      Seq(Multimodal.MediaRow(3L, "audio", wav, 0, 0, 1)).toDS()).collect()
+    assert(dec.length === 1 && dec(0).n_pixel_bytes === body.length.toLong)
   }
 
   test("binaryMediaMeta round-trips the synthetic wav/avi containers") {
     val parsed = Multimodal.binaryMediaMeta(
       media.toDF().withColumnRenamed("n_frames", "declared_frames"))
     val bad = parsed.filter(
-      (col("kind") === "image" && (col("format") =!= "png" ||
-        col("img_width") =!= col("width"))) ||
+      (col("kind") === "image" && (!col("format").isin("png", "jpeg") ||
+        col("img_width") =!= col("width") ||
+        col("img_height") =!= col("height"))) ||
       (col("kind") === "audio" && col("format") =!= "wav") ||
       (col("kind") === "video" && (col("format") =!= "avi" ||
         col("img_width") =!= col("width") || col("img_height") =!= col("height") ||

@@ -157,6 +157,51 @@ class SimilaritySpec extends SparkSpec {
     graft.ops.Caching.releaseAll(spark) // semDedup's CC result is cache-backed
   }
 
+  test("semDedupIvf cell-blocking agrees with label-blocking on separated clusters") {
+    import spark.implicits._
+    val dim = 8
+    val nClusters = 4
+    // anchor selection must match the portable 0-iteration trainer: the
+    // first nClusters ids in (md5(id), id) order seed DISTINCT clusters, so
+    // nearest-seed assignment reproduces the label partition exactly
+    val ids = (0L until 12L)
+    val hashOrder = ids.toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("h"))
+      .collect().sortBy(r => (r.getString(1), r.getLong(0))).map(_.getLong(0))
+    val cluster = hashOrder.zipWithIndex
+      .map { case (id, rank) => id -> rank % nClusters }.toMap
+    val vecs = ids.map { id =>
+      val k = cluster(id)
+      val v = Array.tabulate(dim)(i =>
+        if (i == k) 10f else if (i == ((k + 4) % dim)) 0.01f * (id % 3 + 1) else 0f)
+      Vec(id, v, k)
+    }
+    val d = df(vecs)
+    def keptOf(r: org.apache.spark.sql.DataFrame): Set[Long] =
+      r.select("vec_id").collect().map(_.getLong(0)).toSet
+    val byLabel = keptOf(Similarity.semDedup(d, "label", threshold = 0.9))
+    // portable 0-iteration path (the oracle-replayable q176 configuration)
+    val byCell0 = keptOf(Similarity.semDedupIvf(d, threshold = 0.9,
+      nLists = nClusters, iters = 0, portableInit = true))
+    // production path: Lloyd refinement converges to the same partition
+    // (init already holds one seed per tight cluster)
+    val byCell8 = keptOf(Similarity.semDedupIvf(d, threshold = 0.9,
+      nLists = nClusters, iters = 8, portableInit = true))
+    assert(byLabel === byCell0, "0-iteration cell blocking diverged from labels")
+    assert(byLabel === byCell8, "refined cell blocking diverged from labels")
+    // the assignment itself must reproduce the label partition over ALL
+    // rows (cells are a renumbering of labels, nothing merged or split)
+    val asn = Similarity.ivfBuild(d, nLists = nClusters, iters = 0,
+        portableInit = true)
+      .assigned.select(col("vec_id"), col("cell"))
+      .join(d.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select("cell", "label").distinct().collect()
+    assert(asn.length === nClusters &&
+      asn.map(_.getInt(0)).distinct.length === nClusters,
+      s"cells must biject onto labels, got: ${asn.mkString(",")}")
+    graft.ops.Caching.releaseAll(spark) // semDedup's CC result is cache-backed
+  }
+
   test("whitening composes with PQ: whitened-space recall holds") {
     // same anisotropic shape as the IVF test: PQ subspaces containing the
     // dominant raw direction would spend their codebook on it; whitening
