@@ -970,7 +970,15 @@ object SparkEntry {
     // final state (EventsSpec pins stream == twin row-for-row; this
     // oracle-checks the twin — the q171 pattern for the funnel machine) ---
     "q178_funnel_per_user" -> ((s, d) =>
-      Events.funnelPerUser(Tables.events(s, d))))
+      Events.funnelPerUser(Tables.events(s, d))),
+    // --- Gopher/MassiveText quality-rule bundle [ext]: the published
+    // per-doc heuristic filter suite, exact integer rule booleans ---
+    "q179_gopher_rules" -> ((s, d) =>
+      TextStats.gopherQualityProfile(t(s, d, "documents"))),
+    // --- Gopher repetition signals [ext]: top / duplicated word-bigram
+    // character coverage ---
+    "q180_topgram_fraction" -> ((s, d) =>
+      TextStats.topNgramCharFraction(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2274,6 +2282,56 @@ object SparkEntry {
         "bool_or(event_type = 'click' AND viewed_w = 1) AS view_click, " +
         "bool_or(event_type = 'purchase' AND clicked_w = 1) AS click_purchase " +
         "FROM f GROUP BY user_id"),
+    // Gopher rule replay: exact integer metrics, integer-arithmetic rule
+    // booleans (ratios only for the two reported rounded columns)
+    "q179_gopher_rules" ->
+      (s"WITH m AS (SELECT doc_id, " +
+        s"CAST(len($toksSql) AS BIGINT) AS n_words, " +
+        s"CAST(list_sum(list_transform($toksSql, t -> strlen(t))) AS BIGINT) AS sum_word_chars, " +
+        s"CAST(strlen($normSql) - strlen(replace($normSql, '#', '')) " +
+        s"+ (strlen($normSql) - strlen(replace($normSql, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        s"CAST(len(list_filter($toksSql, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_words, " +
+        s"CAST(len(list_filter(['the','be','to','of','and','that','have','with'], " +
+        s"s -> list_contains($toksSql, s))) AS BIGINT) AS n_stop_words, " +
+        "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_filter(string_split(text, chr(10)), " +
+        "l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet_lines, " +
+        "CAST(len(list_filter(string_split(text, chr(10)), " +
+        "l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis_lines " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, n_words, " +
+        "round(CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS mean_word_len, " +
+        "round(CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS symbol_ratio, " +
+        "round(CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS alpha_word_frac, " +
+        "n_stop_words, " +
+        "n_words >= 50 AND n_words <= 100000 AS words_ok, " +
+        "sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words AS mean_len_ok, " +
+        "n_symbols * 10 <= n_words AS symbol_ok, " +
+        "n_alpha_words * 5 >= n_words * 4 AS alpha_ok, " +
+        "n_stop_words >= 2 AS stop_ok, " +
+        "n_bullet_lines * 10 <= n_lines * 9 AND n_ellipsis_lines * 10 <= n_lines * 3 AS lines_ok " +
+        "FROM m) " +
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, " +
+        "n_stop_words, words_ok, mean_len_ok, symbol_ok, alpha_ok, stop_ok, lines_ok, " +
+        "words_ok AND mean_len_ok AND symbol_ok AND alpha_ok AND stop_ok AND lines_ok " +
+        "AS pass_gopher FROM r"),
+    // repetition-signal replay: per-doc bigram counts, rank-1 top gram
+    // (ties lexicographic), repeated-gram character coverage
+    "q180_topgram_fraction" ->
+      (s"WITH f AS (SELECT doc_id, $toksSql AS toks, " +
+        s"CAST(strlen($normSql) AS BIGINT) AS n_chars FROM documents " +
+        s"WHERE len($toksSql) >= 2), " +
+        "e AS (SELECT doc_id, n_chars, unnest(list_transform(range(len(toks) - 1), " +
+        "i -> array_to_string(toks[i+1:i+2], ' '))) AS g FROM f), " +
+        "c AS (SELECT doc_id, n_chars, g, count(*) AS c FROM e GROUP BY 1, 2, 3), " +
+        "d AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c * strlen(g) ELSE 0 END) AS BIGINT) " +
+        "AS dup_chars FROM c GROUP BY 1), " +
+        "r AS (SELECT doc_id, n_chars, g, c, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c) " +
+        "SELECT r.doc_id, r.g AS top_gram, CAST(r.c AS BIGINT) AS n_occurrences, " +
+        "round(CAST(r.c * strlen(r.g) AS DOUBLE) / CAST(r.n_chars AS DOUBLE), 6) AS top_char_fraction, " +
+        "round(CAST(d.dup_chars AS DOUBLE) / CAST(r.n_chars AS DOUBLE), 6) AS dup_char_fraction " +
+        "FROM r JOIN d USING (doc_id) WHERE rn = 1"),
     // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
     // distinct (doc, gram) rows, frequent set left-joined back per doc
     "q173_boilerplate" ->

@@ -149,6 +149,99 @@ object TextStats {
         .as("repetition_ratio"))
   }
 
+  /** The Gopher/MassiveText quality-rule bundle (Rae et al. 2021, table A1)
+    * — the published per-document heuristic filter suite, each rule as an
+    * exact metric plus its boolean, and the conjunction as `pass_gopher`:
+    *   - word count in [minWords, maxWords];
+    *   - mean word length in [3, 10] characters;
+    *   - symbol-to-word ratio ('#' or '...' occurrences / words) ≤ 0.1;
+    *   - ≥ 80% of words contain at least one alphabetic character;
+    *   - ≥ 2 DISTINCT stop words from the paper's 8-word list;
+    *   - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+    *     (lines split on raw '\n'; single-line documents have one line).
+    * Every metric is a pure codegen map over the shared normalize/tokens
+    * primitives (integer counts, two rounded divisions), zero shuffles —
+    * the filter runs as a scan-side projection at any corpus size. Ratios
+    * round at 6 dp; rule booleans compare the UNROUNDED exact values. */
+  def gopherQualityProfile(docs: DataFrame, minWords: Long = 50,
+                           maxWords: Long = 100000): DataFrame = {
+    val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val norm = normalize(col("text"))
+    val toks = tokens(norm)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val nHash = length(norm) - length(regexp_replace(norm, "#", ""))
+    val nEllipsis = (length(norm) -
+      length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(
+      array(stopWords.map(lit): _*), s => array_contains(toks, s))).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
+    val nEllEnd = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_chars"),
+        (nHash + nEllipsis).cast("long").as("n_symbols"),
+        nAlpha.as("n_alpha_words"), nStop.as("n_stop_words"),
+        nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
+        nEllEnd.as("n_ellipsis_lines"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("sum_word_chars").cast("double") /
+          col("n_words").cast("double"), 6).as("mean_word_len"),
+        round(col("n_symbols").cast("double") /
+          col("n_words").cast("double"), 6).as("symbol_ratio"),
+        round(col("n_alpha_words").cast("double") /
+          col("n_words").cast("double"), 6).as("alpha_word_frac"),
+        col("n_stop_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("words_ok"),
+        (col("sum_word_chars") >= col("n_words") * 3L &&
+          col("sum_word_chars") <= col("n_words") * 10L).as("mean_len_ok"),
+        (col("n_symbols") * 10L <= col("n_words")).as("symbol_ok"),
+        (col("n_alpha_words") * 5L >= col("n_words") * 4L).as("alpha_ok"),
+        (col("n_stop_words") >= 2L).as("stop_ok"),
+        (col("n_bullet_lines") * 10L <= col("n_lines") * 9L &&
+          col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L).as("lines_ok"))
+      .withColumn("pass_gopher",
+        col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stop_ok") && col("lines_ok"))
+  }
+
+  /** Gopher's repetition signals over word `n`-grams: the most frequent
+    * n-gram's character coverage and the total character coverage of all
+    * REPEATED n-grams. Contract (documented, both engines spell it
+    * identically): coverage of a gram = occurrences × length of the
+    * space-joined gram string; denominator = length of the normalized
+    * text; overlapping occurrences each count (the cheap published proxy —
+    * exact span accounting needs interval merging, which the ratio gate
+    * doesn't justify). Top gram ties break lexicographically. One explode +
+    * one (doc, gram) hash aggregate + a rank-1 window (WindowGroupLimit
+    * prunes to one survivor per doc before the shuffle); documents with
+    * fewer than `n` tokens drop out. */
+  def topNgramCharFraction(docs: DataFrame, n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+        tokens(normalize(col("text"))).as("toks"),
+        length(normalize(col("text"))).cast("long").as("n_chars"))
+      .filter(size(col("toks")) >= n)
+    val grams = base
+      .select(col("doc_id"), col("n_chars"),
+        explode(shinglesOf(col("toks"), n)).as("g"))
+      .groupBy(col("doc_id"), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val dup = grams.groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c") * length(col("g")).cast("long"))
+        .otherwise(0L)).as("dup_chars"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("c"), asc("g"))
+    grams.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(dup, Seq("doc_id"))
+      .select(col("doc_id"), col("g").as("top_gram"), col("c").as("n_occurrences"),
+        round((col("c") * length(col("g"))).cast("double") /
+          col("n_chars").cast("double"), 6).as("top_char_fraction"),
+        round(col("dup_chars").cast("double") /
+          col("n_chars").cast("double"), 6).as("dup_char_fraction"))
+  }
+
   /** Corpus term-frequency table: one row per distinct token with its
     * occurrence count — explode + hash-aggregate (map-side combined), the
     * vocabulary-building primitive. */

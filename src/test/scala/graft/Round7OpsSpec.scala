@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+case class R7Doc(doc_id: Long, text: String)
+
+/** Round-7 operator specs: the Gopher/MassiveText rule bundle and the
+  * n-gram repetition signals, each rule exercised at its boundary. */
+class Round7OpsSpec extends SparkSpec {
+
+  private def profile(docs: Seq[R7Doc]) =
+    TextStats.gopherQualityProfile(df(docs), minWords = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("gopher rules: a clean document passes every rule") {
+    val clean = ("the quick brown fox jumps over the lazy dog and " * 3) +
+      "that was all of it with room to spare"
+    val p = profile(Seq(R7Doc(1, clean)))(1L)
+    for (rule <- Seq("words_ok", "mean_len_ok", "symbol_ok", "alpha_ok",
+      "stop_ok", "lines_ok", "pass_gopher"))
+      assert(p.getAs[Boolean](rule), rule)
+  }
+
+  test("gopher rules: each violation trips exactly its own rule") {
+    val docs = Seq(
+      R7Doc(2, "too short to count the of"), // 6 words < 10
+      R7Doc(3, Seq.fill(12)("a").mkString(" ") + " the of"), // mean len < 3
+      R7Doc(4, "the of " + Seq.fill(12)("####word").mkString(" ")), // symbols
+      R7Doc(5, "the of " + (1 to 12).map(_.toString).mkString(" ")), // digits
+      R7Doc(6, Seq.fill(12)("detail").mkString(" "))) // no stop words
+    val p = profile(docs)
+    assert(!p(2L).getAs[Boolean]("words_ok") && p(2L).getAs[Boolean]("stop_ok"))
+    assert(!p(3L).getAs[Boolean]("mean_len_ok") && p(3L).getAs[Boolean]("words_ok"))
+    assert(!p(4L).getAs[Boolean]("symbol_ok") && p(4L).getAs[Boolean]("alpha_ok"))
+    assert(!p(5L).getAs[Boolean]("alpha_ok") && p(5L).getAs[Boolean]("symbol_ok"))
+    assert(!p(6L).getAs[Boolean]("stop_ok") && p(6L).getAs[Boolean]("mean_len_ok"))
+    assert(docs.map(_.doc_id).forall(id => !p(id).getAs[Boolean]("pass_gopher")))
+  }
+
+  test("gopher rules: bullet-dominated lines fail the line rule") {
+    val bullets = (1 to 10).map(i => s"- bullet item number $i of the list")
+      .mkString("\n")
+    val p = profile(Seq(R7Doc(7, bullets)))(7L)
+    assert(!p.getAs[Boolean]("lines_ok"))
+    assert(p.getAs[Boolean]("words_ok")) // 10 x 7 words clears the floor
+  }
+
+  test("topNgramCharFraction: counts, ties and the documented overlap contract") {
+    val out = TextStats.topNgramCharFraction(
+        df(Seq(R7Doc(1, "x y x y x y"), R7Doc(2, "b a c"))))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: grams "x y" x3, "y x" x2; norm length 11
+    val d1 = out(1L)
+    assert(d1.getAs[String]("top_gram") === "x y")
+    assert(d1.getAs[Long]("n_occurrences") === 3L)
+    assert(d1.getAs[Double]("top_char_fraction") === math.round(3.0 * 3 / 11 * 1e6) / 1e6)
+    // overlapping occurrences each count: (3 + 2) grams x 3 chars / 11
+    assert(d1.getAs[Double]("dup_char_fraction") === math.round(15.0 / 11 * 1e6) / 1e6)
+    // doc 2: all grams unique -> count 1, ties break lexicographically
+    val d2 = out(2L)
+    assert(d2.getAs[String]("top_gram") === "a c")
+    assert(d2.getAs[Long]("n_occurrences") === 1L)
+    assert(d2.getAs[Double]("dup_char_fraction") === 0.0)
+  }
+}
