@@ -978,7 +978,15 @@ object SparkEntry {
     // --- Gopher repetition signals [ext]: top / duplicated word-bigram
     // character coverage ---
     "q180_topgram_fraction" -> ((s, d) =>
-      TextStats.topNgramCharFraction(t(s, d, "documents"))))
+      TextStats.topNgramCharFraction(t(s, d, "documents"))),
+    // --- MMR diversified re-rank [ext]: greedy per-probe selection over
+    // bounded candidates (one shuffle); exact portable float contract, so
+    // the oracle unrolls the k greedy rounds like q174 ---
+    "q181_mmr_rerank" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 20),
+        n = 10, k = 4, lambda = 0.5)
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2332,6 +2340,42 @@ object SparkEntry {
         "round(CAST(r.c * strlen(r.g) AS DOUBLE) / CAST(r.n_chars AS DOUBLE), 6) AS top_char_fraction, " +
         "round(CAST(d.dup_chars AS DOUBLE) / CAST(r.n_chars AS DOUBLE), 6) AS dup_char_fraction " +
         "FROM r JOIN d USING (doc_id) WHERE rn = 1"),
+    // MMR replay: q28's candidate stage, then the k greedy rounds unrolled
+    // (q174's pattern): each round excludes the selected set, scores
+    // 0.5*rel - 0.5*max-sim-to-selected with the exact portable cosine,
+    // and picks per probe by (score DESC, id) — every float op in the same
+    // order as the Spark group loop
+    "q181_mmr_rerank" -> {
+      def cosSql(a: String, b: String) =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+      val rounds = (2 to 4).map { i =>
+        s"ms$i AS (SELECT c.probe_id, c.neighbor_id, c.cos_sim, c.v, " +
+          s"max(${cosSql("c.v", "s.v")}) AS ms FROM cands c " +
+          s"JOIN sel${i - 1} s ON c.probe_id = s.probe_id " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x " +
+          "WHERE x.probe_id = c.probe_id AND x.id = c.neighbor_id) " +
+          "GROUP BY c.probe_id, c.neighbor_id, c.cos_sim, c.v), " +
+          s"pk$i AS (SELECT probe_id, neighbor_id, v, score FROM " +
+          "(SELECT probe_id, neighbor_id, v, 0.5 * cos_sim - 0.5 * ms AS score, " +
+          s"row_number() OVER (PARTITION BY probe_id ORDER BY 0.5 * cos_sim - 0.5 * ms DESC, neighbor_id) AS rn " +
+          s"FROM ms$i) WHERE rn = 1), " +
+          s"sel$i AS (SELECT * FROM sel${i - 1} " +
+          s"UNION ALL SELECT probe_id, neighbor_id AS id, v, $i AS rank, score FROM pk$i)"
+      }.mkString(", ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s0 AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.v, " +
+        s"${cosSql("p.v", "c.v")} AS cos_sim " +
+        "FROM e p JOIN e c ON p.vec_id < 20 AND p.vec_id != c.vec_id), " +
+        "cands AS (SELECT probe_id, neighbor_id, cos_sim, v FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s0) " +
+        "WHERE rn <= 10), " +
+        "p1 AS (SELECT probe_id, neighbor_id, v, 0.5 * cos_sim - 0.5 * 0.0 AS score, " +
+        "row_number() OVER (PARTITION BY probe_id ORDER BY 0.5 * cos_sim - 0.5 * 0.0 DESC, neighbor_id) AS rn FROM cands), " +
+        "sel1 AS (SELECT probe_id, neighbor_id AS id, v, 1 AS rank, score FROM p1 WHERE rn = 1), " +
+        rounds +
+        " SELECT probe_id, id AS neighbor_id, CAST(rank AS INTEGER) AS mmr_rank, " +
+        "round(score, 6) AS mmr_score FROM sel4"
+    },
     // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
     // distinct (doc, gram) rows, frequent set left-joined back per doc
     "q173_boilerplate" ->

@@ -312,6 +312,72 @@ object Similarity {
     semDedup(blocked, "cell", threshold)
   }
 
+  /** One MMR selection: (probe, neighbor, 1-based pick rank, raw score). */
+  final case class MmrPick(probe_id: Long, neighbor_id: Long, mmr_rank: Int,
+                           mmr_score: Double)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversity-aware re-rank stage of a retrieval pipeline: greedily
+    * pick `k` of each probe's top-`n` candidates maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` (rel = cosine to the probe,
+    * sim = cosine between candidates, maxSim ≡ 0.0 for the first pick;
+    * ties break to the lower neighbor id).
+    *
+    * Scale shape: the candidate stage is [[bruteForceTopK]] (swap in an ANN
+    * index upstream at scale) bounding each probe's set at `n`, so the
+    * inherently sequential greedy loop runs per probe group over ≤ n rows
+    * inside `flatMapGroups` — ONE shuffle on probe_id, O(k·n) work per
+    * probe, no iteration in the plan (the same bounded-state idiom as the
+    * streaming funnel machine). Candidate–candidate cosines are computed in
+    * the group loop with EXACTLY the portable accumulation order
+    * (sequential dot, `d / (√na·√nb)`), and λ defaults to 0.5 (exact in
+    * binary), so a k-round unrolled SQL oracle replays every pick
+    * hash-identically — the q174 unroll pattern applied to a greedy
+    * selection. */
+  def mmrRerank(corpus: DataFrame, probes: DataFrame, n: Int = 10, k: Int = 4,
+                lambda: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cvec"))
+    val picks = bruteForceTopK(corpus, probes, n)
+      .join(cv, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("cvec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.map(c => (c._2, c._3, c._4.toArray)).toSeq.sortBy(c => (-c._2, c._1)): _*)
+        val selVecs = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        val out = scala.collection.mutable.ArrayBuffer[MmrPick]()
+        var r = 1
+        while (r <= k && remaining.nonEmpty) {
+          val scored = remaining.map { case (id, rel, vec) =>
+            val ms = if (selVecs.isEmpty) 0.0
+              else selVecs.iterator.map(s => cos(vec, s)).max
+            (id, lambda * rel - (1.0 - lambda) * ms, vec)
+          }
+          val best = scored.minBy { case (id, score, _) => (-score, id) }
+          out += MmrPick(pid, best._1, r, best._2)
+          selVecs += best._3
+          val idx = remaining.indexWhere(_._1 == best._1)
+          remaining.remove(idx)
+          r += 1
+        }
+        out.iterator
+      }
+    picks.toDF()
+      .select(col("probe_id"), col("neighbor_id"), col("mmr_rank"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
     * embedding-space analogue of MinHash near-dup): equi-join on bucket,
     * exact cosine verify at `threshold`. */

@@ -47,6 +47,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(p.getAs[Boolean]("words_ok")) // 10 x 7 words clears the floor
   }
 
+  test("mmrRerank prefers diverse picks over redundant near-duplicates") {
+    // probe near axis 0; candidates: two near-identical high-relevance
+    // vectors (1, 2), one moderately relevant diverse vector (3), junk (4).
+    // Pure relevance ranks (1, 2, 3); MMR must interleave: pick 1, then the
+    // DIVERSE 3 (2's sim-to-1 penalty sinks it), then 2.
+    val vecs = Seq(
+      Vec(100, Array(1f, 0f, 0f, 0f), 0), // probe
+      Vec(1, Array(0.99f, 0.14f, 0f, 0f), 0),
+      Vec(2, Array(0.99f, 0.141f, 0f, 0f), 0), // near-dup of 1
+      Vec(3, Array(0.7f, 0f, 0.7f, 0f), 0),    // diverse, decent relevance
+      Vec(4, Array(0f, 0.1f, 0f, 1f), 0))      // barely relevant
+    val d = df(vecs)
+    val picks = graft.sim.Similarity.mmrRerank(
+        d, d.filter(col("vec_id") === 100), n = 4, k = 3)
+      .orderBy("mmr_rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(picks === Array(1L, 3L, 2L),
+      s"expected diversity-aware order, got ${picks.mkString(",")}")
+    // rank-respecting: scores are non-increasing is NOT guaranteed by MMR,
+    // but the first pick must be the pure-relevance argmax
+    val rel = graft.sim.Similarity.bruteForceTopK(
+        d, d.filter(col("vec_id") === 100), 1)
+      .collect()(0).getAs[Long]("neighbor_id")
+    assert(picks(0) === rel)
+  }
+
   test("topNgramCharFraction: counts, ties and the documented overlap contract") {
     val out = TextStats.topNgramCharFraction(
         df(Seq(R7Doc(1, "x y x y x y"), R7Doc(2, "b a c"))))
