@@ -986,7 +986,13 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 20),
         n = 10, k = 4, lambda = 0.5)
-    })
+    },
+    // --- directional containment near-dup [ext]: the embedded-document
+    // detector (quote/snippet case) symmetric Jaccard misses; pure
+    // counting over DF-pruned shingle hashes ---
+    "q182_containment_dups" -> ((s, d) =>
+      graft.text.Dedup.containmentNearDups(t(s, d, "documents"),
+        shingleSize = 3, threshold = 0.5, maxDf = 1000)))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2376,6 +2382,23 @@ object SparkEntry {
         " SELECT probe_id, id AS neighbor_id, CAST(rank AS INTEGER) AS mmr_rank, " +
         "round(score, 6) AS mmr_score FROM sel4"
     },
+    // containment replay on the shared 3-gram CTEs: DF prune first (part of
+    // the contract — sizes count pruned sets), shared counts from the
+    // string-gram join (Spark joins the xxhash64 keys; counts agree), one
+    // division per direction
+    "q182_containment_dups" ->
+      (s"WITH ${shingleCtes("documents")}, " +
+        "dfq AS (SELECT g, count(*) AS df FROM e GROUP BY 1), " +
+        "k AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g) WHERE df <= 1000), " +
+        "ksz AS (SELECT doc_id, count(*) AS sz FROM k GROUP BY 1), " +
+        "sh AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k x JOIN k y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_shared, CAST(a.sz AS BIGINT) AS sz_a, CAST(b.sz AS BIGINT) AS sz_b, " +
+        "round(CAST(n_shared AS DOUBLE) / CAST(a.sz AS DOUBLE), 6) AS containment_a, " +
+        "round(CAST(n_shared AS DOUBLE) / CAST(b.sz AS DOUBLE), 6) AS containment_b " +
+        "FROM sh JOIN ksz a ON sh.doc_a = a.doc_id JOIN ksz b ON sh.doc_b = b.doc_id " +
+        "WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(a.sz AS DOUBLE), " +
+        "CAST(n_shared AS DOUBLE) / CAST(b.sz AS DOUBLE)) >= 0.5"),
     // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
     // distinct (doc, gram) rows, frequent set left-joined back per doc
     "q173_boilerplate" ->

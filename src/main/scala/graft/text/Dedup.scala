@@ -123,6 +123,53 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(TextStats.shinglesOf(col("toks"), shingleSize)).as("s"))
 
+  /** Directional CONTAINMENT near-duplicates — the "document A is embedded
+    * in document B" detector symmetric Jaccard structurally misses (a short
+    * doc fully quoted inside a long one has tiny Jaccard but containment
+    * ≈ 1): for each candidate pair, c(A→B) = |A∩B| / |A| over distinct
+    * shingle sets, reported both directions, kept when either side clears
+    * `threshold`. The quote/snippet/aggregator-page case of a web-corpus
+    * dedup pass.
+    *
+    * Everything is counting — no arrays move past the explode: distinct
+    * (doc, shingle-hash) rows self-join on the 64-bit hash (shared count =
+    * group size), set sizes come from one aggregate, and the division is
+    * the only float. Hub control: shingles in more than `maxDf` documents
+    * are dropped FIRST (a corpus-frequent boilerplate gram joins every doc
+    * pair — the classic shared-token self-join blow-up; at `maxDf` docs a
+    * gram contributes at most maxDf² pair rows). The prune is part of the
+    * CONTRACT (sizes count pruned sets too), so the oracle replays it with
+    * the same integer arithmetic; set `maxDf` ≈ the boilerplate knee at
+    * scale. Pairs with zero shared (post-prune) shingles never appear. */
+  def containmentNearDups(docs: DataFrame, shingleSize: Int = 3,
+                          threshold: Double = 0.5,
+                          maxDf: Long = 1000): DataFrame = {
+    val grams = shingleSets(docs, shingleSize)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    val kept = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g"),
+      Seq("g"), "left_semi")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = kept.as("x").join(kept.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(greatest(
+        col("n_shared").cast("double") / col("sz_a").cast("double"),
+        col("n_shared").cast("double") / col("sz_b").cast("double")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"),
+        round(col("n_shared").cast("double") / col("sz_a").cast("double"), 6)
+          .as("containment_a"),
+        round(col("n_shared").cast("double") / col("sz_b").cast("double"), 6)
+          .as("containment_b"))
+  }
+
   /** Near-duplicate pairs via MinHash + LSH, verified with exact SHINGLE-set
     * Jaccard — candidate generation and verification on the SAME metric
     * (the GPT-3/CCNet-style dedup contract), unlike [[minhashNearDups]]'s

@@ -47,6 +47,43 @@ class Round7OpsSpec extends SparkSpec {
     assert(p.getAs[Boolean]("words_ok")) // 10 x 7 words clears the floor
   }
 
+  test("containmentNearDups flags an embedded quote that Jaccard misses") {
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val page = quote + " " + (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = df(Seq(
+      R7Doc(1, quote),                       // fully contained in 2
+      R7Doc(2, page),
+      R7Doc(3, "completely unrelated text about nothing in particular here")))
+    val out = graft.text.Dedup.containmentNearDups(docs, threshold = 0.9)
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    // every shingle of the quote appears in the page -> containment 1.0
+    assert(r.getAs[Double]("containment_a") === 1.0)
+    assert(r.getAs[Double]("containment_b") < 0.9)
+    // ...while symmetric Jaccard sits far below any dedup threshold
+    val jac = graft.text.Dedup.minhashNearDupsShingle(docs, threshold = 0.8)
+    assert(jac.count() === 0, "Jaccard dedup must NOT pair quote and page")
+  }
+
+  test("containmentNearDups DF prune drops corpus-frequent boilerplate grams") {
+    // the same boilerplate shingle in every doc; maxDf=2 prunes it, so the
+    // only surviving overlap evidence is the genuine shared tail of 4/5
+    val boiler = "copyright example corp all rights reserved"
+    val docs = df(Seq(
+      R7Doc(4, boiler + " unique four text"),
+      R7Doc(5, boiler + " entirely different content"),
+      R7Doc(6, boiler + " more unrelated words"),
+      R7Doc(7, boiler + " shared tail of tokens here"),
+      R7Doc(8, boiler + " shared tail of tokens there")))
+    val out = graft.text.Dedup.containmentNearDups(docs,
+        threshold = 0.5, maxDf = 2).collect()
+    // boilerplate grams (df=5) pruned: only 7/8 share enough post-prune
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      === Set((7L, 8L)))
+  }
+
   test("mmrRerank prefers diverse picks over redundant near-duplicates") {
     // probe near axis 0; candidates: two near-identical high-relevance
     // vectors (1, 2), one moderately relevant diverse vector (3), junk (4).
