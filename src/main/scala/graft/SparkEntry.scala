@@ -992,7 +992,11 @@ object SparkEntry {
     // counting over DF-pruned shingle hashes ---
     "q182_containment_dups" -> ((s, d) =>
       graft.text.Dedup.containmentNearDups(t(s, d, "documents"),
-        shingleSize = 3, threshold = 0.5, maxDf = 1000)))
+        shingleSize = 3, threshold = 0.5, maxDf = 1000)),
+    // --- corpus novelty curve [ext]: per-doc fraction of shingles first
+    // introduced by that doc (ingestion-order redundancy telemetry) ---
+    "q183_gram_novelty" -> ((s, d) =>
+      graft.text.Dedup.gramNovelty(t(s, d, "documents"))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2399,6 +2403,15 @@ object SparkEntry {
         "FROM sh JOIN ksz a ON sh.doc_a = a.doc_id JOIN ksz b ON sh.doc_b = b.doc_id " +
         "WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(a.sz AS DOUBLE), " +
         "CAST(n_shared AS DOUBLE) / CAST(b.sz AS DOUBLE)) >= 0.5"),
+    // novelty replay on the shared 3-gram CTEs: min-doc per gram, join back
+    "q183_gram_novelty" ->
+      (s"WITH ${shingleCtes("documents")}, " +
+        "fst AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY 1) " +
+        "SELECT e.doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN fst.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN fst.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS novelty " +
+        "FROM e JOIN fst USING (g) GROUP BY e.doc_id"),
     // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
     // distinct (doc, gram) rows, frequent set left-joined back per doc
     "q173_boilerplate" ->

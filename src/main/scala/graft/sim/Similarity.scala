@@ -240,6 +240,53 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos_sim", "rn")
   }
 
+  /** Persist a built ANN index (IVF coarse quantizer + PQ codebooks/codes)
+    * into lake tables — the index LIFECYCLE a serving system needs: build
+    * once (the expensive corpus passes), commit versioned, serve forever
+    * without rebuilding, roll back by time travel like any lake table.
+    * Layout is the scale story: cell-assigned vectors land PARTITIONED BY
+    * `cell`, so an `nProbe`-cell query prunes to nProbe partitions at the
+    * file listing — the scan never touches unprobed cells. Centroids and
+    * codebooks are dimension-sized side tables. */
+  def saveIndex(lake: graft.tables.LakeTable, prefix: String,
+                ivf: IVFIndex, pq: PQIndex): Unit = {
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    lake.write(ivf.assigned.select(col("vec_id"), col("vec"), col("cell")),
+      s"${prefix}_ivf_vectors", partitionBy = Seq("cell"))
+    lake.write(ivf.centroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cvec"),
+      s"${prefix}_ivf_centroids")
+    lake.write(pq.codes, s"${prefix}_pq_codes")
+    lake.write(pq.codebooks.zipWithIndex.toSeq.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, kk) => (j, kk, c.toSeq) }
+      }.toDF("j", "code", "cent"),
+      s"${prefix}_pq_books")
+  }
+
+  /** Load a [[saveIndex]]-persisted index for serving. The driver-side
+    * collects are the dimension-sized side tables only (nLists centroids,
+    * m×k codebook rows) — vectors and codes stay distributed lake reads,
+    * partition-pruned by cell at query time. Served results are identical
+    * to the freshly-built index (spec-pinned): everything the quantizers
+    * learned is in the tables, nothing is retrained. */
+  def loadIndex(lake: graft.tables.LakeTable, prefix: String): (IVFIndex, PQIndex) = {
+    val cents = lake.read(s"${prefix}_ivf_centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Double]]("cvec").toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = lake.read(s"${prefix}_ivf_vectors")
+      .select(col("vec_id"), col("vec"), col("cell"))
+    val books = lake.read(s"${prefix}_pq_books").collect()
+    val m = books.map(_.getAs[Int]("j")).max + 1
+    val codebooks = Array.tabulate(m) { j =>
+      books.filter(_.getAs[Int]("j") == j).sortBy(_.getAs[Int]("code"))
+        .map(_.getAs[Seq[Double]]("cent").toArray)
+    }
+    (IVFIndex(assigned, cents),
+      PQIndex(lake.read(s"${prefix}_pq_codes"), codebooks, m,
+        codebooks(0)(0).length))
+  }
+
   /** Exact embedding near-duplicate pairs within equality blocks (e.g. a
     * label/shard/partition column): equi-join on the block key bounds the
     * pair count, exact cosine filters at `threshold`. The deterministic

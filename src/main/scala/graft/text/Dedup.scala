@@ -170,6 +170,30 @@ object Dedup {
           .as("containment_b"))
   }
 
+  /** Per-document n-gram NOVELTY against everything earlier in the corpus
+    * (doc_id order = ingestion order): the fraction of a document's
+    * distinct shingles whose FIRST corpus occurrence is this document.
+    * The dataset-redundancy curve — novelty falling toward 0 as a crawl
+    * grows is the signal that marginal data is mostly repeats (scaling-law
+    * dataset-curation telemetry). One distinct (doc, hash) explode, one
+    * min-per-gram aggregate (vocabulary-sized), one hash join back —
+    * nothing document-sized shuffles twice. Deterministic: ties inside one
+    * document count as novel exactly once (min doc_id == the doc). */
+  def gramNovelty(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val grams = shingleSets(docs, shingleSize)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** Near-duplicate pairs via MinHash + LSH, verified with exact SHINGLE-set
     * Jaccard — candidate generation and verification on the SAME metric
     * (the GPT-3/CCNet-style dedup contract), unlike [[minhashNearDups]]'s

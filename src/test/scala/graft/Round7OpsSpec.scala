@@ -109,6 +109,31 @@ class Round7OpsSpec extends SparkSpec {
     assert(picks(0) === rel)
   }
 
+  test("saved ANN index serves identically to the freshly-built one") {
+    import graft.sim.Similarity
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfBuild(emb, nLists = 8)
+    val pq = Similarity.pqBuild(emb, codesPerSub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val lake = new graft.tables.LakeTable(spark, dir)
+    Similarity.saveIndex(lake, "ann", ivf, pq)
+    val (ivf2, pq2) = Similarity.loadIndex(lake, "ann")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows(Similarity.ivfTopK(ivf2, probes, 3, nProbe = 4)) ===
+      rows(Similarity.ivfTopK(ivf, probes, 3, nProbe = 4)))
+    assert(rows(Similarity.ivfPqTopK(ivf2, pq2, probes, 3, nProbe = 4)) ===
+      rows(Similarity.ivfPqTopK(ivf, pq, probes, 3, nProbe = 4)))
+    // the layout earns its keep: a one-cell read prunes at the partition
+    // level, not with a post-scan filter
+    val one = lake.read("ann_ivf_vectors").filter(col("cell") === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter must prune partitions:\n${plan.take(500)}")
+    graft.ops.Caching.releaseAll(spark)
+  }
+
   test("topNgramCharFraction: counts, ties and the documented overlap contract") {
     val out = TextStats.topNgramCharFraction(
         df(Seq(R7Doc(1, "x y x y x y"), R7Doc(2, "b a c"))))
