@@ -144,13 +144,18 @@ object Dedup {
   def containmentNearDups(docs: DataFrame, shingleSize: Int = 3,
                           threshold: Double = 0.5,
                           maxDf: Long = 1000): DataFrame = {
+    // shared-subtree persists (Caching contract): grams feeds the DF census
+    // and the prune; kept feeds sizes + both self-join sides — without the
+    // persists the tokenize/shingle/hash corpus pass re-runs five times
     val grams = shingleSets(docs, shingleSize)
       .select(col("doc_id"), explode(col("s")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .persist()
     val kept = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("g"),
       Seq("g"), "left_semi")
+      .persist()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -180,9 +185,12 @@ object Dedup {
     * nothing document-sized shuffles twice. Deterministic: ties inside one
     * document count as novel exactly once (min doc_id == the doc). */
   def gramNovelty(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    // shared-subtree persist (Caching contract): the min-per-gram branch
+    // and the join-back both read the hashed gram stream
     val grams = shingleSets(docs, shingleSize)
       .select(col("doc_id"), explode(col("s")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .persist()
     val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
     grams.join(first, Seq("g"))
       .groupBy("doc_id")
