@@ -29,7 +29,7 @@ object Bench {
     // clamp: a non-numeric env value falls back to the default, and 0/negative
     // would make times.min throw on an empty collection
     val iters = math.max(1, scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt).getOrElse(2))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt).getOrElse(3))
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q10,q33 times just those
     // queries (prefix match); unset = the full suite, the driver's mode
@@ -46,6 +46,10 @@ object Bench {
         // (or cache-hit timings) into the next iteration; untimed. Reclaims
         // BOTH the SQL cache and any RDD-level blocks.
         graft.ops.Caching.releaseAll(spark)
+        // heap settle between iterations: freed cache blocks from the previous
+        // query otherwise surface as GC pauses INSIDE the next timed region,
+        // inflating suite numbers 4-6x over isolated runs (r7: q13, q170)
+        System.gc()
         dt
       }
       name -> times.min

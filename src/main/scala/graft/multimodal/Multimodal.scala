@@ -126,6 +126,28 @@ object Multimodal {
       (0, 0)
     }
 
+    /** Entropy-body start: the segment walk of [[jpegDims]] continued to the
+      * SOS marker — returns the offset just past the SOS segment (where
+      * entropy-coded data begins), or 0 if no SOS is found (caller treats
+      * the whole payload as body). On the [[jpeg]] fixture this is exactly
+      * [[JpegHeaderLen]]; on a real JFIF it is whatever the header chain
+      * adds up to. */
+    def jpegBodyStart(p: Array[Byte]): Int = {
+      def u16(off: Int): Int = ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
+      var i = 2
+      while (i + 3 < p.length && (p(i) & 0xFF) == 0xFF) {
+        val m = p(i + 1) & 0xFF
+        if (m == 0xFF) i += 1 // fill byte
+        else if (m == 0xDA) { // SOS: header ends after its length-counted segment
+          val end = i + 2 + u16(i + 2)
+          return if (end <= p.length) end else 0
+        } else if (m == 0xD9) return 0 // EOI before any SOS
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+        else i += 2 + u16(i + 2)
+      }
+      0
+    }
+
     /** Minimal spec-correct baseline JPEG: SOI, JFIF APP0, one FILL byte
       * (legal padding — exercises the fill-byte path both parsers must
       * survive), SOF0 declaring the planted dimensions (8-bit, 1
@@ -166,21 +188,30 @@ object Multimodal {
       if (p.length >= PngHeaderLen && be(0, 8) == 0x89504E470D0A1A0AL)
         ("png", be(16, 4).toInt, be(20, 4).toInt, 1, PngHeaderLen)
       else if (p.length >= WavHeaderLen && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
-        // RIFF chunk walk to the data chunk (chunks are word-aligned)
-        var off = 12
-        var dataStart = -1
-        while (dataStart < 0 && off + 8 <= p.length) {
-          val sz = le(off + 4, 4).toInt
-          if (ascii(off, 4) == "data") dataStart = off + 8
-          else off += 8 + sz + (sz & 1)
+        // RIFF chunk walk to the data chunk (chunks are word-aligned).
+        // Sizes are UNSIGNED u32 and the payload is untrusted: a size like
+        // 0xFFFFFFF8 read as a signed Int would advance the cursor by zero
+        // or negative (infinite loop / negative index). Keep the size a
+        // Long, track the offset as a Long, and bail to the canonical-44
+        // fallback unless the next offset strictly increases.
+        var off = 12L
+        var dataStart = -1L
+        var ok = true
+        while (ok && dataStart < 0 && off + 8 <= p.length) {
+          val sz = le(off.toInt + 4, 4) // u32, always >= 0 as a Long
+          if (ascii(off.toInt, 4) == "data") dataStart = off + 8
+          else {
+            val next = off + 8 + sz + (sz & 1L)
+            if (next <= off) ok = false else off = next
+          }
         }
-        ("wav", 0, 0, 1, if (dataStart >= 0) dataStart else WavHeaderLen)
+        ("wav", 0, 0, 1, if (dataStart >= 0) dataStart.toInt else WavHeaderLen)
       } else if (p.length >= AviHeaderLen && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
         ("avi", le(64, 4).toInt, le(68, 4).toInt, le(48, 4).toInt, AviHeaderLen)
       else if (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
         (p(2) & 0xFF) == 0xFF) {
         val (w, h) = jpegDims(p) // real SOF scan; entropy data stays "body"
-        ("jpeg", w, h, 1, 0)
+        ("jpeg", w, h, 1, jpegBodyStart(p)) // headerLen = SOS-segment end
       } else ("unknown", 0, 0, 1, 0)
     }
 
@@ -334,10 +365,16 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
-        val (_, w, h, frames, headerLen) = Containers.decodeHeader(m.payload)
+        val (fmt, w, h, frames, headerLen) = Containers.decodeHeader(m.payload)
+        val n = m.payload.length
+        // JPEG bodies end at the EOI trailer, not the payload end — without
+        // this the typed path and mediaStats' expression path disagree by
+        // exactly the 2 trailer bytes on jpeg rows only
+        val trailer = if (fmt == "jpeg" && n >= 2 &&
+          (m.payload(n - 2) & 0xFF) == 0xFF && (m.payload(n - 1) & 0xFF) == 0xD9) 2 else 0
         // clamp: a payload that ends exactly at (or inside) its header has
         // an empty body, never a negative one
-        val body = math.max(0, m.payload.length - headerLen)
+        val body = math.max(0, n - headerLen - trailer)
         (0 until frames).iterator.map { f =>
           DecodedFrame(m.media_id, f, w, h, body.toLong)
         }

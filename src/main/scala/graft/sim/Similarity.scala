@@ -138,8 +138,15 @@ object Similarity {
     // and would collect up to ~2x the documented driver-memory cap
     val mv = math.max(1L, maxVectors.toLong)
     val stride = math.max(1L, (n + mv - 1L) / mv)
+    // the stride pre-filter must honour portableOrder too: an xxhash64
+    // stride would silently break the oracle-replayable guarantee the
+    // moment the corpus outgrows maxVectors (the replay ranks by md5, not
+    // xxhash64) — use the portable 60-bit md5 hash for the keep-set as well
     val sampled =
       if (stride <= 1L) src
+      else if (portableOrder)
+        src.filter(pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+          16, 10).cast("long"), lit(stride)) === 0)
       else src.filter(pmod(xxhash64(lit(seed), col("vec_id")), lit(stride)) === 0)
     if (portableOrder)
       sampled

@@ -161,6 +161,54 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.length === 1 && dec(0).n_pixel_bytes === body.length.toLong)
   }
 
+  test("adversarial WAV chunk size (u32 high-bit) terminates and falls back") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a RIFF chunk declaring size 0xFFFFFFF8: read as a signed Int this
+    // advances the walk by ~0/negative (hang or negative index); as an
+    // unsigned Long the cursor jumps past the payload and the walk falls
+    // back to the canonical 44-byte header
+    val bb = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    val evil = bb.array()
+    val dec = Multimodal.decode(
+      Seq(Multimodal.MediaRow(9L, "audio", evil, 0, 0, 1)).toDS()).collect()
+    assert(dec.length === 1)
+    assert(dec(0).n_pixel_bytes === math.max(0, evil.length - 44).toLong)
+  }
+
+  test("typed decode body bytes == mediaStats payload_bytes for every format") {
+    // the typed header walk and the expression path must agree on body
+    // size — including JPEG, where the body excludes the SOS-end header
+    // AND the 2-byte EOI trailer (the r7 silent drift)
+    val typed = Multimodal.decode(media).toDF()
+      .filter(col("frame_idx") === 0)
+      .select(col("media_id").as("doc_id"), col("n_pixel_bytes"))
+    val expr = Multimodal.mediaStats(spark, docs)
+      .select(col("doc_id"), col("payload_bytes"))
+    val bad = typed.join(expr, Seq("doc_id"))
+      .filter(col("n_pixel_bytes") =!= col("payload_bytes"))
+    assert(bad.count() === 0)
+  }
+
+  test("standalone markers (TEM, RSTn) skip by 2 in BOTH jpeg walks") {
+    import spark.implicits._
+    // TEM (0x01) and RST4 (0xD4) carry no length field; a walk that reads
+    // a bogus u16 after them lands mid-stream and misses the SOF
+    val jpeg = (Array(0xFF, 0xD8) ++
+      Array(0xFF, 0x01) ++ // TEM, standalone
+      Array(0xFF, 0xD4) ++ // RST4, standalone
+      Array(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x09, 0x04, 0x02) ++
+      Array.fill(12)(0) ++ Array(0xFF, 0xD9)).map(_.toByte)
+    assert(Multimodal.Containers.jpegDims(jpeg) === ((1026, 9)))
+    val meta = Multimodal.binaryMediaMeta(
+        Seq((1L, jpeg)).toDF("media_id", "payload")).collect()(0)
+    assert(meta.getAs[Int]("img_width") === 1026)
+    assert(meta.getAs[Int]("img_height") === 9)
+  }
+
   test("binaryMediaMeta round-trips the synthetic wav/avi containers") {
     val parsed = Multimodal.binaryMediaMeta(
       media.toDF().withColumnRenamed("n_frames", "declared_frames"))
