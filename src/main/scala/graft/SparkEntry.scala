@@ -979,13 +979,18 @@ object SparkEntry {
     // character coverage ---
     "q180_topgram_fraction" -> ((s, d) =>
       TextStats.topNgramCharFraction(t(s, d, "documents"))),
-    // --- MMR diversified re-rank [ext]: greedy per-probe selection over
-    // bounded candidates (one shuffle); exact portable float contract, so
-    // the oracle unrolls the k greedy rounds like q174 ---
+    // --- MMR diversified re-rank over IVF candidates [ext]: the coarse
+    // quantizer bounds the candidate scan (nProbe/nLists of the corpus,
+    // never brute force), exact-cosine top-n within the probed cells, then
+    // the greedy per-probe selection (one shuffle). Portable 0-iteration
+    // init makes the WHOLE chain exact replayable float arithmetic: the
+    // oracle composes q176's assignment replay with the k-round greedy
+    // unroll ---
     "q181_mmr_rerank" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
-      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 20),
-        n = 10, k = 4, lambda = 0.5)
+      Similarity.mmrRerankIvf(emb, emb.filter(col("vec_id") < 20),
+        n = 10, k = 4, lambda = 0.5, nLists = 8, nProbe = 3,
+        iters = 0, portableInit = true)
     },
     // --- directional containment near-dup [ext]: the embedded-document
     // detector (quote/snippet case) symmetric Jaccard misses; pure
@@ -996,7 +1001,61 @@ object SparkEntry {
     // --- corpus novelty curve [ext]: per-doc fraction of shingles first
     // introduced by that doc (ingestion-order redundancy telemetry) ---
     "q183_gram_novelty" -> ((s, d) =>
-      graft.text.Dedup.gramNovelty(t(s, d, "documents"))))
+      graft.text.Dedup.gramNovelty(t(s, d, "documents"))),
+    // --- ANN index serving lifecycle [ext]: build (portable init) ->
+    // saveIndex (cell-partitioned lake commit) -> loadIndex -> serve — the
+    // returned rows have survived the full persist/load round trip, and the
+    // oracle replays the served top-k exactly (q176's assignment replay +
+    // probe-cell ranking + exact cosine top-k within probed cells) ---
+    "q184_index_serve" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 20)
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ann_serve_lake")
+      val lake = new graft.tables.LakeTable(s, dir.toString)
+      val ivf = Similarity.ivfBuild(emb, nLists = 8, iters = 0,
+        portableInit = true)
+      val pq = Similarity.pqBuild(emb, codesPerSub = 16)
+      Similarity.saveIndex(lake, "serve", ivf, pq)
+      val (servedIvf, _) = Similarity.loadIndex(lake, "serve")
+      Similarity.ivfTopK(servedIvf, probes, k = 3, nProbe = 3)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
+    },
+    // --- banded containment near-dup [ext]: bottom-k sketch candidates +
+    // exact verify — the scale form of q182 (candidates from ≤ sketchK
+    // sampled grams per doc probing the DF-pruned gram table, never the
+    // Σdf² self-join); the exact verify makes it equal the counting form
+    // up to a 2^-64 sketch-miss margin, so the oracle replays the EXACT
+    // containment arithmetic (q24's equality-oracle pattern) ---
+    "q185_containment_banded" -> ((s, d) =>
+      graft.text.Dedup.containmentNearDupsBanded(t(s, d, "documents"),
+        shingleSize = 3, threshold = 0.5, maxDf = 1000, sketchK = 64)),
+    // --- refinery with the containment stage [ext]: gate -> exact dedup ->
+    // shingle near-dup closure -> drop embedded quotes (directional
+    // containment, banded) -> cap -> chunk; the oracle replays every stage
+    // declaratively (q169's respell + q182's containment arithmetic over
+    // the near-dup survivors). Near-dup at 0.98 so the containment stage
+    // does REAL work on this corpus: its J ≈ 0.96 embedded-copy pairs slip
+    // the tight Jaccard stage and only the directional stage removes them
+    // (at q169's 0.8 the Jaccard closure would swallow every such pair and
+    // the stage would verify vacuously) ---
+    "q186_refinery_containment" -> ((s, d) =>
+      graft.text.Refinery.refine(t(s, d, "documents"),
+        graft.text.Refinery.Config(shingleVerify = true,
+          nearDupThreshold = 0.98, containment = true,
+          containmentThreshold = 0.8, containmentMaxDf = 1000))),
+    // --- Gopher-gated refinery [ext]: the production MassiveText filter
+    // suite (q179's rules) actually gating the E2E pipeline; the oracle
+    // swaps q169's basic gate for the integer-arithmetic rule conjunction.
+    // Stop-word floor 1 (not the paper's 2): the synthetic corpus's
+    // vocabulary barely intersects the 8-word stop list, and a gate that
+    // drops 100% verifies nothing — at 1 the gate passes ~half the corpus,
+    // so every downstream stage is exercised on a non-trivial survivor set ---
+    "q187_refinery_gopher" -> ((s, d) =>
+      graft.text.Refinery.refine(t(s, d, "documents"),
+        graft.text.Refinery.Config(shingleVerify = true, gate = "gopher",
+          gopherMinStopWords = 1))))
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2372,10 +2431,26 @@ object SparkEntry {
           s"sel$i AS (SELECT * FROM sel${i - 1} " +
           s"UNION ALL SELECT probe_id, neighbor_id AS id, v, $i AS rank, score FROM pk$i)"
       }.mkString(", ")
+      // candidate stage = the IVF replay (q176's portable seeds + argmin
+      // assignment), probe-cell ranking by the same dot-identity distance,
+      // exact-cosine top-10 within the 3 probed cells; then the unchanged
+      // 4-round greedy unroll
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "s0 AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.v, " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1), " +
+        "pc AS (SELECT vec_id AS probe_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst " +
+        "WHERE vec_id < 20) WHERE rn <= 3), " +
+        "s0 AS (SELECT pc.probe_id, a.vec_id AS neighbor_id, c.v, " +
         s"${cosSql("p.v", "c.v")} AS cos_sim " +
-        "FROM e p JOIN e c ON p.vec_id < 20 AND p.vec_id != c.vec_id), " +
+        "FROM pc JOIN asn a USING (cell) " +
+        "JOIN e p ON p.vec_id = pc.probe_id JOIN e c ON c.vec_id = a.vec_id " +
+        "WHERE a.vec_id != pc.probe_id), " +
         "cands AS (SELECT probe_id, neighbor_id, cos_sim, v FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s0) " +
         "WHERE rn <= 10), " +
@@ -2412,6 +2487,34 @@ object SparkEntry {
         "round(CAST(sum(CASE WHEN fst.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE), 6) AS novelty " +
         "FROM e JOIN fst USING (g) GROUP BY e.doc_id"),
+    // served-index replay: the persist/load round trip is exact (doubles
+    // through parquet), so the oracle replays the q176 portable assignment,
+    // ranks each probe's cells by the same dot-identity distance, and takes
+    // the exact-cosine top-3 within the 3 probed cells
+    "q184_index_serve" -> {
+      def cosSql(a: String, b: String) =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1), " +
+        "pc AS (SELECT vec_id AS probe_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst " +
+        "WHERE vec_id < 20) WHERE rn <= 3), " +
+        "sc AS (SELECT pc.probe_id, a.vec_id AS neighbor_id, " +
+        s"${cosSql("p.v", "c.v")} AS cos_sim " +
+        "FROM pc JOIN asn a USING (cell) " +
+        "JOIN e p ON p.vec_id = pc.probe_id JOIN e c ON c.vec_id = a.vec_id " +
+        "WHERE a.vec_id != pc.probe_id) " +
+        "SELECT probe_id, neighbor_id, round(cos_sim, 6) AS cos_sim, " +
+        "CAST(rn AS INTEGER) AS rn FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc) " +
+        "WHERE rn <= 3"
+    },
     // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
     // distinct (doc, gram) rows, frequent set left-joined back per doc
     "q173_boilerplate" ->
@@ -2514,6 +2617,116 @@ object SparkEntry {
         s"(SELECT doc_id, source, text, $toksSql AS toks FROM documents) " +
         "WHERE len(toks) >= 20 AND " +
         "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
+        s"nrm AS (SELECT doc_id, $normSql AS norm FROM gt), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
+        "kd AS (SELECT gt.doc_id, gt.source, gt.text FROM gt JOIN k USING (doc_id)), " +
+        shingleCtes("kd") + s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "removed AS (SELECT n FROM (SELECT n, min(m) AS mn FROM r GROUP BY n) WHERE mn < n), " +
+        "kept AS (SELECT kd.doc_id, kd.source, kd.text FROM kd " +
+        "LEFT JOIN removed ON kd.doc_id = removed.n WHERE removed.n IS NULL), " +
+        "capped AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM kept) WHERE rn <= 1000000), " +
+        s"tt2 AS (SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM capped), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(i AS INTEGER) AS chunk_idx " +
+        "FROM tt2, unnest(generate_series(0, (n_tokens - 1) // 96)) AS u(i) " +
+        "WHERE n_tokens >= 1) " +
+        "SELECT doc_id, n_tokens, chunk_idx, " +
+        "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
+        "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // banded containment == the exact counting replay (bottom-k sketch
+    // candidates + exact verify; miss margin 2^-64 — q24's equality-oracle
+    // pattern): q182's SQL verbatim at the same parameters
+    "q185_containment_banded" ->
+      (s"WITH ${shingleCtes("documents")}, " +
+        "dfq AS (SELECT g, count(*) AS df FROM e GROUP BY 1), " +
+        "k AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g) WHERE df <= 1000), " +
+        "ksz AS (SELECT doc_id, count(*) AS sz FROM k GROUP BY 1), " +
+        "sh AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k x JOIN k y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_shared, CAST(a.sz AS BIGINT) AS sz_a, CAST(b.sz AS BIGINT) AS sz_b, " +
+        "round(CAST(n_shared AS DOUBLE) / CAST(a.sz AS DOUBLE), 6) AS containment_a, " +
+        "round(CAST(n_shared AS DOUBLE) / CAST(b.sz AS DOUBLE), 6) AS containment_b " +
+        "FROM sh JOIN ksz a ON sh.doc_a = a.doc_id JOIN ksz b ON sh.doc_b = b.doc_id " +
+        "WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(a.sz AS DOUBLE), " +
+        "CAST(n_shared AS DOUBLE) / CAST(b.sz AS DOUBLE)) >= 0.5"),
+    // refinery + containment replay: q169's stage respell (near-dup edges
+    // at 0.98 — see the query comment), then q182's containment arithmetic
+    // over the near-dup survivors (DF prune at 1000, threshold 0.8, drop
+    // the contained side / keep min id on mutual), then the unchanged
+    // cap + chunk tail over the containment survivors
+    "q186_refinery_containment" ->
+      (s"WITH RECURSIVE gt AS (SELECT doc_id, source, text FROM " +
+        s"(SELECT doc_id, source, text, $toksSql AS toks FROM documents) " +
+        "WHERE len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
+        s"nrm AS (SELECT doc_id, $normSql AS norm FROM gt), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
+        "kd AS (SELECT gt.doc_id, gt.source, gt.text FROM gt JOIN k USING (doc_id)), " +
+        shingleCtes("kd") + s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.98), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "removed AS (SELECT n FROM (SELECT n, min(m) AS mn FROM r GROUP BY n) WHERE mn < n), " +
+        "kept AS (SELECT kd.doc_id, kd.source, kd.text FROM kd " +
+        "LEFT JOIN removed ON kd.doc_id = removed.n WHERE removed.n IS NULL), " +
+        "ke AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (doc_id)), " +
+        "cdf AS (SELECT g, count(*) AS df FROM ke GROUP BY 1), " +
+        "ck AS (SELECT ke.doc_id, ke.g FROM ke JOIN cdf USING (g) WHERE df <= 1000), " +
+        "csz AS (SELECT doc_id, count(*) AS csn FROM ck GROUP BY 1), " +
+        "csh AS (SELECT x.doc_id AS ca, y.doc_id AS cb, count(*) AS ns " +
+        "FROM ck x JOIN ck y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "cpr AS (SELECT ca, cb, " +
+        "CAST(ns AS DOUBLE) / CAST(a.csn AS DOUBLE) AS conta, " +
+        "CAST(ns AS DOUBLE) / CAST(b.csn AS DOUBLE) AS contb " +
+        "FROM csh JOIN csz a ON ca = a.doc_id JOIN csz b ON cb = b.doc_id), " +
+        "crm AS (SELECT DISTINCT CASE WHEN conta >= 0.8 AND contb >= 0.8 THEN cb " +
+        "WHEN conta >= 0.8 THEN ca ELSE cb END AS doc_id FROM cpr " +
+        "WHERE conta >= 0.8 OR contb >= 0.8), " +
+        "kept2 AS (SELECT kept.doc_id, kept.source, kept.text FROM kept " +
+        "LEFT JOIN crm ON kept.doc_id = crm.doc_id WHERE crm.doc_id IS NULL), " +
+        "capped AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM kept2) WHERE rn <= 1000000), " +
+        s"tt2 AS (SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM capped), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(i AS INTEGER) AS chunk_idx " +
+        "FROM tt2, unnest(generate_series(0, (n_tokens - 1) // 96)) AS u(i) " +
+        "WHERE n_tokens >= 1) " +
+        "SELECT doc_id, n_tokens, chunk_idx, " +
+        "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
+        "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // Gopher-gated refinery replay: q179's integer-arithmetic rule
+    // conjunction as the gate, then q169's unchanged dedup/cap/chunk respell
+    "q187_refinery_gopher" ->
+      (s"WITH RECURSIVE gm AS (SELECT doc_id, source, text, " +
+        s"CAST(len($toksSql) AS BIGINT) AS n_words, " +
+        s"CAST(list_sum(list_transform($toksSql, t -> strlen(t))) AS BIGINT) AS sum_word_chars, " +
+        s"CAST(strlen($normSql) - strlen(replace($normSql, '#', '')) " +
+        s"+ (strlen($normSql) - strlen(replace($normSql, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        s"CAST(len(list_filter($toksSql, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_words, " +
+        s"CAST(len(list_filter(['the','be','to','of','and','that','have','with'], " +
+        s"s -> list_contains($toksSql, s))) AS BIGINT) AS n_stop_words, " +
+        "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_filter(string_split(text, chr(10)), " +
+        "l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet_lines, " +
+        "CAST(len(list_filter(string_split(text, chr(10)), " +
+        "l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis_lines " +
+        "FROM documents), " +
+        "gt AS (SELECT doc_id, source, text FROM gm " +
+        "WHERE n_words >= 50 AND n_words <= 100000 " +
+        "AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words " +
+        "AND n_symbols * 10 <= n_words AND n_alpha_words * 5 >= n_words * 4 " +
+        "AND n_stop_words >= 1 " +
+        "AND n_bullet_lines * 10 <= n_lines * 9 AND n_ellipsis_lines * 10 <= n_lines * 3), " +
         s"nrm AS (SELECT doc_id, $normSql AS norm FROM gt), " +
         "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
         "kd AS (SELECT gt.doc_id, gt.source, gt.text FROM gt JOIN k USING (doc_id)), " +

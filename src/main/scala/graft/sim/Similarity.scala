@@ -223,19 +223,24 @@ object Similarity {
     IVFIndex(assigned, cents)
   }
 
+  /** Ranked (dist, cell) array for a probe vector against the centroid
+    * literals, under the SAME ‖x‖²−2x·c+‖c‖² expression shape as
+    * [[nearestCell]]: probing and assignment must agree on the metric (and
+    * its float evaluation order) or boundary vectors land in cells the
+    * probe ranks differently — and the dot identity is the spelling the
+    * DuckDB oracle replays exactly (q176's proven-portable form). */
+  private def rankedCells(pvec: Column, cents: Array[Array[Double]]): Column =
+    array_sort(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct((dot(pvec, pvec) - lit(2.0) * dot(pvec, lit(c)) +
+        lit(c.map(x => x * x).sum)).as("dist"), lit(i).as("cell"))
+    }: _*))
+
   /** Probe the `nProbe` nearest cells per query, exact-cosine rerank within
     * them. The candidate join is an equi-join on the cell id. */
   def ivfTopK(index: IVFIndex, probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    val cents = index.centroids.zipWithIndex
-    // squared L2 distance probe -> each centroid, as plan literals
-    val cellRank = array(cents.toIndexedSeq.map { case (c, i) =>
-      val d = aggregate(zip_with(col("pvec"), lit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-      struct(d.as("dist"), lit(i).as("cell"))
-    }: _*)
     val p = probes.select(col("vec_id").as("probe_id"),
         asDouble(col("embedding")).as("pvec"))
-      .withColumn("cellr", array_sort(cellRank))
+      .withColumn("cellr", rankedCells(col("pvec"), index.centroids))
       .withColumn("cell", explode(slice(col("cellr"), 1, nProbe)("cell")))
       .select("probe_id", "pvec", "cell")
     val scored = index.assigned.join(broadcast(p), Seq("cell"))
@@ -390,7 +395,21 @@ object Similarity {
     * selection. */
   def mmrRerank(corpus: DataFrame, probes: DataFrame, n: Int = 10, k: Int = 4,
                 lambda: Double = 0.5): DataFrame = {
-    val spark = corpus.sparkSession
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cvec"))
+    val cands = bruteForceTopK(corpus, probes, n)
+      .join(cv, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("cvec"))
+    mmrGreedy(cands, k, lambda)
+  }
+
+  /** The greedy MMR selection stage over a bounded candidate table
+    * (probe_id, neighbor_id, cos_sim, cvec) — shared by the brute-force
+    * truth path ([[mmrRerank]]) and the ANN-candidate production paths
+    * ([[mmrRerankIvf]], [[mmrRerankAnn]]). One shuffle on probe_id; the
+    * per-group loop is O(k·n) over the ≤ n candidates. */
+  private def mmrGreedy(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val spark = cands.sparkSession
     import spark.implicits._
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -399,10 +418,7 @@ object Similarity {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val cv = corpus.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("cvec"))
-    val picks = bruteForceTopK(corpus, probes, n)
-      .join(cv, Seq("neighbor_id"))
+    val picks = cands
       .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("cvec"))
       .as[(Long, Long, Double, Seq[Double])]
       .groupByKey(_._1)
@@ -430,6 +446,60 @@ object Similarity {
     picks.toDF()
       .select(col("probe_id"), col("neighbor_id"), col("mmr_rank"),
         round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
+  /** MMR with an IVF candidate stage — the scale form of [[mmrRerank]]:
+    * candidates come from the `nProbe` nearest cells of a coarse quantizer
+    * (corpus·nProbe/nLists vectors scored, never all), exact-cosine top-`n`
+    * within them, then the same greedy diversity loop. With
+    * `portableInit = true` and `iters = 0` the whole chain — seed
+    * selection, argmin assignment, probe-cell ranking (both sides of the
+    * ‖x‖²−2x·c+‖c‖² identity), candidate top-n and the k greedy rounds —
+    * is exact portable float arithmetic, so a DuckDB oracle replays every
+    * pick hash-identically (q176's assignment replay composed with q181's
+    * greedy unroll). `nProbe = nLists` degenerates to [[mmrRerank]]
+    * exactly (spec-pinned). */
+  def mmrRerankIvf(corpus: DataFrame, probes: DataFrame, n: Int = 10,
+                   k: Int = 4, lambda: Double = 0.5, nLists: Int = 16,
+                   nProbe: Int = 4, seed: Long = 42L, iters: Int = 8,
+                   portableInit: Boolean = false): DataFrame = {
+    val idx = ivfBuild(corpus, nLists, seed, iters, portableInit = portableInit)
+    val p = probes.select(col("vec_id").as("probe_id"),
+        asDouble(col("embedding")).as("pvec"))
+      .withColumn("cell",
+        explode(slice(rankedCells(col("pvec"), idx.centroids), 1, nProbe)("cell")))
+      .select("probe_id", "pvec", "cell")
+    val scored = idx.assigned.join(broadcast(p), Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pvec"), col("vec")).as("cos_sim"), col("vec").as("cvec"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
+    val cands = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("probe_id", "neighbor_id", "cos_sim", "cvec")
+    mmrGreedy(cands, k, lambda)
+  }
+
+  /** MMR served from a persisted IVF×PQ index — the retrieval path a
+    * production system actually runs: [[ivfPqTopK]] bounds the candidates
+    * (cell-pruned scan, ADC over m-byte codes), the stored cell-partitioned
+    * vectors supply exact cosines for the survivors only (an n-sized join,
+    * not a corpus scan), and the greedy diversity loop re-ranks. Compose
+    * with [[loadIndex]]: `val (ivf, pq) = loadIndex(lake, prefix);
+    * mmrRerankAnn(ivf, pq, probes, ...)`. */
+  def mmrRerankAnn(ivf: IVFIndex, pq: PQIndex, probes: DataFrame,
+                   n: Int = 10, k: Int = 4, lambda: Double = 0.5,
+                   nProbe: Int = 4): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"),
+      asDouble(col("embedding")).as("pvec"))
+    val cands = ivfPqTopK(ivf, pq, probes, n, nProbe)
+      .select("probe_id", "neighbor_id")
+      .join(ivf.assigned.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("cvec")), Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("pvec"), col("cvec")).as("cos_sim"), col("cvec"))
+    mmrGreedy(cands, k, lambda)
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket (the
@@ -549,8 +619,19 @@ object Similarity {
       lloydFit(sample.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim)),
         codesPerSub, iters)
     }
-    // distributed encode
-    val spark = corpus.sparkSession
+    PQIndex(pqEncode(base, codebooks, m, subDim).persist(), codebooks, m, subDim)
+  }
+
+  /** The distributed PQ encode pass: subvectors explode to (vec_id, j,
+    * subvec) rows, a broadcast join on the tiny centroid table scores
+    * ‖x‖²−2x·c+‖c‖², and a deterministic (dist, code) argmin + ordered
+    * reassembly yields the m-byte code arrays. Shared by [[pqBuild]] (which
+    * persists the result — the FAISS memory-resident structure) and the
+    * frozen-codebook encode of [[encodeWithCodebooks]]/[[appendToIndex]]
+    * (one-shot writes, no persist). `base` is (vec_id, vec: array<double>). */
+  private def pqEncode(base: DataFrame, codebooks: Array[Array[Array[Double]]],
+                       m: Int, subDim: Int): DataFrame = {
+    val spark = base.sparkSession
     import spark.implicits._
     val cents = codebooks.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (c, kk) => (j, kk, c.toSeq, c.map(x => x * x).sum) }
@@ -560,7 +641,7 @@ object Similarity {
       }: _*)).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.subvec").as("subvec"))
       .withColumn("n2", dot(col("subvec"), col("subvec")))
-    val codes = subRows.join(broadcast(cents), Seq("j"))
+    subRows.join(broadcast(cents), Seq("j"))
       .withColumn("dist",
         col("n2") - lit(2.0) * dot(col("subvec"), col("cent")) + col("cn2"))
       .groupBy("vec_id", "j")
@@ -568,8 +649,40 @@ object Similarity {
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
         s => s.getField("code")).as("codes"))
-      .persist()
-    PQIndex(codes, codebooks, m, subDim)
+  }
+
+  /** Assign new vectors to their cells under an EXISTING index's frozen
+    * coarse quantizer — the incremental-ingest primitive: no retraining,
+    * one codegen'd projection, same argmin (and float order) as
+    * [[ivfBuild]] gave the original corpus. */
+  def assignWithIndex(ivf: IVFIndex, vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("cell", nearestCell(col("vec"), ivf.centroids))
+
+  /** Encode new vectors with an EXISTING index's frozen codebooks — the PQ
+    * half of incremental ingest (same encode pass as [[pqBuild]], nothing
+    * retrained). */
+  def encodeWithCodebooks(pq: PQIndex, vectors: DataFrame): DataFrame =
+    pqEncode(vectors.select(col("vec_id"), asDouble(col("embedding")).as("vec")),
+      pq.codebooks, pq.m, pq.subDim)
+
+  /** Incrementally append a batch of new vectors to a [[saveIndex]]-
+    * persisted index: assign with the frozen centroids, encode with the
+    * frozen codebooks, append to the cell-partitioned vector table and the
+    * code table — O(batch) work, never a rebuild (the expensive corpus
+    * passes and quantizer training happen once, at build). The lake append
+    * keeps the PARTITIONED BY cell layout, so serving still prunes to
+    * nProbe partitions at the file listing, and each append is one
+    * versioned commit per table (roll back by time travel). Served results
+    * equal a fresh [[saveIndex]] of the same frozen quantizers over the
+    * union corpus (spec-pinned). */
+  def appendToIndex(lake: graft.tables.LakeTable, prefix: String,
+                    newVectors: DataFrame): Unit = {
+    val (ivf, pq) = loadIndex(lake, prefix)
+    lake.write(assignWithIndex(ivf, newVectors).select("vec_id", "vec", "cell"),
+      s"${prefix}_ivf_vectors", "append"): Unit
+    lake.write(encodeWithCodebooks(pq, newVectors),
+      s"${prefix}_pq_codes", "append"): Unit
   }
 
   /** Approximate top-k neighbors by asymmetric distance computation (ADC):
@@ -909,18 +1022,13 @@ object Similarity {
     * indexing. */
   def ivfPqTopK(ivf: IVFIndex, pq: PQIndex, probes: DataFrame, k: Int,
                 nProbe: Int = 4): DataFrame = {
-    val cents = ivf.centroids.zipWithIndex
-    val cellRank = array(cents.toIndexedSeq.map { case (c, i) =>
-      struct((dot(col("pvec"), col("pvec")) - lit(2.0) * dot(col("pvec"), lit(c)) +
-        lit(c.map(x => x * x).sum)).as("dist"), lit(i).as("cell"))
-    }: _*)
     val dtab = array((0 until pq.m).map { j =>
       array(pq.codebooks(j).toIndexedSeq.map(c =>
         subSqDist(col("pvec"), j * pq.subDim, pq.subDim, c)): _*)
     }: _*)
     val p = probes
       .select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pvec"))
-      .withColumn("cellr", array_sort(cellRank))
+      .withColumn("cellr", rankedCells(col("pvec"), ivf.centroids))
       .withColumn("dtab", dtab)
       .withColumn("cell", explode(slice(col("cellr"), 1, nProbe)("cell")))
       .select("probe_id", "dtab", "cell")

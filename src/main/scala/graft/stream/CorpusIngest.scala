@@ -79,6 +79,8 @@ object CorpusIngest {
   def startNearDup(spark: SparkSession, dir: String, lake: LakeTable,
                    table: String, threshold: Double = 0.8, numPerms: Int = 32,
                    bands: Int = 8, shingleSize: Int = 3,
+                   containmentThreshold: Option[Double] = None,
+                   sketchK: Int = 64,
                    trigger: Trigger = Trigger.AvailableNow(),
                    checkpoint: Option[String] = None): StreamingQuery = {
     val rowsPerBand = numPerms / bands
@@ -98,11 +100,18 @@ object CorpusIngest {
         val exact = Dedup.dropExactDups(gated)
         val inPairs = Dedup.minhashNearDups(exact, numPerms, bands,
           shingleSize, threshold)
-        val batchKept =
+        val jaccardKept =
           if (inPairs.isEmpty) exact
           else exact.join(Dedup.clusterPairs(inPairs), Seq("doc_id"), "left")
             .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
             .drop("cluster_id")
+        // in-batch containment (opt-in): drop docs embedded in other batch
+        // survivors — the same stage order as the batch refinery
+        val batchKept = containmentThreshold match {
+          case Some(t) => Dedup.dropContained(jaccardKept, shingleSize, t,
+            maxDf = Long.MaxValue, sketchK = sketchK)
+          case None => jaccardKept
+        }
         val indexed = withIndexCols(batchKept)
         val novel =
           if (!lake.exists(table)) indexed
@@ -138,8 +147,52 @@ object CorpusIngest {
               .select("doc_id").distinct()
             notExact.join(dupIds, Seq("doc_id"), "left_anti")
           }
+        // against-the-lake CONTAINMENT (opt-in): drop an incoming doc
+        // embedded in an already-committed one (c(new→old) ≥ t — the lake
+        // side is immutable, so the check is one-directional). The lake's
+        // containment index is the `{table}_grams` side table (doc_id,
+        // 64-bit gram hash) appended per batch; candidates come from the
+        // batch docs' bottom-k gram sketches probing that index (≤ sketchK
+        // rows per new doc move into the join — the same Broder-sketch
+        // recall bound as Dedup.containmentNearDupsBanded), and the exact
+        // shared-count verify reads index rows for candidate pairs only.
+        val gramsTable = s"${table}_grams"
+        var batchGrams: Option[org.apache.spark.sql.DataFrame] = None
+        val landed = containmentThreshold match {
+          case Some(t) if lake.exists(gramsTable) =>
+            import org.apache.spark.sql.expressions.Window
+            val grams = Dedup.docGrams(novel, shingleSize).persist()
+            batchGrams = Some(grams)
+            val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+            val rk = Window.partitionBy("doc_id").orderBy("g")
+            val sketch = grams.withColumn("rk", row_number().over(rk))
+              .filter(col("rk") <= sketchK).select("doc_id", "g")
+            val lakeGrams = lake.read(gramsTable)
+              .select(col("doc_id").as("lake_doc_id"), col("g"))
+            val cand = sketch.join(lakeGrams, Seq("g"))
+              .select("doc_id", "lake_doc_id").distinct()
+            val contained = cand
+              .join(grams, Seq("doc_id"))
+              .join(lakeGrams, Seq("lake_doc_id", "g"))
+              .groupBy("doc_id", "lake_doc_id")
+              .agg(count(lit(1)).as("n_shared"))
+              .join(sz, Seq("doc_id"))
+              .filter(col("n_shared").cast("double") / col("sz").cast("double")
+                >= t)
+              .select("doc_id").distinct()
+            novel.join(contained, Seq("doc_id"), "left_anti")
+          case _ => novel
+        }
         val mode = if (lake.exists(table)) "append" else "overwrite"
-        lake.write(novel, table, mode): Unit
+        lake.write(landed, table, mode): Unit
+        // maintain the containment index for the NEXT batches (landed rows
+        // only, so the index mirrors the table exactly)
+        if (containmentThreshold.isDefined) {
+          val gmode = if (lake.exists(gramsTable)) "append" else "overwrite"
+          lake.write(Dedup.docGrams(landed.select("doc_id", "text"), shingleSize),
+            gramsTable, gmode): Unit
+        }
+        batchGrams.foreach(_.unpersist(): Unit)
       }
       .trigger(trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()

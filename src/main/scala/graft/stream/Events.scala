@@ -68,16 +68,24 @@ object Events {
         col("window.end").as("window_end"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming file source over events parquet. The files carry nanosecond
-    * timestamps Spark can't scan natively — read ns as long and truncate to
-    * a microsecond timestamp (see [[graft.tables.Tables.events]]). */
+  /** Streaming file source over events parquet. The files have shipped `ts`
+    * as TIMESTAMP(NANOS) (unreadable natively — read ns as long under the
+    * legacy conf, truncate to micros) and as TIMESTAMP(MICROS)-without-UTC
+    * (read as TIMESTAMP_NTZ); a streaming source needs its schema up front,
+    * so peek at the files with a static read and normalize `ts` to the
+    * session-zone TimestampType either way (see
+    * [[graft.tables.Tables.events]]). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(
-      graft.tables.Tables.schemas("events").map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fileSchema = spark.read.parquet(dir).schema
+    val ts = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
+    spark.readStream.schema(fileSchema).parquet(dir).withColumn("ts", ts)
   }
 
   /** Streaming variant: file source over the events parquet, watermarked

@@ -144,6 +144,36 @@ object Materialize {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("c")).as("n_distinct"))
 
+  /** Create or incrementally refresh the corpus-novelty first-occurrence
+    * view: `view` = (g, first_doc) — the min doc_id ever to contain each
+    * distinct gram hash of the `base` documents table. min is additive, so
+    * a delta folds in with another min and per-ingest novelty telemetry
+    * becomes O(delta): refresh reads only the appended commits
+    * ([[LakeTable.readChanges]]), and
+    * [[graft.text.Dedup.noveltyAgainst]] over the view equals the full
+    * [[graft.text.Dedup.gramNovelty]] recompute (spec-pinned). The view is
+    * vocabulary-sized — the same footprint the full recompute's
+    * min-per-gram aggregate materializes every run, now paid once. */
+  def refreshNovelty(lake: LakeTable, base: String, view: String,
+                     shingleSize: Int = 3): Long =
+    refreshWith(lake, base, view)(rows =>
+      graft.text.Dedup.docGrams(rows, shingleSize)
+        .groupBy("g").agg(min("doc_id").as("first_doc"))) {
+      (viewRows, delta) =>
+        viewRows.unionByName(delta)
+          .groupBy("g").agg(min("first_doc").as("first_doc"))
+    }
+
+  /** Per-doc novelty of `docs` against the [[refreshNovelty]] view — the
+    * O(docs + view join) read path (telemetry for an ingest batch without
+    * rescanning the corpus). Docs whose grams are all absent from the view
+    * (not yet refreshed over them) drop out of the inner join — refresh
+    * first, then read. */
+  def noveltyFromView(lake: LakeTable, view: String, docs: DataFrame,
+                      shingleSize: Int = 3): DataFrame =
+    graft.text.Dedup.noveltyAgainst(
+      graft.text.Dedup.docGrams(docs, shingleSize), lake.read(view))
+
   /** The view with a readable money column (exact cents -> dollars). */
   def readView(lake: LakeTable, view: String, keys: Seq[String]): DataFrame =
     lake.read(view).select(

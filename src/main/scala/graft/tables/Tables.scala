@@ -72,15 +72,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** The events parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and truncate to the
-    * microsecond timestamp Spark uses natively — the same ns->us truncation
-    * DuckDB applies, so oracle comparisons agree. */
+  /** The events parquet has shipped `ts` two ways across testdata
+    * generations: TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    * (read nanos as long under the legacy conf, truncate to micros — the
+    * same ns->us truncation DuckDB applies), and plain TIMESTAMP(MICROS)
+    * without a UTC flag, which Spark reads as TIMESTAMP_NTZ. Normalize both
+    * to the session-zone TimestampType every downstream window/session
+    * operator was written against (the harness pins the session to UTC, so
+    * the NTZ cast preserves wall-clock values and oracle comparisons). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    val raw = load(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

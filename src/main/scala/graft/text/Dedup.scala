@@ -141,16 +141,21 @@ object Dedup {
     * CONTRACT (sizes count pruned sets too), so the oracle replays it with
     * the same integer arithmetic; set `maxDf` ≈ the boilerplate knee at
     * scale. Pairs with zero shared (post-prune) shingles never appear. */
+  /** Distinct (doc_id, 64-bit gram hash) rows — the hashed-gram stream every
+    * containment/novelty operator counts over (only 8-byte longs shuffle,
+    * never gram strings). */
+  def docGrams(docs: DataFrame, shingleSize: Int = 3): DataFrame =
+    shingleSets(docs, shingleSize)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+
   def containmentNearDups(docs: DataFrame, shingleSize: Int = 3,
                           threshold: Double = 0.5,
                           maxDf: Long = 1000): DataFrame = {
     // shared-subtree persists (Caching contract): grams feeds the DF census
     // and the prune; kept feeds sizes + both self-join sides — without the
     // persists the tokenize/shingle/hash corpus pass re-runs five times
-    val grams = shingleSets(docs, shingleSize)
-      .select(col("doc_id"), explode(col("s")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .persist()
+    val grams = docGrams(docs, shingleSize).persist()
     val kept = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("g"),
@@ -175,6 +180,117 @@ object Dedup {
           .as("containment_b"))
   }
 
+  /** [[containmentNearDups]] with a BANDED candidate stage — the true
+    * 100 TB form: the exact version's kept-gram self-join is Σ df² pair
+    * rows, fine under a tight `maxDf` but quadratic in the surviving
+    * document frequencies; here candidates come from a BOTTOM-K SKETCH
+    * (Broder): each document's `sketchK` smallest gram hashes probe the
+    * full DF-pruned gram table, so the candidate join moves ≤ sketchK·N
+    * sketch rows instead of the full gram stream against itself.
+    *
+    * Why not MinHash-LSH banding: band-collision probability tracks
+    * symmetric JACCARD, and the quote-in-page pair this operator exists for
+    * has J ≈ |A|/|B| — arbitrarily small — so Jaccard banding structurally
+    * misses exactly the pairs that matter. The bottom-k sketch bounds the
+    * DIRECTIONAL miss instead: hashes are uniform, so a doc's k smallest
+    * grams are a uniform k-subset, and a pair with containment c ≥
+    * `threshold` shares ~c·k of them — the evidence-count prune below keeps
+    * it except with Chernoff probability ~2e-10 at the defaults (docs with
+    * ≤ sketchK grams are sampled completely: zero misses). The verify stage
+    * then recomputes the EXACT shared-gram counts for candidate pairs only
+    * (two candidate-pruned hash joins), so the result set equals
+    * [[containmentNearDups]] up to that margin — which is how the oracle
+    * spells it (the exact counting replay, no sketch). */
+  def containmentNearDupsBanded(docs: DataFrame, shingleSize: Int = 3,
+                                threshold: Double = 0.5, maxDf: Long = 1000,
+                                sketchK: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docGrams(docs, shingleSize).persist()
+    val kept = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g"),
+      Seq("g"), "left_semi")
+      .persist()
+    // bottom-k sketch: the k smallest kept-gram hashes per document (one
+    // shuffle on doc_id; WindowGroupLimit prunes before the exchange)
+    val w = Window.partitionBy("doc_id").orderBy("g")
+    val sketch = kept.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sketchK).select("doc_id", "g")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz")).persist()
+    // candidates: sketched grams of one doc found in the other's kept set,
+    // with an EVIDENCE-COUNT prune before the expensive verify: a pair with
+    // c(x→y) ≥ t shares ~c·min(k, sz_x) of x's sampled grams
+    // (hypergeometric), so requiring 4·s ≥ t·min(k, sz_x) in SOME direction
+    // keeps it except with Chernoff probability ~2e-10 at k = 64, t = 0.5
+    // (docs with sz ≤ k are sampled completely: s = n_shared, so the bound
+    // holds with equality — zero misses), while pairs sharing only a stray
+    // template gram (the vast majority of raw sketch hits on boilerplate-
+    // heavy corpora) never reach the verify join
+    val hits = sketch.as("x").join(kept.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("sampler"), col("y.doc_id").as("other"))
+      .agg(count(lit(1)).as("s"))
+      .join(sizes.select(col("doc_id").as("sampler"), col("sz")), Seq("sampler"))
+      .filter(col("s").cast("double") * 4.0 >=
+        lit(threshold) * least(lit(sketchK.toLong), col("sz")).cast("double"))
+    val cand = hits
+      .select(least(col("sampler"), col("other")).as("doc_a"),
+        greatest(col("sampler"), col("other")).as("doc_b"))
+      .distinct()
+    // exact verify on candidate pairs only: same counting arithmetic as the
+    // exact operator, candidate-pruned on both sides
+    val shared = cand
+      .join(kept.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(kept.as("y"),
+        col("y.doc_id") === col("doc_b") && col("x.g") === col("y.g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(greatest(
+        col("n_shared").cast("double") / col("sz_a").cast("double"),
+        col("n_shared").cast("double") / col("sz_b").cast("double")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"),
+        round(col("n_shared").cast("double") / col("sz_a").cast("double"), 6)
+          .as("containment_a"),
+        round(col("n_shared").cast("double") / col("sz_b").cast("double"), 6)
+          .as("containment_b"))
+  }
+
+  /** Deterministic removal set from containment pairs: a document goes if it
+    * is embedded in another kept document — for a pair at `threshold`, drop
+    * the CONTAINED side (the quote, not the page); mutual containment
+    * (near-identical docs both above threshold) keeps the smaller doc_id,
+    * the same canonical-keeper convention as [[clusterPairs]]. One pass
+    * over the pair table, no iteration: containment is (approximately)
+    * transitive, so a chain a ⊑ b ⊑ c also surfaces the (a, c) pair
+    * directly and removals never orphan a survivor. */
+  def containmentRemovals(pairs: DataFrame, threshold: Double): DataFrame = {
+    // UNROUNDED ratios (the reported containment_* columns are 6 dp-rounded
+    // for display; decisions must use the same arithmetic as the pair
+    // filter, or a boundary value could pass the filter and skip removal)
+    val ca = col("n_shared").cast("double") / col("sz_a").cast("double") >= threshold
+    val cb = col("n_shared").cast("double") / col("sz_b").cast("double") >= threshold
+    pairs.filter(ca || cb)
+      .select(when(ca && cb, col("doc_b"))
+        .when(ca, col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+  }
+
+  /** Drop documents embedded in other kept documents — the containment
+    * dedup STAGE (banded candidates, exact verify): anti-join the
+    * [[containmentRemovals]] of [[containmentNearDupsBanded]]. */
+  def dropContained(docs: DataFrame, shingleSize: Int = 3,
+                    threshold: Double = 0.8, maxDf: Long = 1000,
+                    sketchK: Int = 64): DataFrame =
+    docs.join(
+      containmentRemovals(
+        containmentNearDupsBanded(docs, shingleSize, threshold, maxDf, sketchK),
+        threshold),
+      Seq("doc_id"), "left_anti")
+
   /** Per-document n-gram NOVELTY against everything earlier in the corpus
     * (doc_id order = ingestion order): the fraction of a document's
     * distinct shingles whose FIRST corpus occurrence is this document.
@@ -187,11 +303,15 @@ object Dedup {
   def gramNovelty(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
     // shared-subtree persist (Caching contract): the min-per-gram branch
     // and the join-back both read the hashed gram stream
-    val grams = shingleSets(docs, shingleSize)
-      .select(col("doc_id"), explode(col("s")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .persist()
-    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val grams = docGrams(docs, shingleSize).persist()
+    noveltyAgainst(grams, grams.groupBy("g").agg(min("doc_id").as("first_doc")))
+  }
+
+  /** Per-doc novelty of a hashed-gram stream against a (g, first_doc)
+    * first-occurrence table — the join-back + ratio stage shared by the
+    * full recompute ([[gramNovelty]]) and the O(delta) incremental path
+    * ([[graft.tables.Materialize.refreshNovelty]] + the view read). */
+  def noveltyAgainst(grams: DataFrame, first: DataFrame): DataFrame =
     grams.join(first, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -200,7 +320,6 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
           .as("novelty"))
-  }
 
   /** Near-duplicate pairs via MinHash + LSH, verified with exact SHINGLE-set
     * Jaccard — candidate generation and verification on the SAME metric

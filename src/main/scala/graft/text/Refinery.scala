@@ -31,22 +31,63 @@ object Refinery {
       // shingle-verified near-dup stage (Dedup.dedupCorpusShingle): the
       // whole refinery becomes deterministic AND oracle-replayable — q169
       // verifies the end-to-end pipeline against a declarative SQL respell
-      shingleVerify: Boolean = false)
+      shingleVerify: Boolean = false,
+      // which quality gate fronts the pipeline: "basic" = the length/
+      // distinct-ratio screen; "gopher" = the full MassiveText rule bundle
+      // (TextStats.passesGopherGate — q179's production filter suite
+      // actually gating the E2E pipeline)
+      gate: String = "basic",
+      gopherMinWords: Long = 50,
+      gopherMaxWords: Long = 100000,
+      gopherMinStopWords: Long = 2,
+      // opt-in containment stage AFTER near-dup: drops documents embedded
+      // in other kept documents (the quote/snippet case symmetric Jaccard
+      // structurally misses — Dedup.dropContained, banded candidates +
+      // exact verify)
+      containment: Boolean = false,
+      containmentThreshold: Double = 0.8,
+      containmentMaxDf: Long = 1000)
 
-  /** Quality gate as a standalone predicate-pushable filter (the shared
-    * [[TextStats.passesQualityGate]] predicate, parameterized). */
-  def gate(docs: DataFrame, cfg: Config): DataFrame =
-    docs.filter(TextStats.passesQualityGate(cfg.minTokens, cfg.minDistinctRatio))
+  /** Quality gate as a standalone predicate-pushable filter — the shared
+    * [[TextStats.passesQualityGate]] screen, or the full Gopher rule bundle
+    * ([[TextStats.passesGopherGate]]) under `cfg.gate = "gopher"`. Either
+    * way one pure scan-side predicate. */
+  def gate(docs: DataFrame, cfg: Config): DataFrame = cfg.gate match {
+    case "gopher" =>
+      docs.filter(TextStats.passesGopherGate(cfg.gopherMinWords,
+        cfg.gopherMaxWords, cfg.gopherMinStopWords))
+    case "basic" =>
+      docs.filter(TextStats.passesQualityGate(cfg.minTokens, cfg.minDistinctRatio))
+    case other =>
+      throw new IllegalArgumentException(s"unknown gate '$other' (basic|gopher)")
+  }
 
   /** Full refinery: returns the chunk plan (doc_id, n_tokens, chunk_idx,
-    * start_tok, chunk_len) over the gated, deduped, capped corpus. */
+    * start_tok, chunk_len) over the gated, deduped (exact + near-dup +
+    * optional containment), capped corpus. */
   def refine(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val gated = gate(docs, cfg)
-    val deduped =
+    // shared-subtree persists (the graft.ops.Caching contract — harnesses
+    // reclaim via releaseAll): the gate projection feeds every corpus pass
+    // of the dedup stage (tokenize-heavy under the gopher rules), and the
+    // near-dup survivor set feeds the containment stage (grams + anti-join)
+    // and the cap/chunk tail — without these the whole LSH/closure pipeline
+    // re-runs once per downstream branch (measured 48 s → ~15 s for the
+    // containment refinery at sf0.1)
+    val gated = gate(docs, cfg).persist()
+    val deduped0 =
       if (cfg.shingleVerify) Dedup.dedupCorpusShingle(gated, cfg.nearDupThreshold)
       else Dedup.dedupCorpus(gated, threshold = cfg.nearDupThreshold)
-    val capped = deduped.join(
-      TextFeatures.perSourceCap(deduped, cfg.maxDocsPerSource).select("doc_id"),
+    val deduped = deduped0.persist()
+    // containment AFTER near-dup: Jaccard clusters collapse the mutual
+    // near-copies first, then the directional stage drops embedded quotes
+    // the symmetric metric missed — each stage sees only prior survivors
+    val contained =
+      if (cfg.containment)
+        Dedup.dropContained(deduped, threshold = cfg.containmentThreshold,
+          maxDf = cfg.containmentMaxDf)
+      else deduped
+    val capped = contained.join(
+      TextFeatures.perSourceCap(contained, cfg.maxDocsPerSource).select("doc_id"),
       Seq("doc_id"), "left_semi")
     TextFeatures.chunkPlan(capped, cfg.chunk, cfg.stride)
   }

@@ -164,7 +164,8 @@ object TextStats {
     * the filter runs as a scan-side projection at any corpus size. Ratios
     * round at 6 dp; rule booleans compare the UNROUNDED exact values. */
   def gopherQualityProfile(docs: DataFrame, minWords: Long = 50,
-                           maxWords: Long = 100000): DataFrame = {
+                           maxWords: Long = 100000,
+                           minStopWords: Long = 2): DataFrame = {
     val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val norm = normalize(col("text"))
     val toks = tokens(norm)
@@ -199,7 +200,7 @@ object TextStats {
           col("sum_word_chars") <= col("n_words") * 10L).as("mean_len_ok"),
         (col("n_symbols") * 10L <= col("n_words")).as("symbol_ok"),
         (col("n_alpha_words") * 5L >= col("n_words") * 4L).as("alpha_ok"),
-        (col("n_stop_words") >= 2L).as("stop_ok"),
+        (col("n_stop_words") >= minStopWords).as("stop_ok"),
         (col("n_bullet_lines") * 10L <= col("n_lines") * 9L &&
           col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L).as("lines_ok"))
       .withColumn("pass_gopher",
@@ -359,6 +360,40 @@ object TextStats {
     val nTok = size(toks).cast("double")
     val nDistinct = size(array_distinct(toks)).cast("double")
     size(toks) >= minTokens && nDistinct / nTok >= minDistinctRatio
+  }
+
+  /** The boolean form of [[gopherQualityProfile]]'s `pass_gopher` — the
+    * published MassiveText filter suite as ONE pushable predicate (pure
+    * codegen map, scan-side at any corpus size), so the refinery can gate
+    * on the production rule bundle instead of the basic length screen.
+    * Same integer-arithmetic rule spellings as the profile (a spec pins
+    * gate == profile conjunction, so they cannot drift). `minStopWords`
+    * defaults to the paper's 2 DISTINCT stop words; corpora whose
+    * vocabulary barely intersects the 8-word list (e.g. domain-specific or
+    * synthetic text) can lower it rather than gate everything out. */
+  def passesGopherGate(minWords: Long = 50, maxWords: Long = 100000,
+                       minStopWords: Long = 2): Column = {
+    val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val norm = normalize(col("text"))
+    val toks = tokens(norm)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val nSymbols = (length(norm) - length(regexp_replace(norm, "#", "")) +
+      (length(norm) - length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(
+      array(stopWords.map(lit): _*), s => array_contains(toks, s))).cast("long")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
+    val nEllEnd = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
+    (nWords >= minWords && nWords <= maxWords) &&
+      (sumLen >= nWords * 3L && sumLen <= nWords * 10L) &&
+      (nSymbols * 10L <= nWords) &&
+      (nAlpha * 5L >= nWords * 4L) &&
+      (nStop >= minStopWords) &&
+      (nBullet * 10L <= nLines * 9L && nEllEnd * 10L <= nLines * 3L)
   }
 
   /** Per-source quality dashboard: document counts, filter pass rate, and

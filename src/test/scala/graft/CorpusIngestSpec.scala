@@ -115,4 +115,52 @@ class CorpusIngestSpec extends SparkSpec {
     assert(lake.read("corpus2").select("lsh_bands").collect()
       .forall(!_.isNullAt(0)))
   }
+
+  test("containment-aware ingest drops a quote embedded in a committed doc") {
+    val in = Files.createTempDirectory("graft-contain-in").toString
+    val lakeDir = Files.createTempDirectory("graft-contain-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+
+    val page = (1 to 40).map(i => s"tok$i").mkString(" ")
+    writeBatchFile(in, "b1", Seq(doc(1, page), doc(2, longText("beta"))))
+    val q1 = CorpusIngest.startNearDup(spark, in, lake, "corpus3",
+      threshold = 0.8, containmentThreshold = Some(0.9))
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    assert(lake.read("corpus3").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the containment index mirrors the committed table
+    assert(lake.read("corpus3_grams").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // quote = 25 of the page's 40 tokens: word Jaccard 0.625 < 0.8 slips
+    // the near-dup stages, but every quote gram lives in the committed page
+    // (containment 1.0) — only the gram index can catch it
+    val quote = (1 to 25).map(i => s"tok$i").mkString(" ")
+    writeBatchFile(in, "b2", Seq(doc(5, quote), doc(6, longText("gamma"))))
+    val q2 = CorpusIngest.startNearDup(spark, in, lake, "corpus3",
+      threshold = 0.8, containmentThreshold = Some(0.9))
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("corpus3").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 6L))
+    assert(lake.read("corpus3_grams").select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 6L))
+
+    // control: without the containment stage the quote would have landed
+    val lake2 = new LakeTable(spark,
+      Files.createTempDirectory("graft-contain-lake2").toString)
+    val in2 = Files.createTempDirectory("graft-contain-in2").toString
+    writeBatchFile(in2, "b1", Seq(doc(1, page), doc(2, longText("beta"))))
+    val p1 = CorpusIngest.startNearDup(spark, in2, lake2, "corpus4",
+      threshold = 0.8)
+    p1.awaitTermination(120000)
+    writeBatchFile(in2, "b2", Seq(doc(5, quote), doc(6, longText("gamma"))))
+    val p2 = CorpusIngest.startNearDup(spark, in2, lake2, "corpus4",
+      threshold = 0.8)
+    p2.awaitTermination(120000)
+    assert(lake2.read("corpus4").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 5L, 6L))
+    graft.ops.Caching.releaseAll(spark)
+  }
 }

@@ -53,10 +53,7 @@ class PlanLintSpec extends SparkSpec {
     "q166_whitening_gate",
     // whitened-vs-raw recall gate: TWO brute-force truth passes (the
     // operator's definition, like q29/q40/q153) + a 1-row counts cross join
-    "q170_whitened_ivf",
-    // MMR's candidate stage IS bruteForceTopK (corpus x broadcast(probes),
-    // like q28); swap in an ANN index upstream at scale
-    "q181_mmr_rerank")
+    "q170_whitened_ivf")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

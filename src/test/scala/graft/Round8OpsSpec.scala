@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+/** Round-8 operator specs: ANN-candidate MMR vs the brute-force truth, and
+  * the incremental ANN index append path. */
+class Round8OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def picks(out: org.apache.spark.sql.DataFrame) = out.collect()
+    .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Int]("mmr_rank"), r.getAs[Double]("mmr_score"))).toSet
+
+  test("mmrRerankIvf with nProbe = nLists degenerates to brute-force mmrRerank") {
+    val emb = graft.tables.Tables.load(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    // probing every cell makes the candidate set the whole corpus, so the
+    // top-n (cos DESC, id) selection — and every greedy pick after it — must
+    // equal the brute-force path exactly, scores included
+    val ann = Similarity.mmrRerankIvf(emb, probes, n = 8, k = 3,
+      nLists = 4, nProbe = 4, iters = 2)
+    val truth = Similarity.mmrRerank(emb, probes, n = 8, k = 3)
+    assert(picks(ann) === picks(truth))
+  }
+
+  test("mmrRerankIvf keeps the diversity-aware order through cell pruning") {
+    // Round7's planted fixture: pure relevance ranks (1, 2, 3); MMR must
+    // pick 1, then the DIVERSE 3, then 2 — and the IVF candidate stage must
+    // not lose any of them (nProbe = nLists keeps the candidate set whole)
+    val vecs = Seq(
+      Vec(100, Array(1f, 0f, 0f, 0f), 0),
+      Vec(1, Array(0.99f, 0.14f, 0f, 0f), 0),
+      Vec(2, Array(0.99f, 0.141f, 0f, 0f), 0),
+      Vec(3, Array(0.7f, 0f, 0.7f, 0f), 0),
+      Vec(4, Array(0f, 0.1f, 0f, 1f), 0))
+    val d = df(vecs)
+    val out = Similarity.mmrRerankIvf(d, d.filter(col("vec_id") === 100),
+        n = 4, k = 3, nLists = 2, nProbe = 2, iters = 4)
+      .orderBy("mmr_rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(out === Array(1L, 3L, 2L))
+  }
+
+  test("mmrRerankAnn served from a persisted index equals brute-force MMR " +
+    "when the candidate set is complete") {
+    val vecs = Seq(
+      Vec(100, Array(1f, 0f, 0f, 0f), 0),
+      Vec(1, Array(0.99f, 0.14f, 0f, 0f), 0),
+      Vec(2, Array(0.99f, 0.141f, 0f, 0f), 0),
+      Vec(3, Array(0.7f, 0f, 0.7f, 0f), 0),
+      Vec(4, Array(0f, 0.1f, 0f, 1f), 0))
+    val d = df(vecs)
+    val probes = d.filter(col("vec_id") === 100)
+    val ivf = Similarity.ivfBuild(d, nLists = 2, iters = 4)
+    val pq = Similarity.pqBuild(d, m = 2, codesPerSub = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr-ann").toString
+    val lake = new graft.tables.LakeTable(spark, dir)
+    Similarity.saveIndex(lake, "mmr", ivf, pq)
+    val (ivf2, pq2) = Similarity.loadIndex(lake, "mmr")
+    // n covers the whole corpus and every cell is probed, so ADC ordering
+    // cannot drop a candidate — the served MMR must match the truth exactly
+    val served = Similarity.mmrRerankAnn(ivf2, pq2, probes,
+      n = 4, k = 3, nProbe = 2)
+    val truth = Similarity.mmrRerank(d, probes, n = 4, k = 3)
+    assert(picks(served) === picks(truth))
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("appendToIndex: incremental append serves identically to a fresh " +
+    "frozen-quantizer index over the union corpus") {
+    val emb = graft.tables.Tables.load(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") % 5 =!= 0)
+    val b = emb.filter(col("vec_id") % 5 === 0)
+    val probes = emb.filter(col("vec_id") < 5)
+    val ivfA = Similarity.ivfBuild(a, nLists = 8)
+    val pqA = Similarity.pqBuild(a, codesPerSub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val lake = new graft.tables.LakeTable(spark, dir)
+    // incremental path: build on A, commit, append B as one commit per table
+    Similarity.saveIndex(lake, "inc", ivfA, pqA)
+    Similarity.appendToIndex(lake, "inc", b)
+    // truth path: the SAME frozen quantizers assigned/encoded over A ∪ B
+    val full = Similarity.IVFIndex(
+      Similarity.assignWithIndex(ivfA, emb), ivfA.centroids)
+    val pqFull = Similarity.PQIndex(Similarity.encodeWithCodebooks(pqA, emb),
+      pqA.codebooks, pqA.m, pqA.subDim)
+    Similarity.saveIndex(lake, "full", full, pqFull)
+    val (ivfInc, pqInc) = Similarity.loadIndex(lake, "inc")
+    val (ivfFull, pqFull2) = Similarity.loadIndex(lake, "full")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows(Similarity.ivfTopK(ivfInc, probes, 3, nProbe = 4)) ===
+      rows(Similarity.ivfTopK(ivfFull, probes, 3, nProbe = 4)))
+    assert(rows(Similarity.ivfPqTopK(ivfInc, pqInc, probes, 3, nProbe = 4)) ===
+      rows(Similarity.ivfPqTopK(ivfFull, pqFull2, probes, 3, nProbe = 4)))
+    // appended rows land in the appended vector batch too, not just A's
+    val nInc = lake.read("inc_ivf_vectors").count()
+    assert(nInc === emb.count())
+    // the append preserved the PARTITIONED BY cell layout: a one-cell read
+    // still prunes at the partition level after the append commit
+    val one = lake.read("inc_ivf_vectors").filter(col("cell") === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter must prune partitions after append:\n${plan.take(500)}")
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  private def pairRows(out: org.apache.spark.sql.DataFrame) = out.collect()
+    .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("n_shared"), r.getAs[Double]("containment_a"),
+      r.getAs[Double]("containment_b"))).toSet
+
+  test("containmentNearDupsBanded equals the exact counting form") {
+    import graft.text.Dedup
+    // the Round7 planted fixtures (embedded quote + boilerplate prune) AND
+    // the real documents table — same pairs, counts, and ratios
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val page = quote + " " + (1 to 40).map(i => s"word$i").mkString(" ")
+    val planted = df(Seq(
+      R7Doc(1, quote), R7Doc(2, page),
+      R7Doc(3, "completely unrelated text about nothing in particular here")))
+    assert(pairRows(Dedup.containmentNearDupsBanded(planted, threshold = 0.9))
+      === pairRows(Dedup.containmentNearDups(planted, threshold = 0.9)))
+    val docs = graft.tables.Tables.load(spark, sf, "documents")
+    val exact = pairRows(Dedup.containmentNearDups(docs,
+      threshold = 0.5, maxDf = 1000))
+    assert(exact.nonEmpty, "fixture corpus must produce containment pairs")
+    assert(pairRows(Dedup.containmentNearDupsBanded(docs,
+      threshold = 0.5, maxDf = 1000)) === exact)
+    // a tiny sketch still catches the full-containment pair (every gram of
+    // a <= sketchK-gram doc is sampled: structurally zero misses)
+    assert(pairRows(Dedup.containmentNearDupsBanded(planted, threshold = 0.9,
+      sketchK = 2)).map(p => (p._1, p._2)) === Set((1L, 2L)))
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("dropContained removes the embedded quote and keeps the page") {
+    import graft.text.Dedup
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val page = quote + " " + (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = df(Seq(
+      R7Doc(1, quote), R7Doc(2, page),
+      R7Doc(3, "completely unrelated text about nothing in particular here")))
+    val kept = Dedup.dropContained(docs, threshold = 0.9)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(2L, 3L))
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("refinery containment stage drops a quote that Jaccard dedup keeps") {
+    import graft.text.Refinery
+    val page = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val quote = (1 to 25).map(i => s"tok$i").mkString(" ")  // contained, J=0.625
+    val other = (1 to 40).map(i => s"era$i").mkString(" ")
+    val docs = df(Seq(
+      DocRow(1, page, "en", "web", page.length.toLong),
+      DocRow(2, quote, "en", "web", quote.length.toLong),
+      DocRow(3, other, "en", "web", other.length.toLong)))
+    def survivors(cfg: Refinery.Config) =
+      Refinery.refine(docs, cfg).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    // without containment the quote survives near-dup (Jaccard 0.625 < 0.8)
+    assert(survivors(Refinery.Config(shingleVerify = true))
+      === Set(1L, 2L, 3L))
+    // the containment stage catches it; page and unrelated doc survive
+    assert(survivors(Refinery.Config(shingleVerify = true,
+      containment = true, containmentThreshold = 0.9)) === Set(1L, 3L))
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("passesGopherGate equals gopherQualityProfile's pass_gopher conjunction") {
+    import graft.text.TextStats
+    // stop-word floor 1: the synthetic vocabulary barely intersects the
+    // paper's stop list (at the published 2 the whole corpus gates out —
+    // the equality below must be checked on a DISCRIMINATING configuration)
+    val docs = graft.tables.Tables.load(spark, sf, "documents")
+    val viaGate = docs.filter(TextStats.passesGopherGate(50, 100000, 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaProfile = TextStats.gopherQualityProfile(docs, 50, 100000, 1)
+      .filter(col("pass_gopher")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(viaGate === viaProfile)
+    // the gate must actually discriminate on this corpus
+    val total = docs.count()
+    assert(viaGate.nonEmpty && viaGate.size < total)
+    // at the published floor of 2 the gate and profile still agree (both
+    // empty here — the default contract, pinned against drift too)
+    val strict = docs.filter(TextStats.passesGopherGate(50, 100000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val strictProfile = TextStats.gopherQualityProfile(docs)
+      .filter(col("pass_gopher")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(strict === strictProfile)
+  }
+
+  test("refinery gopher gate == refine over the profile-passing slice") {
+    import graft.text.{Refinery, TextStats}
+    val docs = graft.tables.Tables.load(spark, sf, "documents").limit(200)
+    val viaCfg = Refinery.refine(docs,
+        Refinery.Config(shingleVerify = true, gate = "gopher",
+          gopherMinStopWords = 1))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val preFiltered = docs.filter(TextStats.passesGopherGate(50, 100000, 1))
+    val viaSlice = Refinery.refine(preFiltered,
+        // basic gate with thresholds the gopher survivors trivially clear
+        Refinery.Config(shingleVerify = true, minTokens = 1,
+          minDistinctRatio = 0.0))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(viaCfg === viaSlice)
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("incremental novelty view equals the full recompute after two appends") {
+    import graft.tables.{LakeTable, Materialize}
+    import graft.text.Dedup
+    val docs = graft.tables.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    val lake = new LakeTable(spark, dir)
+    lake.write(docs.filter(col("doc_id") % 3 =!= 0), "docs", "overwrite"): Unit
+    val v1 = Materialize.refreshNovelty(lake, "docs", "docs_novelty")
+    lake.write(docs.filter(col("doc_id") % 3 === 0), "docs", "append"): Unit
+    val v2 = Materialize.refreshNovelty(lake, "docs", "docs_novelty")
+    assert(v2 > v1)
+    // idempotent no-op at the same base version
+    assert(Materialize.refreshNovelty(lake, "docs", "docs_novelty") === v2)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty"))).toSet
+    assert(rows(Materialize.noveltyFromView(lake, "docs_novelty", docs))
+      === rows(Dedup.gramNovelty(docs)))
+    graft.ops.Caching.releaseAll(spark)
+  }
+}
