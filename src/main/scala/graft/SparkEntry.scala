@@ -1055,7 +1055,51 @@ object SparkEntry {
     "q187_refinery_gopher" -> ((s, d) =>
       graft.text.Refinery.refine(t(s, d, "documents"),
         graft.text.Refinery.Config(shingleVerify = true, gate = "gopher",
-          gopherMinStopWords = 1))))
+          gopherMinStopWords = 1))),
+    // --- incremental ANN index append, oracle-checked [ext]: build on the
+    // A-slice (portable init), commit, appendToIndex the B-slice — the
+    // returned cell assignments have survived the frozen-quantizer append
+    // path (load centroids -> assign -> lake append commit), and the oracle
+    // replays them exactly: seeds from A's md5 order, argmin over ALL
+    // vectors (the frozen quantizer never retrains on B) ---
+    "q188_index_append" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val a = emb.filter(col("vec_id") % 5 =!= 0)
+      val b = emb.filter(col("vec_id") % 5 === 0)
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ann_append_lake")
+      val lake = new graft.tables.LakeTable(s, dir.toString)
+      val ivf = Similarity.ivfBuild(a, nLists = 8, iters = 0,
+        portableInit = true)
+      val pq = Similarity.pqBuild(a, codesPerSub = 16)
+      Similarity.saveIndex(lake, "appendq", ivf, pq)
+      Similarity.appendToIndex(lake, "appendq", b)
+      lake.read("appendq_ivf_vectors").select(col("vec_id"), col("cell"))
+    },
+    // --- incremental novelty telemetry, oracle-checked [ext]: the
+    // min-per-gram first-occurrence table maintained as a materialized view
+    // across two lake commits (refreshNovelty reads only the appended
+    // changes), then read back for the whole slice — the oracle is q183's
+    // full-recompute replay over the same slice, so the O(delta) path must
+    // equal it exactly. The lifecycle (2 base writes + 2 view refreshes +
+    // the join-back) runs on a deterministic half-corpus: the EQUALITY
+    // contract is corpus-size-independent, and the full-corpus telemetry
+    // cost is already q183's row ---
+    "q189_novelty_view" -> { (s, d) =>
+      // shared-subtree persist (Caching contract): the slice feeds two base
+      // writes, the rebuild aggregation, and the final join-back — four
+      // scans of the same projection without it
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text").persist()
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_novelty_view_lake")
+      val lake = new graft.tables.LakeTable(s, dir.toString)
+      lake.write(docs.filter(col("doc_id") % 3 =!= 0), "docs", "overwrite"): Unit
+      graft.tables.Materialize.refreshNovelty(lake, "docs", "docs_novelty"): Unit
+      lake.write(docs.filter(col("doc_id") % 3 === 0), "docs", "append"): Unit
+      graft.tables.Materialize.refreshNovelty(lake, "docs", "docs_novelty"): Unit
+      graft.tables.Materialize.noveltyFromView(lake, "docs_novelty", docs)
+    })
 
   // DuckDB spellings of the text-pipeline primitives (kept in lockstep with
   // TextStats.normalize/tokens — DuckDB regexp_replace needs the 'g' flag).
@@ -2515,6 +2559,29 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc) " +
         "WHERE rn <= 3"
     },
+    // append replay: the frozen quantizer's seeds come from the A-slice's
+    // md5 order ONLY (B never retrains anything), the argmin assignment
+    // covers every vector — incremental commit == this one declarative pass
+    "q188_index_append" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ea AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM ea), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s) " +
+        "SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1"),
+    // novelty-view replay: the O(delta) materialized path must equal the
+    // full recompute — q183's SQL over the same half-corpus slice
+    "q189_novelty_view" ->
+      (s"WITH ${shingleCtes("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)")}, " +
+        "fst AS (SELECT g, min(doc_id) AS first_doc FROM e GROUP BY 1) " +
+        "SELECT e.doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN fst.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN fst.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS novelty " +
+        "FROM e JOIN fst USING (g) GROUP BY e.doc_id"),
     // boilerplate replay on the shared 3-gram CTEs: doc frequency over the
     // distinct (doc, gram) rows, frequent set left-joined back per doc
     "q173_boilerplate" ->

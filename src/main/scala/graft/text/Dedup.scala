@@ -211,9 +211,17 @@ object Dedup {
         .filter(col("df") <= maxDf).select("g"),
       Seq("g"), "left_semi")
       .persist()
-    // bottom-k sketch: the k smallest kept-gram hashes per document (one
-    // shuffle on doc_id; WindowGroupLimit prunes before the exchange)
-    val w = Window.partitionBy("doc_id").orderBy("g")
+    // bottom-k sketch: k sampled kept grams per document (one shuffle on
+    // doc_id; WindowGroupLimit prunes before the exchange). The sample
+    // ranks by xxhash64(doc_id, gram) — NOT the raw gram hash: under the
+    // raw hash a corpus-frequent gram that happens to hash small lands in
+    // EVERY containing doc's bottom-k, and the candidate join pays that
+    // gram's full df² (the exact form's blow-up, resurrected through the
+    // sketch). Salting with doc_id decorrelates the samples, so a df-d hub
+    // gram is sampled by ~d·k/sz̄ docs instead of d — and the per-doc
+    // sample is still a uniform k-subset, so the recall bound is unchanged.
+    val w = Window.partitionBy("doc_id")
+      .orderBy(xxhash64(col("doc_id"), col("g")), col("g"))
     val sketch = kept.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= sketchK).select("doc_id", "g")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz")).persist()
