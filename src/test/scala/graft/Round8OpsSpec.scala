@@ -136,6 +136,39 @@ class Round8OpsSpec extends SparkSpec {
     graft.ops.Caching.releaseAll(spark)
   }
 
+  test("containmentNearDupsBanded == exact under planted near-threshold stress") {
+    import graft.text.Dedup
+    // ~120 docs with planted containment structure across the 0.5 boundary:
+    // for each base page, a prefix slice at a varying fraction (0.3..0.9 of
+    // the page's tokens) — containment of the slice in the page is ~1.0 in
+    // one direction and the slice/page size ratio in the other, so pairs
+    // land on both sides of the threshold; plus shared-template docs that
+    // stress the salted sketch's hub-gram path
+    val boiler = "shared template header used on every page of this corpus"
+    val docs = df((0 until 40).flatMap { i =>
+      val page = (1 to 40).map(j => s"p${i}w$j").mkString(" ")
+      val frac = 10 + (i % 7) * 4 // 10..34 of 40 tokens
+      val slice = (1 to frac).map(j => s"p${i}w$j").mkString(" ")
+      // overlapping sibling slice: shares tokens (i%11+5)..frac with the
+      // first slice, so MAX containment between the two siblings sweeps
+      // through the threshold band rather than sitting at 1.0
+      val slice2 = ((i % 11) + 5 to math.min(40, frac + 8))
+        .map(j => s"p${i}w$j").mkString(" ")
+      Seq(R7Doc(i * 4L, boiler + " " + page),
+        R7Doc(i * 4L + 1, slice),
+        R7Doc(i * 4L + 2, slice2),
+        R7Doc(i * 4L + 3, (1 to 30).map(j => s"u${i}x$j").mkString(" ")))
+    })
+    for (t <- Seq(0.4, 0.5, 0.7); maxDf <- Seq(1000L, 10L)) {
+      val exact = pairRows(Dedup.containmentNearDups(docs,
+        threshold = t, maxDf = maxDf))
+      assert(exact.nonEmpty, s"stress fixture must pair at t=$t maxDf=$maxDf")
+      assert(pairRows(Dedup.containmentNearDupsBanded(docs,
+        threshold = t, maxDf = maxDf)) === exact, s"t=$t maxDf=$maxDf")
+    }
+    graft.ops.Caching.releaseAll(spark)
+  }
+
   test("dropContained removes the embedded quote and keeps the page") {
     import graft.text.Dedup
     val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
