@@ -287,6 +287,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusScans("q173_boilerplate", "documents") === 2)
   }
 
+  test("containment near-dup reads the corpus exactly once (persisted grams)") {
+    // DF census, prune, sizes, and BOTH self-join sides all read the one
+    // persisted tokenize/shingle/hash pass
+    assert(corpusScans("q182_containment_dups", "documents") === 1)
+  }
+
+  test("banded containment reads the corpus exactly once (persisted grams)") {
+    // sketch, evidence prune, sizes, and the exact verify all derive from
+    // the same persisted gram stream as the exact form
+    assert(corpusScans("q185_containment_banded", "documents") === 1)
+  }
+
+  test("gram novelty reads the corpus exactly once (persisted grams)") {
+    assert(corpusScans("q183_gram_novelty", "documents") === 1)
+  }
+
   test("boilerplate score joins hashes, broadcasts the frequent set") {
     val plan = executedPlan("q173_boilerplate")
     assert(plan.contains("BroadcastHashJoin"),
