@@ -1085,6 +1085,13 @@ object SparkEntry {
     // the join-back) runs on a deterministic half-corpus: the EQUALITY
     // contract is corpus-size-independent, and the full-corpus telemetry
     // cost is already q183's row ---
+    // --- DSIR importance weights [ext]: hashed-n-gram bag models of the
+    // target slice (lang = en) vs the raw pool, per-doc log importance
+    // weight as an exact micronat long sum — the published
+    // target-distribution data-selection recipe, hash-replayable ---
+    "q190_dsir_weights" -> ((s, d) =>
+      TextFeatures.dsirWeights(t(s, d, "documents"),
+        col("lang") === "en", n = 2, buckets = 1024)),
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -2572,6 +2579,25 @@ object SparkEntry {
         "FROM e CROSS JOIN seeds s) " +
         "SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1"),
+    // DSIR replay: same portable bucket hash, same Laplace-smoothed
+    // double-formed ratio, same single micronat quantization per bucket,
+    // same exact long count×micronat sums
+    "q190_dsir_weights" ->
+      (s"WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks FROM documents), " +
+        "g2 AS (SELECT doc_id, is_t, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS g FROM t), " +
+        "bk AS (SELECT doc_id, is_t, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b FROM g2), " +
+        "st AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, " +
+        "sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1), " +
+        "tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM st), " +
+        "lr AS (SELECT b, CAST(floor(ln( " +
+        "(CAST(ct + 1 AS DOUBLE) * CAST(tr + 1024 AS DOUBLE)) / " +
+        "(CAST(cr + 1 AS DOUBLE) * CAST(tt + 1024 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS lr " +
+        "FROM st CROSS JOIN tot), " +
+        "dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM bk WHERE NOT is_t GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, " +
+        "CAST(sum(cnt * lr.lr) AS BIGINT) AS w_micronats " +
+        "FROM dc JOIN lr USING (b) GROUP BY doc_id"),
     // novelty-view replay: the O(delta) materialized path must equal the
     // full recompute — q183's SQL over the same half-corpus slice
     "q189_novelty_view" ->

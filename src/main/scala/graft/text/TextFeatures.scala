@@ -196,6 +196,60 @@ object TextFeatures {
         col("priority"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — Data
+    * Selection via Importance Resampling): score each candidate document by
+    * how much more likely its hashed n-gram bag is under the TARGET
+    * distribution than under the RAW pool, log w(x) = Σ_b count_x(b) ·
+    * (ln P_target(b) − ln P_raw(b)), with bag-of-buckets models
+    * (Laplace-smoothed) over `buckets` hashed n-gram features — the
+    * published recipe for "select web data that looks like my high-quality
+    * target slice". Selection composes downstream: deterministic top-K by
+    * (weight, doc_id), or [[prioritySample]] for the paper's stochastic
+    * resampling.
+    *
+    * Engine-portable and EXACT: buckets hash with the md5-based
+    * [[Dedup.portableTokenHash]] (swap xxhash64 in for a fast path), each
+    * bucket's log-ratio is quantized ONCE to integer micronats (the q165
+    * pattern — products formed in doubles, ln on identical IEEE inputs),
+    * and every per-doc weight is then an exact long sum of
+    * count × micronat — order-independent, hash-replayable in SQL.
+    *
+    * Scale shape: ONE corpus tokenize pass (persisted, Caching contract),
+    * a `buckets`-sized model table broadcast back, and a map-side-combined
+    * (doc, bucket) count aggregate — nothing document-sized is shuffled
+    * twice, and the model table is bounded by `buckets` regardless of
+    * corpus size. Returns (doc_id, n_grams, w_micronats) for every
+    * NON-target document (the selection pool). */
+  def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                  n: Int = 2, buckets: Int = 1024): DataFrame = {
+    val grams = docs.select(col("doc_id"), isTarget.as("is_target"),
+        explode(TextStats.shinglesOf(
+          TextStats.tokens(TextStats.normalize(col("text"))), n)).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(Dedup.portableTokenHash(col("g")), lit(buckets.toLong)).as("b"))
+      .persist()
+    val stats = grams.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val totals = stats.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    // per-bucket micronat log-ratio: ln of one double-formed ratio, floor-
+    // quantized — int64 products of count × total would wrap at trillion-
+    // token scale (q165's rule), so every product is formed in doubles
+    val lr = stats.crossJoin(broadcast(totals)) // buckets-sized × 1 row
+      .select(col("b"), floor(log(
+          ((col("ct") + lit(1L)).cast("double") *
+            (col("tr") + lit(buckets.toLong)).cast("double")) /
+          ((col("cr") + lit(1L)).cast("double") *
+            (col("tt") + lit(buckets.toLong)).cast("double")))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("lr"))
+    grams.filter(!col("is_target"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(col("cnt") * col("lr")).as("w_micronats"))
+  }
+
   def packingPlan(docs: DataFrame, capacity: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("source"),

@@ -53,7 +53,10 @@ class PlanLintSpec extends SparkSpec {
     "q166_whitening_gate",
     // whitened-vs-raw recall gate: TWO brute-force truth passes (the
     // operator's definition, like q29/q40/q153) + a 1-row counts cross join
-    "q170_whitened_ivf")
+    "q170_whitened_ivf",
+    // DSIR rides the 1-row (tt, tr) totals scalar into the buckets-sized
+    // model table (q163/q165's pattern)
+    "q190_dsir_weights")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -245,6 +245,30 @@ class Round8OpsSpec extends SparkSpec {
     graft.ops.Caching.releaseAll(spark)
   }
 
+  test("dsirWeights ranks target-looking pool docs above off-target ones") {
+    import graft.text.TextFeatures
+    // target slice speaks vocabulary A; pool doc 10 speaks A, pool doc 11
+    // speaks unrelated vocabulary B, pool doc 12 mixes — DSIR must order
+    // them 10 > 12 > 11 (per-gram normalization not required: equal sizes)
+    val a = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 20).map(i => s"omega$i").mkString(" ")
+    val mixed = (1 to 10).map(i => s"alpha$i").mkString(" ") + " " +
+      (1 to 10).map(i => s"omega$i").mkString(" ")
+    val docs = df(Seq(
+      DocRow(1, a, "en", "web", a.length.toLong),
+      DocRow(2, a, "en", "web", a.length.toLong),
+      DocRow(10, a, "xx", "web", a.length.toLong),
+      DocRow(11, b, "xx", "web", b.length.toLong),
+      DocRow(12, mixed, "xx", "web", mixed.length.toLong)))
+    val w = TextFeatures.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w_micronats"))
+      .toMap
+    assert(w.keySet === Set(10L, 11L, 12L), "only pool docs are scored")
+    assert(w(10L) > w(12L) && w(12L) > w(11L),
+      s"expected target-likeness order, got $w")
+    graft.ops.Caching.releaseAll(spark)
+  }
+
   test("incremental novelty view equals the full recompute after two appends") {
     import graft.tables.{LakeTable, Materialize}
     import graft.text.Dedup
