@@ -1085,6 +1085,17 @@ object SparkEntry {
     // the join-back) runs on a deterministic half-corpus: the EQUALITY
     // contract is corpus-size-independent, and the full-corpus telemetry
     // cost is already q183's row ---
+    // --- semantic decontamination [ext]: train vectors within cosine 0.3
+    // of ANY benchmark vector (hash-split like q172) — the embedding-space
+    // complement of n-gram decontam: paraphrased leakage shares no 4-gram
+    // but keeps a near-identical embedding; bench side broadcasts, train
+    // side is one map-only pass ---
+    "q191_semantic_decontam" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 37 =!= 0),
+        emb.filter(col("vec_id") % 37 === 0), threshold = 0.3)
+    },
     // --- DSIR importance weights [ext]: hashed-n-gram bag models of the
     // target slice (lang = en) vs the raw pool, per-doc log importance
     // weight as an exact micronat long sum — the published
@@ -2579,6 +2590,23 @@ object SparkEntry {
         "FROM e CROSS JOIN seeds s) " +
         "SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1"),
+    // semantic-decontam replay: brute-force cosine join of the split halves
+    // (q41's proven-portable cosine spelling), per-train argmax with the
+    // same (cos DESC, bench_id) tie order as the Spark struct-max
+    "q191_semantic_decontam" -> {
+      val cosTb =
+        "list_inner_product(t.v, b.v) / (sqrt(list_inner_product(t.v, t.v)) * sqrt(list_inner_product(b.v, b.v)))"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "b AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0), " +
+        "t AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0), " +
+        s"hits AS (SELECT t.vec_id AS train_id, b.vec_id AS bench_id, $cosTb AS cos_sim " +
+        s"FROM t JOIN b ON $cosTb >= 0.3), " +
+        "agg AS (SELECT train_id, CAST(count(*) AS BIGINT) AS n_bench_hits FROM hits GROUP BY 1), " +
+        "best AS (SELECT train_id, bench_id, cos_sim FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY train_id ORDER BY cos_sim DESC, bench_id) AS rn FROM hits) WHERE rn = 1) " +
+        "SELECT best.train_id, CAST(bench_id AS BIGINT) AS closest_bench_id, " +
+        "round(cos_sim, 6) AS max_cos, n_bench_hits FROM best JOIN agg USING (train_id)"
+    },
     // DSIR replay: same portable bucket hash, same Laplace-smoothed
     // double-formed ratio, same single micronat quantization per bucket,
     // same exact long count×micronat sums

@@ -299,6 +299,33 @@ object Similarity {
         codebooks(0)(0).length))
   }
 
+  /** SEMANTIC decontamination: training vectors whose embedding sits within
+    * cosine `threshold` of ANY benchmark vector — the embedding-space
+    * complement of the n-gram decontamination contract
+    * ([[graft.text.Decontam]]): paraphrased or lightly-reworded benchmark
+    * leakage shares no 4-gram but keeps a near-identical embedding. Scale
+    * shape is q172's: the benchmark side is MBs at any corpus scale, so it
+    * BROADCASTS and the train side is one map-only pass (no shuffle of
+    * corpus vectors; the per-train-vector aggregate is map-side combined).
+    * Returns one row per CONTAMINATED train vector with its closest bench
+    * match (deterministic: max cos, ties to the lower bench id). */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+                            threshold: Double): DataFrame = {
+    val t = train.select(col("vec_id").as("train_id"),
+      asDouble(col("embedding")).as("tv"))
+    val b = bench.select(col("vec_id").as("bench_id"),
+      asDouble(col("embedding")).as("bv"))
+    t.join(broadcast(b), cosine(col("tv"), col("bv")) >= threshold)
+      .select(col("train_id"), col("bench_id"),
+        cosine(col("tv"), col("bv")).as("cos_sim"))
+      .groupBy("train_id")
+      .agg(max(struct(col("cos_sim"), (-col("bench_id")).as("nb")))
+        .as("m"), count(lit(1)).as("n_bench_hits"))
+      .select(col("train_id"),
+        (-col("m.nb")).cast("long").as("closest_bench_id"),
+        round(col("m.cos_sim"), 6).as("max_cos"), col("n_bench_hits"))
+  }
+
   /** Exact embedding near-duplicate pairs within equality blocks (e.g. a
     * label/shard/partition column): equi-join on the block key bounds the
     * pair count, exact cosine filters at `threshold`. The deterministic

@@ -56,7 +56,10 @@ class PlanLintSpec extends SparkSpec {
     "q170_whitened_ivf",
     // DSIR rides the 1-row (tt, tr) totals scalar into the buckets-sized
     // model table (q163/q165's pattern)
-    "q190_dsir_weights")
+    "q190_dsir_weights",
+    // semantic decontam scores train x broadcast(bench) — the bench side is
+    // MBs at any corpus scale (q172's broadcast contract, q28's loop shape)
+    "q191_semantic_decontam")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -245,6 +245,27 @@ class Round8OpsSpec extends SparkSpec {
     graft.ops.Caching.releaseAll(spark)
   }
 
+  test("semanticContamination flags near-bench train vectors with the closest match") {
+    import graft.sim.Similarity
+    val vecs = Seq(
+      Vec(100, Array(1f, 0f, 0f, 0f), 0),      // bench
+      Vec(101, Array(0.8f, 0.6f, 0f, 0f), 0),  // bench, cos 0.8 to 100
+      Vec(1, Array(0.95f, 0.31f, 0f, 0f), 0),  // train: near BOTH (closest 100)
+      Vec(2, Array(0f, 0f, 1f, 0f), 0),        // train: orthogonal — clean
+      Vec(3, Array(0.55f, 0.84f, 0f, 0f), 0))  // train: near 101 only
+    val d = df(vecs)
+    val out = Similarity.semanticContamination(
+        d.filter(col("vec_id") < 100), d.filter(col("vec_id") >= 100),
+        threshold = 0.8)
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        (r.getAs[Long]("closest_bench_id"), r.getAs[Long]("n_bench_hits")))
+      .toMap
+    assert(out.keySet === Set(1L, 3L), s"clean vector must not flag: $out")
+    assert(out(1L)._2 === 2L && out(3L) === ((101L, 1L)))
+    // closest match is the argmax, ties to the lower bench id
+    assert(out(1L)._1 === 100L)
+  }
+
   test("dsirWeights ranks target-looking pool docs above off-target ones") {
     import graft.text.TextFeatures
     // target slice speaks vocabulary A; pool doc 10 speaks A, pool doc 11
