@@ -1085,6 +1085,13 @@ object SparkEntry {
     // the join-back) runs on a deterministic half-corpus: the EQUALITY
     // contract is corpus-size-independent, and the full-corpus telemetry
     // cost is already q183's row ---
+    // --- hard-negative mining [ext]: per-anchor top-k most-similar
+    // DIFFERENT-label vectors via the IVF cell join (Σ|cell|²-bounded, the
+    // kNN-graph construction shape — no all-pairs); portable 0-iteration
+    // init makes the full chain replayable (q181's contract) ---
+    "q192_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings"), k = 2, nLists = 8,
+        nProbe = 2, iters = 0, portableInit = true)),
     // --- semantic decontamination [ext]: train vectors within cosine 0.3
     // of ANY benchmark vector (hash-split like q172) — the embedding-space
     // complement of n-gram decontam: paraphrased leakage shares no 4-gram
@@ -2590,6 +2597,31 @@ object SparkEntry {
         "FROM e CROSS JOIN seeds s) " +
         "SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1"),
+    // hard-negative replay: the q176 portable assignment + probe-cell
+    // ranking, cross-label filter inside the cell join, per-anchor top-2
+    "q192_hard_negatives" -> {
+      def cosSql(a: String, b: String) =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+      "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1), " +
+        "pc AS (SELECT vec_id AS anchor_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn <= 2), " +
+        "sc AS (SELECT pc.anchor_id, a.vec_id AS negative_id, " +
+        s"${cosSql("p.v", "c.v")} AS cos_sim " +
+        "FROM pc JOIN asn a USING (cell) " +
+        "JOIN e p ON p.vec_id = pc.anchor_id JOIN e c ON c.vec_id = a.vec_id " +
+        "WHERE a.vec_id != pc.anchor_id AND c.label != p.label) " +
+        "SELECT anchor_id, negative_id, round(cos_sim, 6) AS cos_sim, " +
+        "CAST(rn AS INTEGER) AS rn FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id) AS rn FROM sc) " +
+        "WHERE rn <= 2"
+    },
     // semantic-decontam replay: brute-force cosine join of the split halves
     // (q41's proven-portable cosine spelling), per-train argmax with the
     // same (cos DESC, bench_id) tie order as the Spark struct-max

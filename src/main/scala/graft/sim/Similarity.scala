@@ -299,6 +299,41 @@ object Similarity {
         codebooks(0)(0).length))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training data: for EVERY corpus
+    * vector (each one an anchor), the `k` most cosine-similar vectors with
+    * a DIFFERENT label — the near-miss negatives that make embedding-model
+    * contrastive batches informative (easy random negatives teach nothing).
+    *
+    * Every vector is a probe, so nothing broadcasts: candidates come from
+    * an IVF cell equi-join of the anchor's `nProbe` ranked cells against
+    * the cell-assigned corpus (both sides data-sized, sort-merge — the
+    * Σ|cell|²-bounded quadratic of [[semDedupIvf]], NOT an all-pairs
+    * self-join; this is the standard IVF kNN-graph construction shape).
+    * The label filter runs inside the join, the per-anchor top-k is a
+    * probe-partitioned window. With `portableInit = true, iters = 0` the
+    * whole chain is oracle-replayable (q181's contract applied to
+    * graph construction). */
+  def hardNegatives(corpus: DataFrame, k: Int = 2, nLists: Int = 8,
+                    nProbe: Int = 2, seed: Long = 42L, iters: Int = 8,
+                    portableInit: Boolean = false): DataFrame = {
+    val idx = ivfBuild(corpus, nLists, seed, iters, portableInit = portableInit)
+    val lbl = corpus.select(col("vec_id"), col("label"))
+    val assigned = idx.assigned.join(lbl, Seq("vec_id"))
+    val probes = corpus.select(col("vec_id").as("anchor_id"),
+        asDouble(col("embedding")).as("pvec"), col("label").as("anchor_label"))
+      .withColumn("cell",
+        explode(slice(rankedCells(col("pvec"), idx.centroids), 1, nProbe)("cell")))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("anchor_id") =!= col("vec_id") &&
+        col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id").as("negative_id"),
+        cosine(col("pvec"), col("vec")).as("cos_sim"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), asc("negative_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("anchor_id"), col("negative_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
+  }
+
   /** SEMANTIC decontamination: training vectors whose embedding sits within
     * cosine `threshold` of ANY benchmark vector — the embedding-space
     * complement of the n-gram decontamination contract

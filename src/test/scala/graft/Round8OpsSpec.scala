@@ -245,6 +245,28 @@ class Round8OpsSpec extends SparkSpec {
     graft.ops.Caching.releaseAll(spark)
   }
 
+  test("hardNegatives surfaces the nearest cross-label vector, never same-label") {
+    import graft.sim.Similarity
+    // two tight clusters with mixed labels: each anchor's hardest negative
+    // is the OTHER-label vector inside its own cluster, not the same-label
+    // near-duplicate and not the far cluster
+    val vecs = Seq(
+      Vec(1, Array(1f, 0f, 0f, 0f), 0),
+      Vec(2, Array(0.99f, 0.14f, 0f, 0f), 0),   // same label as 1 — excluded
+      Vec(3, Array(0.98f, 0.2f, 0f, 0f), 1),    // 1's hard negative
+      Vec(4, Array(0f, 0f, 1f, 0f), 0),
+      Vec(5, Array(0f, 0.1f, 0.99f, 0f), 1))    // 4's hard negative
+    val d = df(vecs)
+    val out = Similarity.hardNegatives(d, k = 1, nLists = 2, nProbe = 2,
+        iters = 4)
+      .collect().map(r => r.getAs[Long]("anchor_id") ->
+        r.getAs[Long]("negative_id")).toMap
+    assert(out(1L) === 3L && out(2L) === 3L && out(4L) === 5L)
+    // a negative never shares its anchor's label
+    val lbl = vecs.map(v => v.vec_id -> v.label).toMap
+    assert(out.forall { case (a, n) => lbl(a) != lbl(n) })
+  }
+
   test("semanticContamination flags near-bench train vectors with the closest match") {
     import graft.sim.Similarity
     val vecs = Seq(
