@@ -822,9 +822,9 @@ object SparkEntry {
     // survived the governed-artifact path, not just the query ---
     "q161_reporting_summary" -> { (s, d) =>
       val summary = Warehouse.reportingSummary(factSlim(s, d))
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_report_lake")
-      val lake = new graft.tables.LakeTable(s, dir.toString)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_report_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
       lake.write(summary, "reporting_summary", "overwrite",
         constraints = Seq(
           ("revenue_nonneg", "revenue >= 0"),
@@ -883,9 +883,9 @@ object SparkEntry {
     // published through the CHECK-governed lake write like q161 ---
     "q168_corpus_report" -> { (s, d) =>
       val card = graft.text.Refinery.corpusReportCard(t(s, d, "documents"))
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_corpus_report_lake")
-      val lake = new graft.tables.LakeTable(s, dir.toString)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_corpus_report_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
       lake.write(card, "corpus_report", "overwrite",
         constraints = Seq(
           ("pass_rate_bounded", "pass_rate >= 0 AND pass_rate <= 1"),
@@ -1010,9 +1010,12 @@ object SparkEntry {
     "q184_index_serve" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") < 20)
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_ann_serve_lake")
-      val lake = new graft.tables.LakeTable(s, dir.toString)
+      // fresh dir per invocation: a FIXED path would accumulate versions
+      // across runs and two concurrent materializations (driver + sbt test
+      // planning) would collide on the OCC commit log
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_serve_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
       val ivf = Similarity.ivfBuild(emb, nLists = 8, iters = 0,
         portableInit = true)
       val pq = Similarity.pqBuild(emb, codesPerSub = 16)
@@ -1066,9 +1069,9 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val a = emb.filter(col("vec_id") % 5 =!= 0)
       val b = emb.filter(col("vec_id") % 5 === 0)
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_ann_append_lake")
-      val lake = new graft.tables.LakeTable(s, dir.toString)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_append_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
       val ivf = Similarity.ivfBuild(a, nLists = 8, iters = 0,
         portableInit = true)
       val pq = Similarity.pqBuild(a, codesPerSub = 16)
@@ -1116,9 +1119,9 @@ object SparkEntry {
       // scans of the same projection without it
       val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
         .select("doc_id", "text").persist()
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_novelty_view_lake")
-      val lake = new graft.tables.LakeTable(s, dir.toString)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_novelty_view_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
       lake.write(docs.filter(col("doc_id") % 3 =!= 0), "docs", "overwrite"): Unit
       graft.tables.Materialize.refreshNovelty(lake, "docs", "docs_novelty"): Unit
       lake.write(docs.filter(col("doc_id") % 3 === 0), "docs", "append"): Unit

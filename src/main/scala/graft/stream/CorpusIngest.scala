@@ -151,47 +151,78 @@ object CorpusIngest {
         // embedded in an already-committed one (c(new→old) ≥ t — the lake
         // side is immutable, so the check is one-directional). The lake's
         // containment index is the `{table}_grams` side table (doc_id,
-        // 64-bit gram hash) appended per batch; candidates come from the
-        // batch docs' bottom-k gram sketches probing that index (≤ sketchK
-        // rows per new doc move into the join — the same Broder-sketch
-        // recall bound as Dedup.containmentNearDupsBanded), and the exact
-        // shared-count verify reads index rows for candidate pairs only.
+        // 64-bit gram hash); candidates come from the batch docs' bottom-k
+        // gram sketches probing that index with the SAME salted ordering
+        // and evidence-count prune as Dedup.containmentNearDupsBanded
+        // (doc-salted sample kills the hub-gram df blow-up; 4·s ≥
+        // t·min(k, sz) keeps a true containment except with ~2e-10
+        // Chernoff probability), and the exact shared-count verify reads
+        // index rows for candidate pairs only.
         val gramsTable = s"${table}_grams"
+        // index bootstrap/repair BEFORE the check: the corpus write and the
+        // index write are two separate commits, so a crash between them —
+        // or enabling containment on a lake with existing commits — leaves
+        // committed docs missing from the index. Reconciling here (grams of
+        // committed docs absent from the index, an id anti-join on two
+        // column-pruned projections) restores "the index covers the table"
+        // no matter how the previous run ended.
+        if (containmentThreshold.isDefined && lake.exists(table)) {
+          val committed = lake.read(table).select("doc_id", "text")
+          val missing =
+            if (!lake.exists(gramsTable)) committed
+            else committed.join(
+              lake.read(gramsTable).select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+          if (!missing.isEmpty) {
+            val gmode = if (lake.exists(gramsTable)) "append" else "overwrite"
+            lake.write(Dedup.docGrams(missing, shingleSize),
+              gramsTable, gmode): Unit
+          }
+        }
         var batchGrams: Option[org.apache.spark.sql.DataFrame] = None
-        val landed = containmentThreshold match {
+        val landed0 = containmentThreshold match {
           case Some(t) if lake.exists(gramsTable) =>
             import org.apache.spark.sql.expressions.Window
             val grams = Dedup.docGrams(novel, shingleSize).persist()
             batchGrams = Some(grams)
             val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-            val rk = Window.partitionBy("doc_id").orderBy("g")
+            val rk = Window.partitionBy("doc_id")
+              .orderBy(xxhash64(col("doc_id"), col("g")), col("g"))
             val sketch = grams.withColumn("rk", row_number().over(rk))
               .filter(col("rk") <= sketchK).select("doc_id", "g")
             val lakeGrams = lake.read(gramsTable)
               .select(col("doc_id").as("lake_doc_id"), col("g"))
             val cand = sketch.join(lakeGrams, Seq("g"))
-              .select("doc_id", "lake_doc_id").distinct()
+              .groupBy("doc_id", "lake_doc_id").agg(count(lit(1)).as("s"))
+              .join(sz, Seq("doc_id"))
+              .filter(col("s").cast("double") * 4.0 >= lit(t) *
+                least(lit(sketchK.toLong), col("sz")).cast("double"))
+              .select("doc_id", "lake_doc_id", "sz")
             val contained = cand
               .join(grams, Seq("doc_id"))
               .join(lakeGrams, Seq("lake_doc_id", "g"))
-              .groupBy("doc_id", "lake_doc_id")
+              .groupBy("doc_id", "lake_doc_id", "sz")
               .agg(count(lit(1)).as("n_shared"))
-              .join(sz, Seq("doc_id"))
               .filter(col("n_shared").cast("double") / col("sz").cast("double")
                 >= t)
               .select("doc_id").distinct()
             novel.join(contained, Seq("doc_id"), "left_anti")
           case _ => novel
         }
+        // one evaluation of the whole per-batch pipeline: the corpus write
+        // AND the grams-index write below both read `landed`
+        val landed = landed0.persist()
         val mode = if (lake.exists(table)) "append" else "overwrite"
         lake.write(landed, table, mode): Unit
         // maintain the containment index for the NEXT batches (landed rows
-        // only, so the index mirrors the table exactly)
+        // only, so the index mirrors the table; a crash before this write
+        // is healed by the bootstrap/repair pass above on the next batch)
         if (containmentThreshold.isDefined) {
           val gmode = if (lake.exists(gramsTable)) "append" else "overwrite"
           lake.write(Dedup.docGrams(landed.select("doc_id", "text"), shingleSize),
             gramsTable, gmode): Unit
         }
+        landed.unpersist(): Unit
         batchGrams.foreach(_.unpersist(): Unit)
       }
       .trigger(trigger)

@@ -77,7 +77,16 @@ object Events {
     * [[graft.tables.Tables.events]]). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    // peek the files with a static read; an EMPTY source directory (the
+    // normal start-before-producers file-source pattern) can't be inferred
+    // from, so fall back to the declared schema with the current testdata
+    // generation's ts shape (TIMESTAMP_NTZ micros)
+    val fileSchema = scala.util.Try(spark.read.parquet(dir).schema).getOrElse(
+      org.apache.spark.sql.types.StructType(
+        graft.tables.Tables.schemas("events").map(f =>
+          if (f.name == "ts")
+            f.copy(dataType = org.apache.spark.sql.types.TimestampNTZType)
+          else f)))
     val ts = fileSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))

@@ -123,6 +123,14 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(TextStats.shinglesOf(col("toks"), shingleSize)).as("s"))
 
+  /** Distinct (doc_id, 64-bit gram hash) rows — the hashed-gram stream every
+    * containment/novelty operator counts over (only 8-byte longs shuffle,
+    * never gram strings). */
+  def docGrams(docs: DataFrame, shingleSize: Int = 3): DataFrame =
+    shingleSets(docs, shingleSize)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+
   /** Directional CONTAINMENT near-duplicates — the "document A is embedded
     * in document B" detector symmetric Jaccard structurally misses (a short
     * doc fully quoted inside a long one has tiny Jaccard but containment
@@ -141,14 +149,6 @@ object Dedup {
     * CONTRACT (sizes count pruned sets too), so the oracle replays it with
     * the same integer arithmetic; set `maxDf` ≈ the boilerplate knee at
     * scale. Pairs with zero shared (post-prune) shingles never appear. */
-  /** Distinct (doc_id, 64-bit gram hash) rows — the hashed-gram stream every
-    * containment/novelty operator counts over (only 8-byte longs shuffle,
-    * never gram strings). */
-  def docGrams(docs: DataFrame, shingleSize: Int = 3): DataFrame =
-    shingleSets(docs, shingleSize)
-      .select(col("doc_id"), explode(col("s")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
-
   def containmentNearDups(docs: DataFrame, shingleSize: Int = 3,
                           threshold: Double = 0.5,
                           maxDf: Long = 1000): DataFrame = {

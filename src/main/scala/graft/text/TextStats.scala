@@ -163,46 +163,63 @@ object TextStats {
     * primitives (integer counts, two rounded divisions), zero shuffles —
     * the filter runs as a scan-side projection at any corpus size. Ratios
     * round at 6 dp; rule booleans compare the UNROUNDED exact values. */
-  def gopherQualityProfile(docs: DataFrame, minWords: Long = 50,
-                           maxWords: Long = 100000,
-                           minStopWords: Long = 2): DataFrame = {
+  /** The eight integer statistics the Gopher rule bundle compares — ONE
+    * spelling shared by [[gopherQualityProfile]] and [[passesGopherGate]]
+    * (the profile and the pushable gate predicate are built from these
+    * same expressions, so the two surfaces cannot drift). */
+  private def gopherStats: Seq[(String, Column)] = {
     val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val norm = normalize(col("text"))
     val toks = tokens(norm)
-    val nWords = size(toks).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
     val nHash = length(norm) - length(regexp_replace(norm, "#", ""))
     val nEllipsis = (length(norm) -
       length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3
-    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
-    val nStop = size(filter(
-      array(stopWords.map(lit): _*), s => array_contains(toks, s))).cast("long")
     val lines = split(col("text"), "\n")
-    val nLines = size(lines).cast("long")
-    val nBullet = size(filter(lines,
-      l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
-    val nEllEnd = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
-    docs.select(col("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_chars"),
-        (nHash + nEllipsis).cast("long").as("n_symbols"),
-        nAlpha.as("n_alpha_words"), nStop.as("n_stop_words"),
-        nLines.as("n_lines"), nBullet.as("n_bullet_lines"),
-        nEllEnd.as("n_ellipsis_lines"))
-      .select(col("doc_id"), col("n_words"),
+    Seq(
+      "n_words" -> size(toks).cast("long"),
+      "sum_word_chars" -> aggregate(toks, lit(0L), (a, t) => a + length(t)),
+      "n_symbols" -> (nHash + nEllipsis).cast("long"),
+      "n_alpha_words" -> size(filter(toks, t => t.rlike("[a-z]"))).cast("long"),
+      "n_stop_words" -> size(filter(
+        array(stopWords.map(lit): _*), s => array_contains(toks, s))).cast("long"),
+      "n_lines" -> size(lines).cast("long"),
+      "n_bullet_lines" -> size(filter(lines,
+        l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long"),
+      "n_ellipsis_lines" -> size(filter(lines,
+        l => trim(l).endsWith("..."))).cast("long"))
+  }
+
+  /** The six Gopher rule booleans over a map of the [[gopherStats]] values
+    * (integer arithmetic only — shared spelling, same no-drift argument:
+    * the profile feeds projected stat COLUMNS, the gate feeds the raw stat
+    * EXPRESSIONS, both through these formulas). */
+  private def gopherRules(s: Map[String, Column], minWords: Long,
+                          maxWords: Long, minStopWords: Long): Seq[(String, Column)] = Seq(
+    "words_ok" -> (s("n_words") >= minWords && s("n_words") <= maxWords),
+    "mean_len_ok" -> (s("sum_word_chars") >= s("n_words") * 3L &&
+      s("sum_word_chars") <= s("n_words") * 10L),
+    "symbol_ok" -> (s("n_symbols") * 10L <= s("n_words")),
+    "alpha_ok" -> (s("n_alpha_words") * 5L >= s("n_words") * 4L),
+    "stop_ok" -> (s("n_stop_words") >= minStopWords),
+    "lines_ok" -> (s("n_bullet_lines") * 10L <= s("n_lines") * 9L &&
+      s("n_ellipsis_lines") * 10L <= s("n_lines") * 3L))
+
+  def gopherQualityProfile(docs: DataFrame, minWords: Long = 50,
+                           maxWords: Long = 100000,
+                           minStopWords: Long = 2): DataFrame = {
+    docs.select(col("doc_id") +:
+        gopherStats.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("doc_id"), col("n_words"),
         round(col("sum_word_chars").cast("double") /
           col("n_words").cast("double"), 6).as("mean_word_len"),
         round(col("n_symbols").cast("double") /
           col("n_words").cast("double"), 6).as("symbol_ratio"),
         round(col("n_alpha_words").cast("double") /
           col("n_words").cast("double"), 6).as("alpha_word_frac"),
-        col("n_stop_words"),
-        (col("n_words") >= minWords && col("n_words") <= maxWords).as("words_ok"),
-        (col("sum_word_chars") >= col("n_words") * 3L &&
-          col("sum_word_chars") <= col("n_words") * 10L).as("mean_len_ok"),
-        (col("n_symbols") * 10L <= col("n_words")).as("symbol_ok"),
-        (col("n_alpha_words") * 5L >= col("n_words") * 4L).as("alpha_ok"),
-        (col("n_stop_words") >= minStopWords).as("stop_ok"),
-        (col("n_bullet_lines") * 10L <= col("n_lines") * 9L &&
-          col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L).as("lines_ok"))
+        col("n_stop_words")) ++
+        gopherRules(gopherStats.map { case (n, _) => n -> col(n) }.toMap,
+          minWords, maxWords, minStopWords)
+          .map { case (n, c) => c.as(n) }: _*)
       .withColumn("pass_gopher",
         col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
           col("alpha_ok") && col("stop_ok") && col("lines_ok"))
@@ -372,29 +389,9 @@ object TextStats {
     * vocabulary barely intersects the 8-word list (e.g. domain-specific or
     * synthetic text) can lower it rather than gate everything out. */
   def passesGopherGate(minWords: Long = 50, maxWords: Long = 100000,
-                       minStopWords: Long = 2): Column = {
-    val stopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val norm = normalize(col("text"))
-    val toks = tokens(norm)
-    val nWords = size(toks).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-    val nSymbols = (length(norm) - length(regexp_replace(norm, "#", "")) +
-      (length(norm) - length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3).cast("long")
-    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
-    val nStop = size(filter(
-      array(stopWords.map(lit): _*), s => array_contains(toks, s))).cast("long")
-    val lines = split(col("text"), "\n")
-    val nLines = size(lines).cast("long")
-    val nBullet = size(filter(lines,
-      l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("long")
-    val nEllEnd = size(filter(lines, l => trim(l).endsWith("..."))).cast("long")
-    (nWords >= minWords && nWords <= maxWords) &&
-      (sumLen >= nWords * 3L && sumLen <= nWords * 10L) &&
-      (nSymbols * 10L <= nWords) &&
-      (nAlpha * 5L >= nWords * 4L) &&
-      (nStop >= minStopWords) &&
-      (nBullet * 10L <= nLines * 9L && nEllEnd * 10L <= nLines * 3L)
-  }
+                       minStopWords: Long = 2): Column =
+    gopherRules(gopherStats.toMap, minWords, maxWords, minStopWords)
+      .map(_._2).reduce(_ && _)
 
   /** Per-source quality dashboard: document counts, filter pass rate, and
     * mean token count for every corpus source — the mixture-QA rollup read

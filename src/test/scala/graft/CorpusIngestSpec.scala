@@ -163,4 +163,42 @@ class CorpusIngestSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(1L, 2L, 5L, 6L))
     graft.ops.Caching.releaseAll(spark)
   }
+
+  test("enabling containment on an existing lake bootstraps the gram index " +
+    "over all committed docs") {
+    val in = Files.createTempDirectory("graft-boot-in").toString
+    val lakeDir = Files.createTempDirectory("graft-boot-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+
+    // batch 1 lands WITHOUT containment — no gram index exists afterwards
+    val page = (1 to 40).map(i => s"tok$i").mkString(" ")
+    writeBatchFile(in, "b1", Seq(doc(1, page), doc(2, longText("beta"))))
+    val q1 = CorpusIngest.startNearDup(spark, in, lake, "corpus5",
+      threshold = 0.8)
+    q1.awaitTermination(120000)
+    assert(!lake.exists("corpus5_grams"))
+
+    // batch 2 ENABLES containment: the repair pass must index the already-
+    // committed docs first, so a quote of batch-1's page is caught
+    val quote = (1 to 25).map(i => s"tok$i").mkString(" ")
+    writeBatchFile(in, "b2", Seq(doc(5, quote), doc(6, longText("gamma"))))
+    val q2 = CorpusIngest.startNearDup(spark, in, lake, "corpus5",
+      threshold = 0.8, containmentThreshold = Some(0.9))
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("corpus5").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 6L))
+    // the bootstrapped index covers committed AND newly-landed docs
+    assert(lake.read("corpus5_grams").select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 6L))
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("event stream source starts against an empty directory (declared-schema fallback)") {
+    val empty = Files.createTempDirectory("graft-empty-events").toString
+    val stream = graft.stream.Events.readEventStream(spark, empty)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
