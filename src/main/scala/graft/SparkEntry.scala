@@ -994,9 +994,15 @@ object SparkEntry {
     },
     // --- directional containment near-dup [ext]: the embedded-document
     // detector (quote/snippet case) symmetric Jaccard misses; pure
-    // counting over DF-pruned shingle hashes ---
+    // counting over DF-pruned shingle hashes. Runs on a deterministic
+    // HALF-SLICE: this exact Σdf² counting form is the VERIFICATION twin —
+    // q185's banded operator is the full-corpus scale form, and
+    // Round8OpsSpec pins banded == exact, so paying the quadratic
+    // self-join twice over the whole corpus bought nothing (the slice
+    // still carries 7 true pairs at sf0.01 — non-vacuous) ---
     "q182_containment_dups" -> ((s, d) =>
-      graft.text.Dedup.containmentNearDups(t(s, d, "documents"),
+      graft.text.Dedup.containmentNearDups(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 1),
         shingleSize = 3, threshold = 0.5, maxDf = 1000)),
     // --- corpus novelty curve [ext]: per-doc fraction of shingles first
     // introduced by that doc (ingestion-order redundancy telemetry) ---
@@ -1042,9 +1048,14 @@ object SparkEntry {
     // does REAL work on this corpus: its J ≈ 0.96 embedded-copy pairs slip
     // the tight Jaccard stage and only the directional stage removes them
     // (at q169's 0.8 the Jaccard closure would swallow every such pair and
-    // the stage would verify vacuously) ---
+    // the stage would verify vacuously). Runs on a deterministic
+    // HALF-SLICE (the q189 pattern): the stage-equality contract is
+    // corpus-size-independent, q169 already times the full-corpus refinery,
+    // and the even slice keeps real containment pairs (6 at sf0.01) so the
+    // directional stage still removes docs here ---
     "q186_refinery_containment" -> ((s, d) =>
-      graft.text.Refinery.refine(t(s, d, "documents"),
+      graft.text.Refinery.refine(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 0),
         graft.text.Refinery.Config(shingleVerify = true,
           nearDupThreshold = 0.98, containment = true,
           containmentThreshold = 0.8, containmentMaxDf = 1000))),
@@ -1054,9 +1065,13 @@ object SparkEntry {
     // Stop-word floor 1 (not the paper's 2): the synthetic corpus's
     // vocabulary barely intersects the 8-word stop list, and a gate that
     // drops 100% verifies nothing — at 1 the gate passes ~half the corpus,
-    // so every downstream stage is exercised on a non-trivial survivor set ---
+    // so every downstream stage is exercised on a non-trivial survivor set.
+    // Runs on the ODD half-slice (complementing q186's even one — the
+    // gate-swap contract is corpus-size-independent; q169 carries the
+    // full-corpus E2E timing) ---
     "q187_refinery_gopher" -> ((s, d) =>
-      graft.text.Refinery.refine(t(s, d, "documents"),
+      graft.text.Refinery.refine(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 1),
         graft.text.Refinery.Config(shingleVerify = true, gate = "gopher",
           gopherMinStopWords = 1))),
     // --- incremental ANN index append, oracle-checked [ext]: build on the
@@ -2536,9 +2551,9 @@ object SparkEntry {
     // containment replay on the shared 3-gram CTEs: DF prune first (part of
     // the contract — sizes count pruned sets), shared counts from the
     // string-gram join (Spark joins the xxhash64 keys; counts agree), one
-    // division per direction
+    // division per direction — over the same odd half-slice as the query
     "q182_containment_dups" ->
-      (s"WITH ${shingleCtes("documents")}, " +
+      (s"WITH ${shingleCtes("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)")}, " +
         "dfq AS (SELECT g, count(*) AS df FROM e GROUP BY 1), " +
         "k AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g) WHERE df <= 1000), " +
         "ksz AS (SELECT doc_id, count(*) AS sz FROM k GROUP BY 1), " +
@@ -2819,7 +2834,7 @@ object SparkEntry {
     // cap + chunk tail over the containment survivors
     "q186_refinery_containment" ->
       (s"WITH RECURSIVE gt AS (SELECT doc_id, source, text FROM " +
-        s"(SELECT doc_id, source, text, $toksSql AS toks FROM documents) " +
+        s"(SELECT doc_id, source, text, $toksSql AS toks FROM documents WHERE doc_id % 2 = 0) " +
         "WHERE len(toks) >= 20 AND " +
         "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
         s"nrm AS (SELECT doc_id, $normSql AS norm FROM gt), " +
@@ -2876,7 +2891,7 @@ object SparkEntry {
         "l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS BIGINT) AS n_bullet_lines, " +
         "CAST(len(list_filter(string_split(text, chr(10)), " +
         "l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis_lines " +
-        "FROM documents), " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
         "gt AS (SELECT doc_id, source, text FROM gm " +
         "WHERE n_words >= 50 AND n_words <= 100000 " +
         "AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words " +

@@ -106,10 +106,18 @@ object CorpusIngest {
             .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
             .drop("cluster_id")
         // in-batch containment (opt-in): drop docs embedded in other batch
-        // survivors — the same stage order as the batch refinery
+        // survivors — the same stage order as the batch refinery. The
+        // TRACKED form hands back the banded stage's internal persists: a
+        // long-running stream has no harness releaseAll between batches, so
+        // they are released below with the landed/batchGrams cleanup — not
+        // left to accumulate in executor storage memory across micro-batches.
+        var containCaches: Seq[org.apache.spark.sql.Dataset[_]] = Nil
         val batchKept = containmentThreshold match {
-          case Some(t) => Dedup.dropContained(jaccardKept, shingleSize, t,
-            maxDf = Long.MaxValue, sketchK = sketchK)
+          case Some(t) =>
+            val (dropped, caches) = Dedup.dropContainedTracked(jaccardKept,
+              shingleSize, t, maxDf = Long.MaxValue, sketchK = sketchK)
+            containCaches = caches
+            dropped
           case None => jaccardKept
         }
         val indexed = withIndexCols(batchKept)
@@ -224,6 +232,7 @@ object CorpusIngest {
         }
         landed.unpersist(): Unit
         batchGrams.foreach(_.unpersist(): Unit)
+        containCaches.foreach(graft.ops.Caching.release)
       }
       .trigger(trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()

@@ -75,13 +75,25 @@ object Events {
     * so peek at the files with a static read and normalize `ts` to the
     * session-zone TimestampType either way (see
     * [[graft.tables.Tables.events]]). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String,
+                      waitForFilesMs: Long = 2000): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // peek the files with a static read; an EMPTY source directory (the
+    // peek the files with a static read. An EMPTY source directory (the
     // normal start-before-producers file-source pattern) can't be inferred
-    // from, so fall back to the declared schema with the current testdata
-    // generation's ts shape (TIMESTAMP_NTZ micros)
-    val fileSchema = scala.util.Try(spark.read.parquet(dir).schema).getOrElse(
+    // from, and the physical ts type has drifted across testdata
+    // generations (INT64 nanos read as long vs TIMESTAMP(MICROS)-no-UTC
+    // read as TIMESTAMP_NTZ) — so rather than guess, wait briefly for the
+    // first file and re-peek; only after the bounded wait fall back to the
+    // declared schema with the NTZ shape.
+    def peek() = scala.util.Try(spark.read.parquet(dir).schema)
+    var peeked = peek()
+    val deadline = System.nanoTime() + waitForFilesMs * 1000000L
+    while (peeked.isFailure && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      peeked = peek()
+    }
+    val guessed = peeked.isFailure
+    val fileSchema = peeked.getOrElse(
       org.apache.spark.sql.types.StructType(
         graft.tables.Tables.schemas("events").map(f =>
           if (f.name == "ts")
@@ -94,7 +106,25 @@ object Events {
         col("ts").cast(org.apache.spark.sql.types.TimestampType)
       case _ => col("ts")
     }
-    spark.readStream.schema(fileSchema).parquet(dir).withColumn("ts", ts)
+    // when the schema was GUESSED (still-empty dir), a producer that later
+    // writes the other physical shape either fails the parquet read with a
+    // type-mismatch, or — the dangerous case — has raw INT64 nanos
+    // reinterpreted as micros (a silent 1000× shift into year ~57000).
+    // Guard the guessed path with a plan-level sanity check so that case
+    // fails FAST with an error naming the mismatch instead of misreading.
+    val tsChecked =
+      if (!guessed) ts
+      else when(ts.isNotNull &&
+          (year(ts) < lit(1970) || year(ts) > lit(2200)),
+        raise_error(concat(lit("graft: event ts outside sane range ("),
+          col("ts").cast("string"),
+          lit(") — source files do not match the declared-schema fallback " +
+            "(ts TIMESTAMP_NTZ micros) chosen because the directory was " +
+            "empty at stream start; restart the stream after the first " +
+            "file lands so the real file schema is peeked"))).cast(
+          org.apache.spark.sql.types.TimestampType))
+        .otherwise(ts)
+    spark.readStream.schema(fileSchema).parquet(dir).withColumn("ts", tsChecked)
   }
 
   /** Streaming variant: file source over the events parquet, watermarked

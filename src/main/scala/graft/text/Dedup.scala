@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -200,10 +200,33 @@ object Dedup {
     * then recomputes the EXACT shared-gram counts for candidate pairs only
     * (two candidate-pruned hash joins), so the result set equals
     * [[containmentNearDups]] up to that margin — which is how the oracle
-    * spells it (the exact counting replay, no sketch). */
+    * spells it (the exact counting replay, no sketch).
+    *
+    * EQUALITY CONTRACT IS PER-PAIR, NOT CORPUS-WIDE: the ~2e-10 Chernoff
+    * miss bound holds for each true pair independently (and degrades for
+    * pairs whose containment sits just above `threshold` — the margin in
+    * the 4·s ≥ t·min(k, sz) prune shrinks as c → t). At billions of
+    * qualifying pairs the union-bound expected miss count is no longer
+    * negligible; when corpus-scale strictness matters, raise `sketchK`
+    * (the bound tightens exponentially in k) or verify with the exact
+    * [[containmentNearDups]] form. The q185/q186 oracle equality holds
+    * with overwhelming probability at test scale, not as an identity. */
   def containmentNearDupsBanded(docs: DataFrame, shingleSize: Int = 3,
                                 threshold: Double = 0.5, maxDf: Long = 1000,
-                                sketchK: Int = 64): DataFrame = {
+                                sketchK: Int = 64): DataFrame =
+    containmentNearDupsBandedTracked(docs, shingleSize, threshold, maxDf,
+      sketchK)._1
+
+  /** [[containmentNearDupsBanded]] plus its shared-subtree cache entries,
+    * for callers that must release them deterministically once the result
+    * is consumed (a long-running streaming query has no harness
+    * [[graft.ops.Caching.releaseAll]] hook between micro-batches —
+    * without the handles the per-batch persists accumulate without bound
+    * in executor storage memory). Batch callers keep using the public
+    * form; the harness reclaims via releaseAll. */
+  private[graft] def containmentNearDupsBandedTracked(
+      docs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5,
+      maxDf: Long = 1000, sketchK: Int = 64): (DataFrame, Seq[Dataset[_]]) = {
     import org.apache.spark.sql.expressions.Window
     val grams = docGrams(docs, shingleSize).persist()
     val kept = grams.join(
@@ -253,7 +276,7 @@ object Dedup {
         col("y.doc_id") === col("doc_b") && col("x.g") === col("y.g"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
+    val result = shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .filter(greatest(
@@ -265,6 +288,7 @@ object Dedup {
           .as("containment_a"),
         round(col("n_shared").cast("double") / col("sz_b").cast("double"), 6)
           .as("containment_b"))
+    (result, Seq(grams, kept, sizes))
   }
 
   /** Deterministic removal set from containment pairs: a document goes if it
@@ -293,11 +317,20 @@ object Dedup {
   def dropContained(docs: DataFrame, shingleSize: Int = 3,
                     threshold: Double = 0.8, maxDf: Long = 1000,
                     sketchK: Int = 64): DataFrame =
-    docs.join(
-      containmentRemovals(
-        containmentNearDupsBanded(docs, shingleSize, threshold, maxDf, sketchK),
-        threshold),
-      Seq("doc_id"), "left_anti")
+    dropContainedTracked(docs, shingleSize, threshold, maxDf, sketchK)._1
+
+  /** [[dropContained]] plus the cache entries its banded candidate stage
+    * creates — for per-micro-batch streaming callers that must release
+    * them after consuming the result (see
+    * [[containmentNearDupsBandedTracked]]). */
+  private[graft] def dropContainedTracked(
+      docs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.8,
+      maxDf: Long = 1000, sketchK: Int = 64): (DataFrame, Seq[Dataset[_]]) = {
+    val (pairs, caches) = containmentNearDupsBandedTracked(
+      docs, shingleSize, threshold, maxDf, sketchK)
+    (docs.join(containmentRemovals(pairs, threshold), Seq("doc_id"), "left_anti"),
+      caches)
+  }
 
   /** Per-document n-gram NOVELTY against everything earlier in the corpus
     * (doc_id order = ingestion order): the fraction of a document's
