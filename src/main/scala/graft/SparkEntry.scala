@@ -1128,6 +1128,35 @@ object SparkEntry {
     "q190_dsir_weights" -> ((s, d) =>
       TextFeatures.dsirWeights(t(s, d, "documents"),
         col("lang") === "en", n = 2, buckets = 1024)),
+    // --- DSIR resampling [ext]: the paper's data-SELECTION step (not just
+    // scoring) — Gumbel top-k over the q190 importance weights draws a
+    // weight-proportional sample without replacement; both the weights and
+    // the Gumbel keys are integer micronats, so the selected set is an
+    // exact long-arithmetic replay ---
+    "q193_dsir_resample" -> ((s, d) =>
+      TextFeatures.dsirResample(t(s, d, "documents"),
+        col("lang") === "en", keep = 150, n = 2, buckets = 1024)),
+    // --- kNN graph [ext]: every vector's top-k cosine neighbors via the
+    // IVF cell join (q192's chain minus the label filter — hardNegatives
+    // IS this graph with a cross-label filter inside the join); the
+    // substrate for graph clustering and connectivity-based dedup ---
+    "q194_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(t(s, d, "embeddings"), k = 2, nLists = 8,
+        nProbe = 2, iters = 0, portableInit = true)),
+    // --- semantic decontamination, celled scale form [ext]: when the
+    // benchmark registry exceeds broadcast size, train vectors keep their
+    // single assigned cell (one cell shuffle) and bench vectors consider
+    // only cells the triangle inequality can't rule out (unit-sphere
+    // normalize: cos ≥ τ ⇔ L2 ≤ √(2−2τ); prune on centroid distance +
+    // cell radius) — EXACT by construction, so Round9OpsSpec pins
+    // celled == broadcast as an identity ---
+    "q195_semantic_decontam_ivf" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticContaminationIvf(
+        emb.filter(col("vec_id") % 37 =!= 0),
+        emb.filter(col("vec_id") % 37 === 0), threshold = 0.3,
+        nLists = 8, iters = 0, portableInit = true)
+    },
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -2676,6 +2705,94 @@ object SparkEntry {
         "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, " +
         "CAST(sum(cnt * lr.lr) AS BIGINT) AS w_micronats " +
         "FROM dc JOIN lr USING (b) GROUP BY doc_id"),
+    // DSIR resample replay: q190's weight pipeline, then the micronat-
+    // quantized Gumbel key from the same seeded md5-prefix u as q157,
+    // exact long-sum selection key, (key DESC, doc_id) top-150
+    "q193_dsir_resample" ->
+      (s"WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks FROM documents), " +
+        "g2 AS (SELECT doc_id, is_t, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS g FROM t), " +
+        "bk AS (SELECT doc_id, is_t, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b FROM g2), " +
+        "st AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, " +
+        "sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr FROM bk GROUP BY 1), " +
+        "tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM st), " +
+        "lr AS (SELECT b, CAST(floor(ln( " +
+        "(CAST(ct + 1 AS DOUBLE) * CAST(tr + 1024 AS DOUBLE)) / " +
+        "(CAST(cr + 1 AS DOUBLE) * CAST(tt + 1024 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS lr " +
+        "FROM st CROSS JOIN tot), " +
+        "dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM bk WHERE NOT is_t GROUP BY 1, 2), " +
+        "w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, " +
+        "CAST(sum(cnt * lr.lr) AS BIGINT) AS w_micronats " +
+        "FROM dc JOIN lr USING (b) GROUP BY doc_id), " +
+        "gq AS (SELECT doc_id, n_grams, w_micronats, " +
+        "CAST(floor(-ln(-ln((('0x' || substring(md5('dsir1' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1) " +
+        "/ 4294967297.0)) * 1000000 + 0.5) AS BIGINT) AS g_micronats FROM w) " +
+        "SELECT doc_id, n_grams, w_micronats, g_micronats, " +
+        "w_micronats + g_micronats AS score_micronats FROM gq " +
+        "ORDER BY score_micronats DESC, doc_id LIMIT 150"),
+    // kNN-graph replay: q192's portable assignment + probe-cell ranking
+    // WITHOUT the label filter — hardNegatives is this graph label-filtered
+    "q194_knn_graph" -> {
+      def cosSql(a: String, b: String) =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1), " +
+        "pc AS (SELECT vec_id AS anchor_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn <= 2), " +
+        "sc AS (SELECT pc.anchor_id, a.vec_id AS neighbor_id, " +
+        s"${cosSql("p.v", "c.v")} AS cos_sim " +
+        "FROM pc JOIN asn a USING (cell) " +
+        "JOIN e p ON p.vec_id = pc.anchor_id JOIN e c ON c.vec_id = a.vec_id " +
+        "WHERE a.vec_id != pc.anchor_id) " +
+        "SELECT anchor_id AS vec_id, neighbor_id, round(cos_sim, 6) AS cos_sim, " +
+        "CAST(rn AS INTEGER) AS rn FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc) " +
+        "WHERE rn <= 2"
+    },
+    // celled semantic-decontam replay: unit-sphere normalize both sides,
+    // portable seeds from the TRAIN slice md5 order (q188's pattern, over
+    // normalized vectors), train side takes its argmin cell + distance,
+    // per-cell radius = max member distance, bench keeps cells within
+    // sqrt(2-2t) + radius (the triangle-inequality prune — exact, so this
+    // replay IS the brute-force answer filtered through the same prune),
+    // exact cosine verify on the ORIGINAL vectors, q191's aggregate
+    "q195_semantic_decontam_ivf" -> {
+      def cosSql(a: String, b: String) =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "t0 AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn " +
+        "FROM e WHERE vec_id % 37 <> 0), " +
+        "b0 AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn " +
+        "FROM e WHERE vec_id % 37 = 0), " +
+        "ho AS (SELECT vec_id, vn, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM t0), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, vn AS sv FROM ho WHERE rk <= 8), " +
+        "tdst AS (SELECT t0.vec_id, t0.v, s.cell, list_inner_product(t0.vn, t0.vn) " +
+        "- 2.0 * list_inner_product(t0.vn, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM t0 CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id AS train_id, v, cell, sqrt(greatest(d, 0.0)) AS dtr " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM tdst) WHERE rn = 1), " +
+        "rad AS (SELECT cell, max(dtr) AS r FROM asn GROUP BY 1), " +
+        "bdst AS (SELECT b0.vec_id AS bench_id, b0.v, s.cell, " +
+        "sqrt(greatest(list_inner_product(b0.vn, b0.vn) " +
+        "- 2.0 * list_inner_product(b0.vn, s.sv) + list_inner_product(s.sv, s.sv), 0.0)) AS dq " +
+        "FROM b0 CROSS JOIN seeds s), " +
+        "bc AS (SELECT bdst.bench_id, bdst.v, bdst.cell FROM bdst JOIN rad USING (cell) " +
+        "WHERE dq <= sqrt(2.0 - 2.0 * 0.3) + rad.r), " +
+        s"hits AS (SELECT asn.train_id, bc.bench_id, ${cosSql("asn.v", "bc.v")} AS cos_sim " +
+        "FROM asn JOIN bc USING (cell) " +
+        s"WHERE ${cosSql("asn.v", "bc.v")} >= 0.3), " +
+        "agg AS (SELECT train_id, CAST(count(*) AS BIGINT) AS n_bench_hits FROM hits GROUP BY 1), " +
+        "best AS (SELECT train_id, bench_id, cos_sim FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY train_id ORDER BY cos_sim DESC, bench_id) AS rn FROM hits) WHERE rn = 1) " +
+        "SELECT best.train_id, CAST(bench_id AS BIGINT) AS closest_bench_id, " +
+        "round(cos_sim, 6) AS max_cos, n_bench_hits FROM best JOIN agg USING (train_id)"
+    },
     // novelty-view replay: the O(delta) materialized path must equal the
     // full recompute — q183's SQL over the same half-corpus slice
     "q189_novelty_view" ->

@@ -201,12 +201,19 @@ object Similarity {
   /** Nearest-centroid id under squared L2, with the centroids as PLAN
     * LITERALS and the native codegen'd dot product
     * (‖x‖²−2x·c+‖c‖² — ties break to the lower id via the struct min). */
-  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    array_min(cellDistArr(vec, cents)).getField("cell")
+
+  /** (squared-L2 dist, cell) struct per centroid literal — the shared
+    * ‖x‖²−2x·c+‖c‖² spelling of [[nearestCell]]/[[rankedCells]], exposed
+    * as the raw array for consumers that need the distances themselves
+    * (per-cell radii, triangle-inequality pruning). */
+  private def cellDistArr(vec: Column, cents: Array[Array[Double]]): Column = {
     val n2 = dot(vec, vec)
-    array_min(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+    array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct((n2 - lit(2.0) * dot(vec, lit(c)) + lit(c.map(x => x * x).sum)).as("dist"),
         lit(i).as("cell"))
-    }: _*)).getField("cell")
+    }: _*)
   }
 
   /** Fit the coarse quantizer (driver-side Lloyd's over a capped
@@ -315,22 +322,65 @@ object Similarity {
     * graph construction). */
   def hardNegatives(corpus: DataFrame, k: Int = 2, nLists: Int = 8,
                     nProbe: Int = 2, seed: Long = 42L, iters: Int = 8,
-                    portableInit: Boolean = false): DataFrame = {
+                    portableInit: Boolean = false): DataFrame =
+    cellScoredPairs(corpus, extra = Seq("label"), nLists, nProbe, seed, iters,
+        portableInit)
+      .filter(col("label") =!= col("anchor_label"))
+      .transform(topKPerAnchor(k))
+      .select(col("anchor_id"), col("neighbor_id").as("negative_id"),
+        col("cos_sim"), col("rn"))
+
+  /** kNN GRAPH over an unlabeled corpus: for every vector, its `k` most
+    * cosine-similar neighbors — the substrate for graph-based clustering,
+    * connectivity-based SemDeDup variants, and any
+    * nearest-neighbor-descent-style refinement. Same Σ|cell|²-bounded IVF
+    * cell-join chain as [[hardNegatives]] (which is exactly this graph with
+    * a cross-label filter inside the join); nothing broadcasts, nothing is
+    * all-pairs. With `portableInit = true, iters = 0` the full chain is
+    * oracle-replayable. */
+  def knnGraph(corpus: DataFrame, k: Int = 2, nLists: Int = 8,
+               nProbe: Int = 2, seed: Long = 42L, iters: Int = 8,
+               portableInit: Boolean = false): DataFrame =
+    cellScoredPairs(corpus, extra = Nil, nLists, nProbe, seed, iters,
+        portableInit)
+      .transform(topKPerAnchor(k))
+      .select(col("anchor_id").as("vec_id"), col("neighbor_id"),
+        col("cos_sim"), col("rn"))
+
+  /** The shared candidate-scoring chain of [[knnGraph]]/[[hardNegatives]]:
+    * IVF-assign the corpus, explode each anchor's `nProbe` ranked cells,
+    * equi-join on the cell id (both sides data-sized, sort-merge), exact
+    * cosine on the surviving pairs. `extra` columns (e.g. `label`) ride
+    * along on both sides — the neighbor side keeps its name, the anchor
+    * side is prefixed `anchor_` — so per-pair filters run INSIDE the join,
+    * before the top-k window. */
+  private def cellScoredPairs(corpus: DataFrame, extra: Seq[String],
+                              nLists: Int, nProbe: Int, seed: Long,
+                              iters: Int, portableInit: Boolean): DataFrame = {
     val idx = ivfBuild(corpus, nLists, seed, iters, portableInit = portableInit)
-    val lbl = corpus.select(col("vec_id"), col("label"))
-    val assigned = idx.assigned.join(lbl, Seq("vec_id"))
-    val probes = corpus.select(col("vec_id").as("anchor_id"),
-        asDouble(col("embedding")).as("pvec"), col("label").as("anchor_label"))
+    val assigned =
+      if (extra.isEmpty) idx.assigned
+      else idx.assigned.join(
+        corpus.select((col("vec_id") +: extra.map(col)): _*), Seq("vec_id"))
+    val probes = corpus.select((col("vec_id").as("anchor_id") +:
+        asDouble(col("embedding")).as("pvec") +:
+        extra.map(c => col(c).as(s"anchor_$c"))): _*)
       .withColumn("cell",
         explode(slice(rankedCells(col("pvec"), idx.centroids), 1, nProbe)("cell")))
-    val scored = assigned.join(probes, Seq("cell"))
-      .filter(col("anchor_id") =!= col("vec_id") &&
-        col("label") =!= col("anchor_label"))
-      .select(col("anchor_id"), col("vec_id").as("negative_id"),
-        cosine(col("pvec"), col("vec")).as("cos_sim"))
-    val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), asc("negative_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("anchor_id") =!= col("vec_id"))
+      .select((col("anchor_id") +: col("vec_id").as("neighbor_id") +:
+        cosine(col("pvec"), col("vec")).as("cos_sim") +:
+        extra.flatMap(c => Seq(col(c), col(s"anchor_$c")))): _*)
+  }
+
+  /** Per-anchor top-k window + 6-dp display rounding (the tie order is the
+    * raw cosine, neighbor id ascending — shared by every cell-join
+    * consumer so their oracles replay one rule). */
+  private def topKPerAnchor(k: Int)(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cos_sim"), asc("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("anchor_id"), col("negative_id"),
+      .select(col("anchor_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"), col("rn"))
   }
 
@@ -351,6 +401,67 @@ object Similarity {
     val b = bench.select(col("vec_id").as("bench_id"),
       asDouble(col("embedding")).as("bv"))
     t.join(broadcast(b), cosine(col("tv"), col("bv")) >= threshold)
+      .select(col("train_id"), col("bench_id"),
+        cosine(col("tv"), col("bv")).as("cos_sim"))
+      .groupBy("train_id")
+      .agg(max(struct(col("cos_sim"), (-col("bench_id")).as("nb")))
+        .as("m"), count(lit(1)).as("n_bench_hits"))
+      .select(col("train_id"),
+        (-col("m.nb")).cast("long").as("closest_bench_id"),
+        round(col("m.cos_sim"), 6).as("max_cos"), col("n_bench_hits"))
+  }
+
+  /** Scale form of [[semanticContamination]] for a benchmark registry too
+    * big to broadcast (hundreds of benchmarks × paraphrase sets) — and,
+    * unlike plain fixed-`nProbe` IVF probing, EXACT: it returns precisely
+    * the broadcast form's answer by construction, not up to recall.
+    *
+    * Both sides are L2-NORMALIZED first (cosine is scale-invariant, and on
+    * the unit sphere cos(x, q) ≥ τ  ⇔  ‖x − q‖ ≤ √(2 − 2τ)); the quantizer
+    * trains on the normalized TRAIN side (the corpus whose geometry
+    * matters), each train vector takes its single argmin cell, and each
+    * cell keeps its RADIUS r_c = max ‖x − c‖ over members. A bench vector q
+    * must then consider cell c only if ‖q − c‖ ≤ √(2 − 2τ) + r_c — the
+    * triangle inequality makes any pair outside that bound provably below
+    * threshold, so pruned cells cannot lose a hit. Candidates equi-join on
+    * the cell id (both sides data-sized, sort-merge; the radius table is
+    * `nLists` rows and broadcasts), and the exact cosine on the ORIGINAL
+    * vectors verifies — the same arithmetic as the broadcast form, so
+    * Round9OpsSpec pins celled == broadcast as an identity, any data.
+    *
+    * Prune power is threshold-driven (ε = √(2−2τ): tight decontam
+    * thresholds prune hard; loose ones approach the full join) — the right
+    * trade for a DECONTAMINATION gate, where a missed hit means benchmark
+    * leakage into training data and recall must be 1. The train-side
+    * projection is persisted (it feeds the radius aggregate and the
+    * candidate join — Caching contract, caller releases). */
+  def semanticContaminationIvf(train: DataFrame, bench: DataFrame,
+                               threshold: Double, nLists: Int = 8,
+                               seed: Long = 42L, iters: Int = 8,
+                               portableInit: Boolean = false): DataFrame = {
+    val eps = lit(math.sqrt(2.0 - 2.0 * threshold))
+    def normed(v: Column): Column = transform(v, x => x / sqrt(dot(v, v)))
+    val cents = ivfBuild(
+      train.select(col("vec_id"),
+        normed(asDouble(col("embedding"))).as("embedding")),
+      nLists, seed, iters, portableInit = portableInit).centroids
+    val asnT = train.select(col("vec_id").as("train_id"),
+        asDouble(col("embedding")).as("tv"))
+      .withColumn("m", array_min(cellDistArr(normed(col("tv")), cents)))
+      .select(col("train_id"), col("tv"), col("m.cell").as("cell"),
+        sqrt(greatest(col("m.dist"), lit(0.0))).as("dtr"))
+      .persist()
+    val radii = asnT.groupBy("cell").agg(max(col("dtr")).as("r"))
+    val cand = bench.select(col("vec_id").as("bench_id"),
+        asDouble(col("embedding")).as("bv"))
+      .withColumn("c", explode(cellDistArr(normed(col("bv")), cents)))
+      .select(col("bench_id"), col("bv"), col("c.cell").as("cell"),
+        sqrt(greatest(col("c.dist"), lit(0.0))).as("dq"))
+      .join(broadcast(radii), Seq("cell"))
+      .filter(col("dq") <= eps + col("r"))
+      .select("bench_id", "bv", "cell")
+    asnT.join(cand, Seq("cell"))
+      .filter(cosine(col("tv"), col("bv")) >= threshold)
       .select(col("train_id"), col("bench_id"),
         cosine(col("tv"), col("bv")).as("cos_sim"))
       .groupBy("train_id")

@@ -250,6 +250,39 @@ object TextFeatures {
         sum(col("cnt") * col("lr")).as("w_micronats"))
   }
 
+  /** DSIR RESAMPLING — the paper's actual data-selection step
+    * (arXiv:2302.03169 §3) composed on [[dsirWeights]]: draw `keep`
+    * documents from the raw pool with probability ∝ their importance
+    * weight, WITHOUT replacement, via the Gumbel top-k identity
+    * (argtop-k of log w(x_i) + g_i with g_i ~ Gumbel(0,1) is exactly a
+    * weight-proportional sample without replacement — no exp(log w) ever
+    * materializes, so huge positive/negative log weights can't overflow).
+    *
+    * Deterministic and engine-replayable: g_i = −ln(−ln u_i) with u_i from
+    * the same seeded md5-prefix construction as [[prioritySample]]
+    * (u ∈ (0,1) strictly, so the Gumbel is finite), floor-quantized ONCE to
+    * integer micronats; the selection key is then the EXACT long sum
+    * w_micronats + g_micronats ordered (key DESC, doc_id) — the same
+    * integer-arithmetic discipline as the weights themselves, so the
+    * selected set replays bit-for-bit in SQL. Top-`keep` plans as
+    * TakeOrderedAndProject: no global sort materializes at scale, and the
+    * only corpus-sized work is [[dsirWeights]]'s single tokenize pass. */
+  def dsirResample(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                   keep: Int, n: Int = 2, buckets: Int = 1024,
+                   seed: String = "dsir1"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / lit(4294967297.0)
+    dsirWeights(docs, isTarget, n, buckets)
+      .withColumn("g_micronats",
+        floor(-log(-log(u)) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("score_micronats", col("w_micronats") + col("g_micronats"))
+      .orderBy(desc("score_micronats"), asc("doc_id"))
+      .limit(keep)
+      .select(col("doc_id"), col("n_grams"), col("w_micronats"),
+        col("g_micronats"), col("score_micronats"))
+  }
+
   def packingPlan(docs: DataFrame, capacity: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("source"),
