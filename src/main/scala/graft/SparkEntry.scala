@@ -1157,6 +1157,21 @@ object SparkEntry {
         emb.filter(col("vec_id") % 37 === 0), threshold = 0.3,
         nLists = 8, iters = 0, portableInit = true)
     },
+    // --- streaming containment ingest, oracle-checked [ext]: the q171
+    // batch-twin discipline applied to corpus ingestion — the twin replays
+    // a two-batch ingest's admit/reject decisions (gate -> in-batch
+    // exact/near-dup/containment -> against-the-lake exact/near-dup/
+    // containment, two lake commits) through the SAME per-batch pipeline
+    // the stream runs; shingle verify + exact-counting containment make
+    // every stage declaratively replayable, and CorpusIngestSpec pins
+    // stream == twin row-for-row ---
+    "q196_stream_ingest_twin" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.stream.CorpusIngest.nearDupIngestTwin(s,
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        threshold = 0.8, containmentThreshold = Some(0.5))
+    },
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -2944,6 +2959,60 @@ object SparkEntry {
         "FROM sh JOIN ksz a ON sh.doc_a = a.doc_id JOIN ksz b ON sh.doc_b = b.doc_id " +
         "WHERE greatest(CAST(n_shared AS DOUBLE) / CAST(a.sz AS DOUBLE), " +
         "CAST(n_shared AS DOUBLE) / CAST(b.sz AS DOUBLE)) >= 0.5"),
+    // two-batch ingest replay: basic gate, per-batch exact dedup (min id
+    // per norm within parity), in-batch near-dup closure (same-parity
+    // brute-force shingle-J edges — the q24 banded==brute contract) and
+    // in-batch containment (no DF prune: the stream runs maxDf=MaxValue),
+    // then batch2 vs landed1: exact norms, cross-parity shingle-J >= 0.8,
+    // directional containment of the NEW side at 0.5
+    "q196_stream_ingest_twin" ->
+      (s"WITH RECURSIVE gt AS (SELECT doc_id, text FROM " +
+        s"(SELECT doc_id, text, $toksSql AS toks FROM documents) " +
+        "WHERE len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
+        s"nrm AS (SELECT doc_id, doc_id % 2 AS p, $normSql AS norm FROM gt), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY p, norm), " +
+        "kd AS (SELECT gt.doc_id, gt.text FROM gt JOIN k USING (doc_id)), " +
+        shingleCtes("kd") + s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc WHERE doc_a % 2 = doc_b % 2 " +
+        "AND (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "removed AS (SELECT n FROM (SELECT n, min(m) AS mn FROM r GROUP BY n) WHERE mn < n), " +
+        "kept AS (SELECT kd.doc_id FROM kd " +
+        "LEFT JOIN removed ON kd.doc_id = removed.n WHERE removed.n IS NULL), " +
+        "ke AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (doc_id)), " +
+        "csz AS (SELECT doc_id, count(*) AS csn FROM ke GROUP BY 1), " +
+        "csh AS (SELECT x.doc_id AS ca, y.doc_id AS cb, count(*) AS ns " +
+        "FROM ke x JOIN ke y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "cpr AS (SELECT ca, cb, ns, " +
+        "CAST(ns AS DOUBLE) / CAST(a.csn AS DOUBLE) AS conta, " +
+        "CAST(ns AS DOUBLE) / CAST(b.csn AS DOUBLE) AS contb " +
+        "FROM csh JOIN csz a ON ca = a.doc_id JOIN csz b ON cb = b.doc_id), " +
+        "crm AS (SELECT DISTINCT CASE WHEN conta >= 0.5 AND contb >= 0.5 THEN cb " +
+        "WHEN conta >= 0.5 THEN ca ELSE cb END AS doc_id FROM cpr " +
+        "WHERE ca % 2 = cb % 2 AND (conta >= 0.5 OR contb >= 0.5)), " +
+        "kept2 AS (SELECT kept.doc_id FROM kept " +
+        "LEFT JOIN crm ON kept.doc_id = crm.doc_id WHERE crm.doc_id IS NULL), " +
+        "l1 AS (SELECT doc_id FROM kept2 WHERE doc_id % 2 = 0), " +
+        "b2 AS (SELECT doc_id FROM kept2 WHERE doc_id % 2 = 1), " +
+        "xex AS (SELECT o.doc_id FROM nrm o JOIN b2 USING (doc_id) " +
+        "WHERE o.norm IN (SELECT nrm.norm FROM nrm JOIN l1 USING (doc_id))), " +
+        "xdup AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS doc_id FROM sc " +
+        "JOIN kept2 ka ON sc.doc_a = ka.doc_id JOIN kept2 kb ON sc.doc_b = kb.doc_id " +
+        "WHERE doc_a % 2 <> doc_b % 2 AND (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "xcont AS (SELECT CASE WHEN ca % 2 = 1 THEN ca ELSE cb END AS doc_id FROM cpr " +
+        "JOIN b2 bo ON (CASE WHEN ca % 2 = 1 THEN ca ELSE cb END) = bo.doc_id " +
+        "JOIN l1 lo ON (CASE WHEN ca % 2 = 1 THEN cb ELSE ca END) = lo.doc_id " +
+        "WHERE ca % 2 <> cb % 2 AND (CASE WHEN ca % 2 = 1 THEN conta ELSE contb END) >= 0.5), " +
+        "landed AS (SELECT doc_id FROM l1 UNION ALL SELECT doc_id FROM b2 " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM xex) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM xdup) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM xcont)) " +
+        "SELECT landed.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars " +
+        "FROM landed JOIN documents d USING (doc_id)"),
     // refinery + containment replay: q169's stage respell (near-dup edges
     // at 0.98 — see the query comment), then q182's containment arithmetic
     // over the near-dup survivors (DF prune at 1000, threshold 0.8, drop

@@ -26,20 +26,30 @@ object CorpusIngest {
   def readDocStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Tables.schemas("documents")).parquet(dir)
 
-  /** Quality gate — the shared [[TextStats.passesQualityGate]] predicate as
-    * a pure map (no self-join, streaming-safe, stays inside whole-stage
-    * codegen). */
-  def qualityGate(docs: DataFrame): DataFrame =
-    docs.filter(TextStats.passesQualityGate())
+  /** Quality gate — a pure map predicate (no self-join, streaming-safe,
+    * stays inside whole-stage codegen): the shared
+    * [[TextStats.passesQualityGate]] screen, or the full Gopher rule bundle
+    * ([[TextStats.passesGopherGate]]) under `gate = "gopher"` — the SAME
+    * predicates the batch refinery gates with
+    * ([[graft.text.Refinery.gate]]), so batch and stream admit identical
+    * documents. */
+  def qualityGate(docs: DataFrame, gate: String = "basic"): DataFrame =
+    gate match {
+      case "gopher" => docs.filter(TextStats.passesGopherGate())
+      case "basic"  => docs.filter(TextStats.passesQualityGate())
+      case other =>
+        throw new IllegalArgumentException(s"unknown gate '$other' (basic|gopher)")
+    }
 
   /** Start the ingest: quality-gate, dedup (in-batch + against the lake),
     * append to `table`. Returns the started query. */
   def start(spark: SparkSession, dir: String, lake: LakeTable, table: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            checkpoint: Option[String] = None): StreamingQuery = {
+            checkpoint: Option[String] = None,
+            gate: String = "basic"): StreamingQuery = {
     val w = readDocStream(spark, dir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val gated = qualityGate(batch.toDF())
+        val gated = qualityGate(batch.toDF(), gate)
         // in-batch exact dedup: keep min doc_id per normalized text
         val fresh = Dedup.dropExactDups(gated)
           .withColumn("dup_key", Dedup.exactKey(col("text")))
@@ -82,7 +92,33 @@ object CorpusIngest {
                    containmentThreshold: Option[Double] = None,
                    sketchK: Int = 64,
                    trigger: Trigger = Trigger.AvailableNow(),
-                   checkpoint: Option[String] = None): StreamingQuery = {
+                   checkpoint: Option[String] = None,
+                   shingleVerify: Boolean = false,
+                   gate: String = "basic"): StreamingQuery = {
+    val w = readDocStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nearDupBatch(batch.toDF(), lake, table, threshold, numPerms, bands,
+          shingleSize, containmentThreshold, sketchK, shingleVerify, gate)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The per-micro-batch decision pipeline of [[startNearDup]], factored out
+    * so a BATCH caller can replay the exact admit/reject decisions a
+    * streaming ingest makes ([[nearDupIngestTwin]] — the q171 batch-twin
+    * discipline applied to corpus ingestion). `shingleVerify = true` swaps
+    * both near-dup verifies (in-batch and against-the-lake) from word-set
+    * to SHINGLE-set Jaccard at [[Dedup.minhashNearDupsShingle]]'s banding
+    * defaults — the metric whose banded == brute-force equality is the
+    * corpus-verified q24 contract, which is what makes the whole ingest
+    * declaratively oracle-replayable. */
+  private[graft] def nearDupBatch(batchDf: DataFrame, lake: LakeTable,
+                                  table: String, threshold: Double,
+                                  numPerms: Int, bands: Int, shingleSize: Int,
+                                  containmentThreshold: Option[Double],
+                                  sketchK: Int, shingleVerify: Boolean,
+                                  gate: String): Unit = {
     val rowsPerBand = numPerms / bands
     def withIndexCols(docs: DataFrame): DataFrame = {
       val sig = Dedup.minhashSignatures(docs, numPerms, shingleSize)
@@ -93,13 +129,27 @@ object CorpusIngest {
         .withColumn("lsh_bands", coalesce(col("lsh_bands"),
           expr("CAST(array() AS array<struct<band:int,band_hash:bigint>>)")))
     }
-    val w = readDocStream(spark, dir).writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val gated = qualityGate(batch.toDF())
+    // the candidate-verify sets: distinct words, or distinct shingles under
+    // shingleVerify (two-stage projection per Dedup.shingleSets's note)
+    def setsOf(d: DataFrame, idc: String, wc: String): DataFrame = {
+      val base = d.select(col(idc),
+        graft.text.TextStats.tokens(
+          graft.text.TextStats.normalize(col("text"))).as("toks"))
+      if (shingleVerify)
+        base.select(col(idc), array_distinct(
+          graft.text.TextStats.shinglesOf(col("toks"), shingleSize)).as(wc))
+      else
+        base.select(col(idc), array_distinct(col("toks")).as(wc))
+    }
+    {
+        val gated = qualityGate(batchDf, gate)
         // in-batch: exact dedup, then near-dup clusters keep min doc_id
         val exact = Dedup.dropExactDups(gated)
-        val inPairs = Dedup.minhashNearDups(exact, numPerms, bands,
-          shingleSize, threshold)
+        val inPairs =
+          if (shingleVerify) Dedup.minhashNearDupsShingle(exact, numPerms,
+            bands, shingleSize, threshold)
+          else Dedup.minhashNearDups(exact, numPerms, bands,
+            shingleSize, threshold)
         val jaccardKept =
           if (inPairs.isEmpty) exact
           else exact.join(Dedup.clusterPairs(inPairs), Seq("doc_id"), "left")
@@ -135,22 +185,20 @@ object CorpusIngest {
               explode(col("lsh_bands")).as("b"))
             val cand = batchBands.join(lakeBands, Seq("b"))
               .select("doc_id", "lake_doc_id").distinct()
-            // (3) verify with exact Jaccard — committed text for candidates
-            // only: the broadcast left-semi PRUNES the committed side to the
+            // (3) verify with exact Jaccard (word sets, or shingle sets
+            // under shingleVerify) — committed text for candidates only:
+            // the broadcast left-semi PRUNES the committed side to the
             // (small, per-batch) candidate id set BEFORE tokenization, so
             // per-batch verify cost tracks candidate count, not corpus size
             // (a plain join after tokenizing would tokenize the whole lake
             // every micro-batch)
-            val words = (d: DataFrame, idc: String, wc: String) => d.select(
-              col(idc), array_distinct(
-                TextStats.tokens(TextStats.normalize(col("text")))).as(wc))
             val candLake = committed
               .select(col("doc_id").as("lake_doc_id"), col("text"))
               .join(broadcast(cand.select("lake_doc_id").distinct()),
                 Seq("lake_doc_id"), "left_semi")
             val dupIds = cand
-              .join(words(notExact, "doc_id", "wa"), Seq("doc_id"))
-              .join(words(candLake, "lake_doc_id", "wb"), Seq("lake_doc_id"))
+              .join(setsOf(notExact, "doc_id", "wa"), Seq("doc_id"))
+              .join(setsOf(candLake, "lake_doc_id", "wb"), Seq("lake_doc_id"))
               .filter(Dedup.jaccard(col("wa"), col("wb")) >= threshold)
               .select("doc_id").distinct()
             notExact.join(dupIds, Seq("doc_id"), "left_anti")
@@ -233,8 +281,32 @@ object CorpusIngest {
         landed.unpersist(): Unit
         batchGrams.foreach(_.unpersist(): Unit)
         containCaches.foreach(graft.ops.Caching.release)
-      }
-      .trigger(trigger)
-    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    }
+  }
+
+  /** BATCH TWIN of a two-batch [[startNearDup]] ingest — replays the
+    * admit/reject decisions (gate → in-batch exact/near-dup/containment →
+    * against-the-lake exact/near-dup/containment, two commits) through the
+    * SAME per-batch pipeline ([[nearDupBatch]]) against a throwaway lake,
+    * so stream == twin is structural, not approximate (CorpusIngestSpec
+    * pins it row-for-row). With the default `shingleVerify = true` every
+    * stage is declaratively replayable — banded near-dup == brute-force
+    * shingle Jaccard (the q24 contract) and the sketch-probed containment
+    * == exact counting (the q185 contract) — which is how the q196 oracle
+    * spells the whole ingest. Returns the landed corpus (doc_id, n_chars). */
+  def nearDupIngestTwin(spark: SparkSession, batch1: DataFrame,
+                        batch2: DataFrame, threshold: Double = 0.8,
+                        numPerms: Int = 128, bands: Int = 32,
+                        shingleSize: Int = 3,
+                        containmentThreshold: Option[Double] = None,
+                        sketchK: Int = 64, shingleVerify: Boolean = true,
+                        gate: String = "basic"): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_twin_lake").toString
+    val lake = new LakeTable(spark, dir)
+    Seq(batch1, batch2).foreach(b =>
+      nearDupBatch(b, lake, "twin", threshold, numPerms, bands, shingleSize,
+        containmentThreshold, sketchK, shingleVerify, gate))
+    lake.read("twin").select(col("doc_id"), col("n_chars"))
   }
 }

@@ -196,9 +196,80 @@ class CorpusIngestSpec extends SparkSpec {
 
   test("event stream source starts against an empty directory (declared-schema fallback)") {
     val empty = Files.createTempDirectory("graft-empty-events").toString
-    val stream = graft.stream.Events.readEventStream(spark, empty)
+    val stream = graft.stream.Events.readEventStream(spark, empty,
+      waitForFilesMs = 0)
     assert(stream.isStreaming)
     assert(stream.schema("ts").dataType ===
       org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("streamed two-batch containment ingest equals the batch twin row-for-row") {
+    val in = Files.createTempDirectory("graft-twin-in").toString
+    val lakeDir = Files.createTempDirectory("graft-twin-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+    val alpha = longText("alpha")
+    val alphaNear = alpha.replace("alpha1 ", "changed ")   // in-batch near-dup
+    // 20 tokens of alpha: shingle-J vs alpha = 18/28 ≈ 0.64 (slips the
+    // 0.8 near-dup stage) but containment = 18/18 = 1.0 (caught)
+    val quote = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val beta = longText("beta")
+    val betaNear = beta.replace("beta1 ", "flipped ")      // cross-batch near-dup
+    val b1 = Seq(doc(1, alpha), doc(2, alphaNear), doc(3, beta),
+      doc(4, alpha))                                       // 4 = exact dup of 1
+    val b2 = Seq(doc(5, betaNear), doc(6, quote), doc(7, longText("gamma")),
+      doc(8, "too short"))                                 // 8 fails the gate
+    writeBatchFile(in, "b1", b1)
+    val q1 = CorpusIngest.startNearDup(spark, in, lake, "twin_t",
+      threshold = 0.8, numPerms = 128, bands = 32,
+      containmentThreshold = Some(0.8), shingleVerify = true)
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    writeBatchFile(in, "b2", b2)
+    val q2 = CorpusIngest.startNearDup(spark, in, lake, "twin_t",
+      threshold = 0.8, numPerms = 128, bands = 32,
+      containmentThreshold = Some(0.8), shingleVerify = true)
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    val streamed = lake.read("twin_t").select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twin = CorpusIngest.nearDupIngestTwin(spark, df(b1), df(b2),
+        threshold = 0.8, containmentThreshold = Some(0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === twin)
+    // and the decisions are the expected ones: 1 keeps (4 exact, 2 near),
+    // 3 keeps, 5 near-dups committed 3, 6 is contained in committed 1,
+    // 7 lands, 8 gated out
+    assert(streamed.map(_._1) === Set(1L, 3L, 7L))
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("gopher gate rejects a doc the basic gate admits (batch/stream parity)") {
+    // 30 distinct tokens: passes the basic gate (>= 20 tokens), but FAILS
+    // the Gopher bundle (< 50 words); a 60-word doc with stop words passes
+    val shortish = longText("alpha")
+    val gopherOk = ("the be to of and that have with " +
+      (1 to 52).map(i => s"word$i").mkString(" "))
+    val docs = df(Seq(doc(1, shortish), doc(2, gopherOk)))
+    val basic = CorpusIngest.qualityGate(docs).collect()
+      .map(_.getLong(0)).toSet
+    val gopher = CorpusIngest.qualityGate(docs, gate = "gopher").collect()
+      .map(_.getLong(0)).toSet
+    assert(basic === Set(1L, 2L))
+    assert(gopher === Set(2L))
+    // and the predicate is the SAME one the batch refinery gates with
+    val viaRefinery = graft.text.Refinery.gate(docs,
+        graft.text.Refinery.Config(gate = "gopher")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaRefinery === gopher)
+    // threaded end-to-end: a gopher-gated stream lands only the long doc
+    val in = Files.createTempDirectory("graft-gopher-in").toString
+    val lakeDir = Files.createTempDirectory("graft-gopher-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+    writeBatchFile(in, "b1", Seq(doc(1, shortish), doc(2, gopherOk)))
+    val q = CorpusIngest.start(spark, in, lake, "gop", gate = "gopher")
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    assert(lake.read("gop").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(2L))
   }
 }
