@@ -57,6 +57,9 @@ class PlanLintSpec extends SparkSpec {
     // DSIR rides the 1-row (tt, tr) totals scalar into the buckets-sized
     // model table (q163/q165's pattern)
     "q190_dsir_weights",
+    // DSIR resample composes dsirWeights, so it carries the same 1-row
+    // totals scalar; the Gumbel key + top-K stages add no joins
+    "q193_dsir_resample",
     // semantic decontam scores train x broadcast(bench) — the bench side is
     // MBs at any corpus scale (q172's broadcast contract, q28's loop shape)
     "q191_semantic_decontam")
