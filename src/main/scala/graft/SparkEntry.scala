@@ -1172,6 +1172,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         threshold = 0.8, containmentThreshold = Some(0.5))
     },
+    // --- span-level dedup [ext]: arXiv:2107.06499's substring dedup as a
+    // distributed rolling-window census — windows duplicated across >= 2
+    // docs are removed from every doc but the min-id keeper, survivors
+    // reassembled in order; the census shuffles 64-bit window hashes, the
+    // oracle groups the window STRINGS (same counts, the gram-join
+    // contract) ---
+    "q197_span_dedup" -> ((s, d) =>
+      graft.text.Dedup.spanDedup(t(s, d, "documents"), window = 10, minDocs = 2)),
+    // --- quality-aware canonical dedup [ext]: q43's cluster closure, but
+    // keep the (passes_filter DESC, n_tokens DESC, doc_id ASC) argmax per
+    // near-dup cluster instead of blind min-id — integer ordering keys so
+    // the argmax replays exactly on any engine. Runs on the EVEN half-slice
+    // (the q186 pattern: the keep-policy contract is corpus-size-
+    // independent; q43 carries the full-corpus closure timing) ---
+    "q198_dedup_keep_best" -> ((s, d) =>
+      graft.text.Dedup.dedupCorpusKeepBest(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 0))),
+    // --- leakage-free cluster split [ext]: near-dup clusters (not docs)
+    // hash to train/val/test via the md5-nibble policy, so no exact/near
+    // duplicate pair ever straddles a split boundary. ODD half-slice
+    // (complementing q198's even one) ---
+    "q199_cluster_split" -> ((s, d) =>
+      graft.text.Dedup.clusterSplit(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 1))),
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -3106,5 +3130,86 @@ object SparkEntry {
         "WHERE n_tokens >= 1) " +
         "SELECT doc_id, n_tokens, chunk_idx, " +
         "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
-        "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"))
+        "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // span-dedup replay: rolling 10-token windows with start positions,
+    // df census over the window STRINGS (Spark groups their xxhash64 — the
+    // gram-join contract: counts agree), non-keeper covered positions,
+    // order-preserving reassembly of the survivors
+    "q197_span_dedup" ->
+      (s"WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "w AS (SELECT doc_id, unnest(range(len(toks) - 9)) AS pos, toks FROM t WHERE len(toks) >= 10), " +
+        "wg AS (SELECT doc_id, pos, array_to_string(toks[pos+1:pos+10], ' ') AS g FROM w), " +
+        "dfc AS (SELECT g, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper FROM wg GROUP BY 1), " +
+        "dupw AS (SELECT wg.doc_id, wg.pos FROM wg JOIN dfc USING (g) " +
+        "WHERE dfc.df >= 2 AND wg.doc_id <> dfc.keeper), " +
+        "cov AS (SELECT DISTINCT doc_id, i FROM " +
+        "(SELECT doc_id, unnest(range(pos, pos + 10)) AS i FROM dupw)), " +
+        "tp AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM t), " +
+        "tpi AS (SELECT doc_id, i, toks[i+1] AS tok FROM tp), " +
+        "keep AS (SELECT tpi.doc_id, tpi.i, tpi.tok FROM tpi " +
+        "LEFT JOIN cov ON tpi.doc_id = cov.doc_id AND tpi.i = cov.i WHERE cov.i IS NULL), " +
+        "clean AS (SELECT doc_id, array_to_string(array_agg(tok ORDER BY i), ' ') AS clean_text " +
+        "FROM keep GROUP BY 1), " +
+        "ndw AS (SELECT doc_id, count(*) AS ndw FROM dupw GROUP BY 1), " +
+        "ncv AS (SELECT doc_id, count(*) AS ncv FROM cov GROUP BY 1) " +
+        "SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(ndw, 0) AS BIGINT) AS n_dup_windows, " +
+        "CAST(coalesce(ncv, 0) AS BIGINT) AS n_removed_tokens, " +
+        "coalesce(clean_text, '') AS clean_text " +
+        "FROM t LEFT JOIN ndw USING (doc_id) LEFT JOIN ncv USING (doc_id) " +
+        "LEFT JOIN clean USING (doc_id)"),
+    // keep-best dedup replay: q43's exact-dedup + closure over the even
+    // half-slice, component id = min over reachability, then the integer
+    // (passes DESC, n_tokens DESC, doc_id) argmax per component
+    "q198_dedup_keep_best" ->
+      ("WITH RECURSIVE nrm AS (SELECT doc_id, " + normSql +
+        " AS norm FROM documents WHERE doc_id % 2 = 0), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
+        shingleCtes("(SELECT d.doc_id, d.text FROM documents d JOIN k USING (doc_id))") +
+        s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n AS doc_id, min(m) AS mn FROM r GROUP BY n), " +
+        "comp AS (SELECT k.doc_id, least(k.doc_id, coalesce(mn, k.doc_id)) AS cluster_id " +
+        "FROM k LEFT JOIN compmap USING (doc_id)), " +
+        "feats AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2 " +
+        "THEN 1 ELSE 0 END AS passes FROM t), " +
+        "ranked AS (SELECT comp.doc_id, cluster_id, " +
+        "row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY passes DESC, n_tokens DESC, comp.doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
+        "FROM comp JOIN feats USING (doc_id)) " +
+        "SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size " +
+        "FROM ranked WHERE rn = 1"),
+    // cluster-split replay: every doc -> its exact-dedup keeper -> the
+    // keeper's closure component -> the md5-first-nibble split of the
+    // CLUSTER id ('0' val, '1' test, else train)
+    "q199_cluster_split" ->
+      ("WITH RECURSIVE nrm AS (SELECT doc_id, " + normSql +
+        " AS norm FROM documents WHERE doc_id % 2 = 1), " +
+        "k2 AS (SELECT norm, min(doc_id) AS keeper FROM nrm GROUP BY norm), " +
+        "k AS (SELECT keeper AS doc_id FROM k2), " +
+        shingleCtes("(SELECT d.doc_id, d.text FROM documents d JOIN k USING (doc_id))") +
+        s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n AS kdoc, min(m) AS mn FROM r GROUP BY n), " +
+        "comp AS (SELECT k.doc_id AS keeper, least(k.doc_id, coalesce(mn, k.doc_id)) AS cluster_id " +
+        "FROM k LEFT JOIN compmap ON k.doc_id = compmap.kdoc), " +
+        "dm AS (SELECT nrm.doc_id, k2.keeper FROM nrm JOIN k2 USING (norm)) " +
+        "SELECT dm.doc_id, comp.cluster_id, " +
+        "CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '0' THEN 'val' " +
+        "WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '1' THEN 'test' " +
+        "ELSE 'train' END AS split " +
+        "FROM dm JOIN comp USING (keeper)"))
 }

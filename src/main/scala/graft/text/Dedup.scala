@@ -616,4 +616,159 @@ object Dedup {
         coalesce(sum("n"), lit(0L)).as("n_docs_in_groups"),
         coalesce(max("n"), lit(0L)).as("max_group"))
   }
+
+  /** SPAN-level deduplication: remove token spans duplicated ACROSS
+    * documents while keeping one canonical copy — the substring-dedup
+    * deliverable of "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499), whose suffix-array construction is
+    * inherently sequential, re-expressed as a distributed rolling-window
+    * census. Doc-level dedup (exact / MinHash / containment) misses the
+    * common case of a long quoted passage, license header, or templated
+    * block repeated inside otherwise-distinct documents; this operator
+    * targets exactly that.
+    *
+    * Mechanics: slide a `window`-token window (stride 1) over every
+    * document's normalized tokens; a window is DUPLICATED when at least
+    * `minDocs` DISTINCT documents contain it (intra-document repeats alone
+    * do not qualify — that is [[graft.text.TextStats]]'s repetition-ratio
+    * territory). Keep-one-copy policy: per duplicated window, the document
+    * with the SMALLEST doc_id containing it is the keeper; every other
+    * document removes the token positions covered by the union of its
+    * non-keeper duplicated windows and reassembles the survivors in order.
+    * Overlapping windows merge naturally through the position-set union, so
+    * a duplicated passage of any length L >= window is removed wholesale
+    * (its L - window + 1 constituent windows all qualify).
+    *
+    * Scale shape: one token pass emits ~n_tokens windows per doc, each
+    * hashed to a 64-bit key ([[crossSplitContamination]]'s trick — the df
+    * census shuffles 8-byte longs, never window strings; collisions ~2^-64
+    * per pair can only ever merge two windows, same contract as the gram
+    * joins). Everything downstream is linear joins/aggregations on
+    * (doc_id, position) — no self-join, no all-pairs stage, no driver
+    * state; the census is the same shape as the corpus-novelty gram pass.
+    * Returns one row per input document: (doc_id, n_tokens, n_dup_windows,
+    * n_removed_tokens, clean_text) — clean_text is the normalized
+    * reassembly (the normalize-then-split round trip is the same canonical
+    * form every other text operator works in). */
+  def spanDedup(docs: DataFrame, window: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(window >= 2, "a duplicated span needs window >= 2 tokens")
+    require(minDocs >= 2, "cross-document duplication needs minDocs >= 2")
+    val t = docs.select(col("doc_id"),
+      TextStats.tokens(TextStats.normalize(col("text"))).as("toks"))
+    // windows with their start position; docs shorter than `window` emit none
+    // (filter BEFORE sequence: Spark's sequence(0, -k) counts DOWN, it does
+    // not return empty)
+    val w = t.filter(size(col("toks")) >= window)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - window)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(window)))).as("h"))
+    val census = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= minDocs)
+    val dupw = w.join(census, Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id", "pos")
+    val cov = dupw
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (window - 1))).as("i"))
+      .distinct()
+    val tp = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+    val clean = tp.join(cov, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("tok")))), x => x("tok")), " ")
+        .as("clean_text"))
+    val nDup = dupw.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    val nCov = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed_tokens"))
+    t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(nDup, Seq("doc_id"), "left")
+      .join(nCov, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** [[dedupCorpusShingle]] with a QUALITY-AWARE canonical: instead of
+    * keeping the min-doc_id per near-dup cluster, keep the member a
+    * curation pipeline actually wants — ordered by (passes_filter DESC,
+    * n_tokens DESC, doc_id ASC), i.e. prefer a doc that clears the basic
+    * quality gate, then the longest, then the smallest id. The ordering key
+    * is INTEGER-valued on purpose: a float composite score would make the
+    * argmax engine-sensitive at ties; long comparisons replay exactly
+    * everywhere. (The exact-dup stage needs no such policy — docs with
+    * identical normalized text have identical token stats, so min doc_id
+    * IS the quality argmax there.)
+    *
+    * Same scale shape as [[dedupCorpusShingle]]: banded LSH candidates +
+    * exact shingle verify, min-label-propagation components, then ONE
+    * row_number window partitioned by cluster — no new shuffle beyond the
+    * feature join. Returns the kept docs as (doc_id, cluster_id,
+    * cluster_size); singletons keep themselves with cluster_size 1. */
+  def dedupCorpusKeepBest(docs: DataFrame, threshold: Double = 0.8,
+                          numPerms: Int = 128, bands: Int = 32,
+                          shingleSize: Int = 3): DataFrame = {
+    val exact = dropExactDups(docs)
+    val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)
+    val clusters = clusterPairs(pairs)
+    val toks = TextStats.tokens(TextStats.normalize(col("text")))
+    val feats = exact.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      when(size(toks) >= 20 &&
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double") >= 0.2,
+        lit(1L)).otherwise(lit(0L)).as("passes"))
+    val member = feats.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_tokens"), col("passes"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    member
+      .withColumn("rn", row_number().over(win.orderBy(
+        col("passes").desc, col("n_tokens").desc, col("doc_id"))))
+      .withColumn("cluster_size", count(lit(1)).over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Leakage-free train/val/test split: assign whole NEAR-DUP CLUSTERS to
+    * splits, never individual documents — the split hygiene a training
+    * pipeline needs so that a val/test document's near-duplicate cannot sit
+    * in train (hash-splitting doc_ids, the naive approach, leaks exactly
+    * this way; arXiv:2107.06499 §6.2 measures the effect). Every input doc
+    * maps to its exact-dedup keeper (min doc_id per normalized text), the
+    * keepers form near-dup clusters via the shingle-verified pair closure,
+    * and the CLUSTER id is hashed to a split with the deterministic
+    * md5-first-nibble policy ([[crossSplitContamination]]'s sampler): nibble
+    * in `valNibbles` -> "val", in `testNibbles` -> "test", else "train"
+    * (defaults: 1/16 val, 1/16 test, 14/16 train). By construction an
+    * exact- or near-dup pair always shares a cluster_id, hence a split.
+    *
+    * Scale shape: the pair/closure machinery of [[dedupCorpusShingle]] plus
+    * two broadcast-sized maps (norm -> keeper rides the existing exact-dup
+    * shuffle; keeper -> cluster is the component output); the split itself
+    * is a pure map expression. One row per INPUT doc: (doc_id, cluster_id,
+    * split). */
+  def clusterSplit(docs: DataFrame, threshold: Double = 0.8,
+                   numPerms: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+                   valNibbles: Seq[String] = Seq("0"),
+                   testNibbles: Seq[String] = Seq("1")): DataFrame = {
+    require(valNibbles.intersect(testNibbles).isEmpty,
+      "a nibble cannot map to both val and test")
+    require((valNibbles ++ testNibbles).forall(n => n.length == 1),
+      "split nibbles must be single hex characters")
+    val nrm = docs.select(col("doc_id"), TextStats.normalize(col("text")).as("norm"))
+    val keepers = nrm.groupBy("norm").agg(min(col("doc_id")).as("keeper"))
+    val docmap = nrm.join(keepers, Seq("norm")).select(col("doc_id"), col("keeper"))
+    val exact = dropExactDups(docs)
+    val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)
+    val clusters = clusterPairs(pairs)
+      .withColumnRenamed("doc_id", "keeper")
+    val nib = substring(md5(col("cluster_id").cast("string")), 1, 1)
+    docmap.join(clusters, Seq("keeper"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("keeper")).as("cluster_id"))
+      .withColumn("split",
+        when(nib.isin(valNibbles.map(_.asInstanceOf[Any]): _*), lit("val"))
+          .when(nib.isin(testNibbles.map(_.asInstanceOf[Any]): _*), lit("test"))
+          .otherwise(lit("train")))
+  }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Dedup
+
+/** Specs for the round-9 curation additions: span-level dedup (duplicated
+  * cross-document token windows removed, one keeper copy retained),
+  * quality-aware canonical selection per near-dup cluster, and the
+  * leakage-free cluster-aware train/val/test split. */
+class SpanSplitSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------- spanDedup
+
+  private def spanRows(out: org.apache.spark.sql.DataFrame) = out.collect()
+    .map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+        r.getAs[Long]("n_removed_tokens"), r.getAs[String]("clean_text"))))
+    .toMap
+
+  test("spanDedup removes a duplicated span from every doc but the min-id keeper") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = df(Seq(
+      Doc(1, s"$span alpha beta gamma delta", "en", "s", 0),
+      Doc(2, s"intro words here $span", "en", "s", 0),
+      Doc(3, "totally unrelated text with enough words", "en", "s", 0)))
+    val out = spanRows(Dedup.spanDedup(docs, window = 10, minDocs = 2))
+    // doc 1 is the keeper: nothing removed
+    assert(out(1L) === ((14L, 0L, 0L, s"$span alpha beta gamma delta")))
+    // doc 2 loses exactly the 10 span tokens; its own intro survives
+    assert(out(2L)._3 === 10L)
+    assert(out(2L)._4 === "intro words here")
+    // doc 3 untouched
+    assert(out(3L) === ((6L, 0L, 0L, "totally unrelated text with enough words")))
+  }
+
+  test("spanDedup merges overlapping duplicated windows into one removed passage") {
+    // a shared 12-token passage = three 10-token windows; the union of
+    // their covered positions is the whole 12-token passage, not 30
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = df(Seq(
+      Doc(1, s"$passage tail one", "en", "s", 0),
+      Doc(2, s"other opening here $passage", "en", "s", 0)))
+    val out = spanRows(Dedup.spanDedup(docs, window = 10, minDocs = 2))
+    assert(out(2L)._2 === 3L) // three qualifying windows
+    assert(out(2L)._3 === 12L) // but only 12 tokens removed
+    assert(out(2L)._4 === "other opening here")
+  }
+
+  test("spanDedup ignores spans repeated only WITHIN one document") {
+    val span = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = df(Seq(
+      Doc(1, s"$span and again $span", "en", "s", 0),
+      Doc(2, "nothing shared with the first document at all", "en", "s", 0)))
+    val out = spanRows(Dedup.spanDedup(docs, window = 10, minDocs = 2))
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._3 === 0L)
+  }
+
+  test("spanDedup preserves total token accounting on the testdata") {
+    val docs = graft.tables.Tables.load(spark, sf, "documents")
+    val out = Dedup.spanDedup(docs, window = 10, minDocs = 2)
+    // clean token count + removed count == original count, per doc
+    val bad = out.filter(
+      size(graft.text.TextStats.tokens(col("clean_text"))).cast("long")
+        + col("n_removed_tokens") =!= col("n_tokens")).count()
+    assert(bad === 0L)
+    assert(out.count() === docs.count())
+  }
+
+  // --------------------------------------------------- dedupCorpusKeepBest
+
+  test("dedupCorpusKeepBest keeps the longest passing member, not the min id") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = df(Seq(
+      Doc(11, base, "en", "s", 0), // min id, 20 tokens
+      Doc(12, s"$base extra", "en", "s", 0), // near-dup (J = 18/20), 21 tokens
+      Doc(30, "a lone singleton document with its own words here now yes", "en", "s", 0)))
+    val out = Dedup.dedupCorpusKeepBest(docs)
+    val kept = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"))).toSet
+    // the 21-token member wins its 2-doc cluster despite the larger id;
+    // the singleton keeps itself with cluster_size 1
+    assert(kept === Set((12L, 11L, 2L), (30L, 30L, 1L)))
+  }
+
+  test("dedupCorpusKeepBest falls back to min id on full ties (exact-dup groups)") {
+    val a = (1 to 25).map(i => s"t$i").mkString(" ")
+    val docs = df(Seq(
+      Doc(5, a, "en", "s", 0),
+      Doc(6, a, "en", "s", 0))) // exact dup: identical stats, tie -> min id
+    val kept = Dedup.dedupCorpusKeepBest(docs).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet === Set(5L))
+  }
+
+  test("dedupCorpusKeepBest keeps one doc per cluster on the testdata") {
+    val docs = graft.tables.Tables.load(spark, sf, "documents")
+    val out = Dedup.dedupCorpusKeepBest(docs)
+    // one row per cluster_id, and never more docs than dedupCorpusShingle
+    // keeps (same clusters, same one-per-cluster policy)
+    assert(out.groupBy("cluster_id").count().filter(col("count") > 1).count() === 0L)
+    assert(out.count() === Dedup.dedupCorpusShingle(docs).count())
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  // --------------------------------------------------------- clusterSplit
+
+  test("clusterSplit never lets an exact or near dup straddle a split") {
+    val base = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = df(Seq(
+      Doc(21, base, "en", "s", 0),
+      Doc(22, base, "en", "s", 0), // exact dup of 21
+      Doc(23, s"$base more", "en", "s", 0), // near dup of 21
+      Doc(24, "entirely different content lives in this one document", "en", "s", 0)))
+    val out = Dedup.clusterSplit(docs)
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("cluster_id"), r.getAs[String]("split")))
+    assert(rows.length === 4)
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    // all three dups share one cluster AND one split
+    assert(byDoc(21L)._2 === 21L && byDoc(22L)._2 === 21L && byDoc(23L)._2 === 21L)
+    assert(Set(byDoc(21L)._3, byDoc(22L)._3, byDoc(23L)._3).size === 1)
+  }
+
+  test("clusterSplit covers every input doc exactly once with a valid split, deterministically") {
+    val docs = graft.tables.Tables.load(spark, sf, "documents")
+    val run1 = Dedup.clusterSplit(docs)
+    assert(run1.count() === docs.count())
+    assert(run1.select("doc_id").distinct().count() === docs.count())
+    assert(run1.filter(!col("split").isin("train", "val", "test")).count() === 0L)
+    // one split per cluster — the leakage-free guarantee, corpus-wide
+    assert(run1.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() === 0L)
+    val run2 = Dedup.clusterSplit(docs)
+    assert(run1.exceptAll(run2).count() === 0L)
+    assert(run2.exceptAll(run1).count() === 0L)
+    graft.ops.Caching.releaseAll(spark)
+  }
+}
