@@ -1196,6 +1196,31 @@ object SparkEntry {
     "q199_cluster_split" -> ((s, d) =>
       graft.text.Dedup.clusterSplit(
         t(s, d, "documents").filter(col("doc_id") % 2 === 1))),
+    // --- CCNet LM quality scoring [ext]: Stupid-Backoff bigram LM trained
+    // on the trusted (en) slice, every other doc scored by exact-micronat
+    // avg negative log-likelihood (arXiv:1911.00359's perplexity filter;
+    // one tokenize pass, count-table equi-joins on 64-bit keys) ---
+    "q200_lm_perplexity" -> ((s, d) =>
+      graft.text.LangModel.lmScore(t(s, d, "documents"), col("lang") === "en")),
+    // --- CCNet head/middle/tail split [ext]: the scored pool ranked via
+    // globalPrefixSums range buckets (no data-sized global window), exact
+    // integer per-mille cutoffs ---
+    "q201_lm_buckets" -> ((s, d) =>
+      graft.text.LangModel.perplexityBuckets(t(s, d, "documents"),
+        col("lang") === "en")),
+    // --- token-budget epoch allocation [ext]: exact waterfilling of a
+    // 49k-token budget across sources with a 2-epoch repetition cap
+    // (arXiv:2305.16264's repeat-up-to-a-cap schedule); at sf0.01 the
+    // level caps 2 sources and waterfills 18 — both branches live ---
+    "q202_token_budget" -> ((s, d) =>
+      graft.text.TextFeatures.tokenBudgetAllocation(t(s, d, "documents"),
+        budgetTokens = 49000L, maxEpochs = 2.0)),
+    // --- per-source quality selection [ext]: keep the top 30% of EVERY
+    // source by (distinct-token ratio, length) — the per-domain form of
+    // DataComp-style filtering; one window partitioned by source ---
+    "q203_top_quality_per_source" -> ((s, d) =>
+      graft.text.TextFeatures.topQualityPerSource(t(s, d, "documents"),
+        keepPermille = 300)),
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -3211,5 +3236,85 @@ object SparkEntry {
         "CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '0' THEN 'val' " +
         "WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '1' THEN 'test' " +
         "ELSE 'train' END AS split " +
-        "FROM dm JOIN comp USING (keeper)"))
+        "FROM dm JOIN comp USING (keeper)"),
+    // CCNet LM replay: train-slice bigram/unigram count tables, per-event
+    // micronat log-probs (Stupid Backoff: bigram, else smoothed unigram,
+    // else the unknown default off the 1-row totals), exact long sums
+    "q200_lm_perplexity" ->
+      (s"WITH $lmScoreCtes " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(-sum(lp) AS BIGINT) AS nll_micronats, " +
+        "CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT) " +
+        "AS avg_nll_micronats FROM sc GROUP BY doc_id"),
+    // head/middle/tail replay: q200's scores, global (avg_nll, doc_id) rank,
+    // exact per-mille cutoffs ceil(n*p/1000) = floor((n*p+999)/1000)
+    "q201_lm_buckets" ->
+      (s"WITH $lmScoreCtes, " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT) " +
+        "AS avg_nll_micronats FROM sc GROUP BY doc_id), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY avg_nll_micronats, doc_id) AS rnk, " +
+        "count(*) OVER () AS n FROM agg) " +
+        "SELECT doc_id, n_bigrams, avg_nll_micronats, CAST(rnk AS BIGINT) AS rank, " +
+        "CASE WHEN rnk <= floor((n * 300 + 999) / 1000) THEN 'head' " +
+        "WHEN rnk > n - floor((n * 300 + 999) / 1000) THEN 'tail' " +
+        "ELSE 'middle' END AS bucket FROM r"),
+    // waterfilling replay: per-source caps sorted ascending, theta = MAX
+    // over feasible rows of (budget - caps below) / rows remaining, alloc =
+    // min(cap, floor(theta)); null theta = budget unreachable, allocate caps
+    "q202_token_budget" ->
+      (s"WITH t AS (SELECT source, len($toksSql) AS n FROM documents), " +
+        "ps AS (SELECT source, CAST(sum(n) AS BIGINT) AS t_tokens, " +
+        "CAST(floor(CAST(sum(n) AS DOUBLE) * 2.0) AS BIGINT) AS cap_tokens " +
+        "FROM t GROUP BY 1), " +
+        "rk AS (SELECT *, coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_excl, " +
+        "count(*) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining FROM ps), " +
+        "th AS (SELECT max(CASE WHEN prefix_excl + remaining * cap_tokens >= 49000 " +
+        "THEN CAST(49000 - prefix_excl AS DOUBLE) / CAST(remaining AS DOUBLE) END) " +
+        "AS theta FROM rk), " +
+        "al AS (SELECT source, t_tokens, cap_tokens, " +
+        "least(cap_tokens, CAST(floor(coalesce(theta, CAST(cap_tokens AS DOUBLE))) " +
+        "AS BIGINT)) AS alloc_tokens, theta IS NOT NULL AS budget_met " +
+        "FROM rk CROSS JOIN th) " +
+        "SELECT source, t_tokens, cap_tokens, alloc_tokens, budget_met, " +
+        "CAST(floor(CAST(alloc_tokens AS DOUBLE) * 1000000 / " +
+        "CAST(t_tokens AS DOUBLE) + 0.5) AS BIGINT) AS epochs_micro FROM al"),
+    // per-source top-30% replay: micronat distinct ratio, (ratio, length,
+    // id) rank inside each source, ceil cutoff in integers
+    "q203_top_quality_per_source" ->
+      (s"WITH f AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) * 1000000 / " +
+        "CAST(len(toks) AS DOUBLE) + 0.5) AS BIGINT) AS distinct_micro " +
+        s"FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source " +
+        "ORDER BY distinct_micro DESC, n_tokens DESC, doc_id) AS rnk, " +
+        "count(*) OVER (PARTITION BY source) AS n_src FROM f) " +
+        "SELECT doc_id, source, n_tokens, distinct_micro, CAST(rnk AS BIGINT) AS rnk " +
+        "FROM r WHERE rnk * 1000 <= n_src * 300 + 999"))
+
+  /** DuckDB CTE chain replaying [[graft.text.LangModel.lmScore]] over the
+    * en-trained bigram LM: ends at `sc` = (doc_id, lp) per scored bigram
+    * event, lp in integer micronats. */
+  private val lmScoreCtes =
+    s"t AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks FROM documents), " +
+      "p AS (SELECT doc_id, is_t, unnest(range(len(toks) - 1)) AS i, toks " +
+      "FROM t WHERE len(toks) >= 2), " +
+      "b AS (SELECT doc_id, is_t, " +
+      "CAST(('0x' || substr(md5(toks[i + 1]), 1, 15)) AS BIGINT) AS w1h, " +
+      "CAST(('0x' || substr(md5(toks[i + 2]), 1, 15)) AS BIGINT) AS w2h FROM p), " +
+      "c2 AS (SELECT w1h, w2h, count(*) AS c2 FROM b WHERE is_t GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1h, count(*) AS c1 FROM b WHERE is_t GROUP BY 1), " +
+      "m2 AS (SELECT w1h, w2h, CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
+      "* 1000000 + 0.5) AS BIGINT) AS lp2 FROM c2 JOIN c1 USING (w1h)), " +
+      "cu AS (SELECT w2h AS wh, count(*) AS cu FROM b WHERE is_t GROUP BY 1), " +
+      "tot AS (SELECT sum(cu) AS nn, count(*) AS vv FROM cu), " +
+      "uni AS (SELECT wh, CAST(floor(ln(0.4 * CAST(cu + 1 AS DOUBLE) / " +
+      "CAST(nn + vv AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp_bo " +
+      "FROM cu CROSS JOIN tot), " +
+      "sc AS (SELECT doc_id, coalesce(lp2, lp_bo, " +
+      "CAST(floor(ln(0.4 / CAST(nn + vv AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS lp " +
+      "FROM b LEFT JOIN m2 USING (w1h, w2h) LEFT JOIN uni ON b.w2h = uni.wh " +
+      "CROSS JOIN tot WHERE NOT is_t)"
 }

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style word-level language-model quality scoring (Wenzek et al.,
+  * arXiv:1911.00359): train an n-gram LM on a trusted in-domain slice
+  * (CCNet uses Wikipedia; here any `isTrain` predicate over the corpus),
+  * score every OTHER document by its average negative log-likelihood under
+  * that model, and split the scored pool into head / middle / tail quality
+  * tiers — the classic "keep the fluent third" pre-training filter.
+  *
+  * The model is a Stupid-Backoff bigram LM (Brants et al. 2007, "Large
+  * Language Models in Machine Translation"): no normalization pass, just
+  *   S(w2|w1) = c(w1 w2) / c(w1)                  when the bigram was seen,
+  *            = 0.4 * (c(w2)+1) / (N+V)           backoff to the smoothed
+  *                                                unigram otherwise,
+  * which is exactly the score family built for corpus-scale counting —
+  * the model IS two count tables, trainable in one aggregation pass.
+  *
+  * Engine-portable and EXACT (the q165/q190 integer discipline): every
+  * log-probability is quantized ONCE to integer micronats (ln formed on
+  * identical IEEE doubles in any engine, products formed in doubles so
+  * trillion-token counts cannot wrap int64), and a document's score is then
+  * an exact long SUM of micronats — order-independent, hash-replayable in
+  * SQL. Tokens are keyed by the md5-based [[Dedup.portableTokenHash]] so
+  * the count tables join on 64-bit longs, not strings, on any engine.
+  *
+  * Scale shape: ONE tokenize pass over the corpus (persisted, Caching
+  * contract — release with [[graft.ops.Caching.release]] on the returned
+  * frame); the bigram/unigram model tables are bounded by the TRAIN slice's
+  * vocabulary and join the scoring stream as ordinary shuffled equi-joins
+  * on 64-bit keys (nothing document-sized is broadcast); the only 1-row
+  * scalar (N, V totals) rides a broadcast cross join, the q163/q190
+  * pattern.
+  */
+object LangModel {
+
+  /** Stupid-Backoff discount (Brants et al. 2007 §5.1's alpha). */
+  private val Alpha = 0.4
+
+  private def micronats(x: Column): Column =
+    floor(log(x) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Score every non-train document under the bigram LM trained on the
+    * `isTrain` slice. Returns one row per scored document that has at least
+    * one bigram (docs with <2 tokens have no bigram events and drop out):
+    * (doc_id, n_bigrams, nll_micronats, avg_nll_micronats) where
+    * nll_micronats = −Σ log-prob in integer micronats (exact long sum) and
+    * avg_nll_micronats = round(nll/n) (one double division on exactly
+    * representable longs — identical in any IEEE engine). Lower = more
+    * fluent under the trusted slice's language model. */
+  def lmScore(docs: DataFrame, isTrain: Column): DataFrame = {
+    val toks = TextStats.tokens(TextStats.normalize(col("text")))
+    // one tokenize pass: per-doc adjacent (w1, w2) pairs via zip_with over
+    // two slices of the SAME materialized token array (no join, no UDF)
+    val paired = docs
+      .select(col("doc_id"), isTrain.as("is_train"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_train"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("is_train"),
+        Dedup.portableTokenHash(col("bg.w1")).as("w1h"),
+        Dedup.portableTokenHash(col("bg.w2")).as("w2h"))
+      .persist()
+
+    val train = paired.filter(col("is_train"))
+    // bigram counts c(w1 w2) and LEFT-context counts c(w1) from the same
+    // bigram stream (so the conditional S(w2|w1) = c2/c1 is a true
+    // probability over observed contexts; the final token of each doc never
+    // opens a context, matching the event stream being scored)
+    val c2 = train.groupBy("w1h", "w2h").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1h").agg(count(lit(1)).as("c1"))
+    val model2 = c2.join(c1, "w1h")
+      .select(col("w1h"), col("w2h"),
+        micronats(col("c2").cast("double") / col("c1").cast("double")).as("lp2"))
+    // unigram backoff over RIGHT tokens (the predicted position), Laplace-
+    // smoothed so unseen words keep a finite score; totals are the 1-row
+    // scalar that also carries the unknown-token default
+    val cu = train.groupBy(col("w2h").as("wh")).agg(count(lit(1)).as("cu"))
+    val tot = cu.agg(sum("cu").as("nn"), count(lit(1)).as("vv"))
+    val uni = cu.crossJoin(broadcast(tot))
+      .select(col("wh"),
+        micronats(lit(Alpha) * (col("cu") + lit(1L)).cast("double") /
+          (col("nn") + col("vv")).cast("double")).as("lp1"))
+
+    val scored = paired.filter(!col("is_train"))
+      .join(model2, Seq("w1h", "w2h"), "left")
+      .join(uni.withColumnRenamed("wh", "w2h").withColumnRenamed("lp1", "lp_bo"),
+        Seq("w2h"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("lp2"), col("lp_bo"),
+          micronats(lit(Alpha) / (col("nn") + col("vv")).cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_micronats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micronats"),
+        floor(col("nll_micronats").cast("double") /
+          col("n_bigrams").cast("double") + lit(0.5)).cast("long")
+          .as("avg_nll_micronats"))
+    scored
+  }
+
+  /** CCNet's head/middle/tail split composed on [[lmScore]]: rank the
+    * scored pool by (avg_nll_micronats, doc_id) ascending — most fluent
+    * first — and label the first ceil(headPermille/1000 · n) docs "head",
+    * the last ceil(tailPermille/1000 · n) "tail", the rest "middle".
+    * Fractions are integer per-mille so the cutoffs are exact long
+    * arithmetic (ceil(n·p/1000) = (n·p + 999) div 1000), replayable in SQL.
+    *
+    * Scale shape: the global rank comes from
+    * [[graft.ops.Analytics.globalPrefixSums]] over avg-nll range buckets
+    * (`bucketMicronats` wide), NOT a single-partition global window — the
+    * only unpartitioned window runs over one row per occupied bucket. */
+  def perplexityBuckets(docs: DataFrame, isTrain: Column,
+      headPermille: Int = 300, tailPermille: Int = 300,
+      bucketMicronats: Long = 100000L): DataFrame = {
+    val scored = lmScore(docs, isTrain)
+    val ranked = graft.ops.Analytics.globalPrefixSums(
+      scored,
+      floor(col("avg_nll_micronats").cast("double") / lit(bucketMicronats.toDouble))
+        .cast("long"),
+      Seq(col("avg_nll_micronats"), col("doc_id")),
+      Seq("one" -> lit(1L)))
+    val n = col("total_one")
+    val headN = floor((n * lit(headPermille.toLong) + lit(999L)) / lit(1000L))
+      .cast("long")
+    val tailN = floor((n * lit(tailPermille.toLong) + lit(999L)) / lit(1000L))
+      .cast("long")
+    val out = ranked.select(col("doc_id"), col("n_bigrams"),
+      col("avg_nll_micronats"), col("cum_one").as("rank"),
+      when(col("cum_one") <= headN, lit("head"))
+        .when(col("cum_one") > n - tailN, lit("tail"))
+        .otherwise(lit("middle")).as("bucket"))
+    out
+  }
+}

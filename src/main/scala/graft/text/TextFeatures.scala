@@ -283,6 +283,93 @@ object TextFeatures {
         col("g_micronats"), col("score_micronats"))
   }
 
+  /** Token-budget epoch allocation by exact waterfilling: given a total
+    * training budget of `budgetTokens` and a repetition cap of `maxEpochs`
+    * passes over any one source, find the unique water level θ with
+    * Σ_s min(cap_s, θ) = budget (cap_s = maxEpochs · tokens_s) and allocate
+    * alloc_s = min(cap_s, θ) tokens to each source — the standard "spread
+    * the budget as evenly as sources allow" mixture schedule (the epoching
+    * rule studied in arXiv:2305.16264, "Scaling Data-Constrained Language
+    * Models": repeat small sources up to a cap, never beyond).
+    *
+    * Exact and engine-portable: sources sort by integer cap; θ comes from
+    * the first row whose cap could hold the water level — algebraically,
+    * θ = MAX over feasible rows of (budget − Σ caps below) / #rows-at-or-
+    * above (one double division on exactly representable longs), a closed
+    * form with no iteration. Allocations floor to whole tokens; epochs are
+    * returned in integer micro-epochs. If even every cap summed cannot
+    * reach the budget (θ null), every source allocates its full cap and
+    * `budget_met` reports false.
+    *
+    * Scale shape: one tokenize pass map-side-combines to ONE ROW PER
+    * SOURCE; every window after that runs on the |sources| grain (bounded,
+    * PlanLint-whitelisted), so corpus size only affects the first pass. */
+  def tokenBudgetAllocation(docs: DataFrame, budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs
+      .select(col("source"),
+        size(TextStats.tokens(TextStats.normalize(col("text")))).cast("long")
+          .as("n_tokens"))
+      .groupBy("source").agg(sum("n_tokens").as("t_tokens"))
+      .withColumn("cap_tokens",
+        floor(col("t_tokens").cast("double") * lit(maxEpochs)).cast("long"))
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val ranked = perSource
+      .withColumn("prefix_excl",
+        coalesce(sum(col("cap_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("remaining",
+        count(lit(1)).over(w.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+    val theta = ranked
+      .agg(max(when(
+        col("prefix_excl") + col("remaining") * col("cap_tokens")
+          >= lit(budgetTokens),
+        (lit(budgetTokens) - col("prefix_excl")).cast("double") /
+          col("remaining").cast("double"))).as("theta"))
+    ranked.crossJoin(broadcast(theta))
+      .select(col("source"), col("t_tokens"), col("cap_tokens"),
+        least(col("cap_tokens"),
+          floor(coalesce(col("theta"),
+            col("cap_tokens").cast("double"))).cast("long"))
+          .as("alloc_tokens"),
+        col("theta").isNotNull.as("budget_met"))
+      .withColumn("epochs_micro",
+        floor(col("alloc_tokens").cast("double") * lit(1000000.0) /
+          col("t_tokens").cast("double") + lit(0.5)).cast("long"))
+  }
+
+  /** Per-source quality selection (the per-domain form of DataComp-style
+    * top-fraction filtering): rank each source's documents by a
+    * deterministic quality key — micronat-quantized distinct-token ratio,
+    * then token count, then doc_id — and keep the best
+    * ceil(keepPermille/1000 · n_source) documents of EVERY source, so no
+    * single domain's quality distribution starves another (the failure
+    * mode of a global cutoff). Integer per-mille cutoffs and integer
+    * ordering keys replay exactly on any engine.
+    *
+    * Scale shape: one map pass for the features, then a single window
+    * PARTITIONED BY source — shuffles each source's rows once, no global
+    * sort, no driver state. */
+  def topQualityPerSource(docs: DataFrame, keepPermille: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextStats.tokens(TextStats.normalize(col("text")))
+    val feats = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      floor(size(array_distinct(toks)).cast("double") * lit(1000000.0) /
+        size(toks).cast("double") + lit(0.5)).cast("long").as("distinct_micro"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("distinct_micro"), desc("n_tokens"), asc("doc_id"))
+    feats
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .where(col("rnk") * lit(1000L) <=
+        col("n_src") * lit(keepPermille.toLong) + lit(999L))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("distinct_micro"), col("rnk").cast("long").as("rnk"))
+  }
+
   def packingPlan(docs: DataFrame, capacity: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("source"),

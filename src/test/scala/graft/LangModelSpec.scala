@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{LangModel, TextFeatures}
+
+/** Specs for the CCNet LM quality scorer, the head/middle/tail split, the
+  * token-budget waterfilling allocation, and per-source quality selection. */
+class LangModelSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.tables.Tables.load(spark, sf, "documents")
+
+  // ---------------------------------------------------------------- lmScore
+
+  test("lmScore: a verbatim train copy scores more fluent than a shuffled one") {
+    import spark.implicits._
+    // train = two fluent docs; score one verbatim restatement (all bigrams
+    // seen) vs one with the same UNIGRAMS in scrambled order (every bigram
+    // backs off) — the LM must rank the in-domain doc far lower in nll
+    val d = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the mat", true),
+      (3L, "the cat sat on the mat", false),
+      (4L, "mat the on sat cat the", false))
+      .toDF("doc_id", "text", "is_train")
+    val s = LangModel.lmScore(d, col("is_train"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("avg_nll_micronats")).toMap
+    assert(s.keySet === Set(3L, 4L))
+    assert(s(3L) < s(4L))
+  }
+
+  test("lmScore: unseen words fall through to the unknown default, still finite") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "zz yy xx ww vv", false))
+      .toDF("doc_id", "text", "is_train")
+    val r = LangModel.lmScore(d, col("is_train")).collect()
+    assert(r.length === 1)
+    // 4 scoring events (5 tokens), every one the unknown default: the
+    // unigram model counts PREDICTED (w2) positions, so the train doc's 4
+    // tokens contribute N = 3 events over V = 3 distinct words, and the
+    // default is ln(0.4 / (N + V)) = ln(0.4 / 6) in micronats
+    val unk = math.floor(math.log(0.4 / 6.0) * 1e6 + 0.5).toLong
+    assert(r.head.getAs[Long]("n_bigrams") === 4L)
+    assert(r.head.getAs[Long]("nll_micronats") === -4L * unk)
+  }
+
+  test("lmScore: docs with fewer than two tokens drop out of the scored pool") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c", true), (2L, "one", false), (3L, "a b", false))
+      .toDF("doc_id", "text", "is_train")
+    val ids = LangModel.lmScore(d, col("is_train"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(3L))
+  }
+
+  // ---------------------------------------------------- perplexityBuckets
+
+  test("perplexityBuckets: exact per-mille tier sizes and rank-contiguous tiers") {
+    val b = LangModel.perplexityBuckets(docs, col("lang") === "en",
+      headPermille = 300, tailPermille = 300).persist()
+    val n = b.count()
+    val headN = (n * 300 + 999) / 1000
+    val byBucket = b.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket("head") === headN)
+    assert(byBucket("tail") === headN)
+    assert(byBucket("middle") === n - 2 * headN)
+    // tiers are contiguous in rank: max(head rank) < min(middle) <= max(middle) < min(tail)
+    val maxHead = b.filter(col("bucket") === "head").agg(max("rank")).head.getLong(0)
+    val minTail = b.filter(col("bucket") === "tail").agg(min("rank")).head.getLong(0)
+    assert(maxHead === headN)
+    assert(minTail === n - headN + 1)
+    b.unpersist()
+  }
+
+  // ------------------------------------------------- tokenBudgetAllocation
+
+  test("tokenBudgetAllocation: allocations waterfill exactly to the budget") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "small"),   // 10 tokens, cap 20
+      (2L, ("x " * 100).trim, "big"),                      // 100 tokens, cap 200
+      (3L, ("y " * 50).trim, "mid"))                       // 50 tokens, cap 100
+      .toDF("doc_id", "text", "source")
+    // budget 80 with caps (20, 100, 200): row1 infeasible (0+3*20=60 < 80),
+    // row2 feasible: theta = (80-20)/2 = 30 -> alloc (20, 30, 30)
+    val a = TextFeatures.tokenBudgetAllocation(d, budgetTokens = 80L, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("budget_met")))).toMap
+    assert(a("small") === ((20L, true)))
+    assert(a("mid") === ((30L, true)))
+    assert(a("big") === ((30L, true)))
+  }
+
+  test("tokenBudgetAllocation: unreachable budget allocates every cap, budget_met false") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d", "s1"), (2L, "e f g h i j", "s2"))
+      .toDF("doc_id", "text", "source")
+    val a = TextFeatures.tokenBudgetAllocation(d, budgetTokens = 1000L, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Long]("cap_tokens"),
+          r.getAs[Boolean]("budget_met")))).toMap
+    assert(a("s1") === ((8L, 8L, false)))
+    assert(a("s2") === ((12L, 12L, false)))
+  }
+
+  test("tokenBudgetAllocation: epochs never exceed the cap in micro-epochs") {
+    val a = TextFeatures.tokenBudgetAllocation(docs, budgetTokens = 4000L,
+      maxEpochs = 2.0)
+    val over = a.filter(col("epochs_micro") > lit(2000000L)).count()
+    assert(over === 0L)
+    // waterfill exactness: sum(alloc) within |sources| floor-loss of budget
+    val row = a.agg(sum("alloc_tokens").as("s"), count(lit(1)).as("k")).head
+    val (s, k) = (row.getLong(0), row.getLong(1))
+    assert(s <= 4000L && s >= 4000L - k)
+  }
+
+  // --------------------------------------------------- topQualityPerSource
+
+  test("topQualityPerSource: every source keeps exactly ceil(30%) of its docs") {
+    val perSrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextFeatures.topQualityPerSource(docs, keepPermille = 300)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === perSrc.keySet)
+    kept.foreach { case (src, n) =>
+      assert(n === (perSrc(src) * 300 + 999) / 1000, s"source $src")
+    }
+  }
+
+  test("topQualityPerSource: kept docs dominate dropped ones on the quality key") {
+    // within each source, the worst kept (distinct_micro, n_tokens, -doc_id)
+    // key must be >= the best dropped key — the selection is a true top-k
+    val all = TextFeatures.topQualityPerSource(docs, keepPermille = 1000)
+    val kept = TextFeatures.topQualityPerSource(docs, keepPermille = 300)
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val worstKept = kept.groupBy("source")
+      .agg(min(col("distinct_micro") * lit(1000000L) + col("n_tokens")).as("wk"))
+    val bestDropped = dropped.groupBy("source")
+      .agg(max(col("distinct_micro") * lit(1000000L) + col("n_tokens")).as("bd"))
+    val bad = worstKept.join(bestDropped, "source")
+      .filter(col("bd") > col("wk")).count()
+    assert(bad === 0L)
+  }
+}

@@ -62,7 +62,12 @@ class PlanLintSpec extends SparkSpec {
     "q193_dsir_resample",
     // semantic decontam scores train x broadcast(bench) — the bench side is
     // MBs at any corpus scale (q172's broadcast contract, q28's loop shape)
-    "q191_semantic_decontam")
+    "q191_semantic_decontam",
+    // LM scoring rides the 1-row (N, V) train-totals scalar into the
+    // unigram model and the unknown-token default (q190's pattern)
+    "q200_lm_perplexity", "q201_lm_buckets",
+    // waterfilling joins the 1-row theta water level into |sources| rows
+    "q202_token_budget")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -103,7 +108,11 @@ class PlanLintSpec extends SparkSpec {
     // groupMode under a constant group ranks the |status categories| counts
     "q92_freq_items_gate",
     // reporting summary ranks |market segments| rows (5-ish, bounded)
-    "q161_reporting_summary")
+    "q161_reporting_summary",
+    // globalPrefixSums bucket-offset chain: one row per avg-nll range bucket
+    "q201_lm_buckets",
+    // waterfilling windows run on the |sources| grain
+    "q202_token_budget")
 
   test("no query plans an unpartitioned window over data-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
