@@ -1221,6 +1221,14 @@ object SparkEntry {
     "q203_top_quality_per_source" -> ((s, d) =>
       graft.text.TextFeatures.topQualityPerSource(t(s, d, "documents"),
         keepPermille = 300)),
+    // --- cluster-balanced diversity selection [ext]: IVF cells, most-
+    // representative-first per cell, exact round-robin across cells — the
+    // diversity-sampling complement of prioritySample; portable
+    // 0-iteration init (q176/q194's contract) makes the whole chain
+    // replayable ---
+    "q204_diverse_subset" -> ((s, d) =>
+      graft.sim.Similarity.diverseSubset(t(s, d, "embeddings"), n = 100,
+        nLists = 8, iters = 0, portableInit = true)),
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -3292,7 +3300,25 @@ object SparkEntry {
         "ORDER BY distinct_micro DESC, n_tokens DESC, doc_id) AS rnk, " +
         "count(*) OVER (PARTITION BY source) AS n_src FROM f) " +
         "SELECT doc_id, source, n_tokens, distinct_micro, CAST(rnk AS BIGINT) AS rnk " +
-        "FROM r WHERE rnk * 1000 <= n_src * 300 + 999"))
+        "FROM r WHERE rnk * 1000 <= n_src * 300 + 999"),
+    // diversity-selection replay: portable 0-iter seeds (first 8 vectors in
+    // md5 order — q194's pattern), dot-identity assignment with (d, cell)
+    // tie order, micro-quantized own-cell distance, per-cell
+    // representativeness rank, round-robin (rep_rank, cell, vec_id) top-100
+    "q204_diverse_subset" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell, CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dist_micro " +
+        "FROM (SELECT vec_id, cell, d, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY cell " +
+        "ORDER BY dist_micro, vec_id) AS rep_rank FROM asn) " +
+        "SELECT vec_id, cell, dist_micro, CAST(rep_rank AS BIGINT) AS rep_rank " +
+        "FROM r ORDER BY rep_rank, cell, vec_id LIMIT 100"))
 
   /** DuckDB CTE chain replaying [[graft.text.LangModel.lmScore]] over the
     * en-trained bigram LM: ends at `sc` = (doc_id, lp) per scored bigram

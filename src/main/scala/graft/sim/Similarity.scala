@@ -347,6 +347,48 @@ object Similarity {
       .select(col("anchor_id").as("vec_id"), col("neighbor_id"),
         col("cos_sim"), col("rn"))
 
+  /** CLUSTER-BALANCED DIVERSITY SELECTION: pick `n` vectors that SPREAD
+    * over the embedding space instead of clumping where the corpus is
+    * dense — the cluster-then-round-robin subset selection a curation
+    * pipeline reaches for when a uniform random sample would just mirror
+    * the majority mode. IVF-assign every vector, rank each cell's members
+    * by closeness to their centroid (most representative first), then take
+    * rows in (rep_rank, cell, vec_id) order: all the rank-1 cell
+    * representatives come before any rank-2 row, so with n >= #occupied
+    * cells EVERY occupied cell is represented, and per-cell counts never
+    * differ by more than one until a cell exhausts — exact round-robin by
+    * construction, not in expectation.
+    *
+    * Deterministic and oracle-replayable: distances use the shared
+    * ‖x‖²−2x·c+‖c‖² dot-identity spelling of [[nearestCell]] (the
+    * q176-proven portable form), quantized ONCE to integer micro units so
+    * the ordering key is a long; `portableInit` + iters=0 makes the whole
+    * chain (seed -> assign -> rank -> select) declarative in SQL.
+    *
+    * Scale shape: one codegen'd assignment pass (centroid literals, no
+    * join), one window PARTITIONED BY cell, and the final selection plans
+    * as TakeOrderedAndProject under the composite (rep_rank, cell, vec_id)
+    * key — no global sort materializes, nothing collects. */
+  def diverseSubset(corpus: DataFrame, n: Int, nLists: Int = 8,
+                    seed: Long = 42L, iters: Int = 8,
+                    maxTrainVectors: Int = 1 << 16,
+                    portableInit: Boolean = false): DataFrame = {
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = lloydFit(
+      trainSample(base, maxTrainVectors, seed, portableInit), nLists, iters)
+    val best = array_min(cellDistArr(col("vec"), cents))
+    val assigned = base.select(col("vec_id"),
+      best.getField("cell").as("cell"),
+      floor(best.getField("dist") * lit(1000000.0) + lit(0.5)).cast("long")
+        .as("dist_micro"))
+    val w = Window.partitionBy("cell").orderBy(col("dist_micro"), col("vec_id"))
+    assigned
+      .withColumn("rep_rank", row_number().over(w).cast("long"))
+      .orderBy(col("rep_rank"), col("cell"), col("vec_id"))
+      .limit(n)
+      .select(col("vec_id"), col("cell"), col("dist_micro"), col("rep_rank"))
+  }
+
   /** The shared candidate-scoring chain of [[knnGraph]]/[[hardNegatives]]:
     * IVF-assign the corpus, explode each anchor's `nProbe` ranked cells,
     * equi-join on the cell id (both sides data-sized, sort-merge), exact

@@ -157,4 +157,41 @@ class Round9OpsSpec extends SparkSpec {
     assert(run1.forall { case (_, w, g, s) => w + g === s })
     graft.ops.Caching.releaseAll(spark)
   }
+
+  // ----------------------------------------------------------- diverseSubset
+
+  test("diverseSubset: every occupied cell represented, counts round-robin balanced") {
+    val emb = graft.tables.Tables.load(spark, sf, "embeddings")
+    val full = Similarity.diverseSubset(emb, n = Int.MaxValue, nLists = 4,
+      iters = 2)
+    val cellTotals = full.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = 10
+    val sel = Similarity.diverseSubset(emb, n = n, nLists = 4, iters = 2)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sel.values.sum === n.toLong)
+    // n >= #occupied cells -> every occupied cell appears
+    assert(sel.keySet === cellTotals.keySet)
+    // exact round-robin: a cell's count may lag the max only if exhausted
+    val maxCount = sel.values.max
+    sel.foreach { case (cell, cnt) =>
+      assert(cnt >= maxCount - 1 || cnt === cellTotals(cell),
+        s"cell $cell: selected $cnt of ${cellTotals(cell)}, max $maxCount")
+    }
+  }
+
+  test("diverseSubset: rank-1 representatives are each cell's closest-to-centroid member") {
+    val emb = graft.tables.Tables.load(spark, sf, "embeddings")
+    val full = Similarity.diverseSubset(emb, n = Int.MaxValue, nLists = 4,
+      iters = 2).persist()
+    val minDist = full.groupBy("cell").agg(min("dist_micro").as("md"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rank1 = full.filter(col("rep_rank") === 1L).collect()
+    assert(rank1.map(_.getAs[Int]("cell")).toSet === minDist.keySet)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("dist_micro") === minDist(r.getAs[Int]("cell")))
+    }
+    full.unpersist()
+  }
 }
