@@ -1125,8 +1125,14 @@ object SparkEntry {
     // target slice (lang = en) vs the raw pool, per-doc log importance
     // weight as an exact micronat long sum — the published
     // target-distribution data-selection recipe, hash-replayable ---
+    // Runs on the EVEN half-slice: q193 composes the SAME weight pipeline
+    // over the full corpus (the selection contract needs the whole pool),
+    // so keeping q190 full-corpus paid the identical gram pass twice — the
+    // q182/q185 de-duplication rule; the weights contract itself is
+    // corpus-size-independent
     "q190_dsir_weights" -> ((s, d) =>
-      TextFeatures.dsirWeights(t(s, d, "documents"),
+      TextFeatures.dsirWeights(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 0),
         col("lang") === "en", n = 2, buckets = 1024)),
     // --- DSIR resampling [ext]: the paper's data-SELECTION step (not just
     // scoring) — Gumbel top-k over the q190 importance weights draws a
@@ -1165,8 +1171,14 @@ object SparkEntry {
     // the stream runs; shingle verify + exact-counting containment make
     // every stage declaratively replayable, and CorpusIngestSpec pins
     // stream == twin row-for-row ---
+    // Runs on the deterministic doc_id % 4 < 2 HALF-SLICE (the q186/q189
+    // pattern): the twin's decision-replay contract is corpus-size-
+    // independent (CorpusIngestSpec pins stream == twin on fixtures), the
+    // slice keeps in-batch near-dup pairs in BOTH batches plus cross-batch
+    // pairs (checked at sf0.01), and the full-corpus run tripled the whole
+    // bench's heaviest row without adding contract coverage
     "q196_stream_ingest_twin" -> { (s, d) =>
-      val docs = t(s, d, "documents")
+      val docs = t(s, d, "documents").filter(col("doc_id") % 4 < 2)
       graft.stream.CorpusIngest.nearDupIngestTwin(s,
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
@@ -2762,7 +2774,8 @@ object SparkEntry {
     // double-formed ratio, same single micronat quantization per bucket,
     // same exact long count×micronat sums
     "q190_dsir_weights" ->
-      (s"WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks FROM documents), " +
+      (s"WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
         "g2 AS (SELECT doc_id, is_t, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')] " +
         "ELSE list_transform(range(len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' ')) END) AS g FROM t), " +
         "bk AS (SELECT doc_id, is_t, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b FROM g2), " +
@@ -3022,9 +3035,11 @@ object SparkEntry {
     // in-batch containment (no DF prune: the stream runs maxDf=MaxValue),
     // then batch2 vs landed1: exact norms, cross-parity shingle-J >= 0.8,
     // directional containment of the NEW side at 0.5
+    // batch membership stays doc_id % 2 on the % 4 < 2 slice: residue-0
+    // docs are even (batch 1), residue-1 docs odd (batch 2)
     "q196_stream_ingest_twin" ->
       (s"WITH RECURSIVE gt AS (SELECT doc_id, text FROM " +
-        s"(SELECT doc_id, text, $toksSql AS toks FROM documents) " +
+        s"(SELECT doc_id, text, $toksSql AS toks FROM documents WHERE doc_id % 4 < 2) " +
         "WHERE len(toks) >= 20 AND " +
         "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
         s"nrm AS (SELECT doc_id, doc_id % 2 AS p, $normSql AS norm FROM gt), " +

@@ -113,7 +113,8 @@ object Graph {
     * lineage recomputation (the usual iterative-DAG hazard) a disk read
     * instead of a cascade. This is the operator behind cluster-level dedup
     * ([[graft.text.Dedup.dedupCorpus]] uses it on the near-dup pair graph). */
-  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+                          smallGraphEdgeCap: Long = 1L << 17): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val e0 = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     // undirected closure: each edge in both orientations, self-loops and
@@ -131,6 +132,43 @@ object Graph {
       .na.drop().filter(col("src") =!= col("dst")).distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // materialize once; every round re-reads it
+    // SMALL-GRAPH FAST PATH: below the cap (≈2 MB of long pairs at the
+    // default), a driver-side union-find with min-root union returns the
+    // IDENTICAL (vertex, min-reachable-id) labeling in ONE job instead of
+    // the loop's ~8 (each round = 2 joins + persist + 2 counts over
+    // 32-partition frames whose per-task scheduling dwarfs the data —
+    // measured ~2.5 s for a 50-edge near-dup graph). The cap is on the
+    // MATERIALIZED edge count, so the decision costs nothing extra and a
+    // billion-edge graph at corpus scale always takes the distributed
+    // loop. The same bounded-driver-state rule as the k-means trainer
+    // (Similarity.trainSample): collect only what a constant bounds.
+    if (nEdges <= smallGraphEdgeCap) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val rows = edges.collect()
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        // min-root union: every tree's root stays its component's min id,
+        // so find(v) IS the loop's min-reachable label
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      // edges carry both orientations, so src alone covers every vertex
+      val verts = rows.map(_.getLong(0)).distinct
+      val out = pairs.sparkSession
+        .createDataFrame(verts.map(v => (v, find(v))).toIndexedSeq)
+        .toDF("part", "component")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      edges.unpersist(blocking = false)
+      return out
+    }
     // round 0 fused into init: label(v) = min(v, min neighbor). Near-dup
     // components are mostly cliques (all pairs above threshold), which this
     // single pass already converges — the loop then just confirms.
@@ -138,7 +176,6 @@ object Graph {
       .select(col("src").as("v"), least(col("src"), col("mn")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cached: DataFrame = assign // the persisted frame backing `assign`
-    edges.count() // materialize once; every round re-reads it
     // one propagation round over a (v, prev_c, component) frame: (1)
     // neighbor-min message pass, then (2) pointer jumping — follow my
     // label's own label (labels are always vertex ids within the same

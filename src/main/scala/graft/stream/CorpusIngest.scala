@@ -142,14 +142,23 @@ object CorpusIngest {
         base.select(col(idc), array_distinct(col("toks")).as(wc))
     }
     {
+        // per-batch persist set: this pipeline's DAG is DEEP (gate -> exact
+        // -> LSH+verify -> closure -> containment -> re-sign -> vs-lake
+        // joins) and has many consumers per stage — unpersisted, the chain
+        // re-evaluates ~8x per batch (measured 62 -> 21 s on the q196 twin
+        // at sf0.1). Every entry is released in the cleanup below, so a
+        // long-running stream still holds nothing across micro-batches.
+        val stageCaches =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Dataset[_]]
+        def cut(df: DataFrame): DataFrame = { stageCaches += df.persist(); df }
         val gated = qualityGate(batchDf, gate)
         // in-batch: exact dedup, then near-dup clusters keep min doc_id
-        val exact = Dedup.dropExactDups(gated)
-        val inPairs =
+        val exact = cut(Dedup.dropExactDups(gated))
+        val inPairs = cut(
           if (shingleVerify) Dedup.minhashNearDupsShingle(exact, numPerms,
             bands, shingleSize, threshold)
           else Dedup.minhashNearDups(exact, numPerms, bands,
-            shingleSize, threshold)
+            shingleSize, threshold))
         val jaccardKept =
           if (inPairs.isEmpty) exact
           else exact.join(Dedup.clusterPairs(inPairs), Seq("doc_id"), "left")
@@ -170,14 +179,26 @@ object CorpusIngest {
             dropped
           case None => jaccardKept
         }
-        val indexed = withIndexCols(batchKept)
+        // persist + materialize + FLATTEN at the two deep cut points: by
+        // here the logical tree is gate -> exact -> LSH+verify -> closure
+        // -> containment -> re-sign, and the vs-lake stage below issues
+        // ~8 more actions on derivatives of it — each would re-analyze the
+        // whole tree (Catalyst planning, not execution, measured ~46 s of
+        // the 53 s batch-2 wall clock; the data itself is ~100k rows).
+        // flattenLineage rebinds to the materialized cache as a leaf, the
+        // same move connectedComponents makes per round.
+        def cutFlat(df: DataFrame): DataFrame = {
+          val p = cut(df); p.count(): Unit
+          org.apache.spark.sql.GraftSqlBridge.flattenLineage(p)
+        }
+        val indexed = cutFlat(withIndexCols(batchKept))
         val novel =
           if (!lake.exists(table)) indexed
           else {
             val committed = lake.read(table)
             // (1) exact: anti-join on the 128-bit key
-            val notExact = indexed.join(
-              committed.select(col("dup_key")), Seq("dup_key"), "left_anti")
+            val notExact = cut(indexed.join(
+              committed.select(col("dup_key")), Seq("dup_key"), "left_anti"))
             // (2) candidates: band-key equi-join, bands column only
             val batchBands = notExact.select(col("doc_id"),
               explode(col("lsh_bands")).as("b"))
@@ -235,11 +256,12 @@ object CorpusIngest {
               gramsTable, gmode): Unit
           }
         }
+        val novelF = cutFlat(novel)
         var batchGrams: Option[org.apache.spark.sql.DataFrame] = None
         val landed0 = containmentThreshold match {
           case Some(t) if lake.exists(gramsTable) =>
             import org.apache.spark.sql.expressions.Window
-            val grams = Dedup.docGrams(novel, shingleSize).persist()
+            val grams = Dedup.docGrams(novelF, shingleSize).persist()
             batchGrams = Some(grams)
             val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
             val rk = Window.partitionBy("doc_id")
@@ -262,8 +284,8 @@ object CorpusIngest {
               .filter(col("n_shared").cast("double") / col("sz").cast("double")
                 >= t)
               .select("doc_id").distinct()
-            novel.join(contained, Seq("doc_id"), "left_anti")
-          case _ => novel
+            novelF.join(contained, Seq("doc_id"), "left_anti")
+          case _ => novelF
         }
         // one evaluation of the whole per-batch pipeline: the corpus write
         // AND the grams-index write below both read `landed`
@@ -281,6 +303,7 @@ object CorpusIngest {
         landed.unpersist(): Unit
         batchGrams.foreach(_.unpersist(): Unit)
         containCaches.foreach(graft.ops.Caching.release)
+        stageCaches.foreach(graft.ops.Caching.release)
     }
   }
 

@@ -155,6 +155,25 @@ class Round3OpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("connectedComponents: union-find fast path equals the distributed loop") {
+    // long chains (pointer-jumping territory), a clique, an isolated edge,
+    // and shared-min collisions — labels must agree row-for-row with the
+    // loop forced via smallGraphEdgeCap = 0
+    val pairs = (
+      (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq ++ // 40-chain
+        Seq((100L, 101L), (100L, 102L), (101L, 102L), // clique
+          (200L, 300L), // isolated edge
+          (41L, 1L)) // cycle back into the chain
+      ).toDF("a", "b")
+    val fast = graft.ops.Graph.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = graft.ops.Graph.connectedComponents(pairs, "a", "b",
+      smallGraphEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === loop)
+    assert(fast(41L) === 1L && fast(102L) === 100L && fast(300L) === 200L)
+  }
+
   test("labelCentroids averages each dimension within a label") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f), 0),
