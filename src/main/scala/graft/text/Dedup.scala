@@ -53,12 +53,10 @@ object Dedup {
     // permutation values by rehashing the long with a seed — integer-width
     // hashing per permutation instead of numPerms string hashes (and no
     // wrapping arithmetic, which ANSI mode rejects)
-    val sh = docs
-      .select(col(idCol),
-        TextStats.tokens(TextStats.normalize(col(textCol))).as("toks"))
-      .select(col(idCol),
-        explode(array_distinct(TextStats.shinglesOf(col("toks"), shingleSize))).as("sh"))
-      .select(col(idCol), xxhash64(col("sh")).as("h"))
+    // positional gram stream (TextStats.gramStream's codegen rationale);
+    // no distinct needed — duplicate grams cannot change a MIN aggregate
+    val sh = TextStats.gramStream(docs, shingleSize, idCol, textCol)
+      .select(col(idCol), xxhash64(col("gram")).as("h"))
     val mins = (0 until numPerms).map { seed =>
       min(xxhash64(lit(seed), col("h"))).as(s"m$seed")
     }
@@ -82,9 +80,15 @@ object Dedup {
                                 shingleSize: Int): DataFrame = {
     val rowsPerBand = numPerms / bands
     val sig = minhashSignatures(docs, numPerms, shingleSize)
-    val buckets = sig.select(col("doc_id"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.band_hash"))
+    // positional explode of the band INDEX (TextStats.gramStream's codegen
+    // rationale), one band hash per output row — the same (band, hash)
+    // values lshBands assembles, without exploding a computed struct array
+    val buckets = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(concat_ws("_",
+            slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))),
+          col("band")).as("band_hash"))
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -127,9 +131,14 @@ object Dedup {
     * containment/novelty operator counts over (only 8-byte longs shuffle,
     * never gram strings). */
   def docGrams(docs: DataFrame, shingleSize: Int = 3): DataFrame =
-    shingleSets(docs, shingleSize)
-      .select(col("doc_id"), explode(col("s")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    // positional gram stream (TextStats.gramStream's codegen rationale),
+    // then distinct in the hash domain. Each document's rows are generated
+    // inside one input partition, so the partial aggregate removes ALL
+    // intra-doc duplicates map-side — the exchange carries exactly the
+    // distinct (doc_id, g) rows the array_distinct spelling produced.
+    TextStats.gramStream(docs, shingleSize)
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .distinct()
 
   /** Directional CONTAINMENT near-duplicates — the "document A is embedded
     * in document B" detector symmetric Jaccard structurally misses (a short
@@ -583,12 +592,14 @@ object Dedup {
       TextStats.tokens(TextStats.normalize(col("text"))).as("toks"),
       substring(md5(col("doc_id").cast("string")), 1, 1)
         .isin(evalNibbles: _*).as("is_eval"))
-    val sh = base.select(col("doc_id"), col("is_eval"),
-        explode(when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))
-          .otherwise(typedLit(Seq.empty[String]))).as("sh"))
-      .select(col("doc_id"), col("is_eval"), xxhash64(col("sh")).as("h"))
+    // positional explode ([[TextStats.gramStream]]'s codegen rationale);
+    // <n-token docs contribute no shingle, as with the empty-array spelling
+    val sh = base.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("is_eval"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("doc_id"), col("is_eval"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
+          .as("h"))
     val evalSh = sh.filter(col("is_eval")).select("doc_id", "h").distinct()
     val trainSh = sh.filter(!col("is_eval")).select("h").distinct()
       .withColumn("hit", lit(1))

@@ -52,19 +52,17 @@ object LangModel {
     * fluent under the trusted slice's language model. */
   def lmScore(docs: DataFrame, isTrain: Column): DataFrame = {
     val toks = TextStats.tokens(TextStats.normalize(col("text")))
-    // one tokenize pass: per-doc adjacent (w1, w2) pairs via zip_with over
-    // two slices of the SAME materialized token array (no join, no UDF)
+    // one tokenize pass: per-doc adjacent (w1, w2) pairs via a POSITIONAL
+    // explode ([[TextStats.gramStream]]'s codegen rationale — exploding a
+    // computed array falls out of whole-stage codegen), no join, no UDF
     val paired = docs
       .select(col("doc_id"), isTrain.as("is_train"), toks.as("toks"))
       .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_train"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
       .select(col("doc_id"), col("is_train"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("is_train"),
-        Dedup.portableTokenHash(col("bg.w1")).as("w1h"),
-        Dedup.portableTokenHash(col("bg.w2")).as("w2h"))
+        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 1)).as("w1h"),
+        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 2)).as("w2h"))
       .persist()
 
     val train = paired.filter(col("is_train"))

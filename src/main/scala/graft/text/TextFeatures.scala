@@ -222,11 +222,13 @@ object TextFeatures {
     * NON-target document (the selection pool). */
   def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
                   n: Int = 2, buckets: Int = 1024): DataFrame = {
-    val grams = docs.select(col("doc_id"), isTarget.as("is_target"),
-        explode(TextStats.shinglesOf(
-          TextStats.tokens(TextStats.normalize(col("text"))), n)).as("g"))
+    // positional gram stream (TextStats.gramStream's codegen rationale);
+    // multiplicity preserved — DSIR counts gram occurrences, not sets
+    val grams = TextStats.gramStream(
+        docs.select(col("doc_id"), col("text"), isTarget.as("is_target")),
+        n, carryCols = Seq("is_target"))
       .select(col("doc_id"), col("is_target"),
-        pmod(Dedup.portableTokenHash(col("g")), lit(buckets.toLong)).as("b"))
+        pmod(Dedup.portableTokenHash(col("gram")), lit(buckets.toLong)).as("b"))
       .persist()
     val stats = grams.groupBy("b").agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
