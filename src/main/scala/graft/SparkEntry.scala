@@ -1241,6 +1241,27 @@ object SparkEntry {
     "q204_diverse_subset" -> ((s, d) =>
       graft.sim.Similarity.diverseSubset(t(s, d, "embeddings"), n = 100,
         nLists = 8, iters = 0, portableInit = true)),
+    // --- cross-source duplication matrix [ext]: shingle-verified near-dup
+    // pairs annotated by source pair — the mirror-site/syndication
+    // telemetry read before setting mixture weights ---
+    "q205_source_overlap" -> ((s, d) =>
+      graft.text.Dedup.sourceOverlapMatrix(t(s, d, "documents"),
+        threshold = 0.8)),
+    // --- dedup-adjusted effective tokens [ext]: per-source raw vs
+    // canonical-survivor token counts + exact per-mille kept ratio (what
+    // mixture weights should be set from — raw size over-samples
+    // duplicated domains). ODD half-slice: q43 carries the full-corpus
+    // closure timing; the ratio contract is corpus-size-independent ---
+    "q206_effective_tokens" -> ((s, d) =>
+      graft.text.Dedup.effectiveTokens(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 1),
+        threshold = 0.8)),
+    // --- embedding outlier detection [ext]: top-k farthest vectors from
+    // their nearest IVF centroid (corrupt embedding / encoder failure /
+    // OOD screen) — the complement of q204's most-representative rank ---
+    "q207_embedding_outliers" -> ((s, d) =>
+      graft.sim.Similarity.embeddingOutliers(t(s, d, "embeddings"), k = 20,
+        nLists = 8, iters = 0, portableInit = true)),
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -3333,7 +3354,61 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY cell " +
         "ORDER BY dist_micro, vec_id) AS rep_rank FROM asn) " +
         "SELECT vec_id, cell, dist_micro, CAST(rep_rank AS BIGINT) AS rep_rank " +
-        "FROM r ORDER BY rep_rank, cell, vec_id LIMIT 100"))
+        "FROM r ORDER BY rep_rank, cell, vec_id LIMIT 100"),
+    // source-overlap replay: the q24 brute-force pair set at 0.8, two
+    // source lookups, unordered-pair group
+    "q205_source_overlap" ->
+      (s"WITH ${shingleCtes("documents")}, $shinglePairCtes, " +
+        "p AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8) " +
+        "SELECT least(sa.source, sb.source) AS source_a, " +
+        "greatest(sa.source, sb.source) AS source_b, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM p JOIN documents sa ON sa.doc_id = p.doc_a " +
+        "JOIN documents sb ON sb.doc_id = p.doc_b GROUP BY 1, 2"),
+    // effective-tokens replay: q43's closure over the odd half-slice ->
+    // canonical survivors -> per-source raw vs surviving token sums, exact
+    // integer per-mille (floor division on positive longs == idiv)
+    "q206_effective_tokens" ->
+      ("WITH RECURSIVE docs0 AS (SELECT * FROM documents WHERE doc_id % 2 = 1), " +
+        s"nrm AS (SELECT doc_id, $normSql AS norm FROM docs0), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
+        shingleCtes("(SELECT d.doc_id, d.text FROM docs0 d JOIN k USING (doc_id))") +
+        s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "removed AS (SELECT n FROM (SELECT n, min(m) AS mn FROM r GROUP BY n) WHERE mn < n), " +
+        "surv AS (SELECT k.doc_id FROM k " +
+        "LEFT JOIN removed ON k.doc_id = removed.n WHERE removed.n IS NULL), " +
+        s"tok AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM docs0), " +
+        "raw AS (SELECT source, CAST(sum(nt) AS BIGINT) AS raw_tokens, " +
+        "CAST(count(*) AS BIGINT) AS raw_docs FROM tok GROUP BY 1), " +
+        "eff AS (SELECT source, CAST(sum(nt) AS BIGINT) AS effective_tokens, " +
+        "CAST(count(*) AS BIGINT) AS effective_docs " +
+        "FROM tok JOIN surv USING (doc_id) GROUP BY 1) " +
+        "SELECT raw.source, raw_tokens, raw_docs, " +
+        "CAST(coalesce(effective_tokens, 0) AS BIGINT) AS effective_tokens, " +
+        "CAST(coalesce(effective_docs, 0) AS BIGINT) AS effective_docs, " +
+        "CAST((CAST(coalesce(effective_tokens, 0) AS BIGINT) * 1000) // raw_tokens " +
+        "AS BIGINT) AS kept_permille " +
+        "FROM raw LEFT JOIN eff ON raw.source = eff.source"),
+    // outlier replay: q204's portable assignment, farthest-first top-20
+    "q207_embedding_outliers" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell, CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS dist_micro " +
+        "FROM (SELECT vec_id, cell, d, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1) " +
+        "SELECT vec_id, cell, dist_micro FROM asn " +
+        "ORDER BY dist_micro DESC, vec_id LIMIT 20"))
 
   /** DuckDB CTE chain replaying [[graft.text.LangModel.lmScore]] over the
     * en-trained bigram LM: ends at `sc` = (doc_id, lp) per scored bigram

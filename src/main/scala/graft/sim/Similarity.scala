@@ -389,6 +389,33 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dist_micro"), col("rep_rank"))
   }
 
+  /** EMBEDDING OUTLIER DETECTION — the quality filter for the vector side
+    * of a corpus: a vector far from every quantizer centroid is a corrupt
+    * embedding, an encoder failure, or genuinely out-of-distribution
+    * content, and all three are what you review before training on the
+    * batch. Score = squared L2 distance to the NEAREST IVF centroid (the
+    * same dot-identity spelling as [[nearestCell]], micro-quantized to an
+    * integer key); returns the top `k` farthest vectors, ties to the lower
+    * vec_id. The complement of [[diverseSubset]]'s most-representative
+    * ranking — one codegen'd assignment pass, and the selection plans as
+    * TakeOrderedAndProject (no global sort). `portableInit` + iters=0
+    * makes the chain oracle-replayable (the q204 contract). */
+  def embeddingOutliers(corpus: DataFrame, k: Int = 20, nLists: Int = 8,
+                        seed: Long = 42L, iters: Int = 8,
+                        maxTrainVectors: Int = 1 << 16,
+                        portableInit: Boolean = false): DataFrame = {
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cents = lloydFit(
+      trainSample(base, maxTrainVectors, seed, portableInit), nLists, iters)
+    val best = array_min(cellDistArr(col("vec"), cents))
+    base.select(col("vec_id"),
+        best.getField("cell").as("cell"),
+        floor(best.getField("dist") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("dist_micro"))
+      .orderBy(desc("dist_micro"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** The shared candidate-scoring chain of [[knnGraph]]/[[hardNegatives]]:
     * IVF-assign the corpus, explode each anchor's `nProbe` ranked cells,
     * equi-join on the cell id (both sides data-sized, sort-merge), exact

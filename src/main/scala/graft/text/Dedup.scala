@@ -300,6 +300,60 @@ object Dedup {
     (result, Seq(grams, kept, sizes))
   }
 
+  /** Cross-source duplication matrix — which domains copy from which: every
+    * shingle-verified near-dup pair (the q24-exact banding, so exact
+    * duplicates ride along at J = 1) annotated with its two documents'
+    * sources and counted per unordered source pair. The standard curation
+    * telemetry before setting mixture weights: a mirror site, syndicated
+    * feed, or template farm shows up as an off-diagonal spike, and the
+    * diagonal is each source's internal redundancy. Scale shape: the pair
+    * table is LSH-banded (never all-pairs), the two source lookups are
+    * joins on doc_id against a two-column projection, and the final
+    * aggregate is |sources|² rows at most. */
+  def sourceOverlapMatrix(docs: DataFrame, threshold: Double = 0.8,
+                          numPerms: Int = 128, bands: Int = 32,
+                          shingleSize: Int = 3): DataFrame = {
+    val pairs = minhashNearDupsShingle(docs, numPerms, bands, shingleSize,
+      threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Dedup-adjusted EFFECTIVE token counts per source — the numbers mixture
+    * weights should actually be set from: raw token/document counts next to
+    * the counts over [[dedupCorpusShingle]]'s canonical survivors, plus the
+    * exact per-mille kept ratio (integer division — engine-portable). A
+    * source that shrinks 40% under dedup contributes 40% fewer unique
+    * tokens than its raw size claims; weighting by raw size over-samples
+    * duplicated domains (the arXiv:2107.06499 §4 effect). One dedup pass +
+    * two map-side-combined per-source aggregates. */
+  def effectiveTokens(docs: DataFrame, threshold: Double = 0.8,
+                      numPerms: Int = 128, bands: Int = 32,
+                      shingleSize: Int = 3): DataFrame = {
+    def perSource(d: DataFrame, tokCol: String, docCol: String): DataFrame =
+      d.select(col("source"),
+          size(TextStats.tokens(TextStats.normalize(col("text")))).cast("long")
+            .as("nt"))
+        .groupBy("source")
+        .agg(sum("nt").as(tokCol), count(lit(1)).as(docCol))
+    val raw = perSource(docs, "raw_tokens", "raw_docs")
+    val eff = perSource(
+      dedupCorpusShingle(docs, threshold, numPerms, bands, shingleSize),
+      "effective_tokens", "effective_docs")
+    raw.join(eff, Seq("source"), "left")
+      .select(col("source"), col("raw_tokens"), col("raw_docs"),
+        coalesce(col("effective_tokens"), lit(0L)).as("effective_tokens"),
+        coalesce(col("effective_docs"), lit(0L)).as("effective_docs"))
+      .withColumn("kept_permille",
+        graft.ops.Analytics.idiv(col("effective_tokens") * lit(1000L),
+          col("raw_tokens")))
+  }
+
   /** Deterministic removal set from containment pairs: a document goes if it
     * is embedded in another kept document — for a pair at `threshold`, drop
     * the CONTAINED side (the quote, not the page); mutual containment
