@@ -532,7 +532,10 @@ object Dedup {
     * cluster. The standard pre-training dedup pipeline, all distributed. */
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
                   numPerms: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
-    val exact = dropExactDups(docs)
+    // exact survivors persist (Caching contract — harness releaseAll
+    // reclaims): the eager closure materializes the whole pair chain over
+    // them, and the canonical join reads them again
+    val exact = dropExactDups(docs).persist()
     val pairs = minhashNearDups(exact, numPerms, bands, shingleSize, threshold)
     val clusters = clusterPairs(pairs)
     exact.join(clusters, Seq("doc_id"), "left")
@@ -550,7 +553,7 @@ object Dedup {
   def dedupCorpusShingle(docs: DataFrame, threshold: Double = 0.8,
                          numPerms: Int = 128, bands: Int = 32,
                          shingleSize: Int = 3): DataFrame = {
-    val exact = dropExactDups(docs)
+    val exact = dropExactDups(docs).persist() // see dedupCorpus's note
     val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)
     val clusters = clusterPairs(pairs)
     exact.join(clusters, Seq("doc_id"), "left")
@@ -774,7 +777,7 @@ object Dedup {
   def dedupCorpusKeepBest(docs: DataFrame, threshold: Double = 0.8,
                           numPerms: Int = 128, bands: Int = 32,
                           shingleSize: Int = 3): DataFrame = {
-    val exact = dropExactDups(docs)
+    val exact = dropExactDups(docs).persist() // see dedupCorpus's note
     val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)
     val clusters = clusterPairs(pairs)
     val toks = TextStats.tokens(TextStats.normalize(col("text")))
@@ -824,7 +827,7 @@ object Dedup {
     val nrm = docs.select(col("doc_id"), TextStats.normalize(col("text")).as("norm"))
     val keepers = nrm.groupBy("norm").agg(min(col("doc_id")).as("keeper"))
     val docmap = nrm.join(keepers, Seq("norm")).select(col("doc_id"), col("keeper"))
-    val exact = dropExactDups(docs)
+    val exact = dropExactDups(docs).persist() // see dedupCorpus's note
     val pairs = minhashNearDupsShingle(exact, numPerms, bands, shingleSize, threshold)
     val clusters = clusterPairs(pairs)
       .withColumnRenamed("doc_id", "keeper")
