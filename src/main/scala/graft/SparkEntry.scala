@@ -1262,6 +1262,17 @@ object SparkEntry {
     "q207_embedding_outliers" -> ((s, d) =>
       graft.sim.Similarity.embeddingOutliers(t(s, d, "embeddings"), k = 20,
         nLists = 8, iters = 0, portableInit = true)),
+    // --- refinery with the CCNet LM stage [ext]: gate -> perplexity-tail
+    // drop (en-trained Stupid-Backoff LM, q200/q201's machinery) -> exact
+    // + shingle-verified near-dup -> cap -> chunk; the full composition a
+    // CCNet-style pipeline actually runs. EVEN half-slice (q186's
+    // pattern — q169 carries full-corpus E2E timing) ---
+    "q208_refinery_lm" -> ((s, d) =>
+      graft.text.Refinery.refine(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 0),
+        graft.text.Refinery.Config(shingleVerify = true,
+          lmFilter = Some(graft.text.Refinery.LmFilter("lang = 'en'",
+            tailPermille = 300))))),
     "q189_novelty_view" -> { (s, d) =>
       // shared-subtree persist (Caching contract): the slice feeds two base
       // writes, the rebuild aggregation, and the final join-back — four
@@ -3396,6 +3407,47 @@ object SparkEntry {
         "CAST((CAST(coalesce(effective_tokens, 0) AS BIGINT) * 1000) // raw_tokens " +
         "AS BIGINT) AS kept_permille " +
         "FROM raw LEFT JOIN eff ON raw.source = eff.source"),
+    // refinery+LM replay: gate, the q200 LM chain over the gated slice
+    // (suffixed CTEs — the refinery chain also names an `sc`), the q201
+    // rank cutoff for the tail tier, then q169's dedup/cap/chunk respell
+    // over the survivors
+    "q208_refinery_lm" ->
+      ("WITH RECURSIVE gt AS (SELECT doc_id, source, lang, text FROM " +
+        s"(SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents " +
+        "WHERE doc_id % 2 = 0) " +
+        "WHERE len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
+        lmScoreCtesOver("gt", "9") + ", " +
+        "agg9 AS (SELECT doc_id, CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*) + 0.5) " +
+        "AS BIGINT) AS nll FROM sc9 GROUP BY doc_id), " +
+        "rk9 AS (SELECT doc_id, row_number() OVER (ORDER BY nll, doc_id) AS rk, " +
+        "count(*) OVER () AS n FROM agg9), " +
+        "tl9 AS (SELECT doc_id FROM rk9 WHERE rk > n - floor((n * 300 + 999) / 1000)), " +
+        "lmk AS (SELECT gt.doc_id, gt.source, gt.text FROM gt " +
+        "LEFT JOIN tl9 ON gt.doc_id = tl9.doc_id WHERE tl9.doc_id IS NULL), " +
+        s"nrm AS (SELECT doc_id, $normSql AS norm FROM lmk), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
+        "kd AS (SELECT lmk.doc_id, lmk.source, lmk.text FROM lmk JOIN k USING (doc_id)), " +
+        shingleCtes("kd") + s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "removed AS (SELECT n FROM (SELECT n, min(m) AS mn FROM r GROUP BY n) WHERE mn < n), " +
+        "kept AS (SELECT kd.doc_id, kd.source, kd.text FROM kd " +
+        "LEFT JOIN removed ON kd.doc_id = removed.n WHERE removed.n IS NULL), " +
+        "capped AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM kept) WHERE rn <= 1000000), " +
+        s"tt2 AS (SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM capped), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(i AS INTEGER) AS chunk_idx " +
+        "FROM tt2, unnest(generate_series(0, (n_tokens - 1) // 96)) AS u(i) " +
+        "WHERE n_tokens >= 1) " +
+        "SELECT doc_id, n_tokens, chunk_idx, " +
+        "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
+        "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
     // outlier replay: q204's portable assignment, farthest-first top-20
     "q207_embedding_outliers" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -3411,26 +3463,30 @@ object SparkEntry {
         "ORDER BY dist_micro DESC, vec_id LIMIT 20"))
 
   /** DuckDB CTE chain replaying [[graft.text.LangModel.lmScore]] over the
-    * en-trained bigram LM: ends at `sc` = (doc_id, lp) per scored bigram
-    * event, lp in integer micronats. */
-  private val lmScoreCtes =
-    s"t AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks FROM documents), " +
-      "p AS (SELECT doc_id, is_t, unnest(range(len(toks) - 1)) AS i, toks " +
-      "FROM t WHERE len(toks) >= 2), " +
-      "b AS (SELECT doc_id, is_t, " +
+    * en-trained bigram LM: ends at `sc$sfx` = (doc_id, lp) per scored
+    * bigram event, lp in integer micronats. `src` must expose
+    * (doc_id, lang, text); `sfx` suffixes every CTE name so the chain can
+    * compose with the refinery CTEs (which also define an `sc`). */
+  private def lmScoreCtesOver(src: String, sfx: String = ""): String =
+    s"t$sfx AS (SELECT doc_id, lang = 'en' AS is_t, $toksSql AS toks FROM $src), " +
+      s"p$sfx AS (SELECT doc_id, is_t, unnest(range(len(toks) - 1)) AS i, toks " +
+      s"FROM t$sfx WHERE len(toks) >= 2), " +
+      s"b$sfx AS (SELECT doc_id, is_t, " +
       "CAST(('0x' || substr(md5(toks[i + 1]), 1, 15)) AS BIGINT) AS w1h, " +
-      "CAST(('0x' || substr(md5(toks[i + 2]), 1, 15)) AS BIGINT) AS w2h FROM p), " +
-      "c2 AS (SELECT w1h, w2h, count(*) AS c2 FROM b WHERE is_t GROUP BY 1, 2), " +
-      "c1 AS (SELECT w1h, count(*) AS c1 FROM b WHERE is_t GROUP BY 1), " +
-      "m2 AS (SELECT w1h, w2h, CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
-      "* 1000000 + 0.5) AS BIGINT) AS lp2 FROM c2 JOIN c1 USING (w1h)), " +
-      "cu AS (SELECT w2h AS wh, count(*) AS cu FROM b WHERE is_t GROUP BY 1), " +
-      "tot AS (SELECT sum(cu) AS nn, count(*) AS vv FROM cu), " +
-      "uni AS (SELECT wh, CAST(floor(ln(0.4 * CAST(cu + 1 AS DOUBLE) / " +
-      "CAST(nn + vv AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp_bo " +
-      "FROM cu CROSS JOIN tot), " +
-      "sc AS (SELECT doc_id, coalesce(lp2, lp_bo, " +
+      s"CAST(('0x' || substr(md5(toks[i + 2]), 1, 15)) AS BIGINT) AS w2h FROM p$sfx), " +
+      s"c2$sfx AS (SELECT w1h, w2h, count(*) AS c2 FROM b$sfx WHERE is_t GROUP BY 1, 2), " +
+      s"c1$sfx AS (SELECT w1h, count(*) AS c1 FROM b$sfx WHERE is_t GROUP BY 1), " +
+      s"m2$sfx AS (SELECT w1h, w2h, CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) " +
+      s"* 1000000 + 0.5) AS BIGINT) AS lp2 FROM c2$sfx JOIN c1$sfx USING (w1h)), " +
+      s"cu$sfx AS (SELECT w2h AS wh, count(*) AS cu FROM b$sfx WHERE is_t GROUP BY 1), " +
+      s"tot$sfx AS (SELECT sum(cu) AS nn, count(*) AS vv FROM cu$sfx), " +
+      s"uni$sfx AS (SELECT wh, CAST(floor(ln(0.4 * CAST(cu + 1 AS DOUBLE) / " +
+      s"CAST(nn + vv AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lp_bo " +
+      s"FROM cu$sfx CROSS JOIN tot$sfx), " +
+      s"sc$sfx AS (SELECT doc_id, coalesce(lp2, lp_bo, " +
       "CAST(floor(ln(0.4 / CAST(nn + vv AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS lp " +
-      "FROM b LEFT JOIN m2 USING (w1h, w2h) LEFT JOIN uni ON b.w2h = uni.wh " +
-      "CROSS JOIN tot WHERE NOT is_t)"
+      s"FROM b$sfx LEFT JOIN m2$sfx USING (w1h, w2h) LEFT JOIN uni$sfx ON b$sfx.w2h = uni$sfx.wh " +
+      s"CROSS JOIN tot$sfx WHERE NOT is_t)"
+
+  private def lmScoreCtes = lmScoreCtesOver("documents")
 }

@@ -46,7 +46,21 @@ object Refinery {
       // exact verify)
       containment: Boolean = false,
       containmentThreshold: Double = 0.8,
-      containmentMaxDf: Long = 1000)
+      containmentMaxDf: Long = 1000,
+      // opt-in CCNet LM stage AFTER the gate: train a Stupid-Backoff
+      // bigram LM on the trusted slice (a SQL predicate over the gated
+      // docs) and drop the tail `lmTailPermille` of the SCORED pool by
+      // avg negative log-likelihood (LangModel.perplexityBuckets). The
+      // trusted slice itself and <2-token docs are unscored and pass —
+      // CCNet's contract: the filter prunes disfluent WEB text, it never
+      // second-guesses the in-domain data
+      lmFilter: Option[LmFilter] = None)
+
+  /** CCNet LM-stage parameters: `trainPredicateSql` selects the trusted
+    * in-domain slice (e.g. "lang = 'en'"), `tailPermille` the scored-pool
+    * fraction to drop, worst-first. */
+  final case class LmFilter(trainPredicateSql: String,
+                            tailPermille: Int = 300)
 
   /** Quality gate as a standalone predicate-pushable filter — the shared
     * [[TextStats.passesQualityGate]] screen, or the full Gopher rule bundle
@@ -74,9 +88,22 @@ object Refinery {
     // re-runs once per downstream branch (measured 48 s → ~15 s for the
     // containment refinery at sf0.1)
     val gated = gate(docs, cfg).persist()
+    // CCNet LM stage between gate and dedup (arXiv:1911.00359's order —
+    // perplexity is a per-doc fluency signal, so it runs before the
+    // corpus-level stages): drop the scored pool's tail tier, pass the
+    // trusted slice and unscored (<2-token) docs through
+    val lmKept = cfg.lmFilter match {
+      case Some(f) =>
+        val tail = LangModel.perplexityBuckets(gated,
+            expr(f.trainPredicateSql), headPermille = 0,
+            tailPermille = f.tailPermille)
+          .filter(col("bucket") === "tail").select("doc_id")
+        gated.join(tail, Seq("doc_id"), "left_anti").persist()
+      case None => gated
+    }
     val deduped0 =
-      if (cfg.shingleVerify) Dedup.dedupCorpusShingle(gated, cfg.nearDupThreshold)
-      else Dedup.dedupCorpus(gated, threshold = cfg.nearDupThreshold)
+      if (cfg.shingleVerify) Dedup.dedupCorpusShingle(lmKept, cfg.nearDupThreshold)
+      else Dedup.dedupCorpus(lmKept, threshold = cfg.nearDupThreshold)
     val deduped = deduped0.persist()
     // containment AFTER near-dup: Jaccard clusters collapse the mutual
     // near-copies first, then the directional stage drops embedded quotes

@@ -66,6 +66,8 @@ class PlanLintSpec extends SparkSpec {
     // LM scoring rides the 1-row (N, V) train-totals scalar into the
     // unigram model and the unknown-token default (q190's pattern)
     "q200_lm_perplexity", "q201_lm_buckets",
+    // the refinery's LM stage composes the same scalar
+    "q208_refinery_lm",
     // waterfilling joins the 1-row theta water level into |sources| rows
     "q202_token_budget")
 
@@ -110,7 +112,7 @@ class PlanLintSpec extends SparkSpec {
     // reporting summary ranks |market segments| rows (5-ish, bounded)
     "q161_reporting_summary",
     // globalPrefixSums bucket-offset chain: one row per avg-nll range bucket
-    "q201_lm_buckets",
+    "q201_lm_buckets", "q208_refinery_lm",
     // waterfilling windows run on the |sources| grain
     "q202_token_budget")
 

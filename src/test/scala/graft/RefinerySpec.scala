@@ -30,6 +30,40 @@ class RefinerySpec extends SparkSpec {
     }
   }
 
+  test("lmFilter drops exactly the standalone tail tier; the trusted slice always passes") {
+    import org.apache.spark.sql.functions._
+    // trusted en slice: fluent repeated phrasing; scored pool: some docs
+    // restate the trusted phrasing (low nll), some scramble it (high nll)
+    val trusted = (1 to 6).map(i =>
+      DocRow(i.toLong, "the quick brown fox jumps over the lazy dog " +
+        words("pad", 15), "en", "wiki", 0))
+    val fluent = (11 to 14).map(i =>
+      DocRow(i.toLong, "the quick brown fox jumps over the lazy dog " +
+        words("pad", 15), "fr", "web", 0))
+    val garbled = (21 to 24).map(i =>
+      DocRow(i.toLong, "dog lazy the over jumps fox brown quick the " +
+        words("pad", 15).split(" ").reverse.mkString(" "), "fr", "web", 0))
+    val docs = df(trusted ++ fluent ++ garbled)
+    val cfg = Refinery.Config(shingleVerify = true,
+      lmFilter = Some(Refinery.LmFilter("lang = 'en'", tailPermille = 400)))
+    val survivors = Refinery.refine(docs, cfg)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // composition contract: survivors == refinery-without-lm over
+    // (gated minus the standalone buckets' tail)
+    val gated = Refinery.gate(docs, cfg)
+    val tail = graft.text.LangModel.perplexityBuckets(gated,
+        expr("lang = 'en'"), headPermille = 0, tailPermille = 400)
+      .filter(col("bucket") === "tail").collect().map(_.getLong(0)).toSet
+    val expected = Refinery.refine(
+        docs.filter(!col("doc_id").isin(tail.toSeq: _*)),
+        Refinery.Config(shingleVerify = true))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(survivors === expected)
+    // the tail is the scrambled docs, never the trusted slice
+    assert(tail.nonEmpty && tail.forall(_ >= 21L))
+    assert(trusted.map(_.doc_id).toSet.intersect(tail).isEmpty)
+  }
+
   test("default config passes realistic docs through unchanged") {
     val docs = df(Seq(
       DocRow(10, words("x", 40), "en", "web", 0),
