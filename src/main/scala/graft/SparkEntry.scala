@@ -1262,6 +1262,22 @@ object SparkEntry {
     "q207_embedding_outliers" -> ((s, d) =>
       graft.sim.Similarity.embeddingOutliers(t(s, d, "embeddings"), k = 20,
         nLists = 8, iters = 0, portableInit = true)),
+    // --- LM serving lifecycle, oracle-checked [ext]: train the bigram LM
+    // on the en slice, SAVE it to a lake (bigram/unigram/meta tables),
+    // LOAD it back, score the non-en pool against the loaded model — the
+    // q184 serve-roundtrip discipline applied to the LM; the result must
+    // hash-equal q200's in-line training (one shared oracle SQL) ---
+    "q209_lm_serve" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val m = graft.text.LangModel.trainLm(docs, col("lang") === "en")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lm_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
+      graft.text.LangModel.saveLm(lake, "m", m)
+      graft.text.LangModel.scoreWithLm(
+        graft.text.LangModel.loadLm(lake, "m"),
+        docs.filter(col("lang") =!= "en"))
+    },
     // --- refinery with the CCNet LM stage [ext]: gate -> perplexity-tail
     // drop (en-trained Stupid-Backoff LM, q200/q201's machinery) -> exact
     // + shingle-verified near-dup -> cap -> chunk; the full composition a
@@ -3295,12 +3311,10 @@ object SparkEntry {
     // CCNet LM replay: train-slice bigram/unigram count tables, per-event
     // micronat log-probs (Stupid Backoff: bigram, else smoothed unigram,
     // else the unknown default off the 1-row totals), exact long sums
-    "q200_lm_perplexity" ->
-      (s"WITH $lmScoreCtes " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
-        "CAST(-sum(lp) AS BIGINT) AS nll_micronats, " +
-        "CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT) " +
-        "AS avg_nll_micronats FROM sc GROUP BY doc_id"),
+    "q200_lm_perplexity" -> lmPerplexitySql,
+    // the serve roundtrip must land exactly where in-line training does —
+    // q200's SQL verbatim is the whole contract
+    "q209_lm_serve" -> lmPerplexitySql,
     // head/middle/tail replay: q200's scores, global (avg_nll, doc_id) rank,
     // exact per-mille cutoffs ceil(n*p/1000) = floor((n*p+999)/1000)
     "q201_lm_buckets" ->
@@ -3489,4 +3503,13 @@ object SparkEntry {
       s"CROSS JOIN tot$sfx WHERE NOT is_t)"
 
   private def lmScoreCtes = lmScoreCtesOver("documents")
+
+  /** Shared q200/q209 replay: per-doc exact-micronat nll over the en-trained
+    * bigram LM (q209's lake save/load roundtrip must land exactly here). */
+  private def lmPerplexitySql =
+    s"WITH $lmScoreCtes " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(-sum(lp) AS BIGINT) AS nll_micronats, " +
+      "CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT) " +
+      "AS avg_nll_micronats FROM sc GROUP BY doc_id"
 }

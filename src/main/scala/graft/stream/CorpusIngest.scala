@@ -94,11 +94,13 @@ object CorpusIngest {
                    trigger: Trigger = Trigger.AvailableNow(),
                    checkpoint: Option[String] = None,
                    shingleVerify: Boolean = false,
-                   gate: String = "basic"): StreamingQuery = {
+                   gate: String = "basic",
+                   lmGate: Option[LmGate] = None): StreamingQuery = {
     val w = readDocStream(spark, dir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         nearDupBatch(batch.toDF(), lake, table, threshold, numPerms, bands,
-          shingleSize, containmentThreshold, sketchK, shingleVerify, gate)
+          shingleSize, containmentThreshold, sketchK, shingleVerify, gate,
+          lmGate)
       }
       .trigger(trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
@@ -113,12 +115,26 @@ object CorpusIngest {
     * defaults — the metric whose banded == brute-force equality is the
     * corpus-verified q24 contract, which is what makes the whole ingest
     * declaratively oracle-replayable. */
+  /** CCNet LM admission gate for the streaming ingest: score each batch
+    * against a PRE-TRAINED model (load once with
+    * [[graft.text.LangModel.loadLm]] — the model is static per query, the
+    * CCNet deployment shape) and reject docs whose avg negative
+    * log-likelihood exceeds `maxAvgNllMicronats`; unscored (<2-token) docs
+    * pass, exactly like the batch refinery's lmFilter contract. A FIXED
+    * nll threshold replaces the batch pipeline's global rank cutoff — a
+    * stream cannot rank against documents it has not seen, so the
+    * threshold is calibrated offline (e.g. the tail-tier boundary of a
+    * representative batch run) and applied incrementally. */
+  final case class LmGate(model: graft.text.LangModel.LmModel,
+                          maxAvgNllMicronats: Long)
+
   private[graft] def nearDupBatch(batchDf: DataFrame, lake: LakeTable,
                                   table: String, threshold: Double,
                                   numPerms: Int, bands: Int, shingleSize: Int,
                                   containmentThreshold: Option[Double],
                                   sketchK: Int, shingleVerify: Boolean,
-                                  gate: String): Unit = {
+                                  gate: String,
+                                  lmGate: Option[LmGate] = None): Unit = {
     val rowsPerBand = numPerms / bands
     def withIndexCols(docs: DataFrame): DataFrame = {
       val sig = Dedup.minhashSignatures(docs, numPerms, shingleSize)
@@ -151,7 +167,17 @@ object CorpusIngest {
         val stageCaches =
           scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Dataset[_]]
         def cut(df: DataFrame): DataFrame = { stageCaches += df.persist(); df }
-        val gated = qualityGate(batchDf, gate)
+        val gated0 = qualityGate(batchDf, gate)
+        // LM admission gate after the rule gate (the refinery's stage
+        // order): reject scored docs above the fixed nll threshold
+        val gated = lmGate match {
+          case Some(g) =>
+            val bad = graft.text.LangModel.scoreWithLm(g.model, gated0)
+              .filter(col("avg_nll_micronats") > g.maxAvgNllMicronats)
+              .select("doc_id")
+            gated0.join(bad, Seq("doc_id"), "left_anti")
+          case None => gated0
+        }
         // in-batch: exact dedup, then near-dup clusters keep min doc_id
         val exact = cut(Dedup.dropExactDups(gated))
         val inPairs = cut(
@@ -323,13 +349,14 @@ object CorpusIngest {
                         shingleSize: Int = 3,
                         containmentThreshold: Option[Double] = None,
                         sketchK: Int = 64, shingleVerify: Boolean = true,
-                        gate: String = "basic"): DataFrame = {
+                        gate: String = "basic",
+                        lmGate: Option[LmGate] = None): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ingest_twin_lake").toString
     val lake = new LakeTable(spark, dir)
     Seq(batch1, batch2).foreach(b =>
       nearDupBatch(b, lake, "twin", threshold, numPerms, bands, shingleSize,
-        containmentThreshold, sketchK, shingleVerify, gate))
+        containmentThreshold, sketchK, shingleVerify, gate, lmGate))
     lake.read("twin").select(col("doc_id"), col("n_chars"))
   }
 }

@@ -42,6 +42,88 @@ object LangModel {
   private def micronats(x: Column): Column =
     floor(log(x) * lit(1000000.0) + lit(0.5)).cast("long")
 
+  /** Per-doc adjacent (w1h, w2h) hashed bigram events via the positional
+    * explode ([[TextStats.gramStream]]'s codegen rationale); docs with <2
+    * tokens emit none. */
+  private def pairedEvents(docs: DataFrame): DataFrame = {
+    val toks = TextStats.tokens(TextStats.normalize(col("text")))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .select(col("doc_id"),
+        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 1)).as("w1h"),
+        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 2)).as("w2h"))
+  }
+
+  /** A trained Stupid-Backoff bigram LM as DATA: the bigram and unigram
+    * log-prob tables (integer micronats) plus the unknown-token default —
+    * the deployable form of [[lmScore]]'s model, persistable to a lake
+    * table and servable against any stream or batch without retraining.
+    * Both tables are bounded by the TRAIN slice's vocabulary. */
+  final case class LmModel(bigram: DataFrame, unigram: DataFrame,
+                           unkMicronats: Long)
+
+  /** Train the model on the rows matching `isTrain` — the same count
+    * arithmetic as [[lmScore]]'s in-line model (one aggregation pass; the
+    * 1-row totals collapse to driver-side constants, so the unigram table
+    * carries literal totals and serving needs NO scalar join). */
+  def trainLm(docs: DataFrame, isTrain: Column): LmModel = {
+    val paired = pairedEvents(docs.filter(isTrain))
+    val c2 = paired.groupBy("w1h", "w2h").agg(count(lit(1)).as("c2"))
+    val c1 = paired.groupBy("w1h").agg(count(lit(1)).as("c1"))
+    val bigram = c2.join(c1, "w1h")
+      .select(col("w1h"), col("w2h"),
+        micronats(col("c2").cast("double") / col("c1").cast("double")).as("lp2"))
+    val cu = paired.groupBy(col("w2h").as("wh")).agg(count(lit(1)).as("cu"))
+    val totRow = cu.agg(sum("cu").as("nn"), count(lit(1)).as("vv")).head()
+    val nv = totRow.getLong(0) + totRow.getLong(1)
+    // same double-formed ratios and Math.log as the Column spelling, so
+    // values are bit-identical to lmScore's in-line model
+    val unigram = cu.select(col("wh"),
+      micronats(lit(Alpha) * (col("cu") + lit(1L)).cast("double") /
+        lit(nv.toDouble)).as("lp_bo"))
+    val unk = math.floor(math.log(Alpha / nv.toDouble) * 1e6 + 0.5).toLong
+    LmModel(bigram, unigram, unk)
+  }
+
+  /** Score documents against a (possibly lake-loaded) model: the serving
+    * path — bigram lookup, unigram backoff, unknown default, exact long
+    * sums; no training-side state beyond the two model tables. Returns the
+    * same schema as [[lmScore]]. */
+  def scoreWithLm(model: LmModel, docs: DataFrame): DataFrame =
+    pairedEvents(docs)
+      .join(model.bigram, Seq("w1h", "w2h"), "left")
+      .join(model.unigram.withColumnRenamed("wh", "w2h"), Seq("w2h"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lp2"), col("lp_bo"), lit(model.unkMicronats)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_micronats"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micronats"),
+        floor(col("nll_micronats").cast("double") /
+          col("n_bigrams").cast("double") + lit(0.5)).cast("long")
+          .as("avg_nll_micronats"))
+
+  /** Persist a model into the lake as three versioned tables
+    * (`{prefix}_lm_bigram`, `{prefix}_lm_unigram`, `{prefix}_lm_meta`) —
+    * the LM sibling of the ANN index save/load lifecycle. */
+  def saveLm(lake: graft.tables.LakeTable, prefix: String,
+             model: LmModel): Unit = {
+    lake.write(model.bigram, s"${prefix}_lm_bigram", "overwrite"): Unit
+    lake.write(model.unigram, s"${prefix}_lm_unigram", "overwrite"): Unit
+    val spark = model.bigram.sparkSession
+    import spark.implicits._
+    lake.write(Seq(model.unkMicronats).toDF("unk_micronats"),
+      s"${prefix}_lm_meta", "overwrite"): Unit
+  }
+
+  /** Load a persisted model; the 1-row meta read is the only collect. */
+  def loadLm(lake: graft.tables.LakeTable, prefix: String): LmModel =
+    LmModel(
+      lake.read(s"${prefix}_lm_bigram"),
+      lake.read(s"${prefix}_lm_unigram"),
+      lake.read(s"${prefix}_lm_meta").head().getLong(0))
+
   /** Score every non-train document under the bigram LM trained on the
     * `isTrain` slice. Returns one row per scored document that has at least
     * one bigram (docs with <2 tokens have no bigram events and drop out):

@@ -272,4 +272,43 @@ class CorpusIngestSpec extends SparkSpec {
     assert(lake.read("gop").select("doc_id").collect()
       .map(_.getLong(0)).toSet === Set(2L))
   }
+
+  test("LM gate rejects a garbled doc the basic gate admits (stream == twin)") {
+    import org.apache.spark.sql.functions._
+    // trusted slice (en): fluent repeated phrasing; the scored pool holds
+    // one restatement (low nll) and one scramble (high nll) — both pass
+    // the basic gate (>= 20 distinct-ish tokens)
+    val phrase = "the quick brown fox jumps over the lazy dog " +
+      (1 to 15).map(i => s"pad$i").mkString(" ")
+    val scramble = "dog lazy the over jumps fox brown quick the " +
+      (15 to 1 by -1).map(i => s"pad$i").mkString(" ")
+    val trainDocs = (1 to 4).map(i => DocRow(i.toLong, phrase, "en", "wiki", 0))
+    val model = graft.text.LangModel.trainLm(df(trainDocs), col("lang") === "en")
+    // calibrate the threshold between the two pools' scores
+    val scores = graft.text.LangModel.scoreWithLm(model,
+        df(Seq(DocRow(11, phrase, "fr", "web", 0),
+          DocRow(12, scramble, "fr", "web", 0))))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scores(11L) < scores(12L))
+    val cut = (scores(11L) + scores(12L)) / 2
+    val gate = CorpusIngest.LmGate(model, cut)
+    // stream with the gate: only the fluent doc lands
+    val in = Files.createTempDirectory("graft-lm-in").toString
+    val lakeDir = Files.createTempDirectory("graft-lm-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+    writeBatchFile(in, "b1", Seq(DocRow(11, phrase, "fr", "web", 0),
+      DocRow(12, scramble, "fr", "web", 0)))
+    val q = CorpusIngest.startNearDup(spark, in, lake, "lmg",
+      shingleVerify = true, lmGate = Some(gate))
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    assert(lake.read("lmg").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(11L))
+    // and the batch twin makes the identical admit/reject decisions
+    val twin = CorpusIngest.nearDupIngestTwin(spark,
+      df(Seq(DocRow(11, phrase, "fr", "web", 0))),
+      df(Seq(DocRow(12, scramble, "fr", "web", 0))),
+      lmGate = Some(gate))
+    assert(twin.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+  }
 }

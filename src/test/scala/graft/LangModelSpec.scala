@@ -57,6 +57,36 @@ class LangModelSpec extends SparkSpec {
     assert(ids === Set(3L))
   }
 
+  // ------------------------------------------------ trainLm / scoreWithLm
+
+  test("scoreWithLm(trainLm) equals the in-line lmScore row-for-row") {
+    val d = docs
+    val inline = LangModel.lmScore(d, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val served = LangModel.scoreWithLm(
+        LangModel.trainLm(d, col("lang") === "en"),
+        d.filter(col("lang") =!= "en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(served === inline)
+  }
+
+  test("LM save/load roundtrip scores identically to the in-memory model") {
+    val d = docs
+    val m = LangModel.trainLm(d, col("lang") === "en")
+    val dir = java.nio.file.Files.createTempDirectory("lm_spec_lake").toString
+    val lake = new graft.tables.LakeTable(spark, dir)
+    LangModel.saveLm(lake, "m", m)
+    val loaded = LangModel.loadLm(lake, "m")
+    assert(loaded.unkMicronats === m.unkMicronats)
+    val direct = LangModel.scoreWithLm(m, d.filter(col("lang") =!= "en"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val roundtrip = LangModel.scoreWithLm(loaded, d.filter(col("lang") =!= "en"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(roundtrip === direct)
+  }
+
   // ---------------------------------------------------- perplexityBuckets
 
   test("perplexityBuckets: exact per-mille tier sizes and rank-contiguous tiers") {
