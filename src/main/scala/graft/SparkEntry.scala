@@ -1262,6 +1262,14 @@ object SparkEntry {
     "q207_embedding_outliers" -> ((s, d) =>
       graft.sim.Similarity.embeddingOutliers(t(s, d, "embeddings"), k = 20,
         nLists = 8, iters = 0, portableInit = true)),
+    // --- budgeted sample plan [ext]: q202's waterfilled allocation
+    // materialized into the per-document training plan — whole epochs by
+    // integer division, the fractional epoch filled in seeded md5 order
+    // until its token budget is covered; at sf0.01 both the capped
+    // (whole-epochs-only) and waterfilled (partial-epoch) branches fire ---
+    "q210_budgeted_sample" -> ((s, d) =>
+      TextFeatures.budgetedSamplePlan(t(s, d, "documents"),
+        budgetTokens = 49000L, maxEpochs = 2.0)),
     // --- LM serving lifecycle, oracle-checked [ext]: train the bigram LM
     // on the en slice, SAVE it to a lake (bigram/unigram/meta tables),
     // LOAD it back, score the non-en pool against the loaded model — the
@@ -3462,6 +3470,35 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, chunk_idx, " +
         "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
         "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // budgeted-plan replay: q202's allocation chain, whole epochs by // on
+    // longs, the partial-epoch cut from a per-source running token sum
+    // over the seeded md5 order (q157's u construction)
+    "q210_budgeted_sample" ->
+      (s"WITH t0 AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM documents), " +
+        "ps AS (SELECT source, CAST(sum(nt) AS BIGINT) AS t_tokens, " +
+        "CAST(floor(CAST(sum(nt) AS DOUBLE) * 2.0) AS BIGINT) AS cap_tokens " +
+        "FROM t0 GROUP BY 1), " +
+        "rk AS (SELECT *, coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_excl, " +
+        "count(*) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining FROM ps), " +
+        "th AS (SELECT max(CASE WHEN prefix_excl + remaining * cap_tokens >= 49000 " +
+        "THEN CAST(49000 - prefix_excl AS DOUBLE) / CAST(remaining AS DOUBLE) END) " +
+        "AS theta FROM rk), " +
+        "al AS (SELECT source, t_tokens, " +
+        "least(cap_tokens, CAST(floor(coalesce(theta, CAST(cap_tokens AS DOUBLE))) " +
+        "AS BIGINT)) AS alloc_tokens FROM rk CROSS JOIN th), " +
+        "pd AS (SELECT t0.doc_id, t0.source, t0.nt AS n_tokens, " +
+        "al.alloc_tokens // al.t_tokens AS whole_epochs, " +
+        "al.alloc_tokens - (al.alloc_tokens // al.t_tokens) * al.t_tokens AS rem_tokens " +
+        "FROM t0 JOIN al USING (source)), " +
+        "cb AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY md5('budget1' || CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pd) " +
+        "SELECT doc_id, source, n_tokens, " +
+        "CAST(whole_epochs + CASE WHEN cum_before < rem_tokens THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS n_copies FROM cb " +
+        "WHERE whole_epochs + (CASE WHEN cum_before < rem_tokens THEN 1 ELSE 0 END) > 0"),
     // outlier replay: q204's portable assignment, farthest-first top-20
     "q207_embedding_outliers" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

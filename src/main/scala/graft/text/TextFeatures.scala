@@ -342,6 +342,50 @@ object TextFeatures {
           col("t_tokens").cast("double") + lit(0.5)).cast("long"))
   }
 
+  /** Materialize [[tokenBudgetAllocation]]'s waterfilled budget into the
+    * per-document TRAINING PLAN (the arXiv:2305.16264 schedule made
+    * concrete): every document of a source repeats floor(alloc/T) times
+    * (whole epochs), and the fractional remainder epoch takes documents in
+    * seeded md5 order until its token budget is covered — a doc is in the
+    * partial epoch iff its preceding cumulative token count is still below
+    * the remainder (the packing convention: start before the budget
+    * exhausts). Output (doc_id, source, n_tokens, n_copies), rows with
+    * zero copies dropped.
+    *
+    * Exact and engine-portable: whole epochs are integer division on
+    * longs, the partial-epoch cut is a per-source running token sum over
+    * the seeded md5 order (same construction as [[prioritySample]]'s u),
+    * so the plan replays bit-for-bit in SQL. Per-source totals land in
+    * [alloc, alloc + max doc) — spec-pinned.
+    *
+    * Scale shape: the allocation is |sources| rows and BROADCASTS back;
+    * one window PARTITIONED BY source (no global sort); everything else
+    * is a map. */
+  def budgetedSamplePlan(docs: DataFrame, budgetTokens: Long,
+      maxEpochs: Double = 4.0, seed: String = "budget1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = tokenBudgetAllocation(docs, budgetTokens, maxEpochs)
+      .select(col("source"), col("t_tokens"), col("alloc_tokens"))
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(TextStats.tokens(TextStats.normalize(col("text")))).cast("long")
+        .as("n_tokens"))
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("whole_epochs",
+        graft.ops.Analytics.idiv(col("alloc_tokens"), col("t_tokens")))
+      .withColumn("rem_tokens",
+        col("alloc_tokens") - col("whole_epochs") * col("t_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit(seed), col("doc_id").cast("string"))), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("n_copies",
+        col("whole_epochs") +
+          when(col("cum_before") < col("rem_tokens"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_copies"))
+  }
+
   /** Per-source quality selection (the per-domain form of DataComp-style
     * top-fraction filtering): rank each source's documents by a
     * deterministic quality key — micronat-quantized distinct-token ratio,

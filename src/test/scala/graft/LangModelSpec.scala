@@ -149,6 +149,33 @@ class LangModelSpec extends SparkSpec {
     assert(s <= 4000L && s >= 4000L - k)
   }
 
+  // ---------------------------------------------------- budgetedSamplePlan
+
+  test("budgetedSamplePlan: per-source totals land in [alloc, alloc + max doc)") {
+    val plan = TextFeatures.budgetedSamplePlan(docs, budgetTokens = 4000L,
+      maxEpochs = 2.0).persist()
+    val alloc = TextFeatures.tokenBudgetAllocation(docs, budgetTokens = 4000L,
+      maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    val totals = plan.groupBy("source")
+      .agg(sum(col("n_copies") * col("n_tokens")).as("t"),
+        max(col("n_tokens")).as("mx"), max(col("n_copies")).as("mc"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    totals.foreach { case (src, (t, mx, mc)) =>
+      assert(t >= alloc(src) && t < alloc(src) + mx, s"source $src")
+      assert(mc <= 2L, s"source $src copies")
+    }
+    plan.unpersist()
+  }
+
+  test("budgetedSamplePlan is deterministic under the seed") {
+    def run() = TextFeatures.budgetedSamplePlan(docs, budgetTokens = 4000L,
+      maxEpochs = 2.0)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_copies"))).toSet
+    assert(run() === run())
+  }
+
   // --------------------------------------------------- topQualityPerSource
 
   test("topQualityPerSource: every source keeps exactly ceil(30%) of its docs") {

@@ -69,7 +69,9 @@ class PlanLintSpec extends SparkSpec {
     // the refinery's LM stage composes the same scalar
     "q208_refinery_lm",
     // waterfilling joins the 1-row theta water level into |sources| rows
-    "q202_token_budget")
+    "q202_token_budget",
+    // the budgeted plan composes the same allocation (theta scalar rides in)
+    "q210_budgeted_sample")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -114,7 +116,7 @@ class PlanLintSpec extends SparkSpec {
     // globalPrefixSums bucket-offset chain: one row per avg-nll range bucket
     "q201_lm_buckets", "q208_refinery_lm",
     // waterfilling windows run on the |sources| grain
-    "q202_token_budget")
+    "q202_token_budget", "q210_budgeted_sample")
 
   test("no query plans an unpartitioned window over data-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
