@@ -232,6 +232,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: positional gramStream equals the shingle-array explode on arbitrary text") {
+    import spark.implicits._
+    // adversarial texts: empty, whitespace-only, single token, shorter than
+    // n, repeated tokens, mixed whitespace, accented tokens
+    val tokGen = Gen.oneOf("a", "bb", "ccc", "Dd", "éé", "x1")
+    val textGen = Gen.frequency(
+      (1, Gen.const("")),
+      (1, Gen.const("   ")),
+      (1, Gen.const("\tone\n two  ")),
+      (6, Gen.chooseNum(1, 12).flatMap(k =>
+        Gen.listOfN(k, tokGen).map(_.mkString(" ")))),
+      (2, Gen.listOfN(9, Gen.const("dup")).map(_.mkString(" "))))
+    for (n <- Seq(2, 3, 5)) {
+      val texts = samples(textGen, 60).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val d = texts.toDF("doc_id", "text")
+      val viaArray = d.select(col("doc_id"),
+          graft.text.TextStats.tokens(
+            graft.text.TextStats.normalize(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          explode(graft.text.TextStats.shinglesOf(col("toks"), n)).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val viaStream = graft.text.TextStats.gramStream(d, n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(viaStream === viaArray, s"n=$n")
+    }
+  }
 }
 
 case class PS(id: Long, k: Long, v: Long)
