@@ -338,8 +338,13 @@ object TextFeatures {
           .as("alloc_tokens"),
         col("theta").isNotNull.as("budget_met"))
       .withColumn("epochs_micro",
-        floor(col("alloc_tokens").cast("double") * lit(1000000.0) /
-          col("t_tokens").cast("double") + lit(0.5)).cast("long"))
+        // a source of only zero-token docs has t_tokens = 0 (and alloc 0);
+        // the unguarded double division would floor(Infinity) and ANSI
+        // mode rejects that cast — such a source trains nothing: 0 epochs
+        when(col("t_tokens") > 0,
+          floor(col("alloc_tokens").cast("double") * lit(1000000.0) /
+            col("t_tokens").cast("double") + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
   }
 
   /** Materialize [[tokenBudgetAllocation]]'s waterfilled budget into the
@@ -364,7 +369,10 @@ object TextFeatures {
   def budgetedSamplePlan(docs: DataFrame, budgetTokens: Long,
       maxEpochs: Double = 4.0, seed: String = "budget1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a zero-token source would divide by zero in the epoch split (ANSI
+    // rejects pmod by 0) and cannot contribute tokens anyway — drop it
     val alloc = tokenBudgetAllocation(docs, budgetTokens, maxEpochs)
+      .filter(col("t_tokens") > 0)
       .select(col("source"), col("t_tokens"), col("alloc_tokens"))
     val perDoc = docs.select(col("doc_id"), col("source"),
       size(TextStats.tokens(TextStats.normalize(col("text")))).cast("long")

@@ -169,6 +169,23 @@ class LangModelSpec extends SparkSpec {
     plan.unpersist()
   }
 
+  test("budget ops survive a source of only zero-token documents") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e", "ok"), (2L, "", "empty"), (3L, "   ", "empty"))
+      .toDF("doc_id", "text", "source")
+    val alloc = TextFeatures.tokenBudgetAllocation(d, budgetTokens = 4L,
+      maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_micro")))).toMap
+    assert(alloc("empty") === ((0L, 0L)))
+    assert(alloc("ok")._1 === 4L)
+    val plan = TextFeatures.budgetedSamplePlan(d, budgetTokens = 4L,
+      maxEpochs = 2.0)
+      .collect().map(r => r.getLong(0)).toSet
+    // the empty source vanishes from the plan; the real source is planned
+    assert(plan === Set(1L))
+  }
+
   test("budgetedSamplePlan is deterministic under the seed") {
     def run() = TextFeatures.budgetedSamplePlan(docs, budgetTokens = 4000L,
       maxEpochs = 2.0)
