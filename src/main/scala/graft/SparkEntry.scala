@@ -1262,6 +1262,20 @@ object SparkEntry {
     "q207_embedding_outliers" -> ((s, d) =>
       graft.sim.Similarity.embeddingOutliers(t(s, d, "embeddings"), k = 20,
         nLists = 8, iters = 0, portableInit = true)),
+    // --- version drift [ext]: token-distribution JS divergence between
+    // two committed lake versions (time travel + q165's exact-micronat
+    // arithmetic) — "what did the append change about the corpus"; the
+    // oracle replays drift(even slice, full corpus) directly, since v0 =
+    // even docs and v1 = even + appended odd docs ---
+    "q211_version_drift" -> { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text").persist()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_drift_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
+      lake.write(docs.filter(col("doc_id") % 2 === 0), "docs", "overwrite"): Unit
+      lake.write(docs.filter(col("doc_id") % 2 === 1), "docs", "append"): Unit
+      graft.tables.Materialize.versionDrift(lake, "docs", 0L, 1L)
+    },
     // --- budgeted sample plan [ext]: q202's waterfilled allocation
     // materialized into the per-document training plan — whole epochs by
     // integer division, the fractional epoch filled in seeded md5 order
@@ -3470,6 +3484,25 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, chunk_idx, " +
         "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
         "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // version-drift replay: v0 = even docs, v1 = whole corpus; q165's
+    // micronat JS arithmetic over the two token streams
+    "q211_version_drift" ->
+      (s"WITH tk AS (SELECT TRUE AS is_a, unnest($toksSql) AS tok FROM documents WHERE doc_id % 2 = 0 " +
+        s"UNION ALL SELECT FALSE, unnest($toksSql) FROM documents), " +
+        "g AS (SELECT tok, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ne, " +
+        "CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nt FROM tk GROUP BY tok), " +
+        "t AS (SELECT CAST(sum(ne) AS BIGINT) AS tne, CAST(sum(nt) AS BIGINT) AS tnt FROM g), " +
+        "terms AS (SELECT ne, nt, tne, tnt, " +
+        "CASE WHEN ne > 0 THEN ne * CAST(floor(ln(2.0 * (CAST(ne AS DOUBLE) * CAST(tnt AS DOUBLE)) / " +
+        "(CAST(ne AS DOUBLE) * CAST(tnt AS DOUBLE) + CAST(nt AS DOUBLE) * CAST(tne AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS se, " +
+        "CASE WHEN nt > 0 THEN nt * CAST(floor(ln(2.0 * (CAST(nt AS DOUBLE) * CAST(tne AS DOUBLE)) / " +
+        "(CAST(ne AS DOUBLE) * CAST(tnt AS DOUBLE) + CAST(nt AS DOUBLE) * CAST(tne AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS st " +
+        "FROM g CROSS JOIN t) " +
+        "SELECT CAST(max(tne) AS BIGINT) AS n_a_tokens, CAST(max(tnt) AS BIGINT) AS n_b_tokens, " +
+        "count(*) AS n_vocab, " +
+        "round((CAST(sum(se) AS DOUBLE) / CAST(max(tne) AS DOUBLE) + " +
+        "CAST(sum(st) AS DOUBLE) / CAST(max(tnt) AS DOUBLE)) / 2000000.0, 6) AS js_nats " +
+        "FROM terms"),
     // budgeted-plan replay: q202's allocation chain, whole epochs by // on
     // longs, the partial-epoch cut from a per-source running token sum
     // over the seeded md5 order (q157's u construction)

@@ -175,6 +175,18 @@ object Materialize {
       graft.text.Dedup.docGrams(docs, shingleSize), lake.read(view))
 
   /** The view with a readable money column (exact cents -> dollars). */
+  /** Token-distribution drift between two COMMITTED VERSIONS of a lake
+    * documents table — "what did the last N commits change about the
+    * corpus": time-travel both snapshots and run the exact-micronat JS
+    * drift ([[graft.text.TextStats.tokenDriftBetween]], q165's
+    * arithmetic). One governance row: (n_a_tokens, n_b_tokens, n_vocab,
+    * js_nats); 0 = the appends changed nothing distributionally, ln 2 =
+    * the new corpus is token-disjoint from the old. */
+  def versionDrift(lake: LakeTable, table: String, v1: Long,
+                   v2: Long): DataFrame =
+    graft.text.TextStats.tokenDriftBetween(
+      lake.read(table, Some(v1)), lake.read(table, Some(v2)))
+
   def readView(lake: LakeTable, view: String, keys: Seq[String]): DataFrame =
     lake.read(view).select(
       (keys.map(col) :+ col("n_rows") :+

@@ -587,11 +587,30 @@ object TextStats {
     * tokenize+explode corpus pass runs twice. PlanAuditSpec pins one scan;
     * the caller reclaims the (small) entry after the result materializes. */
   def splitTokenDrift(docs: DataFrame,
-                      evalNibbles: Seq[String] = Seq("0", "1")): DataFrame = {
-    val tok = docs.select(
+                      evalNibbles: Seq[String] = Seq("0", "1")): DataFrame =
+    jsDriftFlagged(docs.select(
         substring(md5(col("doc_id").cast("string")), 1, 1)
           .isin(evalNibbles: _*).as("is_eval"),
-        explode(tokens(normalize(col("text")))).as("tok"))
+        explode(tokens(normalize(col("text")))).as("tok")),
+      "n_eval_tokens", "n_train_tokens")
+
+  /** JS token-distribution drift between two ARBITRARY document frames —
+    * the same exact-micronat arithmetic as [[splitTokenDrift]], over a
+    * flagged union of the two token streams (two scans, one per frame —
+    * inherent when the frames differ). The building block for
+    * [[graft.tables.Materialize.versionDrift]]: "what changed between two
+    * committed versions of the corpus". */
+  def tokenDriftBetween(a: DataFrame, b: DataFrame): DataFrame =
+    jsDriftFlagged(
+      a.select(lit(true).as("is_eval"),
+          explode(tokens(normalize(col("text")))).as("tok"))
+        .unionByName(b.select(lit(false).as("is_eval"),
+          explode(tokens(normalize(col("text")))).as("tok"))),
+      "n_a_tokens", "n_b_tokens")
+
+  private def jsDriftFlagged(flagged: DataFrame, aName: String,
+                             bName: String): DataFrame = {
+    val tok = flagged
       .groupBy("tok")
       .agg(sum(when(col("is_eval"), 1L).otherwise(0L)).as("ne"),
         sum(when(!col("is_eval"), 1L).otherwise(0L)).as("nt"))
@@ -619,7 +638,7 @@ object TextStats {
     terms.groupBy("tne", "tnt")
       .agg(sum("se").as("sume"), sum("st").as("sumt"),
         count(lit(1)).as("n_vocab"))
-      .select(col("tne").as("n_eval_tokens"), col("tnt").as("n_train_tokens"),
+      .select(col("tne").as(aName), col("tnt").as(bName),
         col("n_vocab"),
         round((col("sume").cast("double") / col("tne").cast("double") +
           col("sumt").cast("double") / col("tnt").cast("double")) /

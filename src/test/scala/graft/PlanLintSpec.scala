@@ -49,6 +49,8 @@ class PlanLintSpec extends SparkSpec {
     "q163_char_perplexity",
     // drift terms ride the 1-row (tne, tnt) totals scalar into the vocab
     "q165_split_drift",
+    // version drift composes the same scalar over the two snapshots
+    "q211_version_drift",
     // whitening gate joins the 1-row error maxima into the 1-row anchors
     "q166_whitening_gate",
     // whitened-vs-raw recall gate: TWO brute-force truth passes (the

@@ -40,6 +40,28 @@ class Round9bOpsSpec extends SparkSpec {
     assert(out("clean") === ((9L, 9L, 1000L)))
   }
 
+  test("versionDrift: identical versions drift 0; append drift equals the direct computation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").persist()
+    val dir = java.nio.file.Files.createTempDirectory("drift_spec_lake").toString
+    val lake = new graft.tables.LakeTable(spark, dir)
+    lake.write(docs.filter(col("doc_id") % 2 === 0), "docs", "overwrite"): Unit
+    lake.write(docs.filter(col("doc_id") % 2 === 1), "docs", "append"): Unit
+    // v0 vs v0: the same snapshot, JS must be exactly 0
+    val same = graft.tables.Materialize.versionDrift(lake, "docs", 0L, 0L).head()
+    assert(same.getAs[Double]("js_nats") === 0.0)
+    // v0 vs v1 == the drift computed directly from the slices
+    val viaLake = graft.tables.Materialize.versionDrift(lake, "docs", 0L, 1L).head()
+    val direct = graft.text.TextStats.tokenDriftBetween(
+      docs.filter(col("doc_id") % 2 === 0), docs).head()
+    assert(viaLake.getAs[Long]("n_a_tokens") === direct.getAs[Long]("n_a_tokens"))
+    assert(viaLake.getAs[Long]("n_b_tokens") === direct.getAs[Long]("n_b_tokens"))
+    assert(viaLake.getAs[Double]("js_nats") === direct.getAs[Double]("js_nats"))
+    assert(viaLake.getAs[Double]("js_nats") > 0.0)
+    docs.unpersist()
+  }
+
   test("embeddingOutliers is the farthest-first complement of diverseSubset's ranking") {
     // same quantizer params -> same centroids and distances; the outlier
     // set must be exactly the k largest (dist_micro, -vec_id) keys of the
