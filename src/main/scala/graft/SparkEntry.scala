@@ -1171,18 +1171,26 @@ object SparkEntry {
     // the stream runs; shingle verify + exact-counting containment make
     // every stage declaratively replayable, and CorpusIngestSpec pins
     // stream == twin row-for-row ---
-    // Runs on the deterministic doc_id % 4 < 2 HALF-SLICE (the q186/q189
-    // pattern): the twin's decision-replay contract is corpus-size-
-    // independent (CorpusIngestSpec pins stream == twin on fixtures), the
-    // slice keeps in-batch near-dup pairs in BOTH batches plus cross-batch
-    // pairs (checked at sf0.01), and the full-corpus run tripled the whole
-    // bench's heaviest row without adding contract coverage
+    // Runs on the deterministic doc_id % 8 < 2 QUARTER-SLICE (was % 4 < 2;
+    // tightened round 10 per the bench-weight directive): the twin's
+    // decision-replay contract is corpus-size-independent (CorpusIngestSpec
+    // pins stream == twin on fixtures), the slice keeps CROSS-BATCH
+    // near-dup and containment rejections live at sf0.01 (xdup = 1,
+    // xcont = 1 in the oracle's stage CTEs — checked; cross-batch exact
+    // was already empty on the old % 4 slice, and the in-batch stages are
+    // fixture-pinned by CorpusIngestSpec), and the larger slices only
+    // re-time the same decisions. numPerms drops to
+    // 32/16 bands for this ROW only (per-pair candidate-miss probability
+    // (1-s²)^16 ≈ 8e-8 at s = 0.8 — the q24 banded == brute equality
+    // contract is carried by the specs and q24 itself, not this row;
+    // shingleVerify keeps every surviving candidate exact)
     "q196_stream_ingest_twin" -> { (s, d) =>
-      val docs = t(s, d, "documents").filter(col("doc_id") % 4 < 2)
+      val docs = t(s, d, "documents").filter(col("doc_id") % 8 < 2)
       graft.stream.CorpusIngest.nearDupIngestTwin(s,
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        threshold = 0.8, containmentThreshold = Some(0.5))
+        threshold = 0.8, numPerms = 32, bands = 16,
+        containmentThreshold = Some(0.5))
     },
     // --- span-level dedup [ext]: arXiv:2107.06499's substring dedup as a
     // distributed rolling-window census — windows duplicated across >= 2
@@ -1267,6 +1275,26 @@ object SparkEntry {
     // arithmetic) — "what did the append change about the corpus"; the
     // oracle replays drift(even slice, full corpus) directly, since v0 =
     // even docs and v1 = even + appended odd docs ---
+    // --- learned quality classifier [ext]: the GPT-3/CCNet discriminative
+    // web filter — hashed bag-of-ngrams (unigram + bigram) multinomial
+    // Naive Bayes trained on trusted (en) vs pool (non-en) labels, every
+    // doc scored by its exact-micronat class log-odds sum; one tokenize
+    // pass + count-table equi-joins on longs. In-suite budget: ~q200's
+    // weight (one gram pass + bounded joins), stated <= 3 s ---
+    "q212_nb_classifier" -> ((s, d) =>
+      graft.text.QualityClassifier.classifierScore(t(s, d, "documents"),
+        col("lang") === "en", col("lang") =!= "en")),
+    // --- kNN-graph clustering [ext]: q194's edge chain at a cosine floor,
+    // closed into connected components (min-id labels) — the connectivity
+    // SemDeDup variant; singletons cluster as themselves so the output
+    // partitions the corpus. EVEN half-slice of the vectors: the
+    // edges -> components contract is corpus-size-independent and q194
+    // carries the full-corpus kNN timing (in-suite budget <= 3 s) ---
+    "q213_knn_cluster" -> ((s, d) =>
+      Similarity.knnCluster(
+        t(s, d, "embeddings").filter(col("vec_id") % 2 === 0),
+        k = 2, minCosine = 0.2, nLists = 8, nProbe = 2, iters = 0,
+        portableInit = true)),
     "q211_version_drift" -> { (s, d) =>
       val docs = t(s, d, "documents").select("doc_id", "text").persist()
       val dir = java.nio.file.Files
@@ -3105,11 +3133,11 @@ object SparkEntry {
     // in-batch containment (no DF prune: the stream runs maxDf=MaxValue),
     // then batch2 vs landed1: exact norms, cross-parity shingle-J >= 0.8,
     // directional containment of the NEW side at 0.5
-    // batch membership stays doc_id % 2 on the % 4 < 2 slice: residue-0
+    // batch membership stays doc_id % 2 on the % 8 < 2 slice: residue-0
     // docs are even (batch 1), residue-1 docs odd (batch 2)
     "q196_stream_ingest_twin" ->
       (s"WITH RECURSIVE gt AS (SELECT doc_id, text FROM " +
-        s"(SELECT doc_id, text, $toksSql AS toks FROM documents WHERE doc_id % 4 < 2) " +
+        s"(SELECT doc_id, text, $toksSql AS toks FROM documents WHERE doc_id % 8 < 2) " +
         "WHERE len(toks) >= 20 AND " +
         "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
         s"nrm AS (SELECT doc_id, doc_id % 2 AS p, $normSql AS norm FROM gt), " +
@@ -3484,6 +3512,67 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, chunk_idx, " +
         "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
         "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // Naive Bayes classifier replay: hashed unigram+bigram gram stream
+    // (60-bit md5 token hash folded mod 2^18), per-bucket Laplace log-odds
+    // quantized once to micronats (double products of longs — the exact
+    // Spark spelling), every doc scored by the exact long sum
+    "q212_nb_classifier" ->
+      (s"WITH t AS (SELECT doc_id, lang = 'en' AS is_p, lang <> 'en' AS is_n, " +
+        s"$toksSql AS toks FROM documents), " +
+        "g AS (SELECT doc_id, is_p, is_n, " +
+        "CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 262144 AS bh " +
+        "FROM (SELECT doc_id, is_p, is_n, unnest(toks || " +
+        "list_transform(range(len(toks) - 1), j -> toks[j + 1] || ' ' || toks[j + 2])) AS gr FROM t)), " +
+        "bc AS (SELECT bh, CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp, " +
+        "CAST(sum(CASE WHEN is_n THEN 1 ELSE 0 END) AS BIGINT) AS cn " +
+        "FROM g WHERE is_p OR is_n GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM bc), " +
+        "wt AS (SELECT bh, CAST(floor(ln(CAST(cp + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
+        "(CAST(cn + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w " +
+        "FROM bc CROSS JOIN tot), " +
+        "sc AS (SELECT doc_id, coalesce(w, " +
+        "CAST(floor(ln(CAST(0 + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
+        "(CAST(0 + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS w " +
+        "FROM g LEFT JOIN wt USING (bh) CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(w) AS BIGINT) AS score_micronats, " +
+        "CAST(floor(CAST(sum(w) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS avg_micronats " +
+        "FROM sc GROUP BY doc_id"),
+    // kNN-cluster replay: q194's portable edge chain on the even
+    // half-slice, thresholded on the 6-dp cosine, recursive min-id
+    // closure over the symmetric edges (q43/q76's pattern), singletons
+    // label themselves, size by window
+    "q213_knn_cluster" -> {
+      def cosSql(a: String, b: String) =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+      "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings WHERE vec_id % 2 = 0), " +
+        "ho AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e), " +
+        "seeds AS (SELECT CAST(rk - 1 AS INTEGER) AS cell, v AS sv FROM ho WHERE rk <= 8), " +
+        "dst AS (SELECT e.vec_id, s.cell, list_inner_product(e.v, e.v) " +
+        "- 2.0 * list_inner_product(e.v, s.sv) + list_inner_product(s.sv, s.sv) AS d " +
+        "FROM e CROSS JOIN seeds s), " +
+        "asn AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn = 1), " +
+        "pc AS (SELECT vec_id AS anchor_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dst) WHERE rn <= 2), " +
+        "sc AS (SELECT pc.anchor_id, a.vec_id AS neighbor_id, " +
+        s"${cosSql("p.v", "c.v")} AS cos_sim " +
+        "FROM pc JOIN asn a USING (cell) " +
+        "JOIN e p ON p.vec_id = pc.anchor_id JOIN e c ON c.vec_id = a.vec_id " +
+        "WHERE a.vec_id != pc.anchor_id), " +
+        "ed AS (SELECT anchor_id AS a, neighbor_id AS b FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc) " +
+        "WHERE rn <= 2 AND round(cos_sim, 6) >= 0.2), " +
+        "bi AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "lbl AS (SELECT n AS vec_id, least(n, min(m)) AS cluster_id FROM r GROUP BY n), " +
+        "allv AS (SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id " +
+        "FROM e LEFT JOIN lbl l ON e.vec_id = l.vec_id) " +
+        "SELECT vec_id, cluster_id, " +
+        "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM allv"
+    },
     // version-drift replay: v0 = even docs, v1 = whole corpus; q165's
     // micronat JS arithmetic over the two token streams
     "q211_version_drift" ->

@@ -28,7 +28,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     [[graft.text.TextStats.splitTokenDrift]] (vocabulary counts),
   *     [[graft.text.TextStats.sourceJsDivergence]] (source×lang cells),
   *     [[graft.sim.Similarity.pqBuild]] (the PQ code table — FAISS's
-  *     memory-resident layout; every ADC consumer re-reads it).
+  *     memory-resident layout; every ADC consumer re-reads it),
+  *     [[graft.text.LangModel.lmScore]] (the bigram event stream — the
+  *     model tables and the scoring stream both read it).
   *     PlanAuditSpec pins the text operators' corpus-scan counts.
   */
 object Caching {

@@ -222,10 +222,16 @@ object Similarity {
     * `seed`. */
   def ivfBuild(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L,
                iters: Int = 8, maxTrainVectors: Int = 1 << 16,
-               portableInit: Boolean = false): IVFIndex = {
-    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+               portableInit: Boolean = false,
+               extraCols: Seq[String] = Nil): IVFIndex = {
+    // extraCols ride the assignment projection itself (same map pass) so
+    // consumers that need per-vector metadata (hardNegatives' label) never
+    // re-join the corpus on vec_id to recover it
+    val base = corpus.select((col("vec_id") +:
+      asDouble(col("embedding")).as("vec") +: extraCols.map(col)): _*)
     val cents = lloydFit(
-      trainSample(base, maxTrainVectors, seed, portableInit), nLists, iters)
+      trainSample(base.select(col("vec_id"), col("vec")), maxTrainVectors,
+        seed, portableInit), nLists, iters)
     val assigned = base.withColumn("cell", nearestCell(col("vec"), cents))
     IVFIndex(assigned, cents)
   }
@@ -347,6 +353,46 @@ object Similarity {
       .select(col("anchor_id").as("vec_id"), col("neighbor_id"),
         col("cos_sim"), col("rn"))
 
+  /** CONNECTIVITY-BASED kNN CLUSTERING — the graph composition [[knnGraph]]
+    * was built to enable (and the connectivity variant of SemDeDup:
+    * [[semDedupIvf]] clusters by quadratic within-cell pairs, this one by
+    * transitive kNN-edge reachability): keep each vector's kNN edges at or
+    * above the `minCosine` floor, close them into connected components
+    * ([[graft.ops.Graph.connectedComponents]] — min-id labels), and return
+    * every corpus vector with its cluster id and cluster size. Vectors with
+    * no qualifying edge are singleton clusters of themselves, so the output
+    * PARTITIONS the corpus — the contract a dedup keep-policy or a
+    * leakage-free split needs.
+    *
+    * Deterministic and oracle-replayable: the edge set is q194's portable
+    * chain (threshold on the 6-dp-rounded cosine, the same display
+    * quantization the graph emits), and min-id component labels replay as
+    * a recursive closure (the q43/q76 pattern).
+    *
+    * Scale shape: edges are bounded by k·|corpus| BEFORE the closure (the
+    * top-k window caps fan-out, unlike a radius graph), components run
+    * log-diameter rounds over that bounded edge set, and the size column
+    * is one window partitioned by cluster id. */
+  def knnCluster(corpus: DataFrame, k: Int = 2, minCosine: Double = 0.2,
+                 nLists: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+                 iters: Int = 8, portableInit: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = knnGraph(corpus, k, nLists, nProbe, seed, iters, portableInit)
+      .filter(col("cos_sim") >= lit(minCosine))
+      .select(col("vec_id").as("src_id"), col("neighbor_id").as("dst_id"))
+    // the component frame IS its cache entry (the connectedComponents
+    // contract); harnesses reclaim it via Caching.releaseAll, the
+    // dedupCorpus discipline
+    val comps = graft.ops.Graph.connectedComponents(edges, "src_id", "dst_id")
+      .toDF("vec_id", "cluster_id")
+    corpus.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+  }
+
   /** CLUSTER-BALANCED DIVERSITY SELECTION: pick `n` vectors that SPREAD
     * over the embedding space instead of clumping where the corpus is
     * dense — the cluster-then-round-robin subset selection a curation
@@ -426,11 +472,9 @@ object Similarity {
   private def cellScoredPairs(corpus: DataFrame, extra: Seq[String],
                               nLists: Int, nProbe: Int, seed: Long,
                               iters: Int, portableInit: Boolean): DataFrame = {
-    val idx = ivfBuild(corpus, nLists, seed, iters, portableInit = portableInit)
-    val assigned =
-      if (extra.isEmpty) idx.assigned
-      else idx.assigned.join(
-        corpus.select((col("vec_id") +: extra.map(col)): _*), Seq("vec_id"))
+    val idx = ivfBuild(corpus, nLists, seed, iters, portableInit = portableInit,
+      extraCols = extra)
+    val assigned = idx.assigned
     val probes = corpus.select((col("vec_id").as("anchor_id") +:
         asDouble(col("embedding")).as("pvec") +:
         extra.map(c => col(c).as(s"anchor_$c"))): _*)

@@ -106,6 +106,20 @@ object CorpusIngest {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** CCNet LM admission gate for the streaming ingest: score each batch
+    * against a PRE-TRAINED model (load once with
+    * [[graft.text.LangModel.loadLm]] — the model is static per query, the
+    * CCNet deployment shape) and reject docs whose avg negative
+    * log-likelihood exceeds `maxAvgNllMicronats`; unscored (<2-token) docs
+    * pass, exactly like the batch refinery's lmFilter contract. A FIXED
+    * nll threshold replaces the batch pipeline's global rank cutoff — a
+    * stream cannot rank against documents it has not seen, so the
+    * threshold is calibrated offline ([[graft.text.LangModel.calibrateLmGate]]
+    * derives it from a representative batch's tail-tier boundary) and
+    * applied incrementally. */
+  final case class LmGate(model: graft.text.LangModel.LmModel,
+                          maxAvgNllMicronats: Long)
+
   /** The per-micro-batch decision pipeline of [[startNearDup]], factored out
     * so a BATCH caller can replay the exact admit/reject decisions a
     * streaming ingest makes ([[nearDupIngestTwin]] — the q171 batch-twin
@@ -115,19 +129,6 @@ object CorpusIngest {
     * defaults — the metric whose banded == brute-force equality is the
     * corpus-verified q24 contract, which is what makes the whole ingest
     * declaratively oracle-replayable. */
-  /** CCNet LM admission gate for the streaming ingest: score each batch
-    * against a PRE-TRAINED model (load once with
-    * [[graft.text.LangModel.loadLm]] — the model is static per query, the
-    * CCNet deployment shape) and reject docs whose avg negative
-    * log-likelihood exceeds `maxAvgNllMicronats`; unscored (<2-token) docs
-    * pass, exactly like the batch refinery's lmFilter contract. A FIXED
-    * nll threshold replaces the batch pipeline's global rank cutoff — a
-    * stream cannot rank against documents it has not seen, so the
-    * threshold is calibrated offline (e.g. the tail-tier boundary of a
-    * representative batch run) and applied incrementally. */
-  final case class LmGate(model: graft.text.LangModel.LmModel,
-                          maxAvgNllMicronats: Long)
-
   private[graft] def nearDupBatch(batchDf: DataFrame, lake: LakeTable,
                                   table: String, threshold: Double,
                                   numPerms: Int, bands: Int, shingleSize: Int,

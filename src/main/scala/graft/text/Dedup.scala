@@ -350,8 +350,11 @@ object Dedup {
         coalesce(col("effective_tokens"), lit(0L)).as("effective_tokens"),
         coalesce(col("effective_docs"), lit(0L)).as("effective_docs"))
       .withColumn("kept_permille",
-        graft.ops.Analytics.idiv(col("effective_tokens") * lit(1000L),
-          col("raw_tokens")))
+        // a source of only zero-token docs has raw_tokens = 0 and idiv's
+        // pmod would divide by zero under ANSI — it kept nothing: 0‰
+        when(col("raw_tokens") > 0,
+          graft.ops.Analytics.idiv(col("effective_tokens") * lit(1000L),
+            col("raw_tokens"))).otherwise(lit(0L)))
   }
 
   /** Deterministic removal set from containment pairs: a document goes if it

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * SQL. Tokens are keyed by the md5-based [[Dedup.portableTokenHash]] so
   * the count tables join on 64-bit longs, not strings, on any engine.
   *
-  * Scale shape: ONE tokenize pass over the corpus (persisted, Caching
-  * contract — release with [[graft.ops.Caching.release]] on the returned
-  * frame); the bigram/unigram model tables are bounded by the TRAIN slice's
+  * Scale shape: ONE tokenize pass over the corpus (persisted in the
+  * SHARED-SUBTREE mode of the [[graft.ops.Caching]] contract: the returned
+  * frame is NOT the cache entry, so callers reclaim it with
+  * [[graft.ops.Caching.releaseAll]] / `spark.catalog.clearCache()` after
+  * the result's actions, as the harnesses do); the bigram/unigram model
+  * tables are bounded by the TRAIN slice's
   * vocabulary and join the scoring stream as ordinary shuffled equi-joins
   * on 64-bit keys (nothing document-sized is broadcast); the only 1-row
   * scalar (N, V totals) rides a broadcast cross join, the q163/q190
@@ -70,6 +73,12 @@ object LangModel {
     * carries literal totals and serving needs NO scalar join). */
   def trainLm(docs: DataFrame, isTrain: Column): LmModel = {
     val paired = pairedEvents(docs.filter(isTrain))
+    // fail fast with a diagnosable message: an empty slice (or one of only
+    // <2-token docs) has no bigram events, and the totals head() below
+    // would otherwise NPE on a null sum
+    require(!paired.isEmpty,
+      "trainLm: the isTrain slice produced no bigram events " +
+        "(empty slice, or every training doc has < 2 tokens)")
     val c2 = paired.groupBy("w1h", "w2h").agg(count(lit(1)).as("c2"))
     val c1 = paired.groupBy("w1h").agg(count(lit(1)).as("c1"))
     val bigram = c2.join(c1, "w1h")
@@ -148,6 +157,13 @@ object LangModel {
       .persist()
 
     val train = paired.filter(col("is_train"))
+    // same degenerate-input contract as trainLm: a train slice with no
+    // bigram events would make the (nn, vv) scalar null and every score
+    // silently null — fail fast instead (limit(1)-bounded probe over the
+    // shared persisted stream, which the query was about to fill anyway)
+    require(!train.isEmpty,
+      "lmScore: the isTrain slice produced no bigram events " +
+        "(empty slice, or every training doc has < 2 tokens)")
     // bigram counts c(w1 w2) and LEFT-context counts c(w1) from the same
     // bigram stream (so the conditional S(w2|w1) = c2/c1 is a true
     // probability over observed contexts; the final token of each doc never
@@ -216,5 +232,35 @@ object LangModel {
         .when(col("cum_one") > n - tailN, lit("tail"))
         .otherwise(lit("middle")).as("bucket"))
     out
+  }
+
+  /** Calibrate a STREAMING admission threshold from the batch tiering
+    * contract: run [[perplexityBuckets]]' tail split over a representative
+    * batch and return the largest avg_nll_micronats that stayed OUT of the
+    * tail — the fixed `maxAvgNllMicronats` a
+    * [[graft.stream.CorpusIngest.LmGate]] needs, derived from the batch
+    * pipeline instead of hand-picked. Closes the batch → stream loop: a
+    * gate at this threshold admits a held-out document iff the calibration
+    * batch's refinery would have ranked it outside the tail.
+    *
+    * Tie caveat (documented, not hidden): the batch split breaks
+    * equal-score ties by doc_id, which no fixed threshold can replay — the
+    * returned threshold admits EVERY document at the boundary score. With
+    * micronat-quantized scores a tie at the exact boundary requires two
+    * docs with identical average nll; calibrate on a batch without one
+    * (or accept the ≤-boundary contract, the safe side for a gate).
+    *
+    * One tiering pass + a 1-row max aggregate; nothing data-sized ever
+    * reaches the driver. */
+  def calibrateLmGate(docs: DataFrame, isTrain: Column,
+      tailPermille: Int = 300, bucketMicronats: Long = 100000L): Long = {
+    val tiers = perplexityBuckets(docs, isTrain, headPermille = 0,
+      tailPermille = tailPermille, bucketMicronats = bucketMicronats)
+    val row = tiers.filter(col("bucket") =!= "tail")
+      .agg(max("avg_nll_micronats")).head()
+    require(!row.isNullAt(0),
+      "calibrateLmGate: every scored document fell in the tail tier — " +
+        "lower tailPermille or enlarge the calibration batch")
+    row.getLong(0)
   }
 }

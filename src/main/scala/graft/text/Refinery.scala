@@ -54,13 +54,29 @@ object Refinery {
       // trusted slice itself and <2-token docs are unscored and pass —
       // CCNet's contract: the filter prunes disfluent WEB text, it never
       // second-guesses the in-domain data
-      lmFilter: Option[LmFilter] = None)
+      lmFilter: Option[LmFilter] = None,
+      // opt-in learned-classifier stage beside the LM filter (the GPT-3 /
+      // CCNet discriminative web filter — QualityClassifier): train hashed
+      // bag-of-ngrams Naive Bayes on trusted-vs-pool labels over the gated
+      // docs, drop non-trusted docs whose per-gram log-odds average falls
+      // below the threshold. Trusted docs and unscored (zero-token) docs
+      // pass — the same never-second-guess-in-domain contract as lmFilter
+      classifierFilter: Option[NbFilter] = None)
 
   /** CCNet LM-stage parameters: `trainPredicateSql` selects the trusted
     * in-domain slice (e.g. "lang = 'en'"), `tailPermille` the scored-pool
     * fraction to drop, worst-first. */
   final case class LmFilter(trainPredicateSql: String,
                             tailPermille: Int = 300)
+
+  /** Classifier-stage parameters: `posPredicateSql`/`negPredicateSql`
+    * label the trusted and pool slices (disjoint SQL predicates over the
+    * gated docs); documents outside the trusted slice must score
+    * avg log-odds >= `minAvgMicronats` (micronats per gram, 0 = "more
+    * reference-like than pool-like") to survive. */
+  final case class NbFilter(posPredicateSql: String, negPredicateSql: String,
+                            minAvgMicronats: Long = 0L,
+                            numBuckets: Int = 1 << 18)
 
   /** Quality gate as a standalone predicate-pushable filter — the shared
     * [[TextStats.passesQualityGate]] screen, or the full Gopher rule bundle
@@ -101,9 +117,23 @@ object Refinery {
         gated.join(tail, Seq("doc_id"), "left_anti").persist()
       case None => gated
     }
+    // learned-classifier stage beside the LM filter (same slot, same
+    // contract): non-trusted docs below the log-odds threshold drop;
+    // unscored (zero-token) docs are absent from the score table and pass
+    val clfKept = cfg.classifierFilter match {
+      case Some(f) =>
+        val low = QualityClassifier.classifierScore(lmKept,
+            expr(f.posPredicateSql), expr(f.negPredicateSql), f.numBuckets)
+          .filter(col("avg_micronats") < f.minAvgMicronats)
+          .select("doc_id")
+        val bad = lmKept.filter(!expr(f.posPredicateSql))
+          .join(low, Seq("doc_id"), "left_semi").select("doc_id")
+        lmKept.join(bad, Seq("doc_id"), "left_anti").persist()
+      case None => lmKept
+    }
     val deduped0 =
-      if (cfg.shingleVerify) Dedup.dedupCorpusShingle(lmKept, cfg.nearDupThreshold)
-      else Dedup.dedupCorpus(lmKept, threshold = cfg.nearDupThreshold)
+      if (cfg.shingleVerify) Dedup.dedupCorpusShingle(clfKept, cfg.nearDupThreshold)
+      else Dedup.dedupCorpus(clfKept, threshold = cfg.nearDupThreshold)
     val deduped = deduped0.persist()
     // containment AFTER near-dup: Jaccard clusters collapse the mutual
     // near-copies first, then the directional stage drops embedded quotes

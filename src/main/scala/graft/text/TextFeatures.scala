@@ -411,8 +411,13 @@ object TextFeatures {
     val toks = TextStats.tokens(TextStats.normalize(col("text")))
     val feats = docs.select(col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tokens"),
-      floor(size(array_distinct(toks)).cast("double") * lit(1000000.0) /
-        size(toks).cast("double") + lit(0.5)).cast("long").as("distinct_micro"))
+      // a zero-token (empty / whitespace-only) doc would divide by zero —
+      // ANSI mode rejects it; rank such docs last (the epochs_micro guard
+      // in tokenBudgetAllocation, applied to the quality key)
+      when(size(toks) > 0,
+        floor(size(array_distinct(toks)).cast("double") * lit(1000000.0) /
+          size(toks).cast("double") + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)).as("distinct_micro"))
     val w = Window.partitionBy("source")
       .orderBy(desc("distinct_micro"), desc("n_tokens"), asc("doc_id"))
     feats

@@ -311,4 +311,60 @@ class CorpusIngestSpec extends SparkSpec {
       lmGate = Some(gate))
     assert(twin.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
   }
+
+  test("calibrated LM gate: the incremental stream admits exactly the batch " +
+      "refinery's survivors") {
+    import org.apache.spark.sql.functions._
+    // trusted slice: a fluent 13-word phrase plus shared pads; pool: six
+    // docs that scramble the PHRASE at increasing depth but carry each
+    // their OWN pad tokens, so (a) avg-nll scores are strictly ordered by
+    // scramble depth (each extra swap breaks more trained bigrams, pads
+    // cost every doc the same unk penalty), and (b) no pool doc is a
+    // shingle near-dup of the train slice or of another pool doc — the
+    // dedup stages must not perturb the LM-decision comparison
+    val phrase =
+      "the quick brown fox jumps over the lazy dog and runs far away".split(" ")
+    def poolDoc(id: Long, swaps: Int): DocRow = {
+      val arr = phrase.clone()
+      (0 until swaps).foreach { j =>
+        val t = arr(2 * j); arr(2 * j) = arr(2 * j + 1); arr(2 * j + 1) = t
+      }
+      val pads = (1 to 15).map(i => s"p${id}n$i").mkString(" ")
+      DocRow(id, arr.mkString(" ") + " " + pads, "fr", "web", 0)
+    }
+    val train = (1 to 4).map(i => DocRow(i.toLong,
+      phrase.mkString(" ") + " " + (1 to 15).map(j => s"pad$j").mkString(" "),
+      "en", "wiki", 0))
+    val pool = (0 until 6).map(i => poolDoc(11L + i, i))
+    val corpus = df(train ++ pool)
+    // batch side: the refinery with the CCNet LM stage drops the worst
+    // half of the scored pool by global rank
+    val cfg = graft.text.Refinery.Config(shingleVerify = true,
+      lmFilter = Some(graft.text.Refinery.LmFilter("lang = 'en'",
+        tailPermille = 500)))
+    val batchSurvivors = graft.text.Refinery.refine(corpus, cfg)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet.filter(_ >= 11L)
+    // stream side: threshold calibrated FROM the batch contract, model
+    // trained once, then the pool arrives in two incremental micro-batches
+    val threshold = graft.text.LangModel.calibrateLmGate(corpus,
+      col("lang") === "en", tailPermille = 500)
+    val model = graft.text.LangModel.trainLm(corpus, col("lang") === "en")
+    val gate = CorpusIngest.LmGate(model, threshold)
+    val in = Files.createTempDirectory("graft-lmcal-in").toString
+    val lakeDir = Files.createTempDirectory("graft-lmcal-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+    writeBatchFile(in, "b1", pool.take(3))
+    writeBatchFile(in, "b2", pool.drop(3))
+    val q = CorpusIngest.startNearDup(spark, in, lake, "lmcal",
+      shingleVerify = true, lmGate = Some(gate))
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    val landed = lake.read("lmcal").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // a FIXED threshold, applied one micro-batch at a time, reproduces the
+    // batch pipeline's global-rank decisions — the batch -> stream loop
+    assert(landed === batchSurvivors)
+    assert(landed.size === 3)
+  }
 }

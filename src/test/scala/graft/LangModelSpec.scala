@@ -186,6 +186,52 @@ class LangModelSpec extends SparkSpec {
     assert(plan === Set(1L))
   }
 
+  test("zero-token docs: topQualityPerSource ranks them last, effectiveTokens reports 0 permille") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e", "ok"), (2L, "", "empty"), (3L, "   ", "empty"))
+      .toDF("doc_id", "text", "source")
+    // no ANSI divide-by-zero; zero-token docs carry the sentinel key 0 and
+    // therefore sort to the bottom of their source's quality ranking
+    val tq = TextFeatures.topQualityPerSource(d, keepPermille = 1000).collect()
+    val empties = tq.filter(_.getAs[String]("source") == "empty")
+    assert(empties.length === 2)
+    assert(empties.forall(_.getAs[Long]("distinct_micro") === 0L))
+    // a source of only zero-token docs kept nothing it could count: 0‰
+    val eff = graft.text.Dedup.effectiveTokens(d)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("kept_permille")).toMap
+    assert(eff("empty") === 0L)
+    assert(eff("ok") === 1000L)
+  }
+
+  test("trainLm and lmScore fail fast when the train slice has no bigram events") {
+    import spark.implicits._
+    val d = Seq((1L, "one", "x"), (2L, "a b c", "y"))
+      .toDF("doc_id", "text", "source")
+    val e1 = intercept[IllegalArgumentException](
+      LangModel.trainLm(d, col("source") === "x"))
+    assert(e1.getMessage.contains("no bigram events"))
+    val e2 = intercept[IllegalArgumentException](
+      LangModel.lmScore(d, col("source") === "x"))
+    assert(e2.getMessage.contains("no bigram events"))
+  }
+
+  test("calibrateLmGate returns the non-tail boundary of the batch tiering") {
+    val threshold = LangModel.calibrateLmGate(docs, col("lang") === "en",
+      tailPermille = 300)
+    val tiers = LangModel.perplexityBuckets(docs, col("lang") === "en",
+      headPermille = 0, tailPermille = 300).persist()
+    val maxKept = tiers.filter(col("bucket") =!= "tail")
+      .agg(max("avg_nll_micronats")).head().getLong(0)
+    val minTail = tiers.filter(col("bucket") === "tail")
+      .agg(min("avg_nll_micronats")).head().getLong(0)
+    assert(threshold === maxKept)
+    // on this corpus the boundary is strict, so a <=-threshold gate admits
+    // EXACTLY the batch split's non-tail docs
+    assert(minTail > threshold)
+    tiers.unpersist()
+  }
+
   test("budgetedSamplePlan is deterministic under the seed") {
     def run() = TextFeatures.budgetedSamplePlan(docs, budgetTokens = 4000L,
       maxEpochs = 2.0)

@@ -72,6 +72,9 @@ class PlanLintSpec extends SparkSpec {
     "q208_refinery_lm",
     // waterfilling joins the 1-row theta water level into |sources| rows
     "q202_token_budget",
+    // NB classifier rides the 1-row (N_pos, N_neg) gram-totals scalar into
+    // the weight table and the unseen-bucket default (q200's pattern)
+    "q212_nb_classifier",
     // the budgeted plan composes the same allocation (theta scalar rides in)
     "q210_budgeted_sample")
 

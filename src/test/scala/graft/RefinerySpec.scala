@@ -64,6 +64,33 @@ class RefinerySpec extends SparkSpec {
     assert(trusted.map(_.doc_id).toSet.intersect(tail).isEmpty)
   }
 
+  test("classifierFilter drops pool docs the learned filter scores below " +
+      "threshold; the trusted slice always passes") {
+    import org.apache.spark.sql.functions._
+    // trusted: fluent english phrasing (each with its own pads so the
+    // near-dup stage leaves the comparison alone); pool: one doc restating
+    // the reference style, one keyboard-mash junk doc
+    val refText = "the committee reviewed the annual report and approved " +
+      "the budget for the next fiscal year with minor amendments"
+    val junk = "zxqv kjh wqpo zzkl mnbv qqwe rtyu asdf ghjk zxcv bnml " +
+      "poiu ytre wqas dfgh jklz xcvb nmqw erty"
+    val trusted = (1 to 3).map(i =>
+      DocRow(i.toLong, refText + " " + words(s"t${i}pad", 8), "en", "wiki", 0))
+    val pool = Seq(
+      DocRow(11L, refText.replace("committee", "board") + " " +
+        words("ppad", 8), "fr", "web", 0),
+      DocRow(12L, junk, "fr", "web", 0))
+    val docs = df(trusted ++ pool)
+    val cfg = Refinery.Config(shingleVerify = true,
+      classifierFilter = Some(Refinery.NbFilter(
+        "lang = 'en'", "lang <> 'en'", minAvgMicronats = 0L)))
+    val survivors = Refinery.refine(docs, cfg)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // the junk pool doc falls below the log-odds floor; the reference-like
+    // pool doc and the whole trusted slice survive to the chunk plan
+    assert(survivors === Set(1L, 2L, 3L, 11L))
+  }
+
   test("default config passes realistic docs through unchanged") {
     val docs = df(Seq(
       DocRow(10, words("x", 40), "en", "web", 0),
