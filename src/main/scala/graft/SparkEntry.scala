@@ -1284,6 +1284,23 @@ object SparkEntry {
     "q212_nb_classifier" -> ((s, d) =>
       graft.text.QualityClassifier.classifierScore(t(s, d, "documents"),
         col("lang") === "en", col("lang") =!= "en")),
+    // --- classifier serving lifecycle [ext]: train the NB filter on the
+    // en-vs-pool labels, SAVE it to a lake (weights/meta tables), LOAD it
+    // back, score the whole corpus against the loaded model — must
+    // hash-equal q212's in-line training (one shared oracle SQL; the
+    // q209 serve-roundtrip discipline applied to the classifier).
+    // In-suite budget: q212's weight + two tiny lake tables, <= 3 s ---
+    "q214_nb_serve" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val m = graft.text.QualityClassifier.trainQualityClassifier(docs,
+        col("lang") === "en", col("lang") =!= "en")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_nb_lake").toString
+      val lake = new graft.tables.LakeTable(s, dir)
+      graft.text.QualityClassifier.saveClassifier(lake, "m", m)
+      graft.text.QualityClassifier.scoreWithClassifier(
+        graft.text.QualityClassifier.loadClassifier(lake, "m"), docs)
+    },
     // --- kNN-graph clustering [ext]: q194's edge chain at a cosine floor,
     // closed into connected components (min-id labels) — the connectivity
     // SemDeDup variant; singletons cluster as themselves so the output
@@ -3516,28 +3533,10 @@ object SparkEntry {
     // (60-bit md5 token hash folded mod 2^18), per-bucket Laplace log-odds
     // quantized once to micronats (double products of longs — the exact
     // Spark spelling), every doc scored by the exact long sum
-    "q212_nb_classifier" ->
-      (s"WITH t AS (SELECT doc_id, lang = 'en' AS is_p, lang <> 'en' AS is_n, " +
-        s"$toksSql AS toks FROM documents), " +
-        "g AS (SELECT doc_id, is_p, is_n, " +
-        "CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 262144 AS bh " +
-        "FROM (SELECT doc_id, is_p, is_n, unnest(toks || " +
-        "list_transform(range(len(toks) - 1), j -> toks[j + 1] || ' ' || toks[j + 2])) AS gr FROM t)), " +
-        "bc AS (SELECT bh, CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp, " +
-        "CAST(sum(CASE WHEN is_n THEN 1 ELSE 0 END) AS BIGINT) AS cn " +
-        "FROM g WHERE is_p OR is_n GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM bc), " +
-        "wt AS (SELECT bh, CAST(floor(ln(CAST(cp + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
-        "(CAST(cn + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w " +
-        "FROM bc CROSS JOIN tot), " +
-        "sc AS (SELECT doc_id, coalesce(w, " +
-        "CAST(floor(ln(CAST(0 + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
-        "(CAST(0 + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS w " +
-        "FROM g LEFT JOIN wt USING (bh) CROSS JOIN tot) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
-        "CAST(sum(w) AS BIGINT) AS score_micronats, " +
-        "CAST(floor(CAST(sum(w) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS avg_micronats " +
-        "FROM sc GROUP BY doc_id"),
+    "q212_nb_classifier" -> nbClassifierSql,
+    // classifier lifecycle: the lake save/load roundtrip must score
+    // exactly like in-line training — one shared replay (q209's pattern)
+    "q214_nb_serve" -> nbClassifierSql,
     // kNN-cluster replay: q194's portable edge chain on the even
     // half-slice, thresholded on the 6-dp cosine, recursive min-id
     // closure over the symmetric edges (q43/q76's pattern), singletons
@@ -3671,4 +3670,32 @@ object SparkEntry {
       "CAST(-sum(lp) AS BIGINT) AS nll_micronats, " +
       "CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT) " +
       "AS avg_nll_micronats FROM sc GROUP BY doc_id"
+
+  /** Shared q212/q214 replay: hashed unigram+bigram gram stream (60-bit
+    * md5 token hash folded mod 2^18), per-bucket Laplace log-odds
+    * quantized once to micronats (double products of longs — the exact
+    * Spark spelling), every doc scored by the exact long sum. q214's lake
+    * save/load roundtrip must land exactly here. */
+  private def nbClassifierSql =
+    s"WITH t AS (SELECT doc_id, lang = 'en' AS is_p, lang <> 'en' AS is_n, " +
+      s"$toksSql AS toks FROM documents), " +
+      "g AS (SELECT doc_id, is_p, is_n, " +
+      "CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 262144 AS bh " +
+      "FROM (SELECT doc_id, is_p, is_n, unnest(toks || " +
+      "list_transform(range(len(toks) - 1), j -> toks[j + 1] || ' ' || toks[j + 2])) AS gr FROM t)), " +
+      "bc AS (SELECT bh, CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp, " +
+      "CAST(sum(CASE WHEN is_n THEN 1 ELSE 0 END) AS BIGINT) AS cn " +
+      "FROM g WHERE is_p OR is_n GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM bc), " +
+      "wt AS (SELECT bh, CAST(floor(ln(CAST(cp + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
+      "(CAST(cn + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w " +
+      "FROM bc CROSS JOIN tot), " +
+      "sc AS (SELECT doc_id, coalesce(w, " +
+      "CAST(floor(ln(CAST(0 + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
+      "(CAST(0 + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS w " +
+      "FROM g LEFT JOIN wt USING (bh) CROSS JOIN tot) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+      "CAST(sum(w) AS BIGINT) AS score_micronats, " +
+      "CAST(floor(CAST(sum(w) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS avg_micronats " +
+      "FROM sc GROUP BY doc_id"
 }

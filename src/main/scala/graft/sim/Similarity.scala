@@ -375,11 +375,20 @@ object Similarity {
     * is one window partitioned by cluster id. */
   def knnCluster(corpus: DataFrame, k: Int = 2, minCosine: Double = 0.2,
                  nLists: Int = 8, nProbe: Int = 2, seed: Long = 42L,
-                 iters: Int = 8, portableInit: Boolean = false): DataFrame = {
+                 iters: Int = 8, portableInit: Boolean = false,
+                 mutual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = knnGraph(corpus, k, nLists, nProbe, seed, iters, portableInit)
+    val directed = knnGraph(corpus, k, nLists, nProbe, seed, iters, portableInit)
       .filter(col("cos_sim") >= lit(minCosine))
       .select(col("vec_id").as("src_id"), col("neighbor_id").as("dst_id"))
+    // mutual-kNN: keep an edge only if BOTH endpoints rank each other in
+    // their top-k — the stricter linkage that resists hub vectors chaining
+    // unrelated regions together (the standard mutual-kNN clustering
+    // graph); one self-intersect on the k·|corpus|-bounded edge set
+    val edges =
+      if (mutual) directed.intersect(
+        directed.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
+      else directed
     // the component frame IS its cache entry (the connectedComponents
     // contract); harnesses reclaim it via Caching.releaseAll, the
     // dedupCorpus discipline

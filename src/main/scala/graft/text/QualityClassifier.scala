@@ -144,6 +144,28 @@ object QualityClassifier {
     NbModel(weights, default, numBuckets)
   }
 
+  /** Persist a trained classifier into the lake as two versioned tables
+    * (`{prefix}_nb_weights`, `{prefix}_nb_meta`) — the classifier sibling
+    * of the LM's [[LangModel.saveLm]] lifecycle. */
+  def saveClassifier(lake: graft.tables.LakeTable, prefix: String,
+                     model: NbModel): Unit = {
+    lake.write(model.weights, s"${prefix}_nb_weights", "overwrite"): Unit
+    val spark = model.weights.sparkSession
+    import spark.implicits._
+    lake.write(
+      Seq((model.defaultMicronats, model.numBuckets))
+        .toDF("default_micronats", "num_buckets"),
+      s"${prefix}_nb_meta", "overwrite"): Unit
+  }
+
+  /** Load a persisted classifier; the 1-row meta read is the only
+    * collect. */
+  def loadClassifier(lake: graft.tables.LakeTable, prefix: String): NbModel = {
+    val meta = lake.read(s"${prefix}_nb_meta").head()
+    NbModel(lake.read(s"${prefix}_nb_weights"),
+      meta.getAs[Long]("default_micronats"), meta.getAs[Int]("num_buckets"))
+  }
+
   /** Serving path: score any documents against a trained model — gram
     * stream, weight equi-join, unseen default, exact long sums. Same
     * schema as [[classifierScore]]. */

@@ -47,6 +47,21 @@ class Round10OpsSpec extends SparkSpec {
     assert(inline.exceptAll(served).isEmpty && served.exceptAll(inline).isEmpty)
   }
 
+  test("classifier save/load roundtrip scores identically to the in-memory model") {
+    val model = QualityClassifier.trainQualityClassifier(docs,
+      col("lang") === "en", col("lang") =!= "en")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nb-lake").toString
+    val lake = new graft.tables.LakeTable(spark, dir)
+    QualityClassifier.saveClassifier(lake, "m", model)
+    val loaded = QualityClassifier.loadClassifier(lake, "m")
+    assert(loaded.defaultMicronats === model.defaultMicronats)
+    assert(loaded.numBuckets === model.numBuckets)
+    val a = QualityClassifier.scoreWithClassifier(model, docs)
+    val b = QualityClassifier.scoreWithClassifier(loaded, docs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("trainQualityClassifier fails fast when a class has no grams") {
     import spark.implicits._
     val d = Seq((1L, "only positives here", "pos")).toDF("doc_id", "text", "cls")
@@ -106,6 +121,23 @@ class Round10OpsSpec extends SparkSpec {
     // group; on well-separated clusters those groups ARE the kNN-connected
     // components, so the keep-set equals the cluster-label set
     assert(keepers === clusters)
+  }
+
+  test("mutual mode drops one-directional edges a hub vector would chain through") {
+    // a ~ c tightly; b points AT a (its only neighbor) but a's top-1 is c,
+    // so the (b -> a) edge is one-directional: threshold linkage merges
+    // all three, mutual-kNN leaves b a singleton
+    val vecs = df(Seq(
+      Vec(1L, Array(1f, 0f, 0f, 0f), 0),
+      Vec(2L, Array(0.999f, 0.045f, 0f, 0f), 0),
+      Vec(3L, Array(0.7f, 0.7f, 0f, 0f), 1)))
+    def run(mutual: Boolean) =
+      Similarity.knnCluster(vecs, k = 1, minCosine = 0.5, nLists = 1,
+        nProbe = 1, iters = 2, mutual = mutual)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Long]("cluster_id")).toMap
+    assert(run(mutual = false) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(run(mutual = true) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
   test("knnCluster singletons: a floor above every cosine yields all-singleton clusters") {
