@@ -837,9 +837,16 @@ object SparkEntry {
     // reference's validator checks (FK closure, total reconciliation) ---
     "q162_datagen_gate" -> { (s, d) =>
       val cfg = graft.ingest.DataGen.Config()
-      val custs = graft.ingest.DataGen.customers(s, cfg)
-      val prods = graft.ingest.DataGen.products(s, cfg)
-      val (orders, items) = graft.ingest.DataGen.ordersAndItems(s, cfg)
+      // shared-subtree persists (Caching contract, harness releaseAll
+      // reclaims): the six 1-row aggregate branches below reference the
+      // generated frames 2-3x each, and ReuseExchange does not merge the
+      // re-planned generator subtrees — unpersisted, the whole generation
+      // pipeline re-runs per branch (measured 5.1 -> ~2 s at sf0.1)
+      val custs = graft.ingest.DataGen.customers(s, cfg).persist()
+      val prods = graft.ingest.DataGen.products(s, cfg).persist()
+      val (orders0, items0) = graft.ingest.DataGen.ordersAndItems(s, cfg)
+      val orders = orders0.persist()
+      val items = items0.persist()
       val nc = custs.agg(count(lit(1)).as("n_customers"))
       val np = prods.agg(count(lit(1)).as("n_products"))
       val no = orders.agg(count(lit(1)).as("n_orders"))
@@ -1184,13 +1191,16 @@ object SparkEntry {
     // (1-s²)^16 ≈ 8e-8 at s = 0.8 — the q24 banded == brute equality
     // contract is carried by the specs and q24 itself, not this row;
     // shingleVerify keeps every surviving candidate exact)
+    // shufflePartitions = 8: size the ~70-action per-batch DAG's shuffles
+    // to the micro-batch (see startNearDup's scaladoc) — partition-count-
+    // invariant operators, measured 18.8 -> 12.0 s per run at sf0.1
     "q196_stream_ingest_twin" -> { (s, d) =>
       val docs = t(s, d, "documents").filter(col("doc_id") % 8 < 2)
       graft.stream.CorpusIngest.nearDupIngestTwin(s,
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
         threshold = 0.8, numPerms = 32, bands = 16,
-        containmentThreshold = Some(0.5))
+        containmentThreshold = Some(0.5), shufflePartitions = Some(8))
     },
     // --- span-level dedup [ext]: arXiv:2107.06499's substring dedup as a
     // distributed rolling-window census — windows duplicated across >= 2

@@ -85,7 +85,16 @@ object CorpusIngest {
     * Candidate volume is bounded by band-collision rate, not corpus size —
     * the same bound as a full-corpus MinHash dedup, paid incrementally.
     * Documents too short to shingle produce no bands and are exact-dedup'd
-    * only (identical to the batch pipeline's behavior). */
+    * only (identical to the batch pipeline's behavior).
+    *
+    * `shufflePartitions`: size the per-batch pipeline's shuffles to the
+    * MICRO-BATCH, not the cluster default — the ~70-action decision DAG
+    * runs on batch-sized data, and cluster-sized shuffle widths spend more
+    * wall clock on task scheduling and AQE re-planning than on rows
+    * (measured 18.8 → 12.0 s per two-batch run at a 32 → 8 width). The
+    * session conf is set for the batch and restored after; every operator
+    * in the pipeline is partition-count-invariant, so results are
+    * unchanged. None (default) leaves the session untouched. */
   def startNearDup(spark: SparkSession, dir: String, lake: LakeTable,
                    table: String, threshold: Double = 0.8, numPerms: Int = 32,
                    bands: Int = 8, shingleSize: Int = 3,
@@ -95,12 +104,13 @@ object CorpusIngest {
                    checkpoint: Option[String] = None,
                    shingleVerify: Boolean = false,
                    gate: String = "basic",
-                   lmGate: Option[LmGate] = None): StreamingQuery = {
+                   lmGate: Option[LmGate] = None,
+                   shufflePartitions: Option[Int] = None): StreamingQuery = {
     val w = readDocStream(spark, dir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         nearDupBatch(batch.toDF(), lake, table, threshold, numPerms, bands,
           shingleSize, containmentThreshold, sketchK, shingleVerify, gate,
-          lmGate)
+          lmGate, shufflePartitions)
       }
       .trigger(trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
@@ -135,7 +145,34 @@ object CorpusIngest {
                                   containmentThreshold: Option[Double],
                                   sketchK: Int, shingleVerify: Boolean,
                                   gate: String,
-                                  lmGate: Option[LmGate] = None): Unit = {
+                                  lmGate: Option[LmGate] = None,
+                                  shufflePartitions: Option[Int] = None): Unit =
+    shufflePartitions match {
+      case Some(n) =>
+        // micro-batch shuffle sizing (see startNearDup's scaladoc): session
+        // conf set for the batch, restored in finally — the stream's
+        // foreachBatch body is the only planner while it runs
+        val spark = batchDf.sparkSession
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try nearDupBatchBody(batchDf, lake, table, threshold, numPerms,
+          bands, shingleSize, containmentThreshold, sketchK, shingleVerify,
+          gate, lmGate)
+        finally spark.conf.set(key, prev)
+      case None =>
+        nearDupBatchBody(batchDf, lake, table, threshold, numPerms, bands,
+          shingleSize, containmentThreshold, sketchK, shingleVerify, gate,
+          lmGate)
+    }
+
+  private def nearDupBatchBody(batchDf: DataFrame, lake: LakeTable,
+                               table: String, threshold: Double,
+                               numPerms: Int, bands: Int, shingleSize: Int,
+                               containmentThreshold: Option[Double],
+                               sketchK: Int, shingleVerify: Boolean,
+                               gate: String,
+                               lmGate: Option[LmGate]): Unit = {
     val rowsPerBand = numPerms / bands
     def withIndexCols(docs: DataFrame): DataFrame = {
       val sig = Dedup.minhashSignatures(docs, numPerms, shingleSize)
@@ -351,13 +388,15 @@ object CorpusIngest {
                         containmentThreshold: Option[Double] = None,
                         sketchK: Int = 64, shingleVerify: Boolean = true,
                         gate: String = "basic",
-                        lmGate: Option[LmGate] = None): DataFrame = {
+                        lmGate: Option[LmGate] = None,
+                        shufflePartitions: Option[Int] = None): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ingest_twin_lake").toString
     val lake = new LakeTable(spark, dir)
     Seq(batch1, batch2).foreach(b =>
       nearDupBatch(b, lake, "twin", threshold, numPerms, bands, shingleSize,
-        containmentThreshold, sketchK, shingleVerify, gate, lmGate))
+        containmentThreshold, sketchK, shingleVerify, gate, lmGate,
+        shufflePartitions))
     lake.read("twin").select(col("doc_id"), col("n_chars"))
   }
 }

@@ -17,59 +17,49 @@ object BenchProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    try {
-      val r = spark.sql(
-        """WITH RECURSIVE t(n) AS (
-          |  SELECT 1
-          |  UNION ALL
-          |  SELECT n + 1 FROM t WHERE n < 5
-          |) SELECT sum(n) FROM t""".stripMargin).head.getLong(0)
-      println(s"PROBE recursive-cte sum=$r")
-    } catch { case e: Throwable => println(s"PROBE recursive-cte FAILED: ${e.getMessage.take(200)}") }
-    try {
-      val r = spark.sql(
-        """WITH RECURSIVE t(n) AS (
-          |  SELECT 1
-          |  UNION
-          |  SELECT CASE WHEN n >= 3 THEN 3 ELSE n + 1 END FROM t
-          |) SELECT sum(n) FROM t""".stripMargin).head.getLong(0)
-      println(s"PROBE recursive-cte-distinct sum=$r") // 1+2+3=6 iff UNION dedups
-    } catch { case e: Throwable => println(s"PROBE recursive-cte-distinct FAILED: ${e.getMessage.take(200)}") }
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    li.count()
-    for (_ <- 1 to 2) {
-      time("coPurchasePairs-HOF") {
-        graft.ops.Graph.coPurchasePairs(li, 2).count()
+    // job accounting: how many actions does the ingest twin issue, and how
+    // much wall time do the jobs themselves cover vs driver-side planning?
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(s.jobId, System.nanoTime()): Unit
+          jobs.incrementAndGet(): Unit
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.remove(e.jobId)
+          if (t0 != 0L) jobNanos.addAndGet(System.nanoTime() - t0): Unit
+        }
+      })
+    def runTwin(label: String): Unit = {
+      val j0 = jobs.get(); val n0 = jobNanos.get()
+      time(label) {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 8 < 2)
+        graft.stream.CorpusIngest.nearDupIngestTwin(spark,
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          threshold = 0.8, numPerms = 32, bands = 16,
+          containmentThreshold = Some(0.5)).count(): Unit
       }
-      time("coPurchasePairs-selfjoin") {
-        val p = li.select(col("l_orderkey").as("ok"), col("l_partkey"))
-        p.as("a").join(p.as("b"),
-            col("a.ok") === col("b.ok") && col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
-          .agg(count(lit(1)).as("n_together"))
-          .filter(col("n_together") >= 2)
-          .count()
-      }
+      println(f"PROBE   jobs=${jobs.get() - j0} jobWall=${(jobNanos.get() - n0) / 1e9}%.3f s")
+      graft.ops.Caching.releaseAll(spark)
     }
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    emb.count()
-    // warm
-    graft.sim.Similarity.pqBuild(emb, iters = 1).codes.count()
-    val idx = time("pqBuild(iters=8)") { graft.sim.Similarity.pqBuild(emb) }
-    time("codes.count") { idx.codes.count() }
-    val idx2 = time("pqBuild(iters=2)") { graft.sim.Similarity.pqBuild(emb, iters = 2) }
-    time("codes2.count") { idx2.codes.count() }
-    time("pqTopK") {
-      graft.sim.Similarity.pqTopK(idx, emb.filter(col("vec_id") < 20), 3).count()
-    }
-    time("pqTopK-again") {
-      graft.sim.Similarity.pqTopK(idx, emb.filter(col("vec_id") < 20), 3).count()
-    }
-    val cached = idx.copy(codes = idx.codes.cache())
-    cached.codes.count()
-    time("pqTopK-cachedCodes") {
-      graft.sim.Similarity.pqTopK(cached, emb.filter(col("vec_id") < 20), 3).count()
-    }
+    runTwin("twin-cold")
+    runTwin("twin-warm1")
+    runTwin("twin-warm2")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    runTwin("twin-noaqe1")
+    runTwin("twin-noaqe2")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    runTwin("twin-noaqe-sp8")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    runTwin("twin-aqe-sp8")
+    runTwin("twin-aqe-sp8b")
     spark.stop()
   }
 }
