@@ -1294,6 +1294,17 @@ object SparkEntry {
     "q212_nb_classifier" -> ((s, d) =>
       graft.text.QualityClassifier.classifierScore(t(s, d, "documents"),
         col("lang") === "en", col("lang") =!= "en")),
+    // --- budgeted quality selection [ext]: the curation endgame — q202's
+    // waterfilled per-source token budget filled BEST FIRST under q203's
+    // deterministic quality key (instead of q210's seeded-random order);
+    // a doc is selected iff its preceding cumulative tokens sit below the
+    // source's allocation. Budget 26000 at sf0.01 makes the cut bind for
+    // the larger sources while the smaller ones keep everything (both
+    // branches fire). In-suite budget: one tokenize pass + |sources|-grain
+    // windows, <= 3 s ---
+    "q215_budgeted_quality" -> ((s, d) =>
+      TextFeatures.budgetedQualitySelection(t(s, d, "documents"),
+        budgetTokens = 26000L)),
     // --- classifier serving lifecycle [ext]: train the NB filter on the
     // en-vs-pool labels, SAVE it to a lake (weights/meta tables), LOAD it
     // back, score the whole corpus against the loaded model — must
@@ -3539,6 +3550,36 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, chunk_idx, " +
         "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
         "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // budgeted-quality replay: q202's waterfill at maxEpochs = 1.0 (every
+    // source in the ranking, zero-cap sources allocate 0 and their docs
+    // fail the cum < alloc cut), then q203's quality order with a running
+    // token sum cut per source
+    "q215_budgeted_quality" ->
+      (s"WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents), " +
+        "f AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) " +
+        "* 1000000 / CAST(len(toks) AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END AS distinct_micro " +
+        "FROM t), " +
+        "ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_tokens, " +
+        "CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 1.0) AS BIGINT) AS cap_tokens " +
+        "FROM f GROUP BY 1), " +
+        "rk AS (SELECT *, coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_excl, " +
+        "count(*) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining FROM ps), " +
+        "th AS (SELECT max(CASE WHEN prefix_excl + remaining * cap_tokens >= 26000 " +
+        "THEN CAST(26000 - prefix_excl AS DOUBLE) / CAST(remaining AS DOUBLE) END) " +
+        "AS theta FROM rk), " +
+        "al AS (SELECT source, least(cap_tokens, " +
+        "CAST(floor(coalesce(theta, CAST(cap_tokens AS DOUBLE))) AS BIGINT)) AS alloc_tokens " +
+        "FROM rk CROSS JOIN th), " +
+        "r AS (SELECT f.doc_id, f.source, f.n_tokens, f.distinct_micro, al.alloc_tokens, " +
+        "coalesce(sum(f.n_tokens) OVER (PARTITION BY f.source " +
+        "ORDER BY f.distinct_micro DESC, f.n_tokens DESC, f.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before " +
+        "FROM f JOIN al USING (source)) " +
+        "SELECT doc_id, source, n_tokens, distinct_micro, " +
+        "CAST(cum_before AS BIGINT) AS cum_before FROM r WHERE cum_before < alloc_tokens"),
     // Naive Bayes classifier replay: hashed unigram+bigram gram stream
     // (60-bit md5 token hash folded mod 2^18), per-bucket Laplace log-odds
     // quantized once to micronats (double products of longs — the exact

@@ -105,12 +105,13 @@ object CorpusIngest {
                    shingleVerify: Boolean = false,
                    gate: String = "basic",
                    lmGate: Option[LmGate] = None,
+                   nbGate: Option[NbGate] = None,
                    shufflePartitions: Option[Int] = None): StreamingQuery = {
     val w = readDocStream(spark, dir).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         nearDupBatch(batch.toDF(), lake, table, threshold, numPerms, bands,
           shingleSize, containmentThreshold, sketchK, shingleVerify, gate,
-          lmGate, shufflePartitions)
+          lmGate, nbGate, shufflePartitions)
       }
       .trigger(trigger)
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
@@ -130,6 +131,17 @@ object CorpusIngest {
   final case class LmGate(model: graft.text.LangModel.LmModel,
                           maxAvgNllMicronats: Long)
 
+  /** Learned-classifier admission gate for the streaming ingest — the
+    * stream twin of the refinery's `classifierFilter` stage: score each
+    * batch against a PRE-TRAINED Naive Bayes model (load once with
+    * [[graft.text.QualityClassifier.loadClassifier]]) and reject docs
+    * whose per-gram log-odds average falls below `minAvgMicronats`
+    * (0 = "more reference-like than pool-like" — the log-odds sign, so
+    * unlike the LM gate no rank calibration is needed); unscored
+    * (zero-token) docs pass, the lmFilter contract. */
+  final case class NbGate(model: graft.text.QualityClassifier.NbModel,
+                          minAvgMicronats: Long = 0L)
+
   /** The per-micro-batch decision pipeline of [[startNearDup]], factored out
     * so a BATCH caller can replay the exact admit/reject decisions a
     * streaming ingest makes ([[nearDupIngestTwin]] — the q171 batch-twin
@@ -146,6 +158,7 @@ object CorpusIngest {
                                   sketchK: Int, shingleVerify: Boolean,
                                   gate: String,
                                   lmGate: Option[LmGate] = None,
+                                  nbGate: Option[NbGate] = None,
                                   shufflePartitions: Option[Int] = None): Unit =
     shufflePartitions match {
       case Some(n) =>
@@ -158,12 +171,12 @@ object CorpusIngest {
         spark.conf.set(key, n.toString)
         try nearDupBatchBody(batchDf, lake, table, threshold, numPerms,
           bands, shingleSize, containmentThreshold, sketchK, shingleVerify,
-          gate, lmGate)
+          gate, lmGate, nbGate)
         finally spark.conf.set(key, prev)
       case None =>
         nearDupBatchBody(batchDf, lake, table, threshold, numPerms, bands,
           shingleSize, containmentThreshold, sketchK, shingleVerify, gate,
-          lmGate)
+          lmGate, nbGate)
     }
 
   private def nearDupBatchBody(batchDf: DataFrame, lake: LakeTable,
@@ -172,7 +185,8 @@ object CorpusIngest {
                                containmentThreshold: Option[Double],
                                sketchK: Int, shingleVerify: Boolean,
                                gate: String,
-                               lmGate: Option[LmGate]): Unit = {
+                               lmGate: Option[LmGate],
+                               nbGate: Option[NbGate]): Unit = {
     val rowsPerBand = numPerms / bands
     def withIndexCols(docs: DataFrame): DataFrame = {
       val sig = Dedup.minhashSignatures(docs, numPerms, shingleSize)
@@ -216,8 +230,19 @@ object CorpusIngest {
             gated0.join(bad, Seq("doc_id"), "left_anti")
           case None => gated0
         }
+        // learned-classifier admission after the LM gate (the refinery's
+        // stage order): reject scored docs below the log-odds floor
+        val gatedNb = nbGate match {
+          case Some(g) =>
+            val bad = graft.text.QualityClassifier
+              .scoreWithClassifier(g.model, gated)
+              .filter(col("avg_micronats") < g.minAvgMicronats)
+              .select("doc_id")
+            gated.join(bad, Seq("doc_id"), "left_anti")
+          case None => gated
+        }
         // in-batch: exact dedup, then near-dup clusters keep min doc_id
-        val exact = cut(Dedup.dropExactDups(gated))
+        val exact = cut(Dedup.dropExactDups(gatedNb))
         val inPairs = cut(
           if (shingleVerify) Dedup.minhashNearDupsShingle(exact, numPerms,
             bands, shingleSize, threshold)
@@ -389,13 +414,14 @@ object CorpusIngest {
                         sketchK: Int = 64, shingleVerify: Boolean = true,
                         gate: String = "basic",
                         lmGate: Option[LmGate] = None,
+                        nbGate: Option[NbGate] = None,
                         shufflePartitions: Option[Int] = None): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ingest_twin_lake").toString
     val lake = new LakeTable(spark, dir)
     Seq(batch1, batch2).foreach(b =>
       nearDupBatch(b, lake, "twin", threshold, numPerms, bands, shingleSize,
-        containmentThreshold, sketchK, shingleVerify, gate, lmGate,
+        containmentThreshold, sketchK, shingleVerify, gate, lmGate, nbGate,
         shufflePartitions))
     lake.read("twin").select(col("doc_id"), col("n_chars"))
   }

@@ -429,6 +429,53 @@ object TextFeatures {
         col("distinct_micro"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Budgeted QUALITY selection — the curation endgame composing the two
+    * halves this library already has: [[tokenBudgetAllocation]] decides how
+    * many tokens each SOURCE contributes (waterfilled, so no domain starves
+    * another), and within each source documents fill that allocation BEST
+    * FIRST under [[topQualityPerSource]]'s deterministic quality key
+    * (micronat distinct-token ratio, then length, then doc_id) instead of
+    * the seeded-random order a plain sample plan uses. A doc is selected
+    * iff its preceding cumulative token count is still below the source's
+    * allocation — the same packing convention as [[budgetedSamplePlan]],
+    * so per-source selected totals land in [alloc, alloc + max doc) when
+    * the allocation binds.
+    *
+    * `maxEpochs = 1.0` by construction: a SELECTION chooses which docs to
+    * keep, it never repeats one — so a source's cap is its own token total
+    * and the waterfill only decides where the budget cuts.
+    *
+    * Exact and engine-portable: integer quality keys, long running sums,
+    * the q202 waterfill — the whole plan replays in SQL.
+    *
+    * Scale shape: the |sources|-row allocation BROADCASTS back; one window
+    * PARTITIONED BY source for the running sum; everything else is a map. */
+  def budgetedQualitySelection(docs: DataFrame,
+                               budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = tokenBudgetAllocation(docs, budgetTokens, maxEpochs = 1.0)
+      .filter(col("t_tokens") > 0)
+      .select(col("source"), col("alloc_tokens"))
+    val toks = TextStats.tokens(TextStats.normalize(col("text")))
+    val feats = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      // zero-token docs rank last (the topQualityPerSource guard); they
+      // also add nothing to the running sum, so they are selected only
+      // when the allocation is not yet exhausted — harmless either way
+      when(size(toks) > 0,
+        floor(size(array_distinct(toks)).cast("double") * lit(1000000.0) /
+          size(toks).cast("double") + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)).as("distinct_micro"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("distinct_micro"), desc("n_tokens"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    feats.join(broadcast(alloc), Seq("source"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < col("alloc_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("distinct_micro"), col("cum_before"))
+  }
+
   def packingPlan(docs: DataFrame, capacity: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("source"),

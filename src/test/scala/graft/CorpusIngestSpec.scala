@@ -312,6 +312,47 @@ class CorpusIngestSpec extends SparkSpec {
     assert(twin.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
   }
 
+  test("NB classifier gate rejects the junk doc the basic gate admits (stream == twin)") {
+    import org.apache.spark.sql.functions._
+    // train: trusted english vs keyboard-mash pool labels; the stream then
+    // ingests two unlabeled probes — a reference-like doc and a junk doc —
+    // and the log-odds sign (threshold 0) must admit only the former
+    val ref = "the committee reviewed the annual report and approved the " +
+      "budget for the next fiscal year with minor amendments"
+    val junk = "zxqv kjh wqpo zzkl mnbv qqwe rtyu asdf ghjk zxcv bnml " +
+      "poiu ytre wqas dfgh jklz xcvb nmqw erty"
+    val trainDocs = df(Seq(
+      DocRow(1, ref, "en", "wiki", 0),
+      DocRow(2, ref.replace("annual", "quarterly"), "en", "wiki", 0),
+      DocRow(3, junk, "xx", "web", 0),
+      DocRow(4, junk.replace("zxqv", "vqxz"), "xx", "web", 0)))
+    val model = graft.text.QualityClassifier.trainQualityClassifier(
+      trainDocs, col("lang") === "en", col("lang") =!= "en")
+    val gate = CorpusIngest.NbGate(model)
+    // probes carry their own pads to clear the 20-token basic gate; the
+    // pads hash to unseen buckets (default weight ~0 with balanced
+    // classes), so the core grams decide the log-odds sign
+    val probes = Seq(
+      DocRow(11, ref.replace("committee", "board") + " " +
+        (1 to 8).map(i => s"pa$i").mkString(" "), "fr", "web", 0),
+      DocRow(12, junk.replace("kjh", "hjk") + " " +
+        (1 to 8).map(i => s"pb$i").mkString(" "), "fr", "web", 0))
+    val in = Files.createTempDirectory("graft-nb-in").toString
+    val lakeDir = Files.createTempDirectory("graft-nb-lake2").toString
+    val lake = new LakeTable(spark, lakeDir)
+    writeBatchFile(in, "b1", probes)
+    val q = CorpusIngest.startNearDup(spark, in, lake, "nbg",
+      shingleVerify = true, nbGate = Some(gate))
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty)
+    assert(lake.read("nbg").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(11L))
+    // the batch twin makes the identical admit/reject decisions
+    val twin = CorpusIngest.nearDupIngestTwin(spark,
+      df(Seq(probes.head)), df(Seq(probes.last)), nbGate = Some(gate))
+    assert(twin.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+  }
+
   test("calibrated LM gate: the incremental stream admits exactly the batch " +
       "refinery's survivors") {
     import org.apache.spark.sql.functions._

@@ -239,6 +239,40 @@ class LangModelSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  // ---------------------------------------------- budgetedQualitySelection
+
+  test("budgetedQualitySelection: per-source quality prefix filling the allocation") {
+    val budget = 3000L
+    val sel = TextFeatures.budgetedQualitySelection(docs, budget).persist()
+    val alloc = TextFeatures.tokenBudgetAllocation(docs, budget, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("t_tokens"), r.getAs[Long]("alloc_tokens")))).toMap
+    // selected totals land in [alloc, alloc + max doc) where the cut binds,
+    // == t_tokens where it does not
+    val totals = sel.groupBy("source")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    totals.foreach { case (src, (t, mx)) =>
+      val (full, a) = alloc(src)
+      if (a < full) assert(t >= a && t < a + mx, s"source $src")
+      else assert(t === full, s"source $src")
+    }
+    // the budget binds somewhere on this corpus
+    assert(alloc.exists { case (_, (full, a)) => a < full })
+    // prefix property: within each source the selected set is a PREFIX of
+    // the quality order — no unselected doc outranks a selected one
+    val all = TextFeatures.topQualityPerSource(docs, keepPermille = 1000)
+    val unsel = all.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+    val worstSel = sel.groupBy("source")
+      .agg(min(col("distinct_micro") * lit(1000000000L) + col("n_tokens")).as("ws"))
+    val bestUnsel = unsel.groupBy("source")
+      .agg(max(col("distinct_micro") * lit(1000000000L) + col("n_tokens")).as("bu"))
+    val bad = worstSel.join(bestUnsel, "source")
+      .filter(col("bu") > col("ws")).count()
+    assert(bad === 0L)
+    sel.unpersist()
+  }
+
   // --------------------------------------------------- topQualityPerSource
 
   test("topQualityPerSource: every source keeps exactly ceil(30%) of its docs") {

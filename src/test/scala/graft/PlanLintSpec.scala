@@ -75,6 +75,8 @@ class PlanLintSpec extends SparkSpec {
     // NB classifier rides the 1-row (N_pos, N_neg) gram-totals scalar into
     // the weight table and the unseen-bucket default (q200's pattern)
     "q212_nb_classifier",
+    // budgeted quality selection composes q202's allocation (theta rides in)
+    "q215_budgeted_quality",
     // the budgeted plan composes the same allocation (theta scalar rides in)
     "q210_budgeted_sample")
 
@@ -121,7 +123,10 @@ class PlanLintSpec extends SparkSpec {
     // globalPrefixSums bucket-offset chain: one row per avg-nll range bucket
     "q201_lm_buckets", "q208_refinery_lm",
     // waterfilling windows run on the |sources| grain
-    "q202_token_budget", "q210_budgeted_sample")
+    "q202_token_budget", "q210_budgeted_sample",
+    // composes the waterfill: the unpartitioned window is the |sources|-
+    // grain cap ranking; the per-doc running sum is source-partitioned
+    "q215_budgeted_quality")
 
   test("no query plans an unpartitioned window over data-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
