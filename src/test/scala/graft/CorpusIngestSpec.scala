@@ -243,6 +243,29 @@ class CorpusIngestSpec extends SparkSpec {
     graft.ops.Caching.releaseAll(spark)
   }
 
+  test("micro-batch shuffle sizing is decision-invariant and restores the session width") {
+    // the shufflePartitions perf knob must not change a single admit/reject
+    // decision: same two-batch fixture as the parity test, run at the
+    // session default and at widths 3 and 8 — identical landed sets
+    val alpha = longText("alpha")
+    val b1 = Seq(doc(1, alpha), doc(2, alpha.replace("alpha1 ", "changed ")),
+      doc(3, longText("beta")), doc(4, alpha))
+    val b2 = Seq(doc(5, longText("beta").replace("beta1 ", "flipped ")),
+      doc(6, (1 to 20).map(i => s"alpha$i").mkString(" ")),
+      doc(7, longText("gamma")), doc(8, "too short"))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(sp: Option[Int]) = CorpusIngest.nearDupIngestTwin(spark,
+        df(b1), df(b2), threshold = 0.8,
+        containmentThreshold = Some(0.8), shufflePartitions = sp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(None)
+    assert(run(Some(3)) === base)
+    assert(run(Some(8)) === base)
+    // the session conf is restored after each batch
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    graft.ops.Caching.releaseAll(spark)
+  }
+
   test("gopher gate rejects a doc the basic gate admits (batch/stream parity)") {
     // 30 distinct tokens: passes the basic gate (>= 20 tokens), but FAILS
     // the Gopher bundle (< 50 words); a 60-word doc with stop words passes
