@@ -303,6 +303,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusScans("q183_gram_novelty", "documents") === 1)
   }
 
+  test("hard negatives reads the vectors twice, never a third label re-join") {
+    // the r9 regression guard: extraCols ride ivfBuild's assignment
+    // projection, so the plan reads embeddings exactly twice (assignment
+    // side + probe side) — a third scan means the label is being recovered
+    // by a corpus re-join again
+    assert(corpusScans("q192_hard_negatives", "embeddings") === 2)
+    assert(corpusScans("q194_knn_graph", "embeddings") === 2)
+  }
+
   test("boilerplate score joins hashes, broadcasts the frequent set") {
     val plan = executedPlan("q173_boilerplate")
     assert(plan.contains("BroadcastHashJoin"),
