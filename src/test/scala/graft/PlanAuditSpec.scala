@@ -303,6 +303,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusScans("q183_gram_novelty", "documents") === 1)
   }
 
+  test("NB classifier reads the corpus exactly once (persisted gram stream)") {
+    // count tables AND the scoring stream both derive from the one
+    // persisted tokenize/gram/hash pass (lmScore's shared-subtree shape)
+    assert(corpusScans("q212_nb_classifier", "documents") === 1)
+    val plan = executedPlan("q212_nb_classifier")
+    assert(plan.contains("md5"),
+      "grams must reduce to the portable 60-bit hash before any shuffle")
+  }
+
   test("hard negatives reads the vectors twice, never a third label re-join") {
     // the r9 regression guard: extraCols ride ivfBuild's assignment
     // projection, so the plan reads embeddings exactly twice (assignment
