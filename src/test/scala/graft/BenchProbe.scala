@@ -17,49 +17,45 @@ object BenchProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    // job accounting: how many actions does the ingest twin issue, and how
-    // much wall time do the jobs themselves cover vs driver-side planning?
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          starts.put(s.jobId, System.nanoTime()): Unit
           jobs.incrementAndGet(): Unit
         }
-        override def onJobEnd(
-            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = starts.remove(e.jobId)
-          if (t0 != 0L) jobNanos.addAndGet(System.nanoTime() - t0): Unit
-        }
       })
-    def runTwin(label: String): Unit = {
-      val j0 = jobs.get(); val n0 = jobNanos.get()
-      time(label) {
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-          .filter(col("doc_id") % 8 < 2)
-        graft.stream.CorpusIngest.nearDupIngestTwin(spark,
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1),
-          threshold = 0.8, numPerms = 32, bands = 16,
-          containmentThreshold = Some(0.5)).count(): Unit
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+    // q208 stage decomposition
+    for (round <- 1 to 2) {
+      val j0 = jobs.get()
+      val gated = time(s"r$round gate+persist") {
+        val g = graft.text.Refinery.gate(docs,
+          graft.text.Refinery.Config()).persist()
+        g.count(); g
       }
-      println(f"PROBE   jobs=${jobs.get() - j0} jobWall=${(jobNanos.get() - n0) / 1e9}%.3f s")
+      val lmKept = time(s"r$round lm-stage") {
+        val tail = graft.text.LangModel.perplexityBuckets(gated,
+            expr("lang = 'en'"), headPermille = 0, tailPermille = 300)
+          .filter(col("bucket") === "tail").select("doc_id")
+        val k = gated.join(tail, Seq("doc_id"), "left_anti").persist()
+        k.count(); k
+      }
+      val deduped = time(s"r$round dedupCorpusShingle") {
+        val d0 = graft.text.Dedup.dedupCorpusShingle(lmKept, 0.8).persist()
+        d0.count(); d0
+      }
+      time(s"r$round cap+chunk") {
+        val capped = deduped.join(
+          graft.text.TextFeatures.perSourceCap(deduped, 1000000).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        graft.text.TextFeatures.chunkPlan(capped, 128, 96).count()
+      }
+      println(s"PROBE   r$round jobs=${jobs.get() - j0}")
       graft.ops.Caching.releaseAll(spark)
+      System.gc()
     }
-    runTwin("twin-cold")
-    runTwin("twin-warm1")
-    runTwin("twin-warm2")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    runTwin("twin-noaqe1")
-    runTwin("twin-noaqe2")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    runTwin("twin-noaqe-sp8")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    runTwin("twin-aqe-sp8")
-    runTwin("twin-aqe-sp8b")
     spark.stop()
   }
 }
