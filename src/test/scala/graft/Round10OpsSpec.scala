@@ -81,6 +81,17 @@ class Round10OpsSpec extends SparkSpec {
     assert(ids === Set(1L, 2L))
   }
 
+  test("classifier scores are partition-count invariant (exact long sums)") {
+    // the micronat-sum contract: no float accumulation order anywhere, so
+    // any physical partitioning produces bit-identical rows
+    def run(d: org.apache.spark.sql.DataFrame) =
+      QualityClassifier.classifierScore(d,
+        col("lang") === "en", col("lang") =!= "en")
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   // ----------------------------------------------------------- knnCluster
 
   /** Three well-separated clusters on orthogonal axes with small in-cluster
@@ -138,6 +149,14 @@ class Round10OpsSpec extends SparkSpec {
           r.getAs[Long]("cluster_id")).toMap
     assert(run(mutual = false) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
     assert(run(mutual = true) === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("knnCluster labels are partition-count invariant") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.knnCluster(d, k = 3, minCosine = 0.9, nLists = 3, iters = 8)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toSet
+    assert(run(separated) === run(separated.repartition(5)))
   }
 
   test("knnCluster singletons: a floor above every cosine yields all-singleton clusters") {
