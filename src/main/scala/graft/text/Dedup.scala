@@ -855,13 +855,18 @@ object Dedup {
     *     splits. Zero is the theorem being audited; a nonzero here means
     *     the split and the dedup disagree about the corpus.
     *   - `max_cross_jaccard`: the WORST remaining near-leak — the highest
-    *     rare-gram Jaccard of any cross-boundary pair below the dedup
-    *     threshold (eval-set hygiene is a spectrum; this is its sup).
-    *     Grams with document frequency above `maxDf` are pruned first
-    *     (hub grams carry no leak signal and would quadratically blow up
-    *     the pair stage — the q182 containment bound), so the metric is
-    *     Jaccard over the rare-gram space, computed in the 64-bit hash
-    *     domain (the q182/q185 count contract).
+    *     rare-gram Jaccard over any cross-boundary pair (eval-set hygiene
+    *     is a spectrum; this is its sup). Grams with document frequency
+    *     above `maxDf` are pruned first (hub grams carry no leak signal
+    *     and would quadratically blow up the pair stage — the q182
+    *     containment bound), so the metric is Jaccard over the RARE-GRAM
+    *     space, computed in the 64-bit hash domain (the q182/q185 count
+    *     contract). NOTE: because the denominator shrinks with the prune,
+    *     this value is UNCAPPED relative to the dedup threshold — a pair
+    *     sharing all its rare grams but diluted by hub grams can score
+    *     above `threshold` here while its full shingle Jaccard stays
+    *     below it; that is the signal (a near-leak the dedup metric
+    *     structurally discounts), not a contradiction.
     *
     * Scale shape: the straddle side reuses the banded near-dup chain
     * (candidates bounded by band collisions); the max-J side is the

@@ -87,6 +87,17 @@ object QualityClassifier {
   def classifierScore(docs: DataFrame, isPositive: Column, isNegative: Column,
                       numBuckets: Int = 1 << 18): DataFrame = {
     val grams = gramStream(docs, isPositive, isNegative, numBuckets).persist()
+    // fail fast on the degenerate label classes (the trainLm/lmScore
+    // contract): an empty class would make the (np, nn) scalar NULL and
+    // every score silently NULL — a typo'd predicate must throw, not turn
+    // the filter into a no-op. limit(1)-bounded probes on the shared
+    // persisted stream, which the query was about to fill anyway.
+    require(!grams.filter(col("is_p")).isEmpty,
+      "classifierScore: the isPositive slice produced no grams " +
+        "(empty slice, or every positive doc has zero tokens)")
+    require(!grams.filter(col("is_n")).isEmpty,
+      "classifierScore: the isNegative slice produced no grams " +
+        "(empty slice, or every negative doc has zero tokens)")
     val counts = grams.filter(col("is_p") || col("is_n"))
       .groupBy("bh")
       .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
@@ -125,11 +136,16 @@ object QualityClassifier {
   def trainQualityClassifier(docs: DataFrame, isPositive: Column,
                              isNegative: Column,
                              numBuckets: Int = 1 << 18): NbModel = {
+    // persist the (<= numBuckets)-row count table: the totals head() below
+    // and the returned weights frame both read it — unpersisted, the full
+    // tokenize+gram corpus pass runs twice (shared-subtree Caching
+    // contract, harness releaseAll reclaims)
     val counts = gramStream(docs, isPositive, isNegative, numBuckets)
       .filter(col("is_p") || col("is_n"))
       .groupBy("bh")
       .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("is_n"), 1L).otherwise(0L)).as("cn"))
+      .persist()
     val totRow = counts
       .agg(coalesce(sum("cp"), lit(0L)), coalesce(sum("cn"), lit(0L))).head()
     val (np, nn) = (totRow.getLong(0), totRow.getLong(1))

@@ -126,7 +126,10 @@ object Refinery {
             expr(f.posPredicateSql), expr(f.negPredicateSql), f.numBuckets)
           .filter(col("avg_micronats") < f.minAvgMicronats)
           .select("doc_id")
-        val bad = lmKept.filter(!expr(f.posPredicateSql))
+        // "outside the trusted slice" must treat a NULL predicate result
+        // as untrusted: !(NULL) is NULL and would silently exempt e.g. a
+        // NULL-lang doc from the floor the stream NbGate applies to it
+        val bad = lmKept.filter(!coalesce(expr(f.posPredicateSql), lit(false)))
           .join(low, Seq("doc_id"), "left_semi").select("doc_id")
         lmKept.join(bad, Seq("doc_id"), "left_anti").persist()
       case None => lmKept

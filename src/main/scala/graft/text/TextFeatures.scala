@@ -406,18 +406,25 @@ object TextFeatures {
     * Scale shape: one map pass for the features, then a single window
     * PARTITIONED BY source — shuffles each source's rows once, no global
     * sort, no driver state. */
-  def topQualityPerSource(docs: DataFrame, keepPermille: Int = 300): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared deterministic quality-key projection of
+    * [[topQualityPerSource]] and [[budgetedQualitySelection]]: (doc_id,
+    * source, n_tokens, distinct_micro). A zero-token (empty /
+    * whitespace-only) doc would divide by zero — ANSI mode rejects it;
+    * such docs carry the sentinel key 0 and rank last (the epochs_micro
+    * guard in [[tokenBudgetAllocation]], applied to the quality key). */
+  private def qualityFeatures(docs: DataFrame): DataFrame = {
     val toks = TextStats.tokens(TextStats.normalize(col("text")))
-    val feats = docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tokens"),
-      // a zero-token (empty / whitespace-only) doc would divide by zero —
-      // ANSI mode rejects it; rank such docs last (the epochs_micro guard
-      // in tokenBudgetAllocation, applied to the quality key)
       when(size(toks) > 0,
         floor(size(array_distinct(toks)).cast("double") * lit(1000000.0) /
           size(toks).cast("double") + lit(0.5)).cast("long"))
         .otherwise(lit(0L)).as("distinct_micro"))
+  }
+
+  def topQualityPerSource(docs: DataFrame, keepPermille: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = qualityFeatures(docs)
     val w = Window.partitionBy("source")
       .orderBy(desc("distinct_micro"), desc("n_tokens"), asc("doc_id"))
     feats
@@ -456,16 +463,9 @@ object TextFeatures {
     val alloc = tokenBudgetAllocation(docs, budgetTokens, maxEpochs = 1.0)
       .filter(col("t_tokens") > 0)
       .select(col("source"), col("alloc_tokens"))
-    val toks = TextStats.tokens(TextStats.normalize(col("text")))
-    val feats = docs.select(col("doc_id"), col("source"),
-      size(toks).cast("long").as("n_tokens"),
-      // zero-token docs rank last (the topQualityPerSource guard); they
-      // also add nothing to the running sum, so they are selected only
-      // when the allocation is not yet exhausted — harmless either way
-      when(size(toks) > 0,
-        floor(size(array_distinct(toks)).cast("double") * lit(1000000.0) /
-          size(toks).cast("double") + lit(0.5)).cast("long"))
-        .otherwise(lit(0L)).as("distinct_micro"))
+    // shared quality key (zero-token docs rank last; they also add nothing
+    // to the running sum, so selection stays well-defined either way)
+    val feats = qualityFeatures(docs)
     val w = Window.partitionBy("source")
       .orderBy(desc("distinct_micro"), desc("n_tokens"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

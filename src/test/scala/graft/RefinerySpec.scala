@@ -76,19 +76,49 @@ class RefinerySpec extends SparkSpec {
       "poiu ytre wqas dfgh jklz xcvb nmqw erty"
     val trusted = (1 to 3).map(i =>
       DocRow(i.toLong, refText + " " + words(s"t${i}pad", 8), "en", "wiki", 0))
+    // the junk doc carries its own pads too: it must CLEAR the 20-token
+    // basic gate so the classifier stage — not the gate — is what drops it
     val pool = Seq(
       DocRow(11L, refText.replace("committee", "board") + " " +
         words("ppad", 8), "fr", "web", 0),
-      DocRow(12L, junk, "fr", "web", 0))
+      DocRow(12L, junk + " " + words("jpad", 8), "fr", "web", 0))
     val docs = df(trusted ++ pool)
     val cfg = Refinery.Config(shingleVerify = true,
       classifierFilter = Some(Refinery.NbFilter(
         "lang = 'en'", "lang <> 'en'", minAvgMicronats = 0L)))
+    // anti-vacuity: without the classifier stage the junk doc SURVIVES the
+    // pipeline — whatever the filter drops below, it is the filter doing it
+    val without = Refinery.refine(docs,
+        cfg.copy(classifierFilter = None))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(without === Set(1L, 2L, 3L, 11L, 12L))
     val survivors = Refinery.refine(docs, cfg)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     // the junk pool doc falls below the log-odds floor; the reference-like
     // pool doc and the whole trusted slice survive to the chunk plan
     assert(survivors === Set(1L, 2L, 3L, 11L))
+  }
+
+  test("classifierFilter treats a NULL trusted-predicate as untrusted") {
+    import org.apache.spark.sql.functions._
+    val refText = "the committee reviewed the annual report and approved " +
+      "the budget for the next fiscal year with minor amendments"
+    val junk = "zxqv kjh wqpo zzkl mnbv qqwe rtyu asdf ghjk zxcv bnml " +
+      "poiu ytre wqas dfgh jklz xcvb nmqw erty"
+    val trusted = (1 to 3).map(i =>
+      DocRow(i.toLong, refText + " " + words(s"t${i}pad", 8), "en", "wiki", 0))
+    // lang = NULL junk doc: "lang = 'en'" evaluates NULL — it must still
+    // face the classifier floor, exactly as the stream NbGate would
+    val nullLang = df(Seq((21L, junk + " " + words("npad", 8),
+      null.asInstanceOf[String], "web", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = df(trusted).unionByName(nullLang)
+    val cfg = Refinery.Config(shingleVerify = true,
+      classifierFilter = Some(Refinery.NbFilter(
+        "lang = 'en'", "lang <> 'en' OR lang IS NULL", minAvgMicronats = 0L)))
+    val survivors = Refinery.refine(docs, cfg)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 2L, 3L))
   }
 
   test("default config passes realistic docs through unchanged") {

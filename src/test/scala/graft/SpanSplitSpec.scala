@@ -153,9 +153,11 @@ class SpanSplitSpec extends SparkSpec {
     assert(rows.length === boundaries.size)
     // the clusterSplit theorem, verified by an independent pair recompute
     assert(rows.forall(_.getAs[Long]("n_straddling_dups") === 0L))
-    // the near-leak sup is a real number strictly below the dedup threshold
+    // the near-leak sup is a well-formed Jaccard; it is UNCAPPED relative
+    // to the dedup threshold in general (rare-gram space, see the
+    // scaladoc) — on this corpus it happens to sit far below it
     assert(rows.forall(r => r.getAs[Double]("max_cross_jaccard") >= 0.0 &&
-      r.getAs[Double]("max_cross_jaccard") < 0.8))
+      r.getAs[Double]("max_cross_jaccard") <= 1.0))
     graft.ops.Caching.releaseAll(spark)
   }
 
