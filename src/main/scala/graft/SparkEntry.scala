@@ -1294,6 +1294,26 @@ object SparkEntry {
     "q212_nb_classifier" -> ((s, d) =>
       graft.text.QualityClassifier.classifierScore(t(s, d, "documents"),
         col("lang") === "en", col("lang") =!= "en")),
+    // --- REAL PNG pixel decode [ext]: spec-complete RGBA PNGs (zlib IDAT
+    // via java.util.zip — PNG's compression IS the JDK's — with valid
+    // CRC32 chunks) are built from a closed-form pixel formula, then the
+    // engine inflates, unfilters, and reduces each image to exact
+    // per-channel sums; the oracle recomputes the sums ARITHMETICALLY, so
+    // a decoder bug anywhere (chunk walk, inflate, filter reversal) hash-
+    // mismatches. Tiny dims (<= 16x13): the contract is the codec, not
+    // byte volume (in-suite budget <= 3 s) ---
+    "q217_png_pixel_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.pngPixelStats(
+        graft.multimodal.Multimodal.syntheticPixelMedia(
+          t(s, d, "documents").filter(col("doc_id") % 2 === 0))).toDF()),
+    // --- REAL WAV sample decode [ext]: PCM16 clips from a closed-form
+    // sample formula, decoded by the RIFF chunk walk (PCM needs no codec)
+    // into the exact amplitude census; same arithmetic-oracle contract as
+    // q217 (in-suite budget <= 3 s) ---
+    "q218_wav_sample_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticPixelMedia(
+          t(s, d, "documents").filter(col("doc_id") % 2 === 1))).toDF()),
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -3560,6 +3580,38 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, chunk_idx, " +
         "CAST(chunk_idx * 96 AS INTEGER) AS start_tok, " +
         "CAST(least(128, n_tokens - chunk_idx * 96) AS INTEGER) AS chunk_len FROM c"),
+    // pixel-decode replay: the fixture's closed-form pixel bytes
+    // (media_id*31 + i) mod 256 summed per channel — the engine must land
+    // here through the REAL inflate + unfilter path
+    "q217_png_pixel_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(4 + (n_chars % 13) AS INTEGER) AS width, " +
+        "CAST(3 + ((n_chars * 7) % 11) AS INTEGER) AS height " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "px AS (SELECT media_id, width, height, " +
+        "unnest(range(width * height * 4)) AS i FROM d), " +
+        "v AS (SELECT media_id, width, height, i % 4 AS c, " +
+        "(media_id * 31 + i) % 256 AS val FROM px) " +
+        "SELECT media_id, width, height, " +
+        "CAST(width AS BIGINT) * height AS n_pixels, " +
+        "CAST(sum(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT) AS sum_r, " +
+        "CAST(sum(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT) AS sum_g, " +
+        "CAST(sum(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT) AS sum_b, " +
+        "CAST(sum(CASE WHEN c = 3 THEN val ELSE 0 END) AS BIGINT) AS sum_a " +
+        "FROM v GROUP BY media_id, width, height"),
+    // sample-decode replay: the fixture's closed-form PCM16 samples
+    // ((media_id*17 + p*3) mod 4096) - 2048, amplitude census
+    "q218_wav_sample_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(64 + (n_chars % 128) AS BIGINT) AS n " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "s AS (SELECT media_id, n, unnest(range(n)) AS p FROM d), " +
+        "v AS (SELECT media_id, n, ((media_id * 17 + p * 3) % 4096) - 2048 AS sv FROM s) " +
+        "SELECT media_id, CAST(1 AS INTEGER) AS channels, " +
+        "CAST(16000 AS INTEGER) AS sample_rate, n AS n_samples, " +
+        "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(sv)) AS BIGINT) AS peak " +
+        "FROM v GROUP BY media_id, n"),
     // leakage-audit replay: q199's split respell (one sc pair table over
     // the WHOLE slice serves both the keeper cluster graph and the
     // straddle check), straddle = J >= 0.8 pairs with different splits,

@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   *  - [[decode]]/[[extractFeatures]] — typed `mapPartitions` (the Scala
   *    analogue of arrow-batched pandas UDFs: an iterator of rows per
   *    partition, never a driver collect) for the work that genuinely needs
-  *    a codec body. Header parsing in [[decode]] is real ([[Containers]]);
-  *    pixel/sample decoding and the embedding model are STUBBED (no media
-  *    libraries exist in this environment) — a real implementation
-  *    body-swaps [[Containers.bodyFeatures]].
+  *    a codec body. Header parsing in [[decode]] is real ([[Containers]]).
+  *    PIXEL and SAMPLE decoding are REAL for the formats the JDK alone can
+  *    carry: [[pngPixelStats]] inflates and unfilters genuine PNG IDAT
+  *    streams (PNG's zlib IS `java.util.zip`; all five scanline filters),
+  *    and [[wavSampleStats]] reads PCM16 WAV samples (PCM needs no codec).
+  *    Only the learned embedding model remains a stub
+  *    ([[Containers.bodyFeatures]] — no model weights exist in this
+  *    environment); a real implementation body-swaps it.
   *
   * Synthetic fixtures ([[syntheticMediaFromDocs]]) emit spec-correct PNG /
   * WAV / AVI containers (header layouts byte-for-byte real, CRCs zeroed,
@@ -38,6 +42,16 @@ object Multimodal {
                                 height: Int, n_pixel_bytes: Long)
 
   final case class MediaFeature(media_id: Long, embedding: Array[Float])
+
+  /** Exact per-channel pixel census of one decoded image. */
+  final case class PixelStats(media_id: Long, width: Int, height: Int,
+                              n_pixels: Long, sum_r: Long, sum_g: Long,
+                              sum_b: Long, sum_a: Long)
+
+  /** Exact census of one decoded PCM16 audio clip. */
+  final case class SampleStats(media_id: Long, channels: Int,
+                               sample_rate: Int, n_samples: Long,
+                               sum_abs: Long, peak: Long)
 
   /** Real container-header layouts (public format specs), JVM side.
     * Builders emit the exact byte offsets the specs publish; the parser
@@ -59,6 +73,80 @@ object Multimodal {
       bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
       bb.putInt(0) // CRC (unvalidated)
       bb.put(body).array()
+    }
+
+    /** A spec-complete PNG chunk: length + type + data + CRC32 over
+      * type||data (the real checksum — [[pngFull]] images open in any
+      * viewer). */
+    private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+
+    /** SPEC-COMPLETE PNG with real pixel data: 8-bit RGBA IHDR, scanlines
+      * (filter byte + pixels) deflated into one IDAT via `java.util.zip`
+      * (PNG's zlib IS the JDK's), valid CRC32 on every chunk, IEND. Pixel
+      * byte i (row-major, RGBA interleaved) comes from `px(i)` (low 8 bits
+      * taken). `filterType` applies one of the five spec filters to every
+      * scanline — the ENCODER side of [[Multimodal.pngPixelStats]]'s
+      * unfilter pass, so round-trip specs can pin all five. */
+    def pngFull(width: Int, height: Int, px: Int => Int,
+                filterType: Int = 0): Array[Byte] = {
+      require(width > 0 && height > 0, "pngFull needs positive dimensions")
+      require(filterType >= 0 && filterType <= 4, "PNG filter type is 0..4")
+      val bpp = 4
+      val stride = width * bpp
+      val raw = new Array[Byte](height * (1 + stride))
+      val prior = new Array[Int](stride) // reconstructed previous scanline
+      val cur = new Array[Int](stride)
+      var y = 0
+      while (y < height) {
+        val base = y * (1 + stride)
+        raw(base) = filterType.toByte
+        var x = 0
+        while (x < stride) { cur(x) = px(y * stride + x) & 0xFF; x += 1 }
+        x = 0
+        while (x < stride) {
+          val a = if (x >= bpp) cur(x - bpp) else 0
+          val b = if (y > 0) prior(x) else 0
+          val c = if (y > 0 && x >= bpp) prior(x - bpp) else 0
+          val pred = filterType match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          raw(base + 1 + x) = ((cur(x) - pred) & 0xFF).toByte
+          x += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+        .put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+
+    /** The Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+      * the linear estimate a + b − c, ties in a, b, c order. */
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
     /** WAV: RIFF/WAVE with PCM fmt chunk — channels LE u16 at offset 22,
@@ -380,6 +468,191 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL PNG pixel decode — no media library: PNG's compression is zlib,
+    * which IS `java.util.zip`. Walks the chunk chain (IHDR geometry,
+    * concatenated IDAT), inflates, reverses all five scanline filters
+    * (None/Sub/Up/Average/Paeth — RFC 2083 §6), and reduces each image to
+    * its exact per-channel pixel sums (longs — no float accumulation, so
+    * the census replays arithmetically for planted pixel formulas).
+    * Supports the 8-bit RGBA layout the fixtures emit and fails fast with
+    * a diagnosable message on anything else (interlace, palettes, other
+    * bit depths — out of scope, named in the error). Pure partition-local
+    * map; decompression memory is one image at a time per task. */
+  def pngPixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => decodeOnePng(m.media_id, m.payload)))
+  }
+
+  private[graft] def decodeOnePng(id: Long, p: Array[Byte]): PixelStats = {
+    def be(off: Int): Int =
+      ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+        ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+    require(p.length >= 8 &&
+      java.util.Arrays.equals(p.slice(0, 8),
+        Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)),
+      s"media $id: not a PNG signature")
+    var off = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 8 <= p.length) {
+      val len = be(off)
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      val dataOff = off + 8
+      require(dataOff + len + 4 <= p.length,
+        s"media $id: truncated $typ chunk")
+      typ match {
+        case "IHDR" =>
+          w = be(dataOff); h = be(dataOff + 4)
+          require(p(dataOff + 8) == 8 && p(dataOff + 9) == 6 &&
+            p(dataOff + 12) == 0,
+            s"media $id: only 8-bit RGBA non-interlaced PNG is supported " +
+              s"(bit depth ${p(dataOff + 8)}, color type ${p(dataOff + 9)}, " +
+              s"interlace ${p(dataOff + 12)})")
+        case "IDAT" => idat.write(p, dataOff, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped, per spec
+      }
+      off = dataOff + len + 4
+    }
+    require(w > 0 && h > 0, s"media $id: missing or empty IHDR")
+    val bpp = 4
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    while (filled < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, filled, raw.length - filled)
+      require(n > 0 || !inflater.needsInput(),
+        s"media $id: truncated IDAT stream")
+      filled += n
+    }
+    inflater.end()
+    require(filled == raw.length,
+      s"media $id: IDAT decoded to $filled bytes, expected ${raw.length}")
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val f = raw(base) & 0xFF
+      require(f <= 4, s"media $id: invalid scanline filter $f")
+      var x = 0
+      while (x < stride) {
+        val rawV = raw(base + 1 + x) & 0xFF
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = if (y > 0) prior(x) else 0
+        val c = if (y > 0 && x >= bpp) prior(x - bpp) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => Containers.paeth(a, b, c)
+        }
+        val v = (rawV + pred) & 0xFF
+        cur(x) = v
+        (x % bpp) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+          case _ => sa += v
+        }
+        x += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    PixelStats(id, w, h, w.toLong * h, sr, sg, sb, sa)
+  }
+
+  /** REAL WAV sample decode — PCM needs no codec at all: walk the RIFF
+    * chunk chain (`fmt ` for channels/rate/bit depth, `data` for the
+    * samples), read little-endian int16 samples, and reduce to the exact
+    * census (count, |sum|, peak) in long arithmetic. Fails fast on
+    * non-PCM or non-16-bit clips with the offending values named. */
+  def wavSampleStats(media: Dataset[MediaRow]): Dataset[SampleStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => decodeOneWav(m.media_id, m.payload)))
+  }
+
+  private[graft] def decodeOneWav(id: Long, p: Array[Byte]): SampleStats = {
+    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"media $id: not a RIFF/WAVE container")
+    var off = 12
+    var channels = 0; var rate = 0; var bits = 0
+    var n = 0L; var sumAbs = 0L; var peak = 0L
+    var sawData = false
+    while (off + 8 <= p.length) {
+      val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
+      require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
+      t match {
+        case "fmt " =>
+          require(le16(dataOff) == 1,
+            s"media $id: only PCM (format 1) supported, got ${le16(dataOff)}")
+          channels = le16(dataOff + 2); rate = le32(dataOff + 4)
+          bits = le16(dataOff + 14)
+          require(bits == 16,
+            s"media $id: only 16-bit samples supported, got $bits")
+        case "data" =>
+          sawData = true
+          var i = dataOff
+          while (i + 1 < dataOff + len) {
+            val s = le16(i).toShort.toInt
+            n += 1; sumAbs += math.abs(s).toLong
+            if (math.abs(s).toLong > peak) peak = math.abs(s).toLong
+            i += 2
+          }
+        case _ => ()
+      }
+      off = dataOff + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(channels > 0 && sawData,
+      s"media $id: missing fmt or data chunk")
+    SampleStats(id, channels, rate, n, sumAbs, peak)
+  }
+
+  /** Deterministic FULL-decode fixtures: even doc_ids become complete
+    * RGBA PNGs whose pixel byte i is the closed form (doc_id·31 + i) mod
+    * 256, odd doc_ids become PCM16 WAV clips whose sample p is
+    * ((doc_id·17 + p·3) mod 4096) − 2048 — so an external oracle can
+    * recompute every channel sum and amplitude census ARITHMETICALLY
+    * while the engine earns it by actually inflating and unfiltering the
+    * bytes. Dimensions stay small (≤ 16×13) — the contract is the codec,
+    * not the byte volume. */
+  def syntheticPixelMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        if (id % 2 == 0) {
+          val w = (4 + nChars % 13).toInt
+          val h = (3 + (nChars * 7) % 11).toInt
+          MediaRow(id, "image",
+            Containers.pngFull(w, h, i => ((id * 31 + i) % 256).toInt),
+            w, h, 1)
+        } else {
+          val n = (64 + nChars % 128).toInt
+          val body = new Array[Byte](n * 2)
+          var p = 0
+          while (p < n) {
+            val s = ((id * 17 + p.toLong * 3) % 4096 - 2048).toInt
+            body(2 * p) = (s & 0xFF).toByte
+            body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+            p += 1
+          }
+          MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+        }
+      }
   }
 
   /** Frame sampling: keep every `everyN`-th frame (the video path's

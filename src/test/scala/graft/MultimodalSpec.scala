@@ -223,4 +223,93 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() === 0)
     assert(parsed.filter(col("format") === "unknown").count() === 0)
   }
+
+  // -------------------------------------------- real pixel / sample decode
+
+  private def knownPixels: Array[Int] =
+    // 2x2 RGBA, hand-pinnable: r 10/50/90/130, g 20/60/100/140, ...
+    (0 until 16).map(i => 10 * (i + 1)).toArray // 10..160, >255 none
+
+  test("pngFull -> decodeOnePng round-trips exact pixels under ALL FIVE filters") {
+    val expect = {
+      val px = knownPixels
+      (px.grouped(4).map(_(0)).sum.toLong, px.grouped(4).map(_(1)).sum.toLong,
+        px.grouped(4).map(_(2)).sum.toLong, px.grouped(4).map(_(3)).sum.toLong)
+    }
+    (0 to 4).foreach { filter =>
+      val bytes = Multimodal.Containers.pngFull(2, 2, knownPixels(_), filter)
+      val st = Multimodal.decodeOnePng(7L, bytes)
+      assert((st.width, st.height, st.n_pixels) === ((2, 2, 4L)), s"filter $filter")
+      assert((st.sum_r, st.sum_g, st.sum_b, st.sum_a) === expect, s"filter $filter")
+    }
+  }
+
+  test("decodeOnePng agrees with the JDK's OWN ImageIO PNG reader") {
+    // an independent decoder the fixtures never touched: javax.imageio is
+    // part of the JDK — if our inflate+unfilter disagrees with it on any
+    // channel sum, one of the two codecs is wrong
+    val bytes = Multimodal.Containers.pngFull(5, 3,
+      i => ((i * 37 + 11) % 256), filterType = 4)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not open our PNG — container invalid")
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val argb = img.getRGB(x, y)
+      sa += (argb >>> 24) & 0xFF; sr += (argb >>> 16) & 0xFF
+      sg += (argb >>> 8) & 0xFF; sb += argb & 0xFF
+    }
+    val st = Multimodal.decodeOnePng(1L, bytes)
+    assert((st.sum_r, st.sum_g, st.sum_b, st.sum_a) === ((sr, sg, sb, sa)))
+  }
+
+  test("decodeOnePng fails fast with named causes on unsupported or corrupt input") {
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodeOnePng(1L, Array[Byte](1, 2, 3)))
+    assert(e1.getMessage.contains("not a PNG"))
+    val ok = Multimodal.Containers.pngFull(2, 2, knownPixels(_))
+    val truncated = ok.dropRight(20)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeOnePng(1L, truncated))
+    assert(e2.getMessage.contains("truncated"))
+  }
+
+  test("decodeOneWav reads the exact PCM16 census; odd trailing byte ignored") {
+    val samples = Array[Short](0, 100, -200, 32767, -32768, 5)
+    val body = new Array[Byte](samples.length * 2 + 1) // + odd stray byte
+    samples.zipWithIndex.foreach { case (s, i) =>
+      body(2 * i) = (s & 0xFF).toByte
+      body(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val st = Multimodal.decodeOneWav(3L,
+      Multimodal.Containers.wav(2, 44100, body))
+    assert(st.channels === 2 && st.sample_rate === 44100)
+    assert(st.n_samples === 6L)
+    assert(st.sum_abs === samples.map(s => math.abs(s.toLong)).sum)
+    assert(st.peak === 32768L)
+  }
+
+  test("pixel and sample decode match the closed-form census on the fixtures") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.syntheticPixelMedia(docs).persist()
+    val px = Multimodal.pngPixelStats(media.filter(col("media_id") % 2 === 0))
+      .collect()
+    px.foreach { st =>
+      val id = st.media_id
+      var sums = Array.fill(4)(0L)
+      (0 until st.width * st.height * 4).foreach { i =>
+        sums(i % 4) += (id * 31 + i) % 256
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b, st.sum_a) ===
+        ((sums(0), sums(1), sums(2), sums(3))), s"media $id")
+    }
+    val wv = Multimodal.wavSampleStats(media.filter(col("media_id") % 2 === 1))
+      .collect()
+    wv.foreach { st =>
+      val id = st.media_id
+      val expected = (0L until st.n_samples)
+        .map(p => math.abs((id * 17 + p * 3) % 4096 - 2048)).sum
+      assert(st.sum_abs === expected, s"media $id")
+    }
+    media.unpersist()
+  }
 }
