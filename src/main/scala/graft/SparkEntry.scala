@@ -822,8 +822,7 @@ object SparkEntry {
     // survived the governed-artifact path, not just the query ---
     "q161_reporting_summary" -> { (s, d) =>
       val summary = Warehouse.reportingSummary(factSlim(s, d))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_report_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_report_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       lake.write(summary, "reporting_summary", "overwrite",
         constraints = Seq(
@@ -890,8 +889,7 @@ object SparkEntry {
     // published through the CHECK-governed lake write like q161 ---
     "q168_corpus_report" -> { (s, d) =>
       val card = graft.text.Refinery.corpusReportCard(t(s, d, "documents"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_corpus_report_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_corpus_report_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       lake.write(card, "corpus_report", "overwrite",
         constraints = Seq(
@@ -1026,8 +1024,7 @@ object SparkEntry {
       // fresh dir per invocation: a FIXED path would accumulate versions
       // across runs and two concurrent materializations (driver + sbt test
       // planning) would collide on the OCC commit log
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ann_serve_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_ann_serve_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       val ivf = Similarity.ivfBuild(emb, nLists = 8, iters = 0,
         portableInit = true)
@@ -1091,8 +1088,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val a = emb.filter(col("vec_id") % 5 =!= 0)
       val b = emb.filter(col("vec_id") % 5 === 0)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ann_append_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_ann_append_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       val ivf = Similarity.ivfBuild(a, nLists = 8, iters = 0,
         portableInit = true)
@@ -1345,8 +1341,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val m = graft.text.QualityClassifier.trainQualityClassifier(docs,
         col("lang") === "en", col("lang") =!= "en")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_nb_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_nb_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       graft.text.QualityClassifier.saveClassifier(lake, "m", m)
       graft.text.QualityClassifier.scoreWithClassifier(
@@ -1365,8 +1360,7 @@ object SparkEntry {
         portableInit = true)),
     "q211_version_drift" -> { (s, d) =>
       val docs = t(s, d, "documents").select("doc_id", "text").persist()
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_drift_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_drift_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       lake.write(docs.filter(col("doc_id") % 2 === 0), "docs", "overwrite"): Unit
       lake.write(docs.filter(col("doc_id") % 2 === 1), "docs", "append"): Unit
@@ -1388,8 +1382,7 @@ object SparkEntry {
     "q209_lm_serve" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val m = graft.text.LangModel.trainLm(docs, col("lang") === "en")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lm_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_lm_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       graft.text.LangModel.saveLm(lake, "m", m)
       graft.text.LangModel.scoreWithLm(
@@ -1413,8 +1406,7 @@ object SparkEntry {
       // scans of the same projection without it
       val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
         .select("doc_id", "text").persist()
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_novelty_view_lake").toString
+      val dir = graft.tables.TempLakes.create("graft_novelty_view_lake")
       val lake = new graft.tables.LakeTable(s, dir)
       lake.write(docs.filter(col("doc_id") % 3 =!= 0), "docs", "overwrite"): Unit
       graft.tables.Materialize.refreshNovelty(lake, "docs", "docs_novelty"): Unit

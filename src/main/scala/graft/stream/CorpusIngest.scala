@@ -416,8 +416,7 @@ object CorpusIngest {
                         lmGate: Option[LmGate] = None,
                         nbGate: Option[NbGate] = None,
                         shufflePartitions: Option[Int] = None): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ingest_twin_lake").toString
+    val dir = graft.tables.TempLakes.create("graft_ingest_twin_lake")
     val lake = new LakeTable(spark, dir)
     Seq(batch1, batch2).foreach(b =>
       nearDupBatch(b, lake, "twin", threshold, numPerms, bands, shingleSize,
