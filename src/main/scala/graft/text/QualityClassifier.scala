@@ -38,9 +38,10 @@ import org.apache.spark.sql.functions._
   * tables and the scoring stream both read it; callers reclaim via
   * [[graft.ops.Caching.releaseAll]]); the weight table is bounded by
   * min(observed grams, numBuckets) rows and joins the gram stream as an
-  * ordinary shuffled equi-join on a long key; the (N_pos, N_neg) totals are
-  * the only scalar and ride a broadcast 1-row cross join (the q163/q190
-  * pattern). Nothing document-sized reaches the driver.
+  * ordinary shuffled equi-join on a long key; the (N_pos, N_neg) totals
+  * collapse to driver-side literals via ONE bounded aggregate head — the
+  * same job that fail-fasts on a degenerate class. Nothing document-sized
+  * reaches the driver.
   */
 object QualityClassifier {
 
@@ -87,32 +88,32 @@ object QualityClassifier {
   def classifierScore(docs: DataFrame, isPositive: Column, isNegative: Column,
                       numBuckets: Int = 1 << 18): DataFrame = {
     val grams = gramStream(docs, isPositive, isNegative, numBuckets).persist()
-    // fail fast on the degenerate label classes (the trainLm/lmScore
-    // contract): an empty class would make the (np, nn) scalar NULL and
-    // every score silently NULL — a typo'd predicate must throw, not turn
-    // the filter into a no-op. limit(1)-bounded probes on the shared
-    // persisted stream, which the query was about to fill anyway.
-    require(!grams.filter(col("is_p")).isEmpty,
-      "classifierScore: the isPositive slice produced no grams " +
-        "(empty slice, or every positive doc has zero tokens)")
-    require(!grams.filter(col("is_n")).isEmpty,
-      "classifierScore: the isNegative slice produced no grams " +
-        "(empty slice, or every negative doc has zero tokens)")
     val counts = grams.filter(col("is_p") || col("is_n"))
       .groupBy("bh")
       .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("is_n"), 1L).otherwise(0L)).as("cn"))
-    val tot = counts.agg(sum("cp").as("np"), sum("cn").as("nn"))
-    val weights = counts.crossJoin(broadcast(tot))
-      .select(col("bh"),
-        weightExpr(col("cp"), col("cn"), col("np"), col("nn"), numBuckets)
-          .as("w"))
+    // ONE totals job over the persisted gram stream serves both the
+    // degenerate-class fail-fast (the trainLm/lmScore contract: an empty
+    // class must throw, not silently NULL every score) and the (np, nn)
+    // scalar — which then rides the weight expressions as LITERALS, the
+    // trainQualityClassifier spelling, instead of two broadcast cross
+    // joins plus two isEmpty probe jobs.
+    val totRow = counts
+      .agg(coalesce(sum("cp"), lit(0L)), coalesce(sum("cn"), lit(0L))).head()
+    val (np, nn) = (totRow.getLong(0), totRow.getLong(1))
+    require(np > 0L,
+      "classifierScore: the isPositive slice produced no grams " +
+        "(empty slice, or every positive doc has zero tokens)")
+    require(nn > 0L,
+      "classifierScore: the isNegative slice produced no grams " +
+        "(empty slice, or every negative doc has zero tokens)")
+    val weights = counts.select(col("bh"),
+      weightExpr(col("cp"), col("cn"), lit(np), lit(nn), numBuckets).as("w"))
     grams
       .join(weights, Seq("bh"), "left")
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"),
         coalesce(col("w"),
-          weightExpr(lit(0L), lit(0L), col("np"), col("nn"), numBuckets))
+          weightExpr(lit(0L), lit(0L), lit(np), lit(nn), numBuckets))
           .as("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("score_micronats"))
