@@ -1310,6 +1310,30 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavSampleStats(
         graft.multimodal.Multimodal.syntheticPixelMedia(
           t(s, d, "documents").filter(col("doc_id") % 2 === 1))).toDF()),
+    // --- perceptual image near-dup [ext]: the composition of the real PNG
+    // decoder (q217) with the Hamming bit-band blocking q45 proves for
+    // SimHash — planted base / sparse-watermark / distinct image triples,
+    // decoded through all five scanline filters, box-downsampled to 8x8
+    // grayscale block means, 56-bit dHash, banded candidate pairs + exact
+    // Hamming verify (== brute force). The oracle recomputes every hash
+    // ARITHMETICALLY from the planted pixel formulas and brute-forces the
+    // pairs (in-suite budget <= 3 s) ---
+    "q219_image_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageNearDups(
+        graft.multimodal.MediaDedup.syntheticNearDupImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
+    // --- audio fingerprint near-dup [ext]: the WAV-side twin — PCM16
+    // energy-contour fingerprints (57 windows, 56 adjacent comparisons)
+    // over planted base / nudged / distinct clip triples, same banding
+    // machinery, same arithmetic-replay oracle (in-suite budget <= 3 s) ---
+    "q220_audio_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.audioNearDups(
+        graft.multimodal.MediaDedup.syntheticNearDupAudio(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -3604,6 +3628,60 @@ object SparkEntry {
         "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
         "CAST(max(abs(sv)) AS BIGINT) AS peak " +
         "FROM v GROUP BY media_id, n"),
+    // image dHash replay: grayscale v(k) per planted role formula, 8x8
+    // floor-block integer means, bit y*7+x set iff mean[y][x]<mean[y][x+1],
+    // then BRUTE-FORCE pairs — the engine must land here through the real
+    // decode (all five filters) + banded blocking
+    "q219_image_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+        "FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+        "px AS (SELECT doc_id, g, role, w, h, unnest(range(w * h)) AS k " +
+        "FROM dm), " +
+        "v AS (SELECT doc_id, " +
+        "CASE WHEN role = 2 THEN (g*53 + (k % w)*29 + (k // w)*3 + 128) % 256 " +
+        "WHEN role = 1 AND k % 97 = 0 " +
+        "THEN ((g*31 + (k % w)*7 + (k // w)*13) % 256 + 4) % 256 " +
+        "ELSE (g*31 + (k % w)*7 + (k // w)*13) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS dhash FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3"),
+    // audio fingerprint replay: planted PCM16 sample formulas, 57
+    // floor-assigned energy windows, bit j set iff E[j+1]>E[j], brute pairs
+    "q220_audio_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+        "FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(128 + (g % 64) * 4 AS BIGINT) AS n FROM dd), " +
+        "s AS (SELECT doc_id, g, role, n, unnest(range(n)) AS p FROM dm), " +
+        "v AS (SELECT doc_id, (p * 57) // n AS wdx, " +
+        "abs(CASE WHEN role = 2 THEN ((g*41 + p*13 + 999) % 4096) - 2048 " +
+        "WHEN role = 1 AND p % 101 = 0 " +
+        "THEN ((g*17 + p*5) % 4096) - 2048 + 7 " +
+        "ELSE ((g*17 + p*5) % 4096) - 2048 END) AS av FROM s), " +
+        "e AS (SELECT doc_id, wdx, sum(av) AS energy FROM v GROUP BY 1, 2), " +
+        "bits AS (SELECT l.doc_id, l.wdx AS j FROM e l " +
+        "JOIN e r ON l.doc_id = r.doc_id AND r.wdx = l.wdx + 1 " +
+        "WHERE r.energy > l.energy), " +
+        "fp AS (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS afp FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.afp, y.afp)) <= 3"),
     // leakage-audit replay: q199's split respell (one sc pair table over
     // the WHOLE slice serves both the keeper cluster graph and the
     // straddle check), straddle = J >= 0.8 pairs with different splits,

@@ -1,0 +1,231 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal.{Containers, MediaRow}
+import graft.text.Dedup
+
+/** Perceptual near-duplicate detection for decoded media — the image/audio
+  * twin of the text near-dup stack (`graft.text.Dedup`), composing the real
+  * codecs ([[Multimodal.decodePngRgba]], the RIFF/PCM16 walk) with the
+  * proven Hamming bit-band blocking ([[Dedup.hammingBandPairs]], the
+  * pigeonhole contract q45 pins for SimHash).
+  *
+  * Every multimodal training pipeline dedups images and audio clips, not
+  * just their captions: re-encoded, lightly re-compressed, or
+  * single-pixel-watermarked copies of one asset flood web crawls. Exact
+  * byte dedup misses them all; a perceptual fingerprint over DECODED
+  * content catches them, because the decode discards the container-level
+  * noise.
+  *
+  * Fingerprints are 56-bit (not the classic 64-bit 9×8 dHash): 8×8 grids
+  * with 7 horizontal comparisons per row. Same gradient semantics, but the
+  * top bits stay clear of the sign bit so fingerprints are non-negative
+  * longs — replayable in ANY engine's signed-64 SQL arithmetic without
+  * two's-complement gymnastics (the portableTokenHash discipline).
+  *
+  * Scale shape: fingerprinting is a pure partition-local map (one asset
+  * decoded at a time per task, no shuffle); pair candidates come from the
+  * banded equi-join on 14-bit chunks — never an all-pairs self-join — and
+  * the final Hamming filter is exact, so banded output EQUALS brute force.
+  */
+object MediaDedup {
+
+  /** Fingerprint width shared by the image and audio paths. */
+  val FingerprintBits = 56
+
+  /** dHash grid: 8×8 block means, 7 comparisons per row. */
+  val GridW = 8
+  val GridH = 8
+
+  /** Audio windows: 57 energy windows, 56 adjacent comparisons. */
+  val AudioWindows = 57
+
+  /** 56-bit difference hash of one decoded PNG: box-downsample the
+    * grayscale image to an 8×8 grid of integer block means (pixel (x, y)
+    * belongs to block (x·8/w, y·8/h) — floor arithmetic, exactly
+    * replayable in SQL), then bit y·7+x is set iff mean[y][x] <
+    * mean[y][x+1]. Grayscale = (r+g+b)/3 in integer arithmetic. Brightness
+    * and contrast shifts that preserve gradient DIRECTION preserve the
+    * hash; a few flipped gradients = a few bits of Hamming distance. */
+  private[graft] def dhashOnePng(id: Long, p: Array[Byte]): Long = {
+    val (w, h, px) = Multimodal.decodePngRgba(id, p)
+    require(w >= GridW && h >= GridH,
+      s"media $id: dHash needs at least ${GridW}x$GridH pixels, got ${w}x$h")
+    val sums = new Array[Long](GridW * GridH)
+    val cnts = new Array[Long](GridW * GridH)
+    var y = 0
+    while (y < h) {
+      val by = y * GridH / h
+      var x = 0
+      while (x < w) {
+        val k = 4 * (y * w + x)
+        val gray = ((px(k) & 0xFF) + (px(k + 1) & 0xFF) + (px(k + 2) & 0xFF)) / 3
+        val b = by * GridW + x * GridW / w
+        sums(b) += gray; cnts(b) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var fp = 0L
+    var gy = 0
+    while (gy < GridH) {
+      var gx = 0
+      while (gx < GridW - 1) {
+        val l = sums(gy * GridW + gx) / cnts(gy * GridW + gx)
+        val r = sums(gy * GridW + gx + 1) / cnts(gy * GridW + gx + 1)
+        if (l < r) fp |= 1L << (gy * 7 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    fp
+  }
+
+  /** Per-image perceptual hash: (media_id, dhash). Partition-local map —
+    * no shuffle; scales with input splits like any decode pass. */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => (m.media_id, dhashOnePng(m.media_id, m.payload))))
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs within `maxHamming` flipped gradient bits,
+    * via [[Dedup.hammingBandPairs]] banding (candidates from a 14-bit-chunk
+    * equi-join, exact Hamming verify — equals brute force). Output
+    * (media_a, media_b, hamming). */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
+                    bands: Int = 4): DataFrame =
+    Dedup.hammingBandPairs(imageDHash(media), "dhash", FingerprintBits,
+        maxHamming, bands, idCol = "media_id")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** 56-bit energy-contour fingerprint of one PCM16 WAV clip: split the
+    * interleaved int16 sample stream into [[AudioWindows]] windows (sample
+    * p belongs to window p·57/n — floor arithmetic over the data chunk's
+    * sample count), take each window's absolute-amplitude energy sum, and
+    * set bit j iff E[j+1] > E[j]. Volume scaling preserves the contour;
+    * a different clip scrambles it. Defined over the raw interleaved
+    * stream regardless of channel count (a stereo pair lands in the same
+    * window at these window widths). */
+  private[graft] def audioFingerprintOne(id: Long, p: Array[Byte]): Long = {
+    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"media $id: not a RIFF/WAVE container")
+    var off = 12
+    val energy = new Array[Long](AudioWindows)
+    var sawData = false
+    while (off + 8 <= p.length) {
+      val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
+      require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
+      t match {
+        case "fmt " =>
+          require(le16(dataOff) == 1 && le16(dataOff + 14) == 16,
+            s"media $id: only PCM16 supported (format ${le16(dataOff)}, " +
+              s"bits ${le16(dataOff + 14)})")
+        case "data" =>
+          sawData = true
+          val n = len / 2
+          require(n >= AudioWindows,
+            s"media $id: fingerprint needs >= $AudioWindows samples, got $n")
+          var i = 0
+          while (i < n) {
+            val s = le16(dataOff + 2 * i).toShort.toInt
+            energy(((i.toLong * AudioWindows) / n).toInt) += math.abs(s).toLong
+            i += 1
+          }
+        case _ => ()
+      }
+      off = dataOff + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(sawData, s"media $id: missing data chunk")
+    var fp = 0L
+    var j = 0
+    while (j < AudioWindows - 1) {
+      if (energy(j + 1) > energy(j)) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  /** Per-clip audio fingerprint: (media_id, afp). Partition-local map. */
+  def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m =>
+        (m.media_id, audioFingerprintOne(m.media_id, m.payload))))
+      .toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs within `maxHamming` contour flips — the
+    * WAV-side twin of [[imageNearDups]], same banding machinery. */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
+                    bands: Int = 4): DataFrame =
+    Dedup.hammingBandPairs(audioFingerprint(media), "afp", FingerprintBits,
+        maxHamming, bands, idCol = "media_id")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Near-dup image fixtures: doc_ids come in planted triples (group g =
+    * doc_id/3): role 0 is the base image (grayscale gradient v(k) =
+    * (g·31 + x·7 + y·13) mod 256 planted as r=g=b so grayscale IS the
+    * formula), role 1 a sparse-watermark near-duplicate (every 97th pixel
+    * nudged (v+4) mod 256 — block means barely move, so dHash stays within
+    * a few bits), role 2 a distinct image (different gradient). Dimensions
+    * derive from g alone; the PNG scanline filter cycles through all five
+    * spec filters by doc_id, so the dedup path exercises the whole
+    * unfilter matrix. An oracle recomputes every hash arithmetically. */
+  def syntheticNearDupImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 3
+      val role = id % 3
+      val w = (16 + (g % 5) * 4).toInt
+      val h = (12 + ((g * 3) % 5) * 4).toInt
+      def v(k: Int): Int = {
+        val x = k % w; val y = k / w
+        if (role == 2) ((g * 53 + x * 29 + y * 3 + 128) % 256).toInt
+        else {
+          val base = ((g * 31 + x * 7 + y * 13) % 256).toInt
+          if (role == 1 && k % 97 == 0) (base + 4) % 256 else base
+        }
+      }
+      val px: Int => Int = i => if (i % 4 == 3) 255 else v(i / 4)
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+  }
+
+  /** Near-dup audio fixtures, same triple layout: role 0 base clip with
+    * PCM16 samples s(p) = ((g·17 + p·5) mod 4096) − 2048, role 1 a
+    * near-duplicate with every 101st sample nudged +7 (window energies
+    * barely move), role 2 a distinct clip (different sweep). Sample count
+    * derives from g alone (128..380 — always ≥ [[AudioWindows]]). */
+  def syntheticNearDupAudio(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 3
+      val role = id % 3
+      val n = (128 + (g % 64) * 4).toInt
+      val body = new Array[Byte](n * 2)
+      var p = 0
+      while (p < n) {
+        val base =
+          if (role == 2) ((g * 41 + p.toLong * 13 + 999) % 4096 - 2048).toInt
+          else ((g * 17 + p.toLong * 5) % 4096 - 2048).toInt
+        val s = if (role == 1 && p % 101 == 0) base + 7 else base
+        body(2 * p) = (s & 0xFF).toByte
+        body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+        p += 1
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+  }
+}

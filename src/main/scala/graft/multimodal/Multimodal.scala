@@ -486,7 +486,12 @@ object Multimodal {
     media.mapPartitions(_.map(m => decodeOnePng(m.media_id, m.payload)))
   }
 
-  private[graft] def decodeOnePng(id: Long, p: Array[Byte]): PixelStats = {
+  /** Full PNG decode to reconstructed RGBA bytes (row-major, 4 bytes per
+    * pixel) — the chunk walk, IDAT inflate, and filter reversal shared by
+    * the census ([[decodeOnePng]]), the perceptual hash
+    * ([[MediaDedup.imageDHash]]), and the real [[resize]]. One image's
+    * pixels live at a time per task — the inherent decode granularity. */
+  private[graft] def decodePngRgba(id: Long, p: Array[Byte]): (Int, Int, Array[Byte]) = {
     def be(off: Int): Int =
       ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
         ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
@@ -536,7 +541,7 @@ object Multimodal {
       s"media $id: IDAT decoded to $filled bytes, expected ${raw.length}")
     val prior = new Array[Int](stride)
     val cur = new Array[Int](stride)
-    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    val out = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {
       val base = y * (1 + stride)
@@ -557,16 +562,23 @@ object Multimodal {
         }
         val v = (rawV + pred) & 0xFF
         cur(x) = v
-        (x % bpp) match {
-          case 0 => sr += v
-          case 1 => sg += v
-          case 2 => sb += v
-          case _ => sa += v
-        }
+        out(y * stride + x) = v.toByte
         x += 1
       }
       System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
+    }
+    (w, h, out)
+  }
+
+  private[graft] def decodeOnePng(id: Long, p: Array[Byte]): PixelStats = {
+    val (w, h, px) = decodePngRgba(id, p)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    var i = 0
+    while (i < px.length) {
+      sr += px(i) & 0xFF; sg += px(i + 1) & 0xFF
+      sb += px(i + 2) & 0xFF; sa += px(i + 3) & 0xFF
+      i += 4
     }
     PixelStats(id, w, h, w.toLong * h, sr, sg, sb, sa)
   }

@@ -611,22 +611,37 @@ object Dedup {
     * hamming filter is exact, so the result set EQUALS the brute-force
     * all-pairs answer — which is how the q45 oracle spells it. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4): DataFrame =
+    hammingBandPairs(simhash(docs), "simhash", SimhashBits, maxHamming, bands)
+
+  /** Generic Hamming bit-band blocking over ANY integer fingerprint column
+    * (SimHash, image dHash, audio energy fingerprint): split `totalBits`
+    * into `bands` chunks — two fingerprints within maxHamming < bands bit
+    * flips MUST agree on at least one full band (pigeonhole — this holds
+    * even when `bands` doesn't divide `totalBits` evenly and the tail bits
+    * go unblocked; coverage only affects candidate count, never recall),
+    * so candidates come from an equi-join on (band, chunk), never a
+    * self-join of the corpus. The final hamming filter is exact, so the
+    * result set EQUALS the brute-force all-pairs answer — how every oracle
+    * spells it. Input: (idCol, fpCol); output (doc_a, doc_b, hamming) with
+    * doc_a < doc_b. */
+  def hammingBandPairs(fps: DataFrame, fpCol: String, totalBits: Int,
+                       maxHamming: Int, bands: Int,
+                       idCol: String = "doc_id"): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
-    val bits = SimhashBits / bands
-    val fp = simhash(docs)
-    val chunks = fp.select(col("doc_id"), col("simhash"),
+    val bits = totalBits / bands
+    val chunks = fps.select(col(idCol).as("doc_id"), col(fpCol).as("fp"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bits)
+          shiftright(col(fpCol), b * bits)
             .bitwiseAND((1L << bits) - 1L).as("chunk"))
       }: _*)).as("bc"))
-      .select(col("doc_id"), col("simhash"), col("bc.band"), col("bc.chunk"))
+      .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
     chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("fa"), col("y.simhash").as("fb"))
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
       .distinct() // a pair can collide in several bands; dedupe BEFORE scoring
       .select(col("doc_a"), col("doc_b"), hamming(col("fa"), col("fb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

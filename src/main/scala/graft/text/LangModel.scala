@@ -33,9 +33,9 @@ import org.apache.spark.sql.functions._
   * the result's actions, as the harnesses do); the bigram/unigram model
   * tables are bounded by the TRAIN slice's
   * vocabulary and join the scoring stream as ordinary shuffled equi-joins
-  * on 64-bit keys (nothing document-sized is broadcast); the only 1-row
-  * scalar (N, V totals) rides a broadcast cross join, the q163/q190
-  * pattern.
+  * on 64-bit keys (nothing document-sized is broadcast); the (N, V) totals
+  * collapse to driver-side literals via one bounded aggregate head — the
+  * same job that fail-fasts on a degenerate train slice.
   */
 object LangModel {
 
@@ -157,13 +157,6 @@ object LangModel {
       .persist()
 
     val train = paired.filter(col("is_train"))
-    // same degenerate-input contract as trainLm: a train slice with no
-    // bigram events would make the (nn, vv) scalar null and every score
-    // silently null — fail fast instead (limit(1)-bounded probe over the
-    // shared persisted stream, which the query was about to fill anyway)
-    require(!train.isEmpty,
-      "lmScore: the isTrain slice produced no bigram events " +
-        "(empty slice, or every training doc has < 2 tokens)")
     // bigram counts c(w1 w2) and LEFT-context counts c(w1) from the same
     // bigram stream (so the conditional S(w2|w1) = c2/c1 is a true
     // probability over observed contexts; the final token of each doc never
@@ -174,23 +167,31 @@ object LangModel {
       .select(col("w1h"), col("w2h"),
         micronats(col("c2").cast("double") / col("c1").cast("double")).as("lp2"))
     // unigram backoff over RIGHT tokens (the predicted position), Laplace-
-    // smoothed so unseen words keep a finite score; totals are the 1-row
-    // scalar that also carries the unknown-token default
+    // smoothed so unseen words keep a finite score. ONE bounded totals job
+    // over the persisted bigram stream serves both the degenerate-input
+    // fail-fast (trainLm's contract: an empty train slice must throw, not
+    // silently NULL every score) and the (N, V) scalar — which then rides
+    // the backoff expressions as LITERALS (the classifierScore spelling)
+    // instead of two broadcast cross joins plus an isEmpty probe job.
     val cu = train.groupBy(col("w2h").as("wh")).agg(count(lit(1)).as("cu"))
-    val tot = cu.agg(sum("cu").as("nn"), count(lit(1)).as("vv"))
-    val uni = cu.crossJoin(broadcast(tot))
-      .select(col("wh"),
-        micronats(lit(Alpha) * (col("cu") + lit(1L)).cast("double") /
-          (col("nn") + col("vv")).cast("double")).as("lp1"))
+    val totRow = cu
+      .agg(coalesce(sum("cu"), lit(0L)), count(lit(1))).head()
+    val (nn, vv) = (totRow.getLong(0), totRow.getLong(1))
+    require(nn > 0L,
+      "lmScore: the isTrain slice produced no bigram events " +
+        "(empty slice, or every training doc has < 2 tokens)")
+    val denom = lit((nn + vv).toDouble)
+    val uni = cu.select(col("wh"),
+      micronats(lit(Alpha) * (col("cu") + lit(1L)).cast("double") / denom)
+        .as("lp1"))
 
     val scored = paired.filter(!col("is_train"))
       .join(model2, Seq("w1h", "w2h"), "left")
       .join(uni.withColumnRenamed("wh", "w2h").withColumnRenamed("lp1", "lp_bo"),
         Seq("w2h"), "left")
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"),
         coalesce(col("lp2"), col("lp_bo"),
-          micronats(lit(Alpha) / (col("nn") + col("vv")).cast("double"))).as("lp"))
+          micronats(lit(Alpha) / denom)).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_micronats"))
       .select(col("doc_id"), col("n_bigrams"), col("nll_micronats"),

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{MediaDedup, Multimodal}
+import graft.multimodal.Multimodal.{Containers, MediaRow}
+
+class MediaDedupSpec extends SparkSpec {
+
+  private lazy val docs =
+    graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  // 16x16 image whose grayscale is planted PER 2x2 GRID BLOCK: block
+  // (bx, by) has every pixel at gray(bx, by), so the 8x8 block means ARE
+  // the planted values and the dHash is readable off the formula.
+  private def blockImage(id: Long, gray: (Int, Int) => Int,
+                         filterType: Int = 0): MediaRow = {
+    val w = 16; val h = 16
+    val px: Int => Int = { i =>
+      if (i % 4 == 3) 255
+      else {
+        val k = i / 4
+        gray((k % w) / 2, (k / w) / 2)
+      }
+    }
+    MediaRow(id, "image", Containers.pngFull(w, h, px, filterType), w, h, 1)
+  }
+
+  // 570-sample PCM16 clip: window j (57 windows of 10 samples) has every
+  // sample at amp(j), so window energies are 10*amp(j) exactly.
+  private def windowClip(id: Long, amp: Int => Int): MediaRow = {
+    val n = 570
+    val body = new Array[Byte](n * 2)
+    var p = 0
+    while (p < n) {
+      val s = amp(p / 10)
+      body(2 * p) = (s & 0xFF).toByte
+      body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+      p += 1
+    }
+    MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+  }
+
+  test("dHash: monotone gradient sets all 56 bits; reverse gradient none") {
+    val up = blockImage(1L, (bx, _) => bx * 10)
+    val down = blockImage(2L, (bx, _) => (7 - bx) * 10)
+    assert(MediaDedup.dhashOnePng(1L, up.payload) === (1L << 56) - 1L)
+    assert(MediaDedup.dhashOnePng(2L, down.payload) === 0L)
+  }
+
+  test("dHash is invariant to the PNG scanline filter and to brightness") {
+    val base = blockImage(1L, (bx, by) => bx * 10 + by, filterType = 0)
+    (1 to 4).foreach { f =>
+      val refiltered = blockImage(1L, (bx, by) => bx * 10 + by, filterType = f)
+      assert(MediaDedup.dhashOnePng(1L, refiltered.payload) ===
+        MediaDedup.dhashOnePng(1L, base.payload), s"filter $f")
+    }
+    // uniform brightness shift preserves every gradient direction
+    val brighter = blockImage(1L, (bx, by) => bx * 10 + by + 50)
+    assert(MediaDedup.dhashOnePng(1L, brighter.payload) ===
+      MediaDedup.dhashOnePng(1L, base.payload))
+  }
+
+  test("planted duplicate / 1-bit near-duplicate / distinct image triple") {
+    // base: all 56 gradient bits set; near: last row's last block darkened
+    // flips exactly bit 55; distinct: reverse gradient, Hamming 56
+    val a = blockImage(10L, (bx, _) => bx * 10)
+    val b = blockImage(11L, (bx, by) => if (bx == 7 && by == 7) 0 else bx * 10,
+      filterType = 4)
+    val c = blockImage(12L, (bx, _) => (7 - bx) * 10)
+    val fa = MediaDedup.dhashOnePng(10L, a.payload)
+    val fb = MediaDedup.dhashOnePng(11L, b.payload)
+    val fc = MediaDedup.dhashOnePng(12L, c.payload)
+    assert(java.lang.Long.bitCount(fa ^ fb) === 1)
+    assert(java.lang.Long.bitCount(fa ^ fc) === 56)
+    import spark.implicits._
+    val media = Seq(a, b, c).toDS()
+    val pairs = MediaDedup.imageNearDups(media, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2) + 0))
+    assert(pairs.toSet === Set((10L, 11L, 1)))
+  }
+
+  test("audio fingerprint: planted contour triple behaves like the image one") {
+    val a = windowClip(20L, j => j * 10)                        // rising: all bits
+    val b = windowClip(21L, j => if (j == 56) 0 else j * 10)    // one flip
+    val c = windowClip(22L, j => (56 - j) * 10)                 // falling: none
+    val fa = MediaDedup.audioFingerprintOne(20L, a.payload)
+    val fb = MediaDedup.audioFingerprintOne(21L, b.payload)
+    val fc = MediaDedup.audioFingerprintOne(22L, c.payload)
+    assert(fa === (1L << 56) - 1L)
+    assert(fc === 0L)
+    assert(java.lang.Long.bitCount(fa ^ fb) === 1)
+    import spark.implicits._
+    val media = Seq(a, b, c).toDS()
+    val pairs = MediaDedup.audioNearDups(media, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2) + 0))
+    assert(pairs.toSet === Set((20L, 21L, 1)))
+  }
+
+  test("banded image near-dups equal brute-force all-pairs on the fixtures") {
+    val media = MediaDedup.syntheticNearDupImages(docs.limit(120))
+    val fps = MediaDedup.imageDHash(media).persist()
+    val brute = fps.as("x").join(fps.as("y"),
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = MediaDedup.imageNearDups(media, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "fixtures should plant at least one near-dup pair")
+    fps.unpersist()
+  }
+
+  test("banded audio near-dups equal brute-force all-pairs on the fixtures") {
+    val media = MediaDedup.syntheticNearDupAudio(docs.limit(120))
+    val fps = MediaDedup.audioFingerprint(media).persist()
+    val brute = fps.as("x").join(fps.as("y"),
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.afp").bitwiseXOR(col("y.afp"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = MediaDedup.audioNearDups(media, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "fixtures should plant at least one near-dup pair")
+    fps.unpersist()
+  }
+
+  test("decodePngRgba refactor preserves the q217 pixel census exactly") {
+    val media = Multimodal.syntheticPixelMedia(
+      docs.filter(col("doc_id") % 2 === 0).limit(40))
+    Multimodal.pngPixelStats(media).collect().foreach { st =>
+      // replay the planting formula (media_id*31 + i) mod 256 per channel
+      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+      val n = st.width * st.height * 4
+      var i = 0
+      while (i < n) {
+        val v = ((st.media_id * 31 + i) % 256).toInt
+        (i % 4) match {
+          case 0 => sr += v; case 1 => sg += v; case 2 => sb += v
+          case _ => sa += v
+        }
+        i += 1
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b, st.sum_a) === ((sr, sg, sb, sa)),
+        s"media ${st.media_id}")
+    }
+  }
+}
