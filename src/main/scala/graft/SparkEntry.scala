@@ -1334,6 +1334,32 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- REAL resize [ext]: q217's full-decode PNGs box-downsampled to
+    // maxSide 8 (integer block means, ceil dims, edge blocks keep true
+    // counts), RE-ENCODED as spec-complete PNGs, then pushed through the
+    // real pixel census — so a bug in decode, resample, or re-encode all
+    // hash-mismatch. Images already inside the bound pass through
+    // byte-identical (both branches fire at every sf). The oracle replays
+    // floor(blockSum/blockCount) per channel from the planted formula
+    // (in-suite budget <= 3 s) ---
+    "q221_resize_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.pngPixelStats(
+        graft.multimodal.Multimodal.resize(
+          graft.multimodal.Multimodal.syntheticPixelMedia(
+            t(s, d, "documents").filter(col("doc_id") % 2 === 0)),
+          maxSide = 8)).toDF()),
+    // --- REAL GIF (LZW) pixel decode [ext]: spec-complete GIF89a fixtures
+    // (64-color global palette, GCE extension, sub-block-split LZW data)
+    // decoded by genuine variable-width code-table expansion (CLEAR
+    // resets, the KwKwK case, width bumps), indices mapped through the
+    // palette into an exact census; the oracle recomputes the planted
+    // index and palette formulas arithmetically. JPEG stays header-only BY
+    // DESIGN: entropy decode = Huffman + IDCT, a codec body out of scope
+    // (documented at Containers.jpegDims). Budget <= 3 s ---
+    "q222_gif_pixel_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.gifPixelStats(
+        graft.multimodal.Multimodal.syntheticGifMedia(
+          t(s, d, "documents"))).toDF()),
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -3682,6 +3708,51 @@ object SparkEntry {
         "CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.afp, y.afp)) <= 3"),
+    // resize replay: scale s = ceil(maxDim/8), output pixel = per-channel
+    // floor(blockSum/blockCount) over the planted formula, summed per
+    // channel — the engine must land here through decode + box resample +
+    // re-encode + re-decode
+    "q221_resize_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(4 + (n_chars % 13) AS BIGINT) AS w, " +
+        "CAST(3 + ((n_chars * 7) % 11) AS BIGINT) AS h " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "dm AS (SELECT media_id, w, h, " +
+        "greatest(1, (greatest(w, h) + 7) // 8) AS s FROM d), " +
+        "dm2 AS (SELECT media_id, w, h, s, (w + s - 1) // s AS w2, " +
+        "(h + s - 1) // s AS h2 FROM dm), " +
+        "px AS (SELECT media_id, w, s, w2, h2, " +
+        "unnest(range(w * h * 4)) AS i FROM dm2), " +
+        "v AS (SELECT media_id, w2, h2, i % 4 AS c, " +
+        "((i // 4) % w) // s AS bx, ((i // 4) // w) // s AS by, " +
+        "(media_id * 31 + i) % 256 AS val FROM px), " +
+        "m AS (SELECT media_id, w2, h2, c, bx, by, " +
+        "sum(val) // count(*) AS mean FROM v GROUP BY 1, 2, 3, 4, 5, 6) " +
+        "SELECT media_id, CAST(w2 AS INTEGER) AS width, " +
+        "CAST(h2 AS INTEGER) AS height, " +
+        "CAST(w2 * h2 AS BIGINT) AS n_pixels, " +
+        "CAST(sum(CASE WHEN c = 0 THEN mean ELSE 0 END) AS BIGINT) AS sum_r, " +
+        "CAST(sum(CASE WHEN c = 1 THEN mean ELSE 0 END) AS BIGINT) AS sum_g, " +
+        "CAST(sum(CASE WHEN c = 2 THEN mean ELSE 0 END) AS BIGINT) AS sum_b, " +
+        "CAST(sum(CASE WHEN c = 3 THEN mean ELSE 0 END) AS BIGINT) AS sum_a " +
+        "FROM m GROUP BY media_id, w2, h2"),
+    // GIF replay: pixel index (id*13 + k/7) mod 64 mapped through the
+    // planted palette formulas — the engine must land here through real
+    // LZW expansion
+    "q222_gif_pixel_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(10 + (doc_id % 11) AS BIGINT) AS w, " +
+        "CAST(8 + ((doc_id * 3) % 7) AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "v AS (SELECT media_id, w, h, (media_id * 13 + k // 7) % 64 AS idx " +
+        "FROM px) " +
+        "SELECT media_id, CAST(w AS INTEGER) AS width, " +
+        "CAST(h AS INTEGER) AS height, CAST(w * h AS BIGINT) AS n_pixels, " +
+        "CAST(sum((idx * 5 + 7) % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((idx * 11 + 3) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((idx * 23 + 1) % 256) AS BIGINT) AS sum_b, " +
+        "CAST(sum(idx) AS BIGINT) AS sum_idx " +
+        "FROM v GROUP BY media_id, w, h"),
     // leakage-audit replay: q199's split respell (one sc pair table over
     // the WHOLE slice serves both the keeper cluster graph and the
     // straddle check), straddle = J >= 0.8 pairs with different splits,

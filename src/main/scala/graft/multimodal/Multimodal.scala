@@ -53,6 +53,12 @@ object Multimodal {
                                sample_rate: Int, n_samples: Long,
                                sum_abs: Long, peak: Long)
 
+  /** Exact census of one LZW-decoded GIF frame: palette-mapped channel
+    * sums plus the raw index sum (sensitive to every expansion step). */
+  final case class GifStats(media_id: Long, width: Int, height: Int,
+                            n_pixels: Long, sum_r: Long, sum_g: Long,
+                            sum_b: Long, sum_idx: Long)
+
   /** Real container-header layouts (public format specs), JVM side.
     * Builders emit the exact byte offsets the specs publish; the parser
     * dispatches on magic bytes. CRC fields are zeroed (nothing here
@@ -139,6 +145,109 @@ object Multimodal {
       val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
       sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
         pngChunk("IEND", Array.emptyByteArray)
+    }
+
+    /** GIF-variant LZW compress (GIF89a spec, Appendix F): variable-width
+      * codes starting at minCodeSize+1 bits, LSB-first bit packing, CLEAR
+      * = 2^min and EOI = CLEAR+1 reserved, dictionary grown one entry per
+      * emitted data code, code width bumped when the largest defined code
+      * fills the current width, CLEAR emitted and the table rebuilt when
+      * the 12-bit space (4096) is exhausted. The ENCODER side of
+      * [[Multimodal.decodeOneGif]]'s expansion — round-trip spec-pinned
+      * and cross-validated against the JDK's own ImageIO GIF reader. */
+    def lzwEncode(indices: Array[Int], minCodeSize: Int): Array[Byte] = {
+      require(minCodeSize >= 2 && minCodeSize <= 8, "GIF LZW min code size is 2..8")
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0
+      var bitCnt = 0
+      var codeSize = minCodeSize + 1
+      def emit(code: Int): Unit = {
+        bitBuf |= code << bitCnt
+        bitCnt += codeSize
+        while (bitCnt >= 8) {
+          out.write(bitBuf & 0xFF); bitBuf >>>= 8; bitCnt -= 8
+        }
+      }
+      var dict = new java.util.HashMap[Long, Integer]()
+      var next = eoi + 1
+      emit(clear)
+      if (indices.nonEmpty) {
+        var cur = indices(0)
+        var i = 1
+        while (i < indices.length) {
+          val s = indices(i)
+          val key = (cur.toLong << 16) | s.toLong
+          val hit = dict.get(key)
+          if (hit != null) cur = hit.intValue()
+          else {
+            emit(cur)
+            dict.put(key, Integer.valueOf(next)); next += 1
+            // the decoder's counter runs one behind: it creates this entry
+            // only when it processes the NEXT code, so its width bump at
+            // (next == 1<<size) is our (next-1 == 1<<size)
+            if (next - 1 == (1 << codeSize) && codeSize < 12) codeSize += 1
+            if (next == 4096) { // 12-bit space exhausted: rebuild
+              emit(clear)
+              dict = new java.util.HashMap[Long, Integer]()
+              next = eoi + 1
+              codeSize = minCodeSize + 1
+            }
+            cur = s
+          }
+          i += 1
+        }
+        emit(cur)
+        // the decoder adds one entry after processing this final code too,
+        // and that add can bump ITS width before it reads EOI — mirror it.
+        // (When the final code is the first after a CLEAR the decoder adds
+        // nothing, but then next == eoi+1 < 1<<codeSize, so this cannot
+        // spuriously fire for minCodeSize >= 2.)
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+      emit(eoi)
+      if (bitCnt > 0) out.write(bitBuf & 0xFF)
+      out.toByteArray
+    }
+
+    /** SPEC-COMPLETE GIF89a with real LZW-compressed pixel data: header,
+      * logical screen descriptor, GLOBAL color table (`palette`: 3·2^(n+1)
+      * RGB bytes), a Graphic Control Extension (exercises the extension
+      * skip every real decoder needs), image descriptor, [[lzwEncode]]'d
+      * indices split into ≤126-byte data sub-blocks (exercises sub-block
+      * reassembly), trailer. `idx(k)` supplies the palette index of pixel
+      * k (row-major). */
+    def gifFull(width: Int, height: Int, idx: Int => Int,
+                palette: Array[Byte], minCodeSize: Int = 6): Array[Byte] = {
+      require(width > 0 && height > 0, "gifFull needs positive dimensions")
+      val nColors = palette.length / 3
+      require(nColors == (1 << (Integer.numberOfTrailingZeros(nColors))) &&
+        palette.length % 3 == 0, "palette must hold a power-of-two color count")
+      val gctBits = Integer.numberOfTrailingZeros(nColors) - 1
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(width); le16(height)
+      out.write(0x80 | (7 << 4) | gctBits) // GCT present, 8-bit res, size
+      out.write(0); out.write(0) // background index, aspect ratio
+      out.write(palette)
+      out.write(0x21); out.write(0xF9) // Graphic Control Extension
+      out.write(4); out.write(0); le16(0); out.write(0); out.write(0)
+      out.write(0x2C) // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(0) // no local table, not interlaced
+      out.write(minCodeSize)
+      val data = lzwEncode(Array.tabulate(width * height)(idx), minCodeSize)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(126, data.length - off)
+        out.write(n); out.write(data, off, n)
+        off += n
+      }
+      out.write(0) // sub-block terminator
+      out.write(0x3B) // trailer
+      out.toByteArray
     }
 
     /** The Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
@@ -633,6 +742,176 @@ object Multimodal {
     SampleStats(id, channels, rate, n, sumAbs, peak)
   }
 
+  /** REAL GIF pixel decode — LZW is pure integer code-table expansion, no
+    * codec library needed: walk the GIF89a block structure (logical screen
+    * descriptor, global color table, extension skip, image descriptor,
+    * data sub-block reassembly), expand the variable-width LSB-first LZW
+    * stream (CLEAR resets, EOI, the KwKwK code==next case, 12-bit table
+    * cap), map indices through the palette, and reduce to the exact
+    * channel + index census. Supports the single-frame non-interlaced
+    * global-palette layout and fails fast with named causes on anything
+    * else (interlace, local palettes — out of scope). JPEG stays
+    * header-only BY DESIGN ([[Containers.jpegDims]]): its entropy decode
+    * needs Huffman tables + IDCT, a codec body out of scope here. */
+  def gifPixelStats(media: Dataset[MediaRow]): Dataset[GifStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => decodeOneGif(m.media_id, m.payload)))
+  }
+
+  private[graft] def decodeOneGif(id: Long, p: Array[Byte]): GifStats = {
+    def u8(off: Int): Int = p(off) & 0xFF
+    def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    require(p.length >= 13 &&
+      new String(p, 0, 6, "US-ASCII").matches("GIF8[79]a"),
+      s"media $id: not a GIF signature")
+    val packed = u8(10)
+    require((packed & 0x80) != 0,
+      s"media $id: only global-color-table GIFs are supported")
+    val nColors = 1 << ((packed & 7) + 1)
+    val gctOff = 13
+    var off = gctOff + 3 * nColors
+    // block walk: skip extensions, land on the first image descriptor
+    while (off < p.length && u8(off) == 0x21) {
+      off += 2 // introducer + label
+      while (u8(off) != 0) off += 1 + u8(off) // sub-blocks
+      off += 1 // terminator
+    }
+    require(off < p.length && u8(off) == 0x2C,
+      s"media $id: expected an image descriptor, got 0x${u8(off).toHexString}")
+    val w = le16(off + 5); val h = le16(off + 7)
+    val ipacked = u8(off + 9)
+    require((ipacked & 0x80) == 0, s"media $id: local color tables unsupported")
+    require((ipacked & 0x40) == 0, s"media $id: interlaced GIFs unsupported")
+    val minCodeSize = u8(off + 10)
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"media $id: invalid LZW min code size $minCodeSize")
+    // reassemble the data sub-blocks
+    off += 11
+    val data = new java.io.ByteArrayOutputStream()
+    while (u8(off) != 0) {
+      val n = u8(off)
+      data.write(p, off + 1, n)
+      off += 1 + n
+    }
+    val indices = lzwDecode(id, data.toByteArray, minCodeSize, w * h)
+    var sr = 0L; var sg = 0L; var sb = 0L; var si = 0L
+    var k = 0
+    while (k < indices.length) {
+      val idx = indices(k)
+      require(idx < nColors, s"media $id: pixel index $idx outside the " +
+        s"$nColors-color palette")
+      sr += u8(gctOff + 3 * idx); sg += u8(gctOff + 3 * idx + 1)
+      sb += u8(gctOff + 3 * idx + 2); si += idx
+      k += 1
+    }
+    GifStats(id, w, h, w.toLong * h, sr, sg, sb, si)
+  }
+
+  /** GIF-variant LZW expansion (the decoder mirror of
+    * [[Containers.lzwEncode]]): prefix-linked table (each entry = prior
+    * code + one byte — O(1) per entry, strings materialized by walking the
+    * chain), width bumps at table-fill, adds capped at the 12-bit space
+    * until a CLEAR rebuilds. */
+  private[graft] def lzwDecode(id: Long, data: Array[Byte], minCodeSize: Int,
+                        nPixels: Int): Array[Int] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    val stack = new Array[Int](4097)
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    def emit(code: Int, extra: Int): Unit = {
+      // walk the prefix chain onto a stack, then unwind in pixel order
+      var depth = 0
+      if (extra >= 0) { stack(depth) = extra; depth += 1 }
+      var c = code
+      while (c >= clear) {
+        stack(depth) = suffix(c); depth += 1; c = prefix(c)
+      }
+      stack(depth) = c; depth += 1
+      while (depth > 0) {
+        depth -= 1
+        require(outN < nPixels,
+          s"media $id: LZW stream decodes past $nPixels pixels")
+        out(outN) = stack(depth); outN += 1
+      }
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xFFL) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      require(bitCnt >= codeSize, s"media $id: truncated LZW stream")
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      if (code == clear) {
+        next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < clear, s"media $id: first code after CLEAR must be " +
+          s"a literal, got $code")
+        emit(code, -1)
+        prev = code
+      } else {
+        require(code <= next, s"media $id: LZW code $code beyond table $next")
+        if (code == next) emit(prev, firstOf(prev)) // the KwKwK case
+        else emit(code, -1)
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = if (code == next) firstOf(prev) else firstOf(code)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    require(outN == nPixels,
+      s"media $id: LZW stream decoded to $outN pixels, expected $nPixels")
+    out
+  }
+
+  /** Deterministic GIF fixtures: every doc becomes a single-frame 64-color
+    * GIF whose pixel INDEX k is the closed form (doc_id·13 + k/7) mod 64
+    * (runs of 7 — exercises LZW run folding and the KwKwK case) and whose
+    * palette entry j is ((j·5+7) mod 256, (j·11+3) mod 256, (j·23+1) mod
+    * 256) — so an oracle recomputes the full palette-mapped census
+    * ARITHMETICALLY while the engine earns it through real LZW
+    * expansion. */
+  def syntheticGifMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val palette = Array.tabulate(64 * 3) { b =>
+      val j = b / 3
+      (b % 3 match {
+        case 0 => (j * 5 + 7) % 256
+        case 1 => (j * 11 + 3) % 256
+        case _ => (j * 23 + 1) % 256
+      }).toByte
+    }
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (10 + id % 11).toInt
+      val h = (8 + (id * 3) % 7).toInt
+      val payload = Containers.gifFull(w, h,
+        k => ((id * 13 + k / 7) % 64).toInt, palette)
+      MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
   /** Deterministic FULL-decode fixtures: even doc_ids become complete
     * RGBA PNGs whose pixel byte i is the closed form (doc_id·31 + i) mod
     * 256, odd doc_ids become PCM16 WAV clips whose sample p is
@@ -683,13 +962,68 @@ object Multimodal {
     }
   }
 
-  /** Resize metadata transform (stub: halves dimensions, keeps payload). */
+  /** REAL resize: PNG payloads are decoded ([[decodePngRgba]]),
+    * box-filter downsampled by the smallest integer factor s =
+    * ceil(maxDim/maxSide) that bounds the longest side (output pixel
+    * (X, Y) = the per-channel INTEGER mean of the s×s input block x/s = X,
+    * y/s = Y — edge blocks keep their true pixel count, so dimensions are
+    * ceil(w/s) × ceil(h/s) and every mean replays as floor(sum/count) in
+    * SQL), then re-encoded as a spec-complete PNG ([[Containers.pngFull]]).
+    * Payloads already inside the bound pass through byte-identical.
+    * Non-PNG payloads (JPEG/WAV/AVI — no pixel decoder in scope) get the
+    * same ceil-based metadata scaling with the payload untouched.
+    * Pure partition-local map; one image's pixels live at a time. */
   def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    require(maxSide >= 1, "resize needs maxSide >= 1")
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
-      val scale = math.max(1, math.max(m.width, m.height) / maxSide)
-      m.copy(width = m.width / scale, height = m.height / scale)
+      val isPng = m.payload.length >= 8 &&
+        (m.payload(0) & 0xFF) == 0x89 && m.payload(1) == 'P'.toByte &&
+        m.payload(2) == 'N'.toByte && m.payload(3) == 'G'.toByte
+      if (isPng) {
+        val (w, h, px) = decodePngRgba(m.media_id, m.payload)
+        val scale = math.max(1, (math.max(w, h) + maxSide - 1) / maxSide)
+        if (scale == 1) m
+        else {
+          val w2 = (w + scale - 1) / scale
+          val h2 = (h + scale - 1) / scale
+          val sums = new Array[Long](w2 * h2 * 4)
+          val cnts = new Array[Long](w2 * h2)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val b = (y / scale) * w2 + (x / scale)
+              val k = 4 * (y * w + x)
+              cnts(b) += 1L
+              sums(4 * b) += px(k) & 0xFF
+              sums(4 * b + 1) += px(k + 1) & 0xFF
+              sums(4 * b + 2) += px(k + 2) & 0xFF
+              sums(4 * b + 3) += px(k + 3) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val out = new Array[Byte](w2 * h2 * 4)
+          var b = 0
+          while (b < w2 * h2) {
+            var c = 0
+            while (c < 4) {
+              out(4 * b + c) = (sums(4 * b + c) / cnts(b)).toByte
+              c += 1
+            }
+            b += 1
+          }
+          m.copy(payload = Containers.pngFull(w2, h2, i => out(i) & 0xFF),
+            width = w2, height = h2)
+        }
+      } else {
+        val scale = math.max(1, (math.max(m.width, m.height) + maxSide - 1) / maxSide)
+        if (scale == 1) m
+        else m.copy(width = (m.width + scale - 1) / scale,
+          height = (m.height + scale - 1) / scale)
+      }
     }
   }
 

@@ -38,14 +38,51 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.forall(_.size == 16))
   }
 
-  test("resize bounds the longest side while keeping aspect scale") {
-    val resized = Multimodal.resize(media, maxSide = 32).collect()
-    assert(resized.forall(m => m.width <= 272 && m.height <= 208))
-    val orig = media.collect().map(m => m.media_id -> m).toMap
+  test("resize bounds the longest side (metadata path for non-PNG formats)") {
+    // JPEG/WAV/AVI rows take the metadata-only path (no pixel decoder in
+    // scope); PNG rows take the REAL resample path, pinned in
+    // MediaDedupSpec against the planting formula
+    val nonPng = media.filter(m => m.kind != "image" || m.media_id % 2 == 1)
+    val resized = Multimodal.resize(nonPng, maxSide = 32).collect()
+    assert(resized.forall(m => m.width <= 32 && m.height <= 32))
+    val orig = nonPng.collect().map(m => m.media_id -> m).toMap
     resized.foreach { m =>
       val o = orig(m.media_id)
-      val scale = math.max(1, math.max(o.width, o.height) / 32)
-      assert(m.width === o.width / scale)
+      val scale = math.max(1, (math.max(o.width, o.height) + 31) / 32)
+      if (scale == 1) assert(m.width === o.width)
+      else assert(m.width === (o.width + scale - 1) / scale)
+    }
+  }
+
+  test("real resize: box-filter means replay the planting formula exactly") {
+    // full-decode PNGs (pixel byte i = (id*31 + i) mod 256), downsample to
+    // maxSide 4, then re-decode the re-encoded payload and replay every
+    // output pixel as floor(blockSum / blockCount) per channel
+    val pm = Multimodal.syntheticPixelMedia(
+      docs.filter(col("doc_id") % 2 === 0).limit(30))
+    val resized = Multimodal.resize(pm, maxSide = 4).collect()
+    assert(resized.forall(m => m.width <= 4 && m.height <= 4))
+    val orig = pm.collect().map(m => m.media_id -> m).toMap
+    resized.foreach { m =>
+      val o = orig(m.media_id)
+      val s = math.max(1, (math.max(o.width, o.height) + 3) / 4)
+      val w2 = (o.width + s - 1) / s; val h2 = (o.height + s - 1) / s
+      assert((m.width, m.height) === ((w2, h2)))
+      // replay: block sums/counts from the closed-form input pixels
+      val sums = Array.ofDim[Long](w2 * h2, 4)
+      val cnts = new Array[Long](w2 * h2)
+      for (y <- 0 until o.height; x <- 0 until o.width) {
+        val b = (y / s) * w2 + (x / s)
+        cnts(b) += 1
+        for (c <- 0 until 4)
+          sums(b)(c) += (m.media_id * 31 + 4 * (y * o.width + x) + c) % 256
+      }
+      // decode the re-encoded payload back out through the real decoder
+      val (dw, dh, px) = Multimodal.decodePngRgba(m.media_id, m.payload)
+      assert((dw, dh) === ((w2, h2)))
+      for (b <- 0 until w2 * h2; c <- 0 until 4)
+        assert((px(4 * b + c) & 0xFF).toLong === sums(b)(c) / cnts(b),
+          s"media ${m.media_id} block $b channel $c")
     }
   }
 
@@ -260,6 +297,74 @@ class MultimodalSpec extends SparkSpec {
     }
     val st = Multimodal.decodeOnePng(1L, bytes)
     assert((st.sum_r, st.sum_g, st.sum_b, st.sum_a) === ((sr, sg, sb, sa)))
+  }
+
+  test("LZW round-trips: runs, random streams, width bumps, 4096-table reset") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Array.fill(5)(1), // KwKwK stress
+      Array.tabulate(300)(k => (k / 7) % 64), // run folding
+      Array.fill(2000)(rnd.nextInt(64)), // several width bumps
+      Array.fill(40000)(rnd.nextInt(64)), // forces the 4096 reset
+      Array(0), // single pixel
+      Array.tabulate(9)(_ % 4) // tiny alphabet at minCodeSize 2
+    )
+    cases.zipWithIndex.foreach { case (idx, i) =>
+      val min = if (i == 5) 2 else 6
+      val enc = Multimodal.Containers.lzwEncode(idx, min)
+      val dec = Multimodal.lzwDecode(0L, enc, min, idx.length)
+      assert(dec.toSeq === idx.toSeq, s"case $i")
+    }
+  }
+
+  test("decodeOneGif census replays the planting formula (and ImageIO agrees)") {
+    import spark.implicits._
+    val media = Multimodal.syntheticGifMedia(docs.limit(60))
+    val stats = Multimodal.gifPixelStats(media).collect()
+    assert(stats.length === 60)
+    stats.foreach { st =>
+      var sr = 0L; var sg = 0L; var sb = 0L; var si = 0L
+      val n = st.width * st.height
+      var k = 0
+      while (k < n) {
+        val idx = ((st.media_id * 13 + k / 7) % 64).toInt
+        sr += (idx * 5 + 7) % 256; sg += (idx * 11 + 3) % 256
+        sb += (idx * 23 + 1) % 256; si += idx
+        k += 1
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b, st.sum_idx) === ((sr, sg, sb, si)),
+        s"media ${st.media_id}")
+    }
+    // independent decoder the fixture never touched: the JDK's own GIF
+    // reader must see the same palette-mapped pixels
+    val oneId = stats.head.media_id
+    val one = media.collect().find(_.media_id == oneId).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(one.payload))
+    assert(img != null, "ImageIO could not open our GIF — container invalid")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until one.height; x <- 0 until one.width) {
+      val argb = img.getRGB(x, y)
+      sr += (argb >>> 16) & 0xFF; sg += (argb >>> 8) & 0xFF; sb += argb & 0xFF
+    }
+    val st = stats.head
+    assert((sr, sg, sb) === ((st.sum_r, st.sum_g, st.sum_b)))
+  }
+
+  test("decodeOneGif fails fast on non-GIF, interlaced, and local-table input") {
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodeOneGif(1L, Array[Byte](1, 2, 3)))
+    assert(e1.getMessage.contains("not a GIF"))
+    val ok = Multimodal.Containers.gifFull(4, 4, _ % 4,
+      Array.tabulate(12)(_.toByte), minCodeSize = 2)
+    val interlaced = ok.clone()
+    // image descriptor follows 13 + 12 GCT + 8 GCE bytes; packed is at +9
+    val idOff = 13 + 12 + 8
+    assert((interlaced(idOff) & 0xFF) === 0x2C)
+    interlaced(idOff + 9) = 0x40.toByte
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeOneGif(1L, interlaced))
+    assert(e2.getMessage.contains("interlaced"))
   }
 
   test("decodeOnePng fails fast with named causes on unsupported or corrupt input") {
