@@ -1078,6 +1078,76 @@ object SparkEntry {
         t(s, d, "documents").filter(col("doc_id") % 2 === 1),
         graft.text.Refinery.Config(shingleVerify = true, gate = "gopher",
           gopherMinStopWords = 1))),
+    // --- END-TO-END curation artifact [ext]: the composition endgame — the
+    // FULL refinery (basic gate + CCNet LM tail drop + learned NB
+    // classifier + exact/shingle near-dup + containment + cap) feeds
+    // clusterSplit, the train split feeds budgetedQualitySelection
+    // (waterfilled 2600-token budget, best-first), the selection feeds
+    // budgetedSamplePlan (4000 tokens, <= 2 epochs), and the plan is
+    // PUBLISHED through a CHECK-constrained lake write and read back (the
+    // q168 governed-artifact pattern). EIGHTH slice (doc_id % 8 = 1) with
+    // the q196 twin-perm setting (32/16), sized to a <= 5 s in-suite
+    // budget. Oracle: every stage's existing
+    // respell composed (q208's gate+LM, q212's classifier, q169/q186's
+    // dedup+containment, q215's selection, q210's plan), with the split
+    // stage replayed by THEOREM: refinery survivors are exact-distinct and
+    // pair-free at 0.8 (dedup removed every such pair, and two kept
+    // cluster representatives can't pair >= 0.8 or the closure would have
+    // merged them), so every cluster is the singleton {doc_id} and the
+    // split is the md5-nibble of the doc's own id. The engine still runs
+    // the full clusterSplit machinery — a bug anywhere in it lands outside
+    // the theorem and hash-mismatches ---
+    "q223_curation_artifact" -> { (s, d) =>
+      // the chain STAGES through the lake (the medallion discipline):
+      // each macro-stage publishes a governed table and the next reads it
+      // back — which is also the scale answer to composed-lineage blowup
+      // (refinery LSH + split LSH + three windows in ONE logical plan
+      // measurably OOMs the driver's analyzer; a staged read resets
+      // lineage to a parquet scan, exactly as a 1000-executor pipeline
+      // would checkpoint between curation phases). The chain's dozens of
+      // eager jobs all run on a slice-sized corpus, so their shuffles are
+      // sized to the slice for the eager span (the q196 micro-batch
+      // discipline; session conf restored in finally)
+      val dir = graft.tables.TempLakes.create("graft_curation_lake")
+      val lake = new graft.tables.LakeTable(s, dir)
+      val spKey = "spark.sql.shuffle.partitions"
+      val aqKey = "spark.sql.adaptive.enabled"
+      val spPrev = s.conf.get(spKey)
+      val aqPrev = s.conf.get(aqKey)
+      s.conf.set(spKey, "8")
+      // AQE re-plans every exchange; on a slice-sized corpus that is pure
+      // scheduling tax (measured: 132 -> 55 jobs, ~12 -> ~10 s for this
+      // chain) — at real scale the span would keep AQE on
+      s.conf.set(aqKey, "false")
+      try {
+        val slice = t(s, d, "documents").filter(col("doc_id") % 8 === 1)
+        val chunks = graft.text.Refinery.refine(slice,
+          graft.text.Refinery.Config(shingleVerify = true,
+            lmFilter = Some(graft.text.Refinery.LmFilter("lang = 'en'",
+              tailPermille = 300)),
+            classifierFilter = Some(graft.text.Refinery.NbFilter(
+              "lang = 'en'", "lang <> 'en'", minAvgMicronats = 0L)),
+            containment = true, checkpointStages = true,
+            dedupNumPerms = 32, dedupBands = 16))
+        lake.write(slice.join(chunks.select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi"), "survivors", "overwrite"): Unit
+        val sv = lake.read("survivors")
+        val split = graft.text.Dedup.clusterSplit(sv, numPerms = 32, bands = 16)
+        lake.write(sv.join(
+          split.filter(col("split") === "train").select("doc_id"),
+          Seq("doc_id"), "left_semi"), "train_docs", "overwrite"): Unit
+        val tr = lake.read("train_docs")
+        val sel = TextFeatures.budgetedQualitySelection(tr, budgetTokens = 2600L)
+        val selDocs = tr.join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
+        val plan = TextFeatures.budgetedSamplePlan(selDocs, budgetTokens = 4000L,
+          maxEpochs = 2.0)
+        lake.write(plan, "training_plan", "overwrite",
+          constraints = Seq(
+            ("copies_positive", "n_copies >= 1"),
+            ("tokens_positive", "n_tokens >= 1"))): Unit
+      } finally { s.conf.set(spKey, spPrev); s.conf.set(aqKey, aqPrev) }
+      lake.read("training_plan")
+    },
     // --- incremental ANN index append, oracle-checked [ext]: build on the
     // A-slice (portable init), commit, appendToIndex the B-slice — the
     // returned cell assignments have survived the frozen-quantizer append
@@ -1360,6 +1430,20 @@ object SparkEntry {
       graft.multimodal.Multimodal.gifPixelStats(
         graft.multimodal.Multimodal.syntheticGifMedia(
           t(s, d, "documents"))).toDF()),
+    // --- CROSS-FORMAT perceptual dedup [ext]: the same image content
+    // planted once as a PNG and once as a 256-gray-palette GIF (container
+    // bytes share NOTHING — different compression, different structure)
+    // must collide on the format-blind dHash: each format decodes through
+    // its own real codec to identical grayscale, so every planted pair
+    // surfaces at Hamming 0 — the re-encoded-copy case that byte-level
+    // dedup structurally misses. Oracle recomputes the shared hash from
+    // one formula and brute-forces pairs (in-suite budget <= 3 s) ---
+    "q224_crossformat_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageNearDups(
+        graft.multimodal.MediaDedup.syntheticCrossFormatImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -3753,6 +3837,157 @@ object SparkEntry {
         "CAST(sum((idx * 23 + 1) % 256) AS BIGINT) AS sum_b, " +
         "CAST(sum(idx) AS BIGINT) AS sum_idx " +
         "FROM v GROUP BY media_id, w, h"),
+    // cross-format replay: ONE grayscale formula covers both members of a
+    // pair (PNG plants it as r=g=b, GIF as the identity gray palette), so
+    // the hash arithmetic is the q219 dHash replay over group g = id/2
+    "q224_crossformat_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+        "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
+        "v AS (SELECT doc_id, " +
+        "(g*29 + (k % w)*5 + (k // w)*11) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS dhash FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3"),
+    // end-to-end curation artifact: q208's gate+LM, q212's classifier,
+    // q169/q186's dedup+containment, q215's waterfilled best-first
+    // selection, q210's sample plan — composed over the quarter slice.
+    // The split stage is replayed BY THEOREM (see the query registration):
+    // refinery survivors are exact-distinct and pair-free at 0.8, so every
+    // cluster is the singleton {doc_id} and train = md5-nibble not in 0/1
+    // stage-boundary CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and
+    // with six composed stages each referencing its predecessor several
+    // times the inlined scan tree grows exponentially (measured as fd
+    // exhaustion on the parquet view) — the exact twin of the engine-side
+    // checkpointStages rationale
+    "q223_curation_artifact" ->
+      ("WITH RECURSIVE gt AS MATERIALIZED (SELECT doc_id, source, lang, text FROM " +
+        s"(SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents " +
+        "WHERE doc_id % 8 = 1) " +
+        "WHERE len(toks) >= 20 AND " +
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.2), " +
+        lmScoreCtesOver("gt", "9") + ", " +
+        "agg9 AS (SELECT doc_id, CAST(floor(CAST(-sum(lp) AS DOUBLE) / count(*) + 0.5) " +
+        "AS BIGINT) AS nll FROM sc9 GROUP BY doc_id), " +
+        "rk9 AS (SELECT doc_id, row_number() OVER (ORDER BY nll, doc_id) AS rk, " +
+        "count(*) OVER () AS n FROM agg9), " +
+        "tl9 AS (SELECT doc_id FROM rk9 WHERE rk > n - floor((n * 300 + 999) / 1000)), " +
+        "lmk AS MATERIALIZED (SELECT gt.doc_id, gt.source, gt.lang, gt.text FROM gt " +
+        "LEFT JOIN tl9 ON gt.doc_id = tl9.doc_id WHERE tl9.doc_id IS NULL), " +
+        s"tn AS (SELECT doc_id, lang = 'en' AS is_p, lang <> 'en' AS is_n, " +
+        s"$toksSql AS toks FROM lmk), " +
+        "gn AS (SELECT doc_id, is_p, is_n, " +
+        "CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT) % 262144 AS bh " +
+        "FROM (SELECT doc_id, is_p, is_n, unnest(toks || " +
+        "list_transform(range(len(toks) - 1), j -> toks[j + 1] || ' ' || toks[j + 2])) AS gr FROM tn)), " +
+        "bcn AS (SELECT bh, CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp, " +
+        "CAST(sum(CASE WHEN is_n THEN 1 ELSE 0 END) AS BIGINT) AS cn " +
+        "FROM gn WHERE is_p OR is_n GROUP BY 1), " +
+        "totn AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM bcn), " +
+        "wtn AS (SELECT bh, CAST(floor(ln(CAST(cp + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
+        "(CAST(cn + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w " +
+        "FROM bcn CROSS JOIN totn), " +
+        "scn AS (SELECT doc_id, coalesce(w, " +
+        "CAST(floor(ln(CAST(0 + 1 AS DOUBLE) * CAST(nn + 262144 AS DOUBLE) / " +
+        "(CAST(0 + 1 AS DOUBLE) * CAST(np + 262144 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)) AS w " +
+        "FROM gn LEFT JOIN wtn USING (bh) CROSS JOIN totn), " +
+        "avn AS (SELECT doc_id, CAST(floor(CAST(sum(w) AS DOUBLE) / count(*) + 0.5) " +
+        "AS BIGINT) AS avg_m FROM scn GROUP BY doc_id), " +
+        "badn AS (SELECT lmk.doc_id FROM lmk JOIN avn USING (doc_id) " +
+        "WHERE NOT coalesce(lang = 'en', false) AND avg_m < 0), " +
+        "clfk AS MATERIALIZED (SELECT lmk.doc_id, lmk.source, lmk.text FROM lmk " +
+        "LEFT JOIN badn ON lmk.doc_id = badn.doc_id WHERE badn.doc_id IS NULL), " +
+        s"nrm AS (SELECT doc_id, $normSql AS norm FROM clfk), " +
+        "k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm), " +
+        "kd AS MATERIALIZED (SELECT clfk.doc_id, clfk.source, clfk.text FROM clfk JOIN k USING (doc_id)), " +
+        shingleCtes("kd") + s", $shinglePairCtes, " +
+        "edges AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "bi AS (SELECT doc_a AS a, doc_b AS b FROM edges " +
+        "UNION ALL SELECT doc_b, doc_a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "removed AS (SELECT n FROM (SELECT n, min(m) AS mn FROM r GROUP BY n) WHERE mn < n), " +
+        "kept AS MATERIALIZED (SELECT kd.doc_id, kd.source, kd.text FROM kd " +
+        "LEFT JOIN removed ON kd.doc_id = removed.n WHERE removed.n IS NULL), " +
+        "ke AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (doc_id)), " +
+        "cdf AS (SELECT g, count(*) AS df FROM ke GROUP BY 1), " +
+        "ck AS (SELECT ke.doc_id, ke.g FROM ke JOIN cdf USING (g) WHERE df <= 1000), " +
+        "csz AS (SELECT doc_id, count(*) AS csn FROM ck GROUP BY 1), " +
+        "csh AS (SELECT x.doc_id AS ca, y.doc_id AS cb, count(*) AS ns " +
+        "FROM ck x JOIN ck y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "cpr AS (SELECT ca, cb, " +
+        "CAST(ns AS DOUBLE) / CAST(a.csn AS DOUBLE) AS conta, " +
+        "CAST(ns AS DOUBLE) / CAST(b.csn AS DOUBLE) AS contb " +
+        "FROM csh JOIN csz a ON ca = a.doc_id JOIN csz b ON cb = b.doc_id), " +
+        "crm AS (SELECT DISTINCT CASE WHEN conta >= 0.8 AND contb >= 0.8 THEN cb " +
+        "WHEN conta >= 0.8 THEN ca ELSE cb END AS doc_id FROM cpr " +
+        "WHERE conta >= 0.8 OR contb >= 0.8), " +
+        "kept2 AS MATERIALIZED (SELECT kept.doc_id, kept.source, kept.text FROM kept " +
+        "LEFT JOIN crm ON kept.doc_id = crm.doc_id WHERE crm.doc_id IS NULL), " +
+        "tr AS MATERIALIZED (SELECT doc_id, source, text FROM kept2 " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')), " +
+        s"tq AS (SELECT doc_id, source, $toksSql AS toks FROM tr), " +
+        "fq AS MATERIALIZED (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) " +
+        "* 1000000 / CAST(len(toks) AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END AS distinct_micro " +
+        "FROM tq), " +
+        "psq AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_tokens, " +
+        "CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 1.0) AS BIGINT) AS cap_tokens " +
+        "FROM fq GROUP BY 1), " +
+        "rkq AS (SELECT *, coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_excl, " +
+        "count(*) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining FROM psq), " +
+        "thq AS (SELECT max(CASE WHEN prefix_excl + remaining * cap_tokens >= 2600 " +
+        "THEN CAST(2600 - prefix_excl AS DOUBLE) / CAST(remaining AS DOUBLE) END) " +
+        "AS theta FROM rkq), " +
+        "alq AS (SELECT source, least(cap_tokens, " +
+        "CAST(floor(coalesce(theta, CAST(cap_tokens AS DOUBLE))) AS BIGINT)) AS alloc_tokens " +
+        "FROM rkq CROSS JOIN thq), " +
+        "rq AS (SELECT fq.doc_id, fq.source, fq.n_tokens, alq.alloc_tokens, " +
+        "coalesce(sum(fq.n_tokens) OVER (PARTITION BY fq.source " +
+        "ORDER BY fq.distinct_micro DESC, fq.n_tokens DESC, fq.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before " +
+        "FROM fq JOIN alq USING (source)), " +
+        "selq AS (SELECT doc_id FROM rq WHERE cum_before < alloc_tokens), " +
+        "t0 AS MATERIALIZED (SELECT fq.doc_id, fq.source, fq.n_tokens AS nt FROM fq JOIN selq USING (doc_id)), " +
+        "ps2 AS (SELECT source, CAST(sum(nt) AS BIGINT) AS t_tokens, " +
+        "CAST(floor(CAST(sum(nt) AS DOUBLE) * 2.0) AS BIGINT) AS cap_tokens " +
+        "FROM t0 GROUP BY 1), " +
+        "rk2 AS (SELECT *, coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_excl, " +
+        "count(*) OVER (ORDER BY cap_tokens, source " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining FROM ps2), " +
+        "th2 AS (SELECT max(CASE WHEN prefix_excl + remaining * cap_tokens >= 4000 " +
+        "THEN CAST(4000 - prefix_excl AS DOUBLE) / CAST(remaining AS DOUBLE) END) " +
+        "AS theta FROM rk2), " +
+        "al2 AS (SELECT source, t_tokens, least(cap_tokens, " +
+        "CAST(floor(coalesce(theta, CAST(cap_tokens AS DOUBLE))) AS BIGINT)) AS alloc_tokens " +
+        "FROM rk2 CROSS JOIN th2), " +
+        "pd AS (SELECT t0.doc_id, t0.source, t0.nt AS n_tokens, " +
+        "al2.alloc_tokens // al2.t_tokens AS whole_epochs, " +
+        "al2.alloc_tokens - (al2.alloc_tokens // al2.t_tokens) * al2.t_tokens AS rem_tokens " +
+        "FROM t0 JOIN al2 USING (source)), " +
+        "cb AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY md5('budget1' || CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM pd) " +
+        "SELECT doc_id, source, n_tokens, " +
+        "CAST(whole_epochs + CASE WHEN cum_before < rem_tokens THEN 1 ELSE 0 END " +
+        "AS BIGINT) AS n_copies FROM cb " +
+        "WHERE whole_epochs + (CASE WHEN cum_before < rem_tokens THEN 1 ELSE 0 END) > 0"),
     // leakage-audit replay: q199's split respell (one sc pair table over
     // the WHOLE slice serves both the keeper cluster graph and the
     // straddle check), straddle = J >= 0.8 pairs with different splits,

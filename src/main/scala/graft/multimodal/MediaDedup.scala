@@ -42,31 +42,57 @@ object MediaDedup {
   /** Audio windows: 57 energy windows, 56 adjacent comparisons. */
   val AudioWindows = 57
 
-  /** 56-bit difference hash of one decoded PNG: box-downsample the
-    * grayscale image to an 8×8 grid of integer block means (pixel (x, y)
-    * belongs to block (x·8/w, y·8/h) — floor arithmetic, exactly
-    * replayable in SQL), then bit y·7+x is set iff mean[y][x] <
-    * mean[y][x+1]. Grayscale = (r+g+b)/3 in integer arithmetic. Brightness
-    * and contrast shifts that preserve gradient DIRECTION preserve the
-    * hash; a few flipped gradients = a few bits of Hamming distance. */
-  private[graft] def dhashOnePng(id: Long, p: Array[Byte]): Long = {
-    val (w, h, px) = Multimodal.decodePngRgba(id, p)
-    require(w >= GridW && h >= GridH,
-      s"media $id: dHash needs at least ${GridW}x$GridH pixels, got ${w}x$h")
+  /** 56-bit difference hash of one decoded raster image — FORMAT-BLIND:
+    * the payload decodes by magic (PNG via inflate+unfilter, GIF via LZW
+    * expansion + palette mapping) into grayscale pixels, so a PNG and its
+    * GIF re-encode of the SAME content land on the SAME hash — the
+    * cross-format re-encode case container-level dedup structurally
+    * misses. Box-downsample grayscale to an 8×8 grid of integer block
+    * means (pixel (x, y) belongs to block (x·8/w, y·8/h) — floor
+    * arithmetic, exactly replayable in SQL), then bit y·7+x is set iff
+    * mean[y][x] < mean[y][x+1]. Grayscale = (r+g+b)/3 in integer
+    * arithmetic. Brightness and contrast shifts that preserve gradient
+    * DIRECTION preserve the hash; a few flipped gradients = a few bits of
+    * Hamming distance. */
+  private[graft] def dhashOneImage(id: Long, p: Array[Byte]): Long = {
     val sums = new Array[Long](GridW * GridH)
     val cnts = new Array[Long](GridW * GridH)
-    var y = 0
-    while (y < h) {
-      val by = y * GridH / h
-      var x = 0
-      while (x < w) {
-        val k = 4 * (y * w + x)
-        val gray = ((px(k) & 0xFF) + (px(k + 1) & 0xFF) + (px(k + 2) & 0xFF)) / 3
-        val b = by * GridW + x * GridW / w
-        sums(b) += gray; cnts(b) += 1L
-        x += 1
+    var w = 0; var h = 0
+    def accumulate(x: Int, y: Int, gray: Int): Unit = {
+      val b = (y * GridH / h) * GridW + x * GridW / w
+      sums(b) += gray; cnts(b) += 1L
+    }
+    val isGif = p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte
+    if (isGif) {
+      val (gw, gh, indices, palette, _) = Multimodal.decodeGifIdx(id, p)
+      w = gw; h = gh
+      require(w >= GridW && h >= GridH,
+        s"media $id: dHash needs at least ${GridW}x$GridH pixels, got ${w}x$h")
+      var k = 0
+      while (k < indices.length) {
+        val idx = indices(k)
+        accumulate(k % w, k / w,
+          ((palette(3 * idx) & 0xFF) + (palette(3 * idx + 1) & 0xFF) +
+            (palette(3 * idx + 2) & 0xFF)) / 3)
+        k += 1
       }
-      y += 1
+    } else {
+      val (pw, ph, px) = Multimodal.decodePngRgba(id, p)
+      w = pw; h = ph
+      require(w >= GridW && h >= GridH,
+        s"media $id: dHash needs at least ${GridW}x$GridH pixels, got ${w}x$h")
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = 4 * (y * w + x)
+          accumulate(x, y,
+            ((px(k) & 0xFF) + (px(k + 1) & 0xFF) + (px(k + 2) & 0xFF)) / 3)
+          x += 1
+        }
+        y += 1
+      }
     }
     var fp = 0L
     var gy = 0
@@ -88,7 +114,7 @@ object MediaDedup {
   def imageDHash(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(m => (m.media_id, dhashOnePng(m.media_id, m.payload))))
+    media.mapPartitions(_.map(m => (m.media_id, dhashOneImage(m.media_id, m.payload))))
       .toDF("media_id", "dhash")
   }
 
@@ -226,6 +252,34 @@ object MediaDedup {
         p += 1
       }
       MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+  }
+
+  /** Cross-format re-encode fixtures: doc_ids come in planted PAIRS
+    * (group g = doc_id/2) — the even member a full-decode PNG with
+    * grayscale gradient v(x, y) = (g·29 + x·5 + y·11) mod 256 planted as
+    * r=g=b, the odd member the SAME content re-encoded as a 256-color GIF
+    * whose palette entry j is (j, j, j) and whose pixel index IS the gray
+    * value. Both decode to identical grayscale, so the pair MUST collide
+    * on dHash (Hamming 0) even though the container bytes share nothing —
+    * the re-encoded-copy case container-level dedup structurally misses,
+    * and an oracle recomputes the shared hash from one formula. */
+  def syntheticCrossFormatImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      val w = (16 + (g % 5) * 4).toInt
+      val h = (12 + ((g * 3) % 5) * 4).toInt
+      def v(k: Int): Int = ((g * 29 + (k % w) * 5 + (k / w) * 11) % 256).toInt
+      if (id % 2 == 0)
+        MediaRow(id, "image",
+          Containers.pngFull(w, h,
+            i => if (i % 4 == 3) 255 else v(i / 4), (id % 5).toInt), w, h, 1)
+      else
+        MediaRow(id, "image",
+          Containers.gifFull(w, h, v, grayPalette, minCodeSize = 8), w, h, 1)
     }
   }
 }

@@ -759,7 +759,12 @@ object Multimodal {
     media.mapPartitions(_.map(m => decodeOneGif(m.media_id, m.payload)))
   }
 
-  private[graft] def decodeOneGif(id: Long, p: Array[Byte]): GifStats = {
+  /** Full GIF decode to LZW-expanded palette indices plus the global color
+    * table: (width, height, indices, palette bytes at 3·index, nColors) —
+    * shared by the census ([[decodeOneGif]]) and the perceptual hash
+    * ([[MediaDedup.imageDHash]]'s GIF branch). */
+  private[graft] def decodeGifIdx(id: Long, p: Array[Byte])
+      : (Int, Int, Array[Int], Array[Byte], Int) = {
     def u8(off: Int): Int = p(off) & 0xFF
     def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
     require(p.length >= 13 &&
@@ -795,14 +800,24 @@ object Multimodal {
       off += 1 + n
     }
     val indices = lzwDecode(id, data.toByteArray, minCodeSize, w * h)
+    var k = 0
+    while (k < indices.length) {
+      require(indices(k) < nColors, s"media $id: pixel index ${indices(k)} " +
+        s"outside the $nColors-color palette")
+      k += 1
+    }
+    (w, h, indices, java.util.Arrays.copyOfRange(p, gctOff, gctOff + 3 * nColors),
+      nColors)
+  }
+
+  private[graft] def decodeOneGif(id: Long, p: Array[Byte]): GifStats = {
+    val (w, h, indices, palette, _) = decodeGifIdx(id, p)
     var sr = 0L; var sg = 0L; var sb = 0L; var si = 0L
     var k = 0
     while (k < indices.length) {
       val idx = indices(k)
-      require(idx < nColors, s"media $id: pixel index $idx outside the " +
-        s"$nColors-color palette")
-      sr += u8(gctOff + 3 * idx); sg += u8(gctOff + 3 * idx + 1)
-      sb += u8(gctOff + 3 * idx + 2); si += idx
+      sr += palette(3 * idx) & 0xFF; sg += palette(3 * idx + 1) & 0xFF
+      sb += palette(3 * idx + 2) & 0xFF; si += idx
       k += 1
     }
     GifStats(id, w, h, w.toLong * h, sr, sg, sb, si)

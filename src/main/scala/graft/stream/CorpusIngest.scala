@@ -167,12 +167,19 @@ object CorpusIngest {
         // foreachBatch body is the only planner while it runs
         val spark = batchDf.sparkSession
         val key = "spark.sql.shuffle.partitions"
+        val aqKey = "spark.sql.adaptive.enabled"
         val prev = spark.conf.get(key)
+        val aqPrev = spark.conf.get(aqKey)
         spark.conf.set(key, n.toString)
+        // AQE re-plans every exchange; on micro-batch-sized data that is
+        // pure scheduling tax (the q223 measurement: 132 -> 55 jobs) — a
+        // batch sized to need sized-down shuffles never needs runtime
+        // re-planning either
+        spark.conf.set(aqKey, "false")
         try nearDupBatchBody(batchDf, lake, table, threshold, numPerms,
           bands, shingleSize, containmentThreshold, sketchK, shingleVerify,
           gate, lmGate, nbGate)
-        finally spark.conf.set(key, prev)
+        finally { spark.conf.set(key, prev); spark.conf.set(aqKey, aqPrev) }
       case None =>
         nearDupBatchBody(batchDf, lake, table, threshold, numPerms, bands,
           shingleSize, containmentThreshold, sketchK, shingleVerify, gate,

@@ -32,6 +32,13 @@ object Refinery {
       // whole refinery becomes deterministic AND oracle-replayable — q169
       // verifies the end-to-end pipeline against a declarative SQL respell
       shingleVerify: Boolean = false,
+      // MinHash signature size for the near-dup stage. 128/32 is the
+      // high-recall default; 32/16 (the q196 streaming-twin setting,
+      // per-pair candidate-miss ~8e-8 at s = 0.8) quarters the signature
+      // cost for budgeted composed configs — the exact-verify step means
+      // precision is unaffected either way
+      dedupNumPerms: Int = 128,
+      dedupBands: Int = 32,
       // which quality gate fronts the pipeline: "basic" = the length/
       // distinct-ratio screen; "gopher" = the full MassiveText rule bundle
       // (TextStats.passesGopherGate — q179's production filter suite
@@ -61,7 +68,18 @@ object Refinery {
       // docs, drop non-trusted docs whose per-gram log-odds average falls
       // below the threshold. Trusted docs and unscored (zero-token) docs
       // pass — the same never-second-guess-in-domain contract as lmFilter
-      classifierFilter: Option[NbFilter] = None)
+      classifierFilter: Option[NbFilter] = None,
+      // materialize each macro-stage's survivor set eagerly
+      // (localCheckpoint) instead of lazily (persist). The DEEPLY composed
+      // configs need this: every stage's anti/semi join embeds the prior
+      // stage's logical subtree several times, so with gate + LM +
+      // classifier + dedup + containment stacked the un-truncated plan
+      // grows EXPONENTIALLY and measurably OOMs the driver's analyzer —
+      // a checkpoint resets each stage's lineage to its materialized
+      // blocks, exactly as a cluster pipeline checkpoints between
+      // curation phases. Lazy persist stays the default: single-extra-
+      // stage configs (q169/q186/q208) don't pay the eager write
+      checkpointStages: Boolean = false)
 
   /** CCNet LM-stage parameters: `trainPredicateSql` selects the trusted
     * in-domain slice (e.g. "lang = 'en'"), `tailPermille` the scored-pool
@@ -103,7 +121,9 @@ object Refinery {
     // and the cap/chunk tail — without these the whole LSH/closure pipeline
     // re-runs once per downstream branch (measured 48 s → ~15 s for the
     // containment refinery at sf0.1)
-    val gated = gate(docs, cfg).persist()
+    val mat: DataFrame => DataFrame =
+      if (cfg.checkpointStages) _.localCheckpoint(true) else _.persist()
+    val gated = mat(gate(docs, cfg))
     // CCNet LM stage between gate and dedup (arXiv:1911.00359's order —
     // perplexity is a per-doc fluency signal, so it runs before the
     // corpus-level stages): drop the scored pool's tail tier, pass the
@@ -114,7 +134,7 @@ object Refinery {
             expr(f.trainPredicateSql), headPermille = 0,
             tailPermille = f.tailPermille)
           .filter(col("bucket") === "tail").select("doc_id")
-        gated.join(tail, Seq("doc_id"), "left_anti").persist()
+        mat(gated.join(tail, Seq("doc_id"), "left_anti"))
       case None => gated
     }
     // learned-classifier stage beside the LM filter (same slot, same
@@ -131,13 +151,14 @@ object Refinery {
         // NULL-lang doc from the floor the stream NbGate applies to it
         val bad = lmKept.filter(!coalesce(expr(f.posPredicateSql), lit(false)))
           .join(low, Seq("doc_id"), "left_semi").select("doc_id")
-        lmKept.join(bad, Seq("doc_id"), "left_anti").persist()
+        mat(lmKept.join(bad, Seq("doc_id"), "left_anti"))
       case None => lmKept
     }
     val deduped0 =
-      if (cfg.shingleVerify) Dedup.dedupCorpusShingle(clfKept, cfg.nearDupThreshold)
+      if (cfg.shingleVerify) Dedup.dedupCorpusShingle(clfKept, cfg.nearDupThreshold,
+        cfg.dedupNumPerms, cfg.dedupBands)
       else Dedup.dedupCorpus(clfKept, threshold = cfg.nearDupThreshold)
-    val deduped = deduped0.persist()
+    val deduped = mat(deduped0)
     // containment AFTER near-dup: Jaccard clusters collapse the mutual
     // near-copies first, then the directional stage drops embedded quotes
     // the symmetric metric missed — each stage sees only prior survivors

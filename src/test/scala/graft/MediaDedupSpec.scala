@@ -44,21 +44,21 @@ class MediaDedupSpec extends SparkSpec {
   test("dHash: monotone gradient sets all 56 bits; reverse gradient none") {
     val up = blockImage(1L, (bx, _) => bx * 10)
     val down = blockImage(2L, (bx, _) => (7 - bx) * 10)
-    assert(MediaDedup.dhashOnePng(1L, up.payload) === (1L << 56) - 1L)
-    assert(MediaDedup.dhashOnePng(2L, down.payload) === 0L)
+    assert(MediaDedup.dhashOneImage(1L, up.payload) === (1L << 56) - 1L)
+    assert(MediaDedup.dhashOneImage(2L, down.payload) === 0L)
   }
 
   test("dHash is invariant to the PNG scanline filter and to brightness") {
     val base = blockImage(1L, (bx, by) => bx * 10 + by, filterType = 0)
     (1 to 4).foreach { f =>
       val refiltered = blockImage(1L, (bx, by) => bx * 10 + by, filterType = f)
-      assert(MediaDedup.dhashOnePng(1L, refiltered.payload) ===
-        MediaDedup.dhashOnePng(1L, base.payload), s"filter $f")
+      assert(MediaDedup.dhashOneImage(1L, refiltered.payload) ===
+        MediaDedup.dhashOneImage(1L, base.payload), s"filter $f")
     }
     // uniform brightness shift preserves every gradient direction
     val brighter = blockImage(1L, (bx, by) => bx * 10 + by + 50)
-    assert(MediaDedup.dhashOnePng(1L, brighter.payload) ===
-      MediaDedup.dhashOnePng(1L, base.payload))
+    assert(MediaDedup.dhashOneImage(1L, brighter.payload) ===
+      MediaDedup.dhashOneImage(1L, base.payload))
   }
 
   test("planted duplicate / 1-bit near-duplicate / distinct image triple") {
@@ -68,9 +68,9 @@ class MediaDedupSpec extends SparkSpec {
     val b = blockImage(11L, (bx, by) => if (bx == 7 && by == 7) 0 else bx * 10,
       filterType = 4)
     val c = blockImage(12L, (bx, _) => (7 - bx) * 10)
-    val fa = MediaDedup.dhashOnePng(10L, a.payload)
-    val fb = MediaDedup.dhashOnePng(11L, b.payload)
-    val fc = MediaDedup.dhashOnePng(12L, c.payload)
+    val fa = MediaDedup.dhashOneImage(10L, a.payload)
+    val fb = MediaDedup.dhashOneImage(11L, b.payload)
+    val fc = MediaDedup.dhashOneImage(12L, c.payload)
     assert(java.lang.Long.bitCount(fa ^ fb) === 1)
     assert(java.lang.Long.bitCount(fa ^ fc) === 56)
     import spark.implicits._
@@ -127,6 +127,25 @@ class MediaDedupSpec extends SparkSpec {
     assert(banded === brute)
     assert(banded.nonEmpty, "fixtures should plant at least one near-dup pair")
     fps.unpersist()
+  }
+
+  test("cross-format: a PNG and its GIF re-encode collide on dHash exactly") {
+    // identical grayscale content through two entirely different codecs
+    val w = 16; val h = 16
+    def v(k: Int): Int = ((k % w) * 9 + (k / w) * 5) % 256
+    val png = Containers.pngFull(w, h,
+      i => if (i % 4 == 3) 255 else v(i / 4), filterType = 3)
+    val gif = Containers.gifFull(w, h, v,
+      Array.tabulate(256 * 3)(b => (b / 3).toByte), minCodeSize = 8)
+    assert(MediaDedup.dhashOneImage(1L, png) ===
+      MediaDedup.dhashOneImage(2L, gif))
+    // and the banded pair surfaces at Hamming 0 in a mixed-format corpus
+    val media = MediaDedup.syntheticCrossFormatImages(docs.limit(40))
+    val pairs = MediaDedup.imageNearDups(media, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val planted = (0 until 20).map(g => (2L * g, 2L * g + 1, 0)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing cross-format pairs: ${planted.diff(pairs)}")
   }
 
   test("decodePngRgba refactor preserves the q217 pixel census exactly") {

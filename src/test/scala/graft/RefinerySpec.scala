@@ -30,6 +30,34 @@ class RefinerySpec extends SparkSpec {
     }
   }
 
+  test("checkpointStages: the fully composed refinery equals the lazy-persist one") {
+    import org.apache.spark.sql.functions._
+    // all five stages firing at once (gate + LM + classifier + near-dup +
+    // containment) — the config whose un-truncated composed plan measurably
+    // OOMs the analyzer at corpus scale; eager stage checkpoints must be a
+    // pure execution-strategy change, never a semantic one
+    val trusted = (1 to 6).map(i =>
+      DocRow(i.toLong, "the quick brown fox jumps over the lazy dog " +
+        words("pad", 15), "en", "wiki", 0))
+    val fluent = (11 to 14).map(i =>
+      DocRow(i.toLong, "the quick brown fox jumps over the lazy dog " +
+        words("pad", 15), "fr", "web", 0))
+    val garbled = (21 to 24).map(i =>
+      DocRow(i.toLong, "dog lazy the over jumps fox brown quick the " +
+        words("pad", 15).split(" ").reverse.mkString(" "), "fr", "web", 0))
+    val dup = Seq(DocRow(31L, "the quick brown fox jumps over the lazy dog " +
+      words("pad", 15), "fr", "web", 0)) // exact dup of the fluent text
+    val docs = df(trusted ++ fluent ++ garbled ++ dup)
+    val cfg = Refinery.Config(shingleVerify = true,
+      lmFilter = Some(Refinery.LmFilter("lang = 'en'", tailPermille = 300)),
+      classifierFilter = Some(Refinery.NbFilter("lang = 'en'", "lang <> 'en'",
+        minAvgMicronats = -2000000L)),
+      containment = true)
+    def rows(c: Refinery.Config) = Refinery.refine(docs, c).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(identity).toSeq
+    assert(rows(cfg.copy(checkpointStages = true)) === rows(cfg))
+  }
+
   test("lmFilter drops exactly the standalone tail tier; the trusted slice always passes") {
     import org.apache.spark.sql.functions._
     // trusted en slice: fluent repeated phrasing; scored pool: some docs
