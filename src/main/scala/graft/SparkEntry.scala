@@ -1444,6 +1444,17 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- perceptual media clusters [ext]: the labeling form of q224 —
+    // every media row labeled with the min-id connected component of its
+    // Hamming-<=3 pair graph (singletons self-label; dedup = keep
+    // media_id == cluster_id), over the MIXED-format corpus so clusters
+    // group a PNG with its GIF re-encode. Oracle: q224's hash replay +
+    // recursive-CTE closure (the q43/q199 pattern) + a cluster-size
+    // window (in-suite budget <= 3 s) ---
+    "q225_media_clusters" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageClusters(
+        graft.multimodal.MediaDedup.syntheticCrossFormatImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)),
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -3847,7 +3858,7 @@ object SparkEntry {
         "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
         "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
         "v AS (SELECT doc_id, " +
-        "(g*29 + (k % w)*5 + (k // w)*11) % 256 AS val, " +
+        "(g*29 + (k % w)*(3 + (g % 7) * 9) + (k // w)*(2 + (g % 5) * 7)) % 256 AS val, " +
         "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
         "m AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
         "FROM v GROUP BY 1, 2, 3), " +
@@ -3861,6 +3872,38 @@ object SparkEntry {
         "CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3"),
+    // cluster labeling over the same hash replay: recursive closure +
+    // min-id labels + a cluster-size window
+    "q225_media_clusters" ->
+      ("WITH RECURSIVE dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+        "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
+        "v AS (SELECT doc_id, " +
+        "(g*29 + (k % w)*(3 + (g % 7) * 9) + (k // w)*(2 + (g % 5) * 7)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS dhash FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1), " +
+        "edges AS (SELECT x.doc_id AS a, y.doc_id AS b FROM fp x " +
+        "JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "lab AS (SELECT fp.doc_id AS media_id, " +
+        "least(fp.doc_id, coalesce(mn, fp.doc_id)) AS cluster_id " +
+        "FROM fp LEFT JOIN compmap ON fp.doc_id = compmap.n) " +
+        "SELECT media_id, cluster_id, " +
+        "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size " +
+        "FROM lab"),
     // end-to-end curation artifact: q208's gate+LM, q212's classifier,
     // q169/q186's dedup+containment, q215's waterfilled best-first
     // selection, q210's sample plan — composed over the quarter slice.

@@ -255,6 +255,40 @@ object MediaDedup {
     }
   }
 
+  /** Perceptual media clusters: every media row labeled with the min-id
+    * connected component of its Hamming-band pair graph — the media twin
+    * of the text corpus's cluster labeling (and of [[graft.sim.Similarity]]'s
+    * knnCluster contract): the output PARTITIONS the corpus, singletons
+    * label themselves, and dedup is the trivial filter
+    * `media_id == cluster_id`. Works across formats because the
+    * fingerprint does ([[dhashOneImage]]). */
+  def imageClusters(media: Dataset[MediaRow], maxHamming: Int = 3,
+                    bands: Int = 4): DataFrame =
+    clustersOf(imageDHash(media), "dhash", maxHamming, bands)
+
+  /** Audio twin of [[imageClusters]] over the energy-contour prints. */
+  def audioClusters(media: Dataset[MediaRow], maxHamming: Int = 3,
+                    bands: Int = 4): DataFrame =
+    clustersOf(audioFingerprint(media), "afp", maxHamming, bands)
+
+  private def clustersOf(fps0: DataFrame, fpCol: String, maxHamming: Int,
+                         bands: Int): DataFrame = {
+    // fingerprints feed the pair stage AND the label join-back (shared-
+    // subtree persist, the Caching contract — releaseAll reclaims); the
+    // closure is edge-bounded by the band-collision count, never all-pairs
+    val fps = fps0.persist()
+    val pairs = Dedup.hammingBandPairs(fps, fpCol, FingerprintBits,
+      maxHamming, bands, idCol = "media_id")
+    val clusters = Dedup.clusterPairs(pairs)
+      .withColumnRenamed("doc_id", "media_id")
+    fps.join(clusters, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+  }
+
   /** Cross-format re-encode fixtures: doc_ids come in planted PAIRS
     * (group g = doc_id/2) — the even member a full-decode PNG with
     * grayscale gradient v(x, y) = (g·29 + x·5 + y·11) mod 256 planted as
@@ -272,7 +306,13 @@ object MediaDedup {
       val g = id / 2
       val w = (16 + (g % 5) * 4).toInt
       val h = (12 + ((g * 3) % 5) * 4).toInt
-      def v(k: Int): Int = ((g * 29 + (k % w) * 5 + (k / w) * 11) % 256).toInt
+      // per-group gradient multipliers: without them every same-dimension
+      // group lands on the SAME monotone dHash and the cluster graph
+      // degenerates into corpus-sized components (measured: an 11.5 s
+      // closure at sf0.1); varied wrap patterns keep clusters pair-sized
+      val xc = 3 + (g % 7) * 9
+      val yc = 2 + (g % 5) * 7
+      def v(k: Int): Int = ((g * 29 + (k % w) * xc + (k / w) * yc) % 256).toInt
       if (id % 2 == 0)
         MediaRow(id, "image",
           Containers.pngFull(w, h,

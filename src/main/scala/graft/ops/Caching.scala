@@ -30,7 +30,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *     [[graft.sim.Similarity.pqBuild]] (the PQ code table — FAISS's
   *     memory-resident layout; every ADC consumer re-reads it),
   *     [[graft.text.LangModel.lmScore]] (the bigram event stream — the
-  *     model tables and the scoring stream both read it).
+  *     model tables and the scoring stream both read it),
+  *     [[graft.multimodal.MediaDedup.imageClusters]]/`audioClusters` (the
+  *     fingerprint table — the pair stage and the label join-back both
+  *     read it; unpersisted, every decode runs twice).
   *     PlanAuditSpec pins the text operators' corpus-scan counts.
   */
 object Caching {

@@ -148,6 +148,26 @@ class MediaDedupSpec extends SparkSpec {
       s"missing cross-format pairs: ${planted.diff(pairs)}")
   }
 
+  test("perceptual clusters partition the corpus; cross-format pairs co-cluster") {
+    val media = MediaDedup.syntheticCrossFormatImages(docs.limit(40))
+    val lab = MediaDedup.imageClusters(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every planted PNG/GIF pair shares a cluster
+    (0 until 20).foreach { g =>
+      assert(lab(2L * g)._1 === lab(2L * g + 1)._1, s"group $g")
+    }
+    // min-id labeling and a well-defined partition (sizes sum to |corpus|)
+    lab.foreach { case (id, (cid, sz)) => assert(cid <= id && sz >= 2) }
+    assert(lab.values.groupBy(_._1).map(_._2.head._2).sum === 40L)
+    // audio twin: a duplicate contour co-clusters, a distinct one self-labels
+    import spark.implicits._
+    val clips = Seq(windowClip(1L, j => j * 10), windowClip(2L, j => j * 10),
+      windowClip(3L, j => (56 - j) * 10)).toDS()
+    val alab = MediaDedup.audioClusters(clips).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alab(1L) === 1L && alab(2L) === 1L && alab(3L) === 3L)
+  }
+
   test("decodePngRgba refactor preserves the q217 pixel census exactly") {
     val media = Multimodal.syntheticPixelMedia(
       docs.filter(col("doc_id") % 2 === 0).limit(40))
