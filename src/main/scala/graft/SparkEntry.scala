@@ -1455,6 +1455,22 @@ object SparkEntry {
       graft.multimodal.MediaDedup.imageClusters(
         graft.multimodal.MediaDedup.syntheticCrossFormatImages(
           t(s, d, "documents")), maxHamming = 3, bands = 4)),
+    // --- content-based image similarity search [ext]: CLASSICAL 88-dim
+    // descriptors (per-channel histograms + gray block-mean grid) over
+    // DECODED pixels — integer-valued, so cosine replays bit-for-bit —
+    // plugged straight into the Similarity surface via the (vec_id,
+    // embedding) contract (q28's brute top-k); a probe's nearest neighbor
+    // is its cross-format re-encode at cosine exactly 1. The learned
+    // embedding extractor remains stubbed (no weights in this sandbox);
+    // these are honest content features, not a model (budget <= 3 s) ---
+    "q226_image_similarity" -> { (s, d) =>
+      // descriptors feed the corpus side AND the probe filter — persist
+      // (Caching contract) so the decode pass runs once
+      val desc = graft.multimodal.MediaDedup.imageDescriptors(
+        graft.multimodal.MediaDedup.syntheticCrossFormatImages(
+          t(s, d, "documents"))).persist()
+      Similarity.bruteForceTopK(desc, desc.filter(col("vec_id") < 10), 3)
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -3904,6 +3920,39 @@ object SparkEntry {
         "SELECT media_id, cluster_id, " +
         "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size " +
         "FROM lab"),
+    // descriptor replay: dense 88-dim vectors from the planted formula
+    // (channels identical — the fixture plants r=g=b on both codecs),
+    // cosine in the exact q28 list_inner_product spelling (integer dims →
+    // bit-identical doubles)
+    "q226_image_similarity" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+        "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
+        "vv AS (SELECT doc_id, " +
+        "(g*29 + (k % w)*(3 + (g % 7) * 9) + (k // w)*(2 + (g % 5) * 7)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "hh AS (SELECT doc_id, val // 32 AS b8, count(*) AS cnt FROM vv GROUP BY 1, 2), " +
+        "hd AS (SELECT doc_id, c * 8 + b8 AS dim, CAST(cnt AS DOUBLE) AS v " +
+        "FROM hh CROSS JOIN (VALUES (0), (1), (2)) AS ch(c)), " +
+        "mm AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+        "FROM vv GROUP BY 1, 2, 3), " +
+        "gd AS (SELECT doc_id, 24 + by * 8 + bx AS dim, CAST(mean AS DOUBLE) AS v FROM mm), " +
+        "sc88 AS (SELECT doc_id, unnest(range(88)) AS dim FROM dm), " +
+        "fl AS (SELECT sc88.doc_id, sc88.dim, coalesce(u.v, 0.0) AS v " +
+        "FROM sc88 LEFT JOIN (SELECT * FROM hd UNION ALL SELECT * FROM gd) u " +
+        "ON sc88.doc_id = u.doc_id AND sc88.dim = u.dim), " +
+        "dsc AS MATERIALIZED (SELECT doc_id, list(v ORDER BY dim) AS vec " +
+        "FROM fl GROUP BY 1), " +
+        "s AS (SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id, " +
+        "list_inner_product(p.vec, c.vec) / " +
+        "(sqrt(list_inner_product(p.vec, p.vec)) * " +
+        "sqrt(list_inner_product(c.vec, c.vec))) AS cos_sim " +
+        "FROM dsc p JOIN dsc c ON p.doc_id < 10 AND p.doc_id != c.doc_id), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id " +
+        "ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn FROM s) " +
+        "SELECT probe_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 3"),
     // end-to-end curation artifact: q208's gate+LM, q212's classifier,
     // q169/q186's dedup+containment, q215's waterfilled best-first
     // selection, q210's sample plan — composed over the quarter slice.

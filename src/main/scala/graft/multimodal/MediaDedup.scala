@@ -54,45 +54,50 @@ object MediaDedup {
     * arithmetic. Brightness and contrast shifts that preserve gradient
     * DIRECTION preserve the hash; a few flipped gradients = a few bits of
     * Hamming distance. */
-  private[graft] def dhashOneImage(id: Long, p: Array[Byte]): Long = {
-    val sums = new Array[Long](GridW * GridH)
-    val cnts = new Array[Long](GridW * GridH)
-    var w = 0; var h = 0
-    def accumulate(x: Int, y: Int, gray: Int): Unit = {
-      val b = (y * GridH / h) * GridW + x * GridW / w
-      sums(b) += gray; cnts(b) += 1L
-    }
+  /** Shared format-blind pixel walk: decode by magic (PNG or GIF), call
+    * `onDims(w, h)` once, then `f(x, y, r, g, b)` per pixel. */
+  private def foreachDecodedPixel(id: Long, p: Array[Byte])
+                                 (onDims: (Int, Int) => Unit)
+                                 (f: (Int, Int, Int, Int, Int) => Unit): Unit = {
     val isGif = p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
       p(2) == 'F'.toByte
     if (isGif) {
-      val (gw, gh, indices, palette, _) = Multimodal.decodeGifIdx(id, p)
-      w = gw; h = gh
-      require(w >= GridW && h >= GridH,
-        s"media $id: dHash needs at least ${GridW}x$GridH pixels, got ${w}x$h")
+      val (w, h, indices, palette, _) = Multimodal.decodeGifIdx(id, p)
+      onDims(w, h)
       var k = 0
       while (k < indices.length) {
         val idx = indices(k)
-        accumulate(k % w, k / w,
-          ((palette(3 * idx) & 0xFF) + (palette(3 * idx + 1) & 0xFF) +
-            (palette(3 * idx + 2) & 0xFF)) / 3)
+        f(k % w, k / w, palette(3 * idx) & 0xFF, palette(3 * idx + 1) & 0xFF,
+          palette(3 * idx + 2) & 0xFF)
         k += 1
       }
     } else {
-      val (pw, ph, px) = Multimodal.decodePngRgba(id, p)
-      w = pw; h = ph
-      require(w >= GridW && h >= GridH,
-        s"media $id: dHash needs at least ${GridW}x$GridH pixels, got ${w}x$h")
+      val (w, h, px) = Multimodal.decodePngRgba(id, p)
+      onDims(w, h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val k = 4 * (y * w + x)
-          accumulate(x, y,
-            ((px(k) & 0xFF) + (px(k + 1) & 0xFF) + (px(k + 2) & 0xFF)) / 3)
+          f(x, y, px(k) & 0xFF, px(k + 1) & 0xFF, px(k + 2) & 0xFF)
           x += 1
         }
         y += 1
       }
+    }
+  }
+
+  private[graft] def dhashOneImage(id: Long, p: Array[Byte]): Long = {
+    val sums = new Array[Long](GridW * GridH)
+    val cnts = new Array[Long](GridW * GridH)
+    var w = 0; var h = 0
+    foreachDecodedPixel(id, p) { (pw, ph) =>
+      require(pw >= GridW && ph >= GridH,
+        s"media $id: dHash needs at least ${GridW}x$GridH pixels, got ${pw}x$ph")
+      w = pw; h = ph
+    } { (x, y, r, g, b) =>
+      val bk = (y * GridH / h) * GridW + x * GridW / w
+      sums(bk) += (r + g + b) / 3; cnts(bk) += 1L
     }
     var fp = 0L
     var gy = 0
@@ -107,6 +112,57 @@ object MediaDedup {
       gy += 1
     }
     fp
+  }
+
+  /** Descriptor layout: 3 channels × 8 histogram bins, then the 8×8 gray
+    * block-mean grid — 88 integer-valued dims. */
+  val DescriptorDims: Int = 24 + GridW * GridH
+
+  /** REAL content-based image descriptor from decoded pixels — a
+    * CLASSICAL 88-dim feature vector, not a learned embedding (that
+    * extractor stays stubbed: no model weights exist in this
+    * environment): per-channel 8-bin histograms (bucket = value/32, dims
+    * 0–23) followed by the 8×8 grid of integer gray block means (the
+    * dHash grid, dims 24–87). Every dim is an exact integer, so cosine
+    * similarity over descriptors replays bit-for-bit in SQL, and the
+    * output column contract (vec_id, embedding) plugs DIRECTLY into the
+    * [[graft.sim.Similarity]] surface (brute/LSH/IVF/PQ top-k, MMR,
+    * SemDeDup…) — similarity search over what images actually CONTAIN.
+    * Format-blind like the dHash. Partition-local map. */
+  private[graft] def descriptorOneImage(id: Long, p: Array[Byte]): Array[Double] = {
+    val hist = new Array[Long](24)
+    val sums = new Array[Long](GridW * GridH)
+    val cnts = new Array[Long](GridW * GridH)
+    var w = 0; var h = 0
+    foreachDecodedPixel(id, p) { (pw, ph) =>
+      require(pw >= GridW && ph >= GridH,
+        s"media $id: descriptor needs at least ${GridW}x$GridH pixels, " +
+          s"got ${pw}x$ph")
+      w = pw; h = ph
+    } { (x, y, r, g, b) =>
+      hist(r / 32) += 1L; hist(8 + g / 32) += 1L; hist(16 + b / 32) += 1L
+      val bk = (y * GridH / h) * GridW + x * GridW / w
+      sums(bk) += (r + g + b) / 3; cnts(bk) += 1L
+    }
+    val desc = new Array[Double](DescriptorDims)
+    var i = 0
+    while (i < 24) { desc(i) = hist(i).toDouble; i += 1 }
+    var bk = 0
+    while (bk < GridW * GridH) {
+      desc(24 + bk) = (sums(bk) / cnts(bk)).toDouble
+      bk += 1
+    }
+    desc
+  }
+
+  /** Per-image content descriptors in the Similarity column contract:
+    * (vec_id, embedding). */
+  def imageDescriptors(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m =>
+        (m.media_id, descriptorOneImage(m.media_id, m.payload))))
+      .toDF("vec_id", "embedding")
   }
 
   /** Per-image perceptual hash: (media_id, dhash). Partition-local map —

@@ -168,6 +168,36 @@ class MediaDedupSpec extends SparkSpec {
     assert(alab(1L) === 1L && alab(2L) === 1L && alab(3L) === 3L)
   }
 
+  test("content descriptors replay the planted formula and match across codecs") {
+    val w = 16; val h = 16
+    def v(k: Int): Int = ((k % w) * 9 + (k / w) * 5) % 256
+    val png = Containers.pngFull(w, h, i => if (i % 4 == 3) 255 else v(i / 4))
+    val gif = Containers.gifFull(w, h, v,
+      Array.tabulate(256 * 3)(b => (b / 3).toByte), minCodeSize = 8)
+    val dp = MediaDedup.descriptorOneImage(1L, png)
+    assert(dp.toSeq === MediaDedup.descriptorOneImage(2L, gif).toSeq)
+    // hand replay: per-channel histograms (identical — r=g=b) + grid means
+    val hist = new Array[Long](8)
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    for (k <- 0 until w * h) {
+      hist(v(k) / 32) += 1
+      val b = ((k / w) / 2) * 8 + (k % w) / 2
+      sums(b) += v(k); cnts(b) += 1
+    }
+    val expected = (0 until 3).flatMap(_ => hist.map(_.toDouble)) ++
+      (0 until 64).map(b => (sums(b) / cnts(b)).toDouble)
+    assert(dp.toSeq === expected)
+    // the nearest neighbor of a probe is its cross-format twin at cosine 1
+    import spark.implicits._
+    val media = MediaDedup.syntheticCrossFormatImages(docs.limit(30))
+    val desc = MediaDedup.imageDescriptors(media).persist()
+    val top = graft.sim.Similarity.bruteForceTopK(desc,
+      desc.filter(col("vec_id") === 0L), 3).collect().sortBy(_.getInt(3))
+    assert(top.head.getLong(1) === 1L)
+    assert(top.head.getDouble(2) === 1.0)
+    desc.unpersist()
+  }
+
   test("decodePngRgba refactor preserves the q217 pixel census exactly") {
     val media = Multimodal.syntheticPixelMedia(
       docs.filter(col("doc_id") % 2 === 0).limit(40))
