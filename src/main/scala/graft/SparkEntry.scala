@@ -1471,6 +1471,33 @@ object SparkEntry {
           t(s, d, "documents"))).persist()
       Similarity.bruteForceTopK(desc, desc.filter(col("vec_id") < 10), 3)
     },
+    // --- image ANN at scale [ext]: the q40 IVF machinery runs UNCHANGED
+    // over the content descriptors (the (vec_id, embedding) contract
+    // paying off) — brute-force truth vs IVF top-k under the q29/q40
+    // self-verifying recall gate; a probe's cross-format twin is an
+    // identical vector, so it always shares the probe's own cell
+    // (budget <= 3 s) ---
+    "q227_image_ann_ivf" -> { (s, d) =>
+      val desc = graft.multimodal.MediaDedup.imageDescriptors(
+        graft.multimodal.MediaDedup.syntheticCrossFormatImages(
+          t(s, d, "documents"))).persist()
+      val probes = desc.filter(col("vec_id") < 10)
+      Similarity.recallGate(
+        Similarity.bruteForceTopK(desc, probes, 3),
+        Similarity.ivfTopK(Similarity.ivfBuild(desc), probes, 3, nProbe = 8),
+        minRecall = 0.5)
+    },
+    // --- audio similarity search [ext]: the audio twin of q226 — the 57
+    // window energies AS the descriptor vector (cosine is scale-invariant,
+    // so a volume-scaled copy scores 1 against its original); brute top-k
+    // over the planted clip triples, bit-replayable cosine
+    // (budget <= 3 s) ---
+    "q228_audio_similarity" -> { (s, d) =>
+      val desc = graft.multimodal.MediaDedup.audioDescriptors(
+        graft.multimodal.MediaDedup.syntheticNearDupAudio(
+          t(s, d, "documents"))).persist()
+      Similarity.bruteForceTopK(desc, desc.filter(col("vec_id") < 10), 3)
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -3945,6 +3972,35 @@ object SparkEntry {
         "ON sc88.doc_id = u.doc_id AND sc88.dim = u.dim), " +
         "dsc AS MATERIALIZED (SELECT doc_id, list(v ORDER BY dim) AS vec " +
         "FROM fl GROUP BY 1), " +
+        "s AS (SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id, " +
+        "list_inner_product(p.vec, c.vec) / " +
+        "(sqrt(list_inner_product(p.vec, p.vec)) * " +
+        "sqrt(list_inner_product(c.vec, c.vec))) AS cos_sim " +
+        "FROM dsc p JOIN dsc c ON p.doc_id < 10 AND p.doc_id != c.doc_id), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id " +
+        "ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn FROM s) " +
+        "SELECT probe_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 3"),
+    // self-verifying recall gate over the image descriptors (the q29/q40
+    // oracle shape: the boolean is pinned TRUE, the counts are exact)
+    "q227_image_ann_ivf" ->
+      ("SELECT count(*) AS n_probes, CAST(3 * count(*) AS BIGINT) AS n_exact_pairs, " +
+        "TRUE AS recall_ok FROM documents WHERE doc_id < 10"),
+    // audio descriptor replay: q220's planted window energies as a dense
+    // 57-dim vector, q28's exact cosine spelling
+    "q228_audio_similarity" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+        "FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(128 + (g % 64) * 4 AS BIGINT) AS n FROM dd), " +
+        "sm AS (SELECT doc_id, g, role, n, unnest(range(n)) AS p FROM dm), " +
+        "v AS (SELECT doc_id, (p * 57) // n AS wdx, " +
+        "abs(CASE WHEN role = 2 THEN ((g*41 + p*13 + 999) % 4096) - 2048 " +
+        "WHEN role = 1 AND p % 101 = 0 " +
+        "THEN ((g*17 + p*5) % 4096) - 2048 + 7 " +
+        "ELSE ((g*17 + p*5) % 4096) - 2048 END) AS av FROM sm), " +
+        "e AS (SELECT doc_id, wdx, sum(av) AS energy FROM v GROUP BY 1, 2), " +
+        "dsc AS MATERIALIZED (SELECT doc_id, " +
+        "list(CAST(energy AS DOUBLE) ORDER BY wdx) AS vec FROM e GROUP BY 1), " +
         "s AS (SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id, " +
         "list_inner_product(p.vec, c.vec) / " +
         "(sqrt(list_inner_product(p.vec, p.vec)) * " +

@@ -42,18 +42,6 @@ object MediaDedup {
   /** Audio windows: 57 energy windows, 56 adjacent comparisons. */
   val AudioWindows = 57
 
-  /** 56-bit difference hash of one decoded raster image — FORMAT-BLIND:
-    * the payload decodes by magic (PNG via inflate+unfilter, GIF via LZW
-    * expansion + palette mapping) into grayscale pixels, so a PNG and its
-    * GIF re-encode of the SAME content land on the SAME hash — the
-    * cross-format re-encode case container-level dedup structurally
-    * misses. Box-downsample grayscale to an 8×8 grid of integer block
-    * means (pixel (x, y) belongs to block (x·8/w, y·8/h) — floor
-    * arithmetic, exactly replayable in SQL), then bit y·7+x is set iff
-    * mean[y][x] < mean[y][x+1]. Grayscale = (r+g+b)/3 in integer
-    * arithmetic. Brightness and contrast shifts that preserve gradient
-    * DIRECTION preserve the hash; a few flipped gradients = a few bits of
-    * Hamming distance. */
   /** Shared format-blind pixel walk: decode by magic (PNG or GIF), call
     * `onDims(w, h)` once, then `f(x, y, r, g, b)` per pixel. */
   private def foreachDecodedPixel(id: Long, p: Array[Byte])
@@ -87,6 +75,18 @@ object MediaDedup {
     }
   }
 
+  /** 56-bit difference hash of one decoded raster image — FORMAT-BLIND:
+    * the payload decodes by magic (PNG via inflate+unfilter, GIF via LZW
+    * expansion + palette mapping) into grayscale pixels, so a PNG and its
+    * GIF re-encode of the SAME content land on the SAME hash — the
+    * cross-format re-encode case container-level dedup structurally
+    * misses. Box-downsample grayscale to an 8×8 grid of integer block
+    * means (pixel (x, y) belongs to block (x·8/w, y·8/h) — floor
+    * arithmetic, exactly replayable in SQL), then bit y·7+x is set iff
+    * mean[y][x] < mean[y][x+1]. Grayscale = (r+g+b)/3 in integer
+    * arithmetic. Brightness and contrast shifts that preserve gradient
+    * DIRECTION preserve the hash; a few flipped gradients = a few bits of
+    * Hamming distance. */
   private[graft] def dhashOneImage(id: Long, p: Array[Byte]): Long = {
     val sums = new Array[Long](GridW * GridH)
     val cnts = new Array[Long](GridW * GridH)
@@ -193,7 +193,9 @@ object MediaDedup {
     * a different clip scrambles it. Defined over the raw interleaved
     * stream regardless of channel count (a stereo pair lands in the same
     * window at these window widths). */
-  private[graft] def audioFingerprintOne(id: Long, p: Array[Byte]): Long = {
+  /** Per-window absolute-amplitude energies of one PCM16 clip — the
+    * shared core of the contour fingerprint and the audio descriptor. */
+  private def audioEnergies(id: Long, p: Array[Byte]): Array[Long] = {
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
     def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
@@ -226,6 +228,11 @@ object MediaDedup {
       off = dataOff + len + (len & 1) // RIFF chunks are word-aligned
     }
     require(sawData, s"media $id: missing data chunk")
+    energy
+  }
+
+  private[graft] def audioFingerprintOne(id: Long, p: Array[Byte]): Long = {
+    val energy = audioEnergies(id, p)
     var fp = 0L
     var j = 0
     while (j < AudioWindows - 1) {
@@ -233,6 +240,19 @@ object MediaDedup {
       j += 1
     }
     fp
+  }
+
+  /** Audio content descriptors in the Similarity column contract: the 57
+    * raw window energies as a vector (cosine is scale-invariant, so a
+    * volume-scaled copy of a clip scores 1 against the original) —
+    * similarity search over what clips SOUND like, the audio twin of
+    * [[imageDescriptors]]. Exact longs → bit-replayable cosine. */
+  def audioDescriptors(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m =>
+        (m.media_id, audioEnergies(m.media_id, m.payload).map(_.toDouble))))
+      .toDF("vec_id", "embedding")
   }
 
   /** Per-clip audio fingerprint: (media_id, afp). Partition-local map. */

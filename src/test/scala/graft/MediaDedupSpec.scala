@@ -198,6 +198,25 @@ class MediaDedupSpec extends SparkSpec {
     desc.unpersist()
   }
 
+  test("audio descriptors: volume-scaled copy at cosine 1; energies replayed") {
+    import spark.implicits._
+    // clip 2 = clip 1 at half volume (same contour), clip 3 distinct
+    val a = windowClip(1L, j => j * 20)
+    val b = windowClip(2L, j => j * 10)
+    val c = windowClip(3L, j => (56 - j) * 10)
+    val desc = MediaDedup.audioDescriptors(Seq(a, b, c).toDS()).persist()
+    val byId = desc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(byId(1L) === (0 until 57).map(j => j * 20.0 * 10))
+    val top = graft.sim.Similarity.bruteForceTopK(desc,
+      desc.filter(col("vec_id") === 1L), 2).collect().sortBy(_.getInt(3))
+    assert(top.head.getLong(1) === 2L)
+    // scalar-multiple cosine is 1 up to one ulp of sqrt rounding (the
+    // IDENTICAL-vector case of the image test is exactly 1.0)
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-12)
+    desc.unpersist()
+  }
+
   test("decodePngRgba refactor preserves the q217 pixel census exactly") {
     val media = Multimodal.syntheticPixelMedia(
       docs.filter(col("doc_id") % 2 === 0).limit(40))
