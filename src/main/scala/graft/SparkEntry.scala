@@ -1498,6 +1498,24 @@ object SparkEntry {
           t(s, d, "documents"))).persist()
       Similarity.bruteForceTopK(desc, desc.filter(col("vec_id") < 10), 3)
     },
+    // --- streaming MEDIA ingest with perceptual dedup [ext]: the
+    // multimodal twin of q196 — per-batch format-blind dHash through the
+    // real decoders, in-batch Hamming-component dedup, banded cross-batch
+    // rejection against the COMMITTED lake (the lake IS the fingerprint
+    // index; a later batch's GIF re-encode of a committed PNG is
+    // rejected). PNG batch then GIF batch (every odd id the re-encode of
+    // an even one); the deterministic twin runs the exact per-batch
+    // pipeline (stream == twin spec-pinned in MediaIngestSpec); the
+    // oracle replays within-batch closures per parity + brute cross-batch
+    // Hamming rejection (budget <= 3 s) ---
+    "q229_media_ingest_twin" -> { (s, d) =>
+      val media = graft.multimodal.MediaDedup.syntheticCrossFormatImages(
+        t(s, d, "documents")).toDF()
+      graft.stream.MediaIngest.perceptualIngestTwin(s,
+        media.filter(col("media_id") % 2 === 0),
+        media.filter(col("media_id") % 2 === 1),
+        shufflePartitions = Some(8))
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4009,6 +4027,50 @@ object SparkEntry {
         "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id " +
         "ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn FROM s) " +
         "SELECT probe_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 3"),
+    // media ingest replay: the q224 hash arithmetic, ONE recursive closure
+    // over same-parity edges (within-batch components for both batches),
+    // batch-1 canonicals admit unconditionally, batch-2 canonicals drop on
+    // any brute-force Hamming-<=3 hit against an admitted batch-1 row
+    "q229_media_ingest_twin" ->
+      ("WITH RECURSIVE dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+        "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
+        "v AS (SELECT doc_id, " +
+        "(g*29 + (k % w)*(3 + (g % 7) * 9) + (k // w)*(2 + (g % 5) * 7)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS dhash FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1), " +
+        "edges AS (SELECT x.doc_id AS a, y.doc_id AS b FROM fp x " +
+        "JOIN fp y ON x.doc_id < y.doc_id AND x.doc_id % 2 = y.doc_id % 2 " +
+        "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "lab AS (SELECT fp.doc_id, " +
+        "least(fp.doc_id, coalesce(mn, fp.doc_id)) AS cid " +
+        "FROM fp LEFT JOIN compmap ON fp.doc_id = compmap.n), " +
+        "a1 AS (SELECT doc_id FROM lab WHERE doc_id % 2 = 0 AND cid = doc_id), " +
+        "c2 AS (SELECT doc_id FROM lab WHERE doc_id % 2 = 1 AND cid = doc_id), " +
+        "rej AS (SELECT DISTINCT c2.doc_id FROM c2 " +
+        "JOIN fp f2 ON c2.doc_id = f2.doc_id " +
+        "CROSS JOIN a1 JOIN fp f1 ON a1.doc_id = f1.doc_id " +
+        "WHERE bit_count(xor(f2.dhash, f1.dhash)) <= 3), " +
+        "adm AS (SELECT doc_id FROM a1 UNION ALL " +
+        "SELECT c2.doc_id FROM c2 LEFT JOIN rej USING (doc_id) " +
+        "WHERE rej.doc_id IS NULL) " +
+        // the sum(1 << j) hash is a HUGEINT in DuckDB — cast the OUTPUT
+        // column to BIGINT or the comparer reads it as a lossy float
+        "SELECT adm.doc_id AS media_id, CAST(fp.dhash AS BIGINT) AS dhash " +
+        "FROM adm JOIN fp ON adm.doc_id = fp.doc_id"),
     // end-to-end curation artifact: q208's gate+LM, q212's classifier,
     // q169/q186's dedup+containment, q215's waterfilled best-first
     // selection, q210's sample plan — composed over the quarter slice.

@@ -1,0 +1,139 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructType}
+
+import graft.multimodal.{MediaDedup, Multimodal}
+import graft.tables.LakeTable
+import graft.text.Dedup
+
+/** Streaming MEDIA ingestion with perceptual dedup — the multimodal twin
+  * of [[CorpusIngest.startNearDup]]: each micro-batch of media payloads is
+  * fingerprinted through the REAL decode paths (format-blind dHash —
+  * [[MediaDedup.dhashOneImage]]), perceptually deduped WITHIN the batch
+  * (Hamming-band pairs → connected components, keep the min media_id),
+  * then checked against the COMMITTED corpus before appending — so the
+  * landed table stays perceptual-near-dup-free across batches, restarts,
+  * and replays. A re-encoded copy (PNG → GIF) arriving in a later batch
+  * is rejected even though its container bytes share nothing with the
+  * original.
+  *
+  * The lake is the dedup index: every committed row carries its 56-bit
+  * `dhash`, and the against-the-lake check is
+  *   (1) an equi-join of the batch's fingerprint band chunks against the
+  *       committed side's ([[Dedup.fingerprintBandChunks]] both ways —
+  *       column-pruned to (media_id, dhash): no committed payload bytes
+  *       move to form candidates),
+  *   (2) an exact Hamming verify on the candidates only.
+  * Candidate volume is bounded by band-collision rate, not corpus size —
+  * the full-corpus banded dedup bound, paid incrementally. State never
+  * lives in the streaming state store; the lake survives restarts for
+  * free.
+  */
+object MediaIngest {
+
+  /** MediaRow schema for the file-source stream. */
+  val mediaSchema: StructType = new StructType()
+    .add("media_id", LongType).add("kind", StringType)
+    .add("payload", BinaryType).add("width", IntegerType)
+    .add("height", IntegerType).add("n_frames", IntegerType)
+
+  def readMediaStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(mediaSchema).parquet(dir)
+
+  /** Start the perceptual-dedup ingest; one lake commit per micro-batch. */
+  def startPerceptualDedup(spark: SparkSession, dir: String, lake: LakeTable,
+                           table: String, maxHamming: Int = 3, bands: Int = 4,
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           checkpoint: Option[String] = None,
+                           shufflePartitions: Option[Int] = None): StreamingQuery = {
+    val w = readMediaStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        perceptualBatch(batch.toDF(), lake, table, maxHamming, bands,
+          shufflePartitions)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** One micro-batch of the perceptual ingest (also the deterministic
+    * batch twin's unit — the q196 stream == twin discipline). Sized
+    * shuffles + AQE off for the batch span when `shufflePartitions` is
+    * set (the [[CorpusIngest.nearDupBatch]] micro-batch discipline). */
+  def perceptualBatch(batchDf: DataFrame, lake: LakeTable, table: String,
+                      maxHamming: Int = 3, bands: Int = 4,
+                      shufflePartitions: Option[Int] = None): Unit =
+    shufflePartitions match {
+      case Some(n) =>
+        val spark = batchDf.sparkSession
+        val key = "spark.sql.shuffle.partitions"
+        val aqKey = "spark.sql.adaptive.enabled"
+        val prev = spark.conf.get(key)
+        val aqPrev = spark.conf.get(aqKey)
+        spark.conf.set(key, n.toString)
+        spark.conf.set(aqKey, "false")
+        try perceptualBatchBody(batchDf, lake, table, maxHamming, bands)
+        finally { spark.conf.set(key, prev); spark.conf.set(aqKey, aqPrev) }
+      case None =>
+        perceptualBatchBody(batchDf, lake, table, maxHamming, bands)
+    }
+
+  private def perceptualBatchBody(batchDf: DataFrame, lake: LakeTable,
+                                  table: String, maxHamming: Int,
+                                  bands: Int): Unit = {
+    val spark = batchDf.sparkSession
+    import spark.implicits._
+    val media = batchDf.as[Multimodal.MediaRow]
+    // fingerprints feed the in-batch pair stage, the cross-batch check,
+    // and the admit join (shared-subtree persist; released after commit)
+    val fps = MediaDedup.imageDHash(media).persist()
+    // in-batch perceptual dedup: min media_id per Hamming component
+    val pairs = Dedup.hammingBandPairs(fps, "dhash", MediaDedup.FingerprintBits,
+      maxHamming, bands, idCol = "media_id")
+    val clusters = Dedup.clusterPairs(pairs)
+      .withColumnRenamed("doc_id", "media_id")
+    val kept = fps.join(clusters, Seq("media_id"), "left")
+      .filter(col("cluster_id").isNull || col("media_id") === col("cluster_id"))
+      .select("media_id", "dhash")
+    // against the lake: banded candidates from committed fingerprints
+    // (column-pruned — only (media_id, dhash) leaves the committed table)
+    val novel =
+      if (lake.exists(table)) {
+        val committed = lake.read(table).select("media_id", "dhash")
+        val inChunks = Dedup.fingerprintBandChunks(kept, "dhash",
+          MediaDedup.FingerprintBits, bands, idCol = "media_id")
+        val cmChunks = Dedup.fingerprintBandChunks(committed, "dhash",
+          MediaDedup.FingerprintBits, bands, idCol = "media_id")
+        val rejected = inChunks.as("x").join(cmChunks.as("y"),
+            col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
+          .select(col("x.doc_id").as("media_id"), col("x.fp").as("fa"),
+            col("y.fp").as("fb"))
+          .distinct()
+          .filter(Dedup.hamming(col("fa"), col("fb")) <= maxHamming)
+          .select("media_id").distinct()
+        kept.join(rejected, Seq("media_id"), "left_anti")
+      } else kept
+    val admitted = batchDf.join(novel.select("media_id", "dhash"), Seq("media_id"))
+    val mode = if (lake.exists(table)) "append" else "overwrite"
+    lake.write(admitted, table, mode): Unit
+    graft.ops.Caching.release(fps)
+  }
+
+  /** Deterministic two-batch twin (the q196 respell discipline): run the
+    * EXACT per-batch pipeline over two explicit batches against a
+    * throwaway lake and return the landed (media_id, dhash) — what the
+    * stream must also land (spec-pinned), and what a SQL oracle replays
+    * (within-batch closure per parity, cross-batch Hamming rejection). */
+  def perceptualIngestTwin(spark: SparkSession, batch1: DataFrame,
+                           batch2: DataFrame, maxHamming: Int = 3,
+                           bands: Int = 4,
+                           shufflePartitions: Option[Int] = None): DataFrame = {
+    val dir = graft.tables.TempLakes.create("graft_media_ingest_lake")
+    val lake = new LakeTable(spark, dir)
+    Seq(batch1, batch2).foreach(b =>
+      perceptualBatch(b, lake, "media", maxHamming, bands, shufflePartitions))
+    lake.read("media").select(col("media_id"), col("dhash"))
+  }
+}

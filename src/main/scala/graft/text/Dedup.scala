@@ -629,14 +629,7 @@ object Dedup {
                        maxHamming: Int, bands: Int,
                        idCol: String = "doc_id"): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
-    val bits = totalBits / bands
-    val chunks = fps.select(col(idCol).as("doc_id"), col(fpCol).as("fp"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col(fpCol), b * bits)
-            .bitwiseAND((1L << bits) - 1L).as("chunk"))
-      }: _*)).as("bc"))
-      .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
+    val chunks = fingerprintBandChunks(fps, fpCol, totalBits, bands, idCol)
     chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -645,6 +638,23 @@ object Dedup {
       .distinct() // a pair can collide in several bands; dedupe BEFORE scoring
       .select(col("doc_a"), col("doc_b"), hamming(col("fa"), col("fb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The banded-candidate building block of [[hammingBandPairs]], exposed
+    * for CROSS-SIDE joins (an incoming micro-batch's fingerprints against
+    * a committed index): one row per (id, band) with the band's chunk —
+    * two fingerprints within maxHamming < bands flips MUST share at least
+    * one (band, chunk) key. Output (doc_id, fp, band, chunk). */
+  def fingerprintBandChunks(fps: DataFrame, fpCol: String, totalBits: Int,
+                            bands: Int, idCol: String = "doc_id"): DataFrame = {
+    val bits = totalBits / bands
+    fps.select(col(idCol).as("doc_id"), col(fpCol).as("fp"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col(fpCol), b * bits)
+              .bitwiseAND((1L << bits) - 1L).as("chunk"))
+        }: _*)).as("bc"))
+      .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
   }
 
   /** Train/eval decontamination: per held-out document, how many of its
