@@ -194,40 +194,22 @@ object MediaDedup {
     * stream regardless of channel count (a stereo pair lands in the same
     * window at these window widths). */
   /** Per-window absolute-amplitude energies of one PCM16 clip — the
-    * shared core of the contour fingerprint and the audio descriptor. */
+    * shared core of the contour fingerprint and the audio descriptor,
+    * over [[Multimodal.pcm16Samples]]' single RIFF walk (windows span the
+    * FULL concatenated sample stream, also when the clip carries several
+    * data chunks). */
   private def audioEnergies(id: Long, p: Array[Byte]): Array[Long] = {
-    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
-    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
-    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
-    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
-      s"media $id: not a RIFF/WAVE container")
-    var off = 12
+    val (_, _, samples) = Multimodal.pcm16Samples(id, p)
+    val n = samples.length
+    require(n >= AudioWindows,
+      s"media $id: fingerprint needs >= $AudioWindows samples, got $n")
     val energy = new Array[Long](AudioWindows)
-    var sawData = false
-    while (off + 8 <= p.length) {
-      val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
-      require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
-      t match {
-        case "fmt " =>
-          require(le16(dataOff) == 1 && le16(dataOff + 14) == 16,
-            s"media $id: only PCM16 supported (format ${le16(dataOff)}, " +
-              s"bits ${le16(dataOff + 14)})")
-        case "data" =>
-          sawData = true
-          val n = len / 2
-          require(n >= AudioWindows,
-            s"media $id: fingerprint needs >= $AudioWindows samples, got $n")
-          var i = 0
-          while (i < n) {
-            val s = le16(dataOff + 2 * i).toShort.toInt
-            energy(((i.toLong * AudioWindows) / n).toInt) += math.abs(s).toLong
-            i += 1
-          }
-        case _ => ()
-      }
-      off = dataOff + len + (len & 1) // RIFF chunks are word-aligned
+    var i = 0
+    while (i < n) {
+      energy(((i.toLong * AudioWindows) / n).toInt) +=
+        math.abs(samples(i).toInt).toLong
+      i += 1
     }
-    require(sawData, s"media $id: missing data chunk")
     energy
   }
 

@@ -222,8 +222,10 @@ object Multimodal {
                 palette: Array[Byte], minCodeSize: Int = 6): Array[Byte] = {
       require(width > 0 && height > 0, "gifFull needs positive dimensions")
       val nColors = palette.length / 3
-      require(nColors == (1 << (Integer.numberOfTrailingZeros(nColors))) &&
-        palette.length % 3 == 0, "palette must hold a power-of-two color count")
+      require(nColors >= 2 &&
+        nColors == (1 << (Integer.numberOfTrailingZeros(nColors))) &&
+        palette.length % 3 == 0,
+        "palette must hold a power-of-two color count >= 2")
       val gctBits = Integer.numberOfTrailingZeros(nColors) - 1
       val out = new java.io.ByteArrayOutputStream()
       def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
@@ -703,16 +705,23 @@ object Multimodal {
     media.mapPartitions(_.map(m => decodeOneWav(m.media_id, m.payload)))
   }
 
-  private[graft] def decodeOneWav(id: Long, p: Array[Byte]): SampleStats = {
+  /** Shared PCM16 RIFF core: walk the chunk chain and return (channels,
+    * sample_rate, every data-chunk int16 sample concatenated in stream
+    * order — odd trailing bytes ignored per chunk). The single WAV decode
+    * behind the census ([[decodeOneWav]]) and the audio
+    * fingerprint/descriptor ([[MediaDedup.audioFingerprint]]), so the
+    * chunk-walk subtleties (word alignment, multiple data chunks,
+    * non-canonical chunk orders) live in exactly one place. */
+  private[graft] def pcm16Samples(id: Long, p: Array[Byte]): (Int, Int, Array[Short]) = {
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
     def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
     require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       s"media $id: not a RIFF/WAVE container")
     var off = 12
-    var channels = 0; var rate = 0; var bits = 0
-    var n = 0L; var sumAbs = 0L; var peak = 0L
+    var channels = 0; var rate = 0
     var sawData = false
+    val samples = new scala.collection.mutable.ArrayBuilder.ofShort
     while (off + 8 <= p.length) {
       val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
       require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
@@ -721,16 +730,14 @@ object Multimodal {
           require(le16(dataOff) == 1,
             s"media $id: only PCM (format 1) supported, got ${le16(dataOff)}")
           channels = le16(dataOff + 2); rate = le32(dataOff + 4)
-          bits = le16(dataOff + 14)
+          val bits = le16(dataOff + 14)
           require(bits == 16,
             s"media $id: only 16-bit samples supported, got $bits")
         case "data" =>
           sawData = true
           var i = dataOff
           while (i + 1 < dataOff + len) {
-            val s = le16(i).toShort.toInt
-            n += 1; sumAbs += math.abs(s).toLong
-            if (math.abs(s).toLong > peak) peak = math.abs(s).toLong
+            samples += le16(i).toShort
             i += 2
           }
         case _ => ()
@@ -739,7 +746,20 @@ object Multimodal {
     }
     require(channels > 0 && sawData,
       s"media $id: missing fmt or data chunk")
-    SampleStats(id, channels, rate, n, sumAbs, peak)
+    (channels, rate, samples.result())
+  }
+
+  private[graft] def decodeOneWav(id: Long, p: Array[Byte]): SampleStats = {
+    val (channels, rate, samples) = pcm16Samples(id, p)
+    var sumAbs = 0L; var peak = 0L
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i).toInt).toLong
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    SampleStats(id, channels, rate, samples.length.toLong, sumAbs, peak)
   }
 
   /** REAL GIF pixel decode — LZW is pure integer code-table expansion, no
@@ -776,14 +796,23 @@ object Multimodal {
     val nColors = 1 << ((packed & 7) + 1)
     val gctOff = 13
     var off = gctOff + 3 * nColors
-    // block walk: skip extensions, land on the first image descriptor
-    while (off < p.length && u8(off) == 0x21) {
+    require(off <= p.length, s"media $id: truncated global color table")
+    // block walk: skip extensions, land on the first image descriptor.
+    // Every read is bounds-guarded: a payload truncated mid-block must
+    // fail with a named cause, never an index error (the MediaIngest
+    // streaming path feeds untrusted crawl bytes through here)
+    def guard(need: Int, what: String): Unit =
+      require(off + need <= p.length, s"media $id: truncated GIF ($what)")
+    while ({ guard(1, "block introducer"); u8(off) == 0x21 }) {
       off += 2 // introducer + label
-      while (u8(off) != 0) off += 1 + u8(off) // sub-blocks
+      while ({ guard(1, "extension sub-block"); u8(off) != 0 }) {
+        guard(1 + u8(off), "extension sub-block"); off += 1 + u8(off)
+      }
       off += 1 // terminator
     }
-    require(off < p.length && u8(off) == 0x2C,
+    require(u8(off) == 0x2C,
       s"media $id: expected an image descriptor, got 0x${u8(off).toHexString}")
+    guard(11, "image descriptor")
     val w = le16(off + 5); val h = le16(off + 7)
     val ipacked = u8(off + 9)
     require((ipacked & 0x80) == 0, s"media $id: local color tables unsupported")
@@ -794,8 +823,9 @@ object Multimodal {
     // reassemble the data sub-blocks
     off += 11
     val data = new java.io.ByteArrayOutputStream()
-    while (u8(off) != 0) {
+    while ({ guard(1, "image data sub-block"); u8(off) != 0 }) {
       val n = u8(off)
+      guard(1 + n, "image data sub-block")
       data.write(p, off + 1, n)
       off += 1 + n
     }
@@ -985,9 +1015,12 @@ object Multimodal {
     * ceil(w/s) × ceil(h/s) and every mean replays as floor(sum/count) in
     * SQL), then re-encoded as a spec-complete PNG ([[Containers.pngFull]]).
     * Payloads already inside the bound pass through byte-identical.
-    * Non-PNG payloads (JPEG/WAV/AVI — no pixel decoder in scope) get the
-    * same ceil-based metadata scaling with the payload untouched.
-    * Pure partition-local map; one image's pixels live at a time. */
+    * Non-PNG payloads keep the same ceil-based metadata scaling with the
+    * payload untouched: JPEG/WAV/AVI have no pixel decoder in scope, and
+    * GIF — though [[decodeGifIdx]] can read it — cannot round-trip a
+    * box-filter result without palette RE-QUANTIZATION (the means are not
+    * palette members), which is out of scope; convert via decode +
+    * [[Containers.pngFull]] when a resampled GIF is needed. */
   def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     require(maxSide >= 1, "resize needs maxSide >= 1")
     val spark = media.sparkSession

@@ -87,38 +87,40 @@ object MediaIngest {
     import spark.implicits._
     val media = batchDf.as[Multimodal.MediaRow]
     // fingerprints feed the in-batch pair stage, the cross-batch check,
-    // and the admit join (shared-subtree persist; released after commit)
+    // and the admit join (shared-subtree persist; released in finally —
+    // a failing payload must not leak cached blocks across stream retries)
     val fps = MediaDedup.imageDHash(media).persist()
-    // in-batch perceptual dedup: min media_id per Hamming component
-    val pairs = Dedup.hammingBandPairs(fps, "dhash", MediaDedup.FingerprintBits,
-      maxHamming, bands, idCol = "media_id")
-    val clusters = Dedup.clusterPairs(pairs)
-      .withColumnRenamed("doc_id", "media_id")
-    val kept = fps.join(clusters, Seq("media_id"), "left")
-      .filter(col("cluster_id").isNull || col("media_id") === col("cluster_id"))
-      .select("media_id", "dhash")
-    // against the lake: banded candidates from committed fingerprints
-    // (column-pruned — only (media_id, dhash) leaves the committed table)
-    val novel =
-      if (lake.exists(table)) {
-        val committed = lake.read(table).select("media_id", "dhash")
-        val inChunks = Dedup.fingerprintBandChunks(kept, "dhash",
-          MediaDedup.FingerprintBits, bands, idCol = "media_id")
-        val cmChunks = Dedup.fingerprintBandChunks(committed, "dhash",
-          MediaDedup.FingerprintBits, bands, idCol = "media_id")
-        val rejected = inChunks.as("x").join(cmChunks.as("y"),
-            col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
-          .select(col("x.doc_id").as("media_id"), col("x.fp").as("fa"),
-            col("y.fp").as("fb"))
-          .distinct()
-          .filter(Dedup.hamming(col("fa"), col("fb")) <= maxHamming)
-          .select("media_id").distinct()
-        kept.join(rejected, Seq("media_id"), "left_anti")
-      } else kept
-    val admitted = batchDf.join(novel.select("media_id", "dhash"), Seq("media_id"))
-    val mode = if (lake.exists(table)) "append" else "overwrite"
-    lake.write(admitted, table, mode): Unit
-    graft.ops.Caching.release(fps)
+    try {
+      // in-batch perceptual dedup: min media_id per Hamming component
+      val pairs = Dedup.hammingBandPairs(fps, "dhash", MediaDedup.FingerprintBits,
+        maxHamming, bands, idCol = "media_id")
+      val clusters = Dedup.clusterPairs(pairs)
+        .withColumnRenamed("doc_id", "media_id")
+      val kept = fps.join(clusters, Seq("media_id"), "left")
+        .filter(col("cluster_id").isNull || col("media_id") === col("cluster_id"))
+        .select("media_id", "dhash")
+      // against the lake: banded candidates from committed fingerprints
+      // (column-pruned — only (media_id, dhash) leaves the committed table)
+      val novel =
+        if (lake.exists(table)) {
+          val committed = lake.read(table).select("media_id", "dhash")
+          val inChunks = Dedup.fingerprintBandChunks(kept, "dhash",
+            MediaDedup.FingerprintBits, bands, idCol = "media_id")
+          val cmChunks = Dedup.fingerprintBandChunks(committed, "dhash",
+            MediaDedup.FingerprintBits, bands, idCol = "media_id")
+          val rejected = inChunks.as("x").join(cmChunks.as("y"),
+              col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
+            .select(col("x.doc_id").as("media_id"), col("x.fp").as("fa"),
+              col("y.fp").as("fb"))
+            .distinct()
+            .filter(Dedup.hamming(col("fa"), col("fb")) <= maxHamming)
+            .select("media_id").distinct()
+          kept.join(rejected, Seq("media_id"), "left_anti")
+        } else kept
+      val admitted = batchDf.join(novel.select("media_id", "dhash"), Seq("media_id"))
+      val mode = if (lake.exists(table)) "append" else "overwrite"
+      lake.write(admitted, table, mode): Unit
+    } finally graft.ops.Caching.release(fps)
   }
 
   /** Deterministic two-batch twin (the q196 respell discipline): run the

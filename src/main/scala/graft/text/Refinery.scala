@@ -32,7 +32,8 @@ object Refinery {
       // whole refinery becomes deterministic AND oracle-replayable — q169
       // verifies the end-to-end pipeline against a declarative SQL respell
       shingleVerify: Boolean = false,
-      // MinHash signature size for the near-dup stage. 128/32 is the
+      // MinHash signature size for the near-dup stage (BOTH branches —
+      // shingle-verified and plain — honor these). 128/32 is the
       // high-recall default; 32/16 (the q196 streaming-twin setting,
       // per-pair candidate-miss ~8e-8 at s = 0.8) quarters the signature
       // cost for budgeted composed configs — the exact-verify step means
@@ -157,7 +158,8 @@ object Refinery {
     val deduped0 =
       if (cfg.shingleVerify) Dedup.dedupCorpusShingle(clfKept, cfg.nearDupThreshold,
         cfg.dedupNumPerms, cfg.dedupBands)
-      else Dedup.dedupCorpus(clfKept, threshold = cfg.nearDupThreshold)
+      else Dedup.dedupCorpus(clfKept, threshold = cfg.nearDupThreshold,
+        numPerms = cfg.dedupNumPerms, bands = cfg.dedupBands)
     val deduped = mat(deduped0)
     // containment AFTER near-dup: Jaccard clusters collapse the mutual
     // near-copies first, then the directional stage drops embedded quotes

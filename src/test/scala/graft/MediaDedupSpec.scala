@@ -98,7 +98,7 @@ class MediaDedupSpec extends SparkSpec {
   }
 
   test("banded image near-dups equal brute-force all-pairs on the fixtures") {
-    val media = MediaDedup.syntheticNearDupImages(docs.limit(120))
+    val media = MediaDedup.syntheticNearDupImages(docs.filter(col("doc_id") < 120))
     val fps = MediaDedup.imageDHash(media).persist()
     val brute = fps.as("x").join(fps.as("y"),
         col("x.media_id") < col("y.media_id"))
@@ -114,7 +114,7 @@ class MediaDedupSpec extends SparkSpec {
   }
 
   test("banded audio near-dups equal brute-force all-pairs on the fixtures") {
-    val media = MediaDedup.syntheticNearDupAudio(docs.limit(120))
+    val media = MediaDedup.syntheticNearDupAudio(docs.filter(col("doc_id") < 120))
     val fps = MediaDedup.audioFingerprint(media).persist()
     val brute = fps.as("x").join(fps.as("y"),
         col("x.media_id") < col("y.media_id"))
@@ -140,7 +140,7 @@ class MediaDedupSpec extends SparkSpec {
     assert(MediaDedup.dhashOneImage(1L, png) ===
       MediaDedup.dhashOneImage(2L, gif))
     // and the banded pair surfaces at Hamming 0 in a mixed-format corpus
-    val media = MediaDedup.syntheticCrossFormatImages(docs.limit(40))
+    val media = MediaDedup.syntheticCrossFormatImages(docs.filter(col("doc_id") < 40))
     val pairs = MediaDedup.imageNearDups(media, maxHamming = 3, bands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val planted = (0 until 20).map(g => (2L * g, 2L * g + 1, 0)).toSet
@@ -149,7 +149,7 @@ class MediaDedupSpec extends SparkSpec {
   }
 
   test("perceptual clusters partition the corpus; cross-format pairs co-cluster") {
-    val media = MediaDedup.syntheticCrossFormatImages(docs.limit(40))
+    val media = MediaDedup.syntheticCrossFormatImages(docs.filter(col("doc_id") < 40))
     val lab = MediaDedup.imageClusters(media).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // every planted PNG/GIF pair shares a cluster
@@ -189,7 +189,7 @@ class MediaDedupSpec extends SparkSpec {
     assert(dp.toSeq === expected)
     // the nearest neighbor of a probe is its cross-format twin at cosine 1
     import spark.implicits._
-    val media = MediaDedup.syntheticCrossFormatImages(docs.limit(30))
+    val media = MediaDedup.syntheticCrossFormatImages(docs.filter(col("doc_id") < 30))
     val desc = MediaDedup.imageDescriptors(media).persist()
     val top = graft.sim.Similarity.bruteForceTopK(desc,
       desc.filter(col("vec_id") === 0L), 3).collect().sortBy(_.getInt(3))
@@ -219,7 +219,7 @@ class MediaDedupSpec extends SparkSpec {
 
   test("decodePngRgba refactor preserves the q217 pixel census exactly") {
     val media = Multimodal.syntheticPixelMedia(
-      docs.filter(col("doc_id") % 2 === 0).limit(40))
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 80))
     Multimodal.pngPixelStats(media).collect().foreach { st =>
       // replay the planting formula (media_id*31 + i) mod 256 per channel
       var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L

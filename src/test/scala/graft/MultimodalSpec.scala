@@ -59,7 +59,7 @@ class MultimodalSpec extends SparkSpec {
     // maxSide 4, then re-decode the re-encoded payload and replay every
     // output pixel as floor(blockSum / blockCount) per channel
     val pm = Multimodal.syntheticPixelMedia(
-      docs.filter(col("doc_id") % 2 === 0).limit(30))
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 60))
     val resized = Multimodal.resize(pm, maxSide = 4).collect()
     assert(resized.forall(m => m.width <= 4 && m.height <= 4))
     val orig = pm.collect().map(m => m.media_id -> m).toMap
@@ -319,7 +319,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("decodeOneGif census replays the planting formula (and ImageIO agrees)") {
     import spark.implicits._
-    val media = Multimodal.syntheticGifMedia(docs.limit(60))
+    val media = Multimodal.syntheticGifMedia(docs.filter(col("doc_id") < 60))
     val stats = Multimodal.gifPixelStats(media).collect()
     assert(stats.length === 60)
     stats.foreach { st =>
@@ -365,6 +365,11 @@ class MultimodalSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Multimodal.decodeOneGif(1L, interlaced))
     assert(e2.getMessage.contains("interlaced"))
+    // a payload chopped mid-sub-block must name the cause, never throw an
+    // index error (the streaming ingest feeds untrusted bytes through)
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.decodeOneGif(1L, ok.dropRight(6)))
+    assert(e3.getMessage.contains("truncated GIF"))
   }
 
   test("decodeOnePng fails fast with named causes on unsupported or corrupt input") {
