@@ -1516,6 +1516,55 @@ object SparkEntry {
         media.filter(col("media_id") % 2 === 1),
         shufflePartitions = Some(8))
     },
+    // --- REAL AVI frame decode [ext]: video was the last header-only
+    // media type — complete RIFF fixtures now carry uncompressed BGR24
+    // bottom-up DIB frame chunks in a movi LIST, and the engine walks the
+    // chunk chain (word alignment, LIST recursion, strf validation) and
+    // reassembles every frame into a per-frame channel census the oracle
+    // recomputes ARITHMETICALLY from the planted closed form. Compressed
+    // ('##dc') streams fail fast by name; the codec is the contract, not
+    // the byte volume (budget <= 3 s) ---
+    "q230_avi_frame_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.aviFrameStats(
+        graft.multimodal.Multimodal.syntheticVideoMedia(
+          t(s, d, "documents"))).toDF()),
+    // --- video perceptual near-dup [ext]: the video twin of q219 — REAL
+    // frame sampling (every 2nd frame; the oracle's WHERE f % 2 = 0 pins
+    // the sampling arithmetic), per-frame 56-bit dHash over decoded
+    // pixels, frame-pair candidates from the SAME banded machinery
+    // (frames ride packed media·2^20+frame ids through hammingBandPairs),
+    // then SHARED-FRAME containment per video pair: near-dup iff >= 50%
+    // of BOTH sides' sampled frames match within Hamming 3 (bag
+    // semantics — a re-cut that reorders frames still matches). Oracle
+    // replays every frame hash from the planted formulas and brute-forces
+    // frame pairs (budget <= 3 s) ---
+    "q231_video_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoNearDups(
+        graft.multimodal.MediaDedup.syntheticNearDupVideos(
+          t(s, d, "documents")), everyN = 2, maxHamming = 3, bands = 4,
+        minSharedFrac = 0.5)),
+    // --- video perceptual clusters [ext]: the labeling form of q231 (the
+    // q225 contract on videos): min-id connected component of the
+    // shared-frame pair graph, singletons self-label, dedup = keep
+    // media_id == cluster_id. Oracle: q231's pair replay + recursive-CTE
+    // closure + a cluster-size window (budget <= 3 s) ---
+    "q232_video_clusters" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoClusters(
+        graft.multimodal.MediaDedup.syntheticNearDupVideos(
+          t(s, d, "documents")), everyN = 2, maxHamming = 3, bands = 4,
+        minSharedFrac = 0.5)),
+    // --- video content similarity search [ext]: the video twin of
+    // q226/q228 — a bag-of-frames temporal descriptor (the 64 gray block
+    // means of each sampled frame, floor integers, SUMMED across frames)
+    // in the (vec_id, embedding) contract, so the whole Similarity
+    // surface runs over what videos CONTAIN; integer dims keep cosine
+    // bit-replayable (budget <= 3 s) ---
+    "q233_video_similarity" -> { (s, d) =>
+      val desc = graft.multimodal.MediaDedup.videoDescriptors(
+        graft.multimodal.MediaDedup.syntheticNearDupVideos(
+          t(s, d, "documents")), everyN = 2).persist()
+      Similarity.bruteForceTopK(desc, desc.filter(col("vec_id") < 10), 3)
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4071,6 +4120,156 @@ object SparkEntry {
         // column to BIGINT or the comparer reads it as a lossy float
         "SELECT adm.doc_id AS media_id, CAST(fp.dhash AS BIGINT) AS dhash " +
         "FROM adm JOIN fp ON adm.doc_id = fp.doc_id"),
+    // AVI replay: frame f's channel-c pixel (x, y) is the closed form
+    // (id*31 + f*19 + x*7 + y*13 + c*91) mod 256 — the engine must land
+    // here through the real RIFF walk + bottom-up BGR DIB reassembly
+    "q230_avi_frame_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(5 + doc_id % 9 AS BIGINT) AS w, " +
+        "CAST(4 + (doc_id * 3) % 7 AS BIGINT) AS h, " +
+        "CAST(2 + doc_id % 4 AS BIGINT) AS nf FROM documents), " +
+        "fr AS (SELECT media_id, w, h, unnest(range(nf)) AS f FROM d), " +
+        "px AS (SELECT media_id, w, h, f, unnest(range(w * h)) AS k FROM fr), " +
+        "v AS (SELECT media_id, w, h, f, " +
+        "(media_id*31 + f*19 + (k % w)*7 + (k // w)*13) % 256 AS r0 FROM px) " +
+        "SELECT media_id, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(w * h AS BIGINT) AS n_pixels, " +
+        "CAST(sum(r0) AS BIGINT) AS sum_r, " +
+        "CAST(sum((r0 + 91) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((r0 + 182) % 256) AS BIGINT) AS sum_b " +
+        "FROM v GROUP BY media_id, f, w, h"),
+    // video near-dup replay: sampled frames (f % 2 = 0 — pins the REAL
+    // frame sampling), q219's dHash arithmetic per (video, frame), brute
+    // frame pairs at Hamming <= 3, shared-frame containment per pair
+    "q231_video_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+        "FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(4 + g % 3 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, role, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, role, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "CASE WHEN role = 2 THEN (g*53 + f*11 + (k % w)*(5 + (g * 17) % 239) + " +
+        "(k // w)*(3 + (g * 11) % 233) + 128) % 256 " +
+        "WHEN role = 1 AND k % 97 = 0 " +
+        "THEN ((g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 + 4) % 256 " +
+        "ELSE (g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sf2 GROUP BY 1), " +
+        "pm AS (SELECT x.doc_id AS ma, y.doc_id AS mb, x.f AS fa, y.f AS fb " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dh, y.dh)) <= 3), " +
+        "agg AS (SELECT ma, mb, count(DISTINCT fa) AS matched_a, " +
+        "count(DISTINCT fb) AS matched_b FROM pm GROUP BY 1, 2) " +
+        "SELECT agg.ma AS media_a, agg.mb AS media_b, matched_a, matched_b, " +
+        "least(matched_a / ca.n, matched_b / cb.n) AS match_frac " +
+        "FROM agg JOIN cnt ca ON agg.ma = ca.doc_id " +
+        "JOIN cnt cb ON agg.mb = cb.doc_id " +
+        "WHERE least(matched_a / ca.n, matched_b / cb.n) >= 0.5"),
+    // video cluster replay: q231's pair arithmetic as the edge set, then
+    // the q229 recursive closure + min-id labels + a cluster-size window
+    "q232_video_clusters" ->
+      ("WITH RECURSIVE dd AS (SELECT doc_id, doc_id // 3 AS g, " +
+        "doc_id % 3 AS role FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(4 + g % 3 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, role, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, role, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "CASE WHEN role = 2 THEN (g*53 + f*11 + (k % w)*(5 + (g * 17) % 239) + " +
+        "(k // w)*(3 + (g * 11) % 233) + 128) % 256 " +
+        "WHEN role = 1 AND k % 97 = 0 " +
+        "THEN ((g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 + 4) % 256 " +
+        "ELSE (g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sf2 GROUP BY 1), " +
+        "pm AS (SELECT x.doc_id AS ma, y.doc_id AS mb, x.f AS fa, y.f AS fb " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dh, y.dh)) <= 3), " +
+        "agg AS (SELECT ma, mb, count(DISTINCT fa) AS matched_a, " +
+        "count(DISTINCT fb) AS matched_b FROM pm GROUP BY 1, 2), " +
+        "edges AS (SELECT agg.ma AS a, agg.mb AS b " +
+        "FROM agg JOIN cnt ca ON agg.ma = ca.doc_id " +
+        "JOIN cnt cb ON agg.mb = cb.doc_id " +
+        "WHERE least(matched_a / ca.n, matched_b / cb.n) >= 0.5), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "lab AS (SELECT dd.doc_id, " +
+        "least(dd.doc_id, coalesce(mn, dd.doc_id)) AS cid " +
+        "FROM dd LEFT JOIN compmap ON dd.doc_id = compmap.n) " +
+        "SELECT doc_id AS media_id, cid AS cluster_id, " +
+        "CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size " +
+        "FROM lab"),
+    // video descriptor replay: per sampled frame the 64 gray block means
+    // (q231's m CTE), summed across frames into dims by*8+bx — then the
+    // q228 cosine/top-k spelling
+    "q233_video_similarity" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+        "FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(4 + g % 3 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, role, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, role, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "CASE WHEN role = 2 THEN (g*53 + f*11 + (k % w)*(5 + (g * 17) % 239) + " +
+        "(k // w)*(3 + (g * 11) % 233) + 128) % 256 " +
+        "WHEN role = 1 AND k % 97 = 0 " +
+        "THEN ((g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 + 4) % 256 " +
+        "ELSE (g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "cell AS (SELECT doc_id, by * 8 + bx AS dim, sum(mean) AS sv " +
+        "FROM m GROUP BY 1, 2), " +
+        "dsc AS MATERIALIZED (SELECT doc_id, " +
+        "list(CAST(sv AS DOUBLE) ORDER BY dim) AS vec FROM cell GROUP BY 1), " +
+        "s AS (SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id, " +
+        "list_inner_product(p.vec, c.vec) / " +
+        "(sqrt(list_inner_product(p.vec, p.vec)) * " +
+        "sqrt(list_inner_product(c.vec, c.vec))) AS cos_sim " +
+        "FROM dsc p JOIN dsc c ON p.doc_id < 10 AND p.doc_id != c.doc_id), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id " +
+        "ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn FROM s) " +
+        "SELECT probe_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 3"),
     // end-to-end curation artifact: q208's gate+LM, q212's classifier,
     // q169/q186's dedup+containment, q215's waterfilled best-first
     // selection, q210's sample plan — composed over the quarter slice.

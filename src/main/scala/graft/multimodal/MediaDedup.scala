@@ -99,6 +99,14 @@ object MediaDedup {
       val bk = (y * GridH / h) * GridW + x * GridW / w
       sums(bk) += (r + g + b) / 3; cnts(bk) += 1L
     }
+    dhashOfGrid(sums, cnts)
+  }
+
+  /** Derive the 56-bit difference hash from filled 8×8 grid accumulators:
+    * bit y·7+x set iff floor-mean[y][x] < floor-mean[y][x+1]. Shared by
+    * the image path ([[dhashOneImage]]) and the per-frame video path
+    * ([[dhashOneFrame]]). */
+  private def dhashOfGrid(sums: Array[Long], cnts: Array[Long]): Long = {
     var fp = 0L
     var gy = 0
     while (gy < GridH) {
@@ -112,6 +120,30 @@ object MediaDedup {
       gy += 1
     }
     fp
+  }
+
+  /** 56-bit dHash of one decoded video frame (row-major RGB triples, the
+    * [[Multimodal.decodeAviRgb]] layout) — same grid arithmetic as the
+    * image hash, so a video frame and a PNG of the same content collide. */
+  private[graft] def dhashOneFrame(id: Long, w: Int, h: Int,
+                                   rgb: Array[Byte]): Long = {
+    require(w >= GridW && h >= GridH,
+      s"media $id: frame dHash needs at least ${GridW}x$GridH pixels, got ${w}x$h")
+    val sums = new Array[Long](GridW * GridH)
+    val cnts = new Array[Long](GridW * GridH)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = 3 * (y * w + x)
+        val bk = (y * GridH / h) * GridW + x * GridW / w
+        sums(bk) += ((rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)) / 3
+        cnts(bk) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    dhashOfGrid(sums, cnts)
   }
 
   /** Descriptor layout: 3 channels × 8 histogram bins, then the 8×8 gray
@@ -356,6 +388,179 @@ object MediaDedup {
     * on dHash (Hamming 0) even though the container bytes share nothing —
     * the re-encoded-copy case container-level dedup structurally misses,
     * and an oracle recomputes the shared hash from one formula. */
+  /** Frame ids pack (media_id, frame_idx) into one long so the generic
+    * fingerprint banding ([[Dedup.hammingBandPairs]]) runs unchanged over
+    * per-frame hashes: fid = media_id·2²⁰ + frame_idx. Bitwise unpack is
+    * exact — no float division anywhere near the key. */
+  private val FrameBits = 20
+  private val FrameMask = (1L << FrameBits) - 1L
+
+  /** Per-frame perceptual hashes of REAL decoded AVI video, with REAL
+    * frame sampling (only frame_idx % everyN == 0 is decoded into a hash —
+    * the standard cost control: at 100 TB of video you fingerprint sampled
+    * frames, not every frame). Output (media_id, frame_idx, dhash).
+    * Partition-local map, no shuffle. */
+  def videoFrameHashes(media: Dataset[MediaRow], everyN: Int = 2): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val (w, h, frames) = Multimodal.decodeAviRgb(m.media_id, m.payload)
+      require(frames.length < (1 << FrameBits),
+        s"media ${m.media_id}: ${frames.length} frames overflow the frame-id pack")
+      frames.iterator.zipWithIndex.collect {
+        case (rgb, f) if f % everyN == 0 =>
+          (m.media_id, f, dhashOneFrame(m.media_id, w, h, rgb))
+      }
+    }).toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-duplicate pairs by SHARED-FRAME containment — the video
+    * twin of the text corpus's containment near-dup: two videos are
+    * near-dups when, over their SAMPLED frames, a `minSharedFrac` fraction
+    * of BOTH sides' frames has a Hamming-≤`maxHamming` perceptual match on
+    * the other side (bag semantics — no temporal alignment required, so a
+    * re-cut that drops or reorders frames still matches on what survives).
+    *
+    * Scale shape: frame-pair candidates come from the SAME banded
+    * equi-join as every other fingerprint here (frames ride packed ids
+    * through [[Dedup.hammingBandPairs]] — never an all-pairs join of the
+    * frame corpus), the per-frame verify is exact, and the per-video
+    * aggregation joins a |videos|-grain count table. Output
+    * (media_a, media_b, matched_a, matched_b, match_frac). */
+  def videoNearDups(media: Dataset[MediaRow], everyN: Int = 2,
+                    maxHamming: Int = 3, bands: Int = 4,
+                    minSharedFrac: Double = 0.5): DataFrame = {
+    // frame hashes feed the pair stage AND the per-video frame counts —
+    // shared-subtree persist (Caching contract; releaseAll reclaims)
+    val fh = videoFrameHashes(media, everyN).persist()
+    val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    val packed = fh.select(
+      (col("media_id") * (1L << FrameBits) + col("frame_idx")).as("fid"),
+      col("dhash"))
+    val framePairs = Dedup.hammingBandPairs(packed, "dhash", FingerprintBits,
+        maxHamming, bands, idCol = "fid")
+      .select(shiftright(col("doc_a"), FrameBits).as("media_a"),
+        col("doc_a").bitwiseAND(FrameMask).as("frame_a"),
+        shiftright(col("doc_b"), FrameBits).as("media_b"),
+        col("doc_b").bitwiseAND(FrameMask).as("frame_b"))
+      .filter(col("media_a") < col("media_b")) // cross-video only
+    framePairs.groupBy(col("media_a"), col("media_b"))
+      .agg(countDistinct(col("frame_a")).as("matched_a"),
+        countDistinct(col("frame_b")).as("matched_b"))
+      .join(counts.select(col("media_id").as("media_a"),
+        col("n_frames").as("n_a")), Seq("media_a"))
+      .join(counts.select(col("media_id").as("media_b"),
+        col("n_frames").as("n_b")), Seq("media_b"))
+      .withColumn("match_frac",
+        least(col("matched_a") / col("n_a"), col("matched_b") / col("n_b")))
+      .filter(col("match_frac") >= minSharedFrac)
+      .select(col("media_a"), col("media_b"), col("matched_a"),
+        col("matched_b"), col("match_frac"))
+  }
+
+  /** Perceptual video clusters: every video labeled with the min-id
+    * connected component of its [[videoNearDups]] pair graph — the video
+    * twin of [[imageClusters]]; singletons self-label, dedup = keep
+    * `media_id == cluster_id`. */
+  def videoClusters(media: Dataset[MediaRow], everyN: Int = 2,
+                    maxHamming: Int = 3, bands: Int = 4,
+                    minSharedFrac: Double = 0.5): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val pairs = videoNearDups(media, everyN, maxHamming, bands, minSharedFrac)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val clusters = Dedup.clusterPairs(pairs)
+      .withColumnRenamed("doc_id", "media_id")
+    media.select(col("media_id")).join(clusters, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("cluster_id"), col("media_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+  }
+
+  /** Temporal video content descriptor in the Similarity column contract
+    * (vec_id, embedding): the 64 gray block means of each SAMPLED frame
+    * (floor integers, the dHash grid) SUMMED across frames — a classical
+    * bag-of-frames signature, integer-valued so cosine replays
+    * bit-for-bit in SQL. Cosine's scale invariance makes a video and its
+    * doubled-length self-concatenation score 1 — the video analogue of
+    * the audio volume-scaling invariance. */
+  def videoDescriptors(media: Dataset[MediaRow], everyN: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, frames) = Multimodal.decodeAviRgb(m.media_id, m.payload)
+      require(w >= GridW && h >= GridH,
+        s"media ${m.media_id}: descriptor needs >= ${GridW}x$GridH, got ${w}x$h")
+      val acc = new Array[Long](GridW * GridH)
+      var f = 0
+      while (f < frames.length) {
+        if (f % everyN == 0) {
+          val rgb = frames(f)
+          val sums = new Array[Long](GridW * GridH)
+          val cnts = new Array[Long](GridW * GridH)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val k = 3 * (y * w + x)
+              val bk = (y * GridH / h) * GridW + x * GridW / w
+              sums(bk) +=
+                ((rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)) / 3
+              cnts(bk) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          var bk = 0
+          while (bk < acc.length) { acc(bk) += sums(bk) / cnts(bk); bk += 1 }
+        }
+        f += 1
+      }
+      (m.media_id, acc.map(_.toDouble))
+    }).toDF("vec_id", "embedding")
+  }
+
+  /** Near-dup video fixtures, same planted-triple layout as the image and
+    * audio fixtures (group g = doc_id/3): role 0 the base video — frame
+    * f's grayscale pixel is (g·29 + f·17 + x·xc + y·yc) mod 256 planted
+    * as r=g=b, with WRAP-HEAVY multipliers drawn per group from WIDE
+    * prime-modulus ranges (xc = 3+(g·13)%251, yc = 2+(g·7)%241 — the
+    * q225 lesson squared: small multiplier ranges made same-geometry
+    * groups recur every ~140 groups, and at sf0.1 one accidental frame
+    * match per pair qualified 88k pairs / 4964-video components, blowing
+    * the closure past the small-graph cap; measured 11.9 s, vs 2 s after
+    * this diversification); role 1 a near-duplicate (every 97th pixel of
+    * each frame nudged +4 — every sampled frame stays within a few
+    * Hamming bits of its base twin, so the pair's match_frac is 1);
+    * role 2 a distinct video (different multipliers and base).
+    * Dimensions and frame counts derive from g alone. */
+  def syntheticNearDupVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 3
+      val role = id % 3
+      val w = (12 + (g % 5) * 4).toInt
+      val h = (8 + ((g * 3) % 4) * 4).toInt
+      val nf = (4 + g % 3).toInt
+      val px: (Int, Int, Int, Int) => Int = (f, x, y, _) => {
+        if (role == 2)
+          ((g * 53 + f * 11 + x * (5 + (g * 17) % 239) + y * (3 + (g * 11) % 233)
+            + 128) % 256).toInt
+        else {
+          val base =
+            ((g * 29 + f * 17 + x * (3 + (g * 13) % 251) + y * (2 + (g * 7) % 241))
+              % 256).toInt
+          if (role == 1 && (y * w + x) % 97 == 0) (base + 4) % 256 else base
+        }
+      }
+      MediaRow(id, "video", Containers.aviFull(w, h, nf, px), w, h, nf)
+    }
+  }
+
   def syntheticCrossFormatImages(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -59,6 +59,12 @@ object Multimodal {
                             n_pixels: Long, sum_r: Long, sum_g: Long,
                             sum_b: Long, sum_idx: Long)
 
+  /** Exact per-channel census of ONE decoded AVI video frame — the video
+    * twin of [[PixelStats]], keyed by (media_id, frame_idx). */
+  final case class VideoFrameStats(media_id: Long, frame_idx: Int,
+                                   width: Int, height: Int, n_pixels: Long,
+                                   sum_r: Long, sum_g: Long, sum_b: Long)
+
   /** Real container-header layouts (public format specs), JVM side.
     * Builders emit the exact byte offsets the specs publish; the parser
     * dispatches on magic bytes. CRC fields are zeroed (nothing here
@@ -292,6 +298,76 @@ object Multimodal {
       bb.putInt(width).putInt(height)
       bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
       bb.put(body).array()
+    }
+
+    /** FULL AVI: the header-only [[avi]] builder extended to a complete
+      * RIFF structure carrying REAL uncompressed video frames — LIST hdrl
+      * (avih, then LIST strl with a 'vids'/DIB strh and a BITMAPINFOHEADER
+      * strf, biBitCount 24 / biCompression BI_RGB) followed by LIST movi
+      * holding one '00db' chunk per frame. Frame data is the Windows DIB
+      * convention the AVI spec inherits: BOTTOM-UP rows of BGR triples,
+      * each row padded to a 4-byte boundary — pure integer layout, so an
+      * oracle can recompute every decoded pixel arithmetically. avih stays
+      * first in hdrl, so the fixed header offsets [[avi]] publishes
+      * (dwTotalFrames at 48, dwWidth/dwHeight at 64/68) hold here too and
+      * [[Multimodal.binaryMediaMeta]]'s expression walk reads both layouts.
+      * `px(frame, x, y, channel)` returns the 0–255 value of channel
+      * 0=R / 1=G / 2=B. */
+    def aviFull(width: Int, height: Int, frames: Int,
+                px: (Int, Int, Int, Int) => Int): Array[Byte] = {
+      val rowSize = ((3 * width + 3) / 4) * 4
+      val frameBytes = rowSize * height
+      val moviSize = 4 + frames * (8 + frameBytes)
+      val bb = ByteBuffer.allocate(212 + 8 + moviSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 200 + 8 + moviSize)
+      bb.put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(192)
+      bb.put("hdrl".getBytes("US-ASCII"))
+      bb.put("avih".getBytes("US-ASCII")).putInt(56)
+      bb.putInt(33367) // dwMicroSecPerFrame (~30fps)
+      bb.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      bb.putInt(frames) // dwTotalFrames
+      bb.putInt(0).putInt(1).putInt(0) // initialFrames, streams, bufferSize
+      bb.putInt(width).putInt(height)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.put("LIST".getBytes("US-ASCII")).putInt(116)
+      bb.put("strl".getBytes("US-ASCII"))
+      bb.put("strh".getBytes("US-ASCII")).putInt(56)
+      bb.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      bb.putInt(0) // dwFlags
+      bb.putShort(0.toShort).putShort(0.toShort) // wPriority, wLanguage
+      bb.putInt(0).putInt(1).putInt(30).putInt(0) // initialFrames, scale, rate, start
+      bb.putInt(frames) // dwLength (in frames for video streams)
+      bb.putInt(frameBytes).putInt(0).putInt(0) // bufferSize, quality, sampleSize
+      bb.putShort(0.toShort).putShort(0.toShort) // rcFrame left, top
+      bb.putShort(width.toShort).putShort(height.toShort) // rcFrame right, bottom
+      bb.put("strf".getBytes("US-ASCII")).putInt(40)
+      bb.putInt(40).putInt(width).putInt(height) // biSize, biWidth, biHeight
+      bb.putShort(1.toShort).putShort(24.toShort) // biPlanes, biBitCount
+      bb.putInt(0).putInt(frameBytes) // biCompression BI_RGB, biSizeImage
+      bb.putInt(0).putInt(0).putInt(0).putInt(0) // pels/meter, clrUsed, clrImportant
+      bb.put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+      bb.put("movi".getBytes("US-ASCII"))
+      var f = 0
+      while (f < frames) {
+        bb.put("00db".getBytes("US-ASCII")).putInt(frameBytes)
+        var row = height - 1 // DIB rows are stored bottom-up
+        while (row >= 0) {
+          var x = 0
+          while (x < width) {
+            bb.put((px(f, x, row, 2) & 0xFF).toByte) // B
+            bb.put((px(f, x, row, 1) & 0xFF).toByte) // G
+            bb.put((px(f, x, row, 0) & 0xFF).toByte) // R
+            x += 1
+          }
+          var pad = rowSize - 3 * width
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          row -= 1
+        }
+        f += 1
+      }
+      bb.array()
     }
 
     /** JPEG frame dimensions via a real SOF-marker walk (dimensions sit in
@@ -760,6 +836,135 @@ object Multimodal {
       i += 1
     }
     SampleStats(id, channels, rate, samples.length.toLong, sumAbs, peak)
+  }
+
+  /** REAL AVI frame decode — no media library needed: AVI's uncompressed
+    * ('DIB ') video frames are pure integer byte layout, exactly like the
+    * container walk itself. Walks the RIFF chunk chain (word-aligned, LIST
+    * recursion into hdrl/strl/movi), reads avih geometry, validates the
+    * strf BITMAPINFOHEADER (24-bit, BI_RGB — compressed streams fail fast
+    * with a named cause), and reassembles each '00db' movi chunk from the
+    * DIB convention (BOTTOM-UP rows of BGR triples, rows padded to 4
+    * bytes) into row-major top-down RGB. Returns (width, height, one RGB
+    * byte array per frame). One frame's pixels live at a time per task —
+    * the inherent decode granularity, same as the PNG/GIF paths. */
+  private[graft] def decodeAviRgb(id: Long, p: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      s"media $id: not a RIFF/AVI container")
+    var w = 0; var h = 0; var declared = -1
+    var sawStrf = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // LISTs nest but their children are contiguous chunks, so one linear
+    // walk that DESCENDS into the lists it knows (hdrl/strl/movi) and
+    // skips the rest whole covers the shallow AVI tree
+    var off = 12
+    while (off + 8 <= p.length) {
+      val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
+      require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
+      if (t == "LIST") {
+        val ltype = tag(dataOff)
+        if (ltype == "hdrl" || ltype == "strl" || ltype == "movi")
+          off = dataOff + 4 // descend: children start right after the type
+        else off = dataOff + len + (len & 1)
+      } else {
+        t match {
+          case "avih" =>
+            require(len >= 56, s"media $id: avih chunk too short ($len)")
+            declared = le32(dataOff + 16) // dwTotalFrames
+            w = le32(dataOff + 32); h = le32(dataOff + 36)
+            require(w > 0 && h > 0, s"media $id: bad avih dims ${w}x$h")
+          case "strf" =>
+            require(len >= 40, s"media $id: strf BITMAPINFOHEADER too short")
+            val bitCount = le16(dataOff + 14)
+            val compression = le32(dataOff + 16)
+            require(bitCount == 24,
+              s"media $id: only 24-bit DIB frames supported, got $bitCount")
+            require(compression == 0,
+              s"media $id: only BI_RGB (uncompressed) frames supported, " +
+                s"got compression $compression")
+            sawStrf = true
+          case fcc if fcc.length == 4 && fcc(0).isDigit && fcc(1).isDigit &&
+            fcc.endsWith("dc") =>
+            throw new IllegalArgumentException(
+              s"media $id: compressed video chunk '$fcc' out of scope " +
+                "(only uncompressed '##db' DIB frames decode)")
+          case fcc if fcc.length == 4 && fcc(0).isDigit && fcc(1).isDigit &&
+            fcc.endsWith("db") =>
+            require(sawStrf, s"media $id: frame chunk before strf header")
+            val rowSize = ((3 * w + 3) / 4) * 4
+            require(len == rowSize * h,
+              s"media $id: frame chunk size $len != expected ${rowSize * h}")
+            val rgb = new Array[Byte](3 * w * h)
+            var y = 0
+            while (y < h) {
+              val srcRow = dataOff + (h - 1 - y) * rowSize // bottom-up
+              var x = 0
+              while (x < w) {
+                rgb(3 * (y * w + x)) = p(srcRow + 3 * x + 2) // R
+                rgb(3 * (y * w + x) + 1) = p(srcRow + 3 * x + 1) // G
+                rgb(3 * (y * w + x) + 2) = p(srcRow + 3 * x) // B
+                x += 1
+              }
+              y += 1
+            }
+            frames += rgb
+          case _ => () // strh, idx1, JUNK… — geometry already validated
+        }
+        off = dataOff + len + (len & 1) // RIFF chunks are word-aligned
+      }
+    }
+    require(declared >= 0, s"media $id: missing avih header")
+    require(frames.nonEmpty, s"media $id: no uncompressed frame chunks")
+    require(frames.length == declared,
+      s"media $id: avih declares $declared frames, movi carries ${frames.length}")
+    (w, h, frames.toArray)
+  }
+
+  /** Per-frame census over REAL AVI frame decode, with REAL frame
+    * sampling: only every `everyN`-th frame (frame_idx % everyN == 0) is
+    * reduced — the video path's cost-control knob, applied to decoded
+    * pixels rather than header rows (compare [[sampleFrames]]). Pure
+    * partition-local map, no shuffle. */
+  def aviFrameStats(media: Dataset[MediaRow], everyN: Int = 1): Dataset[VideoFrameStats] = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val (w, h, frames) = decodeAviRgb(m.media_id, m.payload)
+      frames.iterator.zipWithIndex.collect {
+        case (rgb, f) if f % everyN == 0 =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < rgb.length) {
+            sr += rgb(i) & 0xFF; sg += rgb(i + 1) & 0xFF; sb += rgb(i + 2) & 0xFF
+            i += 3
+          }
+          VideoFrameStats(m.media_id, f, w, h, w.toLong * h, sr, sg, sb)
+      }
+    })
+  }
+
+  /** Deterministic FULL-decode video fixtures: every doc becomes a
+    * complete AVI whose frame f's channel-c pixel at (x, y) is the closed
+    * form (doc_id·31 + f·19 + x·7 + y·13 + c·91) mod 256 — an external
+    * oracle recomputes every per-frame channel census ARITHMETICALLY
+    * while the engine earns it through the real RIFF walk + DIB
+    * reassembly. Dimensions/frame counts stay small — the contract is the
+    * codec, not the byte volume. */
+  def syntheticVideoMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (5 + id % 9).toInt
+      val h = (4 + (id * 3) % 7).toInt
+      val nf = (2 + id % 4).toInt
+      val payload = Containers.aviFull(w, h, nf,
+        (f, x, y, c) => ((id * 31 + f * 19 + x * 7 + y * 13 + c * 91) % 256).toInt)
+      MediaRow(id, "video", payload, w, h, nf)
+    }
   }
 
   /** REAL GIF pixel decode — LZW is pure integer code-table expansion, no

@@ -28,64 +28,29 @@ object BenchProbe {
           jobs.incrementAndGet(): Unit
         }
       })
-    // q223 stage decomposition (second round = steady state)
+    // q232 stage decomposition (second round = steady state)
     for (round <- 1 to 2) {
       val j0 = jobs.get()
-      val dir = graft.tables.TempLakes.create("graft_probe_lake")
-      val lake = new graft.tables.LakeTable(spark, dir)
-      val slice = spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(col("doc_id") % 8 === 1)
-      val cfgBase = graft.text.Refinery.Config(shingleVerify = true,
-        checkpointStages = true, dedupNumPerms = 32, dedupBands = 16)
-      val gated = time(s"r$round gate") {
-        val g = graft.text.Refinery.gate(slice, cfgBase).localCheckpoint(true)
-        g.count(); g
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val media = time(s"r$round fixture") {
+        graft.multimodal.MediaDedup.syntheticNearDupVideos(docs)
       }
-      val lmKept = time(s"r$round lm-stage") {
-        val tail = graft.text.LangModel.perplexityBuckets(gated,
-            expr("lang = 'en'"), headPermille = 0, tailPermille = 300)
-          .filter(col("bucket") === "tail").select("doc_id")
-        gated.join(tail, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      val pairs = time(s"r$round neardups") {
+        val p = graft.multimodal.MediaDedup.videoNearDups(media, everyN = 2)
+          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+          .persist()
+        println(s"PROBE r$round n_pairs ${p.count()}")
+        p
       }
-      println(s"PROBE r$round jobs-after-lm ${jobs.get() - j0}")
-      val clfKept = time(s"r$round classifier-stage") {
-        val low = graft.text.QualityClassifier.classifierScore(lmKept,
-            expr("lang = 'en'"), expr("lang <> 'en'"))
-          .filter(col("avg_micronats") < 0L).select("doc_id")
-        val bad = lmKept.filter(!coalesce(expr("lang = 'en'"), lit(false)))
-          .join(low, Seq("doc_id"), "left_semi").select("doc_id")
-        lmKept.join(bad, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      println(s"PROBE r$round jobs-after-pairs ${jobs.get() - j0}")
+      val clusters = time(s"r$round closure") {
+        val c = graft.text.Dedup.clusterPairs(pairs)
+        println(s"PROBE r$round n_clustered ${c.count()}")
+        c
       }
-      println(s"PROBE r$round jobs-after-clf ${jobs.get() - j0}")
-      val deduped = time(s"r$round dedup") {
-        graft.text.Dedup.dedupCorpusShingle(clfKept, 0.8, 32, 16)
-          .localCheckpoint(true)
-      }
-      println(s"PROBE r$round jobs-after-dedup ${jobs.get() - j0}")
-      val contained = time(s"r$round containment") {
-        graft.text.Dedup.dropContained(deduped, threshold = 0.8, maxDf = 1000)
-          .localCheckpoint(true)
-      }
-      val survivors = time(s"r$round survivors-write") {
-        lake.write(contained.select("doc_id", "source", "lang", "text"),
-          "survivors", "overwrite"): Unit
-        lake.read("survivors")
-      }
-      val tr = time(s"r$round cluster-split+write") {
-        val split = graft.text.Dedup.clusterSplit(survivors,
-          numPerms = 32, bands = 16)
-        lake.write(survivors.join(
-          split.filter(col("split") === "train").select("doc_id"),
-          Seq("doc_id"), "left_semi"), "train_docs", "overwrite"): Unit
-        lake.read("train_docs")
-      }
-      time(s"r$round select+plan+write") {
-        val sel = graft.text.TextFeatures.budgetedQualitySelection(tr, 2600L)
-        val selDocs = tr.join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
-        val plan = graft.text.TextFeatures.budgetedSamplePlan(selDocs, 4000L,
-          maxEpochs = 2.0)
-        lake.write(plan, "training_plan", "overwrite"): Unit
-        lake.read("training_plan").count()
+      println(s"PROBE r$round jobs-after-closure ${jobs.get() - j0}")
+      time(s"r$round label+window") {
+        graft.multimodal.MediaDedup.videoClusters(media, everyN = 2).count()
       }
       println(s"PROBE r$round total-jobs ${jobs.get() - j0}")
       graft.ops.Caching.releaseAll(spark)

@@ -80,7 +80,12 @@ class PlanLintSpec extends SparkSpec {
     // leakage audit's boundary scaffold is a |splits|² cross join (<= 9 rows)
     "q216_split_leakage_audit",
     // the budgeted plan composes the same allocation (theta scalar rides in)
-    "q210_budgeted_sample")
+    "q210_budgeted_sample",
+    // media similarity search: corpus x broadcast(probes) brute-force
+    // top-k over content descriptors — q28's loop shape on decoded media
+    // (q227 additionally computes it as its recall-gate truth baseline)
+    "q226_image_similarity", "q227_image_ann_ivf", "q228_audio_similarity",
+    "q233_video_similarity")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

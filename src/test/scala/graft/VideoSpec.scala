@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{MediaDedup, Multimodal}
+import graft.multimodal.Multimodal.{Containers, MediaRow}
+
+/** REAL AVI video decode + perceptual video dedup: the RIFF/DIB walk
+  * ([[Multimodal.decodeAviRgb]]), frame sampling, per-frame dHash, the
+  * shared-frame containment near-dup, clusters, and the temporal
+  * descriptor. */
+class VideoSpec extends SparkSpec {
+
+  private lazy val docs =
+    graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  // planted per-channel formula: frame f's channel c at (x, y)
+  private def plant(id: Long)(f: Int, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + f * 19 + x * 7 + y * 13 + c * 91) % 256).toInt
+
+  test("aviFull round-trips through decodeAviRgb, including row padding") {
+    // w = 5 → rowSize 16 with 1 pad byte per row; bottom-up flip exercised
+    for (w <- Seq(5, 8); h <- Seq(4, 9); nf <- Seq(1, 3)) {
+      val payload = Containers.aviFull(w, h, nf, plant(7L))
+      val (dw, dh, frames) = Multimodal.decodeAviRgb(7L, payload)
+      assert(dw === w && dh === h && frames.length === nf)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((frames(f)(3 * (y * w + x) + c) & 0xFF) === plant(7L)(f, x, y, c),
+          s"w=$w h=$h f=$f x=$x y=$y c=$c")
+    }
+  }
+
+  test("compressed frame chunks and frame-count mismatches fail fast by name") {
+    val payload = Containers.aviFull(6, 5, 2, plant(1L))
+    // patch the first movi frame chunk's fourcc '00db' -> '00dc'
+    val compressed = payload.clone()
+    val moviData = 212 + 8 + 4 // LIST hdr + 'movi'
+    assert(new String(compressed, moviData, 4, "US-ASCII") === "00db")
+    compressed(moviData + 3) = 'c'.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb(1L, compressed))
+    assert(e1.getMessage.contains("compressed"))
+    // patch dwTotalFrames (offset 48) to disagree with the movi chunks
+    val mismatched = payload.clone()
+    mismatched(48) = 9
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb(1L, mismatched))
+    assert(e2.getMessage.contains("declares"))
+  }
+
+  test("aviFrameStats: census matches the planted formula; everyN samples") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(3L, "video", Containers.aviFull(6, 5, 4, plant(3L)), 6, 5, 4)))
+    val all = Multimodal.aviFrameStats(media).collect().sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq === Seq(0, 1, 2, 3))
+    all.foreach { st =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 5; x <- 0 until 6) {
+        sr += plant(3L)(st.frame_idx, x, y, 0)
+        sg += plant(3L)(st.frame_idx, x, y, 1)
+        sb += plant(3L)(st.frame_idx, x, y, 2)
+      }
+      assert((st.width, st.height, st.n_pixels) === (6, 5, 30L))
+      assert((st.sum_r, st.sum_g, st.sum_b) === (sr, sg, sb))
+    }
+    val sampled = Multimodal.aviFrameStats(media, everyN = 2).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq === Seq(0, 2))
+  }
+
+  test("a video frame and a PNG of the same content share one dHash") {
+    import spark.implicits._
+    val w = 16; val h = 12
+    def gray(x: Int, y: Int): Int = ((x * 37 + y * 11) % 256 + 256) % 256
+    val avi = Containers.aviFull(w, h, 1, (_, x, y, _) => gray(x, y))
+    val png = Containers.pngFull(w, h,
+      i => if (i % 4 == 3) 255 else gray((i / 4) % w, (i / 4) / w))
+    val (dw, dh, frames) = Multimodal.decodeAviRgb(5L, avi)
+    val frameHash = MediaDedup.dhashOneFrame(5L, dw, dh, frames(0))
+    assert(frameHash === MediaDedup.dhashOneImage(6L, png))
+  }
+
+  test("videoNearDups equals brute force over the frame hashes") {
+    val media = MediaDedup.syntheticNearDupVideos(
+      docs.filter(col("doc_id") < 60)).cache()
+    val fh = MediaDedup.videoFrameHashes(media, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byMedia = fh.groupBy(_._1).view.mapValues(_.map(v => (v._2, v._3))).toMap
+    val ids = byMedia.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      fa = byMedia(a); fb = byMedia(b)
+      matchedA = fa.count(x => fb.exists(y =>
+        java.lang.Long.bitCount(x._2 ^ y._2) <= 3))
+      matchedB = fb.count(y => fa.exists(x =>
+        java.lang.Long.bitCount(x._2 ^ y._2) <= 3))
+      frac = math.min(matchedA.toDouble / fa.length,
+        matchedB.toDouble / fb.length)
+      if frac >= 0.5
+    } yield (a, b, matchedA.toLong, matchedB.toLong, frac)).toSet
+    val got = MediaDedup.videoNearDups(media, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === expected)
+    // every planted (base, near-dup) pair surfaces at full containment
+    (0L until 20L).foreach { g =>
+      assert(got.exists(p => p._1 == 3 * g && p._2 == 3 * g + 1 && p._5 == 1.0),
+        s"group $g: base/near-dup pair missing or below full match")
+    }
+    media.unpersist()
+  }
+
+  test("videoClusters partitions the corpus with min-id labels") {
+    val media = MediaDedup.syntheticNearDupVideos(
+      docs.filter(col("doc_id") < 60)).cache()
+    val pairs = MediaDedup.videoNearDups(media, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = MediaDedup.videoClusters(media, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(labels.map(_._1).toSet === (0L until 60L).toSet)
+    val byCluster = labels.groupBy(_._2)
+    // min-id labeling + window-consistent sizes
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      members.foreach(m => assert(m._3 === members.length.toLong))
+    }
+    // edges never straddle clusters
+    val labelOf = labels.map(m => m._1 -> m._2).toMap
+    pairs.foreach { case (a, b) => assert(labelOf(a) === labelOf(b)) }
+    media.unpersist()
+  }
+
+  test("videoDescriptors: doubled self-concatenation scores cosine 1") {
+    import spark.implicits._
+    val w = 10; val h = 9
+    def px(f: Int, x: Int, y: Int, c: Int): Int =
+      ((f * 23 + x * 13 + y * 5 + c * 7) % 256 + 256) % 256
+    val base = Containers.aviFull(w, h, 2, px)
+    // frames [0, 1, 0, 1]: with everyN = 1 the descriptor is exactly 2x
+    val doubled = Containers.aviFull(w, h, 4, (f, x, y, c) => px(f % 2, x, y, c))
+    val distinct = Containers.aviFull(w, h, 2,
+      (f, x, y, c) => ((f * 31 + x * 29 + y * 17 + c * 3 + 128) % 256))
+    val media = spark.createDataset(Seq(
+      MediaRow(0L, "video", base, w, h, 2),
+      MediaRow(1L, "video", doubled, w, h, 4),
+      MediaRow(2L, "video", distinct, w, h, 2)))
+    val desc = MediaDedup.videoDescriptors(media, everyN = 1)
+    val d = desc.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(d(1L).toSeq === d(0L).map(_ * 2).toSeq)
+    val top = graft.sim.Similarity.bruteForceTopK(desc,
+        desc.filter(col("vec_id") === 0L), 1).collect()
+    assert(top.length === 1)
+    assert(top(0).getAs[Long]("neighbor_id") === 1L)
+    assert(math.abs(top(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+}
