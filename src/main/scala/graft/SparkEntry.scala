@@ -1565,6 +1565,33 @@ object SparkEntry {
           t(s, d, "documents")), everyN = 2).persist()
       Similarity.bruteForceTopK(desc, desc.filter(col("vec_id") < 10), 3)
     },
+    // --- shot-boundary detection [ext]: consecutive-frame Hamming over
+    // the full decoded frame stream (shot detection is inherently
+    // sequential — no sampling), boundary where the hash jumps by > 10
+    // bits, shot_id = running boundary count per video (a per-video
+    // window bounded by the video's own frame count). Fixtures plant
+    // 3-frame shots whose x/y multipliers change wholesale at each cut;
+    // the oracle replays every hash and the same window arithmetic
+    // (budget <= 3 s) ---
+    "q234_shot_labels" -> ((s, d) =>
+      graft.multimodal.MediaDedup.shotLabels(
+        graft.multimodal.MediaDedup.syntheticShotVideos(
+          t(s, d, "documents")), maxIntraShotHamming = 10)),
+    // --- cross-modal video<->image matching [ext]: which videos CONTAIN
+    // a known image (blocklist / provenance) — every frame hashes through
+    // the SAME 56-bit grid as the image corpus, candidates from the
+    // cross-side band-chunk equi-join (the MediaIngest lake-check shape,
+    // never frames x images), exact Hamming verify. Probe 3g is a PNG of
+    // frame 1 of video 3g's content, so it must hit at Hamming 0 across
+    // the modality boundary; the oracle reuses the video-side hash replay
+    // for BOTH sides (the probe formula IS the frame-1 formula)
+    // (budget <= 3 s) ---
+    "q235_video_image_match" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoImageMatches(
+        graft.multimodal.MediaDedup.syntheticNearDupVideos(
+          t(s, d, "documents")),
+        graft.multimodal.MediaDedup.syntheticProbeImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)),
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4076,6 +4103,73 @@ object SparkEntry {
         "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id " +
         "ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn FROM s) " +
         "SELECT probe_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 3"),
+    // shot replay: the q230-style per-(video, frame) hash arithmetic with
+    // per-(doc, shot) multipliers, then the same running-boundary window
+    "q234_shot_labels" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(12 + (doc_id % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((doc_id * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(6 + doc_id % 4 AS BIGINT) AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM d), " +
+        "px AS (SELECT doc_id, w, h, f, f // 3 AS s, " +
+        "unnest(range(w * h)) AS k FROM fr), " +
+        "v AS (SELECT doc_id, f, " +
+        "(doc_id*29 + s*71 + f*3 + (k % w)*(3 + (doc_id*13 + s*37) % 251) + " +
+        "(k // w)*(2 + (doc_id*7 + s*29) % 241)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT fr.doc_id, fr.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM fr LEFT JOIN bits ON fr.doc_id = bits.doc_id " +
+        "AND fr.f = bits.f GROUP BY 1, 2), " +
+        "bd AS (SELECT c.doc_id, c.f, " +
+        "CASE WHEN p.dh IS NULL THEN 0 " +
+        "WHEN bit_count(xor(c.dh, p.dh)) > 10 THEN 1 ELSE 0 END AS b " +
+        "FROM fp c LEFT JOIN fp p ON c.doc_id = p.doc_id AND p.f = c.f - 1) " +
+        "SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT) " +
+        "AS shot_id FROM bd"),
+    // cross-modal replay: the q231 hash arithmetic over ALL frames (no
+    // sampling — a blocklist scan cannot sample); the probe side reuses
+    // the SAME fp table (probe 3g's formula IS video 3g's frame-1
+    // formula), brute-force Hamming join across the modality boundary
+    "q235_video_image_match" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+        "FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(4 + g % 3 AS BIGINT) AS nf FROM dd), " +
+        "fr AS (SELECT doc_id, g, role, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "px AS (SELECT doc_id, g, role, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM fr), " +
+        "v AS (SELECT doc_id, f, " +
+        "CASE WHEN role = 2 THEN (g*53 + f*11 + (k % w)*(5 + (g * 17) % 239) + " +
+        "(k // w)*(3 + (g * 11) % 233) + 128) % 256 " +
+        "WHEN role = 1 AND k % 97 = 0 " +
+        "THEN ((g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 + 4) % 256 " +
+        "ELSE (g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT fr.doc_id, fr.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM fr LEFT JOIN bits ON fr.doc_id = bits.doc_id " +
+        "AND fr.f = bits.f GROUP BY 1, 2), " +
+        "imgfp AS (SELECT doc_id AS image_id, dh FROM fp " +
+        "WHERE doc_id % 3 = 0 AND f = 1) " +
+        "SELECT f.doc_id AS video_id, CAST(f.f AS INTEGER) AS frame_idx, " +
+        "i.image_id, CAST(bit_count(xor(f.dh, i.dh)) AS INTEGER) AS hamming " +
+        "FROM fp f JOIN imgfp i ON bit_count(xor(f.dh, i.dh)) <= 3"),
     // media ingest replay: the q224 hash arithmetic, ONE recursive closure
     // over same-parity edges (within-batch components for both batches),
     // batch-1 canonicals admit unconditionally, batch-2 canonicals drop on

@@ -480,6 +480,116 @@ object MediaDedup {
           .partitionBy("cluster_id")))
   }
 
+  /** Shot labeling: every frame labeled with its shot — a boundary falls
+    * between consecutive frames whose perceptual hashes differ by more
+    * than `maxIntraShotHamming` bits (a cut changes the gradient
+    * structure wholesale; within a shot the hash drifts a few bits at
+    * most), and shot_id is the running boundary count. Shot detection is
+    * inherently sequential, so this reads EVERY frame (everyN = 1);
+    * the per-video window is bounded by the video's own frame count.
+    * Output (media_id, frame_idx, shot_id) — the front-end of
+    * keyframe-per-shot extraction ([[shotKeyframes]]). */
+  def shotLabels(media: Dataset[MediaRow],
+                 maxIntraShotHamming: Int = 10): DataFrame = {
+    val fh = videoFrameHashes(media, everyN = 1)
+    val prev = fh.select(col("media_id"),
+      (col("frame_idx") + 1).as("frame_idx"), col("dhash").as("prev_hash"))
+    fh.join(prev, Seq("media_id", "frame_idx"), "left")
+      .withColumn("is_boundary",
+        when(col("prev_hash").isNull, lit(false))
+          .otherwise(Dedup.hamming(col("dhash"), col("prev_hash"))
+            > maxIntraShotHamming))
+      .withColumn("shot_id",
+        sum(col("is_boundary").cast("long"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("media_id").orderBy("frame_idx")))
+      .select(col("media_id"), col("frame_idx"), col("shot_id"))
+  }
+
+  /** One keyframe per shot (its first frame) — what a downstream
+    * descriptor/similarity pass indexes instead of every frame. */
+  def shotKeyframes(media: Dataset[MediaRow],
+                    maxIntraShotHamming: Int = 10): DataFrame =
+    shotLabels(media, maxIntraShotHamming)
+      .groupBy(col("media_id"), col("shot_id"))
+      .agg(min(col("frame_idx")).as("keyframe_idx"))
+
+  /** Cross-modal blocklist / provenance matching: which videos CONTAIN a
+    * known image? Every frame of every video (everyN = 1 — a blocklist
+    * scan cannot sample) hashes through the same 56-bit grid as the image
+    * corpus, so a frame showing a blocklisted image's content collides
+    * regardless of container format or codec. Candidates come from the
+    * cross-side band-chunk equi-join ([[Dedup.fingerprintBandChunks]] both
+    * ways — the MediaIngest lake-check shape, never frames × images), the
+    * Hamming verify is exact. Output (video_id, frame_idx, image_id,
+    * hamming). */
+  def videoImageMatches(videos: Dataset[MediaRow], images: Dataset[MediaRow],
+                        maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val vf = videoFrameHashes(videos, everyN = 1)
+    val packed = vf.select(
+      (col("media_id") * (1L << FrameBits) + col("frame_idx")).as("fid"),
+      col("dhash"))
+    val vc = Dedup.fingerprintBandChunks(packed, "dhash", FingerprintBits,
+      bands, idCol = "fid")
+    val ic = Dedup.fingerprintBandChunks(imageDHash(images), "dhash",
+      FingerprintBits, bands, idCol = "media_id")
+    vc.as("x").join(ic.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
+      .select(col("x.doc_id").as("fid"), col("y.doc_id").as("image_id"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("hamming", Dedup.hamming(col("fa"), col("fb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(shiftright(col("fid"), FrameBits).as("video_id"),
+        col("fid").bitwiseAND(FrameMask).cast("int").as("frame_idx"),
+        col("image_id"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Shot-structured video fixtures: one video per doc, frames grouped
+    * into 3-frame shots (shot s = f/3) — WITHIN a shot the formula only
+    * shifts its constant by f·3 (the hash drifts a few bits), ACROSS
+    * shots the x/y multipliers change wholesale (drawn per (doc, shot)
+    * from the wide prime-modulus ranges), so consecutive-frame Hamming
+    * jumps at every multiple of 3. The oracle replays the boundary count
+    * from the same closed forms — wherever the drift lands, BOTH engines
+    * see the same bits. */
+  def syntheticShotVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (12 + (id % 5) * 4).toInt
+      val h = (8 + ((id * 3) % 4) * 4).toInt
+      val nf = (6 + id % 4).toInt
+      val px: (Int, Int, Int, Int) => Int = (f, x, y, _) => {
+        val s = f / 3
+        ((id * 29 + s * 71 + f * 3 + x * (3 + (id * 13 + s * 37) % 251)
+          + y * (2 + (id * 7 + s * 29) % 241)) % 256).toInt
+      }
+      MediaRow(id, "video", Containers.aviFull(w, h, nf, px), w, h, nf)
+    }
+  }
+
+  /** Probe images for the cross-modal match: group g's probe is a PNG
+    * whose grayscale IS frame 1 of group g's base video
+    * ([[syntheticNearDupVideos]] role 0) — so probe 3g must hit video 3g
+    * at frame 1 with Hamming 0 (and usually its near-dup twin 3g+1 within
+    * a few bits), while the distinct role-2 video stays clear. */
+  def syntheticProbeImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].filter(_ % 3 == 0).map { id =>
+      val g = id / 3
+      val w = (12 + (g % 5) * 4).toInt
+      val h = (8 + ((g * 3) % 4) * 4).toInt
+      def v(k: Int): Int =
+        ((g * 29 + 17 + (k % w) * (3 + (g * 13) % 251)
+          + (k / w) * (2 + (g * 7) % 241)) % 256).toInt
+      MediaRow(id, "image",
+        Containers.pngFull(w, h,
+          i => if (i % 4 == 3) 255 else v(i / 4), (id % 5).toInt), w, h, 1)
+    }
+  }
+
   /** Temporal video content descriptor in the Similarity column contract
     * (vec_id, embedding): the 64 gray block means of each SAMPLED frame
     * (floor integers, the dHash grid) SUMMED across frames — a classical

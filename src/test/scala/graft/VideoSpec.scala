@@ -130,6 +130,62 @@ class VideoSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("shotLabels matches a brute-force replay; keyframes are shot minima") {
+    val media = MediaDedup.syntheticShotVideos(
+      docs.filter(col("doc_id") < 40)).cache()
+    val fh = MediaDedup.videoFrameHashes(media, everyN = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expected = fh.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+      val byF = rows.sortBy(_._2)
+      var shot = 0L
+      byF.toSeq.map { case (_, f, h) =>
+        if (f > 0) {
+          val prev = byF(f - 1)._3
+          if (java.lang.Long.bitCount(prev ^ h) > 10) shot += 1
+        }
+        (id, f, shot)
+      }
+    }.toSet
+    val got = MediaDedup.shotLabels(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // every video has >= 2 shots (a planted cut every 3 frames) and the
+    // keyframe of each shot is its first frame
+    val shotsPerVideo = got.groupBy(_._1).view.mapValues(_.map(_._3).max + 1)
+    assert(shotsPerVideo.forall(_._2 >= 2), "planted cuts missing")
+    val kf = MediaDedup.shotKeyframes(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expectedKf = got.groupBy(x => (x._1, x._3)).map { case ((id, s), ms) =>
+      (id, s, ms.map(_._2).min)
+    }.toSet
+    assert(kf === expectedKf)
+    media.unpersist()
+  }
+
+  test("videoImageMatches: a probe hits its source video across modality") {
+    val vids = MediaDedup.syntheticNearDupVideos(
+      docs.filter(col("doc_id") < 45)).cache()
+    val imgs = MediaDedup.syntheticProbeImages(
+      docs.filter(col("doc_id") < 45)).cache()
+    val got = MediaDedup.videoImageMatches(vids, imgs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // brute force from the component hashes
+    val vf = MediaDedup.videoFrameHashes(vids, everyN = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ih = MediaDedup.imageDHash(imgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (vid, f, vh) <- vf; (iid, h) <- ih
+      d = java.lang.Long.bitCount(vh ^ h) if d <= 3
+    } yield (vid, f, iid, d)).toSet
+    assert(got === expected)
+    // planted contract: probe 3g hits video 3g at frame 1, Hamming 0
+    (0L until 15L).foreach { g =>
+      assert(got.contains((3 * g, 1, 3 * g, 0)), s"group $g probe miss")
+    }
+    vids.unpersist(); imgs.unpersist()
+  }
+
   test("videoDescriptors: doubled self-concatenation scores cosine 1") {
     import spark.implicits._
     val w = 10; val h = 9
