@@ -1592,6 +1592,35 @@ object SparkEntry {
           t(s, d, "documents")),
         graft.multimodal.MediaDedup.syntheticProbeImages(
           t(s, d, "documents")), maxHamming = 3, bands = 4)),
+    // --- streaming VIDEO ingest with shared-frame perceptual dedup
+    // [ext]: completes the streaming story for the last media type — the
+    // lake holds a FRAME-grain fingerprint index; each micro-batch is
+    // frame-hashed through the real AVI decoder, deduped in-batch by
+    // shared-frame containment components (min-id keep), then checked
+    // against the committed index via cross-side band chunks (only
+    // (media_id, frame_idx, dhash) leaves the lake) — a re-cut or
+    // re-encoded copy of a committed video is rejected with no container
+    // byte shared, and replays are idempotent with no streaming state.
+    // EVEN-group half-slice (keeps every group's cross-batch structure:
+    // role 0 lands even → batch 1, role 1 odd → batch 2, so every planted
+    // near-dup pair straddles the boundary); stream == twin pinned in
+    // MediaIngestSpec; the oracle replays in-batch closures per parity +
+    // cross-batch containment rejection. Priced honestly at ~3.8 s: the
+    // cost is two full ingest lifecycles with four governed-table commits
+    // and two closure materializations in the timed region — fixed per-job
+    // scheduling, not data (a half→quarter slice moved it 0.12 s) ---
+    "q236_video_ingest_twin" -> { (s, d) =>
+      // fixture persists: both batches and every write action re-read the
+      // payload rows; without it each action re-encodes the AVI bytes
+      // (Caching contract — harness releaseAll reclaims)
+      val media = graft.multimodal.MediaDedup.syntheticNearDupVideos(
+        t(s, d, "documents").filter(expr("(doc_id div 3) % 2 = 0")))
+        .toDF().persist()
+      graft.stream.MediaIngest.videoIngestTwin(s,
+        media.filter(col("media_id") % 2 === 0),
+        media.filter(col("media_id") % 2 === 1),
+        shufflePartitions = Some(8))
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4170,6 +4199,80 @@ object SparkEntry {
         "SELECT f.doc_id AS video_id, CAST(f.f AS INTEGER) AS frame_idx, " +
         "i.image_id, CAST(bit_count(xor(f.dh, i.dh)) AS INTEGER) AS hamming " +
         "FROM fp f JOIN imgfp i ON bit_count(xor(f.dh, i.dh)) <= 3"),
+    // video ingest replay: the q231 hash + containment arithmetic, ONE
+    // recursive closure over same-parity containment edges (in-batch
+    // components for both batches), batch-1 canonicals admit
+    // unconditionally, batch-2 canonicals drop on any >= 0.5 shared-frame
+    // containment hit against an admitted batch-1 video
+    "q236_video_ingest_twin" ->
+      ("WITH RECURSIVE dd AS (SELECT doc_id, doc_id // 3 AS g, " +
+        "doc_id % 3 AS role FROM documents " +
+        "WHERE (doc_id // 3) % 2 = 0), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(4 + g % 3 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, role, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, role, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "CASE WHEN role = 2 THEN (g*53 + f*11 + (k % w)*(5 + (g * 17) % 239) + " +
+        "(k // w)*(3 + (g * 11) % 233) + 128) % 256 " +
+        "WHEN role = 1 AND k % 97 = 0 " +
+        "THEN ((g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 + 4) % 256 " +
+        "ELSE (g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sf2 GROUP BY 1), " +
+        "pmb AS (SELECT x.doc_id AS ma, y.doc_id AS mb, x.f AS fa, y.f AS fb " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "AND x.doc_id % 2 = y.doc_id % 2 " +
+        "WHERE bit_count(xor(x.dh, y.dh)) <= 3), " +
+        "aggb AS (SELECT ma, mb, count(DISTINCT fa) AS matched_a, " +
+        "count(DISTINCT fb) AS matched_b FROM pmb GROUP BY 1, 2), " +
+        "edges AS (SELECT aggb.ma AS a, aggb.mb AS b " +
+        "FROM aggb JOIN cnt ca ON aggb.ma = ca.doc_id " +
+        "JOIN cnt cb ON aggb.mb = cb.doc_id " +
+        "WHERE least(matched_a / ca.n, matched_b / cb.n) >= 0.5), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "lab AS (SELECT dd.doc_id, " +
+        "least(dd.doc_id, coalesce(mn, dd.doc_id)) AS cid " +
+        "FROM dd LEFT JOIN compmap ON dd.doc_id = compmap.n), " +
+        "a1 AS (SELECT doc_id FROM lab WHERE doc_id % 2 = 0 AND cid = doc_id), " +
+        "c2 AS (SELECT doc_id FROM lab WHERE doc_id % 2 = 1 AND cid = doc_id), " +
+        "pmx AS (SELECT c.doc_id AS cv, a.doc_id AS av, c.f AS cf, a.f AS af " +
+        "FROM fp c JOIN c2 ON c.doc_id = c2.doc_id " +
+        "JOIN fp a ON a.doc_id % 2 = 0 " +
+        "JOIN a1 ON a.doc_id = a1.doc_id " +
+        "WHERE bit_count(xor(c.dh, a.dh)) <= 3), " +
+        "aggx AS (SELECT cv, av, count(DISTINCT cf) AS mc, " +
+        "count(DISTINCT af) AS ma2 FROM pmx GROUP BY 1, 2), " +
+        "rej AS (SELECT DISTINCT cv AS doc_id FROM aggx " +
+        "JOIN cnt nc ON aggx.cv = nc.doc_id " +
+        "JOIN cnt na ON aggx.av = na.doc_id " +
+        "WHERE least(mc / nc.n, ma2 / na.n) >= 0.5), " +
+        "adm AS (SELECT doc_id FROM a1 UNION ALL " +
+        "SELECT c2.doc_id FROM c2 LEFT JOIN rej USING (doc_id) " +
+        "WHERE rej.doc_id IS NULL) " +
+        // sum(1 << j) is a HUGEINT — cast the OUTPUT column to BIGINT or
+        // the comparer reads it as a lossy float
+        "SELECT adm.doc_id AS media_id, CAST(fp.f AS INTEGER) AS frame_idx, " +
+        "CAST(fp.dh AS BIGINT) AS dhash " +
+        "FROM adm JOIN fp ON adm.doc_id = fp.doc_id"),
     // media ingest replay: the q224 hash arithmetic, ONE recursive closure
     // over same-parity edges (within-batch components for both batches),
     // batch-1 canonicals admit unconditionally, batch-2 canonicals drop on

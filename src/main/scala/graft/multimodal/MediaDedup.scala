@@ -435,29 +435,74 @@ object MediaDedup {
     // shared-subtree persist (Caching contract; releaseAll reclaims)
     val fh = videoFrameHashes(media, everyN).persist()
     val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
-    val packed = fh.select(
-      (col("media_id") * (1L << FrameBits) + col("frame_idx")).as("fid"),
+    val framePairs = videoFramePairs(fh, maxHamming, bands)
+    videoContainment(framePairs, counts, counts)
+      .filter(col("match_frac") >= minSharedFrac)
+      .select(col("media_a"), col("media_b"), col("matched_a"),
+        col("matched_b"), col("match_frac"))
+  }
+
+  /** Pack (media_id, frame_idx, dhash) rows into the fid space so the
+    * generic banding machinery sees one long id per frame. */
+  private[graft] def packFrameIds(fh: DataFrame): DataFrame =
+    fh.select((col("media_id") * (1L << FrameBits) + col("frame_idx")).as("fid"),
       col("dhash"))
-    val framePairs = Dedup.hammingBandPairs(packed, "dhash", FingerprintBits,
+
+  /** Verified cross-video frame-pair matches from one frame-hash table
+    * (the within-corpus stage of [[videoNearDups]] and the in-batch stage
+    * of the streaming video ingest): banded candidates over packed frame
+    * ids, exact Hamming verify, same-video pairs dropped. Output
+    * (media_a, frame_a, media_b, frame_b). */
+  private[graft] def videoFramePairs(fh: DataFrame, maxHamming: Int,
+                                     bands: Int): DataFrame =
+    Dedup.hammingBandPairs(packFrameIds(fh), "dhash", FingerprintBits,
         maxHamming, bands, idCol = "fid")
       .select(shiftright(col("doc_a"), FrameBits).as("media_a"),
         col("doc_a").bitwiseAND(FrameMask).as("frame_a"),
         shiftright(col("doc_b"), FrameBits).as("media_b"),
         col("doc_b").bitwiseAND(FrameMask).as("frame_b"))
       .filter(col("media_a") < col("media_b")) // cross-video only
+
+  /** CROSS-SIDE verified frame matches (an incoming batch's frame hashes
+    * against a committed frame index — the streaming video ingest's
+    * lake check): candidates from the band-chunk equi-join of the two
+    * packed sides ([[Dedup.fingerprintBandChunks]] both ways, the
+    * MediaIngest shape — never batch-frames × committed-frames), exact
+    * Hamming verify. Output (media_a, frame_a) from side A,
+    * (media_b, frame_b) from side B. */
+  private[graft] def crossFramePairs(fhA: DataFrame, fhB: DataFrame,
+                                     maxHamming: Int, bands: Int): DataFrame = {
+    val ca = Dedup.fingerprintBandChunks(packFrameIds(fhA), "dhash",
+      FingerprintBits, bands, idCol = "fid")
+    val cb = Dedup.fingerprintBandChunks(packFrameIds(fhB), "dhash",
+      FingerprintBits, bands, idCol = "fid")
+    ca.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
+      .select(col("x.doc_id").as("fid_a"), col("y.doc_id").as("fid_b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct() // a pair can collide in several bands
+      .filter(Dedup.hamming(col("fa"), col("fb")) <= maxHamming)
+      .select(shiftright(col("fid_a"), FrameBits).as("media_a"),
+        col("fid_a").bitwiseAND(FrameMask).as("frame_a"),
+        shiftright(col("fid_b"), FrameBits).as("media_b"),
+        col("fid_b").bitwiseAND(FrameMask).as("frame_b"))
+  }
+
+  /** SHARED-FRAME containment per video pair from verified frame pairs:
+    * matched distinct frames each side, match_frac = the smaller of the
+    * two coverage ratios. `countsA`/`countsB` are |videos|-grain
+    * (media_id, n_frames) tables for each side of the pair columns. */
+  private[graft] def videoContainment(framePairs: DataFrame, countsA: DataFrame,
+                                      countsB: DataFrame): DataFrame =
     framePairs.groupBy(col("media_a"), col("media_b"))
       .agg(countDistinct(col("frame_a")).as("matched_a"),
         countDistinct(col("frame_b")).as("matched_b"))
-      .join(counts.select(col("media_id").as("media_a"),
+      .join(countsA.select(col("media_id").as("media_a"),
         col("n_frames").as("n_a")), Seq("media_a"))
-      .join(counts.select(col("media_id").as("media_b"),
+      .join(countsB.select(col("media_id").as("media_b"),
         col("n_frames").as("n_b")), Seq("media_b"))
       .withColumn("match_frac",
         least(col("matched_a") / col("n_a"), col("matched_b") / col("n_b")))
-      .filter(col("match_frac") >= minSharedFrac)
-      .select(col("media_a"), col("media_b"), col("matched_a"),
-        col("matched_b"), col("match_frac"))
-  }
 
   /** Perceptual video clusters: every video labeled with the min-id
     * connected component of its [[videoNearDups]] pair graph — the video

@@ -138,4 +138,120 @@ object MediaIngest {
       perceptualBatch(b, lake, "media", maxHamming, bands, shufflePartitions))
     lake.read("media").select(col("media_id"), col("dhash"))
   }
+
+  /** Start the streaming VIDEO ingest with shared-frame perceptual dedup;
+    * one lake commit per micro-batch ([[videoBatch]]). */
+  def startVideoDedup(spark: SparkSession, dir: String, lake: LakeTable,
+                      table: String, everyN: Int = 2, maxHamming: Int = 3,
+                      bands: Int = 4, minSharedFrac: Double = 0.5,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      checkpoint: Option[String] = None,
+                      shufflePartitions: Option[Int] = None): StreamingQuery = {
+    val w = readMediaStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        videoBatch(batch.toDF(), lake, table, everyN, maxHamming, bands,
+          minSharedFrac, shufflePartitions)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** One micro-batch of the streaming VIDEO ingest — the video twin of
+    * [[perceptualBatch]], with the lake holding a FRAME-grain fingerprint
+    * index: the media table lands admitted payload rows, and
+    * `{table}_frames` lands their sampled (media_id, frame_idx, dhash)
+    * rows. An incoming video is dropped when its SHARED-FRAME containment
+    * against EITHER the batch (in-batch components, min-id keep) or the
+    * committed index reaches `minSharedFrac` — so a re-cut or re-encoded
+    * copy of a committed video is rejected even when no container byte
+    * matches, and replays are idempotent with no streaming state. Only
+    * (media_id, frame_idx, dhash) leaves the committed table to form
+    * candidates. */
+  def videoBatch(batchDf: DataFrame, lake: LakeTable, table: String,
+                 everyN: Int = 2, maxHamming: Int = 3, bands: Int = 4,
+                 minSharedFrac: Double = 0.5,
+                 shufflePartitions: Option[Int] = None): Unit =
+    shufflePartitions match {
+      case Some(n) =>
+        val spark = batchDf.sparkSession
+        val key = "spark.sql.shuffle.partitions"
+        val aqKey = "spark.sql.adaptive.enabled"
+        val prev = spark.conf.get(key)
+        val aqPrev = spark.conf.get(aqKey)
+        spark.conf.set(key, n.toString)
+        spark.conf.set(aqKey, "false")
+        try videoBatchBody(batchDf, lake, table, everyN, maxHamming, bands,
+          minSharedFrac)
+        finally { spark.conf.set(key, prev); spark.conf.set(aqKey, aqPrev) }
+      case None =>
+        videoBatchBody(batchDf, lake, table, everyN, maxHamming, bands,
+          minSharedFrac)
+    }
+
+  private def videoBatchBody(batchDf: DataFrame, lake: LakeTable,
+                             table: String, everyN: Int, maxHamming: Int,
+                             bands: Int, minSharedFrac: Double): Unit = {
+    val spark = batchDf.sparkSession
+    import spark.implicits._
+    val frameTable = s"${table}_frames"
+    val media = batchDf.as[Multimodal.MediaRow]
+    // frame hashes feed the in-batch pair stage, the counts, the lake
+    // check, and the admitted-frames append (shared-subtree persist;
+    // released in finally — stream retries must not leak cached blocks)
+    val fh = MediaDedup.videoFrameHashes(media, everyN).persist()
+    try {
+      val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      // in-batch shared-frame dedup: min media_id per containment component
+      val pairs = MediaDedup.videoContainment(
+          MediaDedup.videoFramePairs(fh, maxHamming, bands), counts, counts)
+        .filter(col("match_frac") >= minSharedFrac)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      val clusters = Dedup.clusterPairs(pairs)
+        .withColumnRenamed("doc_id", "media_id")
+      val kept = counts.join(clusters, Seq("media_id"), "left")
+        .filter(col("cluster_id").isNull || col("media_id") === col("cluster_id"))
+        .select("media_id", "n_frames")
+      val keptFrames = fh.join(kept.select("media_id"), Seq("media_id"))
+      // against the lake: the committed FRAME index is the dedup state.
+      // novel is |batch-videos|-grain and feeds BOTH table writes — persist
+      // so the banded cross-check chain runs once, not once per write
+      val novel =
+        (if (lake.exists(frameTable)) {
+          val committed = lake.read(frameTable)
+            .select("media_id", "frame_idx", "dhash")
+          val cmCounts = committed.groupBy(col("media_id"))
+            .agg(count(lit(1)).as("n_frames"))
+          val rejected = MediaDedup.videoContainment(
+              MediaDedup.crossFramePairs(keptFrames, committed, maxHamming,
+                bands), kept, cmCounts)
+            .filter(col("match_frac") >= minSharedFrac)
+            .select(col("media_a").as("media_id")).distinct()
+          kept.join(rejected, Seq("media_id"), "left_anti")
+        } else kept).persist()
+      try {
+        val admitted = batchDf.join(novel.select("media_id"), Seq("media_id"))
+        val mode = if (lake.exists(table)) "append" else "overwrite"
+        lake.write(admitted, table, mode): Unit
+        val frameMode = if (lake.exists(frameTable)) "append" else "overwrite"
+        lake.write(fh.join(novel.select("media_id"), Seq("media_id")),
+          frameTable, frameMode): Unit
+      } finally graft.ops.Caching.release(novel)
+    } finally graft.ops.Caching.release(fh)
+  }
+
+  /** Deterministic two-batch twin of the VIDEO ingest ([[videoBatch]] run
+    * verbatim over two explicit batches against a throwaway lake); returns
+    * the landed frame index (media_id, frame_idx, dhash). */
+  def videoIngestTwin(spark: SparkSession, batch1: DataFrame,
+                      batch2: DataFrame, everyN: Int = 2, maxHamming: Int = 3,
+                      bands: Int = 4, minSharedFrac: Double = 0.5,
+                      shufflePartitions: Option[Int] = None): DataFrame = {
+    val dir = graft.tables.TempLakes.create("graft_video_ingest_lake")
+    val lake = new LakeTable(spark, dir)
+    Seq(batch1, batch2).foreach(b =>
+      videoBatch(b, lake, "media", everyN, maxHamming, bands, minSharedFrac,
+        shufflePartitions))
+    lake.read("media_frames")
+      .select(col("media_id"), col("frame_idx"), col("dhash"))
+  }
 }

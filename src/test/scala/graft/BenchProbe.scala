@@ -16,10 +16,6 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
-    }
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -28,31 +24,74 @@ object BenchProbe {
           jobs.incrementAndGet(): Unit
         }
       })
-    // q232 stage decomposition (second round = steady state)
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val j0 = jobs.get(); val r = f
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        s"jobs=${jobs.get() - j0}"); r
+    }
+    import graft.multimodal.{MediaDedup, Multimodal}
+    import graft.text.Dedup
+    // inlined videoBatchBody with per-stage timing (steady state = round 2)
     for (round <- 1 to 2) {
-      val j0 = jobs.get()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val media = time(s"r$round fixture") {
-        graft.multimodal.MediaDedup.syntheticNearDupVideos(docs)
+        .filter(expr(sys.env.getOrElse("PROBE_SLICE", "(doc_id div 3) % 2 = 0")))
+      val media = MediaDedup.syntheticNearDupVideos(docs).toDF()
+      val dir = graft.tables.TempLakes.create("probe_video_lake")
+      val lake = new graft.tables.LakeTable(spark, dir)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((batchDf, bn) <- Seq(media.filter(col("media_id") % 2 === 0) -> 1,
+                                media.filter(col("media_id") % 2 === 1) -> 2)) {
+        import spark.implicits._
+        val table = "media"; val frameTable = "media_frames"
+        val m = batchDf.as[Multimodal.MediaRow]
+        val fh = MediaDedup.videoFrameHashes(m, 2).persist()
+        val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        val pairs = time(s"r$round b$bn pairs") {
+          MediaDedup.videoContainment(
+              MediaDedup.videoFramePairs(fh, 3, 4), counts, counts)
+            .filter(col("match_frac") >= 0.5)
+            .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+        }
+        val clusters = time(s"r$round b$bn closure") {
+          Dedup.clusterPairs(pairs).withColumnRenamed("doc_id", "media_id")
+        }
+        val kept = counts.join(clusters, Seq("media_id"), "left")
+          .filter(col("cluster_id").isNull || col("media_id") === col("cluster_id"))
+          .select("media_id", "n_frames")
+        val keptFrames = fh.join(kept.select("media_id"), Seq("media_id"))
+        val novel = time(s"r$round b$bn lakecheck") {
+          if (lake.exists(frameTable)) {
+            val committed = lake.read(frameTable)
+              .select("media_id", "frame_idx", "dhash")
+            val cmCounts = committed.groupBy(col("media_id"))
+              .agg(count(lit(1)).as("n_frames"))
+            val rejected = MediaDedup.videoContainment(
+                MediaDedup.crossFramePairs(keptFrames, committed, 3, 4),
+                kept, cmCounts)
+              .filter(col("match_frac") >= 0.5)
+              .select(col("media_a").as("media_id")).distinct()
+            kept.join(rejected, Seq("media_id"), "left_anti")
+          } else kept
+        }
+        time(s"r$round b$bn write-media") {
+          val admitted = batchDf.join(novel.select("media_id"), Seq("media_id"))
+          val mode = if (lake.exists(table)) "append" else "overwrite"
+          lake.write(admitted, table, mode): Unit
+        }
+        time(s"r$round b$bn write-frames") {
+          val frameMode = if (lake.exists(frameTable)) "append" else "overwrite"
+          lake.write(fh.join(novel.select("media_id"), Seq("media_id")),
+            frameTable, frameMode): Unit
+        }
+        graft.ops.Caching.release(fh)
       }
-      val pairs = time(s"r$round neardups") {
-        val p = graft.multimodal.MediaDedup.videoNearDups(media, everyN = 2)
-          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-          .persist()
-        println(s"PROBE r$round n_pairs ${p.count()}")
-        p
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      time(s"r$round readback") {
+        lake.read("media_frames")
+          .select(col("media_id"), col("frame_idx"), col("dhash")).count()
       }
-      println(s"PROBE r$round jobs-after-pairs ${jobs.get() - j0}")
-      val clusters = time(s"r$round closure") {
-        val c = graft.text.Dedup.clusterPairs(pairs)
-        println(s"PROBE r$round n_clustered ${c.count()}")
-        c
-      }
-      println(s"PROBE r$round jobs-after-closure ${jobs.get() - j0}")
-      time(s"r$round label+window") {
-        graft.multimodal.MediaDedup.videoClusters(media, everyN = 2).count()
-      }
-      println(s"PROBE r$round total-jobs ${jobs.get() - j0}")
       graft.ops.Caching.releaseAll(spark)
     }
     spark.stop()

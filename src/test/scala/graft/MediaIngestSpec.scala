@@ -87,4 +87,66 @@ class MediaIngestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(twin === landed)
   }
+
+  // 16x16 video whose frame f's grayscale is planted per 2x2 block from
+  // the given per-frame gray functions (the image fixture, per frame)
+  private def aviVideo(id: Long, frames: Seq[(Int, Int) => Int]): MediaRow =
+    MediaRow(id, "video",
+      Containers.aviFull(16, 16, frames.length,
+        (f, x, y, _) => frames(f)(x / 2, y / 2)), 16, 16, frames.length)
+
+  test("streamed video: shared-frame containment drops in-batch and " +
+    "cross-batch re-cuts; replays idempotent; stream == twin") {
+    val mixed2: (Int, Int) => Int =
+      (bx, by) => if (by < 4) (7 - bx) * 10 else bx * 10
+    val in = Files.createTempDirectory("graft-video-in").toString
+    val lakeDir = Files.createTempDirectory("graft-video-lake").toString
+    val lake = new LakeTable(spark, lakeDir)
+
+    // everyN = 2 samples frames 0 and 2 of each 3-frame video
+    val b1 = Seq(
+      aviVideo(1, Seq(up, down, mixed)),  // canonical: sampled {up, mixed}
+      aviVideo(2, Seq(up, up, mixed)),    // in-batch re-cut of 1 (same bag)
+      aviVideo(3, Seq(down, up, down)))   // distinct: sampled {down, down}
+    val b2 = Seq(
+      aviVideo(4, Seq(mixed, up, up)),    // cross-batch REORDERED copy of 1
+      aviVideo(5, Seq(mixed2, up, mixed2))) // novel: sampled {m2, m2}
+    writeBatchFile(in, "b1", b1)
+    val q1 = MediaIngest.startVideoDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+
+    writeBatchFile(in, "b2", b2)
+    val q2 = MediaIngest.startVideoDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+
+    // replay with no checkpoint: the frame index is the dedup state
+    val q3 = MediaIngest.startVideoDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q3.awaitTermination(120000)
+    assert(q3.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+    // the frame index holds exactly the admitted videos' sampled frames
+    assert(lake.read("media_frames").select("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ===
+      Set((1L, 0), (1L, 2), (3L, 0), (3L, 2), (5L, 0), (5L, 2)))
+
+    // the deterministic twin lands exactly the same frame index
+    import spark.implicits._
+    val twin = MediaIngest.videoIngestTwin(spark,
+      b1.toDS().toDF(), b2.toDS().toDF())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val landed = lake.read("media_frames")
+      .select("media_id", "frame_idx", "dhash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(twin === landed)
+  }
 }
