@@ -1621,6 +1621,39 @@ object SparkEntry {
         media.filter(col("media_id") % 2 === 1),
         shufflePartitions = Some(8))
     },
+    // --- JOINT multimodal near-dup pairs [ext]: an item = (caption,
+    // image, audio) under one id; near-dup iff ANY modality matches —
+    // caption shingle-Jaccard >= 0.8 (the exact q24 banded chain), image
+    // dHash Hamming <= 3 (q224's cross-format fixture — image pairs group
+    // by doc_id/2), or audio energy-contour Hamming <= 3 (q220's fixture —
+    // audio pairs group by doc_id/3). The three planted structures pair
+    // across DIFFERENT group boundaries, so the union graph is genuinely
+    // cross-modal (the LAION dedup rule: a re-posted image under a
+    // rewritten caption is the same training example). Output keeps
+    // provenance flags, full-outer-merged. Oracle = the three existing
+    // replays full-joined (budget <= 3 s) ---
+    "q237_multimodal_neardups" -> { (s, d) =>
+      // doc_id < 1998 (= 6k) keeps both the /2 image groups and the /3
+      // audio groups intact, and keeps the sf0.1 union graph inside the
+      // small-graph closure fast path (see multimodalPairCtes)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1998)
+      graft.multimodal.MediaDedup.multimodalNearDups(docs,
+        graft.multimodal.MediaDedup.syntheticCrossFormatImages(docs),
+        graft.multimodal.MediaDedup.syntheticNearDupAudio(docs))
+    },
+    // --- JOINT multimodal clusters [ext]: the labeling form of q237 (the
+    // q225 contract on the union graph) — min-id connected component over
+    // text ∪ image ∪ audio edges, so caption-match(a,b) + image-match(b,c)
+    // puts a and c in one cluster though no single modality links them;
+    // singletons self-label; dedup = item_id == cluster_id. Oracle: the
+    // q237 pair replay + recursive-CTE closure + cluster-size window
+    // (budget <= 3 s) ---
+    "q238_multimodal_clusters" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1998)
+      graft.multimodal.MediaDedup.multimodalClusters(docs,
+        graft.multimodal.MediaDedup.syntheticCrossFormatImages(docs),
+        graft.multimodal.MediaDedup.syntheticNearDupAudio(docs))
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -1755,6 +1788,66 @@ object SparkEntry {
       "FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
       "sc AS (SELECT doc_a, doc_b, i, CAST(a.n + b.n AS DOUBLE) - i AS u " +
       "FROM pair JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id)"
+
+  /** The three per-modality pair replays of the JOINT multimodal dedup
+    * (q237/q238), as one CTE block: `tp` = brute-force shingle Jaccard
+    * >= 0.8 (the q24 respell), `ip` = the cross-format image dHash replay
+    * at Hamming <= 3 (the q224 respell), `ap` = the audio energy-contour
+    * replay at Hamming <= 3 (the q220 respell). The doc_id < 1998 prefix
+    * slice (1998 = 6k, so BOTH the image doc_id/2 groups and the audio
+    * doc_id/3 groups stay intact; a no-op at the sf0.01 gate's 500 docs)
+    * keeps the sf0.1 union graph under the small-graph closure cap — at
+    * 5000 docs the fixtures' multiplier recurrences make ~72k accidental
+    * pairs, whose 144k directed edges just tip the 2^17 fast path into
+    * the distributed loop (53 jobs for a corpus the driver can label in
+    * one). */
+  private val multimodalSrc: String =
+    "(SELECT * FROM documents WHERE doc_id < 1998)"
+  private val multimodalPairCtes: String =
+    s"${shingleCtes(multimodalSrc)}, $shinglePairCtes, " +
+      "tp AS (SELECT doc_a, doc_b, TRUE AS via_text FROM sc " +
+      "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+      // image replay (q224's planted cross-format formula, groups doc_id/2)
+      s"dd AS (SELECT doc_id, doc_id // 2 AS g FROM $multimodalSrc), " +
+      "dm AS (SELECT doc_id, g, " +
+      "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+      "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+      "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
+      "v AS (SELECT doc_id, " +
+      "(g*29 + (k % w)*(3 + (g % 7) * 9) + (k // w)*(2 + (g % 5) * 7)) % 256 AS val, " +
+      "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+      "m AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+      "FROM v GROUP BY 1, 2, 3), " +
+      "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+      "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+      "WHERE l.mean < r.mean), " +
+      "fp AS (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+      "CAST(j AS INTEGER)), 0) AS dhash FROM dm " +
+      "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1), " +
+      "ip AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, TRUE AS via_image " +
+      "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+      "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3), " +
+      // audio replay (q220's planted PCM16 formula, groups doc_id/3)
+      "ad AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+      s"FROM $multimodalSrc), " +
+      "am AS (SELECT doc_id, g, role, " +
+      "CAST(128 + (g % 64) * 4 AS BIGINT) AS n FROM ad), " +
+      "asm AS (SELECT doc_id, g, role, n, unnest(range(n)) AS p FROM am), " +
+      "avl AS (SELECT doc_id, (p * 57) // n AS wdx, " +
+      "abs(CASE WHEN role = 2 THEN ((g*41 + p*13 + 999) % 4096) - 2048 " +
+      "WHEN role = 1 AND p % 101 = 0 " +
+      "THEN ((g*17 + p*5) % 4096) - 2048 + 7 " +
+      "ELSE ((g*17 + p*5) % 4096) - 2048 END) AS av FROM asm), " +
+      "aen AS (SELECT doc_id, wdx, sum(av) AS energy FROM avl GROUP BY 1, 2), " +
+      "abt AS (SELECT l.doc_id, l.wdx AS j FROM aen l " +
+      "JOIN aen r ON l.doc_id = r.doc_id AND r.wdx = l.wdx + 1 " +
+      "WHERE r.energy > l.energy), " +
+      "afp AS (SELECT am.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+      "CAST(j AS INTEGER)), 0) AS afp FROM am " +
+      "LEFT JOIN abt ON am.doc_id = abt.doc_id GROUP BY 1), " +
+      "ap AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, TRUE AS via_audio " +
+      "FROM afp x JOIN afp y ON x.doc_id < y.doc_id " +
+      "WHERE bit_count(xor(x.afp, y.afp)) <= 3)"
 
   /** DuckDB recomputation of [[graft.text.Dedup.simhash]]'s portable 60-bit
     * fingerprints: the same md5-prefix token hash, 60 conditional bit sums,
@@ -4273,6 +4366,33 @@ object SparkEntry {
         "SELECT adm.doc_id AS media_id, CAST(fp.f AS INTEGER) AS frame_idx, " +
         "CAST(fp.dh AS BIGINT) AS dhash " +
         "FROM adm JOIN fp ON adm.doc_id = fp.doc_id"),
+    // joint multimodal pairs: the q24 + q224 + q220 replays full-outer
+    // merged on the pair key, flags coalesced to FALSE
+    "q237_multimodal_neardups" ->
+      (s"WITH $multimodalPairCtes " +
+        "SELECT doc_a, doc_b, " +
+        "coalesce(via_text, FALSE) AS via_text, " +
+        "coalesce(via_image, FALSE) AS via_image, " +
+        "coalesce(via_audio, FALSE) AS via_audio " +
+        "FROM tp FULL JOIN ip USING (doc_a, doc_b) " +
+        "FULL JOIN ap USING (doc_a, doc_b)"),
+    // joint multimodal clusters: union the three edge sets, recursive-CTE
+    // closure, min-id labels over ALL items, cluster-size window
+    "q238_multimodal_clusters" ->
+      (s"WITH RECURSIVE $multimodalPairCtes, " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM tp " +
+        "UNION SELECT doc_a, doc_b FROM ip " +
+        "UNION SELECT doc_a, doc_b FROM ap), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "lab AS (SELECT d.doc_id AS item_id, " +
+        "least(d.doc_id, coalesce(mn, d.doc_id)) AS cluster_id " +
+        s"FROM $multimodalSrc d LEFT JOIN compmap ON d.doc_id = compmap.n) " +
+        "SELECT item_id, cluster_id, " +
+        "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size " +
+        "FROM lab"),
     // media ingest replay: the q224 hash arithmetic, ONE recursive closure
     // over same-parity edges (within-batch components for both batches),
     // batch-1 canonicals admit unconditionally, batch-2 canonicals drop on

@@ -740,4 +740,70 @@ object MediaDedup {
           Containers.gifFull(w, h, v, grayPalette, minCodeSize = 8), w, h, 1)
     }
   }
+
+  /** JOINT multimodal near-dup pairs: an item is a (caption, image, audio)
+    * record keyed by one id, and two items are near-dups when ANY modality
+    * matches — caption shingle-Jaccard >= `textThreshold` (the exact
+    * banded+verified [[Dedup.minhashNearDupsShingle]] chain, == brute
+    * force), image perceptual Hamming <= `maxHamming`
+    * ([[imageNearDups]]), or audio energy-contour Hamming <= `maxHamming`
+    * ([[audioNearDups]]). The LAION-style dedup rule: a re-posted image
+    * under a rewritten caption and a re-captioned copy of the same clip
+    * are the SAME training example, and single-modality dedup
+    * structurally misses one or the other. Output keeps provenance —
+    * (doc_a, doc_b, via_text, via_image, via_audio) — full-outer-merged
+    * so a pair matching in several modalities is ONE row with several
+    * flags. Each modality's pair set is banded-candidates + exact-verify
+    * (never all-pairs), so the union inherits every per-modality scale
+    * bound; the merge itself joins three pair-grain (not corpus-grain)
+    * tables on their keys. */
+  def multimodalNearDups(docs: DataFrame, images: Dataset[MediaRow],
+                         audio: Dataset[MediaRow],
+                         textThreshold: Double = 0.8, numPerms: Int = 32,
+                         textBands: Int = 16, shingleSize: Int = 3,
+                         maxHamming: Int = 3,
+                         mediaBands: Int = 4): DataFrame = {
+    val tp = Dedup.minhashNearDupsShingle(docs, numPerms, textBands,
+        shingleSize, textThreshold)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("via_text"))
+    val ip = imageNearDups(images, maxHamming, mediaBands)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
+        lit(true).as("via_image"))
+    val ap = audioNearDups(audio, maxHamming, mediaBands)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
+        lit(true).as("via_audio"))
+    tp.join(ip, Seq("doc_a", "doc_b"), "full_outer")
+      .join(ap, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("via_text"), lit(false)).as("via_text"),
+        coalesce(col("via_image"), lit(false)).as("via_image"),
+        coalesce(col("via_audio"), lit(false)).as("via_audio"))
+  }
+
+  /** Labeling form of [[multimodalNearDups]] (the q225 cluster contract on
+    * the JOINT graph): every item labeled with the min-id connected
+    * component of the union pair graph — text, image, and audio edges
+    * merge, so a chain caption-match(a,b) → image-match(b,c) puts a and c
+    * in one cluster even though no single modality links them. Singletons
+    * self-label; the output PARTITIONS the corpus; dedup = keep
+    * item_id == cluster_id. */
+  def multimodalClusters(docs: DataFrame, images: Dataset[MediaRow],
+                         audio: Dataset[MediaRow],
+                         textThreshold: Double = 0.8, numPerms: Int = 32,
+                         textBands: Int = 16, shingleSize: Int = 3,
+                         maxHamming: Int = 3,
+                         mediaBands: Int = 4): DataFrame = {
+    val pairs = multimodalNearDups(docs, images, audio, textThreshold,
+        numPerms, textBands, shingleSize, maxHamming, mediaBands)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.clusterPairs(pairs)
+      .withColumnRenamed("doc_id", "item_id")
+    docs.select(col("doc_id").as("item_id"))
+      .join(clusters, Seq("item_id"), "left")
+      .select(col("item_id"),
+        coalesce(col("cluster_id"), col("item_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+  }
 }

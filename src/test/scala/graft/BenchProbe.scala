@@ -29,68 +29,27 @@ object BenchProbe {
       println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.3f s " +
         s"jobs=${jobs.get() - j0}"); r
     }
-    import graft.multimodal.{MediaDedup, Multimodal}
+    import graft.multimodal.MediaDedup
     import graft.text.Dedup
-    // inlined videoBatchBody with per-stage timing (steady state = round 2)
+    // q238 decomposition (round 2 = steady state)
     for (round <- 1 to 2) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(expr(sys.env.getOrElse("PROBE_SLICE", "(doc_id div 3) % 2 = 0")))
-      val media = MediaDedup.syntheticNearDupVideos(docs).toDF()
-      val dir = graft.tables.TempLakes.create("probe_video_lake")
-      val lake = new graft.tables.LakeTable(spark, dir)
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      for ((batchDf, bn) <- Seq(media.filter(col("media_id") % 2 === 0) -> 1,
-                                media.filter(col("media_id") % 2 === 1) -> 2)) {
-        import spark.implicits._
-        val table = "media"; val frameTable = "media_frames"
-        val m = batchDf.as[Multimodal.MediaRow]
-        val fh = MediaDedup.videoFrameHashes(m, 2).persist()
-        val counts = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
-        val pairs = time(s"r$round b$bn pairs") {
-          MediaDedup.videoContainment(
-              MediaDedup.videoFramePairs(fh, 3, 4), counts, counts)
-            .filter(col("match_frac") >= 0.5)
-            .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
-        }
-        val clusters = time(s"r$round b$bn closure") {
-          Dedup.clusterPairs(pairs).withColumnRenamed("doc_id", "media_id")
-        }
-        val kept = counts.join(clusters, Seq("media_id"), "left")
-          .filter(col("cluster_id").isNull || col("media_id") === col("cluster_id"))
-          .select("media_id", "n_frames")
-        val keptFrames = fh.join(kept.select("media_id"), Seq("media_id"))
-        val novel = time(s"r$round b$bn lakecheck") {
-          if (lake.exists(frameTable)) {
-            val committed = lake.read(frameTable)
-              .select("media_id", "frame_idx", "dhash")
-            val cmCounts = committed.groupBy(col("media_id"))
-              .agg(count(lit(1)).as("n_frames"))
-            val rejected = MediaDedup.videoContainment(
-                MediaDedup.crossFramePairs(keptFrames, committed, 3, 4),
-                kept, cmCounts)
-              .filter(col("match_frac") >= 0.5)
-              .select(col("media_a").as("media_id")).distinct()
-            kept.join(rejected, Seq("media_id"), "left_anti")
-          } else kept
-        }
-        time(s"r$round b$bn write-media") {
-          val admitted = batchDf.join(novel.select("media_id"), Seq("media_id"))
-          val mode = if (lake.exists(table)) "append" else "overwrite"
-          lake.write(admitted, table, mode): Unit
-        }
-        time(s"r$round b$bn write-frames") {
-          val frameMode = if (lake.exists(frameTable)) "append" else "overwrite"
-          lake.write(fh.join(novel.select("media_id"), Seq("media_id")),
-            frameTable, frameMode): Unit
-        }
-        graft.ops.Caching.release(fh)
+      val images = MediaDedup.syntheticCrossFormatImages(docs)
+      val audio = MediaDedup.syntheticNearDupAudio(docs)
+      time(s"r$round tp") {
+        println("n=" + Dedup.minhashNearDupsShingle(docs, 32, 16, 3, 0.8).count())
       }
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      time(s"r$round readback") {
-        lake.read("media_frames")
-          .select(col("media_id"), col("frame_idx"), col("dhash")).count()
+      time(s"r$round ip") {
+        println("n=" + MediaDedup.imageNearDups(images, 3, 4).count())
+      }
+      time(s"r$round ap") {
+        println("n=" + MediaDedup.audioNearDups(audio, 3, 4).count())
+      }
+      time(s"r$round pairs") {
+        println("n=" + MediaDedup.multimodalNearDups(docs, images, audio).count())
+      }
+      time(s"r$round clusters") {
+        println("n=" + MediaDedup.multimodalClusters(docs, images, audio).count())
       }
       graft.ops.Caching.releaseAll(spark)
     }

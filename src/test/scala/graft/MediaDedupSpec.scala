@@ -237,4 +237,46 @@ class MediaDedupSpec extends SparkSpec {
         s"media ${st.media_id}")
     }
   }
+
+  test("joint multimodal dedup: per-modality provenance flags; text+image " +
+    "edges chain one cluster; a two-modality match is one flagged row") {
+    import spark.implicits._
+    // image i: first r grid rows ascend, the rest descend -> pairwise
+    // Hamming 7*|r_i - r_j| (>= 14 for distinct, 0 for the planted pair)
+    def img(id: Long, r: Int) = blockImage(id,
+      (bx, by) => if (by < r) bx * 10 else (7 - bx) * 10)
+    // clip t: energies rise through window t then plateau -> fingerprint
+    // = t prefix ones; volume scale preserves the contour exactly
+    def clip(id: Long, t: Int, scale: Int = 1) =
+      windowClip(id, j => math.min(j, t) * 10 * scale)
+    val capA = "the quick brown fox jumps over the lazy dog again and again"
+    val capB = "another caption entirely about ships and harbors at dawn light"
+    val jd = Seq(
+      (1L, capA), (2L, capA),
+      (3L, "three green bottles standing quietly on the wall"),
+      (4L, capB), (5L, capB),
+      (6L, "six silver spoons rattle inside the wooden drawer"))
+      .toDF("doc_id", "text")
+    val images = Seq(img(1, 0), img(2, 2), img(3, 2), img(4, 4),
+      img(5, 6), img(6, 8)).toDS()
+    val audio = Seq(clip(1, 10), clip(2, 20), clip(3, 30), clip(4, 50),
+      clip(5, 50, scale = 2), clip(6, 40)).toDS()
+    // planted: (1,2) caption-only, (2,3) image-only, (4,5) caption AND
+    // audio (the two-modality case must surface as ONE row, two flags)
+    val pairs = MediaDedup.multimodalNearDups(jd, images, audio)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(pairs.keySet === Set((1L, 2L), (2L, 3L), (4L, 5L)))
+    assert(pairs((1L, 2L)) === ((true, false, false)))
+    assert(pairs((2L, 3L)) === ((false, true, false)))
+    assert(pairs((4L, 5L)) === ((true, false, true)))
+    // cross-modal chaining: caption(1,2) + image(2,3) merge {1,2,3} even
+    // though no single modality links 1 and 3; singleton 6 self-labels
+    val clusters = MediaDedup.multimodalClusters(jd, images, audio)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters === Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L), (6L, 6L, 1L)))
+  }
 }
