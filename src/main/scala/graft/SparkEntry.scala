@@ -1654,6 +1654,22 @@ object SparkEntry {
         graft.multimodal.MediaDedup.syntheticCrossFormatImages(docs),
         graft.multimodal.MediaDedup.syntheticNearDupAudio(docs))
     },
+    // --- audio clip-in-track containment search [ext]: the audio twin of
+    // span-level text dedup (q197) — whole-clip fingerprints stretch
+    // their windows with clip length and can NEVER find an excerpt, so
+    // tracks get per-offset span prints over ABSOLUTE 10-sample windows
+    // and a clip's leading span print is matched via the cross-side
+    // band-chunk join (the q235/q236 machinery; never clips x spans),
+    // exact Hamming verify. A volume-TRIPLED, window-aligned excerpt hits
+    // its source track at its planted offset at Hamming 0; the oracle
+    // replays track and clip energies from the planted formulas and
+    // brute-forces all clip x span pairs (budget <= 3 s) ---
+    "q239_audio_clip_matches" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.multimodal.MediaDedup.audioClipMatches(
+        graft.multimodal.MediaDedup.syntheticAudioClips(docs),
+        graft.multimodal.MediaDedup.syntheticAudioTracks(docs))
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4393,6 +4409,48 @@ object SparkEntry {
         "SELECT item_id, cluster_id, " +
         "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size " +
         "FROM lab"),
+    // audio clip-in-track replay: absolute-window energies from the two
+    // planted sweeps (partial trailing window dropped via the range
+    // bound), per-offset 56-bit span prints for tracks, the clips' lone
+    // offset-0 print, brute-force all clip x span pairs at Hamming <= 3
+    "q239_audio_clip_matches" ->
+      ("WITH td AS (SELECT doc_id, " +
+        "CAST(800 + (doc_id % 40) * 10 AS BIGINT) AS n FROM documents), " +
+        "ts AS (SELECT doc_id, n, unnest(range((n // 10) * 10)) AS p FROM td), " +
+        "te AS (SELECT doc_id, p // 10 AS w, " +
+        "sum(abs(((p*p*(31 + doc_id % 61) + p*(17 + doc_id % 53) " +
+        "+ doc_id*53) % 4096) - 2048)) AS e " +
+        "FROM ts GROUP BY 1, 2), " +
+        "tn AS (SELECT doc_id, count(*) AS nw FROM te GROUP BY 1), " +
+        "toff AS (SELECT doc_id, unnest(range(nw - 56)) AS o FROM tn), " +
+        "tb AS (SELECT f.doc_id, f.o, l.w - f.o AS j FROM toff f " +
+        "JOIN te l ON l.doc_id = f.doc_id AND l.w >= f.o AND l.w <= f.o + 55 " +
+        "JOIN te r ON r.doc_id = l.doc_id AND r.w = l.w + 1 " +
+        "WHERE r.e > l.e), " +
+        "tf AS (SELECT toff.doc_id, toff.o, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS sfp " +
+        "FROM toff LEFT JOIN tb ON toff.doc_id = tb.doc_id AND toff.o = tb.o " +
+        "GROUP BY 1, 2), " +
+        "cd AS (SELECT doc_id, doc_id % 4 AS role FROM documents " +
+        "WHERE doc_id % 2 = 0), " +
+        "cs AS (SELECT doc_id, role, unnest(range(570)) AS q FROM cd), " +
+        "cp2 AS (SELECT doc_id, role, q, (doc_id % 13) * 10 + q AS p FROM cs), " +
+        "ce AS (SELECT doc_id, q // 10 AS w, sum(abs(" +
+        "CASE WHEN role = 0 " +
+        "THEN 3 * (((p*p*(31 + doc_id % 61) + p*(17 + doc_id % 53) " +
+        "+ doc_id*53) % 4096) - 2048) " +
+        "ELSE ((q*q*(37 + doc_id % 59) + q*(19 + doc_id % 47) " +
+        "+ doc_id*29 + 777) % 4096) - 2048 END)) AS e " +
+        "FROM cp2 GROUP BY 1, 2), " +
+        "cb AS (SELECT l.doc_id, l.w AS j FROM ce l " +
+        "JOIN ce r ON r.doc_id = l.doc_id AND r.w = l.w + 1 WHERE r.e > l.e), " +
+        "cf AS (SELECT cd.doc_id, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS sfp " +
+        "FROM cd LEFT JOIN cb ON cd.doc_id = cb.doc_id GROUP BY 1) " +
+        "SELECT c.doc_id AS clip_id, t.doc_id AS track_id, " +
+        "CAST(t.o AS INTEGER) AS track_offset, " +
+        "CAST(bit_count(xor(c.sfp, t.sfp)) AS INTEGER) AS hamming " +
+        "FROM cf c JOIN tf t ON bit_count(xor(c.sfp, t.sfp)) <= 3"),
     // media ingest replay: the q224 hash arithmetic, ONE recursive closure
     // over same-parity edges (within-batch components for both batches),
     // batch-1 canonicals admit unconditionally, batch-2 canonicals drop on

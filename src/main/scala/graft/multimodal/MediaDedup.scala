@@ -287,6 +287,150 @@ object MediaDedup {
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
+  /** ABSOLUTE-window energies (window w = the `windowSamples` samples
+    * starting at w·windowSamples; the trailing partial window is dropped
+    * so a clip and its in-track occurrence see identical sums). The
+    * whole-clip fingerprint's RELATIVE windows ([[audioEnergies]]) stretch
+    * with clip length, which is exactly right for whole-clip identity and
+    * exactly wrong for containment — an excerpt's relative windows never
+    * align with the track's. */
+  private def absWindowEnergies(id: Long, p: Array[Byte],
+                                windowSamples: Int): Array[Long] = {
+    require(windowSamples > 0, s"media $id: windowSamples must be positive")
+    val (_, _, samples) = Multimodal.pcm16Samples(id, p)
+    val nw = samples.length / windowSamples
+    val e = new Array[Long](nw)
+    var i = 0
+    val bound = nw * windowSamples
+    while (i < bound) {
+      e(i / windowSamples) += math.abs(samples(i).toInt).toLong
+      i += 1
+    }
+    e
+  }
+
+  /** Per-offset 56-bit span fingerprints over ABSOLUTE windows: offset o
+    * covers windows [o, o + 57), bit j = E[o+j+1] > E[o+j] — the same
+    * volume-invariant energy contour as [[audioFingerprint]], but sliding,
+    * so a window-aligned excerpt of a track reproduces the track's span
+    * print at its offset EXACTLY (scaling |s| scales every window sum by
+    * the same factor and strict comparisons survive). Output
+    * (media_id, offset, sfp); spans per clip = nWindows − 56, linear in
+    * sample count — at corpus scale the span table shuffles as three
+    * longs per row, never samples. Alignment granularity is one window
+    * (`windowSamples` samples): an excerpt cut mid-window lands between
+    * offsets and is out of contract, as with any fixed-grid
+    * fingerprinter. */
+  def audioSpanFingerprints(media: Dataset[MediaRow],
+                            windowSamples: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val e = absWindowEnergies(m.media_id, m.payload, windowSamples)
+      (0 to e.length - AudioWindows).iterator.map { o =>
+        var fp = 0L
+        var j = 0
+        while (j < AudioWindows - 1) {
+          if (e(o + j + 1) > e(o + j)) fp |= 1L << j
+          j += 1
+        }
+        (m.media_id, o, fp)
+      }
+    }).toDF("media_id", "offset", "sfp")
+  }
+
+  /** Audio clip-in-track containment search — the audio twin of the text
+    * span dedup (q197): does a short clip appear INSIDE a longer track?
+    * Whole-clip prints can never say (relative windows stretch), so the
+    * clip's LEADING 57-window span print ([[audioSpanFingerprints]] at
+    * offset 0) is matched against every track span via the cross-side
+    * band-chunk equi-join (the [[crossFramePairs]] machinery — track
+    * spans ride packed media·2²⁰+offset ids; never clips × spans) with
+    * exact Hamming verify. A volume-scaled, window-aligned excerpt hits
+    * its source offset at Hamming 0. Output
+    * (clip_id, track_id, track_offset, hamming); offsets must fit 20
+    * bits. */
+  def audioClipMatches(clips: Dataset[MediaRow], tracks: Dataset[MediaRow],
+                       windowSamples: Int = 10, maxHamming: Int = 3,
+                       bands: Int = 4): DataFrame = {
+    val cp = audioSpanFingerprints(clips, windowSamples)
+      .filter(col("offset") === 0)
+      .select(col("media_id"), col("offset").as("frame_idx"),
+        col("sfp").as("dhash"))
+    val tp = audioSpanFingerprints(tracks, windowSamples)
+      .select(col("media_id"), col("offset").as("frame_idx"),
+        col("sfp").as("dhash"))
+    crossFramePairsH(cp, tp, maxHamming, bands)
+      .select(col("media_a").as("clip_id"), col("media_b").as("track_id"),
+        col("frame_b").cast("int").as("track_offset"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Clip-in-track fixtures, track side: long PCM16 QUADRATIC sweeps
+    * s(p) = ((p²·(31 + g mod 61) + p·(17 + g mod 53) + g·53) mod 4096)
+    * − 2048 with g = doc_id, n = 800 + (g mod 40)·10 samples (80..119
+    * absolute 10-sample windows — always enough for every planted
+    * excerpt offset). Two degeneracy lessons are baked in (measured,
+    * not guessed): a LINEAR sweep's energy contour is quasi-periodic
+    * across offsets (164k accidental span collisions over 500 docs),
+    * and a quadratic whose coefficients are track-INDEPENDENT collides
+    * across tracks at equal offsets because the id only shifts the
+    * shared polynomial by a constant the |·| window sums barely see
+    * (3.7k accidentals) — so the id must multiply the coefficients,
+    * drawn from prime-modulus ranges (the q232 fixture rule). */
+  def syntheticAudioTracks(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (800 + (id % 40) * 10).toInt
+      val body = new Array[Byte](n * 2)
+      var p = 0
+      while (p < n) {
+        val pl = p.toLong
+        val s = (((pl * pl * (31 + id % 61) + pl * (17 + id % 53) + id * 53)
+          % 4096) - 2048).toInt
+        body(2 * p) = (s & 0xFF).toByte
+        body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+        p += 1
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+  }
+
+  /** Clip-in-track fixtures, clip side (even doc_ids only): role
+    * doc_id mod 4 == 0 is a VOLUME-TRIPLED, window-aligned 570-sample
+    * excerpt of its own track starting at window o = doc_id mod 13 (its
+    * lone span print must equal the track's print at offset o — tripling
+    * scales every window energy by 3 and the strict contour comparisons
+    * survive); role 2 is a distractor from a different sweep. */
+  def syntheticAudioClips(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 2 == 0).map { id =>
+      val n = 570
+      val body = new Array[Byte](n * 2)
+      val o = (id % 13).toInt
+      var q = 0
+      while (q < n) {
+        val s =
+          if (id % 4 == 0) {
+            val pl = (o * 10 + q).toLong
+            (3 * (((pl * pl * (31 + id % 61) + pl * (17 + id % 53) + id * 53)
+              % 4096) - 2048)).toInt
+          } else {
+            val ql = q.toLong
+            (((ql * ql * (37 + id % 59) + ql * (19 + id % 47) + id * 29 + 777)
+              % 4096) - 2048).toInt
+          }
+        body(2 * q) = (s & 0xFF).toByte
+        body(2 * q + 1) = ((s >> 8) & 0xFF).toByte
+        q += 1
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+  }
+
   /** Near-dup image fixtures: doc_ids come in planted triples (group g =
     * doc_id/3): role 0 is the base image (grayscale gradient v(k) =
     * (g·31 + x·7 + y·13) mod 256 planted as r=g=b so grayscale IS the
@@ -469,9 +613,14 @@ object MediaDedup {
     * packed sides ([[Dedup.fingerprintBandChunks]] both ways, the
     * MediaIngest shape — never batch-frames × committed-frames), exact
     * Hamming verify. Output (media_a, frame_a) from side A,
-    * (media_b, frame_b) from side B. */
+    * (media_b, frame_b) from side B. [[crossFramePairsH]] keeps the
+    * verified Hamming distance as a column. */
   private[graft] def crossFramePairs(fhA: DataFrame, fhB: DataFrame,
-                                     maxHamming: Int, bands: Int): DataFrame = {
+                                     maxHamming: Int, bands: Int): DataFrame =
+    crossFramePairsH(fhA, fhB, maxHamming, bands).drop("hamming")
+
+  private[graft] def crossFramePairsH(fhA: DataFrame, fhB: DataFrame,
+                                      maxHamming: Int, bands: Int): DataFrame = {
     val ca = Dedup.fingerprintBandChunks(packFrameIds(fhA), "dhash",
       FingerprintBits, bands, idCol = "fid")
     val cb = Dedup.fingerprintBandChunks(packFrameIds(fhB), "dhash",
@@ -485,7 +634,8 @@ object MediaDedup {
       .select(shiftright(col("fid_a"), FrameBits).as("media_a"),
         col("fid_a").bitwiseAND(FrameMask).as("frame_a"),
         shiftright(col("fid_b"), FrameBits).as("media_b"),
-        col("fid_b").bitwiseAND(FrameMask).as("frame_b"))
+        col("fid_b").bitwiseAND(FrameMask).as("frame_b"),
+        Dedup.hamming(col("fa"), col("fb")).as("hamming"))
   }
 
   /** SHARED-FRAME containment per video pair from verified frame pairs:

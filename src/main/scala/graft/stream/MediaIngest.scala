@@ -166,7 +166,18 @@ object MediaIngest {
     * copy of a committed video is rejected even when no container byte
     * matches, and replays are idempotent with no streaming state. Only
     * (media_id, frame_idx, dhash) leaves the committed table to form
-    * candidates. */
+    * candidates.
+    *
+    * Atomicity caveat (stated honestly — LakeTable commits are
+    * per-table): the batch lands TWO commits, payloads then frames. A
+    * crash BETWEEN them leaves admitted payload rows without their frame
+    * index, so a no-checkpoint replay would re-admit those videos
+    * (duplicate payload rows; the frame index itself stays consistent
+    * because its commit never precedes the payload commit). A
+    * checkpointed stream never re-processes the batch, so the window
+    * only matters for the checkpoint-free replay path; recovery = roll
+    * the media table back one version (the versioned log keeps both
+    * sides' history) or re-run with a checkpoint. */
   def videoBatch(batchDf: DataFrame, lake: LakeTable, table: String,
                  everyN: Int = 2, maxHamming: Int = 3, bands: Int = 4,
                  minSharedFrac: Double = 0.5,

@@ -279,4 +279,54 @@ class MediaDedupSpec extends SparkSpec {
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (4L, 4L, 2L), (5L, 4L, 2L), (6L, 6L, 1L)))
   }
+
+  test("audio clip-in-track: a volume-scaled window-aligned excerpt hits " +
+    "its source offset; trailing partial window dropped; banded == brute") {
+    import spark.implicits._
+    def pcm(id: Long, n: Int, f: Int => Int): MediaRow = {
+      val body = new Array[Byte](n * 2)
+      var p = 0
+      while (p < n) {
+        val s = f(p)
+        body(2 * p) = (s & 0xFF).toByte
+        body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+        p += 1
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+    // three tracks with per-track quadratic coefficients (the fixture
+    // degeneracy rule), 1000 samples = 100 absolute 10-sample windows
+    def trackF(g: Int)(p: Int): Int =
+      ((p.toLong * p * (29 + g * 7) + p.toLong * (11 + g * 5) + g * 53)
+        % 4096).toInt - 2048
+    val tracks = Seq(
+      pcm(1, 1000, trackF(1)), pcm(2, 1000, trackF(2)),
+      pcm(3, 1000, trackF(3))).toDS()
+    // clip 10: track 2's windows [7, 64) DOUBLED in volume, plus 3 stray
+    // samples (the trailing partial window must be dropped, or the last
+    // window's energy — and its contour bit — would disagree)
+    val clips = Seq(
+      pcm(10, 573, q => 2 * trackF(2)(70 + q)),
+      pcm(11, 570, q => ((q.toLong * q * 97 + q * 41 + 500) % 4096).toInt - 2048))
+      .toDS()
+    val got = MediaDedup.audioClipMatches(clips, tracks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.exists(m => m._1 == 10L && m._2 == 2L && m._3 == 7 && m._4 == 0),
+      s"planted hit missing from ${got.toSeq}")
+    // banded == brute force over the span prints
+    val spans = MediaDedup.audioSpanFingerprints(tracks)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val cps = MediaDedup.audioSpanFingerprints(clips)
+      .filter(col("offset") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val brute = (for {
+      (cid, cfp) <- cps
+      (tid, o, tfp) <- spans
+      h = java.lang.Long.bitCount(cfp ^ tfp)
+      if h <= 3
+    } yield (cid, tid, o, h)).toSet
+    assert(got.toSet === brute)
+    // each 1000-sample track has exactly 100 - 57 + 1 = 44 spans
+    assert(spans.count(_._1 == 1L) === 44)
+  }
 }
