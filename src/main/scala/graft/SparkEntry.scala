@@ -1670,6 +1670,23 @@ object SparkEntry {
         graft.multimodal.MediaDedup.syntheticAudioClips(docs),
         graft.multimodal.MediaDedup.syntheticAudioTracks(docs))
     },
+    // --- video clip-in-video one-sided containment [ext]: was this short
+    // clip lifted from a longer video? q231's two-sided containment
+    // (least of BOTH coverages) structurally misses it — a 2-frame clip
+    // in a 6-frame video covers the long side <= 1/3. Clip frames hash at
+    // full rate, the corpus keeps its everyN=2 sampled index, candidates
+    // from the cross-side band-chunk join, then ONE-SIDED aggregation:
+    // matched clip frames / clip frames >= 0.5. The planted clip is a
+    // frame-DECIMATED re-post (every 2nd source frame), so each clip
+    // frame lands exactly on the sampled index -> clip_frac 1 against its
+    // source (and its source's planted near-dup). Oracle replays both
+    // sides' hashes from the planted formulas (budget <= 3 s) ---
+    "q240_video_clip_matches" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.multimodal.MediaDedup.videoClipMatches(
+        graft.multimodal.MediaDedup.syntheticVideoClips(docs),
+        graft.multimodal.MediaDedup.syntheticNearDupVideos(docs))
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4451,6 +4468,75 @@ object SparkEntry {
         "CAST(t.o AS INTEGER) AS track_offset, " +
         "CAST(bit_count(xor(c.sfp, t.sfp)) AS INTEGER) AS hamming " +
         "FROM cf c JOIN tf t ON bit_count(xor(c.sfp, t.sfp)) <= 3"),
+    // video clip replay: corpus frame hashes via the q231/q236 arithmetic
+    // (sampled f % 2 = 0), clip hashes from the planted decimated/
+    // distractor formulas at full rate, brute pairs at Hamming <= 3,
+    // one-sided clip-coverage aggregation at >= 0.5
+    "q240_video_clip_matches" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS role " +
+        "FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(4 + g % 3 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, role, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, role, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "CASE WHEN role = 2 THEN (g*53 + f*11 + (k % w)*(5 + (g * 17) % 239) + " +
+        "(k // w)*(3 + (g * 11) % 233) + 128) % 256 " +
+        "WHEN role = 1 AND k % 97 = 0 " +
+        "THEN ((g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 + 4) % 256 " +
+        "ELSE (g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cd AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 4 AS crole " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "cdm AS (SELECT doc_id, g, crole, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h FROM cd), " +
+        "cfr AS (SELECT doc_id, g, crole, w, h, unnest(range(2)) AS f2 " +
+        "FROM cdm), " +
+        "cpx AS (SELECT doc_id, g, crole, w, h, f2, " +
+        "unnest(range(w * h)) AS k FROM cfr), " +
+        "cv AS (SELECT doc_id, f2, " +
+        "CASE WHEN crole = 0 " +
+        "THEN (g*29 + (2*f2)*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 " +
+        "ELSE (g*61 + f2*23 + (k % w)*(7 + (g * 19) % 227) + " +
+        "(k // w)*(5 + (g * 23) % 229) + 500) % 256 END AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM cpx), " +
+        "cm AS (SELECT doc_id, f2, bx, by, sum(val) // count(*) AS mean " +
+        "FROM cv GROUP BY 1, 2, 3, 4), " +
+        "cbits AS (SELECT l.doc_id, l.f2, l.by * 7 + l.bx AS j FROM cm l " +
+        "JOIN cm r ON l.doc_id = r.doc_id AND l.f2 = r.f2 AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "cfp AS MATERIALIZED (SELECT cfr.doc_id, cfr.f2, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM cfr LEFT JOIN cbits ON cfr.doc_id = cbits.doc_id " +
+        "AND cfr.f2 = cbits.f2 GROUP BY 1, 2), " +
+        "pm AS (SELECT c.doc_id AS clip_id, fp.doc_id AS video_id, c.f2 " +
+        "FROM cfp c JOIN fp ON bit_count(xor(c.dh, fp.dh)) <= 3), " +
+        "agg AS (SELECT clip_id, video_id, " +
+        "count(DISTINCT f2) AS matched_frames FROM pm GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_clip_frames FROM cfp GROUP BY 1) " +
+        "SELECT agg.clip_id, agg.video_id, " +
+        "CAST(matched_frames AS BIGINT) AS matched_frames, " +
+        "CAST(n_clip_frames AS BIGINT) AS n_clip_frames, " +
+        "CAST(matched_frames AS DOUBLE) / CAST(n_clip_frames AS DOUBLE) AS clip_frac " +
+        "FROM agg JOIN cnt ON agg.clip_id = cnt.doc_id " +
+        "WHERE CAST(matched_frames AS DOUBLE) / CAST(n_clip_frames AS DOUBLE) >= 0.5"),
     // media ingest replay: the q224 hash arithmetic, ONE recursive closure
     // over same-parity edges (within-batch components for both batches),
     // batch-1 canonicals admit unconditionally, batch-2 canonicals drop on

@@ -539,6 +539,67 @@ object MediaDedup {
   private val FrameBits = 20
   private val FrameMask = (1L << FrameBits) - 1L
 
+  /** Video clip-in-video ONE-SIDED containment: was this SHORT clip
+    * lifted from some longer video in the corpus? [[videoNearDups]]'s
+    * two-sided containment (least of BOTH coverages) structurally misses
+    * it — a 2-frame clip inside a 6-frame video covers the long side by
+    * at most 1/3 and least() kills the pair. Here clip frames hash at
+    * FULL rate (a clip is short by definition: everyN = 1), the corpus
+    * keeps its sampled frame index, candidates ride the cross-side
+    * band-chunk join ([[crossFramePairs]] — never clips × corpus-frames),
+    * and the match aggregates ONE-SIDED: distinct matched clip frames /
+    * clip frames >= `minClipFrac`. A frame-decimated re-post (every
+    * everyN-th source frame) lands every clip frame on the corpus's
+    * sampled index and matches its source at clip_frac 1. Output
+    * (clip_id, video_id, matched_frames, n_clip_frames, clip_frac). */
+  def videoClipMatches(clips: Dataset[MediaRow], videos: Dataset[MediaRow],
+                       everyN: Int = 2, maxHamming: Int = 3, bands: Int = 4,
+                       minClipFrac: Double = 0.5): DataFrame = {
+    // clip hashes feed the pair stage AND the per-clip frame counts
+    // (shared-subtree persist, the Caching contract — releaseAll reclaims)
+    val cf = videoFrameHashes(clips, everyN = 1).persist()
+    val counts = cf.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_clip_frames"))
+    crossFramePairs(cf, videoFrameHashes(videos, everyN), maxHamming, bands)
+      .select(col("media_a").as("clip_id"), col("media_b").as("video_id"),
+        col("frame_a"))
+      .groupBy("clip_id", "video_id")
+      .agg(countDistinct(col("frame_a")).as("matched_frames"))
+      .join(counts.select(col("media_id").as("clip_id"),
+        col("n_clip_frames")), Seq("clip_id"))
+      .withColumn("clip_frac",
+        col("matched_frames") / col("n_clip_frames"))
+      .filter(col("clip_frac") >= minClipFrac)
+      .select(col("clip_id"), col("video_id"), col("matched_frames"),
+        col("n_clip_frames"), col("clip_frac"))
+  }
+
+  /** Clip-in-video fixtures (even doc_ids): role doc_id mod 4 == 0 is a
+    * 2-frame FRAME-DECIMATED re-post of its group's role-0 video from
+    * [[syntheticNearDupVideos]] — clip frame f' carries source frame
+    * 2f''s content at the source's dims, so every clip frame lands
+    * exactly on the corpus's everyN = 2 sampled frame index; role 2 is a
+    * distractor from a different formula. */
+  def syntheticVideoClips(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 2 == 0).map { id =>
+      val g = id / 3
+      val w = (12 + (g % 5) * 4).toInt
+      val h = (8 + ((g * 3) % 4) * 4).toInt
+      val px: (Int, Int, Int, Int) => Int = (f2, x, y, _) =>
+        if (id % 4 == 0) {
+          val f = 2 * f2
+          ((g * 29 + f * 17 + x * (3 + (g * 13) % 251) +
+            y * (2 + (g * 7) % 241)) % 256).toInt
+        } else
+          ((g * 61 + f2 * 23 + x * (7 + (g * 19) % 227) +
+            y * (5 + (g * 23) % 229) + 500) % 256).toInt
+      MediaRow(id, "video", Containers.aviFull(w, h, 2, px), w, h, 2)
+    }
+  }
+
   /** Per-frame perceptual hashes of REAL decoded AVI video, with REAL
     * frame sampling (only frame_idx % everyN == 0 is decoded into a hash —
     * the standard cost control: at 100 TB of video you fingerprint sampled

@@ -210,4 +210,60 @@ class VideoSpec extends SparkSpec {
     assert(top(0).getAs[Long]("neighbor_id") === 1L)
     assert(math.abs(top(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
+
+  test("videoClipMatches: a frame-decimated clip hits its source at " +
+    "clip_frac 1, which two-sided containment structurally misses") {
+    val media = MediaDedup.syntheticNearDupVideos(
+      docs.filter(col("doc_id") < 60)).cache()
+    val clips = MediaDedup.syntheticVideoClips(
+      docs.filter(col("doc_id") < 60)).cache()
+    val got = MediaDedup.videoClipMatches(clips, media, everyN = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // every role-0 clip fully matches its group's role-0 source video
+    val role0Clips = (0L until 60L).filter(id => id % 2 == 0 && id % 4 == 0)
+    role0Clips.foreach { c =>
+      val src = c - c % 3
+      assert(got.get((c, src)).exists(_._3 == 1.0),
+        s"clip $c missing full match against source $src in $got")
+    }
+    // ...and the same pairs are invisible to two-sided containment when
+    // the source has > 4 frames (clip covers <= 2 of >= 3 sampled frames,
+    // so least() < 1; at exactly 4 source frames both sample to 2 and the
+    // pair legitimately surfaces two-sided). Clip ids shift by 1000 in
+    // the union — they share the id domain with their source videos.
+    val spark2 = spark
+    import spark2.implicits._
+    val shifted = clips.toDF()
+      .withColumn("media_id", col("media_id") + lit(1000L))
+      .as[Multimodal.MediaRow]
+    val twoSided = MediaDedup.videoNearDups(
+        media.unionByName(shifted), everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute one-sided check: got == brute force over the frame hashes
+    val cf = MediaDedup.videoFrameHashes(clips, everyN = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val vf = MediaDedup.videoFrameHashes(media, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byClip = cf.groupBy(_._1)
+    val byVid = vf.groupBy(_._1)
+    val brute = (for {
+      (c, cfs) <- byClip.toSeq
+      (v, vfs) <- byVid.toSeq
+      matched = cfs.count(x => vfs.exists(y =>
+        java.lang.Long.bitCount(x._3 ^ y._3) <= 3))
+      frac = matched.toDouble / cfs.length
+      if frac >= 0.5
+    } yield ((c, v), (matched.toLong, cfs.length.toLong, frac))).toMap
+    assert(got === brute)
+    // the structural-miss claim, asserted not narrated: a clip of a
+    // 5-or-6-frame source never surfaces in the two-sided pair set
+    role0Clips.filter(c => (4 + (c / 3) % 3) > 4).foreach { c =>
+      val src = c - c % 3
+      assert(!twoSided.contains((src, c + 1000L)),
+        s"two-sided containment unexpectedly found clip $c in source $src")
+    }
+    media.unpersist(); clips.unpersist()
+  }
 }
