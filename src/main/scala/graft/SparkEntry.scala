@@ -1687,6 +1687,21 @@ object SparkEntry {
         graft.multimodal.MediaDedup.syntheticVideoClips(docs),
         graft.multimodal.MediaDedup.syntheticNearDupVideos(docs))
     },
+    // --- image crop containment [ext]: the cropped-meme case — cropping
+    // changes whole-image dHash's normalized 8x8 grid, so the crop's and
+    // source's hashes share nothing. Patch hashes over a FIXED 2px block
+    // grid make every 8x8-block window a sub-rectangle of one global
+    // comparison grid; a block-aligned, brightness-shifted (+30) crop
+    // reproduces its source's window hash at the crop offset EXACTLY.
+    // Candidates from the cross-side band-chunk join (never crops x
+    // windows); the oracle replays block values, the comparison grid, and
+    // window sums arithmetically (budget <= 3 s) ---
+    "q241_image_crop_matches" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.multimodal.MediaDedup.imageCropMatches(
+        graft.multimodal.MediaDedup.syntheticImageCrops(docs),
+        graft.multimodal.MediaDedup.syntheticCropImages(docs))
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4468,6 +4483,56 @@ object SparkEntry {
         "CAST(t.o AS INTEGER) AS track_offset, " +
         "CAST(bit_count(xor(c.sfp, t.sfp)) AS INTEGER) AS hamming " +
         "FROM cf c JOIN tf t ON bit_count(xor(c.sfp, t.sfp)) <= 3"),
+    // image crop replay: block values from the planted per-block quadratic,
+    // ONE global adjacent-comparison grid per image, window hashes as
+    // sub-rectangle bit sums, crop prints from the shifted formula (+30 —
+    // order-preserving), brute pairs at Hamming <= 3
+    "q241_image_crop_matches" ->
+      ("WITH dd AS (SELECT doc_id, 12 + doc_id % 4 AS gw, " +
+        "10 + doc_id % 3 AS gh FROM documents), " +
+        "bb AS (SELECT doc_id, gw, gh, unnest(range(gw * gh)) AS b FROM dd), " +
+        "bm AS (SELECT doc_id, b % gw AS bx, b // gw AS by, " +
+        "((b % gw)*(b % gw)*(13 + doc_id % 31) + " +
+        "(b // gw)*(b // gw)*(7 + doc_id % 29) + " +
+        "(b % gw)*(b // gw)*(3 + doc_id % 17) + doc_id*11) % 226 AS v " +
+        "FROM bb), " +
+        "cmp AS (SELECT l.doc_id, l.bx, l.by FROM bm l " +
+        "JOIN bm r ON l.doc_id = r.doc_id AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.v < r.v), " +
+        "off AS (SELECT doc_id, gw, gh, " +
+        "unnest(range((gw - 7) * (gh - 7))) AS oi FROM dd), " +
+        "off2 AS (SELECT doc_id, oi % (gw - 7) AS ox, oi // (gw - 7) AS oy " +
+        "FROM off), " +
+        "wb AS (SELECT o.doc_id, o.ox, o.oy, " +
+        "(c.by - o.oy) * 7 + (c.bx - o.ox) AS j " +
+        "FROM off2 o JOIN cmp c ON c.doc_id = o.doc_id " +
+        "AND c.bx >= o.ox AND c.bx <= o.ox + 6 " +
+        "AND c.by >= o.oy AND c.by <= o.oy + 7), " +
+        "ifp AS MATERIALIZED (SELECT off2.doc_id, off2.ox, off2.oy, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS ph " +
+        "FROM off2 LEFT JOIN wb ON off2.doc_id = wb.doc_id " +
+        "AND off2.ox = wb.ox AND off2.oy = wb.oy GROUP BY 1, 2, 3), " +
+        "cd AS (SELECT doc_id, doc_id % 4 AS crole, doc_id % 5 AS cox, " +
+        "doc_id % 3 AS coy FROM documents WHERE doc_id % 2 = 0), " +
+        "cbb AS (SELECT doc_id, crole, cox, coy, unnest(range(64)) AS b " +
+        "FROM cd), " +
+        "cbm AS (SELECT doc_id, b % 8 AS bx, b // 8 AS by, " +
+        "CASE WHEN crole = 0 THEN " +
+        "((cox + b % 8)*(cox + b % 8)*(13 + doc_id % 31) + " +
+        "(coy + b // 8)*(coy + b // 8)*(7 + doc_id % 29) + " +
+        "(cox + b % 8)*(coy + b // 8)*(3 + doc_id % 17) + doc_id*11) % 226 + 30 " +
+        "ELSE ((b % 8)*(b % 8)*19 + (b // 8)*(b // 8)*23 + " +
+        "(b % 8)*(b // 8)*29 + doc_id*7 + 99) % 226 END AS v FROM cbb), " +
+        "ccmp AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM cbm l " +
+        "JOIN cbm r ON l.doc_id = r.doc_id AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.v < r.v), " +
+        "cfp AS (SELECT cd.doc_id, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS ph " +
+        "FROM cd LEFT JOIN ccmp ON cd.doc_id = ccmp.doc_id GROUP BY 1) " +
+        "SELECT c.doc_id AS crop_id, i.doc_id AS image_id, " +
+        "CAST(i.ox AS INTEGER) AS ox, CAST(i.oy AS INTEGER) AS oy, " +
+        "CAST(bit_count(xor(c.ph, i.ph)) AS INTEGER) AS hamming " +
+        "FROM cfp c JOIN ifp i ON bit_count(xor(c.ph, i.ph)) <= 3"),
     // video clip replay: corpus frame hashes via the q231/q236 arithmetic
     // (sampled f % 2 = 0), clip hashes from the planted decimated/
     // distractor formulas at full rate, brute pairs at Hamming <= 3,

@@ -539,6 +539,161 @@ object MediaDedup {
   private val FrameBits = 20
   private val FrameMask = (1L << FrameBits) - 1L
 
+  /** FIXED-grid grayscale block means of one decoded image (format-blind,
+    * like [[dhashOneImage]]): block (bx, by) covers the blockPx×blockPx
+    * pixel square at (bx·blockPx, by·blockPx); trailing partial rows/
+    * columns are dropped (the clip-in-track rule: a crop and its source
+    * must see IDENTICAL block sums, and a partial edge block would
+    * disagree). Whole-image dHash normalizes the grid to 8×8 regardless
+    * of size — right for whole-image identity, structurally wrong for
+    * crops, whose blocks land on a different normalized grid. */
+  private def blockMeans(id: Long, p: Array[Byte],
+                         blockPx: Int): (Int, Int, Array[Long]) = {
+    require(blockPx > 0, s"media $id: blockPx must be positive")
+    var gw = 0; var gh = 0
+    var sums: Array[Long] = null
+    var cnts: Array[Long] = null
+    foreachDecodedPixel(id, p) { (pw, ph) =>
+      gw = pw / blockPx; gh = ph / blockPx
+      require(gw >= GridW && gh >= GridH,
+        s"media $id: patch hashing needs >= ${GridW}x$GridH full blocks, " +
+          s"got ${gw}x$gh at blockPx=$blockPx")
+      sums = new Array[Long](gw * gh); cnts = new Array[Long](gw * gh)
+    } { (x, y, r, g, b) =>
+      val bx = x / blockPx; val by = y / blockPx
+      if (bx < gw && by < gh) {
+        sums(by * gw + bx) += (r + g + b) / 3
+        cnts(by * gw + bx) += 1L
+      }
+    }
+    val means = new Array[Long](gw * gh)
+    var i = 0
+    while (i < means.length) { means(i) = sums(i) / cnts(i); i += 1 }
+    (gw, gh, means)
+  }
+
+  /** Per-offset 56-bit PATCH hashes over the fixed block grid: window
+    * (ox, oy) covers blocks [ox, ox+8) × [oy, oy+8) and hashes by the
+    * SAME 7-comparisons-per-row rule as the whole-image dHash — so the
+    * window hashes are sub-rectangles of one global comparison grid, and
+    * a block-aligned crop of another image reproduces that image's patch
+    * hash at the crop's offset EXACTLY (a uniform brightness shift
+    * preserves every comparison). The 2D twin of
+    * [[audioSpanFingerprints]]; windows per image are linear in pixels /
+    * blockPx², shuffled as four integers, never pixels. */
+  def imagePatchHashes(media: Dataset[MediaRow],
+                       blockPx: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val (gw, gh, bm) = blockMeans(m.media_id, m.payload, blockPx)
+      for {
+        oy <- (0 to gh - GridH).iterator
+        ox <- (0 to gw - GridW).iterator
+      } yield {
+        var fp = 0L
+        var r = 0
+        while (r < GridH) {
+          var c = 0
+          while (c < GridW - 1) {
+            if (bm((oy + r) * gw + ox + c) < bm((oy + r) * gw + ox + c + 1))
+              fp |= 1L << (r * (GridW - 1) + c)
+            c += 1
+          }
+          r += 1
+        }
+        (m.media_id, ox, oy, fp)
+      }
+    }).toDF("media_id", "ox", "oy", "phash")
+  }
+
+  /** Image crop containment search — the 2D twin of [[audioClipMatches]]
+    * (and the cropped-meme case whole-image dHash structurally misses:
+    * cropping changes the normalized 8×8 grid, so the whole-image hashes
+    * share nothing). A crop's single window print (its (0,0) patch hash)
+    * is matched against every corpus window via the cross-side band-chunk
+    * join, exact Hamming verify; a block-aligned, brightness-shifted crop
+    * hits its source image at its offset at Hamming 0. Offsets pack into
+    * 10 bits each (block grids up to 1024 on a side — at blockPx=2 that
+    * is a 2048-pixel image side; larger inputs should raise blockPx).
+    * Output (crop_id, image_id, ox, oy, hamming). */
+  def imageCropMatches(crops: Dataset[MediaRow], images: Dataset[MediaRow],
+                       blockPx: Int = 2, maxHamming: Int = 3,
+                       bands: Int = 4): DataFrame = {
+    val OffBits = 10
+    val cp = imagePatchHashes(crops, blockPx)
+      .filter(col("ox") === 0 && col("oy") === 0)
+      .select(col("media_id"), lit(0).as("frame_idx"),
+        col("phash").as("dhash"))
+    val ip = imagePatchHashes(images, blockPx)
+      .select(col("media_id"),
+        (col("oy") * (1 << OffBits) + col("ox")).as("frame_idx"),
+        col("phash").as("dhash"))
+    crossFramePairsH(cp, ip, maxHamming, bands)
+      .select(col("media_a").as("crop_id"), col("media_b").as("image_id"),
+        (col("frame_b") % (1 << OffBits)).cast("int").as("ox"),
+        (col("frame_b") / (1 << OffBits)).cast("int").as("oy"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Crop-containment fixtures, corpus side: PNGs planted PER 2×2 BLOCK —
+    * block (bx, by) of image g holds
+    * v = (bx²·(13 + g mod 31) + by²·(7 + g mod 29) + bx·by·(3 + g mod 17)
+    * + g·11) mod 226 at every pixel (so block means ARE the formula), on
+    * a (12 + g mod 4) × (10 + g mod 3) block grid. The 226 bound leaves
+    * headroom for the crop side's +30 brightness shift without wrap
+    * (order-preserving); per-image coefficients multiply the position
+    * terms (the measured q239 degeneracy rule). */
+  def syntheticCropImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gw = (12 + id % 4).toInt
+      val gh = (10 + id % 3).toInt
+      def v(bx: Int, by: Int): Int =
+        ((bx.toLong * bx * (13 + id % 31) + by.toLong * by * (7 + id % 29) +
+          bx.toLong * by * (3 + id % 17) + id * 11) % 226).toInt
+      val w = 2 * gw; val h = 2 * gh
+      val px: Int => Int = { i =>
+        if (i % 4 == 3) 255
+        else { val k = i / 4; v((k % w) / 2, (k / w) / 2) }
+      }
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+  }
+
+  /** Crop-containment fixtures, crop side (even doc_ids): role
+    * doc_id mod 4 == 0 is the 8×8-block crop of its own corpus image at
+    * block offset (g mod 5, g mod 3), brightness-shifted +30 (every
+    * comparison preserved — the crop must hit at Hamming 0 through a
+    * DIFFERENT byte payload); role 2 a distractor from another
+    * formula. */
+  def syntheticImageCrops(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 2 == 0).map { id =>
+      val ox = (id % 5).toInt; val oy = (id % 3).toInt
+      def v(c: Int, r: Int): Int =
+        if (id % 4 == 0)
+          (((ox + c).toLong * (ox + c) * (13 + id % 31) +
+            (oy + r).toLong * (oy + r) * (7 + id % 29) +
+            (ox + c).toLong * (oy + r) * (3 + id % 17) +
+            id * 11) % 226).toInt + 30
+        else
+          ((c.toLong * c * 19 + r.toLong * r * 23 + c.toLong * r * 29 +
+            id * 7 + 99) % 226).toInt
+      val w = 2 * GridW; val h = 2 * GridH
+      val px: Int => Int = { i =>
+        if (i % 4 == 3) 255
+        else { val k = i / 4; v((k % w) / 2, (k / w) / 2) }
+      }
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+  }
+
   /** Video clip-in-video ONE-SIDED containment: was this SHORT clip
     * lifted from some longer video in the corpus? [[videoNearDups]]'s
     * two-sided containment (least of BOTH coverages) structurally misses

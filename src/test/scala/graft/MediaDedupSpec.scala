@@ -329,4 +329,60 @@ class MediaDedupSpec extends SparkSpec {
     // each 1000-sample track has exactly 100 - 57 + 1 = 44 spans
     assert(spans.count(_._1 == 1L) === 44)
   }
+
+  test("image crop containment: a brightness-shifted block-aligned crop " +
+    "hits its source offset at Hamming 0; whole-image dHash misses it; " +
+    "banded == brute; partial edge blocks dropped") {
+    import spark.implicits._
+    // 24x20 source (12x10 blocks of 2x2 px), per-block quadratic values
+    def v(bx: Int, by: Int): Int = (bx * bx * 13 + by * by * 7 + bx * by * 3) % 226
+    def png(id: Long, gw: Int, gh: Int, f: (Int, Int) => Int): MediaRow = {
+      val w = 2 * gw; val h = 2 * gh
+      val px: Int => Int = i =>
+        if (i % 4 == 3) 255 else { val k = i / 4; f((k % w) / 2, (k / w) / 2) }
+      MediaRow(id, "image", Containers.pngFull(w, h, px), w, h, 1)
+    }
+    val source = png(1, 12, 10, v)
+    val other = png(2, 12, 10, (bx, by) => (bx * 31 + by * 17 + 200) % 226)
+    // crop = blocks [3, 11) x [2, 10), +30 brightness (different bytes!)
+    val crop = png(10, 8, 8, (c, r) => v(3 + c, 2 + r) + 30)
+    val images = Seq(source, other).toDS()
+    val crops = Seq(crop).toDS()
+    val got = MediaDedup.imageCropMatches(crops, images)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(got.exists(m => m == ((10L, 1L, 3, 2, 0))),
+      s"planted crop hit missing from ${got.toSeq}")
+    // whole-image dHash misses the same pair: cropping changes the
+    // normalized 8x8 grid entirely
+    val wholeCrop = MediaDedup.dhashOneImage(10L, crop.payload)
+    val wholeSrc = MediaDedup.dhashOneImage(1L, source.payload)
+    assert(java.lang.Long.bitCount(wholeCrop ^ wholeSrc) > 3)
+    // banded == brute over the patch-hash tables
+    val cp = MediaDedup.imagePatchHashes(crops).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val ip = MediaDedup.imagePatchHashes(images).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val lead = cp.filter(p => p._2 == 0 && p._3 == 0)
+    val brute = (for {
+      (cid, _, _, cph) <- lead
+      (iid, ox, oy, iph) <- ip
+      h = java.lang.Long.bitCount(cph ^ iph)
+      if h <= 3
+    } yield (cid, iid, ox, oy, h)).toSet
+    assert(got.toSet === brute)
+    // a 25x20 image has the same 12x10 FULL-block grid (the trailing
+    // 1px column is dropped), so its patch hashes match the 24x20 twin's
+    val odd = MediaRow(3, "image", Containers.pngFull(25, 20, { i =>
+      if (i % 4 == 3) 255
+      else { val k = i / 4; val x = k % 25; val y = k / 25
+        if (x == 24) 0 else v(x / 2, y / 2) }
+    }), 25, 20, 1)
+    val oddHashes = MediaDedup.imagePatchHashes(Seq(odd).toDS()).collect()
+      .map(r => ((r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    val srcHashes = ip.filter(_._1 == 1L)
+      .map(p => ((p._2, p._3), p._4)).toMap
+    assert(oddHashes === srcHashes)
+  }
 }
