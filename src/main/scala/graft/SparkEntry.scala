@@ -1702,6 +1702,41 @@ object SparkEntry {
         graft.multimodal.MediaDedup.syntheticImageCrops(docs),
         graft.multimodal.MediaDedup.syntheticCropImages(docs))
     },
+    // --- image quality stats [ext]: the image twin of the text quality
+    // heuristics — exposure/contrast gates over DECODED pixels (header
+    // metadata cannot answer "is it over-exposed or flat"). Exact-integer
+    // statistics (gray sums, the n*sumsq - sum^2 variance numerator,
+    // clipped-pixel counts) so the oracle replays the q217 planted pixel
+    // formula arithmetically through the real decode path
+    // (budget <= 3 s) ---
+    "q242_image_quality" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageQualityStats(
+        graft.multimodal.Multimodal.syntheticPixelMedia(
+          t(s, d, "documents").filter(col("doc_id") % 2 === 0)))),
+    // --- media curation artifact [ext]: the media twin of q223's
+    // composition endgame — perceptual dedup (cross-format clusters,
+    // min-id canonical keep) -> exposure quality gate (<= 1/16 dark
+    // pixels, exact integer arithmetic) -> CHECK-constrained governed
+    // lake write (the gate AND a not-flat constraint observed in the
+    // write pass) -> read-back. Every stage is individually
+    // oracle-checked (q225, q242, q161); this row proves the chain.
+    // Fixture persists (every stage re-reads payloads) ---
+    "q243_media_curation_artifact" -> { (s, d) =>
+      val media = graft.multimodal.MediaDedup.syntheticCrossFormatImages(
+        t(s, d, "documents")).persist()
+      val canon = graft.multimodal.MediaDedup.imageClusters(media)
+        .filter(col("media_id") === col("cluster_id")).select("media_id")
+      val survivors = graft.multimodal.MediaDedup.imageQualityStats(media)
+        .join(canon, Seq("media_id"))
+        .filter(col("n_dark") * 16 <= col("n_px"))
+      val lake = new graft.tables.LakeTable(s,
+        graft.tables.TempLakes.create("graft_media_curation_lake"))
+      lake.write(survivors, "curated_media", constraints = Seq(
+        ("dark_frac_bound", "n_dark * 16 <= n_px"),
+        ("not_flat", "var_num > 0")))
+      lake.read("curated_media").select(col("media_id"), col("n_px"),
+        col("sum_gray"), col("var_num"), col("n_dark"), col("n_bright"))
+    },
     // --- split leakage audit [ext]: independent verification of q199's
     // leakage-free claim — near-dup pairs RECOMPUTED from scratch (q24
     // chain) and counted across split boundaries (zero is the theorem),
@@ -4483,6 +4518,63 @@ object SparkEntry {
         "CAST(t.o AS INTEGER) AS track_offset, " +
         "CAST(bit_count(xor(c.sfp, t.sfp)) AS INTEGER) AS hamming " +
         "FROM cf c JOIN tf t ON bit_count(xor(c.sfp, t.sfp)) <= 3"),
+    // image quality replay: per-pixel gray from the q217 planted RGBA
+    // formula (floor of the channel mean), exact integer sums
+    "q242_image_quality" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(4 + (n_chars % 13) AS BIGINT) AS w, " +
+        "CAST(3 + ((n_chars * 7) % 11) AS BIGINT) AS h " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, ((media_id * 31 + 4*k) % 256 + " +
+        "(media_id * 31 + 4*k + 1) % 256 + " +
+        "(media_id * 31 + 4*k + 2) % 256) // 3 AS gray FROM px) " +
+        "SELECT media_id, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(sum(gray) AS BIGINT) AS sum_gray, " +
+        "CAST(count(*) * sum(gray * gray) - sum(gray) * sum(gray) AS BIGINT) " +
+        "AS var_num, " +
+        "CAST(sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
+        "CAST(sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
+        "FROM g GROUP BY 1"),
+    // media curation artifact replay: the q225 hash/closure arithmetic
+    // for canonical keepers + the per-pixel quality sums from the same
+    // planted formula, gated at <= 1/16 dark
+    "q243_media_curation_artifact" ->
+      ("WITH RECURSIVE dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+        "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
+        "v AS (SELECT doc_id, w, h, " +
+        "(g*29 + (k % w)*(3 + (g % 7) * 9) + (k // w)*(2 + (g % 5) * 7)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS dhash FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1), " +
+        "edges AS (SELECT x.doc_id AS a, y.doc_id AS b FROM fp x " +
+        "JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dhash, y.dhash)) <= 3), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "canon AS (SELECT fp.doc_id AS media_id FROM fp " +
+        "LEFT JOIN compmap ON fp.doc_id = compmap.n " +
+        "WHERE least(fp.doc_id, coalesce(mn, fp.doc_id)) = fp.doc_id), " +
+        "qs AS (SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(sum(val) AS BIGINT) AS sum_gray, " +
+        "CAST(count(*) * sum(val * val) - sum(val) * sum(val) AS BIGINT) AS var_num, " +
+        "CAST(sum(CASE WHEN val < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
+        "CAST(sum(CASE WHEN val > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
+        "FROM v GROUP BY 1) " +
+        "SELECT qs.media_id, n_px, sum_gray, var_num, n_dark, n_bright " +
+        "FROM qs JOIN canon ON qs.media_id = canon.media_id " +
+        "WHERE n_dark * 16 <= n_px"),
     // image crop replay: block values from the planted per-block quadratic,
     // ONE global adjacent-comparison grid per image, window hashes as
     // sub-rectangle bit sums, crop prints from the shifted formula (+30 —

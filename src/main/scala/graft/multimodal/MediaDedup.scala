@@ -539,6 +539,34 @@ object MediaDedup {
   private val FrameBits = 20
   private val FrameMask = (1L << FrameBits) - 1L
 
+  /** Exposure/contrast quality stats over DECODED pixels — the image twin
+    * of the text quality heuristics (length/punct/stopword ratios): the
+    * classical pre-training image gates are "not over/under-exposed, not
+    * flat", and header metadata cannot answer them. Format-blind (PNG or
+    * GIF by magic), every statistic an EXACT integer so an oracle replays
+    * it arithmetically: gray = (r+g+b)/3 per pixel (the dHash convention),
+    * `sum_gray` (mean = sum/n), `var_num` = n·Σgray² − (Σgray)² (the
+    * integer variance numerator — 0 iff the image is perfectly flat;
+    * exact within int64 up to ~8 MP per image, raise to sampled stats
+    * beyond), `n_dark` (gray < 16) and `n_bright` (gray > 239) for the
+    * clipped-exposure fractions. One decode pass per image; output is
+    * |images|-grain. */
+  def imageQualityStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      var n = 0L; var s = 0L; var s2 = 0L; var dark = 0L; var bright = 0L
+      foreachDecodedPixel(m.media_id, m.payload) { (_, _) => () } {
+        (_, _, r, g, b) =>
+          val gray = (r + g + b) / 3
+          n += 1L; s += gray; s2 += gray.toLong * gray
+          if (gray < 16) dark += 1L
+          if (gray > 239) bright += 1L
+      }
+      (m.media_id, n, s, n * s2 - s * s, dark, bright)
+    }).toDF("media_id", "n_px", "sum_gray", "var_num", "n_dark", "n_bright")
+  }
+
   /** FIXED-grid grayscale block means of one decoded image (format-blind,
     * like [[dhashOneImage]]): block (bx, by) covers the blockPx×blockPx
     * pixel square at (bx·blockPx, by·blockPx); trailing partial rows/

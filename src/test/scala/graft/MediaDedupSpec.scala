@@ -385,4 +385,40 @@ class MediaDedupSpec extends SparkSpec {
       .map(p => ((p._2, p._3), p._4)).toMap
     assert(oddHashes === srcHashes)
   }
+
+  test("imageQualityStats: exact integer stats through the real decode; " +
+    "a flat image has var_num 0; PNG and GIF of one content agree") {
+    import spark.implicits._
+    val w = 9; val h = 7
+    // channel-varied RGBA so gray = floor((r+g+b)/3) is exercised
+    def ch(i: Int): Int = if (i % 4 == 3) 255 else (i * 37 + i / 4) % 256
+    val varied = MediaRow(1, "image", Containers.pngFull(w, h, ch), w, h, 1)
+    val flat = MediaRow(2, "image",
+      Containers.pngFull(w, h, i => if (i % 4 == 3) 255 else 77), w, h, 1)
+    // GIF twin of a gray ramp PNG: identity palette, index == gray
+    def ramp(k: Int): Int = (k * 11) % 256
+    val rampPng = MediaRow(3, "image",
+      Containers.pngFull(w, h, i => if (i % 4 == 3) 255 else ramp(i / 4)),
+      w, h, 1)
+    val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    val rampGif = MediaRow(4, "image",
+      Containers.gifFull(w, h, ramp, grayPalette, minCodeSize = 8), w, h, 1)
+    val stats = MediaDedup.imageQualityStats(
+        Seq(varied, flat, rampPng, rampGif).toDS())
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // replay the varied image's stats from the planting formula
+    val grays = (0 until w * h).map(k =>
+      (ch(4 * k) + ch(4 * k + 1) + ch(4 * k + 2)) / 3)
+    val n = grays.length.toLong
+    val s = grays.map(_.toLong).sum
+    val s2 = grays.map(g => g.toLong * g).sum
+    assert(stats(1L) === ((n, s, n * s2 - s * s,
+      grays.count(_ < 16).toLong, grays.count(_ > 239).toLong)))
+    // flat: variance numerator exactly zero, no clipped pixels
+    assert(stats(2L) === ((n, 77L * n, 0L, 0L, 0L)))
+    // format-blind: the GIF re-encode reports the identical stats row
+    assert(stats(3L) === stats(4L))
+  }
 }
