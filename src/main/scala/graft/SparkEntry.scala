@@ -1721,6 +1721,40 @@ object SparkEntry {
     // write pass) -> read-back. Every stage is individually
     // oracle-checked (q225, q242, q161); this row proves the chain.
     // Fixture persists (every stage re-reads payloads) ---
+    // --- video quality gates [ext]: black-frame and flat-frame
+    // detection over DECODED frames — exact integers (gray sum < 16*px
+    // = black; zero variance numerator = flat; a textured near-black
+    // frame counts black but NOT flat, planted as such). Oracle replays
+    // the per-frame per-pixel formula arithmetically (budget <= 3 s) ---
+    "q245_video_quality" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoQualityStats(
+        graft.multimodal.MediaDedup.syntheticQualityVideos(
+          t(s, d, "documents")))),
+    // --- audio quality gates [ext]: clipping (full-scale samples),
+    // planted-silence windows (zero-energy absolute windows, trailing
+    // partial dropped), exact abs-sum and peak. The planted clipped
+    // sample inside a silent window keeps that window non-silent on both
+    // engines — the interaction is contract, not noise (budget <= 3 s) ---
+    "q246_audio_quality" -> ((s, d) =>
+      graft.multimodal.MediaDedup.audioQualityStats(
+        graft.multimodal.MediaDedup.syntheticQualityClips(
+          t(s, d, "documents")))),
+    // --- streaming AUDIO ingest with contour dedup [ext]: completes the
+    // streaming matrix (text q196, image q229, video q236, audio q244) —
+    // the whole-clip energy-contour fingerprint rides the SAME generalized
+    // batch body as the image ingest (in-batch Hamming components, min-id
+    // keep, banded cross-check against the committed lake), so a
+    // volume-scaled copy of a committed clip arriving in a later batch is
+    // rejected and replays are idempotent. Oracle = the q229 recursive
+    // template over the q220 afp replay (budget <= 3 s) ---
+    "q244_audio_ingest_twin" -> { (s, d) =>
+      val media = graft.multimodal.MediaDedup.syntheticNearDupAudio(
+        t(s, d, "documents")).toDF().persist()
+      graft.stream.MediaIngest.audioIngestTwin(s,
+        media.filter(col("media_id") % 2 === 0),
+        media.filter(col("media_id") % 2 === 1),
+        shufflePartitions = Some(8))
+    },
     "q243_media_curation_artifact" -> { (s, d) =>
       val media = graft.multimodal.MediaDedup.syntheticCrossFormatImages(
         t(s, d, "documents")).persist()
@@ -4536,6 +4570,98 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
         "CAST(sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
         "FROM g GROUP BY 1"),
+    // video quality replay: per-frame per-pixel gray from the planted
+    // three-case formula, black = sum < 16*px, flat = zero variance num
+    "q245_video_quality" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(8 + doc_id % 3 * 2 AS BIGINT) AS w, " +
+        "CAST(8 + doc_id % 2 * 2 AS BIGINT) AS h, " +
+        "CAST(3 + doc_id % 3 AS BIGINT) AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM d), " +
+        "px AS (SELECT doc_id, w, h, f, unnest(range(w * h)) AS k FROM fr), " +
+        "g AS (SELECT doc_id, w, h, f, " +
+        "CASE WHEN f % 3 = 0 THEN (doc_id*13 + f*7 + (k % w)*5 + (k // w)*3) % 256 " +
+        "WHEN f % 3 = 1 THEN (doc_id*3 + f) % 200 + 20 " +
+        "ELSE ((k % w) + (k // w)) % 8 END AS gray FROM px), " +
+        "fs AS (SELECT doc_id, f, w * h AS npx, sum(gray) AS s, " +
+        "sum(gray * gray) AS s2 FROM g GROUP BY doc_id, f, w, h) " +
+        "SELECT doc_id AS media_id, " +
+        "CAST(count(*) AS BIGINT) AS n_frames_scanned, " +
+        "CAST(sum(CASE WHEN s < 16 * npx THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_black_frames, " +
+        "CAST(sum(CASE WHEN npx * s2 - s * s = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_flat_frames, " +
+        "CAST(sum(s) AS BIGINT) AS sum_gray " +
+        "FROM fs GROUP BY 1"),
+    // audio quality replay: per-sample CASE (clip / planted silence /
+    // sweep), window energies over full windows only
+    "q246_audio_quality" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "CAST(300 + doc_id % 20 * 10 AS BIGINT) AS n FROM documents), " +
+        "sp AS (SELECT doc_id, n, unnest(range(n)) AS p FROM d), " +
+        "v AS (SELECT doc_id, n, p, " +
+        "CASE WHEN p % 97 = 0 THEN 32767 " +
+        "WHEN (p // 10) % 5 = 4 THEN 0 " +
+        "ELSE ((doc_id*7 + p*11) % 4096) - 2048 END AS s FROM sp), " +
+        "agg AS (SELECT doc_id, max(n) AS n_samples, sum(abs(s)) AS sum_abs, " +
+        "max(abs(s)) AS peak_abs, " +
+        "sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS n_clipped " +
+        "FROM v GROUP BY 1), " +
+        "en AS (SELECT doc_id, p // 10 AS w, sum(abs(s)) AS e FROM v " +
+        "WHERE p < (n // 10) * 10 GROUP BY 1, 2), " +
+        "sil AS (SELECT doc_id, count(*) AS n_windows, " +
+        "sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS n_silent FROM en GROUP BY 1) " +
+        "SELECT agg.doc_id AS media_id, " +
+        "CAST(n_samples AS BIGINT) AS n_samples, " +
+        "CAST(sum_abs AS BIGINT) AS sum_abs, " +
+        "CAST(peak_abs AS BIGINT) AS peak_abs, " +
+        "CAST(n_clipped AS BIGINT) AS n_clipped, " +
+        "CAST(n_windows AS BIGINT) AS n_windows, " +
+        "CAST(n_silent AS BIGINT) AS n_silent_windows " +
+        "FROM agg JOIN sil ON agg.doc_id = sil.doc_id"),
+    // audio ingest replay: the q229 recursive template (same-parity
+    // in-batch closures, batch-1 canonicals admit, batch-2 canonicals
+    // drop on any Hamming-<=3 hit against an admitted batch-1 clip) over
+    // the q220 energy-contour fingerprint arithmetic
+    "q244_audio_ingest_twin" ->
+      ("WITH RECURSIVE dd AS (SELECT doc_id, doc_id // 3 AS g, " +
+        "doc_id % 3 AS role FROM documents), " +
+        "dm AS (SELECT doc_id, g, role, " +
+        "CAST(128 + (g % 64) * 4 AS BIGINT) AS n FROM dd), " +
+        "s AS (SELECT doc_id, g, role, n, unnest(range(n)) AS p FROM dm), " +
+        "v AS (SELECT doc_id, (p * 57) // n AS wdx, " +
+        "abs(CASE WHEN role = 2 THEN ((g*41 + p*13 + 999) % 4096) - 2048 " +
+        "WHEN role = 1 AND p % 101 = 0 " +
+        "THEN ((g*17 + p*5) % 4096) - 2048 + 7 " +
+        "ELSE ((g*17 + p*5) % 4096) - 2048 END) AS av FROM s), " +
+        "e AS (SELECT doc_id, wdx, sum(av) AS energy FROM v GROUP BY 1, 2), " +
+        "bits AS (SELECT l.doc_id, l.wdx AS j FROM e l " +
+        "JOIN e r ON l.doc_id = r.doc_id AND r.wdx = l.wdx + 1 " +
+        "WHERE r.energy > l.energy), " +
+        "fp AS MATERIALIZED (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS afp FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1), " +
+        "edges AS (SELECT x.doc_id AS a, y.doc_id AS b FROM fp x " +
+        "JOIN fp y ON x.doc_id < y.doc_id AND x.doc_id % 2 = y.doc_id % 2 " +
+        "WHERE bit_count(xor(x.afp, y.afp)) <= 3), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "lab AS (SELECT fp.doc_id, " +
+        "least(fp.doc_id, coalesce(mn, fp.doc_id)) AS cid " +
+        "FROM fp LEFT JOIN compmap ON fp.doc_id = compmap.n), " +
+        "a1 AS (SELECT doc_id FROM lab WHERE doc_id % 2 = 0 AND cid = doc_id), " +
+        "c2 AS (SELECT doc_id FROM lab WHERE doc_id % 2 = 1 AND cid = doc_id), " +
+        "rej AS (SELECT DISTINCT c2.doc_id FROM c2 " +
+        "JOIN fp f2 ON c2.doc_id = f2.doc_id " +
+        "CROSS JOIN a1 JOIN fp f1 ON a1.doc_id = f1.doc_id " +
+        "WHERE bit_count(xor(f2.afp, f1.afp)) <= 3), " +
+        "adm AS (SELECT doc_id FROM a1 UNION ALL " +
+        "SELECT c2.doc_id FROM c2 LEFT JOIN rej USING (doc_id) " +
+        "WHERE rej.doc_id IS NULL) " +
+        "SELECT adm.doc_id AS media_id, CAST(fp.afp AS BIGINT) AS dhash " +
+        "FROM adm JOIN fp ON adm.doc_id = fp.doc_id"),
     // media curation artifact replay: the q225 hash/closure arithmetic
     // for canonical keepers + the per-pixel quality sums from the same
     // planted formula, gated at <= 1/16 dark

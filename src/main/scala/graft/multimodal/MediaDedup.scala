@@ -567,6 +567,133 @@ object MediaDedup {
     }).toDF("media_id", "n_px", "sum_gray", "var_num", "n_dark", "n_bright")
   }
 
+  /** Per-video exposure/flatness gates over DECODED frames — the video
+    * twin of [[imageQualityStats]]: black-frame and flat-frame detection
+    * are the standard cheap video gates (a capture glitch or padding
+    * segment shows up as black or perfectly flat frames long before any
+    * model sees it). Exact integers throughout: a frame is BLACK when its
+    * gray sum < 16·pixels (mean below the dark threshold) and FLAT when
+    * its integer variance numerator n·Σg²−(Σg)² is zero (a black frame
+    * with texture counts black but not flat). One decode pass; `everyN`
+    * samples frames exactly as [[videoFrameHashes]] does. */
+  def videoQualityStats(media: Dataset[MediaRow],
+                        everyN: Int = 1): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, frames) = Multimodal.decodeAviRgb(m.media_id, m.payload)
+      val npx = w.toLong * h
+      var scanned = 0L; var black = 0L; var flat = 0L; var sumAll = 0L
+      var f = 0
+      while (f < frames.length) {
+        if (f % everyN == 0) {
+          val fr = frames(f)
+          var s = 0L; var s2 = 0L
+          var i = 0
+          while (i < fr.length) {
+            val gray = ((fr(i) & 0xFF) + (fr(i + 1) & 0xFF) +
+              (fr(i + 2) & 0xFF)) / 3
+            s += gray; s2 += gray.toLong * gray
+            i += 3
+          }
+          scanned += 1L; sumAll += s
+          if (s < 16L * npx) black += 1L
+          if (npx * s2 - s * s == 0L) flat += 1L
+        }
+        f += 1
+      }
+      (m.media_id, scanned, black, flat, sumAll)
+    }).toDF("media_id", "n_frames_scanned", "n_black_frames",
+      "n_flat_frames", "sum_gray")
+  }
+
+  /** Per-clip clipping/silence/loudness gates over decoded PCM16
+    * samples — the audio twin of [[imageQualityStats]]: full-scale
+    * samples (±32767/−32768) count as clipped, absolute `windowSamples`-
+    * sample windows with zero energy count as silent (trailing partial
+    * window dropped, the [[audioSpanFingerprints]] rule), plus the exact
+    * absolute-amplitude sum and peak. All integers; one RIFF walk. */
+  def audioQualityStats(media: Dataset[MediaRow],
+                        windowSamples: Int = 10): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (_, _, samples) = Multimodal.pcm16Samples(m.media_id, m.payload)
+      val n = samples.length
+      var sumAbs = 0L; var peak = 0L; var clipped = 0L
+      var i = 0
+      while (i < n) {
+        val a = math.abs(samples(i).toInt).toLong
+        sumAbs += a
+        if (a > peak) peak = a
+        if (samples(i) == Short.MaxValue || samples(i) == Short.MinValue)
+          clipped += 1L
+        i += 1
+      }
+      val nw = n / windowSamples
+      var silent = 0L
+      var w0 = 0
+      while (w0 < nw) {
+        var e = 0L
+        var j = w0 * windowSamples
+        val end = j + windowSamples
+        while (j < end) { e += math.abs(samples(j).toInt).toLong; j += 1 }
+        if (e == 0L) silent += 1L
+        w0 += 1
+      }
+      (m.media_id, n.toLong, sumAbs, peak, clipped, nw.toLong, silent)
+    }).toDF("media_id", "n_samples", "sum_abs", "peak_abs", "n_clipped",
+      "n_windows", "n_silent_windows")
+  }
+
+  /** Quality-gate video fixtures: frame f of video g cycles through the
+    * three cases the gates must separate — f mod 3 == 0 a gradient
+    * (healthy), 1 a FLAT mid-gray frame, 2 a textured near-BLACK frame
+    * (gray < 16 everywhere but varying — black yet not flat). */
+  def syntheticQualityVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 3 * 2).toInt
+      val h = (8 + id % 2 * 2).toInt
+      val nf = (3 + id % 3).toInt
+      val px: (Int, Int, Int, Int) => Int = (f, x, y, _) => (f % 3) match {
+        case 0 => ((id * 13 + f * 7 + x * 5 + y * 3) % 256).toInt
+        case 1 => ((id * 3 + f) % 200 + 20).toInt
+        case _ => (x + y) % 8
+      }
+      MediaRow(id, "video", Containers.aviFull(w, h, nf, px), w, h, nf)
+    }
+  }
+
+  /** Quality-gate audio fixtures: sample p of clip g is full-scale
+    * clipped at every 97th position, zero through every 5th absolute
+    * 10-sample window (planted silence), and a per-clip sweep elsewhere.
+    * A clipped sample landing inside a "silent" window makes that window
+    * non-silent — both engines replay the same per-sample CASE, so the
+    * interaction is part of the contract, not noise. */
+  def syntheticQualityClips(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (300 + id % 20 * 10).toInt
+      val body = new Array[Byte](n * 2)
+      var p = 0
+      while (p < n) {
+        val s =
+          if (p % 97 == 0) 32767
+          else if ((p / 10) % 5 == 4) 0
+          else (((id * 7 + p.toLong * 11) % 4096) - 2048).toInt
+        body(2 * p) = (s & 0xFF).toByte
+        body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+        p += 1
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+  }
+
   /** FIXED-grid grayscale block means of one decoded image (format-blind,
     * like [[dhashOneImage]]): block (bx, by) covers the blockPx×blockPx
     * pixel square at (bx·blockPx, by·blockPx); trailing partial rows/

@@ -58,38 +58,64 @@ object MediaIngest {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
-  /** One micro-batch of the perceptual ingest (also the deterministic
-    * batch twin's unit — the q196 stream == twin discipline). Sized
-    * shuffles + AQE off for the batch span when `shufflePartitions` is
-    * set (the [[CorpusIngest.nearDupBatch]] micro-batch discipline). */
-  def perceptualBatch(batchDf: DataFrame, lake: LakeTable, table: String,
-                      maxHamming: Int = 3, bands: Int = 4,
-                      shufflePartitions: Option[Int] = None): Unit =
+  /** Sized shuffles + AQE off for one micro-batch span (the
+    * [[CorpusIngest.nearDupBatch]] discipline): AQE re-planning on
+    * batch-sized exchanges is pure scheduling tax, measured in round 10.
+    * Conf is set/restored around the body; foreachBatch bodies run
+    * sequentially per query, so the session-global conf flip is safe. */
+  private def withSizedShuffles(spark: SparkSession,
+                                shufflePartitions: Option[Int])
+                               (body: => Unit): Unit =
     shufflePartitions match {
       case Some(n) =>
-        val spark = batchDf.sparkSession
         val key = "spark.sql.shuffle.partitions"
         val aqKey = "spark.sql.adaptive.enabled"
         val prev = spark.conf.get(key)
         val aqPrev = spark.conf.get(aqKey)
         spark.conf.set(key, n.toString)
         spark.conf.set(aqKey, "false")
-        try perceptualBatchBody(batchDf, lake, table, maxHamming, bands)
+        try body
         finally { spark.conf.set(key, prev); spark.conf.set(aqKey, aqPrev) }
-      case None =>
-        perceptualBatchBody(batchDf, lake, table, maxHamming, bands)
+      case None => body
     }
 
-  private def perceptualBatchBody(batchDf: DataFrame, lake: LakeTable,
-                                  table: String, maxHamming: Int,
-                                  bands: Int): Unit = {
+  /** One micro-batch of the perceptual ingest (also the deterministic
+    * batch twin's unit — the q196 stream == twin discipline). */
+  def perceptualBatch(batchDf: DataFrame, lake: LakeTable, table: String,
+                      maxHamming: Int = 3, bands: Int = 4,
+                      shufflePartitions: Option[Int] = None): Unit =
+    withSizedShuffles(batchDf.sparkSession, shufflePartitions) {
+      fingerprintBatchBody(batchDf, lake, table, maxHamming, bands,
+        m => MediaDedup.imageDHash(m))
+    }
+
+  /** Audio twin of [[perceptualBatch]]: the whole-clip energy-contour
+    * fingerprint ([[MediaDedup.audioFingerprint]]) rides the SAME
+    * generalized batch body — in-batch Hamming components, min-id keep,
+    * banded cross-check against the committed lake. A volume-scaled copy
+    * of a committed clip arriving in a later batch is rejected. */
+  def audioBatch(batchDf: DataFrame, lake: LakeTable, table: String,
+                 maxHamming: Int = 3, bands: Int = 4,
+                 shufflePartitions: Option[Int] = None): Unit =
+    withSizedShuffles(batchDf.sparkSession, shufflePartitions) {
+      fingerprintBatchBody(batchDf, lake, table, maxHamming, bands,
+        m => MediaDedup.audioFingerprint(m).withColumnRenamed("afp", "dhash"))
+    }
+
+  /** Generalized whole-item fingerprint ingest batch: any (media_id,
+    * dhash) fingerprinter (image dHash, audio contour) gets the same
+    * in-batch dedup + lake check + admit pipeline. */
+  private def fingerprintBatchBody(batchDf: DataFrame, lake: LakeTable,
+                                   table: String, maxHamming: Int,
+                                   bands: Int,
+                                   fingerprint: org.apache.spark.sql.Dataset[Multimodal.MediaRow] => DataFrame): Unit = {
     val spark = batchDf.sparkSession
     import spark.implicits._
     val media = batchDf.as[Multimodal.MediaRow]
     // fingerprints feed the in-batch pair stage, the cross-batch check,
     // and the admit join (shared-subtree persist; released in finally —
     // a failing payload must not leak cached blocks across stream retries)
-    val fps = MediaDedup.imageDHash(media).persist()
+    val fps = fingerprint(media).persist()
     try {
       // in-batch perceptual dedup: min media_id per Hamming component
       val pairs = Dedup.hammingBandPairs(fps, "dhash", MediaDedup.FingerprintBits,
@@ -139,6 +165,35 @@ object MediaIngest {
     lake.read("media").select(col("media_id"), col("dhash"))
   }
 
+  /** Start the streaming AUDIO ingest with contour dedup; one lake commit
+    * per micro-batch ([[audioBatch]]). */
+  def startAudioDedup(spark: SparkSession, dir: String, lake: LakeTable,
+                      table: String, maxHamming: Int = 3, bands: Int = 4,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      checkpoint: Option[String] = None,
+                      shufflePartitions: Option[Int] = None): StreamingQuery = {
+    val w = readMediaStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        audioBatch(batch.toDF(), lake, table, maxHamming, bands,
+          shufflePartitions)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Deterministic two-batch twin of the AUDIO ingest (the q229 contract
+    * on the energy-contour fingerprint). */
+  def audioIngestTwin(spark: SparkSession, batch1: DataFrame,
+                      batch2: DataFrame, maxHamming: Int = 3,
+                      bands: Int = 4,
+                      shufflePartitions: Option[Int] = None): DataFrame = {
+    val dir = graft.tables.TempLakes.create("graft_audio_ingest_lake")
+    val lake = new LakeTable(spark, dir)
+    Seq(batch1, batch2).foreach(b =>
+      audioBatch(b, lake, "media", maxHamming, bands, shufflePartitions))
+    lake.read("media").select(col("media_id"), col("dhash"))
+  }
+
   /** Start the streaming VIDEO ingest with shared-frame perceptual dedup;
     * one lake commit per micro-batch ([[videoBatch]]). */
   def startVideoDedup(spark: SparkSession, dir: String, lake: LakeTable,
@@ -182,21 +237,9 @@ object MediaIngest {
                  everyN: Int = 2, maxHamming: Int = 3, bands: Int = 4,
                  minSharedFrac: Double = 0.5,
                  shufflePartitions: Option[Int] = None): Unit =
-    shufflePartitions match {
-      case Some(n) =>
-        val spark = batchDf.sparkSession
-        val key = "spark.sql.shuffle.partitions"
-        val aqKey = "spark.sql.adaptive.enabled"
-        val prev = spark.conf.get(key)
-        val aqPrev = spark.conf.get(aqKey)
-        spark.conf.set(key, n.toString)
-        spark.conf.set(aqKey, "false")
-        try videoBatchBody(batchDf, lake, table, everyN, maxHamming, bands,
-          minSharedFrac)
-        finally { spark.conf.set(key, prev); spark.conf.set(aqKey, aqPrev) }
-      case None =>
-        videoBatchBody(batchDf, lake, table, everyN, maxHamming, bands,
-          minSharedFrac)
+    withSizedShuffles(batchDf.sparkSession, shufflePartitions) {
+      videoBatchBody(batchDf, lake, table, everyN, maxHamming, bands,
+        minSharedFrac)
     }
 
   private def videoBatchBody(batchDf: DataFrame, lake: LakeTable,

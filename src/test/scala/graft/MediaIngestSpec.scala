@@ -88,6 +88,66 @@ class MediaIngestSpec extends SparkSpec {
     assert(twin === landed)
   }
 
+  // 570-sample PCM16 clip: window j (57 windows of 10 samples) at amp(j)
+  private def wavClip(id: Long, amp: Int => Int): MediaRow = {
+    val n = 570
+    val body = new Array[Byte](n * 2)
+    var p = 0
+    while (p < n) {
+      val s = amp(p / 10)
+      body(2 * p) = (s & 0xFF).toByte
+      body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+      p += 1
+    }
+    MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+  }
+
+  test("streamed audio: in-batch and cross-batch volume-scaled contour " +
+    "dups drop; replays idempotent; stream == twin") {
+    val in = Files.createTempDirectory("graft-audio-in").toString
+    val lake = new LakeTable(spark,
+      Files.createTempDirectory("graft-audio-lake").toString)
+    // contour = t prefix-ones (energies rise through window t, then flat)
+    def clip(id: Long, t: Int, scale: Int = 1) =
+      wavClip(id, j => math.min(j, t) * 10 * scale)
+    val b1 = Seq(
+      clip(1, 10),            // canonical
+      clip(2, 10, scale = 3), // in-batch volume-scaled copy of 1
+      clip(3, 30))            // distinct (hamming 20 from 1)
+    val b2 = Seq(
+      clip(4, 10, scale = 2), // cross-batch volume-scaled copy of committed 1
+      clip(5, 50))            // novel
+    writeBatchFile(in, "b1", b1)
+    val q1 = MediaIngest.startAudioDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+    writeBatchFile(in, "b2", b2)
+    val q2 = MediaIngest.startAudioDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+    // no-checkpoint replay: the lake is the contour index
+    val q3 = MediaIngest.startAudioDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q3.awaitTermination(120000)
+    assert(q3.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+    // stream == deterministic twin
+    import spark.implicits._
+    val twin = MediaIngest.audioIngestTwin(spark,
+      b1.toDS().toDF(), b2.toDS().toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val landed = lake.read("media").select("media_id", "dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twin === landed)
+  }
+
   // 16x16 video whose frame f's grayscale is planted per 2x2 block from
   // the given per-frame gray functions (the image fixture, per frame)
   private def aviVideo(id: Long, frames: Seq[(Int, Int) => Int]): MediaRow =
