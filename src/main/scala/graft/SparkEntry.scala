@@ -1721,6 +1721,36 @@ object SparkEntry {
     // write pass) -> read-back. Every stage is individually
     // oracle-checked (q225, q242, q161); this row proves the chain.
     // Fixture persists (every stage re-reads payloads) ---
+    // --- MULTIMODAL curation artifact [ext]: the capstone composition —
+    // an item survives iff it is the min-id canonical of the JOINT
+    // text ∪ image ∪ audio near-dup graph (q238) AND passes the text
+    // gate (n_chars >= 100) AND the image exposure gate (<= 1/16 dark
+    // pixels, q242 arithmetic on the cross-format images). Survivors land
+    // through a CHECK-constrained governed write (both gates observed in
+    // the write pass) and read back. Every stage individually
+    // oracle-checked (q238, q242, q161); this row proves the joint chain
+    // (budget <= 5 s — it contains the full q238 closure) ---
+    "q247_multimodal_curation_artifact" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1998).persist()
+      val images = graft.multimodal.MediaDedup
+        .syntheticCrossFormatImages(docs).persist()
+      val canon = graft.multimodal.MediaDedup.multimodalClusters(docs,
+          images, graft.multimodal.MediaDedup.syntheticNearDupAudio(docs))
+        .filter(col("item_id") === col("cluster_id")).select("item_id")
+      val survivors = docs.select(col("doc_id").as("item_id"), col("n_chars"))
+        .join(canon, Seq("item_id"))
+        .join(graft.multimodal.MediaDedup.imageQualityStats(images)
+          .withColumnRenamed("media_id", "item_id"), Seq("item_id"))
+        .filter(col("n_chars") >= 100 && col("n_dark") * 16 <= col("n_px"))
+        .select("item_id", "n_chars", "n_px", "n_dark")
+      val lake = new graft.tables.LakeTable(s,
+        graft.tables.TempLakes.create("graft_mm_curation_lake"))
+      lake.write(survivors, "curated_items", constraints = Seq(
+        ("text_len", "n_chars >= 100"),
+        ("dark_frac_bound", "n_dark * 16 <= n_px")))
+      lake.read("curated_items")
+        .select(col("item_id"), col("n_chars"), col("n_px"), col("n_dark"))
+    },
     // --- video quality gates [ext]: black-frame and flat-frame
     // detection over DECODED frames — exact integers (gray sum < 16*px
     // = black; zero variance numerator = flat; a textured near-black
@@ -4570,6 +4600,29 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
         "CAST(sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
         "FROM g GROUP BY 1"),
+    // multimodal curation replay: the q238 union closure for canonicals +
+    // the image quality aggregate straight off the shared per-pixel CTE +
+    // the documents text gate
+    "q247_multimodal_curation_artifact" ->
+      (s"WITH RECURSIVE $multimodalPairCtes, " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM tp " +
+        "UNION SELECT doc_a, doc_b FROM ip " +
+        "UNION SELECT doc_a, doc_b FROM ap), " +
+        "bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "r(n, m) AS (SELECT a, b FROM bi " +
+        "UNION SELECT r.n, bi.b FROM r JOIN bi ON bi.a = r.m), " +
+        "compmap AS (SELECT n, min(m) AS mn FROM r GROUP BY n), " +
+        "canon AS (SELECT dd.doc_id AS item_id FROM dd " +
+        "LEFT JOIN compmap ON dd.doc_id = compmap.n " +
+        "WHERE least(dd.doc_id, coalesce(mn, dd.doc_id)) = dd.doc_id), " +
+        "iq AS (SELECT doc_id AS item_id, CAST(count(*) AS BIGINT) AS n_px, " +
+        "CAST(sum(CASE WHEN val < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark " +
+        "FROM v GROUP BY 1), " +
+        s"dl AS (SELECT doc_id AS item_id, n_chars FROM $multimodalSrc) " +
+        "SELECT canon.item_id, n_chars, n_px, n_dark " +
+        "FROM canon JOIN dl ON canon.item_id = dl.item_id " +
+        "JOIN iq ON canon.item_id = iq.item_id " +
+        "WHERE n_chars >= 100 AND n_dark * 16 <= n_px"),
     // video quality replay: per-frame per-pixel gray from the planted
     // three-case formula, black = sum < 16*px, flat = zero variance num
     "q245_video_quality" ->

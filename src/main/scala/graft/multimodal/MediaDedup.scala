@@ -320,7 +320,10 @@ object MediaDedup {
     * longs per row, never samples. Alignment granularity is one window
     * (`windowSamples` samples): an excerpt cut mid-window lands between
     * offsets and is out of contract, as with any fixed-grid
-    * fingerprinter. */
+    * fingerprinter. A clip shorter than 57 full windows yields NO spans
+    * (it cannot carry the 56-comparison contour) and silently drops out
+    * of any span-based search — size `windowSamples` to the shortest
+    * clip you need findable. */
   def audioSpanFingerprints(media: Dataset[MediaRow],
                             windowSamples: Int = 10): DataFrame = {
     val spark = media.sparkSession
