@@ -262,6 +262,44 @@ class PropertySpec extends SparkSpec {
       assert(viaStream === viaArray, s"n=$n")
     }
   }
+
+  test("property: patch hashes through the real PNG codec equal brute " +
+    "window recomputation, and any aligned crop under any brightness " +
+    "shift reproduces the source's window hash") {
+    import graft.multimodal.MediaDedup
+    import graft.multimodal.Multimodal.{Containers, MediaRow}
+    import spark.implicits._
+    // block values <= 215 so a shift <= 40 never wraps (order-preserving)
+    val caseGen = Gen.zip(Gen.chooseNum(8, 12), Gen.chooseNum(8, 11),
+      Gen.listOfN(200, Gen.chooseNum(0, 215)), Gen.chooseNum(0, 40))
+    def png(id: Long, gw: Int, gh: Int, f: (Int, Int) => Int): MediaRow = {
+      val w = 2 * gw; val h = 2 * gh
+      val px: Int => Int = i =>
+        if (i % 4 == 3) 255 else { val k = i / 4; f((k % w) / 2, (k / w) / 2) }
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+    samples(caseGen, 6).foreach { case (gw, gh, vals, shift) =>
+      def v(bx: Int, by: Int): Int = vals((by * gw + bx) % vals.length)
+      val ox = shift % (gw - 7); val oy = shift % (gh - 7)
+      val media = Seq(png(1, gw, gh, v),
+        png(2, 8, 8, (c, r) => v(ox + c, oy + r) + shift)).toDS()
+      val hashes = MediaDedup.imagePatchHashes(media).collect()
+        .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+        .toMap
+      val brute = (for (wy <- 0 to gh - 8; wx <- 0 to gw - 8) yield {
+        var fp = 0L
+        for (r <- 0 until 8; c <- 0 until 7)
+          if (v(wx + c, wy + r) < v(wx + c + 1, wy + r))
+            fp |= 1L << (r * 7 + c)
+        ((1L, wx, wy), fp)
+      }).toMap
+      assert(hashes.view.filterKeys(_._1 == 1L).toMap === brute,
+        s"gw=$gw gh=$gh")
+      assert(hashes((2L, 0, 0)) === brute((1L, ox, oy)),
+        s"crop at ($ox, $oy) shift $shift")
+    }
+  }
 }
 
 case class PS(id: Long, k: Long, v: Long)
