@@ -1721,6 +1721,20 @@ object SparkEntry {
     // write pass) -> read-back. Every stage is individually
     // oracle-checked (q225, q242, q161); this row proves the chain.
     // Fixture persists (every stage re-reads payloads) ---
+    // --- CROSS-CONTAINER video dedup [ext]: real ANIMATED GIF decode
+    // (per-frame LZW streams under the restricted full-frame/global-
+    // palette profile; partial-frame compositing fails fast by design)
+    // makes the whole frame-level video surface FORMAT-BLIND — an AVI and
+    // an animated-GIF re-encode of the same frames share no container
+    // bytes but decode to identical RGB, so shared-frame containment
+    // flags every planted pair at match_frac 1 (the video-level q224).
+    // Oracle replays ONE frame-hash formula for both members and
+    // brute-forces pairs + containment (budget <= 3 s) ---
+    "q248_crosscontainer_video_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoNearDups(
+        graft.multimodal.MediaDedup.syntheticCrossContainerVideos(
+          t(s, d, "documents")), everyN = 2, maxHamming = 3, bands = 4,
+        minSharedFrac = 0.5)),
     // --- MULTIMODAL curation artifact [ext]: the capstone composition —
     // an item survives iff it is the min-id canonical of the JOINT
     // text ∪ image ∪ audio near-dup graph (q238) AND passes the text
@@ -4600,6 +4614,45 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
         "CAST(sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
         "FROM g GROUP BY 1"),
+    // cross-container video replay: ONE planted frame formula covers both
+    // the AVI and the animated-GIF member (identity gray palette), q231's
+    // hash + containment arithmetic over doc_id/2 pairs
+    "q248_crosscontainer_video_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(12 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 4 AS BIGINT) AS h, " +
+        "CAST(3 + g % 3 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "(g*29 + f*17 + (k % w)*(3 + (g * 13) % 251) + " +
+        "(k // w)*(2 + (g * 7) % 241)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sf2 GROUP BY 1), " +
+        "pmb AS (SELECT x.doc_id AS ma, y.doc_id AS mb, x.f AS fa, y.f AS fb " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dh, y.dh)) <= 3), " +
+        "aggb AS (SELECT ma, mb, count(DISTINCT fa) AS matched_a, " +
+        "count(DISTINCT fb) AS matched_b FROM pmb GROUP BY 1, 2) " +
+        "SELECT ma AS media_a, mb AS media_b, " +
+        "CAST(matched_a AS BIGINT) AS matched_a, " +
+        "CAST(matched_b AS BIGINT) AS matched_b, " +
+        "least(matched_a / ca.n, matched_b / cb.n) AS match_frac " +
+        "FROM aggb JOIN cnt ca ON aggb.ma = ca.doc_id " +
+        "JOIN cnt cb ON aggb.mb = cb.doc_id " +
+        "WHERE least(matched_a / ca.n, matched_b / cb.n) >= 0.5"),
     // multimodal curation replay: the q238 union closure for canonicals +
     // the image quality aggregate straight off the shared per-pixel CTE +
     // the documents text gate

@@ -585,7 +585,7 @@ object MediaDedup {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val (w, h, frames) = Multimodal.decodeAviRgb(m.media_id, m.payload)
+      val (w, h, frames) = Multimodal.decodeVideoRgb(m.media_id, m.payload)
       val npx = w.toLong * h
       var scanned = 0L; var black = 0L; var flat = 0L; var sumAll = 0L
       var f = 0
@@ -852,6 +852,35 @@ object MediaDedup {
     }
   }
 
+  /** Cross-CONTAINER video fixtures: doc_ids come in planted pairs
+    * (group g = doc_id/2) — the even member an AVI carrying uncompressed
+    * DIB frames, the odd member an ANIMATED GIF (per-frame LZW streams,
+    * identity gray palette) of the SAME planted frames. The two payloads
+    * share no container bytes, but both decode to identical RGB, so every
+    * frame-level operator must treat them as the same video. Frame
+    * formula keeps the wide prime-modulus multipliers (the q232 rule). */
+  def syntheticCrossContainerVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      val w = (12 + (g % 5) * 4).toInt
+      val h = (8 + ((g * 3) % 4) * 4).toInt
+      val nf = (3 + g % 3).toInt
+      def v(f: Int, x: Int, y: Int): Int =
+        ((g * 29 + f * 17 + x * (3 + (g * 13) % 251) +
+          y * (2 + (g * 7) % 241)) % 256).toInt
+      if (id % 2 == 0)
+        MediaRow(id, "video",
+          Containers.aviFull(w, h, nf, (f, x, y, _) => v(f, x, y)), w, h, nf)
+      else
+        MediaRow(id, "video",
+          Containers.gifAnimated(w, h, nf, (f, k) => v(f, k % w, k / w),
+            grayPalette, minCodeSize = 8), w, h, nf)
+    }
+  }
+
   /** Video clip-in-video ONE-SIDED containment: was this SHORT clip
     * lifted from some longer video in the corpus? [[videoNearDups]]'s
     * two-sided containment (least of BOTH coverages) structurally misses
@@ -923,7 +952,7 @@ object MediaDedup {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.flatMap { m =>
-      val (w, h, frames) = Multimodal.decodeAviRgb(m.media_id, m.payload)
+      val (w, h, frames) = Multimodal.decodeVideoRgb(m.media_id, m.payload)
       require(frames.length < (1 << FrameBits),
         s"media ${m.media_id}: ${frames.length} frames overflow the frame-id pack")
       frames.iterator.zipWithIndex.collect {
@@ -1170,7 +1199,7 @@ object MediaDedup {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val (w, h, frames) = Multimodal.decodeAviRgb(m.media_id, m.payload)
+      val (w, h, frames) = Multimodal.decodeVideoRgb(m.media_id, m.payload)
       require(w >= GridW && h >= GridH,
         s"media ${m.media_id}: descriptor needs >= ${GridW}x$GridH, got ${w}x$h")
       val acc = new Array[Long](GridW * GridH)

@@ -258,6 +258,50 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Animated GIF89a: header + global color table, then PER FRAME a
+      * Graphic Control Extension, a FULL-FRAME image descriptor, and its
+      * own [[lzwEncode]]'d index stream in ≤126-byte sub-blocks — the
+      * restricted profile [[Multimodal.decodeGifFrames]] accepts.
+      * `idx(f, k)` supplies frame f's palette index at pixel k. */
+    def gifAnimated(width: Int, height: Int, nFrames: Int,
+                    idx: (Int, Int) => Int, palette: Array[Byte],
+                    minCodeSize: Int = 6): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0,
+        "gifAnimated needs positive dimensions and frame count")
+      val nColors = palette.length / 3
+      require(nColors >= 2 &&
+        nColors == (1 << (Integer.numberOfTrailingZeros(nColors))) &&
+        palette.length % 3 == 0,
+        "palette must hold a power-of-two color count >= 2")
+      val gctBits = Integer.numberOfTrailingZeros(nColors) - 1
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(width); le16(height)
+      out.write(0x80 | (7 << 4) | gctBits)
+      out.write(0); out.write(0)
+      out.write(palette)
+      for (f <- 0 until nFrames) {
+        out.write(0x21); out.write(0xF9) // GCE per frame
+        out.write(4); out.write(0); le16(4); out.write(0); out.write(0)
+        out.write(0x2C)
+        le16(0); le16(0); le16(width); le16(height)
+        out.write(0)
+        out.write(minCodeSize)
+        val data = lzwEncode(
+          Array.tabulate(width * height)(k => idx(f, k)), minCodeSize)
+        var off = 0
+        while (off < data.length) {
+          val n = math.min(126, data.length - off)
+          out.write(n); out.write(data, off, n)
+          off += n
+        }
+        out.write(0)
+      }
+      out.write(0x3B)
+      out.toByteArray
+    }
+
     /** The Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
       * the linear estimate a + b − c, ties in a, b, c order. */
     def paeth(a: Int, b: Int, c: Int): Int = {
@@ -922,6 +966,110 @@ object Multimodal {
       s"media $id: avih declares $declared frames, movi carries ${frames.length}")
     (w, h, frames.toArray)
   }
+
+  /** ALL frames of an animated GIF under the same restricted profile as
+    * [[decodeGifIdx]] (global palette, non-interlaced, no local tables)
+    * plus the animation restrictions that keep frames exactly replayable:
+    * every frame must be FULL-FRAME at (0, 0) with the logical-screen
+    * dims (partial-frame updates and disposal compositing fail fast with
+    * named causes — out of scope by design, stated here). Returns
+    * (width, height, one palette-index array per frame, palette,
+    * nColors). */
+  private[graft] def decodeGifFrames(id: Long, p: Array[Byte])
+      : (Int, Int, Array[Array[Int]], Array[Byte], Int) = {
+    def u8(off: Int): Int = p(off) & 0xFF
+    def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
+    require(p.length >= 13 &&
+      new String(p, 0, 6, "US-ASCII").matches("GIF8[79]a"),
+      s"media $id: not a GIF signature")
+    val sw = le16(6); val sh = le16(8)
+    val packed = u8(10)
+    require((packed & 0x80) != 0,
+      s"media $id: only global-color-table GIFs are supported")
+    val nColors = 1 << ((packed & 7) + 1)
+    val gctOff = 13
+    var off = gctOff + 3 * nColors
+    require(off <= p.length, s"media $id: truncated global color table")
+    def guard(need: Int, what: String): Unit =
+      require(off + need <= p.length, s"media $id: truncated GIF ($what)")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var done = false
+    while (!done) {
+      guard(1, "block introducer")
+      u8(off) match {
+        case 0x21 => // extension: skip sub-blocks
+          off += 2
+          while ({ guard(1, "extension sub-block"); u8(off) != 0 }) {
+            guard(1 + u8(off), "extension sub-block"); off += 1 + u8(off)
+          }
+          off += 1
+        case 0x2C => // image descriptor
+          guard(11, "image descriptor")
+          val left = le16(off + 1); val top = le16(off + 3)
+          val w = le16(off + 5); val h = le16(off + 7)
+          require(left == 0 && top == 0 && w == sw && h == sh,
+            s"media $id: partial-frame GIF animation out of scope " +
+              s"(frame ${frames.length} is ${w}x$h at ($left, $top), " +
+              s"screen is ${sw}x$sh)")
+          val ipacked = u8(off + 9)
+          require((ipacked & 0x80) == 0,
+            s"media $id: local color tables unsupported")
+          require((ipacked & 0x40) == 0, s"media $id: interlaced GIFs unsupported")
+          val minCodeSize = u8(off + 10)
+          require(minCodeSize >= 2 && minCodeSize <= 8,
+            s"media $id: invalid LZW min code size $minCodeSize")
+          off += 11
+          val data = new java.io.ByteArrayOutputStream()
+          while ({ guard(1, "image data sub-block"); u8(off) != 0 }) {
+            val n = u8(off)
+            guard(1 + n, "image data sub-block")
+            data.write(p, off + 1, n)
+            off += 1 + n
+          }
+          off += 1 // sub-block terminator
+          val indices = lzwDecode(id, data.toByteArray, minCodeSize, w * h)
+          var k = 0
+          while (k < indices.length) {
+            require(indices(k) < nColors, s"media $id: pixel index " +
+              s"${indices(k)} outside the $nColors-color palette")
+            k += 1
+          }
+          frames += indices
+        case 0x3B => done = true // trailer
+        case b => throw new IllegalArgumentException(
+          s"media $id: unexpected GIF block 0x${b.toHexString}")
+      }
+    }
+    require(frames.nonEmpty, s"media $id: GIF carries no image blocks")
+    (sw, sh,
+      frames.toArray,
+      java.util.Arrays.copyOfRange(p, gctOff, gctOff + 3 * nColors), nColors)
+  }
+
+  /** FORMAT-BLIND video decode: RIFF/AVI payloads take [[decodeAviRgb]];
+    * GIF payloads decode every animation frame ([[decodeGifFrames]]) and
+    * map palette indices to RGB — so an animated-GIF re-encode of an AVI
+    * carries pixel-identical frames and every frame-level video operator
+    * (hashing, dedup, shots, quality) works across the container
+    * boundary. */
+  private[graft] def decodeVideoRgb(id: Long, p: Array[Byte])
+      : (Int, Int, Array[Array[Byte]]) =
+    if (p.length >= 3 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte) {
+      val (w, h, idxFrames, palette, _) = decodeGifFrames(id, p)
+      val rgbFrames = idxFrames.map { indices =>
+        val rgb = new Array[Byte](3 * indices.length)
+        var k = 0
+        while (k < indices.length) {
+          val j = 3 * indices(k)
+          rgb(3 * k) = palette(j); rgb(3 * k + 1) = palette(j + 1)
+          rgb(3 * k + 2) = palette(j + 2)
+          k += 1
+        }
+        rgb
+      }
+      (w, h, rgbFrames)
+    } else decodeAviRgb(id, p)
 
   /** Per-frame census over REAL AVI frame decode, with REAL frame
     * sampling: only every `everyN`-th frame (frame_idx % everyN == 0) is

@@ -211,6 +211,42 @@ class VideoSpec extends SparkSpec {
     assert(math.abs(top(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
+  test("animated GIF: all frames decode through per-frame LZW; an AVI " +
+    "and its animated-GIF re-encode collide frame-for-frame; " +
+    "partial-frame animations fail fast by name") {
+    val w = 10; val h = 9; val nf = 3
+    def v(f: Int, x: Int, y: Int): Int = (f * 31 + x * 7 + y * 13) % 256
+    val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    val gif = Containers.gifAnimated(w, h, nf,
+      (f, k) => v(f, k % w, k / w), grayPalette, minCodeSize = 8)
+    val (gw, gh, idxFrames, pal, _) = Multimodal.decodeGifFrames(7L, gif)
+    assert(gw === w && gh === h && idxFrames.length === nf)
+    for (f <- 0 until nf; k <- 0 until w * h)
+      assert(idxFrames(f)(k) === v(f, k % w, k / w), s"f=$f k=$k")
+    assert((pal(3 * 5) & 0xFF) === 5)
+    // the format-blind video decode maps the identity palette to r=g=b
+    val avi = Containers.aviFull(w, h, nf, (f, x, y, _) => v(f, x, y))
+    val (aw, ah, aviFrames) = Multimodal.decodeVideoRgb(8L, avi)
+    val (bw, bh, gifFrames) = Multimodal.decodeVideoRgb(9L, gif)
+    assert((aw, ah) === ((bw, bh)))
+    for (f <- 0 until nf)
+      assert(aviFrames(f).toSeq === gifFrames(f).toSeq, s"frame $f")
+    // partial-frame animation: named fail-fast, not wrong pixels
+    val partial = {
+      val full = Containers.gifAnimated(4, 4, 1, (_, k) => k % 4,
+        Array.tabulate(4 * 3)(b => (b / 3).toByte), minCodeSize = 2)
+      // patch the image descriptor's width (offset: 6 header + 7 LSD
+      // tail... locate 0x2C instead and patch its w field)
+      val d = full.clone()
+      val imgOff = d.indexOf(0x2C.toByte)
+      d(imgOff + 5) = 2 // width 4 -> 2
+      d
+    }
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeGifFrames(10L, partial))
+    assert(e.getMessage.contains("partial-frame"))
+  }
+
   test("videoClipMatches: a frame-decimated clip hits its source at " +
     "clip_frac 1, which two-sided containment structurally misses") {
     val media = MediaDedup.syntheticNearDupVideos(
