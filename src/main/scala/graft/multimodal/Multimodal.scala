@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Upper bound on decoded pixels per image/frame (64 Mpx ≈ 256 MB of
+    * RGBA): hostile headers can declare dimensions up to 2^31, and
+    * without a named bound the buffer math overflows into an unnamed
+    * NegativeArraySizeException or an allocation the executor cannot
+    * survive. Real corpus assets sit orders of magnitude below this. */
+  private[graft] val MaxDecodePixels: Long = 1L << 26
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                             width: Int, height: Int, n_frames: Int)
@@ -738,6 +745,11 @@ object Multimodal {
       val len = be(off)
       val typ = new String(p, off + 4, 4, "US-ASCII")
       val dataOff = off + 8
+      // a chunk length >= 2^31 reads as a NEGATIVE Int: without this
+      // guard it passes the truncation check and walks the offset
+      // backwards — an infinite loop on hostile bytes (the ingest path
+      // decodes untrusted crawl payloads; every exit must be named)
+      require(len >= 0, s"media $id: negative $typ chunk length $len")
       require(dataOff + len + 4 <= p.length,
         s"media $id: truncated $typ chunk")
       typ match {
@@ -755,6 +767,10 @@ object Multimodal {
       off = dataOff + len + 4
     }
     require(w > 0 && h > 0, s"media $id: missing or empty IHDR")
+    // hostile IHDR dims (up to 2^31) would overflow the buffer size into
+    // an unnamed NegativeArraySizeException/OOM — bound the product
+    require(w.toLong * h <= MaxDecodePixels,
+      s"media $id: ${w}x$h exceeds the $MaxDecodePixels-pixel decode bound")
     val bpp = 4
     val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
@@ -762,8 +778,18 @@ object Multimodal {
     inflater.setInput(idat.toByteArray)
     var filled = 0
     while (filled < raw.length && !inflater.finished()) {
-      val n = inflater.inflate(raw, filled, raw.length - filled)
-      require(n > 0 || !inflater.needsInput(),
+      // corrupt zlib bytes surface as a checked DataFormatException —
+      // name it; and demand PROGRESS each round (n == 0 while unfinished,
+      // e.g. a preset-dictionary demand, would spin forever on hostile
+      // input under the old needsInput-only check)
+      val n =
+        try inflater.inflate(raw, filled, raw.length - filled)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"media $id: corrupt IDAT zlib stream (${e.getMessage})")
+        }
+      require(n > 0 || inflater.finished(),
         s"media $id: truncated IDAT stream")
       filled += n
     }
@@ -844,6 +870,9 @@ object Multimodal {
     val samples = new scala.collection.mutable.ArrayBuilder.ofShort
     while (off + 8 <= p.length) {
       val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
+      // see decodePngRgba: a >= 2^31 length reads negative and would walk
+      // the offset backwards forever on hostile bytes
+      require(len >= 0, s"media $id: negative $t chunk length $len")
       require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
       t match {
         case "fmt " =>
@@ -907,8 +936,12 @@ object Multimodal {
     var off = 12
     while (off + 8 <= p.length) {
       val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
+      // see decodePngRgba: a >= 2^31 length reads negative and would walk
+      // the offset backwards forever on hostile bytes
+      require(len >= 0, s"media $id: negative $t chunk length $len")
       require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
       if (t == "LIST") {
+        require(len >= 4, s"media $id: LIST chunk too short for a type ($len)")
         val ltype = tag(dataOff)
         if (ltype == "hdrl" || ltype == "strl" || ltype == "movi")
           off = dataOff + 4 // descend: children start right after the type
@@ -920,6 +953,9 @@ object Multimodal {
             declared = le32(dataOff + 16) // dwTotalFrames
             w = le32(dataOff + 32); h = le32(dataOff + 36)
             require(w > 0 && h > 0, s"media $id: bad avih dims ${w}x$h")
+            require(w.toLong * h <= MaxDecodePixels,
+              s"media $id: ${w}x$h exceeds the $MaxDecodePixels-pixel " +
+                "decode bound")
           case "strf" =>
             require(len >= 40, s"media $id: strf BITMAPINFOHEADER too short")
             val bitCount = le16(dataOff + 14)
@@ -1007,6 +1043,8 @@ object Multimodal {
           guard(11, "image descriptor")
           val left = le16(off + 1); val top = le16(off + 3)
           val w = le16(off + 5); val h = le16(off + 7)
+          require(w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels,
+            s"media $id: bad GIF frame dims ${w}x$h")
           require(left == 0 && top == 0 && w == sw && h == sh,
             s"media $id: partial-frame GIF animation out of scope " +
               s"(frame ${frames.length} is ${w}x$h at ($left, $top), " +
@@ -1167,6 +1205,8 @@ object Multimodal {
       s"media $id: expected an image descriptor, got 0x${u8(off).toHexString}")
     guard(11, "image descriptor")
     val w = le16(off + 5); val h = le16(off + 7)
+    require(w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels,
+      s"media $id: bad GIF frame dims ${w}x$h")
     val ipacked = u8(off + 9)
     require((ipacked & 0x80) == 0, s"media $id: local color tables unsupported")
     require((ipacked & 0x40) == 0, s"media $id: interlaced GIFs unsupported")

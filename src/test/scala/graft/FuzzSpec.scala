@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Containers
+
+/** Adversarial-bytes fuzz over every media decoder: the streaming ingest
+  * feeds UNTRUSTED crawl payloads through these walks, so each one must
+  * either decode or throw a NAMED IllegalArgumentException ("media <id>:
+  * cause") — never an index error, a negative-array-size, an unnamed zip
+  * error, or an unbounded loop/allocation. Deterministic PRNG; three
+  * attack shapes per decoder: random tails behind a valid magic, byte
+  * mutations of a valid payload, and truncations of a valid payload.
+  * This suite found (and now pins the fixes for) the signed RIFF/PNG
+  * chunk-length infinite loops, the unnamed zlib DataFormatException,
+  * and the hostile-dimension allocation overflows. */
+class FuzzSpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(42)
+
+  private def fuzzOne(label: String, payload: Array[Byte],
+                      decode: Array[Byte] => Any): Unit = {
+    try { decode(payload); () }
+    catch {
+      case e: IllegalArgumentException =>
+        assert(e.getMessage != null && e.getMessage.contains("media"),
+          s"$label: unnamed IllegalArgumentException: ${e.getMessage}")
+      case e: Throwable =>
+        fail(s"$label: non-contract ${e.getClass.getName}: ${e.getMessage}")
+    }
+  }
+
+  private def fuzz(name: String, valid: Array[Byte], magicLen: Int,
+                   decode: Array[Byte] => Any): Unit = {
+    // (a) valid magic + random tail
+    for (i <- 0 until 150) {
+      val tail = new Array[Byte](rng.nextInt(300))
+      rng.nextBytes(tail)
+      fuzzOne(s"$name/tail#$i", valid.take(magicLen) ++ tail, decode)
+    }
+    // (b) mutations of a valid payload (1-8 flipped bytes)
+    for (i <- 0 until 200) {
+      val m = valid.clone()
+      for (_ <- 0 to rng.nextInt(8))
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+      fuzzOne(s"$name/mut#$i", m, decode)
+    }
+    // (c) truncations
+    for (i <- 0 until 100)
+      fuzzOne(s"$name/trunc#$i", valid.take(rng.nextInt(valid.length)), decode)
+  }
+
+  private val pngPayload =
+    Containers.pngFull(12, 9, i => (i * 31) % 256, filterType = 3)
+  private val wavPayload = {
+    val body = Array.tabulate(400)(p => ((p * 37) % 251 - 125).toByte)
+    Containers.wav(1, 16000, body)
+  }
+  private val aviPayload =
+    Containers.aviFull(6, 5, 3, (f, x, y, c) => (f * 31 + x * 7 + y * 13 + c) % 256)
+  private val gifPayload = Containers.gifAnimated(8, 7, 2,
+    (f, k) => (f * 3 + k) % 16,
+    Array.tabulate(16 * 3)(b => (b * 5).toByte), minCodeSize = 4)
+
+  test("fuzz: PNG decode fails only by name on hostile bytes") {
+    fuzz("png", pngPayload, 8, p => Multimodal.decodePngRgba(1L, p))
+  }
+
+  test("fuzz: WAV sample decode fails only by name on hostile bytes") {
+    fuzz("wav", wavPayload, 12, p => Multimodal.pcm16Samples(2L, p))
+  }
+
+  test("fuzz: AVI frame decode fails only by name on hostile bytes") {
+    fuzz("avi", aviPayload, 12, p => Multimodal.decodeAviRgb(3L, p))
+  }
+
+  test("fuzz: animated GIF decode fails only by name on hostile bytes") {
+    fuzz("gif", gifPayload, 6, p => Multimodal.decodeGifFrames(4L, p))
+    fuzz("gif1", gifPayload, 6, p => Multimodal.decodeGifIdx(5L, p))
+  }
+
+  test("fuzz: the format-blind video dispatch inherits the contract") {
+    fuzz("vid-avi", aviPayload, 12, p => Multimodal.decodeVideoRgb(6L, p))
+    fuzz("vid-gif", gifPayload, 6, p => Multimodal.decodeVideoRgb(7L, p))
+  }
+
+  test("the exact signed-length attacks that motivated the guards " +
+    "fail by name, not by hanging") {
+    // RIFF chunk with length -8: old walk re-landed on the same offset
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val evilWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(-8) ++ Array.fill(40)(0.toByte)
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.pcm16Samples(9L, evilWav))
+    assert(e1.getMessage.contains("negative"))
+    val evilAvi = "RIFF".getBytes ++ le32(100) ++ "AVI ".getBytes ++
+      "JUNK".getBytes ++ le32(-8) ++ Array.fill(40)(0.toByte)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb(10L, evilAvi))
+    assert(e2.getMessage.contains("negative"))
+    // PNG chunk with length -12: same re-landing loop pre-guard
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val be = (v: Int) => Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val evilPng = sig ++ be(-12) ++ "IHDR".getBytes ++ Array.fill(30)(0.toByte)
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.decodePngRgba(11L, evilPng))
+    assert(e3.getMessage.contains("negative"))
+  }
+}
