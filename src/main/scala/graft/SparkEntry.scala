@@ -1721,6 +1721,19 @@ object SparkEntry {
     // write pass) -> read-back. Every stage is individually
     // oracle-checked (q225, q242, q161); this row proves the chain.
     // Fixture persists (every stage re-reads payloads) ---
+    // --- image boilerplate / watermark region detection [ext]: the image
+    // twin of the text boilerplate detector — a block mean recurring
+    // VERBATIM across >= 50 distinct images at one grid position is
+    // template chrome, not content (watermarks inflate perceptual
+    // near-dup candidates AND leak template pixels into training data,
+    // and per-image stats cannot see them by construction). One groupBy
+    // over exploded block means; fixture stamps a fixed 4x2 logo on every
+    // third image over per-image quadratic content; oracle replays both
+    // formulas (budget <= 3 s) ---
+    "q249_image_boilerplate" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBoilerplateBlocks(
+        graft.multimodal.MediaDedup.syntheticWatermarkImages(
+          t(s, d, "documents")), minImages = 50L)),
     // --- CROSS-CONTAINER video dedup [ext]: real ANIMATED GIF decode
     // (per-frame LZW streams under the restricted full-frame/global-
     // palette profile; partial-frame compositing fails fast by design)
@@ -4614,6 +4627,22 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
         "CAST(sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
         "FROM g GROUP BY 1"),
+    // image boilerplate replay: block values from the stamped-logo CASE
+    // over the per-image quadratic, grouped by (position, value)
+    "q249_image_boilerplate" ->
+      ("WITH d AS (SELECT doc_id FROM documents), " +
+        "bb AS (SELECT doc_id, unnest(range(120)) AS b FROM d), " +
+        "bm AS (SELECT doc_id, b % 12 AS bx, b // 12 AS by, " +
+        "CASE WHEN doc_id % 3 = 0 AND b % 12 < 4 AND b // 12 < 2 " +
+        "THEN (b % 12) * 50 + (b // 12) * 30 + 7 " +
+        "ELSE ((b % 12)*(b % 12)*(13 + doc_id % 31) + " +
+        "(b // 12)*(b // 12)*(7 + doc_id % 29) + " +
+        "(b % 12)*(b // 12)*(3 + doc_id % 17) + doc_id*11) % 226 END AS mean " +
+        "FROM bb) " +
+        "SELECT CAST(bx AS INTEGER) AS bx, CAST(by AS INTEGER) AS by, " +
+        "CAST(mean AS BIGINT) AS mean, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images " +
+        "FROM bm GROUP BY 1, 2, 3 HAVING count(DISTINCT doc_id) >= 50"),
     // cross-container video replay: ONE planted frame formula covers both
     // the AVI and the animated-GIF member (identity gray palette), q231's
     // hash + containment arithmetic over doc_id/2 pairs

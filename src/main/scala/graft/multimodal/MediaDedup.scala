@@ -730,6 +730,62 @@ object MediaDedup {
     (gw, gh, means)
   }
 
+  /** Exploded fixed-grid block means, one row per (image, block) — the
+    * shared substrate of [[imagePatchHashes]] and
+    * [[imageBoilerplateBlocks]]. Output (media_id, bx, by, mean). */
+  def imageBlockMeans(media: Dataset[MediaRow], blockPx: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val (gw, _, bm) = blockMeans(m.media_id, m.payload, blockPx)
+      bm.iterator.zipWithIndex.map { case (mean, i) =>
+        (m.media_id, i % gw, i / gw, mean)
+      }
+    }).toDF("media_id", "bx", "by", "mean")
+  }
+
+  /** Template/watermark region detection — the image twin of the text
+    * boilerplate detector: a block mean recurring VERBATIM across many
+    * DISTINCT images at the same grid position is template chrome
+    * (watermark, logo, border, UI frame), not content. Watermarks poison
+    * curation twice — they inflate perceptual near-dup candidates (every
+    * watermarked pair shares hash bits) and leak template pixels into
+    * training data — and they are invisible to per-image statistics by
+    * construction. One groupBy over the exploded block means; the
+    * aggregate is |grid × 256|-bounded per position, never image-pair
+    * shaped. Output (bx, by, mean, n_images) for cells recurring in
+    * >= `minImages` distinct images. */
+  def imageBoilerplateBlocks(media: Dataset[MediaRow], blockPx: Int = 2,
+                             minImages: Long = 50L): DataFrame =
+    imageBlockMeans(media, blockPx)
+      .groupBy(col("bx"), col("by"), col("mean"))
+      .agg(countDistinct(col("media_id")).as("n_images"))
+      .filter(col("n_images") >= minImages)
+
+  /** Watermark fixtures: every image carries per-image quadratic content
+    * (the q241 coefficient rule), and ids divisible by 3 additionally
+    * carry a FIXED 4×2-block "logo" at the top-left — identical values at
+    * identical positions across all stamped images, exactly what the
+    * boilerplate detector must surface and per-image stats cannot. */
+  def syntheticWatermarkImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gw = 12; val gh = 10
+      def v(bx: Int, by: Int): Int =
+        if (id % 3 == 0 && bx < 4 && by < 2) bx * 50 + by * 30 + 7
+        else ((bx.toLong * bx * (13 + id % 31) + by.toLong * by * (7 + id % 29) +
+          bx.toLong * by * (3 + id % 17) + id * 11) % 226).toInt
+      val w = 2 * gw; val h = 2 * gh
+      val px: Int => Int = { i =>
+        if (i % 4 == 3) 255
+        else { val k = i / 4; v((k % w) / 2, (k / w) / 2) }
+      }
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+  }
+
   /** Per-offset 56-bit PATCH hashes over the fixed block grid: window
     * (ox, oy) covers blocks [ox, ox+8) × [oy, oy+8) and hashes by the
     * SAME 7-comparisons-per-row rule as the whole-image dHash — so the

@@ -421,4 +421,22 @@ class MediaDedupSpec extends SparkSpec {
     // format-blind: the GIF re-encode reports the identical stats row
     assert(stats(3L) === stats(4L))
   }
+
+  test("imageBoilerplateBlocks surfaces exactly the stamped logo cells " +
+    "and nothing from the per-image content") {
+    val media = MediaDedup.syntheticWatermarkImages(
+      docs.filter(col("doc_id") < 120))
+    val got = MediaDedup.imageBoilerplateBlocks(media, minImages = 30L)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    // ids 0,3,...,117 -> 40 stamped images; logo = 4x2 cells at top-left.
+    // Exactly those cells cross the threshold (an unstamped image's
+    // quadratic may coincide at a cell ONCE — hence >= 40, not == 40 —
+    // but never 30 times)
+    val logoCells = (for (by <- 0 until 2; bx <- 0 until 4)
+      yield (bx, by, (bx * 50 + by * 30 + 7).toLong)).toSet
+    assert(got.keySet === logoCells)
+    got.values.foreach(n => assert(n >= 40L))
+  }
 }
