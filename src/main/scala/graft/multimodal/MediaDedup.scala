@@ -330,6 +330,14 @@ object MediaDedup {
     import spark.implicits._
     media.mapPartitions(_.flatMap { m =>
       val e = absWindowEnergies(m.media_id, m.payload, windowSamples)
+      // the clip search packs offsets into 20 bits — a longer track
+      // (~11 min at 16 kHz with 10-sample windows) would SILENTLY
+      // corrupt candidate ids, so fail by name here; raise
+      // windowSamples for inputs that long
+      require(e.length - AudioWindows < (1 << 20),
+        s"media ${m.media_id}: ${e.length} windows overflow the 20-bit " +
+          s"offset pack — raise windowSamples ($windowSamples) for " +
+          "tracks this long")
       (0 to e.length - AudioWindows).iterator.map { o =>
         var fp = 0L
         var j = 0
@@ -801,6 +809,12 @@ object MediaDedup {
     import spark.implicits._
     media.mapPartitions(_.flatMap { m =>
       val (gw, gh, bm) = blockMeans(m.media_id, m.payload, blockPx)
+      // the crop search packs (ox, oy) into 10 bits each — a wider grid
+      // would SILENTLY corrupt candidate ids, so fail by name here (at
+      // blockPx = 2 this is a 2048-pixel side; raise blockPx beyond)
+      require(gw <= (1 << 10) && gh <= (1 << 10),
+        s"media ${m.media_id}: ${gw}x$gh block grid overflows the 10-bit " +
+          s"offset pack — raise blockPx ($blockPx) for inputs this large")
       for {
         oy <- (0 to gh - GridH).iterator
         ox <- (0 to gw - GridW).iterator
