@@ -1721,6 +1721,17 @@ object SparkEntry {
     // write pass) -> read-back. Every stage is individually
     // oracle-checked (q225, q242, q161); this row proves the chain.
     // Fixture persists (every stage re-reads payloads) ---
+    // --- near-dup EXPLANATIONS [ext]: audit-trail evidence — per flagged
+    // pair (the exact q24 chain), the 5 RAREST shared shingles by corpus
+    // document frequency (ties break on the gram string: deterministic).
+    // A pair flagged on high-df boilerplate reads very differently from
+    // one sharing a df-2 verbatim passage; reviews and threshold tuning
+    // need the evidence, not just the verdict (budget <= 3 s) ---
+    "q250_neardup_explanations" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.text.Dedup.explainNearDups(docs,
+        graft.text.Dedup.minhashNearDupsShingle(docs, threshold = 0.8))
+    },
     // --- image boilerplate / watermark region detection [ext]: the image
     // twin of the text boilerplate detector — a block mean recurring
     // VERBATIM across >= 50 distinct images at one grid position is
@@ -4627,6 +4638,23 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
         "CAST(sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
         "FROM g GROUP BY 1"),
+    // near-dup explanation replay: the q24 brute-force pair CTEs + shared
+    // shingles joined to the vocabulary df, ranked rarest-first per pair
+    "q250_neardup_explanations" ->
+      (s"WITH ${shingleCtes("documents")}, $shinglePairCtes, " +
+        "tp AS (SELECT doc_a, doc_b FROM sc " +
+        "WHERE (CASE WHEN u = 0 THEN 1.0 ELSE i / u END) >= 0.8), " +
+        "dfreq AS (SELECT g, count(DISTINCT doc_id) AS gram_df " +
+        "FROM e GROUP BY 1), " +
+        "shared AS (SELECT tp.doc_a, tp.doc_b, ea.g FROM tp " +
+        "JOIN e ea ON ea.doc_id = tp.doc_a " +
+        "JOIN e eb ON eb.doc_id = tp.doc_b AND eb.g = ea.g), " +
+        "r AS (SELECT doc_a, doc_b, shared.g AS gram, gram_df, " +
+        "CAST(row_number() OVER (PARTITION BY doc_a, doc_b " +
+        "ORDER BY gram_df, shared.g) AS INTEGER) AS rn " +
+        "FROM shared JOIN dfreq ON shared.g = dfreq.g) " +
+        "SELECT doc_a, doc_b, gram, CAST(gram_df AS BIGINT) AS gram_df, rn " +
+        "FROM r WHERE rn <= 5"),
     // image boilerplate replay: block values from the stamped-logo CASE
     // over the per-image quadratic, grouped by (position, value)
     "q249_image_boilerplate" ->

@@ -944,4 +944,38 @@ object Dedup {
         coalesce(col("n_dups"), lit(0L)).as("n_straddling_dups"),
         coalesce(col("max_cross_jaccard"), lit(0.0)).as("max_cross_jaccard"))
   }
+
+  /** WHY was this pair flagged — audit-trail evidence for near-dup
+    * pairs: per pair, the `topK` RAREST shared shingles (lowest corpus
+    * document frequency = the most distinctive shared text; frequency
+    * ties break on the gram string, so the report is deterministic).
+    * Curation reviews, takedown disputes, and dedup-threshold tuning
+    * need the evidence, not just the verdict — a pair flagged on
+    * boilerplate shingles (high df) reads very differently from one
+    * sharing a rare verbatim passage (df 2). Scale shape: the gram
+    * stream explodes once (distinct per doc), the document-frequency
+    * aggregate is |vocabulary|-grain, and the evidence join is
+    * pair-grain × per-doc grams — bounded by the (already banded) pair
+    * set, never corpus². */
+  def explainNearDups(docs: DataFrame, pairs: DataFrame,
+                      shingleSize: Int = 3, topK: Int = 5): DataFrame = {
+    // the distinct gram stream feeds the df aggregate AND both pair
+    // sides (shared-subtree persist, the Caching contract)
+    val e = graft.text.TextStats.gramStream(docs, shingleSize)
+      .distinct().persist()
+    val dfreq = e.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("gram_df"))
+    pairs.select("doc_a", "doc_b")
+      .join(e.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+      .join(e.select(col("doc_id").as("doc_b"), col("gram")),
+        Seq("doc_b", "gram"))
+      .join(dfreq, Seq("gram"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_a", "doc_b")
+          .orderBy(col("gram_df"), col("gram"))))
+      .filter(col("rn") <= topK)
+      .select(col("doc_a"), col("doc_b"), col("gram"), col("gram_df"),
+        col("rn"))
+  }
 }
