@@ -1721,6 +1721,17 @@ object SparkEntry {
     // write pass) -> read-back. Every stage is individually
     // oracle-checked (q225, q242, q161); this row proves the chain.
     // Fixture persists (every stage re-reads payloads) ---
+    // --- shared-intro (audio boilerplate) detection [ext]: the audio
+    // twin of q249 — a leading span print recurring across >= 50 distinct
+    // clips is template audio (podcast intro, ad sting), invisible to
+    // per-clip stats; one groupBy over offset-0 prints. Fixture stamps a
+    // fixed 570-sample jingle on every third clip over per-clip quadratic
+    // bodies; oracle replays both formulas through the window/contour
+    // arithmetic (budget <= 3 s) ---
+    "q251_audio_boilerplate" -> ((s, d) =>
+      graft.multimodal.MediaDedup.audioBoilerplatePrints(
+        graft.multimodal.MediaDedup.syntheticIntroClips(
+          t(s, d, "documents")), minClips = 50L)),
     // --- near-dup EXPLANATIONS [ext]: audit-trail evidence — per flagged
     // pair (the exact q24 chain), the 5 RAREST shared shingles by corpus
     // document frequency (ties break on the gram string: deterministic).
@@ -4638,6 +4649,25 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gray < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark, " +
         "CAST(sum(CASE WHEN gray > 239 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright " +
         "FROM g GROUP BY 1"),
+    // shared-intro replay: offset-0 window energies from the stamped/body
+    // CASE, contour bits, prints grouped by distinct-clip recurrence
+    "q251_audio_boilerplate" ->
+      ("WITH d AS (SELECT doc_id FROM documents), " +
+        "sp AS (SELECT doc_id, unnest(range(570)) AS p FROM d), " +
+        "v AS (SELECT doc_id, p // 10 AS w, abs(CASE WHEN doc_id % 3 = 0 " +
+        "THEN ((p*p*43 + p*29 + 111) % 4096) - 2048 " +
+        "ELSE ((p*p*(31 + doc_id % 61) + p*(17 + doc_id % 53) " +
+        "+ doc_id*53) % 4096) - 2048 END) AS av FROM sp), " +
+        "e AS (SELECT doc_id, w, sum(av) AS en FROM v GROUP BY 1, 2), " +
+        "bits AS (SELECT l.doc_id, l.w AS j FROM e l " +
+        "JOIN e r ON r.doc_id = l.doc_id AND r.w = l.w + 1 " +
+        "WHERE r.en > l.en), " +
+        "fp AS (SELECT d.doc_id, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS sfp " +
+        "FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT CAST(sfp AS BIGINT) AS intro_print, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips " +
+        "FROM fp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50"),
     // near-dup explanation replay: the q24 brute-force pair CTEs + shared
     // shingles joined to the vocabulary df, ranked rarest-first per pair
     "q250_neardup_explanations" ->

@@ -350,6 +350,52 @@ object MediaDedup {
     }).toDF("media_id", "offset", "sfp")
   }
 
+  /** Shared-intro detection — the audio twin of [[imageBoilerplateBlocks]]:
+    * a leading span print ([[audioSpanFingerprints]] at offset 0)
+    * recurring across many DISTINCT clips is template audio (a podcast
+    * intro jingle, an ad sting, a channel ident), not content — it
+    * inflates contour near-dup candidates and leaks template audio into
+    * training data, and per-clip statistics cannot see it. One groupBy
+    * over the leading prints; output (intro_print, n_clips) for prints
+    * recurring in >= `minClips` distinct clips. Volume-scaled intros
+    * collide too (the contour is scale-invariant). */
+  def audioBoilerplatePrints(media: Dataset[MediaRow],
+                             windowSamples: Int = 10,
+                             minClips: Long = 50L): DataFrame =
+    audioSpanFingerprints(media, windowSamples)
+      .filter(col("offset") === 0)
+      .groupBy(col("sfp").as("intro_print"))
+      .agg(countDistinct(col("media_id")).as("n_clips"))
+      .filter(col("n_clips") >= minClips)
+
+  /** Shared-intro fixtures: ids divisible by 3 open with a FIXED 570-sample
+    * jingle (identical across all stamped clips — exactly one leading
+    * span print), followed by a per-clip quadratic body; other ids are
+    * pure per-clip sweeps (the q239 coefficient rule, so leading prints
+    * never collide accidentally). */
+  def syntheticIntroClips(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (800 + id % 10 * 10).toInt
+      val body = new Array[Byte](n * 2)
+      var p = 0
+      while (p < n) {
+        val pl = p.toLong
+        val s =
+          if (id % 3 == 0 && p < 570)
+            (((pl * pl * 43 + pl * 29 + 111) % 4096) - 2048).toInt
+          else
+            (((pl * pl * (31 + id % 61) + pl * (17 + id % 53) + id * 53)
+              % 4096) - 2048).toInt
+        body(2 * p) = (s & 0xFF).toByte
+        body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+        p += 1
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+  }
+
   /** Audio clip-in-track containment search — the audio twin of the text
     * span dedup (q197): does a short clip appear INSIDE a longer track?
     * Whole-clip prints can never say (relative windows stretch), so the

@@ -34,4 +34,36 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.sliding(2).forall(w =>
       w(0)._2 < w(1)._2 || (w(0)._2 == w(1)._2 && w(0)._1 < w(1)._1)))
   }
+
+  test("audioBoilerplatePrints surfaces exactly the shared jingle, " +
+    "volume-scaled stamps included; per-clip bodies never recur") {
+    import graft.multimodal.MediaDedup
+    import graft.multimodal.Multimodal.{Containers, MediaRow}
+    import spark.implicits._
+    def clip(id: Long, f: Int => Int): MediaRow = {
+      val n = 700
+      val body = new Array[Byte](n * 2)
+      var p = 0
+      while (p < n) {
+        val s = f(p)
+        body(2 * p) = (s & 0xFF).toByte
+        body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+        p += 1
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    }
+    def jingle(p: Int): Int = (((p * p * 5 + p * 3) % 4001) - 2000)
+    def bodyF(id: Long)(p: Int): Int =
+      ((p.toLong * p * (7 + id) + p * (11 + id)) % 4096).toInt - 2048
+    val media = (
+      // 4 stamped clips, one at DOUBLE volume (contour-invariant)
+      (1L to 4L).map(id => clip(id, p =>
+        if (p < 570) jingle(p) * (if (id == 4L) 2 else 1)
+        else bodyF(id)(p))) ++
+      (5L to 9L).map(id => clip(id, bodyF(id)))).toDS()
+    val got = MediaDedup.audioBoilerplatePrints(media, minClips = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 1, s"expected one intro print, got ${got.toSeq}")
+    assert(got.head._2 === 4L) // all four stamps, the scaled one included
+  }
 }
