@@ -1713,14 +1713,6 @@ object SparkEntry {
       graft.multimodal.MediaDedup.imageQualityStats(
         graft.multimodal.Multimodal.syntheticPixelMedia(
           t(s, d, "documents").filter(col("doc_id") % 2 === 0)))),
-    // --- media curation artifact [ext]: the media twin of q223's
-    // composition endgame — perceptual dedup (cross-format clusters,
-    // min-id canonical keep) -> exposure quality gate (<= 1/16 dark
-    // pixels, exact integer arithmetic) -> CHECK-constrained governed
-    // lake write (the gate AND a not-flat constraint observed in the
-    // write pass) -> read-back. Every stage is individually
-    // oracle-checked (q225, q242, q161); this row proves the chain.
-    // Fixture persists (every stage re-reads payloads) ---
     // --- shared-intro (audio boilerplate) detection [ext]: the audio
     // twin of q249 — a leading span print recurring across >= 50 distinct
     // clips is template audio (podcast intro, ad sting), invisible to
@@ -1834,6 +1826,14 @@ object SparkEntry {
         media.filter(col("media_id") % 2 === 1),
         shufflePartitions = Some(8))
     },
+    // --- media curation artifact [ext]: the media twin of q223's
+    // composition endgame — perceptual dedup (cross-format clusters,
+    // min-id canonical keep) -> exposure quality gate (<= 1/16 dark
+    // pixels, exact integer arithmetic) -> CHECK-constrained governed
+    // lake write (the gate AND a not-flat constraint observed in the
+    // write pass) -> read-back. Every stage is individually
+    // oracle-checked (q225, q242, q161); this row proves the chain.
+    // Fixture persists (every stage re-reads payloads) ---
     "q243_media_curation_artifact" -> { (s, d) =>
       val media = graft.multimodal.MediaDedup.syntheticCrossFormatImages(
         t(s, d, "documents")).persist()

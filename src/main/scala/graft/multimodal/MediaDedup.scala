@@ -42,6 +42,13 @@ object MediaDedup {
   /** Audio windows: 57 energy windows, 56 adjacent comparisons. */
   val AudioWindows = 57
 
+  /** Largest pixel count whose integer variance numerator n·Σg²−(Σg)²
+    * stays exact in int64 (n²·255² < 2^63 ⇒ n ≤ ~1.19e7; 8 Mpx leaves
+    * margin). [[Multimodal.MaxDecodePixels]] alone permits 64 Mpx, where
+    * the product would overflow SILENTLY — the quality gates fail by
+    * name at this bound instead. */
+  val MaxExactVarPixels: Long = 8L * 1000 * 1000
+
   /** Shared format-blind pixel walk: decode by magic (PNG or GIF), call
     * `onDims(w, h)` once, then `f(x, y, r, g, b)` per pixel. */
   private def foreachDecodedPixel(id: Long, p: Array[Byte])
@@ -620,6 +627,13 @@ object MediaDedup {
           if (gray < 16) dark += 1L
           if (gray > 239) bright += 1L
       }
+      // n·Σg² ≤ n²·255² must stay inside int64 for the variance numerator
+      // to be EXACT — that caps n at ~1.19e7 pixels; MaxDecodePixels alone
+      // permits 64 Mpx, where the product overflows SILENTLY. Fail by name
+      // (the documented bound) instead; raise to sampled stats beyond.
+      require(n <= MaxExactVarPixels,
+        s"media ${m.media_id}: $n pixels exceeds the $MaxExactVarPixels" +
+          "-pixel exact-variance bound (use sampled stats beyond)")
       (m.media_id, n, s, n * s2 - s * s, dark, bright)
     }).toDF("media_id", "n_px", "sum_gray", "var_num", "n_dark", "n_bright")
   }
@@ -641,6 +655,11 @@ object MediaDedup {
     media.mapPartitions(_.map { m =>
       val (w, h, frames) = Multimodal.decodeVideoRgb(m.media_id, m.payload)
       val npx = w.toLong * h
+      // same int64 exactness bound as imageQualityStats: the per-frame
+      // flatness check n·Σg²−(Σg)² silently overflows past ~1.19e7 px
+      require(npx <= MaxExactVarPixels,
+        s"media ${m.media_id}: ${w}x$h exceeds the $MaxExactVarPixels" +
+          "-pixel exact-variance bound (use sampled stats beyond)")
       var scanned = 0L; var black = 0L; var flat = 0L; var sumAll = 0L
       var f = 0
       while (f < frames.length) {

@@ -750,7 +750,9 @@ object Multimodal {
       // backwards — an infinite loop on hostile bytes (the ingest path
       // decodes untrusted crawl payloads; every exit must be named)
       require(len >= 0, s"media $id: negative $typ chunk length $len")
-      require(dataOff + len + 4 <= p.length,
+      // bounds in LONG: a positive length near 2^31 overflows the Int sum
+      // negative, slips past the check, and crashes unnamed downstream
+      require(dataOff.toLong + len + 4 <= p.length,
         s"media $id: truncated $typ chunk")
       typ match {
         case "IHDR" =>
@@ -873,7 +875,8 @@ object Multimodal {
       // see decodePngRgba: a >= 2^31 length reads negative and would walk
       // the offset backwards forever on hostile bytes
       require(len >= 0, s"media $id: negative $t chunk length $len")
-      require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
+      // Long bound: see decodePngRgba — an Int sum overflows near 2^31
+      require(dataOff.toLong + len <= p.length, s"media $id: truncated $t chunk")
       t match {
         case "fmt " =>
           require(le16(dataOff) == 1,
@@ -939,7 +942,8 @@ object Multimodal {
       // see decodePngRgba: a >= 2^31 length reads negative and would walk
       // the offset backwards forever on hostile bytes
       require(len >= 0, s"media $id: negative $t chunk length $len")
-      require(dataOff + len <= p.length, s"media $id: truncated $t chunk")
+      // Long bound: see decodePngRgba — an Int sum overflows near 2^31
+      require(dataOff.toLong + len <= p.length, s"media $id: truncated $t chunk")
       if (t == "LIST") {
         require(len >= 4, s"media $id: LIST chunk too short for a type ($len)")
         val ltype = tag(dataOff)

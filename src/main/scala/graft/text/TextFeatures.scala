@@ -38,6 +38,12 @@ object TextFeatures {
     * map-combined aggregates (tf, df), a broadcast of the |features|-sized
     * df table, dense assembly per doc. Zero UDFs. */
   def tfidfEmbeddingsPortable(docs: DataFrame, numFeatures: Int = 256): DataFrame = {
+    // The tokenize + md5-hash explode feeds BOTH the tf branch (shuffle on
+    // (doc_id, feat)) and the df branch (shuffle on feat) — different keys,
+    // so the corpus tokenizes twice. MEASURED at sf0.1 (r12 isolation,
+    // min-of-3): recompute 3.58 s, persist() of this exploded frame 3.92 s —
+    // caching the |docs × tokens|-grain rows costs more than the second
+    // tokenize pass, so the recompute stays.
     val tok = docs.select(col("doc_id"),
         explode(TextStats.tokens(TextStats.normalize(col("text")))).as("tok"))
       .select(col("doc_id"),

@@ -110,4 +110,35 @@ class FuzzSpec extends AnyFunSuite {
       Multimodal.decodePngRgba(11L, evilPng))
     assert(e3.getMessage.contains("negative"))
   }
+
+  test("a POSITIVE chunk length near 2^31 (Int-sum overflow) fails as " +
+    "'truncated', not an index error") {
+    // len = Int.MaxValue - dataOff: dataOff + len (+4) overflows the Int
+    // sum NEGATIVE, so the old Int-arithmetic truncation require passed
+    // and the walk crashed unnamed downstream — the Long-bound guard must
+    // name it instead
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val be = (v: Int) => Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // PNG: first chunk at off=8, dataOff=16
+    val hugePng = sig ++ be(Int.MaxValue - 16) ++ "IHDR".getBytes ++
+      Array.fill(30)(0.toByte)
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodePngRgba(12L, hugePng))
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // WAV: first chunk at off=12, dataOff=20
+    val hugeWav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(Int.MaxValue - 20) ++ Array.fill(40)(0.toByte)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.pcm16Samples(13L, hugeWav))
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+    val hugeAvi = "RIFF".getBytes ++ le32(100) ++ "AVI ".getBytes ++
+      "JUNK".getBytes ++ le32(Int.MaxValue - 20) ++ Array.fill(40)(0.toByte)
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb(14L, hugeAvi))
+    assert(e3.getMessage.contains("truncated"), e3.getMessage)
+  }
 }
