@@ -1,0 +1,649 @@
+package graft.multimodal
+
+/** REAL baseline JPEG codec — no media library: baseline sequential DCT
+  * JPEG (ITU-T T.81) is Huffman coding + dequantization + an 8×8 inverse
+  * DCT + a level shift, all public integer/float math, exactly like the
+  * zlib/LZW/RIFF walks this package already carries. Web-crawl image
+  * corpora are overwhelmingly JPEG, and every pixel-level operator
+  * (perceptual dedup, crop search, quality gates, descriptors,
+  * boilerplate) was blind to the format while it stayed header-only.
+  *
+  * Decoder profile (restrictions FAIL FAST by name, the package
+  * contract): baseline sequential (SOF0), 8-bit samples, 8-bit
+  * quantization tables, 1 (grayscale) or 3 (YCbCr) components, NO chroma
+  * subsampling (all sampling factors 1×1 — an interleaved scan is then
+  * one block per component per MCU), one interleaved scan, optional
+  * restart intervals. Progressive (SOF2), arithmetic coding, 12-bit,
+  * subsampled, and multi-scan files are named errors, the same
+  * by-design scope statement as the PNG (8-bit RGBA only) and GIF
+  * (global palette only) decoders.
+  *
+  * Exactness contract: the IDCT is the textbook separable 8-point
+  * float transform with round-half-up, then +128 level shift and a
+  * 0..255 clamp. A DC-ONLY block (all AC coefficients zero) therefore
+  * decodes to the CLOSED FORM clamp(round(dc·q00/8) + 128) — with
+  * q00 = 8 that is exactly dc + 128 — so fixtures planted through
+  * [[Jpeg.encodeGrayBlocks]] replay arithmetically in an external SQL
+  * oracle (the PNG-census pattern), while general-coefficient decodes
+  * are pinned against JDK ImageIO within a small rounding tolerance in
+  * spec (decoders may legally differ in IDCT rounding; JpegSpec pins
+  * the bound).
+  *
+  * The encoder is spec-complete output (real DQT/DHT/SOF0/SOS segments,
+  * canonical Huffman tables, byte stuffing, restart markers, EOI):
+  * files open in any viewer and in ImageIO. Fixture Huffman tables are
+  * GENERATED canonical codes (12 DC categories at 4 bits, all 162 AC
+  * run/size symbols at 8 bits — a legal incomplete code per T.81), so
+  * the decoder's canonical-code reconstruction is exercised rather than
+  * assumed.
+  *
+  * Untrusted-bytes contract (the streaming-ingest path): every segment
+  * length and buffer bound is checked in Long arithmetic, every failure
+  * is a named IllegalArgumentException ("media <id>: cause"), loops are
+  * bounded by the declared MCU count, and decoded allocations respect
+  * [[Multimodal.MaxDecodePixels]]. FuzzSpec drives hostile bytes at it.
+  */
+private[graft] object Jpeg {
+
+  /** Zigzag scan order: zigzag(k) = raster index of the k-th scanned
+    * coefficient (T.81 figure A.6 — public constant). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) · (u == 0 ? 1/√2 : 1) — the separable IDCT
+    * basis including the C(u) normalization. */
+  private val Basis: Array[Double] = {
+    val b = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        b(u * 8 + x) = cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    b
+  }
+
+  /** One canonical Huffman table: decode by walking code lengths 1..16
+    * with the standard min/max-code arrays (T.81 F.2.2.3). */
+  private final class HuffTable(id: Long, bits: Array[Int], vals: Array[Byte]) {
+    // minCode(l), maxCode(l) (exclusive of none: -1 when empty), valPtr(l)
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+      require(k == vals.length,
+        s"media $id: DHT counts ($k) disagree with symbol bytes (${vals.length})")
+    }
+    /** Read one symbol from the bit reader (≤ 16 bounded steps). */
+    def decode(r: BitReader): Int = {
+      var code = r.readBit()
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l)) & 0xFF
+        code = (code << 1) | r.readBit()
+        l += 1
+      }
+      throw new IllegalArgumentException(
+        s"media $id: invalid Huffman code in entropy stream")
+    }
+  }
+
+  /** Bit reader over the entropy-coded segment: 0xFF00 unstuffs to a data
+    * 0xFF; a restart marker (FFD0–FFD7) halts reads until [[restart]]
+    * consumes it; any other marker means the stream ended early. */
+  private final class BitReader(id: Long, p: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var cur = 0
+    private var nbits = 0
+    private var atMarker = -1 // low nibble of a pending RSTn, or -1
+
+    private def fillByte(): Int = {
+      if (atMarker >= 0)
+        throw new IllegalArgumentException(
+          s"media $id: entropy data continues across an unconsumed restart marker")
+      require(pos < end, s"media $id: truncated entropy stream")
+      val b = p(pos) & 0xFF
+      pos += 1
+      if (b == 0xFF) {
+        require(pos < end, s"media $id: truncated entropy stream at 0xFF")
+        val m = p(pos) & 0xFF
+        pos += 1
+        if (m == 0x00) 0xFF // stuffed data byte
+        else if (m >= 0xD0 && m <= 0xD7) {
+          atMarker = m - 0xD0
+          -1 // caller must consume via restart()
+        } else throw new IllegalArgumentException(
+          s"media $id: unexpected marker 0x${m.toHexString} inside entropy data")
+      } else b
+    }
+
+    def readBit(): Int = {
+      if (nbits == 0) {
+        val b = fillByte()
+        require(b >= 0, s"media $id: bits requested across a restart boundary")
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+
+    /** Byte-align and consume the expected restart marker `m` (mod 8). */
+    def restart(m: Int): Unit = {
+      nbits = 0
+      if (atMarker < 0) { // marker not yet met: it must be next in the bytes
+        val b = fillByte()
+        require(b < 0, s"media $id: expected restart marker, found data byte")
+      }
+      require(atMarker == (m & 7),
+        s"media $id: restart marker out of order (RST$atMarker, " +
+          s"expected RST${m & 7})")
+      atMarker = -1
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map `v` read in `s` bits to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode one baseline JPEG to row-major RGB triples (the
+    * [[Multimodal.decodeAviRgb]] frame layout): (width, height, rgb).
+    * Grayscale replicates Y into all three channels; color applies the
+    * JFIF YCbCr→RGB transform (doubles, round-half-up, clamp). */
+  def decodeRgb(id: Long, p: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8,
+      s"media $id: not a JPEG (missing SOI)")
+    def u8(off: Int): Int = { require(off < p.length,
+      s"media $id: truncated JPEG at offset $off"); p(off) & 0xFF }
+    def u16(off: Int): Int = (u8(off) << 8) | u8(off + 1)
+
+    val quant = new Array[Array[Int]](4) // id -> 64 values, NATURAL order
+    val huffDc = new Array[HuffTable](4)
+    val huffAc = new Array[HuffTable](4)
+    var restartInterval = 0
+    // frame state
+    var w = 0; var h = 0; var nComp = 0
+    val compQ = new Array[Int](3) // quant table id per component
+    val compDcT = new Array[Int](3)
+    val compAcT = new Array[Int](3)
+    var scanStart = -1
+
+    var i = 2
+    while (scanStart < 0) {
+      // a spec-legal run of 0xFF fill bytes may precede any marker
+      require(u8(i) == 0xFF, s"media $id: expected marker, got 0x${u8(i).toHexString}")
+      while (u8(i + 1) == 0xFF) i += 1
+      val m = u8(i + 1)
+      i += 2
+      m match {
+        case 0xD9 =>
+          throw new IllegalArgumentException(s"media $id: EOI before SOS")
+        case 0xDB => // DQT — may carry several tables
+          val len = u16(i)
+          require(i.toLong + len <= p.length, s"media $id: truncated DQT")
+          var q = i + 2
+          val endQ = i + len
+          while (q < endQ) {
+            val pq = u8(q) >> 4
+            val tq = u8(q) & 0x0F
+            require(pq == 0,
+              s"media $id: only 8-bit quantization tables supported (Pq=$pq)")
+            require(q.toLong + 1 + 64 <= endQ, s"media $id: truncated DQT table")
+            val tbl = new Array[Int](64)
+            var k = 0
+            while (k < 64) { tbl(Zigzag(k)) = u8(q + 1 + k); k += 1 }
+            quant(tq) = tbl
+            q += 65
+          }
+          i += len
+        case 0xC4 => // DHT — may carry several tables
+          val len = u16(i)
+          require(i.toLong + len <= p.length, s"media $id: truncated DHT")
+          var q = i + 2
+          val endQ = i + len
+          while (q < endQ) {
+            val tc = u8(q) >> 4
+            val th = u8(q) & 0x0F
+            require(tc <= 1, s"media $id: bad DHT class $tc")
+            require(q.toLong + 17 <= endQ, s"media $id: truncated DHT counts")
+            val bits = Array.tabulate(16)(l => u8(q + 1 + l))
+            val n = bits.sum
+            require(n <= 256 && q.toLong + 17 + n <= endQ,
+              s"media $id: truncated DHT symbols")
+            val vals = new Array[Byte](n)
+            System.arraycopy(p, q + 17, vals, 0, n)
+            val tab = new HuffTable(id, bits, vals)
+            if (tc == 0) huffDc(th) = tab else huffAc(th) = tab
+            q += 17 + n
+          }
+          i += len
+        case 0xC0 => // SOF0 baseline
+          val len = u16(i)
+          require(i.toLong + len <= p.length && len >= 8, s"media $id: truncated SOF0")
+          require(u8(i + 2) == 8,
+            s"media $id: only 8-bit precision supported (got ${u8(i + 2)})")
+          h = u16(i + 3); w = u16(i + 5)
+          require(w > 0 && h > 0, s"media $id: bad SOF0 dimensions ${w}x$h")
+          require(w.toLong * h <= Multimodal.MaxDecodePixels,
+            s"media $id: ${w}x$h exceeds the ${Multimodal.MaxDecodePixels}" +
+              "-pixel decode bound")
+          nComp = u8(i + 7)
+          require(nComp == 1 || nComp == 3,
+            s"media $id: only 1 or 3 components supported (got $nComp)")
+          require(len >= 8 + 3 * nComp, s"media $id: truncated SOF0 components")
+          var c = 0
+          while (c < nComp) {
+            val hv = u8(i + 9 + 3 * c)
+            require(hv == 0x11,
+              s"media $id: only 1x1 sampling supported (component $c has " +
+                s"H=${hv >> 4} V=${hv & 0xF}) — subsampled JPEG out of scope")
+            compQ(c) = u8(i + 10 + 3 * c)
+            require(compQ(c) < 4, s"media $id: bad quant table id ${compQ(c)}")
+            c += 1
+          }
+          i += len
+        case 0xC2 =>
+          throw new IllegalArgumentException(
+            s"media $id: progressive JPEG (SOF2) out of scope — " +
+              "only baseline sequential (SOF0) decodes")
+        case sof if sof >= 0xC1 && sof <= 0xCF && sof != 0xC4 && sof != 0xC8 &&
+          sof != 0xCC =>
+          throw new IllegalArgumentException(
+            s"media $id: non-baseline SOF marker 0x${sof.toHexString} out of scope")
+        case 0xDD => // DRI
+          val len = u16(i)
+          require(len == 4 && i.toLong + len <= p.length, s"media $id: bad DRI")
+          restartInterval = u16(i + 2)
+          i += len
+        case 0xDA => // SOS
+          val len = u16(i)
+          require(i.toLong + len <= p.length, s"media $id: truncated SOS")
+          require(nComp > 0, s"media $id: SOS before SOF0")
+          val ns = u8(i + 2)
+          require(ns == nComp,
+            s"media $id: only one interleaved scan supported " +
+              s"(scan has $ns of $nComp components)")
+          var c = 0
+          while (c < ns) {
+            // match scan component order to frame order positionally; the
+            // fixture and every common baseline writer emit them in order
+            val tda = u8(i + 4 + 2 * c)
+            compDcT(c) = tda >> 4
+            compAcT(c) = tda & 0x0F
+            c += 1
+          }
+          val ss = u8(i + 3 + 2 * ns)
+          val se = u8(i + 4 + 2 * ns)
+          val ahl = u8(i + 5 + 2 * ns)
+          require(ss == 0 && se == 63 && ahl == 0,
+            s"media $id: spectral selection/successive approximation " +
+              s"(Ss=$ss Se=$se AhAl=$ahl) out of scope — baseline only")
+          scanStart = i + len
+        case 0x01 | _ if m == 0x01 || (m >= 0xD0 && m <= 0xD7) =>
+          () // standalone markers: no length field
+        case _ => // APPn, COM, everything else: skip by length
+          val len = u16(i)
+          require(len >= 2 && i.toLong + len <= p.length,
+            s"media $id: truncated segment 0x${m.toHexString}")
+          i += len
+      }
+    }
+
+    var c = 0
+    while (c < nComp) {
+      require(quant(compQ(c)) != null, s"media $id: missing quant table ${compQ(c)}")
+      require(huffDc(compDcT(c)) != null, s"media $id: missing DC table ${compDcT(c)}")
+      require(huffAc(compAcT(c)) != null, s"media $id: missing AC table ${compAcT(c)}")
+      c += 1
+    }
+
+    // entropy data runs to the EOI marker (scan backwards not needed: the
+    // BitReader stops at any non-RST marker; give it the payload tail)
+    val reader = new BitReader(id, p, scanStart, p.length)
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val planes = Array.fill(nComp)(new Array[Byte](bw * 8 * bh * 8))
+    val pred = new Array[Int](3)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcu = bw * bh
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        reader.restart(mcu / restartInterval - 1)
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+      }
+      val bx = mcu % bw
+      val by = mcu / bw
+      c = 0
+      while (c < nComp) {
+        java.util.Arrays.fill(coef, 0)
+        val q = quant(compQ(c))
+        // DC
+        val s = huffDc(compDcT(c)).decode(reader)
+        require(s <= 11, s"media $id: DC category $s out of range")
+        pred(c) += extend(reader.readBits(s), s)
+        coef(0) = pred(c) * q(0)
+        // AC
+        var k = 1
+        while (k < 64) {
+          val rs = huffAc(compAcT(c)).decode(reader)
+          val r = rs >> 4
+          val sz = rs & 0x0F
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            require(k < 64, s"media $id: AC run past coefficient 63")
+            require(sz <= 10, s"media $id: AC size $sz out of range")
+            val natural = Zigzag(k)
+            coef(natural) = extend(reader.readBits(sz), sz) * q(natural)
+            k += 1
+          }
+        }
+        // separable IDCT: rows then columns. tmp = coef · Basisᵀ (rows)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) { acc += coef(y * 8 + u) * Basis(u * 8 + x); u += 1 }
+            tmp(y * 8 + x) = acc
+            x += 1
+          }
+          y += 1
+        }
+        val plane = planes(c)
+        val strideP = bw * 8
+        var x = 0
+        while (x < 8) {
+          var yy = 0
+          while (yy < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) { acc += tmp(v * 8 + x) * Basis(v * 8 + yy); v += 1 }
+            // 2-D normalization 1/4, round-half-up, +128 level shift, clamp
+            val px = math.floor(acc / 4.0 + 0.5).toInt + 128
+            val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+            plane((by * 8 + yy) * strideP + bx * 8 + x) = clamped.toByte
+            yy += 1
+          }
+          x += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+
+    // assemble RGB, cropping the block padding to the declared dimensions
+    val rgb = new Array[Byte](3 * w * h)
+    val strideP = bw * 8
+    if (nComp == 1) {
+      val yP = planes(0)
+      var yy = 0
+      while (yy < h) {
+        var x = 0
+        while (x < w) {
+          val v = yP(yy * strideP + x)
+          val o = 3 * (yy * w + x)
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+          x += 1
+        }
+        yy += 1
+      }
+    } else {
+      val yP = planes(0); val cbP = planes(1); val crP = planes(2)
+      var yy = 0
+      while (yy < h) {
+        var x = 0
+        while (x < w) {
+          val o = 3 * (yy * w + x)
+          val yv = yP(yy * strideP + x) & 0xFF
+          val cb = (cbP(yy * strideP + x) & 0xFF) - 128
+          val cr = (crP(yy * strideP + x) & 0xFF) - 128
+          // JFIF YCbCr→RGB (doubles, round-half-up, clamp). Cb=Cr=128
+          // (gray) makes R=G=B=Y EXACT — the fixture replay path.
+          def cl(v: Double): Byte = {
+            val r = math.floor(v + 0.5).toInt
+            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          }
+          rgb(o) = cl(yv + 1.402 * cr)
+          rgb(o + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          rgb(o + 2) = cl(yv + 1.772 * cb)
+          x += 1
+        }
+        yy += 1
+      }
+    }
+    (w, h, rgb)
+  }
+
+  // ------------------------------------------------------------------
+  // Encoder (fixture side): spec-complete baseline JPEG output.
+  // ------------------------------------------------------------------
+
+  /** Canonical fixture Huffman spec: (bits[16], symbols). */
+  private def dcTableSpec: (Array[Int], Array[Byte]) = {
+    // 12 DC categories, all at code length 4 (12 ≤ 16 codes of length 4;
+    // the all-ones code stays unused — a legal incomplete canonical code)
+    val bits = new Array[Int](16)
+    bits(3) = 12
+    (bits, Array.tabulate(12)(_.toByte))
+  }
+
+  private def acTableSpec: (Array[Int], Array[Byte]) = {
+    // all 162 AC symbols (EOB, ZRL, run 0..15 × size 1..10) at length 8
+    val syms = scala.collection.mutable.ArrayBuffer[Byte](0x00, 0xF0.toByte)
+    for (r <- 0 until 16; s <- 1 to 10) syms += ((r << 4) | s).toByte
+    val bits = new Array[Int](16)
+    bits(7) = syms.length
+    (bits, syms.toArray)
+  }
+
+  /** symbol -> (code, length) for a canonical spec. */
+  private def canonical(spec: (Array[Int], Array[Byte])): Map[Int, (Int, Int)] = {
+    val (bits, vals) = spec
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var j = 0
+      while (j < bits(l - 1)) {
+        out += (vals(k) & 0xFF) -> ((code, l))
+        code += 1; k += 1; j += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var cur = 0
+    private var nbits = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((code >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(cur)
+          if (cur == 0xFF) out.write(0x00) // byte stuffing
+          cur = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (T.81 convention). */
+    def align(): Unit = if (nbits > 0) write((1 << (8 - nbits)) - 1, 8 - nbits)
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a > 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Quantization tables the fixtures plant: q(0,0) = 8 makes the DC-only
+    * closed form clamp(dc + 128) — dequantized DC·8, IDCT divides by 8. */
+  private val FixtureQuant: Array[Int] = {
+    val q = Array.fill(64)(16)
+    q(0) = 8
+    q
+  }
+
+  /** Encode a baseline JPEG whose 8×8 blocks carry the given QUANTIZED
+    * coefficient arrays (zigzag-independent: input is natural row-major
+    * order, 64 per block per component). `blocks(c)(by*bw+bx)` is the
+    * coefficient block of component `c` at block position (bx, by).
+    * Components: 1 (grayscale) or 3 (YCbCr, 1×1 sampling). All components
+    * share the fixture quant table and the generated canonical Huffman
+    * tables. `restartInterval` > 0 plants DRI + RSTn markers. */
+  def encodeBlocks(width: Int, height: Int, blocks: Array[Array[Array[Int]]],
+                   restartInterval: Int = 0): Array[Byte] = {
+    val nComp = blocks.length
+    require(nComp == 1 || nComp == 3, "1 or 3 components")
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    require(blocks.forall(_.length == bw * bh),
+      s"need $bw x $bh coefficient blocks per component")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    // SOI + JFIF APP0
+    u8(0xFF); u8(0xD8)
+    u8(0xFF); u8(0xE0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    // DQT (table 0, natural order re-zigzagged on write)
+    u8(0xFF); u8(0xDB); u16(2 + 65); u8(0x00)
+    var k = 0
+    while (k < 64) { u8(FixtureQuant(Zigzag(k))); k += 1 }
+    // SOF0
+    u8(0xFF); u8(0xC0); u16(8 + 3 * nComp); u8(8)
+    u16(height); u16(width); u8(nComp)
+    var c = 0
+    while (c < nComp) { u8(c + 1); u8(0x11); u8(0); c += 1 }
+    // DHT: DC table 0 + AC table 0
+    val dcSpec = dcTableSpec
+    val acSpec = acTableSpec
+    u8(0xFF); u8(0xC4)
+    u16(2 + (1 + 16 + dcSpec._2.length) + (1 + 16 + acSpec._2.length))
+    u8(0x00); dcSpec._1.foreach(u8); out.write(dcSpec._2)
+    u8(0x10); acSpec._1.foreach(u8); out.write(acSpec._2)
+    if (restartInterval > 0) { u8(0xFF); u8(0xDD); u16(4); u16(restartInterval) }
+    // SOS
+    u8(0xFF); u8(0xDA); u16(6 + 2 * nComp); u8(nComp)
+    c = 0
+    while (c < nComp) { u8(c + 1); u8(0x00); c += 1 }
+    u8(0); u8(63); u8(0)
+    // entropy-coded data
+    val dcCodes = canonical(dcSpec)
+    val acCodes = canonical(acSpec)
+    val bwrt = new BitWriter(out)
+    val pred = new Array[Int](3)
+    var mcu = 0
+    val nMcu = bw * bh
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bwrt.align()
+        u8(0xFF); u8(0xD0 + ((mcu / restartInterval - 1) & 7))
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+      }
+      c = 0
+      while (c < nComp) {
+        val blk = blocks(c)(mcu)
+        // DC diff
+        val diff = blk(0) - pred(c)
+        pred(c) = blk(0)
+        val s = category(diff)
+        val (dcCode, dcLen) = dcCodes(s)
+        bwrt.write(dcCode, dcLen)
+        if (s > 0)
+          bwrt.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        // AC run-lengths over zigzag order
+        var run = 0
+        var kk = 1
+        while (kk < 64) {
+          val v = blk(Zigzag(kk))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) {
+              val (zc, zl) = acCodes(0xF0); bwrt.write(zc, zl); run -= 16
+            }
+            val sz = category(v)
+            require(sz <= 10, s"AC coefficient $v too large for the fixture table")
+            val (code, len) = acCodes((run << 4) | sz)
+            bwrt.write(code, len)
+            bwrt.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+            run = 0
+          }
+          kk += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); bwrt.write(ec, el) }
+        c += 1
+      }
+      mcu += 1
+    }
+    bwrt.align()
+    u8(0xFF); u8(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a grayscale DC-ONLY baseline JPEG: block (bx, by) decodes to
+    * the CONSTANT gray `grays(by*bw+bx)` exactly (dc = gray − 128 with
+    * q00 = 8 ⇒ clamp(round(dc·8/8) + 128) = gray). `color = true` wraps
+    * the same luma in a 3-component YCbCr frame with both chroma planes
+    * planted at 128 (DC 0), which the JFIF transform maps back to
+    * R=G=B=Y exactly — so the closed form survives the color path too. */
+  def encodeGrayBlocks(width: Int, height: Int, grays: Array[Int],
+                       color: Boolean = false,
+                       restartInterval: Int = 0): Array[Byte] = {
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    require(grays.length == bw * bh, s"need $bw x $bh block grays")
+    val luma = grays.map { g =>
+      require(g >= 0 && g <= 255, s"gray $g out of range")
+      val blk = new Array[Int](64)
+      blk(0) = g - 128
+      blk
+    }
+    val comps =
+      if (color) Array(luma, Array.fill(bw * bh)(new Array[Int](64)),
+        Array.fill(bw * bh)(new Array[Int](64)))
+      else Array(luma)
+    encodeBlocks(width, height, comps, restartInterval)
+  }
+}

@@ -56,7 +56,18 @@ object MediaDedup {
                                  (f: (Int, Int, Int, Int, Int) => Unit): Unit = {
     val isGif = p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
       p(2) == 'F'.toByte
-    if (isGif) {
+    val isJpeg = p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+    if (isJpeg) {
+      val (w, h, rgb) = Jpeg.decodeRgb(id, p)
+      onDims(w, h)
+      var k = 0
+      val n = w * h
+      while (k < n) {
+        f(k % w, k / w, rgb(3 * k) & 0xFF, rgb(3 * k + 1) & 0xFF,
+          rgb(3 * k + 2) & 0xFF)
+        k += 1
+      }
+    } else if (isGif) {
       val (w, h, indices, palette, _) = Multimodal.decodeGifIdx(id, p)
       onDims(w, h)
       var k = 0
@@ -84,10 +95,10 @@ object MediaDedup {
 
   /** 56-bit difference hash of one decoded raster image — FORMAT-BLIND:
     * the payload decodes by magic (PNG via inflate+unfilter, GIF via LZW
-    * expansion + palette mapping) into grayscale pixels, so a PNG and its
-    * GIF re-encode of the SAME content land on the SAME hash — the
-    * cross-format re-encode case container-level dedup structurally
-    * misses. Box-downsample grayscale to an 8×8 grid of integer block
+    * expansion + palette mapping, JPEG via baseline Huffman + IDCT) into
+    * grayscale pixels, so a PNG and its GIF or JPEG re-encode of the SAME
+    * content land on the SAME hash — the cross-format re-encode case
+    * container-level dedup structurally misses. Box-downsample grayscale to an 8×8 grid of integer block
     * means (pixel (x, y) belongs to block (x·8/w, y·8/h) — floor
     * arithmetic, exactly replayable in SQL), then bit y·7+x is set iff
     * mean[y][x] < mean[y][x+1]. Grayscale = (r+g+b)/3 in integer
@@ -237,7 +248,7 @@ object MediaDedup {
     * over [[Multimodal.pcm16Samples]]' single RIFF walk (windows span the
     * FULL concatenated sample stream, also when the clip carries several
     * data chunks). */
-  private def audioEnergies(id: Long, p: Array[Byte]): Array[Long] = {
+  private[graft] def audioEnergies(id: Long, p: Array[Byte]): Array[Long] = {
     val (_, _, samples) = Multimodal.pcm16Samples(id, p)
     val n = samples.length
     require(n >= AudioWindows,
@@ -534,23 +545,29 @@ object MediaDedup {
   def syntheticNearDupAudio(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
-      val g = id / 3
-      val role = id % 3
-      val n = (128 + (g % 64) * 4).toInt
-      val body = new Array[Byte](n * 2)
-      var p = 0
-      while (p < n) {
-        val base =
-          if (role == 2) ((g * 41 + p.toLong * 13 + 999) % 4096 - 2048).toInt
-          else ((g * 17 + p.toLong * 5) % 4096 - 2048).toInt
-        val s = if (role == 1 && p % 101 == 0) base + 7 else base
-        body(2 * p) = (s & 0xFF).toByte
-        body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
-        p += 1
-      }
-      MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, "audio", nearDupAudioPayload(id), 0, 0, 1))
+  }
+
+  /** The per-item payload body of [[syntheticNearDupAudio]] — shared with
+    * [[syntheticJointItems]] so the joint fixtures carry BYTE-IDENTICAL
+    * clips (one oracle replay serves both). */
+  private def nearDupAudioPayload(id: Long): Array[Byte] = {
+    val g = id / 3
+    val role = id % 3
+    val n = (128 + (g % 64) * 4).toInt
+    val body = new Array[Byte](n * 2)
+    var p = 0
+    while (p < n) {
+      val base =
+        if (role == 2) ((g * 41 + p.toLong * 13 + 999) % 4096 - 2048).toInt
+        else ((g * 17 + p.toLong * 5) % 4096 - 2048).toInt
+      val s = if (role == 1 && p % 101 == 0) base + 7 else base
+      body(2 * p) = (s & 0xFF).toByte
+      body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+      p += 1
     }
+    Containers.wav(1, 16000, body)
   }
 
   /** Perceptual media clusters: every media row labeled with the min-id
@@ -827,13 +844,25 @@ object MediaDedup {
     * construction. One groupBy over the exploded block means; the
     * aggregate is |grid × 256|-bounded per position, never image-pair
     * shaped. Output (bx, by, mean, n_images) for cells recurring in
-    * >= `minImages` distinct images. */
+    * >= `minImages` distinct images.
+    *
+    * `quant` > 1 makes the census TOLERANT: block means quantize to
+    * floor(mean/quant) buckets before counting, so an ALPHA-BLENDED
+    * watermark — whose per-image means shift by a few units with the
+    * underlying content and therefore never recur verbatim — still
+    * concentrates in one bucket per position (MediaDedupSpec plants the
+    * case the verbatim census provably misses). `quant` = 1 is the exact
+    * verbatim census; the `mean` column always carries the bucket. */
   def imageBoilerplateBlocks(media: Dataset[MediaRow], blockPx: Int = 2,
-                             minImages: Long = 50L): DataFrame =
+                             minImages: Long = 50L,
+                             quant: Int = 1): DataFrame = {
+    require(quant >= 1, "quant must be >= 1")
     imageBlockMeans(media, blockPx)
-      .groupBy(col("bx"), col("by"), col("mean"))
+      .groupBy(col("bx"), col("by"),
+        (col("mean") / quant).cast("long").as("mean"))
       .agg(countDistinct(col("media_id")).as("n_images"))
       .filter(col("n_images") >= minImages)
+  }
 
   /** Watermark fixtures: every image carries per-image quadratic content
     * (the q241 coefficient rule), and ids divisible by 3 additionally
@@ -847,6 +876,33 @@ object MediaDedup {
       val gw = 12; val gh = 10
       def v(bx: Int, by: Int): Int =
         if (id % 3 == 0 && bx < 4 && by < 2) bx * 50 + by * 30 + 7
+        else ((bx.toLong * bx * (13 + id % 31) + by.toLong * by * (7 + id % 29) +
+          bx.toLong * by * (3 + id % 17) + id * 11) % 226).toInt
+      val w = 2 * gw; val h = 2 * gh
+      val px: Int => Int = { i =>
+        if (i % 4 == 3) 255
+        else { val k = i / 4; v((k % w) / 2, (k / w) / 2) }
+      }
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+  }
+
+  /** Alpha-blended watermark fixtures — the case the VERBATIM census
+    * provably misses: stamped ids (divisible by 3) carry a top-left 4×2
+    * logo whose block value is L(bx, by) = bx·48 + by·32 + 8 (≡ 0 mod 4)
+    * PLUS a per-image content bleed of ((id/3) mod 3) ∈ {0, 1, 2} — the
+    * blended means never recur verbatim across images, but all land in
+    * the same floor(mean/4) bucket, so the quantized census surfaces
+    * them. Content blocks keep the q249 quadratic coefficient rule. */
+  def syntheticBlendedWatermarkImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gw = 12; val gh = 10
+      def v(bx: Int, by: Int): Int =
+        if (id % 3 == 0 && bx < 4 && by < 2)
+          bx * 48 + by * 32 + 8 + ((id / 3) % 3).toInt
         else ((bx.toLong * bx * (13 + id % 31) + by.toLong * by * (7 + id % 29) +
           bx.toLong * by * (3 + id % 17) + id * 11) % 226).toInt
       val w = 2 * gw; val h = 2 * gh
@@ -1333,37 +1389,44 @@ object MediaDedup {
   def videoDescriptors(media: Dataset[MediaRow], everyN: Int = 2): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map { m =>
-      val (w, h, frames) = Multimodal.decodeVideoRgb(m.media_id, m.payload)
-      require(w >= GridW && h >= GridH,
-        s"media ${m.media_id}: descriptor needs >= ${GridW}x$GridH, got ${w}x$h")
-      val acc = new Array[Long](GridW * GridH)
-      var f = 0
-      while (f < frames.length) {
-        if (f % everyN == 0) {
-          val rgb = frames(f)
-          val sums = new Array[Long](GridW * GridH)
-          val cnts = new Array[Long](GridW * GridH)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val k = 3 * (y * w + x)
-              val bk = (y * GridH / h) * GridW + x * GridW / w
-              sums(bk) +=
-                ((rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)) / 3
-              cnts(bk) += 1L
-              x += 1
-            }
-            y += 1
+    media.mapPartitions(_.map(m =>
+        (m.media_id, descriptorOneVideo(m.media_id, m.payload, everyN))))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** The per-item body of [[videoDescriptors]] — shared with
+    * [[Multimodal.extractFeatures]]'s format dispatch. */
+  private[graft] def descriptorOneVideo(id: Long, p: Array[Byte],
+                                        everyN: Int): Array[Double] = {
+    val (w, h, frames) = Multimodal.decodeVideoRgb(id, p)
+    require(w >= GridW && h >= GridH,
+      s"media $id: descriptor needs >= ${GridW}x$GridH, got ${w}x$h")
+    val acc = new Array[Long](GridW * GridH)
+    var f = 0
+    while (f < frames.length) {
+      if (f % everyN == 0) {
+        val rgb = frames(f)
+        val sums = new Array[Long](GridW * GridH)
+        val cnts = new Array[Long](GridW * GridH)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val k = 3 * (y * w + x)
+            val bk = (y * GridH / h) * GridW + x * GridW / w
+            sums(bk) +=
+              ((rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)) / 3
+            cnts(bk) += 1L
+            x += 1
           }
-          var bk = 0
-          while (bk < acc.length) { acc(bk) += sums(bk) / cnts(bk); bk += 1 }
+          y += 1
         }
-        f += 1
+        var bk = 0
+        while (bk < acc.length) { acc(bk) += sums(bk) / cnts(bk); bk += 1 }
       }
-      (m.media_id, acc.map(_.toDouble))
-    }).toDF("vec_id", "embedding")
+      f += 1
+    }
+    acc.map(_.toDouble)
   }
 
   /** Near-dup video fixtures, same planted-triple layout as the image and
@@ -1407,26 +1470,53 @@ object MediaDedup {
   def syntheticCrossFormatImages(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
     docs.select(col("doc_id")).as[Long].map { id =>
-      val g = id / 2
-      val w = (16 + (g % 5) * 4).toInt
-      val h = (12 + ((g * 3) % 5) * 4).toInt
-      // per-group gradient multipliers: without them every same-dimension
-      // group lands on the SAME monotone dHash and the cluster graph
-      // degenerates into corpus-sized components (measured: an 11.5 s
-      // closure at sf0.1); varied wrap patterns keep clusters pair-sized
-      val xc = 3 + (g % 7) * 9
-      val yc = 2 + (g % 5) * 7
-      def v(k: Int): Int = ((g * 29 + (k % w) * xc + (k / w) * yc) % 256).toInt
-      if (id % 2 == 0)
-        MediaRow(id, "image",
-          Containers.pngFull(w, h,
-            i => if (i % 4 == 3) 255 else v(i / 4), (id % 5).toInt), w, h, 1)
-      else
-        MediaRow(id, "image",
-          Containers.gifFull(w, h, v, grayPalette, minCodeSize = 8), w, h, 1)
+      val (w, h, payload) = crossFormatImagePayload(id)
+      MediaRow(id, "image", payload, w, h, 1)
     }
+  }
+
+  /** The per-item payload body of [[syntheticCrossFormatImages]] — shared
+    * with [[syntheticJointItems]] (byte-identical images, one oracle). */
+  private def crossFormatImagePayload(id: Long): (Int, Int, Array[Byte]) = {
+    val g = id / 2
+    val w = (16 + (g % 5) * 4).toInt
+    val h = (12 + ((g * 3) % 5) * 4).toInt
+    // per-group gradient multipliers: without them every same-dimension
+    // group lands on the SAME monotone dHash and the cluster graph
+    // degenerates into corpus-sized components (measured: an 11.5 s
+    // closure at sf0.1); varied wrap patterns keep clusters pair-sized
+    val xc = 3 + (g % 7) * 9
+    val yc = 2 + (g % 5) * 7
+    def v(k: Int): Int = ((g * 29 + (k % w) * xc + (k / w) * yc) % 256).toInt
+    val payload =
+      if (id % 2 == 0)
+        Containers.pngFull(w, h,
+          i => if (i % 4 == 3) 255 else v(i / 4), (id % 5).toInt)
+      else
+        Containers.gifFull(w, h, v, CrossFormatGrayPalette, minCodeSize = 8)
+    (w, h, payload)
+  }
+
+  private val CrossFormatGrayPalette: Array[Byte] =
+    Array.tabulate(256 * 3)(b => (b / 3).toByte)
+
+  /** Joint (caption, image, audio) fixture items in ONE pass over docs —
+    * the q253 streaming-joint-ingest input. Payload bytes are EXACTLY
+    * [[syntheticCrossFormatImages]] / [[syntheticNearDupAudio]] of the
+    * same ids (shared per-item builders), so the q237/q238 oracle
+    * arithmetic replays them unchanged; the caption is the document text.
+    * A single projection+map — assembling the same items by JOINING the
+    * three generators shuffles megabytes of payload and re-evaluates per
+    * consumer (measured 11 s per evaluation at sf0.1 vs ~1.5 s here). */
+  def syntheticJointItems(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, text, crossFormatImagePayload(id)._3, nearDupAudioPayload(id))
+      }
+      .toDF("item_id", "text", "image", "audio")
   }
 
   /** JOINT multimodal near-dup pairs: an item is a (caption, image, audio)

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *    carry: [[pngPixelStats]] inflates and unfilters genuine PNG IDAT
   *    streams (PNG's zlib IS `java.util.zip`; all five scanline filters),
   *    and [[wavSampleStats]] reads PCM16 WAV samples (PCM needs no codec).
-  *    Only the learned embedding model remains a stub
-  *    ([[Containers.bodyFeatures]] — no model weights exist in this
-  *    environment); a real implementation body-swaps it.
+  *    [[extractFeatures]] serves REAL classical content descriptors per
+  *    modality; only a LEARNED embedding model remains out of scope (no
+  *    model weights exist in this environment) — a real model body-swaps
+  *    the dispatch inside its `mapPartitions`.
   *
   * Synthetic fixtures ([[syntheticMediaFromDocs]]) emit spec-correct PNG /
   * WAV / AVI containers (header layouts byte-for-byte real, CRCs zeroed,
@@ -65,6 +66,12 @@ object Multimodal {
   final case class GifStats(media_id: Long, width: Int, height: Int,
                             n_pixels: Long, sum_r: Long, sum_g: Long,
                             sum_b: Long, sum_idx: Long)
+
+  /** Exact per-channel census of one Huffman-decoded baseline JPEG (no
+    * alpha — JPEG is opaque by format). */
+  final case class JpegStats(media_id: Long, width: Int, height: Int,
+                             n_pixels: Long, sum_r: Long, sum_g: Long,
+                             sum_b: Long)
 
   /** Exact per-channel census of ONE decoded AVI video frame — the video
     * twin of [[PixelStats]], keyed by (media_id, frame_idx). */
@@ -474,6 +481,14 @@ object Multimodal {
       0
     }
 
+    /** FULL-decode baseline-JPEG fixture builder: DC-only blocks with the
+      * exact closed-form constants — delegates to
+      * [[Jpeg.encodeGrayBlocks]] (the pixel-complete sibling of the
+      * header-only [[jpeg]] below). */
+    def jpegGray(width: Int, height: Int, grays: Array[Int],
+                 color: Boolean = false, restartInterval: Int = 0): Array[Byte] =
+      Jpeg.encodeGrayBlocks(width, height, grays, color, restartInterval)
+
     /** Minimal spec-correct baseline JPEG: SOI, JFIF APP0, one FILL byte
       * (legal padding — exercises the fill-byte path both parsers must
       * survive), SOF0 declaring the planted dimensions (8-bit, 1
@@ -541,14 +556,6 @@ object Multimodal {
       } else ("unknown", 0, 0, 1, 0)
     }
 
-    /** STUB: body decode / model inference would live here. */
-    def bodyFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-      var s = java.util.Arrays.hashCode(payload).toLong | 1L
-      Array.fill(dim) {
-        s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-        ((s * 0x2545F4914F6CDD1DL) >>> 40).toFloat / (1 << 24).toFloat
-      }
-    }
   }
 
   /** Deterministic media fixtures derived from the documents table — REAL
@@ -861,6 +868,20 @@ object Multimodal {
     * chunk-walk subtleties (word alignment, multiple data chunks,
     * non-canonical chunk orders) live in exactly one place. */
   private[graft] def pcm16Samples(id: Long, p: Array[Byte]): (Int, Int, Array[Short]) = {
+    // FORMAT-BLIND audio sample decode, dispatched on magic (the
+    // foreachDecodedPixel pattern): FLAC payloads decode through the
+    // real Rice/fixed-predictor walk ([[Flac.decode]] — lossless, so a
+    // FLAC re-encode of a WAV clip yields the SAME samples and every
+    // downstream operator — contour dedup, quality, containment,
+    // descriptors — is cross-format for free); anything else takes the
+    // RIFF/WAVE chunk walk below.
+    if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C') {
+      val (rate, samples) = Flac.decode(id, p)
+      val sh = new Array[Short](samples.length)
+      var i = 0
+      while (i < samples.length) { sh(i) = samples(i).toShort; i += 1 }
+      return (1, rate, sh)
+    }
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
     def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
@@ -1165,9 +1186,9 @@ object Multimodal {
     * cap), map indices through the palette, and reduce to the exact
     * channel + index census. Supports the single-frame non-interlaced
     * global-palette layout and fails fast with named causes on anything
-    * else (interlace, local palettes — out of scope). JPEG stays
-    * header-only BY DESIGN ([[Containers.jpegDims]]): its entropy decode
-    * needs Huffman tables + IDCT, a codec body out of scope here. */
+    * else (interlace, local palettes — out of scope). JPEG pixels decode
+    * through [[Jpeg.decodeRgb]] (baseline sequential Huffman + IDCT);
+    * see [[jpegPixelStats]]. */
   def gifPixelStats(media: Dataset[MediaRow]): Dataset[GifStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -1354,6 +1375,76 @@ object Multimodal {
     }
   }
 
+  /** REAL baseline JPEG pixel decode — Huffman + dequant + IDCT via
+    * [[Jpeg.decodeRgb]] — reduced to the exact per-channel sums (longs,
+    * no float accumulation in the census). Pure partition-local map: one
+    * image's pixels live at a time per task. */
+  def jpegPixelStats(media: Dataset[MediaRow]): Dataset[JpegStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m => decodeOneJpeg(m.media_id, m.payload)))
+  }
+
+  private[graft] def decodeOneJpeg(id: Long, p: Array[Byte]): JpegStats = {
+    val (w, h, rgb) = Jpeg.decodeRgb(id, p)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var k = 0
+    while (k < rgb.length) {
+      sr += rgb(k) & 0xFF; sg += rgb(k + 1) & 0xFF; sb += rgb(k + 2) & 0xFF
+      k += 3
+    }
+    JpegStats(id, w, h, w.toLong * h, sr, sg, sb)
+  }
+
+  /** Deterministic baseline-JPEG fixtures: every doc becomes a DC-only
+    * JPEG (all AC coefficients zero) whose 8×8 block k decodes to the
+    * CONSTANT gray (doc_id·31 + k·(7 + doc_id mod 13)) mod 256 — exact by
+    * the q00 = 8 closed form ([[Jpeg.encodeGrayBlocks]]) — so an external
+    * oracle recomputes the census ARITHMETICALLY while the engine earns
+    * it through real Huffman decode + IDCT. Even ids take the 3-component
+    * YCbCr wrap (chroma planted at 128 — also exact), odd ids stay
+    * grayscale; every 5th id plants restart markers. The per-item
+    * MULTIPLICATIVE block coefficient keeps fixtures degeneracy-free. */
+  def syntheticJpegMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (8 * (1 + nChars % 3)).toInt
+        val h = (8 * (1 + (nChars * 7) % 2)).toInt
+        val nBlocks = (w / 8) * (h / 8)
+        val grays = Array.tabulate(nBlocks)(k =>
+          ((id * 31 + k * (7 + id % 13)) % 256).toInt)
+        val payload = Containers.jpegGray(w, h, grays,
+          color = id % 2 == 0, restartInterval = if (id % 5 == 0) 2 else 0)
+        MediaRow(id, "image", payload, w, h, 1)
+      }
+  }
+
+  /** Deterministic FLAC fixtures: every doc becomes a 16-bit mono FLAC
+    * clip built by the REAL encoder ([[Flac.encode]] — fixed-predictor
+    * subframes with Rice residuals; every 7th doc an all-constant clip
+    * exercising CONSTANT subframes). FLAC is LOSSLESS, so the planted
+    * sample formula replays ARITHMETICALLY in an external oracle while
+    * the engine earns the census through real Rice/CRC decoding. Clip
+    * lengths span frame boundaries (blockSize 256, up to ~500 samples →
+    * partial last frames on the gate). */
+  def syntheticFlacMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val samples =
+          if (id % 7 == 0)
+            Array.fill(300)(((id * 31) % 4096 - 2048).toInt)
+          else {
+            val n = (200 + (nChars * 3) % 300).toInt
+            Array.tabulate(n)(p => ((id * 23 + p.toLong * 7) % 4096 - 2048).toInt)
+          }
+        MediaRow(id, "audio", Flac.encode(samples), 0, 0, 1)
+      }
+  }
+
   /** Deterministic FULL-decode fixtures: even doc_ids become complete
     * RGBA PNGs whose pixel byte i is the closed form (doc_id·31 + i) mod
     * 256, odd doc_ids become PCM16 WAV clips whose sample p is
@@ -1393,15 +1484,39 @@ object Multimodal {
   def sampleFrames(frames: Dataset[DecodedFrame], everyN: Int): Dataset[DecodedFrame] =
     frames.filter(f => f.frame_idx % everyN == 0)
 
-  /** Feature extraction: the model body is a stub ([[Containers.bodyFeatures]]);
-    * the iterator shape is the real contract — per-partition setup happens
-    * once (model load), rows stream through in batches. */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
+  /** Feature extraction with REAL classical-descriptor bodies, dispatched
+    * on payload magic (format-blind, like every decoder here):
+    * PNG/GIF/JPEG → the 88-dim image content descriptor
+    * ([[MediaDedup.imageDescriptors]]'s per-item body), WAV → the 57-dim
+    * energy contour, AVI → the 64-dim bag-of-frames signature (sampled
+    * every `everyN` frames — the video cost knob). Embedding width is
+    * modality-intrinsic. Unknown magic fails by NAME: the slot for a
+    * LEARNED extractor stays documented as weights-blocked (no model
+    * weights exist in this environment; a real model body-swaps the
+    * dispatch — the `mapPartitions` iterator shape is exactly where
+    * per-partition model load belongs). */
+  def extractFeatures(media: Dataset[MediaRow],
+                      everyN: Int = 2): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.map(m => MediaFeature(m.media_id, Containers.bodyFeatures(m.payload, dim)))
-    }
+    media.mapPartitions(_.map { m =>
+      val p = m.payload
+      val emb: Array[Double] =
+        if (p.length >= 3 && ((p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte ||
+          p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte ||
+          (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8))
+          MediaDedup.descriptorOneImage(m.media_id, p)
+        else if (p.length >= 12 && p(0) == 'R'.toByte && p(8) == 'W'.toByte &&
+          p(9) == 'A'.toByte)
+          MediaDedup.audioEnergies(m.media_id, p).map(_.toDouble)
+        else if (p.length >= 12 && p(0) == 'R'.toByte && p(8) == 'A'.toByte &&
+          p(9) == 'V'.toByte)
+          MediaDedup.descriptorOneVideo(m.media_id, p, everyN)
+        else throw new IllegalArgumentException(
+          s"media ${m.media_id}: no classical descriptor for this payload " +
+            "(unknown magic) — the learned-extractor slot is weights-blocked")
+      MediaFeature(m.media_id, emb.map(_.toFloat))
+    })
   }
 
   /** REAL resize: PNG payloads are decoded ([[decodePngRgba]]),

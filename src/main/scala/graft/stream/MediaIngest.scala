@@ -130,23 +130,37 @@ object MediaIngest {
       val novel =
         if (lake.exists(table)) {
           val committed = lake.read(table).select("media_id", "dhash")
-          val inChunks = Dedup.fingerprintBandChunks(kept, "dhash",
-            MediaDedup.FingerprintBits, bands, idCol = "media_id")
-          val cmChunks = Dedup.fingerprintBandChunks(committed, "dhash",
-            MediaDedup.FingerprintBits, bands, idCol = "media_id")
-          val rejected = inChunks.as("x").join(cmChunks.as("y"),
-              col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
-            .select(col("x.doc_id").as("media_id"), col("x.fp").as("fa"),
-              col("y.fp").as("fb"))
-            .distinct()
-            .filter(Dedup.hamming(col("fa"), col("fb")) <= maxHamming)
-            .select("media_id").distinct()
+          val rejected = bandedRejectIds(kept, committed, "dhash",
+            maxHamming, bands)
           kept.join(rejected, Seq("media_id"), "left_anti")
         } else kept
       val admitted = batchDf.join(novel.select("media_id", "dhash"), Seq("media_id"))
       val mode = if (lake.exists(table)) "append" else "overwrite"
       lake.write(admitted, table, mode): Unit
     } finally graft.ops.Caching.release(fps)
+  }
+
+  /** Banded cross-side rejection: incoming ids whose `fpCol` fingerprint
+    * sits within `maxHamming` of ANY committed one — band-chunk equi-join
+    * candidates ([[Dedup.fingerprintBandChunks]] both sides; pigeonhole-
+    * complete for maxHamming < bands), exact Hamming verify on candidates
+    * only. Both inputs are (media_id, fpCol); output (media_id) distinct.
+    * Candidate volume is bounded by band-collision rate, not corpus
+    * size — the incremental form of the full banded dedup bound. */
+  private def bandedRejectIds(incoming: DataFrame, committed: DataFrame,
+                              fpCol: String, maxHamming: Int,
+                              bands: Int): DataFrame = {
+    val inChunks = Dedup.fingerprintBandChunks(incoming, fpCol,
+      MediaDedup.FingerprintBits, bands, idCol = "media_id")
+    val cmChunks = Dedup.fingerprintBandChunks(committed, fpCol,
+      MediaDedup.FingerprintBits, bands, idCol = "media_id")
+    inChunks.as("x").join(cmChunks.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
+      .select(col("x.doc_id").as("media_id"), col("x.fp").as("fa"),
+        col("y.fp").as("fb"))
+      .distinct()
+      .filter(Dedup.hamming(col("fa"), col("fb")) <= maxHamming)
+      .select("media_id").distinct()
   }
 
   /** Deterministic two-batch twin (the q196 respell discipline): run the
@@ -307,5 +321,218 @@ object MediaIngest {
         shufflePartitions))
     lake.read("media_frames")
       .select(col("media_id"), col("frame_idx"), col("dhash"))
+  }
+
+  // ------------------------------------------------------------------
+  // JOINT multimodal ingest: the streaming form of the LAION-style
+  // any-modality dedup rule (MediaDedup.multimodalNearDups).
+  // ------------------------------------------------------------------
+
+  /** Joint (caption, image, audio) item schema for the file-source
+    * stream: one training example per row, one id across modalities. */
+  val jointSchema: StructType = new StructType()
+    .add("item_id", LongType).add("text", StringType)
+    .add("image", BinaryType).add("audio", BinaryType)
+
+  def readJointStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(jointSchema).parquet(dir)
+
+  /** Start the streaming JOINT multimodal ingest; one lake commit per
+    * micro-batch ([[jointBatch]]). The per-modality ingests
+    * ([[startPerceptualDedup]]/[[startAudioDedup]]/[[CorpusIngest.startNearDup]])
+    * each catch re-posts arriving through THEIR modality; this one closes
+    * the cross-modality hole — a committed image re-posted under a
+    * REWRITTEN caption (or a re-captioned copy of a committed clip) is
+    * the same training example and must not land twice. */
+  def startJointDedup(spark: SparkSession, dir: String, lake: LakeTable,
+                      table: String, textThreshold: Double = 0.8,
+                      numPerms: Int = 32, textBands: Int = 16,
+                      shingleSize: Int = 3, maxHamming: Int = 3,
+                      mediaBands: Int = 4,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      checkpoint: Option[String] = None,
+                      shufflePartitions: Option[Int] = None): StreamingQuery = {
+    val w = readJointStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        jointBatch(batch.toDF(), lake, table, textThreshold, numPerms,
+          textBands, shingleSize, maxHamming, mediaBands, shufflePartitions)
+      }
+      .trigger(trigger)
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** One micro-batch of the JOINT ingest. An item is rejected when ANY
+    * modality matches — caption shingle-Jaccard >= `textThreshold`
+    * (banded + exact verify, the q24 contract), image dHash or audio
+    * contour within `maxHamming` (banded + exact verify, pigeonhole-
+    * complete) — either against another batch item (union pair graph →
+    * connected components, keep the min item_id) or against the COMMITTED
+    * lake. The lake is the joint index: every committed row carries its
+    * image `dhash`, audio `afp`, and caption `lsh_bands` (plus the
+    * caption text for candidate-only exact verify), so the cross-batch
+    * check never decodes a committed payload and never tokenizes more
+    * than the candidate set. One table, one commit per batch — replays
+    * without a checkpoint are idempotent because the index IS the
+    * table. */
+  def jointBatch(batchDf: DataFrame, lake: LakeTable, table: String,
+                 textThreshold: Double = 0.8, numPerms: Int = 32,
+                 textBands: Int = 16, shingleSize: Int = 3,
+                 maxHamming: Int = 3, mediaBands: Int = 4,
+                 shufflePartitions: Option[Int] = None): Unit =
+    withSizedShuffles(batchDf.sparkSession, shufflePartitions) {
+      jointBatchBody(batchDf, lake, table, textThreshold, numPerms,
+        textBands, shingleSize, maxHamming, mediaBands)
+    }
+
+  private def jointBatchBody(batchDf: DataFrame, lake: LakeTable,
+                             table: String, textThreshold: Double,
+                             numPerms: Int, textBands: Int,
+                             shingleSize: Int, maxHamming: Int,
+                             mediaBands: Int): Unit = {
+    val spark = batchDf.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numPerms / textBands
+    val docs = batchDf.select(col("item_id").as("doc_id"), col("text"))
+    // one fingerprint row per item: image dHash + audio contour from ONE
+    // partition-local pass over both payload columns (two separate
+    // fingerprint datasets would shuffle-join at batch grain — measured
+    // scheduling tax) + caption MinHash band hashes. Feeds the pair
+    // stages, the lake checks, and the admit join — shared-subtree
+    // persist, released in finally
+    val sig = Dedup.minhashSignatures(docs, numPerms, shingleSize)
+      .select(col("doc_id").as("item_id"),
+        Dedup.lshBands(col("sig"), textBands, rowsPerBand).as("lsh_bands"))
+    val mediaFp = batchDf
+      .select(col("item_id"), col("image"), col("audio"))
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions(_.map { case (id, img, aud) =>
+        (id, MediaDedup.dhashOneImage(id, img),
+          MediaDedup.audioFingerprintOne(id, aud))
+      })
+      .toDF("item_id", "dhash", "afp")
+    val fps = mediaFp
+      .join(sig, Seq("item_id"), "left")
+      .withColumn("lsh_bands", coalesce(col("lsh_bands"),
+        expr("CAST(array() AS array<struct<band:int,band_hash:bigint>>)")))
+      .persist()
+    // per-batch persist set (the nearDupBatchBody discipline): every entry
+    // released in finally — stream retries must not leak cached blocks
+    val stageCaches =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Dataset[_]]
+    def cut(df: DataFrame): DataFrame = { stageCaches += df.persist(); df }
+    try {
+      // in-batch: the ANY-modality union pair graph, min-id keep. Text
+      // candidates come from the PERSISTED band hashes (one signature
+      // pass per batch, not two) + exact shingle-Jaccard verify — the
+      // same banded==brute contract as Dedup.minhashNearDupsShingle
+      val shAll = cut(Dedup.shingleSets(docs, shingleSize))
+      val bandsEx = fps.select(col("item_id"), explode(col("lsh_bands")).as("b"))
+      val candT = bandsEx.as("x").join(bandsEx.as("y"),
+          col("x.b") === col("y.b") && col("x.item_id") < col("y.item_id"))
+        .select(col("x.item_id").as("doc_a"), col("y.item_id").as("doc_b"))
+        .distinct()
+      val tp = candT
+        .join(shAll.select(col("doc_id").as("doc_a"), col("s").as("wa")), Seq("doc_a"))
+        .join(shAll.select(col("doc_id").as("doc_b"), col("s").as("wb")), Seq("doc_b"))
+        .filter(Dedup.jaccard(col("wa"), col("wb")) >= textThreshold)
+        .select("doc_a", "doc_b")
+      val ip = Dedup.hammingBandPairs(fps.select("item_id", "dhash"), "dhash",
+          MediaDedup.FingerprintBits, maxHamming, mediaBands, idCol = "item_id")
+        .select("doc_a", "doc_b")
+      val ap = Dedup.hammingBandPairs(fps.select("item_id", "afp"), "afp",
+          MediaDedup.FingerprintBits, maxHamming, mediaBands, idCol = "item_id")
+        .select("doc_a", "doc_b")
+      val clusters = Dedup.clusterPairs(tp.union(ip).union(ap).distinct())
+        .withColumnRenamed("doc_id", "item_id")
+      // kept feeds the three lake checks AND the admit join — persist, or
+      // the pair+closure subtree re-evaluates once per consumer
+      val kept = cut(fps.join(clusters, Seq("item_id"), "left")
+        .filter(col("cluster_id").isNull || col("item_id") === col("cluster_id"))
+        .drop("cluster_id"))
+      // against the lake: rejected on ANY modality match vs committed rows
+      val novel =
+        if (lake.exists(table)) {
+          val committed = lake.read(table)
+          // image + audio checks ride ONE banded join: both fingerprint
+          // kinds explode into band chunks with DISJOINT band index
+          // ranges (audio bands offset by mediaBands), so candidates only
+          // form within a kind and the exact Hamming verify compares
+          // prints of the same modality — two checks for one join's
+          // scheduling (pigeonhole completeness per kind is unchanged)
+          def kindChunks(d: DataFrame): DataFrame = {
+            val bits = MediaDedup.FingerprintBits / mediaBands
+            val mask = (1L << bits) - 1L
+            def chunksOf(fpCol: String, off: Int) =
+              (0 until mediaBands).map { b =>
+                struct(lit(b + off).as("band"),
+                  shiftright(col(fpCol), b * bits).bitwiseAND(mask).as("chunk"),
+                  col(fpCol).as("fp"))
+              }
+            d.select(col("item_id"),
+                explode(array(chunksOf("dhash", 0) ++
+                  chunksOf("afp", mediaBands): _*)).as("bc"))
+              .select(col("item_id"), col("bc.band").as("band"),
+                col("bc.chunk").as("chunk"), col("bc.fp").as("fp"))
+          }
+          val mediaRej = kindChunks(kept).as("x")
+            .join(kindChunks(committed).as("y"),
+              col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk"))
+            .select(col("x.item_id").as("item_id"), col("x.fp").as("fa"),
+              col("y.fp").as("fb"))
+            .distinct()
+            .filter(Dedup.hamming(col("fa"), col("fb")) <= maxHamming)
+            .select("item_id").distinct()
+          // caption check: band-key candidates, then exact shingle-Jaccard
+          // verify — committed text tokenizes for CANDIDATES only (the
+          // broadcast left-semi prune, CorpusIngest.nearDupBatch's move)
+          val batchBands = kept.select(col("item_id"),
+            explode(col("lsh_bands")).as("b"))
+          val lakeBands = committed.select(col("item_id").as("lake_id"),
+            explode(col("lsh_bands")).as("b"))
+          val cand = batchBands.join(lakeBands, Seq("b"))
+            .select("item_id", "lake_id").distinct()
+          val candLake = committed
+            .select(col("item_id").as("lake_id"), col("text"))
+            .join(broadcast(cand.select("lake_id").distinct()),
+              Seq("lake_id"), "left_semi")
+          val shIn = shAll.select(col("doc_id").as("item_id"), col("s").as("wa"))
+          val shLake = Dedup.shingleSets(
+              candLake.select(col("lake_id").as("doc_id"), col("text")),
+              shingleSize)
+            .select(col("doc_id").as("lake_id"), col("s").as("wb"))
+          val txtRej = cand.join(shIn, Seq("item_id")).join(shLake, Seq("lake_id"))
+            .filter(Dedup.jaccard(col("wa"), col("wb")) >= textThreshold)
+            .select("item_id").distinct()
+          val rejected = mediaRej.union(txtRej).distinct()
+          kept.join(rejected, Seq("item_id"), "left_anti")
+        } else kept
+      // ONE commit: items + their joint fingerprint index columns
+      val admitted = batchDf.join(
+        novel.select("item_id", "dhash", "afp", "lsh_bands"), Seq("item_id"))
+      val mode = if (lake.exists(table)) "append" else "overwrite"
+      lake.write(admitted, table, mode): Unit
+    } finally {
+      stageCaches.foreach(graft.ops.Caching.release)
+      graft.ops.Caching.release(fps)
+    }
+  }
+
+  /** Deterministic two-batch twin of the JOINT ingest ([[jointBatch]] run
+    * verbatim against a throwaway lake); returns the landed
+    * (item_id, dhash, afp) — what the stream must also land (spec-pinned)
+    * and what a SQL oracle replays: per-batch ANY-modality closures with
+    * min-id keep, then cross-batch rejection on any modality match. */
+  def jointIngestTwin(spark: SparkSession, batch1: DataFrame,
+                      batch2: DataFrame, textThreshold: Double = 0.8,
+                      numPerms: Int = 32, textBands: Int = 16,
+                      shingleSize: Int = 3, maxHamming: Int = 3,
+                      mediaBands: Int = 4,
+                      shufflePartitions: Option[Int] = None): DataFrame = {
+    val dir = graft.tables.TempLakes.create("graft_joint_ingest_lake")
+    val lake = new LakeTable(spark, dir)
+    Seq(batch1, batch2).foreach(b =>
+      jointBatch(b, lake, "items", textThreshold, numPerms, textBands,
+        shingleSize, maxHamming, mediaBands, shufflePartitions))
+    lake.read("items").select(col("item_id"), col("dhash"), col("afp"))
   }
 }

@@ -80,6 +80,31 @@ class FuzzSpec extends AnyFunSuite {
     fuzz("gif1", gifPayload, 6, p => Multimodal.decodeGifIdx(5L, p))
   }
 
+  private val jpegPayload = graft.multimodal.Jpeg.encodeBlocks(16, 16,
+    Array(Array.tabulate(4) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = b * 19 - 30
+      for (k <- 1 until 64 if (k * 7 + b * 5) % 11 == 0)
+        blk(k) = ((k * 13 + b * 29) % 9) - 4
+      blk
+    }), restartInterval = 3)
+
+  test("fuzz: JPEG decode fails only by name on hostile bytes") {
+    fuzz("jpeg", jpegPayload, 2,
+      p => graft.multimodal.Jpeg.decodeRgb(8L, p))
+  }
+
+  private val flacPayload = graft.multimodal.Flac.encode(
+    Array.tabulate(300)(p => ((p.toLong * p * 13 + p * 29 + 5) % 4096 - 2048).toInt))
+
+  test("fuzz: FLAC decode fails only by name on hostile bytes (and the " +
+    "format-blind audio dispatch inherits it)") {
+    fuzz("flac", flacPayload, 4,
+      p => graft.multimodal.Flac.decode(15L, p))
+    fuzz("flac-dispatch", flacPayload, 4,
+      p => Multimodal.pcm16Samples(16L, p))
+  }
+
   test("fuzz: the format-blind video dispatch inherits the contract") {
     fuzz("vid-avi", aviPayload, 12, p => Multimodal.decodeVideoRgb(6L, p))
     fuzz("vid-gif", gifPayload, 6, p => Multimodal.decodeVideoRgb(7L, p))

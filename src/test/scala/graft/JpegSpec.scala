@@ -1,0 +1,249 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Jpeg
+
+/** The baseline-JPEG codec contract (the q217/q222 pattern applied to the
+  * web's dominant image format):
+  *  - DC-ONLY blocks decode to the CLOSED FORM clamp(dc + 128) exactly
+  *    (fixture quant q00 = 8 cancels the IDCT's /8) — grayscale AND the
+  *    3-component color wrap (chroma planted at 128) — so planted
+  *    fixtures replay arithmetically in an external SQL oracle;
+  *  - general-coefficient decodes are pinned against the JDK's OWN
+  *    ImageIO JPEG reader within a small per-pixel rounding tolerance
+  *    (decoders may legally differ in IDCT rounding — T.81 only bounds
+  *    accuracy); the fixtures' GENERATED canonical Huffman tables are
+  *    exercised by an independent decoder, not assumed;
+  *  - restart markers round-trip (predictor resets included);
+  *  - out-of-scope shapes (progressive, subsampled, 12-bit, multi-scan)
+  *    and hostile bytes fail by NAME — FuzzSpec drives the random-bytes
+  *    side of that contract.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def decodeImageIO(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not open our JPEG — container invalid")
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = new Array[Int](3 * w * h)
+    val oneBand = img.getRaster.getNumBands == 1
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = 3 * (y * w + x)
+      if (oneBand) {
+        // getRGB on TYPE_BYTE_GRAY converts linear gray -> sRGB (a gamma
+        // curve); the raster holds the decoder's actual luma samples
+        val v = img.getRaster.getSample(x, y, 0)
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      } else {
+        val argb = img.getRGB(x, y)
+        rgb(o) = (argb >>> 16) & 0xFF
+        rgb(o + 1) = (argb >>> 8) & 0xFF
+        rgb(o + 2) = argb & 0xFF
+      }
+    }
+    (w, h, rgb)
+  }
+
+  private def maxAbsDiff(a: Array[Byte], b: Array[Int]): Int = {
+    assert(a.length == b.length)
+    var m = 0
+    var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xFF) - b(i))
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
+  test("DC-only grayscale decodes to the exact closed-form block constants") {
+    // 3x2 blocks of 8x8, per-block grays from a multiplicative formula
+    val bw = 3; val bh = 2
+    val grays = Array.tabulate(bw * bh)(k => (k * 37 + 11) % 256)
+    val bytes = Jpeg.encodeGrayBlocks(bw * 8, bh * 8, grays)
+    val (w, h, rgb) = Jpeg.decodeRgb(1L, bytes)
+    assert((w, h) === ((24, 16)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = grays((y / 8) * bw + x / 8)
+      val o = 3 * (y * w + x)
+      assert((rgb(o) & 0xFF) === g, s"R at ($x,$y)")
+      assert((rgb(o + 1) & 0xFF) === g, s"G at ($x,$y)")
+      assert((rgb(o + 2) & 0xFF) === g, s"B at ($x,$y)")
+    }
+  }
+
+  test("the color wrap (chroma planted at 128) keeps the closed form exact") {
+    val bw = 2; val bh = 2
+    val grays = Array(0, 255, 128, 77)
+    val bytes = Jpeg.encodeGrayBlocks(bw * 8, bh * 8, grays, color = true)
+    val (w, h, rgb) = Jpeg.decodeRgb(2L, bytes)
+    assert((w, h) === ((16, 16)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = grays((y / 8) * bw + x / 8)
+      val o = 3 * (y * w + x)
+      assert((rgb(o) & 0xFF) === g, s"R at ($x,$y)")
+      assert((rgb(o + 1) & 0xFF) === g, s"G at ($x,$y)")
+      assert((rgb(o + 2) & 0xFF) === g, s"B at ($x,$y)")
+    }
+  }
+
+  test("non-multiple-of-8 dimensions crop the block padding correctly") {
+    val grays = Array(40, 200) // 2x1 blocks, declared 13x5
+    val bytes = Jpeg.encodeGrayBlocks(13, 5, grays)
+    val (w, h, rgb) = Jpeg.decodeRgb(3L, bytes)
+    assert((w, h) === ((13, 5)))
+    assert(rgb.length === 3 * 13 * 5)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = grays(x / 8)
+      assert((rgb(3 * (y * w + x)) & 0xFF) === g, s"($x,$y)")
+    }
+  }
+
+  test("restart markers round-trip (predictor resets included)") {
+    val bw = 4; val bh = 2
+    val grays = Array.tabulate(bw * bh)(k => (k * 53 + 19) % 256)
+    val bytes = Jpeg.encodeGrayBlocks(bw * 8, bh * 8, grays, restartInterval = 3)
+    val (w, h, rgb) = Jpeg.decodeRgb(4L, bytes)
+    assert((w, h) === ((32, 16)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = grays((y / 8) * bw + x / 8)
+      assert((rgb(3 * (y * w + x)) & 0xFF) === g, s"($x,$y)")
+    }
+    // color + restarts through the same path
+    val cBytes = Jpeg.encodeGrayBlocks(bw * 8, bh * 8, grays, color = true,
+      restartInterval = 2)
+    val (_, _, cRgb) = Jpeg.decodeRgb(5L, cBytes)
+    assert(cRgb.toSeq === rgb.toSeq)
+  }
+
+  test("general-coefficient grayscale agrees with the JDK's OWN ImageIO " +
+    "reader within IDCT rounding tolerance") {
+    // AC coefficients exercise the full Huffman run/size alphabet, the
+    // zigzag order, ZRL, and EOB; small magnitudes keep every pixel far
+    // from the clamp so rounding is the ONLY legal difference
+    val bw = 2; val bh = 2
+    val blocks = Array.tabulate(bw * bh) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = (b * 23 - 40) // DC
+      var k = 0
+      while (k < 64) {
+        if (k > 0 && (k * 7 + b * 5) % 11 == 0)
+          blk(k) = ((k * 13 + b * 29) % 9) - 4
+        k += 1
+      }
+      blk
+    }
+    val bytes = Jpeg.encodeBlocks(16, 16, Array(blocks))
+    val (w, h, ours) = Jpeg.decodeRgb(6L, bytes)
+    val (iw, ih, theirs) = decodeImageIO(bytes)
+    assert((w, h) === ((iw, ih)))
+    val d = maxAbsDiff(ours, theirs)
+    assert(d <= 2, s"max per-pixel diff vs ImageIO: $d")
+  }
+
+  test("general-coefficient COLOR decode agrees with ImageIO within " +
+    "rounding tolerance (YCbCr transform included)") {
+    val bw = 2; val bh = 1
+    def comp(seed: Int) = Array.tabulate(bw * bh) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = ((b * 31 + seed * 17) % 60) - 30
+      var k = 0
+      while (k < 64) {
+        if (k > 0 && (k * 5 + seed * 3 + b) % 13 == 0)
+          blk(k) = ((k * 7 + seed * 11 + b * 3) % 7) - 3
+        k += 1
+      }
+      blk
+    }
+    val bytes = Jpeg.encodeBlocks(16, 8, Array(comp(1), comp(2), comp(3)))
+    val (w, h, ours) = Jpeg.decodeRgb(7L, bytes)
+    val (iw, ih, theirs) = decodeImageIO(bytes)
+    assert((w, h) === ((iw, ih)))
+    // two independent rounding stages (IDCT + YCbCr) may each differ ±1
+    val d = maxAbsDiff(ours, theirs)
+    assert(d <= 3, s"max per-pixel diff vs ImageIO: $d")
+  }
+
+  test("DC-only fixtures also open identically in ImageIO (exact)") {
+    val grays = Array(13, 77, 200, 255)
+    val bytes = Jpeg.encodeGrayBlocks(16, 16, grays, color = true)
+    val (_, _, ours) = Jpeg.decodeRgb(8L, bytes)
+    val (_, _, theirs) = decodeImageIO(bytes)
+    // constant blocks: any conformant IDCT reproduces them exactly
+    assert(maxAbsDiff(ours, theirs) <= 1)
+  }
+
+  test("a JPEG and a PNG of the SAME content land on the SAME dHash — " +
+    "perceptual dedup is three-format-blind") {
+    import graft.multimodal.{MediaDedup, Multimodal}
+    val bw = 2; val bh = 2
+    val grays = Array(30, 180, 90, 240)
+    val jpeg = Jpeg.encodeGrayBlocks(bw * 8, bh * 8, grays, color = true)
+    val png = Multimodal.Containers.pngFull(bw * 8, bh * 8, { i =>
+      val k = i / 4
+      if (i % 4 == 3) 255
+      else grays(((k / 16) / 8) * bw + (k % 16) / 8)
+    })
+    val hj = MediaDedup.dhashOneImage(1L, jpeg)
+    val hp = MediaDedup.dhashOneImage(2L, png)
+    assert(hj === hp, "cross-format dHash mismatch")
+    // and a DIFFERENT JPEG does not collide
+    val other = Jpeg.encodeGrayBlocks(bw * 8, bh * 8,
+      Array(240, 90, 180, 30), color = true)
+    assert(MediaDedup.dhashOneImage(3L, other) !== hj)
+  }
+
+  test("out-of-scope and malformed shapes fail by NAME") {
+    val ok = Jpeg.encodeGrayBlocks(16, 8, Array(50, 100))
+
+    // progressive: patch SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = ok.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xFF) == 0xFF &&
+      i + 1 < prog.length && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    val e1 = intercept[IllegalArgumentException](Jpeg.decodeRgb(9L, prog))
+    assert(e1.getMessage.contains("progressive"))
+
+    // subsampling: patch the component H/V byte (0x11 -> 0x22)
+    val sub = ok.clone()
+    // SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) [id hv tq]...
+    sub(sofAt + 11) = 0x22.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decodeRgb(10L, sub))
+    assert(e2.getMessage.contains("sampling"))
+
+    // 12-bit precision
+    val prec = ok.clone()
+    prec(sofAt + 4) = 12.toByte
+    val e3 = intercept[IllegalArgumentException](Jpeg.decodeRgb(11L, prec))
+    assert(e3.getMessage.contains("precision"))
+
+    // EOI before SOS
+    val eoi = ok.take(2) ++ Array(0xFF.toByte, 0xD9.toByte)
+    val e4 = intercept[IllegalArgumentException](Jpeg.decodeRgb(12L, eoi))
+    assert(e4.getMessage.contains("EOI before SOS"))
+
+    // not a JPEG at all
+    val e5 = intercept[IllegalArgumentException](
+      Jpeg.decodeRgb(13L, Array[Byte](1, 2, 3, 4)))
+    assert(e5.getMessage.contains("not a JPEG"))
+
+    // dimension bomb: SOF0 declaring w*h over the decode bound
+    val bomb = ok.clone()
+    bomb(sofAt + 5) = 0xFF.toByte; bomb(sofAt + 6) = 0xFF.toByte // h=65535
+    bomb(sofAt + 7) = 0xFF.toByte; bomb(sofAt + 8) = 0xFF.toByte // w=65535
+    val e6 = intercept[IllegalArgumentException](Jpeg.decodeRgb(14L, bomb))
+    assert(e6.getMessage.contains("decode bound"))
+  }
+
+  test("a hostile positive segment length near 2^31 fails as 'truncated', " +
+    "not an index error (the Long-bound contract)") {
+    // SOI + DQT whose 16-bit max length can't overflow Int, so attack the
+    // entropy path instead: SOI + a segment claiming the max u16 length
+    // over a short payload must name truncation
+    val hostile = Array(0xFF, 0xD8, 0xFF, 0xDB, 0xFF, 0xFF, 0x00).map(_.toByte)
+    val e = intercept[IllegalArgumentException](Jpeg.decodeRgb(15L, hostile))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+}

@@ -439,4 +439,28 @@ class MediaDedupSpec extends SparkSpec {
     assert(got.keySet === logoCells)
     got.values.foreach(n => assert(n >= 40L))
   }
+
+  test("an ALPHA-BLENDED watermark escapes the verbatim census and is " +
+    "caught by the quantized one") {
+    val media = MediaDedup.syntheticBlendedWatermarkImages(
+      docs.filter(col("doc_id") < 120)).persist()
+    // 40 stamped images, bleed (id/3) % 3 splits each logo cell's means
+    // across THREE verbatim values (~13-14 images each) — all below a
+    // 30-image threshold, so the verbatim census sees nothing
+    val verbatim = MediaDedup.imageBoilerplateBlocks(media, minImages = 30L)
+      .collect()
+    assert(verbatim.isEmpty,
+      s"verbatim census should miss the blended stamp, got ${verbatim.length}")
+    // the /4 quantized census concentrates each cell in one bucket of 40
+    val tolerant = MediaDedup.imageBoilerplateBlocks(media, minImages = 30L,
+        quant = 4)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val logoCells = (for (by <- 0 until 2; bx <- 0 until 4)
+      yield (bx, by, ((bx * 48 + by * 32 + 8) / 4).toLong)).toSet
+    assert(tolerant.keySet === logoCells)
+    tolerant.values.foreach(n => assert(n >= 40L))
+    media.unpersist(): Unit
+  }
 }

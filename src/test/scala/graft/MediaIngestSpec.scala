@@ -209,4 +209,106 @@ class MediaIngestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(twin === landed)
   }
+
+  // joint (caption, image, audio) item: any-modality dedup fixtures
+  private def jointItem(id: Long, caption: String, gray: (Int, Int) => Int,
+                        clip: Int => Int): (Long, String, Array[Byte], Array[Byte]) = {
+    val n = 570
+    val body = new Array[Byte](n * 2)
+    var p = 0
+    while (p < n) {
+      val s = clip(p)
+      body(2 * p) = (s & 0xFF).toByte
+      body(2 * p + 1) = ((s >> 8) & 0xFF).toByte
+      p += 1
+    }
+    val png = Containers.pngFull(16, 16,
+      i => if (i % 4 == 3) 255 else gray(((i / 4) % 16) / 2, ((i / 4) / 16) / 2))
+    (id, caption, png, Containers.wav(1, 16000, body))
+  }
+
+  test("streamed JOINT items: a match in ANY modality drops — in-batch, " +
+    "cross-batch, each modality; replays idempotent; stream == twin") {
+    import spark.implicits._
+    val checker: (Int, Int) => Int =
+      (bx, by) => if ((bx + by) % 2 == 0) 200 else 20
+    // per-clip quadratic coefficients (the degeneracy-free shape)
+    def clip(c: Int): Int => Int =
+      p => ((p.toLong * p * (31 + c * 7) + p.toLong * (17 + c * 11) + c * 53)
+        % 4096 - 2048).toInt
+    // two more pairwise-distant gradients. NOTE: item 8's image must stay
+    // >3 Hamming from EVERY item — batch-1 ones included — because the
+    // no-checkpoint replay below reprocesses all files as ONE batch, where
+    // an accidental collision with (dropped) item 3 would pull 8 into
+    // item 1's in-batch component and break replay idempotency (hstripe's
+    // constant rows hash to 0 == down's hash — measured, hence mixed2)
+    val vstripe: (Int, Int) => Int = (bx, _) => if (bx % 2 == 0) 200 else 20
+    val mixed2: (Int, Int) => Int =
+      (bx, by) => if (by < 4) (7 - bx) * 10 else bx * 10
+    val capA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val capB = "completely different words describing an unrelated scene entirely"
+    val capC = "a third caption sharing nothing with either of those two texts"
+    val capD = "yet another wholly distinct description for the final novel item"
+    val capE = "fifth standalone caption used only by the rewritten repost case"
+    val capF = "sixth caption belonging to the genuinely new item that must land"
+
+    val b1 = Seq(
+      jointItem(1, capA, up, clip(1)),      // canonical
+      jointItem(2, capB, up, clip(2)),      // in-batch IMAGE dup of 1
+      jointItem(3, capA, down, clip(3)),    // in-batch TEXT dup of 1
+      jointItem(4, capC, mixed, clip(4)))   // distinct survivor
+    val b2 = Seq(
+      jointItem(5, capE, up, clip(5)),      // cross-batch IMAGE repost of 1
+      jointItem(6, capC, checker, clip(6)), // cross-batch TEXT repost of 4
+      jointItem(7, capD, vstripe, clip(1)), // cross-batch AUDIO repost of 1
+      jointItem(8, capF, mixed2, clip(8))) // genuinely novel
+    // expected: batch1 lands {1, 4}; batch2 has no in-batch pairs, and the
+    // lake checks reject 5 (image vs 1), 6 (text vs 4), 7 (audio vs 1)
+    val in = Files.createTempDirectory("graft-joint-in").toString
+    val lake = new LakeTable(spark,
+      Files.createTempDirectory("graft-joint-lake").toString)
+    def writeJoint(name: String,
+                   rows: Seq[(Long, String, Array[Byte], Array[Byte])]): Unit = {
+      val tmp = Files.createTempDirectory("graft-joint-stage").toString + "/out"
+      rows.toDF("item_id", "text", "image", "audio")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    writeJoint("b1", b1)
+    val q1 = MediaIngest.startJointDedup(spark, in, lake, "items",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    assert(lake.read("items").select("item_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 4L))
+
+    writeJoint("b2", b2)
+    val q2 = MediaIngest.startJointDedup(spark, in, lake, "items",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("items").select("item_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 4L, 8L),
+      "batch-2 rejections: 5 by image vs 1, 6 by text vs 4, 7 by audio " +
+        "vs 1; 8 lands")
+
+    // no-checkpoint replay: the committed items ARE the joint index
+    val q3 = MediaIngest.startJointDedup(spark, in, lake, "items",
+      trigger = Trigger.AvailableNow())
+    q3.awaitTermination(120000)
+    assert(q3.exception.isEmpty)
+    assert(lake.read("items").select("item_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 4L, 8L))
+
+    // stream == deterministic twin, fingerprints included
+    val twin = MediaIngest.jointIngestTwin(spark,
+      b1.toDF("item_id", "text", "image", "audio"),
+      b2.toDF("item_id", "text", "image", "audio"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val landed = lake.read("items").select("item_id", "dhash", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twin === landed)
+  }
 }

@@ -29,13 +29,40 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.count() === expect)
   }
 
-  test("feature extraction is deterministic with the declared dimension") {
-    val f1 = Multimodal.extractFeatures(media, dim = 16).collect()
-      .map(f => f.media_id -> f.embedding.toSeq).toMap
-    val f2 = Multimodal.extractFeatures(media, dim = 16).collect()
-      .map(f => f.media_id -> f.embedding.toSeq).toMap
-    assert(f1 === f2)
-    assert(f1.values.forall(_.size == 16))
+  test("extractFeatures == the classical content descriptors, per modality " +
+    "dispatched by magic; unknown magic fails by name") {
+    import graft.multimodal.MediaDedup
+    val docs = this.docs.filter(col("doc_id") < 24)
+    // image (PNG + GIF by parity), audio, video — each against its
+    // dedicated descriptor operator, element-for-element
+    def pin(rows: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+            descriptors: org.apache.spark.sql.DataFrame): Unit = {
+      val got = Multimodal.extractFeatures(rows).collect()
+        .map(f => f.media_id -> f.embedding.toSeq).toMap
+      val want = descriptors.collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Double](1).map(_.toFloat).toSeq).toMap
+      assert(got === want)
+    }
+    val imgs = MediaDedup.syntheticCrossFormatImages(docs)
+    pin(imgs, MediaDedup.imageDescriptors(imgs))
+    val clips = MediaDedup.syntheticNearDupAudio(docs)
+    pin(clips, MediaDedup.audioDescriptors(clips))
+    val vids = MediaDedup.syntheticNearDupVideos(docs)
+    pin(vids, MediaDedup.videoDescriptors(vids, everyN = 2))
+    // JPEG rides the image dispatch (the q252 decoder)
+    import spark.implicits._
+    val jpegs = Seq(Multimodal.MediaRow(1L, "image",
+      graft.multimodal.Jpeg.encodeGrayBlocks(16, 16,
+        Array(10, 60, 110, 160), color = true), 16, 16, 1)).toDS()
+    pin(jpegs, MediaDedup.imageDescriptors(jpegs))
+    // unknown magic: named failure (the learned slot is weights-blocked)
+    val junk = Seq(Multimodal.MediaRow(9L, "blob",
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12), 0, 0, 1)).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(junk).collect())
+    assert(e.getMessage.contains("weights-blocked") ||
+      Option(e.getCause).exists(_.getMessage.contains("weights-blocked")))
   }
 
   test("resize bounds the longest side (metadata path for non-PNG formats)") {

@@ -85,7 +85,10 @@ class PlanLintSpec extends SparkSpec {
     // top-k over content descriptors — q28's loop shape on decoded media
     // (q227 additionally computes it as its recall-gate truth baseline)
     "q226_image_similarity", "q227_image_ann_ivf", "q228_audio_similarity",
-    "q233_video_similarity")
+    "q233_video_similarity",
+    // audio ANN recall gate: the same bounded-probe brute-force truth
+    // baseline as q227, over the audio descriptors
+    "q254_audio_ann_ivf")
 
   test("no query plans a cartesian product; nested loops only on 1-row sides") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
