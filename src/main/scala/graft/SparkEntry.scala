@@ -1818,6 +1818,45 @@ object SparkEntry {
       graft.multimodal.MediaDedup.imageBoilerplateBlocks(
         graft.multimodal.MediaDedup.syntheticWatermarkImages(
           t(s, d, "documents")), minImages = 50L)),
+    // --- THREE-format perceptual dedup [ext]: q224 extended to the full
+    // image-format surface — planted (PNG, GIF, JPEG) TRIPLES of the
+    // same content collide at Hamming 0 through three entirely different
+    // codecs (inflate+unfilter, LZW, Huffman+IDCT); the 8x8 dHash grid
+    // aligns with the JPEG DC-only blocks so the whole fixture replays
+    // arithmetically (budget <= 3 s) ---
+    "q257_triformat_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageNearDups(
+        graft.multimodal.MediaDedup.syntheticTriFormatImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
+    // --- EXIF orientation: parse + APPLY [ext]: camera JPEGs store
+    // pixels rotated with a tag 274 saying how to display them; the
+    // engine walks the real APP1/TIFF structure (both byte orders),
+    // applies the published source-coordinate table to the decoded
+    // pixels, and reports DISPLAYED-quadrant gray sums — quadrants (not
+    // plain channel sums, which are transform-invariant) make a broken
+    // orientation path hash-mismatch. Fixtures carry real Exif segments
+    // over 64x48 DC-only grids covering all 8 orientations incl. the
+    // four dimension-swapping ones (budget <= 3 s) ---
+    "q259_exif_oriented_quadrants" -> ((s, d) =>
+      graft.multimodal.Multimodal.jpegOrientedQuadrants(
+        graft.multimodal.Multimodal.syntheticExifJpegMedia(
+          t(s, d, "documents"))).toDF()),
+    // --- ORIENTATION-invariant perceptual dedup [ext]: an EXIF-rotated,
+    // flipped, or mirrored re-post — constant in real crawls, invisible
+    // to the plain dHash — maps its mean grid to another element of the
+    // same dihedral orbit, so hashing the MINIMUM over all 8 transforms
+    // (still one 64-bit fingerprint, same banding) makes the copy collide
+    // at Hamming 0. Planted pairs cover every non-identity orientation;
+    // exact for multiple-of-8 dims (uniform blocks commute with the
+    // transforms — documented bound) (budget <= 3 s) ---
+    "q258_orientation_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageNearDupsOrientationInvariant(
+        graft.multimodal.MediaDedup.syntheticRotatedImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
     // --- TOLERANT image boilerplate [ext]: a real alpha-blended
     // watermark shifts each stamped image's block means by a few units
     // with the underlying content, so the q249 VERBATIM census
@@ -4870,6 +4909,97 @@ object SparkEntry {
         "CAST(mean AS BIGINT) AS mean, " +
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images " +
         "FROM bm GROUP BY 1, 2, 3 HAVING count(DISTINCT doc_id) >= 50"),
+    // tri-format dHash replay: the 8x8 block-constant grid IS the dHash
+    // mean grid (8-px blocks align), one formula for all three formats;
+    // brute-force pairs at Hamming <= 3
+    "q257_triformat_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 3 AS g FROM documents), " +
+        "cell AS (SELECT doc_id, g, unnest(range(64)) AS c FROM dd), " +
+        "m AS (SELECT doc_id, c % 8 AS bx, c // 8 AS by, " +
+        "(g*29 + (c % 8)*(c % 8)*(3 + (g % 7) * 9) + " +
+        "(c // 8)*(c // 8)*(2 + (g % 5) * 7) + " +
+        "(c % 8)*(c // 8)*(5 + (g % 11) * 3)) % 256 AS mean FROM cell), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS (SELECT dd.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS h FROM dd " +
+        "LEFT JOIN bits ON dd.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // EXIF quadrant replay: displayed cell (dx, dy) sources stored cell
+    // per the published tag-274 table (stored grid 8x6; dims swap for
+    // orientations 5-8), 64 pixels per cell, quadrant sums
+    "q259_exif_oriented_quadrants" ->
+      ("WITH d AS (SELECT doc_id, 1 + doc_id % 8 AS o FROM documents), " +
+        "dim AS (SELECT doc_id, o, " +
+        "CASE WHEN o >= 5 THEN 6 ELSE 8 END AS gwp, " +
+        "CASE WHEN o >= 5 THEN 8 ELSE 6 END AS ghp FROM d), " +
+        "cells AS (SELECT doc_id, o, gwp, ghp, " +
+        "unnest(range(gwp * ghp)) AS c FROM dim), " +
+        "pos AS (SELECT doc_id, o, gwp, ghp, c % gwp AS dx, c // gwp AS dy " +
+        "FROM cells), " +
+        "src AS (SELECT doc_id, o, gwp, ghp, dx, dy, " +
+        "CASE o WHEN 1 THEN dx WHEN 2 THEN 7 - dx WHEN 3 THEN 7 - dx " +
+        "WHEN 4 THEN dx WHEN 5 THEN dy WHEN 6 THEN dy " +
+        "WHEN 7 THEN 7 - dy ELSE 7 - dy END AS sbx, " +
+        "CASE o WHEN 1 THEN dy WHEN 2 THEN dy WHEN 3 THEN 5 - dy " +
+        "WHEN 4 THEN 5 - dy WHEN 5 THEN dx WHEN 6 THEN 5 - dx " +
+        "WHEN 7 THEN 5 - dx ELSE dx END AS sby FROM pos), " +
+        "v AS (SELECT doc_id, o, gwp, ghp, dx, dy, " +
+        "(doc_id*41 + sbx*sbx*(5 + doc_id % 13) + sby*sby*(3 + doc_id % 11) + " +
+        "sbx*sby*(7 + doc_id % 5)) % 256 AS g FROM src) " +
+        "SELECT doc_id AS media_id, CAST(gwp * 8 AS INTEGER) AS width, " +
+        "CAST(ghp * 8 AS INTEGER) AS height, CAST(o AS INTEGER) AS orientation, " +
+        "CAST(64 * sum(CASE WHEN dx < gwp // 2 AND dy < ghp // 2 " +
+        "THEN g ELSE 0 END) AS BIGINT) AS q_tl, " +
+        "CAST(64 * sum(CASE WHEN dx >= gwp // 2 AND dy < ghp // 2 " +
+        "THEN g ELSE 0 END) AS BIGINT) AS q_tr, " +
+        "CAST(64 * sum(CASE WHEN dx < gwp // 2 AND dy >= ghp // 2 " +
+        "THEN g ELSE 0 END) AS BIGINT) AS q_bl, " +
+        "CAST(64 * sum(CASE WHEN dx >= gwp // 2 AND dy >= ghp // 2 " +
+        "THEN g ELSE 0 END) AS BIGINT) AS q_br " +
+        "FROM v GROUP BY 1, 2, 3, 4"),
+    // orientation-canonical replay: the planted grid (odd docs pass
+    // through their planted dihedral transform via the SAME mapping
+    // table), then min-over-8-transforms dHash per doc, brute pairs.
+    // tmap MUST stay in lockstep with MediaDedup.dihedralSource
+    "q258_orientation_neardups" ->
+      ("WITH tmap AS (SELECT t, c % 8 AS x, c // 8 AS y, " +
+        "CASE t WHEN 0 THEN c % 8 WHEN 1 THEN c // 8 WHEN 2 THEN 7 - c % 8 " +
+        "WHEN 3 THEN 7 - c // 8 WHEN 4 THEN 7 - c % 8 WHEN 5 THEN c % 8 " +
+        "WHEN 6 THEN c // 8 ELSE 7 - c // 8 END AS sx, " +
+        "CASE t WHEN 0 THEN c // 8 WHEN 1 THEN 7 - c % 8 WHEN 2 THEN 7 - c // 8 " +
+        "WHEN 3 THEN c % 8 WHEN 4 THEN c // 8 WHEN 5 THEN 7 - c // 8 " +
+        "WHEN 6 THEN c % 8 ELSE 7 - c % 8 END AS sy " +
+        "FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(64)) AS c)), " +
+        "dd AS (SELECT doc_id, doc_id // 2 AS g, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + (doc_id // 2) % 7 END AS pt " +
+        "FROM documents), " +
+        "pos AS (SELECT doc_id, g, pt, unnest(range(64)) AS c FROM dd), " +
+        "m AS (SELECT p.doc_id, tm.x, tm.y, " +
+        "(p.g*37 + tm.sx*tm.sx*(4 + (p.g % 11) * 5) + " +
+        "tm.sy*tm.sy*(3 + (p.g % 13) * 3) + " +
+        "tm.sx*tm.sy*(2 + (p.g % 7) * 9)) % 256 AS v " +
+        "FROM pos p JOIN tmap tm ON tm.t = p.pt AND tm.x = p.c % 8 " +
+        "AND tm.y = p.c // 8), " +
+        "tv AS (SELECT m2.doc_id, tm.t, tm.x, tm.y, m2.v " +
+        "FROM tmap tm JOIN m m2 ON m2.x = tm.sx AND m2.y = tm.sy), " +
+        "bits AS (SELECT l.doc_id, l.t, l.y * 7 + l.x AS j FROM tv l " +
+        "JOIN tv r ON r.doc_id = l.doc_id AND r.t = l.t AND r.y = l.y " +
+        "AND r.x = l.x + 1 WHERE l.v < r.v), " +
+        "h AS (SELECT d.doc_id, d.t, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS hv " +
+        "FROM (SELECT DISTINCT doc_id, t FROM tv) d " +
+        "LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.t = d.t " +
+        "GROUP BY 1, 2), " +
+        "ch AS (SELECT doc_id, min(hv) AS chash FROM h GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.chash, y.chash)) AS INTEGER) AS hamming " +
+        "FROM ch x JOIN ch y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.chash, y.chash)) <= 3"),
     // tolerant watermark replay: the blended-stamp formula (logo + per-
     // image bleed) and the content quadratic, quantized to mean // 4
     // buckets before the distinct-image census

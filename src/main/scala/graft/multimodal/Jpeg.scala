@@ -449,6 +449,147 @@ private[graft] object Jpeg {
   }
 
   // ------------------------------------------------------------------
+  // EXIF orientation (tag 274): parse + apply. Real crawls are full of
+  // camera JPEGs whose pixels are STORED rotated with an orientation tag
+  // saying how to display them — byte-identical content under different
+  // orientations otherwise defeats position-sensitive operators (crop
+  // search, boilerplate, quadrant stats). The perceptual complement is
+  // the canonical dihedral hash (MediaDedup.imageCanonicalHash), which
+  // needs no metadata at all.
+  // ------------------------------------------------------------------
+
+  /** EXIF orientation (1–8) from the first APP1 Exif segment's IFD0, or
+    * 0 when absent/undeclared/malformed — metadata DEGRADES, it never
+    * throws (the [[Multimodal.binaryMediaMeta]] null policy): hostile
+    * bytes on this path surface in the pixel decoder's named failures,
+    * not in a tag reader. Supports both TIFF byte orders. */
+  def exifOrientation(p: Array[Byte]): Int = {
+    def u8(off: Int): Int =
+      if (off >= 0 && off < p.length) p(off) & 0xFF else -1
+    def u16be(off: Int): Int = {
+      val a = u8(off); val b = u8(off + 1)
+      if (a < 0 || b < 0) -1 else (a << 8) | b
+    }
+    if (u8(0) != 0xFF || u8(1) != 0xD8) return 0
+    var i = 2
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      if (u8(i) != 0xFF) return 0
+      while (u8(i + 1) == 0xFF) i += 1
+      val m = u8(i + 1)
+      i += 2
+      if (m < 0 || m == 0xD9 || m == 0xDA) return 0 // EOI / SOS: no EXIF
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) () // standalone
+      else {
+        val len = u16be(i)
+        if (len < 2 || i.toLong + len > p.length) return 0
+        if (m == 0xE1 && len >= 2 + 6 + 8 && u8(i + 2) == 'E' &&
+          u8(i + 3) == 'x' && u8(i + 4) == 'i' && u8(i + 5) == 'f' &&
+          u8(i + 6) == 0 && u8(i + 7) == 0) {
+          val t = i + 8 // TIFF header start
+          val end = i + len
+          val little = u8(t) == 'I' && u8(t + 1) == 'I'
+          val big = u8(t) == 'M' && u8(t + 1) == 'M'
+          if (!little && !big) return 0
+          def u16t(off: Int): Int = {
+            val a = u8(off); val b = u8(off + 1)
+            if (a < 0 || b < 0 || off + 1 >= end) -1
+            else if (little) a | (b << 8) else (a << 8) | b
+          }
+          def u32t(off: Int): Long = {
+            val a = u16t(off); val b = u16t(off + 2)
+            if (a < 0 || b < 0) -1L
+            else if (little) a.toLong | (b.toLong << 16)
+            else (a.toLong << 16) | b.toLong
+          }
+          if (u16t(t + 2) != 42) return 0
+          val ifd = u32t(t + 4)
+          if (ifd < 0 || t + ifd + 2 > end) return 0
+          val base = (t + ifd).toInt
+          val n = u16t(base)
+          if (n < 0 || n > 512) return 0
+          var e = 0
+          while (e < n) {
+            val eo = base + 2 + 12 * e
+            if (eo + 12 > end) return 0
+            if (u16t(eo) == 0x0112 && u16t(eo + 2) == 3 &&
+              u32t(eo + 4) == 1L) {
+              val v = u16t(eo + 8)
+              return if (v >= 1 && v <= 8) v else 0
+            }
+            e += 1
+          }
+          return 0
+        }
+        i += len
+      }
+    }
+    0
+  }
+
+  /** Decode + APPLY the EXIF orientation: returns the image AS DISPLAYED
+    * (dims swap for orientations 5–8). Orientation 0 (absent) and 1 are
+    * the identity. The source-coordinate table is the published EXIF
+    * tag-274 semantics. */
+  def decodeRgbOriented(id: Long, p: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val (w, h, rgb) = decodeRgb(id, p)
+    val o = exifOrientation(p)
+    if (o <= 1) return (w, h, o, rgb)
+    val swap = o >= 5
+    val dw = if (swap) h else w
+    val dh = if (swap) w else h
+    val out = new Array[Byte](3 * dw * dh)
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        val so = 3 * (sy * w + sx)
+        val dOff = 3 * (y * dw + x)
+        out(dOff) = rgb(so); out(dOff + 1) = rgb(so + 1); out(dOff + 2) = rgb(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    (dw, dh, o, out)
+  }
+
+  /** Inject an APP1 Exif segment declaring `orientation` right after the
+    * SOI of an encoded JPEG (fixture side): "Exif\0\0" + a minimal TIFF
+    * body (II byte order, IFD0 with the single SHORT tag 274). */
+  def withExif(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
+    tiff.write('I'); tiff.write('I'); le16(42); le32(8) // header, IFD0 at 8
+    le16(1) // one entry
+    le16(0x0112); le16(3); le32(1); le16(orientation); le16(0) // tag 274
+    le32(0) // no next IFD
+    val body = tiff.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xFF); out.write(0xD8)
+    out.write(0xFF); out.write(0xE1)
+    val len = 2 + 6 + body.length
+    out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(body, 0, body.length)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // Encoder (fixture side): spec-complete baseline JPEG output.
   // ------------------------------------------------------------------
 

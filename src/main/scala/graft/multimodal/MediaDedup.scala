@@ -106,6 +106,23 @@ object MediaDedup {
     * DIRECTION preserve the hash; a few flipped gradients = a few bits of
     * Hamming distance. */
   private[graft] def dhashOneImage(id: Long, p: Array[Byte]): Long = {
+    val m = gridMeans8(id, p)
+    var fp = 0L
+    var gy = 0
+    while (gy < GridH) {
+      var gx = 0
+      while (gx < GridW - 1) {
+        if (m(gy * GridW + gx) < m(gy * GridW + gx + 1)) fp |= 1L << (gy * 7 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    fp
+  }
+
+  /** The normalized 8×8 grid of integer block means behind
+    * [[dhashOneImage]], exposed for the orientation-canonical hash. */
+  private def gridMeans8(id: Long, p: Array[Byte]): Array[Long] = {
     val sums = new Array[Long](GridW * GridH)
     val cnts = new Array[Long](GridW * GridH)
     var w = 0; var h = 0
@@ -117,8 +134,81 @@ object MediaDedup {
       val bk = (y * GridH / h) * GridW + x * GridW / w
       sums(bk) += (r + g + b) / 3; cnts(bk) += 1L
     }
-    dhashOfGrid(sums, cnts)
+    val m = new Array[Long](GridW * GridH)
+    var i = 0
+    while (i < m.length) { m(i) = sums(i) / cnts(i); i += 1 }
+    m
   }
+
+  /** Source cell of dihedral transform `t` at output cell (x, y):
+    * identity, rot90/180/270, horizontal/vertical mirror, transpose,
+    * anti-transpose — the full 8-element dihedral group of the square
+    * grid. MUST stay in lockstep with the SQL replay in SparkEntry. */
+  private def dihedralSource(t: Int, x: Int, y: Int): (Int, Int) = t match {
+    case 0 => (x, y)
+    case 1 => (y, 7 - x)
+    case 2 => (7 - x, 7 - y)
+    case 3 => (7 - y, x)
+    case 4 => (7 - x, y)
+    case 5 => (x, 7 - y)
+    case 6 => (y, x)
+    case _ => (7 - y, 7 - x)
+  }
+
+  /** Orientation-CANONICAL 56-bit hash: the minimum dHash over the 8
+    * dihedral transforms of the normalized mean grid. An EXIF-rotated,
+    * 180°-flipped, or mirrored re-post of an image — the orientation
+    * cases real crawls hit constantly, all invisible to the plain dHash —
+    * maps its grid to another element of the SAME orbit, so its canonical
+    * hash is IDENTICAL (exact when 8 | width and 8 | height: uniform
+    * blocks make grid-of-rotated == rotated-grid; approximate otherwise,
+    * where floor block boundaries shift edge pixels between blocks).
+    * Still a single 64-bit fingerprint per image — the same banding
+    * machinery serves it, nothing pair-shaped. */
+  private[graft] def canonicalHashOneImage(id: Long, p: Array[Byte]): Long = {
+    val m = gridMeans8(id, p)
+    var best = Long.MaxValue
+    var t = 0
+    while (t < 8) {
+      var fp = 0L
+      var y = 0
+      while (y < GridH) {
+        var x = 0
+        while (x < GridW - 1) {
+          val (lx, ly) = dihedralSource(t, x, y)
+          val (rx, ry) = dihedralSource(t, x + 1, y)
+          if (m(ly * GridW + lx) < m(ry * GridW + rx)) fp |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      if (fp < best) best = fp
+      t += 1
+    }
+    best
+  }
+
+  /** Orientation-canonical fingerprints: (media_id, chash). */
+  def imageCanonicalHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(m =>
+        (m.media_id, canonicalHashOneImage(m.media_id, m.payload))))
+      .toDF("media_id", "chash")
+  }
+
+  /** Orientation-invariant perceptual near-dups: [[imageNearDups]] over
+    * the canonical hash — a rotated/mirrored re-post collides at
+    * Hamming 0 with its original. */
+  def imageNearDupsOrientationInvariant(media: Dataset[MediaRow],
+                                        maxHamming: Int = 3,
+                                        bands: Int = 4): DataFrame =
+    // persist: see imageNearDups — the banded self-join otherwise decodes
+    // every image twice
+    Dedup.hammingBandPairs(imageCanonicalHash(media).persist(), "chash",
+        FingerprintBits, maxHamming, bands, idCol = "media_id")
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
 
   /** Derive the 56-bit difference hash from filled 8×8 grid accumulators:
     * bit y·7+x set iff floor-mean[y][x] < floor-mean[y][x+1]. Shared by
@@ -230,8 +320,12 @@ object MediaDedup {
     * (media_a, media_b, hamming). */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
                     bands: Int = 4): DataFrame =
-    Dedup.hammingBandPairs(imageDHash(media), "dhash", FingerprintBits,
-        maxHamming, bands, idCol = "media_id")
+    // persist: hammingBandPairs self-joins its input, and an unpersisted
+    // fingerprint frame re-runs the WHOLE decode chain once per join side
+    // (measured 2x on the 64x64 tri-format corpus — decode dominates
+    // there). Caching contract: harness releaseAll reclaims.
+    Dedup.hammingBandPairs(imageDHash(media).persist(), "dhash",
+        FingerprintBits, maxHamming, bands, idCol = "media_id")
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
@@ -300,8 +394,10 @@ object MediaDedup {
     * WAV-side twin of [[imageNearDups]], same banding machinery. */
   def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
                     bands: Int = 4): DataFrame =
-    Dedup.hammingBandPairs(audioFingerprint(media), "afp", FingerprintBits,
-        maxHamming, bands, idCol = "media_id")
+    // persist: see imageNearDups — the banded self-join otherwise decodes
+    // every clip twice
+    Dedup.hammingBandPairs(audioFingerprint(media).persist(), "afp",
+        FingerprintBits, maxHamming, bands, idCol = "media_id")
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
@@ -1517,6 +1613,78 @@ object MediaDedup {
         (id, text, crossFormatImagePayload(id)._3, nearDupAudioPayload(id))
       }
       .toDF("item_id", "text", "image", "audio")
+  }
+
+  /** THREE-format re-encode fixtures: doc_ids come in planted TRIPLES
+    * (group g = doc_id/3) — role 0 a PNG, role 1 a GIF, role 2 a baseline
+    * JPEG, all of the SAME content: a 64×64 image of 8×8-pixel constant
+    * blocks whose value at grid cell (bx, by) is the QUADRATIC
+    * (g·29 + bx²·(3 + (g mod 7)·9) + by²·(2 + (g mod 5)·7) +
+    * bx·by·(5 + (g mod 11)·3)) mod 256 — a LINEAR gradient over uniform
+    * blocks degenerates (35 coefficient combos ⇒ measured 10,975
+    * accidental pairs at sf0.001 vs ~500 planted; the simulated
+    * quadratic: 0 at that scale, 7 benign group collisions at sf0.1).
+    * The 8×8 dHash grid aligns EXACTLY with the JPEG blocks, so the
+    * JPEG side stays DC-only (closed-form, oracle-replayable) while all
+    * three decode to identical grayscale — the triple MUST collide at
+    * Hamming 0 through three entirely different codecs (inflate+unfilter,
+    * LZW, Huffman+IDCT). Even groups wrap the JPEG in the 3-component
+    * color path, odd groups stay grayscale. */
+  def syntheticTriFormatImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 3
+      val xc = 3 + (g % 7) * 9
+      val yc = 2 + (g % 5) * 7
+      val xyc = 5 + (g % 11) * 3
+      def cell(bx: Int, by: Int): Int =
+        ((g * 29 + bx * bx * xc + by * by * yc + bx * by * xyc) % 256).toInt
+      val payload = (id % 3) match {
+        case 0 =>
+          Containers.pngFull(64, 64, { i =>
+            if (i % 4 == 3) 255
+            else { val k = i / 4; cell((k % 64) / 8, (k / 64) / 8) }
+          }, (g % 5).toInt)
+        case 1 =>
+          Containers.gifFull(64, 64, k => cell((k % 64) / 8, (k / 64) / 8),
+            CrossFormatGrayPalette, minCodeSize = 8)
+        case _ =>
+          Jpeg.encodeGrayBlocks(64, 64,
+            Array.tabulate(64)(c => cell(c % 8, c / 8)), color = g % 2 == 0)
+      }
+      MediaRow(id, "image", payload, 64, 64, 1)
+    }
+  }
+
+  /** Orientation fixtures: doc_ids come in planted PAIRS (g = doc_id/2) —
+    * the even member a 64×64 PNG of 8×8-pixel constant cells with the
+    * per-group quadratic B(bx, by) (coefficients drawn per the
+    * degeneracy rule; simulated: 26 benign collisions over 2500 groups),
+    * the odd member the SAME content under dihedral transform
+    * 1 + (g mod 7) — every non-identity orientation (rot90/180/270,
+    * both mirrors, both transposes) appears across groups. The plain
+    * dHash sees unrelated fingerprints; the canonical hash collides at
+    * Hamming 0 (multiple-of-8 dims keep the invariance exact). */
+  def syntheticRotatedImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      def b(bx: Int, by: Int): Int =
+        ((g * 37 + bx * bx * (4 + (g % 11) * 5) + by * by * (3 + (g % 13) * 3) +
+          bx * by * (2 + (g % 7) * 9)) % 256).toInt
+      val t = if (id % 2 == 0) 0 else (1 + g % 7).toInt
+      def cell(bx: Int, by: Int): Int = {
+        val (sx, sy) = dihedralSource(t, bx, by)
+        b(sx, sy)
+      }
+      val payload = Containers.pngFull(64, 64, { i =>
+        if (i % 4 == 3) 255
+        else { val k = i / 4; cell((k % 64) / 8, (k / 64) / 8) }
+      }, (g % 5).toInt)
+      MediaRow(id, "image", payload, 64, 64, 1)
+    }
   }
 
   /** JOINT multimodal near-dup pairs: an item is a (caption, image, audio)

@@ -1396,6 +1396,57 @@ object Multimodal {
     JpegStats(id, w, h, w.toLong * h, sr, sg, sb)
   }
 
+  /** Orientation-sensitive census of one EXIF-oriented JPEG: quadrant
+    * gray sums of the image AS DISPLAYED — plain channel sums are
+    * transform-invariant and would let a broken orientation path pass,
+    * quadrants are not. */
+  final case class OrientedQuadrants(media_id: Long, width: Int, height: Int,
+                                     orientation: Int, q_tl: Long, q_tr: Long,
+                                     q_bl: Long, q_br: Long)
+
+  /** Decode JPEGs, parse the EXIF orientation tag (APP1/TIFF walk), APPLY
+    * it, and reduce to displayed-quadrant gray sums. */
+  def jpegOrientedQuadrants(media: Dataset[MediaRow]): Dataset[OrientedQuadrants] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, o, rgb) = Jpeg.decodeRgbOriented(m.media_id, m.payload)
+      val q = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = 3 * (y * w + x)
+          val g = ((rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)) / 3
+          q((if (y < h / 2) 0 else 2) + (if (x < w / 2) 0 else 1)) += g
+          x += 1
+        }
+        y += 1
+      }
+      OrientedQuadrants(m.media_id, w, h, o, q(0), q(1), q(2), q(3))
+    })
+  }
+
+  /** EXIF-oriented JPEG fixtures: 64×48 DC-only grayscale (8×6 block
+    * grid, per-item quadratic cell values) with a REAL APP1 Exif segment
+    * declaring orientation 1 + (doc_id mod 8) — every orientation
+    * appears, including the four dimension-swapping ones. The closed
+    * form + the published tag-274 source-coordinate table replay the
+    * displayed quadrants arithmetically. */
+  def syntheticExifJpegMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      def cell(bx: Int, by: Int): Int =
+        ((id * 41 + bx * bx * (5 + id % 13) + by * by * (3 + id % 11) +
+          bx * by * (7 + id % 5)) % 256).toInt
+      val grays = Array.tabulate(48)(c => cell(c % 8, c / 8))
+      val payload = Jpeg.withExif(
+        Jpeg.encodeGrayBlocks(64, 48, grays), (1 + id % 8).toInt)
+      MediaRow(id, "image", payload, 64, 48, 1)
+    }
+  }
+
   /** Deterministic baseline-JPEG fixtures: every doc becomes a DC-only
     * JPEG (all AC coefficients zero) whose 8×8 block k decodes to the
     * CONSTANT gray (doc_id·31 + k·(7 + doc_id mod 13)) mod 256 — exact by

@@ -94,6 +94,15 @@ class FuzzSpec extends AnyFunSuite {
       p => graft.multimodal.Jpeg.decodeRgb(8L, p))
   }
 
+  test("fuzz: the EXIF orientation reader NEVER throws — metadata " +
+    "degrades to 0 on hostile bytes") {
+    val tagged = graft.multimodal.Jpeg.withExif(jpegPayload, 6)
+    fuzz("exif", tagged, 2, { p =>
+      val o = graft.multimodal.Jpeg.exifOrientation(p)
+      assert(o >= 0 && o <= 8)
+    })
+  }
+
   private val flacPayload = graft.multimodal.Flac.encode(
     Array.tabulate(300)(p => ((p.toLong * p * 13 + p * 29 + 5) % 4096 - 2048).toInt))
 

@@ -237,6 +237,44 @@ class JpegSpec extends AnyFunSuite {
     assert(e6.getMessage.contains("decode bound"))
   }
 
+  test("EXIF orientation: written tags read back, the pixel decoder " +
+    "ignores APP1, ImageIO still opens the file, and every orientation " +
+    "transform matches the published tag-274 semantics") {
+    val base = Jpeg.encodeGrayBlocks(16, 8, Array(40, 90)) // 2x1 blocks
+    assert(Jpeg.exifOrientation(base) === 0) // no APP1 -> undeclared
+    for (o <- 1 to 8) {
+      val tagged = Jpeg.withExif(base, o)
+      assert(Jpeg.exifOrientation(tagged) === o)
+      // the entropy decode is unaffected by the extra segment
+      val (w, h, rgb) = Jpeg.decodeRgb(30L + o, tagged)
+      assert((w, h) === ((16, 8)))
+      assert(rgb(0) === 40.toByte && rgb(3 * 15) === 90.toByte)
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(tagged)) != null)
+    }
+    // displayed pixels: stored left block 40, right block 90
+    // o=2 (flip h): displayed left is 90
+    val (w2, h2, o2, r2) = Jpeg.decodeRgbOriented(40L, Jpeg.withExif(base, 2))
+    assert((w2, h2, o2) === ((16, 8, 2)))
+    assert((r2(0) & 0xFF) === 90 && (r2(3 * 15) & 0xFF) === 40)
+    // o=6 (rot90 CW): dims swap; stored bottom-left -> displayed top-left,
+    // stored column x=0 (value 40) becomes the displayed TOP row
+    val (w6, h6, o6, r6) = Jpeg.decodeRgbOriented(41L, Jpeg.withExif(base, 6))
+    assert((w6, h6, o6) === ((8, 16, 6)))
+    // displayed (0,0) = stored (0, h-1): left block, 40
+    assert((r6(0) & 0xFF) === 40)
+    // displayed bottom-left (0, 15) = stored (15, 7): right block, 90
+    assert((r6(3 * (15 * 8)) & 0xFF) === 90)
+    // a big-endian (MM) TIFF body parses too
+    val mm = base.take(2) ++ (Seq(0xFF, 0xE1, 0, 34) ++
+      "Exif".getBytes("US-ASCII").map(_.toInt) ++ Seq(0, 0) ++
+      Seq('M'.toInt, 'M'.toInt, 0, 42, 0, 0, 0, 8, // header, IFD0 at 8
+        0, 1, // one entry
+        0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 5, 0, 0, // tag 274 SHORT 1 value 5
+        0, 0, 0, 0)).map(_.toByte).toArray ++ base.drop(2)
+    assert(Jpeg.exifOrientation(mm) === 5)
+  }
+
   test("a hostile positive segment length near 2^31 fails as 'truncated', " +
     "not an index error (the Long-bound contract)") {
     // SOI + DQT whose 16-bit max length can't overflow Int, so attack the

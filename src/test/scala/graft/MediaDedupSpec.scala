@@ -440,6 +440,24 @@ class MediaDedupSpec extends SparkSpec {
     got.values.foreach(n => assert(n >= 40L))
   }
 
+  test("orientation-invariant dedup: every planted rotated/mirrored copy " +
+    "collides at canonical Hamming 0 while the plain dHash misses it") {
+    val media = MediaDedup.syntheticRotatedImages(
+      docs.filter(col("doc_id") < 32)).persist()
+    val planted = (0 until 16).map(g => (2L * g, 2L * g + 1)).toSet
+    val canon = MediaDedup.imageNearDupsOrientationInvariant(media, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(planted.subsetOf(canon.map(p => (p._1, p._2)).toSet))
+    canon.filter(p => planted((p._1, p._2)))
+      .foreach(p => assert(p._3 === 0, s"pair $p"))
+    // the PLAIN dHash sees unrelated fingerprints for every planted pair
+    val plain = MediaDedup.imageNearDups(media, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.intersect(plain).isEmpty,
+      s"plain dHash should miss all orientations, found ${planted.intersect(plain)}")
+    media.unpersist(): Unit
+  }
+
   test("an ALPHA-BLENDED watermark escapes the verbatim census and is " +
     "caught by the quantized one") {
     val media = MediaDedup.syntheticBlendedWatermarkImages(

@@ -210,6 +210,74 @@ class MediaIngestSpec extends SparkSpec {
     assert(twin === landed)
   }
 
+  test("a JPEG re-encode and a FLAC re-encode arriving in the streams are " +
+    "rejected against committed PNG/WAV content (format-blind ingest)") {
+    import spark.implicits._
+    // image side: 64x64 with 8x8-px constant cells so the JPEG stays
+    // DC-only (the q252 closed form) and the dHash grids align exactly
+    def cellGray(bx: Int, by: Int): Int =
+      (7 + bx * bx * 5 + by * by * 3 + bx * by * 11) % 256
+    val png64 = MediaRow(1, "image", Containers.pngFull(64, 64, { i =>
+      if (i % 4 == 3) 255
+      else { val k = i / 4; cellGray((k % 64) / 8, (k / 64) / 8) }
+    }), 64, 64, 1)
+    val jpeg64 = MediaRow(2, "image", graft.multimodal.Jpeg.encodeGrayBlocks(
+      64, 64, Array.tabulate(64)(c => cellGray(c % 8, c / 8)), color = true),
+      64, 64, 1)
+    val in = Files.createTempDirectory("graft-jpeg-in").toString
+    val lake = new LakeTable(spark,
+      Files.createTempDirectory("graft-jpeg-lake").toString)
+    writeBatchFile(in, "b1", Seq(png64))
+    val q1 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    writeBatchFile(in, "b2", Seq(jpeg64))
+    val q2 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L),
+      "the JPEG re-encode of committed PNG content must be rejected")
+
+    // audio side: a FLAC re-encode of a committed WAV clip carries the
+    // SAME samples (lossless), hence the same contour fingerprint
+    val samples = Array.tabulate(570)(p =>
+      ((p.toLong * p * 19 + p * 23 + 3) % 4096 - 2048).toInt)
+    val body = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { p =>
+      body(2 * p) = (samples(p) & 0xFF).toByte
+      body(2 * p + 1) = ((samples(p) >> 8) & 0xFF).toByte
+    }
+    val wavRow = MediaRow(11, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    val flacRow = MediaRow(12, "audio",
+      graft.multimodal.Flac.encode(samples), 0, 0, 1)
+    val inA = Files.createTempDirectory("graft-flac-in").toString
+    val lakeA = new LakeTable(spark,
+      Files.createTempDirectory("graft-flac-lake").toString)
+    def writeAudio(name: String, rows: Seq[MediaRow]): Unit = {
+      val tmp = Files.createTempDirectory("graft-flac-stage").toString + "/out"
+      rows.toDS().toDF().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$inA/$name.parquet"))
+    }
+    writeAudio("b1", Seq(wavRow))
+    val qa1 = MediaIngest.startAudioDedup(spark, inA, lakeA, "media",
+      trigger = Trigger.AvailableNow())
+    qa1.awaitTermination(120000)
+    assert(qa1.exception.isEmpty)
+    writeAudio("b2", Seq(flacRow))
+    val qa2 = MediaIngest.startAudioDedup(spark, inA, lakeA, "media",
+      trigger = Trigger.AvailableNow())
+    qa2.awaitTermination(120000)
+    assert(qa2.exception.isEmpty)
+    assert(lakeA.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(11L),
+      "the FLAC re-encode of a committed WAV clip must be rejected")
+  }
+
   // joint (caption, image, audio) item: any-modality dedup fixtures
   private def jointItem(id: Long, caption: String, gray: (Int, Int) => Int,
                         clip: Int => Int): (Long, String, Array[Byte], Array[Byte]) = {
