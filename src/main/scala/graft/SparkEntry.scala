@@ -1830,6 +1830,34 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- STEREO + LPC FLAC decode [ext]: the profile real-world FLAC
+    // actually ships — all three stereo channel assignments (mid/side,
+    // left/side, independent; the side subframe carries its spec'd 17th
+    // bit) and GENERAL LPC subframes (quantized integer coefficients,
+    // arithmetic-shift prediction) on every 4th doc, CONSTANT stereo
+    // clips on every 7th. Lossless, so the planted interleaved L/R
+    // formulas replay arithmetically no matter which decorrelation
+    // carried the bits; census through the SAME format-blind sample path
+    // WAV and mono FLAC use (budget <= 3 s) ---
+    "q261_flac_stereo_lpc" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticFlacStereoMedia(
+          t(s, d, "documents"))).toDF()),
+    // --- CHROMA-SUBSAMPLED (4:2:0) baseline JPEG decode [ext]: real
+    // web-crawl JPEGs are overwhelmingly 4:2:0 and previously failed
+    // fast into header-only; the MCU walk now interleaves 2x2 luma
+    // blocks + one block per chroma plane (T.81 A.2.3) and upsamples by
+    // sample replication. DC-only fixtures (chroma planted at 128 —
+    // exact under ANY upsampler) decode to closed-form block constants,
+    // and the census is QUADRANT sums — position-sensitive, so a block
+    // landing at the wrong plane position hash-mismatches, which the
+    // q252 channel sums structurally cannot see. General coefficients +
+    // nonzero chroma are pinned against JDK ImageIO in JpegSpec
+    // (budget <= 3 s) ---
+    "q260_jpeg420_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.jpegQuadrantStats(
+        graft.multimodal.Multimodal.syntheticJpeg420Media(
+          t(s, d, "documents"))).toDF()),
     // --- EXIF orientation: parse + APPLY [ext]: camera JPEGs store
     // pixels rotated with a tag 274 saying how to display them; the
     // engine walks the real APP1/TIFF structure (both byte orders),
@@ -4929,6 +4957,51 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // stereo-FLAC replay: the interleaved L/R closed forms — lossless
+    // decode means the oracle recomputes the census from the planted
+    // per-channel formulas without knowing the channel assignment
+    "q261_flac_stereo_lpc" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 240 " +
+        "ELSE 200 + (n_chars * 5) % 250 END AS BIGINT) AS n " +
+        "FROM documents), " +
+        "s AS (SELECT media_id, n, unnest(range(n)) AS p FROM d), " +
+        "v AS (SELECT media_id, n, " +
+        "CASE WHEN media_id % 7 = 0 THEN ((media_id * 29) % 4096) - 2048 " +
+        "ELSE ((media_id * 29 + p * 11) % 4096) - 2048 END AS lv, " +
+        "CASE WHEN media_id % 7 = 0 THEN ((media_id * 19) % 4096) - 2048 " +
+        "ELSE ((media_id * 19 + p * 13) % 4096) - 2048 END AS rv FROM s) " +
+        "SELECT media_id, CAST(2 AS INTEGER) AS channels, " +
+        "CAST(16000 AS INTEGER) AS sample_rate, " +
+        "CAST(2 * n AS BIGINT) AS n_samples, " +
+        "CAST(sum(abs(lv) + abs(rv)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(greatest(abs(lv), abs(rv))) AS BIGINT) AS peak " +
+        "FROM v GROUP BY media_id, n"),
+    // 4:2:0 decode replay: the DC-only closed form — luma block k of doc
+    // id decodes to the CONSTANT gray (id*37 + k*(11 + id%17)) mod 256,
+    // 64 pixels per block, grouped into quadrants (dims are multiples of
+    // 16, so blocks never straddle a quadrant boundary) — which the
+    // engine must earn through the interleaved 2x2-luma MCU walk
+    "q260_jpeg420_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 * (1 + n_chars % 3) AS INTEGER) AS width, " +
+        "CAST(16 * (1 + (n_chars * 7) % 2) AS INTEGER) AS height " +
+        "FROM documents), " +
+        "b AS (SELECT media_id, width, height, " +
+        "unnest(range((width // 8) * (height // 8))) AS k FROM d), " +
+        "g AS (SELECT media_id, width, height, " +
+        "k % (width // 8) AS bx, k // (width // 8) AS by, " +
+        "(media_id * 37 + k * (11 + media_id % 17)) % 256 AS gray FROM b) " +
+        "SELECT media_id, width, height, " +
+        "CAST(64 * sum(CASE WHEN bx < width // 16 AND by < height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_tl, " +
+        "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by < height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_tr, " +
+        "CAST(64 * sum(CASE WHEN bx < width // 16 AND by >= height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_bl, " +
+        "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by >= height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_br " +
+        "FROM g GROUP BY 1, 2, 3"),
     // EXIF quadrant replay: displayed cell (dx, dy) sources stored cell
     // per the published tag-274 table (stored grid 8x6; dims swap for
     // orientations 5-8), 64 pixels per cell, quadrant sums

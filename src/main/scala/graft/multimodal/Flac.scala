@@ -11,15 +11,19 @@ package graft.multimodal
   * the sample decode dispatches on magic.
   *
   * Decoder profile (restrictions FAIL FAST by name, the package
-  * contract): 16-bit MONO streams with fixed blocking strategy; subframe
-  * types CONSTANT, VERBATIM, and FIXED orders 0–4; Rice residual methods
-  * 0 (4-bit params) and 1 (5-bit params) including escaped raw-bits
-  * partitions and multi-partition orders. Stereo decorrelation and
-  * general LPC subframes are named errors (out of scope — the fixed
-  * predictors carry the synthetic-sweep fixtures losslessly). Frame
-  * header CRC-8 and frame CRC-16 are VERIFIED (polynomials 0x07 and
-  * 0x8005 — published constants), so bit corruption fails by name rather
-  * than decoding garbage.
+  * contract): 16-bit MONO and STEREO streams with fixed blocking
+  * strategy; all four stereo channel assignments (independent,
+  * left/side, right/side, mid/side — the side channel carries its
+  * spec'd extra bit); subframe types CONSTANT, VERBATIM, FIXED orders
+  * 0–4, and general LPC orders 1–32 (quantized-coefficient integer
+  * prediction with a non-negative shift — still pure integer, still
+  * lossless); Rice residual methods 0 (4-bit params) and 1 (5-bit
+  * params) including escaped raw-bits partitions and multi-partition
+  * orders. Real-world FLAC is almost always stereo LPC, so this is the
+  * profile a crawl actually exercises. Frame header CRC-8 and frame
+  * CRC-16 are VERIFIED (polynomials 0x07 and 0x8005 — published
+  * constants), so bit corruption fails by name rather than decoding
+  * garbage.
   *
   * Untrusted-bytes contract (the streaming-ingest path): every read is
   * bounds-checked, loops are bounded by the declared sample/partition
@@ -130,8 +134,105 @@ private[graft] object Flac {
     case _ => 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
   }
 
-  /** Decode a 16-bit mono FLAC stream to (sampleRate, samples). */
-  def decode(id: Long, p: Array[Byte]): (Int, Array[Int]) = {
+  /** Decode one subframe of `blockSize` samples at `bps` bits (17 for a
+    * side channel) from the shared frame bit reader: CONSTANT, VERBATIM,
+    * FIXED 0–4, or LPC 1–32, with the shared Rice-partition residual
+    * machinery. */
+  private def decodeSubframe(id: Long, r: BitReader, blockSize: Int,
+                             bps: Int): Array[Int] = {
+    require(r.readBit() == 0, s"media $id: subframe padding bit set")
+    val sfType = r.readBits(6).toInt
+    val wasted = r.readBit()
+    require(wasted == 0, s"media $id: wasted-bits subframes unsupported")
+    val x = new Array[Int](blockSize)
+
+    // Rice-partitioned residuals shared by FIXED and LPC (RFC 9639 §9.2.7)
+    def residuals(order: Int)(predict: Int => Int): Unit = {
+      val method = r.readBits(2).toInt
+      require(method <= 1,
+        s"media $id: reserved residual coding method $method")
+      val pBits = if (method == 0) 4 else 5
+      val escape = (1 << pBits) - 1
+      val po = r.readBits(4).toInt
+      val nPart = 1 << po
+      require(blockSize % nPart == 0 && (blockSize >> po) > order,
+        s"media $id: invalid Rice partition order $po for block $blockSize")
+      var i = order
+      var part = 0
+      while (part < nPart) {
+        val cnt = (blockSize >> po) - (if (part == 0) order else 0)
+        val k = r.readBits(pBits).toInt
+        if (k == escape) {
+          val raw = r.readBits(5).toInt
+          var j = 0
+          while (j < cnt) {
+            val res = r.readSigned(raw)
+            x(i) = res + predict(i); i += 1; j += 1
+          }
+        } else {
+          var j = 0
+          while (j < cnt) {
+            val q = r.readUnary()
+            val lo = r.readBits(k)
+            val zz = (q.toLong << k) | lo
+            // un-zigzag: even -> zz/2, odd -> -(zz+1)/2
+            val res = (if ((zz & 1) == 0) zz >> 1 else -((zz + 1) >> 1)).toInt
+            x(i) = res + predict(i); i += 1; j += 1
+          }
+        }
+        part += 1
+      }
+    }
+
+    sfType match {
+      case 0 => // CONSTANT
+        val v = r.readSigned(bps)
+        java.util.Arrays.fill(x, v)
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blockSize) { x(i) = r.readSigned(bps); i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED order 0..4
+        val order = t - 8
+        require(order <= blockSize,
+          s"media $id: FIXED order $order exceeds block size $blockSize")
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(bps); i += 1 }
+        residuals(order)(i => predictFixed(order, x, i))
+      case t if t >= 32 => // LPC order 1..32 (RFC 9639 §9.2.3)
+        val order = (t & 0x1F) + 1
+        require(order <= blockSize,
+          s"media $id: LPC order $order exceeds block size $blockSize")
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(bps); i += 1 }
+        val precCode = r.readBits(4).toInt
+        require(precCode != 15,
+          s"media $id: invalid LPC coefficient precision code 15")
+        val prec = precCode + 1
+        val shift = r.readSigned(5)
+        require(shift >= 0, s"media $id: negative LPC shift unsupported")
+        val coefs = new Array[Int](order)
+        var j = 0
+        while (j < order) { coefs(j) = r.readSigned(prec); j += 1 }
+        residuals(order) { i =>
+          // Long accumulator: |coef| < 2^15, |x| <= 2^17, order <= 32 —
+          // the sum stays far inside Long; the arithmetic shift is the
+          // spec's quantized-coefficient prediction, exact integers
+          var acc = 0L
+          var c = 0
+          while (c < order) { acc += coefs(c).toLong * x(i - 1 - c); c += 1 }
+          (acc >> shift).toInt
+        }
+      case t =>
+        throw new IllegalArgumentException(
+          s"media $id: reserved subframe type $t")
+    }
+    x
+  }
+
+  /** Decode a 16-bit FLAC stream to (channels, sampleRate, samples) —
+    * samples interleaved L R L R … for stereo, matching the WAV path's
+    * stream order so every downstream operator is layout-blind. */
+  def decode(id: Long, p: Array[Byte]): (Int, Int, Array[Int]) = {
     require(p.length >= 42 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' &&
       p(3) == 'C', s"media $id: not a FLAC stream (missing fLaC)")
     def u8(off: Int): Int = { require(off < p.length,
@@ -140,6 +241,7 @@ private[graft] object Flac {
     var off = 4
     var last = false
     var sampleRate = 0
+    var nChannels = 0
     var totalSamples = 0L
     var sawStreamInfo = false
     while (!last) {
@@ -155,16 +257,17 @@ private[graft] object Flac {
         // 16+16 block sizes, 24+24 frame sizes, then 20 bits rate,
         // 3 bits channels-1, 5 bits bps-1, 36 bits total samples
         sampleRate = (u8(d + 10) << 12) | (u8(d + 11) << 4) | (u8(d + 12) >> 4)
-        val channels = ((u8(d + 12) >> 1) & 0x7) + 1
+        nChannels = ((u8(d + 12) >> 1) & 0x7) + 1
         val bps = (((u8(d + 12) & 1) << 4) | (u8(d + 13) >> 4)) + 1
-        require(channels == 1,
-          s"media $id: only mono FLAC supported (got $channels channels)")
+        require(nChannels <= 2,
+          s"media $id: only mono/stereo FLAC supported (got $nChannels channels)")
         require(bps == 16,
           s"media $id: only 16-bit FLAC supported (got $bps bps)")
         totalSamples = ((u8(d + 13) & 0xF).toLong << 32) |
           (u8(d + 14).toLong << 24) | (u8(d + 15) << 16) |
           (u8(d + 16) << 8) | u8(d + 17)
-        require(totalSamples > 0 && totalSamples <= Multimodal.MaxDecodePixels,
+        require(totalSamples > 0 &&
+          totalSamples * nChannels <= Multimodal.MaxDecodePixels,
           s"media $id: FLAC sample count $totalSamples outside the decode bound")
         sawStreamInfo = true
       }
@@ -173,7 +276,7 @@ private[graft] object Flac {
     require(sawStreamInfo, s"media $id: FLAC stream without STREAMINFO")
     require(sampleRate > 0, s"media $id: bad FLAC sample rate")
 
-    val out = new Array[Int](totalSamples.toInt)
+    val out = new Array[Int](totalSamples.toInt * nChannels)
     var n = 0
     while (n < out.length) {
       val frameStart = off
@@ -188,8 +291,15 @@ private[graft] object Flac {
       val chan = u8(off + 3) >> 4
       val ssCode = (u8(off + 3) >> 1) & 0x7
       require((u8(off + 3) & 1) == 0, s"media $id: reserved frame bit set")
-      require(chan == 0, s"media $id: only mono frames supported " +
-        s"(channel assignment $chan)")
+      // 0 = mono, 1 = independent L/R, 8/9/10 = left-side / right-side /
+      // mid-side decorrelation (RFC 9639 §9.1.3)
+      require(chan == 0 || chan == 1 || (chan >= 8 && chan <= 10),
+        s"media $id: channel assignment $chan unsupported " +
+          "(mono, independent stereo, or a side-coded stereo pair)")
+      val frameChannels = if (chan == 0) 1 else 2
+      require(frameChannels == nChannels,
+        s"media $id: frame channel assignment $chan disagrees with " +
+          s"STREAMINFO's $nChannels channel(s)")
       require(ssCode == 4,
         s"media $id: only 16-bit frames supported (size code $ssCode)")
       require(srCode == 0,
@@ -221,90 +331,50 @@ private[graft] object Flac {
         case _ => throw new IllegalArgumentException(
           s"media $id: reserved block-size code")
       }
-      require(blockSize > 0 && n.toLong + blockSize <= out.length,
+      require(blockSize > 0 &&
+        n.toLong + blockSize.toLong * frameChannels <= out.length,
         s"media $id: FLAC frame overruns declared sample count")
       val hcrc = u8(off)
       require(hcrc == crc8(p, frameStart, off),
         s"media $id: FLAC frame header CRC-8 mismatch")
       off += 1
 
-      // one mono subframe
+      // subframes — one per channel, bit-contiguous on a shared reader;
+      // the SIDE channel of an 8/9/10 assignment carries one extra bit
       val r = new BitReader(id, p, off)
-      require(r.readBit() == 0, s"media $id: subframe padding bit set")
-      val sfType = r.readBits(6).toInt
-      val wasted = r.readBit()
-      require(wasted == 0, s"media $id: wasted-bits subframes unsupported")
-      val x = new Array[Int](blockSize)
-      sfType match {
-        case 0 => // CONSTANT
-          val v = r.readSigned(16)
-          java.util.Arrays.fill(x, v)
-        case 1 => // VERBATIM
-          var i = 0
-          while (i < blockSize) { x(i) = r.readSigned(16); i += 1 }
-        case t if t >= 8 && t <= 12 => // FIXED order 0..4
-          val order = t - 8
-          require(order <= blockSize,
-            s"media $id: FIXED order $order exceeds block size $blockSize")
-          var i = 0
-          while (i < order) { x(i) = r.readSigned(16); i += 1 }
-          // residual coding method + partitions
-          val method = r.readBits(2).toInt
-          require(method <= 1,
-            s"media $id: reserved residual coding method $method")
-          val pBits = if (method == 0) 4 else 5
-          val escape = (1 << pBits) - 1
-          val po = r.readBits(4).toInt
-          val nPart = 1 << po
-          require(blockSize % nPart == 0 && (blockSize >> po) > order,
-            s"media $id: invalid Rice partition order $po for block $blockSize")
-          var part = 0
-          while (part < nPart) {
-            val cnt = (blockSize >> po) - (if (part == 0) order else 0)
-            val k = r.readBits(pBits).toInt
-            if (k == escape) {
-              val raw = r.readBits(5).toInt
-              var j = 0
-              while (j < cnt) {
-                val res = r.readSigned(raw)
-                x(i) = res + predictFixed(order, x, i); i += 1; j += 1
-              }
-            } else {
-              var j = 0
-              while (j < cnt) {
-                val q = r.readUnary()
-                val lo = r.readBits(k)
-                val zz = (q.toLong << k) | lo
-                // un-zigzag: even -> zz/2, odd -> -(zz+1)/2
-                val res = (if ((zz & 1) == 0) zz >> 1 else -((zz + 1) >> 1)).toInt
-                x(i) = res + predictFixed(order, x, i); i += 1; j += 1
-              }
-            }
-            part += 1
-          }
-        case t if t >= 32 =>
-          throw new IllegalArgumentException(
-            s"media $id: general LPC subframes out of scope " +
-              "(fixed predictors only)")
-        case t =>
-          throw new IllegalArgumentException(
-            s"media $id: reserved subframe type $t")
-      }
+      val ch0 = decodeSubframe(id, r, blockSize,
+        if (chan == 9) 17 else 16)
+      val ch1 = if (frameChannels == 2)
+        decodeSubframe(id, r, blockSize, if (chan == 8 || chan == 10) 17 else 16)
+      else null
       r.align()
       off = r.bytePos
       val fcrc = (u8(off) << 8) | u8(off + 1)
       require(fcrc == crc16(p, frameStart, off),
         s"media $id: FLAC frame CRC-16 mismatch")
       off += 2
-      var i = 0
-      while (i < blockSize) {
-        val v = x(i)
+      // reconstruct + interleave (the published decorrelation inverses;
+      // mid is stored as (l+r)>>1, recovered via the side's low bit)
+      def emit(v: Int): Unit = {
         require(v >= -32768 && v <= 32767,
           s"media $id: decoded FLAC sample $v outside 16-bit range")
-        out(n) = v; n += 1; i += 1
+        out(n) = v; n += 1
+      }
+      var i = 0
+      while (i < blockSize) {
+        chan match {
+          case 0 => emit(ch0(i))
+          case 1 => emit(ch0(i)); emit(ch1(i))
+          case 8 => emit(ch0(i)); emit(ch0(i) - ch1(i)) // left, left - side
+          case 9 => emit(ch1(i) + ch0(i)); emit(ch1(i)) // right + side, right
+          case _ => // 10: mid/side
+            val m2 = (ch0(i) << 1) | (ch1(i) & 1)
+            emit((m2 + ch1(i)) >> 1); emit((m2 - ch1(i)) >> 1)
+        }
+        i += 1
       }
     }
-    (sampleRate, out)
+    (nChannels, sampleRate, out)
   }
 
   // ------------------------------------------------------------------
@@ -331,19 +401,36 @@ private[graft] object Flac {
     def align(): Unit = if (nbits > 0) writeBits(0, 8 - nbits)
   }
 
-  /** Encode 16-bit mono samples as a real FLAC stream: STREAMINFO, then
-    * frames of `blockSize` samples (last frame partial). Each frame
-    * carries one subframe: CONSTANT when its samples are all equal, else
-    * FIXED with the given `order` and a single Rice partition whose
-    * parameter adapts to the frame's residuals. Lossless by construction
-    * — [[decode]] (and any conformant decoder) returns the input
-    * exactly. */
+  /** Encode 16-bit samples as a real FLAC stream: STREAMINFO, then
+    * frames of `blockSize` samples (last frame partial). `channels` = 1
+    * takes `samples` as-is; 2 takes them INTERLEAVED L R L R …, with
+    * `stereoMode` picking the frame channel assignment (1 independent,
+    * 8 left/side, 9 right/side, 10 mid/side — the side subframe carries
+    * its spec'd 17th bit). Each non-constant subframe is FIXED with the
+    * given `order`, or general LPC when `lpc` supplies (quantized
+    * coefficients, shift); constant runs become CONSTANT subframes.
+    * Residuals are a single Rice partition whose parameter adapts per
+    * subframe. Lossless by construction — [[decode]] (and any conformant
+    * decoder) returns the input exactly. */
   def encode(samples: Array[Int], sampleRate: Int = 16000,
-             blockSize: Int = 256, order: Int = 2): Array[Byte] = {
+             blockSize: Int = 256, order: Int = 2,
+             channels: Int = 1, stereoMode: Int = 1,
+             lpc: Option[(Array[Int], Int)] = None): Array[Byte] = {
     require(samples.nonEmpty && samples.length <= (1 << 24), "sample count")
     require(blockSize >= 16 && blockSize <= 256, "fixture blockSize <= 256")
     require(order >= 0 && order <= 4, "fixed order 0..4")
+    require(channels == 1 || channels == 2, "1 or 2 channels")
+    require(channels == 1 || samples.length % 2 == 0,
+      "stereo needs an even interleaved sample count")
+    require(channels == 1 || stereoMode == 1 ||
+      (stereoMode >= 8 && stereoMode <= 10), s"stereo mode $stereoMode")
+    lpc.foreach { case (coefs, shift) =>
+      require(coefs.nonEmpty && coefs.length <= 32, "LPC order 1..32")
+      require(shift >= 0 && shift <= 15, "LPC shift 0..15")
+      coefs.foreach(c => require(c >= -16384 && c <= 16383, s"LPC coef $c"))
+    }
     samples.foreach(s => require(s >= -32768 && s <= 32767, s"sample $s"))
+    val perChannel = samples.length / channels
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO, marked last metadata block
@@ -353,9 +440,9 @@ private[graft] object Flac {
     bw0.writeBits(blockSize.toLong, 16) // max block size
     bw0.writeBits(0L, 24); bw0.writeBits(0L, 24) // frame sizes unknown
     bw0.writeBits(sampleRate.toLong, 20)
-    bw0.writeBits(0L, 3) // channels - 1
+    bw0.writeBits((channels - 1).toLong, 3)
     bw0.writeBits(15L, 5) // bps - 1
-    bw0.writeBits(samples.length.toLong, 36)
+    bw0.writeBits(perChannel.toLong, 36)
     var i = 0
     while (i < 16) { si.write(0); i += 1 } // MD5 unset (spec-legal zeros)
     val siB = si.toByteArray
@@ -363,38 +450,17 @@ private[graft] object Flac {
     out.write(siB.length & 0xFF)
     out.write(siB, 0, siB.length)
 
-    var n = 0
-    var frameIdx = 0
-    while (n < samples.length) {
-      val bs = math.min(blockSize, samples.length - n)
-      require(frameIdx < 128, "fixture frame count needs 1-byte coded numbers")
-      val frame = new java.io.ByteArrayOutputStream()
-      // header: sync(14) 0 blocking(0) | bsCode=6 (8-bit value-1) |
-      // srCode=0 | chan=0 | ssCode=4 | 0
-      frame.write(0xFF); frame.write(0xF8)
-      frame.write((6 << 4) | 0)
-      frame.write((0 << 4) | (4 << 1) | 0)
-      frame.write(frameIdx) // coded number, single byte
-      frame.write(bs - 1)
-      val head = frame.toByteArray
-      frame.write(crc8(head, 0, head.length))
-      val bw = new BitWriter(frame)
-      val x = java.util.Arrays.copyOfRange(samples, n, n + bs)
-      val allEq = x.forall(_ == x(0))
-      if (allEq) {
-        bw.writeBits(0L, 1); bw.writeBits(0L, 6); bw.writeBits(0L, 1)
-        bw.writeBits(x(0).toLong & 0xFFFF, 16)
-      } else {
-        val ord = math.min(order, bs - 1)
-        bw.writeBits(0L, 1); bw.writeBits((8 + ord).toLong, 6); bw.writeBits(0L, 1)
-        var j = 0
-        while (j < ord) { bw.writeBits(x(j).toLong & 0xFFFF, 16); j += 1 }
-        // residuals, single Rice partition (order 0), method 0
+    // one subframe at `bps` bits: CONSTANT / LPC (when supplied and the
+    // frame is long enough) / FIXED, single adaptive Rice partition
+    def writeSubframe(bw: BitWriter, x: Array[Int], bps: Int): Unit = {
+      val bs = x.length
+      val mask = (1L << bps) - 1
+      def writeResiduals(ord: Int, predict: Int => Int): Unit = {
         val res = new Array[Long](bs - ord)
         var maxZz = 0L
-        j = ord
+        var j = ord
         while (j < bs) {
-          val e = (x(j) - predictFixed(ord, x, j)).toLong
+          val e = (x(j) - predict(j)).toLong
           val zz = if (e >= 0) e << 1 else (-e << 1) - 1
           res(j - ord) = zz
           if (zz > maxZz) maxZz = zz
@@ -409,6 +475,79 @@ private[graft] object Flac {
         res.foreach { zz =>
           bw.writeUnary((zz >> k).toInt)
           bw.writeBits(zz & ((1L << k) - 1), k)
+        }
+      }
+      if (x.forall(_ == x(0))) {
+        bw.writeBits(0L, 1); bw.writeBits(0L, 6); bw.writeBits(0L, 1)
+        bw.writeBits(x(0).toLong & mask, bps)
+      } else lpc match {
+        case Some((coefs, shift)) if bs > coefs.length =>
+          val ord = coefs.length
+          bw.writeBits(0L, 1); bw.writeBits((32 + ord - 1).toLong, 6)
+          bw.writeBits(0L, 1)
+          var j = 0
+          while (j < ord) { bw.writeBits(x(j).toLong & mask, bps); j += 1 }
+          // coefficient precision: smallest signed width holding them all
+          var prec = 2
+          while (coefs.exists(c => c < -(1 << (prec - 1)) ||
+            c >= (1 << (prec - 1)))) prec += 1
+          bw.writeBits((prec - 1).toLong, 4)
+          bw.writeBits(shift.toLong, 5)
+          coefs.foreach(c => bw.writeBits(c.toLong & ((1L << prec) - 1), prec))
+          writeResiduals(ord, { i =>
+            var acc = 0L
+            var c = 0
+            while (c < ord) { acc += coefs(c).toLong * x(i - 1 - c); c += 1 }
+            (acc >> shift).toInt
+          })
+        case _ =>
+          val ord = math.min(order, bs - 1)
+          bw.writeBits(0L, 1); bw.writeBits((8 + ord).toLong, 6)
+          bw.writeBits(0L, 1)
+          var j = 0
+          while (j < ord) { bw.writeBits(x(j).toLong & mask, bps); j += 1 }
+          writeResiduals(ord, i => predictFixed(ord, x, i))
+      }
+    }
+
+    var n = 0 // per-channel position
+    var frameIdx = 0
+    while (n < perChannel) {
+      val bs = math.min(blockSize, perChannel - n)
+      require(frameIdx < 128, "fixture frame count needs 1-byte coded numbers")
+      val chanCode = if (channels == 1) 0 else stereoMode
+      val frame = new java.io.ByteArrayOutputStream()
+      // header: sync(14) 0 blocking(0) | bsCode=6 (8-bit value-1) |
+      // srCode=0 | chan | ssCode=4 | 0
+      frame.write(0xFF); frame.write(0xF8)
+      frame.write((6 << 4) | 0)
+      frame.write((chanCode << 4) | (4 << 1) | 0)
+      frame.write(frameIdx) // coded number, single byte
+      frame.write(bs - 1)
+      val head = frame.toByteArray
+      frame.write(crc8(head, 0, head.length))
+      val bw = new BitWriter(frame)
+      if (channels == 1) {
+        writeSubframe(bw, java.util.Arrays.copyOfRange(samples, n, n + bs), 16)
+      } else {
+        val l = new Array[Int](bs)
+        val r = new Array[Int](bs)
+        var j = 0
+        while (j < bs) {
+          l(j) = samples(2 * (n + j)); r(j) = samples(2 * (n + j) + 1); j += 1
+        }
+        stereoMode match {
+          case 1 =>
+            writeSubframe(bw, l, 16); writeSubframe(bw, r, 16)
+          case 8 => // left + side (l - r)
+            writeSubframe(bw, l, 16)
+            writeSubframe(bw, Array.tabulate(bs)(j => l(j) - r(j)), 17)
+          case 9 => // side + right
+            writeSubframe(bw, Array.tabulate(bs)(j => l(j) - r(j)), 17)
+            writeSubframe(bw, r, 16)
+          case _ => // 10: mid ((l + r) >> 1) + side
+            writeSubframe(bw, Array.tabulate(bs)(j => (l(j) + r(j)) >> 1), 16)
+            writeSubframe(bw, Array.tabulate(bs)(j => l(j) - r(j)), 17)
         }
       }
       bw.align()

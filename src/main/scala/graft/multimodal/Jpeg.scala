@@ -10,13 +10,18 @@ package graft.multimodal
   *
   * Decoder profile (restrictions FAIL FAST by name, the package
   * contract): baseline sequential (SOF0), 8-bit samples, 8-bit
-  * quantization tables, 1 (grayscale) or 3 (YCbCr) components, NO chroma
-  * subsampling (all sampling factors 1×1 — an interleaved scan is then
-  * one block per component per MCU), one interleaved scan, optional
-  * restart intervals. Progressive (SOF2), arithmetic coding, 12-bit,
-  * subsampled, and multi-scan files are named errors, the same
-  * by-design scope statement as the PNG (8-bit RGBA only) and GIF
-  * (global palette only) decoders.
+  * quantization tables, 1 (grayscale) or 3 (YCbCr) components, sampling
+  * factors 1 or 2 per axis per component — which covers 4:4:4 (1×1),
+  * the web-dominant 4:2:0 (luma 2×2), 4:2:2 (2×1), and 4:4:0 (1×2) —
+  * one interleaved scan, optional restart intervals. Subsampled chroma
+  * upsamples by SAMPLE REPLICATION (nearest-neighbor: display pixel
+  * (x, y) reads component sample (x·Hᵢ/Hmax, y·Vᵢ/Vmax), floor
+  * arithmetic) — the portable choice; interpolating upsamplers differ
+  * legally between decoders, so cross-decoder pinning uses constant
+  * chroma planes, which every upsampler preserves. Progressive (SOF2),
+  * arithmetic coding, 12-bit, sampling factors 3/4, and multi-scan
+  * files are named errors, the same by-design scope statement as the
+  * PNG (8-bit RGBA only) decoder.
   *
   * Exactness contract: the IDCT is the textbook separable 8-point
   * float transform with round-half-up, then +128 level shift and a
@@ -191,6 +196,9 @@ private[graft] object Jpeg {
     var restartInterval = 0
     // frame state
     var w = 0; var h = 0; var nComp = 0
+    val compId = new Array[Int](3) // SOF0 component identifier (for SOS Cs)
+    val compH = new Array[Int](3) // horizontal sampling factor (1 or 2)
+    val compV = new Array[Int](3) // vertical sampling factor (1 or 2)
     val compQ = new Array[Int](3) // quant table id per component
     val compDcT = new Array[Int](3)
     val compAcT = new Array[Int](3)
@@ -261,10 +269,14 @@ private[graft] object Jpeg {
           require(len >= 8 + 3 * nComp, s"media $id: truncated SOF0 components")
           var c = 0
           while (c < nComp) {
+            compId(c) = u8(i + 8 + 3 * c)
             val hv = u8(i + 9 + 3 * c)
-            require(hv == 0x11,
-              s"media $id: only 1x1 sampling supported (component $c has " +
-                s"H=${hv >> 4} V=${hv & 0xF}) — subsampled JPEG out of scope")
+            compH(c) = hv >> 4
+            compV(c) = hv & 0x0F
+            require(compH(c) >= 1 && compH(c) <= 2 &&
+              compV(c) >= 1 && compV(c) <= 2,
+              s"media $id: only sampling factors 1 or 2 supported " +
+                s"(component $c has H=${compH(c)} V=${compV(c)})")
             compQ(c) = u8(i + 10 + 3 * c)
             require(compQ(c) < 4, s"media $id: bad quant table id ${compQ(c)}")
             c += 1
@@ -293,8 +305,13 @@ private[graft] object Jpeg {
               s"(scan has $ns of $nComp components)")
           var c = 0
           while (c < ns) {
-            // match scan component order to frame order positionally; the
-            // fixture and every common baseline writer emit them in order
+            // T.81 B.2.3 mandates scan components in frame-header order;
+            // verify the component selector by NAME rather than decoding
+            // a non-conformant file with swapped tables/planes
+            val cs = u8(i + 3 + 2 * c)
+            require(cs == compId(c),
+              s"media $id: SOS component selector $cs out of frame order " +
+                s"(expected component id ${compId(c)} at scan position $c)")
             val tda = u8(i + 4 + 2 * c)
             compDcT(c) = tda >> 4
             compAcT(c) = tda & 0x0F
@@ -325,91 +342,125 @@ private[graft] object Jpeg {
       c += 1
     }
 
+    // A single-component scan is NON-interleaved (T.81 A.2.2): its data
+    // units are the component's own block grid and sampling factors play
+    // no role — normalize to 1×1 so the one MCU walk covers both cases.
+    if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+    var hMax = 1; var vMax = 1
+    c = 0
+    while (c < nComp) {
+      if (compH(c) > hMax) hMax = compH(c)
+      if (compV(c) > vMax) vMax = compV(c)
+      c += 1
+    }
+    // MCU grid over hMax·8 × vMax·8 display tiles; component c contributes
+    // compH(c)×compV(c) blocks per MCU into its own (mcuW·Hᵢ) × (mcuH·Vᵢ)
+    // block plane (T.81 A.2.3 interleaved data ordering).
+    val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeBw = Array.tabulate(nComp)(c => mcuW * compH(c)) // blocks across
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Byte](planeBw(c) * 8 * mcuH * compV(c) * 8))
+
     // entropy data runs to the EOI marker (scan backwards not needed: the
     // BitReader stops at any non-RST marker; give it the payload tail)
     val reader = new BitReader(id, p, scanStart, p.length)
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Byte](bw * 8 * bh * 8))
     val pred = new Array[Int](3)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
+
+    // Decode one data unit of component `cc` into block position (bx, by)
+    // of its plane: Huffman + dequant + separable IDCT + level shift.
+    def decodeBlock(cc: Int, bx: Int, by: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val q = quant(compQ(cc))
+      // DC
+      val s = huffDc(compDcT(cc)).decode(reader)
+      require(s <= 11, s"media $id: DC category $s out of range")
+      pred(cc) += extend(reader.readBits(s), s)
+      coef(0) = pred(cc) * q(0)
+      // AC
+      var k = 1
+      while (k < 64) {
+        val rs = huffAc(compAcT(cc)).decode(reader)
+        val r = rs >> 4
+        val sz = rs & 0x0F
+        if (sz == 0) {
+          if (r == 15) k += 16 // ZRL
+          else k = 64 // EOB
+        } else {
+          k += r
+          require(k < 64, s"media $id: AC run past coefficient 63")
+          require(sz <= 10, s"media $id: AC size $sz out of range")
+          val natural = Zigzag(k)
+          coef(natural) = extend(reader.readBits(sz), sz) * q(natural)
+          k += 1
+        }
+      }
+      // separable IDCT: rows then columns. tmp = coef · Basisᵀ (rows)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var u = 0
+          while (u < 8) { acc += coef(y * 8 + u) * Basis(u * 8 + x); u += 1 }
+          tmp(y * 8 + x) = acc
+          x += 1
+        }
+        y += 1
+      }
+      val plane = planes(cc)
+      val strideP = planeBw(cc) * 8
+      var x = 0
+      while (x < 8) {
+        var yy = 0
+        while (yy < 8) {
+          var acc = 0.0
+          var v = 0
+          while (v < 8) { acc += tmp(v * 8 + x) * Basis(v * 8 + yy); v += 1 }
+          // 2-D normalization 1/4, round-half-up, +128 level shift, clamp
+          val px = math.floor(acc / 4.0 + 0.5).toInt + 128
+          val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+          plane((by * 8 + yy) * strideP + bx * 8 + x) = clamped.toByte
+          yy += 1
+        }
+        x += 1
+      }
+    }
+
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcuW * mcuH
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         reader.restart(mcu / restartInterval - 1)
         pred(0) = 0; pred(1) = 0; pred(2) = 0
       }
-      val bx = mcu % bw
-      val by = mcu / bw
+      val bx = mcu % mcuW
+      val by = mcu / mcuW
       c = 0
       while (c < nComp) {
-        java.util.Arrays.fill(coef, 0)
-        val q = quant(compQ(c))
-        // DC
-        val s = huffDc(compDcT(c)).decode(reader)
-        require(s <= 11, s"media $id: DC category $s out of range")
-        pred(c) += extend(reader.readBits(s), s)
-        coef(0) = pred(c) * q(0)
-        // AC
-        var k = 1
-        while (k < 64) {
-          val rs = huffAc(compAcT(c)).decode(reader)
-          val r = rs >> 4
-          val sz = rs & 0x0F
-          if (sz == 0) {
-            if (r == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += r
-            require(k < 64, s"media $id: AC run past coefficient 63")
-            require(sz <= 10, s"media $id: AC size $sz out of range")
-            val natural = Zigzag(k)
-            coef(natural) = extend(reader.readBits(sz), sz) * q(natural)
-            k += 1
+        var v = 0
+        while (v < compV(c)) {
+          var hh = 0
+          while (hh < compH(c)) {
+            decodeBlock(c, bx * compH(c) + hh, by * compV(c) + v)
+            hh += 1
           }
-        }
-        // separable IDCT: rows then columns. tmp = coef · Basisᵀ (rows)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) { acc += coef(y * 8 + u) * Basis(u * 8 + x); u += 1 }
-            tmp(y * 8 + x) = acc
-            x += 1
-          }
-          y += 1
-        }
-        val plane = planes(c)
-        val strideP = bw * 8
-        var x = 0
-        while (x < 8) {
-          var yy = 0
-          while (yy < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += tmp(v * 8 + x) * Basis(v * 8 + yy); v += 1 }
-            // 2-D normalization 1/4, round-half-up, +128 level shift, clamp
-            val px = math.floor(acc / 4.0 + 0.5).toInt + 128
-            val clamped = if (px < 0) 0 else if (px > 255) 255 else px
-            plane((by * 8 + yy) * strideP + bx * 8 + x) = clamped.toByte
-            yy += 1
-          }
-          x += 1
+          v += 1
         }
         c += 1
       }
       mcu += 1
     }
 
-    // assemble RGB, cropping the block padding to the declared dimensions
+    // assemble RGB, cropping the MCU padding to the declared dimensions;
+    // display pixel (x, y) reads component sample (x·Hᵢ/hMax, y·Vᵢ/vMax)
+    // — sample replication for subsampled chroma (scaladoc contract)
     val rgb = new Array[Byte](3 * w * h)
-    val strideP = bw * 8
     if (nComp == 1) {
       val yP = planes(0)
+      val strideP = planeBw(0) * 8
       var yy = 0
       while (yy < h) {
         var x = 0
@@ -423,14 +474,20 @@ private[graft] object Jpeg {
       }
     } else {
       val yP = planes(0); val cbP = planes(1); val crP = planes(2)
+      val strideY = planeBw(0) * 8
+      val strideCb = planeBw(1) * 8
+      val strideCr = planeBw(2) * 8
       var yy = 0
       while (yy < h) {
         var x = 0
         while (x < w) {
           val o = 3 * (yy * w + x)
-          val yv = yP(yy * strideP + x) & 0xFF
-          val cb = (cbP(yy * strideP + x) & 0xFF) - 128
-          val cr = (crP(yy * strideP + x) & 0xFF) - 128
+          val yv = yP((yy * compV(0) / vMax) * strideY +
+            x * compH(0) / hMax) & 0xFF
+          val cb = (cbP((yy * compV(1) / vMax) * strideCb +
+            x * compH(1) / hMax) & 0xFF) - 128
+          val cr = (crP((yy * compV(2) / vMax) * strideCr +
+            x * compH(2) / hMax) & 0xFF) - 128
           // JFIF YCbCr→RGB (doubles, round-half-up, clamp). Cb=Cr=128
           // (gray) makes R=G=B=Y EXACT — the fixture replay path.
           def cl(v: Double): Byte = {
@@ -667,19 +724,37 @@ private[graft] object Jpeg {
 
   /** Encode a baseline JPEG whose 8×8 blocks carry the given QUANTIZED
     * coefficient arrays (zigzag-independent: input is natural row-major
-    * order, 64 per block per component). `blocks(c)(by*bw+bx)` is the
-    * coefficient block of component `c` at block position (bx, by).
-    * Components: 1 (grayscale) or 3 (YCbCr, 1×1 sampling). All components
-    * share the fixture quant table and the generated canonical Huffman
-    * tables. `restartInterval` > 0 plants DRI + RSTn markers. */
+    * order, 64 per block per component). `blocks(c)` holds component
+    * `c`'s blocks in ITS OWN block-grid raster order — (mcuW·Hᵢ) ×
+    * (mcuH·Vᵢ) blocks where the MCU grid is ceil-divided by 8·Hmax /
+    * 8·Vmax. Components: 1 (grayscale) or 3 (YCbCr). `sampling` gives
+    * the per-component HV byte (0x11/0x21/0x12/0x22; null = all 1×1 —
+    * the grid is then exactly ceil(w/8) × ceil(h/8), the legacy layout).
+    * All components share the fixture quant table and the generated
+    * canonical Huffman tables. `restartInterval` > 0 plants DRI + RSTn
+    * markers. */
   def encodeBlocks(width: Int, height: Int, blocks: Array[Array[Array[Int]]],
-                   restartInterval: Int = 0): Array[Byte] = {
+                   restartInterval: Int = 0,
+                   sampling: Array[Int] = null): Array[Byte] = {
     val nComp = blocks.length
     require(nComp == 1 || nComp == 3, "1 or 3 components")
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    require(blocks.forall(_.length == bw * bh),
-      s"need $bw x $bh coefficient blocks per component")
+    val hv = if (sampling == null) Array.fill(nComp)(0x11) else sampling
+    require(hv.length == nComp, "one HV byte per component")
+    val cH = hv.map(_ >> 4)
+    val cV = hv.map(_ & 0x0F)
+    require(cH.forall(v => v >= 1 && v <= 2) && cV.forall(v => v >= 1 && v <= 2),
+      "sampling factors must be 1 or 2")
+    val hMax = cH.max
+    val vMax = cV.max
+    val mcuW = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (height + 8 * vMax - 1) / (8 * vMax)
+    var cc = 0
+    while (cc < nComp) {
+      require(blocks(cc).length == mcuW * cH(cc) * mcuH * cV(cc),
+        s"component $cc needs ${mcuW * cH(cc)} x ${mcuH * cV(cc)} blocks, " +
+          s"got ${blocks(cc).length}")
+      cc += 1
+    }
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xFF)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -696,7 +771,7 @@ private[graft] object Jpeg {
     u8(0xFF); u8(0xC0); u16(8 + 3 * nComp); u8(8)
     u16(height); u16(width); u8(nComp)
     var c = 0
-    while (c < nComp) { u8(c + 1); u8(0x11); u8(0); c += 1 }
+    while (c < nComp) { u8(c + 1); u8(hv(c)); u8(0); c += 1 }
     // DHT: DC table 0 + AC table 0
     val dcSpec = dcTableSpec
     val acSpec = acTableSpec
@@ -715,45 +790,58 @@ private[graft] object Jpeg {
     val acCodes = canonical(acSpec)
     val bwrt = new BitWriter(out)
     val pred = new Array[Int](3)
+    def encodeOne(cc: Int, blk: Array[Int]): Unit = {
+      // DC diff
+      val diff = blk(0) - pred(cc)
+      pred(cc) = blk(0)
+      val s = category(diff)
+      val (dcCode, dcLen) = dcCodes(s)
+      bwrt.write(dcCode, dcLen)
+      if (s > 0)
+        bwrt.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      // AC run-lengths over zigzag order
+      var run = 0
+      var kk = 1
+      while (kk < 64) {
+        val v = blk(Zigzag(kk))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) {
+            val (zc, zl) = acCodes(0xF0); bwrt.write(zc, zl); run -= 16
+          }
+          val sz = category(v)
+          require(sz <= 10, s"AC coefficient $v too large for the fixture table")
+          val (code, len) = acCodes((run << 4) | sz)
+          bwrt.write(code, len)
+          bwrt.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) { val (ec, el) = acCodes(0x00); bwrt.write(ec, el) }
+    }
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcuW * mcuH
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         bwrt.align()
         u8(0xFF); u8(0xD0 + ((mcu / restartInterval - 1) & 7))
         pred(0) = 0; pred(1) = 0; pred(2) = 0
       }
+      val bx = mcu % mcuW
+      val by = mcu / mcuW
       c = 0
       while (c < nComp) {
-        val blk = blocks(c)(mcu)
-        // DC diff
-        val diff = blk(0) - pred(c)
-        pred(c) = blk(0)
-        val s = category(diff)
-        val (dcCode, dcLen) = dcCodes(s)
-        bwrt.write(dcCode, dcLen)
-        if (s > 0)
-          bwrt.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        // AC run-lengths over zigzag order
-        var run = 0
-        var kk = 1
-        while (kk < 64) {
-          val v = blk(Zigzag(kk))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) {
-              val (zc, zl) = acCodes(0xF0); bwrt.write(zc, zl); run -= 16
-            }
-            val sz = category(v)
-            require(sz <= 10, s"AC coefficient $v too large for the fixture table")
-            val (code, len) = acCodes((run << 4) | sz)
-            bwrt.write(code, len)
-            bwrt.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
-            run = 0
+        var v = 0
+        while (v < cV(c)) {
+          var hh = 0
+          while (hh < cH(c)) {
+            encodeOne(c, blocks(c)(
+              (by * cV(c) + v) * (mcuW * cH(c)) + bx * cH(c) + hh))
+            hh += 1
           }
-          kk += 1
+          v += 1
         }
-        if (run > 0) { val (ec, el) = acCodes(0x00); bwrt.write(ec, el) }
         c += 1
       }
       mcu += 1
@@ -786,5 +874,39 @@ private[graft] object Jpeg {
         Array.fill(bw * bh)(new Array[Int](64)))
       else Array(luma)
     encodeBlocks(width, height, comps, restartInterval)
+  }
+
+  /** Encode a 4:2:0 (luma 2×2, chroma 1×1) baseline YCbCr JPEG whose
+    * luma 8×8 block (bx, by) decodes to the CONSTANT gray
+    * `grays(by·2·mcuW + bx)` exactly (DC-only, the q00 = 8 closed form —
+    * the luma grid is (2·mcuW) × (2·mcuH) blocks over the 16×16 MCU
+    * grid), and whose chroma planes carry PER-MCU constants (`cbs`/`crs`,
+    * one value per 16×16 MCU in MCU raster order; null = all 128, which
+    * the JFIF transform maps back to R=G=B=Y exactly). Non-null chroma
+    * replicates to the whole MCU under the decoder's sample-replication
+    * upsampling, so every pixel's (Y, Cb, Cr) triple — and therefore the
+    * rounded RGB — stays a closed form. */
+  def encodeGray420(width: Int, height: Int, grays: Array[Int],
+                    cbs: Array[Int] = null, crs: Array[Int] = null,
+                    restartInterval: Int = 0): Array[Byte] = {
+    val mcuW = (width + 15) / 16
+    val mcuH = (height + 15) / 16
+    require(grays.length == 4 * mcuW * mcuH,
+      s"need ${2 * mcuW} x ${2 * mcuH} luma block grays")
+    def dcBlock(value: Int, what: String): Array[Int] = {
+      require(value >= 0 && value <= 255, s"$what $value out of range")
+      val blk = new Array[Int](64)
+      blk(0) = value - 128
+      blk
+    }
+    val luma = grays.map(dcBlock(_, "gray"))
+    def chroma(vals: Array[Int]): Array[Array[Int]] =
+      if (vals == null) Array.fill(mcuW * mcuH)(new Array[Int](64))
+      else {
+        require(vals.length == mcuW * mcuH, s"need $mcuW x $mcuH chroma values")
+        vals.map(dcBlock(_, "chroma"))
+      }
+    encodeBlocks(width, height, Array(luma, chroma(cbs), chroma(crs)),
+      restartInterval, Array(0x22, 0x11, 0x11))
   }
 }

@@ -203,12 +203,8 @@ object MediaDedup {
   def imageNearDupsOrientationInvariant(media: Dataset[MediaRow],
                                         maxHamming: Int = 3,
                                         bands: Int = 4): DataFrame =
-    // persist: see imageNearDups — the banded self-join otherwise decodes
-    // every image twice
-    Dedup.hammingBandPairs(imageCanonicalHash(media).persist(), "chash",
-        FingerprintBits, maxHamming, bands, idCol = "media_id")
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("hamming"))
+    // cache lifecycle: see imageNearDups
+    bandedNearDups(imageCanonicalHash(media), "chash", maxHamming, bands)
 
   /** Derive the 56-bit difference hash from filled 8×8 grid accumulators:
     * bit y·7+x set iff floor-mean[y][x] < floor-mean[y][x+1]. Shared by
@@ -317,17 +313,35 @@ object MediaDedup {
   /** Image near-duplicate pairs within `maxHamming` flipped gradient bits,
     * via [[Dedup.hammingBandPairs]] banding (candidates from a 14-bit-chunk
     * equi-join, exact Hamming verify — equals brute force). Output
-    * (media_a, media_b, hamming). */
+    * (media_a, media_b, hamming).
+    *
+    * Cache lifecycle (shared by [[audioNearDups]] and
+    * [[imageNearDupsOrientationInvariant]]): the banded self-join reads
+    * the fingerprint frame twice, and an unpersisted frame re-runs the
+    * WHOLE decode chain once per join side (measured 2× on the 64×64
+    * tri-format corpus — decode dominates there), so the frame is
+    * persisted, the pair result MATERIALIZES eagerly inside the operator
+    * (pairs are candidate-grain, far smaller than decoded fingerprints),
+    * and the persist is released before returning — repeated library
+    * calls leak nothing. The returned frame is bound to its own
+    * materialized blocks; [[graft.ops.Caching.release]] reclaims it. */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
                     bands: Int = 4): DataFrame =
-    // persist: hammingBandPairs self-joins its input, and an unpersisted
-    // fingerprint frame re-runs the WHOLE decode chain once per join side
-    // (measured 2x on the 64x64 tri-format corpus — decode dominates
-    // there). Caching contract: harness releaseAll reclaims.
-    Dedup.hammingBandPairs(imageDHash(media).persist(), "dhash",
-        FingerprintBits, maxHamming, bands, idCol = "media_id")
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("hamming"))
+    bandedNearDups(imageDHash(media), "dhash", maxHamming, bands)
+
+  /** Shared banding + cache lifecycle of the three near-dup operators:
+    * persist fingerprints → banded pairs → eager materialize → release. */
+  private def bandedNearDups(fingerprints: DataFrame, fpCol: String,
+                             maxHamming: Int, bands: Int): DataFrame = {
+    val fp = fingerprints.persist()
+    try {
+      Dedup.hammingBandPairs(fp, fpCol, FingerprintBits, maxHamming, bands,
+          idCol = "media_id")
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming"))
+        .localCheckpoint(true)
+    } finally graft.ops.Caching.release(fp)
+  }
 
   /** 56-bit energy-contour fingerprint of one PCM16 WAV clip: split the
     * interleaved int16 sample stream into [[AudioWindows]] windows (sample
@@ -394,12 +408,8 @@ object MediaDedup {
     * WAV-side twin of [[imageNearDups]], same banding machinery. */
   def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3,
                     bands: Int = 4): DataFrame =
-    // persist: see imageNearDups — the banded self-join otherwise decodes
-    // every clip twice
-    Dedup.hammingBandPairs(audioFingerprint(media).persist(), "afp",
-        FingerprintBits, maxHamming, bands, idCol = "media_id")
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("hamming"))
+    // cache lifecycle: see imageNearDups
+    bandedNearDups(audioFingerprint(media), "afp", maxHamming, bands)
 
   /** ABSOLUTE-window energies (window w = the `windowSamples` samples
     * starting at w·windowSamples; the trailing partial window is dropped

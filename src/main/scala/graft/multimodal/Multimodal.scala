@@ -876,11 +876,11 @@ object Multimodal {
     // descriptors — is cross-format for free); anything else takes the
     // RIFF/WAVE chunk walk below.
     if (p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C') {
-      val (rate, samples) = Flac.decode(id, p)
+      val (channels, rate, samples) = Flac.decode(id, p)
       val sh = new Array[Short](samples.length)
       var i = 0
       while (i < samples.length) { sh(i) = samples(i).toShort; i += 1 }
-      return (1, rate, sh)
+      return (channels, rate, sh)
     }
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
@@ -1472,6 +1472,65 @@ object Multimodal {
       }
   }
 
+  /** Position-sensitive census of one plainly-decoded JPEG: quadrant gray
+    * sums. The q252 channel-sum census is PLACEMENT-INVARIANT (a decoder
+    * that put the right blocks in the wrong plane positions sums the
+    * same), which is exactly the failure mode a subsampled MCU walk can
+    * have — quadrants catch it. */
+  final case class JpegQuadrants(media_id: Long, width: Int, height: Int,
+                                 q_tl: Long, q_tr: Long, q_bl: Long, q_br: Long)
+
+  /** Decode JPEGs (any in-scope sampling, incl. 4:2:0) and reduce to
+    * quadrant gray sums of the decoded image. */
+  def jpegQuadrantStats(media: Dataset[MediaRow]): Dataset[JpegQuadrants] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val (w, h, rgb) = Jpeg.decodeRgb(m.media_id, m.payload)
+      val q = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = 3 * (y * w + x)
+          val g = ((rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) + (rgb(k + 2) & 0xFF)) / 3
+          q((if (y < h / 2) 0 else 2) + (if (x < w / 2) 0 else 1)) += g
+          x += 1
+        }
+        y += 1
+      }
+      JpegQuadrants(m.media_id, w, h, q(0), q(1), q(2), q(3))
+    })
+  }
+
+  /** Deterministic 4:2:0 (chroma-subsampled) baseline JPEG fixtures:
+    * every doc becomes a DC-only YCbCr JPEG with luma sampled 2×2 and
+    * both chroma planes planted at 128 — luma 8×8 block k decodes to the
+    * CONSTANT gray (doc_id·37 + k·(11 + doc_id mod 17)) mod 256 exactly
+    * (the q00 = 8 closed form survives the subsampled MCU walk, and
+    * constant-128 chroma survives ANY upsampler), so an external oracle
+    * replays the quadrant census ARITHMETICALLY while the engine earns
+    * it through the interleaved 2×2-luma MCU walk. Dimensions are
+    * multiples of 16 (every block fully visible, quadrant boundaries on
+    * block edges); every 3rd id plants restart markers, which now span
+    * SIX data units per MCU. Per-item MULTIPLICATIVE block coefficients
+    * keep fixtures degeneracy-free. */
+  def syntheticJpeg420Media(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (16 * (1 + nChars % 3)).toInt
+        val h = (16 * (1 + (nChars * 7) % 2)).toInt
+        val nBlocks = (w / 8) * (h / 8)
+        val grays = Array.tabulate(nBlocks)(k =>
+          ((id * 37 + k * (11 + id % 17)) % 256).toInt)
+        val payload = Jpeg.encodeGray420(w, h, grays,
+          restartInterval = if (id % 3 == 0) 2 else 0)
+        MediaRow(id, "image", payload, w, h, 1)
+      }
+  }
+
   /** Deterministic FLAC fixtures: every doc becomes a 16-bit mono FLAC
     * clip built by the REAL encoder ([[Flac.encode]] — fixed-predictor
     * subframes with Rice residuals; every 7th doc an all-constant clip
@@ -1493,6 +1552,47 @@ object Multimodal {
             Array.tabulate(n)(p => ((id * 23 + p.toLong * 7) % 4096 - 2048).toInt)
           }
         MediaRow(id, "audio", Flac.encode(samples), 0, 0, 1)
+      }
+  }
+
+  /** Deterministic STEREO + LPC FLAC fixtures — the profile real-world
+    * FLAC actually ships (almost always stereo LPC): interleaved L/R
+    * clips rotating through the three stereo channel assignments
+    * (mid/side, left/side, independent — id mod 3), with every 4th doc
+    * encoded through GENERAL LPC subframes (quantized coefficients
+    * (3, −1), shift 1 — pure integer) instead of fixed predictors, and
+    * every 7th doc an all-constant stereo clip (CONSTANT subframes on
+    * both the 16-bit and the 17-bit SIDE path). FLAC is LOSSLESS, so the
+    * planted L/R formulas replay ARITHMETICALLY regardless of the
+    * encode-side assignment — the oracle never needs to know which
+    * decorrelation carried the bits, which is exactly the format-blind
+    * contract. */
+  def syntheticFlacStereoMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val n = if (id % 7 == 0) 240 else (200 + (nChars * 5) % 250).toInt
+        val inter = new Array[Int](2 * n)
+        var p = 0
+        while (p < n) {
+          inter(2 * p) =
+            if (id % 7 == 0) ((id * 29) % 4096 - 2048).toInt
+            else ((id * 29 + p.toLong * 11) % 4096 - 2048).toInt
+          inter(2 * p + 1) =
+            if (id % 7 == 0) ((id * 19) % 4096 - 2048).toInt
+            else ((id * 19 + p.toLong * 13) % 4096 - 2048).toInt
+          p += 1
+        }
+        val mode = (id % 3) match {
+          case 0 => 10 // mid/side
+          case 1 => 8 // left/side
+          case _ => 1 // independent
+        }
+        val lpc = if (id % 4 == 0) Some((Array(3, -1), 1)) else None
+        MediaRow(id, "audio",
+          Flac.encode(inter, channels = 2, stereoMode = mode, lpc = lpc),
+          0, 0, 1)
       }
   }
 
@@ -1538,8 +1638,8 @@ object Multimodal {
   /** Feature extraction with REAL classical-descriptor bodies, dispatched
     * on payload magic (format-blind, like every decoder here):
     * PNG/GIF/JPEG → the 88-dim image content descriptor
-    * ([[MediaDedup.imageDescriptors]]'s per-item body), WAV → the 57-dim
-    * energy contour, AVI → the 64-dim bag-of-frames signature (sampled
+    * ([[MediaDedup.imageDescriptors]]'s per-item body), WAV/FLAC → the
+    * 57-dim energy contour, AVI → the 64-dim bag-of-frames signature (sampled
     * every `everyN` frames — the video cost knob). Embedding width is
     * modality-intrinsic. Unknown magic fails by NAME: the slot for a
     * LEARNED extractor stays documented as weights-blocked (no model
@@ -1559,6 +1659,9 @@ object Multimodal {
           MediaDedup.descriptorOneImage(m.media_id, p)
         else if (p.length >= 12 && p(0) == 'R'.toByte && p(8) == 'W'.toByte &&
           p(9) == 'A'.toByte)
+          MediaDedup.audioEnergies(m.media_id, p).map(_.toDouble)
+        else if (p.length >= 4 && p(0) == 'f'.toByte && p(1) == 'L'.toByte &&
+          p(2) == 'a'.toByte && p(3) == 'C'.toByte)
           MediaDedup.audioEnergies(m.media_id, p).map(_.toDouble)
         else if (p.length >= 12 && p(0) == 'R'.toByte && p(8) == 'A'.toByte &&
           p(9) == 'V'.toByte)

@@ -206,10 +206,10 @@ class JpegSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](Jpeg.decodeRgb(9L, prog))
     assert(e1.getMessage.contains("progressive"))
 
-    // subsampling: patch the component H/V byte (0x11 -> 0x22)
+    // sampling factor 3: beyond the 1-or-2 profile (0x11 -> 0x33)
     val sub = ok.clone()
     // SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) [id hv tq]...
-    sub(sofAt + 11) = 0x22.toByte
+    sub(sofAt + 11) = 0x33.toByte
     val e2 = intercept[IllegalArgumentException](Jpeg.decodeRgb(10L, sub))
     assert(e2.getMessage.contains("sampling"))
 
@@ -273,6 +273,122 @@ class JpegSpec extends AnyFunSuite {
         0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 5, 0, 0, // tag 274 SHORT 1 value 5
         0, 0, 0, 0)).map(_.toByte).toArray ++ base.drop(2)
     assert(Jpeg.exifOrientation(mm) === 5)
+  }
+
+  test("4:2:0 DC-only decode hits the exact closed form, block positions " +
+    "included (the subsampled MCU walk places 2x2 luma correctly)") {
+    // 32x16: 2x1 MCUs, luma grid 4x2 — per-block grays from a
+    // multiplicative formula so a swapped placement changes pixels
+    val lbw = 4; val lbh = 2
+    val grays = Array.tabulate(lbw * lbh)(k => (k * 41 + 23) % 256)
+    val bytes = Jpeg.encodeGray420(32, 16, grays)
+    val (w, h, rgb) = Jpeg.decodeRgb(50L, bytes)
+    assert((w, h) === ((32, 16)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = grays((y / 8) * lbw + x / 8)
+      val o = 3 * (y * w + x)
+      assert((rgb(o) & 0xFF) === g, s"R at ($x,$y)")
+      assert((rgb(o + 1) & 0xFF) === g, s"G at ($x,$y)")
+      assert((rgb(o + 2) & 0xFF) === g, s"B at ($x,$y)")
+    }
+    // restart markers now span SIX data units per MCU — same closed form
+    val (rw, rh, rRgb) = Jpeg.decodeRgb(51L,
+      Jpeg.encodeGray420(32, 16, grays, restartInterval = 1))
+    assert((rw, rh) === ((32, 16)) && rRgb.toSeq === rgb.toSeq)
+  }
+
+  test("4:2:0 NONZERO chroma replicates to the whole MCU (sample " +
+    "replication) and the YCbCr closed form holds per pixel") {
+    // 2 MCUs with DIFFERENT chroma constants: an upsample indexing bug
+    // bleeds one MCU's chroma into the other
+    val grays = Array.fill(8)(120) // luma grid 4x2, flat
+    val cbs = Array(140, 100) // per-MCU Cb
+    val crs = Array(90, 160) // per-MCU Cr
+    val bytes = Jpeg.encodeGray420(32, 16, grays, cbs, crs)
+    val (w, h, rgb) = Jpeg.decodeRgb(52L, bytes)
+    assert((w, h) === ((32, 16)))
+    def cl(v: Double): Int = {
+      val r = math.floor(v + 0.5).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val m = x / 16 // MCU column
+      val cb = cbs(m) - 128
+      val cr = crs(m) - 128
+      val o = 3 * (y * w + x)
+      assert((rgb(o) & 0xFF) === cl(120 + 1.402 * cr), s"R at ($x,$y)")
+      assert((rgb(o + 1) & 0xFF) ===
+        cl(120 - 0.344136 * cb - 0.714136 * cr), s"G at ($x,$y)")
+      assert((rgb(o + 2) & 0xFF) === cl(120 + 1.772 * cb), s"B at ($x,$y)")
+    }
+  }
+
+  test("4:2:0 general-coefficient luma agrees with the JDK's OWN ImageIO " +
+    "reader (constant chroma, which every legal upsampler preserves)") {
+    // general luma AC exercises the 2x2-per-MCU entropy walk; chroma is
+    // CONSTANT across the image because interpolating upsamplers (the
+    // JDK's) legally differ from sample replication on varying chroma
+    val mcuW = 2; val mcuH = 1
+    val luma = Array.tabulate(4 * mcuW * mcuH) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = (b * 19 - 30) % 50
+      var k = 0
+      while (k < 64) {
+        if (k > 0 && (k * 7 + b * 3) % 11 == 0)
+          blk(k) = ((k * 13 + b * 29) % 9) - 4
+        k += 1
+      }
+      blk
+    }
+    def flatChroma(dc: Int) = Array.fill(mcuW * mcuH) {
+      val blk = new Array[Int](64)
+      blk(0) = dc
+      blk
+    }
+    val bytes = Jpeg.encodeBlocks(32, 16,
+      Array(luma, flatChroma(12), flatChroma(-9)),
+      sampling = Array(0x22, 0x11, 0x11))
+    val (w, h, ours) = Jpeg.decodeRgb(53L, bytes)
+    val (iw, ih, theirs) = decodeImageIO(bytes)
+    assert((w, h) === ((iw, ih)))
+    val d = maxAbsDiff(ours, theirs)
+    assert(d <= 3, s"max per-pixel diff vs ImageIO: $d")
+  }
+
+  test("4:2:2 and 4:4:0 (one subsampled axis) decode the DC-only closed " +
+    "form exactly") {
+    for ((hv, lbw, lbh, w, h) <- Seq((0x21, 4, 1, 32, 8), (0x12, 1, 4, 8, 32))) {
+      val grays = Array.tabulate(lbw * lbh)(k => (k * 67 + 31) % 256)
+      val luma = grays.map { g =>
+        val blk = new Array[Int](64)
+        blk(0) = g - 128
+        blk
+      }
+      val nChroma = (lbw * lbh) / 2 // chroma grid: one block per MCU
+      val chroma = Array.fill(nChroma)(new Array[Int](64))
+      val bytes = Jpeg.encodeBlocks(w, h, Array(luma, chroma.clone(), chroma),
+        sampling = Array(hv, 0x11, 0x11))
+      val (dw, dh, rgb) = Jpeg.decodeRgb(54L, bytes)
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = grays((y / 8) * lbw + x / 8)
+        assert((rgb(3 * (y * w + x)) & 0xFF) === g, s"hv=$hv ($x,$y)")
+      }
+    }
+  }
+
+  test("a SOS component selector out of frame order fails by NAME " +
+    "(T.81 B.2.3 mandates frame-header order)") {
+    val ok = Jpeg.encodeGrayBlocks(16, 16, Array(10, 20, 30, 40), color = true)
+    val sosAt = ok.indices.find(i => (ok(i) & 0xFF) == 0xFF &&
+      i + 1 < ok.length && (ok(i + 1) & 0xFF) == 0xDA).get
+    // SOS layout: FF DA len(2) ns(1) [Cs TdTa]... — swap Cs of the first
+    // two scan components
+    val bad = ok.clone()
+    bad(sosAt + 5) = 2.toByte
+    bad(sosAt + 7) = 1.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decodeRgb(55L, bad))
+    assert(e.getMessage.contains("component selector"), e.getMessage)
   }
 
   test("a hostile positive segment length near 2^31 fails as 'truncated', " +
