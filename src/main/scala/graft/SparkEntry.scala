@@ -1830,6 +1830,20 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- MJPEG (compressed) video decode [ext]: AVI's dominant codec —
+    // one baseline JPEG per '00dc' chunk — joins the format-blind video
+    // surface by COMPOSING the q252 JPEG decoder into the container
+    // walk, so shared-frame dedup, containment, quality, and shot
+    // detection all see compressed video. Fixture pairs an uncompressed
+    // DIB AVI with an MJPEG re-encode of the SAME DC-only content
+    // (lossless by the closed form): the pair must collide
+    // frame-for-frame at match_frac 1, earned through real per-frame
+    // Huffman + IDCT inside the movi walk (budget <= 3 s) ---
+    "q262_mjpeg_video_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoNearDups(
+        graft.multimodal.MediaDedup.syntheticMjpegPairVideos(
+          t(s, d, "documents")), everyN = 2, maxHamming = 3, bands = 4,
+        minSharedFrac = 0.5)),
     // --- STEREO + LPC FLAC decode [ext]: the profile real-world FLAC
     // actually ships — all three stereo channel assignments (mid/side,
     // left/side, independent; the side subframe carries its spec'd 17th
@@ -4957,6 +4971,40 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // MJPEG replay: block-constant frames mean grid cell (bx, by) of the
+    // 64x64 dHash IS the planted block value; both codecs of a pair
+    // decode to identical pixels (DC-only JPEG is exact), so the pair
+    // arithmetic is one fingerprint table regardless of codec
+    "q262_mjpeg_video_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, CAST(2 + g % 2 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "b AS (SELECT doc_id, g, f, unnest(range(64)) AS k FROM sf2), " +
+        "m AS (SELECT doc_id, f, k % 8 AS bx, k // 8 AS by, " +
+        "(g*37 + f*(11 + (g*17) % 97) + (k % 8)*(k % 8)*(4 + (g % 11)*5) + " +
+        "(k // 8)*(k // 8)*(3 + (g % 13)*3) + " +
+        "(k % 8)*(k // 8)*(2 + (g % 7)*9)) % 256 AS mean FROM b), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sf2 GROUP BY 1), " +
+        "pmb AS (SELECT x.doc_id AS ma, y.doc_id AS mb, x.f AS fa, y.f AS fb " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dh, y.dh)) <= 3), " +
+        "aggb AS (SELECT ma, mb, count(DISTINCT fa) AS matched_a, " +
+        "count(DISTINCT fb) AS matched_b FROM pmb GROUP BY 1, 2) " +
+        "SELECT ma AS media_a, mb AS media_b, " +
+        "CAST(matched_a AS BIGINT) AS matched_a, " +
+        "CAST(matched_b AS BIGINT) AS matched_b, " +
+        "least(matched_a / ca.n, matched_b / cb.n) AS match_frac " +
+        "FROM aggb JOIN cnt ca ON aggb.ma = ca.doc_id " +
+        "JOIN cnt cb ON aggb.mb = cb.doc_id " +
+        "WHERE least(matched_a / ca.n, matched_b / cb.n) >= 0.5"),
     // stereo-FLAC replay: the interleaved L/R closed forms — lossless
     // decode means the oracle recomputes the census from the planted
     // per-channel formulas without knowing the channel assignment

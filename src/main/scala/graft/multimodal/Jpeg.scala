@@ -241,6 +241,7 @@ private[graft] object Jpeg {
             val tc = u8(q) >> 4
             val th = u8(q) & 0x0F
             require(tc <= 1, s"media $id: bad DHT class $tc")
+            require(th < 4, s"media $id: bad DHT table id $th")
             require(q.toLong + 17 <= endQ, s"media $id: truncated DHT counts")
             val bits = Array.tabulate(16)(l => u8(q + 1 + l))
             val n = bits.sum
@@ -315,6 +316,9 @@ private[graft] object Jpeg {
             val tda = u8(i + 4 + 2 * c)
             compDcT(c) = tda >> 4
             compAcT(c) = tda & 0x0F
+            require(compDcT(c) < 4 && compAcT(c) < 4,
+              s"media $id: bad SOS entropy table ids " +
+                s"(Td=${compDcT(c)} Ta=${compAcT(c)})")
             c += 1
           }
           val ss = u8(i + 3 + 2 * ns)

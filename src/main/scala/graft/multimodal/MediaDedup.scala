@@ -1178,6 +1178,44 @@ object MediaDedup {
     }
   }
 
+  /** MJPEG ↔ uncompressed cross-CODEC video pairs: even doc_ids are
+    * uncompressed DIB AVIs, odd doc_ids the MJPEG re-encode of the SAME
+    * content (one DC-only baseline JPEG per '00dc' chunk — exact pixels
+    * by the q00 = 8 closed form, so the normally-lossy codec carries the
+    * fixture losslessly and the pair collides frame-for-frame). Frames
+    * are 64×64 with 8×8-block-constant content so the dHash grid aligns
+    * with the JPEG blocks (the tri-format lesson: sub-block grid cells
+    * tie and drain fingerprint entropy); block, frame, and item terms
+    * all carry per-item multiplicative prime-modulus coefficients. */
+  def syntheticMjpegPairVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      val w = 64; val h = 64
+      val nf = (2 + g % 2).toInt
+      // the q258 quadratic grid family (proven degeneracy-free): LINEAR
+      // block terms make the dHash a low-entropy wrap pattern that
+      // cross-collides at corpus scale — measured 786 rows for 250
+      // planted pairs at sf0.001 before the quadratics
+      def blockVal(f: Int, bx: Int, by: Int): Int =
+        ((g * 37 + f * (11 + (g * 17) % 97) + bx * bx * (4 + (g % 11) * 5) +
+          by * by * (3 + (g % 13) * 3) + bx * by * (2 + (g % 7) * 9))
+          % 256).toInt
+      if (id % 2 == 0)
+        MediaRow(id, "video",
+          Containers.aviFull(w, h, nf, (f, x, y, _) => blockVal(f, x / 8, y / 8)),
+          w, h, nf)
+      else {
+        val jpegs = Array.tabulate(nf) { f =>
+          Jpeg.encodeGrayBlocks(w, h,
+            Array.tabulate(64)(k => blockVal(f, k % 8, k / 8)))
+        }
+        MediaRow(id, "video", Containers.aviMjpeg(w, h, jpegs), w, h, nf)
+      }
+    }
+  }
+
   /** Video clip-in-video ONE-SIDED containment: was this SHORT clip
     * lifted from some longer video in the corpus? [[videoNearDups]]'s
     * two-sided containment (least of BOTH coverages) structurally misses

@@ -428,6 +428,57 @@ object Multimodal {
       bb.array()
     }
 
+    /** MJPEG AVI: [[aviFull]]'s RIFF structure with the video stream
+      * declared MJPG ('vids'/'MJPG' strh, biCompression 'MJPG' strf) and
+      * LIST movi carrying one '00dc' chunk per frame, each a COMPLETE
+      * baseline JPEG (word-aligned per RIFF — odd JPEG lengths get a pad
+      * byte). The fixture side of the compressed-video surface: pair an
+      * uncompressed [[aviFull]] with an MJPEG re-encode of the same
+      * DC-only content and the two collide frame-for-frame. */
+    def aviMjpeg(width: Int, height: Int,
+                 frameJpegs: Array[Array[Byte]]): Array[Byte] = {
+      val frames = frameJpegs.length
+      val moviSize = 4 + frameJpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val bb = ByteBuffer.allocate(212 + 8 + moviSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 200 + 8 + moviSize)
+      bb.put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(192)
+      bb.put("hdrl".getBytes("US-ASCII"))
+      bb.put("avih".getBytes("US-ASCII")).putInt(56)
+      bb.putInt(33367) // dwMicroSecPerFrame (~30fps)
+      bb.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      bb.putInt(frames) // dwTotalFrames
+      bb.putInt(0).putInt(1).putInt(0) // initialFrames, streams, bufferSize
+      bb.putInt(width).putInt(height)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      bb.put("LIST".getBytes("US-ASCII")).putInt(116)
+      bb.put("strl".getBytes("US-ASCII"))
+      bb.put("strh".getBytes("US-ASCII")).putInt(56)
+      bb.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      bb.putInt(0) // dwFlags
+      bb.putShort(0.toShort).putShort(0.toShort) // wPriority, wLanguage
+      bb.putInt(0).putInt(1).putInt(30).putInt(0) // initialFrames, scale, rate, start
+      bb.putInt(frames) // dwLength (in frames for video streams)
+      bb.putInt(frameJpegs.map(_.length).max).putInt(0).putInt(0) // buf, qual, sampleSize
+      bb.putShort(0.toShort).putShort(0.toShort) // rcFrame left, top
+      bb.putShort(width.toShort).putShort(height.toShort) // rcFrame right, bottom
+      bb.put("strf".getBytes("US-ASCII")).putInt(40)
+      bb.putInt(40).putInt(width).putInt(height) // biSize, biWidth, biHeight
+      bb.putShort(1.toShort).putShort(24.toShort) // biPlanes, biBitCount
+      bb.putInt(0x47504A4D) // biCompression 'MJPG'
+      bb.putInt(0) // biSizeImage (per-frame, varies)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0) // pels/meter, clrUsed, clrImportant
+      bb.put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+      bb.put("movi".getBytes("US-ASCII"))
+      frameJpegs.foreach { j =>
+        bb.put("00dc".getBytes("US-ASCII")).putInt(j.length)
+        bb.put(j)
+        if ((j.length & 1) == 1) bb.put(0.toByte) // RIFF word alignment
+      }
+      bb.array()
+    }
+
     /** JPEG frame dimensions via a real SOF-marker walk (dimensions sit in
       * a variable-position Start-Of-Frame segment, not a fixed offset).
       * Walks the segment chain from offset 2: every non-standalone marker
@@ -937,14 +988,18 @@ object Multimodal {
 
   /** REAL AVI frame decode — no media library needed: AVI's uncompressed
     * ('DIB ') video frames are pure integer byte layout, exactly like the
-    * container walk itself. Walks the RIFF chunk chain (word-aligned, LIST
+    * container walk itself, and its dominant COMPRESSED codec (MJPG —
+    * Motion JPEG, one baseline JPEG per frame) is a composition with
+    * [[Jpeg.decodeRgb]]. Walks the RIFF chunk chain (word-aligned, LIST
     * recursion into hdrl/strl/movi), reads avih geometry, validates the
-    * strf BITMAPINFOHEADER (24-bit, BI_RGB — compressed streams fail fast
-    * with a named cause), and reassembles each '00db' movi chunk from the
-    * DIB convention (BOTTOM-UP rows of BGR triples, rows padded to 4
-    * bytes) into row-major top-down RGB. Returns (width, height, one RGB
-    * byte array per frame). One frame's pixels live at a time per task —
-    * the inherent decode granularity, same as the PNG/GIF paths. */
+    * strf BITMAPINFOHEADER (24-bit BI_RGB, or MJPG — anything else fails
+    * fast with a named cause), and decodes each movi frame chunk: '00db'
+    * from the DIB convention (BOTTOM-UP rows of BGR triples, rows padded
+    * to 4 bytes) into row-major top-down RGB, '00dc' through the baseline
+    * JPEG decoder with frame dims verified against avih. Returns (width,
+    * height, one RGB byte array per frame). One frame's pixels live at a
+    * time per task — the inherent decode granularity, same as the
+    * PNG/GIF paths. */
   private[graft] def decodeAviRgb(id: Long, p: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
@@ -953,6 +1008,7 @@ object Multimodal {
       s"media $id: not a RIFF/AVI container")
     var w = 0; var h = 0; var declared = -1
     var sawStrf = false
+    var isMjpeg = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     // LISTs nest but their children are contiguous chunks, so one linear
     // walk that DESCENDS into the lists it knows (hdrl/strl/movi) and
@@ -985,20 +1041,31 @@ object Multimodal {
             require(len >= 40, s"media $id: strf BITMAPINFOHEADER too short")
             val bitCount = le16(dataOff + 14)
             val compression = le32(dataOff + 16)
-            require(bitCount == 24,
+            // 0x47504A4D = 'MJPG' little-endian: Motion JPEG — one
+            // baseline JPEG per '##dc' chunk, decoded by [[Jpeg.decodeRgb]]
+            isMjpeg = compression == 0x47504A4D
+            require(compression == 0 || isMjpeg,
+              s"media $id: only BI_RGB (uncompressed) or MJPG frames " +
+                s"supported, got compression $compression")
+            require(isMjpeg || bitCount == 24,
               s"media $id: only 24-bit DIB frames supported, got $bitCount")
-            require(compression == 0,
-              s"media $id: only BI_RGB (uncompressed) frames supported, " +
-                s"got compression $compression")
             sawStrf = true
           case fcc if fcc.length == 4 && fcc(0).isDigit && fcc(1).isDigit &&
             fcc.endsWith("dc") =>
-            throw new IllegalArgumentException(
-              s"media $id: compressed video chunk '$fcc' out of scope " +
-                "(only uncompressed '##db' DIB frames decode)")
+            require(sawStrf, s"media $id: frame chunk before strf header")
+            require(isMjpeg,
+              s"media $id: compressed video chunk '$fcc' without an MJPG " +
+                "strf out of scope (only MJPG '##dc' and DIB '##db' decode)")
+            val (fw, fh, rgb) = Jpeg.decodeRgb(id,
+              java.util.Arrays.copyOfRange(p, dataOff, dataOff + len))
+            require(fw == w && fh == h,
+              s"media $id: MJPG frame is ${fw}x$fh, avih declares ${w}x$h")
+            frames += rgb
           case fcc if fcc.length == 4 && fcc(0).isDigit && fcc(1).isDigit &&
             fcc.endsWith("db") =>
             require(sawStrf, s"media $id: frame chunk before strf header")
+            require(!isMjpeg,
+              s"media $id: uncompressed '##db' chunk inside an MJPG stream")
             val rowSize = ((3 * w + 3) / 4) * 4
             require(len == rowSize * h,
               s"media $id: frame chunk size $len != expected ${rowSize * h}")
@@ -1022,7 +1089,7 @@ object Multimodal {
       }
     }
     require(declared >= 0, s"media $id: missing avih header")
-    require(frames.nonEmpty, s"media $id: no uncompressed frame chunks")
+    require(frames.nonEmpty, s"media $id: no video frame chunks")
     require(frames.length == declared,
       s"media $id: avih declares $declared frames, movi carries ${frames.length}")
     (w, h, frames.toArray)

@@ -73,6 +73,11 @@ class FuzzSpec extends AnyFunSuite {
 
   test("fuzz: AVI frame decode fails only by name on hostile bytes") {
     fuzz("avi", aviPayload, 12, p => Multimodal.decodeAviRgb(3L, p))
+    // the MJPEG branch inherits the contract (JPEG decode inside movi)
+    val mjpegPayload = Containers.aviMjpeg(16, 16,
+      Array.tabulate(2)(f => graft.multimodal.Jpeg.encodeGrayBlocks(16, 16,
+        Array(40 + f, 90, 140, 200))))
+    fuzz("mjpeg", mjpegPayload, 12, p => Multimodal.decodeAviRgb(16L, p))
   }
 
   test("fuzz: animated GIF decode fails only by name on hostile bytes") {

@@ -48,6 +48,37 @@ class VideoSpec extends SparkSpec {
     assert(e2.getMessage.contains("declares"))
   }
 
+  test("MJPEG AVI decodes identically to its uncompressed twin (one " +
+    "baseline JPEG per '00dc' chunk), and codec mismatches fail by name") {
+    import graft.multimodal.Jpeg
+    val w = 24; val h = 16; val nf = 3
+    def blockVal(f: Int, bx: Int, by: Int): Int =
+      (f * 29 + bx * bx * 9 + by * by * 5 + bx * by * 3 + 40) % 256
+    val dib = Containers.aviFull(w, h, nf,
+      (f, x, y, _) => blockVal(f, x / 8, y / 8))
+    val jpegs = Array.tabulate(nf)(f => Jpeg.encodeGrayBlocks(w, h,
+      Array.tabulate((w / 8) * (h / 8))(k =>
+        blockVal(f, k % (w / 8), k / (w / 8)))))
+    val mjpeg = Containers.aviMjpeg(w, h, jpegs)
+    val (dw, dh, dFrames) = Multimodal.decodeAviRgb(60L, dib)
+    val (mw, mh, mFrames) = Multimodal.decodeAviRgb(61L, mjpeg)
+    assert((dw, dh) === ((mw, mh)) && dFrames.length === mFrames.length)
+    for (f <- 0 until nf)
+      assert(dFrames(f).toSeq === mFrames(f).toSeq, s"frame $f")
+    // a '00db' chunk inside an MJPG-declared stream fails by name
+    val wrongCodec = mjpeg.clone()
+    val moviData = 212 + 8 + 4
+    assert(new String(wrongCodec, moviData, 4, "US-ASCII") === "00dc")
+    wrongCodec(moviData + 3) = 'b'.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb(62L, wrongCodec))
+    assert(e1.getMessage.contains("MJPG stream"), e1.getMessage)
+    // an MJPG frame whose JPEG dims disagree with avih fails by name
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb(63L, Containers.aviMjpeg(w + 8, h, jpegs)))
+    assert(e2.getMessage.contains("avih declares"), e2.getMessage)
+  }
+
   test("aviFrameStats: census matches the planted formula; everyN samples") {
     import spark.implicits._
     val media = spark.createDataset(Seq(
