@@ -1830,6 +1830,52 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- corpus format-coverage HEALTH census [ext]: every decoder here
+    // fails by NAME, and this row turns that contract into telemetry —
+    // attempt the full decode per item, count (format, outcome, cause)
+    // buckets — so each remaining scope restriction (progressive JPEG,
+    // sampling > 2, non-MJPG codecs, truncation, hostile magic) is
+    // MEASURED on a corpus instead of silently reverting items to
+    // header-only. Fixture cycles ten real encoder outputs, five
+    // decodable (incl. this round's 4:2:0 / interlaced GIF / stereo
+    // FLAC / MJPEG) and five patched into named failures; the aggregate
+    // is |formats x causes|-bounded, never corpus-shaped
+    // (budget <= 3 s) ---
+    "q265_decode_health" -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaDecodeHealth(
+        graft.multimodal.Multimodal.syntheticHealthMedia(
+          t(s, d, "documents")))),
+    // --- INTERLACED + LOCAL-COLOR-TABLE GIF decode [ext]: both layouts
+    // appear in real crawls and previously failed fast; the LZW core is
+    // unchanged — interlace is a four-pass row permutation undone after
+    // expansion, and a frame's local table (with or without any global
+    // one) becomes its effective palette. The census is the exploded
+    // BLOCK-MEANS table (position-sensitive: a de-interlace bug permutes
+    // rows and hash-mismatches, where whole-image sums are permutation-
+    // blind — the q260 lesson applied to GIF); fixtures cycle plain /
+    // interlaced / local / both, ImageIO agreement spec-pinned
+    // (budget <= 3 s) ---
+    "q264_gif_variant_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticGifVariantMedia(
+          t(s, d, "documents")), blockPx = 2)),
+    // --- EXIF-ORIENTED crop search [ext]: a camera JPEG stores its
+    // pixels rotated with tag 274 saying how to display them, and a crop
+    // is taken from the DISPLAYED form (a screenshot of the photo) — so
+    // position-sensitive operators that hash stored pixels structurally
+    // miss the pair. The shared pixel walk now applies orientation
+    // (identity for untagged payloads — every existing image row is
+    // byte-identical), and this row plants rotated-source JPEGs across
+    // all 8 orientations whose displayed-form crops must hit at
+    // Hamming 0; the oracle replays the DISPLAYED grid directly, which
+    // the engine can only reach by applying the tag (budget <= 3 s) ---
+    "q263_oriented_crop_matches" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.multimodal.MediaDedup.imageCropMatches(
+        graft.multimodal.MediaDedup.syntheticOrientedCrops(docs),
+        graft.multimodal.MediaDedup.syntheticOrientedCropImages(docs),
+        blockPx = 8)
+    },
     // --- MJPEG (compressed) video decode [ext]: AVI's dominant codec —
     // one baseline JPEG per '00dc' chunk — joins the format-blind video
     // surface by COMPOSING the q252 JPEG decoder into the container
@@ -4971,6 +5017,89 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // health replay: the ten planted cases map to fixed
+    // (format, outcome, cause) buckets; the engine must EARN each row by
+    // running the real parser into its named failure
+    "q265_decode_health" ->
+      ("WITH c AS (SELECT CASE doc_id % 10 " +
+        "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg' " +
+        "WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' WHEN 5 THEN 'png' " +
+        "WHEN 6 THEN 'jpeg' WHEN 7 THEN 'avi' WHEN 8 THEN 'unknown' " +
+        "ELSE 'avi' END AS format, " +
+        "CASE WHEN doc_id % 10 IN (0, 1, 3, 4, 7) THEN 'decoded' " +
+        "ELSE 'skipped' END AS outcome, " +
+        "CASE doc_id % 10 WHEN 2 THEN 'progressive_jpeg' " +
+        "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
+        "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
+        "ELSE 'none' END AS cause FROM documents) " +
+        "SELECT format, outcome, cause, " +
+        "CAST(count(*) AS BIGINT) AS n_items FROM c GROUP BY 1, 2, 3"),
+    // GIF-variant replay: the planted position-dependent index formula
+    // through the grayscale identity ramp, reduced to 2x2 block means —
+    // identical arithmetic no matter which descriptor layout carried it
+    "q264_gif_variant_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "((media_id*7 + (k % w)*3 + (k // w)*5) % 64 * 4 + 1) % 256 AS gray " +
+        "FROM px), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // oriented-crop replay: the oracle works ENTIRELY in displayed
+    // coordinates (the planted grid), never seeing the orientation —
+    // the q241 patch-hash arithmetic with this row's constants
+    "q263_oriented_crop_matches" ->
+      ("WITH dd AS (SELECT doc_id, 8 + doc_id % 3 AS gw, " +
+        "8 + doc_id % 2 AS gh FROM documents), " +
+        "bb AS (SELECT doc_id, gw, gh, unnest(range(gw * gh)) AS b FROM dd), " +
+        "bm AS (SELECT doc_id, b % gw AS bx, b // gw AS by, " +
+        "((b % gw)*(b % gw)*(11 + doc_id % 23) + " +
+        "(b // gw)*(b // gw)*(5 + doc_id % 19) + " +
+        "(b % gw)*(b // gw)*(3 + doc_id % 13) + doc_id*17) % 196 AS v " +
+        "FROM bb), " +
+        "cmp AS (SELECT l.doc_id, l.bx, l.by FROM bm l " +
+        "JOIN bm r ON l.doc_id = r.doc_id AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.v < r.v), " +
+        "off AS (SELECT doc_id, gw, gh, " +
+        "unnest(range((gw - 7) * (gh - 7))) AS oi FROM dd), " +
+        "off2 AS (SELECT doc_id, oi % (gw - 7) AS ox, oi // (gw - 7) AS oy " +
+        "FROM off), " +
+        "wb AS (SELECT o.doc_id, o.ox, o.oy, " +
+        "(c.by - o.oy) * 7 + (c.bx - o.ox) AS j " +
+        "FROM off2 o JOIN cmp c ON c.doc_id = o.doc_id " +
+        "AND c.bx >= o.ox AND c.bx <= o.ox + 6 " +
+        "AND c.by >= o.oy AND c.by <= o.oy + 7), " +
+        "ifp AS MATERIALIZED (SELECT off2.doc_id, off2.ox, off2.oy, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS ph " +
+        "FROM off2 LEFT JOIN wb ON off2.doc_id = wb.doc_id " +
+        "AND off2.ox = wb.ox AND off2.oy = wb.oy GROUP BY 1, 2, 3), " +
+        "cd AS (SELECT doc_id, doc_id % 4 AS crole, " +
+        "doc_id % (8 + doc_id % 3 - 7) AS cox, " +
+        "doc_id % (8 + doc_id % 2 - 7) AS coy " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "cbb AS (SELECT doc_id, crole, cox, coy, unnest(range(64)) AS b " +
+        "FROM cd), " +
+        "cbm AS (SELECT doc_id, b % 8 AS bx, b // 8 AS by, " +
+        "CASE WHEN crole = 0 THEN " +
+        "((cox + b % 8)*(cox + b % 8)*(11 + doc_id % 23) + " +
+        "(coy + b // 8)*(coy + b // 8)*(5 + doc_id % 19) + " +
+        "(cox + b % 8)*(coy + b // 8)*(3 + doc_id % 13) + doc_id*17) % 196 + 30 " +
+        "ELSE ((b % 8)*(b % 8)*17 + (b // 8)*(b // 8)*21 + " +
+        "(b % 8)*(b // 8)*27 + doc_id*5 + 77) % 196 END AS v FROM cbb), " +
+        "ccmp AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM cbm l " +
+        "JOIN cbm r ON l.doc_id = r.doc_id AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.v < r.v), " +
+        "cfp AS (SELECT cd.doc_id, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS ph " +
+        "FROM cd LEFT JOIN ccmp ON cd.doc_id = ccmp.doc_id GROUP BY 1) " +
+        "SELECT c.doc_id AS crop_id, i.doc_id AS image_id, " +
+        "CAST(i.ox AS INTEGER) AS ox, CAST(i.oy AS INTEGER) AS oy, " +
+        "CAST(bit_count(xor(c.ph, i.ph)) AS INTEGER) AS hamming " +
+        "FROM cfp c JOIN ifp i ON bit_count(xor(c.ph, i.ph)) <= 3"),
     // MJPEG replay: block-constant frames mean grid cell (bx, by) of the
     // 64x64 dHash IS the planted block value; both codecs of a pair
     // decode to identical pixels (DC-only JPEG is exact), so the pair

@@ -49,8 +49,15 @@ object MediaDedup {
     * name at this bound instead. */
   val MaxExactVarPixels: Long = 8L * 1000 * 1000
 
-  /** Shared format-blind pixel walk: decode by magic (PNG or GIF), call
-    * `onDims(w, h)` once, then `f(x, y, r, g, b)` per pixel. */
+  /** Shared format-blind pixel walk: decode by magic (PNG, GIF, JPEG),
+    * call `onDims(w, h)` once, then `f(x, y, r, g, b)` per pixel. JPEG
+    * payloads walk the image AS DISPLAYED ([[Jpeg.decodeRgbOriented]] —
+    * EXIF tag 274 applied, identity when absent), so POSITION-SENSITIVE
+    * consumers (crop search, boilerplate census, block means) see the
+    * same pixels a viewer does: a camera original stored rotated and a
+    * crop taken from its displayed form must meet on one grid.
+    * Aggregate/invariant consumers are unaffected (orientation is a
+    * pixel permutation). */
   private def foreachDecodedPixel(id: Long, p: Array[Byte])
                                  (onDims: (Int, Int) => Unit)
                                  (f: (Int, Int, Int, Int, Int) => Unit): Unit = {
@@ -58,7 +65,7 @@ object MediaDedup {
       p(2) == 'F'.toByte
     val isJpeg = p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
     if (isJpeg) {
-      val (w, h, rgb) = Jpeg.decodeRgb(id, p)
+      val (w, h, _, rgb) = Jpeg.decodeRgbOriented(id, p)
       onDims(w, h)
       var k = 0
       val n = w * h
@@ -1143,6 +1150,90 @@ object MediaDedup {
       val px: Int => Int = { i =>
         if (i % 4 == 3) 255
         else { val k = i / 4; v((k % w) / 2, (k / w) / 2) }
+      }
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+  }
+
+  /** EXIF-oriented crop-search fixtures, corpus side: every doc is a
+    * JPEG whose pixels are STORED under orientation 1 + (id mod 8) —
+    * the displayed-content grid v(dx, dy) (per-image quadratic
+    * coefficients, the q241 rule, bound 196 to absorb the crop's +30)
+    * is written back through the INVERSE tag-274 transform and tagged,
+    * so only an orientation-applying pixel walk reconstructs it. Blocks
+    * are 8×8 px (what DC-only JPEG represents exactly → crop search at
+    * blockPx = 8); displayed grid (8 + id%3) × (8 + id%2) blocks. */
+  def syntheticOrientedCropImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gw = (8 + id % 3).toInt
+      val gh = (8 + id % 2).toInt
+      def v(dx: Int, dy: Int): Int =
+        ((dx.toLong * dx * (11 + id % 23) + dy.toLong * dy * (5 + id % 19) +
+          dx.toLong * dy * (3 + id % 13) + id * 17) % 196).toInt
+      val o = (1 + id % 8).toInt
+      val swap = o >= 5
+      val sw = if (swap) gh else gw
+      val sh = if (swap) gw else gh
+      val grays = new Array[Int](sw * sh)
+      var dy = 0
+      while (dy < gh) {
+        var dx = 0
+        while (dx < gw) {
+          // displayed (dx, dy) reads stored (sx, sy): the same published
+          // source-coordinate table Jpeg.decodeRgbOriented applies
+          val (sx, sy) = o match {
+            case 1 => (dx, dy)
+            case 2 => (sw - 1 - dx, dy)
+            case 3 => (sw - 1 - dx, sh - 1 - dy)
+            case 4 => (dx, sh - 1 - dy)
+            case 5 => (dy, dx)
+            case 6 => (dy, sh - 1 - dx)
+            case 7 => (sw - 1 - dy, sh - 1 - dx)
+            case _ => (sw - 1 - dy, dx) // 8
+          }
+          grays(sy * sw + sx) = v(dx, dy)
+          dx += 1
+        }
+        dy += 1
+      }
+      val payload = Jpeg.withExif(
+        Jpeg.encodeGrayBlocks(8 * sw, 8 * sh, grays), o)
+      MediaRow(id, "image", payload, 8 * gw, 8 * gh, 1)
+    }
+  }
+
+  /** EXIF-oriented crop-search fixtures, crop side (even doc_ids): role
+    * id mod 4 == 0 is the 8×8-block crop of its own image's DISPLAYED
+    * content at block offset (id mod (gw−7), id mod (gh−7)), brightness
+    * +30, shipped as a PNG (no orientation of its own — exactly how a
+    * screenshot of a displayed photo arrives); role 2 a distractor. The
+    * crop can only meet its source if the JPEG side hashed
+    * displayed-orientation pixels. */
+  def syntheticOrientedCrops(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 2 == 0).map { id =>
+      val gw = (8 + id % 3).toInt
+      val gh = (8 + id % 2).toInt
+      val ox = (id % (gw - 7)).toInt
+      val oy = (id % (gh - 7)).toInt
+      def v(c: Int, r: Int): Int =
+        if (id % 4 == 0)
+          (((ox + c).toLong * (ox + c) * (11 + id % 23) +
+            (oy + r).toLong * (oy + r) * (5 + id % 19) +
+            (ox + c).toLong * (oy + r) * (3 + id % 13) +
+            id * 17) % 196).toInt + 30
+        else
+          ((c.toLong * c * 17 + r.toLong * r * 21 + c.toLong * r * 27 +
+            id * 5 + 77) % 196).toInt
+      val w = 8 * GridW; val h = 8 * GridH
+      val px: Int => Int = { i =>
+        if (i % 4 == 3) 255
+        else { val k = i / 4; v((k % w) / 8, (k / w) / 8) }
       }
       MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
         w, h, 1)

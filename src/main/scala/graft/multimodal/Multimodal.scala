@@ -238,8 +238,29 @@ object Multimodal {
       * indices split into ≤126-byte data sub-blocks (exercises sub-block
       * reassembly), trailer. `idx(k)` supplies the palette index of pixel
       * k (row-major). */
+    /** Stream-order rows for an INTERLACED GIF (GIF89a appendix E): the
+      * encoder's inverse of the decoder's de-interlace — natural rows
+      * emitted in four-pass order. */
+    private def gifInterlaceRows(indices: Array[Int], w: Int,
+                                 h: Int): Array[Int] = {
+      val out = new Array[Int](indices.length)
+      var s = 0
+      def pass(start: Int, step: Int): Unit = {
+        var y = start
+        while (y < h) {
+          System.arraycopy(indices, y * w, out, s * w, w)
+          s += 1
+          y += step
+        }
+      }
+      pass(0, 8); pass(4, 8); pass(2, 4); pass(1, 2)
+      out
+    }
+
     def gifFull(width: Int, height: Int, idx: Int => Int,
-                palette: Array[Byte], minCodeSize: Int = 6): Array[Byte] = {
+                palette: Array[Byte], minCodeSize: Int = 6,
+                interlaced: Boolean = false,
+                localTable: Boolean = false): Array[Byte] = {
       require(width > 0 && height > 0, "gifFull needs positive dimensions")
       val nColors = palette.length / 3
       require(nColors >= 2 &&
@@ -251,16 +272,23 @@ object Multimodal {
       def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
       out.write("GIF89a".getBytes("US-ASCII"))
       le16(width); le16(height)
-      out.write(0x80 | (7 << 4) | gctBits) // GCT present, 8-bit res, size
+      // localTable = true exercises the no-GCT layout: the palette moves
+      // to the image descriptor and the header declares no global table
+      out.write((if (localTable) 0 else 0x80 | gctBits) | (7 << 4))
       out.write(0); out.write(0) // background index, aspect ratio
-      out.write(palette)
+      if (!localTable) out.write(palette)
       out.write(0x21); out.write(0xF9) // Graphic Control Extension
       out.write(4); out.write(0); le16(0); out.write(0); out.write(0)
       out.write(0x2C) // image descriptor
       le16(0); le16(0); le16(width); le16(height)
-      out.write(0) // no local table, not interlaced
+      out.write((if (localTable) 0x80 | gctBits else 0) |
+        (if (interlaced) 0x40 else 0))
+      if (localTable) out.write(palette)
       out.write(minCodeSize)
-      val data = lzwEncode(Array.tabulate(width * height)(idx), minCodeSize)
+      val natural = Array.tabulate(width * height)(idx)
+      val data = lzwEncode(
+        if (interlaced) gifInterlaceRows(natural, width, height) else natural,
+        minCodeSize)
       var off = 0
       while (off < data.length) {
         val n = math.min(126, data.length - off)
@@ -279,31 +307,47 @@ object Multimodal {
       * `idx(f, k)` supplies frame f's palette index at pixel k. */
     def gifAnimated(width: Int, height: Int, nFrames: Int,
                     idx: (Int, Int) => Int, palette: Array[Byte],
-                    minCodeSize: Int = 6): Array[Byte] = {
+                    minCodeSize: Int = 6, interlaced: Boolean = false,
+                    localPalette: Int => Array[Byte] = null): Array[Byte] = {
       require(width > 0 && height > 0 && nFrames > 0,
         "gifAnimated needs positive dimensions and frame count")
-      val nColors = palette.length / 3
-      require(nColors >= 2 &&
-        nColors == (1 << (Integer.numberOfTrailingZeros(nColors))) &&
-        palette.length % 3 == 0,
-        "palette must hold a power-of-two color count >= 2")
-      val gctBits = Integer.numberOfTrailingZeros(nColors) - 1
+      def tableBits(pal: Array[Byte]): Int = {
+        val n = pal.length / 3
+        require(n >= 2 && n == (1 << (Integer.numberOfTrailingZeros(n))) &&
+          pal.length % 3 == 0,
+          "palette must hold a power-of-two color count >= 2")
+        Integer.numberOfTrailingZeros(n) - 1
+      }
       val out = new java.io.ByteArrayOutputStream()
       def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
       out.write("GIF89a".getBytes("US-ASCII"))
       le16(width); le16(height)
-      out.write(0x80 | (7 << 4) | gctBits)
-      out.write(0); out.write(0)
-      out.write(palette)
+      // localPalette != null exercises the no-GCT layout: every frame
+      // carries its OWN color table in the image descriptor
+      if (localPalette == null) {
+        out.write(0x80 | (7 << 4) | tableBits(palette))
+        out.write(0); out.write(0)
+        out.write(palette)
+      } else {
+        out.write(7 << 4)
+        out.write(0); out.write(0)
+      }
       for (f <- 0 until nFrames) {
         out.write(0x21); out.write(0xF9) // GCE per frame
         out.write(4); out.write(0); le16(4); out.write(0); out.write(0)
         out.write(0x2C)
         le16(0); le16(0); le16(width); le16(height)
-        out.write(0)
+        if (localPalette == null) out.write(if (interlaced) 0x40 else 0)
+        else {
+          val pal = localPalette(f)
+          out.write(0x80 | (if (interlaced) 0x40 else 0) | tableBits(pal))
+          out.write(pal)
+        }
         out.write(minCodeSize)
+        val natural = Array.tabulate(width * height)(k => idx(f, k))
         val data = lzwEncode(
-          Array.tabulate(width * height)(k => idx(f, k)), minCodeSize)
+          if (interlaced) gifInterlaceRows(natural, width, height) else natural,
+          minCodeSize)
         var off = 0
         while (off < data.length) {
           val n = math.min(126, data.length - off)
@@ -1095,16 +1139,17 @@ object Multimodal {
     (w, h, frames.toArray)
   }
 
-  /** ALL frames of an animated GIF under the same restricted profile as
-    * [[decodeGifIdx]] (global palette, non-interlaced, no local tables)
-    * plus the animation restrictions that keep frames exactly replayable:
-    * every frame must be FULL-FRAME at (0, 0) with the logical-screen
-    * dims (partial-frame updates and disposal compositing fail fast with
+  /** ALL frames of an animated GIF: interlaced frames de-interlace, each
+    * frame's EFFECTIVE palette is its local color table when present
+    * (else the global one — a file may carry either or both), plus the
+    * animation restrictions that keep frames exactly replayable: every
+    * frame must be FULL-FRAME at (0, 0) with the logical-screen dims
+    * (partial-frame updates and disposal compositing fail fast with
     * named causes — out of scope by design, stated here). Returns
-    * (width, height, one palette-index array per frame, palette,
-    * nColors). */
+    * (width, height, one palette-index array per frame, one effective
+    * palette per frame, one color count per frame). */
   private[graft] def decodeGifFrames(id: Long, p: Array[Byte])
-      : (Int, Int, Array[Array[Int]], Array[Byte], Int) = {
+      : (Int, Int, Array[Array[Int]], Array[Array[Byte]], Array[Int]) = {
     def u8(off: Int): Int = p(off) & 0xFF
     def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
     require(p.length >= 13 &&
@@ -1112,15 +1157,16 @@ object Multimodal {
       s"media $id: not a GIF signature")
     val sw = le16(6); val sh = le16(8)
     val packed = u8(10)
-    require((packed & 0x80) != 0,
-      s"media $id: only global-color-table GIFs are supported")
-    val nColors = 1 << ((packed & 7) + 1)
+    val hasGct = (packed & 0x80) != 0
+    val gctColors = if (hasGct) 1 << ((packed & 7) + 1) else 0
     val gctOff = 13
-    var off = gctOff + 3 * nColors
+    var off = gctOff + 3 * gctColors
     require(off <= p.length, s"media $id: truncated global color table")
     def guard(need: Int, what: String): Unit =
       require(off + need <= p.length, s"media $id: truncated GIF ($what)")
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    val palettes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val colorCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var done = false
     while (!done) {
       guard(1, "block introducer")
@@ -1142,13 +1188,23 @@ object Multimodal {
               s"(frame ${frames.length} is ${w}x$h at ($left, $top), " +
               s"screen is ${sw}x$sh)")
           val ipacked = u8(off + 9)
-          require((ipacked & 0x80) == 0,
-            s"media $id: local color tables unsupported")
-          require((ipacked & 0x40) == 0, s"media $id: interlaced GIFs unsupported")
-          val minCodeSize = u8(off + 10)
+          val interlaced = (ipacked & 0x40) != 0
+          off += 10
+          var palOff = gctOff
+          var nColors = gctColors
+          if ((ipacked & 0x80) != 0) { // local color table
+            nColors = 1 << ((ipacked & 7) + 1)
+            palOff = off
+            guard(3 * nColors, "local color table")
+            off += 3 * nColors
+          }
+          require(nColors > 0, s"media $id: GIF frame ${frames.length} " +
+            "carries neither a global nor a local color table")
+          guard(1, "LZW min code size")
+          val minCodeSize = u8(off)
           require(minCodeSize >= 2 && minCodeSize <= 8,
             s"media $id: invalid LZW min code size $minCodeSize")
-          off += 11
+          off += 1
           val data = new java.io.ByteArrayOutputStream()
           while ({ guard(1, "image data sub-block"); u8(off) != 0 }) {
             val n = u8(off)
@@ -1157,23 +1213,24 @@ object Multimodal {
             off += 1 + n
           }
           off += 1 // sub-block terminator
-          val indices = lzwDecode(id, data.toByteArray, minCodeSize, w * h)
+          val raw = lzwDecode(id, data.toByteArray, minCodeSize, w * h)
           var k = 0
-          while (k < indices.length) {
-            require(indices(k) < nColors, s"media $id: pixel index " +
-              s"${indices(k)} outside the $nColors-color palette")
+          while (k < raw.length) {
+            require(raw(k) < nColors, s"media $id: pixel index " +
+              s"${raw(k)} outside the $nColors-color palette")
             k += 1
           }
-          frames += indices
+          frames += (if (interlaced) gifDeinterlace(raw, w, h) else raw)
+          palettes +=
+            java.util.Arrays.copyOfRange(p, palOff, palOff + 3 * nColors)
+          colorCounts += nColors
         case 0x3B => done = true // trailer
         case b => throw new IllegalArgumentException(
           s"media $id: unexpected GIF block 0x${b.toHexString}")
       }
     }
     require(frames.nonEmpty, s"media $id: GIF carries no image blocks")
-    (sw, sh,
-      frames.toArray,
-      java.util.Arrays.copyOfRange(p, gctOff, gctOff + 3 * nColors), nColors)
+    (sw, sh, frames.toArray, palettes.toArray, colorCounts.toArray)
   }
 
   /** FORMAT-BLIND video decode: RIFF/AVI payloads take [[decodeAviRgb]];
@@ -1186,8 +1243,8 @@ object Multimodal {
       : (Int, Int, Array[Array[Byte]]) =
     if (p.length >= 3 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
         p(2) == 'F'.toByte) {
-      val (w, h, idxFrames, palette, _) = decodeGifFrames(id, p)
-      val rgbFrames = idxFrames.map { indices =>
+      val (w, h, idxFrames, palettes, _) = decodeGifFrames(id, p)
+      val rgbFrames = idxFrames.zip(palettes).map { case (indices, palette) =>
         val rgb = new Array[Byte](3 * indices.length)
         var k = 0
         while (k < indices.length) {
@@ -1251,9 +1308,10 @@ object Multimodal {
     * data sub-block reassembly), expand the variable-width LSB-first LZW
     * stream (CLEAR resets, EOI, the KwKwK code==next case, 12-bit table
     * cap), map indices through the palette, and reduce to the exact
-    * channel + index census. Supports the single-frame non-interlaced
-    * global-palette layout and fails fast with named causes on anything
-    * else (interlace, local palettes — out of scope). JPEG pixels decode
+    * channel + index census. Single-frame layouts decode in full:
+    * interlaced streams de-interlace (a four-pass row permutation) and a
+    * local color table, when present, is the frame's effective palette;
+    * a frame with no table anywhere fails by name. JPEG pixels decode
     * through [[Jpeg.decodeRgb]] (baseline sequential Huffman + IDCT);
     * see [[jpegPixelStats]]. */
   def gifPixelStats(media: Dataset[MediaRow]): Dataset[GifStats] = {
@@ -1266,6 +1324,24 @@ object Multimodal {
     * table: (width, height, indices, palette bytes at 3·index, nColors) —
     * shared by the census ([[decodeOneGif]]) and the perceptual hash
     * ([[MediaDedup.imageDHash]]'s GIF branch). */
+  /** Undo GIF interlacing (GIF89a appendix E): the LZW stream stores rows
+    * in four passes (rows 0,8,16,… then 4,12,… then 2,6,… then 1,3,…);
+    * remap them to natural top-down order. Pure row permutation. */
+  private def gifDeinterlace(src: Array[Int], w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](src.length)
+    var s = 0
+    def pass(start: Int, step: Int): Unit = {
+      var y = start
+      while (y < h) {
+        System.arraycopy(src, s * w, out, y * w, w)
+        s += 1
+        y += step
+      }
+    }
+    pass(0, 8); pass(4, 8); pass(2, 4); pass(1, 2)
+    out
+  }
+
   private[graft] def decodeGifIdx(id: Long, p: Array[Byte])
       : (Int, Int, Array[Int], Array[Byte], Int) = {
     def u8(off: Int): Int = p(off) & 0xFF
@@ -1274,11 +1350,10 @@ object Multimodal {
       new String(p, 0, 6, "US-ASCII").matches("GIF8[79]a"),
       s"media $id: not a GIF signature")
     val packed = u8(10)
-    require((packed & 0x80) != 0,
-      s"media $id: only global-color-table GIFs are supported")
-    val nColors = 1 << ((packed & 7) + 1)
+    val hasGct = (packed & 0x80) != 0
+    val gctColors = if (hasGct) 1 << ((packed & 7) + 1) else 0
     val gctOff = 13
-    var off = gctOff + 3 * nColors
+    var off = gctOff + 3 * gctColors
     require(off <= p.length, s"media $id: truncated global color table")
     // block walk: skip extensions, land on the first image descriptor.
     // Every read is bounds-guarded: a payload truncated mid-block must
@@ -1300,13 +1375,26 @@ object Multimodal {
     require(w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels,
       s"media $id: bad GIF frame dims ${w}x$h")
     val ipacked = u8(off + 9)
-    require((ipacked & 0x80) == 0, s"media $id: local color tables unsupported")
-    require((ipacked & 0x40) == 0, s"media $id: interlaced GIFs unsupported")
-    val minCodeSize = u8(off + 10)
+    val interlaced = (ipacked & 0x40) != 0
+    off += 10
+    // effective palette: the frame's LOCAL color table when present
+    // (stored right after the descriptor), else the global one
+    var palOff = gctOff
+    var nColors = gctColors
+    if ((ipacked & 0x80) != 0) {
+      nColors = 1 << ((ipacked & 7) + 1)
+      palOff = off
+      guard(3 * nColors, "local color table")
+      off += 3 * nColors
+    }
+    require(nColors > 0,
+      s"media $id: GIF frame carries neither a global nor a local color table")
+    guard(1, "LZW min code size")
+    val minCodeSize = u8(off)
     require(minCodeSize >= 2 && minCodeSize <= 8,
       s"media $id: invalid LZW min code size $minCodeSize")
     // reassemble the data sub-blocks
-    off += 11
+    off += 1
     val data = new java.io.ByteArrayOutputStream()
     while ({ guard(1, "image data sub-block"); u8(off) != 0 }) {
       val n = u8(off)
@@ -1314,14 +1402,15 @@ object Multimodal {
       data.write(p, off + 1, n)
       off += 1 + n
     }
-    val indices = lzwDecode(id, data.toByteArray, minCodeSize, w * h)
+    val raw = lzwDecode(id, data.toByteArray, minCodeSize, w * h)
     var k = 0
-    while (k < indices.length) {
-      require(indices(k) < nColors, s"media $id: pixel index ${indices(k)} " +
+    while (k < raw.length) {
+      require(raw(k) < nColors, s"media $id: pixel index ${raw(k)} " +
         s"outside the $nColors-color palette")
       k += 1
     }
-    (w, h, indices, java.util.Arrays.copyOfRange(p, gctOff, gctOff + 3 * nColors),
+    val indices = if (interlaced) gifDeinterlace(raw, w, h) else raw
+    (w, h, indices, java.util.Arrays.copyOfRange(p, palOff, palOff + 3 * nColors),
       nColors)
   }
 
@@ -1537,6 +1626,149 @@ object Multimodal {
           color = id % 2 == 0, restartInterval = if (id % 5 == 0) 2 else 0)
         MediaRow(id, "image", payload, w, h, 1)
       }
+  }
+
+  /** Ordered failure-message markers → stable telemetry cause buckets:
+    * the package's named-failure contract turned into countable keys.
+    * First match wins; anything unrecognized lands in "other" (still
+    * counted — no silent truncation of the census itself). */
+  private val HealthCauses: Seq[(String, String)] = Seq(
+    "progressive" -> "progressive_jpeg",
+    "sampling" -> "unsupported_sampling",
+    "precision" -> "unsupported_depth",
+    "only 16-bit" -> "unsupported_depth",
+    "only 24-bit" -> "unsupported_depth",
+    "only 8-bit" -> "unsupported_depth",
+    "mono/stereo" -> "unsupported_channels",
+    "decode bound" -> "decode_bound",
+    "truncated" -> "truncated",
+    "CRC" -> "crc_mismatch",
+    "partial-frame" -> "partial_frame_gif",
+    "MJPG" -> "unsupported_codec",
+    "neither a global nor a local color table" -> "no_color_table")
+
+  /** Corpus format-coverage health: attempt the FULL pixel/sample decode
+    * for every item and aggregate outcomes by format and NAMED cause —
+    * (format, outcome, cause, n_items). Every remaining scope
+    * restriction (progressive JPEG, >2 sampling, 12-bit, >2-channel
+    * audio, non-MJPG codecs, partial-frame GIF) becomes a MEASURED row
+    * instead of a silent fallback to header-only: a curation run can
+    * report exactly what fraction of its corpus each blind spot costs.
+    * The aggregate is |formats × causes|-bounded — never corpus-shaped. */
+  def mediaDecodeHealth(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val p = m.payload
+      val fmt =
+        if (p.length >= 4 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
+          p(2) == 'N'.toByte && p(3) == 'G'.toByte) "png"
+        else if (p.length >= 3 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+          p(2) == 'F'.toByte) "gif"
+        else if (p.length >= 2 && (p(0) & 0xFF) == 0xFF &&
+          (p(1) & 0xFF) == 0xD8) "jpeg"
+        else if (p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+          p(2) == 'F'.toByte && p(3) == 'F'.toByte)
+          (if (p(8) == 'W'.toByte) "wav" else "avi")
+        else if (p.length >= 4 && p(0) == 'f'.toByte && p(1) == 'L'.toByte &&
+          p(2) == 'a'.toByte && p(3) == 'C'.toByte) "flac"
+        else "unknown"
+      if (fmt == "unknown") (fmt, "skipped", "unknown_magic")
+      else
+        try {
+          fmt match {
+            case "png" => decodePngRgba(m.media_id, p)
+            case "gif" => decodeGifFrames(m.media_id, p)
+            case "jpeg" => Jpeg.decodeRgb(m.media_id, p)
+            case "wav" | "flac" => pcm16Samples(m.media_id, p)
+            case _ => decodeAviRgb(m.media_id, p)
+          }
+          (fmt, "decoded", "none")
+        } catch {
+          case e: IllegalArgumentException =>
+            val msg = if (e.getMessage == null) "" else e.getMessage
+            val cause = HealthCauses.collectFirst {
+              case (marker, key) if msg.contains(marker) => key
+            }.getOrElse("other")
+            (fmt, "skipped", cause)
+        }
+    }).toDF("format", "outcome", "cause")
+      .groupBy(col("format"), col("outcome"), col("cause"))
+      .agg(count(lit(1)).as("n_items"))
+  }
+
+  /** Mixed-health fixtures: ten deterministic corpus cases cycling by
+    * doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo FLAC /
+    * MJPEG AVI alongside the named out-of-scope shapes (progressive
+    * JPEG, sampling-factor-3 JPEG, truncated PNG, a non-MJPG compressed
+    * AVI, unknown magic), each planted by patching a REAL encoder's
+    * output so the failure path is the real parser, not a synthetic
+    * throw. */
+  def syntheticHealthMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      def sofPatch(jpeg: Array[Byte], at: Int, value: Int): Array[Byte] = {
+        val out = jpeg.clone()
+        val sof = out.indices.find(i => (out(i) & 0xFF) == 0xFF &&
+          i + 1 < out.length && (out(i + 1) & 0xFF) == 0xC0).get
+        out(sof + at) = value.toByte
+        out
+      }
+      val grayJpeg =
+        Jpeg.encodeGrayBlocks(16, 16, Array.tabulate(4)(k => (40 + 50 * k) % 256))
+      val payload: Array[Byte] = (id % 10) match {
+        case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
+        case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
+          ((id * 37 + k * 11) % 256).toInt))
+        case 2 => sofPatch(grayJpeg, 1, 0xC2) // SOF0 -> SOF2: progressive
+        case 3 => Containers.gifFull(16, 16,
+          k => ((id * 7 + k) % 16).toInt,
+          Array.tabulate(16 * 3)(b => ((b / 3) * 16).toByte),
+          minCodeSize = 4, interlaced = true)
+        case 4 => Flac.encode(Array.tabulate(2 * 300)(i =>
+          ((id * 23 + i * 7) % 4096 - 2048).toInt), channels = 2,
+          stereoMode = 10)
+        case 5 => // chop into the IDAT (merely dropping IEND is tolerated)
+          Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
+            .dropRight(20)
+        case 6 => sofPatch(grayJpeg, 11, 0x33) // sampling factor 3x3
+        case 7 => Containers.aviMjpeg(16, 16, Array(grayJpeg))
+        case 8 => Array.tabulate[Byte](16)(i => (id + i).toByte)
+        case _ => // a compressed chunk under a DIB (non-MJPG) strf
+          val avi = Containers.aviFull(6, 5, 1,
+            (_, x, y, _) => (x * 7 + y * 13) % 256)
+          val out = avi.clone()
+          val movi = out.indices.find(i => out(i) == '0'.toByte &&
+            out(i + 1) == '0'.toByte && out(i + 2) == 'd'.toByte &&
+            out(i + 3) == 'b'.toByte).get
+          out(movi + 3) = 'c'.toByte
+          out
+      }
+      MediaRow(id, "mixed", payload, 0, 0, 1)
+    }
+  }
+
+  /** GIF layout-variant fixtures: single-frame GIFs cycling through the
+    * full descriptor-layout surface — INTERLACED stream order on even
+    * ids, a LOCAL color table (and NO global one) on ids divisible by 3,
+    * both together on ids divisible by 6, the plain layout otherwise.
+    * The palette is a grayscale identity ramp and the planted index
+    * formula is POSITION-dependent, so the census must be position-
+    * sensitive (block means) — a de-interlace bug permutes rows and
+    * changes means, which a whole-image sum census cannot see. */
+  def syntheticGifVariantMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val palette = Array.tabulate(64 * 3)(b => (((b / 3) * 4 + 1) % 256).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      val payload = Containers.gifFull(w, h,
+        k => ((id * 7 + (k % w) * 3 + (k / w) * 5) % 64).toInt, palette,
+        interlaced = id % 2 == 0, localTable = id % 3 == 0)
+      MediaRow(id, "image", payload, w, h, 1)
+    }
   }
 
   /** Position-sensitive census of one plainly-decoded JPEG: quadrant gray

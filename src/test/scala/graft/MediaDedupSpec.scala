@@ -440,6 +440,40 @@ class MediaDedupSpec extends SparkSpec {
     got.values.foreach(n => assert(n >= 40L))
   }
 
+  test("EXIF-oriented crop search: a crop of the DISPLAYED form hits its " +
+    "rotated-source JPEG at Hamming 0 — and misses when the tag is stripped") {
+    import graft.multimodal.Jpeg
+    // displayed content: 8x9 blocks of 8px, stored under orientation 6
+    val gw = 8; val gh = 9
+    def v(dx: Int, dy: Int): Int = (dx * dx * 13 + dy * dy * 7 + dx * dy * 3 + 20) % 196
+    val grays = new Array[Int](gh * gw) // stored grid is gh x gw (swap)
+    for (dy <- 0 until gh; dx <- 0 until gw) {
+      // o=6: displayed (x, y) reads stored (y, sh-1-x); stored dims (gh, gw)
+      val sx = dy; val sy = gw - 1 - dx
+      grays(sy * gh + sx) = v(dx, dy)
+    }
+    val stored = Jpeg.encodeGrayBlocks(8 * gh, 8 * gw, grays)
+    val tagged = Jpeg.withExif(stored, 6)
+    // crop: displayed blocks [0,8) x [1,9), +30 brightness, as a PNG
+    val crop = Containers.pngFull(64, 64, { i =>
+      if (i % 4 == 3) 255
+      else { val k = i / 4; v((k % 64) / 8, 1 + (k / 64) / 8) + 30 }
+    })
+    val crops = spark.createDataset(Seq(MediaRow(100L, "image", crop, 64, 64, 1)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    def imgs(p: Array[Byte]) = spark.createDataset(
+      Seq(MediaRow(1L, "image", p, 64, 72, 1)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val hit = MediaDedup.imageCropMatches(crops, imgs(tagged), blockPx = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(hit.toSeq === Seq((100L, 1L, 0, 1, 0)))
+    // the SAME stored bytes without the tag hash stored-orientation
+    // pixels and the crop misses — the tag is what makes the pair meet
+    assert(MediaDedup.imageCropMatches(crops, imgs(stored), blockPx = 8)
+      .count() === 0L)
+  }
+
   test("orientation-invariant dedup: every planted rotated/mirrored copy " +
     "collides at canonical Hamming 0 while the plain dHash misses it") {
     val media = MediaDedup.syntheticRotatedImages(

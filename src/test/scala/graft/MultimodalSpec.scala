@@ -378,25 +378,57 @@ class MultimodalSpec extends SparkSpec {
     assert((sr, sg, sb) === ((st.sum_r, st.sum_g, st.sum_b)))
   }
 
-  test("decodeOneGif fails fast on non-GIF, interlaced, and local-table input") {
+  test("GIF interlaced and local-color-table layouts decode to the SAME " +
+    "indices as the plain layout and agree with ImageIO; failures stay named") {
+    import Multimodal.Containers
+    val palette = Array.tabulate(64 * 3)(b => ((b * 7) % 256).toByte)
+    def idx(k: Int): Int = (k * 13 + 5) % 64
+    val plain = Containers.gifFull(11, 9, idx, palette, minCodeSize = 6)
+    val (_, _, pInd, pPal, pN) = Multimodal.decodeGifIdx(1L, plain)
+    for ((inter, local) <- Seq((true, false), (false, true), (true, true))) {
+      val variant = Containers.gifFull(11, 9, idx, palette, minCodeSize = 6,
+        interlaced = inter, localTable = local)
+      val (w, h, ind, pal, n) = Multimodal.decodeGifIdx(2L, variant)
+      assert((w, h, n) === ((11, 9, pN)))
+      assert(ind.toSeq === pInd.toSeq, s"inter=$inter local=$local")
+      assert(pal.toSeq === pPal.toSeq)
+      // the JDK's own GIF reader sees identical pixels through the
+      // re-ordered stream + descriptor-resident palette
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(variant))
+      assert(img != null, s"ImageIO rejected inter=$inter local=$local")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val j = 3 * ind(y * 11 + x)
+        assert(((argb >>> 16) & 0xFF) === (pal(j) & 0xFF), s"($x,$y) r")
+        assert(((argb >>> 8) & 0xFF) === (pal(j + 1) & 0xFF), s"($x,$y) g")
+        assert((argb & 0xFF) === (pal(j + 2) & 0xFF), s"($x,$y) b")
+      }
+    }
     val e1 = intercept[IllegalArgumentException](
       Multimodal.decodeOneGif(1L, Array[Byte](1, 2, 3)))
     assert(e1.getMessage.contains("not a GIF"))
-    val ok = Multimodal.Containers.gifFull(4, 4, _ % 4,
+    val ok = Containers.gifFull(4, 4, _ % 4,
       Array.tabulate(12)(_.toByte), minCodeSize = 2)
-    val interlaced = ok.clone()
-    // image descriptor follows 13 + 12 GCT + 8 GCE bytes; packed is at +9
-    val idOff = 13 + 12 + 8
-    assert((interlaced(idOff) & 0xFF) === 0x2C)
-    interlaced(idOff + 9) = 0x40.toByte
-    val e2 = intercept[IllegalArgumentException](
-      Multimodal.decodeOneGif(1L, interlaced))
-    assert(e2.getMessage.contains("interlaced"))
     // a payload chopped mid-sub-block must name the cause, never throw an
     // index error (the streaming ingest feeds untrusted bytes through)
     val e3 = intercept[IllegalArgumentException](
       Multimodal.decodeOneGif(1L, ok.dropRight(6)))
     assert(e3.getMessage.contains("truncated GIF"))
+    // a frame with NO color table anywhere stays a named failure
+    val noTable = Containers.gifFull(4, 4, _ % 4,
+      Array.tabulate(12)(_.toByte), minCodeSize = 2, localTable = true)
+    // strip the local-table flag without removing the palette bytes: the
+    // decoder then sees neither table before the (now-garbled) stream
+    val idOff = 13 + 8 // no GCT; GCE is 8 bytes
+    assert((noTable(idOff) & 0xFF) === 0x2C)
+    val stripped = noTable.clone()
+    stripped(idOff + 9) = 0.toByte
+    val e4 = intercept[IllegalArgumentException](
+      Multimodal.decodeOneGif(3L, stripped))
+    assert(e4.getMessage.contains("neither a global nor a local color table")
+      || e4.getMessage.contains("truncated GIF")
+      || e4.getMessage.contains("invalid LZW"), e4.getMessage)
   }
 
   test("decodeOnePng fails fast with named causes on unsupported or corrupt input") {

@@ -254,7 +254,7 @@ class VideoSpec extends SparkSpec {
     assert(gw === w && gh === h && idxFrames.length === nf)
     for (f <- 0 until nf; k <- 0 until w * h)
       assert(idxFrames(f)(k) === v(f, k % w, k / w), s"f=$f k=$k")
-    assert((pal(3 * 5) & 0xFF) === 5)
+    assert((pal(0)(3 * 5) & 0xFF) === 5)
     // the format-blind video decode maps the identity palette to r=g=b
     val avi = Containers.aviFull(w, h, nf, (f, x, y, _) => v(f, x, y))
     val (aw, ah, aviFrames) = Multimodal.decodeVideoRgb(8L, avi)
@@ -276,6 +276,26 @@ class VideoSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Multimodal.decodeGifFrames(10L, partial))
     assert(e.getMessage.contains("partial-frame"))
+  }
+
+  test("animated GIF with per-frame LOCAL palettes + interlacing decodes " +
+    "to the same frames as its AVI twin (no global table at all)") {
+    val w = 10; val h = 9; val nf = 3
+    def v(f: Int, x: Int, y: Int): Int = (f * 31 + x * 7 + y * 13) % 256
+    // frame f's local palette maps index i -> gray (i + f) mod 256, so the
+    // INDEX streams differ per frame while the displayed pixels match the
+    // twin — a decoder that applied one shared palette would mismatch
+    val gif = Containers.gifAnimated(w, h, nf,
+      (f, k) => (v(f, k % w, k / w) - f + 256) % 256,
+      null, minCodeSize = 8, interlaced = true,
+      localPalette = f =>
+        Array.tabulate(256 * 3)(b => ((b / 3 + f) % 256).toByte))
+    val avi = Containers.aviFull(w, h, nf, (f, x, y, _) => v(f, x, y))
+    val (aw, ah, aviFrames) = Multimodal.decodeVideoRgb(70L, avi)
+    val (gw, gh, gifFrames) = Multimodal.decodeVideoRgb(71L, gif)
+    assert((aw, ah) === ((gw, gh)) && aviFrames.length === gifFrames.length)
+    for (f <- 0 until nf)
+      assert(aviFrames(f).toSeq === gifFrames(f).toSeq, s"frame $f")
   }
 
   test("videoClipMatches: a frame-decimated clip hits its source at " +
