@@ -1830,6 +1830,22 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- PROGRESSIVE (SOF2) JPEG decode [ext]: the second-most-common
+    // web JPEG layout — coefficients accumulate across SEVERAL scans
+    // (DC first/refinement, AC spectral bands with End-Of-Band runs,
+    // successive-approximation refinements; DQT/DHT/DRI legal between
+    // scans) with ONE dequant + IDCT at the end. Fixtures come from the
+    // real spectral-selection encoder (multi-scan structure earned: a
+    // DC scan plus per-component AC band scans); DC-only keeps the
+    // closed form, and the census is quadrant sums (position-
+    // sensitive). SA refinement paths pin against ImageIO-WRITTEN
+    // progressive files in JpegSpec; general-coefficient progressive
+    // must equal its baseline twin EXACTLY (same coefficients, same
+    // IDCT — no tolerance) (budget <= 3 s) ---
+    "q266_progressive_jpeg_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.jpegQuadrantStats(
+        graft.multimodal.Multimodal.syntheticProgressiveJpegMedia(
+          t(s, d, "documents"))).toDF()),
     // --- corpus format-coverage HEALTH census [ext]: every decoder here
     // fails by NAME, and this row turns that contract into telemetry —
     // attempt the full decode per item, count (format, outcome, cause)
@@ -5017,6 +5033,27 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // progressive replay: the DC-only closed form again — the engine
+    // earns it through the multi-scan walk instead of one baseline scan
+    "q266_progressive_jpeg_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 * (1 + n_chars % 2) AS INTEGER) AS width, " +
+        "CAST(16 AS INTEGER) AS height FROM documents), " +
+        "b AS (SELECT media_id, width, height, " +
+        "unnest(range((width // 8) * 2)) AS k FROM d), " +
+        "g AS (SELECT media_id, width, height, " +
+        "k % (width // 8) AS bx, k // (width // 8) AS by, " +
+        "(media_id * 41 + k * (13 + media_id % 19)) % 256 AS gray FROM b) " +
+        "SELECT media_id, width, height, " +
+        "CAST(64 * sum(CASE WHEN bx < width // 16 AND by < 1 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_tl, " +
+        "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by < 1 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_tr, " +
+        "CAST(64 * sum(CASE WHEN bx < width // 16 AND by >= 1 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_bl, " +
+        "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by >= 1 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_br " +
+        "FROM g GROUP BY 1, 2, 3"),
     // health replay: the ten planted cases map to fixed
     // (format, outcome, cause) buckets; the engine must EARN each row by
     // running the real parser into its named failure
@@ -5028,7 +5065,7 @@ object SparkEntry {
         "ELSE 'avi' END AS format, " +
         "CASE WHEN doc_id % 10 IN (0, 1, 3, 4, 7) THEN 'decoded' " +
         "ELSE 'skipped' END AS outcome, " +
-        "CASE doc_id % 10 WHEN 2 THEN 'progressive_jpeg' " +
+        "CASE doc_id % 10 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
         "ELSE 'none' END AS cause FROM documents) " +

@@ -124,6 +124,10 @@ private[graft] object Jpeg {
     private var nbits = 0
     private var atMarker = -1 // low nibble of a pending RSTn, or -1
 
+    /** Byte position after the last byte consumed (progressive scans use
+      * it to resume the segment walk once a scan's units are decoded). */
+    def bytePos: Int = pos
+
     private def fillByte(): Int = {
       if (atMarker >= 0)
         throw new IllegalArgumentException(
@@ -203,6 +207,8 @@ private[graft] object Jpeg {
     val compDcT = new Array[Int](3)
     val compAcT = new Array[Int](3)
     var scanStart = -1
+    var progressive = false
+    var sosSegAt = -1 // progressive: offset of the first SOS 0xFF marker
 
     var i = 2
     while (scanStart < 0) {
@@ -254,7 +260,8 @@ private[graft] object Jpeg {
             q += 17 + n
           }
           i += len
-        case 0xC0 => // SOF0 baseline
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive (same layout)
+          progressive = m == 0xC2
           val len = u16(i)
           require(i.toLong + len <= p.length && len >= 8, s"media $id: truncated SOF0")
           require(u8(i + 2) == 8,
@@ -283,10 +290,6 @@ private[graft] object Jpeg {
             c += 1
           }
           i += len
-        case 0xC2 =>
-          throw new IllegalArgumentException(
-            s"media $id: progressive JPEG (SOF2) out of scope — " +
-              "only baseline sequential (SOF0) decodes")
         case sof if sof >= 0xC1 && sof <= 0xCF && sof != 0xC4 && sof != 0xC8 &&
           sof != 0xCC =>
           throw new IllegalArgumentException(
@@ -296,6 +299,10 @@ private[graft] object Jpeg {
           require(len == 4 && i.toLong + len <= p.length, s"media $id: bad DRI")
           restartInterval = u16(i + 2)
           i += len
+        case 0xDA if progressive => // first SOS: the scan loop takes over
+          require(nComp > 0, s"media $id: SOS before SOF")
+          sosSegAt = i - 2
+          scanStart = i // any value >= 0 exits the header walk
         case 0xDA => // SOS
           val len = u16(i)
           require(i.toLong + len <= p.length, s"media $id: truncated SOS")
@@ -337,6 +344,10 @@ private[graft] object Jpeg {
           i += len
       }
     }
+
+    if (progressive)
+      return decodeProgressive(id, p, w, h, nComp, compId, compH, compV,
+        compQ, quant, huffDc, huffAc, restartInterval, sosSegAt)
 
     var c = 0
     while (c < nComp) {
@@ -401,36 +412,7 @@ private[graft] object Jpeg {
           k += 1
         }
       }
-      // separable IDCT: rows then columns. tmp = coef · Basisᵀ (rows)
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var acc = 0.0
-          var u = 0
-          while (u < 8) { acc += coef(y * 8 + u) * Basis(u * 8 + x); u += 1 }
-          tmp(y * 8 + x) = acc
-          x += 1
-        }
-        y += 1
-      }
-      val plane = planes(cc)
-      val strideP = planeBw(cc) * 8
-      var x = 0
-      while (x < 8) {
-        var yy = 0
-        while (yy < 8) {
-          var acc = 0.0
-          var v = 0
-          while (v < 8) { acc += tmp(v * 8 + x) * Basis(v * 8 + yy); v += 1 }
-          // 2-D normalization 1/4, round-half-up, +128 level shift, clamp
-          val px = math.floor(acc / 4.0 + 0.5).toInt + 128
-          val clamped = if (px < 0) 0 else if (px > 255) 255 else px
-          plane((by * 8 + yy) * strideP + bx * 8 + x) = clamped.toByte
-          yy += 1
-        }
-        x += 1
-      }
+      idctToPlane(coef, planes(cc), planeBw(cc) * 8, bx, by, tmp)
     }
 
     var mcu = 0
@@ -458,9 +440,53 @@ private[graft] object Jpeg {
       mcu += 1
     }
 
-    // assemble RGB, cropping the MCU padding to the declared dimensions;
-    // display pixel (x, y) reads component sample (x·Hᵢ/hMax, y·Vᵢ/vMax)
-    // — sample replication for subsampled chroma (scaladoc contract)
+    (w, h, assembleRgb(w, h, nComp, compH, compV, hMax, vMax, planeBw, planes))
+  }
+
+  /** Separable IDCT of one dequantized 8×8 coefficient block into block
+    * position (bx, by) of a byte plane: rows then columns against
+    * [[Basis]], 2-D normalization 1/4, round-half-up, +128 level shift,
+    * 0..255 clamp. `tmp` is a caller-provided 64-slot scratch. */
+  private def idctToPlane(coef: Array[Int], plane: Array[Byte], strideP: Int,
+                          bx: Int, by: Int, tmp: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += coef(y * 8 + u) * Basis(u * 8 + x); u += 1 }
+        tmp(y * 8 + x) = acc
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += tmp(v * 8 + x) * Basis(v * 8 + yy); v += 1 }
+        val px = math.floor(acc / 4.0 + 0.5).toInt + 128
+        val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+        plane((by * 8 + yy) * strideP + bx * 8 + x) = clamped.toByte
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Assemble decoded component byte planes to row-major RGB, cropping
+    * the MCU padding to the declared dimensions; display pixel (x, y)
+    * reads component sample (x·Hᵢ/hMax, y·Vᵢ/vMax) — sample replication
+    * for subsampled chroma (scaladoc contract). Grayscale replicates Y;
+    * color applies the JFIF YCbCr→RGB transform (doubles, round-half-up,
+    * clamp; Cb=Cr=128 makes R=G=B=Y EXACT — the fixture replay path). */
+  private def assembleRgb(w: Int, h: Int, nComp: Int, compH: Array[Int],
+                          compV: Array[Int], hMax: Int, vMax: Int,
+                          planeBw: Array[Int],
+                          planes: Array[Array[Byte]]): Array[Byte] = {
     val rgb = new Array[Byte](3 * w * h)
     if (nComp == 1) {
       val yP = planes(0)
@@ -492,8 +518,6 @@ private[graft] object Jpeg {
             x * compH(1) / hMax) & 0xFF) - 128
           val cr = (crP((yy * compV(2) / vMax) * strideCr +
             x * compH(2) / hMax) & 0xFF) - 128
-          // JFIF YCbCr→RGB (doubles, round-half-up, clamp). Cb=Cr=128
-          // (gray) makes R=G=B=Y EXACT — the fixture replay path.
           def cl(v: Double): Byte = {
             val r = math.floor(v + 0.5).toInt
             (if (r < 0) 0 else if (r > 255) 255 else r).toByte
@@ -506,7 +530,382 @@ private[graft] object Jpeg {
         yy += 1
       }
     }
-    (w, h, rgb)
+    rgb
+  }
+
+  /** Progressive (SOF2) decode — the second-most-common web JPEG layout:
+    * the image's quantized coefficients accumulate across SEVERAL scans
+    * (T.81 annex G) — DC first/refinement scans (interleaved or single-
+    * component), AC spectral-selection bands (single-component only, as
+    * the spec mandates) with End-Of-Band run coding, and successive-
+    * approximation refinement scans that sharpen one bit per pass —
+    * then one dequantize + IDCT at the end. DQT/DHT/DRI segments may be
+    * redefined BETWEEN scans (several encoders do); restart markers
+    * reset both DC predictors and the EOB run. Scope: the same 1-or-2
+    * sampling factors as baseline; a tighter pixel bound (coefficients
+    * for the WHOLE image stay resident as ints — 4 bytes/px/component —
+    * so the named decode bound is MaxDecodePixels/4). */
+  private def decodeProgressive(id: Long, p: Array[Byte], w: Int, h: Int,
+                                nComp: Int, compId: Array[Int],
+                                compH: Array[Int], compV: Array[Int],
+                                compQ: Array[Int], quant: Array[Array[Int]],
+                                huffDc: Array[HuffTable],
+                                huffAc: Array[HuffTable],
+                                restartInterval0: Int,
+                                sosSegAt: Int): (Int, Int, Array[Byte]) = {
+    def u8(off: Int): Int = { require(off < p.length,
+      s"media $id: truncated JPEG at offset $off"); p(off) & 0xFF }
+    def u16(off: Int): Int = (u8(off) << 8) | u8(off + 1)
+    require(w.toLong * h <= Multimodal.MaxDecodePixels / 4,
+      s"media $id: ${w}x$h exceeds the ${Multimodal.MaxDecodePixels / 4}" +
+        "-pixel progressive decode bound (whole-image coefficients resident)")
+    if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
+    var hMax = 1; var vMax = 1
+    var c = 0
+    while (c < nComp) {
+      if (compH(c) > hMax) hMax = compH(c)
+      if (compV(c) > vMax) vMax = compV(c)
+      c += 1
+    }
+    val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeBw = Array.tabulate(nComp)(c => mcuW * compH(c))
+    val planeBh = Array.tabulate(nComp)(c => mcuH * compV(c))
+    // raw (not yet dequantized) coefficients, natural order per block
+    val coefs = Array.tabulate(nComp)(c =>
+      new Array[Int](planeBw(c) * planeBh(c) * 64))
+    // non-interleaved unit grid of comp c (T.81 A.2.2: ceil over the
+    // component's OWN sample dims, not the MCU-padded plane)
+    def nbW(c: Int): Int = (((w * compH(c) + hMax - 1) / hMax) + 7) / 8
+    def nbH(c: Int): Int = (((h * compV(c) + vMax - 1) / vMax) + 7) / 8
+
+    var restartInterval = restartInterval0
+    val dcSeen = new Array[Boolean](3)
+    var i = sosSegAt
+    var sawEoi = false
+    while (!sawEoi) {
+      require(u8(i) == 0xFF, s"media $id: expected marker, got 0x${u8(i).toHexString}")
+      while (u8(i + 1) == 0xFF) i += 1
+      val m = u8(i + 1)
+      i += 2
+      m match {
+        case 0xD9 => sawEoi = true
+        case 0xDB => // DQT between scans
+          val len = u16(i)
+          require(i.toLong + len <= p.length, s"media $id: truncated DQT")
+          var q = i + 2
+          val endQ = i + len
+          while (q < endQ) {
+            val pq = u8(q) >> 4
+            val tq = u8(q) & 0x0F
+            require(pq == 0,
+              s"media $id: only 8-bit quantization tables supported (Pq=$pq)")
+            require(q.toLong + 1 + 64 <= endQ, s"media $id: truncated DQT table")
+            val tbl = new Array[Int](64)
+            var k = 0
+            while (k < 64) { tbl(Zigzag(k)) = u8(q + 1 + k); k += 1 }
+            quant(tq) = tbl
+            q += 65
+          }
+          i += len
+        case 0xC4 => // DHT between scans
+          val len = u16(i)
+          require(i.toLong + len <= p.length, s"media $id: truncated DHT")
+          var q = i + 2
+          val endQ = i + len
+          while (q < endQ) {
+            val tc = u8(q) >> 4
+            val th = u8(q) & 0x0F
+            require(tc <= 1, s"media $id: bad DHT class $tc")
+            require(th < 4, s"media $id: bad DHT table id $th")
+            require(q.toLong + 17 <= endQ, s"media $id: truncated DHT counts")
+            val bits = Array.tabulate(16)(l => u8(q + 1 + l))
+            val n = bits.sum
+            require(n <= 256 && q.toLong + 17 + n <= endQ,
+              s"media $id: truncated DHT symbols")
+            val vals = new Array[Byte](n)
+            System.arraycopy(p, q + 17, vals, 0, n)
+            val tab = new HuffTable(id, bits, vals)
+            if (tc == 0) huffDc(th) = tab else huffAc(th) = tab
+            q += 17 + n
+          }
+          i += len
+        case 0xDD =>
+          val len = u16(i)
+          require(len == 4 && i.toLong + len <= p.length, s"media $id: bad DRI")
+          restartInterval = u16(i + 2)
+          i += len
+        case 0xC0 | 0xC2 =>
+          throw new IllegalArgumentException(
+            s"media $id: second SOF marker inside a progressive stream")
+        case 0x01 | _ if m == 0x01 || (m >= 0xD0 && m <= 0xD7) => ()
+        case 0xDA =>
+          val len = u16(i)
+          require(i.toLong + len <= p.length && len >= 6,
+            s"media $id: truncated SOS")
+          val ns = u8(i + 2)
+          require(ns >= 1 && ns <= nComp, s"media $id: bad scan component count $ns")
+          require(len >= 6 + 2 * ns, s"media $id: truncated SOS components")
+          val scanComp = new Array[Int](ns)
+          val scanDcT = new Array[Int](ns)
+          val scanAcT = new Array[Int](ns)
+          var sc = 0
+          while (sc < ns) {
+            val cs = u8(i + 3 + 2 * sc)
+            val idx = (0 until nComp).find(compId(_) == cs).getOrElse(
+              throw new IllegalArgumentException(
+                s"media $id: SOS selects unknown component id $cs"))
+            scanComp(sc) = idx
+            val tda = u8(i + 4 + 2 * sc)
+            scanDcT(sc) = tda >> 4
+            scanAcT(sc) = tda & 0x0F
+            require(scanDcT(sc) < 4 && scanAcT(sc) < 4,
+              s"media $id: bad SOS entropy table ids")
+            sc += 1
+          }
+          val ss = u8(i + 3 + 2 * ns)
+          val se = u8(i + 4 + 2 * ns)
+          val ahal = u8(i + 5 + 2 * ns)
+          val ah = ahal >> 4
+          val al = ahal & 0x0F
+          require(al <= 13 && (ah == 0 || ah == al + 1),
+            s"media $id: invalid successive approximation Ah=$ah Al=$al")
+          i += len
+          val r = new BitReader(id, p, i, p.length)
+          if (ss == 0) { // DC scan (first or refinement)
+            require(se == 0,
+              s"media $id: progressive DC scan must have Se=0 (got $se)")
+            if (ah == 0) scanComp.foreach(dcSeen(_) = true)
+            else scanComp.foreach(ci => require(dcSeen(ci),
+              s"media $id: DC refinement before the first DC scan"))
+            decodeDcScan(id, r, scanComp, scanDcT, huffDc, coefs, planeBw,
+              nComp, ns, mcuW, mcuH, compH, compV, nbW, nbH, ah, al,
+              restartInterval)
+          } else { // AC scan: single component, a spectral band
+            require(ns == 1,
+              s"media $id: progressive AC scans must be single-component")
+            require(se >= ss && se <= 63,
+              s"media $id: bad spectral band Ss=$ss Se=$se")
+            val ci = scanComp(0)
+            require(dcSeen(ci),
+              s"media $id: AC scan before the component's first DC scan")
+            val tab = huffAc(scanAcT(0))
+            require(tab != null, s"media $id: missing AC table ${scanAcT(0)}")
+            decodeAcScan(id, r, tab, coefs(ci), planeBw(ci), nbW(ci), nbH(ci),
+              ss, se, ah, al, restartInterval)
+          }
+          // resume the segment walk at the next marker after the
+          // entropy-coded data (skip stuffed 0xFF00 and RSTn bytes)
+          i = r.bytePos
+          var scanning = true
+          while (scanning) {
+            require(i + 1 < p.length, s"media $id: truncated after scan")
+            if (u8(i) != 0xFF) i += 1
+            else {
+              val nm = u8(i + 1)
+              if (nm == 0x00 || nm == 0xFF || (nm >= 0xD0 && nm <= 0xD7)) i += 1
+              else scanning = false
+            }
+          }
+        case _ =>
+          val len = u16(i)
+          require(len >= 2 && i.toLong + len <= p.length,
+            s"media $id: truncated segment 0x${m.toHexString}")
+          i += len
+      }
+    }
+
+    // one dequantize + IDCT pass over every block of every plane
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Byte](planeBw(c) * 8 * planeBh(c) * 8))
+    val tmp = new Array[Double](64)
+    val blk = new Array[Int](64)
+    c = 0
+    while (c < nComp) {
+      val q = quant(compQ(c))
+      require(q != null, s"media $id: missing quant table ${compQ(c)}")
+      val cf = coefs(c)
+      var b = 0
+      val nb = planeBw(c) * planeBh(c)
+      while (b < nb) {
+        var k = 0
+        while (k < 64) { blk(k) = cf(b * 64 + k) * q(k); k += 1 }
+        idctToPlane(blk, planes(c), planeBw(c) * 8, b % planeBw(c),
+          b / planeBw(c), tmp)
+        b += 1
+      }
+      c += 1
+    }
+    (w, h, assembleRgb(w, h, nComp, compH, compV, hMax, vMax, planeBw, planes))
+  }
+
+  /** One progressive DC scan: first scans Huffman-decode predictor diffs
+    * (shifted left by Al); refinement scans append one raw bit per block
+    * at position Al. Interleaved (all components, MCU order) or
+    * non-interleaved (one component, its own block grid). */
+  private def decodeDcScan(id: Long, r: BitReader, scanComp: Array[Int],
+                           scanDcT: Array[Int], huffDc: Array[HuffTable],
+                           coefs: Array[Array[Int]], planeBw: Array[Int],
+                           nComp: Int, ns: Int, mcuW: Int, mcuH: Int,
+                           compH: Array[Int], compV: Array[Int],
+                           nbW: Int => Int, nbH: Int => Int,
+                           ah: Int, al: Int, restartInterval: Int): Unit = {
+    val pred = new Array[Int](3)
+    def one(sc: Int, bx: Int, by: Int): Unit = {
+      val ci = scanComp(sc)
+      val off = (by * planeBw(ci) + bx) * 64
+      if (ah == 0) {
+        val tab = huffDc(scanDcT(sc))
+        require(tab != null, s"media $id: missing DC table ${scanDcT(sc)}")
+        val s = tab.decode(r)
+        require(s <= 11, s"media $id: DC category $s out of range")
+        pred(ci) += extend(r.readBits(s), s)
+        coefs(ci)(off) = pred(ci) << al
+      } else if (r.readBit() == 1) coefs(ci)(off) |= 1 << al
+    }
+    if (ns > 1) { // interleaved: the spec's MCU order over ALL scan comps
+      require(ns == nComp,
+        s"media $id: interleaved progressive DC scans must carry every " +
+          s"component (got $ns of $nComp)")
+      var mcu = 0
+      val nMcu = mcuW * mcuH
+      while (mcu < nMcu) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          r.restart(mcu / restartInterval - 1)
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        val bx = mcu % mcuW
+        val by = mcu / mcuW
+        var sc = 0
+        while (sc < ns) {
+          val ci = scanComp(sc)
+          var v = 0
+          while (v < compV(ci)) {
+            var hh = 0
+            while (hh < compH(ci)) {
+              one(sc, bx * compH(ci) + hh, by * compV(ci) + v)
+              hh += 1
+            }
+            v += 1
+          }
+          sc += 1
+        }
+        mcu += 1
+      }
+    } else { // non-interleaved: the component's own block grid
+      val ci = scanComp(0)
+      val bw = nbW(ci)
+      val nUnits = bw * nbH(ci)
+      var u = 0
+      while (u < nUnits) {
+        if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+          r.restart(u / restartInterval - 1)
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        one(0, u % bw, u / bw)
+        u += 1
+      }
+    }
+  }
+
+  /** One progressive AC scan over a spectral band [ss, se] of one
+    * component: first scans (Ah=0) decode run/size symbols with
+    * End-Of-Band runs; refinement scans (Ah=Al+1) run the T.81 G.1.2.3
+    * correction-bit algorithm — one raw bit per already-nonzero
+    * coefficient, ±1<<Al insertions for newly nonzero ones. */
+  private def decodeAcScan(id: Long, r: BitReader, tab: HuffTable,
+                           coef: Array[Int], planeBwC: Int, bw: Int, bh: Int,
+                           ss: Int, se: Int, ah: Int, al: Int,
+                           restartInterval: Int): Unit = {
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+    def first(off: Int): Unit = {
+      var k = ss
+      if (eobrun > 0) { eobrun -= 1; return }
+      while (k <= se) {
+        val rs = tab.decode(r)
+        val run = rs >> 4
+        val s = rs & 0x0F
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += r.readBits(run).toInt
+            return
+          }
+        } else {
+          k += run
+          require(k <= se, s"media $id: AC run past the spectral band")
+          require(s <= 10, s"media $id: AC size $s out of range")
+          coef(off + Zigzag(k)) = extend(r.readBits(s).toInt, s) << al
+          k += 1
+        }
+      }
+    }
+    def refine(off: Int): Unit = {
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (k <= se && !done) {
+          val rs = tab.decode(r)
+          var run = rs >> 4
+          val s = rs & 0x0F
+          var newVal = 0
+          if (s == 0) {
+            if (run < 15) {
+              eobrun = 1 << run
+              if (run > 0) eobrun += r.readBits(run).toInt
+              done = true
+            }
+            // run == 15: skip 16 zero-history coefficients below
+          } else {
+            require(s == 1, s"media $id: AC refinement size $s must be 1")
+            newVal = if (r.readBit() == 1) p1 else m1
+          }
+          if (!done) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + Zigzag(k)
+              if (coef(z) != 0) {
+                if (r.readBit() == 1 && (coef(z) & p1) == 0)
+                  coef(z) += (if (coef(z) >= 0) p1 else m1)
+              } else {
+                if (run == 0) {
+                  if (newVal != 0) coef(z) = newVal
+                  placed = true
+                } else run -= 1
+              }
+              k += 1
+            }
+            require(placed || k > se,
+              s"media $id: AC refinement run past the spectral band")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val z = off + Zigzag(k)
+          if (coef(z) != 0) {
+            if (r.readBit() == 1 && (coef(z) & p1) == 0)
+              coef(z) += (if (coef(z) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+    val nUnits = bw * bh
+    var u = 0
+    while (u < nUnits) {
+      if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+        r.restart(u / restartInterval - 1)
+        eobrun = 0
+      }
+      val off = ((u / bw) * planeBwC + (u % bw)) * 64
+      if (ah == 0) first(off) else refine(off)
+      u += 1
+    }
   }
 
   // ------------------------------------------------------------------
@@ -878,6 +1277,123 @@ private[graft] object Jpeg {
         Array.fill(bw * bh)(new Array[Int](64)))
       else Array(luma)
     encodeBlocks(width, height, comps, restartInterval)
+  }
+
+  /** Encode a PROGRESSIVE (SOF2) JPEG whose 8×8 blocks carry the given
+    * QUANTIZED coefficients (natural row-major order, the
+    * [[encodeBlocks]] layout at 1×1 sampling) — the spectral-selection
+    * profile: one interleaved first DC scan (Ss=0, Se=0, Ah=Al=0), then
+    * per component per `bands` entry a single-component AC scan over
+    * that coefficient band, End-Of-Band coded per block (the fixture
+    * Huffman alphabet carries EOB runs of length 1). Al = 0 everywhere,
+    * so the COEFFICIENT values round-trip exactly and a DC-only input
+    * decodes to the same closed form as its baseline twin — the
+    * oracle-replay path for the progressive decoder; successive-
+    * approximation scripts are exercised against ImageIO-written files
+    * in spec. */
+  def encodeProgressive(width: Int, height: Int,
+                        blocks: Array[Array[Array[Int]]],
+                        bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)))
+      : Array[Byte] = {
+    val nComp = blocks.length
+    require(nComp == 1 || nComp == 3, "1 or 3 components")
+    require(bands.nonEmpty && bands.head._1 == 1 &&
+      bands.last._2 == 63 &&
+      bands.sliding(2).forall(w => w.length < 2 || w(1)._1 == w(0)._2 + 1) &&
+      bands.forall(b => b._1 <= b._2),
+      "bands must partition 1..63 in order")
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    require(blocks.forall(_.length == bw * bh),
+      s"need $bw x $bh coefficient blocks per component")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u8(0xFF); u8(0xD8)
+    u8(0xFF); u8(0xE0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    u8(0xFF); u8(0xDB); u16(2 + 65); u8(0x00)
+    var k = 0
+    while (k < 64) { u8(FixtureQuant(Zigzag(k))); k += 1 }
+    // SOF2: identical layout to SOF0, progressive marker
+    u8(0xFF); u8(0xC2); u16(8 + 3 * nComp); u8(8)
+    u16(height); u16(width); u8(nComp)
+    var c = 0
+    while (c < nComp) { u8(c + 1); u8(0x11); u8(0); c += 1 }
+    val dcSpec = dcTableSpec
+    val acSpec = acTableSpec
+    u8(0xFF); u8(0xC4)
+    u16(2 + (1 + 16 + dcSpec._2.length) + (1 + 16 + acSpec._2.length))
+    u8(0x00); dcSpec._1.foreach(u8); out.write(dcSpec._2)
+    u8(0x10); acSpec._1.foreach(u8); out.write(acSpec._2)
+    val dcCodes = canonical(dcSpec)
+    val acCodes = canonical(acSpec)
+    // first DC scan: interleaved, Ss=0 Se=0 Ah=0 Al=0
+    u8(0xFF); u8(0xDA); u16(6 + 2 * nComp); u8(nComp)
+    c = 0
+    while (c < nComp) { u8(c + 1); u8(0x00); c += 1 }
+    u8(0); u8(0); u8(0)
+    val bwrt = new BitWriter(out)
+    val pred = new Array[Int](3)
+    var mcu = 0
+    while (mcu < bw * bh) {
+      c = 0
+      while (c < nComp) {
+        val diff = blocks(c)(mcu)(0) - pred(c)
+        pred(c) = blocks(c)(mcu)(0)
+        val s = category(diff)
+        val (dcCode, dcLen) = dcCodes(s)
+        bwrt.write(dcCode, dcLen)
+        if (s > 0)
+          bwrt.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        c += 1
+      }
+      mcu += 1
+    }
+    bwrt.align()
+    // per component, per band: a single-component AC scan
+    c = 0
+    while (c < nComp) {
+      bands.foreach { case (ss, se) =>
+        u8(0xFF); u8(0xDA); u16(8); u8(1)
+        u8(c + 1); u8(0x00)
+        u8(ss); u8(se); u8(0)
+        val bws = new BitWriter(out)
+        var b = 0
+        while (b < bw * bh) {
+          val blk = blocks(c)(b)
+          var run = 0
+          var kk = ss
+          var emitted = false
+          while (kk <= se) {
+            val v = blk(Zigzag(kk))
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = acCodes(0xF0); bws.write(zc, zl); run -= 16
+              }
+              val sz = category(v)
+              require(sz <= 10, s"AC coefficient $v too large for the fixture table")
+              val (code, len) = acCodes((run << 4) | sz)
+              bws.write(code, len)
+              bws.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              run = 0
+              emitted = true
+            }
+            kk += 1
+          }
+          if (run > 0 || !emitted) {
+            val (ec, el) = acCodes(0x00); bws.write(ec, el) // EOB (run 1)
+          }
+          b += 1
+        }
+        bws.align()
+      }
+      c += 1
+    }
+    u8(0xFF); u8(0xD9)
+    out.toByteArray
   }
 
   /** Encode a 4:2:0 (luma 2×2, chroma 1×1) baseline YCbCr JPEG whose

@@ -1633,7 +1633,8 @@ object Multimodal {
     * First match wins; anything unrecognized lands in "other" (still
     * counted — no silent truncation of the census itself). */
   private val HealthCauses: Seq[(String, String)] = Seq(
-    "progressive" -> "progressive_jpeg",
+    "non-baseline SOF" -> "unsupported_coding",
+    "progressive" -> "malformed_progressive",
     "sampling" -> "unsupported_sampling",
     "precision" -> "unsupported_depth",
     "only 16-bit" -> "unsupported_depth",
@@ -1650,7 +1651,7 @@ object Multimodal {
   /** Corpus format-coverage health: attempt the FULL pixel/sample decode
     * for every item and aggregate outcomes by format and NAMED cause —
     * (format, outcome, cause, n_items). Every remaining scope
-    * restriction (progressive JPEG, >2 sampling, 12-bit, >2-channel
+    * restriction (arithmetic coding, >2 sampling, 12-bit, >2-channel
     * audio, non-MJPG codecs, partial-frame GIF) becomes a MEASURED row
     * instead of a silent fallback to header-only: a curation run can
     * report exactly what fraction of its corpus each blind spot costs.
@@ -1699,7 +1700,7 @@ object Multimodal {
 
   /** Mixed-health fixtures: ten deterministic corpus cases cycling by
     * doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo FLAC /
-    * MJPEG AVI alongside the named out-of-scope shapes (progressive
+    * MJPEG AVI alongside the named out-of-scope shapes (arithmetic-coded
     * JPEG, sampling-factor-3 JPEG, truncated PNG, a non-MJPG compressed
     * AVI, unknown magic), each planted by patching a REAL encoder's
     * output so the failure path is the real parser, not a synthetic
@@ -1721,7 +1722,7 @@ object Multimodal {
         case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
         case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
           ((id * 37 + k * 11) % 256).toInt))
-        case 2 => sofPatch(grayJpeg, 1, 0xC2) // SOF0 -> SOF2: progressive
+        case 2 => sofPatch(grayJpeg, 1, 0xC9) // SOF9: arithmetic coding
         case 3 => Containers.gifFull(16, 16,
           k => ((id * 7 + k) % 16).toInt,
           Array.tabulate(16 * 3)(b => ((b / 3) * 16).toByte),
@@ -1769,6 +1770,39 @@ object Multimodal {
         interlaced = id % 2 == 0, localTable = id % 3 == 0)
       MediaRow(id, "image", payload, w, h, 1)
     }
+  }
+
+  /** Deterministic PROGRESSIVE (SOF2) JPEG fixtures: every doc becomes a
+    * DC-only progressive JPEG through the REAL spectral-selection
+    * encoder — a first interleaved DC scan, then per-component AC band
+    * scans (two bands on even ids, one on odd) that are all End-Of-Band
+    * codes, so the engine must walk the multi-scan structure to reach
+    * the same closed-form block constants the baseline twin would carry:
+    * gray(k) = (id·41 + k·(13 + id mod 19)) mod 256. Even ids take the
+    * 3-component wrap (chroma planes at DC 0 = 128, exact through the
+    * color transform). Quadrant census — position-sensitive — with dims
+    * multiples of 16 so blocks never straddle a quadrant. */
+  def syntheticProgressiveJpegMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (16 * (1 + nChars % 2)).toInt
+        val h = 16
+        val nBlocks = (w / 8) * (h / 8)
+        val luma = Array.tabulate(nBlocks) { k =>
+          val blk = new Array[Int](64)
+          blk(0) = ((id * 41 + k * (13 + id % 19)) % 256).toInt - 128
+          blk
+        }
+        val comps =
+          if (id % 2 == 0) Array(luma, Array.fill(nBlocks)(new Array[Int](64)),
+            Array.fill(nBlocks)(new Array[Int](64)))
+          else Array(luma)
+        val bands = if (id % 2 == 0) Seq((1, 5), (6, 63)) else Seq((1, 63))
+        MediaRow(id, "image", Jpeg.encodeProgressive(w, h, comps, bands),
+          w, h, 1)
+      }
   }
 
   /** Position-sensitive census of one plainly-decoded JPEG: quadrant gray

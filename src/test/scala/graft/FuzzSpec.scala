@@ -97,6 +97,15 @@ class FuzzSpec extends AnyFunSuite {
   test("fuzz: JPEG decode fails only by name on hostile bytes") {
     fuzz("jpeg", jpegPayload, 2,
       p => graft.multimodal.Jpeg.decodeRgb(8L, p))
+    // the progressive multi-scan walk inherits the contract
+    val progPayload = graft.multimodal.Jpeg.encodeProgressive(16, 16,
+      Array(Array.tabulate(4) { b =>
+        val blk = new Array[Int](64)
+        blk(0) = b * 17 - 30; blk(5) = 3; blk(20) = -2
+        blk
+      }))
+    fuzz("jpeg-prog", progPayload, 2,
+      p => graft.multimodal.Jpeg.decodeRgb(17L, p))
   }
 
   test("fuzz: the EXIF orientation reader NEVER throws — metadata " +

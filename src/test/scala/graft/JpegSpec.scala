@@ -377,6 +377,84 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("PROGRESSIVE DC-only decode hits the same closed form as baseline " +
+    "(multi-scan spectral-selection structure earned)") {
+    val bw = 3; val bh = 2
+    val grays = Array.tabulate(bw * bh)(k => (k * 43 + 17) % 256)
+    def comps(n: Int) = {
+      val luma = grays.map { g =>
+        val blk = new Array[Int](64)
+        blk(0) = g - 128
+        blk
+      }
+      if (n == 3) Array(luma, Array.fill(bw * bh)(new Array[Int](64)),
+        Array.fill(bw * bh)(new Array[Int](64)))
+      else Array(luma)
+    }
+    for (n <- Seq(1, 3)) {
+      val bytes = Jpeg.encodeProgressive(bw * 8, bh * 8, comps(n))
+      assert(bytes.indices.exists(i => (bytes(i) & 0xFF) == 0xFF &&
+        i + 1 < bytes.length && (bytes(i + 1) & 0xFF) == 0xC2),
+        "fixture must carry a SOF2 marker")
+      val (w, h, rgb) = Jpeg.decodeRgb(80L + n, bytes)
+      assert((w, h) === ((24, 16)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = grays((y / 8) * bw + x / 8)
+        assert((rgb(3 * (y * w + x)) & 0xFF) === g, s"n=$n ($x,$y)")
+      }
+    }
+  }
+
+  test("general-coefficient PROGRESSIVE decode equals its baseline twin " +
+    "EXACTLY (same coefficients, same IDCT — no tolerance)") {
+    val bw = 2; val bh = 2
+    def comp(seed: Int) = Array.tabulate(bw * bh) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = ((b * 29 + seed * 13) % 50) - 25
+      var k = 0
+      while (k < 64) {
+        if (k > 0 && (k * 7 + seed * 5 + b * 3) % 9 == 0)
+          blk(k) = ((k * 11 + seed * 7 + b) % 9) - 4
+        k += 1
+      }
+      blk
+    }
+    for (comps <- Seq(Array(comp(1)), Array(comp(1), comp(2), comp(3)))) {
+      val base = Jpeg.encodeBlocks(16, 16, comps)
+      val prog = Jpeg.encodeProgressive(16, 16, comps,
+        bands = Seq((1, 3), (4, 20), (21, 63)))
+      val (_, _, rgbB) = Jpeg.decodeRgb(85L, base)
+      val (_, _, rgbP) = Jpeg.decodeRgb(86L, prog)
+      assert(rgbP.toSeq === rgbB.toSeq, s"nComp=${comps.length}")
+    }
+  }
+
+  test("an ImageIO-WRITTEN progressive JPEG (real successive-approximation " +
+    "scan script) decodes within rounding tolerance of ImageIO's reader") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 7 + (x * y) % 31) % 256)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    assert(bytes.indices.exists(i => (bytes(i) & 0xFF) == 0xFF &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xFF) == 0xC2),
+      "the JDK writer must emit SOF2 in progressive mode")
+    val (dw, dh, ours) = Jpeg.decodeRgb(87L, bytes)
+    val (iw, ih, theirs) = decodeImageIO(bytes)
+    assert((dw, dh) === ((iw, ih)))
+    val d = maxAbsDiff(ours, theirs)
+    assert(d <= 2, s"max per-pixel diff vs ImageIO on its own progressive: $d")
+  }
+
   test("a SOS component selector out of frame order fails by NAME " +
     "(T.81 B.2.3 mandates frame-header order)") {
     val ok = Jpeg.encodeGrayBlocks(16, 16, Array(10, 20, 30, 40), color = true)
