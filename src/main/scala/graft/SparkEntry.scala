@@ -1830,6 +1830,21 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- COMPOSITED animated GIF decode [ext]: real-crawl animations
+    // are PARTIAL-frame updates presented onto a persistent canvas with
+    // per-frame disposal methods (keep / restore-to-background /
+    // restore-to-previous) and transparency punching through to what is
+    // already there — the last named GIF scope gap. The fixture plants a
+    // full base, a transparent-pierced centered rect, and an overlapping
+    // opaque rect, with the base's disposal alternating by parity; the
+    // census is PER-FRAME QUADRANT sums (position-sensitive — a rect
+    // placed wrong or a skipped disposal moves pixels between
+    // quadrants). Oracle replays the canvas algebra pixel-by-pixel
+    // (budget <= 3 s) ---
+    "q267_gif_composited_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.videoFrameQuadrants(
+        graft.multimodal.Multimodal.syntheticCompositedGifMedia(
+          t(s, d, "documents"))).toDF()),
     // --- PROGRESSIVE (SOF2) JPEG decode [ext]: the second-most-common
     // web JPEG layout — coefficients accumulate across SEVERAL scans
     // (DC first/refinement, AC spectral bands with End-Of-Band runs,
@@ -5033,6 +5048,38 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // composited-GIF replay: the canvas algebra — base frame, disposal
+    // by parity, the transparent diagonal showing the base (or the
+    // restored background) through, the opaque overlay winning where
+    // rects overlap — per pixel, then quadrant sums per frame
+    "q267_gif_composited_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, doc_id % 2 AS par " +
+        "FROM documents), " +
+        "fr AS (SELECT media_id, par, unnest(range(3)) AS f FROM d), " +
+        "pp AS (SELECT media_id, par, f, unnest(range(256)) AS k FROM fr), " +
+        "c AS (SELECT media_id, par, f, k % 16 AS x, k // 16 AS y FROM pp), " +
+        "v AS (SELECT media_id, f, x, y, " +
+        "((media_id*23 + x*3 + y*5) % 64) * 4 + 1 AS v0, " +
+        "CASE WHEN par = 0 THEN 1 " +
+        "ELSE ((media_id*23 + x*3 + y*5) % 64) * 4 + 1 END AS base FROM c), " +
+        "g AS (SELECT media_id, f, x, y, " +
+        "CASE WHEN f = 0 THEN v0 " +
+        "WHEN f = 2 AND x >= 8 AND y < 8 " +
+        "THEN ((media_id*11 + (x-8)*7 + y*9) % 64) * 4 + 1 " +
+        "WHEN x BETWEEN 4 AND 11 AND y BETWEEN 4 AND 11 " +
+        "AND ((x-4) + (y-4)) % 3 <> 0 " +
+        "THEN ((media_id*7 + (x-4)*5 + (y-4)*3) % 63) * 4 + 1 " +
+        "ELSE base END AS gray FROM v) " +
+        "SELECT media_id, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(sum(CASE WHEN x < 8 AND y < 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_tl, " +
+        "CAST(sum(CASE WHEN x >= 8 AND y < 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_tr, " +
+        "CAST(sum(CASE WHEN x < 8 AND y >= 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_bl, " +
+        "CAST(sum(CASE WHEN x >= 8 AND y >= 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_br " +
+        "FROM g GROUP BY 1, 2"),
     // progressive replay: the DC-only closed form again — the engine
     // earns it through the multi-scan walk instead of one baseline scan
     "q266_progressive_jpeg_decode" ->

@@ -360,6 +360,63 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** One partial-frame spec for [[gifAnimatedPartial]]: rect placement,
+      * per-pixel palette index (k raster over the rect), the frame's GIF
+      * disposal method, and its transparent index (−1 = opaque). */
+    final case class GifFrameSpec(left: Int, top: Int, w: Int, h: Int,
+                                  idx: Int => Int, disposal: Int = 0,
+                                  transparentIdx: Int = -1)
+
+    /** Real-crawl animated GIF89a: partial-frame rects, each with its
+      * own Graphic Control Extension carrying a disposal method and an
+      * optional transparent index, over a global palette with a declared
+      * background index — the fixture side of the compositing decoder
+      * ([[Multimodal.decodeGifComposited]]). */
+    def gifAnimatedPartial(width: Int, height: Int,
+                           frames: Seq[GifFrameSpec], palette: Array[Byte],
+                           bgIndex: Int = 0,
+                           minCodeSize: Int = 6): Array[Byte] = {
+      require(width > 0 && height > 0 && frames.nonEmpty,
+        "gifAnimatedPartial needs positive dims and frames")
+      val nColors = palette.length / 3
+      require(nColors >= 2 &&
+        nColors == (1 << (Integer.numberOfTrailingZeros(nColors))) &&
+        palette.length % 3 == 0,
+        "palette must hold a power-of-two color count >= 2")
+      val gctBits = Integer.numberOfTrailingZeros(nColors) - 1
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      le16(width); le16(height)
+      out.write(0x80 | (7 << 4) | gctBits)
+      out.write(bgIndex); out.write(0)
+      out.write(palette)
+      frames.foreach { f =>
+        require(f.left >= 0 && f.top >= 0 && f.w > 0 && f.h > 0 &&
+          f.left + f.w <= width && f.top + f.h <= height,
+          s"frame rect ${f.w}x${f.h}@(${f.left},${f.top}) must fit the screen")
+        require(f.disposal >= 0 && f.disposal <= 3, "disposal 0..3")
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write((f.disposal << 2) | (if (f.transparentIdx >= 0) 1 else 0))
+        le16(4)
+        out.write(math.max(0, f.transparentIdx)); out.write(0)
+        out.write(0x2C)
+        le16(f.left); le16(f.top); le16(f.w); le16(f.h)
+        out.write(0)
+        out.write(minCodeSize)
+        val data = lzwEncode(Array.tabulate(f.w * f.h)(f.idx), minCodeSize)
+        var off = 0
+        while (off < data.length) {
+          val n = math.min(126, data.length - off)
+          out.write(n); out.write(data, off, n)
+          off += n
+        }
+        out.write(0)
+      }
+      out.write(0x3B)
+      out.toByteArray
+    }
+
     /** The Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
       * the linear estimate a + b − c, ties in a, b, c order. */
     def paeth(a: Int, b: Int, c: Int): Int = {
@@ -1139,39 +1196,62 @@ object Multimodal {
     (w, h, frames.toArray)
   }
 
-  /** ALL frames of an animated GIF: interlaced frames de-interlace, each
-    * frame's EFFECTIVE palette is its local color table when present
-    * (else the global one — a file may carry either or both), plus the
-    * animation restrictions that keep frames exactly replayable: every
-    * frame must be FULL-FRAME at (0, 0) with the logical-screen dims
-    * (partial-frame updates and disposal compositing fail fast with
-    * named causes — out of scope by design, stated here). Returns
-    * (width, height, one palette-index array per frame, one effective
-    * palette per frame, one color count per frame). */
-  private[graft] def decodeGifFrames(id: Long, p: Array[Byte])
-      : (Int, Int, Array[Array[Int]], Array[Array[Byte]], Array[Int]) = {
+  /** One raw animated-GIF frame before compositing: rect placement,
+    * de-interlaced palette indices, effective palette, and the preceding
+    * Graphic Control Extension's disposal method + transparent index
+    * (−1 when the transparency flag is unset). */
+  private[graft] final case class GifRawFrame(left: Int, top: Int, w: Int,
+                                              h: Int, indices: Array[Int],
+                                              palette: Array[Byte],
+                                              nColors: Int, disposal: Int,
+                                              transparentIdx: Int)
+
+  /** The single animated-GIF block walk: logical screen, background
+    * color index, and every image block as a [[GifRawFrame]] — interlace
+    * undone, each frame's EFFECTIVE palette resolved (local table when
+    * present, else global), GCE disposal/transparency captured. The two
+    * consumers are [[decodeGifFrames]] (index-exact census contract,
+    * full-frame profile) and [[decodeGifComposited]] (RGB canvas
+    * compositing — the real-crawl animation profile). */
+  private def decodeGifAnim(id: Long, p: Array[Byte])
+      : (Int, Int, Int, Array[Byte], Array[GifRawFrame]) = {
     def u8(off: Int): Int = p(off) & 0xFF
     def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
     require(p.length >= 13 &&
       new String(p, 0, 6, "US-ASCII").matches("GIF8[79]a"),
       s"media $id: not a GIF signature")
     val sw = le16(6); val sh = le16(8)
+    require(sw > 0 && sh > 0 && sw.toLong * sh <= MaxDecodePixels,
+      s"media $id: bad GIF screen dims ${sw}x$sh")
     val packed = u8(10)
     val hasGct = (packed & 0x80) != 0
     val gctColors = if (hasGct) 1 << ((packed & 7) + 1) else 0
+    val bgIndex = u8(11)
     val gctOff = 13
     var off = gctOff + 3 * gctColors
     require(off <= p.length, s"media $id: truncated global color table")
     def guard(need: Int, what: String): Unit =
       require(off + need <= p.length, s"media $id: truncated GIF ($what)")
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-    val palettes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    val colorCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifRawFrame]
+    // GCE state applies to the NEXT image block only (GIF89a spec)
+    var disposal = 0
+    var transparentIdx = -1
     var done = false
     while (!done) {
       guard(1, "block introducer")
       u8(off) match {
-        case 0x21 => // extension: skip sub-blocks
+        case 0x21 => // extension
+          guard(2, "extension label")
+          val label = u8(off + 1)
+          if (label == 0xF9) { // Graphic Control Extension
+            guard(7, "graphic control extension")
+            require(u8(off + 2) == 4, s"media $id: bad GCE block size")
+            val gpacked = u8(off + 3)
+            disposal = (gpacked >> 2) & 0x7
+            require(disposal <= 3,
+              s"media $id: reserved GIF disposal method $disposal")
+            transparentIdx = if ((gpacked & 1) != 0) u8(off + 6) else -1
+          }
           off += 2
           while ({ guard(1, "extension sub-block"); u8(off) != 0 }) {
             guard(1 + u8(off), "extension sub-block"); off += 1 + u8(off)
@@ -1183,10 +1263,14 @@ object Multimodal {
           val w = le16(off + 5); val h = le16(off + 7)
           require(w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels,
             s"media $id: bad GIF frame dims ${w}x$h")
-          require(left == 0 && top == 0 && w == sw && h == sh,
-            s"media $id: partial-frame GIF animation out of scope " +
-              s"(frame ${frames.length} is ${w}x$h at ($left, $top), " +
-              s"screen is ${sw}x$sh)")
+          require(left + w <= sw && top + h <= sh,
+            s"media $id: GIF frame ${frames.length} rect ${w}x$h at " +
+              s"($left, $top) exceeds the ${sw}x$sh screen")
+          // bound TOTAL decoded volume: an animation's presented frames
+          // are screen-sized each
+          require(sw.toLong * sh * (frames.length + 1) <= MaxDecodePixels,
+            s"media $id: GIF animation exceeds the $MaxDecodePixels-pixel " +
+              "decode bound")
           val ipacked = u8(off + 9)
           val interlaced = (ipacked & 0x40) != 0
           off += 10
@@ -1220,43 +1304,121 @@ object Multimodal {
               s"${raw(k)} outside the $nColors-color palette")
             k += 1
           }
-          frames += (if (interlaced) gifDeinterlace(raw, w, h) else raw)
-          palettes +=
-            java.util.Arrays.copyOfRange(p, palOff, palOff + 3 * nColors)
-          colorCounts += nColors
+          frames += GifRawFrame(left, top, w, h,
+            if (interlaced) gifDeinterlace(raw, w, h) else raw,
+            java.util.Arrays.copyOfRange(p, palOff, palOff + 3 * nColors),
+            nColors, disposal, transparentIdx)
+          disposal = 0
+          transparentIdx = -1
         case 0x3B => done = true // trailer
         case b => throw new IllegalArgumentException(
           s"media $id: unexpected GIF block 0x${b.toHexString}")
       }
     }
     require(frames.nonEmpty, s"media $id: GIF carries no image blocks")
-    (sw, sh, frames.toArray, palettes.toArray, colorCounts.toArray)
+    val bg = new Array[Byte](3)
+    if (hasGct && bgIndex < gctColors)
+      System.arraycopy(p, gctOff + 3 * bgIndex, bg, 0, 3)
+    (sw, sh, bgIndex, bg, frames.toArray)
+  }
+
+  /** ALL frames of an animated GIF under the INDEX-exact census contract:
+    * every frame must be FULL-FRAME at (0, 0) with the logical-screen
+    * dims and carry no transparency (partial-frame compositing has no
+    * per-frame index representation — [[decodeGifComposited]] is the
+    * RGB-level decoder for that profile). Returns (width, height, one
+    * palette-index array per frame, one effective palette per frame, one
+    * color count per frame). */
+  private[graft] def decodeGifFrames(id: Long, p: Array[Byte])
+      : (Int, Int, Array[Array[Int]], Array[Array[Byte]], Array[Int]) = {
+    val (sw, sh, _, _, raw) = decodeGifAnim(id, p)
+    raw.zipWithIndex.foreach { case (f, i) =>
+      require(f.left == 0 && f.top == 0 && f.w == sw && f.h == sh,
+        s"media $id: the index-census contract needs full-frame GIF " +
+          s"animation (frame $i is ${f.w}x${f.h} at (${f.left}, ${f.top}), " +
+          s"screen is ${sw}x$sh) — use the composited RGB decode")
+      require(f.transparentIdx < 0,
+        s"media $id: the index-census contract needs opaque frames " +
+          s"(frame $i declares transparent index ${f.transparentIdx}) — " +
+          "use the composited RGB decode")
+    }
+    (sw, sh, raw.map(_.indices), raw.map(_.palette), raw.map(_.nColors))
+  }
+
+  /** COMPOSITED animated-GIF decode — the real-crawl profile: frames are
+    * partial RECTS presented onto a persistent canvas, the preceding
+    * GCE's transparent index punches through to what is already there,
+    * and its disposal method runs after presentation — 0/1 keep the
+    * canvas, 2 restores the frame's rect to the BACKGROUND color (the
+    * global table's background entry; black without one), 3 restores the
+    * canvas to its pre-frame state. Returns (width, height, one
+    * presented screen-sized RGB array per frame) — the
+    * [[decodeVideoRgb]] layout, so every frame-level video operator
+    * handles real animations unchanged. */
+  private[graft] def decodeGifComposited(id: Long, p: Array[Byte])
+      : (Int, Int, Array[Array[Byte]]) = {
+    val (sw, sh, _, bg, raw) = decodeGifAnim(id, p)
+    val canvas = new Array[Byte](3 * sw * sh)
+    var k = 0
+    while (k < canvas.length) { // background-initialized canvas
+      canvas(k) = bg(k % 3)
+      k += 1
+    }
+    val out = new Array[Array[Byte]](raw.length)
+    var fi = 0
+    while (fi < raw.length) {
+      val f = raw(fi)
+      val saved = if (f.disposal == 3) canvas.clone() else null
+      var y = 0
+      while (y < f.h) {
+        var x = 0
+        while (x < f.w) {
+          val idx = f.indices(y * f.w + x)
+          if (idx != f.transparentIdx) {
+            val o = 3 * ((f.top + y) * sw + (f.left + x))
+            canvas(o) = f.palette(3 * idx)
+            canvas(o + 1) = f.palette(3 * idx + 1)
+            canvas(o + 2) = f.palette(3 * idx + 2)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out(fi) = canvas.clone() // the presented frame
+      f.disposal match {
+        case 2 => // restore the rect to background
+          var yy = 0
+          while (yy < f.h) {
+            var xx = 0
+            while (xx < f.w) {
+              val o = 3 * ((f.top + yy) * sw + (f.left + xx))
+              canvas(o) = bg(0); canvas(o + 1) = bg(1); canvas(o + 2) = bg(2)
+              xx += 1
+            }
+            yy += 1
+          }
+        case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+        case _ => ()
+      }
+      fi += 1
+    }
+    (sw, sh, out)
   }
 
   /** FORMAT-BLIND video decode: RIFF/AVI payloads take [[decodeAviRgb]];
-    * GIF payloads decode every animation frame ([[decodeGifFrames]]) and
-    * map palette indices to RGB — so an animated-GIF re-encode of an AVI
+    * GIF payloads take the COMPOSITED animation decode
+    * ([[decodeGifComposited]] — partial-frame rects, disposal methods,
+    * transparency; a full-frame opaque animation composites to exactly
+    * its per-frame palette map) — so an animated-GIF re-encode of an AVI
     * carries pixel-identical frames and every frame-level video operator
     * (hashing, dedup, shots, quality) works across the container
-    * boundary. */
+    * boundary, including on real-crawl partial-frame animations. */
   private[graft] def decodeVideoRgb(id: Long, p: Array[Byte])
       : (Int, Int, Array[Array[Byte]]) =
     if (p.length >= 3 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
-        p(2) == 'F'.toByte) {
-      val (w, h, idxFrames, palettes, _) = decodeGifFrames(id, p)
-      val rgbFrames = idxFrames.zip(palettes).map { case (indices, palette) =>
-        val rgb = new Array[Byte](3 * indices.length)
-        var k = 0
-        while (k < indices.length) {
-          val j = 3 * indices(k)
-          rgb(3 * k) = palette(j); rgb(3 * k + 1) = palette(j + 1)
-          rgb(3 * k + 2) = palette(j + 2)
-          k += 1
-        }
-        rgb
-      }
-      (w, h, rgbFrames)
-    } else decodeAviRgb(id, p)
+        p(2) == 'F'.toByte)
+      decodeGifComposited(id, p)
+    else decodeAviRgb(id, p)
 
   /** Per-frame census over REAL AVI frame decode, with REAL frame
     * sampling: only every `everyN`-th frame (frame_idx % everyN == 0) is
@@ -1280,6 +1442,74 @@ object Multimodal {
           VideoFrameStats(m.media_id, f, w, h, w.toLong * h, sr, sg, sb)
       }
     })
+  }
+
+  /** Per-frame quadrant gray sums — the POSITION-SENSITIVE video census:
+    * compositing bugs (a rect placed wrong, a disposal method skipped, a
+    * transparent index painted) move pixels between quadrants, which
+    * per-frame channel sums can be blind to. */
+  final case class VideoFrameQuadrants(media_id: Long, frame_idx: Int,
+                                       q_tl: Long, q_tr: Long,
+                                       q_bl: Long, q_br: Long)
+
+  /** Format-blind per-frame quadrant census over [[decodeVideoRgb]]
+    * (AVI, MJPEG, animated GIF incl. partial-frame compositing), with
+    * the everyN sampling knob. Partition-local map. */
+  def videoFrameQuadrants(media: Dataset[MediaRow],
+                          everyN: Int = 1): Dataset[VideoFrameQuadrants] = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val (w, h, frames) = decodeVideoRgb(m.media_id, m.payload)
+      frames.iterator.zipWithIndex.collect {
+        case (rgb, f) if f % everyN == 0 =>
+          val q = new Array[Long](4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val k = 3 * (y * w + x)
+              val g = ((rgb(k) & 0xFF) + (rgb(k + 1) & 0xFF) +
+                (rgb(k + 2) & 0xFF)) / 3
+              q((if (y < h / 2) 0 else 2) + (if (x < w / 2) 0 else 1)) += g
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrameQuadrants(m.media_id, f, q(0), q(1), q(2), q(3))
+      }
+    })
+  }
+
+  /** COMPOSITED animated-GIF fixtures — the real-crawl animation shape:
+    * a full base frame, then a centered partial rect whose every third
+    * diagonal pixel is TRANSPARENT (the underlying canvas must show
+    * through), then an opaque top-right rect overlapping the second.
+    * The base frame's disposal alternates by id parity — 2 (restore to
+    * background) on even ids, 1 (keep) on odd — so both disposal
+    * semantics land in the oracle. Identity-ramp grayscale palette;
+    * every value replays arithmetically. */
+  def syntheticCompositedGifMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val palette = Array.tabulate(64 * 3)(b => (((b / 3) * 4 + 1) % 256).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      import Containers.GifFrameSpec
+      def idx0(k: Int) = ((id * 23 + (k % 16) * 3 + (k / 16) * 5) % 64).toInt
+      def idx1(k: Int) = {
+        val lx = k % 8; val ly = k / 8
+        if ((lx + ly) % 3 == 0) 63
+        else ((id * 7 + lx * 5 + ly * 3) % 63).toInt
+      }
+      def idx2(k: Int) = ((id * 11 + (k % 8) * 7 + (k / 8) * 9) % 64).toInt
+      val payload = Containers.gifAnimatedPartial(16, 16, Seq(
+        GifFrameSpec(0, 0, 16, 16, idx0,
+          disposal = if (id % 2 == 0) 2 else 1),
+        GifFrameSpec(4, 4, 8, 8, idx1, disposal = 0, transparentIdx = 63),
+        GifFrameSpec(8, 0, 8, 8, idx2)), palette, bgIndex = 0)
+      MediaRow(id, "video", payload, 16, 16, 3)
+    }
   }
 
   /** Deterministic FULL-decode video fixtures: every doc becomes a

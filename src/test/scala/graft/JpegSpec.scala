@@ -455,6 +455,39 @@ class JpegSpec extends AnyFunSuite {
     assert(d <= 2, s"max per-pixel diff vs ImageIO on its own progressive: $d")
   }
 
+  test("an ImageIO-WRITTEN COLOR progressive JPEG (the JDK's subsampled " +
+    "layout) decodes within tolerance — gray content keeps chroma " +
+    "constant so upsampler choice cannot bias the pin") {
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 3 + y * 5 + (x * y) % 23) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    // locate SOF2 and report the luma sampling byte so the test records
+    // whether the JDK emitted the subsampled (0x22) layout
+    val sof = bytes.indices.find(i => (bytes(i) & 0xFF) == 0xFF &&
+      i + 1 < bytes.length && (bytes(i + 1) & 0xFF) == 0xC2)
+    assert(sof.isDefined, "the JDK writer must emit SOF2 in progressive mode")
+    val lumaHv = bytes(sof.get + 11) & 0xFF
+    info(s"JDK progressive color luma sampling byte: 0x${lumaHv.toHexString}")
+    val (dw, dh, ours) = Jpeg.decodeRgb(88L, bytes)
+    val (iw, ih, theirs) = decodeImageIO(bytes)
+    assert((dw, dh) === ((iw, ih)))
+    val d = maxAbsDiff(ours, theirs)
+    assert(d <= 3, s"max per-pixel diff vs ImageIO (luma hv=$lumaHv): $d")
+  }
+
   test("a SOS component selector out of frame order fails by NAME " +
     "(T.81 B.2.3 mandates frame-header order)") {
     val ok = Jpeg.encodeGrayBlocks(16, 16, Array(10, 20, 30, 40), color = true)

@@ -244,7 +244,7 @@ class VideoSpec extends SparkSpec {
 
   test("animated GIF: all frames decode through per-frame LZW; an AVI " +
     "and its animated-GIF re-encode collide frame-for-frame; " +
-    "partial-frame animations fail fast by name") {
+    "partial frames stay outside the index-census contract by name") {
     val w = 10; val h = 9; val nf = 3
     def v(f: Int, x: Int, y: Int): Int = (f * 31 + x * 7 + y * 13) % 256
     val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
@@ -262,20 +262,68 @@ class VideoSpec extends SparkSpec {
     assert((aw, ah) === ((bw, bh)))
     for (f <- 0 until nf)
       assert(aviFrames(f).toSeq === gifFrames(f).toSeq, s"frame $f")
-    // partial-frame animation: named fail-fast, not wrong pixels
-    val partial = {
-      val full = Containers.gifAnimated(4, 4, 1, (_, k) => k % 4,
-        Array.tabulate(4 * 3)(b => (b / 3).toByte), minCodeSize = 2)
-      // patch the image descriptor's width (offset: 6 header + 7 LSD
-      // tail... locate 0x2C instead and patch its w field)
-      val d = full.clone()
-      val imgOff = d.indexOf(0x2C.toByte)
-      d(imgOff + 5) = 2 // width 4 -> 2
-      d
-    }
+    // a REAL partial-frame animation stays outside the index-census
+    // contract by name — while the composited RGB decode handles it
+    val partial = Containers.gifAnimatedPartial(4, 4, Seq(
+      Containers.GifFrameSpec(0, 0, 4, 4, k => k % 4),
+      Containers.GifFrameSpec(1, 1, 2, 2, _ => 3)),
+      Array.tabulate(4 * 3)(b => (b / 3).toByte), minCodeSize = 2)
     val e = intercept[IllegalArgumentException](
       Multimodal.decodeGifFrames(10L, partial))
-    assert(e.getMessage.contains("partial-frame"))
+    assert(e.getMessage.contains("full-frame"), e.getMessage)
+    assert(Multimodal.decodeVideoRgb(11L, partial)._3.length === 2)
+  }
+
+  test("composited animated GIF: partial rects, transparency, and the " +
+    "disposal methods replay the canvas algebra exactly") {
+    import Containers.GifFrameSpec
+    val pal = Array.tabulate(8 * 3)(b => ((b / 3) * 30).toByte) // gray j*30
+    // screen 6x4, background index 1 (gray 30):
+    // f0 full at index 2 (gray 60), disposal 2 (restore to bg after);
+    // f1 rect (2,1,3,2) at index 3 (gray 90) with local (0,0) transparent,
+    //    disposal 3 (restore to previous after);
+    // f2 rect (0,0,2,2) at index 4 (gray 120)
+    val gif = Containers.gifAnimatedPartial(6, 4, Seq(
+      GifFrameSpec(0, 0, 6, 4, _ => 2, disposal = 2),
+      GifFrameSpec(2, 1, 3, 2, k => if (k == 0) 7 else 3, disposal = 3,
+        transparentIdx = 7),
+      GifFrameSpec(0, 0, 2, 2, _ => 4)), pal, bgIndex = 1)
+    val (w, h, frames) = Multimodal.decodeVideoRgb(90L, gif)
+    assert((w, h) === ((6, 4)) && frames.length === 3)
+    def at(f: Int, x: Int, y: Int) = frames(f)(3 * (y * 6 + x)) & 0xFF
+    for (y <- 0 until 4; x <- 0 until 6) assert(at(0, x, y) === 60, s"f0 ($x,$y)")
+    // f0's disposal 2 restored the full-screen rect to bg before f1: the
+    // transparent pixel shows BACKGROUND, not f0's content
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val in = x >= 2 && x <= 4 && y >= 1 && y <= 2
+      val expect = if (in && !(x == 2 && y == 1)) 90 else 30
+      assert(at(1, x, y) === expect, s"f1 ($x,$y)")
+    }
+    // f1's disposal 3 restored the pre-f1 canvas (all bg) before f2
+    for (y <- 0 until 4; x <- 0 until 6) {
+      val expect = if (x < 2 && y < 2) 120 else 30
+      assert(at(2, x, y) === expect, s"f2 ($x,$y)")
+    }
+    // disposal 1 (keep): the f1 content persists under f2 instead
+    val keep = Containers.gifAnimatedPartial(6, 4, Seq(
+      GifFrameSpec(0, 0, 6, 4, _ => 2, disposal = 1),
+      GifFrameSpec(2, 1, 3, 2, k => if (k == 0) 7 else 3, disposal = 1,
+        transparentIdx = 7),
+      GifFrameSpec(0, 0, 2, 2, _ => 4)), pal, bgIndex = 1)
+    val (_, _, kf) = Multimodal.decodeVideoRgb(92L, keep)
+    def kat(f: Int, x: Int, y: Int) = kf(f)(3 * (y * 6 + x)) & 0xFF
+    // transparent pixel now shows f0's 60; f2 overlays the kept canvas
+    assert(kat(1, 2, 1) === 60 && kat(1, 3, 1) === 90)
+    assert(kat(2, 3, 1) === 90 && kat(2, 0, 0) === 120 && kat(2, 5, 3) === 60)
+    // a frame rect exceeding the screen fails by name (patched bytes —
+    // the builder refuses to construct one)
+    val bad = Containers.gifAnimatedPartial(6, 4,
+      Seq(GifFrameSpec(0, 0, 3, 2, _ => 1)), pal).clone()
+    val imgOff = bad.indexOf(0x2C.toByte)
+    bad(imgOff + 1) = 5 // left 0 -> 5: rect 5+3 > 6
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeVideoRgb(93L, bad))
+    assert(e.getMessage.contains("exceeds the"), e.getMessage)
   }
 
   test("animated GIF with per-frame LOCAL palettes + interlacing decodes " +
