@@ -230,6 +230,7 @@ private[graft] object Jpeg {
             val tq = u8(q) & 0x0F
             require(pq == 0,
               s"media $id: only 8-bit quantization tables supported (Pq=$pq)")
+            require(tq < 4, s"media $id: bad DQT table id $tq")
             require(q.toLong + 1 + 64 <= endQ, s"media $id: truncated DQT table")
             val tbl = new Array[Int](64)
             var k = 0
@@ -600,6 +601,7 @@ private[graft] object Jpeg {
             val tq = u8(q) & 0x0F
             require(pq == 0,
               s"media $id: only 8-bit quantization tables supported (Pq=$pq)")
+            require(tq < 4, s"media $id: bad DQT table id $tq")
             require(q.toLong + 1 + 64 <= endQ, s"media $id: truncated DQT table")
             val tbl = new Array[Int](64)
             var k = 0

@@ -83,6 +83,16 @@ class FuzzSpec extends AnyFunSuite {
   test("fuzz: animated GIF decode fails only by name on hostile bytes") {
     fuzz("gif", gifPayload, 6, p => Multimodal.decodeGifFrames(4L, p))
     fuzz("gif1", gifPayload, 6, p => Multimodal.decodeGifIdx(5L, p))
+    // the compositing walk (partial rects, disposal, transparency)
+    // inherits the contract
+    val partialPayload = Containers.gifAnimatedPartial(10, 8, Seq(
+      Containers.GifFrameSpec(0, 0, 10, 8, k => k % 16, disposal = 2),
+      Containers.GifFrameSpec(2, 1, 6, 4, k => (k + 3) % 16, disposal = 3,
+        transparentIdx = 7),
+      Containers.GifFrameSpec(4, 4, 4, 4, k => (k + 9) % 16)),
+      Array.tabulate(16 * 3)(b => (b * 5).toByte), minCodeSize = 4)
+    fuzz("gif-comp", partialPayload, 6,
+      p => Multimodal.decodeGifComposited(18L, p))
   }
 
   private val jpegPayload = graft.multimodal.Jpeg.encodeBlocks(16, 16,
@@ -131,6 +141,54 @@ class FuzzSpec extends AnyFunSuite {
   test("fuzz: the format-blind video dispatch inherits the contract") {
     fuzz("vid-avi", aviPayload, 12, p => Multimodal.decodeVideoRgb(6L, p))
     fuzz("vid-gif", gifPayload, 6, p => Multimodal.decodeVideoRgb(7L, p))
+  }
+
+  test("fuzz: EXTENDED campaign — opt-in deep mutation sweep over every " +
+    "decoder (SPARK_GRAFT_FUZZ_EXTENDED=<seed>; skipped otherwise)") {
+    assume(sys.env.contains("SPARK_GRAFT_FUZZ_EXTENDED"))
+    val seed = sys.env("SPARK_GRAFT_FUZZ_EXTENDED").toLong
+    val deep = new scala.util.Random(seed)
+    val progPayload = graft.multimodal.Jpeg.encodeProgressive(16, 16,
+      Array(Array.tabulate(4) { b =>
+        val blk = new Array[Int](64)
+        blk(0) = b * 17 - 30; blk(5) = 3; blk(20) = -2
+        blk
+      }))
+    val sub420 = graft.multimodal.Jpeg.encodeGray420(32, 16,
+      Array.tabulate(8)(k => (k * 31 + 9) % 256), restartInterval = 1)
+    val stereoFlac = graft.multimodal.Flac.encode(
+      Array.tabulate(2 * 300)(i => ((i.toLong * 13 + 7) % 4096 - 2048).toInt),
+      channels = 2, stereoMode = 10, lpc = Some((Array(3, -1), 1)))
+    val partialGif = Containers.gifAnimatedPartial(10, 8, Seq(
+      Containers.GifFrameSpec(0, 0, 10, 8, k => k % 16, disposal = 2),
+      Containers.GifFrameSpec(2, 1, 6, 4, k => (k + 3) % 16, disposal = 3,
+        transparentIdx = 7)),
+      Array.tabulate(16 * 3)(b => (b * 5).toByte), minCodeSize = 4)
+    val mjpeg = Containers.aviMjpeg(16, 16, Array.tabulate(2)(f =>
+      graft.multimodal.Jpeg.encodeGrayBlocks(16, 16, Array(40 + f, 90, 140, 200))))
+    val targets: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("png", pngPayload, p => Multimodal.decodePngRgba(1L, p)),
+      ("wav", wavPayload, p => Multimodal.pcm16Samples(2L, p)),
+      ("avi", aviPayload, p => Multimodal.decodeAviRgb(3L, p)),
+      ("mjpeg", mjpeg, p => Multimodal.decodeAviRgb(4L, p)),
+      ("gif", gifPayload, p => Multimodal.decodeGifFrames(5L, p)),
+      ("gif-comp", partialGif, p => Multimodal.decodeGifComposited(6L, p)),
+      ("jpeg", jpegPayload, p => graft.multimodal.Jpeg.decodeRgb(7L, p)),
+      ("jpeg-prog", progPayload, p => graft.multimodal.Jpeg.decodeRgb(8L, p)),
+      ("jpeg-420", sub420, p => graft.multimodal.Jpeg.decodeRgb(9L, p)),
+      ("flac", flacPayload, p => graft.multimodal.Flac.decode(10L, p)),
+      ("flac-st", stereoFlac, p => graft.multimodal.Flac.decode(11L, p)))
+    targets.foreach { case (name, valid, decode) =>
+      for (i <- 0 until 3000) {
+        val m = valid.clone()
+        for (_ <- 0 to deep.nextInt(10))
+          m(deep.nextInt(m.length)) = deep.nextInt(256).toByte
+        fuzzOne(s"deep-$name/mut#$i", m, decode)
+      }
+      for (i <- 0 until 500)
+        fuzzOne(s"deep-$name/trunc#$i",
+          valid.take(deep.nextInt(valid.length)), decode)
+    }
   }
 
   test("the exact signed-length attacks that motivated the guards " +

@@ -175,6 +175,29 @@ class JpegSpec extends AnyFunSuite {
     assert(maxAbsDiff(ours, theirs) <= 1)
   }
 
+  test("baseline, 4:2:0, and PROGRESSIVE encodings of the SAME content " +
+    "land on ONE dHash — layout-blind perceptual dedup within JPEG") {
+    import graft.multimodal.MediaDedup
+    // 64x64, 8x8-block-constant content: exact through all three layouts
+    def g(k: Int): Int = (k * k * 11 + k * 7 + 31) % 256
+    val grays = Array.tabulate(64)(g)
+    val baseline = Jpeg.encodeGrayBlocks(64, 64, grays, color = true)
+    val sub420 = Jpeg.encodeGray420(64, 64, grays)
+    val luma = grays.map { v =>
+      val blk = new Array[Int](64)
+      blk(0) = v - 128
+      blk
+    }
+    val prog = Jpeg.encodeProgressive(64, 64,
+      Array(luma, Array.fill(64)(new Array[Int](64)),
+        Array.fill(64)(new Array[Int](64))))
+    val hashes = Seq(baseline, sub420, prog).zipWithIndex.map { case (b, i) =>
+      MediaDedup.dhashOneImage(100L + i, b)
+    }
+    assert(hashes.distinct.length === 1,
+      s"layouts disagree: ${hashes.mkString(", ")}")
+  }
+
   test("a JPEG and a PNG of the SAME content land on the SAME dHash — " +
     "perceptual dedup is three-format-blind") {
     import graft.multimodal.{MediaDedup, Multimodal}
