@@ -11,10 +11,11 @@ package graft.multimodal
   * the sample decode dispatches on magic.
   *
   * Decoder profile (restrictions FAIL FAST by name, the package
-  * contract): 16-bit MONO and STEREO streams with fixed blocking
-  * strategy; all four stereo channel assignments (independent,
+  * contract): 16-bit streams of 1–8 channels with fixed blocking
+  * strategy — mono, all four STEREO channel assignments (independent,
   * left/side, right/side, mid/side — the side channel carries its
-  * spec'd extra bit); subframe types CONSTANT, VERBATIM, FIXED orders
+  * spec'd extra bit), and 3–8 INDEPENDENT channels (surround rips
+  * interleave in channel order); subframe types CONSTANT, VERBATIM, FIXED orders
   * 0–4, and general LPC orders 1–32 (quantized-coefficient integer
   * prediction with a non-negative shift — still pure integer, still
   * lossless); Rice residual methods 0 (4-bit params) and 1 (5-bit
@@ -259,8 +260,8 @@ private[graft] object Flac {
         sampleRate = (u8(d + 10) << 12) | (u8(d + 11) << 4) | (u8(d + 12) >> 4)
         nChannels = ((u8(d + 12) >> 1) & 0x7) + 1
         val bps = (((u8(d + 12) & 1) << 4) | (u8(d + 13) >> 4)) + 1
-        require(nChannels <= 2,
-          s"media $id: only mono/stereo FLAC supported (got $nChannels channels)")
+        require(nChannels <= 8,
+          s"media $id: at most 8 FLAC channels supported (got $nChannels)")
         require(bps == 16,
           s"media $id: only 16-bit FLAC supported (got $bps bps)")
         totalSamples = ((u8(d + 13) & 0xF).toLong << 32) |
@@ -291,12 +292,11 @@ private[graft] object Flac {
       val chan = u8(off + 3) >> 4
       val ssCode = (u8(off + 3) >> 1) & 0x7
       require((u8(off + 3) & 1) == 0, s"media $id: reserved frame bit set")
-      // 0 = mono, 1 = independent L/R, 8/9/10 = left-side / right-side /
-      // mid-side decorrelation (RFC 9639 §9.1.3)
-      require(chan == 0 || chan == 1 || (chan >= 8 && chan <= 10),
-        s"media $id: channel assignment $chan unsupported " +
-          "(mono, independent stereo, or a side-coded stereo pair)")
-      val frameChannels = if (chan == 0) 1 else 2
+      // 0..7 = that many + 1 INDEPENDENT channels, 8/9/10 = left-side /
+      // right-side / mid-side stereo decorrelation (RFC 9639 §9.1.3)
+      require(chan <= 10,
+        s"media $id: channel assignment $chan unsupported")
+      val frameChannels = if (chan <= 7) chan + 1 else 2
       require(frameChannels == nChannels,
         s"media $id: frame channel assignment $chan disagrees with " +
           s"STREAMINFO's $nChannels channel(s)")
@@ -342,11 +342,17 @@ private[graft] object Flac {
       // subframes — one per channel, bit-contiguous on a shared reader;
       // the SIDE channel of an 8/9/10 assignment carries one extra bit
       val r = new BitReader(id, p, off)
-      val ch0 = decodeSubframe(id, r, blockSize,
-        if (chan == 9) 17 else 16)
-      val ch1 = if (frameChannels == 2)
-        decodeSubframe(id, r, blockSize, if (chan == 8 || chan == 10) 17 else 16)
-      else null
+      val chs = new Array[Array[Int]](frameChannels)
+      var ci = 0
+      while (ci < frameChannels) {
+        val extra = chan match {
+          case 8 | 10 => if (ci == 1) 1 else 0
+          case 9 => if (ci == 0) 1 else 0
+          case _ => 0
+        }
+        chs(ci) = decodeSubframe(id, r, blockSize, 16 + extra)
+        ci += 1
+      }
       r.align()
       off = r.bytePos
       val fcrc = (u8(off) << 8) | u8(off + 1)
@@ -363,13 +369,14 @@ private[graft] object Flac {
       var i = 0
       while (i < blockSize) {
         chan match {
-          case 0 => emit(ch0(i))
-          case 1 => emit(ch0(i)); emit(ch1(i))
-          case 8 => emit(ch0(i)); emit(ch0(i) - ch1(i)) // left, left - side
-          case 9 => emit(ch1(i) + ch0(i)); emit(ch1(i)) // right + side, right
+          case ca if ca <= 7 => // independent channels, interleave in order
+            var c2 = 0
+            while (c2 < frameChannels) { emit(chs(c2)(i)); c2 += 1 }
+          case 8 => emit(chs(0)(i)); emit(chs(0)(i) - chs(1)(i)) // left, left - side
+          case 9 => emit(chs(1)(i) + chs(0)(i)); emit(chs(1)(i)) // right + side, right
           case _ => // 10: mid/side
-            val m2 = (ch0(i) << 1) | (ch1(i) & 1)
-            emit((m2 + ch1(i)) >> 1); emit((m2 - ch1(i)) >> 1)
+            val m2 = (chs(0)(i) << 1) | (chs(1)(i) & 1)
+            emit((m2 + chs(1)(i)) >> 1); emit((m2 - chs(1)(i)) >> 1)
         }
         i += 1
       }
@@ -419,10 +426,10 @@ private[graft] object Flac {
     require(samples.nonEmpty && samples.length <= (1 << 24), "sample count")
     require(blockSize >= 16 && blockSize <= 256, "fixture blockSize <= 256")
     require(order >= 0 && order <= 4, "fixed order 0..4")
-    require(channels == 1 || channels == 2, "1 or 2 channels")
-    require(channels == 1 || samples.length % 2 == 0,
-      "stereo needs an even interleaved sample count")
-    require(channels == 1 || stereoMode == 1 ||
+    require(channels >= 1 && channels <= 8, "1 to 8 channels")
+    require(samples.length % channels == 0,
+      "interleaved sample count must divide by the channel count")
+    require(channels != 2 || stereoMode == 1 ||
       (stereoMode >= 8 && stereoMode <= 10), s"stereo mode $stereoMode")
     lpc.foreach { case (coefs, shift) =>
       require(coefs.nonEmpty && coefs.length <= 32, "LPC order 1..32")
@@ -515,7 +522,10 @@ private[graft] object Flac {
     while (n < perChannel) {
       val bs = math.min(blockSize, perChannel - n)
       require(frameIdx < 128, "fixture frame count needs 1-byte coded numbers")
-      val chanCode = if (channels == 1) 0 else stereoMode
+      val chanCode =
+        if (channels == 1) 0
+        else if (channels == 2) stereoMode
+        else channels - 1 // 3+ channels: independent
       val frame = new java.io.ByteArrayOutputStream()
       // header: sync(14) 0 blocking(0) | bsCode=6 (8-bit value-1) |
       // srCode=0 | chan | ssCode=4 | 0
@@ -529,6 +539,15 @@ private[graft] object Flac {
       val bw = new BitWriter(frame)
       if (channels == 1) {
         writeSubframe(bw, java.util.Arrays.copyOfRange(samples, n, n + bs), 16)
+      } else if (channels > 2) { // independent surround channels
+        var c = 0
+        while (c < channels) {
+          val x = new Array[Int](bs)
+          var j = 0
+          while (j < bs) { x(j) = samples(channels * (n + j) + c); j += 1 }
+          writeSubframe(bw, x, 16)
+          c += 1
+        }
       } else {
         val l = new Array[Int](bs)
         val r = new Array[Int](bs)

@@ -1295,8 +1295,8 @@ private[graft] object Jpeg {
     * in spec. */
   def encodeProgressive(width: Int, height: Int,
                         blocks: Array[Array[Array[Int]]],
-                        bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)))
-      : Array[Byte] = {
+                        bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+                        restartInterval: Int = 0): Array[Byte] = {
     val nComp = blocks.length
     require(nComp == 1 || nComp == 3, "1 or 3 components")
     require(bands.nonEmpty && bands.head._1 == 1 &&
@@ -1331,6 +1331,7 @@ private[graft] object Jpeg {
     u8(0x10); acSpec._1.foreach(u8); out.write(acSpec._2)
     val dcCodes = canonical(dcSpec)
     val acCodes = canonical(acSpec)
+    if (restartInterval > 0) { u8(0xFF); u8(0xDD); u16(4); u16(restartInterval) }
     // first DC scan: interleaved, Ss=0 Se=0 Ah=0 Al=0
     u8(0xFF); u8(0xDA); u16(6 + 2 * nComp); u8(nComp)
     c = 0
@@ -1340,6 +1341,11 @@ private[graft] object Jpeg {
     val pred = new Array[Int](3)
     var mcu = 0
     while (mcu < bw * bh) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bwrt.align()
+        u8(0xFF); u8(0xD0 + ((mcu / restartInterval - 1) & 7))
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+      }
       c = 0
       while (c < nComp) {
         val diff = blocks(c)(mcu)(0) - pred(c)
@@ -1364,6 +1370,10 @@ private[graft] object Jpeg {
         val bws = new BitWriter(out)
         var b = 0
         while (b < bw * bh) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            bws.align()
+            u8(0xFF); u8(0xD0 + ((b / restartInterval - 1) & 7))
+          }
           val blk = blocks(c)(b)
           var run = 0
           var kk = ss

@@ -1870,7 +1870,7 @@ object Multimodal {
     "only 16-bit" -> "unsupported_depth",
     "only 24-bit" -> "unsupported_depth",
     "only 8-bit" -> "unsupported_depth",
-    "mono/stereo" -> "unsupported_channels",
+    "channels supported" -> "unsupported_channels",
     "decode bound" -> "decode_bound",
     "truncated" -> "truncated",
     "CRC" -> "crc_mismatch",

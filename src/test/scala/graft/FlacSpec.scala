@@ -7,13 +7,13 @@ import graft.multimodal.Flac
 /** The FLAC codec contract: LOSSLESS round-trips (encode → decode ==
   * input, bit-exact — fixed predictors + Rice residuals are pure integer
   * arithmetic), CRC-8/CRC-16 verification catches corruption by name,
-  * out-of-scope shapes (>2 channels, reserved subframe types) fail by
-  * name, stereo decorrelation and general LPC round-trip losslessly, and
-  * the format-blind
-  * audio dispatch makes a FLAC re-encode of a WAV clip land on the SAME
-  * energy-contour fingerprint — the cross-format audio dedup case,
-  * mirroring the PNG↔GIF↔JPEG image story. FuzzSpec drives hostile bytes
-  * separately. */
+  * stereo decorrelation / general LPC / 3–8 independent channels all
+  * round-trip losslessly, malformed shapes (channel-count disagreement,
+  * reserved subframe types, >8 channels) fail by name, and the
+  * format-blind audio dispatch makes a FLAC re-encode of a WAV clip land
+  * on the SAME energy-contour fingerprint — the cross-format audio dedup
+  * case, mirroring the PNG↔GIF↔JPEG image story. FuzzSpec drives hostile
+  * bytes separately. */
 class FlacSpec extends AnyFunSuite {
 
   private def sweep(seed: Int, n: Int): Array[Int] =
@@ -112,6 +112,21 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(51L, bytes)._3.toSeq === inter.toSeq)
   }
 
+  test("MULTICHANNEL (3-8 independent channels) round-trips bit-exactly " +
+    "through interleaved order") {
+    for (nc <- Seq(3, 6, 8)) {
+      val n = 120
+      val inter = Array.tabulate(nc * n) { i =>
+        val c = i % nc; val p = i / nc
+        ((p.toLong * (7 + c * 5) + c * 999) % 4096 - 2048).toInt
+      }
+      val (ch, rate, out) = Flac.decode(60L + nc,
+        Flac.encode(inter, channels = nc))
+      assert(ch === nc && rate === 16000)
+      assert(out.toSeq === inter.toSeq, s"channels $nc")
+    }
+  }
+
   test("corruption and out-of-scope shapes fail by NAME") {
     val ok = Flac.encode(sweep(7, 300))
 
@@ -129,11 +144,12 @@ class FlacSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Flac.decode(21L, stereo))
     assert(e2.getMessage.contains("disagrees"), e2.getMessage)
 
-    // 3+ channels stay out of scope by name
+    // a channel count disagreeing with the frames stays named (3 channels
+    // declared over mono frames)
     val three = ok.clone()
     three(20) = ((three(20) & 0xF1) | 0x04).toByte // channels-1: 0 -> 2
     val e2b = intercept[IllegalArgumentException](Flac.decode(25L, three))
-    assert(e2b.getMessage.contains("mono/stereo"), e2b.getMessage)
+    assert(e2b.getMessage.contains("disagrees"), e2b.getMessage)
 
     // not FLAC at all
     val e3 = intercept[IllegalArgumentException](

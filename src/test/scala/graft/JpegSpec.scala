@@ -452,6 +452,31 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("PROGRESSIVE restart markers round-trip (predictor + EOB-run " +
+    "resets inside DC and AC scans)") {
+    val bw = 4; val bh = 2
+    def comp(seed: Int) = Array.tabulate(bw * bh) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = ((b * 21 + seed * 11) % 60) - 30
+      var k = 0
+      while (k < 64) {
+        if (k > 0 && (k * 5 + seed * 7 + b) % 13 == 0)
+          blk(k) = ((k * 3 + seed + b * 5) % 9) - 4
+        k += 1
+      }
+      blk
+    }
+    for (comps <- Seq(Array(comp(1)), Array(comp(1), comp(2), comp(3)))) {
+      val plain = Jpeg.encodeProgressive(32, 16, comps)
+      val restarted = Jpeg.encodeProgressive(32, 16, comps,
+        restartInterval = 3)
+      assert(restarted.length > plain.length, "RSTn markers must be present")
+      val (_, _, rgbA) = Jpeg.decodeRgb(95L, plain)
+      val (_, _, rgbB) = Jpeg.decodeRgb(96L, restarted)
+      assert(rgbB.toSeq === rgbA.toSeq, s"nComp=${comps.length}")
+    }
+  }
+
   test("an ImageIO-WRITTEN progressive JPEG (real successive-approximation " +
     "scan script) decodes within rounding tolerance of ImageIO's reader") {
     val w = 40; val h = 24

@@ -278,6 +278,72 @@ class MediaIngestSpec extends SparkSpec {
       "the FLAC re-encode of a committed WAV clip must be rejected")
   }
 
+  test("this round's layouts arrive in the streams and are rejected: a " +
+    "PROGRESSIVE re-encode of committed baseline JPEG content, and a " +
+    "PARTIAL-FRAME GIF re-cut of a committed AVI") {
+    import spark.implicits._
+    // image side: baseline JPEG committed, progressive re-encode arrives
+    def cellGray(bx: Int, by: Int): Int =
+      (19 + bx * bx * 7 + by * by * 5 + bx * by * 9) % 256
+    val grays = Array.tabulate(64)(c => cellGray(c % 8, c / 8))
+    val baseRow = MediaRow(21, "image",
+      graft.multimodal.Jpeg.encodeGrayBlocks(64, 64, grays), 64, 64, 1)
+    val progRow = MediaRow(22, "image",
+      graft.multimodal.Jpeg.encodeProgressive(64, 64, Array(grays.map { g =>
+        val blk = new Array[Int](64)
+        blk(0) = g - 128
+        blk
+      })), 64, 64, 1)
+    val in = Files.createTempDirectory("graft-prog-in").toString
+    val lake = new LakeTable(spark,
+      Files.createTempDirectory("graft-prog-lake").toString)
+    writeBatchFile(in, "b1", Seq(baseRow))
+    val q1 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    writeBatchFile(in, "b2", Seq(progRow))
+    val q2 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(21L),
+      "the progressive re-encode of committed baseline content must be rejected")
+
+    // video side: an AVI committed, then a PARTIAL-FRAME GIF whose
+    // composited frames equal the AVI's (frame 1 re-draws only the
+    // changed rect over frame 0) arrives
+    val w = 16; val h = 12
+    def f0(x: Int, y: Int): Int = (x * 5 + y * 7 + 13) % 256
+    def f1(x: Int, y: Int): Int =
+      if (x >= 4 && x < 12 && y >= 4 && y < 10) (x * 11 + y * 3 + 40) % 256
+      else f0(x, y)
+    val avi = MediaRow(31, "video", Containers.aviFull(w, h, 2,
+      (f, x, y, _) => if (f == 0) f0(x, y) else f1(x, y)), w, h, 2)
+    val gifPal = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    val gif = MediaRow(32, "video", Containers.gifAnimatedPartial(w, h, Seq(
+      Containers.GifFrameSpec(0, 0, w, h, k => f0(k % w, k / w)),
+      Containers.GifFrameSpec(4, 4, 8, 6,
+        k => f1(4 + k % 8, 4 + k / 8))), gifPal, minCodeSize = 8), w, h, 2)
+    val inV = Files.createTempDirectory("graft-pgif-in").toString
+    val lakeV = new LakeTable(spark,
+      Files.createTempDirectory("graft-pgif-lake").toString)
+    writeBatchFile(inV, "b1", Seq(avi))
+    val qv1 = MediaIngest.startVideoDedup(spark, inV, lakeV, "media",
+      trigger = Trigger.AvailableNow())
+    qv1.awaitTermination(120000)
+    assert(qv1.exception.isEmpty)
+    writeBatchFile(inV, "b2", Seq(gif))
+    val qv2 = MediaIngest.startVideoDedup(spark, inV, lakeV, "media",
+      trigger = Trigger.AvailableNow())
+    qv2.awaitTermination(120000)
+    assert(qv2.exception.isEmpty)
+    assert(lakeV.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(31L),
+      "the partial-frame GIF re-cut of a committed AVI must be rejected")
+  }
+
   // joint (caption, image, audio) item: any-modality dedup fixtures
   private def jointItem(id: Long, caption: String, gray: (Int, Int) => Int,
                         clip: Int => Int): (Long, String, Array[Byte], Array[Byte]) = {
