@@ -1830,6 +1830,20 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- PNG COLOR-TYPE matrix + ADAM7 decode [ext]: real-crawl PNGs
+    // are mostly RGB (type 2) and palette (type 3), and some are
+    // Adam7-interlaced — all previously failed fast into header-only
+    // (the decoder was 8-bit RGBA-only). Now all five 8-bit color types
+    // decode, per-pass-filtered Adam7 de-interlaces, palette PNGs apply
+    // PLTE (+ optional tRNS alpha). Census = the position-sensitive
+    // block-means table: a mis-scattered Adam7 pass permutes pixels and
+    // hash-mismatches where sums are permutation-blind. PNG is LOSSLESS,
+    // so every type replays one closed form exactly; ImageIO agreement
+    // across the matrix is spec-pinned (budget <= 3 s) ---
+    "q268_png_variant_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticPngVariantMedia(
+          t(s, d, "documents")), blockPx = 2)),
     // --- COMPOSITED animated GIF decode [ext]: real-crawl animations
     // are PARTIAL-frame updates presented onto a persistent canvas with
     // per-frame disposal methods (keep / restore-to-background /
@@ -5048,6 +5062,24 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // PNG-variant replay: one planted gray formula across the color-type
+    // matrix (palette types go through the identity-ramp lookup),
+    // reduced to 2x2 block means
+    "q268_png_variant_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h, " +
+        "doc_id % 5 AS ct FROM documents), " +
+        "px AS (SELECT media_id, w, h, ct, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "CASE WHEN ct = 2 " +
+        "THEN ((media_id*13 + (k % w)*3 + (k // w)*7) % 256 % 64) * 4 + 1 " +
+        "ELSE (media_id*13 + (k % w)*3 + (k // w)*7) % 256 END AS gray " +
+        "FROM px), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
     // composited-GIF replay: the canvas algebra — base frame, disposal
     // by parity, the transparent diagonal showing the base (or the
     // restored background) through, the opaque overlay winning where

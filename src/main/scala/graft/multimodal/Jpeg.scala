@@ -20,8 +20,8 @@ package graft.multimodal
   * legally between decoders, so cross-decoder pinning uses constant
   * chroma planes, which every upsampler preserves. Progressive (SOF2),
   * arithmetic coding, 12-bit, sampling factors 3/4, and multi-scan
-  * files are named errors, the same by-design scope statement as the
-  * PNG (8-bit RGBA only) decoder.
+  * files are named errors — measured scope statements, counted by the
+  * decode-health census rather than silent.
   *
   * Exactness contract: the IDCT is the textbook separable 8-point
   * float transform with round-half-up, then +128 level shift and a

@@ -167,6 +167,104 @@ object Multimodal {
         pngChunk("IEND", Array.emptyByteArray)
     }
 
+    /** Filter one image's scanlines into the PNG raw layout (one filter
+      * byte + stride per row). `sample(row, i)` returns the i-th raw
+      * channel byte of that scanline; `channels` drives the filter's
+      * pixel width. Shared by [[pngTyped]]'s sequential and ADAM7
+      * paths. */
+    private def pngFilterRows(width: Int, height: Int, channels: Int,
+                              sample: (Int, Int) => Int,
+                              filterType: Int): Array[Byte] = {
+      val stride = width * channels
+      val raw = new Array[Byte](height * (1 + stride))
+      val prior = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var y = 0
+      while (y < height) {
+        val base = y * (1 + stride)
+        raw(base) = filterType.toByte
+        var x = 0
+        while (x < stride) { cur(x) = sample(y, x) & 0xFF; x += 1 }
+        x = 0
+        while (x < stride) {
+          val a = if (x >= channels) cur(x - channels) else 0
+          val b = if (y > 0) prior(x) else 0
+          val c = if (y > 0 && x >= channels) prior(x - channels) else 0
+          val pred = filterType match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          raw(base + 1 + x) = ((cur(x) - pred) & 0xFF).toByte
+          x += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        y += 1
+      }
+      raw
+    }
+
+    /** Spec-complete PNG across the 8-bit COLOR-TYPE matrix — 0 gray,
+      * 2 RGB, 3 palette (optional tRNS alpha), 4 gray+alpha, 6 RGBA —
+      * optionally ADAM7-interlaced (pass-ordered scanlines, each pass
+      * filtered independently): the encoder side of the general decoder.
+      * `sample(k)` returns the k-th raw channel byte in row-major
+      * scanline order (channels-per-pixel set by the color type). */
+    def pngTyped(width: Int, height: Int, colorType: Int, sample: Int => Int,
+                 palette: Array[Byte] = null, trns: Array[Byte] = null,
+                 filterType: Int = 0,
+                 interlaced: Boolean = false): Array[Byte] = {
+      require(width > 0 && height > 0, "pngTyped needs positive dimensions")
+      require(filterType >= 0 && filterType <= 4, "PNG filter type is 0..4")
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case other => throw new IllegalArgumentException(
+          s"PNG color type $other")
+      }
+      require((colorType == 3) == (palette != null),
+        "palette iff color type 3")
+      require(trns == null || colorType == 3, "tRNS only with a palette")
+      val raw: Array[Byte] =
+        if (!interlaced)
+          pngFilterRows(width, height, channels,
+            (y, i) => sample(y * width * channels + i), filterType)
+        else {
+          val outRaw = new java.io.ByteArrayOutputStream()
+          val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+            (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+          passes.foreach { case (x0, y0, dxp, dyp) =>
+            val pw = if (width > x0) (width - x0 + dxp - 1) / dxp else 0
+            val ph = if (height > y0) (height - y0 + dyp - 1) / dyp else 0
+            if (pw > 0 && ph > 0)
+              outRaw.write(pngFilterRows(pw, ph, channels, (j, i) => {
+                val px = i / channels
+                val ch = i % channels
+                sample(((y0 + j * dyp) * width + (x0 + px * dxp)) * channels
+                  + ch)
+              }, filterType))
+          }
+          outRaw.toByteArray
+        }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val z = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+        .put(if (interlaced) 1.toByte else 0.toByte).array()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+      sig ++ pngChunk("IHDR", ihdr) ++
+        (if (palette != null) pngChunk("PLTE", palette)
+        else Array.emptyByteArray) ++
+        (if (trns != null) pngChunk("tRNS", trns) else Array.emptyByteArray) ++
+        pngChunk("IDAT", z.toByteArray) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+
     /** GIF-variant LZW compress (GIF89a spec, Appendix F): variable-width
       * codes starting at minCodeSize+1 bits, LSB-first bit packing, CLEAR
       * = 2^min and EOI = CLEAR+1 reserved, dictionary grown one entry per
@@ -873,10 +971,11 @@ object Multimodal {
     * (None/Sub/Up/Average/Paeth — RFC 2083 §6), and reduces each image to
     * its exact per-channel pixel sums (longs — no float accumulation, so
     * the census replays arithmetically for planted pixel formulas).
-    * Supports the 8-bit RGBA layout the fixtures emit and fails fast with
-    * a diagnosable message on anything else (interlace, palettes, other
-    * bit depths — out of scope, named in the error). Pure partition-local
-    * map; decompression memory is one image at a time per task. */
+    * Supports the full 8-bit COLOR-TYPE matrix (gray, RGB, palette with
+    * optional tRNS alpha, gray+alpha, RGBA) and ADAM7 interlacing (each
+    * pass filtered independently, pixels scattered to the pass grid);
+    * other bit depths fail fast by name. Pure partition-local map;
+    * decompression memory is one image at a time per task. */
   def pngPixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -898,6 +997,10 @@ object Multimodal {
       s"media $id: not a PNG signature")
     var off = 8
     var w = 0; var h = 0
+    var colorType = -1
+    var interlaced = false
+    var palette: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done && off + 8 <= p.length) {
@@ -916,11 +1019,29 @@ object Multimodal {
       typ match {
         case "IHDR" =>
           w = be(dataOff); h = be(dataOff + 4)
-          require(p(dataOff + 8) == 8 && p(dataOff + 9) == 6 &&
-            p(dataOff + 12) == 0,
-            s"media $id: only 8-bit RGBA non-interlaced PNG is supported " +
-              s"(bit depth ${p(dataOff + 8)}, color type ${p(dataOff + 9)}, " +
-              s"interlace ${p(dataOff + 12)})")
+          val bitDepth = p(dataOff + 8) & 0xFF
+          colorType = p(dataOff + 9) & 0xFF
+          require(bitDepth == 8,
+            s"media $id: only 8-bit channel depth supported " +
+              s"(bit depth $bitDepth)")
+          require(colorType == 0 || colorType == 2 || colorType == 3 ||
+            colorType == 4 || colorType == 6,
+            s"media $id: invalid PNG color type $colorType")
+          require((p(dataOff + 10) & 0xFF) == 0 && (p(dataOff + 11) & 0xFF) == 0,
+            s"media $id: nonstandard PNG compression/filter method")
+          val il = p(dataOff + 12) & 0xFF
+          require(il <= 1, s"media $id: invalid PNG interlace method $il")
+          interlaced = il == 1
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 256 * 3,
+            s"media $id: bad PLTE chunk length $len")
+          palette = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len)
+        case "tRNS" =>
+          require(colorType == 3,
+            s"media $id: tRNS only supported for palette PNGs " +
+              s"(color type $colorType)")
+          require(len <= 256, s"media $id: bad tRNS chunk length $len")
+          trns = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len)
         case "IDAT" => idat.write(p, dataOff, len)
         case "IEND" => done = true
         case _ => () // ancillary chunks skipped, per spec
@@ -932,9 +1053,25 @@ object Multimodal {
     // an unnamed NegativeArraySizeException/OOM — bound the product
     require(w.toLong * h <= MaxDecodePixels,
       s"media $id: ${w}x$h exceeds the $MaxDecodePixels-pixel decode bound")
-    val bpp = 4
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
+    require(colorType != 3 || palette != null,
+      s"media $id: palette PNG without a PLTE chunk")
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+    }
+    // ADAM7 pass geometry (one full pass when non-interlaced); empty
+    // passes contribute no scanlines, per spec
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val rawLen = passDims.map { case (pw, ph) =>
+      if (pw > 0 && ph > 0) ph.toLong * (1 + pw.toLong * channels) else 0L
+    }.sum
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var filled = 0
@@ -957,34 +1094,77 @@ object Multimodal {
     inflater.end()
     require(filled == raw.length,
       s"media $id: IDAT decoded to $filled bytes, expected ${raw.length}")
-    val prior = new Array[Int](stride)
-    val cur = new Array[Int](stride)
-    val out = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + stride)
-      val f = raw(base) & 0xFF
-      require(f <= 4, s"media $id: invalid scanline filter $f")
-      var x = 0
-      while (x < stride) {
-        val rawV = raw(base + 1 + x) & 0xFF
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val b = if (y > 0) prior(x) else 0
-        val c = if (y > 0 && x >= bpp) prior(x - bpp) else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case 4 => Containers.paeth(a, b, c)
+    // unfilter each pass independently (filters run within a pass) and
+    // scatter its pixels to the RGBA output at the pass's grid positions
+    val out = new Array[Byte](4 * w * h)
+    var rawOff = 0
+    passes.zip(passDims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+      if (pw > 0 && ph > 0) {
+        val stride = pw * channels
+        val prior = new Array[Int](stride)
+        val cur = new Array[Int](stride)
+        var j = 0
+        while (j < ph) {
+          val base = rawOff + j * (1 + stride)
+          val f = raw(base) & 0xFF
+          require(f <= 4, s"media $id: invalid scanline filter $f")
+          var x = 0
+          while (x < stride) {
+            val rawV = raw(base + 1 + x) & 0xFF
+            val a = if (x >= channels) cur(x - channels) else 0
+            val b = if (j > 0) prior(x) else 0
+            val c = if (j > 0 && x >= channels) prior(x - channels) else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) / 2
+              case 4 => Containers.paeth(a, b, c)
+            }
+            cur(x) = (rawV + pred) & 0xFF
+            x += 1
+          }
+          var px = 0
+          while (px < pw) {
+            val o = 4 * ((y0 + j * dy) * w + (x0 + px * dx))
+            colorType match {
+              case 0 =>
+                val g = cur(px).toByte
+                out(o) = g; out(o + 1) = g; out(o + 2) = g
+                out(o + 3) = 255.toByte
+              case 2 =>
+                out(o) = cur(3 * px).toByte
+                out(o + 1) = cur(3 * px + 1).toByte
+                out(o + 2) = cur(3 * px + 2).toByte
+                out(o + 3) = 255.toByte
+              case 3 =>
+                val idx = cur(px)
+                require(3 * idx + 2 < palette.length,
+                  s"media $id: pixel index $idx outside the " +
+                    s"${palette.length / 3}-entry palette")
+                out(o) = palette(3 * idx)
+                out(o + 1) = palette(3 * idx + 1)
+                out(o + 2) = palette(3 * idx + 2)
+                out(o + 3) =
+                  if (trns != null && idx < trns.length) trns(idx)
+                  else 255.toByte
+              case 4 =>
+                val g = cur(2 * px).toByte
+                out(o) = g; out(o + 1) = g; out(o + 2) = g
+                out(o + 3) = cur(2 * px + 1).toByte
+              case _ =>
+                out(o) = cur(4 * px).toByte
+                out(o + 1) = cur(4 * px + 1).toByte
+                out(o + 2) = cur(4 * px + 2).toByte
+                out(o + 3) = cur(4 * px + 3).toByte
+            }
+            px += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, stride)
+          j += 1
         }
-        val v = (rawV + pred) & 0xFF
-        cur(x) = v
-        out(y * stride + x) = v.toByte
-        x += 1
+        rawOff += ph * (1 + stride)
       }
-      System.arraycopy(cur, 0, prior, 0, stride)
-      y += 1
     }
     (w, h, out)
   }
@@ -1998,6 +2178,45 @@ object Multimodal {
       val payload = Containers.gifFull(w, h,
         k => ((id * 7 + (k % w) * 3 + (k / w) * 5) % 64).toInt, palette,
         interlaced = id % 2 == 0, localTable = id % 3 == 0)
+      MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
+  /** PNG COLOR-TYPE matrix fixtures: every doc cycles through the five
+    * 8-bit color types (gray / RGB / palette / gray+alpha / RGBA — real
+    * crawls are mostly RGB and palette, which were out of scope until
+    * now), ADAM7-interlaced on even ids, rotating scanline filters.
+    * All types plant the SAME per-pixel gray so one census formula
+    * covers the matrix (palette goes through an identity-ramp lookup —
+    * its own CASE); the census is the position-sensitive block-means
+    * table, which a mis-scattered ADAM7 pass cannot survive. */
+  def syntheticPngVariantMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val palette = Array.tabulate(64 * 3)(b => (((b / 3) * 4 + 1) % 256).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      def g(i: Int): Int = ((id * 13 + (i % w) * 3 + (i / w) * 7) % 256).toInt
+      val colorType = Array(0, 2, 3, 4, 6)((id % 5).toInt)
+      val interlaced = id % 2 == 0
+      val filterType = (id % 5).toInt
+      val payload = colorType match {
+        case 0 => Containers.pngTyped(w, h, 0, g, filterType = filterType,
+          interlaced = interlaced)
+        case 2 => Containers.pngTyped(w, h, 2, k => g(k / 3),
+          filterType = filterType, interlaced = interlaced)
+        case 3 => Containers.pngTyped(w, h, 3, i => g(i) % 64,
+          palette = palette,
+          trns = if (id % 10 == 2) Array.fill(64)(200.toByte) else null,
+          filterType = filterType, interlaced = interlaced)
+        case 4 => Containers.pngTyped(w, h, 4,
+          k => if (k % 2 == 0) g(k / 2) else 200,
+          filterType = filterType, interlaced = interlaced)
+        case _ => Containers.pngTyped(w, h, 6,
+          k => if (k % 4 == 3) 255 else g(k / 4),
+          filterType = filterType, interlaced = interlaced)
+      }
       MediaRow(id, "image", payload, w, h, 1)
     }
   }

@@ -65,6 +65,14 @@ class FuzzSpec extends AnyFunSuite {
 
   test("fuzz: PNG decode fails only by name on hostile bytes") {
     fuzz("png", pngPayload, 8, p => Multimodal.decodePngRgba(1L, p))
+    // the color-type matrix + ADAM7 paths inherit the contract
+    val pal = Containers.pngTyped(12, 9, 3, i => i % 16,
+      palette = Array.tabulate(16 * 3)(b => (b * 5).toByte),
+      trns = Array.tabulate(16)(j => (255 - j).toByte), interlaced = true)
+    fuzz("png-pal7", pal, 8, p => Multimodal.decodePngRgba(20L, p))
+    val rgb = Containers.pngTyped(12, 9, 2, k => (k * 7) % 256,
+      filterType = 4, interlaced = true)
+    fuzz("png-rgb7", rgb, 8, p => Multimodal.decodePngRgba(21L, p))
   }
 
   test("fuzz: WAV sample decode fails only by name on hostile bytes") {
@@ -166,8 +174,12 @@ class FuzzSpec extends AnyFunSuite {
       Array.tabulate(16 * 3)(b => (b * 5).toByte), minCodeSize = 4)
     val mjpeg = Containers.aviMjpeg(16, 16, Array.tabulate(2)(f =>
       graft.multimodal.Jpeg.encodeGrayBlocks(16, 16, Array(40 + f, 90, 140, 200))))
+    val palAdam = Containers.pngTyped(12, 9, 3, i => i % 16,
+      palette = Array.tabulate(16 * 3)(b => (b * 5).toByte),
+      trns = Array.tabulate(16)(j => (255 - j).toByte), interlaced = true)
     val targets: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
       ("png", pngPayload, p => Multimodal.decodePngRgba(1L, p)),
+      ("png-pal7", palAdam, p => Multimodal.decodePngRgba(12L, p)),
       ("wav", wavPayload, p => Multimodal.pcm16Samples(2L, p)),
       ("avi", aviPayload, p => Multimodal.decodeAviRgb(3L, p)),
       ("mjpeg", mjpeg, p => Multimodal.decodeAviRgb(4L, p)),

@@ -378,6 +378,81 @@ class MultimodalSpec extends SparkSpec {
     assert((sr, sg, sb) === ((st.sum_r, st.sum_g, st.sum_b)))
   }
 
+  test("PNG color-type matrix (gray/RGB/palette/gray+alpha/RGBA) x ADAM7 " +
+    "agrees EXACTLY with the JDK's own ImageIO reader (PNG is lossless)") {
+    import Multimodal.Containers
+    val w = 21; val h = 13 // odd dims: ragged Adam7 passes and edge pixels
+    def g(i: Int): Int = (i % w * 5 + i / w * 11 + 9) % 256
+    val palette = Array.tabulate(32 * 3)(b => ((b / 3 * 8 + b % 3) % 256).toByte)
+    for (interlaced <- Seq(false, true); filterType <- Seq(0, 2, 4)) {
+      val cases: Seq[(Int, Array[Byte])] = Seq(
+        0 -> Containers.pngTyped(w, h, 0, g, filterType = filterType,
+          interlaced = interlaced),
+        2 -> Containers.pngTyped(w, h, 2,
+          k => (g(k / 3) + (k % 3) * 40) % 256, filterType = filterType,
+          interlaced = interlaced),
+        3 -> Containers.pngTyped(w, h, 3, i => g(i) % 32, palette = palette,
+          trns = Array.tabulate(32)(j => (255 - j * 3).toByte),
+          filterType = filterType, interlaced = interlaced),
+        4 -> Containers.pngTyped(w, h, 4,
+          k => if (k % 2 == 0) g(k / 2) else (g(k / 2) * 7 + 3) % 256,
+          filterType = filterType, interlaced = interlaced),
+        6 -> Containers.pngTyped(w, h, 6, k => (g(k / 4) + (k % 4) * 31) % 256,
+          filterType = filterType, interlaced = interlaced))
+      cases.foreach { case (ct, bytes) =>
+        val (dw, dh, ours) = Multimodal.decodePngRgba(50L + ct, bytes)
+        assert((dw, dh) === ((w, h)), s"ct=$ct inter=$interlaced")
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(img != null, s"ImageIO rejected ct=$ct inter=$interlaced")
+        val raster = img.getRaster
+        val nb = raster.getNumBands
+        for (y <- 0 until h; x <- 0 until w) {
+          val o = 4 * (y * w + x)
+          val (er, eg, eb, ea) =
+            if (nb == 1 && ct == 3) { // indexed: resolve via the color model
+              val argb = img.getRGB(x, y)
+              ((argb >>> 16) & 0xFF, (argb >>> 8) & 0xFF, argb & 0xFF,
+                (argb >>> 24) & 0xFF)
+            } else if (nb == 1) { // pure gray: raster samples (no gamma)
+              val v = raster.getSample(x, y, 0)
+              (v, v, v, 255)
+            } else if (nb == 2) {
+              val v = raster.getSample(x, y, 0)
+              (v, v, v, raster.getSample(x, y, 1))
+            } else if (nb == 3) {
+              (raster.getSample(x, y, 0), raster.getSample(x, y, 1),
+                raster.getSample(x, y, 2), 255)
+            } else {
+              (raster.getSample(x, y, 0), raster.getSample(x, y, 1),
+                raster.getSample(x, y, 2), raster.getSample(x, y, 3))
+            }
+          assert(((ours(o) & 0xFF, ours(o + 1) & 0xFF, ours(o + 2) & 0xFF,
+            ours(o + 3) & 0xFF)) === ((er, eg, eb, ea)),
+            s"ct=$ct inter=$interlaced filter=$filterType ($x,$y)")
+        }
+      }
+    }
+    // hostile: palette index past PLTE and a 16-bit depth stay named
+    val shortPal = Containers.pngTyped(8, 8, 3, i => i % 16,
+      palette = Array.tabulate(16 * 3)(_.toByte))
+    val bad = {
+      // re-encode with an index beyond the 16-entry palette
+      val b = Containers.pngTyped(8, 8, 3, _ => 17,
+        palette = Array.tabulate(16 * 3)(_.toByte))
+      b
+    }
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodePngRgba(60L, bad))
+    assert(e1.getMessage.contains("outside the"), e1.getMessage)
+    val depth16 = shortPal.clone()
+    // IHDR bit-depth byte: 8 sig + 8 hdr + 8 offset into data = byte 24
+    depth16(24) = 16.toByte
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodePngRgba(61L, depth16))
+    assert(e2.getMessage.contains("channel depth"), e2.getMessage)
+  }
+
   test("GIF interlaced and local-color-table layouts decode to the SAME " +
     "indices as the plain layout and agree with ImageIO; failures stay named") {
     import Multimodal.Containers
