@@ -1830,6 +1830,17 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- SUB-BYTE-depth PNG decode [ext]: 1/2/4-bit palette and gray
+    // PNGs — the icon/logo/boilerplate population — pack samples
+    // MSB-first into scanline bytes (filter bpp = 1 per spec) and gray
+    // scales by 255/(2^d − 1); both previously failed fast. Fixtures
+    // rotate depth x type x interlace x filter; lossless, one closed
+    // form; position-sensitive block means (a bit-unpacking or
+    // pass-scatter bug permutes pixels) (budget <= 3 s) ---
+    "q269_png_depth_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticPngDepthMedia(
+          t(s, d, "documents")), blockPx = 2)),
     // --- PNG COLOR-TYPE matrix + ADAM7 decode [ext]: real-crawl PNGs
     // are mostly RGB (type 2) and palette (type 3), and some are
     // Adam7-interlaced — all previously failed fast into header-only
@@ -5062,6 +5073,22 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // PNG-depth replay: the planted sample modulo 2^d, scaled by the
+    // spec gray factor — identical for the palette ramp and gray types
+    "q269_png_depth_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h, " +
+        "CAST(CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+        "WHEN 2 THEN 4 ELSE 8 END AS BIGINT) AS dep FROM documents), " +
+        "px AS (SELECT media_id, w, h, dep, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "((media_id*13 + (k % w)*3 + (k // w)*7) % (1 << dep)) * " +
+        "(255 // ((1 << dep) - 1)) AS gray FROM px), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
     // PNG-variant replay: one planted gray formula across the color-type
     // matrix (palette types go through the identity-ramp lookup),
     // reduced to 2x2 block means

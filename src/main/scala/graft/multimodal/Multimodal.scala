@@ -214,8 +214,8 @@ object Multimodal {
       * scanline order (channels-per-pixel set by the color type). */
     def pngTyped(width: Int, height: Int, colorType: Int, sample: Int => Int,
                  palette: Array[Byte] = null, trns: Array[Byte] = null,
-                 filterType: Int = 0,
-                 interlaced: Boolean = false): Array[Byte] = {
+                 filterType: Int = 0, interlaced: Boolean = false,
+                 bitDepth: Int = 8): Array[Byte] = {
       require(width > 0 && height > 0, "pngTyped needs positive dimensions")
       require(filterType >= 0 && filterType <= 4, "PNG filter type is 0..4")
       val channels = colorType match {
@@ -223,13 +223,38 @@ object Multimodal {
         case other => throw new IllegalArgumentException(
           s"PNG color type $other")
       }
+      require(bitDepth == 8 || ((colorType == 0 || colorType == 3) &&
+        (bitDepth == 1 || bitDepth == 2 || bitDepth == 4)),
+        s"bit depth $bitDepth needs a gray or palette color type")
       require((colorType == 3) == (palette != null),
         "palette iff color type 3")
       require(trns == null || colorType == 3, "tRNS only with a palette")
+      // one pass's filtered rows; `at(y, px, ch)` is a raw channel value
+      // in the pass's own pixel coordinates (sub-byte depths pack
+      // MSB-first into scanline bytes, filter bpp = 1 per spec)
+      def passRows(pw: Int, ph: Int, at: (Int, Int, Int) => Int): Array[Byte] =
+        if (bitDepth == 8)
+          pngFilterRows(pw, ph, channels,
+            (y, i) => at(y, i / channels, i % channels), filterType)
+        else {
+          val perByte = 8 / bitDepth
+          val rowB = (pw * bitDepth + 7) / 8
+          pngFilterRows(rowB, ph, 1, (y, i) => {
+            var b = 0
+            var bit = 0
+            while (bit < perByte) {
+              val px = i * perByte + bit
+              val v = if (px < pw) at(y, px, 0) & ((1 << bitDepth) - 1) else 0
+              b = (b << bitDepth) | v
+              bit += 1
+            }
+            b
+          }, filterType)
+        }
       val raw: Array[Byte] =
         if (!interlaced)
-          pngFilterRows(width, height, channels,
-            (y, i) => sample(y * width * channels + i), filterType)
+          passRows(width, height,
+            (y, px, ch) => sample((y * width + px) * channels + ch))
         else {
           val outRaw = new java.io.ByteArrayOutputStream()
           val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
@@ -238,12 +263,9 @@ object Multimodal {
             val pw = if (width > x0) (width - x0 + dxp - 1) / dxp else 0
             val ph = if (height > y0) (height - y0 + dyp - 1) / dyp else 0
             if (pw > 0 && ph > 0)
-              outRaw.write(pngFilterRows(pw, ph, channels, (j, i) => {
-                val px = i / channels
-                val ch = i % channels
+              outRaw.write(passRows(pw, ph, (j, px, ch) =>
                 sample(((y0 + j * dyp) * width + (x0 + px * dxp)) * channels
-                  + ch)
-              }, filterType))
+                  + ch)))
           }
           outRaw.toByteArray
         }
@@ -254,7 +276,7 @@ object Multimodal {
       while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
       deflater.end()
       val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
-        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+        .put(bitDepth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
         .put(if (interlaced) 1.toByte else 0.toByte).array()
       val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
       sig ++ pngChunk("IHDR", ihdr) ++
@@ -998,6 +1020,7 @@ object Multimodal {
     var off = 8
     var w = 0; var h = 0
     var colorType = -1
+    var depth = 8
     var interlaced = false
     var palette: Array[Byte] = null
     var trns: Array[Byte] = null
@@ -1019,14 +1042,18 @@ object Multimodal {
       typ match {
         case "IHDR" =>
           w = be(dataOff); h = be(dataOff + 4)
-          val bitDepth = p(dataOff + 8) & 0xFF
+          depth = p(dataOff + 8) & 0xFF
           colorType = p(dataOff + 9) & 0xFF
-          require(bitDepth == 8,
-            s"media $id: only 8-bit channel depth supported " +
-              s"(bit depth $bitDepth)")
           require(colorType == 0 || colorType == 2 || colorType == 3 ||
             colorType == 4 || colorType == 6,
             s"media $id: invalid PNG color type $colorType")
+          // sub-byte depths exist only for single-sample pixels (gray,
+          // palette) per spec; 16-bit stays a named gap
+          require(depth == 8 ||
+            ((colorType == 0 || colorType == 3) &&
+              (depth == 1 || depth == 2 || depth == 4)),
+            s"media $id: unsupported channel depth $depth for " +
+              s"color type $colorType")
           require((p(dataOff + 10) & 0xFF) == 0 && (p(dataOff + 11) & 0xFF) == 0,
             s"media $id: nonstandard PNG compression/filter method")
           val il = p(dataOff + 12) & 0xFF
@@ -1068,8 +1095,12 @@ object Multimodal {
       (if (w > x0) (w - x0 + dx - 1) / dx else 0,
         if (h > y0) (h - y0 + dy - 1) / dy else 0)
     }
+    // scanline byte width: sub-byte depths pack MSB-first (gray/palette
+    // only, one channel), 8-bit is channels bytes per pixel
+    def rowBytes(pw: Int): Int =
+      if (depth == 8) pw * channels else (pw * depth + 7) / 8
     val rawLen = passDims.map { case (pw, ph) =>
-      if (pw > 0 && ph > 0) ph.toLong * (1 + pw.toLong * channels) else 0L
+      if (pw > 0 && ph > 0) ph.toLong * (1 + rowBytes(pw).toLong) else 0L
     }.sum
     val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
@@ -1100,7 +1131,9 @@ object Multimodal {
     var rawOff = 0
     passes.zip(passDims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
       if (pw > 0 && ph > 0) {
-        val stride = pw * channels
+        val stride = rowBytes(pw)
+        // filter pixel width in BYTES: max(1, channels·depth/8) per spec
+        val bpp = math.max(1, channels * depth / 8)
         val prior = new Array[Int](stride)
         val cur = new Array[Int](stride)
         var j = 0
@@ -1111,9 +1144,9 @@ object Multimodal {
           var x = 0
           while (x < stride) {
             val rawV = raw(base + 1 + x) & 0xFF
-            val a = if (x >= channels) cur(x - channels) else 0
+            val a = if (x >= bpp) cur(x - bpp) else 0
             val b = if (j > 0) prior(x) else 0
-            val c = if (j > 0 && x >= channels) prior(x - channels) else 0
+            val c = if (j > 0 && x >= bpp) prior(x - bpp) else 0
             val pred = f match {
               case 0 => 0
               case 1 => a
@@ -1124,12 +1157,19 @@ object Multimodal {
             cur(x) = (rawV + pred) & 0xFF
             x += 1
           }
+          // sub-byte sample extraction: MSB-first bit packing (PNG spec);
+          // gray scales to 8 bits by the spec factor 255/(2^depth − 1)
+          def sub(px: Int): Int =
+            (cur((px * depth) / 8) >> (8 - depth - (px * depth) % 8)) &
+              ((1 << depth) - 1)
+          val grayScale = if (depth == 8) 1 else 255 / ((1 << depth) - 1)
           var px = 0
           while (px < pw) {
             val o = 4 * ((y0 + j * dy) * w + (x0 + px * dx))
             colorType match {
               case 0 =>
-                val g = cur(px).toByte
+                val g = (if (depth == 8) cur(px)
+                  else sub(px) * grayScale).toByte
                 out(o) = g; out(o + 1) = g; out(o + 2) = g
                 out(o + 3) = 255.toByte
               case 2 =>
@@ -1138,7 +1178,7 @@ object Multimodal {
                 out(o + 2) = cur(3 * px + 2).toByte
                 out(o + 3) = 255.toByte
               case 3 =>
-                val idx = cur(px)
+                val idx = if (depth == 8) cur(px) else sub(px)
                 require(3 * idx + 2 < palette.length,
                   s"media $id: pixel index $idx outside the " +
                     s"${palette.length / 3}-entry palette")
@@ -2217,6 +2257,32 @@ object Multimodal {
           k => if (k % 4 == 3) 255 else g(k / 4),
           filterType = filterType, interlaced = interlaced)
       }
+      MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
+  /** SUB-BYTE-depth PNG fixtures — the icon/logo population: palette
+    * (even ids) and grayscale (odd ids) PNGs at bit depths 1/2/4/8,
+    * every third interlaced, rotating filters. Gray scales to 8 bits by
+    * the spec factor 255/(2^d − 1) and the palette is the matching ramp,
+    * so ONE closed form covers both types at every depth. */
+  def syntheticPngDepthMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      val d = Array(1, 2, 4, 8)(((id / 2) % 4).toInt)
+      val scale = 255 / ((1 << d) - 1)
+      def v(i: Int): Int = ((id * 13 + (i % w) * 3 + (i / w) * 7) % (1 << d)).toInt
+      val payload =
+        if (id % 2 == 0) {
+          val palette = Array.tabulate((1 << d) * 3)(b => ((b / 3) * scale).toByte)
+          Containers.pngTyped(w, h, 3, v, palette = palette,
+            filterType = (id % 5).toInt, interlaced = id % 3 == 0, bitDepth = d)
+        } else
+          Containers.pngTyped(w, h, 0, v, filterType = (id % 5).toInt,
+            interlaced = id % 3 == 0, bitDepth = d)
       MediaRow(id, "image", payload, w, h, 1)
     }
   }

@@ -73,6 +73,10 @@ class FuzzSpec extends AnyFunSuite {
     val rgb = Containers.pngTyped(12, 9, 2, k => (k * 7) % 256,
       filterType = 4, interlaced = true)
     fuzz("png-rgb7", rgb, 8, p => Multimodal.decodePngRgba(21L, p))
+    val deep = Containers.pngTyped(12, 9, 3, i => i % 4,
+      palette = Array.tabulate(4 * 3)(b => (b * 21).toByte),
+      interlaced = true, bitDepth = 2)
+    fuzz("png-2bit", deep, 8, p => Multimodal.decodePngRgba(22L, p))
   }
 
   test("fuzz: WAV sample decode fails only by name on hostile bytes") {

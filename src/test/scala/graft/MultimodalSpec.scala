@@ -433,6 +433,34 @@ class MultimodalSpec extends SparkSpec {
         }
       }
     }
+    // SUB-BYTE depths (1/2/4): palette and gray, interlaced and not —
+    // still EXACT against ImageIO (IndexColorModel ramps are the same
+    // 255/(2^d − 1) scaling the decoder applies)
+    for (d <- Seq(1, 2, 4); interlaced <- Seq(false, true)) {
+      val n = 1 << d
+      val scale = 255 / (n - 1)
+      def v(i: Int): Int = (i % w * 3 + i / w * 5 + 1) % n
+      val deepCases = Seq(
+        3 -> Containers.pngTyped(w, h, 3, v,
+          palette = Array.tabulate(n * 3)(b => (b / 3 * scale).toByte),
+          filterType = 1, interlaced = interlaced, bitDepth = d),
+        0 -> Containers.pngTyped(w, h, 0, v, filterType = 2,
+          interlaced = interlaced, bitDepth = d))
+      deepCases.foreach { case (ct, bytes) =>
+        val (dw, dh, ours) = Multimodal.decodePngRgba(70L + ct, bytes)
+        assert((dw, dh) === ((w, h)))
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(img != null, s"ImageIO rejected d=$d ct=$ct inter=$interlaced")
+        for (y <- 0 until h; x <- 0 until w) {
+          val o = 4 * (y * w + x)
+          val argb = img.getRGB(x, y)
+          assert(((ours(o) & 0xFF, ours(o + 1) & 0xFF, ours(o + 2) & 0xFF)) ===
+            (((argb >>> 16) & 0xFF, (argb >>> 8) & 0xFF, argb & 0xFF)),
+            s"d=$d ct=$ct inter=$interlaced ($x,$y)")
+        }
+      }
+    }
     // hostile: palette index past PLTE and a 16-bit depth stay named
     val shortPal = Containers.pngTyped(8, 8, 3, i => i % 16,
       palette = Array.tabulate(16 * 3)(_.toByte))
