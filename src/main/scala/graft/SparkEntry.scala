@@ -1830,6 +1830,18 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- WAV PCM-depth matrix [ext]: 8-bit unsigned (old clips) and
+    // 24-bit signed (production audio) PCM previously failed fast; both
+    // now normalize to int16 by DOCUMENTED deterministic conversions
+    // ((u-128)*256; top-16-bits arithmetic shift), so the whole audio
+    // surface — contour dedup, quality, containment, descriptors — is
+    // depth-blind. The 24-bit fixture plants low-byte noise the
+    // conversion must drop; lossless replay through one formula
+    // (budget <= 3 s) ---
+    "q270_wav_depth_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticWavDepthMedia(
+          t(s, d, "documents"))).toDF()),
     // --- SUB-BYTE-depth PNG decode [ext]: 1/2/4-bit palette and gray
     // PNGs — the icon/logo/boilerplate population — pack samples
     // MSB-first into scanline bytes (filter bpp = 1 per spec) and gray
@@ -5073,6 +5085,22 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // WAV-depth replay: the depth CASE — 8-bit through (u-128)*256,
+    // 16- and 24-bit through the shared planted formula (the 24-bit
+    // low-byte noise vanishes in the conversion)
+    "q270_wav_depth_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(200 + (doc_id * 7) % 200 AS BIGINT) AS n, " +
+        "doc_id % 3 AS b FROM documents), " +
+        "s AS (SELECT media_id, n, b, unnest(range(n)) AS p FROM d), " +
+        "v AS (SELECT media_id, n, " +
+        "CASE WHEN b = 0 THEN ((media_id*29 + p*13) % 256 - 128) * 256 " +
+        "ELSE ((media_id*23 + p*7) % 4096) - 2048 END AS sv FROM s) " +
+        "SELECT media_id, CAST(1 AS INTEGER) AS channels, " +
+        "CAST(16000 AS INTEGER) AS sample_rate, n AS n_samples, " +
+        "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(sv)) AS BIGINT) AS peak " +
+        "FROM v GROUP BY media_id, n"),
     // PNG-depth replay: the planted sample modulo 2^d, scaled by the
     // spec gray factor — identical for the palette ramp and gray types
     "q269_png_depth_blockmeans" ->

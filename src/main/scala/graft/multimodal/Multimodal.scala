@@ -546,16 +546,20 @@ object Multimodal {
     }
 
     /** WAV: RIFF/WAVE with PCM fmt chunk — channels LE u16 at offset 22,
-      * sample rate LE u32 at 24. */
-    def wav(channels: Int, sampleRate: Int, body: Array[Byte]): Array[Byte] = {
+      * sample rate LE u32 at 24; `bits` picks the PCM depth (8 unsigned /
+      * 16 / 24 signed LE), `body` is raw sample bytes at that depth. */
+    def wav(channels: Int, sampleRate: Int, body: Array[Byte],
+            bits: Int = 16): Array[Byte] = {
+      require(bits == 8 || bits == 16 || bits == 24, s"PCM bits $bits")
       val bb = ByteBuffer.allocate(WavHeaderLen + body.length)
         .order(ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
       bb.put("WAVE".getBytes("US-ASCII"))
       bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
       bb.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
-      bb.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
-      bb.putShort(16.toShort)
+      bb.putInt(sampleRate * channels * (bits / 8))
+      bb.putShort((channels * (bits / 8)).toShort)
+      bb.putShort(bits.toShort)
       bb.put("data".getBytes("US-ASCII")).putInt(body.length)
       bb.put(body).array()
     }
@@ -1260,9 +1264,9 @@ object Multimodal {
     require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       s"media $id: not a RIFF/WAVE container")
     var off = 12
-    var channels = 0; var rate = 0
+    var channels = 0; var rate = 0; var bits = 0
     var sawData = false
-    val samples = new scala.collection.mutable.ArrayBuilder.ofShort
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     while (off + 8 <= p.length) {
       val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
       // see decodePngRgba: a >= 2^31 length reads negative and would walk
@@ -1275,22 +1279,43 @@ object Multimodal {
           require(le16(dataOff) == 1,
             s"media $id: only PCM (format 1) supported, got ${le16(dataOff)}")
           channels = le16(dataOff + 2); rate = le32(dataOff + 4)
-          val bits = le16(dataOff + 14)
-          require(bits == 16,
-            s"media $id: only 16-bit samples supported, got $bits")
+          bits = le16(dataOff + 14)
+          require(bits == 8 || bits == 16 || bits == 24,
+            s"media $id: only 8/16/24-bit PCM supported, got $bits")
         case "data" =>
           sawData = true
-          var i = dataOff
-          while (i + 1 < dataOff + len) {
-            samples += le16(i).toShort
-            i += 2
-          }
+          spans += ((dataOff, len)) // parsed after the walk: depth known
         case _ => ()
       }
       off = dataOff + len + (len & 1) // RIFF chunks are word-aligned
     }
     require(channels > 0 && sawData,
       s"media $id: missing fmt or data chunk")
+    // decode every data chunk at the declared depth, normalized to int16
+    // (the documented DETERMINISTIC conversions: unsigned 8-bit maps
+    // (u − 128) · 256, 24-bit keeps its top 16 bits via arithmetic
+    // shift); trailing bytes that do not fill a sample are ignored per
+    // chunk, as before
+    val samples = new scala.collection.mutable.ArrayBuilder.ofShort
+    spans.foreach { case (dataOff, len) =>
+      var i = dataOff
+      bits match {
+        case 16 =>
+          while (i + 1 < dataOff + len) { samples += le16(i).toShort; i += 2 }
+        case 8 =>
+          while (i < dataOff + len) {
+            samples += (((p(i) & 0xFF) - 128) << 8).toShort
+            i += 1
+          }
+        case _ => // 24-bit signed little-endian
+          while (i + 2 < dataOff + len) {
+            val v = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) |
+              (p(i + 2).toInt << 16)
+            samples += (v >> 8).toShort
+            i += 3
+          }
+      }
+    }
     (channels, rate, samples.result())
   }
 
@@ -2258,6 +2283,45 @@ object Multimodal {
           filterType = filterType, interlaced = interlaced)
       }
       MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
+  /** WAV PCM-depth fixtures: 8-bit unsigned / 16-bit / 24-bit signed
+    * clips rotating by id mod 3. The 24-bit samples plant a 16-bit value
+    * in their top two bytes plus deterministic low-byte noise that the
+    * conversion must DROP (so 16- and 24-bit clips replay one formula),
+    * and the 8-bit clip replays through the (u − 128)·256 mapping. */
+  def syntheticWavDepthMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (200 + (id * 7) % 200).toInt
+      val bits = Array(8, 16, 24)((id % 3).toInt)
+      val body = bits match {
+        case 8 => Array.tabulate(n)(p => ((id * 29 + p * 13) % 256).toByte)
+        case 16 =>
+          val b = new Array[Byte](2 * n)
+          var p = 0
+          while (p < n) {
+            val v = ((id * 23 + p.toLong * 7) % 4096 - 2048).toInt
+            b(2 * p) = (v & 0xFF).toByte
+            b(2 * p + 1) = ((v >> 8) & 0xFF).toByte
+            p += 1
+          }
+          b
+        case _ =>
+          val b = new Array[Byte](3 * n)
+          var p = 0
+          while (p < n) {
+            val m = ((id * 23 + p.toLong * 7) % 4096 - 2048).toInt
+            b(3 * p) = ((id + p) % 256).toByte // low byte: dropped
+            b(3 * p + 1) = (m & 0xFF).toByte
+            b(3 * p + 2) = ((m >> 8) & 0xFF).toByte
+            p += 1
+          }
+          b
+      }
+      MediaRow(id, "audio", Containers.wav(1, 16000, body, bits), 0, 0, 1)
     }
   }
 
