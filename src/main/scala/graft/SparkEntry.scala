@@ -1842,12 +1842,14 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavSampleStats(
         graft.multimodal.Multimodal.syntheticWavDepthMedia(
           t(s, d, "documents"))).toDF()),
-    // --- SUB-BYTE-depth PNG decode [ext]: 1/2/4-bit palette and gray
-    // PNGs — the icon/logo/boilerplate population — pack samples
-    // MSB-first into scanline bytes (filter bpp = 1 per spec) and gray
-    // scales by 255/(2^d − 1); both previously failed fast. Fixtures
-    // rotate depth x type x interlace x filter; lossless, one closed
-    // form; position-sensitive block means (a bit-unpacking or
+    // --- PNG bit-DEPTH matrix decode [ext]: 1/2/4-bit palette and gray
+    // PNGs (icons/logos) pack samples MSB-first into scanline bytes
+    // (filter bpp = 1 per spec) with gray scaled by 255/(2^d - 1), and
+    // 16-bit photo masters reduce to their high byte (the
+    // spec-sanctioned 8-bit view; filter bpp = 2·channels) over planted
+    // low-byte noise the reduction must drop — all previously failed
+    // fast. Fixtures rotate depth x type x interlace x filter; one
+    // closed form; position-sensitive block means (a bit-unpacking or
     // pass-scatter bug permutes pixels) (budget <= 3 s) ---
     "q269_png_depth_blockmeans" -> ((s, d) =>
       graft.multimodal.MediaDedup.imageBlockMeans(
@@ -5107,12 +5109,15 @@ object SparkEntry {
       ("WITH d AS (SELECT doc_id AS media_id, " +
         "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
         "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h, " +
-        "CAST(CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 " +
-        "WHEN 2 THEN 4 ELSE 8 END AS BIGINT) AS dep FROM documents), " +
+        "CAST(CASE (doc_id // 2) % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 " +
+        "WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END AS BIGINT) AS dep " +
+        "FROM documents), " +
         "px AS (SELECT media_id, w, h, dep, unnest(range(w * h)) AS k FROM d), " +
         "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
-        "((media_id*13 + (k % w)*3 + (k // w)*7) % (1 << dep)) * " +
-        "(255 // ((1 << dep) - 1)) AS gray FROM px), " +
+        "CASE WHEN dep = 16 " +
+        "THEN (media_id*13 + (k % w)*3 + (k // w)*7) % 256 " +
+        "ELSE ((media_id*13 + (k % w)*3 + (k // w)*7) % (1 << dep)) * " +
+        "(255 // ((1 << dep) - 1)) END AS gray FROM px), " +
         "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
         "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
         "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +

@@ -224,11 +224,15 @@ object Multimodal {
           s"PNG color type $other")
       }
       require(bitDepth == 8 || ((colorType == 0 || colorType == 3) &&
-        (bitDepth == 1 || bitDepth == 2 || bitDepth == 4)),
-        s"bit depth $bitDepth needs a gray or palette color type")
+        (bitDepth == 1 || bitDepth == 2 || bitDepth == 4)) ||
+        (bitDepth == 16 && colorType != 3),
+        s"bit depth $bitDepth incompatible with color type $colorType")
       require((colorType == 3) == (palette != null),
         "palette iff color type 3")
       require(trns == null || colorType == 3, "tRNS only with a palette")
+      // per-pixel `sample` stride: 16-bit feeds raw big-endian byte
+      // pairs, 8-bit one byte per channel, sub-byte one value per pixel
+      val bytesPerPx = if (bitDepth == 16) 2 * channels else channels
       // one pass's filtered rows; `at(y, px, ch)` is a raw channel value
       // in the pass's own pixel coordinates (sub-byte depths pack
       // MSB-first into scanline bytes, filter bpp = 1 per spec)
@@ -236,6 +240,12 @@ object Multimodal {
         if (bitDepth == 8)
           pngFilterRows(pw, ph, channels,
             (y, i) => at(y, i / channels, i % channels), filterType)
+        else if (bitDepth == 16)
+          // `at` supplies RAW bytes: ch indexes the 2·channels bytes of
+          // a pixel (big-endian sample pairs)
+          pngFilterRows(pw, ph, 2 * channels,
+            (y, i) => at(y, i / (2 * channels), i % (2 * channels)),
+            filterType)
         else {
           val perByte = 8 / bitDepth
           val rowB = (pw * bitDepth + 7) / 8
@@ -253,8 +263,8 @@ object Multimodal {
         }
       val raw: Array[Byte] =
         if (!interlaced)
-          passRows(width, height,
-            (y, px, ch) => sample((y * width + px) * channels + ch))
+          passRows(width, height, (y, px, ch) =>
+            sample((y * width + px) * bytesPerPx + ch))
         else {
           val outRaw = new java.io.ByteArrayOutputStream()
           val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
@@ -264,8 +274,8 @@ object Multimodal {
             val ph = if (height > y0) (height - y0 + dyp - 1) / dyp else 0
             if (pw > 0 && ph > 0)
               outRaw.write(passRows(pw, ph, (j, px, ch) =>
-                sample(((y0 + j * dyp) * width + (x0 + px * dxp)) * channels
-                  + ch)))
+                sample(((y0 + j * dyp) * width + (x0 + px * dxp))
+                  * bytesPerPx + ch)))
           }
           outRaw.toByteArray
         }
@@ -1052,10 +1062,12 @@ object Multimodal {
             colorType == 4 || colorType == 6,
             s"media $id: invalid PNG color type $colorType")
           // sub-byte depths exist only for single-sample pixels (gray,
-          // palette) per spec; 16-bit stays a named gap
+          // palette) per spec; 16-bit reduces to its high byte (the
+          // spec-sanctioned 8-bit view) for every non-palette type
           require(depth == 8 ||
             ((colorType == 0 || colorType == 3) &&
-              (depth == 1 || depth == 2 || depth == 4)),
+              (depth == 1 || depth == 2 || depth == 4)) ||
+            (depth == 16 && colorType != 3),
             s"media $id: unsupported channel depth $depth for " +
               s"color type $colorType")
           require((p(dataOff + 10) & 0xFF) == 0 && (p(dataOff + 11) & 0xFF) == 0,
@@ -1100,9 +1112,8 @@ object Multimodal {
         if (h > y0) (h - y0 + dy - 1) / dy else 0)
     }
     // scanline byte width: sub-byte depths pack MSB-first (gray/palette
-    // only, one channel), 8-bit is channels bytes per pixel
-    def rowBytes(pw: Int): Int =
-      if (depth == 8) pw * channels else (pw * depth + 7) / 8
+    // only, one channel), 8/16-bit are channels·depth/8 bytes per pixel
+    def rowBytes(pw: Int): Int = (pw * channels * depth + 7) / 8
     val rawLen = passDims.map { case (pw, ph) =>
       if (pw > 0 && ph > 0) ph.toLong * (1 + rowBytes(pw).toLong) else 0L
     }.sum
@@ -1161,28 +1172,33 @@ object Multimodal {
             cur(x) = (rawV + pred) & 0xFF
             x += 1
           }
-          // sub-byte sample extraction: MSB-first bit packing (PNG spec);
-          // gray scales to 8 bits by the spec factor 255/(2^depth − 1)
-          def sub(px: Int): Int =
-            (cur((px * depth) / 8) >> (8 - depth - (px * depth) % 8)) &
-              ((1 << depth) - 1)
-          val grayScale = if (depth == 8) 1 else 255 / ((1 << depth) - 1)
+          // channel accessor across depths: 8-bit direct, 16-bit the
+          // HIGH byte (big-endian per spec — the sanctioned reduction),
+          // sub-byte MSB-first bit unpacking scaled by 255/(2^d − 1)
+          def chv(px: Int, ch: Int): Int =
+            if (depth == 8) cur(px * channels + ch)
+            else if (depth == 16) cur(2 * (px * channels + ch))
+            else ((cur((px * depth) / 8) >>
+              (8 - depth - (px * depth) % 8)) & ((1 << depth) - 1)) *
+              (255 / ((1 << depth) - 1))
           var px = 0
           while (px < pw) {
             val o = 4 * ((y0 + j * dy) * w + (x0 + px * dx))
             colorType match {
               case 0 =>
-                val g = (if (depth == 8) cur(px)
-                  else sub(px) * grayScale).toByte
+                val g = chv(px, 0).toByte
                 out(o) = g; out(o + 1) = g; out(o + 2) = g
                 out(o + 3) = 255.toByte
               case 2 =>
-                out(o) = cur(3 * px).toByte
-                out(o + 1) = cur(3 * px + 1).toByte
-                out(o + 2) = cur(3 * px + 2).toByte
+                out(o) = chv(px, 0).toByte
+                out(o + 1) = chv(px, 1).toByte
+                out(o + 2) = chv(px, 2).toByte
                 out(o + 3) = 255.toByte
               case 3 =>
-                val idx = if (depth == 8) cur(px) else sub(px)
+                val idx =
+                  if (depth == 8) cur(px)
+                  else (cur((px * depth) / 8) >>
+                    (8 - depth - (px * depth) % 8)) & ((1 << depth) - 1)
                 require(3 * idx + 2 < palette.length,
                   s"media $id: pixel index $idx outside the " +
                     s"${palette.length / 3}-entry palette")
@@ -1193,14 +1209,14 @@ object Multimodal {
                   if (trns != null && idx < trns.length) trns(idx)
                   else 255.toByte
               case 4 =>
-                val g = cur(2 * px).toByte
+                val g = chv(px, 0).toByte
                 out(o) = g; out(o + 1) = g; out(o + 2) = g
-                out(o + 3) = cur(2 * px + 1).toByte
+                out(o + 3) = chv(px, 1).toByte
               case _ =>
-                out(o) = cur(4 * px).toByte
-                out(o + 1) = cur(4 * px + 1).toByte
-                out(o + 2) = cur(4 * px + 2).toByte
-                out(o + 3) = cur(4 * px + 3).toByte
+                out(o) = chv(px, 0).toByte
+                out(o + 1) = chv(px, 1).toByte
+                out(o + 2) = chv(px, 2).toByte
+                out(o + 3) = chv(px, 3).toByte
             }
             px += 1
           }
@@ -2325,28 +2341,45 @@ object Multimodal {
     }
   }
 
-  /** SUB-BYTE-depth PNG fixtures — the icon/logo population: palette
-    * (even ids) and grayscale (odd ids) PNGs at bit depths 1/2/4/8,
-    * every third interlaced, rotating filters. Gray scales to 8 bits by
-    * the spec factor 255/(2^d − 1) and the palette is the matching ramp,
-    * so ONE closed form covers both types at every depth. */
+  /** PNG bit-DEPTH fixtures — icons/logos at sub-byte depths plus
+    * 16-bit photo masters: depths rotate 1/2/4/8/16 with palette (even
+    * ids) and grayscale (odd ids) below 16 and gray/RGB at 16 (the spec
+    * forbids 16-bit palettes); every third interlaced, rotating filters.
+    * Sub-byte gray scales by the spec factor 255/(2^d − 1) (the palette
+    * is the matching ramp) and 16-bit reduces to its planted HIGH byte
+    * over low-byte noise, so ONE closed form covers the matrix. */
   def syntheticPngDepthMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { id =>
       val w = (16 + id % 5).toInt
       val h = (16 + (id * 3) % 5).toInt
-      val d = Array(1, 2, 4, 8)(((id / 2) % 4).toInt)
-      val scale = 255 / ((1 << d) - 1)
-      def v(i: Int): Int = ((id * 13 + (i % w) * 3 + (i / w) * 7) % (1 << d)).toInt
+      val d = Array(1, 2, 4, 8, 16)(((id / 2) % 5).toInt)
+      def v(i: Int): Int =
+        ((id * 13 + (i % w) * 3 + (i / w) * 7) %
+          (if (d == 16) 256 else 1 << d)).toInt
+      val interlaced = id % 3 == 0
+      val filterType = (id % 5).toInt
       val payload =
-        if (id % 2 == 0) {
+        if (d == 16) {
+          // hi byte = planted value, lo byte = noise the reduction drops
+          def raw(k: Int): Int =
+            if (k % 2 == 0) v(k / 2) else ((id + k) * 31 + 5).toInt % 256
+          if (id % 2 == 0)
+            Containers.pngTyped(w, h, 2, // RGB, r = g = b = planted value
+              k => if (k % 2 == 0) v(k / 6) else ((id + k) * 31 + 5).toInt % 256,
+              filterType = filterType, interlaced = interlaced, bitDepth = 16)
+          else
+            Containers.pngTyped(w, h, 0, raw,
+              filterType = filterType, interlaced = interlaced, bitDepth = 16)
+        } else if (id % 2 == 0) {
+          val scale = 255 / ((1 << d) - 1)
           val palette = Array.tabulate((1 << d) * 3)(b => ((b / 3) * scale).toByte)
           Containers.pngTyped(w, h, 3, v, palette = palette,
-            filterType = (id % 5).toInt, interlaced = id % 3 == 0, bitDepth = d)
+            filterType = filterType, interlaced = interlaced, bitDepth = d)
         } else
-          Containers.pngTyped(w, h, 0, v, filterType = (id % 5).toInt,
-            interlaced = id % 3 == 0, bitDepth = d)
+          Containers.pngTyped(w, h, 0, v, filterType = filterType,
+            interlaced = interlaced, bitDepth = d)
       MediaRow(id, "image", payload, w, h, 1)
     }
   }

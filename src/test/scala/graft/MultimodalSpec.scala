@@ -461,6 +461,33 @@ class MultimodalSpec extends SparkSpec {
         }
       }
     }
+    // 16-BIT depths reduce to the high byte (the spec-sanctioned 8-bit
+    // view): planted low-byte noise must vanish, and the high bytes must
+    // equal ImageIO's 16-bit raster samples shifted down
+    for (ct16 <- Seq(0, 2, 6); interlaced <- Seq(false, true)) {
+      val ch = ct16 match { case 0 => 1; case 2 => 3; case _ => 4 }
+      def hi(k: Int): Int = (k * 7 + 13) % 256
+      val bytes = Containers.pngTyped(w, h, ct16,
+        k => if (k % 2 == 0) hi(k / 2) else (k * 31 + 5) % 256, // lo = noise
+        filterType = 3, interlaced = interlaced, bitDepth = 16)
+      val (dw, dh, ours) = Multimodal.decodePngRgba(80L + ct16, bytes)
+      assert((dw, dh) === ((w, h)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected 16-bit ct=$ct16")
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = 4 * (y * w + x)
+        for (b <- 0 until ch) {
+          val expect = raster.getSample(x, y, b) >> 8
+          assert((ours(o + (if (ct16 == 0) 0 else b)) & 0xFF) === expect,
+            s"16-bit ct=$ct16 inter=$interlaced ($x,$y) band $b")
+        }
+        // and the planted high bytes round-trip exactly
+        val k0 = (y * w + x) * ch
+        assert((ours(o) & 0xFF) === hi(k0), s"16-bit plant ct=$ct16 ($x,$y)")
+      }
+    }
     // hostile: palette index past PLTE and a 16-bit depth stay named
     val shortPal = Containers.pngTyped(8, 8, 3, i => i % 16,
       palette = Array.tabulate(16 * 3)(_.toByte))
