@@ -77,6 +77,9 @@ class FuzzSpec extends AnyFunSuite {
       palette = Array.tabulate(4 * 3)(b => (b * 21).toByte),
       interlaced = true, bitDepth = 2)
     fuzz("png-2bit", deep, 8, p => Multimodal.decodePngRgba(22L, p))
+    val deep16 = Containers.pngTyped(12, 9, 2, k => (k * 11 + 3) % 256,
+      filterType = 4, interlaced = true, bitDepth = 16)
+    fuzz("png-16bit", deep16, 8, p => Multimodal.decodePngRgba(23L, p))
   }
 
   test("fuzz: WAV sample decode fails only by name on hostile bytes") {
@@ -184,6 +187,9 @@ class FuzzSpec extends AnyFunSuite {
     val targets: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
       ("png", pngPayload, p => Multimodal.decodePngRgba(1L, p)),
       ("png-pal7", palAdam, p => Multimodal.decodePngRgba(12L, p)),
+      ("png-16", Containers.pngTyped(12, 9, 2, k => (k * 11 + 3) % 256,
+        filterType = 4, interlaced = true, bitDepth = 16),
+        p => Multimodal.decodePngRgba(13L, p)),
       ("wav", wavPayload, p => Multimodal.pcm16Samples(2L, p)),
       ("avi", aviPayload, p => Multimodal.decodeAviRgb(3L, p)),
       ("mjpeg", mjpeg, p => Multimodal.decodeAviRgb(4L, p)),
