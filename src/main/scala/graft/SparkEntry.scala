@@ -1830,6 +1830,23 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- BMP + uncompressed-TIFF decode [ext]: trivial public byte
+    // layouts (no entropy coding) that real crawls still carry —
+    // bottom-up AND top-down 24-bit BMP, 8-bit palette BMP, 32-bit BMP
+    // whose RESERVED fourth byte is planted junk the decode must drop,
+    // II and MM TIFF, multi-strip gray, RGB, 16-bit-ColorMap palette,
+    // and WhiteIsZero storing the INVERTED value. One displayed-gray
+    // closed form across all eight variants; the census is the
+    // position-sensitive block-means table (a bottom-up flip or strip
+    // mis-stitch permutes rows; sums are permutation-blind). Both
+    // formats join the whole format-blind image surface (dHash dedup,
+    // crop search, gates, descriptors) through the one decodeStillRgba
+    // seam — cross-format PNG==BMP==TIFF collisions are spec-pinned
+    // (budget <= 3 s) ---
+    "q271_raster_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticRasterMedia(
+          t(s, d, "documents")), blockPx = 2)),
     // --- WAV PCM-depth matrix [ext]: 8-bit unsigned (old clips) and
     // 24-bit signed (production audio) PCM previously failed fast; both
     // now normalize to int16 by DOCUMENTED deterministic conversions
@@ -1903,14 +1920,18 @@ object SparkEntry {
     // --- corpus format-coverage HEALTH census [ext]: every decoder here
     // fails by NAME, and this row turns that contract into telemetry —
     // attempt the full decode per item, count (format, outcome, cause)
-    // buckets — so each remaining scope restriction (progressive JPEG,
-    // sampling > 2, non-MJPG codecs, truncation, hostile magic) is
-    // MEASURED on a corpus instead of silently reverting items to
-    // header-only. Fixture cycles ten real encoder outputs, five
-    // decodable (incl. this round's 4:2:0 / interlaced GIF / stereo
-    // FLAC / MJPEG) and five patched into named failures; the aggregate
-    // is |formats x causes|-bounded, never corpus-shaped
-    // (budget <= 3 s) ---
+    // buckets — so each remaining scope restriction (arithmetic-coded
+    // JPEG, sampling factors 3-4, 12-bit JPEG, >8-channel audio,
+    // non-MJPG AVI codecs, truncation, hostile magic) is MEASURED on a
+    // corpus instead of silently reverting items to header-only. Each
+    // attempt is the decoder the OPERATOR SURFACE consumes: GIF takes
+    // the COMPOSITED animation decode, so the partial-frame case (10)
+    // lands `decoded` — the census measures real blind spots, not the
+    // stricter opt-in index-census contract. Fixture cycles eleven real
+    // encoder outputs, six decodable (incl. 4:2:0 / interlaced GIF /
+    // stereo FLAC / MJPEG / partial-frame animation) and five patched
+    // into named failures; the aggregate is |formats x causes|-bounded,
+    // never corpus-shaped (budget <= 3 s) ---
     "q265_decode_health" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDecodeHealth(
         graft.multimodal.Multimodal.syntheticHealthMedia(
@@ -5090,6 +5111,24 @@ object SparkEntry {
     // WAV-depth replay: the depth CASE — 8-bit through (u-128)*256,
     // 16- and 24-bit through the shared planted formula (the 24-bit
     // low-byte noise vanishes in the conversion)
+    // raster replay: ONE quadratic displayed-gray formula (prime-modulus
+    // per-item coefficients) across all eight BMP/TIFF layout variants —
+    // the engine earns it through eight different byte walks (row flips,
+    // palettes, strips, byte orders, the WhiteIsZero inversion)
+    "q271_raster_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "((k % w)*(k % w)*(7 + media_id % 29) + " +
+        "(k // w)*(k // w)*(11 + media_id % 17) + " +
+        "(k % w)*(k // w)*(5 + media_id % 11) + media_id*23) % 251 AS gray " +
+        "FROM px), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
     "q270_wav_depth_census" ->
       ("WITH d AS (SELECT doc_id AS media_id, " +
         "CAST(200 + (doc_id * 7) % 200 AS BIGINT) AS n, " +
@@ -5197,14 +5236,14 @@ object SparkEntry {
     // (format, outcome, cause) buckets; the engine must EARN each row by
     // running the real parser into its named failure
     "q265_decode_health" ->
-      ("WITH c AS (SELECT CASE doc_id % 10 " +
+      ("WITH c AS (SELECT CASE doc_id % 11 " +
         "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg' " +
         "WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' WHEN 5 THEN 'png' " +
         "WHEN 6 THEN 'jpeg' WHEN 7 THEN 'avi' WHEN 8 THEN 'unknown' " +
-        "ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 10 IN (0, 1, 3, 4, 7) THEN 'decoded' " +
+        "WHEN 10 THEN 'gif' ELSE 'avi' END AS format, " +
+        "CASE WHEN doc_id % 11 IN (0, 1, 3, 4, 7, 10) THEN 'decoded' " +
         "ELSE 'skipped' END AS outcome, " +
-        "CASE doc_id % 10 WHEN 2 THEN 'unsupported_coding' " +
+        "CASE doc_id % 11 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
         "ELSE 'none' END AS cause FROM documents) " +

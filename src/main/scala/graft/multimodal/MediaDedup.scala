@@ -49,15 +49,18 @@ object MediaDedup {
     * name at this bound instead. */
   val MaxExactVarPixels: Long = 8L * 1000 * 1000
 
-  /** Shared format-blind pixel walk: decode by magic (PNG, GIF, JPEG),
-    * call `onDims(w, h)` once, then `f(x, y, r, g, b)` per pixel. JPEG
-    * payloads walk the image AS DISPLAYED ([[Jpeg.decodeRgbOriented]] —
-    * EXIF tag 274 applied, identity when absent), so POSITION-SENSITIVE
-    * consumers (crop search, boilerplate census, block means) see the
-    * same pixels a viewer does: a camera original stored rotated and a
-    * crop taken from its displayed form must meet on one grid.
-    * Aggregate/invariant consumers are unaffected (orientation is a
-    * pixel permutation). */
+  /** Shared format-blind pixel walk: decode by magic (PNG, GIF, JPEG,
+    * BMP, TIFF, WebP), call `onDims(w, h)` once, then `f(x, y, r, g, b)`
+    * per pixel. JPEG payloads walk the image AS DISPLAYED
+    * ([[Jpeg.decodeRgbOriented]] — EXIF tag 274 applied, identity when
+    * absent), so POSITION-SENSITIVE consumers (crop search, boilerplate
+    * census, block means) see the same pixels a viewer does: a camera
+    * original stored rotated and a crop taken from its displayed form
+    * must meet on one grid. Aggregate/invariant consumers are unaffected
+    * (orientation is a pixel permutation). Non-JPEG/GIF stills route
+    * through [[Multimodal.decodeStillRgba]] (PNG/BMP/TIFF/WebP RGBA
+    * dispatch), so every new raster decoder joins the whole
+    * position-sensitive surface with zero operator changes. */
   private def foreachDecodedPixel(id: Long, p: Array[Byte])
                                  (onDims: (Int, Int) => Unit)
                                  (f: (Int, Int, Int, Int, Int) => Unit): Unit = {
@@ -85,7 +88,7 @@ object MediaDedup {
         k += 1
       }
     } else {
-      val (w, h, px) = Multimodal.decodePngRgba(id, p)
+      val (w, h, px) = Multimodal.decodeStillRgba(id, p)
       onDims(w, h)
       var y = 0
       while (y < h) {

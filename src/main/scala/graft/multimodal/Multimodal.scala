@@ -927,10 +927,43 @@ object Multimodal {
     struct(folded.getField("w").as("w"), folded.getField("h").as("h"))
   }
 
+  /** TIFF ImageWidth/ImageLength (tags 256/257) as a BOUNDED pure
+    * expression: the IFD-0 entry walk for BOTH byte orders (II and MM),
+    * SHORT or LONG value cells, up to `maxEntries` entries folded the
+    * [[jpegSof]] way (real TIFFs carry ~10–20 IFD-0 entries; beyond the
+    * bound the dims stay null and the typed path still decodes). */
+  private def tiffDimsExpr(p: Column, maxEntries: Int = 32): Column = {
+    val isBe = hex(p.substr(lit(1), lit(2))) === "4D4D"
+    def u16(pos: Column): Column =
+      when(isBe, conv(hex(p.substr(pos, lit(2))), 16, 10))
+        .otherwise(conv(concat(hex(p.substr(pos + 1, lit(1))),
+          hex(p.substr(pos, lit(1)))), 16, 10)).cast("long")
+    def u32(pos: Column): Column =
+      when(isBe, conv(hex(p.substr(pos, lit(4))), 16, 10))
+        .otherwise(conv(concat(hex(p.substr(pos + 3, lit(1))),
+          hex(p.substr(pos + 2, lit(1))), hex(p.substr(pos + 1, lit(1))),
+          hex(p.substr(pos, lit(1)))), 16, 10)).cast("long")
+    val ifd = u32(lit(5)) + 1 // 0-based header offset -> 1-based substr pos
+    val n = least(u16(ifd), lit(maxEntries.toLong))
+    val init = struct(lit(null).cast("long").as("w"),
+      lit(null).cast("long").as("h"))
+    aggregate(
+      sequence(lit(0L), lit(maxEntries - 1L)), init,
+      (acc, k) => {
+        val e = ifd + 2 + lit(12L) * k
+        val tag = u16(e)
+        // SHORT values sit left-justified in the 4-byte cell; LONG fills it
+        val v = when(u16(e + 2) === 3, u16(e + 8)).otherwise(u32(e + 8))
+        when(k >= n, acc).otherwise(struct(
+          when(tag === 256, v).otherwise(acc.getField("w")).as("w"),
+          when(tag === 257, v).otherwise(acc.getField("h")).as("h")))
+      })
+  }
+
   /** Container metadata from raw bytes with PURE Spark expressions — the
     * scale path (codegen projection; no typed iteration, no UDF). Detects
-    * PNG / GIF / JPEG / WAV / AVI by magic bytes and reads the published
-    * fixed-offset header fields:
+    * PNG / GIF / JPEG / WAV / AVI / BMP / TIFF by magic bytes and reads
+    * the published fixed-offset header fields:
     *  - png: IHDR width/height (big-endian u32 at offsets 16/20)
     *  - gif: logical-screen width/height (little-endian u16 at 6/8)
     *  - wav: channels (LE u16 at 22), sample rate (LE u32 at 24) — GUARDED
@@ -942,6 +975,10 @@ object Multimodal {
     *  - jpeg: detected by FF D8 FF; dimensions via [[jpegSof]] — the SOF
     *    marker walk as a bounded unrolled expression (null if no SOF inside
     *    the first 12 segments; real JFIF headers reach it in ~5).
+    *  - bmp: width LE i32 at 18, height SIGNED LE i32 at 22 (negative =
+    *    top-down; the magnitude is reported)
+    *  - tiff: ImageWidth/ImageLength via [[tiffDimsExpr]] — the IFD-0
+    *    entry walk as a bounded expression, both byte orders
     * Unknown magic → format "unknown", all fields null. Appends columns
     * (format, img_width, img_height, n_frames, sample_rate, channels). */
   def binaryMediaMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
@@ -952,28 +989,42 @@ object Multimodal {
     val isRiff = hex(substring(p, 1, 4)) === "52494646"
     val isWav = isRiff && hex(substring(p, 9, 4)) === "57415645"
     val isAvi = isRiff && hex(substring(p, 9, 4)) === "41564920"
+    val isBmp = hex(substring(p, 1, 2)) === "424D"
+    val isTiff = hex(substring(p, 1, 4)).isin("49492A00", "4D4D002A")
     val wavFmtOk = hex(substring(p, 13, 4)) === "666D7420" // "fmt "
+    // BMP height is SIGNED (negative = top-down rows): undo two's
+    // complement, the display height is the magnitude either way
+    val bmpHRaw = leUint(p, 23, 4)
+    val bmpH = when(bmpHRaw > 2147483647L, lit(4294967296L) - bmpHRaw)
+      .otherwise(bmpHRaw)
     media
       .withColumn("__sof", when(isJpeg, jpegSof(p)))
+      .withColumn("__tiff", when(isTiff, tiffDimsExpr(p)))
       .withColumn("format",
         when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
-          .when(isWav, "wav").when(isAvi, "avi").otherwise("unknown"))
+          .when(isWav, "wav").when(isAvi, "avi")
+          .when(isBmp, "bmp").when(isTiff, "tiff").otherwise("unknown"))
       .withColumn("img_width",
         when(isPng, beUint(p, 17, 4)).when(isGif, leUint(p, 7, 2))
           .when(isJpeg, col("__sof").getField("w"))
-          .when(isAvi, leUint(p, 65, 4)).cast("int"))
+          .when(isAvi, leUint(p, 65, 4))
+          .when(isBmp, leUint(p, 19, 4))
+          .when(isTiff, col("__tiff").getField("w")).cast("int"))
       .withColumn("img_height",
         when(isPng, beUint(p, 21, 4)).when(isGif, leUint(p, 9, 2))
           .when(isJpeg, col("__sof").getField("h"))
-          .when(isAvi, leUint(p, 69, 4)).cast("int"))
+          .when(isAvi, leUint(p, 69, 4))
+          .when(isBmp, bmpH)
+          .when(isTiff, col("__tiff").getField("h")).cast("int"))
       .withColumn("n_frames",
         when(isAvi, leUint(p, 49, 4))
-          .when(isPng || isGif || isWav || isJpeg, lit(1L)).cast("long"))
+          .when(isPng || isGif || isWav || isJpeg || isBmp || isTiff,
+            lit(1L)).cast("long"))
       .withColumn("sample_rate",
         when(isWav && wavFmtOk, leUint(p, 25, 4)).cast("int"))
       .withColumn("channels",
         when(isWav && wavFmtOk, leUint(p, 23, 2)).cast("int"))
-      .drop("__sof")
+      .drop("__sof", "__tiff")
   }
 
   /** Decode pass: batch-iterate each partition, parse REAL container
@@ -1229,6 +1280,19 @@ object Multimodal {
     (w, h, out)
   }
 
+  /** Format-blind STILL-image RGBA dispatch — every raster format that
+    * decodes to one (w, h, RGBA) frame, keyed by magic: PNG (zlib +
+    * filters), BMP (padded bottom-up BGR rows), TIFF (IFD + strips),
+    * WebP VP8L (prefix codes + LZ77 + transforms). JPEG and GIF keep
+    * their dedicated walks (EXIF orientation / palette indices) at the
+    * consumer. One seam = new formats join dHash dedup, crop search,
+    * quality gates, descriptors, and the boilerplate census with zero
+    * operator changes. */
+  private[graft] def decodeStillRgba(id: Long, p: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (Raster.isBmp(p)) Raster.decodeBmpRgba(id, p)
+    else if (Raster.isTiff(p)) Raster.decodeTiffRgba(id, p)
+    else decodePngRgba(id, p)
+
   private[graft] def decodeOnePng(id: Long, p: Array[Byte]): PixelStats = {
     val (w, h, px) = decodePngRgba(id, p)
     var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
@@ -1359,9 +1423,12 @@ object Multimodal {
     * from the DIB convention (BOTTOM-UP rows of BGR triples, rows padded
     * to 4 bytes) into row-major top-down RGB, '00dc' through the baseline
     * JPEG decoder with frame dims verified against avih. Returns (width,
-    * height, one RGB byte array per frame). One frame's pixels live at a
-    * time per task — the inherent decode granularity, same as the
-    * PNG/GIF paths. */
+    * height, one RGB byte array per frame) — ALL frames of one payload
+    * are resident at once (the consumers need the whole clip), so the
+    * TOTAL decoded volume is bounded by name before each frame decodes:
+    * a few-KB DC-only MJPG chunk at large declared dims would otherwise
+    * amplify to gigabytes and die as an unnamed OOM (the same bound the
+    * GIF animation walk applies per presented frame). */
   private[graft] def decodeAviRgb(id: Long, p: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
@@ -1418,6 +1485,9 @@ object Multimodal {
             require(isMjpeg,
               s"media $id: compressed video chunk '$fcc' without an MJPG " +
                 "strf out of scope (only MJPG '##dc' and DIB '##db' decode)")
+            require(w.toLong * h * (frames.length + 1) <= MaxDecodePixels,
+              s"media $id: AVI decoded volume exceeds the " +
+                s"$MaxDecodePixels-pixel decode bound")
             val (fw, fh, rgb) = Jpeg.decodeRgb(id,
               java.util.Arrays.copyOfRange(p, dataOff, dataOff + len))
             require(fw == w && fh == h,
@@ -1428,6 +1498,9 @@ object Multimodal {
             require(sawStrf, s"media $id: frame chunk before strf header")
             require(!isMjpeg,
               s"media $id: uncompressed '##db' chunk inside an MJPG stream")
+            require(w.toLong * h * (frames.length + 1) <= MaxDecodePixels,
+              s"media $id: AVI decoded volume exceeds the " +
+                s"$MaxDecodePixels-pixel decode bound")
             val rowSize = ((3 * w + 3) / 4) * 4
             require(len == rowSize * h,
               s"media $id: frame chunk size $len != expected ${rowSize * h}")
@@ -2135,18 +2208,28 @@ object Multimodal {
     "decode bound" -> "decode_bound",
     "truncated" -> "truncated",
     "CRC" -> "crc_mismatch",
-    "partial-frame" -> "partial_frame_gif",
     "MJPG" -> "unsupported_codec",
+    "BI_RGB BMP" -> "unsupported_coding",
+    "bit counts" -> "unsupported_depth",
+    "uncompressed TIFF" -> "unsupported_coding",
+    "planar configuration" -> "unsupported_coding",
     "neither a global nor a local color table" -> "no_color_table")
 
   /** Corpus format-coverage health: attempt the FULL pixel/sample decode
     * for every item and aggregate outcomes by format and NAMED cause —
     * (format, outcome, cause, n_items). Every remaining scope
-    * restriction (arithmetic coding, >2 sampling, 12-bit, >2-channel
-    * audio, non-MJPG codecs, partial-frame GIF) becomes a MEASURED row
+    * restriction (arithmetic coding, sampling factors 3–4, 12-bit JPEG,
+    * >8-channel audio, non-MJPG AVI codecs) becomes a MEASURED row
     * instead of a silent fallback to header-only: a curation run can
     * report exactly what fraction of its corpus each blind spot costs.
-    * The aggregate is |formats × causes|-bounded — never corpus-shaped. */
+    * Each format's attempt is the decoder the OPERATOR SURFACE actually
+    * consumes — GIF takes the COMPOSITED animation decode
+    * ([[decodeGifComposited]], what [[decodeVideoRgb]] routes through),
+    * so real-crawl partial-frame animations count as decoded, matching
+    * what dedup/crop/quality would do with them; the stricter
+    * index-census contract ([[decodeGifFrames]]) is an opt-in profile,
+    * not a corpus blind spot. The aggregate is |formats × causes|-bounded
+    * — never corpus-shaped. */
   def mediaDecodeHealth(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -2164,13 +2247,15 @@ object Multimodal {
           (if (p(8) == 'W'.toByte) "wav" else "avi")
         else if (p.length >= 4 && p(0) == 'f'.toByte && p(1) == 'L'.toByte &&
           p(2) == 'a'.toByte && p(3) == 'C'.toByte) "flac"
+        else if (Raster.isBmp(p)) "bmp"
+        else if (Raster.isTiff(p)) "tiff"
         else "unknown"
       if (fmt == "unknown") (fmt, "skipped", "unknown_magic")
       else
         try {
           fmt match {
-            case "png" => decodePngRgba(m.media_id, p)
-            case "gif" => decodeGifFrames(m.media_id, p)
+            case "png" | "bmp" | "tiff" => decodeStillRgba(m.media_id, p)
+            case "gif" => decodeGifComposited(m.media_id, p)
             case "jpeg" => Jpeg.decodeRgb(m.media_id, p)
             case "wav" | "flac" => pcm16Samples(m.media_id, p)
             case _ => decodeAviRgb(m.media_id, p)
@@ -2189,13 +2274,15 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"))
   }
 
-  /** Mixed-health fixtures: ten deterministic corpus cases cycling by
+  /** Mixed-health fixtures: eleven deterministic corpus cases cycling by
     * doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo FLAC /
-    * MJPEG AVI alongside the named out-of-scope shapes (arithmetic-coded
-    * JPEG, sampling-factor-3 JPEG, truncated PNG, a non-MJPG compressed
-    * AVI, unknown magic), each planted by patching a REAL encoder's
-    * output so the failure path is the real parser, not a synthetic
-    * throw. */
+    * MJPEG AVI / PARTIAL-FRAME animated GIF (disposal + transparency —
+    * must land `decoded` now that the census attempts the composited
+    * decode, the operator-surface truth) alongside the named out-of-scope
+    * shapes (arithmetic-coded JPEG, sampling-factor-3 JPEG, truncated
+    * PNG, a non-MJPG compressed AVI, unknown magic), each planted by
+    * patching a REAL encoder's output so the failure path is the real
+    * parser, not a synthetic throw. */
   def syntheticHealthMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2209,7 +2296,7 @@ object Multimodal {
       }
       val grayJpeg =
         Jpeg.encodeGrayBlocks(16, 16, Array.tabulate(4)(k => (40 + 50 * k) % 256))
-      val payload: Array[Byte] = (id % 10) match {
+      val payload: Array[Byte] = (id % 11) match {
         case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
         case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
           ((id * 37 + k * 11) % 256).toInt))
@@ -2227,6 +2314,19 @@ object Multimodal {
         case 6 => sofPatch(grayJpeg, 11, 0x33) // sampling factor 3x3
         case 7 => Containers.aviMjpeg(16, 16, Array(grayJpeg))
         case 8 => Array.tabulate[Byte](16)(i => (id + i).toByte)
+        case 10 => // real-crawl partial-frame animation: decodable via the
+          // COMPOSITED path the operator surface uses (was `skipped /
+          // partial_frame_gif` when the census attempted the index-census
+          // contract — the telemetry must measure the real blind spots)
+          Containers.gifAnimatedPartial(12, 10, Seq(
+            Containers.GifFrameSpec(0, 0, 12, 10,
+              k => ((id * 5 + k) % 16).toInt),
+            Containers.GifFrameSpec(3, 2, 6, 5,
+              k => ((id * 7 + k * 3) % 16).toInt,
+              disposal = 2, transparentIdx = 1),
+            Containers.GifFrameSpec(1, 1, 4, 4,
+              k => ((id * 11 + k) % 16).toInt, disposal = 3)),
+            Array.tabulate(16 * 3)(b => ((b / 3) * 16 + 2).toByte))
         case _ => // a compressed chunk under a DIB (non-MJPG) strf
           val avi = Containers.aviFull(6, 5, 1,
             (_, x, y, _) => (x * 7 + y * 13) % 256)
@@ -2259,6 +2359,49 @@ object Multimodal {
       val payload = Containers.gifFull(w, h,
         k => ((id * 7 + (k % w) * 3 + (k / w) * 5) % 64).toInt, palette,
         interlaced = id % 2 == 0, localTable = id % 3 == 0)
+      MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
+  /** Uncompressed-raster fixtures across the BMP/TIFF layout matrix:
+    * bottom-up and top-down 24-bit BMP, 8-bit palette BMP (grayscale
+    * identity ramp), 32-bit BMP with a PLANTED nonzero reserved byte
+    * (which the decode must drop — the 16-bit-PNG low-byte lesson),
+    * little- and big-endian TIFF, multi-strip gray, RGB, palette (16-bit
+    * ColorMap high-byte reduction), and WhiteIsZero gray storing the
+    * INVERTED value so a decoder that skips the inversion mismatches.
+    * All eight variants plant one displayed-gray closed form — quadratic
+    * position terms with per-item prime-modulus coefficients (the
+    * degeneracy rule) — so the oracle replays a single formula while the
+    * engine earns each layout differently; the census is the
+    * position-sensitive block-means table, which a bottom-up/top-down
+    * row flip or a strip mis-stitch cannot survive. */
+  def syntheticRasterMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grayPal = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      def g(x: Int, y: Int): Int =
+        ((x.toLong * x * (7 + id % 29) + y.toLong * y * (11 + id % 17) +
+          x.toLong * y * (5 + id % 11) + id * 23) % 251).toInt
+      def rgb(k: Int): Int = g((k / 3) % w, (k / 3) / w)
+      def gray(k: Int): Int = g(k % w, k / w)
+      val payload: Array[Byte] = (id % 8) match {
+        case 0 => Raster.bmp24(w, h, rgb)
+        case 1 => Raster.bmp24(w, h, rgb, topDown = true)
+        case 2 => Raster.bmp8(w, h, gray, grayPal)
+        case 3 => Raster.bmp32(w, h, rgb, reserved = (id % 251).toInt)
+        case 4 => Raster.tiff(w, h, photometric = 1, spp = 1, gray,
+          rowsPerStrip = 3)
+        case 5 => Raster.tiff(w, h, photometric = 2, spp = 3, rgb,
+          bigEndian = true)
+        case 6 => Raster.tiff(w, h, photometric = 3, spp = 1, gray,
+          palette = grayPal)
+        case _ => Raster.tiff(w, h, photometric = 0, spp = 1,
+          k => 255 - gray(k), bigEndian = true, rowsPerStrip = 5)
+      }
       MediaRow(id, "image", payload, w, h, 1)
     }
   }
@@ -2600,7 +2743,8 @@ object Multimodal {
       val emb: Array[Double] =
         if (p.length >= 3 && ((p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte ||
           p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte ||
-          (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8))
+          (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) ||
+          Raster.isBmp(p) || Raster.isTiff(p))
           MediaDedup.descriptorOneImage(m.media_id, p)
         else if (p.length >= 12 && p(0) == 'R'.toByte && p(8) == 'W'.toByte &&
           p(9) == 'A'.toByte)

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Raster}
 import graft.multimodal.Multimodal.Containers
 
 /** Adversarial-bytes fuzz over every media decoder: the streaming ingest
@@ -110,6 +110,24 @@ class FuzzSpec extends AnyFunSuite {
       p => Multimodal.decodeGifComposited(18L, p))
   }
 
+  private val bmpPayload = Raster.bmp24(9, 6, k => (k * 7) % 251)
+  private val bmp8Payload = Raster.bmp8(10, 5, k => (k * 3) % 251,
+    Array.tabulate(256 * 3)(b => (b / 3).toByte))
+  private val tiffIiPayload = Raster.tiff(11, 7, 2, 3, k => (k * 5) % 251,
+    rowsPerStrip = 3)
+  private val tiffMmPayload = Raster.tiff(8, 9, 1, 1, k => (k * 11) % 251,
+    bigEndian = true, rowsPerStrip = 2)
+  private val tiffPalPayload = Raster.tiff(8, 8, 3, 1, k => (k * 13) % 251,
+    palette = Array.tabulate(256 * 3)(b => (b / 3).toByte))
+
+  test("fuzz: BMP + TIFF decode fails only by name on hostile bytes") {
+    fuzz("bmp24", bmpPayload, 2, p => Raster.decodeBmpRgba(24L, p))
+    fuzz("bmp8", bmp8Payload, 2, p => Raster.decodeBmpRgba(25L, p))
+    fuzz("tiff-ii", tiffIiPayload, 4, p => Raster.decodeTiffRgba(26L, p))
+    fuzz("tiff-mm", tiffMmPayload, 4, p => Raster.decodeTiffRgba(27L, p))
+    fuzz("tiff-pal", tiffPalPayload, 4, p => Raster.decodeTiffRgba(28L, p))
+  }
+
   private val jpegPayload = graft.multimodal.Jpeg.encodeBlocks(16, 16,
     Array(Array.tabulate(4) { b =>
       val blk = new Array[Int](64)
@@ -199,7 +217,12 @@ class FuzzSpec extends AnyFunSuite {
       ("jpeg-prog", progPayload, p => graft.multimodal.Jpeg.decodeRgb(8L, p)),
       ("jpeg-420", sub420, p => graft.multimodal.Jpeg.decodeRgb(9L, p)),
       ("flac", flacPayload, p => graft.multimodal.Flac.decode(10L, p)),
-      ("flac-st", stereoFlac, p => graft.multimodal.Flac.decode(11L, p)))
+      ("flac-st", stereoFlac, p => graft.multimodal.Flac.decode(11L, p)),
+      ("bmp24", bmpPayload, p => Raster.decodeBmpRgba(24L, p)),
+      ("bmp8", bmp8Payload, p => Raster.decodeBmpRgba(25L, p)),
+      ("tiff-ii", tiffIiPayload, p => Raster.decodeTiffRgba(26L, p)),
+      ("tiff-mm", tiffMmPayload, p => Raster.decodeTiffRgba(27L, p)),
+      ("tiff-pal", tiffPalPayload, p => Raster.decodeTiffRgba(28L, p)))
     targets.foreach { case (name, valid, decode) =>
       for (i <- 0 until 3000) {
         val m = valid.clone()

@@ -401,4 +401,49 @@ class VideoSpec extends SparkSpec {
     }
     media.unpersist(); clips.unpersist()
   }
+
+  test("MJPEG AVI total decoded volume is bounded by name: a few-KB " +
+    "DC-only chunk at large declared dims cannot amplify into an OOM") {
+    import graft.multimodal.Jpeg
+    // 8192x4104 = 33.6M px > MaxDecodePixels/2: frame 1 decodes (33.6M
+    // <= 67.1M), frame 2's pre-decode volume check (67.2M) fails by name
+    // BEFORE the second decode allocates anything
+    val w = 8192; val h = 4104
+    // constant blocks: every DC diff after the first is 0, so the
+    // payload stays tiny while the declared decode volume is huge
+    val grays = Array.fill((w / 8) * (h / 8))(128)
+    val big = Jpeg.encodeGrayBlocks(w, h, grays)
+    // ~1.5 bytes/block is the entropy-coded floor for 525k blocks; the
+    // decode this payload declares is 2 frames x 100 MB of RGB — >250x
+    assert(big.length < 1000000, s"DC-only JPEG is ${big.length} B — the " +
+      "amplification premise (small payload, huge decode) must hold")
+    val hostile = Containers.aviMjpeg(w, h, Array(big, big))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeAviRgb(95L, hostile))
+    assert(e.getMessage.contains("decoded volume exceeds"), e.getMessage)
+  }
+
+  test("decode-health census uses the OPERATOR-SURFACE decoders: a " +
+    "partial-frame animated GIF counts as decoded, not partial_frame_gif") {
+    import Containers.GifFrameSpec
+    val spark2 = spark
+    import spark2.implicits._
+    val pal = Array.tabulate(16 * 3)(b => ((b / 3) * 16).toByte)
+    val partial = Containers.gifAnimatedPartial(10, 8, Seq(
+      GifFrameSpec(0, 0, 10, 8, k => k % 16),
+      GifFrameSpec(2, 3, 5, 4, k => (k * 3) % 16, disposal = 2,
+        transparentIdx = 1)), pal)
+    val fullFrame = Containers.gifFull(8, 8, k => k % 16, pal,
+      minCodeSize = 4)
+    val rows = Seq(
+      MediaRow(0L, "image", partial, 10, 8, 2),
+      MediaRow(1L, "image", fullFrame, 8, 8, 1),
+      MediaRow(2L, "image", Array.tabulate[Byte](8)(_.toByte), 0, 0, 1))
+    val got = Multimodal.mediaDecodeHealth(rows.toDS())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      ("gif", "decoded", "none", 2L),
+      ("unknown", "skipped", "unknown_magic", 1L)), got.toString)
+  }
 }
