@@ -1847,6 +1847,51 @@ object SparkEntry {
       graft.multimodal.MediaDedup.imageBlockMeans(
         graft.multimodal.Multimodal.syntheticRasterMedia(
           t(s, d, "documents")), blockPx = 2)),
+    // --- WebP VP8L lossless decode [ext]: the top real-crawl image
+    // format that was still `unknown_magic` — a from-scratch RFC-9649
+    // VP8L bitstream decoder (canonical prefix codes, LZ77 backward
+    // refs, color cache, meta prefix tiling, and all four transforms:
+    // predictor / cross-color / subtract-green / color-indexing with
+    // sub-byte bundling), routed through the one decodeStillRgba seam so
+    // dHash dedup, crop search, gates, descriptors, and boilerplate see
+    // WebP with ZERO operator changes. Fixtures rotate six encoder paths
+    // (plain / subtract-green / palette / each predictor / cache+LZ77
+    // over row pairs / cross-color inside a VP8X extended container);
+    // VP8L is LOSSLESS so one planted closed form replays exactly; the
+    // census is the position-sensitive block-means table. Lossy VP8
+    // stays header-only (dims) with a named census bucket (budget
+    // <= 3 s) ---
+    "q272_webp_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticWebpMedia(
+          t(s, d, "documents")), blockPx = 2)),
+    // --- PNG <-> WebP cross-format perceptual dedup [ext]: planted
+    // pairs of the same displayed content collide at Hamming 0 through
+    // entirely different codecs (inflate+unfilter vs VP8L prefix-code
+    // bitstreams, rotating plain / subtract-green / color-indexed), the
+    // q224/q257 contract extended to the fourth image format family;
+    // the 8x8 constant cells align with the dHash mean grid so the
+    // fixture replays arithmetically (budget <= 3 s) ---
+    "q273_webp_crossformat_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageNearDups(
+        graft.multimodal.MediaDedup.syntheticWebpPairImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
+    // --- MP4/MP3/Ogg container metadata census [ext]: the crawl-MAJORITY
+    // media containers become MEASURED (codec fourcc, dims, duration,
+    // channels, rate, bitrate from the published ISO-BMFF box / MPEG
+    // frame-header / Ogg page layouts) instead of `unknown_magic` — no
+    // codec decode, so the walk runs at scan speed (partition-local
+    // mapPartitions touching only header bytes; at 100 TB this is what
+    // routes payloads to the right pipeline). Fixtures cycle avc1 MP4 /
+    // two-track hev1+mp4a MP4 / MPEG1+2 Layer-III with earned ID3v2
+    // syncsafe skips / Ogg vorbis / Ogg opus; every field is a closed
+    // form of doc_id (budget <= 3 s) ---
+    "q274_container_meta" -> ((s, d) =>
+      graft.multimodal.Multimodal.containerMediaMeta(
+        graft.multimodal.Multimodal.syntheticContainerMedia(
+          t(s, d, "documents"))).toDF()),
     // --- WAV PCM-depth matrix [ext]: 8-bit unsigned (old clips) and
     // 24-bit signed (production audio) PCM previously failed fast; both
     // now normalize to int16 by DOCUMENTED deterministic conversions
@@ -1927,11 +1972,13 @@ object SparkEntry {
     // attempt is the decoder the OPERATOR SURFACE consumes: GIF takes
     // the COMPOSITED animation decode, so the partial-frame case (10)
     // lands `decoded` — the census measures real blind spots, not the
-    // stricter opt-in index-census contract. Fixture cycles eleven real
-    // encoder outputs, six decodable (incl. 4:2:0 / interlaced GIF /
-    // stereo FLAC / MJPEG / partial-frame animation) and five patched
-    // into named failures; the aggregate is |formats x causes|-bounded,
-    // never corpus-shaped (budget <= 3 s) ---
+    // stricter opt-in index-census contract. Fixture cycles seventeen
+    // real encoder outputs, seven decodable (incl. 4:2:0 / interlaced
+    // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP)
+    // and ten patched into named failures (incl. lossy-VP8 / animated
+    // WebP and the metadata-only MP4 / MP3 / Ogg containers, whose REAL
+    // walks report the codec as evidence); the aggregate is
+    // |formats x causes|-bounded, never corpus-shaped (budget <= 3 s) ---
     "q265_decode_health" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDecodeHealth(
         graft.multimodal.Multimodal.syntheticHealthMedia(
@@ -5115,6 +5162,100 @@ object SparkEntry {
     // per-item coefficients) across all eight BMP/TIFF layout variants —
     // the engine earns it through eight different byte walks (row flips,
     // palettes, strips, byte orders, the WhiteIsZero inversion)
+    // container replay: every parsed field (codec fourcc, tkhd dims,
+    // mvhd duration at its timescale, MPEG frame-header tables, Ogg id
+    // headers) is a closed form of doc_id; NULL where the format has no
+    // such concept — the engine must EARN each value through the real
+    // box/frame/page walk
+    "q274_container_meta" ->
+      ("WITH d AS (SELECT doc_id AS media_id, doc_id % 5 AS v " +
+        "FROM documents), " +
+        "r AS (SELECT media_id, v, " +
+        "CASE WHEN v IN (0, 1) THEN 'mp4' WHEN v = 2 THEN 'mp3' " +
+        "ELSE 'ogg' END AS format, " +
+        "CASE v WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' " +
+        "WHEN 2 THEN (CASE WHEN media_id % 2 = 0 THEN 'mpeg1-L3' " +
+        "ELSE 'mpeg2-L3' END) " +
+        "WHEN 3 THEN 'vorbis' ELSE 'opus' END AS codec, " +
+        "CASE v WHEN 0 THEN 320 + (media_id % 5) * 16 " +
+        "WHEN 1 THEN 640 + (media_id % 3) * 64 END AS width, " +
+        "CASE v WHEN 0 THEN 240 + (media_id % 7) * 16 " +
+        "WHEN 1 THEN 360 + (media_id % 4) * 36 END AS height, " +
+        "CASE v WHEN 0 THEN 1000 + (media_id * 7) % 9000 " +
+        "WHEN 1 THEN ((600 + (media_id * 11) % 6000) * 1000) // 600 " +
+        "END AS duration_ms, " +
+        "CASE v WHEN 1 THEN (CASE media_id % 3 WHEN 0 THEN 32000 " +
+        "WHEN 1 THEN 44100 ELSE 48000 END) " +
+        "WHEN 2 THEN (CASE WHEN media_id % 2 = 0 " +
+        "THEN (CASE media_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 " +
+        "ELSE 32000 END) " +
+        "ELSE (CASE media_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000 " +
+        "ELSE 16000 END) END) " +
+        "WHEN 3 THEN 8000 + (media_id % 5) * 8000 " +
+        "WHEN 4 THEN 48000 END AS sample_rate, " +
+        "CASE v WHEN 1 THEN 1 + media_id % 2 " +
+        "WHEN 2 THEN (CASE WHEN media_id % 4 < 2 THEN 1 ELSE 2 END) " +
+        "WHEN 3 THEN 1 + media_id % 2 " +
+        "WHEN 4 THEN 1 + media_id % 2 END AS channels, " +
+        "CASE WHEN v = 2 THEN (CASE WHEN media_id % 2 = 0 " +
+        "THEN (CASE 1 + media_id % 7 WHEN 1 THEN 32 WHEN 2 THEN 40 " +
+        "WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 " +
+        "ELSE 96 END) " +
+        "ELSE (CASE 1 + media_id % 7 WHEN 1 THEN 8 WHEN 2 THEN 16 " +
+        "WHEN 3 THEN 24 WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48 " +
+        "ELSE 56 END) END) END AS bitrate_kbps, " +
+        "CASE v WHEN 0 THEN 1 WHEN 1 THEN 2 END AS n_tracks FROM d) " +
+        "SELECT media_id, format, codec, " +
+        "CAST(width AS INTEGER) AS width, " +
+        "CAST(height AS INTEGER) AS height, " +
+        "CAST(duration_ms AS BIGINT) AS duration_ms, " +
+        "CAST(sample_rate AS INTEGER) AS sample_rate, " +
+        "CAST(channels AS INTEGER) AS channels, " +
+        "CAST(bitrate_kbps AS INTEGER) AS bitrate_kbps, " +
+        "CAST(n_tracks AS INTEGER) AS n_tracks FROM r"),
+    // WebP replay: ONE quadratic displayed-gray formula (prime-modulus
+    // per-item coefficients) across the six VP8L encoder paths — the
+    // palette variant quantizes to 16 levels, the cache+LZ77 variant
+    // plants row pairs (y - y%2); the engine earns each value through a
+    // different lossless bitstream (transforms invert exactly)
+    "q272_webp_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "c AS (SELECT media_id, w, h, k % w AS x, k // w AS y, " +
+        "CASE WHEN media_id % 6 = 4 THEN (k // w) - (k // w) % 2 " +
+        "ELSE k // w END AS fy FROM px), " +
+        "v AS (SELECT media_id, w, h, x, y, " +
+        "(x*x*(5 + media_id % 31) + fy*fy*(7 + media_id % 23) + " +
+        "x*fy*(3 + media_id % 13) + media_id*29) % 241 AS f0 FROM c), " +
+        "g AS (SELECT media_id, w, h, x // 2 AS bx, y // 2 AS by, " +
+        "CASE WHEN media_id % 6 = 2 THEN (f0 % 16) * 16 + 3 " +
+        "ELSE f0 END AS gray FROM v), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // PNG<->WebP replay: the q257 dHash arithmetic over this fixture's
+    // pair grouping (g = doc_id // 2) and cell coefficients — the oracle
+    // never sees a codec, only the planted 8x8 cell grid
+    "q273_webp_crossformat_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "cell AS (SELECT doc_id, g, unnest(range(64)) AS c FROM dd), " +
+        "m AS (SELECT doc_id, c % 8 AS bx, c // 8 AS by, " +
+        "(g*31 + (c % 8)*(c % 8)*(7 + (g % 5) * 9) + " +
+        "(c // 8)*(c // 8)*(3 + (g % 7) * 5) + " +
+        "(c % 8)*(c // 8)*(11 + (g % 3) * 13)) % 256 AS mean FROM cell), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS (SELECT dd.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS h FROM dd " +
+        "LEFT JOIN bits ON dd.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.h, y.h)) <= 3"),
     "q271_raster_blockmeans" ->
       ("WITH d AS (SELECT doc_id AS media_id, " +
         "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
@@ -5232,20 +5373,25 @@ object SparkEntry {
         "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by >= 1 " +
         "THEN gray ELSE 0 END) AS BIGINT) AS q_br " +
         "FROM g GROUP BY 1, 2, 3"),
-    // health replay: the ten planted cases map to fixed
+    // health replay: the seventeen planted cases map to fixed
     // (format, outcome, cause) buckets; the engine must EARN each row by
     // running the real parser into its named failure
     "q265_decode_health" ->
-      ("WITH c AS (SELECT CASE doc_id % 11 " +
+      ("WITH c AS (SELECT CASE doc_id % 17 " +
         "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg' " +
         "WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' WHEN 5 THEN 'png' " +
         "WHEN 6 THEN 'jpeg' WHEN 7 THEN 'avi' WHEN 8 THEN 'unknown' " +
-        "WHEN 10 THEN 'gif' ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 11 IN (0, 1, 3, 4, 7, 10) THEN 'decoded' " +
+        "WHEN 10 THEN 'gif' WHEN 11 THEN 'webp' WHEN 12 THEN 'webp' " +
+        "WHEN 13 THEN 'webp' WHEN 14 THEN 'mp4' WHEN 15 THEN 'mp3' " +
+        "WHEN 16 THEN 'ogg' ELSE 'avi' END AS format, " +
+        "CASE WHEN doc_id % 17 IN (0, 1, 3, 4, 7, 10, 11) THEN 'decoded' " +
         "ELSE 'skipped' END AS outcome, " +
-        "CASE doc_id % 11 WHEN 2 THEN 'unsupported_coding' " +
+        "CASE doc_id % 17 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
+        "WHEN 12 THEN 'unsupported_codec' WHEN 13 THEN 'unsupported_codec' " +
+        "WHEN 14 THEN 'unsupported_codec' WHEN 15 THEN 'unsupported_codec' " +
+        "WHEN 16 THEN 'unsupported_codec' " +
         "ELSE 'none' END AS cause FROM documents) " +
         "SELECT format, outcome, cause, " +
         "CAST(count(*) AS BIGINT) AS n_items FROM c GROUP BY 1, 2, 3"),

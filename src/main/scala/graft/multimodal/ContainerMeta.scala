@@ -1,0 +1,396 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** MP4/MOV (ISO BMFF), MP3 (MPEG audio), and Ogg container METADATA
+  * walks — deliberately NO codec decode. These are the majority media
+  * containers of a real web crawl; the engine's job at 100 TB is to make
+  * them MEASURED (format, codec fourcc, geometry, timing, channel
+  * layout, all from the published header layouts) instead of lumping
+  * them into `unknown_magic`, so the q265-style health census can report
+  * `unsupported_codec (avc1)` with evidence rather than blindness.
+  *
+  * Public layouts implemented from their specs: ISO/IEC 14496-12 box
+  * structure (size/type headers, 64-bit largesize, version-split
+  * mvhd/tkhd), ISO/IEC 11172-3 / 13818-3 MPEG audio frame headers
+  * (version x layer bitrate/sample-rate tables, ID3v2 syncsafe skip),
+  * RFC 3533 Ogg paging plus the Vorbis I and RFC 7845 OpusHead
+  * identification headers.
+  *
+  * Same contract as every media walk in this repo (reference behavior:
+  * notebooks/02_silver_transformations.ipynb validates assets it cannot
+  * parse by rejecting them with a reason, never by crashing): hostile
+  * bytes fail by NAME ("media <id>: cause"), every size is checked as
+  * UNSIGNED before use, and every loop is bounded (box count, recursion
+  * depth, page count) so a crafted length field cannot walk forever. */
+private[graft] object ContainerMeta {
+
+  private def fail(id: Long, msg: String): Nothing =
+    throw new IllegalArgumentException(s"media $id: $msg")
+
+  private def check(ok: Boolean, id: Long, msg: => String): Unit =
+    if (!ok) fail(id, msg)
+
+  private def be(p: Array[Byte], off: Int, len: Int): Long =
+    (0 until len).foldLeft(0L)((a, i) => (a << 8) | (p(off + i) & 0xFFL))
+
+  private def le(p: Array[Byte], off: Int, len: Int): Long =
+    (0 until len).foldLeft(0L)((a, i) => a | ((p(off + i) & 0xFFL) << (8 * i)))
+
+  private def ascii(p: Array[Byte], off: Int, len: Int): String =
+    new String(p, off, len, "US-ASCII")
+
+  // ------------------------------------------------------------------
+  // MP4 / MOV — ISO base media file format box walk
+  // ------------------------------------------------------------------
+
+  /** One media track: handler ("vide"/"soun"/...), sample-entry codec
+    * fourcc from stsd, display dims from tkhd (16.16 fixed, video only),
+    * audio channel count + sample rate from the stsd AudioSampleEntry. */
+  final case class TrackMeta(handler: String, codec: String,
+                             width: Int, height: Int,
+                             channels: Int, sampleRate: Int)
+
+  /** File-level metadata: ftyp major brand, mvhd duration in ms, and one
+    * entry per trak in file order. */
+  final case class Mp4Meta(brand: String, durationMs: Long,
+                           tracks: Seq[TrackMeta])
+
+  /** ISO BMFF magic: every file leads with an ftyp box ("moov"-first
+    * legacy QuickTime is accepted too — the walk only needs box syntax,
+    * but detection keys on the two real-world leads). */
+  def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && (ascii(p, 4, 4) == "ftyp" || ascii(p, 4, 4) == "moov")
+
+  private val Mp4MaxBoxes = 512
+  private val Mp4MaxDepth = 8
+
+  /** Box walk → [[Mp4Meta]]. Descends only into the containers on the
+    * moov→trak→mdia→minf→stbl spine; leaf boxes it reads are ftyp, mvhd
+    * (version 0 and 1), tkhd (both versions; dims are 16.16 fixed),
+    * hdlr, and stsd's first sample entry (video dims at the published
+    * VisualSampleEntry offsets, audio channels/rate at the
+    * AudioSampleEntry ones). Everything else is skipped whole by its
+    * declared size — metadata never touches mdat. */
+  def mp4Meta(id: Long, p: Array[Byte]): Mp4Meta = {
+    check(isMp4(p), id, "not an ISO BMFF (MP4/MOV) container")
+    var brand = ""
+    var timescale = 0L
+    var duration = -1L
+    val tracks = ArrayBuffer.empty[TrackMeta]
+    // per-trak accumulation: tkhd/hdlr/stsd arrive as siblings at
+    // different depths, so the walk keeps the "current track" open until
+    // its trak box closes (closure = the recursive call returning)
+    var curHandler = ""; var curCodec = ""
+    var curW = 0; var curH = 0; var curCh = 0; var curSr = 0
+    var boxes = 0
+
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      check(depth <= Mp4MaxDepth, id, "MP4 box nesting exceeds depth 8")
+      var off = start
+      while (off + 8 <= end) {
+        boxes += 1
+        check(boxes <= Mp4MaxBoxes, id, s"MP4 box walk exceeded $Mp4MaxBoxes boxes")
+        val size32 = be(p, off.toInt, 4) // unsigned
+        val typ = ascii(p, off.toInt + 4, 4)
+        val (size, hdr) =
+          if (size32 == 1L) {
+            check(off + 16 <= end, id, s"truncated largesize $typ box")
+            (be(p, off.toInt + 8, 8), 16L)
+          } else if (size32 == 0L) (end - off, 8L) // box extends to end
+          else (size32, 8L)
+        check(size >= hdr, id, s"MP4 $typ box size $size smaller than its header")
+        check(off + size <= end, id, s"truncated MP4 $typ box")
+        val body = off + hdr
+        val bodyLen = size - hdr
+        typ match {
+          case "ftyp" =>
+            check(bodyLen >= 4, id, "ftyp box too short for a major brand")
+            brand = ascii(p, body.toInt, 4)
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(body, off + size, depth + 1)
+          case "trak" =>
+            curHandler = ""; curCodec = ""; curW = 0; curH = 0
+            curCh = 0; curSr = 0
+            walk(body, off + size, depth + 1)
+            tracks += TrackMeta(curHandler, curCodec, curW, curH, curCh, curSr)
+          case "mvhd" =>
+            check(bodyLen >= 4, id, "mvhd box too short")
+            val v = p(body.toInt) & 0xFF
+            if (v == 1) {
+              check(bodyLen >= 32, id, "truncated version-1 mvhd")
+              timescale = be(p, body.toInt + 20, 4)
+              duration = be(p, body.toInt + 24, 8)
+            } else {
+              check(bodyLen >= 24, id, "truncated version-0 mvhd")
+              timescale = be(p, body.toInt + 12, 4)
+              duration = be(p, body.toInt + 16, 4)
+            }
+            check(timescale > 0, id, "mvhd timescale must be positive")
+          case "tkhd" =>
+            check(bodyLen >= 4, id, "tkhd box too short")
+            val v = p(body.toInt) & 0xFF
+            val dimsOff = if (v == 1) 88L else 76L // after the matrix
+            if (bodyLen >= dimsOff + 8) {
+              curW = (be(p, (body + dimsOff).toInt, 4) >> 16).toInt
+              curH = (be(p, (body + dimsOff + 4).toInt, 4) >> 16).toInt
+            }
+          case "hdlr" =>
+            check(bodyLen >= 12, id, "hdlr box too short")
+            curHandler = ascii(p, body.toInt + 8, 4)
+          case "stsd" =>
+            check(bodyLen >= 16, id, "stsd box too short for a sample entry")
+            val entrySize = be(p, body.toInt + 8, 4)
+            check(entrySize >= 8 && 8 + entrySize <= bodyLen, id,
+              "stsd sample entry overruns its box")
+            curCodec = ascii(p, body.toInt + 12, 4)
+            val e = body + 8 // first sample entry
+            if (curHandler == "vide" && entrySize >= 36) {
+              // VisualSampleEntry: dims also live here (u16 at +32/+34)
+              if (curW == 0) curW = be(p, (e + 32).toInt, 2).toInt
+              if (curH == 0) curH = be(p, (e + 34).toInt, 2).toInt
+            } else if (curHandler == "soun" && entrySize >= 36) {
+              // AudioSampleEntry: channelcount u16 at +24, samplerate
+              // 16.16 fixed at +32
+              curCh = be(p, (e + 24).toInt, 2).toInt
+              curSr = (be(p, (e + 32).toInt, 4) >> 16).toInt
+            }
+          case _ => () // mdat, free, udta, iods, edts, …: skip whole
+        }
+        off += size
+      }
+      check(off == end, id, "MP4 box sizes do not tile their container")
+    }
+
+    walk(0L, p.length.toLong, 0)
+    check(duration >= 0, id, "MP4 container without an mvhd header")
+    Mp4Meta(brand, duration * 1000L / timescale, tracks.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // MP3 — MPEG-1/2/2.5 audio frame header (+ ID3v2 skip)
+  // ------------------------------------------------------------------
+
+  final case class Mp3Meta(version: String, layer: Int, bitrateKbps: Int,
+                           sampleRate: Int, channels: Int)
+
+  private def hasMp3Sync(p: Array[Byte], off: Int): Boolean =
+    off + 4 <= p.length && (p(off) & 0xFF) == 0xFF && (p(off + 1) & 0xE0) == 0xE0
+
+  /** MP3 magic: an ID3v2 tag or an MPEG audio frame sync at offset 0.
+    * The sync test also requires valid version/layer bits so random
+    * 0xFFFx bytes don't claim the format. */
+  def isMp3(p: Array[Byte]): Boolean =
+    (p.length >= 10 && ascii(p, 0, 3) == "ID3") ||
+      (hasMp3Sync(p, 0) && ((p(1) >> 3) & 3) != 1 && ((p(1) >> 1) & 3) != 0)
+
+  // bitrate tables, kbps, index 1-14 (0 = free format, 15 = invalid):
+  // MPEG-1 layers I/II/III and MPEG-2/2.5 layers I and II+III
+  private val BitrateV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BitrateV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BitrateV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BitrateV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** Parse the first MPEG audio frame header, hopping a leading ID3v2
+    * tag by its syncsafe size (and footer flag). Returns the published
+    * header fields; free-format (bitrate index 0) reports 0 kbps. */
+  def mp3Meta(id: Long, p: Array[Byte]): Mp3Meta = {
+    var off = 0
+    if (p.length >= 10 && ascii(p, 0, 3) == "ID3") {
+      // syncsafe u28: four 7-bit bytes, high bits must be clear
+      check((p(6) | p(7) | p(8) | p(9)) >= 0, id, "ID3v2 size is not syncsafe")
+      val tagSize = ((p(6) & 0x7FL) << 21) | ((p(7) & 0x7FL) << 14) |
+        ((p(8) & 0x7FL) << 7) | (p(9) & 0x7FL)
+      val footer = if ((p(5) & 0x10) != 0) 10L else 0L
+      val next = 10L + tagSize + footer
+      check(next + 4 <= p.length, id, "ID3v2 tag truncates the MPEG stream")
+      off = next.toInt
+    }
+    check(hasMp3Sync(p, off), id, "no MPEG audio frame sync")
+    val b1 = p(off + 1) & 0xFF; val b2 = p(off + 2) & 0xFF
+    val b3 = p(off + 3) & 0xFF
+    val verBits = (b1 >> 3) & 3
+    check(verBits != 1, id, "reserved MPEG version bits")
+    val version = verBits match {
+      case 3 => "mpeg1"; case 2 => "mpeg2"; case _ => "mpeg2.5"
+    }
+    val layerBits = (b1 >> 1) & 3
+    check(layerBits != 0, id, "reserved MPEG layer bits")
+    val layer = 4 - layerBits // 3->I(1), 2->II(2), 1->III(3)
+    val brIdx = (b2 >> 4) & 0xF
+    check(brIdx != 15, id, "invalid MPEG bitrate index 15")
+    val bitrate = ((verBits == 3, layer) match {
+      case (true, 1) => BitrateV1L1
+      case (true, 2) => BitrateV1L2
+      case (true, _) => BitrateV1L3
+      case (false, 1) => BitrateV2L1
+      case (false, _) => BitrateV2L23
+    })(brIdx)
+    val srIdx = (b2 >> 2) & 3
+    check(srIdx != 3, id, "reserved MPEG sample-rate index")
+    val sampleRate = verBits match {
+      case 3 => Array(44100, 48000, 32000)(srIdx)
+      case 2 => Array(22050, 24000, 16000)(srIdx)
+      case _ => Array(11025, 12000, 8000)(srIdx)
+    }
+    val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+    Mp3Meta(version, layer, bitrate, sampleRate, channels)
+  }
+
+  // ------------------------------------------------------------------
+  // Ogg — RFC 3533 page walk + Vorbis/Opus identification headers
+  // ------------------------------------------------------------------
+
+  final case class OggMeta(codec: String, channels: Int, sampleRate: Int,
+                           nPages: Int)
+
+  def isOgg(p: Array[Byte]): Boolean =
+    p.length >= 28 && ascii(p, 0, 4) == "OggS"
+
+  private val OggMaxPages = 4096
+
+  /** Walk every page (bounded), verify the fixed header layout, and read
+    * the codec identification from the first packet of the first page:
+    * Vorbis I ("\\x01vorbis": channels u8, rate LE u32) or OpusHead
+    * (channels u8, input rate LE u32). Unknown first packets are a NAMED
+    * failure carrying the leading bytes as evidence. */
+  def oggMeta(id: Long, p: Array[Byte]): OggMeta = {
+    check(isOgg(p), id, "not an Ogg container")
+    var codec = ""; var channels = 0; var rate = 0
+    var off = 0L
+    var pages = 0
+    while (off + 27 <= p.length) {
+      pages += 1
+      check(pages <= OggMaxPages, id, s"Ogg page walk exceeded $OggMaxPages pages")
+      check(ascii(p, off.toInt, 4) == "OggS", id,
+        s"Ogg page $pages lost capture sync")
+      check((p(off.toInt + 4) & 0xFF) == 0, id, "unsupported Ogg version")
+      val nsegs = p(off.toInt + 26) & 0xFF
+      check(off + 27 + nsegs <= p.length, id, "truncated Ogg segment table")
+      var bodyLen = 0L
+      var s = 0
+      while (s < nsegs) { bodyLen += (p(off.toInt + 27 + s) & 0xFF); s += 1 }
+      val body = off + 27 + nsegs
+      check(body + bodyLen <= p.length, id, "truncated Ogg page body")
+      if (pages == 1) {
+        check(nsegs >= 1 && bodyLen >= 8, id,
+          "first Ogg page has no identification packet")
+        val b = body.toInt
+        if ((p(b) & 0xFF) == 1 && ascii(p, b + 1, 6) == "vorbis") {
+          check(bodyLen >= 30, id, "truncated Vorbis identification header")
+          check(le(p, b + 7, 4) == 0L, id, "unsupported Vorbis version")
+          codec = "vorbis"
+          channels = p(b + 11) & 0xFF
+          rate = le(p, b + 12, 4).toInt
+        } else if (ascii(p, b, 8) == "OpusHead") {
+          check(bodyLen >= 19, id, "truncated OpusHead")
+          codec = "opus"
+          channels = p(b + 9) & 0xFF
+          rate = le(p, b + 12, 4).toInt
+        } else fail(id, "unrecognized Ogg codec identification packet " +
+          s"(leads 0x${(p(b) & 0xFF).toHexString})")
+      }
+      off = body + bodyLen
+    }
+    check(off == p.length, id, "Ogg page sizes do not tile the payload")
+    OggMeta(codec, channels, rate, pages)
+  }
+
+  // ------------------------------------------------------------------
+  // fixture encoders — real byte layouts for oracle rows and fuzz seeds
+  // ------------------------------------------------------------------
+
+  private def beBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+
+  private def leBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    beBytes(8L + body.length, 4) ++ typ.getBytes("US-ASCII") ++ body
+
+  /** A spec-layout MP4: ftyp + moov(mvhd + one trak per spec) + a stub
+    * mdat. Video tracks carry tkhd dims (16.16) and a VisualSampleEntry;
+    * audio tracks carry an AudioSampleEntry with channels + 16.16 rate. */
+  def mp4Stub(brand: String, timescale: Int, duration: Long,
+              tracks: Seq[TrackMeta]): Array[Byte] = {
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ beBytes(0, 4) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", beBytes(0, 4) ++ beBytes(0, 4) ++ beBytes(0, 4) ++
+      beBytes(timescale, 4) ++ beBytes(duration, 4) ++
+      new Array[Byte](80)) // rate/volume/matrix/predefined/next-track
+    val traks = tracks.map { t =>
+      val isVideo = t.handler == "vide"
+      val tkhd = box("tkhd", beBytes(0, 4) ++ new Array[Byte](72) ++
+        beBytes(t.width.toLong << 16, 4) ++ beBytes(t.height.toLong << 16, 4))
+      val hdlr = box("hdlr", beBytes(0, 4) ++ beBytes(0, 4) ++
+        t.handler.getBytes("US-ASCII") ++ new Array[Byte](13))
+      val entryBody: Array[Byte] =
+        if (isVideo)
+          new Array[Byte](24) ++ beBytes(t.width, 2) ++ beBytes(t.height, 2) ++
+            new Array[Byte](50) // resolution..depth + predefined
+        else
+          new Array[Byte](16) ++ beBytes(t.channels, 2) ++ beBytes(16, 2) ++
+            new Array[Byte](4) ++ beBytes(t.sampleRate.toLong << 16, 4)
+      val entry = beBytes(8L + entryBody.length, 4) ++
+        t.codec.getBytes("US-ASCII") ++ entryBody
+      val stsd = box("stsd", beBytes(0, 4) ++ beBytes(1, 4) ++ entry)
+      val stbl = box("stbl", stsd)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    val mdat = box("mdat", Array.tabulate[Byte](16)(i => (i * 7).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** An MPEG audio stream: optional ID3v2 tag (syncsafe size over junk
+    * body) + one frame header + a noise body. */
+  def mp3Stub(verBits: Int, layerBits: Int, brIdx: Int, srIdx: Int,
+              mono: Boolean, id3Size: Int): Array[Byte] = {
+    val tag: Array[Byte] =
+      if (id3Size <= 0) Array.emptyByteArray
+      else "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
+        Array[Byte](((id3Size >> 21) & 0x7F).toByte,
+          ((id3Size >> 14) & 0x7F).toByte, ((id3Size >> 7) & 0x7F).toByte,
+          (id3Size & 0x7F).toByte) ++
+        Array.tabulate[Byte](id3Size)(i => ((i * 31 + 5) & 0x7F).toByte)
+    val h1 = (0xE0 | (verBits << 3) | (layerBits << 1) | 1).toByte
+    val h2 = ((brIdx << 4) | (srIdx << 2)).toByte
+    val h3 = (if (mono) 0xC0 else 0x00).toByte
+    tag ++ Array(0xFF.toByte, h1, h2, h3) ++
+      Array.tabulate[Byte](96)(i => ((i * 17 + 3) & 0xFF).toByte)
+  }
+
+  private def oggPage(headerType: Int, serial: Int, seq: Int,
+                      packet: Array[Byte]): Array[Byte] = {
+    require(packet.length < 255 * 255, "oggPage: packet too long for one page")
+    val nFull = packet.length / 255
+    val segs = Array.tabulate[Byte](nFull + 1)(i =>
+      if (i < nFull) 255.toByte else (packet.length % 255).toByte)
+    "OggS".getBytes("US-ASCII") ++ Array[Byte](0, headerType.toByte) ++
+      leBytes(0, 8) ++ leBytes(serial, 4) ++ leBytes(seq, 4) ++
+      leBytes(0, 4) ++ Array(segs.length.toByte) ++ segs ++ packet
+  }
+
+  /** Ogg/Vorbis: identification-header page + one audio-noise page. */
+  def oggVorbisStub(channels: Int, rate: Int): Array[Byte] = {
+    val idPacket = Array[Byte](1) ++ "vorbis".getBytes("US-ASCII") ++
+      leBytes(0, 4) ++ Array(channels.toByte) ++ leBytes(rate, 4) ++
+      leBytes(0, 4) ++ leBytes(rate.toLong * 2, 4) ++ leBytes(0, 4) ++
+      Array[Byte](0xB8.toByte, 1)
+    oggPage(2, 777, 0, idPacket) ++
+      oggPage(0, 777, 1, Array.tabulate[Byte](40)(i => (i * 13).toByte))
+  }
+
+  /** Ogg/Opus: OpusHead page + one audio-noise page. */
+  def oggOpusStub(channels: Int, rate: Int): Array[Byte] = {
+    val idPacket = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1) ++
+      Array(channels.toByte) ++ leBytes(312, 2) ++ leBytes(rate, 4) ++
+      leBytes(0, 2) ++ Array[Byte](0)
+    oggPage(2, 778, 0, idPacket) ++
+      oggPage(0, 778, 1, Array.tabulate[Byte](40)(i => (i * 11).toByte))
+  }
+}

@@ -1799,6 +1799,49 @@ object MediaDedup {
     }
   }
 
+  /** Cross-format PNG ↔ WebP pairs (g = doc_id/2): the even member a
+    * 32×32 PNG of 4×4-pixel constant cells with a per-group quadratic
+    * cell formula, the odd member a WebP VP8L re-encode of the SAME
+    * pixels — rotating by group through plain-literal, subtract-green,
+    * and color-indexing bitstreams, so the Hamming-0 collision is earned
+    * through three different lossless codings against an entirely
+    * different container than PNG's. The 4×4 cells align with the dHash
+    * 8×8 mean grid, so the whole fixture replays arithmetically (32×32
+    * rather than q257's 64×64: the per-image Huffman table build makes a
+    * VP8L encode ~2× a PNG one, and the smaller canvas keeps the row in
+    * the ≤3 s isolation budget without changing the oracle, which only
+    * sees cells). */
+  def syntheticWebpPairImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      def cell(bx: Int, by: Int): Int =
+        ((g * 31 + bx * bx * (7 + (g % 5) * 9) + by * by * (3 + (g % 7) * 5) +
+          bx * by * (11 + (g % 3) * 13)) % 256).toInt
+      val payload: Array[Byte] =
+        if (id % 2 == 0)
+          Containers.pngFull(32, 32, { i =>
+            if (i % 4 == 3) 255
+            else { val k = i / 4; cell((k % 32) / 4, (k / 32) / 4) }
+          }, (g % 5).toInt)
+        else {
+          val argb = Array.tabulate(32 * 32) { k =>
+            val v = cell((k % 32) / 4, (k / 32) / 4)
+            0xFF000000 | (v << 16) | (v << 8) | v
+          }
+          (g % 3) match {
+            case 0 => Webp.encodeLossless(32, 32, argb)
+            case 1 => Webp.encodeLossless(32, 32, argb,
+              Webp.LosslessOptions(subtractGreen = true))
+            case _ => Webp.encodeLossless(32, 32, argb,
+              Webp.LosslessOptions(palette = true))
+          }
+        }
+      MediaRow(id, "image", payload, 32, 32, 1)
+    }
+  }
+
   /** Orientation fixtures: doc_ids come in planted PAIRS (g = doc_id/2) —
     * the even member a 64×64 PNG of 8×8-pixel constant cells with the
     * per-group quadratic B(bx, by) (coefficients drawn per the

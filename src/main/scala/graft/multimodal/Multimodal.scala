@@ -835,6 +835,25 @@ object Multimodal {
         ("wav", 0, 0, 1, if (dataStart >= 0) dataStart.toInt else WavHeaderLen)
       } else if (p.length >= AviHeaderLen && ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ")
         ("avi", le(64, 4).toInt, le(68, 4).toInt, le(48, 4).toInt, AviHeaderLen)
+      else if (p.length >= 30 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP") {
+        // WebP: dims come from whichever image/extended chunk leads —
+        // VP8L packs 14-bit minus-one fields after the signature byte,
+        // lossy VP8 carries them LE16 behind the 9D 01 2A start code,
+        // VP8X stores the canvas as 24-bit minus-one fields
+        ascii(12, 4) match {
+          case "VP8L" if (p(20) & 0xFF) == 0x2F =>
+            val v = le(21, 4)
+            ("webp", ((v & 0x3FFF) + 1).toInt,
+              (((v >> 14) & 0x3FFF) + 1).toInt, 1, 21)
+          case "VP8 " if (p(23) & 0xFF) == 0x9D && (p(24) & 0xFF) == 0x01 &&
+            (p(25) & 0xFF) == 0x2A =>
+            ("webp", (le(26, 2) & 0x3FFF).toInt, (le(28, 2) & 0x3FFF).toInt,
+              1, 20)
+          case "VP8X" =>
+            ("webp", (le(24, 3) + 1).toInt, (le(27, 3) + 1).toInt, 1, 20)
+          case _ => ("webp", 0, 0, 1, 20)
+        }
+      }
       else if (p.length >= 4 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
         (p(2) & 0xFF) == 0xFF) {
         val (w, h) = jpegDims(p) // real SOF scan; entropy data stays "body"
@@ -962,8 +981,8 @@ object Multimodal {
 
   /** Container metadata from raw bytes with PURE Spark expressions — the
     * scale path (codegen projection; no typed iteration, no UDF). Detects
-    * PNG / GIF / JPEG / WAV / AVI / BMP / TIFF by magic bytes and reads
-    * the published fixed-offset header fields:
+    * PNG / GIF / JPEG / WAV / AVI / WebP / BMP / TIFF / MP4 / MP3 / Ogg
+    * by magic bytes and reads the published fixed-offset header fields:
     *  - png: IHDR width/height (big-endian u32 at offsets 16/20)
     *  - gif: logical-screen width/height (little-endian u16 at 6/8)
     *  - wav: channels (LE u16 at 22), sample rate (LE u32 at 24) — GUARDED
@@ -989,8 +1008,57 @@ object Multimodal {
     val isRiff = hex(substring(p, 1, 4)) === "52494646"
     val isWav = isRiff && hex(substring(p, 9, 4)) === "57415645"
     val isAvi = isRiff && hex(substring(p, 9, 4)) === "41564920"
+    val isWebp = isRiff && hex(substring(p, 9, 4)) === "57454250"
+    // WebP sub-layouts by leading chunk fourcc: VP8L (lossless, 14-bit
+    // minus-one dims packed after the 0x2F signature), VP8 (lossy,
+    // LE16 dims behind the 9D 01 2A keyframe start code), VP8X
+    // (extended: 24-bit minus-one canvas fields)
+    val isVp8l = isWebp && hex(substring(p, 13, 4)) === "5650384C" &&
+      hex(substring(p, 21, 1)) === "2F"
+    val isVp8 = isWebp && hex(substring(p, 13, 4)) === "56503820" &&
+      hex(substring(p, 24, 3)) === "9D012A"
+    val isVp8x = isWebp && hex(substring(p, 13, 4)) === "56503858"
+    val vp8lBits = leUint(p, 22, 4)
+    val vp8lW = vp8lBits.bitwiseAND(lit(0x3FFFL)) + 1
+    val vp8lH = shiftright(vp8lBits, 14).bitwiseAND(lit(0x3FFFL)) + 1
+    val vp8W = leUint(p, 27, 2).bitwiseAND(lit(0x3FFFL))
+    val vp8H = leUint(p, 29, 2).bitwiseAND(lit(0x3FFFL))
+    val vp8xW = leUint(p, 25, 3) + 1
+    val vp8xH = leUint(p, 28, 3) + 1
     val isBmp = hex(substring(p, 1, 2)) === "424D"
     val isTiff = hex(substring(p, 1, 4)).isin("49492A00", "4D4D002A")
+    // crawl-majority containers: ISO BMFF (ftyp box at offset 4), MPEG
+    // audio (ID3v2 tag, or a frame sync with non-reserved version/layer
+    // bits), Ogg ("OggS"). Dims/duration need the ContainerMeta box/page
+    // WALK (variable offsets); what IS fixed-offset parses here: the MP3
+    // frame header when the sync leads the payload, and the Ogg
+    // identification header when (as real encoders emit) it is the sole
+    // packet of a single-segment first page.
+    val isMp4 = hex(substring(p, 5, 4)) === "66747970"
+    val mp3B1 = leUint(p, 2, 1)
+    val mp3Sync = leUint(p, 1, 1) === 255 &&
+      mp3B1.bitwiseAND(lit(0xE0L)) === 0xE0L &&
+      shiftright(mp3B1, 3).bitwiseAND(lit(3L)) =!= 1L &&
+      shiftright(mp3B1, 1).bitwiseAND(lit(3L)) =!= 0L
+    val isMp3 = hex(substring(p, 1, 3)) === "494433" || mp3Sync
+    val isOgg = hex(substring(p, 1, 4)) === "4F676753"
+    val mp3Ver = shiftright(mp3B1, 3).bitwiseAND(lit(3L))
+    val mp3SrIdx = shiftright(leUint(p, 3, 1), 2).bitwiseAND(lit(3L))
+    val mp3Sr = when(mp3Ver === 3L,
+        when(mp3SrIdx === 0L, 44100).when(mp3SrIdx === 1L, 48000)
+          .when(mp3SrIdx === 2L, 32000))
+      .when(mp3Ver === 2L,
+        when(mp3SrIdx === 0L, 22050).when(mp3SrIdx === 1L, 24000)
+          .when(mp3SrIdx === 2L, 16000))
+      .when(mp3Ver === 0L,
+        when(mp3SrIdx === 0L, 11025).when(mp3SrIdx === 1L, 12000)
+          .when(mp3SrIdx === 2L, 8000))
+    val mp3Ch = when(shiftright(leUint(p, 4, 1), 6) === 3L, 1).otherwise(2)
+    val oggOnePacket = isOgg && leUint(p, 27, 1) === 1L
+    val isVorbisId = oggOnePacket &&
+      hex(substring(p, 29, 7)) === "01766F72626973"
+    val isOpusId = oggOnePacket &&
+      hex(substring(p, 29, 8)) === "4F70757348656164"
     val wavFmtOk = hex(substring(p, 13, 4)) === "666D7420" // "fmt "
     // BMP height is SIGNED (negative = top-down rows): undo two's
     // complement, the display height is the magnitude either way
@@ -1002,28 +1070,36 @@ object Multimodal {
       .withColumn("__tiff", when(isTiff, tiffDimsExpr(p)))
       .withColumn("format",
         when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
-          .when(isWav, "wav").when(isAvi, "avi")
-          .when(isBmp, "bmp").when(isTiff, "tiff").otherwise("unknown"))
+          .when(isWav, "wav").when(isAvi, "avi").when(isWebp, "webp")
+          .when(isBmp, "bmp").when(isTiff, "tiff").when(isMp4, "mp4")
+          .when(isOgg, "ogg").when(isMp3, "mp3").otherwise("unknown"))
       .withColumn("img_width",
         when(isPng, beUint(p, 17, 4)).when(isGif, leUint(p, 7, 2))
           .when(isJpeg, col("__sof").getField("w"))
           .when(isAvi, leUint(p, 65, 4))
+          .when(isVp8l, vp8lW).when(isVp8, vp8W).when(isVp8x, vp8xW)
           .when(isBmp, leUint(p, 19, 4))
           .when(isTiff, col("__tiff").getField("w")).cast("int"))
       .withColumn("img_height",
         when(isPng, beUint(p, 21, 4)).when(isGif, leUint(p, 9, 2))
           .when(isJpeg, col("__sof").getField("h"))
           .when(isAvi, leUint(p, 69, 4))
+          .when(isVp8l, vp8lH).when(isVp8, vp8H).when(isVp8x, vp8xH)
           .when(isBmp, bmpH)
           .when(isTiff, col("__tiff").getField("h")).cast("int"))
       .withColumn("n_frames",
         when(isAvi, leUint(p, 49, 4))
-          .when(isPng || isGif || isWav || isJpeg || isBmp || isTiff,
-            lit(1L)).cast("long"))
+          .when(isPng || isGif || isWav || isJpeg || isBmp || isTiff ||
+            isVp8l || isVp8, lit(1L)).cast("long"))
       .withColumn("sample_rate",
-        when(isWav && wavFmtOk, leUint(p, 25, 4)).cast("int"))
+        when(isWav && wavFmtOk, leUint(p, 25, 4))
+          .when(mp3Sync, mp3Sr)
+          .when(isVorbisId || isOpusId, leUint(p, 41, 4)).cast("int"))
       .withColumn("channels",
-        when(isWav && wavFmtOk, leUint(p, 23, 2)).cast("int"))
+        when(isWav && wavFmtOk, leUint(p, 23, 2))
+          .when(mp3Sync, mp3Ch)
+          .when(isVorbisId, leUint(p, 40, 1))
+          .when(isOpusId, leUint(p, 38, 1)).cast("int"))
       .drop("__sof", "__tiff")
   }
 
@@ -1291,6 +1367,7 @@ object Multimodal {
   private[graft] def decodeStillRgba(id: Long, p: Array[Byte]): (Int, Int, Array[Byte]) =
     if (Raster.isBmp(p)) Raster.decodeBmpRgba(id, p)
     else if (Raster.isTiff(p)) Raster.decodeTiffRgba(id, p)
+    else if (Webp.isWebp(p)) Webp.decodeWebpRgba(id, p)
     else decodePngRgba(id, p)
 
   private[graft] def decodeOnePng(id: Long, p: Array[Byte]): PixelStats = {
@@ -2209,6 +2286,9 @@ object Multimodal {
     "truncated" -> "truncated",
     "CRC" -> "crc_mismatch",
     "MJPG" -> "unsupported_codec",
+    "lossy VP8" -> "unsupported_codec",
+    "animated WebP" -> "unsupported_codec",
+    "metadata-only" -> "unsupported_codec",
     "BI_RGB BMP" -> "unsupported_coding",
     "bit counts" -> "unsupported_depth",
     "uncompressed TIFF" -> "unsupported_coding",
@@ -2242,6 +2322,7 @@ object Multimodal {
           p(2) == 'F'.toByte) "gif"
         else if (p.length >= 2 && (p(0) & 0xFF) == 0xFF &&
           (p(1) & 0xFF) == 0xD8) "jpeg"
+        else if (Webp.isWebp(p)) "webp"
         else if (p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
           p(2) == 'F'.toByte && p(3) == 'F'.toByte)
           (if (p(8) == 'W'.toByte) "wav" else "avi")
@@ -2249,15 +2330,35 @@ object Multimodal {
           p(2) == 'a'.toByte && p(3) == 'C'.toByte) "flac"
         else if (Raster.isBmp(p)) "bmp"
         else if (Raster.isTiff(p)) "tiff"
+        else if (ContainerMeta.isMp4(p)) "mp4"
+        else if (ContainerMeta.isOgg(p)) "ogg"
+        else if (ContainerMeta.isMp3(p)) "mp3"
         else "unknown"
       if (fmt == "unknown") (fmt, "skipped", "unknown_magic")
       else
         try {
           fmt match {
-            case "png" | "bmp" | "tiff" => decodeStillRgba(m.media_id, p)
+            case "png" | "bmp" | "tiff" | "webp" => decodeStillRgba(m.media_id, p)
             case "gif" => decodeGifComposited(m.media_id, p)
             case "jpeg" => Jpeg.decodeRgb(m.media_id, p)
             case "wav" | "flac" => pcm16Samples(m.media_id, p)
+            // the crawl-majority containers have no sample decoder here;
+            // run the REAL metadata walk (hostile payloads land their own
+            // named causes) and report the codec as evidence
+            case "mp4" =>
+              val meta = ContainerMeta.mp4Meta(m.media_id, p)
+              val codec = meta.tracks.map(_.codec).filter(_.nonEmpty)
+                .headOption.getOrElse("none")
+              throw new IllegalArgumentException(s"media ${m.media_id}: " +
+                s"MP4 is metadata-only (codec $codec)")
+            case "mp3" =>
+              val meta = ContainerMeta.mp3Meta(m.media_id, p)
+              throw new IllegalArgumentException(s"media ${m.media_id}: " +
+                s"MPEG audio is metadata-only (codec ${meta.version}-L${meta.layer})")
+            case "ogg" =>
+              val meta = ContainerMeta.oggMeta(m.media_id, p)
+              throw new IllegalArgumentException(s"media ${m.media_id}: " +
+                s"Ogg is metadata-only (codec ${meta.codec})")
             case _ => decodeAviRgb(m.media_id, p)
           }
           (fmt, "decoded", "none")
@@ -2274,15 +2375,19 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"))
   }
 
-  /** Mixed-health fixtures: eleven deterministic corpus cases cycling by
-    * doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo FLAC /
-    * MJPEG AVI / PARTIAL-FRAME animated GIF (disposal + transparency —
-    * must land `decoded` now that the census attempts the composited
-    * decode, the operator-surface truth) alongside the named out-of-scope
-    * shapes (arithmetic-coded JPEG, sampling-factor-3 JPEG, truncated
-    * PNG, a non-MJPG compressed AVI, unknown magic), each planted by
-    * patching a REAL encoder's output so the failure path is the real
-    * parser, not a synthetic throw. */
+  /** Mixed-health fixtures: seventeen deterministic corpus cases cycling
+    * by doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo
+    * FLAC / MJPEG AVI / PARTIAL-FRAME animated GIF (disposal +
+    * transparency — must land `decoded` now that the census attempts the
+    * composited decode, the operator-surface truth) / lossless VP8L WebP
+    * alongside the named out-of-scope shapes (arithmetic-coded JPEG,
+    * sampling-factor-3 JPEG, truncated PNG, a non-MJPG compressed AVI,
+    * unknown magic, LOSSY VP8 WebP, ANIMATED WebP, and the
+    * crawl-majority metadata-only containers — MP4/avc1, MP3, Ogg/vorbis
+    * — whose REAL [[ContainerMeta]] walks run before the named
+    * `unsupported_codec` verdict so the census reports the codec as
+    * evidence), each planted by patching a REAL encoder's output so the
+    * failure path is the real parser, not a synthetic throw. */
   def syntheticHealthMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2296,7 +2401,7 @@ object Multimodal {
       }
       val grayJpeg =
         Jpeg.encodeGrayBlocks(16, 16, Array.tabulate(4)(k => (40 + 50 * k) % 256))
-      val payload: Array[Byte] = (id % 11) match {
+      val payload: Array[Byte] = (id % 17) match {
         case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
         case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
           ((id * 37 + k * 11) % 256).toInt))
@@ -2327,6 +2432,28 @@ object Multimodal {
             Containers.GifFrameSpec(1, 1, 4, 4,
               k => ((id * 11 + k) % 16).toInt, disposal = 3)),
             Array.tabulate(16 * 3)(b => ((b / 3) * 16 + 2).toByte))
+        case 11 => // lossless VP8L WebP: decodes for real
+          Webp.encodeLossless(8, 6, Array.tabulate(48) { k =>
+            val v = ((id * 17 + k * 5) % 256).toInt
+            0xFF000000 | (v << 16) | (v << 8) | v
+          })
+        case 12 => // lossy VP8: the dominant crawl profile — measured,
+          // not decoded (named `unsupported_codec` bucket)
+          Webp.lossyVp8Stub(64, 48, 120)
+        case 13 => // animated WebP (ANIM chunk): same named bucket
+          "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+            "WEBP".getBytes("US-ASCII") ++ "ANIM".getBytes("US-ASCII") ++
+            Array[Byte](6, 0, 0, 0) ++ Array.fill(6)(0.toByte)
+        case 14 => // MP4/avc1: full box walk, then the named codec bucket
+          ContainerMeta.mp4Stub("isom", 1000, 5000 + (id % 900) * 10,
+            Seq(ContainerMeta.TrackMeta("vide", "avc1",
+              (320 + (id % 5) * 16).toInt, (240 + (id % 7) * 16).toInt, 0, 0)))
+        case 15 => // MP3 (ID3-tagged on odd ids): frame header parsed for real
+          ContainerMeta.mp3Stub(3, 1, 9, (id % 3).toInt, mono = id % 2 == 0,
+            id3Size = if (id % 2 == 1) 64 + (id % 37).toInt else 0)
+        case 16 => // Ogg/vorbis: page walk + id header, then the named bucket
+          ContainerMeta.oggVorbisStub((1 + id % 2).toInt,
+            (8000 + (id % 5) * 8000).toInt)
         case _ => // a compressed chunk under a DIB (non-MJPG) strf
           val avi = Containers.aviFull(6, 5, 1,
             (_, x, y, _) => (x * 7 + y * 13) % 256)
@@ -2338,6 +2465,98 @@ object Multimodal {
           out
       }
       MediaRow(id, "mixed", payload, 0, 0, 1)
+    }
+  }
+
+  /** One row per payload from the [[ContainerMeta]] walks — nullable
+    * fields where a format has no such concept (image dims for MP3,
+    * duration for Ogg). `codec` carries the evidence a curation pipeline
+    * filters on: the stsd sample-entry fourcc (avc1/hev1/mp4a/…), the
+    * MPEG version+layer, or the Ogg identification codec. */
+  final case class ContainerMetaRow(media_id: Long, format: String,
+      codec: String, width: Option[Int], height: Option[Int],
+      duration_ms: Option[Long], sample_rate: Option[Int],
+      channels: Option[Int], bitrate_kbps: Option[Int],
+      n_tracks: Option[Int])
+
+  /** Metadata census over the crawl-majority containers (MP4/MOV, MPEG
+    * audio, Ogg) — the walk parses geometry/timing/codec from published
+    * header layouts WITHOUT decoding a single sample, so it runs at scan
+    * speed: a pure partition-local `mapPartitions` (no shuffle), each
+    * walk touching only the header boxes/pages of its payload. At 100 TB
+    * this is the operator that turns "42% of the crawl is unknown_magic"
+    * into "31% is avc1 video we can route to the video pipeline". MP4
+    * reports the video track's dims + the audio track's channels/rate
+    * when both exist; MP3 reports the first frame header; Ogg reports
+    * the identification header. */
+  def containerMediaMeta(media: Dataset[MediaRow]): Dataset[ContainerMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val id = m.media_id; val p = m.payload
+        if (ContainerMeta.isMp4(p)) {
+          val meta = ContainerMeta.mp4Meta(id, p)
+          val video = meta.tracks.find(_.handler == "vide")
+          val audio = meta.tracks.find(_.handler == "soun")
+          val codec = video.orElse(meta.tracks.headOption).map(_.codec)
+            .filter(_.nonEmpty).getOrElse("none")
+          ContainerMetaRow(id, "mp4", codec,
+            video.map(_.width), video.map(_.height), Some(meta.durationMs),
+            audio.map(_.sampleRate), audio.map(_.channels), None,
+            Some(meta.tracks.size))
+        } else if (ContainerMeta.isOgg(p)) {
+          val meta = ContainerMeta.oggMeta(id, p)
+          ContainerMetaRow(id, "ogg", meta.codec, None, None, None,
+            Some(meta.sampleRate), Some(meta.channels), None, None)
+        } else if (ContainerMeta.isMp3(p)) {
+          val meta = ContainerMeta.mp3Meta(id, p)
+          ContainerMetaRow(id, "mp3", s"${meta.version}-L${meta.layer}",
+            None, None, None, Some(meta.sampleRate), Some(meta.channels),
+            Some(meta.bitrateKbps), None)
+        } else
+          ContainerMetaRow(id, "unknown", "none", None, None, None, None,
+            None, None, None)
+      }
+    }
+  }
+
+  /** Container fixtures cycling the five crawl-majority shapes by
+    * doc_id mod 5 — an avc1 video MP4, a two-track hev1+mp4a MP4 (dims
+    * from the video trak, channels/rate from the AudioSampleEntry), an
+    * MPEG1/2 Layer-III stream (ID3v2-tagged on odd ids, so the syncsafe
+    * skip is earned), Ogg/vorbis, and Ogg/opus. Every parsed field is a
+    * closed form of doc_id, so the oracle replays the whole census. */
+  def syntheticContainerMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val payload: Array[Byte] = (id % 5) match {
+        case 0 =>
+          ContainerMeta.mp4Stub("isom", 1000, 1000 + (id * 7) % 9000,
+            Seq(ContainerMeta.TrackMeta("vide", "avc1",
+              (320 + (id % 5) * 16).toInt, (240 + (id % 7) * 16).toInt, 0, 0)))
+        case 1 =>
+          ContainerMeta.mp4Stub("mp42", 600, 600 + (id * 11) % 6000,
+            Seq(
+              ContainerMeta.TrackMeta("vide", "hev1",
+                (640 + (id % 3) * 64).toInt, (360 + (id % 4) * 36).toInt, 0, 0),
+              ContainerMeta.TrackMeta("soun", "mp4a", 0, 0,
+                (1 + id % 2).toInt,
+                Array(32000, 44100, 48000)((id % 3).toInt))))
+        case 2 =>
+          ContainerMeta.mp3Stub(
+            verBits = if (id % 2 == 0) 3 else 2, layerBits = 1,
+            brIdx = (1 + id % 7).toInt, srIdx = (id % 3).toInt,
+            mono = id % 4 < 2,
+            id3Size = if (id % 2 == 1) 64 + (id % 37).toInt else 0)
+        case 3 =>
+          ContainerMeta.oggVorbisStub((1 + id % 2).toInt,
+            (8000 + (id % 5) * 8000).toInt)
+        case _ =>
+          ContainerMeta.oggOpusStub((1 + id % 2).toInt, 48000)
+      }
+      MediaRow(id, "container", payload, 0, 0, 1)
     }
   }
 
@@ -2401,6 +2620,58 @@ object Multimodal {
           palette = grayPal)
         case _ => Raster.tiff(w, h, photometric = 0, spp = 1,
           k => 255 - gray(k), bigEndian = true, rowsPerStrip = 5)
+      }
+      MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
+  /** WebP VP8L fixtures across the DECODER-PATH matrix — six variants by
+    * doc_id mod 6, all real [[Webp.encodeLossless]] output:
+    * plain literals / subtract-green / color-indexing with sub-byte
+    * bundling (16-level quantized grays) / a rotating spatial predictor
+    * mode / color-cache + LZ77 (rows planted in identical pairs, so the
+    * encoder emits genuine dist-w back-references and cache hits) /
+    * the cross-color transform with id-dependent signed multipliers.
+    * Every variant plants ONE displayed-gray closed form (quadratic
+    * position terms, per-item prime-modulus coefficients — the
+    * degeneracy rule), modified arithmetically where the variant
+    * requires it (quantization for the palette, row-pairing for LZ77),
+    * so the oracle replays a single CASE while the engine earns each
+    * value through a different bitstream path. VP8L is LOSSLESS —
+    * replay is exact. Variant 5 additionally ships inside a VP8X
+    * extended container (the layout real encoders emit), pinning the
+    * chunk walk past the canvas header. */
+  def syntheticWebpMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      def f(x: Int, y: Int): Int =
+        ((x.toLong * x * (5 + id % 31) + y.toLong * y * (7 + id % 23) +
+          x.toLong * y * (3 + id % 13) + id * 29) % 241).toInt
+      def grayImg(g: (Int, Int) => Int): Array[Int] =
+        Array.tabulate(w * h) { k =>
+          val v = g(k % w, k / w)
+          0xFF000000 | (v << 16) | (v << 8) | v
+        }
+      val payload: Array[Byte] = (id % 6) match {
+        case 0 => Webp.encodeLossless(w, h, grayImg(f))
+        case 1 => Webp.encodeLossless(w, h, grayImg(f),
+          Webp.LosslessOptions(subtractGreen = true))
+        case 2 => Webp.encodeLossless(w, h,
+          grayImg((x, y) => (f(x, y) % 16) * 16 + 3),
+          Webp.LosslessOptions(palette = true))
+        case 3 => Webp.encodeLossless(w, h, grayImg(f),
+          Webp.LosslessOptions(predictorMode = (id % 14).toInt,
+            predictorBits = 3))
+        case 4 => Webp.encodeLossless(w, h,
+          grayImg((x, y) => f(x, y - y % 2)),
+          Webp.LosslessOptions(cacheBits = 6, lz77 = true))
+        case _ => Webp.wrapVp8x(Webp.encodeLossless(w, h, grayImg(f),
+          Webp.LosslessOptions(colorTransform = Some((
+            (16 + id % 64).toInt, (-24 + id % 48).toInt,
+            (5 + id % 32).toInt)))), w, h)
       }
       MediaRow(id, "image", payload, w, h, 1)
     }

@@ -128,6 +128,54 @@ class FuzzSpec extends AnyFunSuite {
     fuzz("tiff-pal", tiffPalPayload, 4, p => Raster.decodeTiffRgba(28L, p))
   }
 
+  private val webpPayload = graft.multimodal.Webp.encodeLossless(13, 9,
+    Array.tabulate(13 * 9) { k =>
+      val v = (k * 31 + 7) % 256
+      0xFF000000 | (v << 16) | (v << 8) | v
+    })
+  private val webpPalPayload = graft.multimodal.Webp.encodeLossless(13, 9,
+    Array.tabulate(13 * 9) { k =>
+      val v = ((k * 5) % 16) * 16
+      0xFF000000 | (v << 16) | (v << 8) | v
+    }, graft.multimodal.Webp.LosslessOptions(palette = true))
+  private val webpFullPayload = graft.multimodal.Webp.encodeLossless(20, 16,
+    Array.tabulate(20 * 16) { k =>
+      val v = ((k % 20) * 5 + ((k / 20) - (k / 20) % 2) * 7) % 256
+      0xFF000000 | (v << 16) | (v << 8) | v
+    }, graft.multimodal.Webp.LosslessOptions(subtractGreen = true,
+      predictorMode = 9, cacheBits = 5, lz77 = true, metaBits = 2))
+
+  test("fuzz: WebP VP8L decode fails only by name on hostile bytes") {
+    fuzz("webp", webpPayload, 12,
+      p => graft.multimodal.Webp.decodeWebpRgba(30L, p))
+    // the transform / cache / LZ77 / meta-tiling paths inherit the
+    // contract, as does the format-blind still-image dispatch
+    fuzz("webp-pal", webpPalPayload, 12,
+      p => graft.multimodal.Webp.decodeWebpRgba(31L, p))
+    fuzz("webp-full", webpFullPayload, 12,
+      p => graft.multimodal.Webp.decodeWebpRgba(32L, p))
+    fuzz("webp-dispatch", webpPayload, 12,
+      p => Multimodal.decodeStillRgba(33L, p))
+  }
+
+  private val mp4Payload = graft.multimodal.ContainerMeta.mp4Stub(
+    "isom", 1000, 4000, Seq(
+      graft.multimodal.ContainerMeta.TrackMeta("vide", "avc1", 320, 240, 0, 0),
+      graft.multimodal.ContainerMeta.TrackMeta("soun", "mp4a", 0, 0, 2, 44100)))
+  private val mp3Payload = graft.multimodal.ContainerMeta.mp3Stub(
+    3, 1, 9, 0, mono = false, id3Size = 120)
+  private val oggPayload = graft.multimodal.ContainerMeta.oggVorbisStub(2, 44100)
+
+  test("fuzz: the MP4/MP3/Ogg metadata walks fail only by name on " +
+    "hostile bytes") {
+    fuzz("mp4", mp4Payload, 8,
+      p => graft.multimodal.ContainerMeta.mp4Meta(40L, p))
+    fuzz("mp3", mp3Payload, 4,
+      p => graft.multimodal.ContainerMeta.mp3Meta(41L, p))
+    fuzz("ogg", oggPayload, 4,
+      p => graft.multimodal.ContainerMeta.oggMeta(42L, p))
+  }
+
   private val jpegPayload = graft.multimodal.Jpeg.encodeBlocks(16, 16,
     Array(Array.tabulate(4) { b =>
       val blk = new Array[Int](64)
@@ -222,7 +270,19 @@ class FuzzSpec extends AnyFunSuite {
       ("bmp8", bmp8Payload, p => Raster.decodeBmpRgba(25L, p)),
       ("tiff-ii", tiffIiPayload, p => Raster.decodeTiffRgba(26L, p)),
       ("tiff-mm", tiffMmPayload, p => Raster.decodeTiffRgba(27L, p)),
-      ("tiff-pal", tiffPalPayload, p => Raster.decodeTiffRgba(28L, p)))
+      ("tiff-pal", tiffPalPayload, p => Raster.decodeTiffRgba(28L, p)),
+      ("webp", webpPayload,
+        p => graft.multimodal.Webp.decodeWebpRgba(30L, p)),
+      ("webp-pal", webpPalPayload,
+        p => graft.multimodal.Webp.decodeWebpRgba(31L, p)),
+      ("webp-full", webpFullPayload,
+        p => graft.multimodal.Webp.decodeWebpRgba(32L, p)),
+      ("mp4", mp4Payload,
+        p => graft.multimodal.ContainerMeta.mp4Meta(40L, p)),
+      ("mp3", mp3Payload,
+        p => graft.multimodal.ContainerMeta.mp3Meta(41L, p)),
+      ("ogg", oggPayload,
+        p => graft.multimodal.ContainerMeta.oggMeta(42L, p)))
     targets.foreach { case (name, valid, decode) =>
       for (i <- 0 until 3000) {
         val m = valid.clone()

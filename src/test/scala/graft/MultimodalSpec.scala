@@ -153,6 +153,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("img_width")))
   }
 
+  test("binaryMediaMeta reads WebP dims as expressions across the three " +
+    "sub-layouts (VP8L packed 14-bit, VP8 keyframe LE16, VP8X 24-bit)") {
+    import spark.implicits._
+    val vp8l = graft.multimodal.Webp.encodeLossless(13, 9,
+      Array.tabulate(13 * 9)(k => 0xFF000000 | ((k * 31 % 256) * 0x010101)))
+    val vp8x = graft.multimodal.Webp.wrapVp8x(vp8l, 13, 9)
+    val vp8 = graft.multimodal.Webp.lossyVp8Stub(640, 480, 50)
+    val out = Multimodal.binaryMediaMeta(
+        Seq((1L, vp8l), (2L, vp8x), (3L, vp8)).toDF("media_id", "payload"))
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        r.getAs[String]("format"), r.getAs[Int]("img_width"),
+        r.getAs[Int]("img_height"))).toSet
+    assert(out === Set((1L, "webp", 13, 9), (2L, "webp", 13, 9),
+      (3L, "webp", 640, 480)), out.toString)
+  }
+
   test("decode walks real JPEG markers to the SOF dimensions") {
     import spark.implicits._
     // JFIF layout: SOI, APP0 (16 bytes to skip), DQT (dummy, 5 bytes),

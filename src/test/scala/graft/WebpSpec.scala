@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Webp
+import graft.multimodal.Webp.LosslessOptions
+
+/** VP8L round-trip symmetry across the full decoder-path matrix: the JDK
+  * has no WebP codec to cross-pin against (unlike PNG/GIF/JPEG), so
+  * exactness rests on (a) closed-form planted pixels in the oracle rows
+  * and (b) these encode→decode identities over every transform, cache,
+  * LZ77, simple-code, and meta-prefix path. */
+class WebpSpec extends AnyFunSuite {
+
+  private def grayArgb(w: Int, h: Int, f: (Int, Int) => Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val g = f(k % w, k / w) & 0xFF
+      0xFF000000 | (g << 16) | (g << 8) | g
+    }
+
+  private def colorArgb(w: Int, h: Int, fr: (Int, Int) => Int,
+                        fg: (Int, Int) => Int, fb: (Int, Int) => Int,
+                        fa: (Int, Int) => Int = (_, _) => 255): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      ((fa(x, y) & 0xFF) << 24) | ((fr(x, y) & 0xFF) << 16) |
+        ((fg(x, y) & 0xFF) << 8) | (fb(x, y) & 0xFF)
+    }
+
+  private def roundTrip(label: String, w: Int, h: Int, argb: Array[Int],
+                        opts: LosslessOptions): Unit = {
+    val payload = Webp.encodeLossless(w, h, argb, opts)
+    val (dw, dh, rgba) = Webp.decodeWebpRgba(7L, payload)
+    assert(dw == w && dh == h, s"$label: dims $dw x $dh != $w x $h")
+    var k = 0
+    while (k < w * h) {
+      val expected = argb(k)
+      val got = ((rgba(4 * k + 3) & 0xFF) << 24) |
+        ((rgba(4 * k) & 0xFF) << 16) | ((rgba(4 * k + 1) & 0xFF) << 8) |
+        (rgba(4 * k + 2) & 0xFF)
+      assert(got == expected,
+        s"$label: pixel $k got ${got.toHexString} want ${expected.toHexString}")
+      k += 1
+    }
+  }
+
+  private def planted(x: Int, y: Int): Int =
+    (x * x * 7 + y * y * 11 + x * y * 5 + 13) % 256
+
+  test("plain literal round-trip across dimensions") {
+    for ((w, h) <- Seq((1, 1), (1, 7), (7, 1), (16, 16), (21, 13)))
+      roundTrip(s"plain $w x $h", w, h, grayArgb(w, h, planted),
+        LosslessOptions())
+  }
+
+  test("RGBA content with a real alpha channel round-trips") {
+    val (w, h) = (17, 11)
+    roundTrip("rgba", w, h, colorArgb(w, h,
+      (x, y) => x * 13 + y * 7, (x, y) => x * 3 + y * 19 + 40,
+      (x, y) => x * 29 + y + 90, (x, y) => 200 + (x + y) % 56),
+      LosslessOptions())
+  }
+
+  test("subtract-green transform round-trips") {
+    roundTrip("subtract-green", 19, 14, grayArgb(19, 14, planted),
+      LosslessOptions(subtractGreen = true))
+    roundTrip("subtract-green color", 19, 14, colorArgb(19, 14,
+      (x, y) => x * 11 + y, (x, y) => x + y * 17, (x, y) => x * 5 + y * 3),
+      LosslessOptions(subtractGreen = true))
+  }
+
+  test("color-indexing round-trips at every bundling width") {
+    // palette sizes 2 / 3 / 4 / 5 / 16 / 17 exercise pack widths 8, 4, 4,
+    // 2, 2 pixels per byte and the unbundled >16 path, with widths not
+    // divisible by the pack factor (partial trailing byte per row)
+    for (n <- Seq(2, 3, 4, 5, 16, 17)) {
+      val (w, h) = (13, 9)
+      val img = grayArgb(w, h, (x, y) => ((x * 7 + y * 5 + x * y) % n) * (255 / n))
+      roundTrip(s"palette n<=$n", w, h, img, LosslessOptions(palette = true))
+    }
+  }
+
+  test("all 14 predictor modes round-trip") {
+    for (mode <- 0 to 13) {
+      roundTrip(s"predictor $mode", 21, 17, grayArgb(21, 17, planted),
+        LosslessOptions(predictorMode = mode, predictorBits = 3))
+      roundTrip(s"predictor $mode color", 12, 10, colorArgb(12, 10,
+        (x, y) => x * 37 + y * 3, (x, y) => 255 - x * 5 - y * 7,
+        (x, y) => x * x + y), LosslessOptions(predictorMode = mode))
+    }
+  }
+
+  test("cross-color transform round-trips, signed multipliers") {
+    for ((g2r, g2b, r2b) <- Seq((16, -24, 5), (-128, 127, -64), (0, 0, 0)))
+      roundTrip(s"color-transform ($g2r,$g2b,$r2b)", 18, 12,
+        colorArgb(18, 12, (x, y) => x * 19 + y * 2, (x, y) => x + y * 13,
+          (x, y) => x * 3 + y * 29),
+        LosslessOptions(colorTransform = Some((g2r, g2b, r2b))))
+  }
+
+  test("color cache + LZ77 row copies round-trip") {
+    // rows duplicated in pairs → dist-w copies; coarse value quantization
+    // → recurring colors for cache hits
+    val (w, h) = (20, 16)
+    val img = grayArgb(w, h, (x, y) => ((x * 5 + (y - y % 2) * 7) % 16) * 16)
+    roundTrip("cache+lz77", w, h, img,
+      LosslessOptions(cacheBits = 6, lz77 = true))
+    roundTrip("cache only", w, h, img, LosslessOptions(cacheBits = 4))
+    roundTrip("lz77 only", w, h, img, LosslessOptions(lz77 = true))
+  }
+
+  test("meta prefix-code tiling (two groups) round-trips") {
+    roundTrip("meta", 24, 18, grayArgb(24, 18, planted),
+      LosslessOptions(metaBits = 3))
+    roundTrip("meta+cache", 24, 18, grayArgb(24, 18, (x, y) => (x * 4) % 256),
+      LosslessOptions(metaBits = 2, cacheBits = 5))
+  }
+
+  test("stacked transforms: subtract-green then predictor") {
+    roundTrip("sg+pred", 16, 16, grayArgb(16, 16, planted),
+      LosslessOptions(subtractGreen = true, predictorMode = 7))
+  }
+
+  test("VP8X extended container wraps a decodable VP8L stream") {
+    val img = grayArgb(10, 8, planted)
+    val plain = Webp.encodeLossless(10, 8, img, LosslessOptions())
+    val wrapped = Webp.wrapVp8x(plain, 10, 8)
+    val (w, h, rgba) = Webp.decodeWebpRgba(3L, wrapped)
+    assert(w == 10 && h == 8)
+    assert((rgba(0) & 0xFF) == (planted(0, 0) & 0xFF))
+  }
+
+  test("lossy VP8 and animated WebP fail by name") {
+    val lossy = Webp.lossyVp8Stub(64, 48, 120)
+    val e1 = intercept[IllegalArgumentException](Webp.decodeWebpRgba(5L, lossy))
+    assert(e1.getMessage.contains("lossy VP8"))
+    // hand-build an ANIM chunk container
+    val anim = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(Array[Byte](20, 0, 0, 0))
+      out.write("WEBPANIM".getBytes("US-ASCII"))
+      out.write(Array[Byte](6, 0, 0, 0))
+      out.write(Array[Byte](0, 0, 0, 0, 0, 0))
+      out.toByteArray
+    }
+    val e2 = intercept[IllegalArgumentException](Webp.decodeWebpRgba(6L, anim))
+    assert(e2.getMessage.contains("animated WebP"))
+  }
+
+  test("truncation and bad signature fail by name") {
+    val img = grayArgb(12, 12, planted)
+    val ok = Webp.encodeLossless(12, 12, img, LosslessOptions())
+    val e1 = intercept[IllegalArgumentException](
+      Webp.decodeWebpRgba(9L, ok.take(30)))
+    assert(e1.getMessage.startsWith("media 9:"))
+    val bad = ok.clone()
+    bad(20) = 0x55 // VP8L signature byte
+    val e2 = intercept[IllegalArgumentException](Webp.decodeWebpRgba(9L, bad))
+    assert(e2.getMessage.contains("VP8L signature"))
+  }
+
+  test("hostile dimensions hit the decode bound by name") {
+    // patch the 14-bit dims of a valid stream to the 16384 x 16384 max
+    val img = grayArgb(8, 8, planted)
+    val ok = Webp.encodeLossless(8, 8, img, LosslessOptions())
+    val p = ok.clone()
+    // bitstream starts at byte 21: 14 bits (w-1), 14 bits (h-1)
+    p(21) = 0xFF.toByte; p(22) = 0xFF.toByte; p(23) = 0xFF.toByte
+    p(24) = (p(24) | 0x0F).toByte
+    val e = intercept[IllegalArgumentException](Webp.decodeWebpRgba(11L, p))
+    assert(e.getMessage.contains("decode bound"))
+  }
+}
