@@ -40,15 +40,23 @@ object TextFeatures {
   def tfidfEmbeddingsPortable(docs: DataFrame, numFeatures: Int = 256): DataFrame = {
     // The tokenize + md5-hash explode feeds BOTH the tf branch (shuffle on
     // (doc_id, feat)) and the df branch (shuffle on feat) — different keys,
-    // so the corpus tokenizes twice. MEASURED at sf0.1 (r12 isolation,
-    // min-of-3): recompute 3.58 s, persist() of this exploded frame 3.92 s —
-    // caching the |docs × tokens|-grain rows costs more than the second
-    // tokenize pass, so the recompute stays.
+    // so unpersisted the corpus tokenizes twice. r12 (suite of 259)
+    // measured recompute 3.58 s vs persist 3.92 s and shipped the double
+    // tokenize; RE-MEASURED at the r14 suite size (sf0.1 isolation, warm
+    // q43-family predecessor, CPUS=32, three iterations each): recompute
+    // min 2.82 / worst-warm 3.45 / cold 6.27 s vs PERSISTED 2.70 / 3.04 /
+    // 3.04 s — the persist now wins on every axis, and more importantly
+    // removes the contention sensitivity behind q44's bouncing driver
+    // readings (3.37 → 5.07 s across rounds on unchanged code: the second
+    // normalize+tokenize pass doubles the CPU-heavy span that slows under
+    // machine load, where the cached (doc_id, feat) rows do not). The
+    // harness releases the blocks post-query (Verify/Bench releaseAll).
     val tok = docs.select(col("doc_id"),
         explode(TextStats.tokens(TextStats.normalize(col("text")))).as("tok"))
       .select(col("doc_id"),
         pmod(Dedup.portableTokenHash(col("tok")), lit(numFeatures.toLong))
           .cast("int").as("feat"))
+      .persist()
     val tf = tok.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
     val dft = tok.distinct().groupBy("feat").agg(count(lit(1)).as("df"))
     val m = docs.agg(count(lit(1)).as("m"))
