@@ -1892,6 +1892,34 @@ object SparkEntry {
       graft.multimodal.Multimodal.containerMediaMeta(
         graft.multimodal.Multimodal.syntheticContainerMedia(
           t(s, d, "documents"))).toDF()),
+    // --- COMPOSITED animated-WebP decode [ext]: the q267 canvas story in
+    // WebP's vocabulary — ANMF frames are VP8L-coded rects placed at
+    // offsets, BLENDED (alpha-blend; alpha-0 pixels punch through to the
+    // canvas) or REPLACING (no-blend over the ANIM background), with a
+    // dispose bit restoring the rect to background after presentation —
+    // routed through decodeVideoRgb so the whole frame-level video
+    // surface (dedup, containment, shots, quality) consumes real-crawl
+    // animated WebP with zero operator changes. Census = per-frame
+    // quadrant sums (position-sensitive); fixture alternates the base
+    // frame's dispose bit by parity; all alphas 0/255 so the blend
+    // formula is exact and the canvas algebra replays pixel-by-pixel
+    // (budget <= 3 s) ---
+    "q275_webp_anim_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.videoFrameQuadrants(
+        graft.multimodal.Multimodal.syntheticAnimatedWebpMedia(
+          t(s, d, "documents"))).toDF()),
+    // --- GIF <-> animated-WebP cross-container video dedup [ext]: the
+    // q248 contract extended to the THIRD animation container — planted
+    // pairs share no container bytes (LZW palette streams vs VP8L
+    // prefix-code bitstreams inside ANMF chunks) but composite to
+    // identical RGB, so shared-frame dedup flags every pair at
+    // match_frac 1; with q248 and q262 the video surface is now blind
+    // across AVI-DIB / MJPEG / GIF / animated WebP (budget <= 3 s) ---
+    "q276_gif_webp_video_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoNearDups(
+        graft.multimodal.MediaDedup.syntheticGifWebpPairVideos(
+          t(s, d, "documents")), everyN = 2, maxHamming = 3, bands = 4,
+        minSharedFrac = 0.5)),
     // --- WAV PCM-depth matrix [ext]: 8-bit unsigned (old clips) and
     // 24-bit signed (production audio) PCM previously failed fast; both
     // now normalize to int16 by DOCUMENTED deterministic conversions
@@ -1973,11 +2001,11 @@ object SparkEntry {
     // the COMPOSITED animation decode, so the partial-frame case (10)
     // lands `decoded` — the census measures real blind spots, not the
     // stricter opt-in index-census contract. Fixture cycles seventeen
-    // real encoder outputs, seven decodable (incl. 4:2:0 / interlaced
-    // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP)
-    // and ten patched into named failures (incl. lossy-VP8 / animated
-    // WebP and the metadata-only MP4 / MP3 / Ogg containers, whose REAL
-    // walks report the codec as evidence); the aggregate is
+    // real encoder outputs, eight decodable (incl. 4:2:0 / interlaced
+    // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP /
+    // composited ANIMATED WebP) and nine patched into named failures
+    // (incl. lossy-VP8 and the metadata-only MP4 / MP3 / Ogg containers,
+    // whose REAL walks report the codec as evidence); the aggregate is
     // |formats x causes|-bounded, never corpus-shaped (budget <= 3 s) ---
     "q265_decode_health" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDecodeHealth(
@@ -5162,6 +5190,78 @@ object SparkEntry {
     // per-item coefficients) across all eight BMP/TIFF layout variants —
     // the engine earns it through eight different byte walks (row flips,
     // palettes, strips, byte orders, the WhiteIsZero inversion)
+    // animated-WebP replay: the canvas algebra — base frame, dispose by
+    // parity, the alpha-0 diagonal showing the base (or the restored
+    // background) through the blended rect, the no-blend overlay winning
+    // where rects overlap — per pixel, then quadrant sums per frame
+    "q275_webp_anim_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, doc_id % 2 AS par " +
+        "FROM documents), " +
+        "fr AS (SELECT media_id, par, unnest(range(3)) AS f FROM d), " +
+        "pp AS (SELECT media_id, par, f, unnest(range(256)) AS k FROM fr), " +
+        "c AS (SELECT media_id, par, f, k % 16 AS x, k // 16 AS y FROM pp), " +
+        "v AS (SELECT media_id, f, x, y, " +
+        "((media_id*29 + x*5 + y*7) % 64) * 4 + 2 AS v0, " +
+        "CASE WHEN par = 0 THEN 8 " +
+        "ELSE ((media_id*29 + x*5 + y*7) % 64) * 4 + 2 END AS base FROM c), " +
+        "g AS (SELECT media_id, f, x, y, " +
+        "CASE WHEN f = 0 THEN v0 " +
+        "WHEN f = 2 AND x >= 8 AND y < 8 " +
+        "THEN ((media_id*17 + (x-8)*9 + y*3) % 64) * 4 + 2 " +
+        "WHEN x BETWEEN 4 AND 11 AND y BETWEEN 4 AND 11 " +
+        "AND ((x-4) + (y-4)) % 3 <> 1 " +
+        "THEN ((media_id*13 + (x-4)*3 + (y-4)*5) % 63) * 4 + 2 " +
+        "ELSE base END AS gray FROM v) " +
+        "SELECT media_id, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(sum(CASE WHEN x < 8 AND y < 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_tl, " +
+        "CAST(sum(CASE WHEN x >= 8 AND y < 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_tr, " +
+        "CAST(sum(CASE WHEN x < 8 AND y >= 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_bl, " +
+        "CAST(sum(CASE WHEN x >= 8 AND y >= 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_br " +
+        "FROM g GROUP BY 1, 2"),
+    // GIF<->WebP video replay: ONE frame formula for both members,
+    // the q248 dHash/containment arithmetic over this fixture's pair
+    // grouping, dims, and coefficients
+    "q276_gif_webp_video_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(8 + (g % 5) * 2 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 2 AS BIGINT) AS h, " +
+        "CAST(2 + g % 2 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "(g*37 + f*(11 + (g * 17) % 97) + (k % w)*(k % w)*(4 + (g % 11) * 5) + " +
+        "(k // w)*(k // w)*(3 + (g % 13) * 3) + " +
+        "(k % w)*(k // w)*(2 + (g % 7) * 9)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sf2 GROUP BY 1), " +
+        "pmb AS (SELECT x.doc_id AS ma, y.doc_id AS mb, x.f AS fa, y.f AS fb " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dh, y.dh)) <= 3), " +
+        "aggb AS (SELECT ma, mb, count(DISTINCT fa) AS matched_a, " +
+        "count(DISTINCT fb) AS matched_b FROM pmb GROUP BY 1, 2) " +
+        "SELECT ma AS media_a, mb AS media_b, " +
+        "CAST(matched_a AS BIGINT) AS matched_a, " +
+        "CAST(matched_b AS BIGINT) AS matched_b, " +
+        "least(matched_a / ca.n, matched_b / cb.n) AS match_frac " +
+        "FROM aggb JOIN cnt ca ON aggb.ma = ca.doc_id " +
+        "JOIN cnt cb ON aggb.mb = cb.doc_id " +
+        "WHERE least(matched_a / ca.n, matched_b / cb.n) >= 0.5"),
     // container replay: every parsed field (codec fourcc, tkhd dims,
     // mvhd duration at its timescale, MPEG frame-header tables, Ogg id
     // headers) is a closed form of doc_id; NULL where the format has no
@@ -5384,12 +5484,12 @@ object SparkEntry {
         "WHEN 10 THEN 'gif' WHEN 11 THEN 'webp' WHEN 12 THEN 'webp' " +
         "WHEN 13 THEN 'webp' WHEN 14 THEN 'mp4' WHEN 15 THEN 'mp3' " +
         "WHEN 16 THEN 'ogg' ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 17 IN (0, 1, 3, 4, 7, 10, 11) THEN 'decoded' " +
+        "CASE WHEN doc_id % 17 IN (0, 1, 3, 4, 7, 10, 11, 13) THEN 'decoded' " +
         "ELSE 'skipped' END AS outcome, " +
         "CASE doc_id % 17 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
-        "WHEN 12 THEN 'unsupported_codec' WHEN 13 THEN 'unsupported_codec' " +
+        "WHEN 12 THEN 'unsupported_codec' " +
         "WHEN 14 THEN 'unsupported_codec' WHEN 15 THEN 'unsupported_codec' " +
         "WHEN 16 THEN 'unsupported_codec' " +
         "ELSE 'none' END AS cause FROM documents) " +

@@ -1243,6 +1243,53 @@ object MediaDedup {
     }
   }
 
+  /** GIF ↔ animated-WebP cross-container video pairs (g = doc_id/2): the
+    * even member an ANIMATED GIF (per-frame LZW streams, identity gray
+    * palette), the odd member an ANIMATED WebP (full-canvas no-blend
+    * opaque ANMF frames, each a real VP8L bitstream) of the SAME planted
+    * frames — the q248 contract extended to the third animation
+    * container: no shared container bytes, identical composited RGB,
+    * frame-for-frame collision at match_frac 1. Frame formula keeps the
+    * wide prime-modulus multipliers (the q232 rule). Canvases are half
+    * q248's (8-16 px sides, 2-3 frames): a VP8L encode writes five
+    * Huffman tables per frame where a DIB row or LZW stream writes none,
+    * and the smaller fixture keeps the row inside the 3 s isolation
+    * budget (measured 5.7 s at q248's dims) without touching the
+    * oracle's arithmetic shape. */
+  def syntheticGifWebpPairVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      val w = (8 + (g % 5) * 2).toInt
+      val h = (8 + ((g * 3) % 4) * 2).toInt
+      val nf = (2 + g % 2).toInt
+      // the q258 QUADRATIC grid family: at these small canvases a linear
+      // formula drained fingerprint entropy (382 pairs for 250 planted
+      // at sf0.001); quadratic position terms keep cross-group hashes
+      // apart (exactly the 250 planted after the switch)
+      def v(f: Int, x: Int, y: Int): Int =
+        ((g * 37 + f * (11 + (g * 17) % 97) + x * x * (4 + (g % 11) * 5) +
+          y * y * (3 + (g % 13) * 3) + x * y * (2 + (g % 7) * 9))
+          % 256).toInt
+      if (id % 2 == 0)
+        MediaRow(id, "video",
+          Containers.gifAnimated(w, h, nf, (f, k) => v(f, k % w, k / w),
+            grayPalette, minCodeSize = 8), w, h, nf)
+      else {
+        val frames = (0 until nf).map { f =>
+          Webp.AnimFrameSpec(0, 0, w, h, Array.tabulate(w * h) { k =>
+            val px = v(f, k % w, k / w)
+            0xFF000000 | (px << 16) | (px << 8) | px
+          })
+        }
+        MediaRow(id, "video", Webp.encodeAnimated(w, h, 0xFF000000, frames),
+          w, h, nf)
+      }
+    }
+  }
+
   /** Cross-CONTAINER video fixtures: doc_ids come in planted pairs
     * (group g = doc_id/2) — the even member an AVI carrying uncompressed
     * DIB frames, the odd member an ANIMATED GIF (per-frame LZW streams,

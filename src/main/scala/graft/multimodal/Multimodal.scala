@@ -1820,16 +1820,31 @@ object Multimodal {
     * GIF payloads take the COMPOSITED animation decode
     * ([[decodeGifComposited]] — partial-frame rects, disposal methods,
     * transparency; a full-frame opaque animation composites to exactly
-    * its per-frame palette map) — so an animated-GIF re-encode of an AVI
-    * carries pixel-identical frames and every frame-level video operator
-    * (hashing, dedup, shots, quality) works across the container
-    * boundary, including on real-crawl partial-frame animations. */
+    * its per-frame palette map); ANIMATED WebP takes the ANMF
+    * compositing walk ([[Webp.decodeAnimFrames]] — the same canvas
+    * algebra with the format's blend/dispose flags), and a STILL WebP is
+    * a one-frame video (its RGB channels) — so an animated-WebP or
+    * animated-GIF re-encode of an AVI carries pixel-identical frames and
+    * every frame-level video operator (hashing, dedup, shots, quality)
+    * works across all three container boundaries, including on
+    * real-crawl partial-frame animations. */
   private[graft] def decodeVideoRgb(id: Long, p: Array[Byte])
       : (Int, Int, Array[Array[Byte]]) =
     if (p.length >= 3 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
         p(2) == 'F'.toByte)
       decodeGifComposited(id, p)
-    else decodeAviRgb(id, p)
+    else if (Webp.hasAnim(p)) Webp.decodeAnimFrames(id, p)
+    else if (Webp.isWebp(p)) {
+      val (w, h, rgba) = Webp.decodeWebpRgba(id, p)
+      val rgb = new Array[Byte](3 * w * h)
+      var k = 0
+      while (k < w * h) {
+        rgb(3 * k) = rgba(4 * k); rgb(3 * k + 1) = rgba(4 * k + 1)
+        rgb(3 * k + 2) = rgba(4 * k + 2)
+        k += 1
+      }
+      (w, h, Array(rgb))
+    } else decodeAviRgb(id, p)
 
   /** Per-frame census over REAL AVI frame decode, with REAL frame
     * sampling: only every `everyN`-th frame (frame_idx % everyN == 0) is
@@ -2338,6 +2353,11 @@ object Multimodal {
       else
         try {
           fmt match {
+            // animated WebP takes the frame-compositing decode the VIDEO
+            // surface consumes (the partial-frame-GIF lesson: the census
+            // measures the operator-surface truth, and stills reject
+            // animations by name either way)
+            case "webp" if Webp.hasAnim(p) => Webp.decodeAnimFrames(m.media_id, p)
             case "png" | "bmp" | "tiff" | "webp" => decodeStillRgba(m.media_id, p)
             case "gif" => decodeGifComposited(m.media_id, p)
             case "jpeg" => Jpeg.decodeRgb(m.media_id, p)
@@ -2380,9 +2400,10 @@ object Multimodal {
     * FLAC / MJPEG AVI / PARTIAL-FRAME animated GIF (disposal +
     * transparency — must land `decoded` now that the census attempts the
     * composited decode, the operator-surface truth) / lossless VP8L WebP
-    * alongside the named out-of-scope shapes (arithmetic-coded JPEG,
-    * sampling-factor-3 JPEG, truncated PNG, a non-MJPG compressed AVI,
-    * unknown magic, LOSSY VP8 WebP, ANIMATED WebP, and the
+    * / ANIMATED WebP (decodable via the ANMF compositing walk the video
+    * surface consumes) alongside the named out-of-scope shapes
+    * (arithmetic-coded JPEG, sampling-factor-3 JPEG, truncated PNG, a
+    * non-MJPG compressed AVI, unknown magic, LOSSY VP8 WebP, and the
     * crawl-majority metadata-only containers — MP4/avc1, MP3, Ogg/vorbis
     * — whose REAL [[ContainerMeta]] walks run before the named
     * `unsupported_codec` verdict so the census reports the codec as
@@ -2440,10 +2461,19 @@ object Multimodal {
         case 12 => // lossy VP8: the dominant crawl profile — measured,
           // not decoded (named `unsupported_codec` bucket)
           Webp.lossyVp8Stub(64, 48, 120)
-        case 13 => // animated WebP (ANIM chunk): same named bucket
-          "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
-            "WEBP".getBytes("US-ASCII") ++ "ANIM".getBytes("US-ASCII") ++
-            Array[Byte](6, 0, 0, 0) ++ Array.fill(6)(0.toByte)
+        case 13 => // animated WebP: decodable via the ANMF compositing
+          // walk the video surface uses (was a named unsupported_codec
+          // bucket before the walk existed — the partial-frame-GIF
+          // telemetry lesson again)
+          Webp.encodeAnimated(8, 6, 0xFF000000 | 0x101010, Seq(
+            Webp.AnimFrameSpec(0, 0, 8, 6, Array.tabulate(48) { k =>
+              val v = ((id * 13 + k * 7) % 256).toInt
+              0xFF000000 | (v << 16) | (v << 8) | v
+            }),
+            Webp.AnimFrameSpec(2, 2, 4, 2, Array.tabulate(8) { k =>
+              val v = ((id * 19 + k * 11) % 256).toInt
+              0xFF000000 | (v << 16) | (v << 8) | v
+            }, noBlend = false, dispose = true)))
         case 14 => // MP4/avc1: full box walk, then the named codec bucket
           ContainerMeta.mp4Stub("isom", 1000, 5000 + (id % 900) * 10,
             Seq(ContainerMeta.TrackMeta("vide", "avc1",
@@ -2557,6 +2587,41 @@ object Multimodal {
           ContainerMeta.oggOpusStub((1 + id % 2).toInt, 48000)
       }
       MediaRow(id, "container", payload, 0, 0, 1)
+    }
+  }
+
+  /** Animated-WebP fixtures exercising the ANMF compositing algebra —
+    * the q267 canvas story in WebP's vocabulary: a full-canvas base
+    * frame whose DISPOSE bit alternates by parity (restore-to-background
+    * after presentation), a centered BLENDED rect whose alpha-0 diagonal
+    * shows the underlying canvas through (base content, or the restored
+    * background), and an overlapping opaque NO-BLEND rect that wins
+    * where rects overlap. All pixels use alpha 0 or 255, so the spec
+    * blend formula is exact and the whole fixture replays
+    * arithmetically; frames are genuine [[Webp.encodeLossless]] VP8L
+    * streams inside real ANMF chunks. */
+  def syntheticAnimatedWebpMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      def gray(v: Int, a: Int): Int = (a << 24) | (v << 16) | (v << 8) | v
+      val f0 = Array.tabulate(256) { k =>
+        gray((((id * 29 + (k % 16) * 5 + (k / 16) * 7) % 64) * 4 + 2).toInt, 255)
+      }
+      val f1 = Array.tabulate(64) { k =>
+        val x = k % 8; val y = k / 8
+        if ((x + y) % 3 == 1) gray(0, 0) // punch through to the canvas
+        else gray((((id * 13 + x * 3 + y * 5) % 63) * 4 + 2).toInt, 255)
+      }
+      val f2 = Array.tabulate(64) { k =>
+        gray((((id * 17 + (k % 8) * 9 + (k / 8) * 3) % 64) * 4 + 2).toInt, 255)
+      }
+      val payload = Webp.encodeAnimated(16, 16, 0xFF000000 | 0x080808, Seq(
+        Webp.AnimFrameSpec(0, 0, 16, 16, f0, noBlend = true,
+          dispose = id % 2 == 0),
+        Webp.AnimFrameSpec(4, 4, 8, 8, f1, noBlend = false),
+        Webp.AnimFrameSpec(8, 0, 8, 8, f2, noBlend = true)))
+      MediaRow(id, "video", payload, 16, 16, 3)
     }
   }
 

@@ -743,9 +743,16 @@ private[graft] object Webp {
       val clcFreq = new Array[Long](19)
       var i = 0
       while (i < limit) { clcFreq(lengths(i)) += 1; i += 1 }
+      // one distinct length value (e.g. 256 near-uniform symbols → every
+      // length 8) → a 1-entry code-length code. The STREAM declares the
+      // single symbol at length 1, but a single-used-symbol prefix code
+      // reads as 0 BITS (spec: the decoder returns the symbol without
+      // consuming input), so the emit side must write nothing per entry —
+      // emitting the declared 1-bit codes desynced the stream (found by
+      // the q276 uniform-histogram content)
+      val singleClc = clcFreq.count(_ > 0) == 1
       val clcLengths =
-        if (clcFreq.count(_ > 0) == 1) {
-          // one distinct length value → a 1-entry (0-bit) code-length code
+        if (singleClc) {
           val l = new Array[Int](19)
           l(clcFreq.indexWhere(_ > 0)) = 1
           l
@@ -760,7 +767,9 @@ private[graft] object Webp {
       require(k <= 7, "writePrefixCode: max_symbol cap overflow")
       bw.write(k, 3)
       bw.write(limit - 2, 2 + 2 * k)
-      val clc = new WCode(clcLengths)
+      val clc =
+        if (singleClc) new WCode(new Array[Int](19)) // 0-bit emits
+        else new WCode(clcLengths)
       i = 0
       while (i < limit) { clc.emit(bw, lengths(i)); i += 1 }
       new WCode(lengths)
@@ -1129,6 +1138,205 @@ private[graft] object Webp {
     var i = 0
     while (i < bodyLen) { payload(10 + i) = ((i * 37 + 11) & 0xFF).toByte; i += 1 }
     riffWrap("VP8 ", payload)
+  }
+
+  // ------------------------------------------------------------------
+  // animated WebP — VP8X(ANIM) + ANIM + ANMF chunks, VP8L frame payloads
+  // ------------------------------------------------------------------
+
+  /** VP8X extended container with the Animation flag set (RFC 9649: the
+    * VP8X flags byte is Rsv(2) ICC Alpha Exif XMP Animation Rsv, so
+    * Animation = 0x02). */
+  def hasAnim(p: Array[Byte]): Boolean =
+    isWebp(p) && p.length >= 21 && p(12) == 'V'.toByte &&
+      p(13) == 'P'.toByte && p(14) == '8'.toByte && p(15) == 'X'.toByte &&
+      (p(20) & 0x02) != 0
+
+  /** Composited animated-WebP decode → one presented canvas-sized RGB
+    * frame per ANMF (the [[Multimodal.decodeVideoRgb]] layout, mirroring
+    * the composited-GIF walk): each frame is a VP8L-coded rect placed at
+    * its (x, y) offset, BLENDED onto the canvas (alpha-blend method 0:
+    * src·a + dst·(255−a), round-half-up — exact for the a ∈ {0, 255}
+    * fixtures and deterministic in between) or REPLACING the rect
+    * (method 1, no-blend: the src composited over the ANIM background,
+    * so a fully-transparent no-blend pixel restores background — the GIF
+    * transparency analogue); after presentation the disposal bit
+    * optionally restores the rect to the ANIM background color (the GIF
+    * disposal-2 analogue). Canvas starts at the ANIM background. Lossy
+    * VP8 frame payloads fail by the same name as still lossy WebP; total
+    * presented volume is bounded like the GIF walk. */
+  def decodeAnimFrames(id: Long, p: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    check(hasAnim(p), id, "not an animated WebP (no VP8X ANIM flag)")
+    check(p.length >= 30, id, "truncated VP8X header")
+    // 24-bit minus-one canvas fields — read EXACTLY 3 bytes (a 4-byte
+    // read walked past a 30-byte truncation; the fuzz battery found it)
+    def le24(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+      ((p(off + 2) & 0xFF) << 16)
+    val cw = le24(24) + 1
+    val ch = le24(27) + 1
+    check(cw.toLong * ch <= MaxDecodePixels, id,
+      s"${cw}x$ch exceeds the $MaxDecodePixels-pixel decode bound")
+    var bgR = 0; var bgG = 0; var bgB = 0
+    var sawAnim = false
+    val frames = ArrayBuffer.empty[Array[Byte]]
+    val canvas = new Array[Byte](3 * cw * ch)
+    var off = 12L
+    var chunks = 0
+    while (off + 8 <= p.length) {
+      chunks += 1
+      check(chunks <= 1024, id, "WebP chunk walk exceeded 1024 chunks")
+      val fourcc = new String(p, off.toInt, 4, "US-ASCII")
+      val size = le32(p, off.toInt + 4)
+      check(off + 8 + size <= p.length, id, s"truncated WebP chunk $fourcc")
+      val body = off.toInt + 8
+      fourcc match {
+        case "ANIM" =>
+          check(size >= 6, id, "ANIM chunk too short")
+          // background color is stored B, G, R, A
+          bgB = p(body) & 0xFF; bgG = p(body + 1) & 0xFF
+          bgR = p(body + 2) & 0xFF
+          var k = 0
+          while (k < canvas.length) {
+            canvas(k) = bgR.toByte; canvas(k + 1) = bgG.toByte
+            canvas(k + 2) = bgB.toByte
+            k += 3
+          }
+          sawAnim = true
+        case "ANMF" =>
+          check(sawAnim, id, "ANMF frame before the ANIM header")
+          check(size >= 24, id, "ANMF chunk too short")
+          val fx = ((le32(p, body) & 0xFFFFFF) * 2).toInt
+          val fy = ((le32(p, body + 3) & 0xFFFFFF) * 2).toInt
+          val fw = (le32(p, body + 6) & 0xFFFFFF).toInt + 1
+          val fh = (le32(p, body + 9) & 0xFFFFFF).toInt + 1
+          val flags = p(body + 15) & 0xFF
+          val noBlend = (flags & 0x02) != 0
+          val dispose = (flags & 0x01) != 0
+          check(fx + fw <= cw && fy + fh <= ch, id,
+            s"ANMF frame ${frames.length} rect ${fw}x$fh at ($fx, $fy) " +
+              s"exceeds the ${cw}x$ch canvas")
+          check(cw.toLong * ch * (frames.length + 1) <= MaxDecodePixels, id,
+            s"WebP animation exceeds the $MaxDecodePixels-pixel decode bound")
+          // frame data: optional ALPH chunk, then the VP8L/VP8 chunk
+          var fOff = body + 16L
+          val fEnd = body + size
+          var rgba: Array[Byte] = null
+          while (rgba == null && fOff + 8 <= fEnd) {
+            val ffcc = new String(p, fOff.toInt, 4, "US-ASCII")
+            val fsize = le32(p, fOff.toInt + 4)
+            check(fOff + 8 + fsize <= fEnd, id,
+              s"truncated ANMF sub-chunk $ffcc")
+            ffcc match {
+              case "VP8L" =>
+                val (dw, dh, px) = decodeVp8l(id, p, fOff.toInt + 8,
+                  (fOff + 8 + fsize).toInt)
+                check(dw == fw && dh == fh, id,
+                  s"ANMF frame is ${dw}x$dh, header declares ${fw}x$fh")
+                rgba = px
+              case "VP8 " =>
+                fail(id, "lossy VP8 WebP — only the lossless VP8L codec " +
+                  "decodes to pixels (codec VP8, animated)")
+              case _ => fOff += 8 + fsize + (fsize & 1) // ALPH: skipped
+            }
+          }
+          check(rgba != null, id,
+            s"ANMF frame ${frames.length} carries no image chunk")
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val si = 4 * (y * fw + x)
+              val a = rgba(si + 3) & 0xFF
+              val o = 3 * ((fy + y) * cw + (fx + x))
+              if (noBlend) {
+                // replace: src over the ANIM background
+                canvas(o) = ((((rgba(si) & 0xFF) * a + bgR * (255 - a)) + 127) / 255).toByte
+                canvas(o + 1) = ((((rgba(si + 1) & 0xFF) * a + bgG * (255 - a)) + 127) / 255).toByte
+                canvas(o + 2) = ((((rgba(si + 2) & 0xFF) * a + bgB * (255 - a)) + 127) / 255).toByte
+              } else if (a > 0) {
+                // alpha-blend onto the current canvas
+                canvas(o) = ((((rgba(si) & 0xFF) * a + (canvas(o) & 0xFF) * (255 - a)) + 127) / 255).toByte
+                canvas(o + 1) = ((((rgba(si + 1) & 0xFF) * a + (canvas(o + 1) & 0xFF) * (255 - a)) + 127) / 255).toByte
+                canvas(o + 2) = ((((rgba(si + 2) & 0xFF) * a + (canvas(o + 2) & 0xFF) * (255 - a)) + 127) / 255).toByte
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += canvas.clone() // the presented frame
+          if (dispose) { // restore the rect to the ANIM background
+            var yy = 0
+            while (yy < fh) {
+              var xx = 0
+              while (xx < fw) {
+                val o = 3 * ((fy + yy) * cw + (fx + xx))
+                canvas(o) = bgR.toByte; canvas(o + 1) = bgG.toByte
+                canvas(o + 2) = bgB.toByte
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+        case _ => () // VP8X (already read), ICCP/EXIF/XMP: skipped
+      }
+      off += 8 + size + (size & 1)
+    }
+    check(frames.nonEmpty, id, "animated WebP without an ANMF frame")
+    (cw, ch, frames.toArray)
+  }
+
+  /** One animated-WebP frame spec for [[encodeAnimated]]: rect placement
+    * (x and y must be even — the format stores them halved), packed ARGB
+    * pixels, the blend/dispose flag bits, and a duration. */
+  final case class AnimFrameSpec(x: Int, y: Int, w: Int, h: Int,
+                                 argb: Array[Int], noBlend: Boolean = true,
+                                 dispose: Boolean = false,
+                                 durationMs: Int = 40)
+
+  /** Real animated-WebP container: VP8X (ANIM [+ALPHA] flags, canvas
+    * dims) + ANIM (background BGRA, loop count) + one ANMF per frame
+    * wrapping a genuine [[encodeLossless]] VP8L stream. */
+  def encodeAnimated(cw: Int, ch: Int, bgArgb: Int,
+                     frames: Seq[AnimFrameSpec], loops: Int = 0): Array[Byte] = {
+    require(cw >= 1 && ch >= 1 && frames.nonEmpty, "encodeAnimated: bad args")
+    val hasAlpha = frames.exists(_.argb.exists(px => (px >>> 24) != 0xFF))
+    val body = new java.io.ByteArrayOutputStream()
+    def le24(v: Int): Unit = {
+      body.write(v & 0xFF); body.write((v >> 8) & 0xFF)
+      body.write((v >> 16) & 0xFF)
+    }
+    body.write("VP8X".getBytes("US-ASCII")); writeLe32(body, 10)
+    body.write(0x02 | (if (hasAlpha) 0x10 else 0))
+    body.write(0); body.write(0); body.write(0)
+    le24(cw - 1); le24(ch - 1)
+    body.write("ANIM".getBytes("US-ASCII")); writeLe32(body, 6)
+    body.write(bgArgb & 0xFF) // B
+    body.write((bgArgb >> 8) & 0xFF) // G
+    body.write((bgArgb >> 16) & 0xFF) // R
+    body.write((bgArgb >>> 24) & 0xFF) // A
+    body.write(loops & 0xFF); body.write((loops >> 8) & 0xFF)
+    frames.foreach { f =>
+      require(f.x % 2 == 0 && f.y % 2 == 0,
+        "encodeAnimated: frame offsets must be even")
+      require(f.x + f.w <= cw && f.y + f.h <= ch,
+        "encodeAnimated: frame rect exceeds the canvas")
+      val inner = encodeLossless(f.w, f.h, f.argb)
+      val vp8l = java.util.Arrays.copyOfRange(inner, 12, inner.length)
+      val anmfLen = 16 + vp8l.length
+      body.write("ANMF".getBytes("US-ASCII")); writeLe32(body, anmfLen)
+      le24(f.x / 2); le24(f.y / 2); le24(f.w - 1); le24(f.h - 1)
+      le24(f.durationMs)
+      body.write((if (f.noBlend) 0x02 else 0) | (if (f.dispose) 1 else 0))
+      body.write(vp8l, 0, vp8l.length)
+      if ((anmfLen & 1) == 1) body.write(0)
+    }
+    val payload = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    writeLe32(out, 4 + payload.length)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(payload, 0, payload.length)
+    out.toByteArray
   }
 
   private def inversePredictor(id: Long, img: Array[Int], w: Int, h: Int,

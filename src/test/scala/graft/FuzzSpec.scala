@@ -145,17 +145,32 @@ class FuzzSpec extends AnyFunSuite {
     }, graft.multimodal.Webp.LosslessOptions(subtractGreen = true,
       predictorMode = 9, cacheBits = 5, lz77 = true, metaBits = 2))
 
+  private val webpAnimPayload = graft.multimodal.Webp.encodeAnimated(
+    10, 8, 0xFF000000 | 0x050505, Seq(
+      graft.multimodal.Webp.AnimFrameSpec(0, 0, 10, 8,
+        Array.tabulate(80)(k => 0xFF000000 | ((k * 11 % 256) * 0x010101)),
+        noBlend = true, dispose = true),
+      graft.multimodal.Webp.AnimFrameSpec(2, 2, 4, 4,
+        Array.tabulate(16)(k =>
+          if (k % 5 == 0) 0 else 0xFF000000 | ((k * 31 % 256) * 0x010101)),
+        noBlend = false)))
+
   test("fuzz: WebP VP8L decode fails only by name on hostile bytes") {
     fuzz("webp", webpPayload, 12,
       p => graft.multimodal.Webp.decodeWebpRgba(30L, p))
     // the transform / cache / LZ77 / meta-tiling paths inherit the
-    // contract, as does the format-blind still-image dispatch
+    // contract, as do the format-blind still-image and video dispatches
+    // and the ANMF compositing walk
     fuzz("webp-pal", webpPalPayload, 12,
       p => graft.multimodal.Webp.decodeWebpRgba(31L, p))
     fuzz("webp-full", webpFullPayload, 12,
       p => graft.multimodal.Webp.decodeWebpRgba(32L, p))
     fuzz("webp-dispatch", webpPayload, 12,
       p => Multimodal.decodeStillRgba(33L, p))
+    fuzz("webp-anim", webpAnimPayload, 12,
+      p => graft.multimodal.Webp.decodeAnimFrames(34L, p))
+    fuzz("webp-vid-dispatch", webpAnimPayload, 12,
+      p => Multimodal.decodeVideoRgb(35L, p))
   }
 
   private val mp4Payload = graft.multimodal.ContainerMeta.mp4Stub(
@@ -277,6 +292,8 @@ class FuzzSpec extends AnyFunSuite {
         p => graft.multimodal.Webp.decodeWebpRgba(31L, p)),
       ("webp-full", webpFullPayload,
         p => graft.multimodal.Webp.decodeWebpRgba(32L, p)),
+      ("webp-anim", webpAnimPayload,
+        p => graft.multimodal.Webp.decodeAnimFrames(34L, p)),
       ("mp4", mp4Payload,
         p => graft.multimodal.ContainerMeta.mp4Meta(40L, p)),
       ("mp3", mp3Payload,

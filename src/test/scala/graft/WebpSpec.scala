@@ -148,6 +148,97 @@ class WebpSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("animated WebP"))
   }
 
+  test("uniform-histogram content (every Huffman length equal) round-trips " +
+    "— the 0-bit code-length-code regression") {
+    // 256 near-uniform symbol frequencies give every literal length 8, so
+    // the code-length code has ONE used symbol: the stream declares it at
+    // length 1 but a single-used-symbol prefix code reads as ZERO bits —
+    // the encoder originally emitted the declared 1-bit codes and desynced
+    // (found by the q276 fixture, g=42: v = (22 + 216x + 235y) mod 256
+    // over 20x16)
+    val (w, h) = (20, 16)
+    roundTrip("uniform-histogram", w, h,
+      grayArgb(w, h, (x, y) => (22 + 216 * x + 235 * y) % 256),
+      LosslessOptions())
+  }
+
+  test("animated WebP: full-canvas no-blend frames round-trip exactly") {
+    val (w, h) = (10, 8)
+    val srcs = (0 until 3).map(f => grayArgb(w, h, (x, y) => planted(x, y) + f * 3))
+    val payload = Webp.encodeAnimated(w, h, 0xFF000000,
+      srcs.map(a => Webp.AnimFrameSpec(0, 0, w, h, a)))
+    val (dw, dh, frames) = Webp.decodeAnimFrames(8L, payload)
+    assert(dw == w && dh == h && frames.length == 3)
+    for (f <- 0 until 3; k <- 0 until w * h) {
+      val want = srcs(f)(k) & 0xFF
+      assert((frames(f)(3 * k) & 0xFF) == want, s"frame $f pixel $k")
+      assert((frames(f)(3 * k + 1) & 0xFF) == want)
+      assert((frames(f)(3 * k + 2) & 0xFF) == want)
+    }
+  }
+
+  test("animated WebP canvas algebra: blend punch-through, no-blend " +
+    "replace, dispose-to-background") {
+    // 4x4 canvas, bg gray 10. Frame 0: full opaque 50s, dispose AFTER.
+    // Frame 1: 2x2 rect at (2,2), BLEND, one alpha-0 pixel -> shows the
+    // DISPOSED background, others opaque 200.
+    // Frame 2: 2x2 rect at (0,0), NO-BLEND with one alpha-0 pixel -> that
+    // pixel becomes the background, not the prior canvas.
+    val f0 = Array.fill(16)(0xFF000000 | 0x323232) // 50
+    val f1 = Array.tabulate(4)(k =>
+      if (k == 0) 0 else 0xFF000000 | 0xC8C8C8) // alpha 0, then 200s
+    val f2 = Array.tabulate(4)(k =>
+      if (k == 3) 0 else 0xFF000000 | 0x646464) // 100s, last alpha 0
+    val payload = Webp.encodeAnimated(4, 4, 0xFF000000 | 0x0A0A0A, Seq(
+      Webp.AnimFrameSpec(0, 0, 4, 4, f0, noBlend = true, dispose = true),
+      Webp.AnimFrameSpec(2, 2, 2, 2, f1, noBlend = false),
+      Webp.AnimFrameSpec(0, 0, 2, 2, f2, noBlend = true)))
+    val (_, _, frames) = Webp.decodeAnimFrames(9L, payload)
+    def px(f: Int, x: Int, y: Int): Int = frames(f)(3 * (y * 4 + x)) & 0xFF
+    assert(px(0, 0, 0) == 50 && px(0, 3, 3) == 50)
+    // after dispose, canvas is bg(10); blend rect at (2,2): pixel (2,2)
+    // is the alpha-0 punch-through -> 10, (3,2)/(2,3)/(3,3) -> 200
+    assert(px(1, 0, 0) == 10, "disposed base")
+    assert(px(1, 2, 2) == 10, "alpha-0 blend keeps canvas")
+    assert(px(1, 3, 2) == 200 && px(1, 2, 3) == 200 && px(1, 3, 3) == 200)
+    // frame 2 keeps frame 1's canvas outside its rect; inside, no-blend
+    // writes 100s except the alpha-0 pixel (1,1) -> background 10
+    assert(px(2, 2, 2) == 10 && px(2, 3, 2) == 200)
+    assert(px(2, 0, 0) == 100 && px(2, 1, 0) == 100 && px(2, 0, 1) == 100)
+    assert(px(2, 1, 1) == 10, "alpha-0 no-blend restores background")
+  }
+
+  test("animated WebP failures are named: lossy frame, oversized rect, " +
+    "missing frames, volume bound") {
+    val ok = Webp.encodeAnimated(8, 8, 0xFF000000,
+      Seq(Webp.AnimFrameSpec(0, 0, 8, 8, grayArgb(8, 8, planted))))
+    // not animated
+    val still = Webp.encodeLossless(8, 8, grayArgb(8, 8, planted))
+    val e1 = intercept[IllegalArgumentException](Webp.decodeAnimFrames(4L, still))
+    assert(e1.getMessage.contains("ANIM flag"))
+    // truncation
+    val e2 = intercept[IllegalArgumentException](
+      Webp.decodeAnimFrames(4L, ok.take(40)))
+    assert(e2.getMessage.startsWith("media 4:"))
+    // VP8X+ANIM but no ANMF
+    val e3 = intercept[IllegalArgumentException](
+      Webp.decodeAnimFrames(4L, ok.take(42)))
+    assert(e3.getMessage.startsWith("media 4:"), e3.getMessage)
+    // rect exceeding the canvas: patch the ANMF width field
+    val bad = ok.clone()
+    val anmf = ok.indexOfSlice("ANMF".getBytes("US-ASCII"))
+    bad(anmf + 8 + 6) = 0x40 // frame width-1 low byte -> 65
+    val e4 = intercept[IllegalArgumentException](Webp.decodeAnimFrames(4L, bad))
+    assert(e4.getMessage.contains("exceeds the 8x8 canvas") ||
+      e4.getMessage.contains("truncated") ||
+      e4.getMessage.contains("declares"), e4.getMessage)
+    // hostile canvas dims hit the decode bound
+    val big = ok.clone()
+    big(24) = 0xFF.toByte; big(25) = 0xFF.toByte; big(26) = 0xFF.toByte
+    val e5 = intercept[IllegalArgumentException](Webp.decodeAnimFrames(4L, big))
+    assert(e5.getMessage.contains("decode bound"), e5.getMessage)
+  }
+
   test("truncation and bad signature fail by name") {
     val img = grayArgb(12, 12, planted)
     val ok = Webp.encodeLossless(12, 12, img, LosslessOptions())
