@@ -1920,6 +1920,23 @@ object SparkEntry {
         graft.multimodal.MediaDedup.syntheticGifWebpPairVideos(
           t(s, d, "documents")), everyN = 2, maxHamming = 3, bands = 4,
         minSharedFrac = 0.5)),
+    // --- EXIF-oriented WebP crop search [ext]: the q263 story for the
+    // WebP container — camera-pipeline WebPs carry tag 274 in an EXIF
+    // chunk, and a crop is taken from the DISPLAYED form; the still
+    // dispatch now decodes WebP as displayed (identity when untagged —
+    // every existing WebP row byte-identical), so crop search,
+    // boilerplate, and block means meet camera WebPs on the viewer's
+    // grid. Fixtures plant displayed content back through the INVERSE
+    // transform across all 8 orientations (distinct coefficient family
+    // from q263); the oracle replays DISPLAYED coordinates only —
+    // reachable solely by applying the chunk's tag (budget <= 3 s) ---
+    "q277_webp_oriented_crops" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.multimodal.MediaDedup.imageCropMatches(
+        graft.multimodal.MediaDedup.syntheticOrientedWebpCrops(docs),
+        graft.multimodal.MediaDedup.syntheticOrientedWebpImages(docs),
+        blockPx = 2)
+    },
     // --- WAV PCM-depth matrix [ext]: 8-bit unsigned (old clips) and
     // 24-bit signed (production audio) PCM previously failed fast; both
     // now normalize to int16 by DOCUMENTED deterministic conversions
@@ -5190,6 +5207,58 @@ object SparkEntry {
     // per-item coefficients) across all eight BMP/TIFF layout variants —
     // the engine earns it through eight different byte walks (row flips,
     // palettes, strips, byte orders, the WhiteIsZero inversion)
+    // oriented-WebP-crop replay: the q263 arithmetic with this fixture's
+    // coefficient family — the oracle works ENTIRELY in displayed
+    // coordinates (the planted grid), never seeing the orientation or
+    // the codec
+    "q277_webp_oriented_crops" ->
+      ("WITH dd AS (SELECT doc_id, 8 + doc_id % 3 AS gw, " +
+        "8 + doc_id % 2 AS gh FROM documents), " +
+        "bb AS (SELECT doc_id, gw, gh, unnest(range(gw * gh)) AS b FROM dd), " +
+        "bm AS (SELECT doc_id, b % gw AS bx, b // gw AS by, " +
+        "((b % gw)*(b % gw)*(7 + doc_id % 29) + " +
+        "(b // gw)*(b // gw)*(9 + doc_id % 17) + " +
+        "(b % gw)*(b // gw)*(5 + doc_id % 11) + doc_id*23) % 196 AS v " +
+        "FROM bb), " +
+        "cmp AS (SELECT l.doc_id, l.bx, l.by FROM bm l " +
+        "JOIN bm r ON l.doc_id = r.doc_id AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.v < r.v), " +
+        "off AS (SELECT doc_id, gw, gh, " +
+        "unnest(range((gw - 7) * (gh - 7))) AS oi FROM dd), " +
+        "off2 AS (SELECT doc_id, oi % (gw - 7) AS ox, oi // (gw - 7) AS oy " +
+        "FROM off), " +
+        "wb AS (SELECT o.doc_id, o.ox, o.oy, " +
+        "(c.by - o.oy) * 7 + (c.bx - o.ox) AS j " +
+        "FROM off2 o JOIN cmp c ON c.doc_id = o.doc_id " +
+        "AND c.bx >= o.ox AND c.bx <= o.ox + 6 " +
+        "AND c.by >= o.oy AND c.by <= o.oy + 7), " +
+        "ifp AS MATERIALIZED (SELECT off2.doc_id, off2.ox, off2.oy, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS ph " +
+        "FROM off2 LEFT JOIN wb ON off2.doc_id = wb.doc_id " +
+        "AND off2.ox = wb.ox AND off2.oy = wb.oy GROUP BY 1, 2, 3), " +
+        "cd AS (SELECT doc_id, doc_id % 4 AS crole, " +
+        "doc_id % (8 + doc_id % 3 - 7) AS cox, " +
+        "doc_id % (8 + doc_id % 2 - 7) AS coy " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "cbb AS (SELECT doc_id, crole, cox, coy, unnest(range(64)) AS b " +
+        "FROM cd), " +
+        "cbm AS (SELECT doc_id, b % 8 AS bx, b // 8 AS by, " +
+        "CASE WHEN crole = 0 THEN " +
+        "((cox + b % 8)*(cox + b % 8)*(7 + doc_id % 29) + " +
+        "(coy + b // 8)*(coy + b // 8)*(9 + doc_id % 17) + " +
+        "(cox + b % 8)*(coy + b // 8)*(5 + doc_id % 11) + doc_id*23) % 196 + 30 " +
+        "ELSE ((b % 8)*(b % 8)*19 + (b // 8)*(b // 8)*23 + " +
+        "(b % 8)*(b // 8)*29 + doc_id*7 + 55) % 196 END AS v FROM cbb), " +
+        "ccmp AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM cbm l " +
+        "JOIN cbm r ON l.doc_id = r.doc_id AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.v < r.v), " +
+        "cfp AS (SELECT cd.doc_id, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS ph " +
+        "FROM cd LEFT JOIN ccmp ON cd.doc_id = ccmp.doc_id GROUP BY 1) " +
+        "SELECT c.doc_id AS crop_id, i.doc_id AS image_id, " +
+        "CAST(i.ox AS INTEGER) AS ox, CAST(i.oy AS INTEGER) AS oy, " +
+        "CAST(bit_count(xor(c.ph, i.ph)) AS INTEGER) AS hamming " +
+        "FROM cfp c JOIN ifp i ON bit_count(xor(c.ph, i.ph)) <= 3"),
     // animated-WebP replay: the canvas algebra — base frame, dispose by
     // parity, the alpha-0 diagonal showing the base (or the restored
     // background) through the blended rect, the no-blend overlay winning

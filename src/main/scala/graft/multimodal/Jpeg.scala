@@ -948,44 +948,52 @@ private[graft] object Jpeg {
         if (len < 2 || i.toLong + len > p.length) return 0
         if (m == 0xE1 && len >= 2 + 6 + 8 && u8(i + 2) == 'E' &&
           u8(i + 3) == 'x' && u8(i + 4) == 'i' && u8(i + 5) == 'f' &&
-          u8(i + 6) == 0 && u8(i + 7) == 0) {
-          val t = i + 8 // TIFF header start
-          val end = i + len
-          val little = u8(t) == 'I' && u8(t + 1) == 'I'
-          val big = u8(t) == 'M' && u8(t + 1) == 'M'
-          if (!little && !big) return 0
-          def u16t(off: Int): Int = {
-            val a = u8(off); val b = u8(off + 1)
-            if (a < 0 || b < 0 || off + 1 >= end) -1
-            else if (little) a | (b << 8) else (a << 8) | b
-          }
-          def u32t(off: Int): Long = {
-            val a = u16t(off); val b = u16t(off + 2)
-            if (a < 0 || b < 0) -1L
-            else if (little) a.toLong | (b.toLong << 16)
-            else (a.toLong << 16) | b.toLong
-          }
-          if (u16t(t + 2) != 42) return 0
-          val ifd = u32t(t + 4)
-          if (ifd < 0 || t + ifd + 2 > end) return 0
-          val base = (t + ifd).toInt
-          val n = u16t(base)
-          if (n < 0 || n > 512) return 0
-          var e = 0
-          while (e < n) {
-            val eo = base + 2 + 12 * e
-            if (eo + 12 > end) return 0
-            if (u16t(eo) == 0x0112 && u16t(eo + 2) == 3 &&
-              u32t(eo + 4) == 1L) {
-              val v = u16t(eo + 8)
-              return if (v >= 1 && v <= 8) v else 0
-            }
-            e += 1
-          }
-          return 0
-        }
+          u8(i + 6) == 0 && u8(i + 7) == 0)
+          return tiffOrientation(p, i + 8, i + len)
         i += len
       }
+    }
+    0
+  }
+
+  /** Tag 274 from a raw TIFF block at [t, end) — the carrier-agnostic
+    * core behind [[exifOrientation]] (JPEG APP1) and
+    * [[Webp.exifOrientation]] (the EXIF chunk). Same degrade-to-0
+    * contract: NEVER throws. */
+  private[multimodal] def tiffOrientation(p: Array[Byte], t: Int,
+                                          end: Int): Int = {
+    def u8(off: Int): Int =
+      if (off >= 0 && off < p.length) p(off) & 0xFF else -1
+    val little = u8(t) == 'I' && u8(t + 1) == 'I'
+    val big = u8(t) == 'M' && u8(t + 1) == 'M'
+    if (!little && !big) return 0
+    def u16t(off: Int): Int = {
+      val a = u8(off); val b = u8(off + 1)
+      if (a < 0 || b < 0 || off + 1 >= end) -1
+      else if (little) a | (b << 8) else (a << 8) | b
+    }
+    def u32t(off: Int): Long = {
+      val a = u16t(off); val b = u16t(off + 2)
+      if (a < 0 || b < 0) -1L
+      else if (little) a.toLong | (b.toLong << 16)
+      else (a.toLong << 16) | b.toLong
+    }
+    if (u16t(t + 2) != 42) return 0
+    val ifd = u32t(t + 4)
+    if (ifd < 0 || t + ifd + 2 > end) return 0
+    val base = (t + ifd).toInt
+    val n = u16t(base)
+    if (n < 0 || n > 512) return 0
+    var e = 0
+    while (e < n) {
+      val eo = base + 2 + 12 * e
+      if (eo + 12 > end) return 0
+      if (u16t(eo) == 0x0112 && u16t(eo + 2) == 3 &&
+        u32t(eo + 4) == 1L) {
+        val v = u16t(eo + 8)
+        return if (v >= 1 && v <= 8) v else 0
+      }
+      e += 1
     }
     0
   }
@@ -1028,10 +1036,11 @@ private[graft] object Jpeg {
   /** Inject an APP1 Exif segment declaring `orientation` right after the
     * SOI of an encoded JPEG (fixture side): "Exif\0\0" + a minimal TIFF
     * body (II byte order, IFD0 with the single SHORT tag 274). */
-  def withExif(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+  /** A minimal TIFF block declaring `orientation` (II byte order, IFD0
+    * with the single SHORT tag 274) — shared by the JPEG APP1 and WebP
+    * EXIF-chunk fixture writers. */
+  private[multimodal] def exifTiffBody(orientation: Int): Array[Byte] = {
     require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
-    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
-      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
     val tiff = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
     def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
@@ -1039,7 +1048,13 @@ private[graft] object Jpeg {
     le16(1) // one entry
     le16(0x0112); le16(3); le32(1); le16(orientation); le16(0) // tag 274
     le32(0) // no next IFD
-    val body = tiff.toByteArray
+    tiff.toByteArray
+  }
+
+  def withExif(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
+    val body = exifTiffBody(orientation)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xFF); out.write(0xD8)
     out.write(0xFF); out.write(0xE1)

@@ -1243,6 +1243,97 @@ object MediaDedup {
     }
   }
 
+  /** EXIF-oriented WebP images — the q263 story for the WebP container:
+    * camera-pipeline WebPs carry tag 274 in an EXIF chunk (not an APP1
+    * segment), and position-sensitive operators are wrong without
+    * applying it. Each image plants its DISPLAYED 2×2-px-block content back
+    * through the INVERSE tag-274 transform into stored pixels, encodes
+    * them as a real VP8L stream, and wraps the result in a VP8X(EXIF)
+    * container ([[Webp.withExif]]); all 8 orientations cycle. Distinct
+    * coefficient family from q263 (7+id%29 / 9+id%17 / 5+id%11, id·23)
+    * so the two gates are independent fixtures. */
+  def syntheticOrientedWebpImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gw = (8 + id % 3).toInt
+      val gh = (8 + id % 2).toInt
+      def v(dx: Int, dy: Int): Int =
+        ((dx.toLong * dx * (7 + id % 29) + dy.toLong * dy * (9 + id % 17) +
+          dx.toLong * dy * (5 + id % 11) + id * 23) % 196).toInt
+      val o = (1 + id % 8).toInt
+      val swap = o >= 5
+      val sw = if (swap) gh else gw
+      val sh = if (swap) gw else gh
+      val grays = new Array[Int](sw * sh)
+      var dy = 0
+      while (dy < gh) {
+        var dx = 0
+        while (dx < gw) {
+          val (sx, sy) = o match {
+            case 1 => (dx, dy)
+            case 2 => (sw - 1 - dx, dy)
+            case 3 => (sw - 1 - dx, sh - 1 - dy)
+            case 4 => (dx, sh - 1 - dy)
+            case 5 => (dy, dx)
+            case 6 => (dy, sh - 1 - dx)
+            case 7 => (sw - 1 - dy, sh - 1 - dx)
+            case _ => (sw - 1 - dy, dx) // 8
+          }
+          grays(sy * sw + sx) = v(dx, dy)
+          dx += 1
+        }
+        dy += 1
+      }
+      // 2-px blocks (the q241 granularity): VP8L is lossless at any
+      // block size — no DC-block constraint like the JPEG fixture — and
+      // the 16x smaller canvas keeps the row in the 3 s isolation budget
+      // (7.1 s at 8-px blocks)
+      val argb = Array.tabulate(4 * sw * sh) { k =>
+        val x = k % (2 * sw); val y = k / (2 * sw)
+        val g = grays((y / 2) * sw + x / 2)
+        0xFF000000 | (g << 16) | (g << 8) | g
+      }
+      val payload = Webp.withExif(
+        Webp.encodeLossless(2 * sw, 2 * sh, argb), 2 * sw, 2 * sh, o)
+      MediaRow(id, "image", payload, 2 * gw, 2 * gh, 1)
+    }
+  }
+
+  /** Crop side for [[syntheticOrientedWebpImages]] (even doc_ids): role
+    * id mod 4 == 0 is the 8×8-block crop of its own image's DISPLAYED
+    * content at block offset (id mod (gw−7), id mod (gh−7)), brightness
+    * +30, shipped as a PNG — exactly how a screenshot of a displayed
+    * photo arrives; role 2 a distractor. The crop meets its source only
+    * if the WebP side hashed displayed-orientation pixels. */
+  def syntheticOrientedWebpCrops(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 2 == 0).map { id =>
+      val gw = (8 + id % 3).toInt
+      val gh = (8 + id % 2).toInt
+      val ox = (id % (gw - 7)).toInt
+      val oy = (id % (gh - 7)).toInt
+      def v(c: Int, r: Int): Int =
+        if (id % 4 == 0)
+          (((ox + c).toLong * (ox + c) * (7 + id % 29) +
+            (oy + r).toLong * (oy + r) * (9 + id % 17) +
+            (ox + c).toLong * (oy + r) * (5 + id % 11) +
+            id * 23) % 196).toInt + 30
+        else
+          ((c.toLong * c * 19 + r.toLong * r * 23 + c.toLong * r * 29 +
+            id * 7 + 55) % 196).toInt
+      val w = 2 * GridW; val h = 2 * GridH
+      val px: Int => Int = { i =>
+        if (i % 4 == 3) 255
+        else { val k = i / 4; v((k % w) / 2, (k / w) / 2) }
+      }
+      MediaRow(id, "image", Containers.pngFull(w, h, px, (id % 5).toInt),
+        w, h, 1)
+    }
+  }
+
   /** GIF ↔ animated-WebP cross-container video pairs (g = doc_id/2): the
     * even member an ANIMATED GIF (per-frame LZW streams, identity gray
     * palette), the odd member an ANIMATED WebP (full-canvas no-blend

@@ -1367,8 +1367,14 @@ object Multimodal {
   private[graft] def decodeStillRgba(id: Long, p: Array[Byte]): (Int, Int, Array[Byte]) =
     if (Raster.isBmp(p)) Raster.decodeBmpRgba(id, p)
     else if (Raster.isTiff(p)) Raster.decodeTiffRgba(id, p)
-    else if (Webp.isWebp(p)) Webp.decodeWebpRgba(id, p)
-    else decodePngRgba(id, p)
+    else if (Webp.isWebp(p)) {
+      // decode AS DISPLAYED (the q263 JPEG lesson): WebP carries EXIF in
+      // its own chunk, and position-sensitive consumers must see the
+      // pixels a viewer does; identity for untagged payloads, so every
+      // existing WebP row is byte-identical
+      val (w, h, rgba) = Webp.decodeWebpRgba(id, p)
+      Webp.orientRgba(w, h, rgba, Webp.exifOrientation(p))
+    } else decodePngRgba(id, p)
 
   private[graft] def decodeOnePng(id: Long, p: Array[Byte]): PixelStats = {
     val (w, h, px) = decodePngRgba(id, p)

@@ -1141,6 +1141,99 @@ private[graft] object Webp {
   }
 
   // ------------------------------------------------------------------
+  // EXIF orientation — the EXIF chunk carries a raw TIFF block
+  // ------------------------------------------------------------------
+
+  /** EXIF orientation (1–8) from the container's EXIF chunk, or 0 when
+    * absent/undeclared/malformed — the [[Jpeg.exifOrientation]] contract
+    * (metadata DEGRADES, never throws; hostile bytes surface in the
+    * pixel decoder's named failures). The chunk payload is a raw TIFF
+    * block; some writers prefix "Exif\0\0" — both accepted. */
+  def exifOrientation(p: Array[Byte]): Int = {
+    if (!isWebp(p)) return 0
+    var off = 12L
+    var chunks = 0
+    while (off + 8 <= p.length && chunks < 64) {
+      chunks += 1
+      val size = le32(p, off.toInt + 4)
+      if (off + 8 + size > p.length) return 0
+      if (p(off.toInt) == 'E'.toByte && p(off.toInt + 1) == 'X'.toByte &&
+        p(off.toInt + 2) == 'I'.toByte && p(off.toInt + 3) == 'F'.toByte) {
+        var t = off.toInt + 8
+        val end = (off + 8 + size).toInt
+        if (end - t >= 6 && p(t) == 'E'.toByte && p(t + 1) == 'x'.toByte &&
+          p(t + 2) == 'i'.toByte && p(t + 3) == 'f'.toByte &&
+          p(t + 4) == 0 && p(t + 5) == 0) t += 6
+        return Jpeg.tiffOrientation(p, t, end)
+      }
+      off += 8 + size + (size & 1)
+    }
+    0
+  }
+
+  /** Apply an EXIF orientation to decoded RGBA — the displayed image
+    * (dims swap for 5–8); 0/1 are the identity. Same published
+    * source-coordinate table as [[Jpeg.decodeRgbOriented]], over 4
+    * channels. */
+  def orientRgba(w: Int, h: Int, rgba: Array[Byte],
+                 o: Int): (Int, Int, Array[Byte]) = {
+    if (o <= 1) return (w, h, rgba)
+    val swap = o >= 5
+    val dw = if (swap) h else w
+    val dh = if (swap) w else h
+    val out = new Array[Byte](4 * dw * dh)
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        val so = 4 * (sy * w + sx)
+        val dOff = 4 * (y * dw + x)
+        out(dOff) = rgba(so); out(dOff + 1) = rgba(so + 1)
+        out(dOff + 2) = rgba(so + 2); out(dOff + 3) = rgba(so + 3)
+        x += 1
+      }
+      y += 1
+    }
+    (dw, dh, out)
+  }
+
+  /** Fixture side: re-wrap a still WebP in a VP8X extended container
+    * (EXIF flag) with an EXIF chunk declaring `orientation` after the
+    * image chunk — the layout real camera-pipeline WebPs carry. */
+  def withExif(webp: Array[Byte], w: Int, h: Int,
+               orientation: Int): Array[Byte] = {
+    val inner = java.util.Arrays.copyOfRange(webp, 12, webp.length)
+    val tiff = Jpeg.exifTiffBody(orientation)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("VP8X".getBytes("US-ASCII")); writeLe32(body, 10)
+    body.write(0x08) // EXIF flag
+    body.write(0); body.write(0); body.write(0)
+    val wm = w - 1; val hm = h - 1
+    body.write(wm & 0xFF); body.write((wm >> 8) & 0xFF); body.write((wm >> 16) & 0xFF)
+    body.write(hm & 0xFF); body.write((hm >> 8) & 0xFF); body.write((hm >> 16) & 0xFF)
+    body.write(inner, 0, inner.length)
+    body.write("EXIF".getBytes("US-ASCII")); writeLe32(body, tiff.length)
+    body.write(tiff, 0, tiff.length)
+    if ((tiff.length & 1) == 1) body.write(0)
+    val payload = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    writeLe32(out, 4 + payload.length)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // animated WebP — VP8X(ANIM) + ANIM + ANMF chunks, VP8L frame payloads
   // ------------------------------------------------------------------
 

@@ -239,6 +239,41 @@ class WebpSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("decode bound"), e5.getMessage)
   }
 
+  test("EXIF chunk orientation: parsed from the VP8X layout, applied as " +
+    "the displayed image; hostile bytes degrade to 0, never throw") {
+    val img = grayArgb(10, 8, planted)
+    val plain = Webp.encodeLossless(10, 8, img)
+    assert(Webp.exifOrientation(plain) === 0)
+    for (o <- 1 to 8) {
+      val tagged = Webp.withExif(plain, 10, 8, o)
+      assert(Webp.exifOrientation(tagged) === o, s"o=$o")
+      // the VP8L stream still decodes through the extended container
+      val (w, h, rgba) = Webp.decodeWebpRgba(12L, tagged)
+      assert(w == 10 && h == 8)
+      // displayed form: orientRgba matches the published table
+      val (dw, dh, disp) = Webp.orientRgba(w, h, rgba, o)
+      if (o >= 5) assert(dw == 8 && dh == 10) else assert(dw == 10 && dh == 8)
+      val (sx, sy) = o match {
+        case 1 => (0, 0); case 2 => (9, 0); case 3 => (9, 7); case 4 => (0, 7)
+        case 5 => (0, 0); case 6 => (0, 7); case 7 => (9, 7); case _ => (9, 0)
+      }
+      assert((disp(0) & 0xFF) == (rgba(4 * (sy * 10 + sx)) & 0xFF),
+        s"o=$o displayed (0,0)")
+    }
+    // degrade: mutated EXIF payloads never throw
+    val tagged = Webp.withExif(plain, 10, 8, 6)
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 2000) {
+      val m = tagged.clone()
+      for (_ <- 0 to rng.nextInt(6))
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+      val o = Webp.exifOrientation(m)
+      assert(o >= 0 && o <= 8)
+    }
+    for (i <- 0 until tagged.length)
+      assert(Webp.exifOrientation(tagged.take(i)) >= 0)
+  }
+
   test("truncation and bad signature fail by name") {
     val img = grayArgb(12, 12, planted)
     val ok = Webp.encodeLossless(12, 12, img, LosslessOptions())
