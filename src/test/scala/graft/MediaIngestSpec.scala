@@ -344,6 +344,77 @@ class MediaIngestSpec extends SparkSpec {
       "the partial-frame GIF re-cut of a committed AVI must be rejected")
   }
 
+  test("WebP arrivals are rejected: a VP8L re-encode of committed PNG " +
+    "content, and an animated-WebP re-cut of a committed GIF animation") {
+    import spark.implicits._
+    // image side: PNG committed, a WebP VP8L re-encode of the SAME
+    // pixels arrives — lossless, so the dHash collides through the
+    // format-blind decodeStillRgba dispatch with zero ingest changes
+    def cellGray(bx: Int, by: Int): Int =
+      (23 + bx * bx * 9 + by * by * 7 + bx * by * 5) % 256
+    val png = MediaRow(41, "image", Containers.pngFull(64, 64, { i =>
+      if (i % 4 == 3) 255
+      else { val k = i / 4; cellGray((k % 64) / 8, (k / 64) / 8) }
+    }), 64, 64, 1)
+    val webp = MediaRow(42, "image", graft.multimodal.Webp.encodeLossless(
+      64, 64, Array.tabulate(64 * 64) { k =>
+        val v = cellGray((k % 64) / 8, (k / 64) / 8)
+        0xFF000000 | (v << 16) | (v << 8) | v
+      }), 64, 64, 1)
+    val in = Files.createTempDirectory("graft-webp-in").toString
+    val lake = new LakeTable(spark,
+      Files.createTempDirectory("graft-webp-lake").toString)
+    writeBatchFile(in, "b1", Seq(png))
+    val q1 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    writeBatchFile(in, "b2", Seq(webp))
+    val q2 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(41L),
+      "the WebP re-encode of committed PNG content must be rejected")
+
+    // video side: an animated GIF committed, then an animated WebP whose
+    // composited ANMF frames equal the GIF's composited frames arrives
+    val w = 16; val h = 12
+    def g0(x: Int, y: Int): Int = (x * 7 + y * 5 + 29) % 256
+    def g1(x: Int, y: Int): Int = (x * 3 + y * 13 + 61) % 256
+    val gifPal = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    val gif = MediaRow(51, "video", Containers.gifAnimated(w, h, 2,
+      (f, k) => if (f == 0) g0(k % w, k / w) else g1(k % w, k / w),
+      gifPal, minCodeSize = 8), w, h, 2)
+    def frameArgb(g: (Int, Int) => Int): Array[Int] =
+      Array.tabulate(w * h) { k =>
+        val v = g(k % w, k / w)
+        0xFF000000 | (v << 16) | (v << 8) | v
+      }
+    val webpAnim = MediaRow(52, "video", graft.multimodal.Webp.encodeAnimated(
+      w, h, 0xFF000000, Seq(
+        graft.multimodal.Webp.AnimFrameSpec(0, 0, w, h, frameArgb(g0)),
+        graft.multimodal.Webp.AnimFrameSpec(0, 0, w, h, frameArgb(g1)))),
+      w, h, 2)
+    val inV = Files.createTempDirectory("graft-wanim-in").toString
+    val lakeV = new LakeTable(spark,
+      Files.createTempDirectory("graft-wanim-lake").toString)
+    writeBatchFile(inV, "b1", Seq(gif))
+    val qv1 = MediaIngest.startVideoDedup(spark, inV, lakeV, "media",
+      trigger = Trigger.AvailableNow())
+    qv1.awaitTermination(120000)
+    assert(qv1.exception.isEmpty)
+    writeBatchFile(inV, "b2", Seq(webpAnim))
+    val qv2 = MediaIngest.startVideoDedup(spark, inV, lakeV, "media",
+      trigger = Trigger.AvailableNow())
+    qv2.awaitTermination(120000)
+    assert(qv2.exception.isEmpty)
+    assert(lakeV.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(51L),
+      "the animated-WebP re-cut of a committed GIF must be rejected")
+  }
+
   // joint (caption, image, audio) item: any-modality dedup fixtures
   private def jointItem(id: Long, caption: String, gray: (Int, Int) => Int,
                         clip: Int => Int): (Long, String, Array[Byte], Array[Byte]) = {
