@@ -1892,6 +1892,17 @@ object SparkEntry {
       graft.multimodal.Multimodal.containerMediaMeta(
         graft.multimodal.Multimodal.syntheticContainerMedia(
           t(s, d, "documents"))).toDF()),
+    // --- ID3v2 text-frame extraction [ext]: the audio-metadata twin of
+    // the container census — curation pipelines filter and label audio
+    // on TIT2/TPE1/TALB; the walk parses BOTH frame-size layouts
+    // (v2.3 plain big-endian, v2.4 syncsafe) and all four declared text
+    // encodings, skips non-text frames by size, stops at legal zero
+    // padding, and fails by name on hostile sizes. One row per frame,
+    // header bytes only — scan speed (budget <= 3 s) ---
+    "q278_id3_text_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.audioTagMeta(
+        graft.multimodal.Multimodal.syntheticTaggedAudioMedia(
+          t(s, d, "documents"))).toDF()),
     // --- COMPOSITED animated-WebP decode [ext]: the q267 canvas story in
     // WebP's vocabulary — ANMF frames are VP8L-coded rects placed at
     // offsets, BLENDED (alpha-blend; alpha-0 pixels punch through to the
@@ -5207,6 +5218,18 @@ object SparkEntry {
     // per-item coefficients) across all eight BMP/TIFF layout variants —
     // the engine earns it through eight different byte walks (row flips,
     // palettes, strips, byte orders, the WhiteIsZero inversion)
+    // ID3 replay: the planted (frame, value) closed forms — the engine
+    // earns each row through a different size layout and text encoding
+    "q278_id3_text_frames" ->
+      ("WITH d AS (SELECT doc_id AS media_id FROM documents), " +
+        "f AS (SELECT media_id, 'TIT2' AS frame_id, " +
+        "'title-' || CAST((media_id * 7) % 1000 AS VARCHAR) AS value FROM d " +
+        "UNION ALL SELECT media_id, 'TPE1', " +
+        "'artist-' || CAST((media_id * 13) % 100 AS VARCHAR) FROM d " +
+        "UNION ALL SELECT media_id, 'TALB', " +
+        "'album-' || CAST((media_id * 11) % 50 AS VARCHAR) FROM d " +
+        "WHERE media_id % 3 = 0) " +
+        "SELECT media_id, frame_id, value FROM f"),
     // oriented-WebP-crop replay: the q263 arithmetic with this fixture's
     // coefficient family — the oracle works ENTIRELY in displayed
     // coordinates (the planted grid), never seeing the orientation or

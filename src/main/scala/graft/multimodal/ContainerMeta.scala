@@ -239,6 +239,107 @@ private[graft] object ContainerMeta {
   }
 
   // ------------------------------------------------------------------
+  // ID3v2 text frames — the curation-relevant audio metadata
+  // ------------------------------------------------------------------
+
+  /** Text frames (TIT2 title, TPE1 artist, TALB album, …) from a
+    * leading ID3v2.3/2.4 tag, in frame order. Curation pipelines filter
+    * and label audio on exactly these. Frame sizes are big-endian plain
+    * in v2.3 and syncsafe in v2.4 (the version byte decides); all four
+    * declared text encodings decode (latin-1, UTF-16 with BOM,
+    * UTF-16BE, UTF-8), trailing NULs stripped. Non-text frames are
+    * skipped by size; hostile sizes fail by name; a payload with no
+    * ID3v2 tag returns empty (absence is data, not an error). */
+  def id3TextFrames(id: Long, p: Array[Byte]): Seq[(String, String)] = {
+    if (p.length < 10 || ascii(p, 0, 3) != "ID3") return Seq.empty
+    val version = p(3) & 0xFF
+    check(version == 3 || version == 4, id,
+      s"unsupported ID3v2.$version tag")
+    check((p(6) | p(7) | p(8) | p(9)) >= 0, id, "ID3v2 size is not syncsafe")
+    val tagSize = ((p(6) & 0x7FL) << 21) | ((p(7) & 0x7FL) << 14) |
+      ((p(8) & 0x7FL) << 7) | (p(9) & 0x7FL)
+    val end = 10L + tagSize
+    check(end <= p.length, id, "ID3v2 tag truncates the payload")
+    val out = ArrayBuffer.empty[(String, String)]
+    var off = 10L
+    var frames = 0
+    while (off + 10 <= end) {
+      // zero padding after the last frame is legal — stop at a NUL id
+      if (p(off.toInt) == 0) return out.toSeq
+      frames += 1
+      check(frames <= 256, id, "ID3v2 frame walk exceeded 256 frames")
+      val fid = ascii(p, off.toInt, 4)
+      check(fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        id, s"invalid ID3v2 frame id at offset $off")
+      val size =
+        if (version == 4) {
+          check((p(off.toInt + 4) | p(off.toInt + 5) | p(off.toInt + 6) |
+            p(off.toInt + 7)) >= 0, id, s"ID3v2.4 frame $fid size not syncsafe")
+          ((p(off.toInt + 4) & 0x7FL) << 21) | ((p(off.toInt + 5) & 0x7FL) << 14) |
+            ((p(off.toInt + 6) & 0x7FL) << 7) | (p(off.toInt + 7) & 0x7FL)
+        } else be(p, off.toInt + 4, 4)
+      check(off + 10 + size <= end, id, s"truncated ID3v2 frame $fid")
+      if (fid.startsWith("T") && size >= 1) {
+        val body = off.toInt + 10
+        val enc = p(body) & 0xFF
+        check(enc <= 3, id, s"unknown ID3v2 text encoding $enc in $fid")
+        val charset = enc match {
+          case 0 => "ISO-8859-1"
+          case 1 => "UTF-16" // BOM-led
+          case 2 => "UTF-16BE"
+          case _ => "UTF-8"
+        }
+        val text = new String(p, body + 1, (size - 1).toInt, charset)
+        out += fid -> text.replaceAll("\u0000+$", "")
+      }
+      off += 10 + size
+    }
+    out.toSeq
+  }
+
+  /** Fixture side: an ID3v2.3 or 2.4 tag over the given text frames
+    * (encoding cycles per frame: latin-1 / UTF-16+BOM / UTF-16BE /
+    * UTF-8), followed by a real MPEG frame so the result is a playable
+    * MP3 layout. */
+  def mp3StubTagged(frames: Seq[(String, String)], v4: Boolean,
+                    padding: Int = 0): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    frames.zipWithIndex.foreach { case ((fid, text), i) =>
+      require(fid.length == 4, s"frame id $fid")
+      val enc = i % 4
+      val charset = enc match {
+        case 0 => "ISO-8859-1"
+        case 1 => "UTF-16" // writes a BOM
+        case 2 => "UTF-16BE"
+        case _ => "UTF-8"
+      }
+      val payload = Array(enc.toByte) ++ text.getBytes(charset)
+      body.write(fid.getBytes("US-ASCII"))
+      val n = payload.length
+      if (v4)
+        body.write(Array[Byte](((n >> 21) & 0x7F).toByte,
+          ((n >> 14) & 0x7F).toByte, ((n >> 7) & 0x7F).toByte,
+          (n & 0x7F).toByte))
+      else body.write(beBytes(n, 4))
+      body.write(0); body.write(0) // frame flags
+      body.write(payload, 0, payload.length)
+    }
+    (0 until padding).foreach(_ => body.write(0))
+    val tag = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(if (v4) 4 else 3); out.write(0); out.write(0)
+    val n = tag.length
+    out.write(Array[Byte](((n >> 21) & 0x7F).toByte, ((n >> 14) & 0x7F).toByte,
+      ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte))
+    out.write(tag, 0, tag.length)
+    // a real MPEG1 Layer III 128 kbps 44100 Hz stereo frame header
+    out.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00))
+    (0 until 96).foreach(i => out.write((i * 17 + 3) & 0xFF))
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // Ogg — RFC 3533 page walk + Vorbis/Opus identification headers
   // ------------------------------------------------------------------
 

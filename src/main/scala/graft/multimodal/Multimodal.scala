@@ -2557,6 +2557,46 @@ object Multimodal {
     }
   }
 
+  final case class AudioTagRow(media_id: Long, frame_id: String,
+                               value: String)
+
+  /** ID3v2 text-frame extraction over audio payloads — the metadata
+    * curation pipelines filter and label audio on (title, artist,
+    * album, …). One row per text frame in frame order; payloads without
+    * a tag contribute nothing (absence is data). Partition-local
+    * flatMap over header bytes only — scan speed, no shuffle. */
+  def audioTagMeta(media: Dataset[MediaRow]): Dataset[AudioTagRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      ContainerMeta.id3TextFrames(m.media_id, m.payload).map {
+        case (fid, v) => AudioTagRow(m.media_id, fid, v)
+      }
+    })
+  }
+
+  /** ID3-tagged MP3 fixtures: every doc carries TIT2 + TPE1 (and TALB
+    * on every 3rd), planted as closed forms of doc_id, inside a real
+    * ID3v2.4 (even ids) or v2.3 (odd ids) tag — so BOTH frame-size
+    * layouts parse — with the declared text encoding cycling latin-1 /
+    * UTF-16+BOM / UTF-16BE per frame (ASCII content, so every charset
+    * round-trips the same string) and zero-padding after the last frame
+    * on every 5th doc (the legal layout real taggers emit). */
+  def syntheticTaggedAudioMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val frames = Seq(
+        "TIT2" -> s"title-${(id * 7) % 1000}",
+        "TPE1" -> s"artist-${(id * 13) % 100}") ++
+        (if (id % 3 == 0) Seq("TALB" -> s"album-${(id * 11) % 50}")
+         else Seq.empty)
+      val payload = ContainerMeta.mp3StubTagged(frames, v4 = id % 2 == 0,
+        padding = if (id % 5 == 0) 32 else 0)
+      MediaRow(id, "audio", payload, 0, 0, 1)
+    }
+  }
+
   /** Container fixtures cycling the five crawl-majority shapes by
     * doc_id mod 5 — an avc1 video MP4, a two-track hev1+mp4a MP4 (dims
     * from the video trak, channels/rate from the AudioSampleEntry), an

@@ -96,6 +96,49 @@ class ContainerMetaSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unrecognized Ogg codec"), e2.getMessage)
   }
 
+  test("ID3v2 text frames parse in both size layouts and all four " +
+    "declared encodings; non-text frames and padding are skipped") {
+    val frames = Seq("TIT2" -> "My Title", "TPE1" -> "Some Artist",
+      "TALB" -> "An Album", "TCON" -> "genre x", "TRCK" -> "7")
+    for (v4 <- Seq(true, false); pad <- Seq(0, 1, 64)) {
+      val p = ContainerMeta.mp3StubTagged(frames, v4, padding = pad)
+      assert(ContainerMeta.id3TextFrames(1L, p) === frames, s"v4=$v4 pad=$pad")
+      // the frame-header walk still reads the MPEG frame behind the tag
+      assert(ContainerMeta.mp3Meta(1L, p).sampleRate === 44100)
+    }
+    // a non-text frame (PRIV) between text frames is skipped by size
+    val tagged = ContainerMeta.mp3StubTagged(Seq("TIT2" -> "A"), v4 = true)
+    val priv = {
+      // splice a PRIV frame before TIT2: rebuild the tag by hand
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("PRIV".getBytes("US-ASCII"))
+      body.write(Array[Byte](0, 0, 0, 5)); body.write(0); body.write(0)
+      body.write(Array[Byte](1, 2, 3, 4, 5))
+      body.write("TIT2".getBytes("US-ASCII"))
+      body.write(Array[Byte](0, 0, 0, 2)); body.write(0); body.write(0)
+      body.write(0); body.write('A')
+      val tag = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes("US-ASCII")); out.write(4); out.write(0)
+      out.write(0)
+      val n = tag.length
+      out.write(Array[Byte](((n >> 21) & 0x7F).toByte,
+        ((n >> 14) & 0x7F).toByte, ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte))
+      out.write(tag, 0, tag.length)
+      out.toByteArray
+    }
+    assert(ContainerMeta.id3TextFrames(2L, priv) === Seq("TIT2" -> "A"))
+    assert(tagged.nonEmpty)
+    // untagged payloads contribute nothing; hostile frame sizes by name
+    assert(ContainerMeta.id3TextFrames(3L,
+      ContainerMeta.mp3Stub(3, 1, 9, 0, mono = false, id3Size = 0)) === Seq())
+    val evil = ContainerMeta.mp3StubTagged(Seq("TIT2" -> "A"), v4 = false)
+    evil(14) = 0x7F // v2.3 frame size high byte -> overruns the tag
+    val e = intercept[IllegalArgumentException](
+      ContainerMeta.id3TextFrames(4L, evil))
+    assert(e.getMessage.contains("truncated ID3v2 frame"), e.getMessage)
+  }
+
   test("magic detectors are mutually exclusive on the stub fixtures") {
     val mp4 = ContainerMeta.mp4Stub("isom", 1000, 10,
       Seq(TrackMeta("vide", "avc1", 8, 8, 0, 0)))

@@ -181,6 +181,10 @@ class FuzzSpec extends AnyFunSuite {
     3, 1, 9, 0, mono = false, id3Size = 120)
   private val oggPayload = graft.multimodal.ContainerMeta.oggVorbisStub(2, 44100)
 
+  private val id3Payload = graft.multimodal.ContainerMeta.mp3StubTagged(
+    Seq("TIT2" -> "fuzz title", "TPE1" -> "fuzz artist",
+      "TALB" -> "fuzz album"), v4 = true, padding = 16)
+
   test("fuzz: the MP4/MP3/Ogg metadata walks fail only by name on " +
     "hostile bytes") {
     fuzz("mp4", mp4Payload, 8,
@@ -189,6 +193,8 @@ class FuzzSpec extends AnyFunSuite {
       p => graft.multimodal.ContainerMeta.mp3Meta(41L, p))
     fuzz("ogg", oggPayload, 4,
       p => graft.multimodal.ContainerMeta.oggMeta(42L, p))
+    fuzz("id3", id3Payload, 4,
+      p => graft.multimodal.ContainerMeta.id3TextFrames(43L, p))
   }
 
   private val jpegPayload = graft.multimodal.Jpeg.encodeBlocks(16, 16,
@@ -299,7 +305,9 @@ class FuzzSpec extends AnyFunSuite {
       ("mp3", mp3Payload,
         p => graft.multimodal.ContainerMeta.mp3Meta(41L, p)),
       ("ogg", oggPayload,
-        p => graft.multimodal.ContainerMeta.oggMeta(42L, p)))
+        p => graft.multimodal.ContainerMeta.oggMeta(42L, p)),
+      ("id3", id3Payload,
+        p => graft.multimodal.ContainerMeta.id3TextFrames(43L, p)))
     targets.foreach { case (name, valid, decode) =>
       for (i <- 0 until 3000) {
         val m = valid.clone()
