@@ -230,11 +230,12 @@ object SparkEntry {
     // feature hash, floor-rounded IDF, unnormalized double vectors) makes
     // the whole embedding + cosine top-k bit-reproducible in SQL, so the
     // oracle rebuilds it end to end — no gate needed.
-    // persist: corpus and probes share the TF-IDF lineage — materialize the
-    // embeddings once instead of running the pipeline per branch ---
+    // corpus and probes share the TF-IDF lineage — the operator returns an
+    // eagerly materialized frame (localCheckpoint), so both branches read
+    // the same blocks without a second persist here ---
     "q44_tfidf_doc_similarity" -> { (s, d) =>
       val emb = graft.text.TextFeatures.tfidfEmbeddingsPortable(
-        t(s, d, "documents"), numFeatures = 256).persist()
+        t(s, d, "documents"), numFeatures = 256)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 200), 3)
     },
     // --- typed Aggregator top-k (SURVEY §2.9 tier 2) ---

@@ -50,26 +50,33 @@ object TextFeatures {
     // readings (3.37 → 5.07 s across rounds on unchanged code: the second
     // normalize+tokenize pass doubles the CPU-heavy span that slows under
     // machine load, where the cached (doc_id, feat) rows do not). The
-    // harness releases the blocks post-query (Verify/Bench releaseAll).
+    // persist is INTERMEDIATE and released in-function (the bandedNearDups
+    // lifecycle): the result materializes eagerly via localCheckpoint —
+    // doc-grain, far smaller than the (doc × token) explode — so repeated
+    // library calls leak nothing; the returned frame is bound to its own
+    // blocks and [[graft.ops.Caching.release]] reclaims it.
     val tok = docs.select(col("doc_id"),
         explode(TextStats.tokens(TextStats.normalize(col("text")))).as("tok"))
       .select(col("doc_id"),
         pmod(Dedup.portableTokenHash(col("tok")), lit(numFeatures.toLong))
           .cast("int").as("feat"))
       .persist()
-    val tf = tok.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
-    val dft = tok.distinct().groupBy("feat").agg(count(lit(1)).as("df"))
-    val m = docs.agg(count(lit(1)).as("m"))
-    val idf = floor(log((col("m") + 1).cast("double") /
-      (col("df") + 1).cast("double")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    val w = tf.join(broadcast(dft), "feat").crossJoin(broadcast(m))
-      .select(col("doc_id"), col("feat"),
-        (col("tf").cast("double") * idf).as("w"))
-    w.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("feat"), col("w")))).as("mp"))
-      .select(col("doc_id").as("vec_id"),
-        transform(sequence(lit(0), lit(numFeatures - 1)),
-          i => coalesce(element_at(col("mp"), i), lit(0.0))).as("embedding"))
+    try {
+      val tf = tok.groupBy("doc_id", "feat").agg(count(lit(1)).as("tf"))
+      val dft = tok.distinct().groupBy("feat").agg(count(lit(1)).as("df"))
+      val m = docs.agg(count(lit(1)).as("m"))
+      val idf = floor(log((col("m") + 1).cast("double") /
+        (col("df") + 1).cast("double")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      val w = tf.join(broadcast(dft), "feat").crossJoin(broadcast(m))
+        .select(col("doc_id"), col("feat"),
+          (col("tf").cast("double") * idf).as("w"))
+      w.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("feat"), col("w")))).as("mp"))
+        .select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(numFeatures - 1)),
+            i => coalesce(element_at(col("mp"), i), lit(0.0))).as("embedding"))
+        .localCheckpoint(true)
+    } finally graft.ops.Caching.release(tok)
   }
 
   /** Deterministic stratified sample: per-stratum fractions, seeded. */
