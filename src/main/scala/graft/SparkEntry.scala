@@ -1904,6 +1904,20 @@ object SparkEntry {
       graft.multimodal.Multimodal.audioTagMeta(
         graft.multimodal.Multimodal.syntheticTaggedAudioMedia(
           t(s, d, "documents"))).toDF()),
+    // --- unified container text tags [ext]: q278's twins for the TWO
+    // majority containers that still returned no curation labels — the
+    // MP4 moov→udta→meta→ilst atom walk (meta is a FULLBOX; ©nam/©ART/
+    // ©alb UTF-8 data atoms) and the Ogg comment header (Vorbis-comment
+    // block behind 0x03"vorbis" / "OpusTags", packets reassembled
+    // ACROSS pages by the RFC 3533 lacing rules), plus ID3v2 under the
+    // same normalized field vocabulary. Fixtures earn mixed-case Vorbis
+    // field names, a >255-byte comment packet spanning two pages, ID3v2
+    // extended headers and unsynchronisation. Header bytes only — scan
+    // speed (budget <= 3 s) ---
+    "q279_container_text_tags" -> ((s, d) =>
+      graft.multimodal.Multimodal.containerTextTags(
+        graft.multimodal.Multimodal.syntheticTaggedContainerMedia(
+          t(s, d, "documents"))).toDF()),
     // --- COMPOSITED animated-WebP decode [ext]: the q267 canvas story in
     // WebP's vocabulary — ANMF frames are VP8L-coded rects placed at
     // offsets, BLENDED (alpha-blend; alpha-0 pixels punch through to the
@@ -2029,13 +2043,15 @@ object SparkEntry {
     // attempt is the decoder the OPERATOR SURFACE consumes: GIF takes
     // the COMPOSITED animation decode, so the partial-frame case (10)
     // lands `decoded` — the census measures real blind spots, not the
-    // stricter opt-in index-census contract. Fixture cycles seventeen
+    // stricter opt-in index-census contract. Fixture cycles nineteen
     // real encoder outputs, eight decodable (incl. 4:2:0 / interlaced
     // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP /
-    // composited ANIMATED WebP) and nine patched into named failures
-    // (incl. lossy-VP8 and the metadata-only MP4 / MP3 / Ogg containers,
-    // whose REAL walks report the codec as evidence); the aggregate is
-    // |formats x causes|-bounded, never corpus-shaped (budget <= 3 s) ---
+    // composited ANIMATED WebP) and eleven patched into named failures
+    // (incl. lossy-VP8, the metadata-only MP4 / MP3 / Ogg containers,
+    // whose REAL walks report the codec as evidence, and HEIC/AVIF
+    // stills surfaced as IMAGE buckets by ftyp brand — not "video
+    // containers"); the aggregate is |formats x causes|-bounded, never
+    // corpus-shaped (budget <= 3 s) ---
     "q265_decode_health" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDecodeHealth(
         graft.multimodal.Multimodal.syntheticHealthMedia(
@@ -5231,6 +5247,49 @@ object SparkEntry {
         "'album-' || CAST((media_id * 11) % 50 AS VARCHAR) FROM d " +
         "WHERE media_id % 3 = 0) " +
         "SELECT media_id, frame_id, value FROM f"),
+    // container-tag replay: the planted (format, field, value) closed
+    // forms — the engine earns each row through a different walk (ilst
+    // atoms, cross-page Ogg comment reassembly incl. the >255-byte
+    // spanning packet, ID3v2 ext-header/unsync layouts); rows arrive
+    // unordered (the driver sorts before hashing)
+    "q279_container_text_tags" ->
+      ("WITH d AS (SELECT doc_id AS media_id, doc_id % 4 AS v " +
+        "FROM documents), " +
+        "t AS (" +
+        "SELECT media_id, 'mp4' AS format, 'title' AS field, " +
+        "'mv-title-' || CAST((media_id * 7) % 1000 AS VARCHAR) AS value " +
+        "FROM d WHERE v = 0 " +
+        "UNION ALL SELECT media_id, 'mp4', 'artist', " +
+        "'mv-artist-' || CAST((media_id * 13) % 100 AS VARCHAR) " +
+        "FROM d WHERE v = 0 " +
+        "UNION ALL SELECT media_id, 'mp4', 'album', " +
+        "'mv-album-' || CAST((media_id * 11) % 50 AS VARCHAR) " +
+        "FROM d WHERE v = 0 AND media_id % 3 = 0 " +
+        "UNION ALL SELECT media_id, 'ogg', 'title', " +
+        "'og-title-' || CAST((media_id * 7) % 1000 AS VARCHAR) " +
+        "FROM d WHERE v = 1 " +
+        "UNION ALL SELECT media_id, 'ogg', 'artist', " +
+        "'og-artist-' || CAST((media_id * 13) % 100 AS VARCHAR) " +
+        "FROM d WHERE v = 1 " +
+        "UNION ALL SELECT media_id, 'ogg', 'genre', " +
+        "'og-genre-' || CAST((media_id * 3) % 20 AS VARCHAR) " +
+        "FROM d WHERE v = 1 AND media_id % 5 = 0 " +
+        "UNION ALL SELECT media_id, 'ogg', 'description', " +
+        "repeat('x', CAST(256 + media_id % 40 AS INTEGER)) " +
+        "FROM d WHERE v = 1 AND media_id % 7 = 0 " +
+        "UNION ALL SELECT media_id, 'ogg', 'title', " +
+        "'op-title-' || CAST((media_id * 7) % 1000 AS VARCHAR) " +
+        "FROM d WHERE v = 2 " +
+        "UNION ALL SELECT media_id, 'ogg', 'album', " +
+        "'op-album-' || CAST((media_id * 11) % 50 AS VARCHAR) " +
+        "FROM d WHERE v = 2 " +
+        "UNION ALL SELECT media_id, 'mp3', 'title', " +
+        "'id3-title-' || CAST((media_id * 7) % 1000 AS VARCHAR) " +
+        "FROM d WHERE v = 3 " +
+        "UNION ALL SELECT media_id, 'mp3', 'artist', " +
+        "'id3-artist-' || CAST((media_id * 13) % 100 AS VARCHAR) " +
+        "FROM d WHERE v = 3) " +
+        "SELECT media_id, format, field, value FROM t"),
     // oriented-WebP-crop replay: the q263 arithmetic with this fixture's
     // coefficient family — the oracle works ENTIRELY in displayed
     // coordinates (the planted grid), never seeing the orientation or
@@ -5566,25 +5625,27 @@ object SparkEntry {
         "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by >= 1 " +
         "THEN gray ELSE 0 END) AS BIGINT) AS q_br " +
         "FROM g GROUP BY 1, 2, 3"),
-    // health replay: the seventeen planted cases map to fixed
+    // health replay: the nineteen planted cases map to fixed
     // (format, outcome, cause) buckets; the engine must EARN each row by
     // running the real parser into its named failure
     "q265_decode_health" ->
-      ("WITH c AS (SELECT CASE doc_id % 17 " +
+      ("WITH c AS (SELECT CASE doc_id % 19 " +
         "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg' " +
         "WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' WHEN 5 THEN 'png' " +
         "WHEN 6 THEN 'jpeg' WHEN 7 THEN 'avi' WHEN 8 THEN 'unknown' " +
         "WHEN 10 THEN 'gif' WHEN 11 THEN 'webp' WHEN 12 THEN 'webp' " +
         "WHEN 13 THEN 'webp' WHEN 14 THEN 'mp4' WHEN 15 THEN 'mp3' " +
-        "WHEN 16 THEN 'ogg' ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 17 IN (0, 1, 3, 4, 7, 10, 11, 13) THEN 'decoded' " +
+        "WHEN 16 THEN 'ogg' WHEN 17 THEN 'heic' WHEN 18 THEN 'avif' " +
+        "ELSE 'avi' END AS format, " +
+        "CASE WHEN doc_id % 19 IN (0, 1, 3, 4, 7, 10, 11, 13) THEN 'decoded' " +
         "ELSE 'skipped' END AS outcome, " +
-        "CASE doc_id % 17 WHEN 2 THEN 'unsupported_coding' " +
+        "CASE doc_id % 19 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
         "WHEN 12 THEN 'unsupported_codec' " +
         "WHEN 14 THEN 'unsupported_codec' WHEN 15 THEN 'unsupported_codec' " +
-        "WHEN 16 THEN 'unsupported_codec' " +
+        "WHEN 16 THEN 'unsupported_codec' WHEN 17 THEN 'unsupported_codec' " +
+        "WHEN 18 THEN 'unsupported_codec' " +
         "ELSE 'none' END AS cause FROM documents) " +
         "SELECT format, outcome, cause, " +
         "CAST(count(*) AS BIGINT) AS n_items FROM c GROUP BY 1, 2, 3"),

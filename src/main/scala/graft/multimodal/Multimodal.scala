@@ -1034,7 +1034,15 @@ object Multimodal {
     // frame header when the sync leads the payload, and the Ogg
     // identification header when (as real encoders emit) it is the sole
     // packet of a single-segment first page.
-    val isMp4 = hex(substring(p, 5, 4)) === "66747970"
+    // same disjunction as ContainerMeta.isMp4 ("ftyp" | legacy
+    // moov-first QuickTime) so the SQL scan and the typed walk classify
+    // one payload the same way; HEIF still-image brands (heic/heix,
+    // avif/avis) split out FIRST so routing telemetry does not call
+    // still images "video containers" (ContainerMeta.heifFormat twin)
+    val isMp4 = hex(substring(p, 5, 4)).isin("66747970", "6D6F6F76")
+    val brandHex = hex(substring(p, 9, 4))
+    val isHeic = isMp4 && brandHex.isin("68656963", "68656978")
+    val isAvif = isMp4 && brandHex.isin("61766966", "61766973")
     val mp3B1 = leUint(p, 2, 1)
     val mp3Sync = leUint(p, 1, 1) === 255 &&
       mp3B1.bitwiseAND(lit(0xE0L)) === 0xE0L &&
@@ -1071,7 +1079,8 @@ object Multimodal {
       .withColumn("format",
         when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
           .when(isWav, "wav").when(isAvi, "avi").when(isWebp, "webp")
-          .when(isBmp, "bmp").when(isTiff, "tiff").when(isMp4, "mp4")
+          .when(isBmp, "bmp").when(isTiff, "tiff")
+          .when(isHeic, "heic").when(isAvif, "avif").when(isMp4, "mp4")
           .when(isOgg, "ogg").when(isMp3, "mp3").otherwise("unknown"))
       .withColumn("img_width",
         when(isPng, beUint(p, 17, 4)).when(isGif, leUint(p, 7, 2))
@@ -2351,6 +2360,8 @@ object Multimodal {
           p(2) == 'a'.toByte && p(3) == 'C'.toByte) "flac"
         else if (Raster.isBmp(p)) "bmp"
         else if (Raster.isTiff(p)) "tiff"
+        else if (ContainerMeta.heifFormat(p).isDefined)
+          ContainerMeta.heifFormat(p).get
         else if (ContainerMeta.isMp4(p)) "mp4"
         else if (ContainerMeta.isOgg(p)) "ogg"
         else if (ContainerMeta.isMp3(p)) "mp3"
@@ -2371,6 +2382,16 @@ object Multimodal {
             // the crawl-majority containers have no sample decoder here;
             // run the REAL metadata walk (hostile payloads land their own
             // named causes) and report the codec as evidence
+            case "heic" | "avif" =>
+              // HEIF stills: the REAL meta/iprp/ipco walk runs (hostile
+              // payloads land their own named causes), then the named
+              // image-container bucket with the brand as evidence
+              val dims = ContainerMeta.heifDims(m.media_id, p)
+              throw new IllegalArgumentException(s"media ${m.media_id}: " +
+                s"HEIF still image is metadata-only " +
+                s"(brand ${ContainerMeta.ftypBrand(p)}, dims " +
+                dims.map { case (w, h) => s"${w}x$h" }.getOrElse("unknown") +
+                ")")
             case "mp4" =>
               val meta = ContainerMeta.mp4Meta(m.media_id, p)
               val codec = meta.tracks.map(_.codec).filter(_.nonEmpty)
@@ -2401,7 +2422,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"))
   }
 
-  /** Mixed-health fixtures: seventeen deterministic corpus cases cycling
+  /** Mixed-health fixtures: nineteen deterministic corpus cases cycling
     * by doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo
     * FLAC / MJPEG AVI / PARTIAL-FRAME animated GIF (disposal +
     * transparency — must land `decoded` now that the census attempts the
@@ -2428,7 +2449,7 @@ object Multimodal {
       }
       val grayJpeg =
         Jpeg.encodeGrayBlocks(16, 16, Array.tabulate(4)(k => (40 + 50 * k) % 256))
-      val payload: Array[Byte] = (id % 17) match {
+      val payload: Array[Byte] = (id % 19) match {
         case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
         case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
           ((id * 37 + k * 11) % 256).toInt))
@@ -2490,6 +2511,13 @@ object Multimodal {
         case 16 => // Ogg/vorbis: page walk + id header, then the named bucket
           ContainerMeta.oggVorbisStub((1 + id % 2).toInt,
             (8000 + (id % 5) * 8000).toInt)
+        case 17 => // HEIC: ISO BMFF brand evidence — an IMAGE bucket (the
+          // meta/iprp/ipco/ispe walk runs for real), not a video misroute
+          ContainerMeta.heifStub("heic",
+            (640 + (id % 5) * 32).toInt, (480 + (id % 7) * 24).toInt)
+        case 18 => // AVIF: same ISO BMFF layout under the AV1 brand
+          ContainerMeta.heifStub("avif",
+            (512 + (id % 3) * 64).toInt, (384 + (id % 4) * 48).toInt)
         case _ => // a compressed chunk under a DIB (non-MJPG) strf
           val avi = Containers.aviFull(6, 5, 1,
             (_, x, y, _) => (x * 7 + y * 13) % 256)
@@ -2531,7 +2559,15 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { m =>
         val id = m.media_id; val p = m.payload
-        if (ContainerMeta.isMp4(p)) {
+        val heif = ContainerMeta.heifFormat(p)
+        if (heif.isDefined) {
+          // HEIF stills ride ISO BMFF but live under meta, not moov: an
+          // IMAGE row (brand as codec evidence, ispe dims) — not a
+          // "video container" misroute
+          val dims = ContainerMeta.heifDims(id, p)
+          ContainerMetaRow(id, heif.get, ContainerMeta.ftypBrand(p),
+            dims.map(_._1), dims.map(_._2), None, None, None, None, None)
+        } else if (ContainerMeta.isMp4(p)) {
           val meta = ContainerMeta.mp4Meta(id, p)
           val video = meta.tracks.find(_.handler == "vide")
           val audio = meta.tracks.find(_.handler == "soun")
@@ -2559,6 +2595,95 @@ object Multimodal {
 
   final case class AudioTagRow(media_id: Long, frame_id: String,
                                value: String)
+
+  final case class ContainerTagRow(media_id: Long, format: String,
+                                   field: String, value: String)
+
+  /** ID3v2 frame ids → the unified curation field vocabulary. */
+  private val Id3Fields = Map("TIT2" -> "title", "TPE1" -> "artist",
+    "TALB" -> "album", "TCON" -> "genre", "TDRC" -> "date",
+    "TYER" -> "date")
+
+  /** Unified text-metadata extraction across the three majority audio/
+    * video containers — the labels curation pipelines filter on, under
+    * ONE field vocabulary (title/artist/album/date/genre): MP4 walks
+    * moov→udta→meta→ilst (©nam/©ART/©alb UTF-8 `data` atoms), Ogg
+    * reassembles the comment-header packet across pages (Vorbis comment
+    * block behind 0x03"vorbis" or "OpusTags"; field names are
+    * case-insensitive per spec), MP3 maps ID3v2 text frames. One row
+    * per tag in container order; untagged payloads contribute nothing
+    * (absence is data). Partition-local flatMap over header bytes only
+    * — scan speed, no shuffle. */
+  def containerTextTags(media: Dataset[MediaRow]): Dataset[ContainerTagRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val id = m.media_id; val p = m.payload
+      if (ContainerMeta.isMp4(p))
+        ContainerMeta.mp4TextTags(id, p).map { case (f, v) =>
+          ContainerTagRow(id, "mp4", f, v)
+        }
+      else if (ContainerMeta.isOgg(p))
+        ContainerMeta.oggTextComments(id, p).map { case (f, v) =>
+          ContainerTagRow(id, "ogg",
+            f.toLowerCase(java.util.Locale.ROOT), v)
+        }
+      else if (ContainerMeta.isMp3(p))
+        ContainerMeta.id3TextFrames(id, p).map { case (f, v) =>
+          ContainerTagRow(id, "mp3",
+            Id3Fields.getOrElse(f, f.toLowerCase(java.util.Locale.ROOT)), v)
+        }
+      else Seq.empty
+    })
+  }
+
+  /** Tagged-container fixtures cycling the four labeled shapes by
+    * doc_id mod 4 — an ilst-tagged MP4, a Vorbis stream whose comment
+    * header carries mixed-case field names (earning the spec's
+    * case-insensitivity) and, on ids divisible by 7, a >255-byte
+    * comment packet SPANNING two Ogg pages (earning the RFC 3533
+    * cross-page reassembly), an OpusTags stream, and an ID3v2-tagged
+    * MP3 exercising extended headers (ids divisible by 5) and
+    * unsynchronisation (ids divisible by 3). Every field/value is a
+    * closed form of doc_id, so the oracle replays all four walks. */
+  def syntheticTaggedContainerMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val payload: Array[Byte] = (id % 4) match {
+        case 0 =>
+          ContainerMeta.mp4Stub("mp42", 600, 600 + (id * 11) % 6000,
+            Seq(ContainerMeta.TrackMeta("vide", "avc1",
+              (320 + (id % 5) * 16).toInt, (240 + (id % 7) * 16).toInt, 0, 0)),
+            tags = Seq(
+              "title" -> s"mv-title-${(id * 7) % 1000}",
+              "artist" -> s"mv-artist-${(id * 13) % 100}") ++
+              (if (id % 3 == 0) Seq("album" -> s"mv-album-${(id * 11) % 50}")
+               else Seq.empty))
+        case 1 =>
+          val long = id % 7 == 0
+          ContainerMeta.oggVorbisTaggedStub((1 + id % 2).toInt, 44100,
+            Seq(
+              "Title" -> s"og-title-${(id * 7) % 1000}",
+              "ARTIST" -> s"og-artist-${(id * 13) % 100}") ++
+              (if (id % 5 == 0) Seq("genre" -> s"og-genre-${(id * 3) % 20}")
+               else Seq.empty) ++
+              (if (long) Seq("DESCRIPTION" -> "x" * (256 + (id % 40)).toInt)
+               else Seq.empty),
+            spanPages = long)
+        case 2 =>
+          ContainerMeta.oggOpusTaggedStub(2, 48000, Seq(
+            "TITLE" -> s"op-title-${(id * 7) % 1000}",
+            "ALBUM" -> s"op-album-${(id * 11) % 50}"))
+        case _ =>
+          ContainerMeta.mp3StubTagged(Seq(
+            "TIT2" -> s"id3-title-${(id * 7) % 1000}",
+            "TPE1" -> s"id3-artist-${(id * 13) % 100}"),
+            v4 = id % 2 == 0, extHeader = id % 5 == 0, unsync = id % 3 == 0)
+      }
+      MediaRow(id, "container", payload, 0, 0, 1)
+    }
+  }
 
   /** ID3v2 text-frame extraction over audio payloads — the metadata
     * curation pipelines filter and label audio on (title, artist,
