@@ -1859,8 +1859,7 @@ object SparkEntry {
     // (plain / subtract-green / palette / each predictor / cache+LZ77
     // over row pairs / cross-color inside a VP8X extended container);
     // VP8L is LOSSLESS so one planted closed form replays exactly; the
-    // census is the position-sensitive block-means table. Lossy VP8
-    // stays header-only (dims) with a named census bucket (budget
+    // census is the position-sensitive block-means table (budget
     // <= 3 s) ---
     "q272_webp_blockmeans" -> ((s, d) =>
       graft.multimodal.MediaDedup.imageBlockMeans(
@@ -1918,6 +1917,36 @@ object SparkEntry {
       graft.multimodal.Multimodal.containerTextTags(
         graft.multimodal.Multimodal.syntheticTaggedContainerMedia(
           t(s, d, "documents"))).toDF()),
+    // --- LOSSY VP8 WebP decode [ext]: the MAJORITY real-crawl WebP
+    // profile, decoded by a from-scratch RFC 6386 keyframe decoder
+    // (bool arithmetic decoder, all intra modes, token trees, inverse
+    // DCT/WHT, loop filter, fancy chroma upsampling + fixed-point
+    // YUV→RGB — pinned byte-exact against the system libwebp's own
+    // decode in Vp8Spec). Fixtures plant 4x4-px uniform cells whose
+    // coefficients quantize EXACTLY (the in-repo Vp8Enc encoder), so a
+    // LOSSY pipeline replays closed-form: the census is the 8x8
+    // block-mean table of the DISPLAYED grays, whose fixed-point
+    // YUV→RGB map the oracle reproduces in integer arithmetic
+    // (budget <= 3 s) ---
+    "q280_lossy_webp_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticLossyWebpMedia(
+          t(s, d, "documents")), blockPx = 4)),
+    // --- PNG <-> LOSSY-WebP cross-codec perceptual dedup [ext]: planted
+    // pairs of the same displayed content collide at Hamming 0 across a
+    // LOSSLESS and a LOSSY codec — possible because the lossy fixture's
+    // coefficients quantize exactly and the display map is strictly
+    // increasing over the planted value family, so every dHash
+    // comparison bit survives the codec; the oracle replays BOTH
+    // members' fingerprints (the PNG's planted grays, the WebP's
+    // displayed grays through the integer YUV→RGB map) and the full
+    // banded pair set (budget <= 3 s) ---
+    "q281_lossy_crossformat_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageNearDups(
+        graft.multimodal.MediaDedup.syntheticLossyPairImages(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
     // --- COMPOSITED animated-WebP decode [ext]: the q267 canvas story in
     // WebP's vocabulary — ANMF frames are VP8L-coded rects placed at
     // offsets, BLENDED (alpha-blend; alpha-0 pixels punch through to the
@@ -2043,15 +2072,16 @@ object SparkEntry {
     // attempt is the decoder the OPERATOR SURFACE consumes: GIF takes
     // the COMPOSITED animation decode, so the partial-frame case (10)
     // lands `decoded` — the census measures real blind spots, not the
-    // stricter opt-in index-census contract. Fixture cycles nineteen
-    // real encoder outputs, eight decodable (incl. 4:2:0 / interlaced
+    // stricter opt-in index-census contract. Fixture cycles twenty
+    // real encoder outputs, nine decodable (incl. 4:2:0 / interlaced
     // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP /
-    // composited ANIMATED WebP) and eleven patched into named failures
-    // (incl. lossy-VP8, the metadata-only MP4 / MP3 / Ogg containers,
-    // whose REAL walks report the codec as evidence, and HEIC/AVIF
-    // stills surfaced as IMAGE buckets by ftyp brand — not "video
-    // containers"); the aggregate is |formats x causes|-bounded, never
-    // corpus-shaped (budget <= 3 s) ---
+    // composited ANIMATED WebP / LOSSY VP8 WebP through the RFC 6386
+    // keyframe decoder) and eleven patched into named failures (incl.
+    // ALPH-wrapped lossy WebP — the remaining alpha-plane bucket — the
+    // metadata-only MP4 / MP3 / Ogg containers, whose REAL walks report
+    // the codec as evidence, and HEIC/AVIF stills surfaced as IMAGE
+    // buckets by ftyp brand); the aggregate is |formats x
+    // causes|-bounded, never corpus-shaped (budget <= 3 s) ---
     "q265_decode_health" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDecodeHealth(
         graft.multimodal.Multimodal.syntheticHealthMedia(
@@ -5290,6 +5320,50 @@ object SparkEntry {
         "'id3-artist-' || CAST((media_id * 13) % 100 AS VARCHAR) " +
         "FROM d WHERE v = 3) " +
         "SELECT media_id, format, field, value FROM t"),
+    // lossy-WebP replay: the planted 4x4-cell quadratic, pushed through
+    // the DISPLAY map in integer arithmetic (fixed-point luma scale,
+    // studio-range offsets, >>6 clip — spelled GREATEST-before-division
+    // so no negative floor ambiguity); the engine EARNS each mean
+    // through the full RFC 6386 decode
+    "q280_lossy_webp_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id FROM documents), " +
+        "cells AS (SELECT media_id, unnest(range(64)) AS k FROM d), " +
+        "v AS (SELECT media_id, k % 8 AS bx, k // 8 AS by, " +
+        "((k % 8)*(k % 8)*(11 + media_id % 23) + " +
+        "(k // 8)*(k // 8)*(5 + media_id % 19) + " +
+        "(k % 8)*(k // 8)*(3 + media_id % 13) + media_id*17) % 54 * 4 + 16 " +
+        "AS y FROM cells), " +
+        "g AS (SELECT media_id, bx, by, (19077 * y) // 256 AS yy FROM v) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, " +
+        "CAST((2 * LEAST(GREATEST(yy - 1160, 0) // 64, 255) + " +
+        "LEAST(GREATEST(yy - 1161, 0) // 64, 255)) // 3 AS BIGINT) AS mean " +
+        "FROM g"),
+    // cross-codec replay: BOTH members' dHash fingerprints — the PNG's
+    // planted grays, the WebP's displayed grays through the same
+    // integer display map — then the full pair set (the q273 spelling)
+    "q281_lossy_crossformat_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "cell AS (SELECT doc_id, g, unnest(range(64)) AS c FROM dd), " +
+        "pv AS (SELECT doc_id, c % 8 AS bx, c // 8 AS by, " +
+        "((c % 8)*(c % 8)*(7 + (g % 5) * 9) + " +
+        "(c // 8)*(c // 8)*(3 + (g % 7) * 5) + " +
+        "(c % 8)*(c // 8)*(11 + (g % 3) * 13) + g * 31) % 54 * 4 + 16 " +
+        "AS v FROM cell), " +
+        "m AS (SELECT doc_id, bx, by, CASE WHEN doc_id % 2 = 0 THEN v " +
+        "ELSE (2 * LEAST(GREATEST((19077 * v) // 256 - 1160, 0) // 64, 255) + " +
+        "LEAST(GREATEST((19077 * v) // 256 - 1161, 0) // 64, 255)) // 3 " +
+        "END AS mean FROM pv), " +
+        "bits AS (SELECT l.doc_id, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND r.by = l.by AND r.bx = l.bx + 1 " +
+        "WHERE l.mean < r.mean), " +
+        "fp AS (SELECT dd.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS h FROM dd " +
+        "LEFT JOIN bits ON dd.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.h, y.h)) <= 3"),
     // oriented-WebP-crop replay: the q263 arithmetic with this fixture's
     // coefficient family — the oracle works ENTIRELY in displayed
     // coordinates (the planted grid), never seeing the orientation or
@@ -5629,23 +5703,23 @@ object SparkEntry {
     // (format, outcome, cause) buckets; the engine must EARN each row by
     // running the real parser into its named failure
     "q265_decode_health" ->
-      ("WITH c AS (SELECT CASE doc_id % 19 " +
+      ("WITH c AS (SELECT CASE doc_id % 20 " +
         "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg' " +
         "WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' WHEN 5 THEN 'png' " +
         "WHEN 6 THEN 'jpeg' WHEN 7 THEN 'avi' WHEN 8 THEN 'unknown' " +
         "WHEN 10 THEN 'gif' WHEN 11 THEN 'webp' WHEN 12 THEN 'webp' " +
         "WHEN 13 THEN 'webp' WHEN 14 THEN 'mp4' WHEN 15 THEN 'mp3' " +
         "WHEN 16 THEN 'ogg' WHEN 17 THEN 'heic' WHEN 18 THEN 'avif' " +
+        "WHEN 19 THEN 'webp' " +
         "ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 19 IN (0, 1, 3, 4, 7, 10, 11, 13) THEN 'decoded' " +
-        "ELSE 'skipped' END AS outcome, " +
-        "CASE doc_id % 19 WHEN 2 THEN 'unsupported_coding' " +
+        "CASE WHEN doc_id % 20 IN (0, 1, 3, 4, 7, 10, 11, 12, 13) " +
+        "THEN 'decoded' ELSE 'skipped' END AS outcome, " +
+        "CASE doc_id % 20 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
-        "WHEN 12 THEN 'unsupported_codec' " +
         "WHEN 14 THEN 'unsupported_codec' WHEN 15 THEN 'unsupported_codec' " +
         "WHEN 16 THEN 'unsupported_codec' WHEN 17 THEN 'unsupported_codec' " +
-        "WHEN 18 THEN 'unsupported_codec' " +
+        "WHEN 18 THEN 'unsupported_codec' WHEN 19 THEN 'unsupported_codec' " +
         "ELSE 'none' END AS cause FROM documents) " +
         "SELECT format, outcome, cause, " +
         "CAST(count(*) AS BIGINT) AS n_items FROM c GROUP BY 1, 2, 3"),

@@ -1980,6 +1980,38 @@ object MediaDedup {
     }
   }
 
+  /** PNG ↔ LOSSY-WebP pair fixtures (g = doc_id/2): the even member a
+    * 32x32 PNG of 4x4-px constant cells with a per-group quadratic
+    * (prime-modulus coefficients, *4+16 family (values 16..228, the strictly-increasing window of the display map)), the odd member
+    * the SAME cell grid through the REAL VP8 lossy pipeline
+    * ([[Vp8Enc.encodeCellGrayWebp]] — exactly-quantizing, so the
+    * decoded luma equals the planted values; the DISPLAYED grays go
+    * through the fixed-point YUV→RGB map, which is strictly increasing
+    * over the ≥4-spaced planted values, so every dHash comparison bit
+    * matches the PNG's). Format-blind perceptual dedup across a
+    * LOSSLESS and a LOSSY codec — the q273 contract extended to the
+    * crawl-majority WebP profile. */
+  def syntheticLossyPairImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      def cell(bx: Int, by: Int): Int =
+        (((bx * bx * (7 + (g % 5) * 9) + by * by * (3 + (g % 7) * 5) +
+          bx * by * (11 + (g % 3) * 13) + g * 31) % 54) * 4 + 16).toInt
+      val payload: Array[Byte] =
+        if (id % 2 == 0)
+          Containers.pngFull(32, 32, { i =>
+            if (i % 4 == 3) 255
+            else { val k = i / 4; cell((k % 32) / 4, (k / 32) / 4) }
+          }, (g % 5).toInt)
+        else
+          Vp8Enc.encodeCellGrayWebp(32, 32, Array.tabulate(64)(k =>
+            cell(k % 8, k / 8)))
+      MediaRow(id, "image", payload, 32, 32, 1)
+    }
+  }
+
   /** Orientation fixtures: doc_ids come in planted PAIRS (g = doc_id/2) —
     * the even member a 64×64 PNG of 8×8-pixel constant cells with the
     * per-group quadratic B(bx, by) (coefficients drawn per the

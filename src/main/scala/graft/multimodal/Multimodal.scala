@@ -2316,7 +2316,7 @@ object Multimodal {
     "truncated" -> "truncated",
     "CRC" -> "crc_mismatch",
     "MJPG" -> "unsupported_codec",
-    "lossy VP8" -> "unsupported_codec",
+    "ALPH-coded" -> "unsupported_codec",
     "animated WebP" -> "unsupported_codec",
     "metadata-only" -> "unsupported_codec",
     "BI_RGB BMP" -> "unsupported_coding",
@@ -2422,20 +2422,22 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"))
   }
 
-  /** Mixed-health fixtures: nineteen deterministic corpus cases cycling
+  /** Mixed-health fixtures: twenty deterministic corpus cases cycling
     * by doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo
     * FLAC / MJPEG AVI / PARTIAL-FRAME animated GIF (disposal +
     * transparency — must land `decoded` now that the census attempts the
     * composited decode, the operator-surface truth) / lossless VP8L WebP
-    * / ANIMATED WebP (decodable via the ANMF compositing walk the video
-    * surface consumes) alongside the named out-of-scope shapes
+    * / ANIMATED WebP (the ANMF compositing walk) / LOSSY VP8 WebP (the
+    * RFC 6386 keyframe decoder — the former named bucket, now measured
+    * as `decoded`) alongside the named out-of-scope shapes
     * (arithmetic-coded JPEG, sampling-factor-3 JPEG, truncated PNG, a
-    * non-MJPG compressed AVI, unknown magic, LOSSY VP8 WebP, and the
-    * crawl-majority metadata-only containers — MP4/avc1, MP3, Ogg/vorbis
-    * — whose REAL [[ContainerMeta]] walks run before the named
-    * `unsupported_codec` verdict so the census reports the codec as
-    * evidence), each planted by patching a REAL encoder's output so the
-    * failure path is the real parser, not a synthetic throw. */
+    * non-MJPG compressed AVI, unknown magic, ALPH-wrapped lossy WebP —
+    * the remaining alpha-plane bucket — HEIC/AVIF image containers, and
+    * the crawl-majority metadata-only containers — MP4/avc1, MP3,
+    * Ogg/vorbis — whose REAL [[ContainerMeta]] walks run before the
+    * named `unsupported_codec` verdict so the census reports the codec
+    * as evidence), each planted by patching a REAL encoder's output so
+    * the failure path is the real parser, not a synthetic throw. */
   def syntheticHealthMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2449,7 +2451,7 @@ object Multimodal {
       }
       val grayJpeg =
         Jpeg.encodeGrayBlocks(16, 16, Array.tabulate(4)(k => (40 + 50 * k) % 256))
-      val payload: Array[Byte] = (id % 19) match {
+      val payload: Array[Byte] = (id % 20) match {
         case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
         case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
           ((id * 37 + k * 11) % 256).toInt))
@@ -2485,9 +2487,12 @@ object Multimodal {
             val v = ((id * 17 + k * 5) % 256).toInt
             0xFF000000 | (v << 16) | (v << 8) | v
           })
-        case 12 => // lossy VP8: the dominant crawl profile — measured,
-          // not decoded (named `unsupported_codec` bucket)
-          Webp.lossyVp8Stub(64, 48, 120)
+        case 12 => // lossy VP8: the dominant crawl profile — now DECODED
+          // for real through the RFC 6386 keyframe path (Vp8)
+          Vp8Enc.encodeCellGrayWebp(32, 32, Array.tabulate(64) { k =>
+            (((k % 8) * (k % 8) * (7 + id % 11) + (k / 8) * 5 + id * 13)
+              % 54 * 4 + 16).toInt
+          })
         case 13 => // animated WebP: decodable via the ANMF compositing
           // walk the video surface uses (was a named unsupported_codec
           // bucket before the walk existed — the partial-frame-GIF
@@ -2518,6 +2523,11 @@ object Multimodal {
         case 18 => // AVIF: same ISO BMFF layout under the AV1 brand
           ContainerMeta.heifStub("avif",
             (512 + (id % 3) * 64).toInt, (384 + (id % 4) * 48).toInt)
+        case 19 => // ALPH-wrapped lossy WebP: the separately-coded alpha
+          // plane is the REMAINING named WebP bucket after lossy decode
+          Vp8Enc.wrapWebpAlpha(Vp8Enc.vp8Payload(
+            Vp8Enc.encodeCellGrayWebp(32, 32, Array.tabulate(64)(k =>
+              ((k * 7 + id) % 54 * 4 + 16).toInt))), 32, 32)
         case _ => // a compressed chunk under a DIB (non-MJPG) strf
           val avi = Containers.aviFull(6, 5, 1,
             (_, x, y, _) => (x * 7 + y * 13) % 256)
@@ -2858,6 +2868,27 @@ object Multimodal {
           k => 255 - gray(k), bigEndian = true, rowsPerStrip = 5)
       }
       MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
+  /** Lossy-WebP fixtures: 32x32 canvases of 4x4-px uniform cells on the
+    * 8x8 block grid (per-doc quadratic coefficients from prime-modulus
+    * ranges, *4+16 family (values 16..228, the strictly-increasing window of the display map) — the degeneracy rule), encoded through
+    * the REAL VP8 LOSSY pipeline with exactly-quantizing coefficients
+    * ([[Vp8Enc.encodeCellGrayWebp]]), so the decoded DISPLAY — fancy
+    * upsampling, fixed-point YUV→RGB and all — replays closed-form via
+    * [[Vp8Enc.displayedGray]]. */
+  def syntheticLossyWebpMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val cells = Array.tabulate(64) { k =>
+        val cx = k % 8; val cy = k / 8
+        (((cx * cx * (11 + id % 23) + cy * cy * (5 + id % 19) +
+          cx * cy * (3 + id % 13) + id * 17) % 54) * 4 + 16).toInt
+      }
+      MediaRow(id, "image", Vp8Enc.encodeCellGrayWebp(32, 32, cells),
+        32, 32, 1)
     }
   }
 

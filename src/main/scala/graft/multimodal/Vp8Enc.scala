@@ -128,10 +128,13 @@ private[graft] object Vp8Enc {
                           y2: Array[Int], y: Array[Array[Int]],
                           u: Array[Array[Int]], v: Array[Array[Int]])
 
-  /** Encode a keyframe: header (no segmentation, filter level 0, one
-    * partition, default probs, qi), modes, tokens. Returns the VP8
+  /** Encode a keyframe: header (no segmentation, one partition, default
+    * probs, qi, and the given loop-filter params — level 0 disables
+    * filtering, the fixture default), modes, tokens. Returns the VP8
     * chunk payload. */
-  def encodeFrame(w: Int, h: Int, qi: Int, mbs: Array[MbSpec]): Array[Byte] = {
+  def encodeFrame(w: Int, h: Int, qi: Int, mbs: Array[MbSpec],
+                  filterType: Int = 0, filterLevel: Int = 0,
+                  sharpness: Int = 0): Array[Byte] = {
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
     require(mbs.length == mbW * mbH, "one MbSpec per macroblock")
@@ -141,9 +144,9 @@ private[graft] object Vp8Enc {
     p1.literal(0, 1) // color space
     p1.literal(0, 1) // clamping
     p1.literal(0, 1) // segmentation disabled
-    p1.literal(0, 1) // filter type: normal
-    p1.literal(0, 6) // filter level 0 (disabled)
-    p1.literal(0, 3) // sharpness
+    p1.literal(filterType, 1)
+    p1.literal(filterLevel, 6)
+    p1.literal(sharpness, 3)
     p1.literal(0, 1) // lf delta disabled
     p1.literal(0, 2) // 1 token partition
     p1.literal(qi, 7) // y_ac_qi
@@ -346,6 +349,150 @@ private[graft] object Vp8Enc {
     val o = new Array[Int](11)
     System.arraycopy(flat, base, o, 0, 11)
     o
+  }
+
+  /** Exactly-quantizing LOSSY WebP: one uniform luma value per
+    * macroblock (`mbLuma`, MB raster order), neutral chroma (128). At
+    * qi = 0 with 16x16 DC_PRED everywhere, each MB's residual r rides
+    * the Y2 block as level 8r (y2dc quant 8 → WHT DC 64r → per-block
+    * DC 8r → pixels (8r+4)>>3 = r, exact for BOTH signs), so the LOSSY
+    * pipeline reconstructs the planted values bit-exactly and a fixture
+    * replays closed-form — the VP8L/PNG oracle discipline carried into
+    * a lossy codec. Prediction chain: pred(0,0) = 128, top row = left
+    * value, left column = above value, interior = (above+left+1)>>1. */
+  def encodeUniformGrayWebp(w: Int, h: Int, mbLuma: Array[Int]): Array[Byte] = {
+    val mbW = (w + 15) / 16
+    val mbH = (h + 15) / 16
+    require(mbLuma.length == mbW * mbH, "one luma value per macroblock")
+    require(mbLuma.forall(v => v >= 0 && v <= 255), "luma out of range")
+    val zeroBlocks = Array.fill(4)(Array.fill(16)(0))
+    val mbs = new Array[MbSpec](mbW * mbH)
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        val mi = my * mbW + mx
+        val v = mbLuma(mi)
+        val pred =
+          if (mx == 0 && my == 0) 128
+          else if (my == 0) mbLuma(mi - 1)
+          else if (mx == 0) mbLuma(mi - mbW)
+          else (mbLuma(mi - mbW) + mbLuma(mi - 1) + 1) >> 1
+        val r = v - pred
+        val y2 = Array.fill(16)(0)
+        y2(0) = 8 * r
+        mbs(mi) = MbSpec(0, null, 0, y2,
+          Array.fill(16)(Array.fill(16)(0)), zeroBlocks, zeroBlocks)
+        mx += 1
+      }
+      my += 1
+    }
+    wrapWebp(encodeFrame(w, h, 0, mbs))
+  }
+
+  /** Exactly-quantizing lossy WebP at 4x4-CELL granularity: one uniform
+    * luma value per 4x4 pixel cell (`cells`, (w/4)x(h/4) raster),
+    * neutral chroma. Every macroblock is B_PRED with all-B_DC
+    * sub-modes at qi = 0: a cell's residual r rides its own DC level 2r
+    * (y1dc quant 4 → pixels (8r+4)>>3 = r, exact both signs), and B_DC
+    * prediction is a closed form over the uniform neighbor cells:
+    * pred(0,0) = 128 (the 127/129 synthetic edges), top row =
+    * (128 + left)>>1, left column = (above + 130)>>1, interior =
+    * (above + left + 1)>>1. The planted grid therefore reconstructs
+    * bit-exactly through the LOSSY pipeline and aligns with the 8x8
+    * dHash/block-mean grids at w = h = 32. */
+  def encodeCellGrayWebp(w: Int, h: Int, cells: Array[Int]): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "cell-grid fixtures use whole MBs")
+    val cw = w / 4; val ch = h / 4
+    require(cells.length == cw * ch, "one luma value per 4x4 cell")
+    require(cells.forall(v => v >= 0 && v <= 255), "luma out of range")
+    def pred(cx: Int, cy: Int): Int =
+      if (cx == 0 && cy == 0) 128
+      else if (cy == 0) (128 + cells(cx - 1)) >> 1
+      else if (cx == 0) (cells((cy - 1) * cw) + 130) >> 1
+      else (cells((cy - 1) * cw + cx) + cells(cy * cw + cx - 1) + 1) >> 1
+    val zeroBlocks = Array.fill(4)(Array.fill(16)(0))
+    val allDc = Array.fill(16)(0)
+    val mbW = w / 16; val mbH = h / 16
+    val mbs = new Array[MbSpec](mbW * mbH)
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        val y = Array.tabulate(16) { sb =>
+          val cx = mx * 4 + (sb & 3); val cy = my * 4 + (sb >> 2)
+          val r = cells(cy * cw + cx) - pred(cx, cy)
+          val lv = Array.fill(16)(0)
+          lv(0) = 2 * r
+          lv
+        }
+        mbs(my * mbW + mx) = MbSpec(4, allDc, 0, Array.fill(16)(0), y,
+          zeroBlocks, zeroBlocks)
+        mx += 1
+      }
+      my += 1
+    }
+    wrapWebp(encodeFrame(w, h, 0, mbs))
+  }
+
+  /** VP8X-extended wrap with a stub ALPH chunk ahead of the VP8 chunk —
+    * the ALPH-coded lossy layout the decoder rejects by NAME (the
+    * separately-coded alpha plane is out of decode scope). */
+  def wrapWebpAlpha(vp8: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def le24(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF)
+    }
+    val alph = Array.tabulate[Byte](1 + (w * h + 7) / 8)(i =>
+      if (i == 0) 0 else 0xFF.toByte) // method 0 stub plane
+    val vp8Padded = vp8.length + (vp8.length & 1)
+    val alphPadded = alph.length + (alph.length & 1)
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + (8 + 10) + (8 + alphPadded) + (8 + vp8Padded))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8X".getBytes("US-ASCII")); le32(10)
+    out.write(0x10); out.write(0); out.write(0); out.write(0) // alpha flag
+    le24(w - 1); le24(h - 1)
+    out.write("ALPH".getBytes("US-ASCII")); le32(alph.length)
+    out.write(alph, 0, alph.length)
+    if ((alph.length & 1) == 1) out.write(0)
+    out.write("VP8 ".getBytes("US-ASCII")); le32(vp8.length)
+    out.write(vp8, 0, vp8.length)
+    if ((vp8.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** The VP8 chunk payload inside a [[wrapWebp]] container (fixture
+    * plumbing for re-wrapping). */
+  def vp8Payload(webp: Array[Byte]): Array[Byte] = {
+    var off = 12
+    while (off + 8 <= webp.length) {
+      val fourcc = new String(webp, off, 4, "US-ASCII")
+      val size = (webp(off + 4) & 0xFF) | ((webp(off + 5) & 0xFF) << 8) |
+        ((webp(off + 6) & 0xFF) << 16) | ((webp(off + 7) & 0xFF) << 24)
+      if (fourcc == "VP8 ")
+        return java.util.Arrays.copyOfRange(webp, off + 8, off + 8 + size)
+      off += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException("no VP8 chunk")
+  }
+
+  /** The DISPLAYED gray of a [[encodeUniformGrayWebp]] luma value: the
+    * fixed-point YUV→RGB at neutral chroma gives R = B = clip((yy -
+    * 1160) >> 6), G = clip((yy - 1161) >> 6) with yy = 19077*y >> 8;
+    * the dedup/census surfaces then read (R + G + B) / 3. Every step is
+    * integer floor arithmetic, so oracles replay it verbatim. */
+  def displayedGray(y: Int): Int = {
+    val yy = (19077 * y) >> 8
+    def clip(x: Int): Int = { val s = x >> 6; if (s < 0) 0 else if (s > 255) 255 else s }
+    val r = clip(yy - 1160)
+    val g = clip(yy - 1161)
+    (2 * r + g) / 3
   }
 
   /** RIFF-wrap a VP8 chunk payload into a complete WebP file. */

@@ -12,10 +12,11 @@ import scala.collection.mutable.ArrayBuffer
   * subtract-green / color-indexing with sub-byte pixel bundling).
   *
   * Lossless ⇒ decode is EXACT, so planted fixtures replay closed-form
-  * (the PNG/GIF discipline). Lossy VP8 and animated WebP are out of
-  * decode scope and fail by NAME, so the health census measures them as
-  * `unsupported_codec` buckets instead of `unknown_magic`; their header
-  * dimensions still parse ([[Multimodal.binaryMediaMeta]]).
+  * (the PNG/GIF discipline). Lossy "VP8 " stills and ANMF frames — the
+  * MAJORITY crawl profile — decode through the [[Vp8]] RFC 6386
+  * keyframe decoder (pinned byte-exact against the system libwebp);
+  * only ALPH-wrapped lossy payloads remain a named
+  * `unsupported_codec` bucket (the separately-coded alpha plane).
   *
   * The encoder half ([[encodeLossless]]) exists for fixtures: it emits
   * spec-conformant bitstreams across the transform/cache/LZ77 matrix so
@@ -46,14 +47,17 @@ private[graft] object Webp {
     (p(off) & 0xFFL) | ((p(off + 1) & 0xFFL) << 8) |
       ((p(off + 2) & 0xFFL) << 16) | ((p(off + 3) & 0xFFL) << 24)
 
-  /** RIFF chunk walk → the still image's RGBA pixels. VP8L decodes for
-    * real; "VP8 " (lossy) and ANIM/ANMF (animated) fail by name — they
-    * are MEASURED census buckets, not blind spots. VP8X (extended
-    * layout) is canvas metadata; the image chunk follows it. */
+  /** RIFF chunk walk → the still image's RGBA pixels. VP8L (lossless)
+    * and "VP8 " (lossy keyframe, [[Vp8]] — the majority real-crawl
+    * profile) both decode for real; ANIM/ANMF (animated) and
+    * ALPH-wrapped lossy stills fail by name — MEASURED census buckets,
+    * not blind spots. VP8X (extended layout) is canvas metadata; the
+    * image chunk follows it. */
   def decodeWebpRgba(id: Long, p: Array[Byte]): (Int, Int, Array[Byte]) = {
     check(isWebp(p), id, "not a WebP RIFF container")
     var off = 12
     var chunks = 0
+    var sawAlph = false
     while (off + 8 <= p.length) {
       chunks += 1
       check(chunks <= 64, id, "WebP chunk walk exceeded 64 chunks")
@@ -64,11 +68,17 @@ private[graft] object Webp {
         case "VP8L" =>
           return decodeVp8l(id, p, off + 8, (off + 8 + size).toInt)
         case "VP8 " =>
-          fail(id, "lossy VP8 WebP — only the lossless VP8L codec decodes " +
-            "to pixels (codec VP8)")
+          // the separately-coded alpha plane is not decoded; pixels
+          // would be wrong without it, so the combination is a NAMED
+          // bucket (rare for stills — encoders emit VP8L when alpha
+          // matters)
+          check(!sawAlph, id,
+            "ALPH-coded lossy WebP alpha plane (codec ALPH)")
+          return Vp8.decodeRgba(id, p, off + 8, (off + 8 + size).toInt)
+        case "ALPH" => sawAlph = true
         case "ANIM" | "ANMF" =>
           fail(id, "animated WebP is not a still image (codec ANIM)")
-        case _ => () // VP8X canvas header, ALPH/ICCP/EXIF/XMP: skipped
+        case _ => () // VP8X canvas header, ICCP/EXIF/XMP: skipped
       }
       off += (8 + size + (size & 1)).toInt
     }
@@ -1314,6 +1324,7 @@ private[graft] object Webp {
           var fOff = body + 16L
           val fEnd = body + size
           var rgba: Array[Byte] = null
+          var frameAlph = false
           while (rgba == null && fOff + 8 <= fEnd) {
             val ffcc = new String(p, fOff.toInt, 4, "US-ASCII")
             val fsize = le32(p, fOff.toInt + 4)
@@ -1327,9 +1338,19 @@ private[graft] object Webp {
                   s"ANMF frame is ${dw}x$dh, header declares ${fw}x$fh")
                 rgba = px
               case "VP8 " =>
-                fail(id, "lossy VP8 WebP — only the lossless VP8L codec " +
-                  "decodes to pixels (codec VP8, animated)")
-              case _ => fOff += 8 + fsize + (fsize & 1) // ALPH: skipped
+                // lossy keyframe frames decode for real (Vp8); the
+                // separately-coded alpha plane stays a named bucket
+                check(!frameAlph, id,
+                  "ALPH-coded lossy WebP alpha plane (codec ALPH, animated)")
+                val (dw, dh, px) = Vp8.decodeRgba(id, p, fOff.toInt + 8,
+                  (fOff + 8 + fsize).toInt)
+                check(dw == fw && dh == fh, id,
+                  s"ANMF frame is ${dw}x$dh, header declares ${fw}x$fh")
+                rgba = px
+              case "ALPH" =>
+                frameAlph = true
+                fOff += 8 + fsize + (fsize & 1)
+              case _ => fOff += 8 + fsize + (fsize & 1)
             }
           }
           check(rgba != null, id,

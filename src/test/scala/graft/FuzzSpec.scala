@@ -169,6 +169,22 @@ class FuzzSpec extends AnyFunSuite {
       p => Multimodal.decodeStillRgba(33L, p))
     fuzz("webp-anim", webpAnimPayload, 12,
       p => graft.multimodal.Webp.decodeAnimFrames(34L, p))
+    // the LOSSY VP8 keyframe decoder inherits the contract: the in-repo
+    // encoder's sparse stream AND a dense libwebp-encoded noise vector
+    // (all token paths, segmentation, loop filter)
+    val lossyPayload = graft.multimodal.Vp8Enc.encodeCellGrayWebp(32, 32,
+      Array.tabulate(64)(k => ((k * 9 + 5) % 54) * 4 + 16))
+    fuzz("vp8-lossy", lossyPayload, 20,
+      p => graft.multimodal.Webp.decodeWebpRgba(36L, p))
+    val noiseVector = {
+      val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "src/test/resources/vp8/v07_noise_32x32_q50.bin"))
+      val n = (raw(12) & 0xFF) | ((raw(13) & 0xFF) << 8) |
+        ((raw(14) & 0xFF) << 16) | ((raw(15) & 0xFF) << 24)
+      java.util.Arrays.copyOfRange(raw, 16, 16 + n)
+    }
+    fuzz("vp8-noise", noiseVector, 20,
+      p => graft.multimodal.Webp.decodeWebpRgba(37L, p))
     fuzz("webp-vid-dispatch", webpAnimPayload, 12,
       p => Multimodal.decodeVideoRgb(35L, p))
   }
@@ -307,7 +323,32 @@ class FuzzSpec extends AnyFunSuite {
       ("ogg", oggPayload,
         p => graft.multimodal.ContainerMeta.oggMeta(42L, p)),
       ("id3", id3Payload,
-        p => graft.multimodal.ContainerMeta.id3TextFrames(43L, p)))
+        p => graft.multimodal.ContainerMeta.id3TextFrames(43L, p)),
+      ("vp8-lossy", graft.multimodal.Vp8Enc.encodeCellGrayWebp(32, 32,
+        Array.tabulate(64)(k => ((k * 9 + 5) % 54) * 4 + 16)),
+        p => graft.multimodal.Webp.decodeWebpRgba(44L, p)),
+      ("vp8-noise", {
+        val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          "src/test/resources/vp8/v12_noise_128x96_q60.bin"))
+        val n = (raw(12) & 0xFF) | ((raw(13) & 0xFF) << 8) |
+          ((raw(14) & 0xFF) << 16) | ((raw(15) & 0xFF) << 24)
+        java.util.Arrays.copyOfRange(raw, 16, 16 + n)
+      }, p => graft.multimodal.Webp.decodeWebpRgba(45L, p)),
+      ("ogg-tags", graft.multimodal.ContainerMeta.oggVorbisTaggedStub(2,
+        44100, Seq("TITLE" -> "t", "ARTIST" -> "a",
+          "DESCRIPTION" -> ("x" * 300)), spanPages = true),
+        p => graft.multimodal.ContainerMeta.oggTextComments(46L, p)),
+      ("ilst", graft.multimodal.ContainerMeta.mp4Stub("mp42", 600, 1200,
+        Seq(graft.multimodal.ContainerMeta.TrackMeta("vide", "avc1",
+          64, 48, 0, 0)),
+        tags = Seq("title" -> "t", "artist" -> "a", "album" -> "b")),
+        p => graft.multimodal.ContainerMeta.mp4TextTags(47L, p)),
+      ("heif", graft.multimodal.ContainerMeta.heifStub("heic", 640, 480),
+        p => graft.multimodal.ContainerMeta.heifDims(48L, p)),
+      ("id3-unsync", graft.multimodal.ContainerMeta.mp3StubTagged(
+        Seq("TIT2" -> "tÿ1", "TPE1" -> "aÿb"), v4 = false,
+        extHeader = true, unsync = true),
+        p => graft.multimodal.ContainerMeta.id3TextFrames(49L, p)))
     targets.foreach { case (name, valid, decode) =>
       for (i <- 0 until 3000) {
         val m = valid.clone()

@@ -344,6 +344,37 @@ class MediaIngestSpec extends SparkSpec {
       "the partial-frame GIF re-cut of a committed AVI must be rejected")
   }
 
+  test("a LOSSY VP8 WebP re-encode of committed PNG content arriving in " +
+    "the stream is rejected (the dHash bits survive the codec because " +
+    "the display map is strictly increasing over the planted values)") {
+    import spark.implicits._
+    def cellGray(bx: Int, by: Int): Int =
+      ((bx * bx * 9 + by * by * 7 + bx * by * 5 + 23) % 54) * 4 + 16
+    val png = MediaRow(61, "image", Containers.pngFull(32, 32, { i =>
+      if (i % 4 == 3) 255
+      else { val k = i / 4; cellGray((k % 32) / 4, (k / 32) / 4) }
+    }), 32, 32, 1)
+    val lossy = MediaRow(62, "image",
+      graft.multimodal.Vp8Enc.encodeCellGrayWebp(32, 32,
+        Array.tabulate(64)(k => cellGray(k % 8, k / 8))), 32, 32, 1)
+    val in = Files.createTempDirectory("graft-vp8-in").toString
+    val lake = new LakeTable(spark,
+      Files.createTempDirectory("graft-vp8-lake").toString)
+    writeBatchFile(in, "b1", Seq(png))
+    val q1 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    writeBatchFile(in, "b2", Seq(lossy))
+    val q2 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(61L),
+      "the LOSSY re-encode of committed PNG content must be rejected")
+  }
+
   test("WebP arrivals are rejected: a VP8L re-encode of committed PNG " +
     "content, and an animated-WebP re-cut of a committed GIF animation") {
     import spark.implicits._

@@ -122,8 +122,34 @@ object Vp8CraftProbe {
           Array(mbB(modes, Array.tabulate(16)(i => lv(0 -> 1)))))
       })
 
-    for ((name, w, h, qi, mbs) <- cases) {
-      val vp8 = Vp8Enc.encodeFrame(w, h, qi, mbs)
+    // loop-filter matrix: the simple filter and sharpness > 0 are never
+    // emitted by libwebp's ENCODER, so the vectors can't pin them —
+    // crafted streams with those header fields cross-pin libwebp's
+    // DECODE of them instead. Strong block edges (big alternating DCs)
+    // make every filter branch (hev, mb-edge, subblock) fire.
+    val filterCases =
+      for ((ft, lvl, sh) <- Seq((0, 10, 0), (0, 35, 0), (0, 63, 7),
+                                (0, 25, 3), (1, 12, 0), (1, 40, 0),
+                                (1, 63, 5)))
+      yield {
+        val mbsF: Array[MbSpec] = Array.tabulate(4) { mi =>
+          mbB(Array.tabulate(16)(i => (i + mi) % 10),
+            Array.tabulate(16)(i => lv(0 -> (if ((i + mi) % 2 == 0) 40 else -40),
+              1 -> (if (i % 3 == 0) 7 else 0))))
+        }
+        (f"cf_f${ft}_l${lvl}_s$sh", 32, 32, 60, mbsF)
+      }
+
+    val allCases = cases.map { case (n, w, h, qi, m) => (n, w, h, qi, m, 0, 0, 0) } ++
+      filterCases.map { case (n, w, h, qi, m) =>
+        val parts = n.split("_")
+        (n, w, h, qi, m, parts(1).drop(1).toInt, parts(2).drop(1).toInt,
+          parts(3).drop(1).toInt)
+      }
+
+    for ((name, w, h, qi, mbs, ft, lvl, sh) <- allCases) {
+      val vp8 = Vp8Enc.encodeFrame(w, h, qi, mbs, filterType = ft,
+        filterLevel = lvl, sharpness = sh)
       val webp = Vp8Enc.wrapWebp(vp8)
       Files.write(dir.resolve(s"$name.webp"), webp)
       try {

@@ -130,10 +130,23 @@ class WebpSpec extends AnyFunSuite {
     assert((rgba(0) & 0xFF) == (planted(0, 0) & 0xFF))
   }
 
-  test("lossy VP8 and animated WebP fail by name") {
+  test("lossy VP8 decodes through the still seam (r15); a header-only " +
+    "stub with a garbage body and animated WebP fail by name") {
+    // the real thing decodes (Vp8Spec pins exactness; this pins routing)
+    val real = graft.multimodal.Vp8Enc.encodeCellGrayWebp(32, 32,
+      Array.tabulate(64)(k => ((k * 5 + 9) % 54) * 4 + 16))
+    val (rw, rh, _) = Webp.decodeWebpRgba(5L, real)
+    assert(rw == 32 && rh == 32)
+    // the dimension-stub's fake body is hostile bytes to the bool
+    // decoder: arithmetic coding can read garbage as a "valid" stream
+    // (bounded garbage pixels) — the contract is decode-or-NAMED, never
+    // an index error or unbounded loop
     val lossy = Webp.lossyVp8Stub(64, 48, 120)
-    val e1 = intercept[IllegalArgumentException](Webp.decodeWebpRgba(5L, lossy))
-    assert(e1.getMessage.contains("lossy VP8"))
+    try { Webp.decodeWebpRgba(5L, lossy); () }
+    catch {
+      case e: IllegalArgumentException =>
+        assert(e.getMessage.startsWith("media 5:"), e.getMessage)
+    }
     // hand-build an ANIM chunk container
     val anim = {
       val out = new java.io.ByteArrayOutputStream()
