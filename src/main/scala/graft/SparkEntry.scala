@@ -2076,12 +2076,12 @@ object SparkEntry {
     // real encoder outputs, nine decodable (incl. 4:2:0 / interlaced
     // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP /
     // composited ANIMATED WebP / LOSSY VP8 WebP through the RFC 6386
-    // keyframe decoder) and eleven patched into named failures (incl.
-    // ALPH-wrapped lossy WebP — the remaining alpha-plane bucket — the
-    // metadata-only MP4 / MP3 / Ogg containers, whose REAL walks report
-    // the codec as evidence, and HEIC/AVIF stills surfaced as IMAGE
-    // buckets by ftyp brand); the aggregate is |formats x
-    // causes|-bounded, never corpus-shaped (budget <= 3 s) ---
+    // keyframe decoder / ALPH-wrapped lossy with the alpha plane cycled
+    // across raw/compressed x filters) and ten patched into named
+    // failures (the metadata-only MP4 / MP3 / Ogg containers, whose
+    // REAL walks report the codec as evidence, and HEIC/AVIF stills
+    // surfaced as IMAGE buckets by ftyp brand); the aggregate is
+    // |formats x causes|-bounded, never corpus-shaped (budget <= 3 s) ---
     "q265_decode_health" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDecodeHealth(
         graft.multimodal.Multimodal.syntheticHealthMedia(
@@ -5712,14 +5712,14 @@ object SparkEntry {
         "WHEN 16 THEN 'ogg' WHEN 17 THEN 'heic' WHEN 18 THEN 'avif' " +
         "WHEN 19 THEN 'webp' " +
         "ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 20 IN (0, 1, 3, 4, 7, 10, 11, 12, 13) " +
+        "CASE WHEN doc_id % 20 IN (0, 1, 3, 4, 7, 10, 11, 12, 13, 19) " +
         "THEN 'decoded' ELSE 'skipped' END AS outcome, " +
         "CASE doc_id % 20 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
         "WHEN 14 THEN 'unsupported_codec' WHEN 15 THEN 'unsupported_codec' " +
         "WHEN 16 THEN 'unsupported_codec' WHEN 17 THEN 'unsupported_codec' " +
-        "WHEN 18 THEN 'unsupported_codec' WHEN 19 THEN 'unsupported_codec' " +
+        "WHEN 18 THEN 'unsupported_codec' " +
         "ELSE 'none' END AS cause FROM documents) " +
         "SELECT format, outcome, cause, " +
         "CAST(count(*) AS BIGINT) AS n_items FROM c GROUP BY 1, 2, 3"),

@@ -2316,7 +2316,6 @@ object Multimodal {
     "truncated" -> "truncated",
     "CRC" -> "crc_mismatch",
     "MJPG" -> "unsupported_codec",
-    "ALPH-coded" -> "unsupported_codec",
     "animated WebP" -> "unsupported_codec",
     "metadata-only" -> "unsupported_codec",
     "BI_RGB BMP" -> "unsupported_coding",
@@ -2524,10 +2523,13 @@ object Multimodal {
           ContainerMeta.heifStub("avif",
             (512 + (id % 3) * 64).toInt, (384 + (id % 4) * 48).toInt)
         case 19 => // ALPH-wrapped lossy WebP: the separately-coded alpha
-          // plane is the REMAINING named WebP bucket after lossy decode
+          // plane DECODES too (raw/VP8L-compressed + all three filters),
+          // cycled here so the census keeps the whole matrix green
           Vp8Enc.wrapWebpAlpha(Vp8Enc.vp8Payload(
             Vp8Enc.encodeCellGrayWebp(32, 32, Array.tabulate(64)(k =>
-              ((k * 7 + id) % 54 * 4 + 16).toInt))), 32, 32)
+              ((k * 7 + id) % 54 * 4 + 16).toInt))), 32, 32,
+            alpha = Array.tabulate(32 * 32)(i => ((i * 11 + id) % 256).toInt),
+            filter = (id % 4).toInt, compress = id % 2 == 0)
         case _ => // a compressed chunk under a DIB (non-MJPG) strf
           val avi = Containers.aviFull(6, 5, 1,
             (_, x, y, _) => (x * 7 + y * 13) % 256)

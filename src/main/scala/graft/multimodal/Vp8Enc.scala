@@ -435,10 +435,13 @@ private[graft] object Vp8Enc {
     wrapWebp(encodeFrame(w, h, 0, mbs))
   }
 
-  /** VP8X-extended wrap with a stub ALPH chunk ahead of the VP8 chunk —
-    * the ALPH-coded lossy layout the decoder rejects by NAME (the
-    * separately-coded alpha plane is out of decode scope). */
-  def wrapWebpAlpha(vp8: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  /** VP8X-extended wrap with a REAL ALPH chunk ahead of the VP8 chunk —
+    * the separately-coded alpha plane layout, decodable end to end
+    * ([[Webp.decodeAlph]]). `alpha` defaults to a planted deterministic
+    * plane; `filter` (0-3) and `compress` pick the ALPH encoding. */
+  def wrapWebpAlpha(vp8: Array[Byte], w: Int, h: Int,
+                    alpha: Array[Int] = null, filter: Int = 0,
+                    compress: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
       out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
@@ -448,8 +451,10 @@ private[graft] object Vp8Enc {
       out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
       out.write((v >> 16) & 0xFF)
     }
-    val alph = Array.tabulate[Byte](1 + (w * h + 7) / 8)(i =>
-      if (i == 0) 0 else 0xFF.toByte) // method 0 stub plane
+    val plane =
+      if (alpha != null) alpha
+      else Array.tabulate(w * h)(i => (i * 7 + 40) % 256)
+    val alph = Webp.encodeAlph(w, h, plane, filter, compress)
     val vp8Padded = vp8.length + (vp8.length & 1)
     val alphPadded = alph.length + (alph.length & 1)
     out.write("RIFF".getBytes("US-ASCII"))

@@ -14,9 +14,10 @@ import scala.collection.mutable.ArrayBuffer
   * Lossless ⇒ decode is EXACT, so planted fixtures replay closed-form
   * (the PNG/GIF discipline). Lossy "VP8 " stills and ANMF frames — the
   * MAJORITY crawl profile — decode through the [[Vp8]] RFC 6386
-  * keyframe decoder (pinned byte-exact against the system libwebp);
-  * only ALPH-wrapped lossy payloads remain a named
-  * `unsupported_codec` bucket (the separately-coded alpha plane).
+  * keyframe decoder (pinned byte-exact against the system libwebp),
+  * including the separately-coded ALPH alpha plane (raw or
+  * VP8L-compressed, all three prediction filters) — every WebP still
+  * profile now decodes to pixels.
   *
   * The encoder half ([[encodeLossless]]) exists for fixtures: it emits
   * spec-conformant bitstreams across the transform/cache/LZ77 matrix so
@@ -47,17 +48,18 @@ private[graft] object Webp {
     (p(off) & 0xFFL) | ((p(off + 1) & 0xFFL) << 8) |
       ((p(off + 2) & 0xFFL) << 16) | ((p(off + 3) & 0xFFL) << 24)
 
-  /** RIFF chunk walk → the still image's RGBA pixels. VP8L (lossless)
-    * and "VP8 " (lossy keyframe, [[Vp8]] — the majority real-crawl
-    * profile) both decode for real; ANIM/ANMF (animated) and
-    * ALPH-wrapped lossy stills fail by name — MEASURED census buckets,
-    * not blind spots. VP8X (extended layout) is canvas metadata; the
-    * image chunk follows it. */
+  /** RIFF chunk walk → the still image's RGBA pixels. VP8L (lossless),
+    * "VP8 " (lossy keyframe, [[Vp8]] — the majority real-crawl
+    * profile), and ALPH+VP8 (lossy with the separately-coded alpha
+    * plane — [[decodeAlph]]) all decode for real; ANIM/ANMF (animated)
+    * is the video surface's job and fails by name here. VP8X (extended
+    * layout) is canvas metadata; the image chunk follows it. */
   def decodeWebpRgba(id: Long, p: Array[Byte]): (Int, Int, Array[Byte]) = {
     check(isWebp(p), id, "not a WebP RIFF container")
     var off = 12
     var chunks = 0
-    var sawAlph = false
+    var alphAt = -1
+    var alphEnd = -1
     while (off + 8 <= p.length) {
       chunks += 1
       check(chunks <= 64, id, "WebP chunk walk exceeded 64 chunks")
@@ -68,14 +70,17 @@ private[graft] object Webp {
         case "VP8L" =>
           return decodeVp8l(id, p, off + 8, (off + 8 + size).toInt)
         case "VP8 " =>
-          // the separately-coded alpha plane is not decoded; pixels
-          // would be wrong without it, so the combination is a NAMED
-          // bucket (rare for stills — encoders emit VP8L when alpha
-          // matters)
-          check(!sawAlph, id,
-            "ALPH-coded lossy WebP alpha plane (codec ALPH)")
-          return Vp8.decodeRgba(id, p, off + 8, (off + 8 + size).toInt)
-        case "ALPH" => sawAlph = true
+          val (w, h, rgba) = Vp8.decodeRgba(id, p, off + 8,
+            (off + 8 + size).toInt)
+          if (alphAt >= 0) {
+            val alpha = decodeAlph(id, p, alphAt, alphEnd, w, h)
+            var i = 0
+            while (i < w * h) { rgba(4 * i + 3) = alpha(i); i += 1 }
+          }
+          return (w, h, rgba)
+        case "ALPH" =>
+          alphAt = off + 8
+          alphEnd = (off + 8 + size).toInt
         case "ANIM" | "ANMF" =>
           fail(id, "animated WebP is not a still image (codec ANIM)")
         case _ => () // VP8X canvas header, ICCP/EXIF/XMP: skipped
@@ -83,6 +88,145 @@ private[graft] object Webp {
       off += (8 + size + (size & 1)).toInt
     }
     fail(id, "WebP container without an image chunk")
+  }
+
+  /** ALPH chunk payload [start, end) → the w*h alpha plane (container
+    * spec layout): header byte = reserved(2) | preprocessing(2) |
+    * filtering(2) | compression(2); compression 0 = raw bytes, 1 = a
+    * HEADERLESS top-level VP8L image stream whose GREEN channel carries
+    * the (filtered) alpha values; filtering 1/2/3 = horizontal /
+    * vertical / gradient prediction, reversed additively mod 256 with
+    * the row-0/col-0 fallbacks and the clipped gradient predictor.
+    * Preprocessing (level reduction) is an encoder-side lossy step —
+    * nothing to invert. Hostile layouts fail by name. */
+  private[multimodal] def decodeAlph(id: Long, p: Array[Byte], start: Int,
+                                     end: Int, w: Int,
+                                     h: Int): Array[Byte] = {
+    check(end - start >= 1, id, "truncated ALPH chunk")
+    val hdr = p(start) & 0xFF
+    check((hdr >> 6) == 0, id, s"reserved ALPH header bits ${hdr >> 6}")
+    val filter = (hdr >> 2) & 3
+    val comp = hdr & 3
+    check(comp <= 1, id, s"reserved ALPH compression method $comp")
+    val plane = new Array[Byte](w * h)
+    if (comp == 0) {
+      check(end - start - 1 >= w * h, id, "truncated raw ALPH plane")
+      System.arraycopy(p, start + 1, plane, 0, w * h)
+    } else {
+      val br = new BitReader(id, p, start + 1, end)
+      val argb = decodeImageStream(id, br, w, h, level0 = true)
+      var i = 0
+      while (i < w * h) { plane(i) = ((argb(i) >> 8) & 0xFF).toByte; i += 1 }
+    }
+    if (filter != 0) unfilterAlpha(plane, w, h, filter)
+    plane
+  }
+
+  /** In-place inverse alpha filtering (additive mod 256): horizontal
+    * (left; row-0 fallback above), vertical (above; row 0 horizontal),
+    * gradient (clip(left + above − above-left); row 0 horizontal). */
+  private def unfilterAlpha(plane: Array[Byte], w: Int, h: Int,
+                            filter: Int): Unit = {
+    def horizRow(y: Int): Unit = {
+      var pred = if (y == 0) 0 else plane((y - 1) * w) & 0xFF
+      var x = 0
+      while (x < w) {
+        val v = (pred + plane(y * w + x)) & 0xFF
+        plane(y * w + x) = v.toByte
+        pred = v
+        x += 1
+      }
+    }
+    filter match {
+      case 1 =>
+        var y = 0
+        while (y < h) { horizRow(y); y += 1 }
+      case 2 =>
+        horizRow(0)
+        var y = 1
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            plane(y * w + x) =
+              (((plane((y - 1) * w + x) & 0xFF) +
+                (plane(y * w + x) & 0xFF)) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+      case _ => // gradient
+        horizRow(0)
+        var y = 1
+        while (y < h) {
+          var left = plane((y - 1) * w) & 0xFF
+          var topLeft = left
+          var x = 0
+          while (x < w) {
+            val top = plane((y - 1) * w + x) & 0xFF
+            val g = left + top - topLeft
+            val pred = if (g < 0) 0 else if (g > 255) 255 else g
+            left = ((plane(y * w + x) & 0xFF) + pred) & 0xFF
+            plane(y * w + x) = left.toByte
+            topLeft = top
+            x += 1
+          }
+          y += 1
+        }
+    }
+  }
+
+  /** Fixture/encoder side of [[decodeAlph]]: forward-filter the plane
+    * and emit the ALPH payload (raw or as a headerless VP8L stream). */
+  private[multimodal] def encodeAlph(w: Int, h: Int, alpha: Array[Int],
+                                     filter: Int,
+                                     compress: Boolean): Array[Byte] = {
+    require(alpha.length == w * h && alpha.forall(v => v >= 0 && v <= 255))
+    require(filter >= 0 && filter <= 3)
+    // forward filter: residual = value - pred (mod 256), preds from the
+    // ORIGINAL plane (reconstruction is exact, so decoder preds match)
+    val res = new Array[Int](w * h)
+    def horizPred(x: Int, y: Int): Int =
+      if (x > 0) alpha(y * w + x - 1)
+      else if (y > 0) alpha((y - 1) * w) else 0
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val pred = filter match {
+        case 0 => 0
+        case 1 => horizPred(x, y)
+        case 2 => if (y == 0) horizPred(x, y) else alpha((y - 1) * w + x)
+        case _ =>
+          if (y == 0) horizPred(x, y)
+          else {
+            val left = if (x > 0) alpha(y * w + x - 1) else alpha((y - 1) * w)
+            val top = alpha((y - 1) * w + x)
+            val tl = if (x > 0) alpha((y - 1) * w + x - 1) else alpha((y - 1) * w)
+            val g = left + top - tl
+            if (g < 0) 0 else if (g > 255) 255 else g
+          }
+      }
+      res(i) = (alpha(i) - pred) & 0xFF
+      i += 1
+    }
+    val hdrByte = ((filter & 3) << 2) | (if (compress) 1 else 0)
+    val body: Array[Byte] =
+      if (!compress) res.map(_.toByte)
+      else encodeAlphaStream(w, res)
+    Array(hdrByte.toByte) ++ body
+  }
+
+  /** A HEADERLESS top-level VP8L image stream (the ALPH "lossless"
+    * payload layout — no signature/dims): no transforms, no cache, one
+    * prefix-code group, values in the green channel. */
+  private def encodeAlphaStream(w: Int, green: Array[Int]): Array[Byte] = {
+    val bw = new BitWriter
+    val px = Array.tabulate(green.length)(i =>
+      0xFF000000 | ((green(i) & 0xFF) << 8))
+    bw.write(0, 1) // end of transforms
+    bw.write(0, 1) // no color cache
+    bw.write(0, 1) // no meta prefix codes
+    writeEntropyBody(bw, px, w, 0, lz77 = false, 1, _ => 0)
+    bw.bytes
   }
 
   // ------------------------------------------------------------------
@@ -1324,7 +1468,8 @@ private[graft] object Webp {
           var fOff = body + 16L
           val fEnd = body + size
           var rgba: Array[Byte] = null
-          var frameAlph = false
+          var frameAlphAt = -1
+          var frameAlphEnd = -1
           while (rgba == null && fOff + 8 <= fEnd) {
             val ffcc = new String(p, fOff.toInt, 4, "US-ASCII")
             val fsize = le32(p, fOff.toInt + 4)
@@ -1338,17 +1483,22 @@ private[graft] object Webp {
                   s"ANMF frame is ${dw}x$dh, header declares ${fw}x$fh")
                 rgba = px
               case "VP8 " =>
-                // lossy keyframe frames decode for real (Vp8); the
-                // separately-coded alpha plane stays a named bucket
-                check(!frameAlph, id,
-                  "ALPH-coded lossy WebP alpha plane (codec ALPH, animated)")
+                // lossy keyframe frames decode for real (Vp8), with the
+                // separately-coded alpha plane applied when present
                 val (dw, dh, px) = Vp8.decodeRgba(id, p, fOff.toInt + 8,
                   (fOff + 8 + fsize).toInt)
                 check(dw == fw && dh == fh, id,
                   s"ANMF frame is ${dw}x$dh, header declares ${fw}x$fh")
+                if (frameAlphAt >= 0) {
+                  val alpha = decodeAlph(id, p, frameAlphAt, frameAlphEnd,
+                    dw, dh)
+                  var i = 0
+                  while (i < dw * dh) { px(4 * i + 3) = alpha(i); i += 1 }
+                }
                 rgba = px
               case "ALPH" =>
-                frameAlph = true
+                frameAlphAt = (fOff + 8).toInt
+                frameAlphEnd = (fOff + 8 + fsize).toInt
                 fOff += 8 + fsize + (fsize & 1)
               case _ => fOff += 8 + fsize + (fsize & 1)
             }

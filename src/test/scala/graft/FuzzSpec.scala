@@ -185,6 +185,15 @@ class FuzzSpec extends AnyFunSuite {
     }
     fuzz("vp8-noise", noiseVector, 20,
       p => graft.multimodal.Webp.decodeWebpRgba(37L, p))
+    // ALPH-wrapped lossy (VP8L-compressed alpha + gradient filter)
+    val alphPayload = graft.multimodal.Vp8Enc.wrapWebpAlpha(
+      graft.multimodal.Vp8Enc.vp8Payload(
+        graft.multimodal.Vp8Enc.encodeCellGrayWebp(32, 32,
+          Array.tabulate(64)(k => ((k * 3 + 1) % 54) * 4 + 16))), 32, 32,
+      alpha = Array.tabulate(32 * 32)(i => (i * 5 + 9) % 256),
+      filter = 3, compress = true)
+    fuzz("vp8-alph", alphPayload, 20,
+      p => graft.multimodal.Webp.decodeWebpRgba(38L, p))
     fuzz("webp-vid-dispatch", webpAnimPayload, 12,
       p => Multimodal.decodeVideoRgb(35L, p))
   }
@@ -348,7 +357,14 @@ class FuzzSpec extends AnyFunSuite {
       ("id3-unsync", graft.multimodal.ContainerMeta.mp3StubTagged(
         Seq("TIT2" -> "tÿ1", "TPE1" -> "aÿb"), v4 = false,
         extHeader = true, unsync = true),
-        p => graft.multimodal.ContainerMeta.id3TextFrames(49L, p)))
+        p => graft.multimodal.ContainerMeta.id3TextFrames(49L, p)),
+      ("vp8-alph", graft.multimodal.Vp8Enc.wrapWebpAlpha(
+        graft.multimodal.Vp8Enc.vp8Payload(
+          graft.multimodal.Vp8Enc.encodeCellGrayWebp(32, 32,
+            Array.tabulate(64)(k => ((k * 3 + 1) % 54) * 4 + 16))), 32, 32,
+        alpha = Array.tabulate(32 * 32)(i => (i * 5 + 9) % 256),
+        filter = 3, compress = true),
+        p => graft.multimodal.Webp.decodeWebpRgba(50L, p)))
     targets.foreach { case (name, valid, decode) =>
       for (i <- 0 until 3000) {
         val m = valid.clone()

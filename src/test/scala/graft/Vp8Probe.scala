@@ -78,10 +78,7 @@ object Vp8Probe {
         }
         val errs = diff("Y", y, refY, w).toSeq ++ diff("U", u, refU, uw) ++
           diff("V", v, refV, uw)
-        val rgba = {
-          val (_, _, r) = graft.multimodal.Vp8.decodeRgba(1L, webp, vp8At, vp8End)
-          r
-        }
+        val rgba = graft.multimodal.Webp.decodeWebpRgba(1L, webp)._3
         val errs2 = errs ++ diff("RGBA", rgba, refRgba, w * 4)
         if (errs2.isEmpty) { pass += 1; println(s"OK   ${Paths.get(name).getFileName}") }
         else println(s"FAIL ${Paths.get(name).getFileName}: ${errs2.mkString(" | ")}")

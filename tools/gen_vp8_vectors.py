@@ -20,6 +20,10 @@ LW.WebPEncodeRGB.restype = ctypes.c_size_t
 LW.WebPEncodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                              ctypes.c_int, ctypes.c_float,
                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+LW.WebPEncodeRGBA.restype = ctypes.c_size_t
+LW.WebPEncodeRGBA.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, ctypes.c_float,
+                              ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
 LW.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
 LW.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
 LW.WebPDecodeYUV.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
@@ -61,6 +65,30 @@ def encode(rgb, w, h, q):
     return bytes(out[i] for i in range(n))
 
 
+def alpha_content(kind, w, h, k):
+    """RGBA content whose alpha plane exercises the ALPH chunk."""
+    px = bytearray(w * h * 4)
+    for yy in range(h):
+        for xx in range(w):
+            v = (xx * 13 + yy * 29 + k * 11) % 256
+            if kind == "agrad":
+                a = (xx * 255) // max(1, w - 1)
+            elif kind == "abin":
+                a = 255 if ((xx // 8) + (yy // 8)) % 2 == 0 else 0
+            else:  # anoise
+                a = (xx * 37 + yy * 17 + k * 3) % 256
+            i = (yy * w + xx) * 4
+            px[i], px[i + 1], px[i + 2], px[i + 3] = v, (v * 3) % 256, (v * 7) % 256, a
+    return bytes(px)
+
+
+def encode_rgba(rgba, w, h, q):
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = LW.WebPEncodeRGBA(rgba, w, h, w * 4, float(q), ctypes.byref(out))
+    assert n > 0
+    return bytes(out[i] for i in range(n))
+
+
 def decode(webp):
     ow, oh = ctypes.c_int(), ctypes.c_int()
     up = ctypes.POINTER(ctypes.c_ubyte)()
@@ -91,9 +119,16 @@ def main(outdir):
         ("blocks", 64, 64, 75), ("blocks", 33, 33, 40),
         ("noise", 128, 96, 60), ("hgrad", 17, 31, 90),
     ]
-    for k, (kind, w, h, q) in enumerate(cases):
-        rgb = content(kind, w, h, k)
-        webp = encode(rgb, w, h, q)
+    alpha_cases = [
+        ("agrad", 32, 32, 75), ("abin", 32, 32, 60),
+        ("anoise", 33, 17, 75), ("anoise", 64, 48, 90),
+    ]
+    for k, (kind, w, h, q) in enumerate(cases + alpha_cases):
+        if kind.startswith("a"):
+            webp = encode_rgba(alpha_content(kind, w, h, k), w, h, q)
+            assert b"ALPH" in webp, f"{kind}: no ALPH chunk emitted"
+        else:
+            webp = encode(content(kind, w, h, k), w, h, q)
         dw, dh, ybuf, ubuf, vbuf, rgba = decode(webp)
         assert (dw, dh) == (w, h)
         name = f"v{k:02d}_{kind}_{w}x{h}_q{q}.bin"
