@@ -1947,6 +1947,112 @@ object SparkEntry {
           t(s, d, "documents")), maxHamming = 3, bands = 4)
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))),
+    // --- WAV fmt-LAYOUT matrix decode [ext]: the two real-crawl fmt
+    // layouts beyond canonical PCM — IEEE float32 (fmt tag 3, what DAWs
+    // export) and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE with the real tag
+    // in the ksmedia SubFormat GUID, what Windows capture stacks emit)
+    // — plus 32-bit int PCM, previously all named failures. Fixtures
+    // cycle plain-float/extensible-float/extensible-PCM16/plain-int32;
+    // every profile plants the SAME int16 value per sample (floats
+    // store k/32768, exact in float32; int32 stores k·2^16), so ONE
+    // formula oracles the whole matrix through q270's census shape
+    // (budget <= 3 s) ---
+    "q282_wav_fmt_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticWavFmtMedia(
+          t(s, d, "documents"))).toDF()),
+    // --- COMPRESSED TIFF decode [ext]: real scanner/archival TIFFs are
+    // LZW (the TIFF variant with the spec's famous EARLY code-size
+    // change), Deflate, or PackBits compressed, usually with the
+    // horizontal-differencing predictor — all previously named
+    // failures. Each strip decompresses to EXACTLY its geometric size
+    // (hostile expansions fail by name), the predictor accumulates per
+    // sample channel, and the whole matrix is cross-pinned against the
+    // JDK's own ImageIO TIFF plugin in BOTH directions (RasterSpec).
+    // Fixtures rotate codec x predictor x photometric x byte order x
+    // strip layout over q271's closed form, so ONE formula oracles
+    // eight decode paths; census = position-sensitive block means
+    // (budget <= 3 s) ---
+    "q283_tiff_compressed_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticTiffCompressedMedia(
+          t(s, d, "documents")), blockPx = 2)),
+    // --- WIDE-sampling JPEG decode [ext]: sampling factors 3 and 4 —
+    // DV-lineage 4:1:1, 3:1:1, their vertical transposes, and the
+    // T.81 10-blocks-per-MCU boundary case 4x2 — were a named census
+    // bucket; the MCU walk and the sample-replication assembler were
+    // already factor-generic, so the close is the spec bound itself
+    // (sum of Hi·Vi <= 10, B.2.2) plus fixtures that earn each layout
+    // through wide MCUs with restart markers. Quadrant census over
+    // DC-only closed-form blocks; dims exact MCU multiples per variant
+    // (budget <= 3 s) ---
+    "q289_jpeg_sampling_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.jpegQuadrantStats(
+        graft.multimodal.Multimodal.syntheticJpegSampledMedia(
+          t(s, d, "documents"))).toDF()),
+    // --- BI_RLE8 BMP decode [ext]: the icon/screenshot era's dominant
+    // compressed BMP — run-length pairs with the four escapes (EOL,
+    // EOB, delta with skipped-pixels-stay-index-0, absolute mode with
+    // word alignment), bottom-up only per spec; fixtures alternate
+    // run-friendly content (encoded-run mode) with the q271 quadratic
+    // (absolute mode) so both paths land in the oracle; every cursor
+    // move bounds-checked by name (budget <= 3 s) ---
+    "q287_bmp_rle_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticBmpRleMedia(
+          t(s, d, "documents")), blockPx = 2)),
+    // --- 16-bit + TILED TIFF decode [ext]: scanner masters carry
+    // 16-bit samples (reduced to the planted HIGH byte over low-byte
+    // noise — II stores it SECOND, MM first, so a byte-order bug reads
+    // noise) and large-image TIFFs are TILED (tags 322-325, full-size
+    // edge tiles whose zero padding the clip must drop) — one unified
+    // segment walk decompresses strips and tiles through the same four
+    // codecs (budget <= 3 s) ---
+    "q288_tiff_deep_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticTiffDeepMedia(
+          t(s, d, "documents")), blockPx = 2)),
+    // --- G.711 u-law/A-law WAV decode [ext]: the telephony/VoIP codecs
+    // (fmt tags 7 and 6) — 8-bit companded bytes expanding through the
+    // published segment/mantissa closed forms (u-law: invert, mantissa
+    // <<3 + 132, shift by segment, re-bias; A-law: XOR 0x55, segment 0
+    // special case, MSB-set-positive — the INVERSE of u-law's sign).
+    // Every code point 0..255 is exercised; the oracle replays both
+    // expansions in integer SQL through q270's census shape
+    // (budget <= 3 s) ---
+    "q286_wav_g711_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticWavG711Media(
+          t(s, d, "documents"))).toDF()),
+    // --- COMPOSITED APNG decode [ext]: the FOURTH animation container
+    // (the PNG animation extension, now part of the W3C PNG spec) —
+    // fcTL/fdAT frames are full PNG streams placed at offsets, blended
+    // OVER (integer alpha compositing; alpha-0 pixels punch through) or
+    // REPLACING, with dispose none/background(-to-transparent)/previous
+    // — each frame decodes through the UNCHANGED still-PNG decoder via
+    // a synthesized per-frame stream, then routes through decodeVideoRgb
+    // so the whole frame-level video surface consumes real-crawl APNG
+    // with zero operator changes. Census = per-frame quadrant sums
+    // (position-sensitive); fixture = full base (dispose alternating by
+    // parity), transparent-pierced OVER rect with dispose-previous,
+    // opaque SOURCE rect; all alphas 0/255 so the algebra replays
+    // pixel-by-pixel (budget <= 3 s) ---
+    "q284_apng_composited_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.videoFrameQuadrants(
+        graft.multimodal.Multimodal.syntheticApngMedia(
+          t(s, d, "documents"))).toDF()),
+    // --- GIF <-> APNG cross-container video dedup [ext]: the q276
+    // contract extended to the fourth animation container — planted
+    // pairs share no container bytes (LZW code streams vs zlib scanline
+    // streams behind fcTL/fdAT) but composite to identical RGB, so
+    // shared-frame dedup flags every pair at match_frac 1; the video
+    // surface is now blind across AVI-DIB / MJPEG / GIF / animated WebP
+    // / APNG (budget <= 3 s) ---
+    "q285_gif_apng_video_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.videoNearDups(
+        graft.multimodal.MediaDedup.syntheticGifApngPairVideos(
+          t(s, d, "documents")), everyN = 2, maxHamming = 3, bands = 4,
+        minSharedFrac = 0.5)),
     // --- COMPOSITED animated-WebP decode [ext]: the q267 canvas story in
     // WebP's vocabulary — ANMF frames are VP8L-coded rects placed at
     // offsets, BLENDED (alpha-blend; alpha-0 pixels punch through to the
@@ -2066,22 +2172,24 @@ object SparkEntry {
     // fails by NAME, and this row turns that contract into telemetry —
     // attempt the full decode per item, count (format, outcome, cause)
     // buckets — so each remaining scope restriction (arithmetic-coded
-    // JPEG, sampling factors 3-4, 12-bit JPEG, >8-channel audio,
+    // JPEG, sampling factors beyond 4, 12-bit JPEG, >8-channel audio,
     // non-MJPG AVI codecs, truncation, hostile magic) is MEASURED on a
     // corpus instead of silently reverting items to header-only. Each
     // attempt is the decoder the OPERATOR SURFACE consumes: GIF takes
     // the COMPOSITED animation decode, so the partial-frame case (10)
     // lands `decoded` — the census measures real blind spots, not the
-    // stricter opt-in index-census contract. Fixture cycles twenty
-    // real encoder outputs, nine decodable (incl. 4:2:0 / interlaced
+    // stricter opt-in index-census contract. Fixture cycles twenty-six
+    // real encoder outputs, fifteen decodable (incl. 4:2:0 / interlaced
     // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP /
     // composited ANIMATED WebP / LOSSY VP8 WebP through the RFC 6386
     // keyframe decoder / ALPH-wrapped lossy with the alpha plane cycled
-    // across raw/compressed x filters) and ten patched into named
-    // failures (the metadata-only MP4 / MP3 / Ogg containers, whose
-    // REAL walks report the codec as evidence, and HEIC/AVIF stills
-    // surfaced as IMAGE buckets by ftyp brand); the aggregate is
-    // |formats x causes|-bounded, never corpus-shaped (budget <= 3 s) ---
+    // across raw/compressed x filters / float32 + G.711 WAV /
+    // LZW+predictor TIFF / composited APNG / BI_RLE8 BMP) and eleven
+    // patched into named failures (the metadata-only MP4 / MP3 / Ogg
+    // containers, whose REAL walks report the codec as evidence,
+    // HEIC/AVIF stills surfaced as IMAGE buckets by ftyp brand, and
+    // JPEG-in-TIFF); the aggregate is |formats x causes|-bounded, never
+    // corpus-shaped (budget <= 3 s) ---
     "q265_decode_health" -> ((s, d) =>
       graft.multimodal.Multimodal.mediaDecodeHealth(
         graft.multimodal.Multimodal.syntheticHealthMedia(
@@ -5364,6 +5472,199 @@ object SparkEntry {
         "CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming " +
         "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.h, y.h)) <= 3"),
+    // fmt-matrix replay: every profile (plain/extensible float32,
+    // extensible PCM16, int32 PCM) plants the SAME int16 value per
+    // sample, so q270's census formula covers the whole matrix with no
+    // per-profile CASE — the engine EARNS the equality through four
+    // different fmt-chunk walks and three sample conversions
+    "q282_wav_fmt_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(200 + (doc_id * 7) % 200 AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT media_id, n, unnest(range(n)) AS p FROM d), " +
+        "v AS (SELECT media_id, n, " +
+        "((media_id*23 + p*7) % 4096) - 2048 AS sv FROM s) " +
+        "SELECT media_id, CAST(1 AS INTEGER) AS channels, " +
+        "CAST(16000 AS INTEGER) AS sample_rate, n AS n_samples, " +
+        "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(sv)) AS BIGINT) AS peak " +
+        "FROM v GROUP BY media_id, n"),
+    // compressed-TIFF replay: q271's closed form verbatim — the engine
+    // earns it through eight different codec x predictor strip paths
+    "q283_tiff_compressed_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "((k % w)*(k % w)*(7 + media_id % 29) + " +
+        "(k // w)*(k // w)*(11 + media_id % 17) + " +
+        "(k % w)*(k // w)*(5 + media_id % 11) + media_id*23) % 251 AS gray " +
+        "FROM px), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // wide-sampling replay: the q266 DC-only closed form with
+    // variant-dependent dims — the engine earns it through four
+    // different wide-MCU walks
+    "q289_jpeg_sampling_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, doc_id % 5 AS v " +
+        "FROM documents), " +
+        "dm AS (SELECT media_id, " +
+        "CAST(CASE v WHEN 0 THEN 32 WHEN 1 THEN 16 WHEN 2 THEN 48 " +
+        "WHEN 3 THEN 16 ELSE 32 END AS INTEGER) AS width, " +
+        "CAST(CASE v WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 16 " +
+        "WHEN 3 THEN 48 ELSE 16 END AS INTEGER) AS height FROM d), " +
+        "b AS (SELECT media_id, width, height, " +
+        "unnest(range((width // 8) * (height // 8))) AS k FROM dm), " +
+        "g AS (SELECT media_id, width, height, " +
+        "k % (width // 8) AS bx, k // (width // 8) AS by, " +
+        "(media_id * 41 + k * (13 + media_id % 19)) % 256 AS gray FROM b) " +
+        "SELECT media_id, width, height, " +
+        "CAST(64 * sum(CASE WHEN bx < width // 16 AND by < height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_tl, " +
+        "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by < height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_tr, " +
+        "CAST(64 * sum(CASE WHEN bx < width // 16 AND by >= height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_bl, " +
+        "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by >= height // 16 " +
+        "THEN gray ELSE 0 END) AS BIGINT) AS q_br " +
+        "FROM g GROUP BY 1, 2, 3"),
+    // RLE8 replay: the parity CASE mirrors the fixture — run-friendly
+    // (x//3) form on even ids, the q271 quadratic on odd
+    "q287_bmp_rle_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "xx AS (SELECT media_id, w, h, k, CASE WHEN media_id % 2 = 0 " +
+        "THEN (k % w) // 3 ELSE k % w END AS gx FROM px), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "(gx*gx*(7 + media_id % 29) + " +
+        "(k // w)*(k // w)*(11 + media_id % 17) + " +
+        "gx*(k // w)*(5 + media_id % 11) + media_id*23) % 251 AS gray " +
+        "FROM xx), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // deep/tiled-TIFF replay: q271's closed form verbatim — the engine
+    // earns it through the 16-bit reductions and the tiled segment walk
+    "q288_tiff_deep_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "((k % w)*(k % w)*(7 + media_id % 29) + " +
+        "(k // w)*(k // w)*(11 + media_id % 17) + " +
+        "(k % w)*(k // w)*(5 + media_id % 11) + media_id*23) % 251 AS gray " +
+        "FROM px), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // G.711 replay: the published u-law/A-law segment expansions in
+    // integer SQL over the planted code bytes (sample_rate 8000 — the
+    // codecs' native rate)
+    "q286_wav_g711_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(200 + (doc_id * 7) % 200 AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT media_id, n, unnest(range(n)) AS p FROM d), " +
+        "cb AS (SELECT media_id, n, " +
+        "CAST((media_id*29 + p*13) % 256 AS INTEGER) AS c FROM s), " +
+        "ul AS (SELECT media_id, n, 255 - c AS u FROM cb " +
+        "WHERE media_id % 2 = 0), " +
+        "uv AS (SELECT media_id, n, " +
+        "CASE WHEN (u & 128) != 0 " +
+        "THEN 132 - ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) " +
+        "ELSE ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132 " +
+        "END AS sv FROM ul), " +
+        "al AS (SELECT media_id, n, xor(c, 85) AS a FROM cb " +
+        "WHERE media_id % 2 = 1), " +
+        "av AS (SELECT media_id, n, " +
+        "CASE WHEN (a & 128) != 0 THEN 1 ELSE -1 END * " +
+        "CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) << 4) + 8 " +
+        "ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1) " +
+        "END AS sv FROM al), " +
+        "v AS (SELECT * FROM uv UNION ALL SELECT * FROM av) " +
+        "SELECT media_id, CAST(1 AS INTEGER) AS channels, " +
+        "CAST(8000 AS INTEGER) AS sample_rate, n AS n_samples, " +
+        "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(sv)) AS BIGINT) AS peak " +
+        "FROM v GROUP BY media_id, n"),
+    // APNG replay: the q267 canvas algebra with APNG semantics — dispose
+    // BACKGROUND clears to transparent (gray 0, not a palette color),
+    // the pierced rect's dispose PREVIOUS removes it from frame 2, holes
+    // show the base on even ids and transparent black on odd
+    "q284_apng_composited_decode" ->
+      ("WITH d AS (SELECT doc_id AS media_id, doc_id % 2 AS par " +
+        "FROM documents), " +
+        "fr AS (SELECT media_id, par, unnest(range(3)) AS f FROM d), " +
+        "pp AS (SELECT media_id, par, f, unnest(range(256)) AS k FROM fr), " +
+        "c AS (SELECT media_id, par, f, k % 16 AS x, k // 16 AS y FROM pp), " +
+        "v AS (SELECT media_id, f, x, y, " +
+        "((media_id*23 + x*3 + y*5) % 64) * 4 + 1 AS v0, " +
+        "CASE WHEN par = 0 THEN ((media_id*23 + x*3 + y*5) % 64) * 4 + 1 " +
+        "ELSE 0 END AS base FROM c), " +
+        "g AS (SELECT media_id, f, x, y, " +
+        "CASE WHEN f = 0 THEN v0 " +
+        "WHEN f = 1 AND x BETWEEN 4 AND 11 AND y BETWEEN 4 AND 11 " +
+        "AND ((x-4) + (y-4)) % 3 <> 0 " +
+        "THEN ((media_id*7 + (x-4)*5 + (y-4)*3) % 63) * 4 + 1 " +
+        "WHEN f = 2 AND x >= 8 AND y < 8 " +
+        "THEN ((media_id*11 + (x-8)*7 + y*9) % 64) * 4 + 1 " +
+        "ELSE base END AS gray FROM v) " +
+        "SELECT media_id, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(sum(CASE WHEN x < 8 AND y < 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_tl, " +
+        "CAST(sum(CASE WHEN x >= 8 AND y < 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_tr, " +
+        "CAST(sum(CASE WHEN x < 8 AND y >= 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_bl, " +
+        "CAST(sum(CASE WHEN x >= 8 AND y >= 8 THEN gray ELSE 0 END) " +
+        "AS BIGINT) AS q_br " +
+        "FROM g GROUP BY 1, 2"),
+    // GIF<->APNG replay: q276's SQL verbatim — same dims, frame counts,
+    // and quadratic value family; only the odd member's CONTAINER
+    // changed, which the oracle never sees
+    "q285_gif_apng_video_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(8 + (g % 5) * 2 AS BIGINT) AS w, " +
+        "CAST(8 + ((g * 3) % 4) * 2 AS BIGINT) AS h, " +
+        "CAST(2 + g % 2 AS BIGINT) AS nf FROM dd), " +
+        "sf AS (SELECT doc_id, g, w, h, unnest(range(nf)) AS f FROM dm), " +
+        "sf2 AS (SELECT * FROM sf WHERE f % 2 = 0), " +
+        "px AS (SELECT doc_id, g, w, h, f, " +
+        "unnest(range(w * h)) AS k FROM sf2), " +
+        "v AS (SELECT doc_id, f, " +
+        "(g*37 + f*(11 + (g * 17) % 97) + (k % w)*(k % w)*(4 + (g % 11) * 5) + " +
+        "(k // w)*(k // w)*(3 + (g % 13) * 3) + " +
+        "(k % w)*(k // w)*(2 + (g % 7) * 9)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "m AS (SELECT doc_id, f, bx, by, sum(val) // count(*) AS mean " +
+        "FROM v GROUP BY 1, 2, 3, 4), " +
+        "bits AS (SELECT l.doc_id, l.f, l.by * 7 + l.bx AS j FROM m l " +
+        "JOIN m r ON l.doc_id = r.doc_id AND l.f = r.f AND r.by = l.by " +
+        "AND r.bx = l.bx + 1 WHERE l.mean < r.mean), " +
+        "fp AS MATERIALIZED (SELECT sf2.doc_id, sf2.f, " +
+        "coalesce(sum(CAST(1 AS BIGINT) << CAST(j AS INTEGER)), 0) AS dh " +
+        "FROM sf2 LEFT JOIN bits ON sf2.doc_id = bits.doc_id " +
+        "AND sf2.f = bits.f GROUP BY 1, 2), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sf2 GROUP BY 1), " +
+        "pmb AS (SELECT x.doc_id AS ma, y.doc_id AS mb, x.f AS fa, y.f AS fb " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.dh, y.dh)) <= 3), " +
+        "aggb AS (SELECT ma, mb, count(DISTINCT fa) AS matched_a, " +
+        "count(DISTINCT fb) AS matched_b FROM pmb GROUP BY 1, 2) " +
+        "SELECT ma AS media_a, mb AS media_b, " +
+        "CAST(matched_a AS BIGINT) AS matched_a, " +
+        "CAST(matched_b AS BIGINT) AS matched_b, " +
+        "least(matched_a / ca.n, matched_b / cb.n) AS match_frac " +
+        "FROM aggb JOIN cnt ca ON aggb.ma = ca.doc_id " +
+        "JOIN cnt cb ON aggb.mb = cb.doc_id " +
+        "WHERE least(matched_a / ca.n, matched_b / cb.n) >= 0.5"),
     // oriented-WebP-crop replay: the q263 arithmetic with this fixture's
     // coefficient family — the oracle works ENTIRELY in displayed
     // coordinates (the planted grid), never seeing the orientation or
@@ -5699,27 +6000,30 @@ object SparkEntry {
         "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by >= 1 " +
         "THEN gray ELSE 0 END) AS BIGINT) AS q_br " +
         "FROM g GROUP BY 1, 2, 3"),
-    // health replay: the nineteen planted cases map to fixed
+    // health replay: the twenty-six planted cases map to fixed
     // (format, outcome, cause) buckets; the engine must EARN each row by
     // running the real parser into its named failure
     "q265_decode_health" ->
-      ("WITH c AS (SELECT CASE doc_id % 20 " +
+      ("WITH c AS (SELECT CASE doc_id % 26 " +
         "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg' " +
         "WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' WHEN 5 THEN 'png' " +
         "WHEN 6 THEN 'jpeg' WHEN 7 THEN 'avi' WHEN 8 THEN 'unknown' " +
         "WHEN 10 THEN 'gif' WHEN 11 THEN 'webp' WHEN 12 THEN 'webp' " +
         "WHEN 13 THEN 'webp' WHEN 14 THEN 'mp4' WHEN 15 THEN 'mp3' " +
         "WHEN 16 THEN 'ogg' WHEN 17 THEN 'heic' WHEN 18 THEN 'avif' " +
-        "WHEN 19 THEN 'webp' " +
+        "WHEN 19 THEN 'webp' WHEN 20 THEN 'wav' WHEN 21 THEN 'wav' " +
+        "WHEN 22 THEN 'tiff' WHEN 23 THEN 'png' WHEN 24 THEN 'bmp' " +
+        "WHEN 25 THEN 'tiff' " +
         "ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 20 IN (0, 1, 3, 4, 7, 10, 11, 12, 13, 19) " +
+        "CASE WHEN doc_id % 26 IN (0, 1, 3, 4, 7, 10, 11, 12, 13, 19, " +
+        "20, 21, 22, 23, 24) " +
         "THEN 'decoded' ELSE 'skipped' END AS outcome, " +
-        "CASE doc_id % 20 WHEN 2 THEN 'unsupported_coding' " +
+        "CASE doc_id % 26 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
         "WHEN 14 THEN 'unsupported_codec' WHEN 15 THEN 'unsupported_codec' " +
         "WHEN 16 THEN 'unsupported_codec' WHEN 17 THEN 'unsupported_codec' " +
-        "WHEN 18 THEN 'unsupported_codec' " +
+        "WHEN 18 THEN 'unsupported_codec' WHEN 25 THEN 'unsupported_coding' " +
         "ELSE 'none' END AS cause FROM documents) " +
         "SELECT format, outcome, cause, " +
         "CAST(count(*) AS BIGINT) AS n_items FROM c GROUP BY 1, 2, 3"),

@@ -9,19 +9,21 @@ package graft.multimodal
   * boilerplate) was blind to the format while it stayed header-only.
   *
   * Decoder profile (restrictions FAIL FAST by name, the package
-  * contract): baseline sequential (SOF0), 8-bit samples, 8-bit
+  * contract): baseline sequential (SOF0) and progressive (SOF2 — see
+  * [[Jpeg.decodeRgb]]'s multi-scan path), 8-bit samples, 8-bit
   * quantization tables, 1 (grayscale) or 3 (YCbCr) components, sampling
-  * factors 1 or 2 per axis per component — which covers 4:4:4 (1×1),
-  * the web-dominant 4:2:0 (luma 2×2), 4:2:2 (2×1), and 4:4:0 (1×2) —
-  * one interleaved scan, optional restart intervals. Subsampled chroma
-  * upsamples by SAMPLE REPLICATION (nearest-neighbor: display pixel
-  * (x, y) reads component sample (x·Hᵢ/Hmax, y·Vᵢ/Vmax), floor
-  * arithmetic) — the portable choice; interpolating upsamplers differ
-  * legally between decoders, so cross-decoder pinning uses constant
-  * chroma planes, which every upsampler preserves. Progressive (SOF2),
-  * arithmetic coding, 12-bit, sampling factors 3/4, and multi-scan
-  * files are named errors — measured scope statements, counted by the
-  * decode-health census rather than silent.
+  * factors 1 to 4 per axis per component under T.81 B.2.2's
+  * 10-blocks-per-MCU bound — which covers 4:4:4 (1×1), the web-dominant
+  * 4:2:0 (luma 2×2), 4:2:2 (2×1), 4:4:0 (1×2), DV-lineage 4:1:1 (4×1)
+  * and 3:1:1, and their transposes — interleaved scans, optional
+  * restart intervals. Subsampled chroma upsamples by SAMPLE REPLICATION
+  * (nearest-neighbor: display pixel (x, y) reads component sample
+  * (x·Hᵢ/Hmax, y·Vᵢ/Vmax), floor arithmetic) — the portable choice;
+  * interpolating upsamplers differ legally between decoders, so
+  * cross-decoder pinning uses constant chroma planes, which every
+  * upsampler preserves. Arithmetic coding, 12-bit precision, and
+  * factors beyond 4 are named errors — measured scope statements,
+  * counted by the decode-health census rather than silent.
   *
   * Exactness contract: the IDCT is the textbook separable 8-point
   * float transform with round-half-up, then +128 level shift and a
@@ -282,14 +284,20 @@ private[graft] object Jpeg {
             val hv = u8(i + 9 + 3 * c)
             compH(c) = hv >> 4
             compV(c) = hv & 0x0F
-            require(compH(c) >= 1 && compH(c) <= 2 &&
-              compV(c) >= 1 && compV(c) <= 2,
-              s"media $id: only sampling factors 1 or 2 supported " +
+            require(compH(c) >= 1 && compH(c) <= 4 &&
+              compV(c) >= 1 && compV(c) <= 4,
+              s"media $id: only sampling factors 1 to 4 supported " +
                 s"(component $c has H=${compH(c)} V=${compV(c)})")
             compQ(c) = u8(i + 10 + 3 * c)
             require(compQ(c) < 4, s"media $id: bad quant table id ${compQ(c)}")
             c += 1
           }
+          // T.81 B.2.2: at most 10 data units per MCU in an interleaved
+          // scan — the spec's own bound on sampling-factor products
+          require(nComp == 1 ||
+            (0 until nComp).map(k => compH(k) * compV(k)).sum <= 10,
+            s"media $id: sampling factors exceed the 10-blocks-per-MCU " +
+              "bound (T.81 B.2.2)")
           i += len
         case sof if sof >= 0xC1 && sof <= 0xCF && sof != 0xC4 && sof != 0xC8 &&
           sof != 0xCC =>
@@ -1162,8 +1170,10 @@ private[graft] object Jpeg {
     require(hv.length == nComp, "one HV byte per component")
     val cH = hv.map(_ >> 4)
     val cV = hv.map(_ & 0x0F)
-    require(cH.forall(v => v >= 1 && v <= 2) && cV.forall(v => v >= 1 && v <= 2),
-      "sampling factors must be 1 or 2")
+    require(cH.forall(v => v >= 1 && v <= 4) && cV.forall(v => v >= 1 && v <= 4),
+      "sampling factors must be 1 to 4")
+    require(nComp == 1 || (0 until nComp).map(k => cH(k) * cV(k)).sum <= 10,
+      "sampling factors exceed the 10-blocks-per-MCU bound")
     val hMax = cH.max
     val vMax = cV.max
     val mcuW = (width + 8 * hMax - 1) / (8 * hMax)
@@ -1455,5 +1465,31 @@ private[graft] object Jpeg {
       }
     encodeBlocks(width, height, Array(luma, chroma(cbs), chroma(crs)),
       restartInterval, Array(0x22, 0x11, 0x11))
+  }
+
+  /** YCbCr fixture with an ARBITRARY luma sampling factor (the
+    * [[encodeGray420]] pattern generalized to H/V in 1..4 — 4:1:1,
+    * 3:1:1, vertical variants): DC-only luma blocks from `grays`
+    * (block-grid row-major over the mcuW·H × mcuH·V luma plane),
+    * neutral chroma (Cb=Cr=128 makes R=G=B=Y exact — the closed-form
+    * replay path). */
+  def encodeGraySampled(width: Int, height: Int, grays: Array[Int],
+                        hvLuma: Int,
+                        restartInterval: Int = 0): Array[Byte] = {
+    val hL = hvLuma >> 4; val vL = hvLuma & 0x0F
+    val mcuW = (width + 8 * hL - 1) / (8 * hL)
+    val mcuH = (height + 8 * vL - 1) / (8 * vL)
+    require(grays.length == mcuW * hL * mcuH * vL,
+      s"need ${mcuW * hL} x ${mcuH * vL} luma block grays, " +
+        s"got ${grays.length}")
+    val luma = grays.map { g =>
+      require(g >= 0 && g <= 255, s"gray $g out of range")
+      val blk = new Array[Int](64)
+      blk(0) = g - 128
+      blk
+    }
+    def neutral = Array.fill(mcuW * mcuH)(new Array[Int](64))
+    encodeBlocks(width, height, Array(luma, neutral, neutral),
+      restartInterval, Array(hvLuma, 0x11, 0x11))
   }
 }

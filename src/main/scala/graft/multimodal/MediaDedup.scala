@@ -1381,6 +1381,45 @@ object MediaDedup {
     }
   }
 
+  /** GIF ↔ APNG cross-container video pairs (g = doc_id/2): the even
+    * member an ANIMATED GIF, the odd member an ANIMATED PNG (full-canvas
+    * opaque SOURCE frames, each a real deflate-filtered PNG stream
+    * behind fcTL/fdAT) of the SAME planted frames — the q276 contract
+    * extended to the FOURTH animation container, same dims/frame-count/
+    * value formula so one oracle covers both rows. No shared container
+    * bytes (LZW code streams vs zlib scanline streams), identical
+    * composited RGB, frame-for-frame collision at match_frac 1. */
+  def syntheticGifApngPairVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grayPalette = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      val w = (8 + (g % 5) * 2).toInt
+      val h = (8 + ((g * 3) % 4) * 2).toInt
+      val nf = (2 + g % 2).toInt
+      // the q258 QUADRATIC grid family (see syntheticGifWebpPairVideos)
+      def v(f: Int, x: Int, y: Int): Int =
+        ((g * 37 + f * (11 + (g * 17) % 97) + x * x * (4 + (g % 11) * 5) +
+          y * y * (3 + (g % 13) * 3) + x * y * (2 + (g % 7) * 9))
+          % 256).toInt
+      if (id % 2 == 0)
+        MediaRow(id, "video",
+          Containers.gifAnimated(w, h, nf, (f, k) => v(f, k % w, k / w),
+            grayPalette, minCodeSize = 8), w, h, nf)
+      else {
+        val frames = (0 until nf).map { f =>
+          Containers.ApngFrameSpec(0, 0, w, h, { i =>
+            if (i % 4 == 3) 255
+            else { val k = i / 4; v(f, k % w, k / w) }
+          }, filterType = ((g + f) % 5).toInt)
+        }
+        MediaRow(id, "video", Containers.pngAnimated(w, h, frames),
+          w, h, nf)
+      }
+    }
+  }
+
   /** Cross-CONTAINER video fixtures: doc_ids come in planted pairs
     * (group g = doc_id/2) — the even member an AVI carrying uncompressed
     * DIB frames, the odd member an ANIMATED GIF (per-frame LZW streams,

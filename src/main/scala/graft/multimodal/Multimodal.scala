@@ -297,6 +297,77 @@ object Multimodal {
         pngChunk("IEND", Array.emptyByteArray)
     }
 
+    /** One APNG frame: a `w`x`h` RGBA rect presented at (`x`, `y`);
+      * `px(i)` supplies the i-th RGBA byte of the rect (row-major,
+      * interleaved — the [[pngFull]] convention). `dispose` 0 none /
+      * 1 background / 2 previous; `blend` 0 source / 1 over. */
+    final case class ApngFrameSpec(x: Int, y: Int, w: Int, h: Int,
+                                   px: Int => Int, dispose: Int = 0,
+                                   blend: Int = 0, filterType: Int = 0)
+
+    /** SPEC-COMPLETE APNG (the PNG animation extension, now folded into
+      * the W3C PNG spec third edition): 8-bit RGBA IHDR, acTL frame
+      * count, frame 0 as fcTL + IDAT (the default image participating
+      * in the animation), later frames as fcTL + fdAT with the SHARED
+      * sequence counter fcTL and fdAT both consume, real CRC32 on every
+      * chunk. Frame rows go through the same scanline filters as
+      * [[pngFull]]. The first frame must cover the whole canvas, per
+      * spec. */
+    def pngAnimated(width: Int, height: Int,
+                    frames: Seq[ApngFrameSpec]): Array[Byte] = {
+      require(frames.nonEmpty, "pngAnimated needs at least one frame")
+      val f0 = frames.head
+      require(f0.x == 0 && f0.y == 0 && f0.w == width && f0.h == height,
+        "the first APNG frame must cover the whole canvas, per spec")
+      frames.foreach { f =>
+        require(f.x >= 0 && f.y >= 0 && f.x + f.w <= width &&
+          f.y + f.h <= height, "APNG frame rect exceeds the canvas")
+        require(f.dispose >= 0 && f.dispose <= 2 &&
+          (f.blend == 0 || f.blend == 1), "bad dispose/blend op")
+      }
+      def deflate(raw: Array[Byte]): Array[Byte] = {
+        val deflater = new java.util.zip.Deflater()
+        deflater.setInput(raw); deflater.finish()
+        val z = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+        deflater.end()
+        z.toByteArray
+      }
+      def frameData(f: ApngFrameSpec): Array[Byte] =
+        deflate(pngFilterRows(f.w, f.h, 4,
+          (y, i) => f.px(y * f.w * 4 + i), f.filterType))
+      def fctl(seq: Int, f: ApngFrameSpec): Array[Byte] =
+        ByteBuffer.allocate(26).putInt(seq).putInt(f.w).putInt(f.h)
+          .putInt(f.x).putInt(f.y)
+          .putShort(1.toShort).putShort(10.toShort) // 1/10 s delay
+          .put(f.dispose.toByte).put(f.blend.toByte).array()
+      val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+        .put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      val actl = ByteBuffer.allocate(8).putInt(frames.length).putInt(0)
+        .array()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(sig)
+      out.write(pngChunk("IHDR", ihdr))
+      out.write(pngChunk("acTL", actl))
+      var seq = 0
+      out.write(pngChunk("fcTL", fctl(seq, f0))); seq += 1
+      out.write(pngChunk("IDAT", frameData(f0)))
+      frames.drop(1).foreach { f =>
+        out.write(pngChunk("fcTL", fctl(seq, f))); seq += 1
+        val data = frameData(f)
+        val fdat = new Array[Byte](4 + data.length)
+        ByteBuffer.wrap(fdat).putInt(seq).put(data)
+        seq += 1
+        out.write(pngChunk("fdAT", fdat))
+      }
+      out.write(pngChunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+
     /** GIF-variant LZW compress (GIF89a spec, Appendix F): variable-width
       * codes starting at minCodeSize+1 bits, LSB-first bit packing, CLEAR
       * = 2^min and EOI = CLEAR+1 reserved, dictionary grown one entry per
@@ -570,6 +641,46 @@ object Multimodal {
       bb.putInt(sampleRate * channels * (bits / 8))
       bb.putShort((channels * (bits / 8)).toShort)
       bb.putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(body.length)
+      bb.put(body).array()
+    }
+
+    /** WAV beyond canonical PCM — the other two real-crawl fmt layouts:
+      * `fmtTag` 3 writes an IEEE-float fmt chunk (bits must be 32, body
+      * is raw float32 LE), and `extensible = true` wraps either tag in a
+      * 40-byte WAVE_FORMAT_EXTENSIBLE fmt chunk (tag 0xFFFE, cbSize 22,
+      * wValidBitsPerSample = bits, zero channel mask, the real format
+      * tag in the leading two bytes of the standard ksmedia SubFormat
+      * GUID) — what DAW exports and Windows capture stacks emit. */
+    def wavTyped(channels: Int, sampleRate: Int, body: Array[Byte],
+                 bits: Int, fmtTag: Int = 1,
+                 extensible: Boolean = false): Array[Byte] = {
+      require(fmtTag == 1 || fmtTag == 3 || fmtTag == 6 || fmtTag == 7,
+        s"fmt tag $fmtTag")
+      require(fmtTag match {
+        case 3 => bits == 32
+        case 6 | 7 => bits == 8
+        case _ => bits == 8 || bits == 16 || bits == 24 || bits == 32
+      }, s"bits $bits for fmt tag $fmtTag")
+      val fmtLen = if (extensible) 40 else 16
+      val bb = ByteBuffer.allocate(20 + fmtLen + 8 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + fmtLen + 8 + body.length)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+      bb.putShort((if (extensible) 0xFFFE else fmtTag).toShort)
+      bb.putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * (bits / 8))
+      bb.putShort((channels * (bits / 8)).toShort)
+      bb.putShort(bits.toShort)
+      if (extensible) {
+        bb.putShort(22.toShort) // cbSize
+        bb.putShort(bits.toShort) // wValidBitsPerSample
+        bb.putInt(0) // dwChannelMask
+        bb.putShort(fmtTag.toShort) // SubFormat GUID: real tag first
+        bb.put(Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+          0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte))
+      }
       bb.put("data".getBytes("US-ASCII")).putInt(body.length)
       bb.put(body).array()
     }
@@ -1437,6 +1548,7 @@ object Multimodal {
       s"media $id: not a RIFF/WAVE container")
     var off = 12
     var channels = 0; var rate = 0; var bits = 0
+    var fmtTag = 1
     var sawData = false
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     while (off + 8 <= p.length) {
@@ -1448,12 +1560,39 @@ object Multimodal {
       require(dataOff.toLong + len <= p.length, s"media $id: truncated $t chunk")
       t match {
         case "fmt " =>
-          require(le16(dataOff) == 1,
-            s"media $id: only PCM (format 1) supported, got ${le16(dataOff)}")
+          // WAVE_FORMAT_EXTENSIBLE (0xFFFE) wraps the REAL format tag in
+          // the first two bytes of the 16-byte SubFormat GUID at fmt
+          // offset 24 (the rest is the fixed ksmedia.h tail, verified by
+          // name — a nonstandard GUID means an unknown codec, not PCM)
+          var tagV = le16(dataOff)
+          if (tagV == 0xFFFE) {
+            require(len >= 40,
+              s"media $id: extensible fmt chunk too short ($len bytes)")
+            val guidTail = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00,
+              0xAA, 0x00, 0x38, 0x9B, 0x71)
+            var gi = 0
+            while (gi < 12) {
+              require((p(dataOff + 28 + gi) & 0xFF) == guidTail(gi),
+                s"media $id: nonstandard extensible SubFormat GUID")
+              gi += 1
+            }
+            tagV = le16(dataOff + 24)
+          }
+          require(tagV == 1 || tagV == 3 || tagV == 6 || tagV == 7,
+            s"media $id: only PCM (1), IEEE float (3), A-law (6) or " +
+              s"u-law (7) WAV supported, got format $tagV")
+          fmtTag = tagV
           channels = le16(dataOff + 2); rate = le32(dataOff + 4)
           bits = le16(dataOff + 14)
-          require(bits == 8 || bits == 16 || bits == 24,
-            s"media $id: only 8/16/24-bit PCM supported, got $bits")
+          tagV match {
+            case 3 => require(bits == 32,
+              s"media $id: only 32-bit IEEE float supported, got $bits")
+            case 6 | 7 => require(bits == 8,
+              s"media $id: G.711 samples are 8-bit, got $bits")
+            case _ =>
+              require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+                s"media $id: only 8/16/24/32-bit PCM supported, got $bits")
+          }
         case "data" =>
           sawData = true
           spans += ((dataOff, len)) // parsed after the walk: depth known
@@ -1465,13 +1604,45 @@ object Multimodal {
       s"media $id: missing fmt or data chunk")
     // decode every data chunk at the declared depth, normalized to int16
     // (the documented DETERMINISTIC conversions: unsigned 8-bit maps
-    // (u − 128) · 256, 24-bit keeps its top 16 bits via arithmetic
-    // shift); trailing bytes that do not fill a sample are ignored per
-    // chunk, as before
+    // (u − 128) · 256, 24/32-bit keep their top 16 bits via arithmetic
+    // shift, IEEE float scales by 32768 with round-half-even and clamps
+    // to the int16 range — NaN maps to 0 by definition so hostile
+    // payloads stay deterministic — and the G.711 companded bytes expand
+    // through the published segment/mantissa closed forms); trailing
+    // bytes that do not fill a sample are ignored per chunk, as before
     val samples = new scala.collection.mutable.ArrayBuilder.ofShort
     spans.foreach { case (dataOff, len) =>
       var i = dataOff
-      bits match {
+      if (fmtTag == 7) { // G.711 u-law: invert, then segment expansion
+        while (i < dataOff + len) {
+          val u = ~p(i) & 0xFF
+          val mag = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+          samples += (if ((u & 0x80) != 0) 0x84 - mag else mag - 0x84)
+            .toShort
+          i += 1
+        }
+      } else if (fmtTag == 6) { // G.711 A-law: XOR 0x55, segmented
+        while (i < dataOff + len) {
+          val a = (p(i) & 0xFF) ^ 0x55
+          val seg = (a >> 4) & 7
+          val mag =
+            if (seg == 0) ((a & 0xF) << 4) + 8
+            else (((a & 0xF) << 4) + 0x108) << (seg - 1)
+          // MSB SET means positive in A-law, the inverse of u-law
+          samples += (if ((a & 0x80) != 0) mag else -mag).toShort
+          i += 1
+        }
+      } else if (fmtTag == 3) {
+        while (i + 3 < dataOff + len) {
+          val v = java.lang.Float.intBitsToFloat(le32(i))
+          val s =
+            if (java.lang.Float.isNaN(v)) 0
+            else math.max(-32768L, math.min(32767L,
+              math.rint(v.toDouble * 32768.0).toLong)).toInt
+          samples += s.toShort
+          i += 4
+        }
+      } else bits match {
         case 16 =>
           while (i + 1 < dataOff + len) { samples += le16(i).toShort; i += 2 }
         case 8 =>
@@ -1479,12 +1650,17 @@ object Multimodal {
             samples += (((p(i) & 0xFF) - 128) << 8).toShort
             i += 1
           }
-        case _ => // 24-bit signed little-endian
+        case 24 =>
           while (i + 2 < dataOff + len) {
             val v = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8) |
               (p(i + 2).toInt << 16)
             samples += (v >> 8).toShort
             i += 3
+          }
+        case _ => // 32-bit signed little-endian int PCM
+          while (i + 3 < dataOff + len) {
+            samples += (le32(i) >> 16).toShort
+            i += 4
           }
       }
     }
@@ -1831,23 +2007,262 @@ object Multimodal {
     (sw, sh, out)
   }
 
+  private[graft] def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte
+
+  /** True iff the PNG is animated: an acTL chunk BEFORE the first IDAT,
+    * per the APNG spec (an acTL after IDAT must be ignored). Bounded
+    * header walk — every iteration advances at least 12 bytes. */
+  private[graft] def hasApng(p: Array[Byte]): Boolean = {
+    if (!isPng(p)) return false
+    def be(off: Int): Int =
+      ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+        ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+    var off = 8
+    while (off + 8 <= p.length) {
+      val len = be(off)
+      if (len < 0 || off.toLong + 8 + len + 4 > p.length) return false
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      if (typ == "acTL") return true
+      if (typ == "IDAT" || typ == "IEND") return false
+      off += 8 + len + 4
+    }
+    false
+  }
+
+  /** COMPOSITED APNG decode — the PNG animation extension (acTL frame
+    * count, fcTL frame controls, fdAT frame data; one sequence counter
+    * shared by fcTL and fdAT, validated by name): each frame's rect is
+    * a full PNG image stream, so every frame REUSES [[decodePngRgba]]
+    * verbatim — any color type, bit depth, filter, or interlace an APNG
+    * author used — via a synthesized per-frame PNG (the original IHDR
+    * with the rect's dims patched in, PLTE/tRNS carried over, the
+    * frame's data as IDAT). Canvas algebra per spec: RGBA canvas starts
+    * fully transparent; blend 0 REPLACES the rect, blend 1 alpha-
+    * composites OVER it (the deterministic integer form; fixtures plant
+    * 0/255 alphas so the oracle replay is exact); dispose 0 keeps,
+    * 1 clears the rect to transparent, 2 restores the pre-frame rect
+    * (treated as 1 on the first frame, per spec). Presented frames emit
+    * straight RGB — transparent pixels read as the canvas's zeroed
+    * channels (black), matching the transparent-init contract. Total
+    * decoded volume bounded by w·h·(frames+1) before any frame decodes
+    * (the GIF/WebP animation bound). */
+  private[graft] def decodeApngFrames(id: Long, p: Array[Byte])
+      : (Int, Int, Array[Array[Byte]]) = {
+    def be(off: Int): Int =
+      ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+        ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+    require(isPng(p), s"media $id: not a PNG signature")
+    final case class Fctl(fw: Int, fh: Int, fx: Int, fy: Int,
+                          dispose: Int, blend: Int)
+    var ihdr: Array[Byte] = null
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
+    var numFrames = -1
+    val fctls = scala.collection.mutable.ArrayBuffer.empty[Fctl]
+    val data = scala.collection.mutable.ArrayBuffer
+      .empty[java.io.ByteArrayOutputStream]
+    var expectedSeq = 0
+    var sawIdat = false
+    var off = 8
+    var done = false
+    while (!done && off + 8 <= p.length) {
+      val len = be(off)
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      val dataOff = off + 8
+      // hostile-length guards: see decodePngRgba
+      require(len >= 0, s"media $id: negative $typ chunk length $len")
+      require(dataOff.toLong + len + 4 <= p.length,
+        s"media $id: truncated $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"media $id: bad IHDR length $len")
+          ihdr = java.util.Arrays.copyOfRange(p, dataOff, dataOff + 13)
+        case "PLTE" =>
+          plte = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len)
+        case "tRNS" =>
+          trns = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len)
+        case "acTL" =>
+          require(len == 8, s"media $id: bad acTL length $len")
+          require(!sawIdat, s"media $id: acTL after IDAT")
+          numFrames = be(dataOff)
+        case "fcTL" =>
+          require(len == 26, s"media $id: bad fcTL length $len")
+          require(be(dataOff) == expectedSeq,
+            s"media $id: APNG sequence number ${be(dataOff)}, " +
+              s"expected $expectedSeq")
+          expectedSeq += 1
+          fctls += Fctl(be(dataOff + 4), be(dataOff + 8), be(dataOff + 12),
+            be(dataOff + 16), p(dataOff + 24) & 0xFF, p(dataOff + 25) & 0xFF)
+          data += new java.io.ByteArrayOutputStream()
+        case "IDAT" =>
+          // the default image is frame 0 of the animation ONLY when an
+          // fcTL precedes it; a bare IDAT is a non-animated poster image
+          // and contributes no frame
+          require(fctls.length <= 1,
+            s"media $id: IDAT after fdAT frames")
+          sawIdat = true
+          if (fctls.length == 1) data(0).write(p, dataOff, len)
+        case "fdAT" =>
+          require(len >= 4, s"media $id: bad fdAT length $len")
+          require(fctls.nonEmpty, s"media $id: fdAT before any fcTL")
+          require(be(dataOff) == expectedSeq,
+            s"media $id: APNG sequence number ${be(dataOff)}, " +
+              s"expected $expectedSeq")
+          expectedSeq += 1
+          data(fctls.length - 1).write(p, dataOff + 4, len - 4)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      off = dataOff + len + 4
+    }
+    require(ihdr != null, s"media $id: missing IHDR")
+    require(numFrames >= 1, s"media $id: not an animated PNG (no acTL)")
+    require(fctls.length == numFrames,
+      s"media $id: acTL declares $numFrames frames, found ${fctls.length}")
+    def ihdrBe(o: Int): Int =
+      ((ihdr(o) & 0xFF) << 24) | ((ihdr(o + 1) & 0xFF) << 16) |
+        ((ihdr(o + 2) & 0xFF) << 8) | (ihdr(o + 3) & 0xFF)
+    val w = ihdrBe(0); val h = ihdrBe(4)
+    require(w > 0 && h > 0, s"media $id: bad APNG canvas ${w}x$h")
+    require(w.toLong * h * (numFrames + 1) <= MaxDecodePixels,
+      s"media $id: APNG exceeds the $MaxDecodePixels-pixel decode bound")
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    // synthesize one standalone PNG per frame (decodePngRgba ignores
+    // chunk CRCs, so zeroed CRC cells are fine)
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + body.length)
+      out(0) = (body.length >> 24).toByte; out(1) = (body.length >> 16).toByte
+      out(2) = (body.length >> 8).toByte; out(3) = body.length.toByte
+      typ.getBytes("US-ASCII").copyToArray(out, 4)
+      body.copyToArray(out, 8)
+      out
+    }
+    val canvas = new Array[Byte](4 * w * h)
+    val frames = new Array[Array[Byte]](numFrames)
+    var fi = 0
+    while (fi < numFrames) {
+      val f = fctls(fi)
+      require(f.fw > 0 && f.fh > 0 && f.fx >= 0 && f.fy >= 0 &&
+        f.fx.toLong + f.fw <= w && f.fy.toLong + f.fh <= h,
+        s"media $id: APNG frame $fi rect ${f.fw}x${f.fh} at " +
+          s"(${f.fx}, ${f.fy}) exceeds the ${w}x$h canvas")
+      require(f.dispose <= 2 && f.blend <= 1,
+        s"media $id: APNG frame $fi dispose ${f.dispose} / blend " +
+          s"${f.blend} out of range")
+      val fh2 = ihdr.clone()
+      fh2(0) = (f.fw >> 24).toByte; fh2(1) = (f.fw >> 16).toByte
+      fh2(2) = (f.fw >> 8).toByte; fh2(3) = f.fw.toByte
+      fh2(4) = (f.fh >> 24).toByte; fh2(5) = (f.fh >> 16).toByte
+      fh2(6) = (f.fh >> 8).toByte; fh2(7) = f.fh.toByte
+      val one = new java.io.ByteArrayOutputStream()
+      one.write(sig)
+      one.write(chunk("IHDR", fh2))
+      if (plte != null) one.write(chunk("PLTE", plte))
+      if (trns != null) one.write(chunk("tRNS", trns))
+      one.write(chunk("IDAT", data(fi).toByteArray))
+      one.write(chunk("IEND", Array.emptyByteArray))
+      val (dw, dh, rgba) = decodePngRgba(id, one.toByteArray)
+      require(dw == f.fw && dh == f.fh,
+        s"media $id: APNG frame $fi decoded ${dw}x$dh, fcTL declares " +
+          s"${f.fw}x${f.fh}")
+      // dispose 2 on the first frame degrades to 1, per spec
+      val dispose = if (fi == 0 && f.dispose == 2) 1 else f.dispose
+      val saved =
+        if (dispose == 2) {
+          val s = new Array[Byte](4 * f.fw * f.fh)
+          var y = 0
+          while (y < f.fh) {
+            System.arraycopy(canvas, 4 * ((f.fy + y) * w + f.fx),
+              s, 4 * y * f.fw, 4 * f.fw)
+            y += 1
+          }
+          s
+        } else null
+      var y = 0
+      while (y < f.fh) {
+        var x = 0
+        while (x < f.fw) {
+          val s = 4 * (y * f.fw + x)
+          val d = 4 * ((f.fy + y) * w + (f.fx + x))
+          val sa = rgba(s + 3) & 0xFF
+          if (f.blend == 0 || sa == 255) {
+            canvas(d) = rgba(s); canvas(d + 1) = rgba(s + 1)
+            canvas(d + 2) = rgba(s + 2); canvas(d + 3) = rgba(s + 3)
+          } else if (sa > 0) {
+            // deterministic integer OVER: out = src + dst·(255−sa)/255
+            // on straight channels weighted by alpha
+            val da = canvas(d + 3) & 0xFF
+            val oa = sa + da * (255 - sa) / 255
+            var c = 0
+            while (c < 3) {
+              val sv = rgba(s + c) & 0xFF
+              val dv = canvas(d + c) & 0xFF
+              canvas(d + c) =
+                (if (oa == 0) 0
+                else (sv * sa * 255 + dv * da * (255 - sa)) / (oa * 255))
+                  .toByte
+              c += 1
+            }
+            canvas(d + 3) = oa.toByte
+          } // sa == 0 under OVER: keep the destination
+          x += 1
+        }
+        y += 1
+      }
+      // presented frame: straight RGB snapshot
+      val rgb = new Array[Byte](3 * w * h)
+      var k = 0
+      while (k < w * h) {
+        rgb(3 * k) = canvas(4 * k); rgb(3 * k + 1) = canvas(4 * k + 1)
+        rgb(3 * k + 2) = canvas(4 * k + 2)
+        k += 1
+      }
+      frames(fi) = rgb
+      dispose match {
+        case 1 => // clear the rect to fully transparent
+          var yy = 0
+          while (yy < f.fh) {
+            java.util.Arrays.fill(canvas, 4 * ((f.fy + yy) * w + f.fx),
+              4 * ((f.fy + yy) * w + f.fx + f.fw), 0.toByte)
+            yy += 1
+          }
+        case 2 =>
+          var yy = 0
+          while (yy < f.fh) {
+            System.arraycopy(saved, 4 * yy * f.fw, canvas,
+              4 * ((f.fy + yy) * w + f.fx), 4 * f.fw)
+            yy += 1
+          }
+        case _ => ()
+      }
+      fi += 1
+    }
+    (w, h, frames)
+  }
+
   /** FORMAT-BLIND video decode: RIFF/AVI payloads take [[decodeAviRgb]];
     * GIF payloads take the COMPOSITED animation decode
     * ([[decodeGifComposited]] — partial-frame rects, disposal methods,
     * transparency; a full-frame opaque animation composites to exactly
     * its per-frame palette map); ANIMATED WebP takes the ANMF
     * compositing walk ([[Webp.decodeAnimFrames]] — the same canvas
-    * algebra with the format's blend/dispose flags), and a STILL WebP is
-    * a one-frame video (its RGB channels) — so an animated-WebP or
+    * algebra with the format's blend/dispose flags), ANIMATED PNG takes
+    * the fcTL/fdAT compositing walk ([[decodeApngFrames]] — each frame
+    * through the full still-PNG decoder), and a STILL WebP is a
+    * one-frame video (its RGB channels) — so an animated-WebP, APNG, or
     * animated-GIF re-encode of an AVI carries pixel-identical frames and
     * every frame-level video operator (hashing, dedup, shots, quality)
-    * works across all three container boundaries, including on
+    * works across all four container boundaries, including on
     * real-crawl partial-frame animations. */
   private[graft] def decodeVideoRgb(id: Long, p: Array[Byte])
       : (Int, Int, Array[Array[Byte]]) =
     if (p.length >= 3 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
         p(2) == 'F'.toByte)
       decodeGifComposited(id, p)
+    else if (hasApng(p)) decodeApngFrames(id, p)
     else if (Webp.hasAnim(p)) Webp.decodeAnimFrames(id, p)
     else if (Webp.isWebp(p)) {
       val (w, h, rgba) = Webp.decodeWebpRgba(id, p)
@@ -1950,6 +2365,43 @@ object Multimodal {
         GifFrameSpec(4, 4, 8, 8, idx1, disposal = 0, transparentIdx = 63),
         GifFrameSpec(8, 0, 8, 8, idx2)), palette, bgIndex = 0)
       MediaRow(id, "video", payload, 16, 16, 3)
+    }
+  }
+
+  /** COMPOSITED APNG fixtures — the q267 canvas story in PNG's
+    * vocabulary: a full opaque base (dispose NONE on even ids,
+    * BACKGROUND — clear to transparent — on odd), a centered partial
+    * rect blended OVER with every third diagonal pixel fully TRANSPARENT
+    * (the canvas shows through; after an odd id's background disposal
+    * that is transparent black) and dispose PREVIOUS (the pre-frame rect
+    * restores after presentation), then an opaque top-right SOURCE rect.
+    * All alphas 0/255 so the integer OVER is exact and the oracle
+    * replays the canvas algebra pixel-by-pixel. */
+  def syntheticApngMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      import Containers.ApngFrameSpec
+      def g0(x: Int, y: Int): Int = (((id * 23 + x * 3 + y * 5) % 64) * 4 + 1).toInt
+      def g1(lx: Int, ly: Int): Int = (((id * 7 + lx * 5 + ly * 3) % 63) * 4 + 1).toInt
+      def g2(lx: Int, ly: Int): Int = (((id * 11 + lx * 7 + ly * 9) % 64) * 4 + 1).toInt
+      val base = ApngFrameSpec(0, 0, 16, 16, { i =>
+        val k = i / 4
+        if (i % 4 == 3) 255 else g0(k % 16, k / 16)
+      }, dispose = if (id % 2 == 0) 0 else 1, filterType = (id % 5).toInt)
+      val pierced = ApngFrameSpec(4, 4, 8, 8, { i =>
+        val k = i / 4; val lx = k % 8; val ly = k / 8
+        if ((lx + ly) % 3 == 0) 0 // fully transparent: punches through
+        else if (i % 4 == 3) 255
+        else g1(lx, ly)
+      }, dispose = 2, blend = 1, filterType = ((id + 2) % 5).toInt)
+      val topRight = ApngFrameSpec(8, 0, 8, 8, { i =>
+        val k = i / 4
+        if (i % 4 == 3) 255 else g2(k % 8, k / 8)
+      })
+      MediaRow(id, "video",
+        Containers.pngAnimated(16, 16, Seq(base, pierced, topRight)),
+        16, 16, 3)
     }
   }
 
@@ -2318,16 +2770,24 @@ object Multimodal {
     "MJPG" -> "unsupported_codec",
     "animated WebP" -> "unsupported_codec",
     "metadata-only" -> "unsupported_codec",
-    "BI_RGB BMP" -> "unsupported_coding",
+    "BI_RLE8 BMP" -> "unsupported_coding",
+    "BI_RLE8 requires" -> "unsupported_coding",
     "bit counts" -> "unsupported_depth",
-    "uncompressed TIFF" -> "unsupported_coding",
+    "TIFF compression" -> "unsupported_coding",
+    "TIFF predictor" -> "unsupported_coding",
     "planar configuration" -> "unsupported_coding",
-    "neither a global nor a local color table" -> "no_color_table")
+    "neither a global nor a local color table" -> "no_color_table",
+    // corrupt entropy streams behind a valid header — a real crawl
+    // failure mode distinct from scope restrictions (ordered after
+    // "truncated" so short payloads keep their more specific bucket)
+    "corrupt" -> "corrupt_stream",
+    "LZW" -> "corrupt_stream",
+    "PackBits" -> "corrupt_stream")
 
   /** Corpus format-coverage health: attempt the FULL pixel/sample decode
     * for every item and aggregate outcomes by format and NAMED cause —
     * (format, outcome, cause, n_items). Every remaining scope
-    * restriction (arithmetic coding, sampling factors 3–4, 12-bit JPEG,
+    * restriction (arithmetic coding, sampling factors beyond 4, 12-bit JPEG,
     * >8-channel audio, non-MJPG AVI codecs) becomes a MEASURED row
     * instead of a silent fallback to header-only: a curation run can
     * report exactly what fraction of its corpus each blind spot costs.
@@ -2374,6 +2834,9 @@ object Multimodal {
             // measures the operator-surface truth, and stills reject
             // animations by name either way)
             case "webp" if Webp.hasAnim(p) => Webp.decodeAnimFrames(m.media_id, p)
+            // animated PNG likewise takes the compositing walk the video
+            // surface consumes
+            case "png" if hasApng(p) => decodeApngFrames(m.media_id, p)
             case "png" | "bmp" | "tiff" | "webp" => decodeStillRgba(m.media_id, p)
             case "gif" => decodeGifComposited(m.media_id, p)
             case "jpeg" => Jpeg.decodeRgb(m.media_id, p)
@@ -2421,18 +2884,20 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"))
   }
 
-  /** Mixed-health fixtures: twenty deterministic corpus cases cycling
-    * by doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF / stereo
-    * FLAC / MJPEG AVI / PARTIAL-FRAME animated GIF (disposal +
+  /** Mixed-health fixtures: twenty-six deterministic corpus cases
+    * cycling by doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF /
+    * stereo FLAC / MJPEG AVI / PARTIAL-FRAME animated GIF (disposal +
     * transparency — must land `decoded` now that the census attempts the
     * composited decode, the operator-surface truth) / lossless VP8L WebP
     * / ANIMATED WebP (the ANMF compositing walk) / LOSSY VP8 WebP (the
-    * RFC 6386 keyframe decoder — the former named bucket, now measured
-    * as `decoded`) alongside the named out-of-scope shapes
-    * (arithmetic-coded JPEG, sampling-factor-3 JPEG, truncated PNG, a
-    * non-MJPG compressed AVI, unknown magic, ALPH-wrapped lossy WebP —
-    * the remaining alpha-plane bucket — HEIC/AVIF image containers, and
-    * the crawl-majority metadata-only containers — MP4/avc1, MP3,
+    * RFC 6386 keyframe decoder) / ALPH-wrapped lossy WebP (the decoded
+    * alpha plane) / float32 WAV / G.711 u-law WAV / LZW+predictor TIFF /
+    * composited APNG / BI_RLE8 BMP — every former named bucket the
+    * format work has since closed is MEASURED as `decoded` — alongside
+    * the named out-of-scope shapes (arithmetic-coded JPEG,
+    * sampling-factor-5 JPEG, truncated PNG, a non-MJPG compressed AVI,
+    * unknown magic, JPEG-in-TIFF, HEIC/AVIF image containers, and the
+    * crawl-majority metadata-only containers — MP4/avc1, MP3,
     * Ogg/vorbis — whose REAL [[ContainerMeta]] walks run before the
     * named `unsupported_codec` verdict so the census reports the codec
     * as evidence), each planted by patching a REAL encoder's output so
@@ -2450,7 +2915,7 @@ object Multimodal {
       }
       val grayJpeg =
         Jpeg.encodeGrayBlocks(16, 16, Array.tabulate(4)(k => (40 + 50 * k) % 256))
-      val payload: Array[Byte] = (id % 20) match {
+      val payload: Array[Byte] = (id % 26) match {
         case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
         case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
           ((id * 37 + k * 11) % 256).toInt))
@@ -2465,7 +2930,9 @@ object Multimodal {
         case 5 => // chop into the IDAT (merely dropping IEND is tolerated)
           Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
             .dropRight(20)
-        case 6 => sofPatch(grayJpeg, 11, 0x33) // sampling factor 3x3
+        case 6 => sofPatch(grayJpeg, 11, 0x55) // sampling factor 5x5
+          // (factors 1-4 now decode — q289 — so the named bucket moved
+          // to the first genuinely-out-of-spec factor)
         case 7 => Containers.aviMjpeg(16, 16, Array(grayJpeg))
         case 8 => Array.tabulate[Byte](16)(i => (id + i).toByte)
         case 10 => // real-crawl partial-frame animation: decodable via the
@@ -2530,6 +2997,44 @@ object Multimodal {
               ((k * 7 + id) % 54 * 4 + 16).toInt))), 32, 32,
             alpha = Array.tabulate(32 * 32)(i => ((i * 11 + id) % 256).toInt),
             filter = (id % 4).toInt, compress = id % 2 == 0)
+        case 20 => { // float32 WAV: decodes through the fmt-tag walk
+          val bb = ByteBuffer.allocate(4 * 64).order(ByteOrder.LITTLE_ENDIAN)
+          var s = 0
+          while (s < 64) {
+            bb.putFloat((((id * 23 + s * 7) % 4096) - 2048).toInt / 32768.0f)
+            s += 1
+          }
+          Containers.wavTyped(1, 16000, bb.array(), 32, fmtTag = 3,
+            extensible = id % 2 == 0)
+        }
+        case 21 => // G.711 u-law telephony clip: decodes
+          Containers.wavTyped(1, 8000,
+            Array.tabulate(80)(s => ((id * 29 + s * 13) % 256).toByte), 8,
+            fmtTag = 7)
+        case 22 => // LZW + predictor TIFF (the scanner default): decodes
+          Raster.tiff(12, 9, 1, 1, k => ((id * 13 + k * 5) % 251).toInt,
+            rowsPerStrip = 4, compression = 5, predictor = 2)
+        case 23 => // composited APNG: decodes via the fcTL/fdAT walk
+          Containers.pngAnimated(8, 6, Seq(
+            Containers.ApngFrameSpec(0, 0, 8, 6, { i =>
+              if (i % 4 == 3) 255 else ((id * 17 + i) % 256).toInt
+            }, dispose = (id % 2).toInt),
+            Containers.ApngFrameSpec(2, 1, 4, 3, { i =>
+              if ((i / 4) % 3 == 0) 0
+              else if (i % 4 == 3) 255 else ((id * 19 + i) % 256).toInt
+            }, blend = 1)))
+        case 24 => // BI_RLE8 BMP: decodes through the run-length walk
+          Raster.bmp8Rle(10, 8, k => ((id * 7 + (k / 3)) % 251).toInt,
+            Array.tabulate(256 * 3)(b => (b / 3).toByte))
+        case 25 => // JPEG-in-TIFF: a named scope restriction
+          {
+            val t = Raster.tiff(8, 6, 1, 1, k => ((id + k) % 251).toInt)
+            val n = (t(8) & 0xFF) | ((t(9) & 0xFF) << 8)
+            val at = (0 until n).map(k => 10 + 12 * k).find(e =>
+              ((t(e) & 0xFF) | ((t(e + 1) & 0xFF) << 8)) == 259).get
+            t(at + 8) = 7
+            t
+          }
         case _ => // a compressed chunk under a DIB (non-MJPG) strf
           val avi = Containers.aviFull(6, 5, 1,
             (_, x, y, _) => (x * 7 + y * 13) % 256)
@@ -2946,6 +3451,131 @@ object Multimodal {
     }
   }
 
+  /** G.711 WAV fixtures — the telephony companding codecs (u-law on
+    * even ids, A-law on odd): the code BYTES are planted directly
+    * ((id·29 + p·13) mod 256, every code point exercised), and the
+    * oracle replays the published segment/mantissa expansion in integer
+    * SQL — the engine earns the same values through the fmt-tag walk
+    * and the companded-byte decode. */
+  def syntheticWavG711Media(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (200 + (id * 7) % 200).toInt
+      val body = Array.tabulate(n)(p => ((id * 29 + p * 13) % 256).toByte)
+      MediaRow(id, "audio",
+        Containers.wavTyped(1, 8000, body, 8,
+          fmtTag = if (id % 2 == 0) 7 else 6), 0, 0, 1)
+    }
+  }
+
+  /** COMPRESSED-TIFF fixtures — the strip codecs real scanner/archival
+    * TIFFs actually use: LZW (with the spec's early code-size change),
+    * Deflate, and PackBits, with and without the horizontal-differencing
+    * predictor, across gray/RGB/palette photometrics, both byte orders,
+    * and ragged multi-strip layouts. All eight variants plant the q271
+    * closed form (quadratic position terms, per-item prime-modulus
+    * coefficients), so the oracle replays ONE formula while the engine
+    * earns each variant through a different codec x predictor path; the
+    * census is the position-sensitive block-means table (a predictor
+    * mis-accumulation corrupts trailing columns, which means catch). */
+  def syntheticTiffCompressedMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grayPal = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      def g(x: Int, y: Int): Int =
+        ((x.toLong * x * (7 + id % 29) + y.toLong * y * (11 + id % 17) +
+          x.toLong * y * (5 + id % 11) + id * 23) % 251).toInt
+      def rgb(k: Int): Int = g((k / 3) % w, (k / 3) / w)
+      def gray(k: Int): Int = g(k % w, k / w)
+      val payload: Array[Byte] = (id % 8) match {
+        case 0 => Raster.tiff(w, h, 1, 1, gray, rowsPerStrip = 3,
+          compression = 5)
+        case 1 => Raster.tiff(w, h, 2, 3, rgb, compression = 5,
+          predictor = 2) // the scanner-default combo: LZW + predictor
+        case 2 => Raster.tiff(w, h, 1, 1, gray, bigEndian = true,
+          compression = 8, predictor = 2)
+        case 3 => Raster.tiff(w, h, 2, 3, rgb, compression = 8)
+        case 4 => Raster.tiff(w, h, 1, 1, gray, rowsPerStrip = 5,
+          compression = 32773)
+        case 5 => Raster.tiff(w, h, 2, 3, rgb, compression = 32773)
+        case 6 => Raster.tiff(w, h, 3, 1, gray, palette = grayPal,
+          compression = 5)
+        case _ => Raster.tiff(w, h, 1, 1, gray, bigEndian = true,
+          rowsPerStrip = 4, compression = 5, predictor = 2)
+      }
+      MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
+  /** BI_RLE8 BMP fixtures: run-length-compressed palette BMPs (the
+    * icon/screenshot era's dominant compressed BMP). Even ids plant a
+    * RUN-FRIENDLY form (constant over 3-px x-spans — the encoder emits
+    * encoded runs), odd ids the q271 quadratic (mostly absolute mode),
+    * so BOTH RLE modes land in the oracle row. Identity-ramp palette;
+    * block-means census (an RLE cursor bug moves pixels). */
+  def syntheticBmpRleMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grayPal = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      def g(x: Int, y: Int): Int = {
+        val xx = if (id % 2 == 0) x / 3 else x
+        ((xx.toLong * xx * (7 + id % 29) + y.toLong * y * (11 + id % 17) +
+          xx.toLong * y * (5 + id % 11) + id * 23) % 251).toInt
+      }
+      MediaRow(id, "image",
+        Raster.bmp8Rle(w, h, k => g(k % w, k / w), grayPal), w, h, 1)
+    }
+  }
+
+  /** Deep/tiled TIFF fixtures — scanner masters and large-image layouts:
+    * 16-bit samples in BOTH byte orders (planted HIGH byte over low-byte
+    * noise the reduction must drop — the PNG-16 lesson; II stores the
+    * high byte SECOND, MM first, so a byte-order bug reads noise) and
+    * the tiled layout (tags 322-325, 16x16 tiles over 16-20-px canvases
+    * → edge tiles carry zero padding the clip must drop) across the
+    * strip codecs. One q271 closed form; block-means census. */
+  def syntheticTiffDeepMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      def g(x: Int, y: Int): Int =
+        ((x.toLong * x * (7 + id % 29) + y.toLong * y * (11 + id % 17) +
+          x.toLong * y * (5 + id % 11) + id * 23) % 251).toInt
+      def gray(k: Int): Int = g(k % w, k / w)
+      def rgb(k: Int): Int = g((k / 3) % w, (k / 3) / w)
+      def noise(k: Int): Int = ((id + k) * 31 + 5).toInt % 256
+      // 16-bit raw-byte suppliers: hi = planted, lo = noise, positioned
+      // by the file's byte order
+      def deep16(value: Int => Int, le: Boolean): Int => Int = { k =>
+        val hiAt = if (le) 1 else 0
+        if (k % 2 == hiAt) value(k / 2) else noise(k)
+      }
+      val payload: Array[Byte] = (id % 6) match {
+        case 0 => Raster.tiff(w, h, 1, 1, deep16(gray, le = true),
+          bitDepth = 16, rowsPerStrip = 3)
+        case 1 => Raster.tiff(w, h, 2, 3, deep16(rgb, le = false),
+          bigEndian = true, bitDepth = 16)
+        case 2 => Raster.tiff(w, h, 1, 1, gray, tile = 16)
+        case 3 => Raster.tiff(w, h, 2, 3, rgb, tile = 16,
+          compression = 5, predictor = 2)
+        case 4 => Raster.tiff(w, h, 1, 1, deep16(gray, le = false),
+          bigEndian = true, bitDepth = 16, tile = 16, compression = 8)
+        case _ => Raster.tiff(w, h, 1, 1, gray, tile = 16,
+          compression = 32773)
+      }
+      MediaRow(id, "image", payload, w, h, 1)
+    }
+  }
+
   /** PNG COLOR-TYPE matrix fixtures: every doc cycles through the five
     * 8-bit color types (gray / RGB / palette / gray+alpha / RGBA — real
     * crawls are mostly RGB and palette, which were out of scope until
@@ -3021,6 +3651,44 @@ object Multimodal {
           b
       }
       MediaRow(id, "audio", Containers.wav(1, 16000, body, bits), 0, 0, 1)
+    }
+  }
+
+  /** WAV fmt-LAYOUT fixtures — the two crawl layouts beyond canonical
+    * PCM: IEEE float32 (what DAWs export) and WAVE_FORMAT_EXTENSIBLE
+    * (what Windows capture stacks emit), cycling plain-float /
+    * extensible-float / extensible-PCM16 / plain-int32-PCM by id mod 4.
+    * Every profile plants the SAME int16 value k per sample — floats
+    * store k/32768 (exact in float32 for |k| ≤ 2048, so the ·32768
+    * round-half-even conversion returns exactly k) and int32 stores
+    * k·2^16 (the top-16-bit shift returns k) — so ONE oracle formula
+    * covers the whole fmt matrix. */
+  def syntheticWavFmtMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (200 + (id * 7) % 200).toInt
+      def k(p: Int): Int = ((id * 23 + p.toLong * 7) % 4096 - 2048).toInt
+      val profile = (id % 4).toInt
+      val payload = profile match {
+        case 0 | 1 =>
+          val b = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+          var p = 0
+          while (p < n) { b.putFloat(k(p) / 32768.0f); p += 1 }
+          Containers.wavTyped(1, 16000, b.array(), 32, fmtTag = 3,
+            extensible = profile == 1)
+        case 2 =>
+          val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
+          var p = 0
+          while (p < n) { b.putShort(k(p).toShort); p += 1 }
+          Containers.wavTyped(1, 16000, b.array(), 16, extensible = true)
+        case _ =>
+          val b = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+          var p = 0
+          while (p < n) { b.putInt(k(p) << 16); p += 1 }
+          Containers.wavTyped(1, 16000, b.array(), 32)
+      }
+      MediaRow(id, "audio", payload, 0, 0, 1)
     }
   }
 
@@ -3129,6 +3797,32 @@ object Multimodal {
       }
       JpegQuadrants(m.media_id, w, h, q(0), q(1), q(2), q(3))
     })
+  }
+
+  /** WIDE-sampling JPEG fixtures — the factor-3/4 layouts (DV-lineage
+    * 4:1:1, its vertical transpose, 3:1:1 both ways, and the
+    * 10-blocks-per-MCU boundary case 4x2): DC-only YCbCr with neutral
+    * chroma, dims exact MCU multiples chosen PER VARIANT so the luma
+    * block grid equals the display grid and ONE closed form replays
+    * every layout; every 3rd id plants restart markers (the MCU walk's
+    * predictor resets must survive the wide MCUs). */
+  def syntheticJpegSampledMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      // dims are exact MCU multiples AND multiples of 16 (quadrant
+      // boundaries land on block edges, the q266 rule)
+      val variants = Array(
+        (0x41, 32, 16), (0x14, 16, 32), (0x31, 48, 16), (0x13, 16, 48),
+        (0x42, 32, 16))
+      val (hv, w, h) = variants((id % 5).toInt)
+      val nb = (w / 8) * (h / 8)
+      val grays = Array.tabulate(nb)(k =>
+        ((id * 41 + k * (13 + id % 19)) % 256).toInt)
+      MediaRow(id, "image",
+        Jpeg.encodeGraySampled(w, h, grays, hv,
+          restartInterval = if (id % 3 == 0) 1 else 0), w, h, 1)
+    }
   }
 
   /** Deterministic 4:2:0 (chroma-subsampled) baseline JPEG fixtures:

@@ -1,25 +1,35 @@
 package graft.multimodal
 
-/** Uncompressed raster formats — BMP and baseline TIFF: pure public byte
-  * layouts (no entropy coding at all), so full decode membership in the
-  * format-blind image surface (dHash dedup, crop containment, quality
-  * gates, descriptors, boilerplate census) costs one header walk each.
+/** Raster formats — BMP and TIFF: public byte layouts whose decode
+  * membership in the format-blind image surface (dHash dedup, crop
+  * containment, quality gates, descriptors, boilerplate census) costs a
+  * header walk plus, for TIFF, per-strip decompression.
   *
   * BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (Windows BMP v3+ — the
-  * layout every paint program has written since 1990). BI_RGB only;
+  * layout every paint program has written since 1990). BI_RGB and
+  * BI_RLE8 (run-length pairs with the EOL/EOB/delta/absolute escapes);
   * bit counts 8 (palette), 24 (BGR), 32 (BGRx, fourth byte reserved and
   * ignored exactly as viewers and ImageIO do). Rows pad to 4 bytes and
   * store BOTTOM-UP unless the height is negative (top-down) — the
   * classic flip bug is position-sensitive, which is why the oracle row
   * censuses block means, not channel sums.
   *
-  * TIFF 6.0 baseline, uncompressed: II/MM byte order (both decoded — a
-  * byte-order bug halves every dimension read), IFD entry walk,
-  * strip-organized sample data (chunky planar config), photometric 0
-  * (WhiteIsZero — inverted gray), 1 (BlackIsZero), 2 (RGB, 3 or 4
-  * samples), 3 (palette via the 16-bit ColorMap, high byte per spec).
-  * Every out-of-scope shape (LZW/PackBits/JPEG compression, non-8-bit
-  * samples, planar config 2) fails by NAME into the q265 health census.
+  * TIFF 6.0: II/MM byte order (both decoded — a byte-order bug halves
+  * every dimension read), IFD entry walk, strip- OR tile-organized
+  * sample data (tags 322-325; edge tiles carry padding the clip drops;
+  * chunky planar config), photometric 0 (WhiteIsZero — inverted gray),
+  * 1 (BlackIsZero), 2 (RGB, 3 or 4 samples), 3 (palette via the 16-bit
+  * ColorMap, high byte per spec), 8- and 16-bit samples (16-bit reduces
+  * to the high byte — the spec-sanctioned 8-bit view — positioned by
+  * the byte order). Segment compressions 1 (none), 5 (the TIFF-variant
+  * LZW with the spec's early code-size change), 8/32946 (Deflate —
+  * TIFF's zlib IS the JDK's), and 32773 (PackBits), each expanded to
+  * exactly the segment's geometric size, plus the codec-attached
+  * horizontal differencing predictor (tag 317 = 2, LZW/Deflate only —
+  * libtiff and the JDK ignore it elsewhere, so honoring it would
+  * silently disagree). Remaining out-of-scope shapes (JPEG-in-TIFF,
+  * CCITT fax codes, sub-byte samples, planar config 2, BI_RLE4) fail
+  * by NAME into the q265 health census.
   *
   * Reference behavior studied from zinahalqeji/beauty_lakehouse (media
   * columns are opaque binaries there); layouts from the public
@@ -62,9 +72,12 @@ private[graft] object Raster {
       s"media $id: ${w}x$h exceeds the $MaxDecodePixels-pixel decode bound")
     val bitCount = le16(28)
     val compression = le32(30)
-    require(compression == 0,
-      s"media $id: only BI_RGB BMP supported, got compression " +
-        s"$compression (RLE/bitfields out of scope)")
+    require(compression == 0 || compression == 1,
+      s"media $id: only BI_RGB or BI_RLE8 BMP supported, got compression " +
+        s"$compression (RLE4/bitfields out of scope)")
+    require(compression == 0 || (bitCount == 8 && !topDown),
+      s"media $id: BI_RLE8 requires a bottom-up 8-bit BMP, got " +
+        s"$bitCount-bit height $hRaw")
     require(bitCount == 8 || bitCount == 24 || bitCount == 32,
       s"media $id: only 8-, 24- and 32-bit BMP bit counts supported, " +
         s"got $bitCount")
@@ -81,9 +94,61 @@ private[graft] object Raster {
         s"media $id: truncated BMP palette")
       palette = java.util.Arrays.copyOfRange(p, palOff, palOff + 4 * n)
     }
+    // BI_RLE8: expand the run-length stream into bottom-up index rows
+    // first, then share the palette mapping below. Escapes: 0 0 end of
+    // line, 0 1 end of bitmap, 0 2 delta (skipped pixels stay index 0 —
+    // the deterministic choice; the spec calls them undefined), 0 n>=3
+    // absolute mode (n literal indices, word-aligned). Every cursor
+    // move is bounds-checked by name; each iteration consumes >= 2
+    // bytes, so the walk is length-bounded.
+    val rle: Array[Byte] =
+      if (compression != 1) null
+      else {
+        // hostile offBits would index the stream read out of bounds —
+        // the strip path validates it against rowSize·h below, but the
+        // RLE stream has no geometric size, so bound the start by name
+        require(offBits >= 54 && offBits <= p.length,
+          s"media $id: BMP RLE8 pixel-data offset $offBits out of bounds")
+        val idxBuf = new Array[Byte](w * h)
+        var i = offBits
+        var cx = 0; var cy = 0 // cy counts BOTTOM-UP rows
+        var endBmp = false
+        while (!endBmp) {
+          require(i + 2 <= p.length, s"media $id: truncated BMP RLE8 stream")
+          val n = p(i) & 0xFF; val v = p(i + 1) & 0xFF; i += 2
+          if (n > 0) {
+            require(cy < h && cx + n <= w,
+              s"media $id: BMP RLE8 run of $n at ($cx, row $cy) escapes " +
+                s"the ${w}x$h canvas")
+            java.util.Arrays.fill(idxBuf, cy * w + cx, cy * w + cx + n,
+              v.toByte)
+            cx += n
+          } else v match {
+            case 0 => cx = 0; cy += 1
+              require(cy <= h, s"media $id: BMP RLE8 walked past row $h")
+            case 1 => endBmp = true
+            case 2 =>
+              require(i + 2 <= p.length,
+                s"media $id: truncated BMP RLE8 delta escape")
+              cx += p(i) & 0xFF; cy += p(i + 1) & 0xFF; i += 2
+              require(cx <= w && cy <= h,
+                s"media $id: BMP RLE8 delta escapes the ${w}x$h canvas")
+            case cnt =>
+              require(cy < h && cx + cnt <= w,
+                s"media $id: BMP RLE8 absolute run of $cnt at ($cx, row " +
+                  s"$cy) escapes the ${w}x$h canvas")
+              require(i + cnt + (cnt & 1) <= p.length,
+                s"media $id: truncated BMP RLE8 absolute run")
+              System.arraycopy(p, i, idxBuf, cy * w + cx, cnt)
+              cx += cnt; i += cnt + (cnt & 1)
+          }
+        }
+        idxBuf
+      }
     val bytesPerPx = bitCount / 8
     val rowSize = ((bytesPerPx * w + 3) / 4) * 4
-    require(offBits >= 0 && offBits.toLong + rowSize.toLong * h <= p.length,
+    require(rle != null ||
+      offBits >= 0 && offBits.toLong + rowSize.toLong * h <= p.length,
       s"media $id: truncated BMP pixel data")
     val out = new Array[Byte](4 * w * h)
     var y = 0
@@ -93,7 +158,9 @@ private[graft] object Raster {
       while (x < w) {
         val o = 4 * (y * w + x)
         if (bitCount == 8) {
-          val idx = p(srcRow + x) & 0xFF
+          val idx =
+            if (rle != null) rle((h - 1 - y) * w + x) & 0xFF
+            else p(srcRow + x) & 0xFF
           require(4 * idx + 2 < palette.length,
             s"media $id: pixel index $idx outside the " +
               s"${palette.length / 4}-entry BMP palette")
@@ -184,9 +251,20 @@ private[graft] object Raster {
     require(w * h <= MaxDecodePixels,
       s"media $id: ${w}x$h exceeds the $MaxDecodePixels-pixel decode bound")
     val compression = scalar(259, 1L)
-    require(compression == 1,
-      s"media $id: only uncompressed TIFF supported (compression 1), " +
-        s"got $compression")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32946 || compression == 32773,
+      s"media $id: unsupported TIFF compression $compression (1 none, " +
+        "5 LZW, 8/32946 Deflate, 32773 PackBits)")
+    val predictor = scalar(317, 1L)
+    // the predictor is codec-attached (TIFF 6.0 §14 defines it for LZW;
+    // the Deflate extension inherits it) — libtiff and the JDK reader
+    // IGNORE the tag under PackBits/none, so honoring it there would
+    // silently disagree with every real decoder; fail by name instead
+    require(predictor == 1 ||
+      (predictor == 2 && (compression == 5 || compression == 8 ||
+        compression == 32946)),
+      s"media $id: unsupported TIFF predictor $predictor under " +
+        s"compression $compression")
     val photometric = scalar(262)
     require(photometric >= 0 && photometric <= 3,
       s"media $id: TIFF photometric $photometric out of scope " +
@@ -200,14 +278,26 @@ private[graft] object Raster {
       s"media $id: only chunky TIFF planar configuration supported, " +
         s"got $planar")
     val bits = values(258)
-    require(bits == null || bits.forall(_ == 8),
-      s"media $id: only 8-bit TIFF samples supported, got " +
+    require(bits == null || bits.forall(_ == 8) || bits.forall(_ == 16),
+      s"media $id: only 8- or 16-bit TIFF samples supported, got " +
         s"${if (bits == null) "" else bits.mkString("/")}")
     require(bits != null || photometric == 2 || spp == 1,
       s"media $id: TIFF BitsPerSample missing")
     // gray/palette data with no 258 tag defaults to 1 bit — out of scope
     require(bits != null,
-      s"media $id: only 8-bit TIFF samples supported, got default 1")
+      s"media $id: only 8- or 16-bit TIFF samples supported, got default 1")
+    // 16-bit samples reduce to their HIGH byte (the spec-sanctioned
+    // 8-bit view — the PNG-16 lesson), which sits at byte 0 (MM) or 1
+    // (II) of each sample pair; palettes index 8-bit only, and the
+    // horizontal predictor differences 16-bit VALUES, not bytes — out
+    // of scope at this depth, named
+    val deep = bits(0) == 16L
+    require(!deep || photometric != 3,
+      s"media $id: 16-bit palette TIFF out of scope")
+    require(!deep || predictor == 1,
+      s"media $id: TIFF predictor $predictor at 16-bit depth out of scope")
+    val bytesPerSample = if (deep) 2 else 1
+    val hiOff = if (deep && !be) 1 else 0
     var colorMap: Array[Long] = null
     if (photometric == 3) {
       colorMap = values(320)
@@ -215,44 +305,108 @@ private[graft] object Raster {
         s"media $id: palette TIFF needs a 3x256-entry ColorMap, got " +
           s"${if (colorMap == null) 0 else colorMap.length}")
     }
-    val stripOffsets = values(273)
-    val stripCounts = values(279)
-    require(stripOffsets != null && stripCounts != null &&
-      stripOffsets.length == stripCounts.length,
-      s"media $id: TIFF strip offsets/byte-counts missing or mismatched")
-    val rps = scalar(278, h)
-    require(rps > 0, s"media $id: bad TIFF RowsPerStrip $rps")
-    val nStrips = ((h + rps - 1) / rps).toInt
-    require(stripOffsets.length == nStrips,
-      s"media $id: TIFF declares ${stripOffsets.length} strips, " +
-        s"geometry needs $nStrips")
     val wi = w.toInt; val hi = h.toInt
-    val rowBytes = wi * spp
+    // segment geometry: classic strips, or tiles (tags 322-325) — tiles
+    // are ALWAYS full-size with edge padding, strips are ragged. One
+    // unified walk decompresses each segment to exactly its geometric
+    // size, reverses the predictor, and scatters the clipped region.
+    val tileW = scalar(322, 0L)
+    val tiled = tileW > 0
+    val (segOffsets, segCounts, segW, segH, segsAcross, nSegs) =
+      if (tiled) {
+        val tileL = scalar(323, 0L)
+        // the spec requires tile dims to be multiples of 16
+        require(tileW > 0 && tileL > 0 && tileW % 16 == 0 && tileL % 16 == 0,
+          s"media $id: bad TIFF tile geometry ${tileW}x$tileL")
+        val tOff = values(324)
+        val tCnt = values(325)
+        require(tOff != null && tCnt != null && tOff.length == tCnt.length,
+          s"media $id: TIFF tile offsets/byte-counts missing or mismatched")
+        val across = ((w + tileW - 1) / tileW).toInt
+        val down = ((h + tileL - 1) / tileL).toInt
+        require(tOff.length == across * down,
+          s"media $id: TIFF declares ${tOff.length} tiles, geometry " +
+            s"needs ${across * down}")
+        (tOff, tCnt, tileW.toInt, tileL.toInt, across, across * down)
+      } else {
+        val sOff = values(273)
+        val sCnt = values(279)
+        require(sOff != null && sCnt != null && sOff.length == sCnt.length,
+          s"media $id: TIFF strip offsets/byte-counts missing or mismatched")
+        val rps = scalar(278, h)
+        require(rps > 0, s"media $id: bad TIFF RowsPerStrip $rps")
+        val n = ((h + rps - 1) / rps).toInt
+        require(sOff.length == n,
+          s"media $id: TIFF declares ${sOff.length} strips, " +
+            s"geometry needs $n")
+        (sOff, sCnt, wi, rps.toInt, 1, n)
+      }
     val out = new Array[Byte](4 * wi * hi)
-    var strip = 0
-    while (strip < nStrips) {
-      val rows = math.min(rps, h - strip * rps).toInt
-      require(stripCounts(strip) == rows.toLong * rowBytes,
-        s"media $id: TIFF strip $strip carries ${stripCounts(strip)} " +
-          s"bytes, geometry needs ${rows.toLong * rowBytes}")
-      val off = stripOffsets(strip)
-      require(off >= 0 && off + stripCounts(strip) <= p.length,
-        s"media $id: truncated TIFF strip $strip")
+    var seg = 0
+    while (seg < nSegs) {
+      // tile segments are always full-size; the last strip is ragged
+      val rows =
+        if (tiled) segH
+        else math.min(segH.toLong, h - seg.toLong * segH).toInt
+      val segRowBytes = segW * spp * bytesPerSample
+      val x0 = (seg % segsAcross) * (if (tiled) segW else 0)
+      val y0 = (seg / segsAcross) * segH
+      if (compression == 1)
+        require(segCounts(seg) == rows.toLong * segRowBytes,
+          s"media $id: TIFF segment $seg carries ${segCounts(seg)} " +
+            s"bytes, geometry needs ${rows.toLong * segRowBytes}")
+      val off = segOffsets(seg)
+      require(off >= 0 && off + segCounts(seg) <= p.length,
+        s"media $id: truncated TIFF segment $seg")
+      // decompress (or copy) the segment to EXACTLY its geometric size —
+      // each codec fails by name on a short or overlong expansion, so a
+      // hostile segment can never scribble past its rows
+      val expect = rows * segRowBytes
+      val data = compression match {
+        case 1 =>
+          java.util.Arrays.copyOfRange(p, off.toInt,
+            off.toInt + expect)
+        case 5 =>
+          lzwDecode(id, p, off.toInt, segCounts(seg).toInt, expect)
+        case 32773 =>
+          unpackBits(id, p, off.toInt, segCounts(seg).toInt, expect)
+        case _ =>
+          inflateExact(id, p, off.toInt, segCounts(seg).toInt, expect)
+      }
+      // predictor 2 = horizontal differencing per sample channel
+      // (TIFF 6.0 §14): accumulate across each row before interpreting
+      if (predictor == 2) {
+        var r = 0
+        while (r < rows) {
+          var x = spp
+          while (x < segRowBytes) {
+            data(r * segRowBytes + x) =
+              ((data(r * segRowBytes + x) +
+                data(r * segRowBytes + x - spp)) & 0xFF).toByte
+            x += 1
+          }
+          r += 1
+        }
+      }
+      // scatter the segment's pixels, clipped to the canvas (edge tiles
+      // carry padding the image does not use)
+      val copyW = math.min(segW, wi - x0)
+      val copyH = math.min(rows, hi - y0)
       var r = 0
-      while (r < rows) {
-        val y = strip * rps.toInt + r
-        val src = off.toInt + r * rowBytes
+      while (r < copyH) {
+        val y = y0 + r
+        val src = r * segRowBytes
         var x = 0
-        while (x < wi) {
-          val o = 4 * (y * wi + x)
+        while (x < copyW) {
+          val o = 4 * (y * wi + x0 + x)
           photometric match {
             case 0 | 1 =>
-              val v0 = p(src + x) & 0xFF
+              val v0 = data(src + x * bytesPerSample + hiOff) & 0xFF
               val g = (if (photometric == 0) 255 - v0 else v0).toByte
               out(o) = g; out(o + 1) = g; out(o + 2) = g
               out(o + 3) = 255.toByte
             case 3 =>
-              val idx = p(src + x) & 0xFF
+              val idx = data(src + x) & 0xFF
               // ColorMap entries are 16-bit; the 8-bit view is the high
               // byte (TIFF 6.0 §5: 0 -> 0, 65535 -> 255)
               out(o) = (colorMap(idx) >> 8).toByte
@@ -260,17 +414,161 @@ private[graft] object Raster {
               out(o + 2) = (colorMap(512 + idx) >> 8).toByte
               out(o + 3) = 255.toByte
             case _ =>
-              val s = src + spp * x
-              out(o) = p(s); out(o + 1) = p(s + 1); out(o + 2) = p(s + 2)
-              out(o + 3) = if (spp == 4) p(s + 3) else 255.toByte
+              val s = src + spp * bytesPerSample * x + hiOff
+              out(o) = data(s)
+              out(o + 1) = data(s + bytesPerSample)
+              out(o + 2) = data(s + 2 * bytesPerSample)
+              out(o + 3) =
+                if (spp == 4) data(s + 3 * bytesPerSample) else 255.toByte
           }
           x += 1
         }
         r += 1
       }
-      strip += 1
+      seg += 1
     }
     (wi, hi, out)
+  }
+
+  /** zlib-inflate a TIFF Deflate strip to exactly `expect` bytes —
+    * corrupt streams, truncation, non-progress, and size mismatches all
+    * fail by name (the decodePngRgba inflate contract). */
+  private def inflateExact(id: Long, p: Array[Byte], off: Int, len: Int,
+                           expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(p, off, len)
+    var filled = 0
+    while (filled < expect && !inflater.finished()) {
+      val n =
+        try inflater.inflate(out, filled, expect - filled)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"media $id: corrupt TIFF Deflate strip (${e.getMessage})")
+        }
+      require(n > 0 || inflater.finished(),
+        s"media $id: truncated TIFF Deflate strip")
+      filled += n
+    }
+    inflater.end()
+    require(filled == expect,
+      s"media $id: TIFF Deflate strip decoded to $filled bytes, " +
+        s"expected $expect")
+    out
+  }
+
+  /** PackBits (TIFF 6.0 §9): n >= 0 copies n+1 literal bytes, n in
+    * [-127, -1] repeats the next byte 1-n times, -128 is a no-op. The
+    * expansion must land on exactly `expect` bytes. */
+  private[graft] def unpackBits(id: Long, p: Array[Byte], off: Int,
+                                len: Int, expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = off; val end = off + len
+    var o = 0
+    while (o < expect) {
+      require(i < end, s"media $id: truncated TIFF PackBits strip")
+      val n = p(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(i + cnt <= end && o + cnt <= expect,
+          s"media $id: TIFF PackBits literal run overflows the strip")
+        System.arraycopy(p, i, out, o, cnt)
+        i += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(i < end && o + cnt <= expect,
+          s"media $id: TIFF PackBits repeat run overflows the strip")
+        java.util.Arrays.fill(out, o, o + cnt, p(i))
+        i += 1; o += cnt
+      }
+    }
+    out
+  }
+
+  /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes 256
+    * (Clear) / 257 (EOI), table growth from 258 with the EARLY code-size
+    * change (width bumps when the next free index reaches 2^size − 1 —
+    * one code earlier than GIF's LZW, the spec's famous off-by-one).
+    * Strings expand backwards through a prefix chain; every exit —
+    * truncation, a code beyond the table, output overflow or underflow —
+    * is named. */
+  private[graft] def lzwDecode(id: Long, p: Array[Byte], off: Int,
+                               len: Int, expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var j = 0
+    while (j < 256) { length(j) = 1; j += 1 }
+    var next = 258; var codeSize = 9
+    var bitBuf = 0L; var bitCnt = 0; var pos = off
+    val end = off + len
+    var outPos = 0
+    def read(): Int = {
+      while (bitCnt < codeSize) {
+        require(pos < end, s"media $id: truncated TIFF LZW strip")
+        bitBuf = (bitBuf << 8) | (p(pos) & 0xFF); pos += 1; bitCnt += 8
+      }
+      bitCnt -= codeSize
+      ((bitBuf >> bitCnt) & ((1 << codeSize) - 1)).toInt
+    }
+    def expand(code: Int): Unit = {
+      val l = length(code)
+      require(outPos + l <= expect,
+        s"media $id: TIFF LZW expansion overflows the strip")
+      var c = code; var i = outPos + l - 1
+      while (c >= 258) { out(i) = append(c); i -= 1; c = prefix(c) }
+      out(i) = c.toByte
+      outPos += l
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    var old = -1
+    var done = false
+    while (!done && outPos < expect) {
+      val code = read()
+      if (code == 257) done = true
+      else if (code == 256) {
+        next = 258; codeSize = 9
+        val c2 = read()
+        if (c2 == 257) done = true
+        else {
+          require(c2 < 256, s"media $id: invalid TIFF LZW code $c2 " +
+            "after Clear")
+          expand(c2); old = c2
+        }
+      } else {
+        require(old >= 0,
+          s"media $id: TIFF LZW stream does not start with Clear")
+        require(code < 256 || (code >= 258 && code <= next),
+          s"media $id: invalid TIFF LZW code $code (table size $next)")
+        if (code == next) { // the KwKwK case: entry defined by this code
+          require(next < 4095, s"media $id: TIFF LZW table overflow")
+          prefix(next) = old; append(next) = firstByte(old)
+          length(next) = length(old) + 1
+          expand(next)
+          next += 1
+          if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        } else {
+          expand(code)
+          if (next < 4095) {
+            prefix(next) = old; append(next) = firstByte(code)
+            length(next) = length(old) + 1
+            next += 1
+            if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+          }
+        }
+        old = code
+      }
+    }
+    require(outPos == expect,
+      s"media $id: TIFF LZW strip decoded to $outPos bytes, " +
+        s"expected $expect")
+    out
   }
 
   // ------------------------------------------------------------------
@@ -332,6 +630,79 @@ private[graft] object Raster {
     }
   }
 
+  /** BI_RLE8 8-bit palette BMP: `idx(k)` as [[bmp8]] (row-major
+    * TOP-DOWN indices; the encoder emits bottom-up, per spec). Runs of
+    * >= 2 equal indices become encoded runs, literal spans of >= 3
+    * become absolute mode (word-aligned), shorter literals single-count
+    * runs; every row ends with the 0 0 escape and the stream with 0 1 —
+    * the encoder mirror of the RLE8 walk, exercising all modes. */
+  private[graft] def bmp8Rle(width: Int, height: Int, idx: Int => Int,
+                             palette: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "bmp8Rle needs positive dims")
+    require(palette.length % 3 == 0 && palette.length <= 3 * 256,
+      "palette holds <= 256 RGB triples")
+    val stream = new java.io.ByteArrayOutputStream()
+    var y = height - 1 // emit bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        var run = 1
+        while (x + run < width && run < 255 &&
+          idx(y * width + x + run) == idx(y * width + x)) run += 1
+        if (run >= 2) {
+          stream.write(run); stream.write(idx(y * width + x) & 0xFF)
+          x += run
+        } else {
+          var lit = 1
+          while (x + lit < width && lit < 255 &&
+            (x + lit + 1 >= width ||
+              idx(y * width + x + lit) != idx(y * width + x + lit + 1)))
+            lit += 1
+          if (lit >= 3) {
+            stream.write(0); stream.write(lit)
+            for (j <- 0 until lit) stream.write(idx(y * width + x + j) & 0xFF)
+            if ((lit & 1) == 1) stream.write(0) // word-align
+          } else {
+            for (j <- 0 until lit) {
+              stream.write(1); stream.write(idx(y * width + x + j) & 0xFF)
+            }
+          }
+          x += lit
+        }
+      }
+      stream.write(0); stream.write(if (y == 0) 1 else 0) // EOL / EOB
+      y -= 1
+    }
+    val body = stream.toByteArray
+    val nPal = palette.length / 3
+    val offBits = 14 + 40 + 4 * nPal
+    val out = new Array[Byte](offBits + body.length)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      le16(off, v & 0xFFFF); le16(off + 2, (v >> 16) & 0xFFFF)
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, out.length); le32(10, offBits)
+    le32(14, 40)
+    le32(18, width); le32(22, height)
+    le16(26, 1); le16(28, 8)
+    le32(30, 1) // BI_RLE8
+    le32(34, body.length)
+    le32(38, 2835); le32(42, 2835)
+    le32(46, nPal); le32(50, 0)
+    var pi = 0
+    while (pi < nPal) {
+      out(54 + 4 * pi) = palette(3 * pi + 2)
+      out(54 + 4 * pi + 1) = palette(3 * pi + 1)
+      out(54 + 4 * pi + 2) = palette(3 * pi)
+      pi += 1
+    }
+    System.arraycopy(body, 0, out, offBits, body.length)
+    out
+  }
+
   private def encodeBmp(width: Int, height: Int, bitCount: Int,
                         rowSize: Int, topDown: Boolean,
                         rgbPalette: Array[Byte])
@@ -374,41 +745,130 @@ private[graft] object Raster {
     out
   }
 
-  /** Baseline uncompressed TIFF: `sample(k)` supplies the k-th sample
-    * byte in row-major chunky order (h·w·spp values). `photometric`
-    * 0/1 gray (spp 1), 2 RGB (spp 3 or 4 — the fourth sample is an
-    * unassociated alpha declared via ExtraSamples), 3 palette (spp 1,
-    * `palette` = 3·256 RGB bytes expanded to the spec's 16-bit ColorMap
-    * as v·257 so the high-byte reduction round-trips exactly).
-    * `bigEndian` writes the MM layout; `rowsPerStrip` 0 = one strip. */
+  /** TIFF encoder (fixture side): `sample(k)` supplies the k-th raw
+    * sample byte in row-major chunky order (h·w·spp·(bitDepth/8) values
+    * — at 16-bit the caller plants both bytes in the file's byte
+    * order). `photometric` 0/1 gray (spp 1), 2 RGB (spp 3 or 4 — the
+    * fourth sample is an unassociated alpha declared via ExtraSamples),
+    * 3 palette (spp 1, `palette` = 3·256 RGB bytes expanded to the
+    * spec's 16-bit ColorMap as v·257 so the high-byte reduction
+    * round-trips exactly). `bigEndian` writes the MM layout;
+    * `rowsPerStrip` 0 = one strip; `compression` 1/5/8/32773 with the
+    * codec-attached `predictor`; `tile` > 0 (multiple of 16) switches
+    * to the tiled layout (tags 322-325, edge tiles zero-padded). */
   private[graft] def tiff(width: Int, height: Int, photometric: Int,
                           spp: Int, sample: Int => Int,
                           bigEndian: Boolean = false,
                           rowsPerStrip: Int = 0,
-                          palette: Array[Byte] = null): Array[Byte] = {
+                          palette: Array[Byte] = null,
+                          compression: Int = 1,
+                          predictor: Int = 1,
+                          bitDepth: Int = 8,
+                          tile: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "tiff needs positive dims")
     require(photometric >= 0 && photometric <= 3, "photometric 0..3")
     require(if (photometric == 2) spp == 3 || spp == 4 else spp == 1,
       "spp 3/4 for RGB, 1 otherwise")
     require((photometric == 3) == (palette != null), "palette iff photometric 3")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773, s"compression $compression")
+    require(predictor == 1 ||
+      (predictor == 2 && (compression == 5 || compression == 8)),
+      s"predictor $predictor under compression $compression")
+    // 16-bit: `sample(k)` supplies RAW bytes (2 per sample, in the
+    // file's byte order — the caller plants hi/lo explicitly, mirroring
+    // pngTyped's bitDepth=16 convention); the predictor and palettes
+    // stay 8-bit-only, like the decoder
+    require(bitDepth == 8 || bitDepth == 16, s"bit depth $bitDepth")
+    require(bitDepth == 8 || (predictor == 1 && photometric != 3),
+      "16-bit excludes predictor and palettes (decoder scope)")
+    require(tile == 0 || (tile > 0 && tile % 16 == 0),
+      s"tile size $tile must be a multiple of 16")
+    val bps = bitDepth / 8
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
-    val nStrips = (height + rps - 1) / rps
-    val rowBytes = width * spp
+    val tiled = tile > 0
+    val segW = if (tiled) tile else width
+    val segHNom = if (tiled) tile else rps
+    val segsAcross = if (tiled) (width + tile - 1) / tile else 1
+    val segsDown = (height + segHNom - 1) / segHNom
+    val nSegs = segsAcross * segsDown
+    val canvasRowBytes = width * spp * bps
+    // build each segment's raw rows (tiles are FULL-SIZE, edge tiles
+    // zero-padded per spec; strips are ragged), apply horizontal
+    // differencing when the predictor asks, then the segment codec —
+    // the encoder mirror of the decode path, so round-trip specs pin
+    // all four codecs across both layouts
+    val stripsEnc = Array.tabulate(nSegs) { s =>
+      val x0 = (s % segsAcross) * segW
+      val y0 = (s / segsAcross) * segHNom
+      val rows = if (tiled) segHNom
+        else math.min(segHNom, height - y0)
+      val segRowBytes = segW * spp * bps
+      val raw = new Array[Byte](rows * segRowBytes)
+      var r = 0
+      while (r < rows) {
+        val y = y0 + r
+        if (y < height) {
+          var x = 0
+          while (x < segRowBytes) {
+            val col = x0 * spp * bps + x
+            raw(r * segRowBytes + x) =
+              if (col < canvasRowBytes)
+                sample(y * canvasRowBytes + col).toByte
+              else 0
+            x += 1
+          }
+        }
+        r += 1
+      }
+      if (predictor == 2) {
+        var rr = 0
+        while (rr < rows) {
+          var x = segRowBytes - 1
+          while (x >= spp) {
+            raw(rr * segRowBytes + x) =
+              ((raw(rr * segRowBytes + x) -
+                raw(rr * segRowBytes + x - spp)) & 0xFF).toByte
+            x -= 1
+          }
+          rr += 1
+        }
+      }
+      compression match {
+        case 1 => raw
+        case 5 => lzwEncode(raw)
+        case 32773 => packBits(raw)
+        case _ =>
+          val deflater = new java.util.zip.Deflater()
+          deflater.setInput(raw); deflater.finish()
+          val outB = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!deflater.finished()) outB.write(buf, 0, deflater.deflate(buf))
+          deflater.end()
+          outB.toByteArray
+      }
+    }
     final case class Entry(tag: Int, typ: Int, count: Int, value: Long,
                            array: Array[Long] = null)
     val entryList = scala.collection.mutable.ArrayBuffer.empty[Entry]
     entryList += Entry(256, 4, 1, width)
     entryList += Entry(257, 4, 1, height)
-    entryList += Entry(258, 3, spp, 8,
-      if (spp > 1) Array.fill(spp)(8L) else null)
-    entryList += Entry(259, 3, 1, 1)
+    entryList += Entry(258, 3, spp, bitDepth,
+      if (spp > 1) Array.fill(spp)(bitDepth.toLong) else null)
+    entryList += Entry(259, 3, 1, compression)
     entryList += Entry(262, 3, 1, photometric)
-    entryList += Entry(273, 4, nStrips, 0,
-      if (nStrips > 1) new Array[Long](nStrips) else null) // patched below
+    val offTag = if (tiled) 324 else 273
+    val cntTag = if (tiled) 325 else 279
+    entryList += Entry(offTag, 4, nSegs, 0,
+      if (nSegs > 1) new Array[Long](nSegs) else null) // patched below
     entryList += Entry(277, 3, 1, spp)
-    entryList += Entry(278, 4, 1, rps)
-    entryList += Entry(279, 4, nStrips, 0,
-      if (nStrips > 1) new Array[Long](nStrips) else null)
+    if (tiled) {
+      entryList += Entry(322, 4, 1, tile)
+      entryList += Entry(323, 4, 1, tile)
+    } else entryList += Entry(278, 4, 1, rps)
+    entryList += Entry(cntTag, 4, nSegs, 0,
+      if (nSegs > 1) new Array[Long](nSegs) else null)
+    if (predictor == 2) entryList += Entry(317, 3, 1, 2)
     if (spp == 4) entryList += Entry(338, 3, 1, 2) // unassociated alpha
     if (photometric == 3)
       entryList += Entry(320, 3, 3 * 256, 0, new Array[Long](3 * 256))
@@ -427,19 +887,26 @@ private[graft] object Raster {
       } else -1
     }
     val dataOff = overflowOff
-    val stripOffsets = Array.tabulate(nStrips)(s => (dataOff + s.toLong * rps * rowBytes))
-    val stripCounts = Array.tabulate(nStrips)(s =>
-      math.min(rps, height - s * rps).toLong * rowBytes)
-    // patch the strip tags now that the layout is known
+    val stripOffsets = new Array[Long](nSegs)
+    val stripCounts = new Array[Long](nSegs)
+    var stripAt = dataOff.toLong
+    var si = 0
+    while (si < nSegs) {
+      stripOffsets(si) = stripAt
+      stripCounts(si) = stripsEnc(si).length.toLong
+      stripAt += stripsEnc(si).length
+      si += 1
+    }
+    // patch the strip/tile tags now that the layout is known
     entries.indices.foreach { k =>
       entries(k).tag match {
-        case 273 =>
+        case t if t == offTag =>
           if (entries(k).array != null)
-            System.arraycopy(stripOffsets, 0, entries(k).array, 0, nStrips)
+            System.arraycopy(stripOffsets, 0, entries(k).array, 0, nSegs)
           else entries(k) = entries(k).copy(value = stripOffsets(0))
-        case 279 =>
+        case t if t == cntTag =>
           if (entries(k).array != null)
-            System.arraycopy(stripCounts, 0, entries(k).array, 0, nStrips)
+            System.arraycopy(stripCounts, 0, entries(k).array, 0, nSegs)
           else entries(k) = entries(k).copy(value = stripCounts(0))
         case 320 =>
           var c = 0
@@ -453,7 +920,7 @@ private[graft] object Raster {
         case _ => ()
       }
     }
-    val out = new Array[Byte](dataOff + height * rowBytes)
+    val out = new Array[Byte](stripAt.toInt)
     def put16(off: Int, v: Int): Unit =
       if (bigEndian) { out(off) = (v >> 8).toByte; out(off + 1) = v.toByte }
       else { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
@@ -490,9 +957,95 @@ private[graft] object Raster {
       }
     }
     put32(ifdOff + 2 + 12 * entries.length, 0) // no next IFD
-    var k = 0
-    val n = height * rowBytes
-    while (k < n) { out(dataOff + k) = sample(k).toByte; k += 1 }
+    si = 0
+    while (si < nSegs) {
+      System.arraycopy(stripsEnc(si), 0, out, stripOffsets(si).toInt,
+        stripsEnc(si).length)
+      si += 1
+    }
     out
+  }
+
+  /** PackBits compressor (TIFF 6.0 §9): repeat runs of >= 2 bytes as
+    * (1 − n, byte), literal spans otherwise, both capped at 128. */
+  private[graft] def packBits(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      var run = 1
+      while (i + run < raw.length && run < 128 && raw(i + run) == raw(i))
+        run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(raw(i))
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < raw.length && lit < 128 &&
+          (i + lit + 1 >= raw.length || raw(i + lit) != raw(i + lit + 1)))
+          lit += 1
+        out.write(lit - 1)
+        out.write(raw, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** TIFF-variant LZW compressor — the encoder mirror of [[lzwDecode]]:
+    * MSB-first codes, Clear first and at table-full (index 4094, the
+    * libtiff convention), EOI last, EARLY code-size change (width bumps
+    * when the next free index reaches 2^size − 1). */
+  private[graft] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | code
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt)
+        bitCnt -= 8
+      }
+    }
+    // dictionary keyed by (prefix code << 8) | next byte
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    emit(256) // Clear
+    var omega = -1
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i) & 0xFF
+      if (omega < 0) omega = b
+      else {
+        val key = (omega << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          emit(omega)
+          if (next < 4094) {
+            dict.put(key, next)
+            next += 1
+            // the decoder's counter runs one behind (it creates this
+            // entry only when it processes the NEXT code), so its early
+            // bump at (next == 2^size - 1) is our (next - 1 == 2^size - 1)
+            if (next - 1 == (1 << codeSize) - 1 && codeSize < 12)
+              codeSize += 1
+          } else {
+            emit(256) // table full: Clear and restart
+            dict = new java.util.HashMap[Integer, Integer]()
+            next = 258; codeSize = 9
+          }
+          omega = b
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) emit(omega)
+    // the decoder adds one entry after processing the final data code,
+    // and that add can bump ITS width before it reads EOI — mirror it
+    if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+    emit(257) // EOI
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
   }
 }

@@ -84,6 +84,20 @@ class FuzzSpec extends AnyFunSuite {
 
   test("fuzz: WAV sample decode fails only by name on hostile bytes") {
     fuzz("wav", wavPayload, 12, p => Multimodal.pcm16Samples(2L, p))
+    // the float32 and WAVE_FORMAT_EXTENSIBLE fmt layouts inherit it
+    val floatBody = {
+      val bb = java.nio.ByteBuffer.allocate(4 * 100)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (p <- 0 until 100) bb.putFloat(((p * 37) % 251 - 125) / 32768.0f)
+      bb.array()
+    }
+    fuzz("wav-f32", Containers.wavTyped(1, 16000, floatBody, 32, fmtTag = 3),
+      12, p => Multimodal.pcm16Samples(17L, p))
+    fuzz("wav-ext", Containers.wavTyped(2, 44100, floatBody, 32, fmtTag = 3,
+      extensible = true), 12, p => Multimodal.pcm16Samples(18L, p))
+    fuzz("wav-ulaw", Containers.wavTyped(1, 8000,
+      Array.tabulate[Byte](256)(_.toByte), 8, fmtTag = 7), 12,
+      p => Multimodal.pcm16Samples(58L, p))
   }
 
   test("fuzz: AVI frame decode fails only by name on hostile bytes") {
@@ -126,6 +140,24 @@ class FuzzSpec extends AnyFunSuite {
     fuzz("tiff-ii", tiffIiPayload, 4, p => Raster.decodeTiffRgba(26L, p))
     fuzz("tiff-mm", tiffMmPayload, 4, p => Raster.decodeTiffRgba(27L, p))
     fuzz("tiff-pal", tiffPalPayload, 4, p => Raster.decodeTiffRgba(28L, p))
+    // the compressed-strip codecs inherit the contract: hostile LZW
+    // codes, PackBits runs, and Deflate streams all fail by name
+    fuzz("tiff-lzw", Raster.tiff(11, 7, 1, 1, k => (k * 5) % 251,
+      rowsPerStrip = 3, compression = 5, predictor = 2), 4,
+      p => Raster.decodeTiffRgba(51L, p))
+    fuzz("tiff-dfl", Raster.tiff(8, 9, 2, 3, k => (k * 11) % 251,
+      bigEndian = true, compression = 8), 4,
+      p => Raster.decodeTiffRgba(52L, p))
+    fuzz("tiff-pb", Raster.tiff(8, 8, 1, 1, k => (k * 13) % 251,
+      compression = 32773), 4, p => Raster.decodeTiffRgba(53L, p))
+    fuzz("tiff-16", Raster.tiff(9, 7, 1, 1, k => (k * 7 + 3) % 256,
+      bitDepth = 16), 4, p => Raster.decodeTiffRgba(59L, p))
+    fuzz("tiff-tile", Raster.tiff(19, 17, 2, 3, k => (k * 5) % 251,
+      tile = 16, compression = 5, predictor = 2), 4,
+      p => Raster.decodeTiffRgba(60L, p))
+    fuzz("bmp-rle", Raster.bmp8Rle(12, 9, k => (k * 7) % 64,
+      Array.tabulate(256 * 3)(b => (b / 3).toByte)), 14,
+      p => Raster.decodeBmpRgba(61L, p))
   }
 
   private val webpPayload = graft.multimodal.Webp.encodeLossless(13, 9,
@@ -243,6 +275,11 @@ class FuzzSpec extends AnyFunSuite {
       }))
     fuzz("jpeg-prog", progPayload, 2,
       p => graft.multimodal.Jpeg.decodeRgb(17L, p))
+    // the wide-sampling (4:1:1) MCU walk inherits the contract
+    fuzz("jpeg-411", graft.multimodal.Jpeg.encodeGraySampled(32, 16,
+      Array.tabulate(8)(k => (k * 37 + 19) % 256), 0x41,
+      restartInterval = 1), 2,
+      p => graft.multimodal.Jpeg.decodeRgb(18L, p))
   }
 
   test("fuzz: the EXIF orientation reader NEVER throws — metadata " +
@@ -268,6 +305,21 @@ class FuzzSpec extends AnyFunSuite {
   test("fuzz: the format-blind video dispatch inherits the contract") {
     fuzz("vid-avi", aviPayload, 12, p => Multimodal.decodeVideoRgb(6L, p))
     fuzz("vid-gif", gifPayload, 6, p => Multimodal.decodeVideoRgb(7L, p))
+  }
+
+  private val apngPayload = Containers.pngAnimated(10, 8, Seq(
+    Containers.ApngFrameSpec(0, 0, 10, 8,
+      i => if (i % 4 == 3) 255 else (i * 7) % 256, dispose = 1),
+    Containers.ApngFrameSpec(2, 1, 6, 4, { i =>
+      if ((i / 4) % 3 == 0) 0
+      else if (i % 4 == 3) 255 else (i * 11 + 3) % 256
+    }, dispose = 2, blend = 1, filterType = 4)))
+
+  test("fuzz: APNG compositing decode fails only by name on hostile " +
+    "bytes (and the video dispatch inherits it)") {
+    fuzz("apng", apngPayload, 8, p => Multimodal.decodeApngFrames(19L, p))
+    fuzz("apng-vid-dispatch", apngPayload, 8,
+      p => Multimodal.decodeVideoRgb(29L, p))
   }
 
   test("fuzz: EXTENDED campaign — opt-in deep mutation sweep over every " +
@@ -364,7 +416,20 @@ class FuzzSpec extends AnyFunSuite {
             Array.tabulate(64)(k => ((k * 3 + 1) % 54) * 4 + 16))), 32, 32,
         alpha = Array.tabulate(32 * 32)(i => (i * 5 + 9) % 256),
         filter = 3, compress = true),
-        p => graft.multimodal.Webp.decodeWebpRgba(50L, p)))
+        p => graft.multimodal.Webp.decodeWebpRgba(50L, p)),
+      ("wav-f32", {
+        val bb = java.nio.ByteBuffer.allocate(4 * 100)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (p <- 0 until 100) bb.putFloat(((p * 37) % 251 - 125) / 32768.0f)
+        Containers.wavTyped(1, 16000, bb.array(), 32, fmtTag = 3,
+          extensible = true)
+      }, p => Multimodal.pcm16Samples(54L, p)),
+      ("tiff-lzw", Raster.tiff(11, 7, 1, 1, k => (k * 5) % 251,
+        rowsPerStrip = 3, compression = 5, predictor = 2),
+        p => Raster.decodeTiffRgba(55L, p)),
+      ("tiff-pb", Raster.tiff(8, 8, 1, 1, k => (k * 13) % 251,
+        compression = 32773), p => Raster.decodeTiffRgba(56L, p)),
+      ("apng", apngPayload, p => Multimodal.decodeApngFrames(57L, p)))
     targets.foreach { case (name, valid, decode) =>
       for (i <- 0 until 3000) {
         val m = valid.clone()

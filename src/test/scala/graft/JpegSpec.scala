@@ -229,10 +229,11 @@ class JpegSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](Jpeg.decodeRgb(9L, prog))
     assert(e1.getMessage.contains("progressive"))
 
-    // sampling factor 3: beyond the 1-or-2 profile (0x11 -> 0x33)
+    // sampling factor 5: beyond the 1-to-4 profile (0x11 -> 0x55;
+    // factors up to 4 decode since the wide-sampling close)
     val sub = ok.clone()
     // SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) ncomp(1) [id hv tq]...
-    sub(sofAt + 11) = 0x33.toByte
+    sub(sofAt + 11) = 0x55.toByte
     val e2 = intercept[IllegalArgumentException](Jpeg.decodeRgb(10L, sub))
     assert(e2.getMessage.contains("sampling"))
 
@@ -318,6 +319,40 @@ class JpegSpec extends AnyFunSuite {
     val (rw, rh, rRgb) = Jpeg.decodeRgb(51L,
       Jpeg.encodeGray420(32, 16, grays, restartInterval = 1))
     assert((rw, rh) === ((32, 16)) && rRgb.toSeq === rgb.toSeq)
+  }
+
+  test("WIDE sampling factors (3 and 4) decode to the exact closed form " +
+    "and agree with ImageIO; factor 5 and >10 blocks/MCU fail by name") {
+    for ((hv, w, h) <- Seq((0x41, 32, 16), (0x14, 16, 32), (0x31, 48, 16),
+      (0x13, 16, 48), (0x42, 32, 16))) {
+      val bw = w / 8
+      val grays = Array.tabulate(bw * (h / 8))(k => (k * 37 + 19) % 256)
+      for (ri <- Seq(0, 1)) {
+        val bytes = Jpeg.encodeGraySampled(w, h, grays, hv,
+          restartInterval = ri)
+        val (dw, dh, rgb) = Jpeg.decodeRgb(70L, bytes)
+        assert((dw, dh) === ((w, h)), f"hv=0x$hv%02x ri=$ri")
+        for (y <- 0 until h; x <- 0 until w)
+          assert((rgb(3 * (y * w + x)) & 0xFF) === grays((y / 8) * bw + x / 8),
+            f"hv=0x$hv%02x ri=$ri ($x,$y)")
+        // DC-only + neutral chroma: ImageIO must read the same pixels
+        // exactly (constant blocks are IDCT-implementation-blind)
+        val (iw, ih, theirs) = decodeImageIO(bytes)
+        assert((iw, ih) === ((w, h)), f"imageio hv=0x$hv%02x")
+        assert(maxAbsDiff(rgb, theirs) === 0, f"imageio hv=0x$hv%02x ri=$ri")
+      }
+    }
+    // factor 5 stays out of scope, named
+    val base = Jpeg.encodeGraySampled(32, 16, Array.fill(8)(99), 0x41)
+    val sof = base.indices.find(i => (base(i) & 0xFF) == 0xFF &&
+      (base(i + 1) & 0xFF) == 0xC0).get
+    val f5 = base.clone(); f5(sof + 11) = 0x51.toByte
+    val e1 = intercept[IllegalArgumentException](Jpeg.decodeRgb(71L, f5))
+    assert(e1.getMessage.contains("sampling factors 1 to 4"), e1.getMessage)
+    // 4x4 + 1 + 1 = 18 blocks/MCU violates T.81 B.2.2, named
+    val f44 = base.clone(); f44(sof + 11) = 0x44.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decodeRgb(72L, f44))
+    assert(e2.getMessage.contains("10-blocks-per-MCU"), e2.getMessage)
   }
 
   test("4:2:0 NONZERO chroma replicates to the whole MCU (sample " +

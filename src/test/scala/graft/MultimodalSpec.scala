@@ -603,6 +603,69 @@ class MultimodalSpec extends SparkSpec {
     assert(st.peak === 32768L)
   }
 
+  test("float32/extensible/int32 WAV layouts decode to the same int16 census") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val planted = Array(0, 100, -200, 2048, -2048, 5)
+    def floats(vals: Array[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 * vals.length).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(v => bb.putFloat(v / 32768.0f)); bb.array()
+    }
+    val int32 = {
+      val bb = ByteBuffer.allocate(4 * planted.length).order(ByteOrder.LITTLE_ENDIAN)
+      planted.foreach(v => bb.putInt(v << 16)); bb.array()
+    }
+    val pcm16 = {
+      val bb = ByteBuffer.allocate(2 * planted.length).order(ByteOrder.LITTLE_ENDIAN)
+      planted.foreach(v => bb.putShort(v.toShort)); bb.array()
+    }
+    val payloads = Seq(
+      Multimodal.Containers.wavTyped(1, 16000, floats(planted), 32, fmtTag = 3),
+      Multimodal.Containers.wavTyped(1, 16000, floats(planted), 32, fmtTag = 3,
+        extensible = true),
+      Multimodal.Containers.wavTyped(1, 16000, pcm16, 16, extensible = true),
+      Multimodal.Containers.wavTyped(1, 16000, int32, 32))
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      val st = Multimodal.decodeOneWav(i.toLong, p)
+      assert(st.n_samples === planted.length.toLong, s"profile $i")
+      assert(st.sum_abs === planted.map(v => math.abs(v.toLong)).sum,
+        s"profile $i")
+      assert(st.peak === 2048L, s"profile $i")
+    }
+    // the float conversion clamps out-of-range and maps NaN to 0 by name
+    val hostile = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      .putFloat(2.0f).putFloat(-2.0f).putFloat(Float.NaN).array()
+    val hs = Multimodal.decodeOneWav(9L,
+      Multimodal.Containers.wavTyped(1, 8000, hostile, 32, fmtTag = 3))
+    assert(hs.sum_abs === 32767L + 32768L && hs.peak === 32768L)
+    // a nonstandard SubFormat GUID is an unknown codec, failed by name
+    val badGuid = Multimodal.Containers.wavTyped(1, 16000, pcm16, 16,
+      extensible = true)
+    badGuid(20 + 8 + 30) = 0x55.toByte // corrupt one GUID tail byte
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeOneWav(7L, badGuid))
+    assert(e.getMessage.contains("nonstandard extensible SubFormat GUID"))
+  }
+
+  test("G.711 u-law/A-law decode hits the published table anchors") {
+    // u-law: 0xFF is +0, 0x7F is -0, 0x00 is the -32124 extreme
+    val u = Multimodal.decodeOneWav(1L, Multimodal.Containers.wavTyped(
+      1, 8000, Array(0xFF, 0x7F, 0x00, 0x80).map(_.toByte), 8, fmtTag = 7))
+    assert(u.n_samples === 4L)
+    assert(u.peak === 32124L) // |-32124| and |+32124| (0x80 -> +32124)
+    assert(u.sum_abs === 0L + 0L + 32124L + 32124L)
+    // A-law: 0x55 is -8, 0xD5 is +8, 0xAA is the +32256 extreme
+    val a = Multimodal.decodeOneWav(2L, Multimodal.Containers.wavTyped(
+      1, 8000, Array(0x55, 0xD5, 0xAA, 0x2A).map(_.toByte), 8, fmtTag = 6))
+    assert(a.peak === 32256L)
+    assert(a.sum_abs === 8L + 8L + 32256L + 32256L)
+    // an 8-bit claim under a non-G.711 tag stays the unsigned PCM map;
+    // a 16-bit claim under a G.711 tag fails by name
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeOneWav(3L, Multimodal.Containers.wav(1, 8000,
+        new Array[Byte](4), bits = 16).patch(20, Array(7.toByte), 1)))
+    assert(e.getMessage.contains("G.711"), e.getMessage)
+  }
+
   test("pixel and sample decode match the closed-form census on the fixtures") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.syntheticPixelMedia(docs).persist()
