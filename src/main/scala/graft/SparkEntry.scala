@@ -1977,6 +1977,18 @@ object SparkEntry {
       graft.multimodal.MediaDedup.imageBlockMeans(
         graft.multimodal.Multimodal.syntheticTiffCompressedMedia(
           t(s, d, "documents")), blockPx = 2)),
+    // --- IMA ADPCM WAV decode [ext]: the 4-bit block-structured codec
+    // of telephony and game audio (fmt tag 0x11) — per-block headers
+    // (predictor sample, step index) then nibble groups round-robin per
+    // channel, the published step/index tables, both clamps. Fixtures
+    // plant the block predictor with zero nibbles at index 0 (step 7 →
+    // diff 0), so each block decodes to its planted constant and the
+    // oracle replays the census without recursing the step table; the
+    // full nibble math is hand-vector-pinned in spec (budget <= 3 s) ---
+    "q290_wav_adpcm_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticWavAdpcmMedia(
+          t(s, d, "documents"))).toDF()),
     // --- WIDE-sampling JPEG decode [ext]: sampling factors 3 and 4 —
     // DV-lineage 4:1:1, 3:1:1, their vertical transposes, and the
     // T.81 10-blocks-per-MCU boundary case 4x2 — were a named census
@@ -5504,6 +5516,20 @@ object SparkEntry {
         "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
         "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
         "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // ADPCM replay: every block decodes to its planted predictor (17
+    // samples each at the fixture geometry)
+    "q290_wav_adpcm_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(3 + doc_id % 3 AS BIGINT) AS nb FROM documents), " +
+        "blk AS (SELECT media_id, nb, unnest(range(nb)) AS b FROM d), " +
+        "v AS (SELECT media_id, nb, " +
+        "((media_id*23 + b*131) % 4096) - 2048 AS pred FROM blk) " +
+        "SELECT media_id, CAST(1 AS INTEGER) AS channels, " +
+        "CAST(8000 AS INTEGER) AS sample_rate, " +
+        "CAST(nb * 17 AS BIGINT) AS n_samples, " +
+        "CAST(17 * sum(abs(pred)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(pred)) AS BIGINT) AS peak " +
+        "FROM v GROUP BY media_id, nb"),
     // wide-sampling replay: the q266 DC-only closed form with
     // variant-dependent dims — the engine earns it through four
     // different wide-MCU walks

@@ -685,6 +685,26 @@ object Multimodal {
       bb.put(body).array()
     }
 
+    /** IMA ADPCM WAV (fmt tag 0x11): the 20-byte fmt chunk (bits 4,
+      * cbSize 2, wSamplesPerBlock) over raw block `body` bytes — each
+      * block is a 4-byte header per channel (predictor i16 LE, step
+      * index u8, reserved) followed by 4-byte nibble groups round-robin
+      * per channel. */
+    def wavIma(channels: Int, sampleRate: Int, blockAlign: Int,
+               samplesPerBlock: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(20 + 20 + 8 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + 20 + 8 + body.length)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      bb.putShort(0x11.toShort).putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * blockAlign / samplesPerBlock) // avg byte rate
+      bb.putShort(blockAlign.toShort).putShort(4.toShort)
+      bb.putShort(2.toShort).putShort(samplesPerBlock.toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(body.length)
+      bb.put(body).array()
+    }
+
     /** AVI: RIFF/AVI LIST hdrl + avih — dwTotalFrames LE u32 at offset 48,
       * dwWidth at 64, dwHeight at 68. */
     def avi(width: Int, height: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
@@ -1513,6 +1533,19 @@ object Multimodal {
     * samples), read little-endian int16 samples, and reduce to the exact
     * census (count, |sum|, peak) in long arithmetic. Fails fast on
     * non-PCM or non-16-bit clips with the offending values named. */
+  /** IMA/DVI ADPCM quantizer step table (89 entries) and index
+    * adaptation table — the published constants every IMA decoder
+    * shares (IMA ADPCM reference algorithm / dvi_adpcm). */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
   def wavSampleStats(media: Dataset[MediaRow]): Dataset[SampleStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -1549,6 +1582,7 @@ object Multimodal {
     var off = 12
     var channels = 0; var rate = 0; var bits = 0
     var fmtTag = 1
+    var blockAlign = 0; var samplesPerBlock = 0 // IMA ADPCM geometry
     var sawData = false
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     while (off + 8 <= p.length) {
@@ -1578,9 +1612,10 @@ object Multimodal {
             }
             tagV = le16(dataOff + 24)
           }
-          require(tagV == 1 || tagV == 3 || tagV == 6 || tagV == 7,
-            s"media $id: only PCM (1), IEEE float (3), A-law (6) or " +
-              s"u-law (7) WAV supported, got format $tagV")
+          require(tagV == 1 || tagV == 3 || tagV == 6 || tagV == 7 ||
+            tagV == 0x11,
+            s"media $id: only PCM (1), IEEE float (3), A-law (6), " +
+              s"u-law (7) or IMA ADPCM (17) WAV supported, got format $tagV")
           fmtTag = tagV
           channels = le16(dataOff + 2); rate = le32(dataOff + 4)
           bits = le16(dataOff + 14)
@@ -1589,6 +1624,24 @@ object Multimodal {
               s"media $id: only 32-bit IEEE float supported, got $bits")
             case 6 | 7 => require(bits == 8,
               s"media $id: G.711 samples are 8-bit, got $bits")
+            case 0x11 =>
+              require(bits == 4,
+                s"media $id: IMA ADPCM samples are 4-bit, got $bits")
+              require(channels == 1 || channels == 2,
+                s"media $id: IMA ADPCM supports 1 or 2 channels, " +
+                  s"got $channels")
+              blockAlign = le16(dataOff + 12)
+              require(len >= 20, s"media $id: IMA ADPCM fmt chunk too short")
+              samplesPerBlock = le16(dataOff + 18)
+              // the block layout fixes samples/block: the header sample
+              // plus two nibbles per data byte, split across channels
+              val expect = 1 + (blockAlign - 4 * channels) * 2 / channels
+              require(blockAlign > 4 * channels &&
+                (blockAlign - 4 * channels) % (4 * channels) == 0 &&
+                samplesPerBlock == expect,
+                s"media $id: IMA ADPCM geometry mismatch (block align " +
+                  s"$blockAlign declares $samplesPerBlock samples/block, " +
+                  s"layout yields $expect)")
             case _ =>
               require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
                 s"media $id: only 8/16/24/32-bit PCM supported, got $bits")
@@ -1613,7 +1666,67 @@ object Multimodal {
     val samples = new scala.collection.mutable.ArrayBuilder.ofShort
     spans.foreach { case (dataOff, len) =>
       var i = dataOff
-      if (fmtTag == 7) { // G.711 u-law: invert, then segment expansion
+      if (fmtTag == 0x11) { // IMA/DVI ADPCM: block-structured nibbles
+        var blockOff = dataOff
+        while (blockOff + 4 * channels <= dataOff + len) {
+          val blockEnd = math.min(blockOff + blockAlign, dataOff + len)
+          val pred = new Array[Int](channels)
+          val index = new Array[Int](channels)
+          val chBuf = Array.ofDim[Short](channels, samplesPerBlock)
+          var c = 0
+          while (c < channels) {
+            val hb = blockOff + 4 * c
+            pred(c) = ((p(hb) & 0xFF) | (p(hb + 1).toInt << 8)).toShort.toInt
+            index(c) = p(hb + 2) & 0xFF
+            require(index(c) <= 88,
+              s"media $id: IMA ADPCM step index ${index(c)} out of range")
+            chBuf(c)(0) = pred(c).toShort
+            c += 1
+          }
+          // data: 4-byte nibble groups round-robin per channel, low
+          // nibble first within each byte
+          val fill = Array.fill(channels)(1)
+          var g = blockOff + 4 * channels
+          while (g < blockEnd) {
+            val c2 = ((g - blockOff - 4 * channels) / 4) % channels
+            var b = 0
+            while (b < 4 && g + b < blockEnd) {
+              val byte = p(g + b) & 0xFF
+              var half = 0
+              while (half < 2) {
+                val n = if (half == 0) byte & 0xF else byte >> 4
+                if (fill(c2) < samplesPerBlock) {
+                  val step = ImaStepTable(index(c2))
+                  var diff = step >> 3
+                  if ((n & 1) != 0) diff += step >> 2
+                  if ((n & 2) != 0) diff += step >> 1
+                  if ((n & 4) != 0) diff += step
+                  pred(c2) = math.max(-32768,
+                    math.min(32767,
+                      pred(c2) + (if ((n & 8) != 0) -diff else diff)))
+                  index(c2) = math.max(0,
+                    math.min(88, index(c2) + ImaIndexTable(n & 7)))
+                  chBuf(c2)(fill(c2)) = pred(c2).toShort
+                  fill(c2) += 1
+                }
+                half += 1
+              }
+              b += 1
+            }
+            g += 4
+          }
+          // interleave the channels in sample order; a hostile short
+          // block emits only the samples its bytes produced
+          val produced = fill.min
+          var s = 0
+          while (s < produced) {
+            var cc = 0
+            while (cc < channels) { samples += chBuf(cc)(s); cc += 1 }
+            s += 1
+          }
+          blockOff += blockAlign
+        }
+      } else if (fmtTag == 7) { // G.711 u-law: invert, then segment expansion
         while (i < dataOff + len) {
           val u = ~p(i) & 0xFF
           val mag = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
@@ -3466,6 +3579,34 @@ object Multimodal {
       MediaRow(id, "audio",
         Containers.wavTyped(1, 8000, body, 8,
           fmtTag = if (id % 2 == 0) 7 else 6), 0, 0, 1)
+    }
+  }
+
+  /** IMA ADPCM WAV fixtures — block-structured 4-bit telephony/game
+    * audio: every block plants its PREDICTOR (the header sample) with
+    * step index 0 and all-zero nibbles, so step 7 yields diff 0 and the
+    * whole block decodes to the planted constant — the closed form the
+    * oracle replays, while the engine earns it through the real block
+    * walk (header parse, nibble groups, clamps). The full nibble math
+    * (all 16 codes, index adaptation, both clamps, stereo round-robin)
+    * is pinned by hand-computed vectors in MultimodalSpec. */
+  def syntheticWavAdpcmMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val nBlocks = (3 + id % 3).toInt
+      val blockAlign = 12 // 4 header + 8 nibble bytes = 17 samples
+      val body = new Array[Byte](nBlocks * blockAlign)
+      var b = 0
+      while (b < nBlocks) {
+        val pred = ((id * 23 + b * 131) % 4096 - 2048).toInt
+        body(b * blockAlign) = (pred & 0xFF).toByte
+        body(b * blockAlign + 1) = ((pred >> 8) & 0xFF).toByte
+        // index 0, reserved 0, nibbles all 0 (already zeroed)
+        b += 1
+      }
+      MediaRow(id, "audio",
+        Containers.wavIma(1, 8000, blockAlign, 17, body), 0, 0, 1)
     }
   }
 

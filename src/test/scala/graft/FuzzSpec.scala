@@ -98,6 +98,9 @@ class FuzzSpec extends AnyFunSuite {
     fuzz("wav-ulaw", Containers.wavTyped(1, 8000,
       Array.tabulate[Byte](256)(_.toByte), 8, fmtTag = 7), 12,
       p => Multimodal.pcm16Samples(58L, p))
+    fuzz("wav-adpcm", Containers.wavIma(1, 8000, 12, 17,
+      Array.tabulate[Byte](36)(i => (i * 29 % 89).toByte)), 12,
+      p => Multimodal.pcm16Samples(62L, p))
   }
 
   test("fuzz: AVI frame decode fails only by name on hostile bytes") {

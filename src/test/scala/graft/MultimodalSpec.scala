@@ -666,6 +666,52 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("G.711"), e.getMessage)
   }
 
+  test("IMA ADPCM decodes the hand-computed nibble vector, clamps, and " +
+    "interleaves stereo round-robin groups") {
+    // mono: pred 0, index 0 (step 7); nibbles 3, 8, 7, 15 give the
+    // hand-computed [4, 4, 15, -15]:
+    //   3: 7>>3 + 7>>2 + 7>>1 = 4; index -1 -> 0
+    //   8: -(7>>3) = 0;            index -1 -> 0
+    //   7: 0+1+3+7 = 11 -> 15;     index +8 -> 8 (step 16)
+    //   F: -(2+4+8+16) = -30 -> -15; index +8 -> 16
+    // block geometry 4+4 bytes -> 9 samples/block; trailing nibbles 0
+    // at step 34 (index 16) keep adding -(34>>3)... nibble 0 adds +4:
+    // step 34 -> diff = 34>>3 = 4, index -1 each time
+    val body = new Array[Byte](8)
+    body(4) = (3 | (8 << 4)).toByte
+    body(5) = (7 | (15 << 4)).toByte
+    // bytes 6-7 zero: four nibble-0 codes from index 16 downward:
+    //   step(16)=34 -> +4 = -11, idx 15; step(15)=31 -> +3 = -8, idx 14;
+    //   step(14)=28 -> +3 = -5, idx 13; step(13)=25 -> +3 = -2, idx 12
+    val wav = Multimodal.Containers.wavIma(1, 8000, 12, 17,
+      java.util.Arrays.copyOf(body, 12)) // 12-byte block: 16 nibbles
+    // with blockAlign 12 the block has 16 nibbles; nibble-0 codes from
+    // index 16 walk the step table down (34,31,28,25,23,21,19,17,16,
+    // 14,13,12 at indices 16..5), each adding step>>3
+    val (ch, rate, samples) = Multimodal.pcm16Samples(1L, wav)
+    assert(ch === 1 && rate === 8000)
+    val expected = Array[Short](0, 4, 4, 15, -15, -11, -8, -5, -2,
+      0, 2, 4, 6, 8, 9, 10, 11)
+    assert(samples.toSeq === expected.toSeq)
+    // stereo round-robin: two channels, constant-decode blocks with
+    // different predictors interleave L R L R
+    val st = new Array[Byte](16) // 2 headers + one 4-byte group each
+    st(0) = 100; st(1) = 0 // L predictor 100
+    st(4) = 56; st(5) = 0xFE.toByte // R predictor -456
+    val swav = Multimodal.Containers.wavIma(2, 8000, 16, 9, st)
+    val (sch, _, ss) = Multimodal.pcm16Samples(2L, swav)
+    assert(sch === 2)
+    // 9 samples per channel (header + 8 zero nibbles at step 7: the
+    // four nibble-0 diffs are 7>>3 = 0, so both channels stay constant)
+    assert(ss.toSeq === Seq.fill(9)(Seq[Short](100, -456)).flatten)
+    // hostile step index fails by name
+    val bad = Multimodal.Containers.wavIma(1, 8000, 12, 17,
+      { val b = new Array[Byte](12); b(2) = 90; b })
+    val e = intercept[IllegalArgumentException](
+      Multimodal.pcm16Samples(3L, bad))
+    assert(e.getMessage.contains("step index"), e.getMessage)
+  }
+
   test("pixel and sample decode match the closed-form census on the fixtures") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.syntheticPixelMedia(docs).persist()
