@@ -1977,6 +1977,18 @@ object SparkEntry {
       graft.multimodal.MediaDedup.imageBlockMeans(
         graft.multimodal.Multimodal.syntheticTiffCompressedMedia(
           t(s, d, "documents")), blockPx = 2)),
+    // --- Sun AU + AIFF decode [ext]: the pre-streaming-era audio
+    // containers old crawls still carry — AU's 24-byte big-endian
+    // header (u-law is its DEFAULT encoding; signed PCM8, unlike WAV's
+    // unsigned; PCM16 BE) and AIFF's IFF chunks (COMM with the sample
+    // rate as a REAL 80-bit IEEE extended float, parsed exactly; SSND
+    // offset preamble; big-endian signed PCM at 8/16 bits), both routed
+    // through the ONE pcm16Samples magic dispatch so every audio
+    // operator inherits them (budget <= 3 s) ---
+    "q291_legacy_audio_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticLegacyAudioMedia(
+          t(s, d, "documents"))).toDF()),
     // --- IMA ADPCM WAV decode [ext]: the 4-bit block-structured codec
     // of telephony and game audio (fmt tag 0x11) — per-block headers
     // (predictor sample, step index) then nibble groups round-robin per
@@ -5516,6 +5528,36 @@ object SparkEntry {
         "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
         "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
         "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // legacy-audio replay: u-law codes through the published expansion,
+    // PCM16 through the planted family, signed PCM8 through the <<8
+    // scale; rates/containers CASE by profile
+    "q291_legacy_audio_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, doc_id % 4 AS v, " +
+        "CAST(200 + (doc_id * 7) % 200 AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT media_id, v, n, unnest(range(n)) AS p FROM d), " +
+        "ul AS (SELECT media_id, n, " +
+        "255 - CAST((media_id*29 + p*13) % 256 AS INTEGER) AS u " +
+        "FROM s WHERE v = 0), " +
+        "uv AS (SELECT media_id, n, " +
+        "CASE WHEN (u & 128) != 0 " +
+        "THEN 132 - ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) " +
+        "ELSE ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132 " +
+        "END AS sv FROM ul), " +
+        "pv AS (SELECT media_id, n, " +
+        "((media_id*23 + p*7) % 4096) - 2048 AS sv FROM s " +
+        "WHERE v IN (1, 2)), " +
+        "p8 AS (SELECT media_id, n, " +
+        "(((media_id*29 + p*13) % 256) - 128) * 256 AS sv FROM s " +
+        "WHERE v = 3), " +
+        "allv AS (SELECT * FROM uv UNION ALL SELECT * FROM pv " +
+        "UNION ALL SELECT * FROM p8) " +
+        "SELECT allv.media_id, CAST(1 AS INTEGER) AS channels, " +
+        "CAST(CASE WHEN allv.media_id % 4 IN (0, 1) THEN 8000 " +
+        "ELSE 44100 END AS INTEGER) AS sample_rate, " +
+        "allv.n AS n_samples, " +
+        "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(sv)) AS BIGINT) AS peak " +
+        "FROM allv GROUP BY allv.media_id, allv.n"),
     // ADPCM replay: every block decodes to its planted predictor (17
     // samples each at the fixture geometry)
     "q290_wav_adpcm_census" ->

@@ -705,6 +705,41 @@ object Multimodal {
       bb.put(body).array()
     }
 
+    /** Sun AU (.snd): the 24-byte big-endian header over raw body bytes
+      * (encoding 1 u-law / 2 signed PCM8 / 3 PCM16 BE). */
+    def au(channels: Int, sampleRate: Int, encoding: Int,
+           body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(24 + body.length) // BE by default
+      bb.put(".snd".getBytes("US-ASCII"))
+      bb.putInt(24).putInt(body.length).putInt(encoding)
+      bb.putInt(sampleRate).putInt(channels)
+      bb.put(body).array()
+    }
+
+    /** AIFF: FORM/AIFF with a COMM chunk (sample rate written as a REAL
+      * 80-bit IEEE extended float) and an SSND chunk over big-endian
+      * signed PCM `body` bytes at the declared depth. */
+    def aiff(channels: Int, sampleRate: Int, bits: Int,
+             body: Array[Byte]): Array[Byte] = {
+      require(bits == 8 || bits == 16, s"AIFF bits $bits")
+      require(sampleRate > 0, "positive sample rate")
+      val frames = body.length / (channels * (bits / 8))
+      val bb = ByteBuffer.allocate(12 + 26 + 16 + body.length)
+      bb.put("FORM".getBytes("US-ASCII"))
+      bb.putInt(4 + 26 + 16 + body.length)
+      bb.put("AIFF".getBytes("US-ASCII"))
+      bb.put("COMM".getBytes("US-ASCII")).putInt(18)
+      bb.putShort(channels.toShort).putInt(frames).putShort(bits.toShort)
+      // 80-bit extended: exponent 16383 + floor(log2 rate), mantissa
+      // left-justified with the explicit integer bit
+      val n = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+      bb.putShort((16383 + n).toShort)
+      bb.putLong(sampleRate.toLong << (63 - n))
+      bb.put("SSND".getBytes("US-ASCII")).putInt(8 + body.length)
+      bb.putInt(0).putInt(0) // offset, blockSize
+      bb.put(body).array()
+    }
+
     /** AVI: RIFF/AVI LIST hdrl + avih — dwTotalFrames LE u32 at offset 48,
       * dwWidth at 64, dwHeight at 68. */
     def avi(width: Int, height: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
@@ -1574,6 +1609,11 @@ object Multimodal {
       while (i < samples.length) { sh(i) = samples(i).toShort; i += 1 }
       return (channels, rate, sh)
     }
+    if (p.length >= 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' &&
+      p(3) == 'd') return decodeAu(id, p)
+    if (p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' &&
+      p(3) == 'M' && p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
+      p(11) == 'F') return decodeAiff(id, p)
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
     def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
@@ -1728,10 +1768,7 @@ object Multimodal {
         }
       } else if (fmtTag == 7) { // G.711 u-law: invert, then segment expansion
         while (i < dataOff + len) {
-          val u = ~p(i) & 0xFF
-          val mag = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
-          samples += (if ((u & 0x80) != 0) 0x84 - mag else mag - 0x84)
-            .toShort
+          samples += ulawExpand(p(i))
           i += 1
         }
       } else if (fmtTag == 6) { // G.711 A-law: XOR 0x55, segmented
@@ -1777,6 +1814,126 @@ object Multimodal {
           }
       }
     }
+    (channels, rate, samples.result())
+  }
+
+  /** G.711 u-law segment expansion (shared by the WAV fmt-7 branch and
+    * the AU container, whose default encoding it is). */
+  private def ulawExpand(b: Byte): Short = {
+    val u = ~b & 0xFF
+    val mag = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+    (if ((u & 0x80) != 0) 0x84 - mag else mag - 0x84).toShort
+  }
+
+  /** Sun AU (.snd) decode — the oldest crawl audio container, a pure
+    * big-endian fixed header: magic, data offset, data size (may be
+    * 0xFFFFFFFF = "to EOF" per spec), encoding (1 u-law / 2 linear
+    * PCM8 SIGNED — unlike WAV's unsigned 8-bit — / 3 linear PCM16 BE),
+    * sample rate, channels. Everything else fails by name. */
+  private[graft] def decodeAu(id: Long, p: Array[Byte]): (Int, Int, Array[Short]) = {
+    def be32(off: Int): Int = {
+      require(off + 4 <= p.length, s"media $id: truncated AU header")
+      ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+        ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+    }
+    val dataOff = be32(4)
+    val dataSize = be32(8)
+    val enc = be32(12)
+    val rate = be32(16)
+    val channels = be32(20)
+    require(dataOff >= 24 && dataOff <= p.length,
+      s"media $id: AU data offset $dataOff out of bounds")
+    require(channels >= 1 && channels <= 64 && rate > 0,
+      s"media $id: implausible AU header (channels $channels, rate $rate)")
+    require(enc == 1 || enc == 2 || enc == 3,
+      s"media $id: only AU encodings 1 (u-law), 2 (PCM8) and 3 (PCM16) " +
+        s"supported, got $enc")
+    // -1 means "data runs to EOF", per the original Sun header
+    val end =
+      if (dataSize == -1) p.length
+      else {
+        require(dataSize >= 0 && dataOff.toLong + dataSize <= p.length,
+          s"media $id: truncated AU data ($dataSize bytes at $dataOff)")
+        dataOff + dataSize
+      }
+    val samples = new scala.collection.mutable.ArrayBuilder.ofShort
+    var i = dataOff
+    enc match {
+      case 1 => while (i < end) { samples += ulawExpand(p(i)); i += 1 }
+      case 2 => // SIGNED 8-bit linear, scaled to int16
+        while (i < end) { samples += (p(i).toInt << 8).toShort; i += 1 }
+      case _ => // 16-bit BIG-endian linear
+        while (i + 1 < end) {
+          samples += (((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)).toShort
+          i += 2
+        }
+    }
+    (channels, rate, samples.result())
+  }
+
+  /** AIFF decode — the IFF-structured Apple-era container: FORM/AIFF,
+    * COMM (channels, frame count, sample size, and the sample rate as
+    * an 80-bit IEEE extended float — parsed exactly for the integer
+    * rates real files carry), SSND (offset/blockSize preamble, then
+    * interleaved BIG-endian signed PCM). 8- and 16-bit samples; IFF
+    * chunks are word-aligned like RIFF's. */
+  private[graft] def decodeAiff(id: Long, p: Array[Byte]): (Int, Int, Array[Short]) = {
+    def be16(off: Int): Int = ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
+    def be32(off: Int): Int = (be16(off) << 16) | be16(off + 2)
+    var off = 12
+    var channels = 0; var bits = 0; var rate = 0
+    var frames = -1
+    var sawData = false
+    val samples = new scala.collection.mutable.ArrayBuilder.ofShort
+    while (off + 8 <= p.length) {
+      val typ = new String(p, off, 4, "US-ASCII")
+      val len = be32(off + 4)
+      val dataOff = off + 8
+      require(len >= 0, s"media $id: negative AIFF $typ chunk length $len")
+      require(dataOff.toLong + len <= p.length,
+        s"media $id: truncated AIFF $typ chunk")
+      typ match {
+        case "COMM" =>
+          require(len >= 18, s"media $id: short AIFF COMM chunk ($len)")
+          channels = be16(dataOff)
+          frames = be32(dataOff + 2)
+          bits = be16(dataOff + 6)
+          require(bits == 8 || bits == 16,
+            s"media $id: only 8/16-bit AIFF samples supported, got $bits")
+          // 80-bit IEEE extended: sign(1) exponent(15) mantissa(64 with
+          // an EXPLICIT integer bit); value = mant · 2^(exp − 16383 − 63)
+          val exp = be16(dataOff + 8) & 0x7FFF
+          var mant = 0L
+          var k = 0
+          while (k < 8) {
+            mant = (mant << 8) | (p(dataOff + 10 + k) & 0xFF)
+            k += 1
+          }
+          val shift = exp - 16383 - 63
+          require(mant != 0 && shift >= -63 && shift <= 30,
+            s"media $id: implausible AIFF sample rate " +
+              s"(exp $exp, mantissa $mant)")
+          rate = (if (shift >= 0) mant << shift else mant >>> -shift).toInt
+          require(rate > 0, s"media $id: AIFF sample rate parsed to $rate")
+        case "SSND" =>
+          require(channels > 0, s"media $id: AIFF SSND before COMM")
+          require(len >= 8, s"media $id: short AIFF SSND chunk ($len)")
+          val pad = be32(dataOff) // offset field: bytes to skip
+          require(pad >= 0 && pad <= len - 8,
+            s"media $id: AIFF SSND offset $pad out of bounds")
+          sawData = true
+          var i = dataOff + 8 + pad
+          val end = dataOff + len
+          if (bits == 16)
+            while (i + 1 < end) { samples += be16(i).toShort; i += 2 }
+          else // 8-bit AIFF is SIGNED, unlike WAV
+            while (i < end) { samples += (p(i).toInt << 8).toShort; i += 1 }
+        case _ => ()
+      }
+      off = dataOff + len + (len & 1) // IFF chunks are word-aligned
+    }
+    require(channels > 0 && sawData,
+      s"media $id: missing AIFF COMM or SSND chunk")
     (channels, rate, samples.result())
   }
 
@@ -2930,6 +3087,12 @@ object Multimodal {
           (if (p(8) == 'W'.toByte) "wav" else "avi")
         else if (p.length >= 4 && p(0) == 'f'.toByte && p(1) == 'L'.toByte &&
           p(2) == 'a'.toByte && p(3) == 'C'.toByte) "flac"
+        else if (p.length >= 4 && p(0) == '.'.toByte && p(1) == 's'.toByte &&
+          p(2) == 'n'.toByte && p(3) == 'd'.toByte) "au"
+        else if (p.length >= 12 && p(0) == 'F'.toByte && p(1) == 'O'.toByte &&
+          p(2) == 'R'.toByte && p(3) == 'M'.toByte && p(8) == 'A'.toByte &&
+          p(9) == 'I'.toByte && p(10) == 'F'.toByte && p(11) == 'F'.toByte)
+          "aiff"
         else if (Raster.isBmp(p)) "bmp"
         else if (Raster.isTiff(p)) "tiff"
         else if (ContainerMeta.heifFormat(p).isDefined)
@@ -2953,7 +3116,7 @@ object Multimodal {
             case "png" | "bmp" | "tiff" | "webp" => decodeStillRgba(m.media_id, p)
             case "gif" => decodeGifComposited(m.media_id, p)
             case "jpeg" => Jpeg.decodeRgb(m.media_id, p)
-            case "wav" | "flac" => pcm16Samples(m.media_id, p)
+            case "wav" | "flac" | "au" | "aiff" => pcm16Samples(m.media_id, p)
             // the crawl-majority containers have no sample decoder here;
             // run the REAL metadata walk (hostile payloads land their own
             // named causes) and report the codec as evidence
@@ -3607,6 +3770,42 @@ object Multimodal {
       }
       MediaRow(id, "audio",
         Containers.wavIma(1, 8000, blockAlign, 17, body), 0, 0, 1)
+    }
+  }
+
+  /** Legacy audio-container fixtures — Sun AU and AIFF, the
+    * pre-streaming-era formats old crawls still carry: AU u-law (its
+    * default encoding), AU PCM16 BE, AIFF PCM16 BE (sample rate through
+    * a REAL 80-bit extended float), and AIFF signed PCM8, cycling by
+    * id mod 4. The PCM profiles plant the q270 value family and the
+    * u-law profile plants raw code bytes, so the oracle replays both
+    * paths through the published expansions. */
+  def syntheticLegacyAudioMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (200 + (id * 7) % 200).toInt
+      def k(pp: Int): Int = ((id * 23 + pp.toLong * 7) % 4096 - 2048).toInt
+      def pcm16be(): Array[Byte] = {
+        val b = new Array[Byte](2 * n)
+        var pp = 0
+        while (pp < n) {
+          b(2 * pp) = ((k(pp) >> 8) & 0xFF).toByte
+          b(2 * pp + 1) = (k(pp) & 0xFF).toByte
+          pp += 1
+        }
+        b
+      }
+      val payload = (id % 4).toInt match {
+        case 0 => Containers.au(1, 8000, 1,
+          Array.tabulate(n)(pp => ((id * 29 + pp * 13) % 256).toByte))
+        case 1 => Containers.au(1, 8000, 3, pcm16be())
+        case 2 => Containers.aiff(1, 44100, 16, pcm16be())
+        case _ => Containers.aiff(1, 44100, 8,
+          Array.tabulate(n)(pp =>
+            (((id * 29 + pp * 13) % 256) - 128).toByte))
+      }
+      MediaRow(id, "audio", payload, 0, 0, 1)
     }
   }
 

@@ -315,9 +315,15 @@ private[graft] object Raster {
     val (segOffsets, segCounts, segW, segH, segsAcross, nSegs) =
       if (tiled) {
         val tileL = scalar(323, 0L)
-        // the spec requires tile dims to be multiples of 16
+        // the spec requires tile dims to be multiples of 16; hostile
+        // tile dims would overflow the per-segment byte count negative
+        // (the fuzz battery found exactly that), so bound the tile area
+        // like the canvas
         require(tileW > 0 && tileL > 0 && tileW % 16 == 0 && tileL % 16 == 0,
           s"media $id: bad TIFF tile geometry ${tileW}x$tileL")
+        require(tileW * tileL <= MaxDecodePixels,
+          s"media $id: ${tileW}x$tileL tile exceeds the " +
+            s"$MaxDecodePixels-pixel decode bound")
         val tOff = values(324)
         val tCnt = values(325)
         require(tOff != null && tCnt != null && tOff.length == tCnt.length,
@@ -339,7 +345,11 @@ private[graft] object Raster {
         require(sOff.length == n,
           s"media $id: TIFF declares ${sOff.length} strips, " +
             s"geometry needs $n")
-        (sOff, sCnt, wi, rps.toInt, 1, n)
+        // clamp BEFORE narrowing: a hostile RowsPerStrip past 2^31
+        // truncates .toInt negative and rode into the per-segment byte
+        // count (the fuzz battery found it); rows per strip can never
+        // exceed the (decode-bounded) height anyway
+        (sOff, sCnt, wi, math.min(rps, h).toInt, 1, n)
       }
     val out = new Array[Byte](4 * wi * hi)
     var seg = 0

@@ -101,6 +101,12 @@ class FuzzSpec extends AnyFunSuite {
     fuzz("wav-adpcm", Containers.wavIma(1, 8000, 12, 17,
       Array.tabulate[Byte](36)(i => (i * 29 % 89).toByte)), 12,
       p => Multimodal.pcm16Samples(62L, p))
+    fuzz("au", Containers.au(1, 8000, 1,
+      Array.tabulate[Byte](100)(i => (i * 31).toByte)), 4,
+      p => Multimodal.pcm16Samples(63L, p))
+    fuzz("aiff", Containers.aiff(1, 44100, 16,
+      Array.tabulate[Byte](100)(i => (i * 17).toByte)), 12,
+      p => Multimodal.pcm16Samples(64L, p))
   }
 
   test("fuzz: AVI frame decode fails only by name on hostile bytes") {

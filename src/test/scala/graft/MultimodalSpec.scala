@@ -712,6 +712,37 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("step index"), e.getMessage)
   }
 
+  test("AU and AIFF decode through the shared audio dispatch: u-law " +
+    "anchors, SIGNED 8-bit, big-endian 16-bit, 80-bit extended rates") {
+    // AU u-law: the q286 anchors through the container path
+    val au = Multimodal.decodeOneWav(1L, Multimodal.Containers.au(1, 8000, 1,
+      Array(0xFF, 0x00).map(_.toByte)))
+    assert(au.channels === 1 && au.sample_rate === 8000)
+    assert(au.sum_abs === 0L + 32124L && au.peak === 32124L)
+    // AU signed PCM8: byte -5 is sample -1280 (WAV's unsigned map would
+    // read 251 -> +31488 — the sign convention is the test)
+    val au8 = Multimodal.decodeOneWav(2L, Multimodal.Containers.au(1, 8000, 2,
+      Array[Byte](-5, 100)))
+    assert(au8.sum_abs === 1280L + 25600L && au8.peak === 25600L)
+    // AIFF PCM16 big-endian + the 80-bit extended rate
+    val body = Array[Byte](0x12, 0x34, 0xFF.toByte, 0x38.toByte)
+    for (rate <- Seq(8000, 11025, 22050, 44100, 48000, 96000)) {
+      val st = Multimodal.decodeOneWav(3L,
+        Multimodal.Containers.aiff(1, rate, 16, body))
+      assert(st.sample_rate === rate, s"rate $rate")
+      assert(st.n_samples === 2L)
+      assert(st.sum_abs === 0x1234L + 200L) // 0xFF38 = -200
+    }
+    // AIFF signed PCM8
+    val ai8 = Multimodal.decodeOneWav(4L,
+      Multimodal.Containers.aiff(2, 44100, 8, Array[Byte](-5, 100)))
+    assert(ai8.channels === 2 && ai8.sum_abs === 1280L + 25600L)
+    // unknown AU encoding fails by name
+    val e = intercept[IllegalArgumentException](Multimodal.decodeOneWav(5L,
+      Multimodal.Containers.au(1, 8000, 27, new Array[Byte](4))))
+    assert(e.getMessage.contains("AU encodings"), e.getMessage)
+  }
+
   test("pixel and sample decode match the closed-form census on the fixtures") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.syntheticPixelMedia(docs).persist()
