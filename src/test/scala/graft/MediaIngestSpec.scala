@@ -446,6 +446,106 @@ class MediaIngestSpec extends SparkSpec {
       "the animated-WebP re-cut of a committed GIF must be rejected")
   }
 
+  test("this round's formats arrive in the streams and are rejected: a " +
+    "compressed-TIFF re-encode of committed PNG content, an APNG re-cut " +
+    "of a committed GIF animation, and an AU re-encode of a WAV clip") {
+    import spark.implicits._
+    // image: PNG committed, then an LZW+predictor TIFF of the SAME
+    // grays — lossless through a different codec family entirely
+    def cellGray(bx: Int, by: Int): Int =
+      (31 + bx * bx * 11 + by * by * 5 + bx * by * 7) % 256
+    val png = MediaRow(71, "image", Containers.pngFull(64, 64, { i =>
+      if (i % 4 == 3) 255
+      else { val k = i / 4; cellGray((k % 64) / 8, (k / 64) / 8) }
+    }), 64, 64, 1)
+    val tif = MediaRow(72, "image", graft.multimodal.Raster.tiff(64, 64, 1, 1,
+      k => cellGray((k % 64) / 8, (k / 64) / 8), rowsPerStrip = 16,
+      compression = 5, predictor = 2), 64, 64, 1)
+    val in = Files.createTempDirectory("graft-tifi-in").toString
+    val lake = new LakeTable(spark,
+      Files.createTempDirectory("graft-tifi-lake").toString)
+    writeBatchFile(in, "b1", Seq(png))
+    val q1 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(q1.exception.isEmpty)
+    writeBatchFile(in, "b2", Seq(tif))
+    val q2 = MediaIngest.startPerceptualDedup(spark, in, lake, "media",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty)
+    assert(lake.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(71L),
+      "the compressed-TIFF re-encode of committed PNG content must be rejected")
+
+    // video: a GIF animation committed, then an APNG whose composited
+    // fcTL/fdAT frames equal the GIF's composited frames
+    val w = 16; val h = 12
+    def g0(x: Int, y: Int): Int = (x * 7 + y * 5 + 37) % 256
+    def g1(x: Int, y: Int): Int = (x * 3 + y * 13 + 67) % 256
+    val gifPal = Array.tabulate(256 * 3)(b => (b / 3).toByte)
+    val gif = MediaRow(81, "video", Containers.gifAnimated(w, h, 2,
+      (f, k) => if (f == 0) g0(k % w, k / w) else g1(k % w, k / w),
+      gifPal, minCodeSize = 8), w, h, 2)
+    def frameSpec(g: (Int, Int) => Int) =
+      Containers.ApngFrameSpec(0, 0, w, h, { i =>
+        if (i % 4 == 3) 255 else g((i / 4) % w, (i / 4) / w)
+      })
+    val apng = MediaRow(82, "video",
+      Containers.pngAnimated(w, h, Seq(frameSpec(g0), frameSpec(g1))),
+      w, h, 2)
+    val inV = Files.createTempDirectory("graft-apng-in").toString
+    val lakeV = new LakeTable(spark,
+      Files.createTempDirectory("graft-apng-lake").toString)
+    writeBatchFile(inV, "b1", Seq(gif))
+    val qv1 = MediaIngest.startVideoDedup(spark, inV, lakeV, "media",
+      trigger = Trigger.AvailableNow())
+    qv1.awaitTermination(120000)
+    assert(qv1.exception.isEmpty)
+    writeBatchFile(inV, "b2", Seq(apng))
+    val qv2 = MediaIngest.startVideoDedup(spark, inV, lakeV, "media",
+      trigger = Trigger.AvailableNow())
+    qv2.awaitTermination(120000)
+    assert(qv2.exception.isEmpty)
+    assert(lakeV.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(81L),
+      "the APNG re-cut of a committed GIF must be rejected")
+
+    // audio: a WAV clip committed, then the SAME samples as a Sun AU
+    // (PCM16 big-endian — lossless, byte-different container)
+    val samples = Array.tabulate(570)(p =>
+      ((p.toLong * p * 29 + p * 17 + 9) % 4096 - 2048).toInt)
+    val body = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { p =>
+      body(2 * p) = (samples(p) & 0xFF).toByte
+      body(2 * p + 1) = ((samples(p) >> 8) & 0xFF).toByte
+    }
+    val beBody = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { p =>
+      beBody(2 * p) = ((samples(p) >> 8) & 0xFF).toByte
+      beBody(2 * p + 1) = (samples(p) & 0xFF).toByte
+    }
+    val wavRow = MediaRow(91, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+    val auRow = MediaRow(92, "audio",
+      Containers.au(1, 16000, 3, beBody), 0, 0, 1)
+    val inA = Files.createTempDirectory("graft-au-in").toString
+    val lakeA = new LakeTable(spark,
+      Files.createTempDirectory("graft-au-lake").toString)
+    writeBatchFile(inA, "b1", Seq(wavRow))
+    val qa1 = MediaIngest.startAudioDedup(spark, inA, lakeA, "media",
+      trigger = Trigger.AvailableNow())
+    qa1.awaitTermination(120000)
+    assert(qa1.exception.isEmpty)
+    writeBatchFile(inA, "b2", Seq(auRow))
+    val qa2 = MediaIngest.startAudioDedup(spark, inA, lakeA, "media",
+      trigger = Trigger.AvailableNow())
+    qa2.awaitTermination(120000)
+    assert(qa2.exception.isEmpty)
+    assert(lakeA.read("media").select("media_id").collect()
+      .map(_.getLong(0)).toSet === Set(91L),
+      "the AU re-encode of a committed WAV clip must be rejected")
+  }
+
   // joint (caption, image, audio) item: any-modality dedup fixtures
   private def jointItem(id: Long, caption: String, gray: (Int, Int) => Int,
                         clip: Int => Int): (Long, String, Array[Byte], Array[Byte]) = {
