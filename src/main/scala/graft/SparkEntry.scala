@@ -1989,6 +1989,22 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavSampleStats(
         graft.multimodal.Multimodal.syntheticLegacyAudioMedia(
           t(s, d, "documents"))).toDF()),
+    // --- AVI SOUNDTRACK extraction + WAV cross-container dedup [ext]:
+    // real crawl AVIs carry an 'auds' stream the video surface ignores
+    // and the audio surface previously couldn't reach — decodeAviAudio
+    // walks the same shallow RIFF tree, reads the auds WAVEFORMATEX
+    // (PCM only, by name), collects that stream's 'NNwb' chunks by its
+    // strl POSITION, and the one pcm16Samples dispatch routes AVIs on
+    // the audio surface through it — so a WAV re-encode of an AVI's
+    // soundtrack collides contour-for-contour with the video payload
+    // invisible. The video walk is now stream-aware (an auds strf no
+    // longer trips the BITMAPINFOHEADER validation) (budget <= 3 s) ---
+    "q292_avi_soundtrack_neardups" -> ((s, d) =>
+      graft.multimodal.MediaDedup.audioNearDups(
+        graft.multimodal.MediaDedup.syntheticAviSoundtrackPairs(
+          t(s, d, "documents")), maxHamming = 3, bands = 4)
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))),
     // --- IMA ADPCM WAV decode [ext]: the 4-bit block-structured codec
     // of telephony and game audio (fmt tag 0x11) — per-block headers
     // (predictor sample, step index) then nibble groups round-robin per
@@ -5558,6 +5574,29 @@ object SparkEntry {
         "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
         "CAST(max(abs(sv)) AS BIGINT) AS peak " +
         "FROM allv GROUP BY allv.media_id, allv.n"),
+    // soundtrack replay: q220's contour-fingerprint arithmetic with this
+    // fixture's sample family — both pair members decode the SAME
+    // samples (the oracle never sees the containers), so the full pair
+    // set falls out of one fingerprint per doc
+    "q292_avi_soundtrack_neardups" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(128 + (g % 64) * 4 AS BIGINT) AS n FROM dd), " +
+        "s AS (SELECT doc_id, g, n, unnest(range(n)) AS p FROM dm), " +
+        "v AS (SELECT doc_id, (p * 57) // n AS wdx, " +
+        "abs(((g*29 + p*p*(7 + g % 13) + p*11) % 4096) - 2048) AS av " +
+        "FROM s), " +
+        "e AS (SELECT doc_id, wdx, sum(av) AS energy FROM v GROUP BY 1, 2), " +
+        "bits AS (SELECT l.doc_id, l.wdx AS j FROM e l " +
+        "JOIN e r ON l.doc_id = r.doc_id AND r.wdx = l.wdx + 1 " +
+        "WHERE r.energy > l.energy), " +
+        "fp AS (SELECT dm.doc_id, coalesce(sum(CAST(1 AS BIGINT) << " +
+        "CAST(j AS INTEGER)), 0) AS afp FROM dm " +
+        "LEFT JOIN bits ON dm.doc_id = bits.doc_id GROUP BY 1) " +
+        "SELECT x.doc_id AS media_a, y.doc_id AS media_b, " +
+        "CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.afp, y.afp)) <= 3"),
     // ADPCM replay: every block decodes to its planted predictor (17
     // samples each at the fixture geometry)
     "q290_wav_adpcm_census" ->

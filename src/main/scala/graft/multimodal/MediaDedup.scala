@@ -1420,6 +1420,41 @@ object MediaDedup {
     }
   }
 
+  /** WAV ↔ AVI-soundtrack pairs (g = doc_id/2): the even member a WAV
+    * of the planted PCM16 clip, the odd member an AVI whose VIDEO
+    * frames differ per group but whose 'auds' stream carries the SAME
+    * samples — the soundtrack surface's cross-container contract: the
+    * audio operators see the AVI through the decodeAviAudio dispatch
+    * and the pair collides contour-for-contour at Hamming 0, with the
+    * video payload invisible to the audio fingerprint. */
+  def syntheticAviSoundtrackPairs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      val n = (128 + (g % 64) * 4).toInt
+      // quadratic position term with per-group prime-modulus multipliers
+      // (the degeneracy rule): a linear family drains window-energy
+      // entropy across groups at small n
+      val samples = Array.tabulate(n)(p =>
+        ((g * 29 + p.toLong * p * (7 + g % 13) + p.toLong * 11) % 4096
+          - 2048).toShort)
+      if (id % 2 == 0) {
+        val body = new Array[Byte](2 * n)
+        var p = 0
+        while (p < n) {
+          body(2 * p) = (samples(p) & 0xFF).toByte
+          body(2 * p + 1) = ((samples(p) >> 8) & 0xFF).toByte
+          p += 1
+        }
+        MediaRow(id, "audio", Containers.wav(1, 16000, body), 0, 0, 1)
+      } else
+        MediaRow(id, "audio", Containers.aviWithAudio(8, 6, 2,
+          (f, x, y, c) => ((g * 13 + f * 7 + x * 3 + y * 5 + c * 17) % 256).toInt,
+          1, 16000, samples), 8, 6, 2)
+    }
+  }
+
   /** Cross-CONTAINER video fixtures: doc_ids come in planted pairs
     * (group g = doc_id/2) — the even member an AVI carrying uncompressed
     * DIB frames, the odd member an ANIMATED GIF (per-frame LZW streams,

@@ -829,6 +829,97 @@ object Multimodal {
       bb.array()
     }
 
+    /** AVI with BOTH streams — DIB video plus a PCM16 soundtrack: the
+      * [[aviFull]] structure extended with a second strl (an 'auds'
+      * strh and a 16-byte WAVEFORMATEX strf) and a '01wb' movi chunk
+      * carrying the interleaved little-endian samples (stream 1 = the
+      * second strl, per the AVI chunk-naming rule). The fixture side of
+      * the soundtrack surface: pair it with a WAV of the same samples
+      * and the audio operators collide contour-for-contour. */
+    def aviWithAudio(width: Int, height: Int, frames: Int,
+                     px: (Int, Int, Int, Int) => Int,
+                     audioChannels: Int, audioRate: Int,
+                     pcm16: Array[Short]): Array[Byte] = {
+      val rowSize = ((3 * width + 3) / 4) * 4
+      val frameBytes = rowSize * height
+      val audioBytes = 2 * pcm16.length
+      val audioPad = audioBytes & 1
+      val moviLen = 4 + frames * (8 + frameBytes) + 8 + audioBytes + audioPad
+      val hdrlLen = 4 + 64 + (8 + 116) + (8 + 92)
+      val bb = ByteBuffer.allocate(12 + 8 + hdrlLen + 8 + moviLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(4 + 8 + hdrlLen + 8 + moviLen)
+      bb.put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+      bb.put("hdrl".getBytes("US-ASCII"))
+      bb.put("avih".getBytes("US-ASCII")).putInt(56)
+      bb.putInt(33367)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(frames)
+      bb.putInt(0).putInt(2).putInt(0) // TWO streams
+      bb.putInt(width).putInt(height)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      // stream 0: video
+      bb.put("LIST".getBytes("US-ASCII")).putInt(116)
+      bb.put("strl".getBytes("US-ASCII"))
+      bb.put("strh".getBytes("US-ASCII")).putInt(56)
+      bb.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      bb.putInt(0)
+      bb.putShort(0.toShort).putShort(0.toShort)
+      bb.putInt(0).putInt(1).putInt(30).putInt(0)
+      bb.putInt(frames)
+      bb.putInt(frameBytes).putInt(0).putInt(0)
+      bb.putShort(0.toShort).putShort(0.toShort)
+      bb.putShort(width.toShort).putShort(height.toShort)
+      bb.put("strf".getBytes("US-ASCII")).putInt(40)
+      bb.putInt(40).putInt(width).putInt(height)
+      bb.putShort(1.toShort).putShort(24.toShort)
+      bb.putInt(0).putInt(frameBytes)
+      bb.putInt(0).putInt(0).putInt(0).putInt(0)
+      // stream 1: audio
+      bb.put("LIST".getBytes("US-ASCII")).putInt(92)
+      bb.put("strl".getBytes("US-ASCII"))
+      bb.put("strh".getBytes("US-ASCII")).putInt(56)
+      bb.put("auds".getBytes("US-ASCII")).putInt(0) // no handler fourcc
+      bb.putInt(0)
+      bb.putShort(0.toShort).putShort(0.toShort)
+      bb.putInt(0).putInt(1).putInt(audioRate).putInt(0)
+      bb.putInt(pcm16.length / audioChannels) // dwLength in samples
+      bb.putInt(audioBytes).putInt(0).putInt(2 * audioChannels) // sampleSize
+      bb.putShort(0.toShort).putShort(0.toShort)
+      bb.putShort(0.toShort).putShort(0.toShort)
+      bb.put("strf".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1.toShort).putShort(audioChannels.toShort)
+      bb.putInt(audioRate).putInt(audioRate * 2 * audioChannels)
+      bb.putShort((2 * audioChannels).toShort).putShort(16.toShort)
+      // movi: frames then the soundtrack chunk
+      bb.put("LIST".getBytes("US-ASCII")).putInt(moviLen)
+      bb.put("movi".getBytes("US-ASCII"))
+      var f = 0
+      while (f < frames) {
+        bb.put("00db".getBytes("US-ASCII")).putInt(frameBytes)
+        var row = height - 1
+        while (row >= 0) {
+          var x = 0
+          while (x < width) {
+            bb.put((px(f, x, row, 2) & 0xFF).toByte)
+            bb.put((px(f, x, row, 1) & 0xFF).toByte)
+            bb.put((px(f, x, row, 0) & 0xFF).toByte)
+            x += 1
+          }
+          var pad = rowSize - 3 * width
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          row -= 1
+        }
+        f += 1
+      }
+      bb.put("01wb".getBytes("US-ASCII")).putInt(audioBytes)
+      pcm16.foreach(bb.putShort)
+      if (audioPad == 1) bb.put(0.toByte)
+      bb.array()
+    }
+
     /** MJPEG AVI: [[aviFull]]'s RIFF structure with the video stream
       * declared MJPG ('vids'/'MJPG' strh, biCompression 'MJPG' strf) and
       * LIST movi carrying one '00dc' chunk per frame, each a COMPLETE
@@ -1614,6 +1705,11 @@ object Multimodal {
     if (p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' &&
       p(3) == 'M' && p(8) == 'A' && p(9) == 'I' && p(10) == 'F' &&
       p(11) == 'F') return decodeAiff(id, p)
+    // an AVI on the AUDIO surface means its soundtrack: extract the
+    // 'auds' stream's PCM through the RIFF walk
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I')
+      return decodeAviAudio(id, p)
     def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
     def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
     def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
@@ -1976,6 +2072,7 @@ object Multimodal {
     var w = 0; var h = 0; var declared = -1
     var sawStrf = false
     var isMjpeg = false
+    var curFcc: String = null // the current strl's strh fccType
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     // LISTs nest but their children are contiguous chunks, so one linear
     // walk that DESCENDS into the lists it knows (hdrl/strl/movi) and
@@ -2004,6 +2101,11 @@ object Multimodal {
             require(w.toLong * h <= MaxDecodePixels,
               s"media $id: ${w}x$h exceeds the $MaxDecodePixels-pixel " +
                 "decode bound")
+          case "strh" =>
+            require(len >= 4, s"media $id: strh chunk too short ($len)")
+            curFcc = tag(dataOff) // vids / auds / txts…
+          case "strf" if curFcc == "auds" =>
+            () // the audio stream's WAVEFORMATEX: decodeAviAudio's job
           case "strf" =>
             require(len >= 40, s"media $id: strf BITMAPINFOHEADER too short")
             val bitCount = le16(dataOff + 14)
@@ -2066,6 +2168,88 @@ object Multimodal {
     require(frames.length == declared,
       s"media $id: avih declares $declared frames, movi carries ${frames.length}")
     (w, h, frames.toArray)
+  }
+
+  /** AVI AUDIO-track extraction — the soundtrack side of the container:
+    * the same shallow RIFF walk as [[decodeAviRgb]], but it reads the
+    * 'auds' stream's strf (a WAVEFORMATEX — PCM tag 1 only, 8/16-bit)
+    * and collects that stream's 'NNwb' movi chunks, where NN is the
+    * stream's POSITION among the strl lists (the AVI chunk-naming rule —
+    * an audio-first file uses '00wb'). Samples normalize to int16
+    * exactly like the WAV walk, so the WHOLE audio surface (contours,
+    * dedup, quality, ingest) consumes AVI soundtracks through the one
+    * [[pcm16Samples]] dispatch: a WAV re-encode of an AVI's soundtrack
+    * collides contour-for-contour. */
+  private[graft] def decodeAviAudio(id: Long, p: Array[Byte]): (Int, Int, Array[Short]) = {
+    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      s"media $id: not a RIFF/AVI container")
+    var curFcc: String = null
+    var streamIdx = -1
+    var audioStream = -1
+    var channels = 0; var rate = 0; var bits = 0
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var off = 12
+    while (off + 8 <= p.length) {
+      val t = tag(off); val len = le32(off + 4); val dataOff = off + 8
+      require(len >= 0, s"media $id: negative $t chunk length $len")
+      require(dataOff.toLong + len <= p.length, s"media $id: truncated $t chunk")
+      if (t == "LIST") {
+        require(len >= 4, s"media $id: LIST chunk too short for a type ($len)")
+        val ltype = tag(dataOff)
+        if (ltype == "hdrl" || ltype == "strl" || ltype == "movi")
+          off = dataOff + 4
+        else off = dataOff + len + (len & 1)
+      } else {
+        t match {
+          case "strh" =>
+            require(len >= 4, s"media $id: strh chunk too short ($len)")
+            curFcc = tag(dataOff)
+            streamIdx += 1
+            if (curFcc == "auds") {
+              require(audioStream < 0,
+                s"media $id: multiple AVI audio streams out of scope")
+              audioStream = streamIdx
+            }
+          case "strf" if curFcc == "auds" =>
+            require(len >= 16, s"media $id: auds strf WAVEFORMATEX too short")
+            val fmtTag = le16(dataOff)
+            require(fmtTag == 1,
+              s"media $id: only PCM AVI audio supported, got format $fmtTag")
+            channels = le16(dataOff + 2); rate = le32(dataOff + 4)
+            bits = le16(dataOff + 14)
+            require(bits == 8 || bits == 16,
+              s"media $id: only 8/16-bit AVI audio supported, got $bits")
+            require(channels >= 1 && rate > 0,
+              s"media $id: implausible AVI audio header " +
+                s"(channels $channels, rate $rate)")
+          case fcc if fcc.length == 4 && fcc(0).isDigit && fcc(1).isDigit &&
+            fcc.endsWith("wb") =>
+            if (audioStream >= 0 &&
+              (fcc(0) - '0') * 10 + (fcc(1) - '0') == audioStream)
+              spans += ((dataOff, len))
+          case _ => ()
+        }
+        off = dataOff + len + (len & 1)
+      }
+    }
+    require(audioStream >= 0 && channels > 0,
+      s"media $id: no PCM audio stream in the AVI")
+    require(spans.nonEmpty, s"media $id: no audio data chunks")
+    val samples = new scala.collection.mutable.ArrayBuilder.ofShort
+    spans.foreach { case (dataOff, len) =>
+      var i = dataOff
+      if (bits == 16)
+        while (i + 1 < dataOff + len) { samples += le16(i).toShort; i += 2 }
+      else
+        while (i < dataOff + len) {
+          samples += (((p(i) & 0xFF) - 128) << 8).toShort
+          i += 1
+        }
+    }
+    (channels, rate, samples.result())
   }
 
   /** One raw animated-GIF frame before compositing: rect placement,

@@ -107,6 +107,13 @@ class FuzzSpec extends AnyFunSuite {
     fuzz("aiff", Containers.aiff(1, 44100, 16,
       Array.tabulate[Byte](100)(i => (i * 17).toByte)), 12,
       p => Multimodal.pcm16Samples(64L, p))
+    // an AVI on the audio surface: the soundtrack walk inherits it, and
+    // the stream-aware video walk sees the same hostile bytes
+    val aviAv = Containers.aviWithAudio(6, 5, 2,
+      (f, x, y, c) => (f * 31 + x * 7 + y * 13 + c) % 256, 1, 16000,
+      Array.tabulate(80)(p => ((p * 37) % 4096 - 2048).toShort))
+    fuzz("avi-snd", aviAv, 12, p => Multimodal.pcm16Samples(65L, p))
+    fuzz("avi-av-vid", aviAv, 12, p => Multimodal.decodeAviRgb(66L, p))
   }
 
   test("fuzz: AVI frame decode fails only by name on hostile bytes") {

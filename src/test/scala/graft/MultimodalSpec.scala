@@ -743,6 +743,38 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("AU encodings"), e.getMessage)
   }
 
+  test("an AVI with both streams serves BOTH surfaces: frames through " +
+    "the stream-aware video walk, the soundtrack through the audio " +
+    "dispatch") {
+    val samples = Array.tabulate(300)(p => ((p * 37) % 4096 - 2048).toShort)
+    def px(f: Int, x: Int, y: Int, c: Int) = (f * 31 + x * 7 + y * 13 + c) % 256
+    val avi = Multimodal.Containers.aviWithAudio(8, 6, 2, px, 1, 16000,
+      samples)
+    // audio surface: the soundtrack, exactly
+    val (ch, rate, got) = Multimodal.pcm16Samples(1L, avi)
+    assert(ch === 1 && rate === 16000)
+    assert(got.toSeq === samples.toSeq)
+    // video surface: the frames, with the auds strf and '01wb' chunk
+    // invisible (before the stream-aware fix the auds strf tripped the
+    // BITMAPINFOHEADER validation)
+    val (w, h, frames) = Multimodal.decodeAviRgb(2L, avi)
+    assert((w, h) === ((8, 6)) && frames.length === 2)
+    for (f <- 0 until 2; y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+      assert((frames(f)(3 * (y * 8 + x) + c) & 0xFF) === px(f, x, y, c),
+        s"frame $f ($x,$y,$c)")
+    // a non-PCM auds strf fails by name on the audio surface: "auds"
+    // opens the 56-byte strh data, the strf chunk follows, its data
+    // leads with the WAVEFORMATEX wFormatTag
+    val e = intercept[IllegalArgumentException] {
+      val b2 = avi.clone()
+      val audsAt = (0 until b2.length - 4).find(i =>
+        new String(b2, i, 4, "US-ASCII") == "auds").get
+      b2(audsAt + 56 + 8) = 85 // wFormatTag -> 0x55 (MP3)
+      Multimodal.pcm16Samples(3L, b2)
+    }
+    assert(e.getMessage.contains("PCM AVI audio"), e.getMessage)
+  }
+
   test("pixel and sample decode match the closed-form census on the fixtures") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.syntheticPixelMedia(docs).persist()
