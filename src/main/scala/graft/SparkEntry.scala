@@ -1989,6 +1989,19 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavSampleStats(
         graft.multimodal.Multimodal.syntheticLegacyAudioMedia(
           t(s, d, "documents"))).toDF()),
+    // --- MS ADPCM WAV decode [ext]: the OTHER legacy WAV block codec
+    // (fmt tag 2) — per-channel block headers (coefficient-pair index,
+    // iDelta, the two seed samples played oldest-first), the file's own
+    // declared coefficient table, nibbles HIGH-first with channels
+    // alternating per nibble, the published adaptation table with the
+    // delta floor at 16. Fixtures plant pair 0 (256, 0) with equal seed
+    // samples and zero nibbles so each block decodes to its planted
+    // constant; the full prediction/adaptation math is hand-vector-
+    // pinned in spec (budget <= 3 s) ---
+    "q293_wav_msadpcm_census" -> ((s, d) =>
+      graft.multimodal.Multimodal.wavSampleStats(
+        graft.multimodal.Multimodal.syntheticWavMsAdpcmMedia(
+          t(s, d, "documents"))).toDF()),
     // --- AVI SOUNDTRACK extraction + WAV cross-container dedup [ext]:
     // real crawl AVIs carry an 'auds' stream the video surface ignores
     // and the audio surface previously couldn't reach — decodeAviAudio
@@ -5574,6 +5587,20 @@ object SparkEntry {
         "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
         "CAST(max(abs(sv)) AS BIGINT) AS peak " +
         "FROM allv GROUP BY allv.media_id, allv.n"),
+    // MS ADPCM replay: every block decodes to its planted seed value
+    // (12 samples each at the fixture geometry)
+    "q293_wav_msadpcm_census" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(3 + doc_id % 3 AS BIGINT) AS nb FROM documents), " +
+        "blk AS (SELECT media_id, nb, unnest(range(nb)) AS b FROM d), " +
+        "v AS (SELECT media_id, nb, " +
+        "((media_id*31 + b*137) % 4096) - 2048 AS pred FROM blk) " +
+        "SELECT media_id, CAST(1 AS INTEGER) AS channels, " +
+        "CAST(8000 AS INTEGER) AS sample_rate, " +
+        "CAST(nb * 12 AS BIGINT) AS n_samples, " +
+        "CAST(12 * sum(abs(pred)) AS BIGINT) AS sum_abs, " +
+        "CAST(max(abs(pred)) AS BIGINT) AS peak " +
+        "FROM v GROUP BY media_id, nb"),
     // soundtrack replay: q220's contour-fingerprint arithmetic with this
     // fixture's sample family — both pair members decode the SAME
     // samples (the oracle never sees the containers), so the full pair

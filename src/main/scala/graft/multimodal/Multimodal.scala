@@ -829,6 +829,39 @@ object Multimodal {
       bb.array()
     }
 
+    /** The WAVE registry's seven standard MS ADPCM coefficient pairs. */
+    val MsAdpcmCoefs: Array[(Int, Int)] = Array(
+      (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+
+    /** MS ADPCM WAV (fmt tag 2): fmt chunk with cbSize 4 + 4·nCoef
+      * (wSamplesPerBlock, wNumCoef, then the coefficient pairs) over
+      * raw block `body` bytes — each block is a per-channel header
+      * (predictor index u8, iDelta i16, sample1 i16, sample2 i16,
+      * channel-interleaved) then nibble bytes, HIGH nibble first,
+      * channels alternating per nibble. */
+    def wavMsAdpcm(channels: Int, sampleRate: Int, blockAlign: Int,
+                   samplesPerBlock: Int, body: Array[Byte],
+                   coefs: Array[(Int, Int)] = MsAdpcmCoefs): Array[Byte] = {
+      val fmtLen = 22 + 4 * coefs.length
+      val bb = ByteBuffer.allocate(20 + fmtLen + 8 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(12 + fmtLen + 8 + body.length)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(fmtLen)
+      bb.putShort(2.toShort).putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * blockAlign / samplesPerBlock)
+      bb.putShort(blockAlign.toShort).putShort(4.toShort)
+      bb.putShort((4 + 4 * coefs.length).toShort) // cbSize
+      bb.putShort(samplesPerBlock.toShort).putShort(coefs.length.toShort)
+      coefs.foreach { case (a, b) =>
+        bb.putShort(a.toShort).putShort(b.toShort)
+      }
+      bb.put("data".getBytes("US-ASCII")).putInt(body.length)
+      bb.put(body).array()
+    }
+
     /** AVI with BOTH streams — DIB video plus a PCM16 soundtrack: the
       * [[aviFull]] structure extended with a second strl (an 'auds'
       * strh and a 16-byte WAVEFORMATEX strf) and a '01wb' movi chunk
@@ -1672,6 +1705,12 @@ object Multimodal {
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
   private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
+  /** MS ADPCM delta-adaptation table (one entry per 4-bit code) — the
+    * published constants from the WAVE format registry. */
+  private val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
   def wavSampleStats(media: Dataset[MediaRow]): Dataset[SampleStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -1718,7 +1757,8 @@ object Multimodal {
     var off = 12
     var channels = 0; var rate = 0; var bits = 0
     var fmtTag = 1
-    var blockAlign = 0; var samplesPerBlock = 0 // IMA ADPCM geometry
+    var blockAlign = 0; var samplesPerBlock = 0 // ADPCM geometry
+    var msCoef: Array[(Int, Int)] = null // MS ADPCM coefficient pairs
     var sawData = false
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     while (off + 8 <= p.length) {
@@ -1748,10 +1788,11 @@ object Multimodal {
             }
             tagV = le16(dataOff + 24)
           }
-          require(tagV == 1 || tagV == 3 || tagV == 6 || tagV == 7 ||
-            tagV == 0x11,
-            s"media $id: only PCM (1), IEEE float (3), A-law (6), " +
-              s"u-law (7) or IMA ADPCM (17) WAV supported, got format $tagV")
+          require(tagV == 1 || tagV == 2 || tagV == 3 || tagV == 6 ||
+            tagV == 7 || tagV == 0x11,
+            s"media $id: only PCM (1), MS ADPCM (2), IEEE float (3), " +
+              s"A-law (6), u-law (7) or IMA ADPCM (17) WAV supported, " +
+              s"got format $tagV")
           fmtTag = tagV
           channels = le16(dataOff + 2); rate = le32(dataOff + 4)
           bits = le16(dataOff + 14)
@@ -1778,6 +1819,30 @@ object Multimodal {
                 s"media $id: IMA ADPCM geometry mismatch (block align " +
                   s"$blockAlign declares $samplesPerBlock samples/block, " +
                   s"layout yields $expect)")
+            case 2 =>
+              require(bits == 4,
+                s"media $id: MS ADPCM samples are 4-bit, got $bits")
+              require(channels == 1 || channels == 2,
+                s"media $id: MS ADPCM supports 1 or 2 channels, " +
+                  s"got $channels")
+              blockAlign = le16(dataOff + 12)
+              require(len >= 22, s"media $id: MS ADPCM fmt chunk too short")
+              samplesPerBlock = le16(dataOff + 18)
+              val nCoef = le16(dataOff + 20)
+              require(nCoef >= 1 && nCoef <= 64 &&
+                len >= 22 + 4 * nCoef,
+                s"media $id: implausible MS ADPCM coefficient count $nCoef")
+              msCoef = Array.tabulate(nCoef) { k =>
+                (le16(dataOff + 22 + 4 * k).toShort.toInt,
+                  le16(dataOff + 24 + 4 * k).toShort.toInt)
+              }
+              // two header samples plus two nibbles per data byte
+              val expectMs = 2 + (blockAlign - 7 * channels) * 2 / channels
+              require(blockAlign > 7 * channels &&
+                samplesPerBlock == expectMs,
+                s"media $id: MS ADPCM geometry mismatch (block align " +
+                  s"$blockAlign declares $samplesPerBlock samples/block, " +
+                  s"layout yields $expectMs)")
             case _ =>
               require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
                 s"media $id: only 8/16/24/32-bit PCM supported, got $bits")
@@ -1802,7 +1867,71 @@ object Multimodal {
     val samples = new scala.collection.mutable.ArrayBuilder.ofShort
     spans.foreach { case (dataOff, len) =>
       var i = dataOff
-      if (fmtTag == 0x11) { // IMA/DVI ADPCM: block-structured nibbles
+      if (fmtTag == 2) { // MS ADPCM: predicted blocks over coef pairs
+        var blockOff = dataOff
+        while (blockOff + 7 * channels <= dataOff + len) {
+          val blockEnd = math.min(blockOff + blockAlign, dataOff + len)
+          val c1 = new Array[Int](channels); val c2 = new Array[Int](channels)
+          val delta = new Array[Int](channels)
+          val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+          val chBuf = Array.ofDim[Short](channels, samplesPerBlock)
+          var c = 0
+          while (c < channels) {
+            val predIdx = p(blockOff + c) & 0xFF
+            require(predIdx < msCoef.length,
+              s"media $id: MS ADPCM predictor index $predIdx beyond the " +
+                s"${msCoef.length} declared coefficient pairs")
+            c1(c) = msCoef(predIdx)._1; c2(c) = msCoef(predIdx)._2
+            val db = blockOff + channels + 2 * c
+            delta(c) = ((p(db) & 0xFF) | (p(db + 1).toInt << 8)).toShort.toInt
+            val s1b = blockOff + 3 * channels + 2 * c
+            s1(c) = ((p(s1b) & 0xFF) | (p(s1b + 1).toInt << 8)).toShort.toInt
+            val s2b = blockOff + 5 * channels + 2 * c
+            s2(c) = ((p(s2b) & 0xFF) | (p(s2b + 1).toInt << 8)).toShort.toInt
+            // the header carries the two OLDEST samples: sample2 plays
+            // first, sample1 second
+            chBuf(c)(0) = s2(c).toShort
+            chBuf(c)(1) = s1(c).toShort
+            c += 1
+          }
+          val fill = Array.fill(channels)(2)
+          var g = blockOff + 7 * channels
+          var nIdx = 0 // nibble counter: channels alternate per nibble
+          while (g < blockEnd) {
+            val byte = p(g) & 0xFF
+            var half = 0
+            while (half < 2) {
+              val n = if (half == 0) byte >> 4 else byte & 0xF // HIGH first
+              val c2i = nIdx % channels
+              if (fill(c2i) < samplesPerBlock) {
+                // prediction >> 8: the floor convention (libsndfile's);
+                // truncating implementations differ only on negative
+                // sums, which the exact-quantizing fixtures never reach
+                val pred = (s1(c2i) * c1(c2i) + s2(c2i) * c2(c2i)) >> 8
+                val signed = if (n >= 8) n - 16 else n
+                val sample = math.max(-32768,
+                  math.min(32767, pred + signed * delta(c2i)))
+                s2(c2i) = s1(c2i); s1(c2i) = sample
+                delta(c2i) = math.max(16,
+                  (MsAdaptTable(n) * delta(c2i)) >> 8)
+                chBuf(c2i)(fill(c2i)) = sample.toShort
+                fill(c2i) += 1
+              }
+              nIdx += 1
+              half += 1
+            }
+            g += 1
+          }
+          val produced = fill.min
+          var s = 0
+          while (s < produced) {
+            var cc = 0
+            while (cc < channels) { samples += chBuf(cc)(s); cc += 1 }
+            s += 1
+          }
+          blockOff += blockAlign
+        }
+      } else if (fmtTag == 0x11) { // IMA/DVI ADPCM: block-structured nibbles
         var blockOff = dataOff
         while (blockOff + 4 * channels <= dataOff + len) {
           val blockEnd = math.min(blockOff + blockAlign, dataOff + len)
@@ -3990,6 +4119,38 @@ object Multimodal {
             (((id * 29 + pp * 13) % 256) - 128).toByte))
       }
       MediaRow(id, "audio", payload, 0, 0, 1)
+    }
+  }
+
+  /** MS ADPCM WAV fixtures — the other legacy WAV block codec: every
+    * block plants coefficient pair 0 (256, 0 — prediction = previous
+    * sample exactly, even for negative values since p·256 >> 8 has no
+    * remainder) with sample1 = sample2 = the planted value and all-zero
+    * nibbles, so the block decodes to its planted constant — the closed
+    * form the oracle replays while the engine earns it through the real
+    * header parse, coefficient lookup, and nibble walk. The full
+    * prediction/adaptation math is hand-vector-pinned in spec. */
+  def syntheticWavMsAdpcmMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val nBlocks = (3 + id % 3).toInt
+      val blockAlign = 12 // 7 header + 5 nibble bytes = 12 samples
+      val body = new Array[Byte](nBlocks * blockAlign)
+      var b = 0
+      while (b < nBlocks) {
+        val pred = ((id * 31 + b * 137) % 4096 - 2048).toInt
+        val o = b * blockAlign
+        body(o) = 0 // predictor index 0: coefficients (256, 0)
+        body(o + 1) = 16; body(o + 2) = 0 // iDelta 16
+        body(o + 3) = (pred & 0xFF).toByte
+        body(o + 4) = ((pred >> 8) & 0xFF).toByte // sample1
+        body(o + 5) = (pred & 0xFF).toByte
+        body(o + 6) = ((pred >> 8) & 0xFF).toByte // sample2
+        b += 1
+      }
+      MediaRow(id, "audio",
+        Containers.wavMsAdpcm(1, 8000, blockAlign, 12, body), 0, 0, 1)
     }
   }
 

@@ -114,6 +114,9 @@ class FuzzSpec extends AnyFunSuite {
       Array.tabulate(80)(p => ((p * 37) % 4096 - 2048).toShort))
     fuzz("avi-snd", aviAv, 12, p => Multimodal.pcm16Samples(65L, p))
     fuzz("avi-av-vid", aviAv, 12, p => Multimodal.decodeAviRgb(66L, p))
+    fuzz("wav-msadpcm", Containers.wavMsAdpcm(1, 8000, 12, 12,
+      Array.tabulate[Byte](36)(i => (i * 23 % 7).toByte)), 12,
+      p => Multimodal.pcm16Samples(67L, p))
   }
 
   test("fuzz: AVI frame decode fails only by name on hostile bytes") {

@@ -775,6 +775,45 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("PCM AVI audio"), e.getMessage)
   }
 
+  test("MS ADPCM decodes the hand-computed vector: prediction from the " +
+    "coefficient pair, delta adaptation with the floor at 16") {
+    // coefficient pair 1 (512, -256), seeds s1=100 s2=50, delta 20,
+    // nibbles [3, 0xD, 0, 0] (HIGH nibble first):
+    //   out starts [s2, s1] = [50, 100]
+    //   3: pred = (100*512 + 50*-256)>>8 = 150; +3*20 = 210
+    //      delta = max(16, (230*20)>>8) = 17
+    //   D (-3): pred = (210*512 + 100*-256)>>8 = 320; -3*17 = 269
+    //      delta = max(16, (230*17)>>8 = 15) = 16
+    //   0: pred = (269*512 + 210*-256)>>8 = 328; delta stays 16
+    //   0: pred = (328*512 + 269*-256)>>8 = 387
+    val body = new Array[Byte](9) // blockAlign 9: 7 header + 2 data
+    body(0) = 1 // predictor index 1
+    body(1) = 20; body(2) = 0 // iDelta 20
+    body(3) = 100; body(4) = 0 // sample1
+    body(5) = 50; body(6) = 0 // sample2
+    body(7) = ((3 << 4) | 0xD).toByte
+    body(8) = 0
+    val wav = Multimodal.Containers.wavMsAdpcm(1, 8000, 9, 6, body)
+    val (ch, rate, samples) = Multimodal.pcm16Samples(1L, wav)
+    assert(ch === 1 && rate === 8000)
+    assert(samples.toSeq === Seq[Short](50, 100, 210, 269, 328, 387))
+    // a predictor index beyond the declared coefficient table, by name
+    val bad = body.clone(); bad(0) = 7
+    val e = intercept[IllegalArgumentException](Multimodal.pcm16Samples(2L,
+      Multimodal.Containers.wavMsAdpcm(1, 8000, 9, 6, bad)))
+    assert(e.getMessage.contains("predictor index"), e.getMessage)
+    // stereo: channels alternate per nibble; constant blocks interleave
+    val st = new Array[Byte](18) // 14 header + 4 data bytes = 8 nibbles
+    st(0) = 0; st(1) = 0 // predictor indices L, R
+    st(2) = 16; st(3) = 0; st(4) = 16; st(5) = 0 // iDelta L, R
+    st(6) = 100; st(7) = 0; st(8) = 56; st(9) = 0xFE.toByte // s1 L, R
+    st(10) = 100; st(11) = 0; st(12) = 56; st(13) = 0xFE.toByte // s2 L, R
+    val swav = Multimodal.Containers.wavMsAdpcm(2, 8000, 18, 6, st)
+    val (sch, _, ss) = Multimodal.pcm16Samples(3L, swav)
+    assert(sch === 2)
+    assert(ss.toSeq === Seq.fill(6)(Seq[Short](100, -456)).flatten)
+  }
+
   test("pixel and sample decode match the closed-form census on the fixtures") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.syntheticPixelMedia(docs).persist()
