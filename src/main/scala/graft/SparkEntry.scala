@@ -2231,13 +2231,14 @@ object SparkEntry {
     // attempt is the decoder the OPERATOR SURFACE consumes: GIF takes
     // the COMPOSITED animation decode, so the partial-frame case (10)
     // lands `decoded` — the census measures real blind spots, not the
-    // stricter opt-in index-census contract. Fixture cycles twenty-six
-    // real encoder outputs, fifteen decodable (incl. 4:2:0 / interlaced
+    // stricter opt-in index-census contract. Fixture cycles thirty
+    // real encoder outputs, nineteen decodable (incl. 4:2:0 / interlaced
     // GIF / stereo FLAC / MJPEG / partial-frame animation / VP8L WebP /
     // composited ANIMATED WebP / LOSSY VP8 WebP through the RFC 6386
     // keyframe decoder / ALPH-wrapped lossy with the alpha plane cycled
-    // across raw/compressed x filters / float32 + G.711 WAV /
-    // LZW+predictor TIFF / composited APNG / BI_RLE8 BMP) and eleven
+    // across raw/compressed x filters / float32 + G.711 + IMA-ADPCM +
+    // MS-ADPCM WAV / Sun AU / AIFF / LZW+predictor TIFF / composited
+    // APNG / BI_RLE8 BMP) and eleven
     // patched into named failures (the metadata-only MP4 / MP3 / Ogg
     // containers, whose REAL walks report the codec as evidence,
     // HEIC/AVIF stills surfaced as IMAGE buckets by ftyp brand, and
@@ -6134,11 +6135,11 @@ object SparkEntry {
         "CAST(64 * sum(CASE WHEN bx >= width // 16 AND by >= 1 " +
         "THEN gray ELSE 0 END) AS BIGINT) AS q_br " +
         "FROM g GROUP BY 1, 2, 3"),
-    // health replay: the twenty-six planted cases map to fixed
+    // health replay: the thirty planted cases map to fixed
     // (format, outcome, cause) buckets; the engine must EARN each row by
     // running the real parser into its named failure
     "q265_decode_health" ->
-      ("WITH c AS (SELECT CASE doc_id % 26 " +
+      ("WITH c AS (SELECT CASE doc_id % 30 " +
         "WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg' " +
         "WHEN 3 THEN 'gif' WHEN 4 THEN 'flac' WHEN 5 THEN 'png' " +
         "WHEN 6 THEN 'jpeg' WHEN 7 THEN 'avi' WHEN 8 THEN 'unknown' " +
@@ -6147,12 +6148,13 @@ object SparkEntry {
         "WHEN 16 THEN 'ogg' WHEN 17 THEN 'heic' WHEN 18 THEN 'avif' " +
         "WHEN 19 THEN 'webp' WHEN 20 THEN 'wav' WHEN 21 THEN 'wav' " +
         "WHEN 22 THEN 'tiff' WHEN 23 THEN 'png' WHEN 24 THEN 'bmp' " +
-        "WHEN 25 THEN 'tiff' " +
+        "WHEN 25 THEN 'tiff' WHEN 26 THEN 'au' WHEN 27 THEN 'aiff' " +
+        "WHEN 28 THEN 'wav' WHEN 29 THEN 'wav' " +
         "ELSE 'avi' END AS format, " +
-        "CASE WHEN doc_id % 26 IN (0, 1, 3, 4, 7, 10, 11, 12, 13, 19, " +
-        "20, 21, 22, 23, 24) " +
+        "CASE WHEN doc_id % 30 IN (0, 1, 3, 4, 7, 10, 11, 12, 13, 19, " +
+        "20, 21, 22, 23, 24, 26, 27, 28, 29) " +
         "THEN 'decoded' ELSE 'skipped' END AS outcome, " +
-        "CASE doc_id % 26 WHEN 2 THEN 'unsupported_coding' " +
+        "CASE doc_id % 30 WHEN 2 THEN 'unsupported_coding' " +
         "WHEN 5 THEN 'truncated' WHEN 6 THEN 'unsupported_sampling' " +
         "WHEN 8 THEN 'unknown_magic' WHEN 9 THEN 'unsupported_codec' " +
         "WHEN 14 THEN 'unsupported_codec' WHEN 15 THEN 'unsupported_codec' " +

@@ -3473,7 +3473,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"))
   }
 
-  /** Mixed-health fixtures: twenty-six deterministic corpus cases
+  /** Mixed-health fixtures: thirty deterministic corpus cases
     * cycling by doc_id — decodable PNG / 4:2:0 JPEG / interlaced GIF /
     * stereo FLAC / MJPEG AVI / PARTIAL-FRAME animated GIF (disposal +
     * transparency — must land `decoded` now that the census attempts the
@@ -3481,7 +3481,8 @@ object Multimodal {
     * / ANIMATED WebP (the ANMF compositing walk) / LOSSY VP8 WebP (the
     * RFC 6386 keyframe decoder) / ALPH-wrapped lossy WebP (the decoded
     * alpha plane) / float32 WAV / G.711 u-law WAV / LZW+predictor TIFF /
-    * composited APNG / BI_RLE8 BMP — every former named bucket the
+    * composited APNG / BI_RLE8 BMP / Sun AU / AIFF / IMA + MS ADPCM WAV
+    * — every former named bucket the
     * format work has since closed is MEASURED as `decoded` — alongside
     * the named out-of-scope shapes (arithmetic-coded JPEG,
     * sampling-factor-5 JPEG, truncated PNG, a non-MJPG compressed AVI,
@@ -3504,7 +3505,7 @@ object Multimodal {
       }
       val grayJpeg =
         Jpeg.encodeGrayBlocks(16, 16, Array.tabulate(4)(k => (40 + 50 * k) % 256))
-      val payload: Array[Byte] = (id % 26) match {
+      val payload: Array[Byte] = (id % 30) match {
         case 0 => Containers.pngFull(6, 5, i => ((id * 31 + i) % 256).toInt)
         case 1 => Jpeg.encodeGray420(16, 16, Array.tabulate(4)(k =>
           ((id * 37 + k * 11) % 256).toInt))
@@ -3623,6 +3624,39 @@ object Multimodal {
               ((t(e) & 0xFF) | ((t(e + 1) & 0xFF) << 8)) == 259).get
             t(at + 8) = 7
             t
+          }
+        case 26 => // Sun AU (u-law): decodes through the container walk
+          Containers.au(1, 8000, 1,
+            Array.tabulate(64)(s => ((id * 37 + s * 11) % 256).toByte))
+        case 27 => // AIFF PCM16 BE with the 80-bit extended rate: decodes
+          {
+            val b = new Array[Byte](2 * 60)
+            var s = 0
+            while (s < 60) {
+              val v = ((id * 23 + s * 7) % 4096 - 2048).toInt
+              b(2 * s) = ((v >> 8) & 0xFF).toByte
+              b(2 * s + 1) = (v & 0xFF).toByte
+              s += 1
+            }
+            Containers.aiff(1, 44100, 16, b)
+          }
+        case 28 => // IMA ADPCM WAV: decodes through the block walk
+          {
+            val b = new Array[Byte](24) // two 12-byte blocks
+            val p0 = ((id * 23) % 4096 - 2048).toInt
+            b(0) = (p0 & 0xFF).toByte; b(1) = ((p0 >> 8) & 0xFF).toByte
+            val p1 = ((id * 23 + 131) % 4096 - 2048).toInt
+            b(12) = (p1 & 0xFF).toByte; b(13) = ((p1 >> 8) & 0xFF).toByte
+            Containers.wavIma(1, 8000, 12, 17, b)
+          }
+        case 29 => // MS ADPCM WAV: decodes through the predicted blocks
+          {
+            val b = new Array[Byte](12)
+            val p0 = ((id * 31) % 4096 - 2048).toInt
+            b(0) = 0; b(1) = 16; b(2) = 0
+            b(3) = (p0 & 0xFF).toByte; b(4) = ((p0 >> 8) & 0xFF).toByte
+            b(5) = (p0 & 0xFF).toByte; b(6) = ((p0 >> 8) & 0xFF).toByte
+            Containers.wavMsAdpcm(1, 8000, 12, 12, b)
           }
         case _ => // a compressed chunk under a DIB (non-MJPG) strf
           val avi = Containers.aviFull(6, 5, 1,
