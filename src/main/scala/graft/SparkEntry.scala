@@ -1989,6 +1989,16 @@ object SparkEntry {
       graft.multimodal.Multimodal.wavSampleStats(
         graft.multimodal.Multimodal.syntheticLegacyAudioMedia(
           t(s, d, "documents"))).toDF()),
+    // --- BI_RLE4 BMP decode [ext]: the 4-bit sibling of q287 — encoded
+    // runs alternate the run byte's two nibbles, absolute mode packs
+    // nibbles word-aligned, the same four escapes; fixtures alternate
+    // whole-row absolute and two-pixel encoded runs per row so both
+    // modes land in the oracle through a 16-entry x17 gray ramp
+    // (budget <= 3 s) ---
+    "q294_bmp_rle4_blockmeans" -> ((s, d) =>
+      graft.multimodal.MediaDedup.imageBlockMeans(
+        graft.multimodal.Multimodal.syntheticBmpRle4Media(
+          t(s, d, "documents")), blockPx = 2)),
     // --- MS ADPCM WAV decode [ext]: the OTHER legacy WAV block codec
     // (fmt tag 2) — per-channel block headers (coefficient-pair index,
     // iDelta, the two seed samples played oldest-first), the file's own
@@ -5588,6 +5598,22 @@ object SparkEntry {
         "CAST(sum(abs(sv)) AS BIGINT) AS sum_abs, " +
         "CAST(max(abs(sv)) AS BIGINT) AS peak " +
         "FROM allv GROUP BY allv.media_id, allv.n"),
+    // RLE4 replay: the q271 quadratic reduced mod 16 through the x17
+    // identity ramp — one closed form across both RLE4 modes
+    "q294_bmp_rle4_blockmeans" ->
+      ("WITH d AS (SELECT doc_id AS media_id, " +
+        "CAST(16 + doc_id % 5 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 3) % 5 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT media_id, w, h, unnest(range(w * h)) AS k FROM d), " +
+        "g AS (SELECT media_id, w, h, (k % w) // 2 AS bx, (k // w) // 2 AS by, " +
+        "(((k % w)*(k % w)*(7 + media_id % 29) + " +
+        "(k // w)*(k // w)*(11 + media_id % 17) + " +
+        "(k % w)*(k // w)*(5 + media_id % 11) + media_id*23) % 16) * 17 " +
+        "AS gray FROM px), " +
+        "f AS (SELECT media_id, bx, by, sum(gray) // count(*) AS mean " +
+        "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
+        "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
+        "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
     // MS ADPCM replay: every block decodes to its planted seed value
     // (12 samples each at the fixture geometry)
     "q293_wav_msadpcm_census" ->

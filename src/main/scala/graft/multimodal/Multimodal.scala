@@ -3353,8 +3353,9 @@ object Multimodal {
     "MJPG" -> "unsupported_codec",
     "animated WebP" -> "unsupported_codec",
     "metadata-only" -> "unsupported_codec",
-    "BI_RLE8 BMP" -> "unsupported_coding",
+    "BI_RLE4 BMP" -> "unsupported_coding",
     "BI_RLE8 requires" -> "unsupported_coding",
+    "BI_RLE4 requires" -> "unsupported_coding",
     "bit counts" -> "unsupported_depth",
     "TIFF compression" -> "unsupported_coding",
     "TIFF predictor" -> "unsupported_coding",
@@ -4250,6 +4251,27 @@ object Multimodal {
       }
       MediaRow(id, "image",
         Raster.bmp8Rle(w, h, k => g(k % w, k / w), grayPal), w, h, 1)
+    }
+  }
+
+  /** BI_RLE4 BMP fixtures — the 4-bit icon-era sibling of q287: every
+    * row alternates ABSOLUTE mode (packed nibbles, word-aligned) and
+    * two-pixel ENCODED runs (the run byte's alternating nibbles), so
+    * both RLE4 modes land in the oracle. 16-entry ×17 gray ramp; the
+    * planted quadratic reduces mod 16 and scales by 17 in one closed
+    * form; block-means census. */
+  def syntheticBmpRle4Media(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pal16 = Array.tabulate(16 * 3)(b => ((b / 3) * 17).toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 5).toInt
+      val h = (16 + (id * 3) % 5).toInt
+      def g4(x: Int, y: Int): Int =
+        ((x.toLong * x * (7 + id % 29) + y.toLong * y * (11 + id % 17) +
+          x.toLong * y * (5 + id % 11) + id * 23) % 16).toInt
+      MediaRow(id, "image",
+        Raster.bmp4Rle(w, h, k => g4(k % w, k / w), pal16), w, h, 1)
     }
   }
 

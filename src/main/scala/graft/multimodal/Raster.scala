@@ -72,37 +72,44 @@ private[graft] object Raster {
       s"media $id: ${w}x$h exceeds the $MaxDecodePixels-pixel decode bound")
     val bitCount = le16(28)
     val compression = le32(30)
-    require(compression == 0 || compression == 1,
-      s"media $id: only BI_RGB or BI_RLE8 BMP supported, got compression " +
-        s"$compression (RLE4/bitfields out of scope)")
-    require(compression == 0 || (bitCount == 8 && !topDown),
+    require(compression == 0 || compression == 1 || compression == 2,
+      s"media $id: only BI_RGB, BI_RLE8 or BI_RLE4 BMP supported, got " +
+        s"compression $compression (bitfields/JPEG out of scope)")
+    require(compression != 1 || (bitCount == 8 && !topDown),
       s"media $id: BI_RLE8 requires a bottom-up 8-bit BMP, got " +
         s"$bitCount-bit height $hRaw")
-    require(bitCount == 8 || bitCount == 24 || bitCount == 32,
-      s"media $id: only 8-, 24- and 32-bit BMP bit counts supported, " +
-        s"got $bitCount")
-    // 8-bit palette: BGRx quads right after the info header; 0 clrUsed
-    // means the full 256 entries per spec
+    require(compression != 2 || (bitCount == 4 && !topDown),
+      s"media $id: BI_RLE4 requires a bottom-up 4-bit BMP, got " +
+        s"$bitCount-bit height $hRaw")
+    require(bitCount == 8 || bitCount == 24 || bitCount == 32 ||
+      (bitCount == 4 && compression == 2),
+      s"media $id: only 8-, 24- and 32-bit (and RLE4 4-bit) BMP bit " +
+        s"counts supported, got $bitCount")
+    // 8-/4-bit palette: BGRx quads right after the info header; 0
+    // clrUsed means the depth's full entry count per spec
     var palette: Array[Byte] = null
-    if (bitCount == 8) {
+    if (bitCount == 8 || bitCount == 4) {
+      val maxPal = 1 << bitCount
       val clrUsed = le32(46)
-      require(clrUsed >= 0 && clrUsed <= 256,
+      require(clrUsed >= 0 && clrUsed <= maxPal,
         s"media $id: bad BMP palette size $clrUsed")
-      val n = if (clrUsed == 0) 256 else clrUsed
+      val n = if (clrUsed == 0) maxPal else clrUsed
       val palOff = 14 + biSize
       require(palOff.toLong + 4L * n <= p.length,
         s"media $id: truncated BMP palette")
       palette = java.util.Arrays.copyOfRange(p, palOff, palOff + 4 * n)
     }
-    // BI_RLE8: expand the run-length stream into bottom-up index rows
-    // first, then share the palette mapping below. Escapes: 0 0 end of
-    // line, 0 1 end of bitmap, 0 2 delta (skipped pixels stay index 0 —
-    // the deterministic choice; the spec calls them undefined), 0 n>=3
-    // absolute mode (n literal indices, word-aligned). Every cursor
-    // move is bounds-checked by name; each iteration consumes >= 2
-    // bytes, so the walk is length-bounded.
+    // BI_RLE8/BI_RLE4: expand the run-length stream into bottom-up index
+    // rows first, then share the palette mapping below. Escapes: 0 0 end
+    // of line, 0 1 end of bitmap, 0 2 delta (skipped pixels stay index
+    // 0 — the deterministic choice; the spec calls them undefined),
+    // 0 n>=3 absolute mode (n literal indices — bytes for RLE8, packed
+    // nibbles for RLE4 — word-aligned). RLE4 encoded runs alternate the
+    // run byte's two nibbles. Every cursor move is bounds-checked by
+    // name; each iteration consumes >= 2 bytes, so the walk is
+    // length-bounded.
     val rle: Array[Byte] =
-      if (compression != 1) null
+      if (compression == 0) null
       else {
         // hostile offBits would index the stream read out of bounds —
         // the strip path validates it against rowSize·h below, but the
@@ -120,8 +127,17 @@ private[graft] object Raster {
             require(cy < h && cx + n <= w,
               s"media $id: BMP RLE8 run of $n at ($cx, row $cy) escapes " +
                 s"the ${w}x$h canvas")
-            java.util.Arrays.fill(idxBuf, cy * w + cx, cy * w + cx + n,
-              v.toByte)
+            if (compression == 1)
+              java.util.Arrays.fill(idxBuf, cy * w + cx, cy * w + cx + n,
+                v.toByte)
+            else { // RLE4: the run alternates the byte's two nibbles
+              var j = 0
+              while (j < n) {
+                idxBuf(cy * w + cx + j) =
+                  (if ((j & 1) == 0) v >> 4 else v & 0xF).toByte
+                j += 1
+              }
+            }
             cx += n
           } else v match {
             case 0 => cx = 0; cy += 1
@@ -137,10 +153,24 @@ private[graft] object Raster {
               require(cy < h && cx + cnt <= w,
                 s"media $id: BMP RLE8 absolute run of $cnt at ($cx, row " +
                   s"$cy) escapes the ${w}x$h canvas")
-              require(i + cnt + (cnt & 1) <= p.length,
-                s"media $id: truncated BMP RLE8 absolute run")
-              System.arraycopy(p, i, idxBuf, cy * w + cx, cnt)
-              cx += cnt; i += cnt + (cnt & 1)
+              if (compression == 1) {
+                require(i + cnt + (cnt & 1) <= p.length,
+                  s"media $id: truncated BMP RLE8 absolute run")
+                System.arraycopy(p, i, idxBuf, cy * w + cx, cnt)
+                cx += cnt; i += cnt + (cnt & 1)
+              } else { // RLE4 absolute: packed nibbles, word-aligned
+                val dataBytes = ((cnt + 1) / 2 + 1) & ~1
+                require(i + dataBytes <= p.length,
+                  s"media $id: truncated BMP RLE4 absolute run")
+                var j = 0
+                while (j < cnt) {
+                  val b = p(i + j / 2) & 0xFF
+                  idxBuf(cy * w + cx + j) =
+                    (if ((j & 1) == 0) b >> 4 else b & 0xF).toByte
+                  j += 1
+                }
+                cx += cnt; i += dataBytes
+              }
           }
         }
         idxBuf
@@ -157,7 +187,7 @@ private[graft] object Raster {
       var x = 0
       while (x < w) {
         val o = 4 * (y * w + x)
-        if (bitCount == 8) {
+        if (bitCount == 8 || bitCount == 4) { // 4-bit arrives via RLE4 only
           val idx =
             if (rle != null) rle((h - 1 - y) * w + x) & 0xFF
             else p(srcRow + x) & 0xFF
@@ -699,6 +729,73 @@ private[graft] object Raster {
     le32(18, width); le32(22, height)
     le16(26, 1); le16(28, 8)
     le32(30, 1) // BI_RLE8
+    le32(34, body.length)
+    le32(38, 2835); le32(42, 2835)
+    le32(46, nPal); le32(50, 0)
+    var pi = 0
+    while (pi < nPal) {
+      out(54 + 4 * pi) = palette(3 * pi + 2)
+      out(54 + 4 * pi + 1) = palette(3 * pi + 1)
+      out(54 + 4 * pi + 2) = palette(3 * pi)
+      pi += 1
+    }
+    System.arraycopy(body, 0, out, offBits, body.length)
+    out
+  }
+
+  /** BI_RLE4 4-bit palette BMP: `idx(k)` (values 0..15) as [[bmp8Rle]];
+    * even rows emit whole-row ABSOLUTE mode (packed nibbles,
+    * word-aligned), odd rows emit two-pixel ENCODED runs (the run byte's
+    * alternating nibbles), so both RLE4 modes are exercised
+    * deterministically. `palette` holds up to 16 RGB triples. */
+  private[graft] def bmp4Rle(width: Int, height: Int, idx: Int => Int,
+                             palette: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "bmp4Rle needs positive dims")
+    require(width >= 3 && width <= 254, "absolute mode needs 3..254 px rows")
+    require(palette.length % 3 == 0 && palette.length <= 3 * 16,
+      "palette holds <= 16 RGB triples")
+    val stream = new java.io.ByteArrayOutputStream()
+    var y = height - 1
+    while (y >= 0) {
+      if (((height - 1 - y) & 1) == 0) { // absolute whole row
+        stream.write(0); stream.write(width)
+        var j = 0
+        while (j < width) {
+          val hi = idx(y * width + j) & 0xF
+          val lo = if (j + 1 < width) idx(y * width + j + 1) & 0xF else 0
+          stream.write((hi << 4) | lo)
+          j += 2
+        }
+        if ((((width + 1) / 2) & 1) == 1) stream.write(0) // word-align
+      } else { // encoded two-pixel runs
+        var j = 0
+        while (j < width) {
+          val n = math.min(2, width - j)
+          val hi = idx(y * width + j) & 0xF
+          val lo = if (n == 2) idx(y * width + j + 1) & 0xF else 0
+          stream.write(n); stream.write((hi << 4) | lo)
+          j += n
+        }
+      }
+      stream.write(0); stream.write(if (y == 0) 1 else 0) // EOL / EOB
+      y -= 1
+    }
+    val body = stream.toByteArray
+    val nPal = palette.length / 3
+    val offBits = 14 + 40 + 4 * nPal
+    val out = new Array[Byte](offBits + body.length)
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      le16(off, v & 0xFFFF); le16(off + 2, (v >> 16) & 0xFFFF)
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, out.length); le32(10, offBits)
+    le32(14, 40)
+    le32(18, width); le32(22, height)
+    le16(26, 1); le16(28, 4)
+    le32(30, 2) // BI_RLE4
     le32(34, body.length)
     le32(38, 2835); le32(42, 2835)
     le32(46, nPal); le32(50, 0)

@@ -177,6 +177,9 @@ class FuzzSpec extends AnyFunSuite {
     fuzz("bmp-rle", Raster.bmp8Rle(12, 9, k => (k * 7) % 64,
       Array.tabulate(256 * 3)(b => (b / 3).toByte)), 14,
       p => Raster.decodeBmpRgba(61L, p))
+    fuzz("bmp-rle4", Raster.bmp4Rle(12, 9, k => (k * 7) % 16,
+      Array.tabulate(16 * 3)(b => ((b / 3) * 17).toByte)), 14,
+      p => Raster.decodeBmpRgba(68L, p))
   }
 
   private val webpPayload = graft.multimodal.Webp.encodeLossless(13, 9,

@@ -284,6 +284,31 @@ class RasterSpec extends SparkSpec {
     assert(at(5, 2) === 90 && at(6, 2) === 90) // one row up
   }
 
+  test("BI_RLE4 BMP round-trips both modes and agrees with ImageIO") {
+    val id = 73L; val w = 19; val h = 12
+    val pal16 = Array.tabulate(16 * 3)(b => ((b / 3) * 17).toByte)
+    def g4(x: Int, y: Int): Int = g(id)(x, y) % 16
+    val p = Raster.bmp4Rle(w, h, k => g4(k % w, k / w), pal16)
+    val (dw, dh, px) = Multimodal.decodeStillRgba(id, p)
+    assert((dw, dh) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(4 * (y * w + x)) & 0xFF) === g4(x, y) * 17, s"($x,$y)")
+    // cross-pin: the JDK BMP reader decodes BI_RLE4 (palette indices)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    assert(img != null, "ImageIO could not open our RLE4 BMP")
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      assert(((argb >> 16) & 0xFF) === g4(x, y) * 17, s"imageio ($x,$y)")
+    }
+    // an RLE4 claim on an 8-bit BMP is malformed, named
+    val bad = Raster.bmp8Rle(8, 4, _ => 3,
+      Array.tabulate(256 * 3)(b => (b / 3).toByte))
+    bad(30) = 2
+    val e = intercept[IllegalArgumentException](
+      Raster.decodeBmpRgba(id, bad))
+    assert(e.getMessage.contains("BI_RLE4 requires"), e.getMessage)
+  }
+
   test("16-bit TIFF reduces to the planted HIGH byte in both byte " +
     "orders; tiled layouts clip edge padding (ImageIO agreement)") {
     val id = 67L; val w = 19; val h = 17
@@ -396,11 +421,11 @@ class RasterSpec extends SparkSpec {
     val w = 8; val h = 8
     def rgb(k: Int): Int = (k * 7) % 251
     val bmp = Raster.bmp24(w, h, rgb)
-    // RLE4 compression (field at offset 30) stays out of scope
-    val rle = bmp.clone(); rle(30) = 2
+    // bitfields compression (field at offset 30) stays out of scope
+    val rle = bmp.clone(); rle(30) = 3
     val e1 = intercept[IllegalArgumentException](
       Raster.decodeBmpRgba(1L, rle))
-    assert(e1.getMessage.contains("BI_RLE8 BMP"), e1.getMessage)
+    assert(e1.getMessage.contains("BI_RLE4 BMP"), e1.getMessage)
     // an RLE8 claim on a 24-bit BMP is malformed, named
     val rle24 = bmp.clone(); rle24(30) = 1
     val e1b = intercept[IllegalArgumentException](
