@@ -2138,6 +2138,12 @@ object Multimodal {
           require(mant != 0 && shift >= -63 && shift <= 30,
             s"media $id: implausible AIFF sample rate " +
               s"(exp $exp, mantissa $mant)")
+          // fractional rates (the NTSC 44055.94… family) fail by name
+          // rather than silently truncating to an integer: every
+          // mantissa bit below the shift point must be zero
+          require(shift >= 0 || (mant & ((1L << -shift) - 1)) == 0,
+            s"media $id: fractional AIFF sample rate not supported " +
+              s"(exp $exp, mantissa $mant)")
           rate = (if (shift >= 0) mant << shift else mant >>> -shift).toInt
           require(rate > 0, s"media $id: AIFF sample rate parsed to $rate")
         case "SSND" =>
@@ -2648,6 +2654,7 @@ object Multimodal {
       .empty[java.io.ByteArrayOutputStream]
     var expectedSeq = 0
     var sawIdat = false
+    var sawFdat = false
     var off = 8
     var done = false
     while (!done && off + 8 <= p.length) {
@@ -2682,13 +2689,18 @@ object Multimodal {
         case "IDAT" =>
           // the default image is frame 0 of the animation ONLY when an
           // fcTL precedes it; a bare IDAT is a non-animated poster image
-          // and contributes no frame
-          require(fctls.length <= 1,
+          // and contributes no frame. An IDAT arriving after ANY fdAT
+          // (even with one fcTL seen — the bare-poster-then-fdAT
+          // layout) is a malformed interleaving: reject by name here
+          // instead of letting late poster bytes corrupt frame 0's
+          // stream and surface as a downstream zlib error
+          require(fctls.length <= 1 && !sawFdat,
             s"media $id: IDAT after fdAT frames")
           sawIdat = true
           if (fctls.length == 1) data(0).write(p, dataOff, len)
         case "fdAT" =>
           require(len >= 4, s"media $id: bad fdAT length $len")
+          sawFdat = true
           require(fctls.nonEmpty, s"media $id: fdAT before any fcTL")
           require(be(dataOff) == expectedSeq,
             s"media $id: APNG sequence number ${be(dataOff)}, " +

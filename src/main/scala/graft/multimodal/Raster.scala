@@ -111,22 +111,26 @@ private[graft] object Raster {
     val rle: Array[Byte] =
       if (compression == 0) null
       else {
+        // diagnostics carry the ACTUAL compression name (1 = RLE8,
+        // 2 = RLE4) so 4-bit failures don't read as 8-bit ones
+        val rleName = if (compression == 1) "RLE8" else "RLE4"
         // hostile offBits would index the stream read out of bounds —
         // the strip path validates it against rowSize·h below, but the
         // RLE stream has no geometric size, so bound the start by name
         require(offBits >= 54 && offBits <= p.length,
-          s"media $id: BMP RLE8 pixel-data offset $offBits out of bounds")
+          s"media $id: BMP $rleName pixel-data offset $offBits out of bounds")
         val idxBuf = new Array[Byte](w * h)
         var i = offBits
         var cx = 0; var cy = 0 // cy counts BOTTOM-UP rows
         var endBmp = false
         while (!endBmp) {
-          require(i + 2 <= p.length, s"media $id: truncated BMP RLE8 stream")
+          require(i + 2 <= p.length,
+            s"media $id: truncated BMP $rleName stream")
           val n = p(i) & 0xFF; val v = p(i + 1) & 0xFF; i += 2
           if (n > 0) {
             require(cy < h && cx + n <= w,
-              s"media $id: BMP RLE8 run of $n at ($cx, row $cy) escapes " +
-                s"the ${w}x$h canvas")
+              s"media $id: BMP $rleName run of $n at ($cx, row $cy) " +
+                s"escapes the ${w}x$h canvas")
             if (compression == 1)
               java.util.Arrays.fill(idxBuf, cy * w + cx, cy * w + cx + n,
                 v.toByte)
@@ -141,18 +145,18 @@ private[graft] object Raster {
             cx += n
           } else v match {
             case 0 => cx = 0; cy += 1
-              require(cy <= h, s"media $id: BMP RLE8 walked past row $h")
+              require(cy <= h, s"media $id: BMP $rleName walked past row $h")
             case 1 => endBmp = true
             case 2 =>
               require(i + 2 <= p.length,
-                s"media $id: truncated BMP RLE8 delta escape")
+                s"media $id: truncated BMP $rleName delta escape")
               cx += p(i) & 0xFF; cy += p(i + 1) & 0xFF; i += 2
               require(cx <= w && cy <= h,
-                s"media $id: BMP RLE8 delta escapes the ${w}x$h canvas")
+                s"media $id: BMP $rleName delta escapes the ${w}x$h canvas")
             case cnt =>
               require(cy < h && cx + cnt <= w,
-                s"media $id: BMP RLE8 absolute run of $cnt at ($cx, row " +
-                  s"$cy) escapes the ${w}x$h canvas")
+                s"media $id: BMP $rleName absolute run of $cnt at ($cx, " +
+                  s"row $cy) escapes the ${w}x$h canvas")
               if (compression == 1) {
                 require(i + cnt + (cnt & 1) <= p.length,
                   s"media $id: truncated BMP RLE8 absolute run")
@@ -473,8 +477,8 @@ private[graft] object Raster {
   /** zlib-inflate a TIFF Deflate strip to exactly `expect` bytes —
     * corrupt streams, truncation, non-progress, and size mismatches all
     * fail by name (the decodePngRgba inflate contract). */
-  private def inflateExact(id: Long, p: Array[Byte], off: Int, len: Int,
-                           expect: Int): Array[Byte] = {
+  private[graft] def inflateExact(id: Long, p: Array[Byte], off: Int,
+                                  len: Int, expect: Int): Array[Byte] = {
     val out = new Array[Byte](expect)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(p, off, len)
@@ -491,10 +495,26 @@ private[graft] object Raster {
         s"media $id: truncated TIFF Deflate strip")
       filled += n
     }
-    inflater.end()
     require(filled == expect,
       s"media $id: TIFF Deflate strip decoded to $filled bytes, " +
         s"expected $expect")
+    // the stream must be exhausted too: probe one more byte — an
+    // OVERLONG stream (data past the strip's geometric size) fails by
+    // name instead of being silently truncated
+    if (!inflater.finished()) {
+      val probe = new Array[Byte](1)
+      val extra =
+        try inflater.inflate(probe, 0, 1)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"media $id: corrupt TIFF Deflate strip (${e.getMessage})")
+        }
+      require(extra == 0,
+        s"media $id: overlong TIFF Deflate strip (expands past " +
+          s"$expect bytes)")
+    }
+    inflater.end()
     out
   }
 
@@ -608,6 +628,16 @@ private[graft] object Raster {
     require(outPos == expect,
       s"media $id: TIFF LZW strip decoded to $outPos bytes, " +
         s"expected $expect")
+    // the stream must be exhausted too: the only legal code after the
+    // final expansion is EOI (257) — an OVERLONG stream (more data
+    // codes past the strip's geometric size) fails by name instead of
+    // being silently truncated
+    if (!done) {
+      val eoi = read()
+      require(eoi == 257,
+        s"media $id: overlong TIFF LZW strip (code $eoi past " +
+          s"$expect bytes, expected EOI)")
+    }
     out
   }
 

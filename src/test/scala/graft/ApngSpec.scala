@@ -122,6 +122,64 @@ class ApngSpec extends SparkSpec {
     assert(e3.getMessage.contains("declares"), e3.getMessage)
   }
 
+  test("an IDAT arriving AFTER fdAT data is rejected by name, even in " +
+    "the bare-poster layout (one fcTL seen)") {
+    // hand-build the malformed interleaving: IHDR, acTL, IDAT (bare
+    // poster), fcTL(0), fdAT(1), then a LATE IDAT — pre-fix those
+    // poster bytes were appended to frame 0's stream and surfaced as a
+    // downstream zlib error instead of a named rejection
+    val w = 6; val h = 4
+    val donor = Containers.pngFull(w, h, i =>
+      if (i % 4 == 3) 255 else (i * 7) % 256)
+    def harvest(typ: String): Array[Byte] = {
+      var off = 8
+      while (off + 8 <= donor.length) {
+        val len = ((donor(off) & 0xFF) << 24) | ((donor(off + 1) & 0xFF) << 16) |
+          ((donor(off + 2) & 0xFF) << 8) | (donor(off + 3) & 0xFF)
+        if (new String(donor, off + 4, 4, "US-ASCII") == typ)
+          return java.util.Arrays.copyOfRange(donor, off + 8, off + 8 + len)
+        off += 12 + len
+      }
+      fail(s"donor PNG lacks $typ")
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = harvest("IHDR"); val idat = harvest("IDAT")
+    def be4(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val actl = be4(1) ++ be4(0)
+    val fctl0 = be4(0) ++ be4(w) ++ be4(h) ++ be4(0) ++ be4(0) ++
+      Array[Byte](0, 1, 0, 100, 0, 0)
+    val fdat1 = be4(1) ++ idat
+    def assemble(withLateIdat: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(donor, 0, 8) // PNG signature
+      out.write(chunk("IHDR", ihdr)); out.write(chunk("acTL", actl))
+      out.write(chunk("IDAT", idat)) // bare poster (no fcTL before it)
+      out.write(chunk("fcTL", fctl0)); out.write(chunk("fdAT", fdat1))
+      if (withLateIdat) out.write(chunk("IDAT", idat))
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeApngFrames(12L, assemble(withLateIdat = true)))
+    assert(e.getMessage.contains("IDAT after fdAT"), e.getMessage)
+    // the clean bare-poster layout still decodes: one fdAT-fed frame
+    val (cw, ch, frames) =
+      Multimodal.decodeApngFrames(12L, assemble(withLateIdat = false))
+    assert((cw, ch) === ((w, h)) && frames.length === 1)
+    // frames are RGB; the donor generator indexed RGBA bytes
+    for (k <- 0 until w * h * 3)
+      assert((frames(0)(k) & 0xFF) === ((k / 3 * 4 + k % 3) * 7) % 256,
+        s"frame byte $k")
+  }
+
   test("GIF and APNG of the same planted frames decode to identical RGB " +
     "through the format-blind video dispatch") {
     val g = 4L

@@ -741,6 +741,14 @@ class MultimodalSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Multimodal.decodeOneWav(5L,
       Multimodal.Containers.au(1, 8000, 27, new Array[Byte](4))))
     assert(e.getMessage.contains("AU encodings"), e.getMessage)
+    // a FRACTIONAL 80-bit rate (the NTSC 44055.94 family) fails by name
+    // instead of silently truncating to an integer: overwrite the COMM
+    // mantissa with 44100.5 = 88201 * 2^-1 at the same exponent
+    val frac = Multimodal.Containers.aiff(1, 44100, 16, body).clone()
+    java.nio.ByteBuffer.wrap(frac).putLong(30, 88201L << 47)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeOneWav(6L, frac))
+    assert(e2.getMessage.contains("fractional AIFF"), e2.getMessage)
   }
 
   test("an AVI with both streams serves BOTH surfaces: frames through " +

@@ -398,6 +398,40 @@ class RasterSpec extends SparkSpec {
     assert(e3.getMessage.contains("TIFF Deflate"), e3.getMessage)
   }
 
+  test("OVERLONG compressed-TIFF segments fail by name: data past the " +
+    "geometric strip size is corruption, not truncatable") {
+    val id = 61L
+    // 20 distinct bytes -> one literal LZW code each; decoding with
+    // expect=10 lands exactly on the boundary with data codes remaining
+    val raw = Array.tabulate(20)(_.toByte)
+    val lzw = Raster.lzwEncode(raw)
+    val e1 = intercept[IllegalArgumentException](
+      Raster.lzwDecode(id, lzw, 0, lzw.length, 10))
+    assert(e1.getMessage.contains("overlong TIFF LZW"), e1.getMessage)
+    // the exact-size stream still decodes (EOI is read and accepted)
+    assert(Raster.lzwDecode(id, lzw, 0, lzw.length, 20).toSeq === raw.toSeq)
+    // same contract for Deflate
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](128)
+    val n = defl.deflate(buf)
+    defl.end()
+    val e2 = intercept[IllegalArgumentException](
+      Raster.inflateExact(id, buf, 0, n, 10))
+    assert(e2.getMessage.contains("overlong TIFF Deflate"), e2.getMessage)
+    assert(Raster.inflateExact(id, buf, 0, n, 20).toSeq === raw.toSeq)
+  }
+
+  test("BI_RLE4 failure diagnostics carry the RLE4 name, not RLE8") {
+    val pal16 = Array.tabulate(16 * 3)(b => ((b / 3) * 17).toByte)
+    val p = Raster.bmp4Rle(9, 5, k => k % 16, pal16)
+    val cut = java.util.Arrays.copyOfRange(p, 0, p.length - 3)
+    val e = intercept[IllegalArgumentException](
+      Raster.decodeBmpRgba(75L, cut))
+    assert(e.getMessage.contains("RLE4") && !e.getMessage.contains("RLE8"),
+      e.getMessage)
+  }
+
   test("cross-format identity: PNG, BMP and TIFF of the same content " +
     "decode byte-identically and share one dHash (Hamming 0)") {
     val id = 41L; val w = 16; val h = 16
