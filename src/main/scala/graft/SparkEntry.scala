@@ -1999,6 +1999,32 @@ object SparkEntry {
       graft.multimodal.MediaDedup.imageBlockMeans(
         graft.multimodal.Multimodal.syntheticBmpRle4Media(
           t(s, d, "documents")), blockPx = 2)),
+    // --- learned-encoder serving lifecycle [ext]: the last §8 slot,
+    // EXECUTED — a seeded integer random projection stands in for the
+    // learned embedding extractor (no model weights exist in this
+    // environment), but the serving architecture around it is the real
+    // one, run end-to-end: train -> persist a VERSIONED lake artifact
+    // (weights + meta) -> driver load + validate -> broadcast the blob ->
+    // per-JVM model BUILD inside mapPartitions (the ONNX/torch session
+    // seam, executed rather than documented) -> batch-encode the q226
+    // classical descriptors. Integer weights x integer descriptor dims
+    // mean every projected coordinate replays ARITHMETICALLY in the
+    // oracle (budget <= 3 s) ---
+    "q295_learned_encoder_serve" -> { (s, d) =>
+      val desc = graft.multimodal.MediaDedup.imageDescriptors(
+        graft.multimodal.MediaDedup.syntheticCrossFormatImages(
+          t(s, d, "documents")))
+      val dir = graft.tables.TempLakes.create("graft_encoder_lake")
+      val lake = new graft.tables.LakeTable(s, dir)
+      graft.multimodal.LearnedEncoder.saveEncoder(lake, "m",
+        graft.multimodal.LearnedEncoder.trainProjection(s, 88, 16, 7L),
+        88, 16, 7L)
+      graft.multimodal.LearnedEncoder.encodeWithModel(
+          graft.multimodal.LearnedEncoder.loadEncoder(lake, "m"), desc)
+        .select(col("vec_id").as("media_id"), posexplode(col("embedding")))
+        .select(col("media_id"), col("pos").cast("int").as("dim"),
+          col("col").cast("long").as("value"))
+    },
     // --- MS ADPCM WAV decode [ext]: the OTHER legacy WAV block codec
     // (fmt tag 2) — per-channel block headers (coefficient-pair index,
     // iDelta, the two seed samples played oldest-first), the file's own
@@ -5614,6 +5640,35 @@ object SparkEntry {
         "FROM g WHERE bx < w // 2 AND by < h // 2 GROUP BY 1, 2, 3) " +
         "SELECT media_id, CAST(bx AS INTEGER) AS bx, " +
         "CAST(by AS INTEGER) AS by, CAST(mean AS BIGINT) AS mean FROM f"),
+    // learned-encoder replay: the q226 descriptor CTEs feed the seeded
+    // projection's closed-form integer weights — the oracle recomputes
+    // descriptor AND matrix multiply arithmetically (weights and dims
+    // are exact integers, sums far below 2^53)
+    "q295_learned_encoder_serve" ->
+      ("WITH dd AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "dm AS (SELECT doc_id, g, " +
+        "CAST(16 + (g % 5) * 4 AS BIGINT) AS w, " +
+        "CAST(12 + ((g * 3) % 5) * 4 AS BIGINT) AS h FROM dd), " +
+        "px AS (SELECT doc_id, g, w, h, unnest(range(w * h)) AS k FROM dm), " +
+        "vv AS (SELECT doc_id, " +
+        "(g*29 + (k % w)*(3 + (g % 7) * 9) + (k // w)*(2 + (g % 5) * 7)) % 256 AS val, " +
+        "((k % w) * 8) // w AS bx, ((k // w) * 8) // h AS by FROM px), " +
+        "hh AS (SELECT doc_id, val // 32 AS b8, count(*) AS cnt FROM vv GROUP BY 1, 2), " +
+        "hd AS (SELECT doc_id, c * 8 + b8 AS dim, CAST(cnt AS DOUBLE) AS v " +
+        "FROM hh CROSS JOIN (VALUES (0), (1), (2)) AS ch(c)), " +
+        "mm AS (SELECT doc_id, bx, by, sum(val) // count(*) AS mean " +
+        "FROM vv GROUP BY 1, 2, 3), " +
+        "gd AS (SELECT doc_id, 24 + by * 8 + bx AS dim, CAST(mean AS DOUBLE) AS v FROM mm), " +
+        "sc88 AS (SELECT doc_id, unnest(range(88)) AS dim FROM dm), " +
+        "fl AS (SELECT sc88.doc_id, sc88.dim, coalesce(u.v, 0.0) AS v " +
+        "FROM sc88 LEFT JOIN (SELECT * FROM hd UNION ALL SELECT * FROM gd) u " +
+        "ON sc88.doc_id = u.doc_id AND sc88.dim = u.dim), " +
+        "od AS (SELECT unnest(range(16)) AS o), " +
+        "pr AS (SELECT fl.doc_id AS media_id, od.o AS dim, " +
+        "sum(((7*31 + od.o*293 + fl.dim*181 + od.o*fl.dim*97) % 127 - 63) * fl.v) AS value " +
+        "FROM fl CROSS JOIN od GROUP BY 1, 2) " +
+        "SELECT media_id, CAST(dim AS INTEGER) AS dim, " +
+        "CAST(value AS BIGINT) AS value FROM pr"),
     // MS ADPCM replay: every block decodes to its planted seed value
     // (12 samples each at the fixture geometry)
     "q293_wav_msadpcm_census" ->
