@@ -16,6 +16,17 @@ object Bench {
     // line out of it. Silence that one logger; everything else stays at WARN.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // Same hygiene for the localCheckpoint-release lifecycle: releaseAll
+    // below unpersists each query's eagerly-materialized localCheckpoint
+    // results AFTER their only consumer finished (the count() above —
+    // harness contract), so Spark's "locally checkpointed ... cannot be
+    // recomputed after unpersisting" warning is pure noise here, and at
+    // suite scale it floods the tail by the hundreds. It cannot hide a
+    // real bug: a released checkpoint that WERE re-evaluated fails loudly
+    // (lineage is truncated), it does not go quietly wrong. The logger is
+    // the concrete RDD class; localCheckpoint binds to MapPartitionsRDD.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // JIT/codegen warmup so the first timed query doesn't absorb one-time
     // class-loading cost; runs a representative scan+agg+join, untimed.
     try {

@@ -18,6 +18,13 @@ object Verify {
     // of globalPrefixSums WARN per run; keep the harness tail parseable
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    // and the localCheckpoint-release lifecycle (see Bench for the full
+    // rationale): releaseAll below unpersists eagerly-materialized local
+    // checkpoints only after their parquet is written, so the "cannot be
+    // recomputed after unpersisting" WARN is noise; a re-evaluation after
+    // release would fail loudly, never silently wrong.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (same contract as Bench): SPARK_GRAFT_VERIFY_ONLY=q16,q139
     // dumps just those queries (prefix match) and restricts oracle_sql.json to

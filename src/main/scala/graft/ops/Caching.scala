@@ -47,7 +47,16 @@ object Caching {
   /** Session-wide reclaim: every SQL-cache entry AND every RDD-level
     * persistent block (e.g. from caller-managed GraphX interop via
     * [[Graph.toGraphX]]). Harness/bench hygiene between independent
-    * queries — not for use inside operators. */
+    * queries — not for use inside operators.
+    *
+    * Locally-checkpointed results (the eager-materialization lifecycle of
+    * `bandedNearDups` / `tfidfEmbeddingsPortable` / `Refinery`) are
+    * RDD-level blocks too and are released here. That is safe by
+    * construction: the harness calls this only BETWEEN queries, after the
+    * query's result was fully consumed (parquet written / counted), and a
+    * released local checkpoint cannot be silently re-evaluated — its
+    * lineage is truncated, so any late consumer fails loudly. The
+    * harnesses suppress Spark's per-RDD release WARN on that basis. */
   def releaseAll(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
