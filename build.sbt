@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev-loop GC experiments (e.g. SPARK_GRAFT_JVM_EXTRA="-XX:+UseParallelGC"):
+  // empty by default — the shipped JVM config is exactly the flags above
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

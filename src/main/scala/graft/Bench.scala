@@ -46,13 +46,25 @@ object Bench {
     // queries (prefix match); unset = the full suite, the driver's mode
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // GC attribution: total collector time across all MXBeans, sampled
+    // around each timed region, so the artifact can say how much of a slow
+    // row was collector pause rather than plan work (diagnosis only — the
+    // reported seconds stay pure wall-clock, same methodology as always).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val gcByQuery = scala.collection.mutable.Map.empty[String, Long]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gc = gcMillis() - g0
         // queries that persist() intermediates must not carry cached blocks
         // (or cache-hit timings) into the next iteration; untimed. Reclaims
         // BOTH the SQL cache and any RDD-level blocks.
@@ -61,9 +73,11 @@ object Bench {
         // query otherwise surface as GC pauses INSIDE the next timed region,
         // inflating suite numbers 4-6x over isolated runs (r7: q13, q170)
         System.gc()
-        dt
+        (dt, gc)
       }
-      name -> times.min
+      val best = times.minBy(_._1)
+      gcByQuery(name) = best._2
+      name -> best._1
     }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full per-query map goes ONLY to a file: the driver keeps a bounded
@@ -72,8 +86,12 @@ object Bench {
     // its bench number exactly this way).
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // gc_ms: collector milliseconds INSIDE each row's min iteration —
+    // artifact-file only (the stdout contract line is unchanged)
+    val gcFull = gcByQuery.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$full,"gc_ms":$gcFull,"sf":"$sfDir"}"""
     try {
       val outDir = java.nio.file.Paths.get("out")
       java.nio.file.Files.createDirectories(outDir)
