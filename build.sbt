@@ -35,6 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector for the forked driver JVM: the bench/verify runs
+  // are allocation-heavy batch work on local[32], where G1's concurrent
+  // phases + write barriers tax every task thread. Measured on the 25-row
+  // >=2.5 s bench tail (min-of-3, idle machine): G1 122.7 s / ParallelGC
+  // 102.6 s at -Xmx8g (-16%); heap size itself was neutral (24g G1 123.1,
+  // 24g PGC 109.1), so 8g stays. Local-JVM choice only — cluster executors
+  // set their own GC via spark.executor.extraJavaOptions.
+  "-XX:+UseParallelGC",
 ) ++
   // dev-loop GC experiments (e.g. SPARK_GRAFT_JVM_EXTRA="-XX:+UseParallelGC"):
   // empty by default — the shipped JVM config is exactly the flags above

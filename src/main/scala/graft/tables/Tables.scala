@@ -62,8 +62,24 @@ object Tables {
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType))))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-JVM cache of inferred parquet schemas for the READ-ONLY driver
+    * testdata. Schema inference (footer read + merge) costs ~60-110 ms per
+    * fresh `spark.read.parquet` call; the bench pays it for every table
+    * load of every iteration of every query — ~60 s across a full suite
+    * run. The cached schema IS the inferred one (filled by the first real
+    * inference of that path), so plans and result types are identical; the
+    * cache is sound because these paths are immutable for the life of the
+    * JVM (the testdata contract — mutable tables live behind
+    * [[LakeTable]], which never goes through this loader). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

@@ -75,6 +75,98 @@ object BenchProbe {
           graft.ops.Caching.releaseAll(spark)
         }
 
+      case "schema" =>
+        // How much of the per-row fixed floor is parquet schema inference?
+        // 50 fresh spark.read.parquet().schema resolutions vs 50 with an
+        // explicit (pre-inferred) schema, vs 50 tiny count() actions on each.
+        val path = s"$sfDir/orders.parquet"
+        val inferred = spark.read.parquet(path).schema
+        time("infer x50") {
+          (1 to 50).foreach(_ => spark.read.parquet(path).schema: Unit)
+        }
+        time("explicit x50") {
+          (1 to 50).foreach(_ => spark.read.schema(inferred).parquet(path).schema: Unit)
+        }
+        time("infer+filter-count x50") {
+          (1 to 50).foreach(_ => spark.read.parquet(path)
+            .filter(col("o_orderkey") < 0).count(): Unit)
+        }
+        time("explicit+filter-count x50") {
+          (1 to 50).foreach(_ => spark.read.schema(inferred).parquet(path)
+            .filter(col("o_orderkey") < 0).count(): Unit)
+        }
+
+      case "lmhash" =>
+        // q200/q208/q209 hot path: pairedEvents computes portableTokenHash
+        // (md5 + substr + conv) TWICE per bigram event — each token is
+        // hashed once as w1 of event i and again as w2 of event i-1. A/B:
+        // the shipped spelling vs hashing the token array ONCE via a
+        // higher-order transform (halves md5 evaluations, but the HOF
+        // projection is interpreted, not codegen'd — which effect wins?).
+        // AMP multiplies the corpus (distinct doc_ids) to lift the
+        // expression cost above the scheduling floor.
+        val amp = sys.env.getOrElse("PROBE_AMP", "8").toInt
+        val big = docs.select(
+          (col("doc_id") * amp + explode(sequence(lit(0), lit(amp - 1))))
+            .as("doc_id"), col("text"))
+        def tok = graft.text.TextStats.tokens(
+          graft.text.TextStats.normalize(col("text")))
+        def phash(c: org.apache.spark.sql.Column) =
+          graft.text.Dedup.portableTokenHash(c)
+        val shipped = big.select(col("doc_id"), tok.as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+          .select(col("doc_id"),
+            phash(element_at(col("toks"), col("i") + 1)).as("w1h"),
+            phash(element_at(col("toks"), col("i") + 2)).as("w2h"))
+        val prehashed = big.select(col("doc_id"),
+            transform(tok, t => phash(t)).as("hs"))
+          .where(size(col("hs")) >= 2)
+          .select(col("doc_id"), col("hs"),
+            explode(sequence(lit(0), size(col("hs")) - 2)).as("i"))
+          .select(col("doc_id"),
+            element_at(col("hs"), col("i") + 1).as("w1h"),
+            element_at(col("hs"), col("i") + 2).as("w2h"))
+        for (it <- 1 to 3) {
+          time(s"pairedEvents/shipped#$it") {
+            shipped.write.format("noop").mode("overwrite").save()
+          }
+          time(s"pairedEvents/prehashed#$it") {
+            prehashed.write.format("noop").mode("overwrite").save()
+          }
+        }
+
+      case "tok" =>
+        // Cross-cutting tokenize cost: split(trim(x), "\\s+") compiles the
+        // regex PER ROW (UTF8String.split -> String.split -> Pattern.compile;
+        // no fast path for multi-char patterns), where split on a literal
+        // single space hits java.lang.String.split's no-regex fast path.
+        // On NORMALIZED text (runs collapsed to single spaces) the two are
+        // exact-identical. AMP as above.
+        val amp2 = sys.env.getOrElse("PROBE_AMP", "8").toInt
+        val big2 = docs.select(
+          (col("doc_id") * amp2 + explode(sequence(lit(0), lit(amp2 - 1))))
+            .as("doc_id"), col("text"))
+        val norm = graft.text.TextStats.normalize(col("text"))
+        val regexToks = when(length(trim(norm)) === 0,
+          array().cast("array<string>")).otherwise(split(trim(norm), "\\s+"))
+        val spaceToks = when(length(trim(norm)) === 0,
+          array().cast("array<string>")).otherwise(split(trim(norm), " "))
+        val a = big2.select(col("doc_id"), explode(regexToks).as("t"))
+        val b = big2.select(col("doc_id"), explode(spaceToks).as("t"))
+        for (it <- 1 to 3) {
+          time(s"tokens/regex#$it") {
+            a.write.format("noop").mode("overwrite").save()
+          }
+          time(s"tokens/space#$it") {
+            b.write.format("noop").mode("overwrite").save()
+          }
+        }
+        // equality gate: the two spellings must agree row-for-row
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        println(s"PROBE tokens diff rows = $diff (must be 0)")
+
       case other => println(s"unknown PROBE_SECTION $other")
     }
     spark.stop()
