@@ -47,16 +47,33 @@ object LangModel {
 
   /** Per-doc adjacent (w1h, w2h) hashed bigram events via the positional
     * explode ([[TextStats.gramStream]]'s codegen rationale); docs with <2
-    * tokens emit none. */
+    * tokens emit none.
+    *
+    * The token array is hashed ONCE (a `transform` over the tokens) and the
+    * bigram rows read the hashed longs positionally — the shipped spelling
+    * used to hash per EVENT SIDE, i.e. every interior token paid the md5 +
+    * hex-substring + base-16 parse twice (once as w1 of event i, once as w2
+    * of event i−1). Although the higher-order transform runs interpreted
+    * (HOF lambdas fall out of whole-stage codegen), halving the md5
+    * evaluations wins decisively: BenchProbe `lmhash` (16× amplified corpus,
+    * ~4.2 M events, noop sink, min-of-3) measured 8.2–8.5 s shipped vs
+    * 5.2–5.9 s prehashed (−35%). Hash VALUES are identical (same md5 of the
+    * same token strings), so model tables, scores, and every oracle replay
+    * are unchanged. */
   private def pairedEvents(docs: DataFrame): DataFrame = {
     val toks = TextStats.tokens(TextStats.normalize(col("text")))
+    // the <2-token filter runs on the UN-hashed token array: filtering on
+    // size(hs) pushes the whole hashing transform into the Filter node and
+    // every doc pays the md5 pass twice (plan-checked in plans/r16)
     docs.select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
       .select(col("doc_id"),
-        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 1)).as("w1h"),
-        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 2)).as("w2h"))
+        transform(col("toks"), t => Dedup.portableTokenHash(t)).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        explode(sequence(lit(0), size(col("hs")) - 2)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("hs"), col("i") + 1).as("w1h"),
+        element_at(col("hs"), col("i") + 2).as("w2h"))
   }
 
   /** A trained Stupid-Backoff bigram LM as DATA: the bigram and unigram
@@ -145,15 +162,19 @@ object LangModel {
     val toks = TextStats.tokens(TextStats.normalize(col("text")))
     // one tokenize pass: per-doc adjacent (w1, w2) pairs via a POSITIONAL
     // explode ([[TextStats.gramStream]]'s codegen rationale — exploding a
-    // computed array falls out of whole-stage codegen), no join, no UDF
+    // computed array falls out of whole-stage codegen), no join, no UDF.
+    // Tokens are md5-hashed ONCE per position, not once per event side —
+    // see [[pairedEvents]]'s probe numbers (−35% on the event pass).
     val paired = docs
       .select(col("doc_id"), isTrain.as("is_train"), toks.as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("is_train"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - 2)).as("i"))
+      .where(size(col("toks")) >= 2) // filter the UN-hashed array — see pairedEvents
       .select(col("doc_id"), col("is_train"),
-        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 1)).as("w1h"),
-        Dedup.portableTokenHash(element_at(col("toks"), col("i") + 2)).as("w2h"))
+        transform(col("toks"), t => Dedup.portableTokenHash(t)).as("hs"))
+      .select(col("doc_id"), col("is_train"), col("hs"),
+        explode(sequence(lit(0), size(col("hs")) - 2)).as("i"))
+      .select(col("doc_id"), col("is_train"),
+        element_at(col("hs"), col("i") + 1).as("w1h"),
+        element_at(col("hs"), col("i") + 2).as("w2h"))
       .persist()
 
     val train = paired.filter(col("is_train"))

@@ -106,9 +106,10 @@ object BenchProbe {
         // AMP multiplies the corpus (distinct doc_ids) to lift the
         // expression cost above the scheduling floor.
         val amp = sys.env.getOrElse("PROBE_AMP", "8").toInt
-        val big = docs.select(
-          (col("doc_id") * amp + explode(sequence(lit(0), lit(amp - 1))))
-            .as("doc_id"), col("text"))
+        val big = docs
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(amp - 1))).as("rep"))
+          .select((col("doc_id") * amp + col("rep")).as("doc_id"), col("text"))
         def tok = graft.text.TextStats.tokens(
           graft.text.TextStats.normalize(col("text")))
         def phash(c: org.apache.spark.sql.Column) =
@@ -145,9 +146,10 @@ object BenchProbe {
         // On NORMALIZED text (runs collapsed to single spaces) the two are
         // exact-identical. AMP as above.
         val amp2 = sys.env.getOrElse("PROBE_AMP", "8").toInt
-        val big2 = docs.select(
-          (col("doc_id") * amp2 + explode(sequence(lit(0), lit(amp2 - 1))))
-            .as("doc_id"), col("text"))
+        val big2 = docs
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(amp2 - 1))).as("rep"))
+          .select((col("doc_id") * amp2 + col("rep")).as("doc_id"), col("text"))
         val norm = graft.text.TextStats.normalize(col("text"))
         val regexToks = when(length(trim(norm)) === 0,
           array().cast("array<string>")).otherwise(split(trim(norm), "\\s+"))
